@@ -1,0 +1,183 @@
+"""Golden governance tests — the reference's 5 validation queries
+(outputs.tf:57-97, validate.sh:201-235) plus the visibility matrix and
+negative paths (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tf_aws_lakeformation_governed_datalake_demo_spark import (
+    Engine,
+    PermissionDeniedError,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark import fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("goldlake"))
+    cat = fx.bootstrap(spark, lake)
+    return Engine(spark, cat)
+
+
+ALL_COLS = [
+    "customer_id", "customer_name", "customer_email", "ssn",
+    "sales_region", "sales_amount", "sale_date",
+]
+
+
+def test_dataadmin_count_by_region(engine):
+    # outputs.tf:67-73 — all 3 regions, APAC=8/EMEA=6/AMER=6 (generator truth).
+    rows = engine.sql(
+        "SELECT sales_region, COUNT(*) as count FROM sales_db.sales "
+        "GROUP BY sales_region ORDER BY sales_region",
+        principal="dataadmin",
+    ).collect()
+    assert [(r.sales_region, r["count"]) for r in rows] == [
+        ("AMER", 6), ("APAC", 8), ("EMEA", 6),
+    ]
+
+
+def test_dataadmin_all_data(engine):
+    # outputs.tf:60-65 — all rows, all columns incl. PII.
+    df = engine.sql(
+        "SELECT * FROM sales_db.sales ORDER BY sales_region, customer_id LIMIT 10",
+        principal="dataadmin",
+    )
+    assert df.columns == ALL_COLS
+    rows = df.collect()
+    assert len(rows) == 10
+    assert rows[0].customer_id == "CUST0011"  # AMER sorts first
+    assert rows[0].ssn == "111-22-3333"
+
+
+def test_analyst_count_by_region(engine):
+    # outputs.tf:89-95 — APAC only, count 8.
+    rows = engine.sql(
+        "SELECT sales_region, COUNT(*) as count FROM sales_db.sales "
+        "GROUP BY sales_region ORDER BY sales_region",
+        principal="analyst",
+    ).collect()
+    assert [(r.sales_region, r["count"]) for r in rows] == [("APAC", 8)]
+
+
+def test_analyst_filtered_data(engine):
+    # outputs.tf:75-80 — star expands to the 5-column allowlist, APAC rows.
+    df = engine.sql(
+        "SELECT * FROM sales_db.sales ORDER BY customer_id LIMIT 10",
+        principal="analyst",
+    )
+    assert df.columns == list(fx.ANALYST_COLUMNS)
+    rows = df.collect()
+    assert len(rows) == 8
+    assert all(r.sales_region == "APAC" for r in rows)
+
+
+def test_analyst_pii_column_not_found(engine):
+    # validate.sh:180-187 — selecting a denied column errors like Athena's
+    # COLUMN_NOT_FOUND, because the governed relation simply lacks it.
+    qid = engine.submit(
+        "SELECT customer_email FROM sales_db.sales", principal="analyst"
+    )
+    assert engine.status(qid).value == "FAILED"
+    assert "customer_email" in engine.state_change_reason(qid)
+
+
+def test_analyst_masked_view(engine):
+    # outputs.tf:82-87 — APAC rows, 7 cols, masked email/ssn (README.md:251).
+    df = engine.sql(
+        "SELECT * FROM sales_db.sales_masked ORDER BY customer_id LIMIT 10",
+        principal="analyst",
+    )
+    assert df.columns == ALL_COLS
+    rows = df.collect()
+    assert len(rows) == 8
+    assert all(r.sales_region == "APAC" for r in rows)
+    assert rows[0].customer_email == "***@example.com"
+    assert rows[0].ssn == "***-**-****"
+
+
+def test_dataadmin_masked_view_all_regions(engine):
+    df = engine.sql(
+        "SELECT * FROM sales_db.sales_masked", principal="dataadmin"
+    )
+    assert df.count() == 20
+
+
+def test_implicit_deny(engine):
+    # main.tf:489-490 — no grant -> not authorized.
+    with pytest.raises(PermissionDeniedError):
+        engine.sql("SELECT * FROM sales_db.sales", principal="intern")
+    with pytest.raises(PermissionDeniedError):
+        engine.sql("SELECT * FROM sales_db.sales_masked", principal="intern")
+
+
+def test_admin_bypass(engine):
+    engine.catalog.set_admins(["lake_admin"])
+    df = engine.sql("SELECT * FROM sales_db.sales", principal="lake_admin")
+    assert df.count() == 20 and df.columns == ALL_COLS
+
+
+def test_governance_disabled_flag(spark, tmp_path_factory):
+    # variables.tf:10-14 — flag off => raw tables for everyone.
+    lake = str(tmp_path_factory.mktemp("rawlake"))
+    cat = fx.bootstrap(spark, lake, governance_enabled=False)
+    eng = Engine(spark, cat)
+    df = eng.sql("SELECT * FROM sales_db.sales", principal="intern")
+    assert df.count() == 20 and df.columns == ALL_COLS
+
+
+def test_audit_log(engine):
+    before = len(engine.catalog.audit.events)
+    engine.sql("SELECT COUNT(*) AS n FROM sales_db.sales", principal="dataadmin")
+    events = engine.catalog.audit.events
+    assert len(events) == before + 1
+    ev = events[-1]
+    assert ev["principal"] == "dataadmin"
+    assert ev["status"] == "SUCCEEDED"
+    assert "sales_db.sales" in ev["tables"]
+
+
+def test_analyst_filter_recorded_in_audit(engine):
+    engine.sql("SELECT COUNT(*) AS n FROM sales_db.sales", principal="analyst")
+    ev = engine.catalog.audit.events[-1]
+    assert ev["filters_applied"] == ["analyst-apac-filter"]
+
+
+def test_results_csv_sink(spark, tmp_path_factory):
+    # S5 — every query result persisted as headered CSV per query id.
+    lake = str(tmp_path_factory.mktemp("csvlake"))
+    results = tmp_path_factory.mktemp("results")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat, results_dir=results)
+    qid = eng.submit(
+        "SELECT sales_region, COUNT(*) AS count FROM sales_db.sales "
+        "GROUP BY sales_region",
+        principal="dataadmin",
+    )
+    assert eng.status(qid).value == "SUCCEEDED"
+    back = spark.read.option("header", "true").csv(str(results / qid))
+    assert back.count() == 3
+
+
+def test_results_row_cap(engine):
+    qid = engine.submit("SELECT * FROM sales_db.sales", principal="dataadmin")
+    assert len(engine.results(qid, max_rows=5)) == 5
+
+
+def test_predicate_pushdown_into_scan(engine):
+    # SURVEY.md §4.1 — the injected governance filter must reach the
+    # parquet reader: PushedFilters contains the region equality.
+    df = engine.catalog.table("sales_db.sales", "analyst")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "sales_region" in plan
+
+
+def test_drop_view(spark, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("droplake"))
+    cat = fx.bootstrap(spark, lake)
+    cat.drop_view("sales_db", "sales_masked")
+    eng = Engine(spark, cat)
+    qid = eng.submit("SELECT * FROM sales_db.sales_masked", principal="analyst")
+    assert eng.status(qid).value == "FAILED"

@@ -1,0 +1,298 @@
+"""GovernedCatalog — databases, external tables, views, governance enforcement.
+
+The Spark-native equivalent of the reference's Glue catalog + Lake Formation
+declarations (``/root/reference/main.tf:286-490``):
+
+- database / external table registration (main.tf:291-372) — a table is a
+  (schema, parquet location) pair, schema-on-read, never inferred;
+- views as stored SQL (outputs.tf:44-53);
+- LF-tags and column tag assignments (main.tf:382-429);
+- data-cells filters (main.tf:432-457);
+- grants with implicit deny (main.tf:460-490) and admin bypass
+  (main.tf:82-91);
+- the governance feature flag (variables.tf:10-14).
+
+Enforcement strategy (SURVEY.md §4.2 option 1): every read goes through
+:meth:`GovernedCatalog.table`, which returns the base DataFrame with the
+principal's data-cells filter injected as ``.filter(expr).select(cols)``.
+Catalyst pushes both into the Parquet scan (``PushedFilters`` +
+``ReadSchema``), so governed scans read *less* than ungoverned ones —
+the right behavior at 100 TB. ``SELECT *`` then expands against the
+rewritten relation, so star projection naturally shows only the allowlist.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .governance import (
+    ALL,
+    SELECT,
+    AuditLog,
+    DataCellsFilter,
+    Grant,
+    LFTag,
+    PermissionDeniedError,
+    Principal,
+)
+
+
+@dataclass
+class TableDef:
+    """An external (unmanaged) table: catalog schema + storage location.
+
+    Mirrors ``aws_glue_catalog_table`` (main.tf:303-372): schema lives in
+    the catalog, data is written out-of-band, visible immediately
+    (schema-on-read). ``column_comments`` and ``column_tags`` land in
+    ``StructField.metadata`` like Glue column comments / LF column tags.
+    """
+
+    database: str
+    name: str
+    location: str
+    schema: T.StructType | None = None
+    format: str = "parquet"
+    column_comments: dict[str, str] = field(default_factory=dict)
+    column_tags: dict[str, dict[str, str]] = field(default_factory=dict)
+    partition_keys: tuple[str, ...] = ()
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.database}.{self.name}"
+
+    def spark_schema(self) -> T.StructType | None:
+        """Schema with comments/tags folded into field metadata."""
+        if self.schema is None:
+            return None
+        fields = []
+        for f_ in self.schema.fields:
+            meta = dict(f_.metadata or {})
+            if f_.name in self.column_comments:
+                meta["comment"] = self.column_comments[f_.name]
+            for tag_key, tag_value in self.column_tags.get(f_.name, {}).items():
+                meta[tag_key] = tag_value
+            fields.append(T.StructField(f_.name, f_.dataType, f_.nullable, meta))
+        return T.StructType(fields)
+
+
+@dataclass
+class ViewDef:
+    """A logical SQL view (outputs.tf:44-53). ``sql`` is the SELECT body."""
+
+    database: str
+    name: str
+    sql: str
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.database}.{self.name}"
+
+
+class GovernedCatalog:
+    """Registry of databases/tables/views + governance state + enforcement."""
+
+    def __init__(self, spark: SparkSession, governance_enabled: bool = True):
+        self.spark = spark
+        self.governance_enabled = governance_enabled
+        self.databases: dict[str, str] = {}  # name -> description
+        self.tables: dict[str, TableDef] = {}  # "db.table" -> def
+        self.views: dict[str, ViewDef] = {}  # "db.view" -> def
+        self.tags: dict[str, LFTag] = {}
+        self.filters: dict[str, DataCellsFilter] = {}
+        self.grants: list[Grant] = []
+        self.admins: set[str] = set()
+        self.audit = AuditLog()
+
+    # ------------------------------------------------------------- DDL
+    def create_database(self, name: str, description: str = "") -> None:
+        """S7 — ``aws_glue_catalog_database`` (main.tf:291-300)."""
+        self.databases[name] = description
+
+    def register_table(self, table: TableDef) -> None:
+        """S8 — declare an external table (main.tf:303-372)."""
+        if table.database not in self.databases:
+            self.create_database(table.database)
+        self.tables[table.qualified] = table
+
+    def create_view(self, database: str, name: str, sql: str) -> None:
+        """V1 — ``CREATE OR REPLACE VIEW`` (outputs.tf:44-53)."""
+        self.views[f"{database}.{name}"] = ViewDef(database, name, sql)
+
+    def drop_view(self, database: str, name: str) -> None:
+        """V2 — ``DROP VIEW`` (README.md:320)."""
+        self.views.pop(f"{database}.{name}", None)
+
+    # ------------------------------------------------------- governance
+    def create_tag(self, key: str, values: list[str]) -> LFTag:
+        """G1 — LF-tag definition (main.tf:382-390)."""
+        tag = LFTag(key, tuple(values))
+        self.tags[key] = tag
+        return tag
+
+    def tag_columns(self, qualified: str, columns: list[str], key: str, value: str) -> None:
+        """G2 — attach tag to columns (main.tf:393-429)."""
+        self.tags[key].validate(value)
+        table = self.tables[qualified]
+        for col in columns:
+            table.column_tags.setdefault(col, {})[key] = value
+
+    def create_data_cells_filter(self, f: DataCellsFilter) -> None:
+        """G3 — named row+column filter (main.tf:432-457)."""
+        self.filters[f.name] = f
+
+    def grant(
+        self,
+        principal: Principal | str,
+        permission: str,
+        database: str,
+        resource: str,
+        via_filter: str | None = None,
+    ) -> None:
+        """G4/G5/G7 — record a grant (main.tf:460-487, 538-549)."""
+        name = principal.name if isinstance(principal, Principal) else principal
+        self.grants.append(Grant(name, permission, database, resource, via_filter))
+
+    def set_admins(self, principals: list[str]) -> None:
+        """G9 — data-lake admins bypass grant checks (main.tf:82-91)."""
+        self.admins.update(principals)
+
+    def grants_for(self, principal: str, database: str, resource: str) -> list[Grant]:
+        return [
+            g
+            for g in self.grants
+            if g.principal == principal
+            and g.database == database
+            and g.resource == resource
+        ]
+
+    # ------------------------------------------------------ enforcement
+    def _raw(self, table: TableDef) -> DataFrame:
+        """S1 — ungoverned scan with the declared (never inferred) schema."""
+        reader = self.spark.read
+        schema = table.spark_schema()
+        if schema is not None:
+            reader = reader.schema(schema)
+        if table.format == "parquet":
+            return reader.parquet(table.location)
+        if table.format == "csv":
+            return reader.option("header", "true").csv(table.location)
+        if table.format == "json":
+            return reader.json(table.location)
+        if table.format == "orc":
+            return reader.orc(table.location)
+        raise ValueError(f"unsupported table format {table.format!r}")
+
+    def table(
+        self,
+        qualified: str,
+        principal: Principal | str | None = None,
+        *,
+        row_only: bool = False,
+        _filters_out: list[str] | None = None,
+    ) -> DataFrame:
+        """Read a table as a principal, with governance applied at the scan.
+
+        ``row_only=True`` applies only the row predicate of the principal's
+        data-cells filter, not the column allowlist — used for view
+        expansion, where the view's own projection (e.g. the masking
+        expressions of ``sales_masked``) governs column visibility while
+        row-level security still applies (golden behavior: Analyst on the
+        masked view sees APAC rows *with* masked PII columns,
+        README.md:251, validate.sh:223-225).
+        """
+        if qualified not in self.tables:
+            raise KeyError(f"unknown table {qualified!r}")
+        table = self.tables[qualified]
+        name = (
+            principal.name
+            if isinstance(principal, Principal)
+            else principal
+        )
+        if not self.governance_enabled or name is None or name in self.admins:
+            return self._raw(table)
+
+        grants = self.grants_for(name, table.database, table.name)
+        if not grants:
+            raise PermissionDeniedError(
+                f"principal {name!r} is not authorized to access {qualified}"
+            )
+        # An unfiltered ALL/SELECT grant wins over filtered ones.
+        if any(g.via_filter is None and g.permission in (ALL, SELECT) for g in grants):
+            return self._raw(table)
+        df = self._raw(table)
+        for g in grants:
+            if g.via_filter is None:
+                continue
+            f = self.filters[g.via_filter]
+            if _filters_out is not None:
+                _filters_out.append(f.name)
+            if f.row_filter:
+                df = df.filter(F.expr(f.row_filter))
+            if f.columns and not row_only:
+                df = df.select(*f.columns)
+            return df
+        raise PermissionDeniedError(
+            f"principal {name!r} has no SELECT path to {qualified}"
+        )
+
+    def view(
+        self,
+        qualified: str,
+        principal: Principal | str | None = None,
+        _filters_out: list[str] | None = None,
+    ) -> DataFrame:
+        """Read a view as a principal (V3 — view + row security compose)."""
+        vdef = self.views[qualified]
+        name = principal.name if isinstance(principal, Principal) else principal
+        if self.governance_enabled and name is not None and name not in self.admins:
+            if not self.grants_for(name, vdef.database, vdef.name):
+                raise PermissionDeniedError(
+                    f"principal {name!r} is not authorized to access {qualified}"
+                )
+        sql, _ = self._rewrite_sql(vdef.sql, principal, row_only=True, _filters_out=_filters_out)
+        return self.spark.sql(sql)
+
+    # ----------------------------------------------------- SQL rewriting
+    _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+    def _rewrite_sql(
+        self,
+        sql: str,
+        principal: Principal | str | None,
+        *,
+        row_only: bool = False,
+        _filters_out: list[str] | None = None,
+    ) -> tuple[str, list[str]]:
+        """Replace known ``db.table``/``db.view`` references with governed
+        temp views for this principal, so ``spark.sql`` executes the
+        already-rewritten plan. Returns (rewritten sql, touched objects).
+        """
+        name = principal.name if isinstance(principal, Principal) else principal
+        touched: list[str] = []
+        out = sql
+        # Longest-first so "db.sales_masked" matches before "db.sales".
+        known = sorted(
+            list(self.views.keys()) + list(self.tables.keys()),
+            key=len,
+            reverse=True,
+        )
+        for qualified in known:
+            pattern = r"(?<![A-Za-z0-9_.])" + re.escape(qualified) + r"(?![A-Za-z0-9_])"
+            if not re.search(pattern, out):
+                continue
+            touched.append(qualified)
+            alias = "__gov_" + re.sub(r"[^A-Za-z0-9_]", "_", f"{name}_{qualified}")
+            if qualified in self.views:
+                df = self.view(qualified, principal, _filters_out=_filters_out)
+            else:
+                df = self.table(
+                    qualified, principal, row_only=row_only, _filters_out=_filters_out
+                )
+            df.createOrReplaceTempView(alias)
+            out = re.sub(pattern, alias, out)
+        return out, touched

@@ -1,0 +1,169 @@
+"""Engine — Athena-like query lifecycle over the governed catalog.
+
+Reproduces the reference's client protocol (``validate.sh:74-163``):
+submit (L1) -> status (L2) -> fetch (L3, with row cap O4/S6) -> CSV
+results sink (S5), plus the error surface (L4: missing column vs
+"not authorized") and per-query audit events (G10).
+
+Execution is synchronous — Spark is in-process — but the query-id /
+state-enum API is kept for parity so a reference user can port their
+polling client unchanged.
+"""
+
+from __future__ import annotations
+
+import enum
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import GovernedCatalog
+from .governance import PermissionDeniedError, Principal
+
+
+class QueryState(str, enum.Enum):
+    """Athena state enum (validate.sh:97-110)."""
+
+    QUEUED = "QUEUED"
+    RUNNING = "RUNNING"
+    SUCCEEDED = "SUCCEEDED"
+    FAILED = "FAILED"
+
+
+@dataclass
+class QueryExecution:
+    query_id: str
+    sql: str
+    principal: str | None
+    state: QueryState = QueryState.QUEUED
+    state_change_reason: str | None = None
+    result: DataFrame | None = None
+    results_path: str | None = None
+    tables: list[str] = field(default_factory=list)
+    filters_applied: list[str] = field(default_factory=list)
+
+
+class Engine:
+    """Governed SQL execution: ``engine.sql(sql, principal)``.
+
+    ``results_dir`` mirrors the Athena results bucket (main.tf:504-510):
+    when set, every successful query's result set is persisted as headered
+    CSV under ``<results_dir>/<query_id>/``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: GovernedCatalog | None = None,
+        results_dir: str | Path | None = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog or GovernedCatalog(spark)
+        self.results_dir = Path(results_dir) if results_dir else None
+        self.executions: dict[str, QueryExecution] = {}
+
+    # ------------------------------------------------------------- L1-L4
+    def submit(self, sql: str, principal: Principal | str | None = None) -> str:
+        """L1 — submit a query; returns its query id (validate.sh:74-87)."""
+        qe = self._execute(sql, principal)
+        return qe.query_id
+
+    def status(self, query_id: str) -> QueryState:
+        """L2 — poll state (validate.sh:92-110). Synchronous, so terminal."""
+        return self.executions[query_id].state
+
+    def state_change_reason(self, query_id: str) -> str | None:
+        """L4 — failure reason (validate.sh:170-187)."""
+        return self.executions[query_id].state_change_reason
+
+    def results(self, query_id: str, max_rows: int = 100) -> list:
+        """L3/S6 — fetch rows, capped like ``--max-items 100``
+        (validate.sh:126)."""
+        qe = self.executions[query_id]
+        if qe.state is not QueryState.SUCCEEDED or qe.result is None:
+            raise RuntimeError(
+                f"query {query_id} is {qe.state.value}: {qe.state_change_reason}"
+            )
+        return qe.result.limit(max_rows).collect()
+
+    def sql(self, sql: str, principal: Principal | str | None = None) -> DataFrame:
+        """Execute governed SQL and return the DataFrame (raises on deny)."""
+        qe = self._execute(sql, principal, raise_on_error=True)
+        assert qe.result is not None
+        return qe.result
+
+    # ---------------------------------------------------------- internals
+    def _execute(
+        self,
+        sql: str,
+        principal: Principal | str | None,
+        raise_on_error: bool = False,
+    ) -> QueryExecution:
+        name = principal.name if isinstance(principal, Principal) else principal
+        qe = QueryExecution(query_id=uuid.uuid4().hex, sql=sql, principal=name)
+        self.executions[qe.query_id] = qe
+        qe.state = QueryState.RUNNING
+        try:
+            rewritten, touched = self.catalog._rewrite_sql(
+                sql, principal, _filters_out=qe.filters_applied
+            )
+            qe.tables = touched
+            df = self.spark.sql(rewritten)
+            qe.result = df
+            if self.results_dir is not None:
+                # S5 — persist the result set as headered CSV per query id.
+                out = str(self.results_dir / qe.query_id)
+                df.write.mode("overwrite").option("header", "true").csv(out)
+                qe.results_path = out
+            qe.state = QueryState.SUCCEEDED
+            self.catalog.audit.record(
+                name or "<anonymous>", sql, touched, qe.filters_applied, "SUCCEEDED"
+            )
+        except Exception as exc:  # noqa: BLE001 - map to Athena error surface
+            qe.state = QueryState.FAILED
+            qe.state_change_reason = f"{type(exc).__name__}: {exc}"
+            self.catalog.audit.record(
+                name or "<anonymous>",
+                sql,
+                qe.tables,
+                qe.filters_applied,
+                "FAILED",
+                error=qe.state_change_reason,
+            )
+            if raise_on_error:
+                raise
+        return qe
+
+    def session(self, principal: Principal | str) -> "PrincipalSession":
+        """G11 — per-principal session handle (validate.sh:46-67 analog)."""
+        return PrincipalSession(self, principal)
+
+
+@dataclass
+class PrincipalSession:
+    """A session bound to one principal — the STS assume-role analog."""
+
+    engine: Engine
+    principal: Principal | str
+
+    def sql(self, sql: str) -> DataFrame:
+        return self.engine.sql(sql, self.principal)
+
+    def table(self, qualified: str) -> DataFrame:
+        return self.engine.catalog.table(qualified, self.principal)
+
+    def submit(self, sql: str) -> str:
+        return self.engine.submit(sql, self.principal)
+
+
+# Backwards-friendly alias: PermissionDeniedError is the engine's
+# "not authorized" surface.
+__all__ = [
+    "Engine",
+    "PermissionDeniedError",
+    "PrincipalSession",
+    "QueryExecution",
+    "QueryState",
+]

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the governed-lake engine.
+
+Defaults are chosen for correctness-vs-DuckDB comparison (UTC session
+timezone) and for scale discipline (AQE on, shuffle partitions sized to
+cores locally — on a real cluster this is overridden to ~2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "lakehouse-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Scale notes: on a 1000-executor cluster these same settings apply,
+    except ``shuffle_partitions`` should be ~2-3x total executor cores and
+    ``spark.sql.files.maxPartitionBytes`` left at 128m so a 100 TB scan
+    yields ~800k input splits — the AQE coalescer merges small post-shuffle
+    partitions so an over-provisioned shuffle width is safe.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if master.startswith("local") else 200
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime coalescing, join-strategy switching, skew-join split.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for any pandas-UDF path and createDataFrame(pandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # DuckDB oracle comparison: timestamps must be UTC-stable.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
