@@ -1,0 +1,827 @@
+"""Relational operator surface (SURVEY.md §2.1-2.9 + §2.3/2.5/2.7 extensions).
+
+Every query shape the reference executes (scan/project/filter/agg/sort/
+limit/regexp-mask/view, outputs.tf:44-95) plus the full relational surface
+a general engine needs (joins, windows, set ops, rollup/cube, having,
+pivot), expressed Spark-first over the TPC-H-ish driver testdata.
+
+Scale notes are per-query docstrings. The global discipline:
+- dims (region/nation/customer-as-dim) are broadcast — no shuffle of the
+  fact side for the join;
+- fact-fact joins shuffle on the join key once and aggregate partially
+  map-side (Catalyst does both when the plan is declarative);
+- all filters/projections are plain column expressions => pushed into the
+  parquet scan;
+- no collect() anywhere in an operator path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load
+from .registry import query
+
+# --------------------------------------------------------------------------
+# §2.1/2.2 — scans, projections, filters, predicates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scan_project_filter",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity > 45
+    """,
+    "P1/P2/P4 parity: projection + predicate, both pushed to the scan.",
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: reads 4 of 11 columns (ReadSchema pruning) and skips row
+    groups via the pushed l_quantity filter — I/O ∝ selectivity."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+        .filter(F.col("l_quantity") > 45)
+    )
+
+
+@query(
+    "filter_in_between_like",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 100000 AND 200000
+      AND o_orderpriority LIKE '1%'
+    """,
+    "P5 extensions: IN-list, BETWEEN, LIKE predicates.",
+)
+def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_totalprice").between(100000, 200000)
+            & F.col("o_orderpriority").like("1%")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    )
+
+
+@query(
+    "project_string_funcs",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           substr(c_mktsegment, 1, 3) AS seg3,
+           c_name || ':' || c_mktsegment AS tagged
+    FROM customer
+    """,
+    "F3-adjacent scalar string functions (upper/length/substr/concat).",
+)
+def project_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.concat("c_name", F.lit(":"), "c_mktsegment").alias("tagged"),
+    )
+
+
+@query(
+    "mask_pii_expressions",
+    r"""
+    SELECT c_custkey,
+           regexp_replace(c_name || '@example.com', '^([^@]{1,3}).*@', '***@') AS masked_email,
+           regexp_replace(c_name, '\d', '*', 'g') AS masked_digits
+    FROM customer
+    """,
+    "F1/F2 — the reference's masking expressions (outputs.tf:48-49) as "
+    "engine scalar ops, applied over the driver testdata.",
+)
+def mask_pii_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark regexp_replace replaces globally; DuckDB needs the 'g' flag —
+    same two patterns the reference ships, dual-tested per SURVEY.md §7.5."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.concat("c_name", F.lit("@example.com")), r"^([^@]{1,3}).*@", "***@"
+        ).alias("masked_email"),
+        F.regexp_replace("c_name", r"\d", "*").alias("masked_digits"),
+    )
+
+
+@query(
+    "case_when_bucketize",
+    """
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+    "Conditional expressions (CASE WHEN) + aggregation.",
+)
+def case_when_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "date_parts_agg",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS oy,
+           CAST(month(o_orderdate) AS BIGINT) AS om,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS rev
+    FROM orders GROUP BY 1, 2
+    """,
+    "Date/time scalar functions + multi-key aggregation.",
+)
+def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("oy"),
+            F.month("o_orderdate").cast("long").alias("om"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 — aggregations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(avg(l_quantity) AS DOUBLE), 2) AS avg_qty,
+           round(CAST(avg(l_extendedprice) AS DOUBLE), 2) AS avg_price,
+           round(CAST(avg(l_discount) AS DOUBLE), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A1/A2 at full width — TPC-H Q1 pricing summary (8 aggregates).",
+)
+def agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: partial (map-side) aggregation means the shuffle carries only
+    |groups| x |aggs| rows per task, not 100 TB of lineitem."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    """
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "Distinct aggregation (SURVEY.md §2.4 'not present' extension).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: exact distinct expands to a two-phase agg; for dashboards at
+    100 TB prefer approx_count_distinct (see approx_distinct query)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "min/max/avg/sum aggregate family.",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ROLLUP hierarchy totals.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "CUBE cross-tab totals.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "Explicit GROUPING SETS.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM parquet.`{sf_dir}/lineitem.parquet`
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer GROUP BY c_nationkey HAVING count(*) >= 5
+    """,
+    "HAVING post-aggregation filter.",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .filter(F.col("n_customers") >= 5)
+    )
+
+
+@query(
+    "distinct_pairs",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "DISTINCT projection.",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# --------------------------------------------------------------------------
+# §2.3 — joins (extension surface: not present in reference)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_broadcast_dims",
+    """
+    SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    "Equi-join, broadcast strategy (dim ⋈ dim).",
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: region is 5 rows at any SF — broadcast() makes this a
+    map-side hash join with zero shuffle of nation."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+@query(
+    "join_3way_dims",
+    """
+    SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(avg(c.c_acctbal) AS DOUBLE), 2) AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    "Snowflake 3-way join: fact ⋈ dim ⋈ dim, both dims broadcast.",
+)
+def join_3way_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "join_fact_revenue",
+    """
+    SELECT o.o_orderpriority,
+           round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    "Fact-fact equi-join (orders ⋈ lineitem) + aggregation.",
+)
+def join_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both sides shuffle-hash/sort-merge on orderkey; at 100 TB
+    bucketing both tables by orderkey removes the shuffle entirely. AQE
+    splits skewed orderkey partitions at runtime."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_left_null",
+    """
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    "Left outer join preserving customers with zero orders.",
+)
+def join_left_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    "Left-semi join (EXISTS).",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "Left-anti join (NOT EXISTS).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_theta_lag",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(avg(date_diff('day', o.o_orderdate, l.l_shipdate)) AS DOUBLE), 2) AS avg_ship_lag
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey AND l.l_shipdate > o.o_orderdate
+    GROUP BY o.o_orderpriority
+    """,
+    "Theta join: equi key + inequality residual (ship after order).",
+)
+def join_theta_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the equi component keeps this a hash join; the inequality is
+    a cheap post-join residual filter, never a cartesian product."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))), 2).alias(
+                "avg_ship_lag"
+            ),
+        )
+    )
+
+
+@query(
+    "tpch_q3_topk",
+    """
+    SELECT l.l_orderkey,
+           round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS odate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: 3-way join + agg + deterministic top-k.",
+)
+def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: segment filter prunes customer before the join; top-k is
+    TakeOrderedAndProject — no global sort materialization."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-01-01"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select(
+            "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("odate")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_region_revenue",
+    """
+    SELECT n.n_name,
+           round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q5 shape: 6-way join, local-supplier constraint.",
+)
+def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 — window functions (extension surface)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    "Top-K per group via row_number window.",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on the partition key; no global sort. Skewed
+    customers are bounded by K output rows each."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running
+    FROM orders
+    """,
+    "Running (cumulative) sum window.",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(CAST(o_totalprice - lag(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE), 2) AS delta
+    FROM orders
+    """,
+    "lag() — delta between consecutive orders per customer.",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta"),
+    )
+
+
+@query(
+    "window_rank_parts",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk
+      FROM part) t
+    WHERE rnk <= 5
+    """,
+    "rank() with ties, filtered to the top 5 per brand.",
+)
+def window_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 — set operations (extension surface)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+    "UNION (distinct).",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+    "INTERSECT.",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+    "EXCEPT.",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)
+
+
+# --------------------------------------------------------------------------
+# §2.6 — sorts / limits / top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orderby_limit_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "O1-O3 — global top-k with deterministic tiebreak.",
+)
+def orderby_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: Catalyst turns sort+limit into TakeOrderedAndProject — each
+    task keeps a 10-row heap; no global range-partitioned sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# events — timestamped table (motivates §2.11; batch shapes here)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_agg",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "Tumbling-window (hourly) aggregation over the event stream table.",
+)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(is_new) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id
+    """,
+    "Sessionization: 30-min inactivity gap via lag window (batch analog "
+    "of streaming session_window).",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id; gap detection is per-partition
+    sequential — exactly how a 100 TB sessionize should run."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    return (
+        e.select("user_id", "event_id", is_new.alias("is_new"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_pivot_by_type",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+    "Pivot (cross-tab) of event counts per day.",
+)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )

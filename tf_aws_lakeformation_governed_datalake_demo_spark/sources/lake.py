@@ -1,0 +1,73 @@
+"""Lake readers/writers (SURVEY.md §2.1 S1-S9).
+
+Parquet is the canonical at-rest format (reference: ParquetHiveSerDe +
+snappy, main.tf:312-328). Readers take the schema from the parquet footer
+— declared, not inferred. At 100 TB each "table" is a directory of many
+files (optionally hive-partitioned); `spark.read.parquet(dir)` plans one
+split per ~128 MB (`spark.sql.files.maxPartitionBytes`) so scan
+parallelism scales with data, not file count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table from the lake directory layout.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanos and
+    is converted here to a microsecond timestamp by exact integer division
+    (``DIV`` — float division would lose precision at 1e18 ns), matching
+    how DuckDB truncates ns to its us-precision TIMESTAMP.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f_ in df.schema.fields:
+        if f_.name == "ts" and isinstance(f_.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TPCH_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL entry point."""
+    for t in TPCH_TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """S2-style lake write with optional hive partitioning.
+
+    Partitioned layout is the 100 TB discipline the reference scaffolds
+    but never uses (partition APIs in IAM, main.tf:177-178): downstream
+    scans prune partitions before listing files.
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
