@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full compute,
+no driver materialization) — the honest analog of a warehouse query whose
+results land in a sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+from tf_aws_lakeformation_governed_datalake_demo_spark.session import get_spark
+
+HEADLINE = [
+    "scan_project_filter",
+    "agg_tpch_q1",
+    "agg_count_distinct",
+    "join_broadcast_dims",
+    "join_fact_revenue",
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "window_topk_per_group",
+    "events_sessionize",
+    "orderby_limit_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    # JVM/codegen warmup outside the timed region.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

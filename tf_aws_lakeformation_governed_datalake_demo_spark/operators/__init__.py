@@ -4,5 +4,9 @@ from .registry import REGISTRY, QuerySpec, query
 
 from . import relational  # noqa: E402,F401 — registers relational queries
 from . import governed  # noqa: E402,F401 — registers governance queries
+from . import text  # noqa: E402,F401 — text analysis
+from . import dedup  # noqa: E402,F401 — deduplication family
+from . import similarity  # noqa: E402,F401 — embedding similarity search
+from . import multimodal  # noqa: E402,F401 — multimodal plumbing
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

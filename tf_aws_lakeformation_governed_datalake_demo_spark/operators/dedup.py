@@ -1,0 +1,416 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — each expressed with built-in DataFrame ops so the heavy path
+(hashing, banding, bucket joins) stays JVM-side and shuffles only on
+candidate-bucket keys, never all-pairs.
+
+Scale design (the part that matters at 100 TB):
+- exact dedup is one hash-groupBy — partial agg map-side, shuffle carries
+  one row per distinct hash;
+- MinHash/SimHash candidate generation is an inverted-index *bucket* join
+  (explode band/chunk keys, self-join on the key), so cost is
+  sum(bucket_size^2) not N^2; bucket keys are uniform hashes => no skew;
+- verification (exact Jaccard / hamming) runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+from .registry import query
+
+# MinHash parameters: 64 permutations banded as 16 bands x 4 rows.
+# P(candidate | jaccard=s) = 1 - (1 - s^4)^16 — s=0.8 -> 0.9997, s=0.3 -> 0.12.
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+# 31-bit Mersenne prime: shingle ids are folded to 31 bits so a_i*x + b_i
+# stays far below 2^63 (Spark 4 runs ANSI mode — long overflow is an error).
+_MERSENNE = (1 << 31) - 1
+
+
+def shingle_hash_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """id + ``shingle_hashes`` (distinct 31-bit ids of k-token shingles),
+    string-free.
+
+    Tokens are hashed once into an array column; shingle id i is the
+    order-sensitive polynomial sum(th[i+j] * 31^j) mod M computed by
+    zipping k equal-length shifted slices of that array. No concatenated
+    shingle strings are ever materialized (~3x cheaper), and the token
+    pipeline sits behind a projection referenced k times, which keeps
+    CollapseProject from inlining it into the per-element lambdas.
+
+    Docs shorter than k tokens yield an empty shingle set.
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.transform(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: F.xxhash64(t).bitwiseAND(F.lit(0x7FFFFFFF)),
+        ).alias("th"),
+    )
+    th = F.col("th")
+    n_shingles = F.greatest(F.size(th) - F.lit(k - 1), F.lit(1))
+    weights = [31**j % _MERSENNE for j in range(k)]
+
+    def wsum(w: int):
+        # max term 2^31 * 31^4 < 2^52; k terms < 2^55 — no long overflow
+        return lambda acc, x: acc + x * F.lit(w)
+
+    acc = F.transform(F.slice(th, 1, n_shingles), lambda x: x * F.lit(weights[0]))
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(th, j + 1, n_shingles), wsum(weights[j]))
+    hashes = F.array_distinct(
+        F.filter(  # zip_with null-pads when a doc has < k tokens
+            F.transform(acc, lambda x: F.pmod(x, F.lit(_MERSENNE))),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return staged.select(F.col(id_col), hashes.alias("shingle_hashes"))
+
+
+def _minhash_signature(shingle_hashes):
+    """64-element minhash signature array via affine permutations of the
+    shingle ids: h_i(x) = ((2i+1)*x + b_i) mod M.
+
+    One nested higher-order expression over an already-materialized hash
+    array — the expensive shingling work is referenced exactly once, so
+    Catalyst cannot duplicate it 64x (which is what a 64-column
+    formulation does via projection collapse, at a ~200x slowdown).
+    """
+    # The hash array is the *input child* of one aggregate, so it is
+    # evaluated exactly once per row even if the optimizer inlines the
+    # full shingling pipeline here. (The inverted formulation — iterate
+    # permutations outer, hashes inner — re-evaluates the inlined child
+    # per permutation: a measured 30x slowdown.)
+    return F.aggregate(
+        shingle_hashes,
+        F.array_repeat(F.lit(1 << 31).cast("long"), N_PERM),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(N_PERM - 1)),
+            lambda m, i: F.least(
+                m,
+                F.pmod(
+                    x * (i * 2 + 1)
+                    + F.pmod(F.lit(0x9E3779B9) * (i + 1), F.lit(1 << 31)),
+                    F.lit(_MERSENNE),
+                ),
+            ),
+        ),
+    )
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    "Exact dedup: hash-groupBy on content hash, keep lowest doc_id.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    """
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    "Exact dedup after normalization (lowercase, collapse whitespace).",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    return (
+        d.groupBy(F.md5(normalized).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc_id + 64-value minhash ``signature`` array (reusable block).
+
+    Two-step select keeps the shingle/hash computation a single
+    materialized array column (CollapseProject won't inline a non-cheap
+    expression referenced by the 64-way signature transform).
+    """
+    hashed = shingle_hash_frame(df, text_col, id_col)
+    return hashed.select(
+        F.col(id_col), _minhash_signature(F.col("shingle_hashes")).alias("signature")
+    )
+
+
+def minhash_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: 16 band keys per doc -> inverted-index self-join."""
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                *[
+                    F.element_at(F.col("signature"), b * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ]
+            ).alias("bucket"),
+        ),
+    )
+    exploded = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, "bk.band", "bk.bucket"
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, docs: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only.
+
+    Scale: shingle sets are rebuilt *only* for docs that appear in a
+    candidate pair (semi-join prune) — at low dup rates that is a tiny
+    fraction of the corpus."""
+    ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = docs.join(ids, id_col, "left_semi")
+    sets_ = shingle_hash_frame(pruned, id_col=id_col)
+    a = sets_.withColumnRenamed(id_col, "doc_a").withColumnRenamed("shingle_hashes", "sh_a")
+    b = sets_.withColumnRenamed(id_col, "doc_b").withColumnRenamed("shingle_hashes", "sh_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    None,
+    "Near-dup detection: 5-token shingles -> 64 minhashes -> 16x4 LSH "
+    "bands -> bucket self-join -> exact-Jaccard verify >= 0.8. Not "
+    "SQL-expressible; exactness covered by tests/test_dedup.py on crafted "
+    "near-duplicates.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # cache + eager materialize: the signature table feeds both sides of
+    # the bucket self-join and the pair table is referenced three times in
+    # verify — a lazy cache would be recomputed per reference when the
+    # final job schedules those subtrees concurrently (measured 4x cost).
+    # At 100 TB this is a persisted intermediate of ~64 longs/doc.
+    sig = minhash_signatures(d).cache()
+    sig.count()
+    pairs = minhash_candidate_pairs(sig).cache()
+    pairs.count()
+    return jaccard_verify(pairs, d, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    None,
+    "n-gram Jaccard near-dup via inverted index: explode shingles, join "
+    "docs sharing one, exact Jaccard >= 0.8 (no LSH approximation).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the inverted-index join shuffles (shingle -> doc) pairs, so
+    cost follows shared-shingle density, not N^2; hot shingles should be
+    frequency-capped upstream (drop shingles appearing in >0.1% of docs)."""
+    d = load(spark, sf_dir, "documents")
+    sets_ = shingle_hash_frame(d).select(
+        "doc_id", F.col("shingle_hashes").alias("sh"), F.size("shingle_hashes").alias("n")
+    )
+    inv = sets_.select("doc_id", F.explode("sh").alias("shingle"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = sets_.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_bitsums_column(text_col) -> "F.Column":
+    """Per-bit ±1 sums for a 64-bit SimHash, as one array<int> column.
+
+    Token hashes are rendered as 64-char two's-complement bit strings
+    (``lpad(bin(h))``) once per token — the bit-string array is the input
+    child of a single aggregate, so tokenization+hashing run once per row
+    regardless of optimizer inlining (see _minhash_signature note).
+    """
+    toks = F.split(F.lower(text_col), r"\s+")
+    bitstrs = F.transform(toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
+    return F.aggregate(
+        bitstrs,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(63)),
+            # bit j is char position 64-j in the MSB-first bit string
+            lambda a, j: a
+            + F.when(s.substr(F.lit(64) - j, F.lit(1)) == "1", 1).otherwise(-1),
+        ),
+    )
+
+
+def simhash_from_bitsums(bitsums_col) -> "F.Column":
+    """Assemble the long from majority bits. Must be applied in a second
+    select over a materialized bit-sums column: the 64 element_at
+    references keep CollapseProject from inlining the aggregate 64x."""
+    out = F.lit(0).cast("long")
+    for j in range(64):
+        # bit 63 is the two's-complement sign bit of the long
+        weight = (1 << j) if j < 63 else -(1 << 63)
+        out = out + F.when(
+            F.element_at(bitsums_col, j + 1) > 0, F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc_id + 64-bit simhash (two-step select, see helpers above)."""
+    staged = df.select(
+        F.col(id_col), simhash_bitsums_column(F.col(text_col)).alias("bitsums")
+    )
+    return staged.select(
+        F.col(id_col), simhash_from_bitsums(F.col("bitsums")).alias("simhash")
+    )
+
+
+@query(
+    "dedup_simhash",
+    None,
+    "SimHash signatures + near-dup pairs at hamming distance <= 3 via "
+    "16-bit chunk banding (any of 4 chunks equal => candidate).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sig = simhash_signatures(d).cache()  # both sides of the chunk self-join
+    sig.count()  # eager — see dedup_minhash_lsh
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for c in range(4)
+        ]
+    )
+    exploded = sig.select("doc_id", "simhash", F.explode(chunks).alias("ck")).select(
+        "doc_id", "simhash", "ck.chunk", "ck.key"
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.3
+    """,
+    "Embedding-cosine near-dup pairs (threshold 0.3 on the synthetic "
+    "embeddings); brute-force all-pairs as the exactness baseline.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute force is the *oracle-checkable baseline*; the scale path is
+    LSH bucketing (see ann_lsh_cosine in similarity.py)."""
+    from .similarity import _cos, _with_norm
+
+    v = _with_norm(load(spark, sf_dir, "embeddings"))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_cos(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )

@@ -1,0 +1,207 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Beyond reference parity (BASELINE.json north star): language-ID, quality
+scoring, token counting, and document fingerprinting over the `documents`
+table. Everything is built-in `pyspark.sql.functions` (JVM-side,
+whole-stage codegen) — no Python UDFs in the hot path, so these scale to
+100 TB of text limited only by scan bandwidth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+from .registry import query
+
+# A tiny per-language marker lexicon for the n-gram/stopword heuristic.
+# Real pipelines plug in fastText/CLD3 via a pandas UDF; the engine-side
+# plumbing (tokenize -> score per language -> argmax) is what matters here.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "que", "de", "es"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+TOKEN_RE = "[A-Za-z]+|[0-9]+"  # BPE-ish: alpha runs and digit runs
+
+
+def _contains_any(token_col, words: tuple[str, ...]):
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.array_contains(arr, token_col)
+
+
+def _ws_tokens(col):
+    return F.split(F.lower(col), r"\s+")
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_re_tokens
+    FROM documents
+    """,
+    "Token counting: whitespace tokens + BPE-ish regex tokens.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(_ws_tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).cast("long").alias("n_re_tokens"),
+    )
+
+
+@query(
+    "text_quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(text), '\\s+') AS toks,
+             CAST(length(text) AS DOUBLE) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           round(CAST(len(list_filter(toks,
+                 x -> list_contains(['the','a','and','of','to','in','is','it','for','on'], x)))
+                 AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+           round((n - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / n, 4) AS punct_ratio,
+           round((n - length(replace(text, ' ', ''))) / n, 4) AS space_ratio,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 4) AS mean_word_len
+    FROM t
+    """,
+    "Quality scoring: stopword / punctuation / whitespace ratios, mean "
+    "word length — the classic pre-training filters.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    n = F.length("text").cast("double")
+    nospace = F.length(F.regexp_replace("text", " ", ""))
+    return d.select(
+        "doc_id",
+        F.round(
+            F.size(F.filter(toks, lambda x: _contains_any(x, STOPWORDS))).cast("double")
+            / F.size(toks),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            (n - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))) / n, 4
+        ).alias("punct_ratio"),
+        F.round((n - nospace) / n, 4).alias("space_ratio"),
+        F.round(nospace.cast("double") / F.size(toks), 4).alias("mean_word_len"),
+    )
+
+
+def _marker_filter(words: tuple[str, ...]):
+    # factory closure: a defaulted lambda param would be (mis)read by
+    # PySpark as a second lambda variable (the array index)
+    return lambda x: _contains_any(x, words)
+
+
+def _lang_scores_spark(toks):
+    return {
+        lang: F.size(F.filter(toks, _marker_filter(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+@query(
+    "text_lang_id",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+        len(list_filter(toks, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+        len(list_filter(toks, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
+        len(list_filter(toks, x -> list_contains(['el','la','que','de','es'], x))) AS s_es,
+        len(toks) AS n
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang,
+           round(CAST(greatest(s_en, s_de, s_fr, s_es) AS DOUBLE) / n, 4) AS confidence
+    FROM s
+    """,
+    "Language-ID: marker-token (stopword n-gram) scoring with argmax; "
+    "'und' when no marker hits.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    scored = d.select("doc_id", *[
+        c.alias(f"s_{lang}") for lang, c in _lang_scores_spark(toks).items()
+    ], F.size(toks).alias("n"))
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
+    predicted = (
+        F.when(best == 0, "und")
+        .when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return scored.select(
+        "doc_id",
+        predicted.alias("predicted_lang"),
+        F.round(best.cast("double") / F.col("n"), 4).alias("confidence"),
+    )
+
+
+@query(
+    "text_fingerprint_md5",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    "Document fingerprint: md5 over whitespace-normalized lowercased text.",
+)
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+@query(
+    "text_winnow_fingerprint",
+    None,
+    "Winnowing-style fingerprint: min hash over 5-token rolling shingles "
+    "(rolling-hash document signature). Spark-only (higher-order array "
+    "functions); driver does a rows-only check, exactness covered by "
+    "tests/test_text.py.",
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per-row array ops, no shuffle at all — embarrassingly
+    parallel over document splits."""
+    d = load(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    k = 5
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    hashes = F.transform(shingles, F.md5)
+    return d.select(
+        "doc_id",
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(hashes).cast("long").alias("n_shingles"),
+    )
