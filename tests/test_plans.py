@@ -1,0 +1,69 @@
+"""Plan-hygiene tests: pin every headline query to the physical plan it
+must have at 100 TB (SURVEY.md §4). A regression here means a cluster
+burns before correctness tests would notice."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+from tf_aws_lakeformation_governed_datalake_demo_spark.plans import (
+    assert_broadcast_join,
+    assert_pushed_filter,
+    assert_read_schema_pruned,
+    assert_top_k,
+    final_plan,
+    physical_plan,
+)
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    df = REGISTRY["scan_project_filter"].builder(spark, sf_dir)
+    assert_pushed_filter(df, "l_quantity")
+    assert_read_schema_pruned(df, 4)  # 4 of 11 lineitem columns
+
+
+def test_date_filter_pushdown(spark, sf_dir):
+    df = REGISTRY["agg_tpch_q1"].builder(spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    assert_broadcast_join(REGISTRY["join_broadcast_dims"].builder(spark, sf_dir))
+    assert_broadcast_join(REGISTRY["join_3way_dims"].builder(spark, sf_dir))
+    assert_broadcast_join(REGISTRY["tpch_q5_region_revenue"].builder(spark, sf_dir))
+
+
+def test_topk_plans_as_heap(spark, sf_dir):
+    assert_top_k(REGISTRY["orderby_limit_topk"].builder(spark, sf_dir))
+    assert_top_k(REGISTRY["tpch_q3_topk"].builder(spark, sf_dir))
+
+
+def test_range_join_broadcasts_bands(spark, sf_dir):
+    assert_broadcast_join(REGISTRY["range_join_price_bands"].builder(spark, sf_dir))
+
+
+def test_no_cartesian_in_theta_join(spark, sf_dir):
+    # equi-component must make this a hash/sort-merge join, not a product
+    plan = physical_plan(REGISTRY["join_theta_lag"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_wholestage_codegen_covers_q1(spark, sf_dir):
+    import re
+
+    plan = final_plan(REGISTRY["agg_tpch_q1"].builder(spark, sf_dir))
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark WholeStageCodegen stages; both agg stages must codegen
+    assert len(set(re.findall(r"\*\((\d+)\)", plan))) >= 2
+    # partial (map-side) aggregation must sit below the exchange in the tree
+    assert plan.index("partial_sum") > plan.index("Exchange")
+
+
+def test_governed_scan_reads_less(spark, sf_dir):
+    # governance must *narrow* the scan: pushed region filter + 5-col schema
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.governed import _engine
+
+    df = _engine(spark).catalog.table("sales_db.sales", "analyst")
+    assert_pushed_filter(df, "sales_region")
+    assert_read_schema_pruned(df, 5)

@@ -127,6 +127,45 @@ class GovernedCatalog:
         """V2 — ``DROP VIEW`` (README.md:320)."""
         self.views.pop(f"{database}.{name}", None)
 
+    def create_tag_masked_view(
+        self, qualified: str, view_name: str, tag_key: str, tag_value: str
+    ) -> str:
+        """Auto-generate a masked view from column tags.
+
+        The reference hand-writes its masked-view DDL (outputs.tf:44-53);
+        this derives the same shape from governance metadata: every column
+        carrying ``tag_key=tag_value`` is wrapped in the appropriate mask
+        (functions.masking.mask_for_column), others pass through. Returns
+        the generated SQL.
+        """
+        from .functions.masking import (
+            EMAIL_MASK_PATTERN,
+            EMAIL_MASK_REPLACEMENT,
+            SSN_MASK_PATTERN,
+            SSN_MASK_REPLACEMENT,
+        )
+
+        table = self.tables[qualified]
+        if table.schema is None:
+            raise ValueError(f"{qualified} has no declared schema to mask")
+        parts = []
+        for f_ in table.schema.fields:
+            tags = table.column_tags.get(f_.name, {})
+            if tags.get(tag_key) == tag_value:
+                if "email" in f_.name.lower() or "mail" in f_.name.lower():
+                    pat, repl = EMAIL_MASK_PATTERN, EMAIL_MASK_REPLACEMENT
+                else:
+                    pat, repl = SSN_MASK_PATTERN, SSN_MASK_REPLACEMENT
+                pat_sql = pat.replace("\\", "\\\\")
+                parts.append(
+                    f"REGEXP_REPLACE({f_.name}, '{pat_sql}', '{repl}') AS {f_.name}"
+                )
+            else:
+                parts.append(f_.name)
+        sql = f"SELECT\n  " + ",\n  ".join(parts) + f"\nFROM {qualified}"
+        self.create_view(table.database, view_name, sql)
+        return sql
+
     # ------------------------------------------------------- governance
     def create_tag(self, key: str, values: list[str]) -> LFTag:
         """G1 — LF-tag definition (main.tf:382-390)."""

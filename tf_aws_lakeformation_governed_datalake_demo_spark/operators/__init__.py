@@ -8,5 +8,7 @@ from . import text  # noqa: E402,F401 — text analysis
 from . import dedup  # noqa: E402,F401 — deduplication family
 from . import similarity  # noqa: E402,F401 — embedding similarity search
 from . import multimodal  # noqa: E402,F401 — multimodal plumbing
+from . import streaming_ops  # noqa: E402,F401 — structured streaming shapes
+from . import advanced  # noqa: E402,F401 — as-of/range joins, percentiles, etc.
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

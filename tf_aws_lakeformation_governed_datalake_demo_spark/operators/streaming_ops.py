@@ -1,0 +1,70 @@
+"""Streaming pipelines registered as driver queries.
+
+Each builder wires the real Structured Streaming pipeline (file source ->
+watermark -> stateful op -> memory sink), drives it to completion
+synchronously, and returns the result as a batch DataFrame. The tumbling
+window aggregation runs in complete mode, so its final output equals the
+batch computation — giving it a DuckDB oracle; the others are
+approximation-free but append/update-mode shaped, so they get the
+rows-only check with semantics asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import events as se
+from .registry import query
+
+_COUNTER = itertools.count()
+
+
+def _run(spark: SparkSession, sf_dir: str, builder, mode: str) -> DataFrame:
+    stream = builder(se.read_events_stream(spark, sf_dir))
+    name = f"stream_out_{next(_COUNTER)}"
+    return se.run_stream_to_batch(stream, name, output_mode=mode)
+
+
+@query(
+    "stream_hourly_counts",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "Structured Streaming tumbling 1-hour window + watermark, complete "
+    "mode (final state == batch aggregation, hence oracle-checkable).",
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, se.stream_hourly_counts, "complete")
+
+
+@query(
+    "stream_sliding_avg",
+    None,
+    "Structured Streaming sliding window (1h window, 15m slide) average.",
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, se.stream_sliding_avg, "complete")
+
+
+@query(
+    "stream_session_windows",
+    None,
+    "Structured Streaming session windows (30-min gap) per user.",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, se.stream_session_windows, "complete")
+
+
+@query(
+    "stream_dedup",
+    None,
+    "Streaming exact dedup on event_id with watermark-bounded state "
+    "(dropDuplicatesWithinWatermark).",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, se.stream_dedup_events, "append")

@@ -1,0 +1,112 @@
+"""Streaming pipelines over the events table.
+
+Each builder takes a *streaming* DataFrame and returns the transformed
+streaming DataFrame — source/sink wiring stays at the edges (readStream
+here, writeStream in the caller/harness), so the same logic runs against
+Kafka/files in production and the parquet-file source in tests.
+
+Scale notes: all stateful ops carry watermarks so state is bounded; at
+100 TB/day the state store partitions by the grouping key across
+executors, and `spark.sql.shuffle.partitions` sizes the state RocksDB
+shards — the declarative shape below is exactly what survives that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources.lake)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (test harness source;
+    swap for Kafka in production — the transformations don't change)."""
+    # the file source requires a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def stream_hourly_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windowed counts/sums with a 30-min watermark."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_sliding_avg(events: DataFrame) -> DataFrame:
+    """Sliding window (1 hour, 15-min slide) average value per type."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "avg_value", "n")
+    )
+
+
+def stream_session_windows(events: DataFrame) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap per user —
+    the streaming analog of the batch events_sessionize operator."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_events(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id, state bounded by the watermark
+    (dropDuplicatesWithinWatermark)."""
+    return events.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_stream_to_batch(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Synchronous harness: drive the streaming query over all available
+    input (memory sink), stop it, return the result as a batch DataFrame.
+    """
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
