@@ -45,3 +45,41 @@ def test_tag_masked_view_autogen(spark, tmp_path_factory):
     assert rows[0].customer_email == "***@example.com"
     assert rows[0].ssn == "***-**-****"
     assert rows[0].customer_name == "Alice Johnson"  # untagged passes through
+
+
+def test_tag_based_access_control(spark, tmp_path_factory):
+    from tf_aws_lakeformation_governed_datalake_demo_spark import Engine
+    from tf_aws_lakeformation_governed_datalake_demo_spark import fixtures as fx
+
+    lake = str(tmp_path_factory.mktemp("tbaclake"))
+    cat = fx.bootstrap(spark, lake)
+    cat.grant("analyst_eu", "SELECT", "sales_db", "sales",
+              via_tag_exclude=("pii", "sensitive"))
+    eng = Engine(spark, cat)
+    df = eng.sql("SELECT * FROM sales_db.sales", principal="analyst_eu")
+    # all rows (no row filter), but tagged pii columns excluded dynamically
+    assert df.count() == 20
+    assert df.columns == [
+        "customer_id", "customer_name", "sales_region", "sales_amount", "sale_date"
+    ]
+    # tagging another column later revokes it with no grant change
+    cat.tag_columns("sales_db.sales", ["customer_name"], "pii", "sensitive")
+    df2 = eng.sql("SELECT * FROM sales_db.sales", principal="analyst_eu")
+    assert "customer_name" not in df2.columns
+
+
+def test_ivf_exact_within_probed_cells(spark, sf_dir):
+    """IVF's guarantee is exactness *within probed cells* (global recall
+    depends on how clustered the corpus is — this synthetic one isn't:
+    the true top-10 spans 9 of 10 labels)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    ivf = REGISTRY["ann_ivf_cosine"].builder(spark, sf_dir).collect()
+    assert len(ivf) == 10
+    probed = {r.label for r in ivf}
+    assert len(probed) <= 2  # nprobe=2
+    full = REGISTRY["knn_cosine_topk"].builder(spark, sf_dir).collect()
+    in_cells = [r for r in full if r.label in probed][:10]
+    assert [(r.vec_id, r.cos_sim) for r in ivf[: len(in_cells)]] == [
+        (r.vec_id, r.cos_sim) for r in in_cells
+    ]

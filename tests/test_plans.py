@@ -67,3 +67,23 @@ def test_governed_scan_reads_less(spark, sf_dir):
     df = _engine(spark).catalog.table("sales_db.sales", "analyst")
     assert_pushed_filter(df, "sales_region")
     assert_read_schema_pruned(df, 5)
+
+
+def test_partitioned_read_prunes(spark, sf_dir):
+    import re
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        load,
+        write_partitioned,
+    )
+
+    o = load(spark, sf_dir, "orders").withColumn("oy", F.year("o_orderdate"))
+    out = tempfile.mkdtemp(prefix="prune_lake_")
+    write_partitioned(o, out, partition_by=["oy"])
+    back = spark.read.parquet(out).filter(F.col("oy") == 1997)
+    plan = physical_plan(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "oy" in m.group(1), f"no partition pruning: {m}"

@@ -191,10 +191,17 @@ class GovernedCatalog:
         database: str,
         resource: str,
         via_filter: str | None = None,
+        via_tag_exclude: tuple[str, str] | None = None,
     ) -> None:
-        """G4/G5/G7 — record a grant (main.tf:460-487, 538-549)."""
+        """G4/G5/G7 — record a grant (main.tf:460-487, 538-549).
+
+        ``via_tag_exclude=(key, value)`` grants the columns NOT carrying
+        that tag (tag-based access control — see governance.Grant).
+        """
         name = principal.name if isinstance(principal, Principal) else principal
-        self.grants.append(Grant(name, permission, database, resource, via_filter))
+        self.grants.append(
+            Grant(name, permission, database, resource, via_filter, via_tag_exclude)
+        )
 
     def set_admins(self, principals: list[str]) -> None:
         """G9 — data-lake admins bypass grant checks (main.tf:82-91)."""
@@ -260,21 +267,43 @@ class GovernedCatalog:
             raise PermissionDeniedError(
                 f"principal {name!r} is not authorized to access {qualified}"
             )
-        # An unfiltered ALL/SELECT grant wins over filtered ones.
-        if any(g.via_filter is None and g.permission in (ALL, SELECT) for g in grants):
+        # An unconditioned ALL/SELECT grant wins over filtered ones.
+        if any(
+            g.via_filter is None
+            and g.via_tag_exclude is None
+            and g.permission in (ALL, SELECT)
+            for g in grants
+        ):
             return self._raw(table)
         df = self._raw(table)
         for g in grants:
-            if g.via_filter is None:
-                continue
-            f = self.filters[g.via_filter]
-            if _filters_out is not None:
-                _filters_out.append(f.name)
-            if f.row_filter:
-                df = df.filter(F.expr(f.row_filter))
-            if f.columns and not row_only:
-                df = df.select(*f.columns)
-            return df
+            if g.via_filter is not None:
+                f = self.filters[g.via_filter]
+                if _filters_out is not None:
+                    _filters_out.append(f.name)
+                if f.row_filter:
+                    df = df.filter(F.expr(f.row_filter))
+                if f.columns and not row_only:
+                    df = df.select(*f.columns)
+                return df
+            if g.via_tag_exclude is not None:
+                # tag-based access control: allowlist = untagged columns,
+                # resolved from the schema at read time
+                key, value = g.via_tag_exclude
+                if table.schema is None:
+                    raise PermissionDeniedError(
+                        f"tag-based grant on {qualified} requires a declared schema"
+                    )
+                allow = [
+                    f_.name
+                    for f_ in table.schema.fields
+                    if table.column_tags.get(f_.name, {}).get(key) != value
+                ]
+                if _filters_out is not None:
+                    _filters_out.append(f"tag-exclude:{key}={value}")
+                if not row_only:
+                    df = df.select(*allow)
+                return df
         raise PermissionDeniedError(
             f"principal {name!r} has no SELECT path to {qualified}"
         )

@@ -92,6 +92,12 @@ class Grant:
     ``resource`` is ``"db.table"`` / ``"db.view"`` for direct grants, or a
     :class:`DataCellsFilter` name for filtered grants (main.tf:473-487
     grants SELECT on the *filter*, not the table).
+
+    ``via_tag_exclude`` is the tag-based access-control analog (the LF
+    feature the reference's tag declarations exist to serve): the grant
+    covers every column NOT carrying that (key, value) tag, resolved
+    dynamically from the schema at read time — tagging a new column later
+    revokes it from such principals without touching any grant.
     """
 
     principal: str
@@ -99,6 +105,7 @@ class Grant:
     database: str
     resource: str  # table/view name
     via_filter: str | None = None  # DataCellsFilter name, if filtered
+    via_tag_exclude: tuple[str, str] | None = None  # (tag_key, tag_value)
 
 
 @dataclass

@@ -10,5 +10,6 @@ from . import similarity  # noqa: E402,F401 — embedding similarity search
 from . import multimodal  # noqa: E402,F401 — multimodal plumbing
 from . import streaming_ops  # noqa: E402,F401 — structured streaming shapes
 from . import advanced  # noqa: E402,F401 — as-of/range joins, percentiles, etc.
+from . import sources_ops  # noqa: E402,F401 — CSV/JSON round-trips, partitioned writes
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -149,6 +149,64 @@ def hyperplane_signature(vec_col, n_planes: int = N_HYPERPLANES, dim: int = 64):
 
 
 @query(
+    "ann_ivf_cosine",
+    None,
+    "IVF-style ANN: coarse centroids (per-label mean vectors), probe the "
+    "nprobe=2 nearest cells, exact top-10 within probed cells only. "
+    "Approximate => rows-only check; recall asserted in "
+    "tests/test_similarity.py.",
+)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: centroid table is tiny (n_cells rows) and broadcasts both
+    ways; the corpus is scanned once to assign cells (at rest this is a
+    partition column: probing = partition pruning), and exact scoring
+    touches only probed cells — the classic IVF cost model."""
+    v = _with_norm(load(spark, sf_dir, "embeddings"))
+    # coarse quantizer: per-label elementwise mean (posexplode -> avg -> rebuild)
+    cent = (
+        v.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+        .withColumn("cnorm", F.sqrt(_dot(F.col("centroid"), F.col("centroid"))))
+    )
+    q = v.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("norm").alias("qnorm")
+    )
+    probed = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            _cos(F.col("centroid"), F.col("qe"), F.col("cnorm"), F.col("qnorm")).alias(
+                "csim"
+            ),
+        )
+        .orderBy(F.desc("csim"), "label")
+        .limit(2)
+        .select("label")
+    )
+    return (
+        v.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _cos(F.col("embedding"), F.col("qe"), F.col("norm"), F.col("qnorm")), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
     "ann_lsh_cosine",
     None,
     "Approximate NN: 16 random-hyperplane signature buckets, candidates "

@@ -1,0 +1,96 @@
+"""Source/sink operators (SURVEY.md §2.1): CSV and JSON round-trips and
+hive-partitioned lake writes with partition pruning.
+
+The reference's sinks are parquet uploads (S2/S4) and the Athena CSV
+results store (S5); these operators exercise the same surface natively:
+write with the engine, read back with a *declared* schema (never
+inferred), and prove the round-trip preserves values by aggregating to
+the same oracle answer as the original parquet.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import load, write_partitioned
+from .registry import query
+
+
+@query(
+    "csv_roundtrip_agg",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "S5 surface: write lineitem columns as headered CSV, read back with a "
+    "declared schema, aggregate — must equal the parquet-derived answer "
+    "(proves the CSV sink/source round-trip is lossless).",
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    out = tempfile.mkdtemp(prefix="csv_rt_")
+    li.write.mode("overwrite").option("header", "true").csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_quantity", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", "true").csv(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@query(
+    "json_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "JSON sink/source round-trip of the nation dimension with declared "
+    "schema on read.",
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="json_rt_")
+    n.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "partitioned_write_prune",
+    """
+    SELECT CAST(month(o_orderdate) AS BIGINT) AS om,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS rev
+    FROM orders WHERE year(o_orderdate) = 1997
+    GROUP BY 1
+    """,
+    "100 TB layout discipline: hive-partition orders by year on write, "
+    "read back one partition — the scan must prune to the oy=1997 "
+    "directory (asserted in tests/test_plans.py).",
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").withColumn("oy", F.year("o_orderdate"))
+    out = tempfile.mkdtemp(prefix="part_lake_")
+    write_partitioned(o, out, partition_by=["oy"])
+    back = spark.read.parquet(out).filter(F.col("oy") == 1997)
+    return back.groupBy(F.month("o_orderdate").cast("long").alias("om")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+    )

@@ -182,6 +182,54 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_top_bigrams",
+    """
+    WITH t AS (SELECT lang, string_split_regex(lower(text), '\\s+') AS toks
+               FROM documents),
+    pairs AS (
+      SELECT lang, toks[i] || ' ' || toks[i+1] AS bigram
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i) u
+    ),
+    counted AS (
+      SELECT lang, bigram, count(*) AS n,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bigram) AS rk
+      FROM pairs GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+    FROM counted WHERE rk <= 5
+    """,
+    "Corpus statistics: top-5 bigrams per language (explode n-grams -> "
+    "count -> window top-k).",
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: bigram explode shuffles (lang, bigram) pairs with map-side
+    partial counts; the top-k window sees only distinct bigrams."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    staged = d.select("lang", toks.alias("tk"))
+    bigrams = staged.select(
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.col("tk"),
+                F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(1))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    ).filter(~F.col("bigram").rlike(r"^\S+$"))  # drop the null-padded tail
+    counted = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), "bigram")
+    return (
+        counted.select(
+            "lang", "bigram", "n", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@query(
     "text_winnow_fingerprint",
     None,
     "Winnowing-style fingerprint: min hash over 5-token rolling shingles "
