@@ -25,6 +25,8 @@ from tf_aws_lakeformation_governed_datalake_demo_spark.session import get_spark
 HEADLINE = [
     "scan_project_filter",
     "agg_tpch_q1",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
     "agg_count_distinct",
     "join_broadcast_dims",
     "join_fact_revenue",

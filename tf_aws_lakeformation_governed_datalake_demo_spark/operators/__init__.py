@@ -11,5 +11,7 @@ from . import multimodal  # noqa: E402,F401 — multimodal plumbing
 from . import streaming_ops  # noqa: E402,F401 — structured streaming shapes
 from . import advanced  # noqa: E402,F401 — as-of/range joins, percentiles, etc.
 from . import sources_ops  # noqa: E402,F401 — CSV/JSON round-trips, partitioned writes
+from . import tpch_extra  # noqa: E402,F401 — Q6/Q12/Q14/Q18 shapes
+from . import udf_ops  # noqa: E402,F401 — pandas-UDF surface
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,82 @@
+"""UDF surface (SURVEY.md §2.12): Arrow-vectorized pandas UDFs.
+
+The engine's stance: built-ins first (everything else in operators/ is
+JVM-side), but when Python *is* required, it must be Arrow-batched —
+never row-at-a-time. These operators prove the pandas-UDF path with
+oracle-checkable semantics (the scalar UDF reproduces exactly what the
+built-in/ DuckDB compute, so the driver hash-matches it).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import load
+from .registry import query
+
+TOKEN_RE = "[A-Za-z]+|[0-9]+"
+
+
+@F.pandas_udf(T.LongType())
+def pandas_token_count(texts: pd.Series) -> pd.Series:
+    """Vectorized regex token counter (same token class as
+    text.TOKEN_RE, so results equal the JVM regexp_extract_all path)."""
+    return texts.str.findall(TOKEN_RE).map(len).astype("int64")
+
+
+@F.pandas_udf(T.DoubleType())
+def pandas_zscore(v: pd.Series, mean: pd.Series, std: pd.Series) -> pd.Series:
+    """Vectorized multi-column scalar UDF: (v - mean) / std."""
+    return (v - mean) / std
+
+
+@query(
+    "udf_pandas_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    "Scalar pandas UDF (Arrow-batched) token counter — hash-equal to the "
+    "built-in regexp path, proving the §2.12 UDF surface without "
+    "sacrificing the oracle.",
+)
+def udf_pandas_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", pandas_token_count("text").alias("n_tokens"))
+
+
+@query(
+    "udf_grouped_zscore",
+    """
+    WITH s AS (
+      SELECT o_orderstatus, avg(o_totalprice) AS m,
+             stddev_samp(o_totalprice) AS sd
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey, o.o_orderstatus,
+           round(CAST((o.o_totalprice - s.m) / s.sd AS DOUBLE), 3) AS z
+    FROM orders o JOIN s ON o.o_orderstatus = s.o_orderstatus
+    WHERE abs((o.o_totalprice - s.m) / s.sd) > 1.5
+    """,
+    "Pandas UDF in a real pipeline: per-group z-score outliers (group "
+    "stats via JVM agg, normalization via Arrow-vectorized UDF). Rounded "
+    "to 3 decimals — stddev agg differs ~1e-12 across engines.",
+)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    stats = o.groupBy(F.col("o_orderstatus").alias("st")).agg(
+        F.avg("o_totalprice").alias("m"), F.stddev_samp("o_totalprice").alias("sd")
+    )
+    z = pandas_zscore(F.col("o_totalprice"), F.col("m"), F.col("sd"))
+    return (
+        o.join(F.broadcast(stats), o.o_orderstatus == stats.st)
+        .withColumn("z_raw", z)
+        .filter(F.abs(F.col("z_raw")) > 1.5)
+        .select(
+            "o_orderkey", "o_orderstatus", F.round("z_raw", 3).alias("z")
+        )
+    )
