@@ -440,13 +440,15 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
     """,
-    "Left-anti join (NOT EXISTS).",
+    "Left-anti join (NOT EXISTS): customers with no very-large order. "
+    "(The unfiltered variant is empty at every SF — all customers order.)",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -705,16 +707,26 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_except",
     """
-    SELECT c_nationkey AS nk FROM customer
+    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
     EXCEPT
-    SELECT s_nationkey AS nk FROM supplier
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
     """,
-    "EXCEPT.",
+    "EXCEPT: BUILDING customers minus customers with a >300k order. "
+    "(Nationkey variants are empty at every SF — suppliers span all "
+    "nations.)",
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.subtract(s)
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    return c.subtract(o)
 
 
 # --------------------------------------------------------------------------
