@@ -181,3 +181,45 @@ def test_drop_view(spark, tmp_path_factory):
     eng = Engine(spark, cat)
     qid = eng.submit("SELECT * FROM sales_db.sales_masked", principal="analyst")
     assert eng.status(qid).value == "FAILED"
+
+
+def test_multi_table_governed_join(spark, sf_dir):
+    # governance composes per-table in one SQL statement: a row-filtered
+    # nation joined to an openly-granted region
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        DataCellsFilter,
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.engine import Engine as Eng
+
+    cat = GovernedCatalog(spark)
+    cat.create_database("tpch")
+    cat.register_table(TableDef("tpch", "nation", f"{sf_dir}/nation.parquet"))
+    cat.register_table(TableDef("tpch", "region", f"{sf_dir}/region.parquet"))
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="asia-only",
+            database="tpch",
+            table="nation",
+            columns=("n_nationkey", "n_name", "n_regionkey"),
+            row_filter="n_regionkey = 2",
+        )
+    )
+    cat.grant("regional_analyst", "SELECT", "tpch", "nation", via_filter="asia-only")
+    cat.grant("regional_analyst", "SELECT", "tpch", "region")
+    eng = Eng(spark, cat)
+    rows = eng.sql(
+        "SELECT r.r_name, n.n_name FROM tpch.nation n "
+        "JOIN tpch.region r ON n.n_regionkey = r.r_regionkey ORDER BY n.n_name",
+        principal="regional_analyst",
+    ).collect()
+    assert rows and all(r.r_name == rows[0].r_name for r in rows)  # single region
+    # the same join as an ungoverned admin sees all 25 nations
+    cat.set_admins(["root"])
+    all_rows = eng.sql(
+        "SELECT count(*) AS n FROM tpch.nation n "
+        "JOIN tpch.region r ON n.n_regionkey = r.r_regionkey",
+        principal="root",
+    ).first()
+    assert all_rows.n == 25
