@@ -1,0 +1,41 @@
+"""Iterative-algorithm behavior: k-means SSE monotonicity and
+connected-components correctness on crafted graphs."""
+
+from __future__ import annotations
+
+from tf_aws_lakeformation_governed_datalake_demo_spark.operators.iterative import (
+    kmeans_assignments,
+    label_propagation,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+
+def test_kmeans_sse_decreases(spark, sf_dir):
+    v = load(spark, sf_dir, "embeddings")
+    final, sse = kmeans_assignments(v, k=4, n_iter=4)
+    assert len(sse) == 4
+    # Lloyd's algorithm never increases SSE
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(sse, sse[1:])), sse
+    rows = final.collect()
+    assert len(rows) == v.count()
+    assert {r.cluster for r in rows} <= set(range(4))
+
+
+def test_label_propagation_components(spark):
+    # two components {1,2,3,9} (chain) and {5,6}, singleton edges excluded
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6)], "doc_a long, doc_b long"
+    )
+    labels = {r.id: r.component for r in label_propagation(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_dedup_clusters_on_corpus(spark, sf_dir):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    pairs = REGISTRY["dedup_minhash_lsh"].builder(spark, sf_dir).collect()
+    clusters = REGISTRY["dedup_clusters"].builder(spark, sf_dir).collect()
+    n_docs_in_pairs = len({r.doc_a for r in pairs} | {r.doc_b for r in pairs})
+    assert sum(r.cluster_size for r in clusters) == n_docs_in_pairs
+    for c in clusters:
+        assert c.keeper_doc_id == c.component  # min id is the component label

@@ -13,5 +13,6 @@ from . import advanced  # noqa: E402,F401 — as-of/range joins, percentiles, et
 from . import sources_ops  # noqa: E402,F401 — CSV/JSON round-trips, partitioned writes
 from . import tpch_extra  # noqa: E402,F401 — Q6/Q12/Q14/Q18 shapes
 from . import udf_ops  # noqa: E402,F401 — pandas-UDF surface
+from . import iterative  # noqa: E402,F401 — k-means, connected components
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,172 @@
+"""Iterative algorithms (driver-orchestrated loops over DataFrames).
+
+The class of genuinely non-SQL-expressible operators: k-means over the
+embedding column and connected-components label propagation over near-dup
+pairs. Loop orchestration runs on the driver; per-iteration work stays
+fully distributed. Small reductions (k centroids) are collected to the
+driver and re-broadcast as literals — the standard MLlib pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+from .registry import query
+
+K = 8
+N_ITER = 5
+DIM = 64
+
+
+def _assign(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add cluster = argmin squared distance to the literal centroids.
+
+    The unrolled k x dim expression evaluates once per row JVM-side; ties
+    break to the lowest cluster id (array_position finds the first min).
+    """
+    dists = []
+    for c in centroids:
+        d = F.lit(0.0)
+        for j, w in enumerate(c):
+            diff = F.element_at(F.col("embedding"), j + 1).cast("double") - F.lit(w)
+            d = d + diff * diff
+        dists.append(d)
+    darr = F.array(*dists)
+    return v.withColumn(
+        "cluster", (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
+    ).withColumn("dist_sq", F.array_min(darr))
+
+
+def _recompute(assigned: DataFrame) -> list[list[float]]:
+    """Elementwise mean per cluster, collected (k rows) to the driver."""
+    rows = (
+        assigned.select("cluster", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    by_cluster = {r.cluster: list(r.centroid) for r in rows}
+    return [by_cluster[c] for c in sorted(by_cluster)]
+
+
+def kmeans_assignments(
+    v: DataFrame, k: int = K, n_iter: int = N_ITER
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd's k-means: deterministic init (vec_id 0..k-1), fixed
+    iteration count. Returns (assignments, per-iteration SSE)."""
+    init = (
+        v.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r.embedding] for r in init]
+    sse_history: list[float] = []
+    assigned = None
+    for _ in range(n_iter):
+        assigned = _assign(v, centroids).cache()
+        sse = assigned.agg(F.sum("dist_sq").alias("s")).first().s
+        sse_history.append(float(sse))
+        centroids = _recompute(assigned)
+        assigned.unpersist()
+    final = _assign(v, centroids)
+    return final, sse_history
+
+
+@query(
+    "kmeans_embeddings",
+    None,
+    "Iterative k-means (k=8, 5 Lloyd iterations, deterministic init from "
+    "vec_id 0..7) over the embedding column. Non-SQL-expressible "
+    "(driver-orchestrated loop) => rows-only check; SSE monotonicity "
+    "asserted in tests/test_iterative.py.",
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each iteration is one distributed assignment pass (unrolled
+    literal arithmetic, no shuffle) + one posexplode aggregation (shuffle
+    on (cluster, pos) — k*dim groups); centroids ride the closure."""
+    v = load(spark, sf_dir, "embeddings")
+    final, _ = kmeans_assignments(v)
+    return final.select(
+        "vec_id", "cluster", F.round(F.sqrt("dist_sq"), 4).alias("dist")
+    )
+
+
+def label_propagation(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over an undirected pair list: every node ends
+    with the min node id of its component (converges in <= diameter
+    rounds; each round is two shuffles)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        new_labels.count()  # materialize before comparing/reusing
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "dedup_clusters",
+    None,
+    "Near-duplicate clustering: MinHash-LSH pairs -> connected components "
+    "(label propagation) -> one keeper per cluster. The full "
+    "training-data dedup pipeline end-to-end.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).cache()
+    pairs.count()
+    labels = label_propagation(pairs)
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("id").alias("keeper_doc_id"),
+        )
+        .orderBy("component")
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("keeper_doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )

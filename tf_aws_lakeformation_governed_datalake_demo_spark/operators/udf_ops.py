@@ -49,6 +49,52 @@ def udf_pandas_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", pandas_token_count("text").alias("n_tokens"))
 
 
+def _order_gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas body: per-customer inter-order gap statistics."""
+    pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+    gaps = pdf["o_orderdate"].diff().dt.days.dropna()
+    return pd.DataFrame(
+        {
+            "o_custkey": [pdf["o_custkey"].iloc[0]],
+            "n_orders": [len(pdf)],
+            "median_gap_days": [float(gaps.median()) if len(gaps) else None],
+            "max_gap_days": [float(gaps.max()) if len(gaps) else None],
+        }
+    )
+
+
+@query(
+    "udf_applyinpandas_order_gaps",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(median(gap) AS DOUBLE) AS median_gap_days,
+           CAST(max(gap) AS DOUBLE) AS max_gap_days
+    FROM g GROUP BY o_custkey
+    """,
+    "Grouped-map pandas UDF (applyInPandas): per-customer inter-order gap "
+    "stats — each group arrives as a pandas DataFrame, the canonical "
+    "custom-aggregation escape hatch. Oracle via window-lag SQL.",
+)
+def udf_applyinpandas_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on the grouping key; each group is processed in
+    a single Arrow batch — groups must fit in worker memory (orders per
+    customer: bounded), which is the documented applyInPandas contract."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    return o.groupBy("o_custkey").applyInPandas(
+        _order_gaps,
+        "o_custkey long, n_orders long, median_gap_days double, max_gap_days double",
+    )
+
+
 @query(
     "udf_grouped_zscore",
     """
