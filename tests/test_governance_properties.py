@@ -1,0 +1,74 @@
+"""Property-based governance invariants (hypothesis): for ANY data-cells
+filter configuration, the governed scan must never leak a denied column
+or a filtered-out row — the security property behind SURVEY.md §2.10.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tf_aws_lakeformation_governed_datalake_demo_spark import (
+    DataCellsFilter,
+    GovernedCatalog,
+    PermissionDeniedError,
+    TableDef,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark import fixtures as fx
+
+ALL_COLS = [f.name for f in fx.SALES_SCHEMA.fields]
+REGIONS = ["APAC", "EMEA", "AMER"]
+
+
+@pytest.fixture(scope="module")
+def lake_path(spark, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("proplake"))
+    fx.write_sales(spark, lake)
+    return lake
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    allowlist=st.sets(st.sampled_from(ALL_COLS), min_size=1).map(
+        lambda s: tuple(c for c in ALL_COLS if c in s)
+    ),
+    regions=st.sets(st.sampled_from(REGIONS), min_size=0, max_size=2),
+)
+def test_governed_scan_never_leaks(spark, lake_path, allowlist, regions):
+    cat = GovernedCatalog(spark)
+    cat.register_table(
+        TableDef("db", "sales", f"{lake_path}/sales", schema=fx.SALES_SCHEMA)
+    )
+    row_filter = (
+        "sales_region IN ({})".format(
+            ", ".join(f"'{r}'" for r in sorted(regions))
+        )
+        if regions
+        else "sales_region IS NULL"  # empty region set -> no rows
+    )
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="f", database="db", table="sales",
+            columns=allowlist, row_filter=row_filter,
+        )
+    )
+    cat.grant("p", "SELECT", "db", "sales", via_filter="f")
+
+    df = cat.table("db.sales", "p")
+    # column security: exactly the allowlist, in schema order
+    assert df.columns == list(allowlist)
+    # row security: only permitted regions (checked via a readable probe
+    # column when present, else via count arithmetic)
+    if "sales_region" in allowlist:
+        seen = {r.sales_region for r in df.select("sales_region").collect()}
+        assert seen <= set(regions)
+    expected = {"APAC": 8, "EMEA": 6, "AMER": 6}
+    assert df.count() == sum(expected[r] for r in regions)
+    # an ungranted principal still denied regardless of filter shape
+    with pytest.raises(PermissionDeniedError):
+        cat.table("db.sales", "someone_else")

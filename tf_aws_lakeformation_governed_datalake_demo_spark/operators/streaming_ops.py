@@ -61,6 +61,23 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_user_totals",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    "Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running totals in explicit group state. With one input "
+    "batch the final state equals the batch aggregation, so it is "
+    "oracle-checkable.",
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, se.stream_user_totals_stateful, "update")
+
+
+@query(
     "stream_dedup",
     None,
     "Streaming exact dedup on event_id with watermark-bounded state "

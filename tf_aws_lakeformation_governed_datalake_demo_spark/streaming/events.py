@@ -91,6 +91,36 @@ def stream_dedup_events(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals carried in explicit state across micro-batches.
+
+    The state (total value, event count) survives between triggers —
+    the building block for streaming feature stores / per-entity
+    accumulators that windowed aggs can't express.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="total double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_batch(
     stream_df: DataFrame,
     query_name: str,
