@@ -1,0 +1,103 @@
+"""Lake-engineering features: salted joins, schema evolution, partition
+listing, engine metrics, optional table-format gating."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tf_aws_lakeformation_governed_datalake_demo_spark import (
+    Engine,
+    GovernedCatalog,
+    PermissionDeniedError,
+    TableDef,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark import fixtures as fx
+from tf_aws_lakeformation_governed_datalake_demo_spark.operators.skew import salt_join
+from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+    load,
+    write_partitioned,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark.sources.table_formats import (
+    TableFormatUnavailable,
+    delta_available,
+    read_delta,
+)
+
+
+def test_salt_join_equals_plain_join(spark, sf_dir):
+    # salting must be a pure execution-strategy change: same rows out
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    plain = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
+    salted = salt_join(o, c, "o_custkey", "c_custkey", n_salts=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salt_join_left_preserves_unmatched(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select("o_custkey", "o_orderkey")
+    )
+    salted = salt_join(c, o, "c_custkey", "o_custkey", n_salts=4, how="left")
+    assert salted.count() >= c.count()  # unmatched customers kept (null order)
+
+
+def test_parquet_schema_evolution_merge(spark, sf_dir):
+    # v1 file lacks a column added in v2 — mergeSchema unions them
+    out = tempfile.mkdtemp(prefix="evolve_")
+    n = load(spark, sf_dir, "nation")
+    n.select("n_nationkey", "n_name").write.mode("append").parquet(out)
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+    assert merged.count() == 2 * n.count()
+    assert merged.filter(F.col("n_regionkey").isNull()).count() == n.count()
+
+
+def test_catalog_partitions_listing(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="partlist_")
+    o = load(spark, sf_dir, "orders").withColumn("oy", F.year("o_orderdate"))
+    write_partitioned(o, out, partition_by=["oy"])
+    cat = GovernedCatalog(spark)
+    cat.register_table(TableDef("db", "orders_part", out))
+    parts = cat.partitions("db.orders_part")
+    assert parts and all(p.startswith("oy=") for p in parts)
+    assert "oy=1997" in parts
+
+
+def test_engine_metrics(spark, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("metriclake"))
+    eng = Engine(spark, fx.bootstrap(spark, lake))
+    qid = eng.submit("SELECT * FROM sales_db.sales", principal="dataadmin")
+    eng.results(qid, max_rows=7)
+    eng.submit("SELECT nope FROM sales_db.sales", principal="dataadmin")
+    with pytest.raises(PermissionDeniedError):
+        eng.sql("SELECT 1 FROM sales_db.sales", principal="intern")
+    m = eng.metrics
+    assert m["queries_submitted"] == 3
+    assert m["queries_succeeded"] == 1
+    assert m["queries_failed"] == 2
+    assert m["queries_denied"] == 1
+    assert m["rows_fetched"] == 7
+
+
+def test_delta_gated_cleanly(spark):
+    # jars absent in this image: probe false, reader raises a clear error
+    assert delta_available(spark) is False
+    with pytest.raises(TableFormatUnavailable):
+        read_delta(spark, "/tmp/nope")
+
+
+def test_partitions_of_file_backed_table(spark, sf_dir):
+    cat = GovernedCatalog(spark)
+    cat.register_table(TableDef("db", "flat", f"{sf_dir}/orders.parquet"))
+    assert cat.partitions("db.flat") == []
+    cat.register_table(TableDef("db", "missing", "/tmp/does_not_exist_xyz"))
+    assert cat.partitions("db.missing") == []

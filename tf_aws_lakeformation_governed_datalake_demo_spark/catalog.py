@@ -127,6 +127,22 @@ class GovernedCatalog:
         """V2 — ``DROP VIEW`` (README.md:320)."""
         self.views.pop(f"{database}.{name}", None)
 
+    def partitions(self, qualified: str) -> list[str]:
+        """S9 — ``SHOW PARTITIONS`` analog: hive-style ``key=value``
+        partition directories under the table location (the reference
+        scaffolds partition APIs in IAM, main.tf:177-178, but ships an
+        unpartitioned table — this serves tables written with
+        sources.write_partitioned)."""
+        from pathlib import Path
+
+        loc = Path(self.tables[qualified].location)
+        # single-file or missing locations are unpartitioned by definition
+        if not loc.is_dir():
+            return []
+        return sorted(
+            p.name for p in loc.iterdir() if p.is_dir() and "=" in p.name
+        )
+
     def create_tag_masked_view(
         self, qualified: str, view_name: str, tag_key: str, tag_value: str
     ) -> str:

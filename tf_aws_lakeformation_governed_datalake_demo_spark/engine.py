@@ -63,6 +63,15 @@ class Engine:
         self.catalog = catalog or GovernedCatalog(spark)
         self.results_dir = Path(results_dir) if results_dir else None
         self.executions: dict[str, QueryExecution] = {}
+        # L5 — workgroup metrics counters (CloudWatch-metrics analog,
+        # main.tf:502 publish_cloudwatch_metrics_enabled)
+        self.metrics: dict[str, int] = {
+            "queries_submitted": 0,
+            "queries_succeeded": 0,
+            "queries_failed": 0,
+            "queries_denied": 0,
+            "rows_fetched": 0,
+        }
 
     # ------------------------------------------------------------- L1-L4
     def submit(self, sql: str, principal: Principal | str | None = None) -> str:
@@ -86,7 +95,9 @@ class Engine:
             raise RuntimeError(
                 f"query {query_id} is {qe.state.value}: {qe.state_change_reason}"
             )
-        return qe.result.limit(max_rows).collect()
+        rows = qe.result.limit(max_rows).collect()
+        self.metrics["rows_fetched"] += len(rows)
+        return rows
 
     def sql(self, sql: str, principal: Principal | str | None = None) -> DataFrame:
         """Execute governed SQL and return the DataFrame (raises on deny)."""
@@ -104,6 +115,7 @@ class Engine:
         name = principal.name if isinstance(principal, Principal) else principal
         qe = QueryExecution(query_id=uuid.uuid4().hex, sql=sql, principal=name)
         self.executions[qe.query_id] = qe
+        self.metrics["queries_submitted"] += 1
         qe.state = QueryState.RUNNING
         try:
             rewritten, touched = self.catalog._rewrite_sql(
@@ -118,11 +130,15 @@ class Engine:
                 df.write.mode("overwrite").option("header", "true").csv(out)
                 qe.results_path = out
             qe.state = QueryState.SUCCEEDED
+            self.metrics["queries_succeeded"] += 1
             self.catalog.audit.record(
                 name or "<anonymous>", sql, touched, qe.filters_applied, "SUCCEEDED"
             )
         except Exception as exc:  # noqa: BLE001 - map to Athena error surface
             qe.state = QueryState.FAILED
+            self.metrics["queries_failed"] += 1
+            if isinstance(exc, PermissionDeniedError):
+                self.metrics["queries_denied"] += 1
             qe.state_change_reason = f"{type(exc).__name__}: {exc}"
             self.catalog.audit.record(
                 name or "<anonymous>",
