@@ -87,3 +87,46 @@ def test_partitioned_read_prunes(spark, sf_dir):
     plan = physical_plan(back)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "oy" in m.group(1), f"no partition pruning: {m}"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Bucketing both fact tables on the join key removes the Exchange
+    entirely — the 100 TB discipline for repeated fact-fact joins
+    (SURVEY.md scale notes; sources are re-bucketed once at ingest)."""
+    from pyspark.sql import functions as F
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    (load(spark, sf_dir, "orders")
+     .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("orders_bkt"))
+    (load(spark, sf_dir, "lineitem")
+     .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("lineitem_bkt"))
+    joined = (
+        spark.table("orders_bkt")
+        .join(
+            spark.table("lineitem_bkt"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = physical_plan(joined)
+    join_part = plan[: plan.index("HashAggregate(keys=[o_orderpriority")] if "HashAggregate" in plan else plan
+    # the join itself must read bucketed data with no shuffle on either side
+    import re as _re
+    exchanges_before_agg = _re.findall(r"Exchange hashpartitioning\((o_orderkey|l_orderkey)", plan)
+    assert not exchanges_before_agg, f"join sides shuffled: {exchanges_before_agg}"
+    # sanity: result matches the plain join
+    plain = (
+        load(spark, sf_dir, "orders")
+        .join(load(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
