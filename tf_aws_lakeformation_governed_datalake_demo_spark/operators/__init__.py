@@ -14,5 +14,6 @@ from . import sources_ops  # noqa: E402,F401 — CSV/JSON round-trips, partition
 from . import tpch_extra  # noqa: E402,F401 — Q6/Q12/Q14/Q18 shapes
 from . import udf_ops  # noqa: E402,F401 — pandas-UDF surface
 from . import iterative  # noqa: E402,F401 — k-means, connected components
+from . import pipelines  # noqa: E402,F401 — end-to-end curation pipelines
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
