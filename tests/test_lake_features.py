@@ -101,3 +101,13 @@ def test_partitions_of_file_backed_table(spark, sf_dir):
     assert cat.partitions("db.flat") == []
     cat.register_table(TableDef("db", "missing", "/tmp/does_not_exist_xyz"))
     assert cat.partitions("db.missing") == []
+
+
+def test_compression_codecs_roundtrip(spark, sf_dir):
+    # snappy (reference default), zstd, gzip all round-trip identically
+    n = load(spark, sf_dir, "nation")
+    base = sorted(map(tuple, n.collect()))
+    for codec in ["snappy", "zstd", "gzip"]:
+        out = tempfile.mkdtemp(prefix=f"codec_{codec}_")
+        n.write.mode("overwrite").option("compression", codec).parquet(out)
+        assert sorted(map(tuple, spark.read.parquet(out).collect())) == base

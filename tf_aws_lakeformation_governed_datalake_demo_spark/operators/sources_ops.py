@@ -73,6 +73,27 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip_agg",
+    """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(avg(p_retailprice) AS DOUBLE), 2) AS avg_price
+    FROM part GROUP BY p_brand
+    """,
+    "ORC sink/source round-trip of part (Spark's second columnar "
+    "format), aggregated to the parquet-derived oracle answer.",
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    p.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+    )
+
+
+@query(
     "partitioned_write_prune",
     """
     SELECT CAST(month(o_orderdate) AS BIGINT) AS om,
