@@ -223,3 +223,56 @@ def test_multi_table_governed_join(spark, sf_dir):
         principal="root",
     ).first()
     assert all_rows.n == 25
+
+
+def test_no_gov_temp_view_survives_query(engine):
+    # Round-1 leak regression: after ANY principal's query, no __gov_*
+    # temp view may remain in the session catalog.
+    engine.sql(
+        "SELECT ssn FROM sales_db.sales LIMIT 1", principal="dataadmin"
+    ).collect()
+    leftovers = [
+        t.name
+        for t in engine.spark.catalog.listTables()
+        if t.name.startswith("__gov_")
+    ]
+    assert leftovers == []
+
+
+def test_cross_principal_gov_alias_rejected(engine):
+    # Round-1 leak regression: even if an alias name were known/guessable,
+    # submitting SQL that references the reserved __gov_ prefix is denied
+    # before execution — and audited as a failed query.
+    engine.sql("SELECT ssn FROM sales_db.sales LIMIT 1", principal="dataadmin")
+    with pytest.raises(PermissionDeniedError):
+        engine.sql(
+            "SELECT ssn FROM __gov_dataadmin_sales_db_sales", principal="analyst"
+        )
+    qid = engine.submit(
+        "SELECT * FROM __GOV_anything", principal="analyst"
+    )
+    assert engine.status(qid).value == "FAILED"
+    assert "reserved" in engine.state_change_reason(qid)
+
+
+def test_rewrite_skips_string_literals_and_comments(engine):
+    # ADVICE round 1 (low): table names inside string literals / comments
+    # must not be rewritten to governed aliases.
+    row = engine.sql(
+        "SELECT 'sales_db.sales' AS src, COUNT(*) AS n "
+        "FROM sales_db.sales -- trailing note about sales_db.sales\n",
+        principal="analyst",
+    ).first()
+    assert row.src == "sales_db.sales"
+    assert row.n == 8  # analyst still row-filtered to APAC
+
+
+def test_governed_result_usable_after_view_drop(engine):
+    # The governed DataFrame must stay collectable after its backing temp
+    # views are dropped (spark.sql analyzes eagerly).
+    df = engine.sql(
+        "SELECT sales_region, COUNT(*) AS n FROM sales_db.sales GROUP BY sales_region",
+        principal="analyst",
+    )
+    assert [t.name for t in engine.spark.catalog.listTables() if t.name.startswith("__gov_")] == []
+    assert df.count() == 1

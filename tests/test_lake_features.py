@@ -111,3 +111,16 @@ def test_compression_codecs_roundtrip(spark, sf_dir):
         out = tempfile.mkdtemp(prefix=f"codec_{codec}_")
         n.write.mode("overwrite").option("compression", codec).parquet(out)
         assert sorted(map(tuple, spark.read.parquet(out).collect())) == base
+
+
+def test_load_events_in_foreign_session(spark, sf_dir):
+    # Round-1 regression: the correctness driver builds its own SparkSession
+    # without our factory's nanosAsLong conf; load() must set it at read
+    # time. Simulate by unsetting the conf before loading.
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import load
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    df = load(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+    assert df.count() > 0
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"

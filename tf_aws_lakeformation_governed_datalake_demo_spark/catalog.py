@@ -24,6 +24,7 @@ rewritten relation, so star projection naturally shows only the allowlist.
 from __future__ import annotations
 
 import re
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -338,11 +339,55 @@ class GovernedCatalog:
                 raise PermissionDeniedError(
                     f"principal {name!r} is not authorized to access {qualified}"
                 )
-        sql, _ = self._rewrite_sql(vdef.sql, principal, row_only=True, _filters_out=_filters_out)
-        return self.spark.sql(sql)
+        created: list[str] = []
+        sql, _ = self._rewrite_sql(
+            vdef.sql,
+            principal,
+            row_only=True,
+            _filters_out=_filters_out,
+            _views_out=created,
+        )
+        try:
+            # spark.sql analyzes eagerly, so the returned DataFrame keeps the
+            # resolved plan after the temp views are dropped in finally.
+            return self.spark.sql(sql)
+        finally:
+            for v in created:
+                self.spark.catalog.dropTempView(v)
 
     # ----------------------------------------------------- SQL rewriting
     _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+    # Spans a table reference must NOT be rewritten inside: single-quoted
+    # string literals (with '' and backslash escapes), double-quoted string
+    # literals, line comments, block comments.
+    _SKIP_SPANS = re.compile(
+        r"'(?:[^'\\]|\\.|'')*'" r'|"(?:[^"\\]|\\.)*"' r"|--[^\n]*" r"|/\*.*?\*/",
+        re.S,
+    )
+
+    @classmethod
+    def _sub_outside_literals(
+        cls, pattern: "re.Pattern[str]", repl: str, sql: str
+    ) -> tuple[str, int]:
+        """re.sub that leaves string literals / comments untouched.
+
+        Returns (rewritten sql, number of substitutions made). E.g.
+        ``SELECT 'sales_db.sales' AS src FROM sales_db.sales`` rewrites only
+        the FROM reference, never the literal (ADVICE round 1).
+        """
+        parts: list[str] = []
+        pos = 0
+        n = 0
+        for m in cls._SKIP_SPANS.finditer(sql):
+            seg, k = pattern.subn(repl, sql[pos : m.start()])
+            parts.append(seg)
+            parts.append(m.group(0))
+            pos = m.end()
+            n += k
+        seg, k = pattern.subn(repl, sql[pos:])
+        parts.append(seg)
+        n += k
+        return "".join(parts), n
 
     def _rewrite_sql(
         self,
@@ -351,11 +396,31 @@ class GovernedCatalog:
         *,
         row_only: bool = False,
         _filters_out: list[str] | None = None,
+        _views_out: list[str] | None = None,
     ) -> tuple[str, list[str]]:
         """Replace known ``db.table``/``db.view`` references with governed
         temp views for this principal, so ``spark.sql`` executes the
         already-rewritten plan. Returns (rewritten sql, touched objects).
+
+        Safety properties (round-1 ADVICE hardening):
+
+        - submitted SQL may not reference the reserved ``__gov_`` prefix —
+          internal aliases are never addressable by callers;
+        - aliases are unique per rewrite (uuid), so a concurrent or prior
+          query's alias can never be resolved by another principal;
+        - every alias created is appended to ``_views_out`` so the caller
+          can drop it in a ``finally`` — no governed view outlives its
+          query (the round-1 cross-principal leak);
+        - references inside string literals / comments are not rewritten.
+
+        Governed SQL must use db-qualified names (``sales_db.sales``);
+        unqualified names are not rewritten and fail closed because base
+        tables are never registered in Spark's catalog by this engine.
         """
+        if re.search(r"__gov_", sql, re.IGNORECASE):
+            raise PermissionDeniedError(
+                "query references reserved internal identifier prefix '__gov_'"
+            )
         name = principal.name if isinstance(principal, Principal) else principal
         touched: list[str] = []
         out = sql
@@ -366,11 +431,14 @@ class GovernedCatalog:
             reverse=True,
         )
         for qualified in known:
-            pattern = r"(?<![A-Za-z0-9_.])" + re.escape(qualified) + r"(?![A-Za-z0-9_])"
-            if not re.search(pattern, out):
+            pattern = re.compile(
+                r"(?<![A-Za-z0-9_.])" + re.escape(qualified) + r"(?![A-Za-z0-9_])"
+            )
+            alias = "__gov_" + uuid.uuid4().hex
+            rewritten, n = self._sub_outside_literals(pattern, alias, out)
+            if n == 0:
                 continue
             touched.append(qualified)
-            alias = "__gov_" + re.sub(r"[^A-Za-z0-9_]", "_", f"{name}_{qualified}")
             if qualified in self.views:
                 df = self.view(qualified, principal, _filters_out=_filters_out)
             else:
@@ -378,5 +446,7 @@ class GovernedCatalog:
                     qualified, principal, row_only=row_only, _filters_out=_filters_out
                 )
             df.createOrReplaceTempView(alias)
-            out = re.sub(pattern, alias, out)
+            if _views_out is not None:
+                _views_out.append(alias)
+            out = rewritten
         return out, touched

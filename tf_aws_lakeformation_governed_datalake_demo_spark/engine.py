@@ -117,12 +117,23 @@ class Engine:
         self.executions[qe.query_id] = qe
         self.metrics["queries_submitted"] += 1
         qe.state = QueryState.RUNNING
+        created_views: list[str] = []
         try:
-            rewritten, touched = self.catalog._rewrite_sql(
-                sql, principal, _filters_out=qe.filters_applied
-            )
-            qe.tables = touched
-            df = self.spark.sql(rewritten)
+            try:
+                rewritten, touched = self.catalog._rewrite_sql(
+                    sql,
+                    principal,
+                    _filters_out=qe.filters_applied,
+                    _views_out=created_views,
+                )
+                qe.tables = touched
+                # spark.sql analyzes eagerly; the resolved plan survives the
+                # temp-view drop below, so no governed alias outlives the query
+                # (round-1 cross-principal temp-view leak).
+                df = self.spark.sql(rewritten)
+            finally:
+                for v in created_views:
+                    self.spark.catalog.dropTempView(v)
             qe.result = df
             if self.results_dir is not None:
                 # S5 — persist the result set as headered CSV per query id.

@@ -37,6 +37,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``DIV`` — float division would lose precision at 1e18 ns), matching
     how DuckDB truncates ns to its us-precision TIMESTAMP.
     """
+    # Runtime-settable: make nanos parquet readable in ANY session (the
+    # correctness driver builds its own SparkSession without our factory),
+    # not just sessions created by session.get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f_ in df.schema.fields:
         if f_.name == "ts" and isinstance(f_.dataType, T.LongType):
