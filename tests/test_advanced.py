@@ -83,3 +83,17 @@ def test_ivf_exact_within_probed_cells(spark, sf_dir):
     assert [(r.vec_id, r.cos_sim) for r in ivf[: len(in_cells)]] == [
         (r.vec_id, r.cos_sim) for r in in_cells
     ]
+
+
+def test_frame_sample_filters_before_decode(spark, sf_dir):
+    # Round-1 ADVICE: the media_type filter must sit BELOW the Python
+    # evaluation node so non-video payloads never cross the Arrow boundary.
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.multimodal import (
+        multimodal_frame_sample,
+    )
+
+    df = multimodal_frame_sample(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert plan.index("MapInPandas") < plan.index("Filter")
+    assert df.count() > 0

@@ -68,3 +68,65 @@ def test_exact_dedup_on_crafted(spark, docs):
     rows = {r.keeper: r.n for r in grouped.collect()}
     assert rows[1] == 2  # docs 1+2 collapse
     assert rows[3] == 1 and rows[4] == 1 and rows[5] == 1
+
+
+def test_ngram_jaccard_on_crafted(docs):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    found = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert found[(1, 2)] == 1.0  # exact duplicate
+    assert (1, 3) in found and (2, 3) in found  # near-dup (1 token changed)
+    assert not any(4 in p for p in found)  # unrelated doc never pairs
+
+
+def test_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    # 500 identical short docs share every LSH bucket: without the cap the
+    # bucket self-join is O(m^2) on one key (~125k pairs per band). With
+    # DEFAULT_MAX_BUCKET the degenerate buckets are dropped entirely —
+    # candidate generation returns no pairs (exact dedup's job) and the
+    # job completes with bounded work.
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, "boilerplate header lorem ipsum dolor sit amet footer") for i in range(500)]
+    degen = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(degen)
+    assert minhash_candidate_pairs(sig).count() == 0
+    # uncapped path still works when explicitly requested
+    assert minhash_candidate_pairs(sig.limit(20), max_bucket_size=None).count() > 0
+    # every shingle of the degenerate corpus is hot -> no pairs either
+    assert ngram_jaccard_pairs(degen).count() == 0
+
+
+def test_simhash_pairs_capped_on_degenerate_corpus(spark, sf_dir):
+    # The registered simhash query must complete on a corpus where all
+    # docs collide in every 16-bit chunk; the cap drops those buckets.
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.dedup import (
+        simhash_signatures, _drop_hot_buckets,
+    )
+
+    rows = [(i, "same text everywhere forever") for i in range(300)]
+    degen = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = simhash_signatures(degen)
+    chunked = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), c * 16)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for c in range(4)
+            ])
+        ).alias("ck"),
+    ).select("doc_id", "ck.chunk", "ck.key")
+    assert _drop_hot_buckets(chunked, ["chunk", "key"], 128).count() == 0

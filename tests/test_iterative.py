@@ -39,3 +39,20 @@ def test_dedup_clusters_on_corpus(spark, sf_dir):
     assert sum(r.cluster_size for r in clusters) == n_docs_in_pairs
     for c in clusters:
         assert c.keeper_doc_id == c.component  # min id is the component label
+
+
+def test_label_propagation_long_chain(spark):
+    # 20+ rounds on a chain graph: min-label moves one hop per round, so a
+    # 25-node chain needs 24 rounds — this would balloon plan size without
+    # lineage truncation (localCheckpoint) and must still converge exactly.
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.iterative import (
+        label_propagation,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "doc_a long, doc_b long"
+    )
+    labels = label_propagation(chain, max_iter=30)
+    rows = labels.collect()
+    assert len(rows) == 25
+    assert all(r.component == 0 for r in rows)

@@ -163,8 +163,48 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def minhash_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """LSH banding: 16 band keys per doc -> inverted-index self-join."""
+# Candidate-generation safety valve: a bucket of m members contributes
+# m*(m-1)/2 pairs, so one degenerate bucket (boilerplate / near-empty docs)
+# can be O(m^2) on a single join key — a dead-executor hazard at 100 TB.
+# Buckets above the cap are dropped entirely from candidate generation.
+# Recall semantics: a true near-dup pair loses only the collisions inside
+# over-cap buckets; with 16 independent bands it remains a candidate
+# unless ALL its colliding buckets are degenerate — and the degenerate
+# case (thousands of identical/near-empty docs) is exact-dedup's job,
+# which runs without any cap.
+DEFAULT_MAX_BUCKET = 128
+
+
+def _drop_hot_buckets(
+    exploded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Remove rows belonging to bucket keys with > max_bucket_size members.
+
+    The over-cap key set is tiny by construction (it only contains
+    degenerate keys), so it broadcasts; the anti-join is map-side and the
+    count aggregation partial-aggregates on the same key the self-join
+    would have shuffled on anyway.
+    """
+    if max_bucket_size is None:
+        return exploded
+    hot = (
+        exploded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") > max_bucket_size)
+        .select(*keys)
+    )
+    return exploded.join(F.broadcast(hot), keys, "left_anti")
+
+
+def minhash_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """LSH banding: 16 band keys per doc -> inverted-index self-join.
+
+    Buckets larger than ``max_bucket_size`` are excluded (see
+    DEFAULT_MAX_BUCKET for the recall argument)."""
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
         lambda b: F.struct(
@@ -180,6 +220,7 @@ def minhash_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame
     exploded = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
         id_col, "bk.band", "bk.bucket"
     )
+    exploded = _drop_hot_buckets(exploded, ["band", "bucket"], max_bucket_size)
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
@@ -256,23 +297,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n-gram Jaccard near-dup via inverted index: explode shingles, join "
     "docs sharing one, exact Jaccard >= 0.8 (no LSH approximation).",
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_doc_freq: int | None = DEFAULT_MAX_BUCKET
+) -> DataFrame:
     """Scale: the inverted-index join shuffles (shingle -> doc) pairs, so
-    cost follows shared-shingle density, not N^2; hot shingles should be
-    frequency-capped upstream (drop shingles appearing in >0.1% of docs)."""
+    cost follows shared-shingle density, not N^2. A shingle appearing in
+    m docs contributes m*(m-1)/2 join rows, so hot shingles (boilerplate)
+    are frequency-capped: shingles in more than ``max_doc_freq`` docs are
+    removed from every doc's set, and Jaccard is computed consistently
+    over the remaining (discriminative) shingle universe — both the
+    shared counts and the per-doc set sizes exclude hot shingles, so
+    surviving similarities are exact on that universe.
+    """
     d = load(spark, sf_dir, "documents")
-    sets_ = shingle_hash_frame(d).select(
-        "doc_id", F.col("shingle_hashes").alias("sh"), F.size("shingle_hashes").alias("n")
+    return ngram_jaccard_pairs(d, threshold=0.8, max_doc_freq=max_doc_freq)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = DEFAULT_MAX_BUCKET,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Core of dedup_ngram_jaccard, reusable on any (id, text) frame."""
+    sets_ = shingle_hash_frame(docs, id_col=id_col).select(
+        id_col, F.col("shingle_hashes").alias("sh")
     )
-    inv = sets_.select("doc_id", F.explode("sh").alias("shingle"))
+    inv = sets_.select(id_col, F.explode("sh").alias("shingle"))
+    inv = _drop_hot_buckets(inv, ["shingle"], max_doc_freq)
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         inv.alias("a")
-        .join(inv.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .join(
+            inv.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
         .agg(F.count("*").alias("n_shared"))
     )
-    na = sets_.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
     return (
         pairs.join(na, "doc_a")
         .join(nb, "doc_b")
@@ -285,7 +352,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -361,6 +428,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = sig.select("doc_id", "simhash", F.explode(chunks).alias("ck")).select(
         "doc_id", "simhash", "ck.chunk", "ck.key"
     )
+    exploded = _drop_hot_buckets(exploded, ["chunk", "key"], DEFAULT_MAX_BUCKET)
     a, b = exploded.alias("a"), exploded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
