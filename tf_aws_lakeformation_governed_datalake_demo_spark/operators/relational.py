@@ -387,17 +387,24 @@ def join_3way_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Fact-fact equi-join (orders ⋈ lineitem) + aggregation.",
 )
 def join_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: both sides shuffle-hash/sort-merge on orderkey; at 100 TB
-    bucketing both tables by orderkey removes the shuffle entirely. AQE
-    splits skewed orderkey partitions at runtime."""
+    """Scale: lineitem is pre-aggregated to order grain on l_orderkey —
+    the same shuffle key the join needs anyway — so map-side partial
+    aggregation shrinks the shuffle to one row per order, the join output
+    is order-grain, and ``count(DISTINCT o_orderkey)`` (which would force
+    the two-phase expand path over the joined fact) becomes a plain
+    ``count(*)``. At 100 TB bucketing both tables by orderkey removes the
+    shuffle entirely; AQE splits skewed orderkey partitions at runtime."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev")
+    )
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("order_rev"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
         )
     )
 
@@ -550,6 +557,18 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # The ASIA restriction reaches customers only through the local-supplier
+    # nation match AFTER the two big joins; pushing it down as a broadcast
+    # semi-join on the ~5 ASIA nation keys shrinks the customer⋈orders
+    # shuffle ~5x (implied predicate: c_nationkey = s_nationkey ∈ ASIA).
+    n2 = load(spark, sf_dir, "nation")
+    r2 = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_keys = n2.join(F.broadcast(r2), n2.n_regionkey == r2.r_regionkey).select(
+        F.col("n_nationkey").alias("asia_nationkey")
+    )
+    c = c.join(
+        F.broadcast(asia_keys), c.c_nationkey == F.col("asia_nationkey"), "left_semi"
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
