@@ -9,7 +9,10 @@ golden-value assertions live in tests/test_governance.py.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -17,16 +20,30 @@ from .. import fixtures as fx
 from ..engine import Engine
 from .registry import query
 
-_ENGINES: dict[int, Engine] = {}
+# Weak keys: the cache entry dies with the SparkSession object, so a new
+# session allocated at a recycled id() can never alias a stale Engine
+# (round-1 VERDICT #8).
+_ENGINES: "weakref.WeakKeyDictionary[SparkSession, Engine]" = (
+    weakref.WeakKeyDictionary()
+)
+_LAKE_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_lake_dirs() -> None:
+    for d in _LAKE_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _engine(spark: SparkSession) -> Engine:
     """One bootstrapped sales lake per SparkSession (cached)."""
-    key = id(spark)
-    if key not in _ENGINES:
+    eng = _ENGINES.get(spark)
+    if eng is None:
         lake = tempfile.mkdtemp(prefix="sales_lake_")
-        _ENGINES[key] = Engine(spark, fx.bootstrap(spark, lake))
-    return _ENGINES[key]
+        _LAKE_DIRS.append(lake)
+        eng = Engine(spark, fx.bootstrap(spark, lake))
+        _ENGINES[spark] = eng
+    return eng
 
 
 @query(
