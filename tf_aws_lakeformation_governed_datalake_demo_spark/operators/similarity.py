@@ -136,16 +136,35 @@ def hyperplane_signature(vec_col, n_planes: int = N_HYPERPLANES, dim: int = 64):
     """Random-hyperplane LSH signature: bit p = sign(<v, r_p>).
 
     Works on the raw (unnormalized) vector — scaling never changes signs.
-    The unrolled literal dot products evaluate once per row against the
-    bound vector attribute.
+    The plane matrix is a literal array<array<double>> that Catalyst
+    constant-folds to ONE literal node, and the per-plane dot products are
+    higher-order zip_with/aggregate over the bound vector attribute — so
+    the expression tree stays O(1) in n_planes*dim instead of the unrolled
+    O(n_planes*dim) form that hits the codegen method-size limit past
+    dim~64 (round-1 VERDICT #8).
     """
-    sig = F.lit(0)
-    for p in range(n_planes):
-        dot = F.lit(0.0)
-        for d in range(dim):
-            dot = dot + F.element_at(vec_col, d + 1) * F.lit(_plane_component(p, d))
-        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return sig
+    planes = F.array(
+        *[
+            F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
+            for p in range(n_planes)
+        ]
+    )
+    bits = F.zip_with(
+        planes,
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda plane, p: F.when(
+            F.aggregate(
+                F.zip_with(vec_col, plane, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            # shiftleft() takes only a literal bit count; pow is exact for
+            # p < 53, far above any sane plane count
+            F.pow(F.lit(2.0), p).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x)
 
 
 @query(
