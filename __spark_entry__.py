@@ -48,7 +48,11 @@ from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 # CORRECTNESS_r01.json, rotated behind the x_ prefix this round so the
 # never-checked queries fit inside the driver's 50-entry window.
 _R01_VERIFIED_ROTATED = {
+    "agg_count_distinct",
     "agg_cube",
+    "join_broadcast_dims",
+    "knn_cosine_batch",
+    "orderby_limit_topk",
     "agg_grouping_sets",
     "agg_having",
     "agg_percentiles",

@@ -1,0 +1,92 @@
+"""Semantic tests for the curation operators (split determinism,
+stratified rates, repetition scoring, decontamination)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tf_aws_lakeformation_governed_datalake_demo_spark.operators.curation import (
+    _md5_bucket,
+    _shingle_strings,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark.operators.registry import REGISTRY
+
+
+def test_split_is_complete_and_deterministic(spark, sf_dir):
+    df = REGISTRY["pipeline_train_val_split"].builder(spark, sf_dir)
+    rows = {r.split: r.n_docs for r in df.collect()}
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(rows.values()) == total  # partitions are exhaustive
+    assert set(rows) == {"train", "val", "test"}
+    assert rows["train"] > rows["val"] and rows["train"] > rows["test"]
+    # deterministic across invocations
+    again = {r.split: r.n_docs for r in
+             REGISTRY["pipeline_train_val_split"].builder(spark, sf_dir).collect()}
+    assert rows == again
+
+
+def test_split_is_content_addressed(spark):
+    # same text under different ids -> same bucket (re-ingestion stability)
+    df = spark.createDataFrame(
+        [(1, "some document text"), (999, "some document text")],
+        "doc_id long, text string",
+    )
+    buckets = [r.b for r in df.select(_md5_bucket(F.col("text")).alias("b")).collect()]
+    assert buckets[0] == buckets[1]
+
+
+def test_stratified_sample_rate(spark, sf_dir):
+    sampled = REGISTRY["sample_stratified_by_lang"].builder(spark, sf_dir)
+    n = sampled.count()
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # 10% +- generous tolerance for a small corpus
+    assert 0.02 <= n / total <= 0.25
+
+
+def test_repetition_ratio_scores(spark, tmp_path):
+    rows = [
+        (1, "a b c a b c a b c a b c"),  # pure repetition of one 3-gram cycle
+        (2, "one two three four five six seven eight nine ten"),  # all distinct
+    ]
+    out = str(tmp_path / "repdocs")
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(f"{out}/documents.parquet")
+    scores = {
+        r.doc_id: r.distinct_ratio
+        for r in REGISTRY["text_repetition_ratio"].builder(spark, out).collect()
+    }
+    assert scores[2] == 1.0
+    assert scores[1] < 0.5  # 10 shingles, only 3 distinct
+
+
+def test_decontamination_flags_overlap(spark, tmp_path):
+    bench_text = "the capital of france is paris and the capital of spain is madrid"
+    rows = [
+        (1, bench_text),                                   # benchmark (doc_id < 20)
+        (30, "question the capital of france is paris answer yes it is indeed"),
+        (40, "completely unrelated text about distributed query execution engines"),
+    ]
+    out = str(tmp_path / "contamdocs")
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(f"{out}/documents.parquet")
+    hits = {
+        r.doc_id: r.n_contaminated
+        for r in REGISTRY["decontaminate_ngram_overlap"].builder(spark, out).collect()
+    }
+    assert 30 in hits and hits[30] >= 1  # shares "the capital of france is" 5-grams
+    assert 40 not in hits
+
+
+def test_shingle_strings_short_doc(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    out = df.select(
+        _shingle_strings(F.split(F.lower("text"), r"\s+"), 5).alias("s")
+    ).first()
+    assert list(out.s) == ["a b"]

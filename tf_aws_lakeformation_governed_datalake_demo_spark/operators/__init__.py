@@ -15,5 +15,6 @@ from . import tpch_extra  # noqa: E402,F401 — Q6/Q12/Q14/Q18 shapes
 from . import udf_ops  # noqa: E402,F401 — pandas-UDF surface
 from . import iterative  # noqa: E402,F401 — k-means, connected components
 from . import pipelines  # noqa: E402,F401 — end-to-end curation pipelines
+from . import curation  # noqa: E402,F401 — split/sample/decontaminate/repetition
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,176 @@
+"""Training-data curation operators beyond the dedup/quality basics:
+deterministic train/val/test splitting, stratified sampling, benchmark
+decontamination, and intra-document repetition scoring — the remaining
+stages of a production LLM data pipeline.
+
+All hashing is md5-based so every operator is exactly reproducible in
+the DuckDB oracle (xxhash64 has no DuckDB equivalent), and everything
+stays JVM-side built-ins: map-only scoring, broadcast semi-joins for
+the benchmark set, partial-aggregated shuffles only on tiny keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+from .registry import query
+
+
+def _md5_bucket(col, n_buckets: int = 100):
+    """Deterministic [0, n_buckets) bucket from the first 8 md5 hex chars.
+
+    Content-addressed (not id-addressed): re-ingesting the same document
+    under a new id lands in the same split — the property that keeps
+    train/test membership stable across pipeline re-runs at 100 TB.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets
+
+
+_DUCK_BUCKET = "CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 100"
+
+
+@query(
+    "pipeline_train_val_split",
+    f"""
+    WITH b AS (SELECT lang, n_chars, {_DUCK_BUCKET} AS bucket FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1
+    """,
+    "Deterministic 80/10/10 train/val/test split by content hash "
+    "(md5-bucket of the text), with per-split document and char counts.",
+)
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the bucket is a map-only expression on the scan; only the
+    3-row summary shuffles. The same bucket expression used as a filter
+    yields the actual split datasets with zero data movement."""
+    d = load(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("text"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "sample_stratified_by_lang",
+    f"""
+    WITH b AS (SELECT doc_id, lang, {_DUCK_BUCKET} AS bucket FROM documents)
+    SELECT doc_id, lang FROM b WHERE bucket < 10
+    """,
+    "Stratified 10% deterministic sample: the content-hash bucket is "
+    "uniform within every stratum, so each language is sampled at the "
+    "same rate without a per-stratum pass.",
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: map-only filter — no sampling state, no shuffle, and the
+    sample is stable across runs and cluster sizes (unlike df.sample,
+    whose output depends on partitioning)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(_md5_bucket(F.col("text")) < 10).select("doc_id", "lang")
+
+
+def _shingle_strings(toks, k: int):
+    """k-token shingle strings via slice+concat (md5-able on both engines)."""
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  list_transform(range(1, greatest(len(toks)-2, 1)+1),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS s
+           FROM t)
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT) AS n_shingles,
+           round(CAST(len(list_distinct(s)) AS DOUBLE) / len(s), 4) AS distinct_ratio
+    FROM sh
+    """,
+    "Intra-document repetition score: distinct / total 3-token shingles "
+    "(the Gopher/C4-style repetition filter; low ratio = boilerplate).",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per-row array math only — embarrassingly parallel, no
+    shuffle; the shingle array lives behind a projection so it is built
+    once per row (CollapseProject discipline, see dedup.py)."""
+    d = load(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", _shingle_strings(F.split(F.lower("text"), r"\s+"), 3).alias("s")
+    )
+    return staged.select(
+        "doc_id",
+        F.size("s").cast("long").alias("n_shingles"),
+        F.round(
+            F.size(F.array_distinct("s")).cast("double") / F.size("s"), 4
+        ).alias("distinct_ratio"),
+    )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, greatest(len(toks)-4, 1)+1),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                        toks[i+3], toks[i+4])))) AS shingle
+           FROM t),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+    corpus AS (SELECT * FROM sh WHERE doc_id >= 20),
+    tot AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_contaminated,
+           round(CAST(count(*) AS DOUBLE) / any_value(tot.n), 4) AS contamination_ratio
+    FROM corpus c JOIN bench USING (shingle) JOIN tot ON c.doc_id = tot.doc_id
+    GROUP BY c.doc_id
+    """,
+    "Benchmark decontamination: corpus documents sharing any distinct "
+    "5-token shingle with the benchmark set (doc_id < 20 stands in for "
+    "an eval suite), with overlap counts and ratio.",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the benchmark shingle set is tiny and broadcasts, so the
+    corpus is one map-side hash-join pass — no corpus shuffle at all; the
+    per-doc overlap count partial-aggregates on doc_id."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_strings(toks, 5))).alias("shingle"),
+    )
+    bench = sh.filter(F.col("doc_id") < 20).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc_id") >= 20)
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_total"), 4
+            ).alias("contamination_ratio"),
+        )
+    )
