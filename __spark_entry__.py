@@ -51,6 +51,7 @@ _R01_VERIFIED_ROTATED = {
     "agg_count_distinct",
     "agg_cube",
     "join_broadcast_dims",
+    "join_full_outer",
     "knn_cosine_batch",
     "orderby_limit_topk",
     "agg_grouping_sets",

@@ -78,6 +78,29 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_click_purchase_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           round(CAST(p.value AS DOUBLE), 2) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    "Stream-stream interval join with watermark-bounded state: clicks "
+    "attributed to same-user purchases within 30 minutes. Inner-join "
+    "output over fully-consumed input equals the batch interval join, "
+    "hence oracle-checkable.",
+)
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, se.stream_click_purchase_join, "append")
+
+
+@query(
     "stream_dedup",
     None,
     "Streaming exact dedup on event_id with watermark-bounded state "

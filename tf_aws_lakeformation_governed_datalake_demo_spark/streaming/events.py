@@ -121,6 +121,48 @@ def stream_user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same user's
+    purchases within the following 30 minutes (funnel attribution).
+
+    Both sides carry watermarks so the join state is bounded: a buffered
+    click can be dropped once the purchase-side watermark passes
+    click_ts + 30 minutes. Inner joins emit matches as both sides arrive,
+    so over a fully-consumed input the appended output equals the batch
+    interval join — which makes this oracle-checkable.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
 def run_stream_to_batch(
     stream_df: DataFrame,
     query_name: str,
