@@ -39,6 +39,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "knn_cosine_topk",
     "text_quality_score",
+    # round 2 additions (kept separate so r01 totals stay comparable on
+    # the first 16 entries)
+    "pipeline_train_val_split",
+    "decontaminate_ngram_overlap",
 ]
 
 

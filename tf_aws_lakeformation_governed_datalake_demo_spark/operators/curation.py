@@ -154,18 +154,37 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc overlap count partial-aggregates on doc_id."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.lower("text"), r"\s+")
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(_shingle_strings(toks, 5))).alias("shingle"),
+    # The shingle array feeds three consumers (bench explode, corpus
+    # size, corpus explode); without a materialization boundary the
+    # optimizer inlines the expensive pipeline into each one (the
+    # CollapseProject hazard, see dedup.py) — measured 2.5x slower.
+    # Eager cache = one evaluation per doc; at 100 TB this is a persisted
+    # intermediate on the order of the text itself, same discipline as
+    # the minhash signature table.
+    staged = d.select(
+        "doc_id", F.array_distinct(_shingle_strings(toks, 5)).alias("sh")
+    ).cache()
+    staged.count()
+    bench = (
+        staged.filter(F.col("doc_id") < 20)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
     )
-    bench = sh.filter(F.col("doc_id") < 20).select("shingle").distinct()
-    corpus = sh.filter(F.col("doc_id") >= 20)
-    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    # n_total rides through the explode (computed once per doc, carried
+    # only on rows surviving the broadcast join), so the corpus is
+    # scanned exactly once and only matching shingles ever shuffle.
+    corpus = staged.filter(F.col("doc_id") >= 20).select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n_total"),
+        F.explode("sh").alias("shingle"),
+    )
     return (
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-        .join(totals, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.first("n_total").alias("n_total"),
+        )
         .select(
             "doc_id",
             "n_contaminated",
