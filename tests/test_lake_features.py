@@ -124,3 +124,37 @@ def test_load_events_in_foreign_session(spark, sf_dir):
     assert dict(df.dtypes)["ts"].startswith("timestamp")
     assert df.count() > 0
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+
+
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        compact_parquet, load,
+    )
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    li = load(spark, sf_dir, "lineitem")
+    li.repartition(64).write.parquet(src)  # simulate drip ingest
+    before, after = compact_parquet(spark, src, dst)
+    assert before == 64
+    assert after <= 2  # sf0.001 lineitem is far below one target file
+    a = spark.read.parquet(src).agg(F.count("*"), F.sum("l_quantity")).first()
+    b = spark.read.parquet(dst).agg(F.count("*"), F.sum("l_quantity")).first()
+    assert tuple(a) == tuple(b)
+
+
+def test_compact_parquet_partitioned(spark, sf_dir, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        compact_parquet, load,
+    )
+
+    src = str(tmp_path / "frag_part")
+    dst = str(tmp_path / "comp_part")
+    o = load(spark, sf_dir, "orders")
+    o.repartition(32).write.partitionBy("o_orderpriority").parquet(src)
+    before, after = compact_parquet(spark, src, dst, partition_by=["o_orderpriority"])
+    assert after < before
+    assert spark.read.parquet(dst).count() == o.count()
+    # hive layout preserved
+    import pathlib
+    assert any("o_orderpriority=" in p.name for p in pathlib.Path(dst).iterdir())

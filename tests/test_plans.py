@@ -130,3 +130,29 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    # the benchmark shingle set must broadcast so the corpus never shuffles
+    assert_broadcast_join(
+        REGISTRY["decontaminate_ngram_overlap"].builder(spark, sf_dir)
+    )
+
+
+def test_split_and_sample_are_map_only_scans(spark, sf_dir):
+    # the sample is a pure filter over the scan: no Exchange at all
+    plan = physical_plan(REGISTRY["sample_stratified_by_lang"].builder(spark, sf_dir))
+    assert "Exchange" not in plan
+    # the split aggregates on a 3-value key: exactly one shuffle, with
+    # map-side partial aggregation below it
+    plan = physical_plan(REGISTRY["pipeline_train_val_split"].builder(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+
+
+def test_fact_revenue_preaggregates_before_join(spark, sf_dir):
+    # lineitem must partial-aggregate to order grain BELOW the join and
+    # never take the countDistinct expand path
+    plan = physical_plan(REGISTRY["join_fact_revenue"].builder(spark, sf_dir))
+    assert "Expand" not in plan
+    assert "partial_sum" in plan

@@ -58,6 +58,49 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite ``src`` into ~target-size files at
+    ``dst``. Returns (files_before, files_after).
+
+    The 100 TB failure mode this fixes: streaming/incremental ingest
+    leaves thousands of KB-scale files per partition, and every scan pays
+    per-file open/footer costs that dwarf the read itself. Sizing the
+    repartition by observed bytes (not row counts) keeps output files
+    near the scan-optimal ``spark.sql.files.maxPartitionBytes``.
+    """
+    import math
+    from pathlib import Path
+
+    files = [p for p in Path(src).rglob("*.parquet") if p.is_file()]
+    total = sum(p.stat().st_size for p in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    if partition_by:
+        # spread within partitions; maxRecordsPerFile bounds stragglers
+        writer = (
+            df.repartition(*partition_by)
+            .write.mode("overwrite")
+            .option("compression", compression)
+            .partitionBy(*partition_by)
+        )
+    else:
+        writer = (
+            df.repartition(n_out)
+            .write.mode("overwrite")
+            .option("compression", compression)
+        )
+    writer.parquet(dst)
+    n_after = sum(1 for p in Path(dst).rglob("*.parquet") if p.is_file())
+    return len(files), n_after
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
