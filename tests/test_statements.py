@@ -1,0 +1,126 @@
+"""Athena statement-surface tests: EXPLAIN, CTAS, UNLOAD, prepared
+statements — each composed with governance."""
+
+from __future__ import annotations
+
+import pytest
+
+from tf_aws_lakeformation_governed_datalake_demo_spark import (
+    Engine,
+    PermissionDeniedError,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark import fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("stmtlake"))
+    return Engine(spark, fx.bootstrap(spark, lake))
+
+
+def test_explain_shows_governed_scan(engine):
+    plan = engine.explain(
+        "SELECT customer_id FROM sales_db.sales", principal="analyst"
+    )
+    # the analyst's row filter must appear as a pushed parquet filter
+    assert "PushedFilters" in plan and "sales_region" in plan
+
+
+def test_explain_denied_for_ungranted(engine):
+    with pytest.raises(PermissionDeniedError):
+        engine.explain("SELECT * FROM sales_db.sales", principal="nobody")
+
+
+def test_ctas_materializes_governed_subset(engine, spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ctas") / "apac_sales")
+    engine.ctas(
+        "SELECT customer_id, sales_region, sales_amount FROM sales_db.sales",
+        database="sales_db",
+        table="apac_sales",
+        location=out,
+        principal="analyst",
+    )
+    # only the analyst's 8 APAC rows were materialized
+    assert spark.read.parquet(out).count() == 8
+    # creator owns the result table and can query it governed
+    rows = engine.sql(
+        "SELECT count(*) AS n FROM sales_db.apac_sales", principal="analyst"
+    ).first()
+    assert rows.n == 8
+    # a different non-admin principal has no grant on it (implicit deny)
+    with pytest.raises(PermissionDeniedError):
+        engine.sql("SELECT * FROM sales_db.apac_sales", principal="nobody")
+
+
+def test_ctas_partitioned(engine, spark, tmp_path_factory):
+    import pathlib
+
+    out = str(tmp_path_factory.mktemp("ctasp") / "by_region")
+    engine.ctas(
+        "SELECT customer_id, sales_region FROM sales_db.sales",
+        database="sales_db",
+        table="sales_by_region",
+        location=out,
+        principal="dataadmin",
+        partition_by=["sales_region"],
+    )
+    assert any("sales_region=" in p.name for p in pathlib.Path(out).iterdir())
+    assert engine.catalog.partitions("sales_db.sales_by_region") == [
+        "sales_region=AMER", "sales_region=APAC", "sales_region=EMEA",
+    ]
+
+
+def test_unload_formats(engine, spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("unload")
+    p = engine.unload(
+        "SELECT customer_id, sales_amount FROM sales_db.sales",
+        str(base / "pq"),
+        principal="analyst",
+        format="parquet",
+    )
+    assert spark.read.parquet(p).count() == 8
+    c = engine.unload(
+        "SELECT customer_id FROM sales_db.sales",
+        str(base / "csv"),
+        principal="analyst",
+        format="csv",
+    )
+    assert spark.read.option("header", "true").csv(c).count() == 8
+
+
+def test_prepared_statement_params(engine):
+    engine.prepare(
+        "sales_over",
+        "SELECT customer_id, sales_amount FROM sales_db.sales "
+        "WHERE sales_amount > ? AND sales_region = ? ORDER BY customer_id",
+    )
+    rows = engine.execute_prepared(
+        "sales_over", (2000, "APAC"), principal="dataadmin"
+    ).collect()
+    assert rows and all(r.sales_amount > 2000 for r in rows)
+
+
+def test_prepared_statement_escapes_injection(engine):
+    engine.prepare(
+        "by_region", "SELECT count(*) AS n FROM sales_db.sales WHERE sales_region = ?"
+    )
+    # a malicious parameter stays a literal — never breaks out of quotes
+    row = engine.execute_prepared(
+        "by_region", ("APAC' OR '1'='1",), principal="dataadmin"
+    ).first()
+    assert row.n == 0
+
+
+def test_prepared_placeholder_in_literal_untouched(engine):
+    engine.prepare(
+        "q_lit",
+        "SELECT 'what?' AS q, count(*) AS n FROM sales_db.sales WHERE sales_region = ?",
+    )
+    row = engine.execute_prepared("q_lit", ("EMEA",), principal="dataadmin").first()
+    assert row.q == "what?" and row.n == 6
+
+
+def test_prepared_unused_params_error(engine):
+    engine.prepare("no_params", "SELECT 1 AS one")
+    with pytest.raises(ValueError):
+        engine.execute_prepared("no_params", ("extra",), principal="dataadmin")

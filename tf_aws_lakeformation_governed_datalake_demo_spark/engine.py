@@ -63,6 +63,7 @@ class Engine:
         self.catalog = catalog or GovernedCatalog(spark)
         self.results_dir = Path(results_dir) if results_dir else None
         self.executions: dict[str, QueryExecution] = {}
+        self._prepared: dict[str, str] = {}
         # L5 — workgroup metrics counters (CloudWatch-metrics analog,
         # main.tf:502 publish_cloudwatch_metrics_enabled)
         self.metrics: dict[str, int] = {
@@ -167,6 +168,104 @@ class Engine:
         """G11 — per-principal session handle (validate.sh:46-67 analog)."""
         return PrincipalSession(self, principal)
 
+    # ------------------------------------------- Athena statement surface
+    def explain(
+        self, sql: str, principal: Principal | str | None = None, mode: str = "formatted"
+    ) -> str:
+        """EXPLAIN — the governed plan as a string (Athena EXPLAIN analog).
+
+        The plan is of the REWRITTEN query, so it shows exactly what the
+        principal's scan reads (pushed row filters, pruned columns) — the
+        right tool for verifying governance reached the scan. Denied
+        principals get PermissionDeniedError, never a plan.
+        """
+        df = self.sql(sql, principal)
+        jvm = self.spark.sparkContext._jvm
+        return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+    def ctas(
+        self,
+        sql: str,
+        database: str,
+        table: str,
+        location: str,
+        principal: Principal | str | None = None,
+        partition_by: list[str] | None = None,
+    ) -> "QueryExecution":
+        """CREATE TABLE AS SELECT (Athena CTAS analog).
+
+        Executes the governed query AS the principal — so an analyst's
+        CTAS materializes only the rows/columns their grants allow — then
+        writes parquet at ``location`` and registers the external table.
+        The creating principal receives an ALL grant on the new table
+        (Athena/Glue behavior: creator owns the result table).
+        """
+        from .catalog import TableDef
+        from .governance import ALL
+
+        qe = self._execute(sql, principal, raise_on_error=True)
+        assert qe.result is not None
+        writer = qe.result.write.mode("overwrite").option("compression", "snappy")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(location)
+        self.catalog.register_table(
+            TableDef(
+                database=database,
+                name=table,
+                location=location,
+                schema=qe.result.schema,
+                partition_keys=tuple(partition_by or ()),
+            )
+        )
+        if qe.principal is not None:
+            self.catalog.grant(qe.principal, ALL, database, table)
+        return qe
+
+    def unload(
+        self,
+        sql: str,
+        path: str,
+        principal: Principal | str | None = None,
+        format: str = "parquet",
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """UNLOAD — write governed results to files without registering a
+        table (Athena UNLOAD analog). Returns the output path."""
+        df = self.sql(sql, principal)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if format == "parquet":
+            writer.option("compression", "snappy").parquet(path)
+        elif format == "csv":
+            writer.option("header", "true").csv(path)
+        elif format == "json":
+            writer.json(path)
+        elif format == "orc":
+            writer.orc(path)
+        else:
+            raise ValueError(f"unsupported UNLOAD format {format!r}")
+        return path
+
+    # ------------------------------------------------ prepared statements
+    def prepare(self, name: str, sql: str) -> None:
+        """PREPARE — store a parameterized statement (? placeholders)."""
+        self._prepared[name] = sql
+
+    def execute_prepared(
+        self,
+        name: str,
+        params: tuple | list = (),
+        principal: Principal | str | None = None,
+    ) -> DataFrame:
+        """EXECUTE ... USING — fill ? placeholders in order (literals are
+        escaped; placeholders inside string literals/comments are left
+        alone) and run governed."""
+        template = self._prepared[name]
+        filled = _fill_params(template, list(params))
+        return self.sql(filled, principal)
+
 
 @dataclass
 class PrincipalSession:
@@ -183,6 +282,46 @@ class PrincipalSession:
 
     def submit(self, sql: str) -> str:
         return self.engine.submit(sql, self.principal)
+
+
+def _sql_literal(v) -> str:
+    """Render a Python value as a safe SQL literal (strings are quoted
+    with '' doubling — parameters can never break out of their literal)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _fill_params(sql: str, params: list) -> str:
+    """Replace ? placeholders left-to-right, skipping string literals and
+    comments (same span rules as the governance rewriter)."""
+    from .catalog import GovernedCatalog
+
+    out: list[str] = []
+    pos = 0
+    remaining = list(params)
+
+    def fill_code(seg: str) -> str:
+        parts = []
+        for ch in seg:
+            if ch == "?" and remaining:
+                parts.append(_sql_literal(remaining.pop(0)))
+            else:
+                parts.append(ch)
+        return "".join(parts)
+
+    for m in GovernedCatalog._SKIP_SPANS.finditer(sql):
+        out.append(fill_code(sql[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(fill_code(sql[pos:]))
+    if remaining:
+        raise ValueError(f"{len(remaining)} unused parameter(s) for statement")
+    return "".join(out)
 
 
 # Backwards-friendly alias: PermissionDeniedError is the engine's
