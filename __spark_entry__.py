@@ -53,6 +53,7 @@ _R01_VERIFIED_ROTATED = {
     "join_broadcast_dims",
     "join_full_outer",
     "knn_cosine_batch",
+    "multimodal_decode",
     "orderby_limit_topk",
     "agg_grouping_sets",
     "agg_having",
@@ -64,6 +65,7 @@ _R01_VERIFIED_ROTATED = {
     "cte_correlated_subquery",
     "date_arithmetic",
     "date_parts_agg",
+    "dedup_embedding_cosine",
     "dedup_exact_normalized",
     "distinct_pairs",
     "filter_in_between_like",

@@ -126,3 +126,73 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_orderstatus", F.round("z_raw", 3).alias("z")
         )
     )
+
+
+@F.pandas_udf(T.DoubleType())
+def pandas_geomean(v: pd.Series) -> float:
+    """GROUPED_AGG pandas UDAF body: geometric mean (no Spark built-in).
+
+    Arrives as one Arrow batch per group; returns one scalar — the
+    vectorized UDAF contract."""
+    import numpy as np
+
+    return float(np.exp(np.log(v).mean()))
+
+
+@query(
+    "udf_grouped_agg_geomean",
+    """
+    SELECT o_orderstatus,
+           round(CAST(exp(avg(ln(o_totalprice))) AS DOUBLE), 2) AS geomean_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "Grouped-aggregate pandas UDAF (Arrow-batched): per-status geometric "
+    "mean of order price — an aggregate Spark has no built-in for. "
+    "Oracle via exp(avg(ln(x))).",
+)
+def udf_grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: partial aggregation does NOT apply to pandas UDAFs — each
+    group's values ship to one executor — so this pattern is for
+    bounded-cardinality groups; unbounded keys belong in the log-sum
+    formulation (sum(ln x) is partial-aggregatable JVM-side)."""
+    o = load(spark, sf_dir, "orders")
+    # Spark disallows mixing a pandas UDAF with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count joins in afterwards —
+    # a 3-row broadcast join.
+    g = o.groupBy("o_orderstatus").agg(
+        F.round(pandas_geomean("o_totalprice"), 2).alias("geomean_price")
+    )
+    counts = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    return g.join(counts, "o_orderstatus")
+
+
+@query(
+    "udf_udtf_tokenize",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+    FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u
+    """,
+    "Python UDTF (table function): tokenize each document into (pos, "
+    "token) rows via a LATERAL join — the §2.12 UDTF surface. Restricted "
+    "to doc_id < 50 (UDTFs are row-at-a-time Python; the scale path for "
+    "full-corpus tokenization is the explode/split built-in).",
+)
+def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").lower().split()):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM __udtf_docs d, LATERAL tokenize_udtf(d.text) t "
+        "WHERE d.doc_id < 50"
+    )
