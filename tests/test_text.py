@@ -25,17 +25,27 @@ def docs_dir(spark, tmp_path_factory):
     return out
 
 
-def _winnow_expected(text: str, k: int = 5) -> tuple[str, int]:
+def _winnow_expected(text: str, k: int = 5, w: int = 4) -> tuple[str, int, int]:
+    """Reference winnowing (Schleimer-Wilkerson-Aiken): rightmost minimal
+    md5 shingle hash per w-wide window; digest of the sorted selection."""
     toks = text.lower().split()
     n = max(len(toks) - k, 0) + 1
     shingles = [" ".join(toks[i : i + k]) for i in range(n)]
     hashes = [hashlib.md5(s.encode()).hexdigest() for s in shingles]
-    return min(hashes), len(hashes)
+    selected: set[int] = set()
+    for i in range(max(len(hashes) - w, 0) + 1):
+        win = hashes[i : i + w]
+        m = min(win)
+        selected.add(i + len(win) - 1 - win[::-1].index(m))
+    digest = hashlib.md5(
+        "".join(sorted(hashes[p] for p in selected)).encode()
+    ).hexdigest()
+    return digest, len(hashes), len(selected)
 
 
 def test_winnow_fingerprint_exactness(spark, docs_dir):
     rows = {
-        r.doc_id: (r.fingerprint, r.n_shingles)
+        r.doc_id: (r.fingerprint, r.n_shingles, r.n_selected)
         for r in REGISTRY["text_winnow_fingerprint"].builder(spark, docs_dir).collect()
     }
     for doc_id, text in [
@@ -47,13 +57,50 @@ def test_winnow_fingerprint_exactness(spark, docs_dir):
 
 
 def test_winnow_fingerprint_short_doc(spark, docs_dir):
-    # < k tokens: one shingle of all available tokens
+    # < k tokens: one shingle of all available tokens, one selection
     rows = {
-        r.doc_id: (r.fingerprint, r.n_shingles)
+        r.doc_id: (r.fingerprint, r.n_shingles, r.n_selected)
         for r in REGISTRY["text_winnow_fingerprint"].builder(spark, docs_dir).collect()
     }
-    fp = hashlib.md5(b"short doc").hexdigest()
-    assert rows[2] == (fp, 1)
+    assert rows[2] == _winnow_expected("short doc")
+    assert rows[2][1] == 1 and rows[2][2] == 1
+
+
+def test_winnow_density_and_match_guarantee(spark):
+    # density ~2/(w+1) on random-ish text, and two docs sharing a long
+    # passage must share at least one selected hash (the paper's guarantee)
+    import itertools
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = [
+        (1, base + " unique tail one two three"),
+        (2, "completely different head words here " + base),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.text import (
+        WINNOW_K, WINNOW_W, winnow_selected_positions,
+    )
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.lower("text"), r"\s+")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - WINNOW_K, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_K)),
+    )
+    staged = df.select("doc_id", F.transform(shingles, F.md5).alias("hashes"))
+    sel = staged.select(
+        "doc_id",
+        F.transform(
+            winnow_selected_positions(F.col("hashes")),
+            lambda p: F.element_at(F.col("hashes"), (p + 1).cast("int")),
+        ).alias("picked"),
+        F.size("hashes").alias("n"),
+    ).collect()
+    by_id = {r.doc_id: (set(r.picked), r.n) for r in sel}
+    for picked, n in by_id.values():
+        assert len(picked) <= n
+        assert len(picked) / n < 0.8  # far below one-per-shingle
+    assert by_id[1][0] & by_id[2][0]  # shared passage -> shared fingerprint
 
 
 def test_token_stats_exactness(spark, docs_dir):

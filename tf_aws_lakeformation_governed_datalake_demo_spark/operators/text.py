@@ -229,27 +229,61 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 5  # shingle width (tokens)
+WINNOW_W = 4  # winnowing window (shingles)
+
+
+def winnow_selected_positions(hashes_col, w: int = WINNOW_W):
+    """Schleimer-Wilkerson-Aiken winnowing: slide a w-wide window over the
+    shingle-hash sequence and select the RIGHTMOST minimal hash of each
+    window; the distinct selected positions are the fingerprint.
+
+    Guarantees (the paper's): every match of length >= w+k-1 tokens shares
+    at least one selected hash, and the density of selections is ~2/(w+1).
+    ``array_position(reverse(win), m)`` finds the 1-based index of the
+    last occurrence of the min, so pos = i + |win| - that index.
+    """
+    n_wins = F.greatest(F.size(hashes_col) - w, F.lit(0))
+
+    def pick(i):
+        win = F.slice(hashes_col, i + 1, w)
+        m = F.array_min(win)
+        return i + F.size(win) - F.array_position(F.reverse(win), m)
+
+    return F.array_distinct(F.transform(F.sequence(F.lit(0), n_wins), pick))
+
+
 @query(
     "text_winnow_fingerprint",
     None,
-    "Winnowing-style fingerprint: min hash over 5-token rolling shingles "
-    "(rolling-hash document signature). Spark-only (higher-order array "
-    "functions); driver does a rows-only check, exactness covered by "
+    "Winnowing fingerprint (Schleimer-Wilkerson-Aiken): md5 shingle "
+    "hashes -> rightmost-min selection per 4-shingle window -> digest of "
+    "the selected hash set. Spark-only (higher-order array functions); "
+    "driver does a rows-only check, exactness vs a Python reference in "
     "tests/test_text.py.",
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: per-row array ops, no shuffle at all — embarrassingly
-    parallel over document splits."""
+    parallel over document splits. The hash array is materialized in a
+    prior projection and referenced many times, so the optimizer cannot
+    inline the shingling pipeline into the window lambdas (CollapseProject
+    discipline, see dedup.py)."""
     d = load(spark, sf_dir, "documents")
     toks = _ws_tokens(F.col("text"))
-    k = 5
+    k = WINNOW_K
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
-    hashes = F.transform(shingles, F.md5)
-    return d.select(
+    staged = d.select("doc_id", F.transform(shingles, F.md5).alias("hashes"))
+    hashes = F.col("hashes")
+    selected = winnow_selected_positions(hashes)
+    picked = F.array_sort(
+        F.transform(selected, lambda p: F.element_at(hashes, (p + 1).cast("int")))
+    )
+    return staged.select(
         "doc_id",
-        F.array_min(hashes).alias("fingerprint"),
+        F.md5(F.concat_ws("", picked)).alias("fingerprint"),
         F.size(hashes).cast("long").alias("n_shingles"),
+        F.size(selected).cast("long").alias("n_selected"),
     )
