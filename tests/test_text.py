@@ -121,3 +121,31 @@ def test_lang_id_on_crafted(spark, docs_dir):
     assert rows[1] == "en"
     assert rows[3] == "de"
     assert rows[4] == "und"  # no marker tokens at all
+
+
+def test_dedup_winnow_on_crafted(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the tall green trees"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate
+        (3, base.replace("windowsill", "balcony")),  # near-dup
+        (4, "entirely different content about columnar query execution and "
+            "adaptive shuffle partitioning in distributed engines today"),
+    ]
+    out = str(tmp_path / "windocs")
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(f"{out}/documents.parquet")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_winnow"].builder(spark, out).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)

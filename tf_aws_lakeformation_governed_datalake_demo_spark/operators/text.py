@@ -287,3 +287,53 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(hashes).cast("long").alias("n_shingles"),
         F.size(selected).cast("long").alias("n_selected"),
     )
+
+
+@query(
+    "dedup_winnow",
+    None,
+    "Near-dup candidates via winnowed fingerprints: inverted index over "
+    "the SELECTED hashes only (~2/(w+1) of the full shingle index), pairs "
+    "ranked by shared-fingerprint count. The winnowing guarantee bounds "
+    "recall: any shared passage of >= w+k-1 tokens produces a shared "
+    "selected hash. Rows-only driver check; recall/exclusion asserted in "
+    "tests/test_text.py.",
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same inverted-index shape as dedup_ngram_jaccard but the
+    exploded index is ~2/(w+1) the size (only selected hashes), and the
+    same hot-key cap applies. Winnowing is how source-code/plagiarism
+    systems (MOSS) make full-corpus fingerprint joins tractable."""
+    from .dedup import DEFAULT_MAX_BUCKET, _drop_hot_buckets
+
+    d = load(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    k = WINNOW_K
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    staged = d.select("doc_id", F.transform(shingles, F.md5).alias("hashes"))
+    hashes = F.col("hashes")
+    picked = F.array_distinct(
+        F.transform(
+            winnow_selected_positions(hashes),
+            lambda p: F.element_at(hashes, (p + 1).cast("int")),
+        )
+    )
+    inv = staged.select("doc_id", F.explode(picked).alias("fp"))
+    inv = _drop_hot_buckets(inv, ["fp"], DEFAULT_MAX_BUCKET)
+    return (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_fingerprints"))
+        .filter(F.col("n_shared_fingerprints") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
