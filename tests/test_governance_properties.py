@@ -72,3 +72,46 @@ def test_governed_scan_never_leaks(spark, lake_path, allowlist, regions):
     # an ungranted principal still denied regardless of filter shape
     with pytest.raises(PermissionDeniedError):
         cat.table("db.sales", "someone_else")
+
+
+# ---------------------------------------------------------------- rewriting
+from hypothesis import given, settings, strategies as st
+
+from tf_aws_lakeformation_governed_datalake_demo_spark.engine import (
+    _fill_params,
+    _sql_literal,
+)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(-10**6, 10**6),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20),
+            st.none(),
+            st.booleans(),
+        ),
+        max_size=5,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_fill_params_consumes_exactly_placeholders(params):
+    sql = "SELECT 'lit?eral' FROM t WHERE " + " AND ".join(
+        f"c{i} = ?" for i in range(len(params))
+    ) if params else "SELECT 'lit?eral' FROM t"
+    filled = _fill_params(sql, params)
+    assert "'lit?eral'" in filled  # placeholder inside literal untouched
+    # every code-span placeholder consumed
+    assert "?" not in filled.replace("'lit?eral'", "")
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_sql_literal_never_escapes_quotes(s):
+    lit = _sql_literal(s)
+    # quoted, and interior quote chars are doubled: an odd run of quotes
+    # can never terminate the literal early
+    assert lit.startswith("'") and lit.endswith("'")
+    inner = lit[1:-1]
+    assert inner.replace("''", "") .count("'") == 0

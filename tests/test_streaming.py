@@ -72,3 +72,66 @@ def test_stream_stream_interval_join(spark, sf_dir):
     got_set = {tuple(r) for r in got.collect()}
     exp_set = {tuple(r) for r in expected.collect()}
     assert got_set == exp_set
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    # True watermark semantics need >1 micro-batch: batch 1 advances the
+    # watermark past a window, batch 2 delivers a late row into it — the
+    # row must be dropped and the closed window's count must not change.
+    import time as _time
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "latestream"
+    d.mkdir()
+
+    def write_file(name, ts_list):
+        t = pa.table({
+            "ts": pa.array(ts_list, type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(ts_list), type=pa.int64()),
+        })
+        pq.write_table(t, str(d / name))
+
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    mins = lambda m: base + dt.timedelta(minutes=m)
+    # Eviction is lazy: the watermark computed from batch N applies in
+    # batch N+1, and a closed window's state is removed at the END of the
+    # batch where watermark > window end — so a row arriving in THAT
+    # batch still merges (documented "may drop" semantics). A row is
+    # guaranteed-dropped only once the state is gone: batch 3.
+    # batch 1: two rows in [10:00,11:00) plus 12:00 (watermark -> 11:30)
+    write_file("f1.parquet", [mins(5), mins(20), mins(120)])
+    _time.sleep(1.1)  # file-source batches follow modification time
+    # batch 2: fresh row; end of this batch evicts+emits the 10:00 window
+    write_file("f2.parquet", [mins(125)])
+    _time.sleep(1.1)
+    # batch 3: a LATE row at 10:15 — state gone, watermark filter drops it
+    write_file("f3.parquet", [mins(15)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.start: r.n for r in spark.sql("SELECT * FROM late_test").collect()}
+    # the 10:00 window emitted once with ONLY the on-time rows; the late
+    # row neither reopened it nor produced a duplicate emission
+    assert rows == {base: 2}
