@@ -124,3 +124,42 @@ def test_prepared_unused_params_error(engine):
     engine.prepare("no_params", "SELECT 1 AS one")
     with pytest.raises(ValueError):
         engine.execute_prepared("no_params", ("extra",), principal="dataadmin")
+
+
+def test_governed_curation_composition(spark, sf_dir, tmp_path_factory):
+    # The two halves compose: the documents corpus under row-level
+    # security, queried through the governed engine with curation-style
+    # SQL — a contractor principal sees only English documents.
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        DataCellsFilter,
+        GovernedCatalog,
+        TableDef,
+    )
+
+    cat = GovernedCatalog(spark)
+    cat.create_database("corpus")
+    cat.register_table(
+        TableDef("corpus", "documents", f"{sf_dir}/documents.parquet")
+    )
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="en-only",
+            database="corpus",
+            table="documents",
+            columns=("doc_id", "text", "lang"),
+            row_filter="lang = 'en'",
+        )
+    )
+    cat.grant("contractor", "SELECT", "corpus", "documents", via_filter="en-only")
+    eng = Engine(spark, cat)
+    rows = eng.sql(
+        "SELECT lang, count(*) AS n, round(avg(length(text)), 1) AS avg_len "
+        "FROM corpus.documents GROUP BY lang",
+        principal="contractor",
+    ).collect()
+    assert [r.lang for r in rows] == ["en"]
+    # and the column allowlist holds: n_chars/source are not visible
+    qid = eng.submit(
+        "SELECT source FROM corpus.documents", principal="contractor"
+    )
+    assert eng.status(qid).value == "FAILED"
