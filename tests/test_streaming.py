@@ -135,3 +135,49 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     # the 10:00 window emitted once with ONLY the on-time rows; the late
     # row neither reopened it nor produced a duplicate emission
     assert rows == {base: 2}
+
+
+def test_streaming_ingest_into_governed_table(spark, sf_dir, tmp_path):
+    # S4 end-to-end with a stream: events stream-ingests (parquet sink,
+    # checkpointed) into an external-table location; the governed catalog
+    # reads it schema-on-read immediately, row security applied.
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        DataCellsFilter, Engine, GovernedCatalog, TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.streaming import events as se
+
+    loc = str(tmp_path / "ingested_events")
+    stream = se.read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", loc)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cat = GovernedCatalog(spark)
+    cat.create_database("rt")
+    cat.register_table(TableDef("rt", "events", loc))
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="clicks-only",
+            database="rt",
+            table="events",
+            columns=("event_id", "ts", "user_id", "event_type"),
+            row_filter="event_type = 'click'",
+        )
+    )
+    cat.grant("ops", "SELECT", "rt", "events", via_filter="clicks-only")
+    eng = Engine(spark, cat)
+    rows = eng.sql(
+        "SELECT count(*) AS n FROM rt.events", principal="ops"
+    ).first()
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    expected = load(spark, sf_dir, "events").filter("event_type = 'click'").count()
+    assert rows.n == expected > 0

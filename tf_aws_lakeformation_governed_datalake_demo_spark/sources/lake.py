@@ -53,7 +53,14 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for the SQL entry point."""
+    """Register every table as a temp view for the SQL entry point.
+
+    WARNING: do not mix with a governed ``Engine`` in the same session —
+    these session-catalog views resolve UNGOVERNED for unqualified names.
+    Governed SQL must address tables by their catalog-qualified names
+    (``db.table``), which the engine rewrites; keep ungoverned analytics
+    sessions and governed engine sessions separate.
+    """
     for t in TPCH_TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
