@@ -53,6 +53,7 @@ _R01_VERIFIED_ROTATED = {
     "join_broadcast_dims",
     "join_full_outer",
     "knn_cosine_batch",
+    "mask_pii_expressions",
     "multimodal_decode",
     "orderby_limit_topk",
     "agg_grouping_sets",

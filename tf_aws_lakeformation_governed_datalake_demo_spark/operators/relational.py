@@ -856,3 +856,36 @@ def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, types)
     )
+
+
+@query(
+    "join_salted_skew",
+    """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(c.c_acctbal) AS DOUBLE), 2) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "Explicitly salted join (8-way key salt) — the skew mitigation for "
+    "keys AQE's split can't fix. Salting changes only the physical "
+    "distribution, so the oracle is the PLAIN join: hash-equality proves "
+    "semantic transparency.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the hot key's rows spread across n_salts tasks; the small
+    side replicates n_salts-fold (keep it broadcast-sized x n_salts).
+    Salt derives from a row-unique hash, not rand(), so re-runs are
+    deterministic (driver hash-compares)."""
+    from .skew import salt_join
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    joined = salt_join(c, n, "c_nationkey", "n_nationkey", n_salts=8)
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
