@@ -158,3 +158,28 @@ def test_compact_parquet_partitioned(spark, sf_dir, tmp_path):
     # hive layout preserved
     import pathlib
     assert any("o_orderpriority=" in p.name for p in pathlib.Path(dst).iterdir())
+
+
+def test_compact_parquet_partitioned_bounds_hot_partition(spark, sf_dir, tmp_path):
+    # A tiny target_file_bytes must split a hot partition into several
+    # files (maxRecordsPerFile), not leave one file per partition value
+    # (round-2 ADVICE: the option was documented but never set).
+    import pathlib
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        compact_parquet, load,
+    )
+
+    src = str(tmp_path / "frag_hot")
+    dst = str(tmp_path / "comp_hot")
+    o = load(spark, sf_dir, "orders")
+    o.repartition(8).write.partitionBy("o_orderpriority").parquet(src)
+    compact_parquet(
+        spark, src, dst, target_file_bytes=16 << 10,
+        partition_by=["o_orderpriority"],
+    )
+    part_dirs = [p for p in pathlib.Path(dst).iterdir() if "=" in p.name]
+    files_per_part = {
+        p.name: len(list(p.glob("*.parquet"))) for p in part_dirs
+    }
+    assert max(files_per_part.values()) > 1

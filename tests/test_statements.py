@@ -126,6 +126,34 @@ def test_prepared_unused_params_error(engine):
         engine.execute_prepared("no_params", ("extra",), principal="dataadmin")
 
 
+def test_prepared_missing_params_error(engine):
+    # too FEW params must fail fast with a clear message, not surface as
+    # an opaque Spark parse error on the leftover '?' (round-2 ADVICE)
+    engine.prepare(
+        "two_params",
+        "SELECT count(*) AS n FROM sales_db.sales "
+        "WHERE sales_region = ? AND sales_amount > ?",
+    )
+    with pytest.raises(ValueError, match="missing parameter"):
+        engine.execute_prepared("two_params", ("APAC",), principal="dataadmin")
+
+
+def test_explain_does_not_execute(spark, tmp_path_factory):
+    # EXPLAIN must never write a result set or record a query execution
+    # (round-2 ADVICE: it used to run the full _execute path)
+    import pathlib
+
+    lake = str(tmp_path_factory.mktemp("explainlake"))
+    results = tmp_path_factory.mktemp("explainresults")
+    eng = Engine(spark, fx.bootstrap(spark, lake), results_dir=str(results))
+    plan = eng.explain(
+        "SELECT customer_id FROM sales_db.sales", principal="analyst"
+    )
+    assert "PushedFilters" in plan
+    assert list(pathlib.Path(results).iterdir()) == []
+    assert eng.executions == {} and eng.metrics["queries_submitted"] == 0
+
+
 def test_governed_curation_composition(spark, sf_dir, tmp_path_factory):
     # The two halves compose: the documents corpus under row-level
     # security, queried through the governed engine with curation-style

@@ -178,8 +178,20 @@ class Engine:
         principal's scan reads (pushed row filters, pruned columns) — the
         right tool for verifying governance reached the scan. Denied
         principals get PermissionDeniedError, never a plan.
+
+        EXPLAIN never executes: the DataFrame is built via the governance
+        rewrite directly (not ``_execute``), so no result CSV is written
+        and no query execution is recorded (round-2 ADVICE).
         """
-        df = self.sql(sql, principal)
+        created_views: list[str] = []
+        try:
+            rewritten, _ = self.catalog._rewrite_sql(
+                sql, principal, _views_out=created_views
+            )
+            df = self.spark.sql(rewritten)
+        finally:
+            for v in created_views:
+                self.spark.catalog.dropTempView(v)
         jvm = self.spark.sparkContext._jvm
         return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
@@ -304,12 +316,19 @@ def _fill_params(sql: str, params: list) -> str:
     out: list[str] = []
     pos = 0
     remaining = list(params)
+    missing = 0
 
     def fill_code(seg: str) -> str:
+        nonlocal missing
         parts = []
         for ch in seg:
-            if ch == "?" and remaining:
-                parts.append(_sql_literal(remaining.pop(0)))
+            if ch == "?":
+                if remaining:
+                    parts.append(_sql_literal(remaining.pop(0)))
+                else:
+                    # keep scanning so the error reports the full shortfall
+                    missing += 1
+                    parts.append(ch)
             else:
                 parts.append(ch)
         return "".join(parts)
@@ -319,6 +338,11 @@ def _fill_params(sql: str, params: list) -> str:
         out.append(m.group(0))
         pos = m.end()
     out.append(fill_code(sql[pos:]))
+    if missing:
+        raise ValueError(
+            f"missing parameter(s): statement has {missing} more '?' "
+            f"placeholder(s) than supplied parameters"
+        )
     if remaining:
         raise ValueError(f"{len(remaining)} unused parameter(s) for statement")
     return "".join(out)

@@ -158,13 +158,13 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size, corpus explode); without a materialization boundary the
     # optimizer inlines the expensive pipeline into each one (the
     # CollapseProject hazard, see dedup.py) — measured 2.5x slower.
-    # Eager cache = one evaluation per doc; at 100 TB this is a persisted
-    # intermediate on the order of the text itself, same discipline as
-    # the minhash signature table.
+    # localCheckpoint (eager) materializes once like cache()+count(), but
+    # its blocks are released by the ContextCleaner when this frame goes
+    # out of scope — cache() entries live in the CacheManager for the
+    # whole session, accumulating across invocations (round-2 ADVICE).
     staged = d.select(
         "doc_id", F.array_distinct(_shingle_strings(toks, 5)).alias("sh")
-    ).cache()
-    staged.count()
+    ).localCheckpoint(eager=True)
     bench = (
         staged.filter(F.col("doc_id") < 20)
         .select(F.explode("sh").alias("shingle"))

@@ -170,8 +170,8 @@ def udf_grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udf_udtf_tokenize",
     """
-    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
-               FROM documents WHERE doc_id < 50)
+    WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents WHERE doc_id < 50 AND trim(text) <> '')
     SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
     FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u
     """,

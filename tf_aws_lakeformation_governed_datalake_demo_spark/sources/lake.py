@@ -90,11 +90,18 @@ def compact_parquet(
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src)
     if partition_by:
-        # spread within partitions; maxRecordsPerFile bounds stragglers
+        # One shuffle task per partition value would leave a hot partition
+        # as one giant file; maxRecordsPerFile (derived from the observed
+        # bytes/row of the source) rolls each task's output into
+        # ~target-size files instead. count() on parquet is metadata-only.
+        n_rows = df.count()
+        bytes_per_row = max(1.0, total / max(1, n_rows))
+        max_records = max(1, int(target_file_bytes / bytes_per_row))
         writer = (
             df.repartition(*partition_by)
             .write.mode("overwrite")
             .option("compression", compression)
+            .option("maxRecordsPerFile", max_records)
             .partitionBy(*partition_by)
         )
     else:
