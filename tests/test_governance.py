@@ -276,3 +276,76 @@ def test_governed_result_usable_after_view_drop(engine):
     )
     assert [t.name for t in engine.spark.catalog.listTables() if t.name.startswith("__gov_")] == []
     assert df.count() == 1
+
+
+def test_multiple_data_cells_filters_union(spark, tmp_path_factory):
+    # LF semantics: several cell filters on one (principal, table) are
+    # ADDITIVE — rows OR-ed, column allowlists unioned (round-2 VERDICT
+    # "what's wrong" #3: only the first filtered grant used to apply).
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        DataCellsFilter, Engine,
+    )
+
+    lake = str(tmp_path_factory.mktemp("unionlake"))
+    cat = fx.bootstrap(spark, lake)
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="analyst-emea-filter",
+            database="sales_db",
+            table="sales",
+            columns=("customer_id", "sales_region", "sale_date"),
+            row_filter="sales_region = 'EMEA'",
+        )
+    )
+    cat.grant("analyst", "SELECT", "sales_db", "sales",
+              via_filter="analyst-emea-filter")
+    eng = Engine(spark, cat)
+    df = eng.sql(
+        "SELECT * FROM sales_db.sales ORDER BY customer_id",
+        principal="analyst",
+    )
+    rows = df.collect()
+    # rows: union of APAC (8) and EMEA (6)
+    assert sorted({r.sales_region for r in rows}) == ["APAC", "EMEA"]
+    assert len(rows) == 14
+    # columns: union of the two allowlists, in declared schema order;
+    # PII columns remain invisible (in neither allowlist)
+    assert df.columns == [
+        "customer_id", "customer_name", "sales_region",
+        "sales_amount", "sale_date",
+    ]
+    # audit records BOTH filter names
+    qid = eng.submit("SELECT count(*) AS n FROM sales_db.sales",
+                     principal="analyst")
+    assert eng.executions[qid].filters_applied == [
+        "analyst-apac-filter", "analyst-emea-filter",
+    ]
+    # single-filter behavior unchanged for other principals
+    assert eng.sql("SELECT count(*) AS n FROM sales_db.sales",
+                   principal="dataadmin").first().n == 20
+
+
+def test_filter_union_row_unrestricted_wins(spark, tmp_path_factory):
+    # A second filter with NO row predicate unions to all rows (while
+    # columns stay the union of the allowlists).
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        DataCellsFilter, Engine,
+    )
+
+    lake = str(tmp_path_factory.mktemp("unionlake2"))
+    cat = fx.bootstrap(spark, lake)
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="all-rows-ids-only",
+            database="sales_db",
+            table="sales",
+            columns=("customer_id",),
+            row_filter=None,
+        )
+    )
+    cat.grant("analyst", "SELECT", "sales_db", "sales",
+              via_filter="all-rows-ids-only")
+    eng = Engine(spark, cat)
+    df = eng.sql("SELECT * FROM sales_db.sales", principal="analyst")
+    assert df.count() == 20  # no row restriction remains
+    assert "ssn" not in df.columns and "customer_email" not in df.columns

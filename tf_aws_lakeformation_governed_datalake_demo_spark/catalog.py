@@ -292,18 +292,28 @@ class GovernedCatalog:
             for g in grants
         ):
             return self._raw(table)
-        df = self._raw(table)
+        # Conditioned grants are ADDITIVE (LF semantics: several cell
+        # filters may attach to one (principal, table); effective access is
+        # the union of their cells — main.tf:432-457 defines one filter but
+        # nothing stops a second filtered grant). The union of cell
+        # rectangles is approximated by the enclosing rectangle — row
+        # predicates OR-ed, column allowlists unioned — which is how SQL
+        # engines rectangularize LF filter unions; with a single filter
+        # (the reference's shape) this degenerates to exactly that filter.
+        row_preds: list[str] = []
+        all_rows = False  # some grant imposes no row restriction
+        col_sets: list[tuple[str, ...] | None] = []  # None = all columns
+        applied: list[str] = []
         for g in grants:
             if g.via_filter is not None:
                 f = self.filters[g.via_filter]
-                if _filters_out is not None:
-                    _filters_out.append(f.name)
+                applied.append(f.name)
                 if f.row_filter:
-                    df = df.filter(F.expr(f.row_filter))
-                if f.columns and not row_only:
-                    df = df.select(*f.columns)
-                return df
-            if g.via_tag_exclude is not None:
+                    row_preds.append(f.row_filter)
+                else:
+                    all_rows = True
+                col_sets.append(tuple(f.columns) if f.columns else None)
+            elif g.via_tag_exclude is not None:
                 # tag-based access control: allowlist = untagged columns,
                 # resolved from the schema at read time
                 key, value = g.via_tag_exclude
@@ -311,19 +321,38 @@ class GovernedCatalog:
                     raise PermissionDeniedError(
                         f"tag-based grant on {qualified} requires a declared schema"
                     )
-                allow = [
-                    f_.name
-                    for f_ in table.schema.fields
-                    if table.column_tags.get(f_.name, {}).get(key) != value
-                ]
-                if _filters_out is not None:
-                    _filters_out.append(f"tag-exclude:{key}={value}")
-                if not row_only:
-                    df = df.select(*allow)
-                return df
-        raise PermissionDeniedError(
-            f"principal {name!r} has no SELECT path to {qualified}"
-        )
+                applied.append(f"tag-exclude:{key}={value}")
+                all_rows = True
+                col_sets.append(
+                    tuple(
+                        f_.name
+                        for f_ in table.schema.fields
+                        if table.column_tags.get(f_.name, {}).get(key) != value
+                    )
+                )
+        if not applied:
+            raise PermissionDeniedError(
+                f"principal {name!r} has no SELECT path to {qualified}"
+            )
+        if _filters_out is not None:
+            _filters_out.extend(applied)
+        df = self._raw(table)
+        if row_preds and not all_rows:
+            # one OR chain of pushable comparisons — Catalyst still pushes
+            # the whole disjunction into the parquet scan
+            df = df.filter(F.expr(" OR ".join(f"({p})" for p in row_preds)))
+        if not row_only and all(cs is not None for cs in col_sets):
+            if len(col_sets) == 1:
+                df = df.select(*col_sets[0])  # keep the filter's column order
+            else:
+                allowed = {c for cs in col_sets for c in cs}
+                order = (
+                    [f_.name for f_ in table.schema.fields]
+                    if table.schema is not None
+                    else df.columns
+                )
+                df = df.select(*[c for c in order if c in allowed])
+        return df
 
     def view(
         self,
