@@ -191,3 +191,42 @@ def test_governed_curation_composition(spark, sf_dir, tmp_path_factory):
         "SELECT source FROM corpus.documents", principal="contractor"
     )
     assert eng.status(qid).value == "FAILED"
+
+
+def test_results_pagination_token(spark, engine):
+    # L3 full parity: validate.sh pages with --max-items/NextToken; the
+    # engine's results_page walks the same protocol.
+    qid = engine.submit(
+        "SELECT customer_id FROM sales_db.sales ORDER BY customer_id",
+        principal="dataadmin",
+    )
+    page1, tok1 = engine.results_page(qid, max_rows=8)
+    assert len(page1) == 8 and tok1 is not None
+    page2, tok2 = engine.results_page(qid, max_rows=8, next_token=tok1)
+    assert len(page2) == 8 and tok2 is not None
+    page3, tok3 = engine.results_page(qid, max_rows=8, next_token=tok2)
+    assert len(page3) == 4 and tok3 is None  # 20 rows total
+    ids = [r.customer_id for r in page1 + page2 + page3]
+    assert ids == sorted(ids) and len(set(ids)) == 20
+    # exact-boundary page: token present only if more rows exist
+    qid2 = engine.submit(
+        "SELECT customer_id FROM sales_db.sales ORDER BY customer_id LIMIT 8",
+        principal="dataadmin",
+    )
+    page, tok = engine.results_page(qid2, max_rows=8)
+    assert len(page) == 8 and tok is None
+
+
+def test_cleanup_results_removes_files(spark, tmp_path_factory):
+    import pathlib
+
+    lake = str(tmp_path_factory.mktemp("cleanlake"))
+    results = tmp_path_factory.mktemp("cleanresults")
+    eng = Engine(spark, fx.bootstrap(spark, lake), results_dir=str(results))
+    qid = eng.submit("SELECT * FROM sales_db.sales", principal="dataadmin")
+    assert pathlib.Path(eng.executions[qid].results_path).exists()
+    assert eng.cleanup_results() == 1
+    assert list(pathlib.Path(results).iterdir()) == []
+    assert eng.executions[qid].results_path is None
+    # audit/execution record remains
+    assert eng.status(qid).value == "SUCCEEDED"

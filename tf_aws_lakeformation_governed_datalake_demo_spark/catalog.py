@@ -128,6 +128,79 @@ class GovernedCatalog:
         """V2 — ``DROP VIEW`` (README.md:320)."""
         self.views.pop(f"{database}.{name}", None)
 
+    def drop_table(self, qualified: str, delete_data: bool = False) -> None:
+        """Drop an external table; optionally delete its data directory.
+
+        The destroy-provisioner analog (main.tf:100-111 force-destroys the
+        data bucket, main.tf:518-530 the results bucket). Grants referencing
+        the dropped table become inert — any later access fails closed with
+        "unknown table" because enforcement resolves tables by name.
+        """
+        table = self.tables.pop(qualified)  # KeyError for unknown tables
+        if delete_data:
+            import shutil
+
+            shutil.rmtree(table.location, ignore_errors=True)
+
+    def drop_database(self, name: str, cascade: bool = False) -> None:
+        """Drop a database. Without ``cascade`` it must be empty (Glue
+        behavior); with it, contained tables and views are dropped too
+        (metadata only — data stays unless drop_table(delete_data=True))."""
+        members = [q for q, t in self.tables.items() if t.database == name]
+        views = [q for q, v in self.views.items() if v.database == name]
+        if (members or views) and not cascade:
+            raise ValueError(
+                f"database {name!r} is not empty: {sorted(members + views)}"
+            )
+        for q in members:
+            self.tables.pop(q)
+        for q in views:
+            self.views.pop(q)
+        self.databases.pop(name)
+
+    # ------------------------------------------------------ introspection
+    def list_databases(self) -> list[dict]:
+        """Glue ``get-databases`` analog: one dict per database."""
+        return [
+            {"Name": name, "Description": desc}
+            for name, desc in sorted(self.databases.items())
+        ]
+
+    def list_tables(self, database: str) -> list[dict]:
+        """Glue ``get-tables`` analog (names only; describe_table for
+        the full shape)."""
+        return sorted(
+            t.name for t in self.tables.values() if t.database == database
+        )
+
+    def list_views(self, database: str) -> list[dict]:
+        return sorted(
+            v.name for v in self.views.values() if v.database == database
+        )
+
+    def describe_table(self, qualified: str) -> dict:
+        """Glue ``get-table`` analog: schema + comments + LF column tags
+        in the AWS response shape (main.tf:303-372 declares the same
+        fields), so governance metadata is introspectable without reading
+        any data."""
+        t = self.tables[qualified]
+        columns = []
+        for f_ in t.schema.fields if t.schema is not None else []:
+            col: dict = {"Name": f_.name, "Type": f_.dataType.simpleString()}
+            if f_.name in t.column_comments:
+                col["Comment"] = t.column_comments[f_.name]
+            if f_.name in t.column_tags:
+                col["Parameters"] = dict(t.column_tags[f_.name])
+            columns.append(col)
+        return {
+            "Name": t.name,
+            "DatabaseName": t.database,
+            "TableType": "EXTERNAL_TABLE",
+            "Parameters": {"classification": t.format},
+            "StorageDescriptor": {"Location": t.location, "Columns": columns},
+            "PartitionKeys": [{"Name": k} for k in t.partition_keys],
+        }
+
     def partitions(self, qualified: str) -> list[str]:
         """S9 — ``SHOW PARTITIONS`` analog: hive-style ``key=value``
         partition directories under the table location (the reference

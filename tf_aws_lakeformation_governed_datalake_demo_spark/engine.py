@@ -91,14 +91,53 @@ class Engine:
     def results(self, query_id: str, max_rows: int = 100) -> list:
         """L3/S6 — fetch rows, capped like ``--max-items 100``
         (validate.sh:126)."""
+        rows, _ = self.results_page(query_id, max_rows)
+        return rows
+
+    def results_page(
+        self, query_id: str, max_rows: int = 100, next_token: str | None = None
+    ) -> tuple[list, str | None]:
+        """L3 with pagination — the ``--max-items``/``NextToken`` protocol
+        (validate.sh:123-158): returns (rows, next_token), where a
+        non-None token resumes the fetch at the next page.
+
+        The token is a plain row offset into the result set, applied as
+        ``offset().limit()`` so only one page ever collects to the client.
+        Like Athena's paging over its materialized result file, page
+        boundaries are stable when the query has a deterministic ORDER BY;
+        an unordered query pages in plan order.
+        """
         qe = self.executions[query_id]
         if qe.state is not QueryState.SUCCEEDED or qe.result is None:
             raise RuntimeError(
                 f"query {query_id} is {qe.state.value}: {qe.state_change_reason}"
             )
-        rows = qe.result.limit(max_rows).collect()
+        offset = int(next_token) if next_token is not None else 0
+        # fetch one extra row to learn whether another page exists without
+        # a separate count() job over the full result
+        rows = qe.result.offset(offset).limit(max_rows + 1).collect()
+        has_more = len(rows) > max_rows
+        rows = rows[:max_rows]
         self.metrics["rows_fetched"] += len(rows)
-        return rows
+        return rows, (str(offset + max_rows) if has_more else None)
+
+    def cleanup_results(self, query_id: str | None = None) -> int:
+        """Destroy-time cleanup analog (main.tf:518-530: the results-bucket
+        destroy provisioner): delete persisted result CSVs for one query
+        (or all), returning the number of result directories removed.
+        Execution records stay for audit; only their files go."""
+        import shutil
+
+        removed = 0
+        targets = (
+            [self.executions[query_id]] if query_id else list(self.executions.values())
+        )
+        for qe in targets:
+            if qe.results_path is not None:
+                shutil.rmtree(qe.results_path, ignore_errors=True)
+                qe.results_path = None
+                removed += 1
+        return removed
 
     def sql(self, sql: str, principal: Principal | str | None = None) -> DataFrame:
         """Execute governed SQL and return the DataFrame (raises on deny)."""
