@@ -56,3 +56,26 @@ def test_label_propagation_long_chain(spark):
     rows = labels.collect()
     assert len(rows) == 25
     assert all(r.component == 0 for r in rows)
+
+
+def test_kmeans_high_dim_256(spark):
+    # The unrolled assignment built 2*k*dim expression nodes and hit the
+    # codegen method-size limit past dim ~128 (round-2 VERDICT #4); the
+    # HOF form must both COMPLETE at dim 256 and cluster correctly.
+    import random
+
+    rng = random.Random(7)
+    dim, per = 256, 20
+    rows = []
+    for blob, center in [(0, -5.0), (1, 5.0)]:
+        for i in range(per):
+            vec = [center + rng.uniform(-0.5, 0.5) for _ in range(dim)]
+            rows.append((blob * per + i, vec))
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    final, sse = kmeans_assignments(v, k=2, n_iter=3)
+    got = {r.vec_id: r.cluster for r in final.collect()}
+    blob0 = {got[i] for i in range(per)}
+    blob1 = {got[i] for i in range(per, 2 * per)}
+    # each well-separated blob lands wholly in one distinct cluster
+    assert len(blob0) == 1 and len(blob1) == 1 and blob0 != blob1
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(sse, sse[1:])), sse

