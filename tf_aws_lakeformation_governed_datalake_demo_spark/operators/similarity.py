@@ -21,9 +21,21 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load
+from .dedup import DEFAULT_MAX_BUCKET, _drop_hot_buckets
 from .registry import query
 
 N_HYPERPLANES = 16
+
+# Multi-band LSH parameters (round-2 VERDICT #1: a single 16-bit band is
+# Σm² ≈ N²/65536 — still quadratic). 8 bands x 8 planes: two vectors are
+# candidates if ANY band's 8 sign bits all agree. P(candidate | cos s),
+# with p = 1 - arccos(s)/pi per bit: s=0.99 -> 0.9999, s=0.9 -> 0.87,
+# s=0.0 -> 0.031 — high recall in the near-dup regime, ~3% of random
+# pairs as background candidates, and each band key is 8 bits over
+# 8-way-banded buckets so bucket population stays N/256 per band key
+# EXPECTED, with _drop_hot_buckets bounding the worst case.
+N_BANDS = 8
+PLANES_PER_BAND = 8
 
 
 def _dot(a, b):
@@ -225,38 +237,125 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _signature_bits(vec_col, n_planes: int, dim: int):
+    """array<int> of sign bits (0/1), one per hyperplane — same
+    constant-folded plane matrix + HOF evaluation as
+    hyperplane_signature, but kept as raw bits so callers can band them."""
+    planes = F.array(
+        *[
+            F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
+            for p in range(n_planes)
+        ]
+    )
+    return F.transform(
+        planes,
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(vec_col, plane, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def banded_lsh_keys(
+    v: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, band, key) rows: one bucket key per band per vector.
+
+    The bit array is staged in its own projection (referenced n_bands
+    times by the banding transform — CollapseProject would otherwise
+    inline the full plane-dot pipeline once per band)."""
+    staged = v.select(
+        F.col(id_col),
+        _signature_bits(F.col(vec_col), n_bands * planes_per_band, dim).alias(
+            "_bits"
+        ),
+    )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.aggregate(
+                F.slice(F.col("_bits"), b * planes_per_band + 1, planes_per_band),
+                F.lit(0),
+                lambda acc, x: acc * 2 + x,
+            ).alias("key"),
+        ),
+    )
+    return staged.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, "bk.band", "bk.key"
+    )
+
+
+def lsh_candidate_pairs(
+    v: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    dim: int = 64,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Distinct candidate (vec_a < vec_b) pairs sharing >= 1 band key.
+
+    Scale shape (mirrors dedup.minhash_candidate_pairs): the key table is
+    materialized once (it feeds the hot-bucket count AND both sides of
+    the self-join), degenerate buckets above ``max_bucket_size`` are
+    dropped via a broadcast anti-join, and the self-join shuffles on the
+    (band, key) bucket key only — cost is sum(bucket²) over capped
+    buckets, never N²."""
+    keys = banded_lsh_keys(
+        v, id_col, vec_col, n_bands, planes_per_band, dim
+    ).localCheckpoint(eager=True)
+    keys = _drop_hot_buckets(keys, ["band", "key"], max_bucket_size)
+    a = keys.select(F.col(id_col).alias("vec_a"), "band", "key")
+    b = keys.select(F.col(id_col).alias("vec_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
 @query(
     "ann_lsh_cosine",
     None,
-    "Approximate NN: 16 random-hyperplane signature buckets, candidates "
-    "share a signature, scored exactly within buckets. Approximation => "
-    "rows-only driver check; semantics asserted in tests/test_similarity.py.",
+    "Approximate NN pairs: 8-band x 8-hyperplane LSH (candidates share "
+    "any band key, hot buckets capped), exact cosine on candidates only, "
+    "bounded top-100 result. Approximation => rows-only driver check; "
+    "recall and bucket-cap bounds asserted in tests/test_similarity.py.",
 )
-def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: signature computation is map-only; the candidate join
-    shuffles on the 16-bit bucket key (uniform => no skew); exact scoring
-    touches only in-bucket pairs."""
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str, top_k: int = 100) -> DataFrame:
+    """Scale path: signature computation is map-only; candidates shuffle
+    on (band, key) bucket keys (8-bit keys per band, hot buckets dropped
+    — round-2 VERDICT #1 replaced the single-band quadratic self-join);
+    exact scoring touches candidate pairs only; the final top-k is
+    TakeOrderedAndProject, not a global sort of all candidates."""
     v = _with_norm(load(spark, sf_dir, "embeddings"))
-    sig = v.select(
-        "vec_id",
-        "embedding",
-        "norm",
-        hyperplane_signature(F.col("embedding")).alias("sig"),
-    )
-    a = sig.select(
+    pairs = lsh_candidate_pairs(v)
+    a = v.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("norm").alias("na"),
-        F.col("sig").alias("sig_a"),
     )
-    b = sig.select(
+    b = v.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         F.col("norm").alias("nb"),
-        F.col("sig").alias("sig_b"),
     )
     return (
-        a.join(b, (F.col("sig_a") == F.col("sig_b")) & (F.col("vec_a") < F.col("vec_b")))
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
         .select(
             "vec_a",
             "vec_b",
@@ -265,4 +364,5 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+        .limit(top_k)
     )
