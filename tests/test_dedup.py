@@ -130,3 +130,68 @@ def test_simhash_pairs_capped_on_degenerate_corpus(spark, sf_dir):
         ).alias("ck"),
     ).select("doc_id", "ck.chunk", "ck.key")
     assert _drop_hot_buckets(chunked, ["chunk", "key"], 128).count() == 0
+
+
+def test_dedup_embedding_cosine_precision_subset(spark, sf_dir):
+    # The bucketed operator scores candidates EXACTLY, so its output must
+    # be a strict subset of the brute-force baseline (precision 1.0) —
+    # same rows, same cos_sim values, possibly fewer pairs (recall < 1).
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    brute = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in REGISTRY["dedup_embedding_bruteforce"].builder(spark, sf_dir).collect()
+    }
+    bucketed = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in REGISTRY["dedup_embedding_cosine"].builder(spark, sf_dir).collect()
+    }
+    assert bucketed, "bucketed dedup returned no pairs"
+    assert set(bucketed) <= set(brute)
+    for pair, sim in bucketed.items():
+        assert sim == brute[pair], pair
+
+
+def test_dedup_embedding_cosine_recall_on_planted(spark):
+    # In the near-dup regime (cos ~ 1) banding recall is ~1: every
+    # planted duplicate pair must be found. Deterministic (fixed seed,
+    # hash-derived hyperplanes).
+    import numpy as np
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.dedup import (
+        embedding_cosine_pairs_bruteforce,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.similarity import (
+        _cos, _with_norm, lsh_candidate_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(40):
+        base = rng.normal(size=16)
+        rows.append((i, base.tolist()))
+        if i < 15:
+            rows.append((100 + i, (base + rng.normal(scale=0.001, size=16)).tolist()))
+    v = _with_norm(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    pairs = lsh_candidate_pairs(v, dim=16)
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("na"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb"))
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in pairs.join(a, "vec_a").join(b, "vec_b")
+        .select("vec_a", "vec_b",
+                _cos(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.99)
+        .collect()
+    }
+    planted = {(i, 100 + i) for i in range(15)}
+    assert planted <= found, sorted(planted - found)
+    # and brute force at the same threshold finds exactly the planted set
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs_bruteforce(v, 0.99).collect()
+    }
+    assert brute == planted

@@ -449,28 +449,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_embedding_cosine",
-    """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.3
-    """,
-    "Embedding-cosine near-dup pairs (threshold 0.3 on the synthetic "
-    "embeddings); brute-force all-pairs as the exactness baseline.",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute force is the *oracle-checkable baseline*; the scale path is
-    LSH bucketing (see ann_lsh_cosine in similarity.py)."""
-    from .similarity import _cos, _with_norm
+def embedding_cosine_pairs_bruteforce(v_with_norm: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs exact cosine >= threshold — O(N²) nested loop. The
+    exactness baseline the bucketed operator is tested against (and the
+    DuckDB-oracle form); never the registered scale path."""
+    from .similarity import _cos
 
-    v = _with_norm(load(spark, sf_dir, "embeddings"))
-    a = v.select(
+    a = v_with_norm.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("na")
     )
-    b = v.select(
+    b = v_with_norm.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb")
     )
     return (
@@ -480,5 +468,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             F.round(_cos(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+@query(
+    "dedup_embedding_bruteforce",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.3
+    """,
+    "Embedding-cosine near-dup pairs by brute-force all-pairs: the "
+    "oracle-checkable exactness BASELINE for dedup_embedding_cosine "
+    "(which buckets with LSH), kept for small-scale verification only.",
+)
+def dedup_embedding_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _with_norm
+
+    return embedding_cosine_pairs_bruteforce(
+        _with_norm(load(spark, sf_dir, "embeddings")), threshold=0.3
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    None,
+    "Embedding-cosine near-dup pairs, LSH-bucketed (8x8 banded "
+    "hyperplane candidates, hot-bucket cap, exact cosine on candidates "
+    "only). Approximate recall => rows-only driver check; precision-1 "
+    "subset + planted-near-dup recall asserted in tests/test_dedup.py "
+    "against the brute-force baseline.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path (round-2 VERDICT #2 — the registered operator used to
+    BE the O(N²) brute force): candidates come from the shared multi-band
+    LSH machinery (similarity.lsh_candidate_pairs — bucket join with hot
+    caps, cost sum(bucket²) not N²), and exact cosine runs on candidate
+    pairs only, so every emitted pair is a true >=-threshold pair
+    (precision 1; recall is the banding probability, ~1 in the near-dup
+    regime)."""
+    from .similarity import _cos, _with_norm, lsh_candidate_pairs
+
+    v = _with_norm(load(spark, sf_dir, "embeddings"))
+    pairs = lsh_candidate_pairs(v)
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb")
+    )
+    return (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_cos(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= 0.3)
+        .orderBy("vec_a", "vec_b")
     )
