@@ -293,9 +293,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    None,
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(toks)-4+1),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                        toks[i+3], toks[i+4])))) AS shingle
+           FROM t WHERE len(toks) >= 5),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING count(*) <= 128),
+    inv AS (SELECT doc_id, shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_shared
+              FROM inv a JOIN inv b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 4)
+             AS jaccard
+    FROM pairs JOIN sizes na ON pairs.doc_a = na.doc_id
+               JOIN sizes nb ON pairs.doc_b = nb.doc_id
+    WHERE round(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 4) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
     "n-gram Jaccard near-dup via inverted index: explode shingles, join "
-    "docs sharing one, exact Jaccard >= 0.8 (no LSH approximation).",
+    "docs sharing one, exact Jaccard >= 0.8 (no LSH approximation; the "
+    "hot-shingle doc-frequency cap and the <5-token exclusion are "
+    "mirrored in the oracle, which shingles by STRING where Spark uses "
+    "31-bit polynomial hashes — set identity, hence Jaccard, agrees "
+    "absent hash collisions, which the oracle diff would surface).",
 )
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, max_doc_freq: int | None = DEFAULT_MAX_BUCKET
