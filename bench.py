@@ -43,6 +43,10 @@ HEADLINE = [
     # the first 16 entries)
     "pipeline_train_val_split",
     "decontaminate_ngram_overlap",
+    # round 3 additions: the rebuilt LSH scale paths
+    "ann_lsh_cosine",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -131,10 +131,10 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents),
     sh AS (SELECT doc_id,
                   unnest(list_distinct(list_transform(
-                    range(1, greatest(len(toks)-4, 1)+1),
+                    range(1, len(toks)-4+1),
                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
                                         toks[i+3], toks[i+4])))) AS shingle
-           FROM t),
+           FROM t WHERE len(toks) >= 5),
     bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
     corpus AS (SELECT * FROM sh WHERE doc_id >= 20),
     tot AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY doc_id)
@@ -151,9 +151,18 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: the benchmark shingle set is tiny and broadcasts, so the
     corpus is one map-side hash-join pass — no corpus shuffle at all; the
-    per-doc overlap count partial-aggregates on doc_id."""
+    per-doc overlap count partial-aggregates on doc_id.
+
+    Shingles are the 31-bit hashed ids from dedup.shingle_hash_frame —
+    ~3x cheaper to build and materialize than concatenated shingle
+    strings, and only set membership matters for overlap counts, so the
+    string-shingling DuckDB oracle still agrees (absent hash collisions,
+    which the oracle diff would surface). Both engines exclude docs
+    shorter than 5 tokens — they have no 5-gram to leak.
+    """
+    from .dedup import shingle_hash_frame
+
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), r"\s+")
     # The shingle array feeds three consumers (bench explode, corpus
     # size, corpus explode); without a materialization boundary the
     # optimizer inlines the expensive pipeline into each one (the
@@ -162,9 +171,12 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its blocks are released by the ContextCleaner when this frame goes
     # out of scope — cache() entries live in the CacheManager for the
     # whole session, accumulating across invocations (round-2 ADVICE).
-    staged = d.select(
-        "doc_id", F.array_distinct(_shingle_strings(toks, 5)).alias("sh")
-    ).localCheckpoint(eager=True)
+    staged = (
+        shingle_hash_frame(d)
+        .select("doc_id", F.col("shingle_hashes").alias("sh"))
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
+    )
     bench = (
         staged.filter(F.col("doc_id") < 20)
         .select(F.explode("sh").alias("shingle"))

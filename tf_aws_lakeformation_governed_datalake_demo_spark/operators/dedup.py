@@ -352,7 +352,13 @@ def ngram_jaccard_pairs(
     sets_ = shingle_hash_frame(docs, id_col=id_col).select(
         id_col, F.col("shingle_hashes").alias("sh")
     )
-    inv = sets_.select(id_col, F.explode("sh").alias("shingle"))
+    # The inverted index feeds four consumers (hot-shingle count, both
+    # self-join sides, per-doc sizes); localCheckpoint materializes the
+    # shingling once instead of re-running it per consumer (eager, and
+    # blocks are GC-released when the frame goes out of scope).
+    inv = sets_.select(id_col, F.explode("sh").alias("shingle")).localCheckpoint(
+        eager=True
+    )
     inv = _drop_hot_buckets(inv, ["shingle"], max_doc_freq)
     sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     pairs = (
