@@ -30,10 +30,11 @@ emitted) after them:
 
 Round-3 partition (for re-verification of the union claim):
 
-- unprefixed (the round-3 window head): ``dedup_embedding_bruteforce``
-  and ``dedup_ngram_jaccard`` — the two queries that gained an oracle
-  this round. The remaining window slots fall to the alphabetically
-  first ``x_`` names, harmlessly re-verifying round-1 greens.
+- unprefixed (the round-3 window head): ``dedup_embedding_bruteforce``,
+  ``dedup_ngram_jaccard`` (gained oracles this round) and the nine new
+  ``tpch_q4/q7/q8/q10/q13/q15/q17/q19/q22`` shapes. The remaining
+  window slots fall to the alphabetically first ``x_`` names,
+  harmlessly re-verifying round-1 greens.
 - ``x_`` = _R01_VERIFIED_ROTATED (30 names, green in CORRECTNESS_r01)
   ∪ _R02_VERIFIED_ROTATED (50 names, green in CORRECTNESS_r02).
 - ``z_`` = every no-oracle query, including ``dedup_embedding_cosine``,

@@ -12,6 +12,7 @@ from . import streaming_ops  # noqa: E402,F401 — structured streaming shapes
 from . import advanced  # noqa: E402,F401 — as-of/range joins, percentiles, etc.
 from . import sources_ops  # noqa: E402,F401 — CSV/JSON round-trips, partitioned writes
 from . import tpch_extra  # noqa: E402,F401 — Q6/Q12/Q14/Q18 shapes
+from . import tpch_more  # noqa: E402,F401 — Q4/Q7/Q8/Q10/Q13/Q15/Q17/Q19/Q22 shapes
 from . import udf_ops  # noqa: E402,F401 — pandas-UDF surface
 from . import iterative  # noqa: E402,F401 — k-means, connected components
 from . import pipelines  # noqa: E402,F401 — end-to-end curation pipelines
