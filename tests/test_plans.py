@@ -156,3 +156,64 @@ def test_fact_revenue_preaggregates_before_join(spark, sf_dir):
     plan = physical_plan(REGISTRY["join_fact_revenue"].builder(spark, sf_dir))
     assert "Expand" not in plan
     assert "partial_sum" in plan
+
+
+def test_tpch_q4_semi_join_no_fanout(spark, sf_dir):
+    # EXISTS must plan as a semi join (no aggregate-then-distinct fanout)
+    plan = physical_plan(REGISTRY["tpch_q4_order_priority"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert_pushed_filter(
+        REGISTRY["tpch_q4_order_priority"].builder(spark, sf_dir), "o_orderdate"
+    )
+
+
+def test_tpch_q10_topk_and_pushdown(spark, sf_dir):
+    df = REGISTRY["tpch_q10_returned_items"].builder(spark, sf_dir)
+    assert_top_k(df)  # top-20 must be TakeOrderedAndProject, not sort-all
+    assert_pushed_filter(df, "l_returnflag")
+    assert_broadcast_join(df)
+
+
+def test_tpch_q13_preaggregates_orders(spark, sf_dir):
+    # orders must reduce to (custkey, n) BELOW the left join — the join
+    # matches one row per customer instead of fanning out per order
+    plan = physical_plan(
+        REGISTRY["tpch_q13_customer_distribution"].builder(spark, sf_dir)
+    )
+    assert "partial_count" in plan
+    # the orders-side partial_count (the last one in tree order) sits
+    # below the join; the first belongs to the outer distribution agg
+    assert plan.rindex("partial_count") > plan.index("Join")
+
+
+def _pushed_on_any_scan(df, column: str) -> bool:
+    # assert_pushed_filter checks only the FIRST scan; multi-scan plans
+    # need to find the filter on whichever scan owns the column
+    import re
+
+    plan = physical_plan(df)
+    return any(
+        column in m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    )
+
+
+def test_tpch_q19_disjunction_prunes_both_scans(spark, sf_dir):
+    # each disjunct's single-table conjuncts must reach the scans: the
+    # lineitem side gets the derived quantity-range OR filter, the part
+    # side the brand/size OR filter
+    df = REGISTRY["tpch_q19_discounted_revenue"].builder(spark, sf_dir)
+    assert_pushed_filter(df, "l_quantity")
+    # the part-side brand/size OR conjunct sits in a Filter directly on
+    # the part scan (its PushedFilters string is display-truncated)
+    plan = physical_plan(df)
+    assert any(
+        "p_brand" in line and "Filter" in line for line in plan.splitlines()
+    )
+    assert_broadcast_join(df)
+
+
+def test_tpch_q22_anti_join_with_pushed_window(spark, sf_dir):
+    df = REGISTRY["tpch_q22_dormant_customers"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert _pushed_on_any_scan(df, "o_orderdate")  # dormancy window on the scan
