@@ -195,3 +195,30 @@ def test_dedup_embedding_cosine_recall_on_planted(spark):
         for r in embedding_cosine_pairs_bruteforce(v, 0.99).collect()
     }
     assert brute == planted
+
+
+def test_shingle_containment_finds_embedded_doc(spark):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+
+    big = BASE + " " + BASE.replace("fox", "hare").replace("river", "canal")
+    small = BASE  # fully embedded prefix of big
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated words about columnar engines "
+                                   "and shuffle services in the cloud "
+                                   "running adaptive skew mitigation")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_a, r.doc_b): r for r in
+            shingle_containment_pairs(docs, threshold=0.9).collect()}
+    assert (1, 2) in rows
+    # every shingle of the small doc appears in the big one
+    assert rows[(1, 2)].contain_a_in_b == 1.0
+    assert rows[(1, 2)].contain_b_in_a < 0.8
+    # symmetric Jaccard misses the same embedded pair at its threshold
+    jac = {(r.doc_a, r.doc_b) for r in
+           ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    assert (1, 2) not in jac
+    assert (1, 3) not in rows and (2, 3) not in rows

@@ -392,6 +392,105 @@ def ngram_jaccard_pairs(
     )
 
 
+@query(
+    "dedup_shingle_containment",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(toks)-4+1),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                        toks[i+3], toks[i+4])))) AS shingle
+           FROM t WHERE len(toks) >= 5),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING count(*) <= 128),
+    inv AS (SELECT doc_id, shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_shared
+              FROM inv a JOIN inv b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(n_shared AS DOUBLE) / na.n, 4) AS contain_a_in_b,
+           round(CAST(n_shared AS DOUBLE) / nb.n, 4) AS contain_b_in_a
+    FROM pairs JOIN sizes na ON pairs.doc_a = na.doc_id
+               JOIN sizes nb ON pairs.doc_b = nb.doc_id
+    WHERE greatest(round(CAST(n_shared AS DOUBLE) / na.n, 4),
+                   round(CAST(n_shared AS DOUBLE) / nb.n, 4)) >= 0.6
+    ORDER BY doc_a, doc_b
+    """,
+    "Shingle-containment near-subset pairs: directional containment "
+    "|A∩B|/|A| over 5-token shingle sets (inverted-index join, hot-"
+    "shingle cap mirrored in the oracle). Catches a doc embedded in a "
+    "larger one, which symmetric Jaccard misses (small/large size ratio "
+    "bounds Jaccard even at full overlap).",
+)
+def dedup_shingle_containment(
+    spark: SparkSession, sf_dir: str, max_doc_freq: int | None = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return shingle_containment_pairs(d, threshold=0.6, max_doc_freq=max_doc_freq)
+
+
+def shingle_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = DEFAULT_MAX_BUCKET,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directional shingle containment >= threshold (either direction).
+
+    Scale: identical inverted-index shape to :func:`ngram_jaccard_pairs`
+    — shuffle carries (shingle -> doc) postings, join cost follows
+    shared-shingle density with the hot-shingle doc-frequency cap
+    bounding any single shingle's contribution to ``max_doc_freq^2/2``
+    pairs; containment is two extra projections over the same shared-
+    count aggregate, so the plan (and its 100 TB behavior) is the
+    Jaccard plan, not a new one.
+    """
+    sets_ = shingle_hash_frame(docs, id_col=id_col).select(
+        id_col, F.col("shingle_hashes").alias("sh")
+    )
+    inv = sets_.select(id_col, F.explode("sh").alias("shingle")).localCheckpoint(
+        eager=True
+    )
+    inv = _drop_hot_buckets(inv, ["shingle"], max_doc_freq)
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    shared = F.col("n_shared").cast("double")
+    c_ab = F.round(shared / F.col("n_a"), 4)
+    c_ba = F.round(shared / F.col("n_b"), 4)
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+        )
+        .filter(
+            F.greatest(F.col("contain_a_in_b"), F.col("contain_b_in_a")) >= threshold
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def simhash_bitsums_column(text_col) -> "F.Column":
     """Per-bit ±1 sums for a 64-bit SimHash, as one array<int> column.
 
