@@ -149,3 +149,67 @@ def test_dedup_winnow_on_crafted(spark, tmp_path):
     }
     assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_tfidf_ranks_content_overlap_above_stopword_overlap(spark):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.text import (
+        tfidf_weights,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the quantum flux capacitor resonates"),
+            (2, "the the the quantum flux capacitor oscillates"),
+            (3, "the the the weather is mild today indeed"),
+            (4, "a completely disjoint sentence about gardening tools"),
+        ],
+        "doc_id long, text string",
+    )
+    w = tfidf_weights(docs)
+    # idf of the ubiquitous token is the smoothed floor; rare tokens higher
+    per_tok = {r.token: r.w for r in w.filter(F.col("doc_id") == 1).collect()}
+    assert per_tok["quantum"] > per_tok["the"] / 3  # 'the' has tf=3
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    dots = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("da"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("nrm").alias("nb"))
+    cos = {
+        (r.da, r.db): r.c
+        for r in dots.join(na, "da").join(nb, "db")
+        .select("da", "db", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("c"))
+        .collect()
+    }
+    # near-dup pair (shares rare content words) beats the stopword-only pair
+    assert cos[(1, 2)] > 0.8
+    assert cos[(1, 3)] < cos[(1, 2)]
+    assert (1, 4) not in cos  # no shared token at all
+
+
+def test_tfidf_max_df_ratio_drops_ubiquitous_tokens(spark):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.text import (
+        tfidf_weights,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"the common word plus unique{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    kept = set(
+        r.token
+        for r in tfidf_weights(docs, max_df_ratio=0.5).select("token").distinct().collect()
+    )
+    assert "the" not in kept and "common" not in kept
+    assert "unique3" in kept

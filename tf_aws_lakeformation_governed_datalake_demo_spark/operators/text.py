@@ -337,3 +337,162 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared_fingerprints") >= 2)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def tfidf_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF weights: one (id, token, w) row per distinct token
+    per doc, with the sklearn-style smoothed idf ln((1+N)/(1+df)) + 1.
+
+    Scale: tf is one partial-aggregated shuffle on (doc, token); df is a
+    second on token alone (vocabulary-sized, Zipf-bounded); the idf join
+    is token-keyed against that small frame (AQE broadcasts it). The
+    ``max_df_ratio`` knob drops ubiquitous tokens (sklearn's max_df) —
+    at web scale that caps the inverted-index fan-out of the hot tokens,
+    which is where Sum(df^2) join cost concentrates. Left None here:
+    the synthetic corpus draws from a ~30-word vocabulary, so every
+    token exceeds any useful ratio and idf's downweighting (->1.0 for
+    ubiquitous tokens) is the exactness-preserving treatment.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_ws_tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df_t"))
+    if max_df_ratio is not None:
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df_t") <= F.lit(max_df_ratio) * F.col("n_docs"))
+            .select("token", "df_t")
+        )
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df_t"))) + 1.0
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(F.col(id_col), F.col("token"), (F.col("tf") * idf).alias("w"))
+    )
+
+
+@query(
+    "text_tfidf_cosine_topk",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      unnest(string_split_regex(lower(text), '\s+')) AS token
+               FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+           FROM t GROUP BY 1, 2),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df_t
+              FROM tf GROUP BY token),
+    w AS (SELECT doc_id, tf.token,
+                 tf * (ln((1.0 + n_docs) / (1.0 + df_t)) + 1.0) AS w
+          FROM tf JOIN dfreq USING (token), n),
+    norms AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    sum(a.w * b.w) AS dot
+             FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots JOIN norms na ON dots.doc_a = na.doc_id
+              JOIN norms nb ON dots.doc_b = nb.doc_id
+    ORDER BY cos_sim DESC, doc_a, doc_b LIMIT 20
+    """,
+    "TF-IDF document similarity: smoothed-idf weighted term vectors, "
+    "cosine via sparse inverted-index dot product, top-20 most similar "
+    "pairs (deterministic tiebreak on ids).",
+)
+def text_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the pair join is the inverted-index shape (cost follows
+    Sum over tokens of df^2, concentrated in hot tokens — bounded via
+    tfidf_weights' max_df_ratio at web scale); norms are one partial-agg
+    shuffle; top-20 is TakeOrderedAndProject, never a global sort spill.
+    For billion-doc corpora the exact all-shared-token pass gives way to
+    ann_lsh_cosine / knn_cosine_topk over learned embeddings; this
+    operator is the lexical-similarity member of that family."""
+    d = load(spark, sf_dir, "documents")
+    w = tfidf_weights(d).localCheckpoint(eager=True)  # feeds norms + both join sides
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    dots = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query(
+    "text_vocab_topk",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      unnest(string_split_regex(lower(text), '\s+')) AS token
+               FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df_t,
+           CAST(sum(tf) AS BIGINT) AS tf_total,
+           round(ln((1.0 + n_docs) / (1.0 + count(*))) + 1.0, 4) AS idf
+    FROM tf, n
+    GROUP BY token, n_docs
+    ORDER BY tf_total DESC, token LIMIT 30
+    """,
+    "Vocabulary build: per-token document frequency, corpus term "
+    "frequency, and smoothed idf; top-30 by corpus frequency.",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two partial-aggregated shuffles (doc,token) then (token);
+    output is vocabulary-sized and the top-30 is TakeOrderedAndProject.
+    This is the (exact) counting backbone of tokenizer/vocab induction
+    jobs; a frequency-capped variant feeds tfidf_weights' max_df knob."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df_t"),
+            F.sum("tf").cast("long").alias("tf_total"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df_t",
+            "tf_total",
+            F.round(
+                F.log(
+                    (F.lit(1.0) + F.col("n_docs"))
+                    / (F.lit(1.0) + F.col("df_t").cast("double"))
+                )
+                + 1.0,
+                4,
+            ).alias("idf"),
+        )
+        .orderBy(F.desc("tf_total"), "token")
+        .limit(30)
+    )
