@@ -217,3 +217,61 @@ def test_tpch_q22_anti_join_with_pushed_window(spark, sf_dir):
     plan = physical_plan(df)
     assert "LeftAnti" in plan
     assert _pushed_on_any_scan(df, "o_orderdate")  # dormancy window on the scan
+
+
+def test_tpch_q2_decorrelated_min_broadcasts(spark, sf_dir):
+    # the correlated min must become a broadcast join of the per-part
+    # min frame, not a re-scan per row; part/supplier dims broadcast
+    df = REGISTRY["tpch_q2_min_cost_supplier"].builder(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert _pushed_on_any_scan(df, "r_name")
+    assert_top_k(df)
+
+
+def test_tpch_q9_part_filter_prunes_fact(spark, sf_dir):
+    df = REGISTRY["tpch_q9_product_profit"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    # the %gear% filter sits on the part scan (broadcast side), pruning
+    # the fact through the broadcast hash join before the orders shuffle
+    assert any(
+        "p_name" in line and ("Filter" in line or "PushedFilters" in line)
+        for line in plan.splitlines()
+    )
+    assert_broadcast_join(df)
+    assert "partial_sum" in plan
+
+
+def test_tpch_q11_single_fact_shuffle(spark, sf_dir):
+    df = REGISTRY["tpch_q11_important_parts"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    # nation's suppliers must reach the fact as a broadcast semi join
+    assert "LeftSemi" in plan or "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan  # per-part agg partial-aggregates
+
+
+def test_tpch_q16_bridge_distinct_below_join(spark, sf_dir):
+    df = REGISTRY["tpch_q16_supplier_part_counts"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    # the (part, supplier) distinct must partial-aggregate before any
+    # join — HashAggregate appears below the broadcast join in the tree
+    assert "BroadcastHashJoin" in plan
+    # bridge reads 2 of 11 lineitem cols; widest scan (part) reads 4
+    assert_read_schema_pruned(df, 4)
+
+
+def test_tpch_q20_semi_join_chain(spark, sf_dir):
+    df = REGISTRY["tpch_q20_excess_stock_suppliers"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan  # final IN is a semi join on supplier
+    assert _pushed_on_any_scan(df, "p_name")  # red% pushed to part scan
+
+
+def test_tpch_q21_decorrelated_exists_single_chain(spark, sf_dir):
+    # the EXISTS / NOT EXISTS pair must decorrelate into the aggregation
+    # chain: no correlated re-scans => lineitem appears in at most two
+    # scans (ls and po reuse one), and the status filter reaches orders
+    df = REGISTRY["tpch_q21_waiting_suppliers"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert _pushed_on_any_scan(df, "o_orderstatus")
+    assert_top_k(df)
+    assert "CartesianProduct" not in plan

@@ -9,8 +9,17 @@ Q17 (small-quantity threshold vs per-part average), Q19 (disjunctive
 pushdown), Q22 (dormant high-balance customers via anti-join).
 
 Together with Q1/Q3/Q5/Q6/Q12/Q14/Q18 elsewhere this covers 16 of the
-22 TPC-H shapes; the missing six (Q2/Q9/Q11/Q16/Q20/Q21) all require
-partsupp or the lineitem date columns the generator does not produce.
+22 TPC-H shapes directly. The remaining six (Q2/Q9/Q11/Q16/Q20/Q21)
+need the partsupp table or the lineitem commit/receipt dates the
+generator does not produce, so they are SHAPE adaptations: the distinct
+(l_partkey, l_suppkey) pairs of lineitem stand in for partsupp as the
+part-supplier bridge, min(l_extendedprice/l_quantity) for ps_supplycost
+(Q2's correlated min), 0.6*p_retailprice*l_quantity for the Q9 cost
+term, shipped-quantity sums for ps_availqty (Q11/Q20), s_acctbal < 0
+for Q16's complaint suppliers, and shipping >700 days after the order
+date for Q21's receipt-past-commit lateness. Every join topology,
+subquery shape (correlated min, scalar-fraction HAVING, double
+EXISTS/NOT EXISTS), and output grain is preserved.
 """
 
 from __future__ import annotations
@@ -427,4 +436,332 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             _money_sum(F.col("c_acctbal"), "totacctbal"),
         )
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH esupp AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                   FROM supplier s
+                   JOIN nation n ON s.s_nationkey = n.n_nationkey
+                   JOIN region r ON n.n_regionkey = r.r_regionkey
+                   WHERE r.r_name = 'EUROPE'),
+    offers AS (SELECT l_partkey, l_suppkey,
+                      min(l_extendedprice / l_quantity) AS offer
+               FROM lineitem l JOIN esupp ON l.l_suppkey = esupp.s_suppkey
+               GROUP BY 1, 2)
+    SELECT round(CAST(es.s_acctbal AS DOUBLE), 2) AS s_acctbal,
+           es.s_name, es.n_name, p.p_partkey,
+           CAST(round(o.offer * 10000) AS BIGINT) / 10000.0 AS offer
+    FROM offers o
+    JOIN part p ON o.l_partkey = p.p_partkey
+    JOIN esupp es ON o.l_suppkey = es.s_suppkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+      AND o.offer = (SELECT min(o2.offer) FROM offers o2
+                     WHERE o2.l_partkey = o.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    "TPC-H Q2 shape: for STANDARD size-15 parts, the EUROPE supplier(s) "
+    "offering the regional minimum unit price (correlated min subquery; "
+    "min lineitem unit price stands in for ps_supplycost).",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the correlated min decorrelates to a per-part aggregate of
+    the (part, supplier) offer frame, joined back by exact double
+    equality (both sides derive from the same min, so equality is safe);
+    supplier/nation/region and the part filter all broadcast, so the
+    only fact shuffle is the (part, supplier) offer aggregation."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    esupp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(F.broadcast(esupp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("offer"))
+    )
+    min_offer = offers.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("offer").alias("mo")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        offers.join(
+            F.broadcast(min_offer),
+            (F.col("l_partkey") == F.col("m_partkey")) & (F.col("offer") == F.col("mo")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(esupp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.round(F.col("offer") * 10000).cast("long") / F.lit(10000.0)).alias("offer"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    """
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                                      - 0.6 * p.p_retailprice * l.l_quantity)*100)
+                               AS BIGINT)) AS DOUBLE)/100, 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    "TPC-H Q9 shape: profit on 'gear' parts by supplier nation and "
+    "order year (0.6*p_retailprice*l_quantity stands in for the "
+    "ps_supplycost term).",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the part-name filter prunes the fact through the broadcast
+    part join before the orders shuffle; supplier and nation broadcast;
+    the profit sum is exact integer cents (order-independent), grouped
+    on (nation, year) — 25*|years| rows."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_money_sum(F.col("profit"), "sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    """
+    WITH base AS (SELECT l.l_partkey,
+                         CAST(round((l.l_extendedprice * (1 - l.l_discount))*100)
+                              AS BIGINT) AS val_cents
+                  FROM lineitem l
+                  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                  JOIN nation n ON s.s_nationkey = n.n_nationkey
+                  WHERE n.n_name = 'NATION_1'),
+    per_part AS (SELECT l_partkey AS p_partkey, sum(val_cents) AS sv
+                 FROM base GROUP BY 1)
+    SELECT p_partkey,
+           round(CAST(sv AS DOUBLE)/100, 2) AS total_value
+    FROM per_part
+    WHERE CAST(sv AS DOUBLE) > 0.002 * (SELECT CAST(sum(sv) AS DOUBLE) FROM per_part)
+    ORDER BY total_value DESC, p_partkey
+    """,
+    "TPC-H Q11 shape: parts whose revenue through NATION_1's suppliers "
+    "exceeds a fraction of that nation's total (scalar-subquery HAVING; "
+    "shipped revenue stands in for ps_supplycost*ps_availqty).",
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the nation's supplier keys broadcast-semi-join the fact;
+    one partial-aggregated shuffle to (partkey, cents); the grand total
+    aggregates that already-small frame and broadcasts back as a scalar
+    filter. Exact integer cents keep the fraction compare engine-equal."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nat_supp = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi"
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sv"))
+    )
+    total = per_part.agg(F.sum("sv").cast("double").alias("tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("sv").cast("double") > F.lit(0.002) * F.col("tot"))
+        .select(
+            "p_partkey",
+            F.round(F.col("sv").cast("double") / 100.0, 2).alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), "p_partkey")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    """
+    WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ok_supp AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT b.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM bridge b
+    JOIN part p ON b.l_partkey = p.p_partkey
+    JOIN ok_supp ON b.l_suppkey = ok_supp.s_suppkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    "TPC-H Q16 shape: distinct supplier counts per (brand, type, size) "
+    "excluding one brand, one type, and negative-balance suppliers "
+    "(the complaint-supplier analog); lineitem's distinct (part, "
+    "supplier) pairs stand in for partsupp.",
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the bridge distinct partial-aggregates map-side to one row
+    per (part, supplier); part and the supplier exclusion broadcast; the
+    count-distinct agg shuffles the pre-shrunk bridge on the 3 group
+    columns only."""
+    li = load(spark, sf_dir, "lineitem")
+    bridge = li.select("l_partkey", "l_suppkey").distinct()
+    ok_supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") >= 0)
+        .select("s_suppkey")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+    )
+    return (
+        bridge.join(F.broadcast(p), bridge.l_partkey == p.p_partkey)
+        .join(F.broadcast(ok_supp), bridge.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_excess_stock_suppliers",
+    """
+    WITH red_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    q AS (SELECT l_suppkey, l_partkey, sum(l_quantity) AS tq
+          FROM lineitem l JOIN red_parts rp ON l.l_partkey = rp.p_partkey
+          GROUP BY 1, 2)
+    SELECT s.s_name, round(CAST(s.s_acctbal AS DOUBLE), 2) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM q WHERE tq > 100)
+    ORDER BY s.s_name
+    """,
+    "TPC-H Q20 shape: suppliers who moved >100 units of some 'red' part "
+    "(nested IN-subquery chain part -> lineitem agg -> supplier; shipped "
+    "quantity stands in for ps_availqty).",
+)
+def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the part-name filter broadcasts into the fact scan; the
+    (supplier, part) quantity agg partial-aggregates before its shuffle;
+    the final IN is a broadcast left-semi join onto the tiny supplier
+    dim. Quantities are integral doubles, so the threshold compare is
+    exact in both engines."""
+    rp = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    q = (
+        li.join(F.broadcast(rp), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 100)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(q, s.s_suppkey == q.l_suppkey, "left_semi")
+        .select("s_name", F.round(F.col("s_acctbal"), 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH asia_supp AS (SELECT s_suppkey, s_name
+                       FROM supplier s
+                       JOIN nation n ON s.s_nationkey = n.n_nationkey
+                       JOIN region r ON n.n_regionkey = r.r_regionkey
+                       WHERE r.r_name = 'ASIA'),
+    l1 AS (SELECT l.l_orderkey, l.l_suppkey,
+                  CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 700 DAY
+                       THEN 1 ELSE 0 END AS late
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderstatus = 'F'),
+    ws AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l1 WHERE late = 1)
+    SELECT a.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM ws w
+    JOIN asia_supp a ON w.l_suppkey = a.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM l1 l2
+                  WHERE l2.l_orderkey = w.l_orderkey
+                    AND l2.l_suppkey <> w.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l1 l3
+                      WHERE l3.l_orderkey = w.l_orderkey
+                        AND l3.l_suppkey <> w.l_suppkey
+                        AND l3.late = 1)
+    GROUP BY a.s_name
+    ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+    "TPC-H Q21 shape: ASIA suppliers who were the sole late shipper on "
+    "multi-supplier finished orders (EXISTS + NOT EXISTS pair; late = "
+    "shipped >700 days after the order date, the commit/receipt analog).",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the double correlated EXISTS decorrelates to one
+    aggregation — lineitem pre-aggregates to (order, supplier, any_late)
+    grain, a second per-order agg counts suppliers and late suppliers,
+    and the EXISTS pair becomes the predicate (late=1 AND n_supp>=2 AND
+    n_late=1). One orderkey shuffle chain, no repeated correlated scans;
+    region-filtered suppliers broadcast; top-10 is TakeOrderedAndProject.
+    """
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late_flag = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 700 DAYS"), 1
+    ).otherwise(0)
+    ls = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late_flag).alias("late"))
+    )
+    po = ls.groupBy(F.col("l_orderkey").alias("p_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    return (
+        ls.join(po, ls.l_orderkey == po.p_orderkey)
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
     )
