@@ -31,8 +31,11 @@ emitted) after them:
 Round-3 partition (for re-verification of the union claim):
 
 - unprefixed (the round-3 window head): ``dedup_embedding_bruteforce``,
-  ``dedup_ngram_jaccard`` (gained oracles this round) and the nine new
-  ``tpch_q4/q7/q8/q10/q13/q15/q17/q19/q22`` shapes. The remaining
+  ``dedup_ngram_jaccard`` (gained oracles this round), the fifteen new
+  ``tpch_*`` shapes (q2/q4/q7/q8/q9/q10/q11/q13/q15/q16/q17/q19/q20/
+  q21/q22 — the full 22-query TPC-H set is now registered), and the
+  round-3 additions ``dedup_shingle_containment``,
+  ``text_tfidf_cosine_topk``, ``text_vocab_topk``. The remaining
   window slots fall to the alphabetically first ``x_`` names,
   harmlessly re-verifying round-1 greens.
 - ``x_`` = _R01_VERIFIED_ROTATED (30 names, green in CORRECTNESS_r01)

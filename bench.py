@@ -47,6 +47,9 @@ HEADLINE = [
     "ann_lsh_cosine",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
+    # round 3 additions: decorrelated-subquery TPC-H shapes
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
 ]
 
 
