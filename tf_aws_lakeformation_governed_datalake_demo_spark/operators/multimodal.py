@@ -103,10 +103,18 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_frame_sample",
-    None,
+    """
+    SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no
+    FROM (SELECT doc_id,
+                 octet_length(encode(text)) % 24 + 1 AS n_frames
+          FROM documents WHERE doc_id % 3 = 2) v,
+         LATERAL (SELECT unnest(range(0, CAST(n_frames AS BIGINT), 4))
+                  AS frame_no) f
+    """,
     "Frame sampling plumbing: per-media-type partitions, every k-th "
     "'frame' index materialized as (doc_id, frame_no) — the explode shape "
-    "a video pipeline uses before per-frame feature extraction.",
+    "a video pipeline uses before per-frame feature extraction. The stub "
+    "decode is deterministic, so the whole pipeline is oracle-checkable.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # media_type is derivable pre-decode, so filter BEFORE mapInPandas:
