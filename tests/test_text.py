@@ -213,3 +213,23 @@ def test_tfidf_max_df_ratio_drops_ubiquitous_tokens(spark):
     )
     assert "the" not in kept and "common" not in kept
     assert "unique3" in kept
+
+
+def test_cross_entropy_rare_tokens_score_higher(spark):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+    import tempfile, os
+    # corpus where docs 0/1 are all common tokens, doc 2 all rare ones
+    rows = [(0, "alpha beta alpha beta alpha beta"),
+            (1, "alpha beta alpha beta"),
+            (2, "zeta omicron upsilon xi")]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "documents.parquet"))
+    out = {
+        r.doc_id: r.cross_entropy
+        for r in REGISTRY["text_unigram_cross_entropy"].builder(spark, tmp).collect()
+    }
+    assert out[2] > out[1] > 0
+    # all-common doc: every token has p ~ 8/14 or 6/14 -> low entropy
+    assert out[0] == out[1]  # same token distribution

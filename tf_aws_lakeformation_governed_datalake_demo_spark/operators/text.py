@@ -496,3 +496,51 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf_total"), "token")
         .limit(30)
     )
+
+
+@query(
+    "text_unigram_cross_entropy",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      unnest(string_split_regex(lower(text), '\s+')) AS token
+               FROM documents),
+    corpus AS (SELECT token, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY token),
+    total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+    scored AS (SELECT t.doc_id,
+                      ln(corpus.c / total.n) AS logp
+               FROM t JOIN corpus USING (token), total)
+    SELECT doc_id,
+           round(-avg(logp), 4) AS cross_entropy,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "CCNet-style quality scoring: per-document cross-entropy under the "
+    "corpus unigram LM (-mean ln p(token)). Low = stereotypical text, "
+    "high = rare-token-heavy; the filtering signal perplexity-based "
+    "curation thresholds on (here the LM is the corpus itself; a real "
+    "pipeline broadcasts a reference-LM table the same way).",
+)
+def text_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: token counts are one partial-aggregated shuffle; the LM
+    table is vocabulary-sized, so AQE turns the score join into a
+    broadcast (map-side) lookup whenever the vocab fits an executor —
+    the same plan a broadcast pre-trained-LM table would have (left a
+    soft hint so a pathological billion-token vocab degrades to a
+    shuffle join instead of an OOM). The scalar total broadcasts like
+    any grand-total subquery."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token"))
+    corpus = toks.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        toks.join(corpus, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.avg("logp"), 4).alias("cross_entropy"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
