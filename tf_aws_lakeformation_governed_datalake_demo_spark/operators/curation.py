@@ -11,7 +11,7 @@ the benchmark set, partial-aggregated shuffles only on tiny keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load
@@ -121,6 +121,86 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.size(F.array_distinct("s")).cast("double") / F.size("s"), 4
         ).alias("distinct_ratio"),
+    )
+
+
+SEQ_LEN = 256  # tokens per packed training sequence
+
+
+@query(
+    "pipeline_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens + 1) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS token_end
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(token_end - n_tokens - 1 AS BIGINT) AS token_start,
+           CAST(floor((token_end - n_tokens - 1) / {SEQ_LEN}.0) AS BIGINT) AS start_seq,
+           CAST(floor((token_end - 2) / {SEQ_LEN}.0) AS BIGINT) AS end_seq
+    FROM c
+    """,
+    "GPT-style sequence packing: concatenate documents in doc_id order "
+    "with a 1-token separator and chunk into fixed-length training "
+    "sequences; per-doc start offset and spanned sequence ids.",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: a global running sum is NOT a single-partition window here —
+    it is the classic two-pass distributed prefix sum. Pass 1 range-
+    partitions on doc_id and computes one partial sum per partition
+    (collected to the driver: one row per partition, thousands of rows at
+    cluster scale). Pass 2 adds each partition's exclusive prefix offset
+    (a broadcast map literal) to a per-partition window cumsum, so the
+    window's sort runs inside each partition — no global sort, no
+    single-reducer stage.
+
+    The localCheckpoint is load-bearing for correctness, not a cache
+    nicety: repartitionByRange samples range bounds per execution, so
+    without pinning, the totals collected in pass 1 could describe
+    different partition boundaries than the ones pass 2 sees.
+
+    end_seq = floor((token_end - 2) / SEQ_LEN): token_end counts the
+    separator, so the document's last real token sits at token_end - 2.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    n_parts = max(int(spark.sparkContext.defaultParallelism), 1)
+    ranged = (
+        d.repartitionByRange(n_parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["pid"]: r["t"]
+        for r in ranged.groupBy("pid")
+        .agg(F.sum(F.col("n_tokens") + 1).alias("t"))
+        .collect()
+    }
+    acc = 0
+    pairs = []
+    for pid in sorted(totals):
+        pairs.extend([F.lit(pid), F.lit(acc)])
+        acc += int(totals[pid])
+    offset = F.create_map(*pairs)[F.col("pid")]
+    w = W.partitionBy("pid").orderBy("doc_id")
+    token_end = F.sum(F.col("n_tokens") + 1).over(w) + offset
+    return ranged.select(
+        "doc_id",
+        "n_tokens",
+        (token_end - F.col("n_tokens") - 1).cast("long").alias("token_start"),
+        F.floor((token_end - F.col("n_tokens") - 1) / SEQ_LEN)
+        .cast("long")
+        .alias("start_seq"),
+        F.floor((token_end - 2) / SEQ_LEN).cast("long").alias("end_seq"),
     )
 
 

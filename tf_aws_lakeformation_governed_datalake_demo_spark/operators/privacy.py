@@ -1,0 +1,106 @@
+"""Corpus-level PII scrubbing for LLM training-data pipelines.
+
+Extends the reference's per-column view masking (outputs.tf:48-49 masks
+email/SSN inside the sales_masked view) to free-text redaction over the
+`documents` corpus — the standard pre-training scrub pass (emails, SSNs,
+phone numbers replaced by typed placeholder tokens).
+
+The synthetic corpus contains no PII, so the registered query injects
+deterministic doc_id-derived PII into the text in BOTH engines before
+scrubbing — the redaction path is therefore genuinely exercised and
+value-hash-checked, not an identity map.
+
+Scale: pure regexp_replace / regexp_count projections — map-only,
+whole-stage codegen, no shuffle; at 100 TB throughput is scan-bound.
+All patterns avoid backreferences/lookaround so Java regex (Spark) and
+RE2 (DuckDB/Athena) agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+from .registry import query
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def scrub_pii(col):
+    """Redact emails, then SSNs, then 7-digit phones (order matters:
+    the SSN pattern must win before the phone pattern can eat its
+    tail). Global replacement in both engines (Spark regexp_replace is
+    global; the DuckDB oracle passes the 'g' flag)."""
+    out = F.regexp_replace(col, EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, SSN_RE, "[SSN]")
+    return F.regexp_replace(out, PHONE_RE, "[PHONE]")
+
+
+def _inject_pii(text_col, doc_id_col):
+    """Deterministic synthetic PII derived from doc_id — identical
+    string construction in the DuckDB oracle below."""
+    return F.concat(
+        text_col,
+        F.lit(" Contact user"),
+        doc_id_col.cast("string"),
+        F.lit("@mail.example.com, SSN "),
+        F.lpad((doc_id_col % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((doc_id_col % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((doc_id_col % 10000).cast("string"), 4, "0"),
+        F.lit(", phone 555-"),
+        F.lpad((doc_id_col % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com, SSN '
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ', phone 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS t
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{SSN_RE}', '[SSN]', 'g'),
+               '{PHONE_RE}', '[PHONE]', 'g') AS s
+      FROM injected
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{SSN_RE}')) AS BIGINT) AS n_ssns,
+           CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(s) AS scrub_md5,
+           substr(s, 1, 40) AS scrub_prefix
+    FROM scrubbed
+    """,
+    "Free-text PII redaction (email/SSN/phone) with injected synthetic PII.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = _inject_pii(F.col("text"), F.col("doc_id"))
+    injected = d.select("doc_id", t.alias("t"))
+    s = scrub_pii(F.col("t"))
+    return injected.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(SSN_RE)).cast("long").alias("n_ssns"),
+        F.regexp_count(F.col("t"), F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(s).alias("scrub_md5"),
+        F.substring(s, 1, 40).alias("scrub_prefix"),
+    )
