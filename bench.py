@@ -12,6 +12,7 @@ results land in a sink.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -65,10 +66,18 @@ def main() -> None:
     # codegen compilation (seconds for the large HOF expressions, paid
     # once per query shape per JVM — amortized to nothing on real
     # minutes-long scans); the second run is the steady-state number.
+    # Per-query isolation (round-3 lesson: cumulative cache() /
+    # localCheckpoint residue and JVM pressure from earlier queries
+    # inflated later per-query numbers 1.2-1.8x, burying real
+    # regressions): drop every cached plan and let the ContextCleaner
+    # reclaim checkpoint blocks before each query is timed. gc.collect()
+    # releases the Python-side DataFrame refs that pin JVM RDDs.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
+        spark.catalog.clearCache()
+        gc.collect()
         t0 = time.perf_counter()
         spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)

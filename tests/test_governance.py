@@ -280,8 +280,10 @@ def test_governed_result_usable_after_view_drop(engine):
 
 def test_multiple_data_cells_filters_union(spark, tmp_path_factory):
     # LF semantics: several cell filters on one (principal, table) are
-    # ADDITIVE — rows OR-ed, column allowlists unioned (round-2 VERDICT
-    # "what's wrong" #3: only the first filtered grant used to apply).
+    # ADDITIVE at CELL granularity — a (row, column) is visible iff some
+    # single filter grants both; cells outside every filter's rectangle
+    # are NULL-masked (round-3 ADVICE: the old enclosing-rectangle union
+    # leaked filter-A-only columns on filter-B-only rows).
     from tf_aws_lakeformation_governed_datalake_demo_spark import (
         DataCellsFilter, Engine,
     )
@@ -314,6 +316,15 @@ def test_multiple_data_cells_filters_union(spark, tmp_path_factory):
         "customer_id", "customer_name", "sales_region",
         "sales_amount", "sale_date",
     ]
+    # per-cell enforcement: customer_name/sales_amount are granted only by
+    # the APAC filter, so they are NULL on EMEA-only rows and real on APAC
+    # rows; columns in both allowlists are real everywhere
+    for r in rows:
+        if r.sales_region == "EMEA":
+            assert r.customer_name is None and r.sales_amount is None
+        else:
+            assert r.customer_name is not None and r.sales_amount is not None
+        assert r.customer_id is not None and r.sale_date is not None
     # audit records BOTH filter names
     qid = eng.submit("SELECT count(*) AS n FROM sales_db.sales",
                      principal="analyst")
@@ -326,8 +337,8 @@ def test_multiple_data_cells_filters_union(spark, tmp_path_factory):
 
 
 def test_filter_union_row_unrestricted_wins(spark, tmp_path_factory):
-    # A second filter with NO row predicate unions to all rows (while
-    # columns stay the union of the allowlists).
+    # A second filter with NO row predicate unions to all rows, but only
+    # for ITS columns: the APAC filter's columns stay NULL outside APAC.
     from tf_aws_lakeformation_governed_datalake_demo_spark import (
         DataCellsFilter, Engine,
     )
@@ -347,8 +358,69 @@ def test_filter_union_row_unrestricted_wins(spark, tmp_path_factory):
               via_filter="all-rows-ids-only")
     eng = Engine(spark, cat)
     df = eng.sql("SELECT * FROM sales_db.sales", principal="analyst")
-    assert df.count() == 20  # no row restriction remains
+    rows = df.collect()
+    assert len(rows) == 20  # no row restriction remains
     assert "ssn" not in df.columns and "customer_email" not in df.columns
+    # customer_id comes from the unrestricted filter: real on every row;
+    # the other columns are granted only by the APAC filter
+    assert all(r.customer_id is not None for r in rows)
+    non_apac = [r for r in rows if r.sales_region != "APAC"]
+    # sales_region itself is APAC-only granted -> NULL outside APAC, so
+    # non-APAC rows show as NULL region with NULL name/amount/date
+    masked = [r for r in rows if r.sales_region is None]
+    assert len(masked) == 12 and len(non_apac) == 12
+    for r in masked:
+        assert r.customer_name is None and r.sales_amount is None
+        assert r.sale_date is None
+
+
+def test_filter_union_mixed_case_not_full_table(spark, tmp_path_factory):
+    # The round-3 ADVICE fail-open scenario: one all-rows column-restricted
+    # filter + one row-restricted all-columns filter must NOT yield full
+    # table access — each filter's cells only.
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        DataCellsFilter, Engine,
+    )
+
+    lake = str(tmp_path_factory.mktemp("unionlake3"))
+    cat = fx.bootstrap(spark, lake)
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="ids-everywhere",
+            database="sales_db",
+            table="sales",
+            columns=("customer_id",),
+            row_filter=None,
+        )
+    )
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="apac-all-columns",
+            database="sales_db",
+            table="sales",
+            columns=(),  # empty = all columns
+            row_filter="sales_region = 'APAC'",
+        )
+    )
+    cat.grant("contractor", "SELECT", "sales_db", "sales", via_filter="ids-everywhere")
+    cat.grant("contractor", "SELECT", "sales_db", "sales", via_filter="apac-all-columns")
+    eng = Engine(spark, cat)
+    df = eng.sql("SELECT * FROM sales_db.sales", principal="contractor")
+    rows = df.collect()
+    assert len(rows) == 20  # ids-everywhere exposes every row's id
+    # all-columns filter widens the projection to the full schema
+    assert "ssn" in df.columns and "customer_email" in df.columns
+    # but PII (and everything else beyond customer_id) is real ONLY on
+    # APAC rows — the old rectangle hull exposed all 20 rows in full
+    apac = [r for r in rows if r.sales_region == "APAC"]
+    hidden = [r for r in rows if r.sales_region is None]
+    assert len(apac) == 8 and len(hidden) == 12
+    assert all(r.ssn is not None for r in apac)
+    assert all(
+        r.ssn is None and r.customer_email is None and r.sales_amount is None
+        for r in hidden
+    )
+    assert all(r.customer_id is not None for r in rows)
 
 
 def test_catalog_introspection_glue_shape(spark, tmp_path_factory):
@@ -392,3 +464,33 @@ def test_drop_table_fails_closed(spark, tmp_path_factory):
         cat.drop_database("sales_db")
     cat.drop_database("sales_db", cascade=True)
     assert cat.list_databases() == []
+
+
+def test_drop_table_delete_data_guarded(spark, tmp_path_factory):
+    # round-3 ADVICE: delete_data must not rmtree outside the lake root.
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        GovernedCatalog, TableDef,
+    )
+
+    lake = tmp_path_factory.mktemp("guardlake")
+    outside = tmp_path_factory.mktemp("outside")
+    (outside / "keep.txt").write_text("precious")
+    cat = GovernedCatalog(spark, lake_root=str(lake))
+    cat.create_database("db")
+    cat.register_table(TableDef("db", "bad", str(outside)))
+    with pytest.raises(ValueError, match="outside lake root"):
+        cat.drop_table("db.bad", delete_data=True)
+    # refused delete leaves both data and registration intact
+    assert (outside / "keep.txt").exists()
+    assert cat.list_tables("db") == ["bad"]
+    # in-root tables delete fine
+    (lake / "good").mkdir()
+    cat.register_table(TableDef("db", "good", str(lake / "good")))
+    cat.drop_table("db.good", delete_data=True)
+    assert not (lake / "good").exists()
+    # without a lake_root, near-root paths are refused
+    cat2 = GovernedCatalog(spark)
+    cat2.create_database("db")
+    cat2.register_table(TableDef("db", "root", "/tmp"))
+    with pytest.raises(ValueError, match="lake_root"):
+        cat2.drop_table("db.root", delete_data=True)

@@ -183,3 +183,84 @@ def test_compact_parquet_partitioned_bounds_hot_partition(spark, sf_dir, tmp_pat
         p.name: len(list(p.glob("*.parquet"))) for p in part_dirs
     }
     assert max(files_per_part.values()) > 1
+
+
+def test_merge_into_partitioned_upsert(spark, sf_dir):
+    # Delta-MERGE semantics on plain parquet: replaced + inserted rows
+    # land, untouched rows survive, and ONLY touched partitions rewrite.
+    import os
+    from pathlib import Path
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        merge_into,
+    )
+
+    lake = tempfile.mkdtemp(prefix="mergelake_")
+    d = load(spark, sf_dir, "documents")
+    write_partitioned(d, lake, partition_by=["lang"])
+    langs = sorted(p.name for p in Path(lake).iterdir() if p.is_dir())
+    assert len(langs) >= 2
+    touched_lang = langs[0].split("=", 1)[1]
+    untouched_dirs = [Path(lake) / g for g in langs[1:]]
+    before = {
+        str(f): f.stat().st_mtime
+        for g in untouched_dirs
+        for f in g.rglob("*.parquet")
+    }
+
+    base = d.filter(F.col("lang") == touched_lang)
+    upd_ids = [r.doc_id for r in base.limit(3).collect()]
+    updates = base.filter(F.col("doc_id").isin(upd_ids)).select(
+        "doc_id",
+        F.lit("REPLACED").alias("text"),
+        "lang",
+        "source",
+        F.lit(8).cast("long").alias("n_chars"),
+    )
+    inserts = spark.createDataFrame(
+        [(999_999_001, "NEW DOC", touched_lang, "merge-test", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    stats = merge_into(
+        spark, lake, updates.unionByName(inserts), ["doc_id"],
+        partition_by=["lang"],
+    )
+    assert stats == {
+        "rows_updated": 3, "rows_inserted": 1, "partitions_rewritten": 1,
+    }
+
+    back = spark.read.parquet(lake)
+    assert back.count() == d.count() + 1
+    assert back.filter(F.col("text") == "REPLACED").count() == 3
+    assert back.filter(F.col("doc_id") == 999_999_001).count() == 1
+    # replaced keys exist exactly once
+    assert (
+        back.filter(F.col("doc_id").isin(upd_ids)).count() == 3
+    )
+    # untouched partitions' files were not rewritten
+    after = {
+        str(f): f.stat().st_mtime
+        for g in untouched_dirs
+        for f in g.rglob("*.parquet")
+    }
+    assert after == before
+
+
+def test_merge_into_unpartitioned_full_rewrite(spark, sf_dir):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        merge_into,
+    )
+
+    lake = tempfile.mkdtemp(prefix="mergeflat_")
+    n = load(spark, sf_dir, "nation")
+    n.write.mode("overwrite").parquet(lake)
+    updates = spark.createDataFrame(
+        [(0, "RENAMED", 0), (99, "NEWLAND", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    stats = merge_into(spark, lake, updates, ["n_nationkey"])
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    back = spark.read.parquet(lake)
+    assert back.count() == n.count() + 1
+    assert back.filter(F.col("n_nationkey") == 0).first().n_name == "RENAMED"
+    assert back.filter(F.col("n_nationkey") == 99).first().n_name == "NEWLAND"

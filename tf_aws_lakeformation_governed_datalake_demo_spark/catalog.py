@@ -97,9 +97,18 @@ class ViewDef:
 class GovernedCatalog:
     """Registry of databases/tables/views + governance state + enforcement."""
 
-    def __init__(self, spark: SparkSession, governance_enabled: bool = True):
+    def __init__(
+        self,
+        spark: SparkSession,
+        governance_enabled: bool = True,
+        lake_root: str | None = None,
+    ):
         self.spark = spark
         self.governance_enabled = governance_enabled
+        # When set, destructive operations (drop_table(delete_data=True))
+        # may only touch paths under this directory — the S3-lake-bucket
+        # boundary analog.
+        self.lake_root = lake_root
         self.databases: dict[str, str] = {}  # name -> description
         self.tables: dict[str, TableDef] = {}  # "db.table" -> def
         self.views: dict[str, ViewDef] = {}  # "db.view" -> def
@@ -135,12 +144,35 @@ class GovernedCatalog:
         data bucket, main.tf:518-530 the results bucket). Grants referencing
         the dropped table become inert — any later access fails closed with
         "unknown table" because enforcement resolves tables by name.
+
+        ``delete_data`` is guarded (round-3 ADVICE: a table registered with
+        a mistaken/hostile location must not silently delete unrelated
+        data): with ``lake_root`` configured the location must resolve
+        under it; without one, filesystem roots and their immediate
+        children (``/``, ``/tmp``, ``/home`` …) are refused. Deletion
+        errors surface (no ``ignore_errors``).
         """
-        table = self.tables.pop(qualified)  # KeyError for unknown tables
+        from pathlib import Path
+
+        table = self.tables[qualified]  # KeyError for unknown tables
         if delete_data:
             import shutil
 
-            shutil.rmtree(table.location, ignore_errors=True)
+            loc = Path(table.location).resolve()
+            if self.lake_root is not None:
+                root = Path(self.lake_root).resolve()
+                if not loc.is_relative_to(root):
+                    raise ValueError(
+                        f"refusing to delete {loc}: outside lake root {root}"
+                    )
+            elif len(loc.parts) <= 2:
+                raise ValueError(
+                    f"refusing to delete {loc}: set lake_root on the catalog "
+                    "to allow destructive deletes near the filesystem root"
+                )
+            if loc.exists():
+                shutil.rmtree(loc)
+        self.tables.pop(qualified)
 
     def drop_database(self, name: str, cascade: bool = False) -> None:
         """Drop a database. Without ``cascade`` it must be empty (Glue
@@ -166,14 +198,14 @@ class GovernedCatalog:
             for name, desc in sorted(self.databases.items())
         ]
 
-    def list_tables(self, database: str) -> list[dict]:
-        """Glue ``get-tables`` analog (names only; describe_table for
-        the full shape)."""
+    def list_tables(self, database: str) -> list[str]:
+        """Table names in a database (sorted); ``describe_table`` returns
+        the full Glue ``get-table`` response shape."""
         return sorted(
             t.name for t in self.tables.values() if t.database == database
         )
 
-    def list_views(self, database: str) -> list[dict]:
+    def list_views(self, database: str) -> list[str]:
         return sorted(
             v.name for v in self.views.values() if v.database == database
         )
@@ -367,25 +399,25 @@ class GovernedCatalog:
             return self._raw(table)
         # Conditioned grants are ADDITIVE (LF semantics: several cell
         # filters may attach to one (principal, table); effective access is
-        # the union of their cells — main.tf:432-457 defines one filter but
-        # nothing stops a second filtered grant). The union of cell
-        # rectangles is approximated by the enclosing rectangle — row
-        # predicates OR-ed, column allowlists unioned — which is how SQL
-        # engines rectangularize LF filter unions; with a single filter
-        # (the reference's shape) this degenerates to exactly that filter.
-        row_preds: list[str] = []
-        all_rows = False  # some grant imposes no row restriction
-        col_sets: list[tuple[str, ...] | None] = []  # None = all columns
+        # the union of their CELLS — main.tf:432-457 defines one filter but
+        # nothing stops a second filtered grant). A cell (row, column) is
+        # visible iff SOME single filter grants both that row and that
+        # column; cells outside every filter's rectangle are NULL-masked
+        # (round-3 ADVICE: the enclosing-rectangle approximation let a
+        # column granted only by filter A leak on rows granted only by
+        # filter B — a fail-open governance hole).
+        #
+        # Each entry: (row_pred | None for unrestricted rows,
+        #              column tuple | None for all columns).
+        cells: list[tuple[str | None, tuple[str, ...] | None]] = []
         applied: list[str] = []
         for g in grants:
             if g.via_filter is not None:
                 f = self.filters[g.via_filter]
                 applied.append(f.name)
-                if f.row_filter:
-                    row_preds.append(f.row_filter)
-                else:
-                    all_rows = True
-                col_sets.append(tuple(f.columns) if f.columns else None)
+                cells.append(
+                    (f.row_filter or None, tuple(f.columns) if f.columns else None)
+                )
             elif g.via_tag_exclude is not None:
                 # tag-based access control: allowlist = untagged columns,
                 # resolved from the schema at read time
@@ -395,12 +427,14 @@ class GovernedCatalog:
                         f"tag-based grant on {qualified} requires a declared schema"
                     )
                 applied.append(f"tag-exclude:{key}={value}")
-                all_rows = True
-                col_sets.append(
-                    tuple(
-                        f_.name
-                        for f_ in table.schema.fields
-                        if table.column_tags.get(f_.name, {}).get(key) != value
+                cells.append(
+                    (
+                        None,
+                        tuple(
+                            f_.name
+                            for f_ in table.schema.fields
+                            if table.column_tags.get(f_.name, {}).get(key) != value
+                        ),
                     )
                 )
         if not applied:
@@ -410,22 +444,53 @@ class GovernedCatalog:
         if _filters_out is not None:
             _filters_out.extend(applied)
         df = self._raw(table)
-        if row_preds and not all_rows:
-            # one OR chain of pushable comparisons — Catalyst still pushes
-            # the whole disjunction into the parquet scan
+        # Rows: visible iff any filter's row predicate matches. One OR
+        # chain of pushable comparisons — Catalyst still pushes the whole
+        # disjunction into the parquet scan.
+        row_preds = [p for p, _ in cells]
+        if all(p is not None for p in row_preds):
             df = df.filter(F.expr(" OR ".join(f"({p})" for p in row_preds)))
-        if not row_only and all(cs is not None for cs in col_sets):
-            if len(col_sets) == 1:
-                df = df.select(*col_sets[0])  # keep the filter's column order
+        if row_only:
+            # view expansion: the view's own projection (e.g. masking
+            # expressions) governs column visibility
+            return df
+        if len(cells) == 1:
+            pred, cols = cells[0]
+            # the reference's single-filter shape: plain filter + select in
+            # the filter's declared column order (no per-cell masking
+            # needed — every visible row is granted by that one filter)
+            return df.select(*cols) if cols is not None else df
+        # Columns: union of the allowlists, in declared schema order (a
+        # None allowlist grants every column).
+        order = (
+            [f_.name for f_ in table.schema.fields]
+            if table.schema is not None
+            else df.columns
+        )
+        if all(cs is not None for _, cs in cells):
+            allowed = {c for _, cs in cells for c in cs}
+            visible = [c for c in order if c in allowed]
+        else:
+            visible = list(order)
+        # Per-cell enforcement: column c is real on a row iff some filter
+        # granting c also grants the row; otherwise NULL. When c's
+        # grantors impose the same row condition as the visible-row
+        # predicate itself (e.g. c is in every filter), the mask is an
+        # always-true CASE and is skipped.
+        all_pred_set = {p for p, _ in cells}
+        projection = []
+        for c in visible:
+            grantor_preds = {p for p, cs in cells if cs is None or c in cs}
+            if None in grantor_preds or grantor_preds == all_pred_set:
+                projection.append(F.col(c))
             else:
-                allowed = {c for cs in col_sets for c in cs}
-                order = (
-                    [f_.name for f_ in table.schema.fields]
-                    if table.schema is not None
-                    else df.columns
+                cond = F.expr(" OR ".join(f"({p})" for p in sorted(grantor_preds)))
+                projection.append(
+                    F.when(cond, F.col(c))
+                    .otherwise(F.lit(None).cast(df.schema[c].dataType))
+                    .alias(c)
                 )
-                df = df.select(*[c for c in order if c in allowed])
-        return df
+        return df.select(*projection)
 
     def view(
         self,

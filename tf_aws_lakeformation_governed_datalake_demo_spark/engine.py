@@ -43,6 +43,9 @@ class QueryExecution:
     results_path: str | None = None
     tables: list[str] = field(default_factory=list)
     filters_applied: list[str] = field(default_factory=list)
+    # lazily-pinned snapshot that all result pages read from (never the
+    # live plan — see Engine.results_page)
+    page_source: DataFrame | None = None
 
 
 class Engine:
@@ -101,21 +104,35 @@ class Engine:
         (validate.sh:123-158): returns (rows, next_token), where a
         non-None token resumes the fetch at the next page.
 
-        The token is a plain row offset into the result set, applied as
-        ``offset().limit()`` so only one page ever collects to the client.
-        Like Athena's paging over its materialized result file, page
-        boundaries are stable when the query has a deterministic ORDER BY;
-        an unordered query pages in plan order.
+        The token is a plain row offset, applied as ``offset().limit()``
+        so only one page ever collects to the client. Pages never read the
+        LIVE plan — an unordered plan re-executed per page can duplicate
+        or skip rows across pages (round-3 ADVICE). Like Athena, pages
+        read one materialization: the persisted result CSV when a
+        results_dir is configured, else a one-time ``localCheckpoint`` of
+        the result pinned on first fetch. Either way every page sees the
+        same frozen row order.
         """
         qe = self.executions[query_id]
         if qe.state is not QueryState.SUCCEEDED or qe.result is None:
             raise RuntimeError(
                 f"query {query_id} is {qe.state.value}: {qe.state_change_reason}"
             )
+        if qe.page_source is None:
+            if qe.results_path is not None:
+                # the Athena shape: page over the materialized result file,
+                # decoded with the result's own schema
+                qe.page_source = (
+                    self.spark.read.schema(qe.result.schema)
+                    .option("header", "true")
+                    .csv(qe.results_path)
+                )
+            else:
+                qe.page_source = qe.result.localCheckpoint(eager=False)
         offset = int(next_token) if next_token is not None else 0
         # fetch one extra row to learn whether another page exists without
         # a separate count() job over the full result
-        rows = qe.result.offset(offset).limit(max_rows + 1).collect()
+        rows = qe.page_source.offset(offset).limit(max_rows + 1).collect()
         has_more = len(rows) > max_rows
         rows = rows[:max_rows]
         self.metrics["rows_fetched"] += len(rows)

@@ -243,32 +243,36 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import shingle_hash_frame
 
     d = load(spark, sf_dir, "documents")
-    # The shingle array feeds three consumers (bench explode, corpus
-    # size, corpus explode); without a materialization boundary the
-    # optimizer inlines the expensive pipeline into each one (the
-    # CollapseProject hazard, see dedup.py) — measured 2.5x slower.
-    # localCheckpoint (eager) materializes once like cache()+count(), but
-    # its blocks are released by the ContextCleaner when this frame goes
-    # out of scope — cache() entries live in the CacheManager for the
-    # whole session, accumulating across invocations (round-2 ADVICE).
-    staged = (
-        shingle_hash_frame(d)
-        .select("doc_id", F.col("shingle_hashes").alias("sh"))
-        .filter(F.size("sh") > 0)
-        .localCheckpoint(eager=True)
-    )
+    # Round-3 used one shared shingle frame behind localCheckpoint; the
+    # checkpoint re-shingled the FULL corpus (including the bench slice)
+    # on every invocation and blocked the doc_id predicate from reaching
+    # the parquet scan. Splitting at the SCAN instead means each branch
+    # shingles only its own rows exactly once: the bench branch's
+    # doc_id < 20 pushes down to the scan (20 docs — effectively free),
+    # and the corpus branch is a single map pass. No materialization
+    # boundary is needed because the branches no longer share a parent
+    # above the scan. The r3 checkpoint was actually masking a second
+    # cost: InferFiltersFromGenerate + predicate pushdown inline the
+    # whole shingle pipeline into an inferred size()>0 filter (3x
+    # evaluation per row) — session.get_spark excludes that rule.
+    # Measured at sf0.1 steady-state: 1.90 s (r3 checkpoint) -> ~1.2 s,
+    # now with zero persisted state between invocations.
     bench = (
-        staged.filter(F.col("doc_id") < 20)
-        .select(F.explode("sh").alias("shingle"))
+        shingle_hash_frame(d.filter(F.col("doc_id") < 20))
+        .select(F.explode("shingle_hashes").alias("shingle"))
         .distinct()
     )
     # n_total rides through the explode (computed once per doc, carried
     # only on rows surviving the broadcast join), so the corpus is
     # scanned exactly once and only matching shingles ever shuffle.
-    corpus = staged.filter(F.col("doc_id") >= 20).select(
+    # size() + explode() both reference the one shingle_hashes attribute;
+    # CollapseProject keeps multi-referenced non-cheap producer
+    # expressions behind their projection, so the pipeline runs once per
+    # row. Empty shingle sets (docs < 5 tokens) vanish in the explode.
+    corpus = shingle_hash_frame(d.filter(F.col("doc_id") >= 20)).select(
         "doc_id",
-        F.size("sh").cast("long").alias("n_total"),
-        F.explode("sh").alias("shingle"),
+        F.size("shingle_hashes").cast("long").alias("n_total"),
+        F.explode("shingle_hashes").alias("shingle"),
     )
     return (
         corpus.join(F.broadcast(bench), "shingle")

@@ -44,8 +44,26 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_sliding_avg",
-    None,
-    "Structured Streaming sliding window (1h window, 15m slide) average.",
+    """
+    WITH g AS (SELECT unnest(range(0, 4)) AS k),
+    e AS (SELECT make_timestamp((CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)
+                                 - k * 900) * 1000000) AS win_start,
+                 event_type,
+                 CAST(round(value * 1000000) AS BIGINT) AS lv
+          FROM events CROSS JOIN g),
+    a AS (SELECT win_start, event_type,
+                 CAST(sum(lv) AS DOUBLE) AS sv,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2)
+    SELECT win_start, event_type,
+           round((sv / 1000000.0) / n, 4) AS avg_value, n
+    FROM a
+    """,
+    "Structured Streaming sliding window (1h window, 15m slide) average "
+    "per type, complete mode. Oracle: each event belongs to exactly 4 "
+    "slide-aligned windows (window/slide = 4), generated as a cross join "
+    "against k in 0..3; means use 1e-6-scaled integer sums so both "
+    "engines aggregate order-free.",
 )
 def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, se.stream_sliding_avg, "complete")
@@ -53,8 +71,28 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_session_windows",
-    None,
-    "Structured Streaming session windows (30-min gap) per user.",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    "Structured Streaming session windows (30-min inactivity gap) per "
+    "user, complete mode. Oracle: lag/gap-cumsum sessionization (the "
+    "events_sessionize pattern); Spark's session end = last event + gap.",
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, se.stream_session_windows, "complete")
@@ -102,9 +140,20 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_dedup",
-    None,
+    """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (SELECT *,
+                 row_number() OVER (PARTITION BY event_id ORDER BY ts)
+                   AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
     "Streaming exact dedup on event_id with watermark-bounded state "
-    "(dropDuplicatesWithinWatermark).",
+    "(dropDuplicatesWithinWatermark). Oracle: first row per event_id "
+    "(row_number over the watermark key); event_ids are unique in the "
+    "fixture so this is also the identity — duplicate-injection "
+    "semantics (keep-first within watermark, re-emit beyond) are "
+    "asserted in tests/test_streaming.py.",
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, se.stream_dedup_events, "append")

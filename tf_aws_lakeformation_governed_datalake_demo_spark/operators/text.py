@@ -392,11 +392,13 @@ def tfidf_weights(
     dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df_t
               FROM tf GROUP BY token),
     w AS (SELECT doc_id, tf.token,
-                 tf * (ln((1.0 + n_docs) / (1.0 + df_t)) + 1.0) AS w
+                 CAST(round(tf * (ln((1.0 + n_docs) / (1.0 + df_t)) + 1.0)
+                            * 10000) AS BIGINT) AS wi
           FROM tf JOIN dfreq USING (token), n),
-    norms AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id),
+    norms AS (SELECT doc_id, sqrt(CAST(sum(wi*wi) AS DOUBLE)) AS nrm
+              FROM w GROUP BY doc_id),
     dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    sum(a.w * b.w) AS dot
+                    CAST(sum(a.wi * b.wi) AS DOUBLE) AS dot
              FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
              GROUP BY 1, 2)
     SELECT doc_a, doc_b,
@@ -416,10 +418,29 @@ def text_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; top-20 is TakeOrderedAndProject, never a global sort spill.
     For billion-doc corpora the exact all-shared-token pass gives way to
     ann_lsh_cosine / knn_cosine_topk over learned embeddings; this
-    operator is the lexical-similarity member of that family."""
+    operator is the lexical-similarity member of that family.
+
+    Numeric discipline (round-3 ADVICE): weights are rounded to 1e-4 and
+    summed as scaled INTEGERS (the tpch_more cents pattern), because a
+    double sum's value depends on partition/accumulation order — Spark's
+    is nondeterministic across runs, and a last-ulp wobble at a .00005
+    boundary would flip the rounded cos_sim (and top-20 membership) vs
+    the oracle. Integer dots/norms are exact and order-free; only the
+    final one-expression cosine is floating point. Scale bound: wi <=
+    ~1.5e7 at this corpus' tf/idf range, so sum(wi*wi) < 2^63."""
     d = load(spark, sf_dir, "documents")
-    w = tfidf_weights(d).localCheckpoint(eager=True)  # feeds norms + both join sides
-    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    w = (
+        tfidf_weights(d)
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("w") * 10000).cast("long").alias("wi"),
+        )
+        .localCheckpoint(eager=True)
+    )  # feeds norms + both join sides
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wi") * F.col("wi")).cast("double")).alias("nrm")
+    )
     dots = (
         w.alias("a")
         .join(
@@ -428,7 +449,7 @@ def text_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+        .agg(F.sum(F.col("a.wi") * F.col("b.wi")).cast("double").alias("dot"))
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
@@ -507,10 +528,11 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus AS (SELECT token, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY token),
     total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
     scored AS (SELECT t.doc_id,
-                      ln(corpus.c / total.n) AS logp
+                      CAST(round(ln(corpus.c / total.n) * 1000000) AS BIGINT) AS lp
                FROM t JOIN corpus USING (token), total)
     SELECT doc_id,
-           round(-avg(logp), 4) AS cross_entropy,
+           round(-(CAST(sum(lp) AS DOUBLE) / count(*)) / 1000000, 4)
+             AS cross_entropy,
            CAST(count(*) AS BIGINT) AS n_tokens
     FROM scored GROUP BY doc_id
     ORDER BY doc_id
@@ -528,7 +550,13 @@ def text_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan a broadcast pre-trained-LM table would have (left a
     soft hint so a pathological billion-token vocab degrades to a
     shuffle join instead of an OOM). The scalar total broadcasts like
-    any grand-total subquery."""
+    any grand-total subquery.
+
+    Numeric discipline (round-3 ADVICE): per-token log-probs are rounded
+    to 1e-6 and summed as scaled integers, so the per-doc mean is exact
+    and order-free (a double avg's value depends on Spark's
+    nondeterministic accumulation order and can flip the 4-decimal round
+    at a boundary). |lp| <= ~2e7 per token, docs are << 2^35 tokens."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token"))
     corpus = toks.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("c"))
@@ -536,10 +564,17 @@ def text_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         toks.join(corpus, "token")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("logp"))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c") / F.col("n")) * 1000000)
+            .cast("long")
+            .alias("lp"),
+        )
         .groupBy("doc_id")
         .agg(
-            F.round(-F.avg("logp"), 4).alias("cross_entropy"),
+            F.round(
+                -(F.sum("lp").cast("double") / F.count(F.lit(1))) / 1000000, 4
+            ).alias("cross_entropy"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
         .orderBy("doc_id")

@@ -46,6 +46,19 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) (events.ts) is read as long nanos; the
         # lake loader converts to microsecond timestamps (DuckDB parity).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate turns explode(arr) into an inferred
+        # size(arr)>0 filter that predicate pushdown then inlines BELOW
+        # the projection computing arr — when arr is an expensive
+        # pipeline (shingle hashing, LSH keys), the whole expression runs
+        # 3x per row (filter size + filter notnull + project). Measured
+        # on this engine's dedup/decontaminate family: 2-3x per-query
+        # slowdown. The rule only saves exploding already-empty arrays,
+        # which Generate drops for free, so excluding it is
+        # semantics-preserving.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

@@ -6,6 +6,20 @@ layout (`<sf_dir>/<table>.parquet`). Loaders return plain DataFrames so
 Catalyst handles column pruning and predicate pushdown at the scan.
 """
 
-from .lake import TPCH_TABLES, load, load_all, register_views, write_partitioned
+from .lake import (
+    TPCH_TABLES,
+    load,
+    load_all,
+    merge_into,
+    register_views,
+    write_partitioned,
+)
 
-__all__ = ["TPCH_TABLES", "load", "load_all", "register_views", "write_partitioned"]
+__all__ = [
+    "TPCH_TABLES",
+    "load",
+    "load_all",
+    "merge_into",
+    "register_views",
+    "write_partitioned",
+]

@@ -31,11 +31,19 @@ TPCH_TABLES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table from the lake directory layout.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanos and
-    is converted here to a microsecond timestamp by exact integer division
-    (``DIV`` — float division would lose precision at 1e18 ns), matching
-    how DuckDB truncates ns to its us-precision TIMESTAMP.
+    Timestamp normalization (the driver has shipped ``events.ts`` as both
+    parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS, no-tz) across rounds):
+
+    - NANOS + ``spark.sql.legacy.parquet.nanosAsLong`` arrives as long
+      nanos, converted to a microsecond timestamp by exact integer
+      division (``DIV`` — float division would lose precision at 1e18
+      ns), matching how DuckDB truncates ns to its us-precision
+      TIMESTAMP.
+    - MICROS without a timezone is inferred as TIMESTAMP_NTZ by Spark 4
+      (``spark.sql.parquet.inferTimestampNTZ.enabled`` default true);
+      cast to the session-local TIMESTAMP type — the session timezone is
+      pinned to UTC (session.py), so wall values are unchanged and every
+      downstream ``unix_micros``/window expression type-checks.
     """
     # Runtime-settable: make nanos parquet readable in ANY session (the
     # correctness driver builds its own SparkSession without our factory),
@@ -45,6 +53,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for f_ in df.schema.fields:
         if f_.name == "ts" and isinstance(f_.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif f_.name == "ts" and isinstance(f_.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
@@ -113,6 +123,80 @@ def compact_parquet(
     writer.parquet(dst)
     n_after = sum(1 for p in Path(dst).rglob("*.parquet") if p.is_file())
     return len(files), n_after
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Keyed MERGE/upsert on a plain-Parquet lake table — the Delta
+    ``MERGE INTO`` / ``replaceWhere`` analog, executable without ACID
+    jars (the north star names Delta/Iceberg; their connectors stay
+    probe-gated in sources.table_formats).
+
+    Semantics: rows whose key matches an update row are REPLACED by it;
+    unmatched update rows are INSERTED; all other rows are untouched.
+    The reference's lake is immutable objects updated by whole-object
+    rewrite (upload_sample.sh:27); this is the partition-granular version
+    of that model.
+
+    100 TB design: with ``partition_by``, only partitions that contain an
+    updated key are rewritten — the touched-partition list comes from the
+    updates side (one collect of distinct partition values, bounded by
+    the update batch, not the table), the old-rows read is
+    partition-pruned to exactly those directories, and the write uses
+    dynamic ``partitionOverwriteMode`` so untouched partitions' files are
+    never listed, read, or replaced. Cost scales with the touched slice,
+    not table size. Unpartitioned tables degrade to a full rewrite —
+    at scale, partition your lake.
+
+    The merged frame is pinned with ``localCheckpoint`` before the write:
+    Spark refuses (or corrupts, with v1 sources) an overwrite of a path
+    its own plan is still reading; the checkpoint bounds memory by the
+    touched-partition slice. Returns
+    ``{"rows_updated", "rows_inserted", "partitions_rewritten"}``.
+
+    Contract (same as Delta MERGE + replaceWhere): update keys are unique
+    within the batch, and a key's partition value never changes — a moved
+    key would leave its old row alive in an untouched partition.
+    """
+    if partition_by:
+        missing = [c for c in partition_by if c not in updates.columns]
+        if missing:
+            raise ValueError(f"updates missing partition columns: {missing}")
+        touched = updates.select(*partition_by).distinct()
+        current = spark.read.parquet(path).join(
+            F.broadcast(touched), partition_by, "left_semi"
+        )
+        n_partitions = touched.count()
+    else:
+        current = spark.read.parquet(path)
+        n_partitions = -1  # full rewrite
+    cols = current.columns
+    keep = current.join(updates, key_cols, "left_anti")
+    merged = keep.select(*cols).unionByName(updates.select(*cols)).localCheckpoint(
+        eager=True
+    )
+    n_updated = current.join(updates, key_cols, "left_semi").count()
+    n_inserted = updates.count() - n_updated
+    writer = merged.write.mode("overwrite").option("compression", "snappy")
+    if partition_by:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            writer.partitionBy(*partition_by).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        writer.parquet(path)
+    return {
+        "rows_updated": n_updated,
+        "rows_inserted": n_inserted,
+        "partitions_rewritten": n_partitions,
+    }
 
 
 def write_partitioned(

@@ -3,8 +3,11 @@
 The reference stores plain Parquet (main.tf:312-328); ACID table formats
 are the north-star option (BASELINE.json "Parquet/Delta/Iceberg"). Their
 jars are not in this image, so each connector is gated behind an
-import/config probe and raises a clear error when absent — the API
-surface (read/write/merge) is defined now so callers can code against it.
+import/config probe and raises a clear error when absent — the read/write
+API surface is defined now so callers can code against it. MERGE/upsert
+does not need the jars at all: ``sources.lake.merge_into`` implements the
+Delta-MERGE semantics on plain Parquet via partition-pruned dynamic
+overwrite, and is what these connectors' merge would delegate to.
 """
 
 from __future__ import annotations

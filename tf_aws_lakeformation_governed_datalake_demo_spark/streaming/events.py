@@ -17,29 +17,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources.lake)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Probe the events parquet footer for the physical ts type — the
+    driver has shipped TIMESTAMP(NANOS) (reads as long under
+    ``nanosAsLong``) and TIMESTAMP(MICROS, no-tz) (reads as NTZ) across
+    rounds; the stream normalizes both to session-tz TIMESTAMP exactly
+    like the batch loader (sources.lake.load)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (test harness source;
     swap for Kafka in production — the transformations don't change)."""
+    schema = _events_schema(spark, sf_dir)
     # the file source requires a directory; glob-filter to the events file
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def stream_hourly_counts(events: DataFrame) -> DataFrame:
@@ -58,12 +62,27 @@ def stream_hourly_counts(events: DataFrame) -> DataFrame:
 
 
 def stream_sliding_avg(events: DataFrame) -> DataFrame:
-    """Sliding window (1 hour, 15-min slide) average value per type."""
+    """Sliding window (1 hour, 15-min slide) average value per type.
+
+    The mean is computed from 1e-6-scaled integer value units so the
+    aggregation is order-free (double sums depend on accumulation order;
+    the tpch_more cents discipline) — which is what makes the final
+    complete-mode state hash-comparable to a batch SQL oracle."""
     return (
         events.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
-        .select(F.col("win.start").alias("win_start"), "event_type", "avg_value", "n")
+        .agg(
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("sv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            F.round(
+                (F.col("sv").cast("double") / 1000000.0) / F.col("n"), 4
+            ).alias("avg_value"),
+            "n",
+        )
     )
 
 
