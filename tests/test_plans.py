@@ -275,3 +275,32 @@ def test_tpch_q21_decorrelated_exists_single_chain(spark, sf_dir):
     assert _pushed_on_any_scan(df, "o_orderstatus")
     assert_top_k(df)
     assert "CartesianProduct" not in plan
+
+
+def test_library_pair_emitters_sort_free(spark, sf_dir):
+    # Round-3 VERDICT #5: the registry pair queries sort for oracle
+    # determinism, but the LIBRARY forms feeding clustering must not pay
+    # a global sort (rangepartitioning Exchange) — pair consumers are
+    # order-insensitive.
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.dedup import (
+        embedding_cosine_pairs_lsh,
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.similarity import (
+        _with_norm,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    d = load(spark, sf_dir, "documents")
+    v = _with_norm(load(spark, sf_dir, "embeddings"))
+    for df in [
+        ngram_jaccard_pairs(d, threshold=0.8),
+        shingle_containment_pairs(d, threshold=0.6),
+        embedding_cosine_pairs_lsh(v, threshold=0.3),
+    ]:
+        plan = physical_plan(df)
+        assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    # the registry forms DO sort (oracle determinism contract)
+    plan = physical_plan(REGISTRY["dedup_ngram_jaccard"].builder(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower()

@@ -279,16 +279,28 @@ def jaccard_verify(
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    # cache + eager materialize: the signature table feeds both sides of
-    # the bucket self-join and the pair table is referenced three times in
-    # verify — a lazy cache would be recomputed per reference when the
-    # final job schedules those subtrees concurrently (measured 4x cost).
-    # At 100 TB this is a persisted intermediate of ~64 longs/doc.
-    sig = minhash_signatures(d).cache()
+    # sort for deterministic registry output only — library form is
+    # sort-free (pair consumers are order-insensitive)
+    return minhash_jaccard_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+def minhash_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash-LSH candidates -> exact-Jaccard verify (library form,
+    sort-free): the pair source for clustering pipelines.
+
+    cache + eager materialize: the signature table feeds both sides of
+    the bucket self-join and the pair table is referenced three times in
+    verify — a lazy cache would be recomputed per reference when the
+    final job schedules those subtrees concurrently (measured 4x cost).
+    At 100 TB this is a persisted intermediate of ~64 longs/doc.
+    """
+    sig = minhash_signatures(docs).cache()
     sig.count()
-    pairs = minhash_candidate_pairs(sig).cache()
+    pairs = minhash_candidate_pairs(sig, id_col=id_col).cache()
     pairs.count()
-    return jaccard_verify(pairs, d, threshold=0.8).orderBy("doc_a", "doc_b")
+    return jaccard_verify(pairs, docs, threshold=threshold, id_col=id_col)
 
 
 @query(
@@ -339,7 +351,13 @@ def dedup_ngram_jaccard(
     surviving similarities are exact on that universe.
     """
     d = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.8, max_doc_freq=max_doc_freq)
+    # registry/oracle form only: the global sort exists for deterministic
+    # oracle comparison; the library form (ngram_jaccard_pairs) is
+    # sort-free because pair consumers (clustering) are order-insensitive
+    # and a global sort of the pair set is a pure scale-tax.
+    return ngram_jaccard_pairs(d, threshold=0.8, max_doc_freq=max_doc_freq).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -388,7 +406,6 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -431,7 +448,10 @@ def dedup_shingle_containment(
     spark: SparkSession, sf_dir: str, max_doc_freq: int | None = DEFAULT_MAX_BUCKET
 ) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return shingle_containment_pairs(d, threshold=0.6, max_doc_freq=max_doc_freq)
+    # sort for oracle determinism only — library form is sort-free
+    return shingle_containment_pairs(
+        d, threshold=0.6, max_doc_freq=max_doc_freq
+    ).orderBy("doc_a", "doc_b")
 
 
 def shingle_containment_pairs(
@@ -487,7 +507,6 @@ def shingle_containment_pairs(
         .filter(
             F.greatest(F.col("contain_a_in_b"), F.col("contain_b_in_a")) >= threshold
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -644,9 +663,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs only, so every emitted pair is a true >=-threshold pair
     (precision 1; recall is the banding probability, ~1 in the near-dup
     regime)."""
-    from .similarity import _cos, _with_norm, lsh_candidate_pairs
+    from .similarity import _with_norm
 
     v = _with_norm(load(spark, sf_dir, "embeddings"))
+    # sort for deterministic registry output only — library form is
+    # sort-free (pair consumers are order-insensitive)
+    return embedding_cosine_pairs_lsh(v, threshold=0.3).orderBy("vec_a", "vec_b")
+
+
+def embedding_cosine_pairs_lsh(
+    v_with_norm: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (library form, sort-free).
+
+    Same candidates-then-verify shape as :func:`dedup_embedding_cosine`:
+    multi-band hyperplane LSH candidates -> exact cosine on candidates
+    only -> threshold filter. Emits unordered (vec_a, vec_b, cos_sim)
+    pairs for clustering or blocklists.
+    """
+    from .similarity import _cos, lsh_candidate_pairs
+
+    v = v_with_norm
     pairs = lsh_candidate_pairs(v)
     a = v.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("na")
@@ -662,6 +699,5 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             F.round(_cos(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.3)
-        .orderBy("vec_a", "vec_b")
+        .filter(F.col("cos_sim") >= threshold)
     )

@@ -178,9 +178,13 @@ def label_propagation(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     "training-data dedup pipeline end-to-end.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import dedup_minhash_lsh
+    from .dedup import minhash_jaccard_pairs
+    from ..sources import load
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).cache()
+    # sort-free pair input (tests/test_plans.py pins no range-partition
+    # Exchange): clustering is order-insensitive, so the registry form's
+    # oracle-determinism sort would be a pure scale-tax here.
+    pairs = minhash_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8).cache()
     pairs.count()
     labels = label_propagation(pairs)
     return (
