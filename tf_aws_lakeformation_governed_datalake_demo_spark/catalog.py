@@ -145,12 +145,12 @@ class GovernedCatalog:
         the dropped table become inert — any later access fails closed with
         "unknown table" because enforcement resolves tables by name.
 
-        ``delete_data`` is guarded (round-3 ADVICE: a table registered with
-        a mistaken/hostile location must not silently delete unrelated
-        data): with ``lake_root`` configured the location must resolve
-        under it; without one, filesystem roots and their immediate
-        children (``/``, ``/tmp``, ``/home`` …) are refused. Deletion
-        errors surface (no ``ignore_errors``).
+        ``delete_data`` is guarded and fails CLOSED (round-3/round-4
+        ADVICE: a table registered with a mistaken/hostile location must
+        not silently delete unrelated data, and path depth is a weak
+        proxy for safety): destructive drops require ``lake_root`` to be
+        configured on the catalog, and the location must resolve under
+        it. Deletion errors surface (no ``ignore_errors``).
         """
         from pathlib import Path
 
@@ -159,16 +159,15 @@ class GovernedCatalog:
             import shutil
 
             loc = Path(table.location).resolve()
-            if self.lake_root is not None:
-                root = Path(self.lake_root).resolve()
-                if not loc.is_relative_to(root):
-                    raise ValueError(
-                        f"refusing to delete {loc}: outside lake root {root}"
-                    )
-            elif len(loc.parts) <= 2:
+            if self.lake_root is None:
                 raise ValueError(
-                    f"refusing to delete {loc}: set lake_root on the catalog "
-                    "to allow destructive deletes near the filesystem root"
+                    f"refusing to delete {loc}: configure lake_root on the "
+                    "catalog to enable destructive drops (fail-closed guard)"
+                )
+            root = Path(self.lake_root).resolve()
+            if not loc.is_relative_to(root):
+                raise ValueError(
+                    f"refusing to delete {loc}: outside lake root {root}"
                 )
             if loc.exists():
                 shutil.rmtree(loc)
@@ -199,8 +198,8 @@ class GovernedCatalog:
         ]
 
     def list_tables(self, database: str) -> list[str]:
-        """Table names in a database (sorted); ``describe_table`` returns
-        the full Glue ``get-table`` response shape."""
+        """Sorted table names in a database (the Glue ``list-tables``
+        name listing; see ``describe_table`` for per-table detail)."""
         return sorted(
             t.name for t in self.tables.values() if t.database == database
         )

@@ -107,11 +107,14 @@ class Engine:
         The token is a plain row offset, applied as ``offset().limit()``
         so only one page ever collects to the client. Pages never read the
         LIVE plan — an unordered plan re-executed per page can duplicate
-        or skip rows across pages (round-3 ADVICE). Like Athena, pages
-        read one materialization: the persisted result CSV when a
-        results_dir is configured, else a one-time ``localCheckpoint`` of
-        the result pinned on first fetch. Either way every page sees the
-        same frozen row order.
+        or skip rows across pages (round-3 ADVICE). Pages always read a
+        one-time ``localCheckpoint`` of the result pinned on first fetch,
+        never the persisted CSV: a CSV round-trip is lossy at the edges
+        (embedded newlines split rows unless multiLine is set; empty
+        string vs NULL collapse under the default nullValue — round-4
+        ADVICE), while the checkpoint is bit-exact and every page sees
+        the same frozen row order. The CSV stays what it is in Athena:
+        the durable result artifact (S5), not the paging source.
         """
         qe = self.executions[query_id]
         if qe.state is not QueryState.SUCCEEDED or qe.result is None:
@@ -119,16 +122,7 @@ class Engine:
                 f"query {query_id} is {qe.state.value}: {qe.state_change_reason}"
             )
         if qe.page_source is None:
-            if qe.results_path is not None:
-                # the Athena shape: page over the materialized result file,
-                # decoded with the result's own schema
-                qe.page_source = (
-                    self.spark.read.schema(qe.result.schema)
-                    .option("header", "true")
-                    .csv(qe.results_path)
-                )
-            else:
-                qe.page_source = qe.result.localCheckpoint(eager=False)
+            qe.page_source = qe.result.localCheckpoint(eager=False)
         offset = int(next_token) if next_token is not None else 0
         # fetch one extra row to learn whether another page exists without
         # a separate count() job over the full result
@@ -194,8 +188,18 @@ class Engine:
             qe.result = df
             if self.results_dir is not None:
                 # S5 — persist the result set as headered CSV per query id.
+                # escape='"' writes RFC-4180 doubled quotes so values with
+                # embedded newlines/quotes re-read cleanly with
+                # multiLine=true; nullValue='\\N' keeps NULL distinct from
+                # the empty string on a round-trip (round-4 ADVICE).
                 out = str(self.results_dir / qe.query_id)
-                df.write.mode("overwrite").option("header", "true").csv(out)
+                (
+                    df.write.mode("overwrite")
+                    .option("header", "true")
+                    .option("escape", '"')
+                    .option("nullValue", "\\N")
+                    .csv(out)
+                )
                 qe.results_path = out
             qe.state = QueryState.SUCCEEDED
             self.metrics["queries_succeeded"] += 1

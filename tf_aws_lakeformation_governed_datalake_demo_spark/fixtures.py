@@ -145,7 +145,9 @@ def bootstrap(
     """
     if write_data:
         write_sales(spark, lake_dir)
-    cat = GovernedCatalog(spark, governance_enabled=governance_enabled)
+    cat = GovernedCatalog(
+        spark, governance_enabled=governance_enabled, lake_root=lake_dir
+    )
     cat.create_database(DATABASE, "Sales database for Lake Formation demo")
     cat.register_table(
         TableDef(

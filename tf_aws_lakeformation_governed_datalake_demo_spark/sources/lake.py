@@ -134,8 +134,10 @@ def merge_into(
 ) -> dict:
     """Keyed MERGE/upsert on a plain-Parquet lake table — the Delta
     ``MERGE INTO`` / ``replaceWhere`` analog, executable without ACID
-    jars (the north star names Delta/Iceberg; their connectors stay
-    probe-gated in sources.table_formats).
+    jars. (The north star names Delta/Iceberg; this image ships neither
+    ``delta-spark`` nor an Iceberg runtime jar and pip installs are
+    unavailable, so this plain-Parquet path IS the upsert surface —
+    see the durability contract below for what that costs.)
 
     Semantics: rows whose key matches an update row are REPLACED by it;
     unmatched update rows are INSERTED; all other rows are untouched.
@@ -162,7 +164,22 @@ def merge_into(
     Contract (same as Delta MERGE + replaceWhere): update keys are unique
     within the batch, and a key's partition value never changes — a moved
     key would leave its old row alive in an untouched partition.
+
+    Durability contract (round-4 ADVICE): the overwrite is NOT atomic.
+    Plain Parquet has no commit log, so a failure mid-write can leave the
+    touched partitions (or, unpartitioned, the whole table) partially
+    replaced with the old files already deleted — there is no rollback.
+    Run merges from a driver that can re-run the batch on failure (the
+    operation is idempotent given the same ``updates``), or use a real
+    table format (Delta/Iceberg) when the image ships its jars. This is
+    the partition-granular version of the reference's whole-object
+    rewrite model, with the same crash window.
     """
+    # Pin the updates batch ONCE: the merged frame AND the reported stats
+    # must derive from the same materialization, or a nondeterministic
+    # updates plan (sampling, un-sorted limit) makes the stats diverge
+    # from what was written (round-4 ADVICE).
+    updates = updates.localCheckpoint(eager=True)
     if partition_by:
         missing = [c for c in partition_by if c not in updates.columns]
         if missing:
@@ -180,7 +197,13 @@ def merge_into(
     merged = keep.select(*cols).unionByName(updates.select(*cols)).localCheckpoint(
         eager=True
     )
-    n_updated = current.join(updates, key_cols, "left_semi").count()
+    # Key-overlap stats: column-pruned semi-join count over the pinned
+    # updates, evaluated BEFORE the overwrite mutates ``path``.
+    n_updated = (
+        current.select(*key_cols)
+        .join(updates.select(*key_cols), key_cols, "left_semi")
+        .count()
+    )
     n_inserted = updates.count() - n_updated
     writer = merged.write.mode("overwrite").option("compression", "snappy")
     if partition_by:
