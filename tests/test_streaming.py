@@ -181,3 +181,70 @@ def test_streaming_ingest_into_governed_table(spark, sf_dir, tmp_path):
 
     expected = load(spark, sf_dir, "events").filter("event_type = 'click'").count()
     assert rows.n == expected > 0
+
+
+def test_durable_sink_resume_after_restart(spark, sf_dir, tmp_path):
+    # Round-4 VERDICT #4: the production durable path — parquet sink +
+    # checkpointLocation + availableNow. A restart with the same
+    # checkpoint must process newly-landed files exactly once: closed
+    # windows are never re-emitted or altered, and the resumed union
+    # equals the batch oracle restricted to watermark-finalized windows.
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.streaming import (
+        events as se,
+    )
+
+    d = tmp_path / "din"
+    d.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    t = pq.read_table(f"{sf_dir}/events.parquet").sort_by([("ts", "ascending")])
+    n = t.num_rows
+    pq.write_table(t.slice(0, n // 2), str(d / "events_a.parquet"))
+
+    def run():
+        stream = se.stream_hourly_counts(
+            se.read_events_stream(spark, str(d), pattern="*.parquet")
+        )
+        se.run_stream_durable(stream, out, ckpt)
+        return [
+            ((r.hour, r.event_type), (r.n, r.total_value))
+            for r in spark.read.parquet(out).collect()
+        ]
+
+    first = dict(run())
+    assert first  # the first half closes at least one window
+
+    # "crash": the driver process's query is gone; the rest of the data
+    # lands; a NEW invocation resumes from the same checkpoint
+    pq.write_table(t.slice(n // 2), str(d / "events_b.parquet"))
+    final = run()
+    keys = [k for k, _ in final]
+    assert len(keys) == len(set(keys))  # every window emitted exactly once
+    finald = dict(final)
+    assert len(finald) > len(first)
+    for k, v in first.items():
+        assert finald[k] == v  # resume never re-emits/alters closed windows
+
+    # a third restart with no new input appends nothing
+    assert dict(run()) == finald
+
+    # resumed union == batch aggregation over ALL data, restricted to
+    # windows finalized by the final watermark (end <= max_ts - 30min)
+    b = load(spark, sf_dir, "events")
+    wm = b.agg(F.max("ts")).first()[0] - datetime.timedelta(minutes=30)
+    expected = {
+        (r.hour, r.event_type): (r.n, r.total_value)
+        for r in (
+            b.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .filter(F.col("hour") + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
+            .collect()
+        )
+    }
+    assert finald == expected

@@ -43,6 +43,35 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_hourly_counts_durable",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    agg AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+            FROM events GROUP BY 1, 2)
+    SELECT a.hour, a.event_type, a.n, a.total_value
+    FROM agg a, mx
+    WHERE a.hour + INTERVAL 1 HOUR <= mx.m - INTERVAL 30 MINUTE
+    """,
+    "The durable production path: tumbling hourly counts appended to a "
+    "parquet file sink with a checkpointLocation (availableNow trigger), "
+    "read back from the committed files. Append mode emits exactly the "
+    "windows finalized by the watermark, so the oracle is the batch "
+    "aggregation restricted to windows whose end precedes "
+    "max(ts) - 30min; crash/restart resume semantics are asserted in "
+    "tests/test_streaming.py.",
+)
+def stream_hourly_counts_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_durable_")
+    stream = se.stream_hourly_counts(se.read_events_stream(spark, sf_dir))
+    se.run_stream_durable(stream, f"{base}/out", f"{base}/ckpt")
+    return spark.read.parquet(f"{base}/out")
+
+
+@query(
     "stream_sliding_avg",
     """
     WITH g AS (SELECT unnest(range(0, 4)) AS k),

@@ -232,6 +232,39 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 5  # shingle width (tokens)
 WINNOW_W = 4  # winnowing window (shingles)
 
+# DuckDB mirror of the winnowing pipeline (round-4 VERDICT #3: winnowing
+# is deterministic, so the selected positions ARE SQL-expressible and the
+# winnow pair gets real oracles). Stages match the Spark code 1:1:
+# per-doc shingle md5 rows with 0-based position -> one row per w-wide
+# window start -> per-window min hash (binary collation = Spark's
+# lexicographic array_min on ascii hex) -> RIGHTMOST occurrence of that
+# min via max(pos) over the rows equal to it -> distinct selected
+# positions. Shared prefix for both winnow oracles.
+_WINNOW_CTES = f"""toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    idx AS (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - {WINNOW_K}, 0) + 1)) AS i
+            FROM toks),
+    hs AS (SELECT doc_id, i AS pos,
+                  md5(array_to_string(t[i + 1 : i + {WINNOW_K}], ' ')) AS h
+           FROM idx),
+    nh AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+    wins AS (SELECT doc_id,
+                    unnest(range(0, greatest(n - {WINNOW_W}, 0) + 1)) AS i
+             FROM nh),
+    winrows AS (SELECT w.doc_id, w.i, h.pos, h.h
+                FROM wins w JOIN hs h
+                  ON h.doc_id = w.doc_id
+                 AND h.pos BETWEEN w.i AND w.i + {WINNOW_W - 1}),
+    winmin AS (SELECT doc_id, i, pos, h,
+                      min(h) OVER (PARTITION BY doc_id, i) AS mh
+               FROM winrows),
+    selpos AS (SELECT DISTINCT doc_id, spos FROM (
+                 SELECT doc_id, max(pos) AS spos
+                 FROM winmin WHERE h = mh GROUP BY doc_id, i))"""
+
 
 def winnow_selected_positions(hashes_col, w: int = WINNOW_W):
     """Schleimer-Wilkerson-Aiken winnowing: slide a w-wide window over the
@@ -253,14 +286,31 @@ def winnow_selected_positions(hashes_col, w: int = WINNOW_W):
     return F.array_distinct(F.transform(F.sequence(F.lit(0), n_wins), pick))
 
 
+_WINNOW_FP_ORACLE = f"""
+    WITH {_WINNOW_CTES},
+    picked AS (SELECT s.doc_id, h.h
+               FROM selpos s JOIN hs h
+                 ON h.doc_id = s.doc_id AND h.pos = s.spos)
+    SELECT n.doc_id,
+           fp.fingerprint,
+           CAST(n.n AS BIGINT) AS n_shingles,
+           CAST(ns.c AS BIGINT) AS n_selected
+    FROM nh n
+    JOIN (SELECT doc_id, md5(string_agg(h, '' ORDER BY h)) AS fingerprint
+          FROM picked GROUP BY doc_id) fp USING (doc_id)
+    JOIN (SELECT doc_id, count(*) AS c FROM selpos GROUP BY doc_id) ns
+      USING (doc_id)
+"""
+
+
 @query(
     "text_winnow_fingerprint",
-    None,
+    _WINNOW_FP_ORACLE,
     "Winnowing fingerprint (Schleimer-Wilkerson-Aiken): md5 shingle "
     "hashes -> rightmost-min selection per 4-shingle window -> digest of "
-    "the selected hash set. Spark-only (higher-order array functions); "
-    "driver does a rows-only check, exactness vs a Python reference in "
-    "tests/test_text.py.",
+    "the selected hashes. Deterministic, so the DuckDB oracle replays "
+    "the window-min/rightmost-tie-break selection in SQL; exactness vs "
+    "an independent Python reference also in tests/test_text.py.",
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: per-row array ops, no shuffle at all — embarrassingly
@@ -289,15 +339,33 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_WINNOW_ORACLE = f"""
+    WITH {_WINNOW_CTES},
+    inv AS (SELECT DISTINCT s.doc_id, h.h AS fp
+            FROM selpos s JOIN hs h
+              ON h.doc_id = s.doc_id AND h.pos = s.spos),
+    hot AS (SELECT fp FROM inv GROUP BY fp HAVING count(*) > 128),
+    inv2 AS (SELECT inv.* FROM inv ANTI JOIN hot USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fingerprints
+    FROM inv2 a JOIN inv2 b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY 1, 2
+"""
+
+
 @query(
     "dedup_winnow",
-    None,
+    _DEDUP_WINNOW_ORACLE,
     "Near-dup candidates via winnowed fingerprints: inverted index over "
     "the SELECTED hashes only (~2/(w+1) of the full shingle index), pairs "
     "ranked by shared-fingerprint count. The winnowing guarantee bounds "
     "recall: any shared passage of >= w+k-1 tokens produces a shared "
-    "selected hash. Rows-only driver check; recall/exclusion asserted in "
-    "tests/test_text.py.",
+    "selected hash. Deterministic, so the DuckDB oracle replays "
+    "selection, hot-fingerprint cap, and the pair join; recall/exclusion "
+    "also asserted in tests/test_text.py.",
 )
 def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: same inverted-index shape as dedup_ngram_jaccard but the

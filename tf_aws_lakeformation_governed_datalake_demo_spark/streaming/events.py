@@ -17,25 +17,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
-    """Probe the events parquet footer for the physical ts type — the
+def _events_schema(
+    spark: SparkSession, sf_dir: str, pattern: str = "events.parquet"
+) -> T.StructType:
+    """Probe the parquet footer for the physical ts type — the
     driver has shipped TIMESTAMP(NANOS) (reads as long under
     ``nanosAsLong``) and TIMESTAMP(MICROS, no-tz) (reads as NTZ) across
     rounds; the stream normalizes both to session-tz TIMESTAMP exactly
     like the batch loader (sources.lake.load)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.read.option("pathGlobFilter", pattern).parquet(sf_dir).schema
+    )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (test harness source;
-    swap for Kafka in production — the transformations don't change)."""
-    schema = _events_schema(spark, sf_dir)
-    # the file source requires a directory; glob-filter to the events file
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, pattern: str = "events.parquet"
+) -> DataFrame:
+    """File-source stream over events parquet files (test harness source;
+    swap for Kafka in production — the transformations don't change).
+    ``pattern`` widens the glob for multi-file directories (the durable
+    resume test feeds files incrementally)."""
+    schema = _events_schema(spark, sf_dir, pattern)
+    # the file source requires a directory; glob-filter to the event files
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", pattern)
         .load(sf_dir)
     )
     ts_type = raw.schema["ts"].dataType
@@ -201,3 +209,36 @@ def run_stream_to_batch(
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_durable(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Durable-sink harness: parquet file sink + checkpointLocation,
+    append mode, ``availableNow`` trigger (round-4 VERDICT #4 — the
+    production path the memory-sink harness doesn't cover).
+
+    Recovery contract: the checkpoint records committed source offsets
+    and sink epochs, so re-invoking with the SAME ``checkpoint_dir``
+    after a crash/restart resumes from the last committed batch — new
+    input files are processed exactly once and already-emitted windows
+    are never re-emitted (the parquet sink's transactional _spark_metadata
+    log makes partial output files from a crashed batch invisible to
+    readers). Append mode means a window row is emitted only once its
+    end passes the watermark — the streaming-correct "finalized windows
+    only" semantics, vs complete mode's full-state snapshots.
+
+    Call repeatedly as data lands; each call drains all available input
+    and returns when the (possibly empty) watermark-flush batch commits.
+    """
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
