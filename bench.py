@@ -51,6 +51,12 @@ HEADLINE = [
     # round 3 additions: decorrelated-subquery TPC-H shapes
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
+    # round 5 additions (round-4 VERDICT #6): the governance scan-rewrite
+    # path (a regression in per-cell NULL-masking was invisible to the
+    # bench), the MERGE upsert, and the multi-probe ANN search path
+    "governance_analyst_row_column_security",
+    "lake_merge_upsert",
+    "ann_multiprobe_topk",
 ]
 
 
