@@ -17,28 +17,34 @@ sort-ordered prefixes to steer what the bounded window verifies each
 round. Round-5 scheme (three prefixes):
 
 - unprefixed — oracle-backed query needing a FIRST (or fresh, after a
-  semantics change) driver verdict. Round 5: the two winnowing queries
-  (gained real DuckDB oracles this round), the two new multi-probe ANN
-  queries, the durable streaming sink, and ``ann_recall_at_k`` (changed
-  to measure the multi-probed pipeline, so its r4 verdict is stale).
+  semantics change) driver verdict. Round 5 (12 names): the two
+  winnowing queries and the three governance goldens and the
+  ann_ivf/ann_lsh/dedup_embedding LSH pipelines (all gained real DuckDB
+  oracles this round — the governance ones are differential: fixture
+  VALUES + the declared policy applied in SQL), the two new multi-probe
+  ANN queries, the durable streaming sink, and ``ann_recall_at_k``
+  (changed to measure the multi-probed pipeline, so its r4 verdict is
+  stale).
 - ``x_<name>`` — oracle-backed query whose last green driver verdict is
   from round 1 or 2 and has not been re-verified since (STALE). These
-  sort right after the unprefixed block, so the ~44 remaining window
-  slots re-verify the oldest greens (round-4 ADVICE/VERDICT #5). 10
-  names past slot 50 (x_udf_grouped_zscore .. x_window_topk_per_group)
-  spill to the round-6 window.
+  sort right after the unprefixed block, so the 38 remaining window
+  slots re-verify the oldest greens (round-4 ADVICE/VERDICT #5). 16
+  names past slot 50 (x_tpch_q18_large_orders ..
+  x_window_topk_per_group) spill to the round-6 window.
 - ``y_<name>`` — oracle-backed query verified green in the round-3 or
   round-4 window (fresh verdicts, including the 25 x_ re-verifications
   those windows performed). Rotated past the window; still oracle-diffed
   locally on every pytest run (tests/test_oracle_diff.py parametrizes
   ALL oracle queries vs DuckDB).
-- ``z_<name>`` — no SQL oracle exists (approximate LSH/ANN, governance
-  fixtures, k-means); the driver's check is rows-only either way.
-  Exactness/recall/bound tests live in tests/.
+- ``z_<name>`` — no SQL oracle exists; down to 5 queries, each with a
+  written reason: dedup_minhash_lsh / dedup_simhash hash with Spark
+  xxhash64 (no DuckDB equivalent), kmeans_embeddings and dedup_clusters
+  are iterative, approx_aggregates is HLL-approximate. Exactness /
+  recall / bound tests live in tests/.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r04 except the six unprefixed names
-above, which are new or changed in round 5 and get theirs here.
+driver verdict in CORRECTNESS_r01..r04 except the twelve unprefixed
+names above, which are new or changed in round 5 and get theirs here.
 """
 
 from __future__ import annotations

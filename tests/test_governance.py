@@ -494,3 +494,40 @@ def test_drop_table_delete_data_guarded(spark, tmp_path_factory):
     cat2.register_table(TableDef("db", "root", "/tmp"))
     with pytest.raises(ValueError, match="lake_root"):
         cat2.drop_table("db.root", delete_data=True)
+
+
+def test_governed_sql_guard_on_raw_spark_sql(spark, tmp_path_factory):
+    # SURVEY §4.2 option-2 fallback (jar-free): code calling the
+    # session's raw spark.sql() gets grant checks + rewrites + audit
+    # while the guard is active, and the session is restored after.
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        Engine,
+        governed_sql_guard,
+    )
+
+    lake = str(tmp_path_factory.mktemp("guardsql"))
+    eng = Engine(spark, fx.bootstrap(spark, lake))
+
+    with governed_sql_guard(eng, "analyst"):
+        df = spark.sql("SELECT * FROM sales_db.sales")
+        assert df.count() == 8  # row security applied
+        assert len(df.columns) == 5  # column allowlist applied
+        # view-through-security composes identically
+        masked = spark.sql(
+            "SELECT customer_email FROM sales_db.sales_masked LIMIT 1"
+        ).first()
+        assert masked.customer_email.startswith("***@")
+        with pytest.raises(ValueError, match="parameterized"):
+            spark.sql("SELECT 1", args={"x": 1})
+
+    with governed_sql_guard(eng, "intern"):
+        with pytest.raises(PermissionDeniedError):
+            spark.sql("SELECT 1 FROM sales_db.sales")
+
+    # guard released: raw sql is ungoverned again (catalog-independent)
+    assert spark.sql("SELECT 41 + 1 AS v").first().v == 42
+    # denied access under the guard was audited
+    assert any(
+        e["principal"] == "intern" and e["status"] == "FAILED"
+        for e in eng.catalog.audit.events
+    )

@@ -29,7 +29,7 @@ from .governance import (
     Principal,
 )
 from .catalog import GovernedCatalog, TableDef
-from .engine import Engine, QueryExecution, QueryState
+from .engine import Engine, QueryExecution, QueryState, governed_sql_guard
 from .session import get_spark
 
 __all__ = [
@@ -38,6 +38,7 @@ __all__ = [
     "SELECT",
     "DataCellsFilter",
     "Engine",
+    "governed_sql_guard",
     "GovernedCatalog",
     "Grant",
     "LFTag",

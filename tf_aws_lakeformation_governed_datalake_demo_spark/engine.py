@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import enum
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -354,6 +355,49 @@ class PrincipalSession:
 
     def submit(self, sql: str) -> str:
         return self.engine.submit(sql, self.principal)
+
+
+@contextmanager
+def governed_sql_guard(engine: Engine, principal: Principal | str):
+    """SURVEY §4.2 option-2, jar-free fallback: while active, the
+    SparkSession's OWN ``spark.sql()`` routes through the engine's
+    governed path as ``principal`` — code that was written against raw
+    ``spark.sql`` gets grant checks, scan rewrites, and audit without
+    being ported to the engine API.
+
+    Scope and honesty: a true Catalyst resolution rule (the option-2
+    ideal) needs a Scala extension jar this image cannot build or
+    install; this guard instead rebinds the session's ``sql`` entry
+    point, which covers every access path that goes through it
+    (including view expansion, since the rewrite happens on the SQL
+    text before analysis) but NOT ``spark.read`` or a stashed
+    pre-guard reference to the original method. Single-threaded by
+    design — the temporary unbind during the engine's internal
+    ``spark.sql`` call is not re-entrant across threads.
+    """
+    spark = engine.spark
+    orig = spark.sql
+
+    def guarded(sqlQuery: str, *args, **kwargs) -> DataFrame:
+        if args or kwargs:
+            raise ValueError(
+                "parameterized spark.sql(...) is not supported under "
+                "governed_sql_guard; inline literals or use "
+                "engine.prepare/execute_prepared"
+            )
+        # the engine's internal spark.sql(rewritten) call must reach the
+        # real method, not re-enter the guard
+        spark.sql = orig
+        try:
+            return engine.sql(sqlQuery, principal=principal)
+        finally:
+            spark.sql = guarded
+
+    spark.sql = guarded
+    try:
+        yield spark
+    finally:
+        spark.sql = orig
 
 
 def _sql_literal(v) -> str:

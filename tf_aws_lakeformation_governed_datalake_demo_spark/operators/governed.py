@@ -2,9 +2,15 @@
 
 These reproduce the reference's five validation query shapes
 (outputs.tf:57-97) against the regenerated 20-row sales fixture. The
-fixture tables are not in the driver's DuckDB view set, so these entries
-carry no oracle — the driver records the weaker rows-only check; exact
-golden-value assertions live in tests/test_governance.py.
+fixture tables are not in the driver's DuckDB view set, but the fixture
+IS deterministic (fixtures.sales_rows, the faithful port of
+generate_sample_data.py:21-62) — so each query carries a DIFFERENTIAL
+oracle: the fixture rows inlined as a VALUES CTE with the governance
+semantics (row predicate, column allowlist, masking regexes) applied
+declaratively in DuckDB SQL. The driver therefore hash-verifies that the
+engine's scan-interception rewrite produces exactly what the declared
+policy says, rather than recording a rows-only count. Golden-value
+assertions additionally live in tests/test_governance.py.
 """
 
 from __future__ import annotations
@@ -46,10 +52,38 @@ def _engine(spark: SparkSession) -> Engine:
     return eng
 
 
+def _sales_values_sql() -> str:
+    """The 20 fixture rows as a SQL VALUES list (repr round-trips the
+    doubles exactly; single quotes doubled for SQL)."""
+
+    def lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    return ", ".join(
+        "(" + ", ".join(lit(c) for c in row) + ")" for row in fx.sales_rows()
+    )
+
+
+_SALES_CTE = (
+    "sales_fixture(customer_id, customer_name, customer_email, ssn, "
+    f"sales_region, sales_amount, sale_date) AS (VALUES {_sales_values_sql()})"
+)
+
+
 @query(
     "governance_admin_count_by_region",
-    None,
-    "G4 — DataAdmin sees all 3 regions (outputs.tf:67-73): AMER=6, APAC=8, EMEA=6.",
+    f"""
+    WITH {_SALES_CTE}
+    SELECT sales_region, CAST(count(*) AS BIGINT) AS count
+    FROM sales_fixture
+    GROUP BY sales_region
+    ORDER BY sales_region
+    """,
+    "G4 — DataAdmin sees all 3 regions (outputs.tf:67-73): AMER=6, "
+    "APAC=8, EMEA=6. Differential oracle: the fixture VALUES aggregated "
+    "ungoverned (ALL grant = no rewrite).",
 )
 def governance_admin_count_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine(spark).sql(
@@ -61,9 +95,19 @@ def governance_admin_count_by_region(spark: SparkSession, sf_dir: str) -> DataFr
 
 @query(
     "governance_analyst_row_column_security",
-    None,
+    f"""
+    WITH {_SALES_CTE}
+    SELECT customer_id, customer_name, sales_region,
+           CAST(sales_amount AS DOUBLE) AS sales_amount, sale_date
+    FROM sales_fixture
+    WHERE sales_region = 'APAC'
+    ORDER BY customer_id
+    LIMIT 10
+    """,
     "G3/G5 — Analyst star-expands to the 5-col allowlist, APAC rows only "
-    "(outputs.tf:75-80).",
+    "(outputs.tf:75-80). Differential oracle: the fixture VALUES with "
+    "the data-cells filter's row predicate and column allowlist applied "
+    "declaratively (main.tf:442-453).",
 )
 def governance_analyst_row_column_security(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine(spark).sql(
@@ -74,9 +118,24 @@ def governance_analyst_row_column_security(spark: SparkSession, sf_dir: str) -> 
 
 @query(
     "governance_masked_view",
-    None,
+    f"""
+    WITH {_SALES_CTE}
+    SELECT customer_id, customer_name,
+           regexp_replace(customer_email, '^([^@]{{1,3}}).*@', '***@')
+             AS customer_email,
+           regexp_replace(ssn, '\\d', '*', 'g') AS ssn,
+           sales_region,
+           CAST(sales_amount AS DOUBLE) AS sales_amount,
+           sale_date
+    FROM sales_fixture
+    WHERE sales_region = 'APAC'
+    ORDER BY customer_id
+    LIMIT 10
+    """,
     "V3/F1/F2 — Analyst on sales_masked: APAC rows, ***@ emails, "
-    "***-**-**** SSNs (outputs.tf:82-87).",
+    "***-**-**** SSNs (outputs.tf:82-87). Differential oracle: the "
+    "fixture VALUES with view masking (outputs.tf:48-49's regexes in "
+    "DuckDB's RE2 dialect) composed over the row filter.",
 )
 def governance_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine(spark).sql(

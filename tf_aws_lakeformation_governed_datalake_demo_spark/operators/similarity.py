@@ -181,13 +181,43 @@ def hyperplane_signature(vec_col, n_planes: int = N_HYPERPLANES, dim: int = 64):
     return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x)
 
 
+_ANN_IVF_ORACLE = """
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    el AS (SELECT vec_id, label,
+                  unnest(range(0, 64)) AS d,
+                  unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings),
+    cent AS (SELECT label, d, avg(x) AS m FROM el GROUP BY 1, 2),
+    cn AS (SELECT label, sqrt(sum(m * m)) AS cnorm FROM cent GROUP BY 1),
+    q AS (SELECT d, x FROM el WHERE vec_id = 0),
+    qn AS (SELECT sqrt(sum(x * x)) AS qnorm FROM q),
+    csim AS (SELECT c.label,
+                    sum(c.m * q.x)
+                      / (any_value(cn.cnorm) * any_value(qn.qnorm)) AS s
+             FROM cent c
+             JOIN q ON c.d = q.d
+             JOIN cn ON cn.label = c.label
+             CROSS JOIN qn
+             GROUP BY c.label),
+    probed AS (SELECT label FROM csim ORDER BY s DESC, label LIMIT 2),
+    qv AS (SELECT e FROM v WHERE vec_id = 0)
+    SELECT v.vec_id, v.label,
+           round(list_cosine_similarity(v.e, qv.e), 4) AS cos_sim
+    FROM v JOIN probed USING (label) CROSS JOIN qv
+    WHERE v.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+"""
+
+
 @query(
     "ann_ivf_cosine",
-    None,
+    _ANN_IVF_ORACLE,
     "IVF-style ANN: coarse centroids (per-label mean vectors), probe the "
     "nprobe=2 nearest cells, exact top-10 within probed cells only. "
-    "Approximate => rows-only check; recall asserted in "
-    "tests/test_similarity.py.",
+    "Deterministic (centroids are exact means), so the DuckDB oracle "
+    "replays quantization, cell probing, and ranking; recall vs brute "
+    "force asserted in tests/test_similarity.py.",
 )
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: centroid table is tiny (n_cells rows) and broadcasts both
@@ -317,13 +347,36 @@ def lsh_candidate_pairs(
     )
 
 
+# Defined before the SIG CTEs below textually but evaluated lazily via
+# the module-level f-string: the shared signature CTEs make the banded
+# candidate set SQL-expressible, so this formerly rows-only query is now
+# fully hash-verified (the "approximation" is deterministic given the
+# literal plane matrix).
+def _ann_lsh_pairs_oracle(threshold_clause: str, order_clause: str) -> str:
+    return f"""
+    WITH {{sig}},
+    cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM k2 a JOIN k2 b USING (band, key)
+             WHERE a.vec_id < b.vec_id),
+    scored AS (SELECT cand.vec_a, cand.vec_b,
+                      round(list_cosine_similarity(va.e, vb.e), 4) AS cos_sim
+               FROM cand JOIN v va ON cand.vec_a = va.vec_id
+                         JOIN v vb ON cand.vec_b = vb.vec_id)
+    SELECT vec_a, vec_b, cos_sim FROM scored
+    {threshold_clause}
+    {order_clause}
+    """
+
+
 @query(
     "ann_lsh_cosine",
-    None,
+    None,  # oracle injected below once _SIG_CTES is defined
     "Approximate NN pairs: 8-band x 8-hyperplane LSH (candidates share "
     "any band key, hot buckets capped), exact cosine on candidates only, "
-    "bounded top-100 result. Approximation => rows-only driver check; "
-    "recall and bucket-cap bounds asserted in tests/test_similarity.py.",
+    "bounded top-100 result. Deterministic given the literal hyperplane "
+    "matrix, so the DuckDB oracle replays signatures, hot-cap, candidate "
+    "join, and ranking; recall and bucket-cap bounds additionally "
+    "asserted in tests/test_similarity.py.",
 )
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str, top_k: int = 100) -> DataFrame:
     """Scale path: signature computation is map-only; candidates shuffle
@@ -759,3 +812,41 @@ def ann_recall_midsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---- late oracle injection --------------------------------------------
+# Two LSH-pair queries register before the shared signature CTE text can
+# exist: ann_lsh_cosine is defined above _SIG_CTES in this module, and
+# dedup_embedding_cosine is registered by dedup.py, which THIS module
+# imports (adding the reverse import would be a cycle). Both pipelines
+# are deterministic given the literal hyperplane matrix, so their
+# oracles are attached here, after every piece they quote is defined.
+
+
+def _attach_oracle(name: str, oracle: str, description: str | None = None) -> None:
+    from .registry import REGISTRY, QuerySpec
+
+    spec = REGISTRY[name]
+    REGISTRY[name] = QuerySpec(
+        spec.name, spec.builder, oracle, description or spec.description
+    )
+
+
+_attach_oracle(
+    "ann_lsh_cosine",
+    _ann_lsh_pairs_oracle(
+        "", "ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 100"
+    ).format(sig=_SIG_CTES),
+)
+_attach_oracle(
+    "dedup_embedding_cosine",
+    _ann_lsh_pairs_oracle(
+        "WHERE cos_sim >= 0.3", "ORDER BY vec_a, vec_b"
+    ).format(sig=_SIG_CTES),
+    "Embedding-cosine near-dup pairs, LSH-bucketed (8x8 banded "
+    "hyperplane candidates, hot-bucket cap, exact cosine on candidates "
+    "only). Deterministic given the literal plane matrix, so the DuckDB "
+    "oracle replays the full candidates-then-verify pipeline; "
+    "planted-near-dup recall vs the brute-force baseline additionally "
+    "asserted in tests/test_dedup.py.",
+)
