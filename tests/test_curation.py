@@ -90,3 +90,40 @@ def test_shingle_strings_short_doc(spark):
         _shingle_strings(F.split(F.lower("text"), r"\s+"), 5).alias("s")
     ).first()
     assert list(out.s) == ["a b"]
+
+
+def test_shard_assignment_balanced_and_complete(spark, sf_dir):
+    rows = REGISTRY["pipeline_shard_assignment"].builder(spark, sf_dir).collect()
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.curation import (
+        N_SHARDS,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    assert {r.shard for r in rows} == set(range(N_SHARDS))  # no empty shard
+    assert sum(r.n_docs for r in rows) == load(spark, sf_dir, "documents").count()
+    # md5 buckets are uniform: at 500 docs / 16 shards no shard should be
+    # more than 3x the smallest (loose bound, deterministic data)
+    counts = [r.n_docs for r in rows]
+    assert max(counts) <= 3 * min(counts), counts
+
+
+def test_dedup_keep_best_covers_corpus_and_keeps_longest(spark, sf_dir):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    keep = REGISTRY["dedup_keep_best"].builder(spark, sf_dir).collect()
+    # components partition the corpus: sizes sum to the doc count
+    assert sum(r.cluster_size for r in keep) == d.count()
+    # every keeper is a real doc and is at least as long as its own
+    # cluster's mean (weak sanity; exact ranking is oracle-verified)
+    toks = {
+        r.doc_id: r.n
+        for r in d.select(
+            "doc_id", F.size(F.split(F.lower("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    assert all(r.keeper_n_toks == toks[r.keeper_doc_id] for r in keep)
+    # at least one non-trivial cluster exists in the corpus (else the
+    # operator is vacuous on this fixture)
+    assert any(r.cluster_size > 1 for r in keep)

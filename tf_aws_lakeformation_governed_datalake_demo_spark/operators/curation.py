@@ -82,6 +82,48 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(_md5_bucket(F.col("text")) < 10).select("doc_id", "lang")
 
 
+N_SHARDS = 16
+
+
+@query(
+    "pipeline_shard_assignment",
+    f"""
+    WITH s AS (SELECT doc_id, n_chars,
+                      CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)
+                        % {N_SHARDS} AS shard
+               FROM documents)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    f"Deterministic output sharding: every document content-hashes to "
+    f"one of {N_SHARDS} shards, summarized as per-shard doc and char "
+    f"totals (the balance audit). Content-addressed like the split "
+    f"bucket, so shard membership is stable across re-runs and cluster "
+    f"sizes; balance bounds asserted in tests/test_curation.py.",
+)
+def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side discipline for a 100 TB corpus: downstream writers
+    do ``df.withColumn("shard", ...).repartition("shard").write.
+    partitionBy("shard")`` to get statistically-balanced output files
+    with no sampling pass or range partitioner (content hashes are
+    uniform). This query is that assignment plus its balance audit —
+    map-only expression, one tiny {N}-row agg."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            _md5_bucket(F.col("text"), N_SHARDS).alias("shard"), "n_chars"
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
 def _shingle_strings(toks, k: int):
     """k-token shingle strings via slice+concat (md5-able on both engines)."""
     n = F.greatest(F.size(toks) - (k - 1), F.lit(1))

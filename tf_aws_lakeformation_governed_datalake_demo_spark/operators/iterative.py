@@ -202,10 +202,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_clusters_exact",
-    """
-    WITH RECURSIVE
+# Shared recursive-CTE prefix: exact >=0.8-Jaccard 5-gram pairs ->
+# transitive closure -> per-doc component. Reused by the clustering
+# oracle and the keep-best canonical-selection oracle below.
+_JACCARD_CLOSURE_CTES = """
     t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
           FROM documents),
     sh AS (SELECT doc_id,
@@ -231,7 +231,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach(id, comp) AS (
         SELECT s, s FROM edges
         UNION
-        SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id)
+        SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id)"""
+
+
+@query(
+    "dedup_clusters_exact",
+    f"""
+    WITH RECURSIVE {_JACCARD_CLOSURE_CTES}
     SELECT id AS doc_id, min(comp) AS component
     FROM reach GROUP BY id ORDER BY doc_id
     """,
@@ -258,5 +264,84 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         return labels.select(
             F.col("id").alias("doc_id"), F.col("component")
         ).orderBy("doc_id")
+    finally:
+        pairs.unpersist()
+
+
+@query(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_JACCARD_CLOSURE_CTES},
+    comp AS (SELECT id AS doc_id, min(comp) AS component
+             FROM reach GROUP BY id),
+    alldocs AS (SELECT d.doc_id,
+                       coalesce(c.component, d.doc_id) AS component,
+                       CAST(len(string_split_regex(lower(d.text), '\\s+'))
+                            AS BIGINT) AS n_toks
+                FROM documents d LEFT JOIN comp c USING (doc_id)),
+    ranked AS (SELECT *,
+                      row_number() OVER (
+                        PARTITION BY component
+                        ORDER BY n_toks DESC, doc_id) AS rn
+               FROM alldocs),
+    csize AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM alldocs GROUP BY component)
+    SELECT r.component, r.doc_id AS keeper_doc_id,
+           r.n_toks AS keeper_n_toks, s.cluster_size
+    FROM ranked r JOIN csize s USING (component)
+    WHERE rn = 1
+    ORDER BY r.component
+    """,
+    "Canonical-document selection: exact >=0.8-Jaccard clusters (plus "
+    "every unclustered doc as its own singleton component) reduced to "
+    "one keeper per cluster — the LONGEST member (token count), doc_id "
+    "tie-break, the standard keep-longest near-dup policy. The oracle "
+    "replays clustering via the recursive-CTE closure and the keeper "
+    "ranking in SQL, so the full dedup-then-select pipeline stage is "
+    "hash-verified.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline stage after pair mining + clustering: decide which
+    duplicate survives. Scale: component labels come from the bounded
+    label-propagation loop (see dedup_clusters_exact); scoring is a
+    map-only token count; keeper selection is one per-component window
+    over cluster-sized groups and the size agg reuses the same shuffle
+    key — no global sort except the tiny oracle-determinism orderBy."""
+    from pyspark.sql import Window as W
+
+    from .dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.8).cache()
+    pairs.count()
+    try:
+        labels = label_propagation(pairs)
+        scored = d.select(
+            "doc_id",
+            F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("n_toks"),
+        )
+        lab = (
+            scored.join(labels, scored.doc_id == labels.id, "left")
+            .select(
+                "doc_id",
+                F.coalesce("component", "doc_id").cast("long").alias("component"),
+                "n_toks",
+            )
+            .localCheckpoint(eager=True)  # consumed by ranking AND sizes
+        )
+        w = W.partitionBy("component").orderBy(F.desc("n_toks"), "doc_id")
+        keepers = (
+            lab.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "component",
+                F.col("doc_id").alias("keeper_doc_id"),
+                F.col("n_toks").alias("keeper_n_toks"),
+            )
+        )
+        sizes = lab.groupBy("component").agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size")
+        )
+        return keepers.join(sizes, "component").orderBy("component")
     finally:
         pairs.unpersist()
