@@ -304,3 +304,31 @@ def test_library_pair_emitters_sort_free(spark, sf_dir):
     # the registry forms DO sort (oracle determinism contract)
     plan = physical_plan(REGISTRY["dedup_ngram_jaccard"].builder(spark, sf_dir))
     assert "rangepartitioning" in plan.lower()
+
+
+def test_multiprobe_ann_no_cartesian_and_capped(spark, sf_dir):
+    # Multi-probe must stay a bucket-keyed join: probes explode the QUERY
+    # side only (map-side Generate), candidates come from a hash join on
+    # (band, key), and nothing degenerates into a product of corpus rows.
+    plan = physical_plan(REGISTRY["ann_multiprobe_topk"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan  # probe expansion is an explode, not a join
+    # exact scoring joins the tiny query-vector frame by broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shard_assignment_single_tiny_agg(spark, sf_dir):
+    # One scan, one partial-agg shuffle on the 16-value shard key, no
+    # joins, no sort besides the 16-row output orderBy.
+    plan = physical_plan(REGISTRY["pipeline_shard_assignment"].builder(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_keep_best_reuses_component_partitioning(spark, sf_dir):
+    # The keeper window and the cluster-size agg both key on `component`;
+    # the final join must be on that same key — no cartesian, and the
+    # corpus scan feeds a single pipeline (the localCheckpoint pin).
+    df = REGISTRY["dedup_keep_best"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
