@@ -17,21 +17,22 @@ sort-ordered prefixes to steer what the bounded window verifies each
 round. Round-5 scheme (three prefixes):
 
 - unprefixed — oracle-backed query needing a FIRST (or fresh, after a
-  semantics change) driver verdict. Round 5 (14 names): the two
+  semantics change) driver verdict. Round 5 (16 names): the two
   winnowing queries, the three governance goldens, and the
   ann_ivf/ann_lsh/dedup_embedding LSH pipelines (all gained real DuckDB
   oracles this round — the governance ones are differential: fixture
   VALUES + the declared policy applied in SQL), the two new multi-probe
   ANN queries, the durable streaming sink, the two new curation
-  operators (dedup_keep_best, pipeline_shard_assignment), and
+  operators (dedup_keep_best, pipeline_shard_assignment), the two new
+  multimodal stages (resize geometry, feature extraction), and
   ``ann_recall_at_k`` (changed to measure the multi-probed pipeline, so
   its r4 verdict is stale).
 - ``x_<name>`` — oracle-backed query whose last green driver verdict is
   from round 1 or 2 and has not been re-verified since (STALE). These
-  sort right after the unprefixed block, so the 36 remaining window
-  slots re-verify the oldest greens (round-4 ADVICE/VERDICT #5). 18
-  names past slot 50 (x_tpch_q12_priority_shipping ..
-  x_window_topk_per_group) spill to the round-6 window.
+  sort right after the unprefixed block, so the 34 remaining window
+  slots re-verify the oldest greens (round-4 ADVICE/VERDICT #5). 20
+  names past slot 50 (x_text_token_stats .. x_window_topk_per_group)
+  spill to the round-6 window.
 - ``y_<name>`` — oracle-backed query verified green in the round-3 or
   round-4 window (fresh verdicts, including the 25 x_ re-verifications
   those windows performed). Rotated past the window; still oracle-diffed

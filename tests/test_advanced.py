@@ -97,3 +97,29 @@ def test_frame_sample_filters_before_decode(spark, sf_dir):
     assert "MapInPandas" in plan
     assert plan.index("MapInPandas") < plan.index("Filter")
     assert df.count() > 0
+
+
+def test_multimodal_resize_geometry(spark, sf_dir):
+    # aspect-preserving: larger side lands exactly on the 224 target and
+    # the aspect ratio error is bounded by the integer floor
+    rows = REGISTRY["multimodal_resize"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert max(r.out_w, r.out_h) == 224
+        assert min(r.out_w, r.out_h) >= 1
+        # floor-division bound: |out_w/out_h - width/height| is small
+        assert abs(r.out_w * r.height - r.out_h * r.width) <= max(r.width, r.height)
+
+
+def test_multimodal_feature_extract_shape(spark, sf_dir):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.multimodal import (
+        N_FEATURE_DIMS,
+    )
+
+    df = REGISTRY["multimodal_feature_extract"].builder(spark, sf_dir)
+    rows = df.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, set()).add(r.dim)
+        assert 0 <= r.value <= 255
+    assert all(dims == set(range(N_FEATURE_DIMS)) for dims in per_doc.values())

@@ -101,6 +101,114 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_frame(spark, sf_dir).mapInPandas(decode_image_stub, DECODED_SCHEMA)
 
 
+RESIZE_TARGET = 224  # max output side (the ImageNet-era convention)
+
+
+def resize_plan_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize planner (mapInPandas body): aspect-preserving resize
+    arithmetic to a {RESIZE_TARGET}-max-side box. The GEOMETRY is real
+    (integer math a real thumbnailer would use); only the input
+    dimensions come from the fake decode. Integer-exact on purpose so
+    both engines agree bit-for-bit."""
+    for pdf in batches:
+        w, h = pdf["width"], pdf["height"]
+        m = w.combine(h, max)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "width": w.astype("int64"),
+                "height": h.astype("int64"),
+                "out_w": (w * RESIZE_TARGET // m).astype("int64"),
+                "out_h": (h * RESIZE_TARGET // m).astype("int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_resize",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 3 = 0 THEN 'image'
+                           WHEN doc_id % 3 = 1 THEN 'audio'
+                           ELSE 'video' END AS media_type,
+                      octet_length(encode(text)) % 640 + 16 AS width,
+                      octet_length(encode(text)) % 480 + 16 AS height
+               FROM documents)
+    SELECT doc_id, media_type,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(width * {RESIZE_TARGET} // greatest(width, height) AS BIGINT)
+             AS out_w,
+           CAST(height * {RESIZE_TARGET} // greatest(width, height) AS BIGINT)
+             AS out_h
+    FROM d WHERE media_type = 'image'
+    """,
+    "Resize-plan plumbing: decode (stub dims) -> aspect-preserving "
+    f"{RESIZE_TARGET}-max-side integer resize geometry via a second "
+    "mapInPandas stage, images only (filter pushed before the Python "
+    "boundary). Integer arithmetic end to end, so the full two-stage "
+    "media pipeline is oracle-checkable.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = media_frame(spark, sf_dir).filter(F.col("media_type") == "image")
+    decoded = images.mapInPandas(decode_image_stub, DECODED_SCHEMA)
+    return decoded.mapInPandas(
+        resize_plan_stub,
+        "doc_id long, media_type string, width long, height long, "
+        "out_w long, out_h long",
+    )
+
+
+N_FEATURE_DIMS = 8
+
+
+def feature_extract_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB feature extractor (mapInPandas body): 8 integer features per
+    item derived from the payload's md5 (consecutive hex-pairs, 0-255).
+    A real pipeline swaps this body for a vision/audio encoder emitting
+    float vectors; the long-format (doc_id, dim, value) output is the
+    lake-friendly at-rest shape that reshapes to array<float> for the
+    similarity stack (knn_cosine_*, ann_*)."""
+    import hashlib
+
+    for pdf in batches:
+        hexes = pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest())
+        out = {
+            "doc_id": pdf["doc_id"].repeat(N_FEATURE_DIMS).reset_index(drop=True),
+            "dim": list(range(N_FEATURE_DIMS)) * len(pdf),
+            "value": [
+                int(hx[2 * j : 2 * j + 2], 16)
+                for hx in hexes
+                for j in range(N_FEATURE_DIMS)
+            ],
+        }
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_feature_extract",
+    f"""
+    SELECT doc_id, CAST(j AS BIGINT) AS dim,
+           CAST(concat('0x', substr(md5(text), 2 * j + 1, 2)) AS BIGINT)
+             AS value
+    FROM documents
+    CROSS JOIN (SELECT unnest(range(0, {N_FEATURE_DIMS})) AS j) dims
+    WHERE doc_id % 3 = 0
+    """,
+    "Feature-extraction plumbing: image payloads -> mapInPandas encoder "
+    "stub -> long-format (doc_id, dim, value) features. The stub derives "
+    "integer features from the payload md5, so the Arrow-batched "
+    "extraction pipeline is exactly reproducible in SQL; a real encoder "
+    "replaces only the batch body.",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = media_frame(spark, sf_dir).filter(F.col("media_type") == "image")
+    return images.mapInPandas(
+        feature_extract_stub, "doc_id long, dim long, value long"
+    )
+
+
 @query(
     "multimodal_frame_sample",
     """
