@@ -17,35 +17,38 @@ sort-ordered prefixes to steer what the bounded window verifies each
 round. Round-5 scheme (three prefixes):
 
 - unprefixed — oracle-backed query needing a FIRST (or fresh, after a
-  semantics change) driver verdict. Round 5 (16 names): the two
+  semantics change) driver verdict. Round 5: the two
   winnowing queries, the three governance goldens, and the
   ann_ivf/ann_lsh/dedup_embedding LSH pipelines (all gained real DuckDB
   oracles this round — the governance ones are differential: fixture
   VALUES + the declared policy applied in SQL), the two new multi-probe
   ANN queries, the durable streaming sink, the two new curation
   operators (dedup_keep_best, pipeline_shard_assignment), the two new
-  multimodal stages (resize geometry, feature extraction), and
-  ``ann_recall_at_k`` (changed to measure the multi-probed pipeline, so
-  its r4 verdict is stale).
+  multimodal stages (resize geometry, feature extraction),
+  ``dedup_simhash`` (rebuilt on md5-derived 60-bit hashes so the full
+  pipeline is SQL-reproducible), and ``ann_recall_at_k`` (changed to
+  measure the multi-probed pipeline, so its r4 verdict is stale). 17
+  names total.
 - ``x_<name>`` — oracle-backed query whose last green driver verdict is
   from round 1 or 2 and has not been re-verified since (STALE). These
-  sort right after the unprefixed block, so the 34 remaining window
-  slots re-verify the oldest greens (round-4 ADVICE/VERDICT #5). 20
-  names past slot 50 (x_text_token_stats .. x_window_topk_per_group)
-  spill to the round-6 window.
+  sort right after the unprefixed block, so the 33 remaining window
+  slots re-verify the oldest greens (round-4 ADVICE/VERDICT #5). 21
+  names past slot 50 (x_text_repetition_ratio ..
+  x_window_topk_per_group) spill to the round-6 window.
 - ``y_<name>`` — oracle-backed query verified green in the round-3 or
   round-4 window (fresh verdicts, including the 25 x_ re-verifications
   those windows performed). Rotated past the window; still oracle-diffed
   locally on every pytest run (tests/test_oracle_diff.py parametrizes
   ALL oracle queries vs DuckDB).
-- ``z_<name>`` — no SQL oracle exists; down to 5 queries, each with a
-  written reason: dedup_minhash_lsh / dedup_simhash hash with Spark
-  xxhash64 (no DuckDB equivalent), kmeans_embeddings and dedup_clusters
+- ``z_<name>`` — no SQL oracle exists; down to 4 queries, each with a
+  written reason: dedup_minhash_lsh hashes with Spark xxhash64 (no
+  DuckDB equivalent, and switching its 16 hash functions to md5 would
+  tax the benched hot path 16x), kmeans_embeddings and dedup_clusters
   are iterative, approx_aggregates is HLL-approximate. Exactness /
   recall / bound tests live in tests/.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r04 except the fourteen unprefixed
+driver verdict in CORRECTNESS_r01..r04 except the seventeen unprefixed
 names above, which are new or changed in round 5 and get theirs here.
 """
 

@@ -510,39 +510,52 @@ def shingle_containment_pairs(
     )
 
 
-def simhash_bitsums_column(text_col) -> "F.Column":
-    """Per-bit ±1 sums for a 64-bit SimHash, as one array<int> column.
+# 60-bit SimHash (15 md5 hex chars): md5 is the one 64-bit-class hash
+# both engines share (xxhash64 has no DuckDB equivalent — the curation.py
+# policy), and 15 hex chars stay positive in a signed BIGINT on both
+# sides, dodging the two's-complement sign-bit special case entirely.
+N_SIMHASH_BITS = 60
+SIMHASH_CHUNK_BITS = 15  # 4 banding chunks
 
-    Token hashes are rendered as 64-char two's-complement bit strings
-    (``lpad(bin(h))``) once per token — the bit-string array is the input
-    child of a single aggregate, so tokenization+hashing run once per row
-    regardless of optimizer inlining (see _minhash_signature note).
+
+def token_hash60(t) -> "F.Column":
+    """First 15 md5 hex chars as a positive 60-bit long — identical to
+    DuckDB's CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash_bitsums_column(text_col) -> "F.Column":
+    """Per-bit ±1 sums for the 60-bit SimHash, as one array<int> column.
+
+    Token hashes are rendered as 60-char bit strings (``lpad(bin(h))``)
+    once per token — the bit-string array is the input child of a single
+    aggregate, so tokenization+hashing run once per row regardless of
+    optimizer inlining (see _minhash_signature note).
     """
+    n = N_SIMHASH_BITS
     toks = F.split(F.lower(text_col), r"\s+")
-    bitstrs = F.transform(toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
+    bitstrs = F.transform(toks, lambda t: F.lpad(F.bin(token_hash60(t)), n, "0"))
     return F.aggregate(
         bitstrs,
-        F.array_repeat(F.lit(0), 64),
+        F.array_repeat(F.lit(0), n),
         lambda acc, s: F.zip_with(
             acc,
-            F.sequence(F.lit(0), F.lit(63)),
-            # bit j is char position 64-j in the MSB-first bit string
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            # bit j is char position n-j in the MSB-first bit string
             lambda a, j: a
-            + F.when(s.substr(F.lit(64) - j, F.lit(1)) == "1", 1).otherwise(-1),
+            + F.when(s.substr(F.lit(n) - j, F.lit(1)) == "1", 1).otherwise(-1),
         ),
     )
 
 
 def simhash_from_bitsums(bitsums_col) -> "F.Column":
     """Assemble the long from majority bits. Must be applied in a second
-    select over a materialized bit-sums column: the 64 element_at
-    references keep CollapseProject from inlining the aggregate 64x."""
+    select over a materialized bit-sums column: the 60 element_at
+    references keep CollapseProject from inlining the aggregate 60x."""
     out = F.lit(0).cast("long")
-    for j in range(64):
-        # bit 63 is the two's-complement sign bit of the long
-        weight = (1 << j) if j < 63 else -(1 << 63)
+    for j in range(N_SIMHASH_BITS):
         out = out + F.when(
-            F.element_at(bitsums_col, j + 1) > 0, F.lit(weight).cast("long")
+            F.element_at(bitsums_col, j + 1) > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return out
 
@@ -557,11 +570,46 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split_regex(lower(text), '\\s+')) AS t
+                  FROM documents),
+    th AS (SELECT doc_id,
+                  CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+           FROM toks),
+    votes AS (SELECT doc_id, j,
+                     sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th CROSS JOIN
+                   (SELECT unnest(range(0, {N_SIMHASH_BITS})) AS j) bits
+              GROUP BY doc_id, j),
+    sig AS (SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END)
+                     AS simhash
+            FROM votes GROUP BY doc_id),
+    ck AS (SELECT doc_id, simhash, c AS chunk,
+                  (simhash >> (c * {SIMHASH_CHUNK_BITS}))
+                    & {(1 << SIMHASH_CHUNK_BITS) - 1} AS key
+           FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) chunks),
+    hot AS (SELECT chunk, key FROM ck GROUP BY chunk, key
+            HAVING count(*) > 128),
+    ck2 AS (SELECT ck.* FROM ck ANTI JOIN hot USING (chunk, key))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM ck2 a JOIN ck2 b
+      ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b
+"""
+
+
 @query(
     "dedup_simhash",
-    None,
-    "SimHash signatures + near-dup pairs at hamming distance <= 3 via "
-    "16-bit chunk banding (any of 4 chunks equal => candidate).",
+    _SIMHASH_ORACLE,
+    "SimHash signatures (60-bit, md5-derived token hashes) + near-dup "
+    "pairs at hamming distance <= 3 via 15-bit chunk banding (any of 4 "
+    "chunks equal => candidate, hot chunks capped). md5 hashing makes "
+    "the whole pipeline — votes, majority bits, banding, hamming — "
+    "exactly reproducible in the DuckDB oracle.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -571,8 +619,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("simhash"), c * SIMHASH_CHUNK_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_CHUNK_BITS) - 1))
                 .alias("key"),
             )
             for c in range(4)
