@@ -51,6 +51,44 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_json_props_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT)
+             AS sum_k,
+           CAST(min(json_extract_string(props, '$.k')::BIGINT) AS BIGINT)
+             AS min_k,
+           CAST(max(json_extract_string(props, '$.k')::BIGINT) AS BIGINT)
+             AS max_k
+    FROM events GROUP BY event_type
+    """,
+    "Semi-structured extraction: the events.props JSON payload parsed "
+    "with from_json into map<string,long> and aggregated per type — the "
+    "schema-on-read path for the property-bag columns every event lake "
+    "carries.",
+)
+def events_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: from_json is a JVM-side expression evaluated inside the
+    scan's codegen stage — no Python, no second pass; the agg is a tiny
+    per-type partial+final hash aggregate. At rest you'd materialize the
+    parsed map once (or promote hot keys to columns); this is the query
+    shape either way."""
+    e = load(spark, sf_dir, "events")
+    k = F.from_json("props", T.MapType(T.StringType(), T.LongType()))["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+@query(
     "json_roundtrip",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "JSON sink/source round-trip of the nation dimension with declared "
