@@ -168,6 +168,40 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_click_purchase_left_join",
+    """
+    WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id AS pu, ts AS purchase_ts, value
+          FROM events WHERE event_type = 'purchase'),
+    m AS (SELECT c.user_id, c.click_id, c.click_ts, p.purchase_ts,
+                 round(CAST(p.value AS DOUBLE), 2) AS purchase_value
+          FROM c JOIN p
+            ON c.user_id = p.pu
+           AND p.purchase_ts >= c.click_ts
+           AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE),
+    mx AS (SELECT max(ts) AS mt FROM events),
+    u AS (SELECT c.user_id, c.click_id, c.click_ts,
+                 CAST(NULL AS TIMESTAMP) AS purchase_ts,
+                 CAST(NULL AS DOUBLE) AS purchase_value
+          FROM c CROSS JOIN mx
+          ANTI JOIN (SELECT DISTINCT click_id FROM m) mm USING (click_id)
+          WHERE c.click_ts + INTERVAL 30 MINUTE <= mx.mt - INTERVAL 1 HOUR)
+    SELECT * FROM m UNION ALL SELECT * FROM u
+    """,
+    "Stream-stream LEFT OUTER interval join: matches emit as both sides "
+    "arrive; a click with no purchase emits null-extended only once the "
+    "watermark passes its 30-minute window (state-eviction proof of "
+    "absence). Oracle: batch interval join unioned with unmatched clicks "
+    "restricted to watermark-closed windows (click_ts + 30min <= "
+    "max(ts) - 1h) — clicks still open when input ends stay unemitted "
+    "in BOTH engines.",
+)
+def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, se.stream_click_purchase_left_join, "append")
+
+
+@query(
     "stream_dedup",
     """
     SELECT event_id, ts, user_id, event_type, value, props

@@ -190,6 +190,50 @@ def stream_click_purchase_join(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_click_purchase_left_join(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, attributed to
+    same-user purchases within 30 minutes — or emitted null-extended once
+    the watermark proves no purchase can still arrive.
+
+    The outer side is the genuinely stateful part: a buffered click emits
+    its null-extended row only when the purchase-side watermark passes
+    click_ts + 30min (the state-eviction proof of absence). Clicks whose
+    window is still open when input ends stay unemitted — the correct
+    streaming answer, and what the oracle's watermark restriction
+    mirrors."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
 def run_stream_to_batch(
     stream_df: DataFrame,
     query_name: str,
