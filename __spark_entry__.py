@@ -29,14 +29,14 @@ round. Round-5 scheme (three prefixes):
   pipeline is SQL-reproducible), the semi-structured
   ``events_json_props_extract``, the IVF recall instrument
   ``ann_ivf_recall``, the watermarked outer join
-  ``stream_click_purchase_left_join``, and ``ann_recall_at_k`` (changed
-  to measure the multi-probed pipeline, so its r4 verdict is stale).
-  20 names total.
+  ``stream_click_purchase_left_join``, the type-2 SCD apply
+  ``lake_scd2_apply``, and ``ann_recall_at_k`` (changed to measure the
+  multi-probed pipeline, so its r4 verdict is stale). 21 names total.
 - ``x_<name>`` — oracle-backed query whose last green driver verdict is
   from round 1 or 2 and has not been re-verified since (STALE). These
-  sort right after the unprefixed block, so the 30 remaining window
-  slots re-verify the oldest greens (round-4 ADVICE/VERDICT #5). 24
-  names past slot 50 (x_text_fingerprint_md5 .. x_window_topk_per_group)
+  sort right after the unprefixed block, so the 29 remaining window
+  slots re-verify the oldest greens (round-4 ADVICE/VERDICT #5). 25
+  names past slot 50 (x_string_advanced .. x_window_topk_per_group)
   spill to the round-6 window.
 - ``y_<name>`` — oracle-backed query verified green in the round-3 or
   round-4 window (fresh verdicts, including the 25 x_ re-verifications
@@ -51,7 +51,7 @@ round. Round-5 scheme (three prefixes):
   recall / bound tests live in tests/.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r04 except the twenty unprefixed
+driver verdict in CORRECTNESS_r01..r04 except the twenty-one unprefixed
 names above, which are new or changed in round 5 and get theirs here.
 """
 

@@ -259,3 +259,46 @@ def test_merge_into_unpartitioned_full_rewrite(spark, sf_dir):
     assert back.count() == n.count() + 1
     assert back.filter(F.col("n_nationkey") == 0).first().n_name == "RENAMED"
     assert back.filter(F.col("n_nationkey") == 99).first().n_name == "NEWLAND"
+
+
+def test_scd2_apply_versions_and_idempotency(spark, tmp_path):
+    import datetime
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import scd2_apply
+
+    path = str(tmp_path / "dim")
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 6, 1)
+    t2 = datetime.datetime(2024, 9, 1)
+    spark.createDataFrame(
+        [(1, "a", t0, None, True), (2, "b", t0, None, True)],
+        "k int, v string, effective_from timestamp, effective_to timestamp, "
+        "is_current boolean",
+    ).write.parquet(path)
+
+    # change k=1, no-op k=2, insert k=3
+    upd = spark.createDataFrame([(1, "a2"), (2, "b"), (3, "c")], "k int, v string")
+    stats = scd2_apply(spark, path, upd, ["k"], ["v"], t1)
+    assert stats == {"rows_closed": 1, "rows_inserted": 2}
+    rows = {(r.k, r.v): (r.effective_from, r.effective_to, r.is_current)
+            for r in spark.read.parquet(path).collect()}
+    assert rows[(1, "a")] == (t0, t1, False)   # closed version
+    assert rows[(1, "a2")] == (t1, None, True)
+    assert rows[(2, "b")] == (t0, None, True)  # no-op untouched
+    assert rows[(3, "c")] == (t1, None, True)
+
+    # re-applying the same batch later is a no-op (idempotent re-run)
+    assert scd2_apply(spark, path, upd, ["k"], ["v"], t2) == {
+        "rows_closed": 0,
+        "rows_inserted": 0,
+    }
+    assert spark.read.parquet(path).count() == 4
+
+    # a second real change preserves full history (two closed versions)
+    upd2 = spark.createDataFrame([(1, "a3")], "k int, v string")
+    scd2_apply(spark, path, upd2, ["k"], ["v"], t2)
+    hist = sorted(
+        (r.v, r.is_current)
+        for r in spark.read.parquet(path).filter("k = 1").collect()
+    )
+    assert hist == [("a", False), ("a2", False), ("a3", True)]

@@ -51,6 +51,79 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_scd2_apply",
+    """
+    WITH init AS (SELECT c_custkey, c_name, c_acctbal
+                  FROM customer WHERE c_custkey <= 200),
+    ins_new AS (SELECT c_custkey, c_name, c_acctbal
+                FROM customer WHERE c_custkey BETWEEN 201 AND 220)
+    SELECT c_custkey, c_name, c_acctbal,
+           TIMESTAMP '2024-01-01' AS effective_from,
+           TIMESTAMP '2024-06-01' AS effective_to,
+           FALSE AS is_current
+    FROM init WHERE c_custkey <= 80
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal + 100,
+           TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP), TRUE
+    FROM init WHERE c_custkey <= 80
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal,
+           TIMESTAMP '2024-01-01', CAST(NULL AS TIMESTAMP), TRUE
+    FROM init WHERE c_custkey > 80
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal,
+           TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP), TRUE
+    FROM ins_new
+    """,
+    "Type-2 SCD apply on the plain-parquet lake: changed keys close "
+    "their current version and insert a new one, unchanged update rows "
+    "are no-ops (null-safe comparison), new keys insert, history is "
+    "never touched. The oracle replays the declared outcome from the "
+    "same base table: keys <= 80 get two versions, 81-200 stay "
+    "untouched (including the no-op update slice 81-120), 201-220 "
+    "insert at the update timestamp.",
+)
+def lake_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives sources.lake.scd2_apply end to end: seed the versioned
+    dimension, apply one update batch (changed + unchanged + new keys),
+    read back the committed files. Scale notes on the library function."""
+    import datetime
+
+    from ..sources import scd2_apply
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    path = tempfile.mkdtemp(prefix="scd2_") + "/dim"
+    (
+        c.filter(F.col("c_custkey") <= 200)
+        .withColumn("effective_from", F.lit(datetime.datetime(2024, 1, 1)))
+        .withColumn("effective_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+        .write.parquet(path)
+    )
+    updates = (
+        c.filter(F.col("c_custkey") <= 80)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)  # changed
+        .unionByName(
+            c.filter(F.col("c_custkey").between(81, 120))  # no-op slice
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey").between(201, 220))  # new keys
+        )
+    )
+    scd2_apply(
+        spark,
+        path,
+        updates,
+        key_cols=["c_custkey"],
+        change_cols=["c_acctbal"],
+        as_of=datetime.datetime(2024, 6, 1),
+    )
+    return spark.read.parquet(path).orderBy(
+        "c_custkey", "effective_from"
+    )
+
+
+@query(
     "events_json_props_extract",
     """
     SELECT event_type,

@@ -12,6 +12,7 @@ from .lake import (
     load_all,
     merge_into,
     register_views,
+    scd2_apply,
     write_partitioned,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "load_all",
     "merge_into",
     "register_views",
+    "scd2_apply",
     "write_partitioned",
 ]

@@ -222,6 +222,96 @@ def merge_into(
     }
 
 
+def scd2_apply(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    change_cols: list[str],
+    as_of,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    current_col: str = "is_current",
+) -> dict:
+    """Type-2 slowly-changing-dimension apply on a plain-Parquet table.
+
+    The table carries validity metadata per row: ``from_col`` (when the
+    version became effective), ``to_col`` (NULL while current), and
+    ``current_col``. Applying an update batch at ``as_of``:
+
+    - a key whose ``change_cols`` DIFFER from its current row closes that
+      row (``to_col = as_of``, ``current_col = false``) and inserts the
+      new version as current;
+    - a key absent from the table inserts as a new current row;
+    - a key whose ``change_cols`` are unchanged is a NO-OP (no spurious
+      version — the null-safe comparison treats NULL = NULL as equal);
+    - historical (non-current) rows are never touched.
+
+    Contract: update keys unique per batch; ``updates`` carries exactly
+    the business key + change columns. Same durability caveat as
+    merge_into: plain Parquet overwrite is not atomic, re-run the batch
+    on failure (idempotent — an already-applied change compares
+    unchanged). Scale: one key-join against current rows only (AQE
+    broadcasts a small batch), map-only version arithmetic, rewrite
+    bounded by the table slice (partition the dimension and pass
+    touched partitions through ``merge_into``-style pruning when it
+    outgrows single-shot rewrite).
+    """
+    updates = updates.localCheckpoint(eager=True)
+    cur = spark.read.parquet(path)
+    data_cols = [c for c in cur.columns if c not in (from_col, to_col, current_col)]
+    active = cur.filter(F.col(current_col))
+    upd = updates.select(
+        *key_cols, *[F.col(c).alias(f"__new_{c}") for c in change_cols]
+    )
+    joined = active.join(upd, key_cols, "inner")
+    same = None
+    for c in change_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__new_{c}"))
+        same = eq if same is None else (same & eq)
+    changed_keys = joined.filter(~same).select(*key_cols)
+    new_keys = upd.select(*key_cols).join(
+        active.select(*key_cols), key_cols, "left_anti"
+    )
+    closing = (
+        active.join(F.broadcast(changed_keys), key_cols, "left_semi")
+        .withColumn(to_col, F.lit(as_of))
+        .withColumn(current_col, F.lit(False))
+    )
+    inserting_keys = changed_keys.unionByName(new_keys)
+    inserted = (
+        updates.join(F.broadcast(inserting_keys), key_cols, "left_semi")
+        .select(
+            *[
+                F.col(c)
+                if c in updates.columns
+                else F.lit(None).cast(cur.schema[c].dataType).alias(c)
+                for c in data_cols
+            ]
+        )
+        .withColumn(from_col, F.lit(as_of))
+        .withColumn(to_col, F.lit(None).cast(cur.schema[to_col].dataType))
+        .withColumn(current_col, F.lit(True))
+    )
+    # keep ALL historical rows plus the active rows of unchanged keys —
+    # only the active rows of changed keys leave this set (they re-enter
+    # via `closing`)
+    untouched = cur.filter(~F.col(current_col)).unionByName(
+        active.join(F.broadcast(changed_keys), key_cols, "left_anti")
+    )
+    out_cols = cur.columns
+    result = (
+        untouched.select(*out_cols)
+        .unionByName(closing.select(*out_cols))
+        .unionByName(inserted.select(*out_cols))
+        .localCheckpoint(eager=True)  # pin before overwriting the source
+    )
+    n_closed = closing.count()
+    n_inserted = inserted.count()
+    result.write.mode("overwrite").option("compression", "snappy").parquet(path)
+    return {"rows_closed": n_closed, "rows_inserted": n_inserted}
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
