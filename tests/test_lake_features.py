@@ -302,3 +302,32 @@ def test_scd2_apply_versions_and_idempotency(spark, tmp_path):
         for r in spark.read.parquet(path).filter("k = 1").collect()
     )
     assert hist == [("a", False), ("a2", False), ("a3", True)]
+
+
+def test_scd2_as_of_time_travel(spark, tmp_path):
+    import datetime
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        scd2_apply,
+        scd2_as_of,
+    )
+
+    path = str(tmp_path / "dim_tt")
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 6, 1)
+    spark.createDataFrame(
+        [(1, "a", t0, None, True)],
+        "k int, v string, effective_from timestamp, effective_to timestamp, "
+        "is_current boolean",
+    ).write.parquet(path)
+    scd2_apply(
+        spark, path, spark.createDataFrame([(1, "a2")], "k int, v string"),
+        ["k"], ["v"], t1,
+    )
+    # before the change: the original version; after: the new one;
+    # before the dimension existed: nothing
+    assert scd2_as_of(spark, path, datetime.datetime(2024, 3, 1)).first().v == "a"
+    assert scd2_as_of(spark, path, datetime.datetime(2024, 7, 1)).first().v == "a2"
+    assert scd2_as_of(spark, path, datetime.datetime(2023, 1, 1)).count() == 0
+    # exactly-at-boundary: as_of == change instant sees the NEW version
+    assert scd2_as_of(spark, path, t1).first().v == "a2"

@@ -13,6 +13,7 @@ from .lake import (
     merge_into,
     register_views,
     scd2_apply,
+    scd2_as_of,
     write_partitioned,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "merge_into",
     "register_views",
     "scd2_apply",
+    "scd2_as_of",
     "write_partitioned",
 ]

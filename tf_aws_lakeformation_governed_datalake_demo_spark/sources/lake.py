@@ -312,6 +312,27 @@ def scd2_apply(
     return {"rows_closed": n_closed, "rows_inserted": n_inserted}
 
 
+def scd2_as_of(
+    spark: SparkSession,
+    path: str,
+    as_of,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time read of an scd2_apply-maintained dimension: the row
+    version valid at ``as_of`` per key (from <= as_of < to, with NULL
+    ``to`` meaning still open). This is the time-travel query a Delta
+    user runs with VERSION AS OF — on a versioned plain-Parquet
+    dimension it is a pushdown-friendly filter, no table format needed.
+    Scale: both validity predicates push into the Parquet scan; at rest,
+    partitioning the dimension by a date bucket of ``from_col`` prunes
+    old version files entirely."""
+    return spark.read.parquet(path).filter(
+        (F.col(from_col) <= F.lit(as_of))
+        & (F.col(to_col).isNull() | (F.col(to_col) > F.lit(as_of)))
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
