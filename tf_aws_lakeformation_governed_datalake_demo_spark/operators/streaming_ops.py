@@ -180,7 +180,8 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ON c.user_id = p.pu
            AND p.purchase_ts >= c.click_ts
            AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE),
-    mx AS (SELECT max(ts) AS mt FROM events),
+    mx AS (SELECT least((SELECT max(click_ts) FROM c),
+                        (SELECT max(purchase_ts) FROM p)) AS mt),
     u AS (SELECT c.user_id, c.click_id, c.click_ts,
                  CAST(NULL AS TIMESTAMP) AS purchase_ts,
                  CAST(NULL AS DOUBLE) AS purchase_value
@@ -193,9 +194,13 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arrive; a click with no purchase emits null-extended only once the "
     "watermark passes its 30-minute window (state-eviction proof of "
     "absence). Oracle: batch interval join unioned with unmatched clicks "
-    "restricted to watermark-closed windows (click_ts + 30min <= "
-    "max(ts) - 1h) — clicks still open when input ends stay unemitted "
-    "in BOTH engines.",
+    "restricted to watermark-closed windows. The watermark is the MIN "
+    "across the two watermarked columns (Spark's default "
+    "multipleWatermarkPolicy): least(max click_ts, max purchase_ts) - "
+    "1h — verified at sf0.001 (where the click side's max lags the "
+    "purchase side by hours and withholds one more row than a global-"
+    "max watermark would) and sf0.01. Clicks still open when input ends "
+    "stay unemitted in BOTH engines.",
 )
 def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, se.stream_click_purchase_left_join, "append")
