@@ -108,22 +108,23 @@ def test_hot_bucket_cap_bounds_degenerate_corpus(spark):
 
 def test_simhash_pairs_capped_on_degenerate_corpus(spark, sf_dir):
     # The registered simhash query must complete on a corpus where all
-    # docs collide in every 16-bit chunk; the cap drops those buckets.
+    # docs collide in every banding chunk; the cap drops those buckets.
     from tf_aws_lakeformation_governed_datalake_demo_spark.operators.dedup import (
-        simhash_signatures, _drop_hot_buckets,
+        SIMHASH_CHUNK_BITS, simhash_signatures, _drop_hot_buckets,
     )
 
     rows = [(i, "same text everywhere forever") for i in range(300)]
     degen = spark.createDataFrame(rows, "doc_id long, text string")
     sig = simhash_signatures(degen)
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
     chunked = sig.select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned(F.col("simhash"), c * 16)
-                    .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    F.shiftrightunsigned(F.col("simhash"), c * SIMHASH_CHUNK_BITS)
+                    .bitwiseAND(F.lit(mask)).alias("key"),
                 )
                 for c in range(4)
             ])
