@@ -515,7 +515,8 @@ def shingle_containment_pairs(
 # policy), and 15 hex chars stay positive in a signed BIGINT on both
 # sides, dodging the two's-complement sign-bit special case entirely.
 N_SIMHASH_BITS = 60
-SIMHASH_CHUNK_BITS = 15  # 4 banding chunks
+SIMHASH_CHUNK_BITS = 15
+N_SIMHASH_CHUNKS = N_SIMHASH_BITS // SIMHASH_CHUNK_BITS  # banding chunks
 
 
 def token_hash60(t) -> "F.Column":
@@ -589,7 +590,8 @@ _SIMHASH_ORACLE = f"""
     ck AS (SELECT doc_id, simhash, c AS chunk,
                   (simhash >> (c * {SIMHASH_CHUNK_BITS}))
                     & {(1 << SIMHASH_CHUNK_BITS) - 1} AS key
-           FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) chunks),
+           FROM sig CROSS JOIN
+                (SELECT unnest(range(0, {N_SIMHASH_CHUNKS})) AS c) chunks),
     hot AS (SELECT chunk, key FROM ck GROUP BY chunk, key
             HAVING count(*) > 128),
     ck2 AS (SELECT ck.* FROM ck ANTI JOIN hot USING (chunk, key))
@@ -623,7 +625,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .bitwiseAND(F.lit((1 << SIMHASH_CHUNK_BITS) - 1))
                 .alias("key"),
             )
-            for c in range(4)
+            for c in range(N_SIMHASH_CHUNKS)
         ]
     )
     exploded = sig.select("doc_id", "simhash", F.explode(chunks).alias("ck")).select(

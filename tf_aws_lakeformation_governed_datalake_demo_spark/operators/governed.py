@@ -15,15 +15,13 @@ assertions additionally live in tests/test_governance.py.
 
 from __future__ import annotations
 
-import atexit
-import shutil
-import tempfile
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import fixtures as fx
 from ..engine import Engine
+from ..scratch import scratch_dir
 from .registry import query
 
 # Weak keys: the cache entry dies with the SparkSession object, so a new
@@ -32,21 +30,13 @@ from .registry import query
 _ENGINES: "weakref.WeakKeyDictionary[SparkSession, Engine]" = (
     weakref.WeakKeyDictionary()
 )
-_LAKE_DIRS: list[str] = []
-
-
-@atexit.register
-def _cleanup_lake_dirs() -> None:
-    for d in _LAKE_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
 
 
 def _engine(spark: SparkSession) -> Engine:
     """One bootstrapped sales lake per SparkSession (cached)."""
     eng = _ENGINES.get(spark)
     if eng is None:
-        lake = tempfile.mkdtemp(prefix="sales_lake_")
-        _LAKE_DIRS.append(lake)
+        lake = scratch_dir("sales_lake_")
         eng = Engine(spark, fx.bootstrap(spark, lake))
         _ENGINES[spark] = eng
     return eng

@@ -223,7 +223,17 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: centroid table is tiny (n_cells rows) and broadcasts both
     ways; the corpus is scanned once to assign cells (at rest this is a
     partition column: probing = partition pruning), and exact scoring
-    touches only probed cells — the classic IVF cost model."""
+    touches only probed cells — the classic IVF cost model.
+
+    Regime scoping (round 6, measured by ann_ivf_nprobe_sweep): IVF is
+    the right family when neighbors are cluster-aligned (recall ~1.0 at
+    small nprobe when the true top-k share the query's cells — e.g.
+    retrieval within a labeled/partitioned corpus). On THIS corpus's
+    mid-similarity neighbors the sweep shows recall reaches 0.8 only at
+    nprobe=8 of 10 cells, i.e. after the pruning advantage is gone —
+    so the registered mid-sim search path is ann_multiprobe_topk
+    (Hamming-1 multi-probe LSH, measured >= 0.8 by ann_recall_midsim),
+    and this operator keeps nprobe=2 as the cell-pruned exemplar."""
     v = _with_norm(load(spark, sf_dir, "embeddings"))
     # coarse quantizer: per-label elementwise mean (posexplode -> avg -> rebuild)
     cent = (
@@ -461,7 +471,8 @@ _SIG_CTES = f"""planes(p, d, w) AS (VALUES {_planes_values_sql()}),
              GROUP BY 1, 2),
     keys AS (SELECT vec_id, p // {PLANES_PER_BAND} AS band,
                     CAST(sum(CASE WHEN dp > 0
-                                  THEN 1 << (7 - (p % {PLANES_PER_BAND}))
+                                  THEN 1 << ({PLANES_PER_BAND - 1}
+                                             - (p % {PLANES_PER_BAND}))
                                   ELSE 0 END) AS INTEGER) AS key
              FROM dots GROUP BY 1, 2),
     hot AS (SELECT band, key FROM keys GROUP BY band, key
@@ -696,7 +707,8 @@ _ANN_MIDSIM_ORACLE = f"""
               GROUP BY 1, 2),
     qk AS (SELECT qid, p // {PLANES_PER_BAND} AS band,
                   CAST(sum(CASE WHEN dp > 0
-                                THEN 1 << (7 - (p % {PLANES_PER_BAND}))
+                                THEN 1 << ({PLANES_PER_BAND - 1}
+                                           - (p % {PLANES_PER_BAND}))
                                 ELSE 0 END) AS INTEGER) AS key
            FROM qdots GROUP BY 1, 2),
     {_PROBE_CTE},
@@ -873,9 +885,11 @@ _ANN_IVF_RECALL_ORACLE = """
     "force for query vectors 0-9, DuckDB-replayed end to end (centroid "
     "quantization, probing, ranking). Measured mean 0.28 at sf0.01 — "
     "this corpus's mid-similarity neighbors are NOT cluster-aligned, "
-    "which is exactly what the instrument exposes (the action at scale: "
-    "raise nprobe, or use the multi-probe LSH path whose measured "
-    "mid-sim recall is the one that clears 0.8).",
+    "which is exactly what the instrument exposes. Round-6 resolution: "
+    "ann_ivf_nprobe_sweep measured the full curve (0.8 only clears at "
+    "nprobe=8 of 10 cells = 80% of the corpus), so IVF is formally "
+    "scoped to the cluster-aligned regime and mid-sim routes to the "
+    "multi-probe LSH path.",
 )
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same measurement-as-operator pattern as ann_recall_at_k: at scale
@@ -952,6 +966,160 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         gt.join(ann.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
         .groupBy("qid")
         .agg(F.round(F.count("hit").cast("double") / K, 4).alias("recall_at_10"))
+    )
+
+
+_IVF_NPROBES = (1, 2, 3, 4, 6, 8)
+
+_ANN_IVF_SWEEP_ORACLE = f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    el AS (SELECT vec_id, label,
+                  unnest(range(0, 64)) AS d,
+                  unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings),
+    cent AS (SELECT label, d, avg(x) AS m FROM el GROUP BY 1, 2),
+    cn AS (SELECT label, sqrt(sum(m * m)) AS cnorm FROM cent GROUP BY 1),
+    q AS (SELECT vec_id AS qid, d, x FROM el WHERE vec_id < 10),
+    qn AS (SELECT qid, sqrt(sum(x * x)) AS qnorm FROM q GROUP BY 1),
+    csim AS (SELECT q.qid, c.label,
+                    sum(c.m * q.x)
+                      / (any_value(cn.cnorm) * any_value(qn.qnorm)) AS s
+             FROM cent c
+             JOIN q ON c.d = q.d
+             JOIN cn ON cn.label = c.label
+             JOIN qn ON qn.qid = q.qid
+             GROUP BY q.qid, c.label),
+    ranked AS (SELECT qid, label,
+                      row_number() OVER (
+                        PARTITION BY qid ORDER BY s DESC, label) AS rn
+               FROM csim),
+    np AS (SELECT unnest([{", ".join(map(str, _IVF_NPROBES))}]) AS nprobe),
+    probed AS (SELECT np.nprobe, r.qid, r.label
+               FROM ranked r JOIN np ON r.rn <= np.nprobe),
+    qv AS (SELECT vec_id AS qid, e FROM v WHERE vec_id < 10),
+    scored AS (SELECT qv.qid, v.vec_id, v.label,
+                      round(list_cosine_similarity(v.e, qv.e), 4) AS cos_sim
+               FROM v CROSS JOIN qv WHERE v.vec_id <> qv.qid),
+    ann AS (SELECT nprobe, qid, vec_id FROM (
+              SELECT p.nprobe, s.qid, s.vec_id,
+                     row_number() OVER (
+                       PARTITION BY p.nprobe, s.qid
+                       ORDER BY s.cos_sim DESC, s.vec_id) AS rn
+              FROM scored s JOIN probed p
+                ON s.qid = p.qid AND s.label = p.label)
+            WHERE rn <= 10),
+    gt AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+                    row_number() OVER (
+                      PARTITION BY qid
+                      ORDER BY cos_sim DESC, vec_id) AS rn
+             FROM scored)
+           WHERE rn <= 10)
+    SELECT CAST(np.nprobe AS BIGINT) AS nprobe,
+           round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 4)
+             AS mean_recall_at_10
+    FROM np CROSS JOIN gt g
+    LEFT JOIN ann a
+      ON a.nprobe = np.nprobe AND a.qid = g.qid AND a.vec_id = g.vec_id
+    GROUP BY 1
+"""
+
+
+@query(
+    "ann_ivf_nprobe_sweep",
+    _ANN_IVF_SWEEP_ORACLE,
+    "The nprobe tuning curve as a first-class operator: mean recall@10 "
+    "of IVF cell-probed search vs brute force for nprobe in "
+    f"{_IVF_NPROBES}, query vectors 0-9, DuckDB-replayed end to end. "
+    "Measured at sf0.01 (10 cells): 0.15/0.28/0.39/0.50/0.74/0.90 — "
+    "the curve only clears the 0.8 mid-sim gate at nprobe=8, i.e. "
+    "probing 80% of cells, which is brute force with extra steps. That "
+    "measurement IS the round-6 scoping decision: IVF stays the "
+    "cluster-aligned-regime family (label-partition pruning when "
+    "neighbors share cells); the mid-similarity default is the "
+    "Hamming-1 multi-probe LSH path (ann_multiprobe_topk, measured "
+    ">= 0.8 by ann_recall_midsim).",
+)
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep instrument for the IVF family's one tuning knob. Scoring is
+    ONE broadcast pass of the 10 query vectors over the corpus (needed
+    for brute-force ground truth anyway); the per-nprobe ANN sets are a
+    cheap join of that scored table against the (nprobe, qid, label)
+    probe list, so sweeping 6 settings costs no extra corpus passes.
+    Scale: same shape as a periodic recall audit — centroids broadcast,
+    ranking is per-(nprobe, qid) windows over candidate scores."""
+    K = 10
+    v = _with_norm(load(spark, sf_dir, "embeddings"))
+    cent = (
+        v.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+        .withColumn("cnorm", F.sqrt(_dot(F.col("centroid"), F.col("centroid"))))
+    )
+    qv = v.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    w_cell = W.partitionBy("qid").orderBy(F.desc("s"), "label")
+    ranked = (
+        cent.crossJoin(F.broadcast(qv))
+        .select(
+            "qid",
+            "label",
+            _cos(F.col("centroid"), F.col("qe"), F.col("cnorm"), F.col("qnorm")).alias(
+                "s"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+    )
+    np_df = spark.createDataFrame(
+        [(n,) for n in _IVF_NPROBES], "nprobe int"
+    )
+    probed = ranked.join(
+        F.broadcast(np_df), F.col("rn") <= F.col("nprobe")
+    ).select("nprobe", "qid", "label")
+    scored = (
+        v.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(
+                _cos(F.col("embedding"), F.col("qe"), F.col("norm"), F.col("qnorm")), 4
+            ).alias("cos_sim"),
+        )
+        .localCheckpoint(eager=True)  # one corpus pass feeds gt AND every nprobe
+    )
+    w_gt = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    gt = (
+        scored.withColumn("rn", F.row_number().over(w_gt))
+        .filter(F.col("rn") <= K)
+        .select("qid", "vec_id")
+    )
+    w_ann = W.partitionBy("nprobe", "qid").orderBy(F.desc("cos_sim"), "vec_id")
+    ann = (
+        scored.join(F.broadcast(probed), ["qid", "label"])
+        .withColumn("rn", F.row_number().over(w_ann))
+        .filter(F.col("rn") <= K)
+        .select("nprobe", "qid", "vec_id")
+    )
+    return (
+        np_df.crossJoin(gt)
+        .join(ann.withColumn("hit", F.lit(1)), ["nprobe", "qid", "vec_id"], "left")
+        .groupBy(F.col("nprobe").cast("long").alias("nprobe"))
+        .agg(
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_recall_at_10")
+        )
     )
 
 

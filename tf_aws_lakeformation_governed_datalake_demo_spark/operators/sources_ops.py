@@ -10,12 +10,11 @@ the same oracle answer as the original parquet.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..scratch import scratch_dir
 from ..sources import load, write_partitioned
 from .registry import query
 
@@ -35,7 +34,7 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
-    out = tempfile.mkdtemp(prefix="csv_rt_")
+    out = scratch_dir("csv_rt_")
     li.write.mode("overwrite").option("header", "true").csv(out)
     schema = T.StructType(
         [
@@ -92,7 +91,7 @@ def lake_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import scd2_apply
 
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-    path = tempfile.mkdtemp(prefix="scd2_") + "/dim"
+    path = scratch_dir("scd2_") + "/dim"
     (
         c.filter(F.col("c_custkey") <= 200)
         .withColumn("effective_from", F.lit(datetime.datetime(2024, 1, 1)))
@@ -169,7 +168,7 @@ def events_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="json_rt_")
+    out = scratch_dir("json_rt_")
     n.write.mode("overwrite").json(out)
     schema = T.StructType(
         [
@@ -195,7 +194,7 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    out = tempfile.mkdtemp(prefix="orc_rt_")
+    out = scratch_dir("orc_rt_")
     p.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return back.groupBy("p_brand").agg(
@@ -219,7 +218,7 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").withColumn("oy", F.year("o_orderdate"))
-    out = tempfile.mkdtemp(prefix="part_lake_")
+    out = scratch_dir("part_lake_")
     write_partitioned(o, out, partition_by=["oy"])
     back = spark.read.parquet(out).filter(F.col("oy") == 1997)
     return back.groupBy(F.month("o_orderdate").cast("long").alias("om")).agg(
@@ -265,7 +264,7 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.lake import merge_into
 
     d = load(spark, sf_dir, "documents")
-    lake = tempfile.mkdtemp(prefix="merge_lake_")
+    lake = scratch_dir("merge_lake_")
     write_partitioned(d, lake, partition_by=["lang"])
     updates = (
         d.filter(F.col("doc_id") % 10 == 0)

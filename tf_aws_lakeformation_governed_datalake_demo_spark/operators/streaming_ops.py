@@ -63,9 +63,9 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_streaming.py.",
 )
 def stream_hourly_counts_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from ..scratch import scratch_dir
 
-    base = tempfile.mkdtemp(prefix="stream_durable_")
+    base = scratch_dir("stream_durable_")
     stream = se.stream_hourly_counts(se.read_events_stream(spark, sf_dir))
     se.run_stream_durable(stream, f"{base}/out", f"{base}/ckpt")
     return spark.read.parquet(f"{base}/out")
