@@ -279,7 +279,11 @@ def test_scd2_apply_versions_and_idempotency(spark, tmp_path):
     # change k=1, no-op k=2, insert k=3
     upd = spark.createDataFrame([(1, "a2"), (2, "b"), (3, "c")], "k int, v string")
     stats = scd2_apply(spark, path, upd, ["k"], ["v"], t1)
-    assert stats == {"rows_closed": 1, "rows_inserted": 2}
+    assert stats == {
+        "rows_closed": 1,
+        "rows_inserted": 2,
+        "partitions_rewritten": -1,
+    }
     rows = {(r.k, r.v): (r.effective_from, r.effective_to, r.is_current)
             for r in spark.read.parquet(path).collect()}
     assert rows[(1, "a")] == (t0, t1, False)   # closed version
@@ -291,6 +295,7 @@ def test_scd2_apply_versions_and_idempotency(spark, tmp_path):
     assert scd2_apply(spark, path, upd, ["k"], ["v"], t2) == {
         "rows_closed": 0,
         "rows_inserted": 0,
+        "partitions_rewritten": -1,
     }
     assert spark.read.parquet(path).count() == 4
 
@@ -302,6 +307,134 @@ def test_scd2_apply_versions_and_idempotency(spark, tmp_path):
         for r in spark.read.parquet(path).filter("k = 1").collect()
     )
     assert hist == [("a", False), ("a2", False), ("a3", True)]
+
+
+def test_scd2_apply_validation_errors(spark, tmp_path):
+    import datetime
+
+    import pytest
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import scd2_apply
+
+    path = str(tmp_path / "dim_val")
+    t0 = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, "a", t0, None, True)],
+        "k int, v string, effective_from timestamp, effective_to timestamp, "
+        "is_current boolean",
+    ).write.parquet(path)
+    upd = spark.createDataFrame([(1, "a2")], "k int, v string")
+    with pytest.raises(ValueError, match="change_cols must be non-empty"):
+        scd2_apply(spark, path, upd, ["k"], [], t0)
+    with pytest.raises(ValueError, match="missing key/change columns.*'w'"):
+        scd2_apply(spark, path, upd, ["k"], ["w"], t0)
+    bogus = spark.createDataFrame([(1, "a2", 9)], "k int, v string, zz int")
+    with pytest.raises(ValueError, match="not in the dimension.*'zz'"):
+        scd2_apply(spark, path, bogus, ["k"], ["v"], t0)
+    with pytest.raises(ValueError, match="no partition column"):
+        scd2_apply(spark, path, upd, ["k"], ["v"], t0, partition_col="month")
+
+
+def test_scd2_apply_carries_forward_partial_batch(spark, tmp_path):
+    # Round-5 ADVICE: a batch shipping only (key, changed column) must
+    # not null out the other attributes of the new version — they carry
+    # forward from the closing row. A brand-new key has nothing to carry:
+    # its unsupplied columns are NULL.
+    import datetime
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import scd2_apply
+
+    path = str(tmp_path / "dim_cf")
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 6, 1)
+    spark.createDataFrame(
+        [(1, "a", "keepme", t0, None, True)],
+        "k int, v string, w string, effective_from timestamp, "
+        "effective_to timestamp, is_current boolean",
+    ).write.parquet(path)
+    upd = spark.createDataFrame([(1, "a2"), (3, "c")], "k int, v string")
+    scd2_apply(spark, path, upd, ["k"], ["v"], t1)
+    rows = {
+        (r.k, r.v): (r.w, r.is_current)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows[(1, "a")] == ("keepme", False)
+    assert rows[(1, "a2")] == ("keepme", True)  # carried forward
+    assert rows[(3, "c")] == (None, True)  # new key: nothing to carry
+
+
+def _parquet_file_state(root):
+    """(relative path -> (size, mtime_ns, md5)) for every data file."""
+    import hashlib
+    from pathlib import Path
+
+    out = {}
+    for p in Path(root).rglob("*.parquet"):
+        if p.is_file():
+            out[str(p.relative_to(root))] = (
+                p.stat().st_size,
+                p.stat().st_mtime_ns,
+                hashlib.md5(p.read_bytes()).hexdigest(),
+            )
+    return out
+
+
+def test_scd2_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    # Round-5 VERDICT #6: the partitioned dimension rewrite must be
+    # bounded to partitions holding closing rows plus the as_of month —
+    # untouched partitions' files stay byte-identical (same inode, not
+    # rewritten-equal: mtime is part of the assertion).
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import scd2_apply
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        scd2_partition_value,
+    )
+
+    path = str(tmp_path / "dim_part")
+    t_jan = datetime.datetime(2024, 1, 1)
+    t_mar = datetime.datetime(2024, 3, 1)
+    t_jun = datetime.datetime(2024, 6, 1)
+    seed = spark.createDataFrame(
+        [(1, "a", t_jan, None, True), (2, "b", t_jan, None, True),
+         (3, "c", t_mar, None, True)],
+        "k int, v string, effective_from timestamp, effective_to timestamp, "
+        "is_current boolean",
+    ).withColumn("month", scd2_partition_value(F.col("effective_from")))
+    seed.write.partitionBy("month").parquet(path)
+
+    before = _parquet_file_state(path)
+    upd = spark.createDataFrame([(1, "a2"), (2, "b")], "k int, v string")
+    stats = scd2_apply(
+        spark, path, upd, ["k"], ["v"], t_jun, partition_col="month"
+    )
+    # k=1 changed (closing in 2024-01, insert in 2024-06); k=2 no-op;
+    # k=3's 2024-03 partition must never be touched.
+    assert stats == {
+        "rows_closed": 1,
+        "rows_inserted": 1,
+        "partitions_rewritten": 2,
+    }
+    after = _parquet_file_state(path)
+    mar_before = {f: s for f, s in before.items() if "month=2024-03" in f}
+    mar_after = {f: s for f, s in after.items() if "month=2024-03" in f}
+    assert mar_before and mar_before == mar_after  # byte-identical + same mtime
+    # the 2024-01 partition was rewritten (k=1 closed, k=2 kept)...
+    jan = spark.read.parquet(path).filter("month = '2024-01'")
+    assert {(r.k, r.v, r.is_current) for r in jan.collect()} == {
+        (1, "a", False), (2, "b", True),
+    }
+    assert jan.filter("k = 1").first().effective_to == t_jun
+    # ...and the new version landed in the as_of month's partition
+    new = spark.read.parquet(path).filter("month = '2024-06'").collect()
+    assert [(r.k, r.v, r.is_current) for r in new] == [(1, "a2", True)]
+    # invariant: every row's partition value derives from effective_from
+    drift = spark.read.parquet(path).filter(
+        F.col("month") != scd2_partition_value(F.col("effective_from"))
+    )
+    assert drift.count() == 0
 
 
 def test_scd2_as_of_time_travel(spark, tmp_path):

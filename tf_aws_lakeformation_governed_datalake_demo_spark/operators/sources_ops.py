@@ -123,6 +123,105 @@ def lake_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_scd2_partitioned",
+    """
+    WITH init AS (SELECT c_custkey, c_name, c_acctbal
+                  FROM customer WHERE c_custkey <= 200),
+    ins_new AS (SELECT c_custkey, c_acctbal
+                FROM customer WHERE c_custkey BETWEEN 201 AND 220)
+    SELECT c_custkey, c_name, c_acctbal,
+           TIMESTAMP '2024-01-01' AS effective_from,
+           TIMESTAMP '2024-06-01' AS effective_to,
+           FALSE AS is_current, '2024-01' AS effective_month
+    FROM init WHERE c_custkey <= 80
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal + 100,
+           TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP), TRUE, '2024-06'
+    FROM init WHERE c_custkey <= 80
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal,
+           TIMESTAMP '2024-01-01', CAST(NULL AS TIMESTAMP), TRUE, '2024-01'
+    FROM init WHERE c_custkey BETWEEN 81 AND 150
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal,
+           TIMESTAMP '2024-03-01', CAST(NULL AS TIMESTAMP), TRUE, '2024-03'
+    FROM init WHERE c_custkey BETWEEN 151 AND 200
+    UNION ALL
+    SELECT c_custkey, CAST(NULL AS VARCHAR), c_acctbal,
+           TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP), TRUE, '2024-06'
+    FROM ins_new
+    """,
+    "Type-2 SCD apply on a MONTH-PARTITIONED dimension with a "
+    "partial-attribute batch: the rewrite prunes to partitions holding "
+    "closing rows plus the as_of month (2024-03 seeded keys are never "
+    "rewritten — byte-identity pinned in tests/test_lake_features.py), "
+    "changed keys carry unsupplied attributes forward from the closing "
+    "row, and brand-new keys NULL them. The oracle replays the declared "
+    "outcome: keys <= 80 close in '2024-01' and re-insert (name carried) "
+    "in '2024-06'; 81-150 and 151-200 stay in their seed months; "
+    "201-220 insert with NULL name.",
+)
+def lake_scd2_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives sources.lake.scd2_apply with partition_col end to end:
+    seed a two-month versioned dimension, apply one partial-attribute
+    batch, read back the committed partitioned files. Scale notes on the
+    library function (touched-partition dynamic overwrite)."""
+    import datetime
+
+    from ..sources import scd2_apply
+    from ..sources.lake import scd2_partition_value
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    path = scratch_dir("scd2p_") + "/dim"
+    (
+        c.filter(F.col("c_custkey") <= 200)
+        .withColumn(
+            "effective_from",
+            F.when(
+                F.col("c_custkey") <= 150, F.lit(datetime.datetime(2024, 1, 1))
+            ).otherwise(F.lit(datetime.datetime(2024, 3, 1))),
+        )
+        .withColumn("effective_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+        .withColumn("effective_month", scd2_partition_value(F.col("effective_from")))
+        .write.partitionBy("effective_month")
+        .parquet(path)
+    )
+    updates = (
+        c.filter(F.col("c_custkey") <= 80)
+        .select("c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal"))
+        .unionByName(
+            c.filter(F.col("c_custkey").between(81, 120)).select(
+                "c_custkey", "c_acctbal"
+            )  # no-op slice
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey").between(201, 220)).select(
+                "c_custkey", "c_acctbal"
+            )  # new keys, partial attributes
+        )
+    )
+    scd2_apply(
+        spark,
+        path,
+        updates,
+        key_cols=["c_custkey"],
+        change_cols=["c_acctbal"],
+        as_of=datetime.datetime(2024, 6, 1),
+        partition_col="effective_month",
+    )
+    return spark.read.parquet(path).select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "effective_from",
+        "effective_to",
+        "is_current",
+        F.col("effective_month").cast("string").alias("effective_month"),
+    ).orderBy("c_custkey", "effective_from")
+
+
+@query(
     "events_json_props_extract",
     """
     SELECT event_type,

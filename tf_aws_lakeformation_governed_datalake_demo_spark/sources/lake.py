@@ -222,6 +222,14 @@ def merge_into(
     }
 
 
+def scd2_partition_value(from_expr):
+    """The stored partition value of a version row: the calendar month of
+    its ``effective_from``. One derivation shared by writers and readers
+    keeps the invariant checkable (partition value is a pure function of
+    the row's validity start, so closing a row never moves it)."""
+    return F.date_format(from_expr, "yyyy-MM")
+
+
 def scd2_apply(
     spark: SparkSession,
     path: str,
@@ -232,6 +240,7 @@ def scd2_apply(
     from_col: str = "effective_from",
     to_col: str = "effective_to",
     current_col: str = "is_current",
+    partition_col: str | None = None,
 ) -> dict:
     """Type-2 slowly-changing-dimension apply on a plain-Parquet table.
 
@@ -247,22 +256,51 @@ def scd2_apply(
       version — the null-safe comparison treats NULL = NULL as equal);
     - historical (non-current) rows are never touched.
 
-    Contract: update keys unique per batch; ``updates`` carries exactly
-    the business key + change columns. Same durability caveat as
+    Partial-attribute batches (round-5 ADVICE): an inserted version
+    takes every column the batch supplies from the batch and CARRIES
+    FORWARD the rest from the key's current row — a batch that only
+    ships (key, changed attribute) no longer nulls out the other
+    attributes. Brand-new keys have no row to carry from; their missing
+    columns are NULL.
+
+    Partitioned dimensions (round-5 VERDICT #6): pass
+    ``partition_col`` naming a stored hive-partition column whose value
+    is ``scd2_partition_value(from_col)`` (the month of the validity
+    start). Closing a row never changes its ``from_col``, so every
+    touched row stays in its partition and the rewrite is bounded to
+    the partitions that actually hold closing rows plus the ``as_of``
+    month — written with dynamic ``partitionOverwriteMode`` so
+    untouched partitions' files are never listed, read for rewrite, or
+    replaced (byte-identical; pinned in tests/test_lake_features.py).
+    The change-detection read still scans current rows of every
+    partition (``current_col`` pushes into the parquet scan); at rest a
+    current-rows projection or max-month stats would prune that too.
+
+    Contract: update keys unique per batch. Same durability caveat as
     merge_into: plain Parquet overwrite is not atomic, re-run the batch
     on failure (idempotent — an already-applied change compares
     unchanged). Scale: one key-join against current rows only (AQE
     broadcasts a small batch), map-only version arithmetic, rewrite
-    bounded by the table slice (partition the dimension and pass
-    touched partitions through ``merge_into``-style pruning when it
-    outgrows single-shot rewrite).
+    bounded by touched partitions.
     """
-    updates = updates.localCheckpoint(eager=True)
+    if not change_cols:
+        raise ValueError("change_cols must be non-empty: nothing to compare")
+    missing = [c for c in [*key_cols, *change_cols] if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates is missing key/change columns: {missing}")
     cur = spark.read.parquet(path)
-    data_cols = [c for c in cur.columns if c not in (from_col, to_col, current_col)]
+    if partition_col is not None and partition_col not in cur.columns:
+        raise ValueError(f"table at {path} has no partition column {partition_col!r}")
+    meta_cols = (from_col, to_col, current_col)
+    data_cols = [c for c in cur.columns if c not in meta_cols]
+    bad = [c for c in updates.columns if c not in data_cols]
+    if bad:
+        raise ValueError(f"updates columns not in the dimension: {bad}")
+    updates = updates.localCheckpoint(eager=True)
     active = cur.filter(F.col(current_col))
+    upd_data = [c for c in updates.columns if c not in key_cols]
     upd = updates.select(
-        *key_cols, *[F.col(c).alias(f"__new_{c}") for c in change_cols]
+        *key_cols, *[F.col(c).alias(f"__new_{c}") for c in upd_data]
     )
     joined = active.join(upd, key_cols, "inner")
     same = None
@@ -278,26 +316,58 @@ def scd2_apply(
         .withColumn(to_col, F.lit(as_of))
         .withColumn(current_col, F.lit(False))
     )
-    inserting_keys = changed_keys.unionByName(new_keys)
-    inserted = (
-        updates.join(F.broadcast(inserting_keys), key_cols, "left_semi")
+    # New versions of changed keys: batch-supplied columns from the
+    # batch, everything else carried forward from the closing row.
+    ins_changed = (
+        joined.join(F.broadcast(changed_keys), key_cols, "left_semi")
         .select(
             *[
-                F.col(c)
-                if c in updates.columns
-                else F.lit(None).cast(cur.schema[c].dataType).alias(c)
+                F.col(f"__new_{c}").alias(c) if c in upd_data else F.col(c)
                 for c in data_cols
             ]
         )
+    )
+    ins_new = updates.join(F.broadcast(new_keys), key_cols, "left_semi").select(
+        *[
+            F.col(c)
+            if c in updates.columns
+            else F.lit(None).cast(cur.schema[c].dataType).alias(c)
+            for c in data_cols
+        ]
+    )
+    inserted = (
+        ins_changed.unionByName(ins_new)
         .withColumn(from_col, F.lit(as_of))
         .withColumn(to_col, F.lit(None).cast(cur.schema[to_col].dataType))
         .withColumn(current_col, F.lit(True))
     )
-    # keep ALL historical rows plus the active rows of unchanged keys —
-    # only the active rows of changed keys leave this set (they re-enter
-    # via `closing`)
-    untouched = cur.filter(~F.col(current_col)).unionByName(
-        active.join(F.broadcast(changed_keys), key_cols, "left_anti")
+    if partition_col is not None:
+        inserted = inserted.withColumn(
+            partition_col, scd2_partition_value(F.col(from_col))
+        )
+        # Rewrite slice: partitions holding a closing row + the as_of
+        # month the inserts land in. Everything else is never read back
+        # or rewritten.
+        touched = (
+            closing.select(partition_col)
+            .distinct()
+            .unionByName(
+                inserted.select(partition_col).distinct()
+            )
+            .distinct()
+        )
+        base = cur.join(F.broadcast(touched), [partition_col], "left_semi")
+        n_partitions = touched.count()
+    else:
+        base = cur
+        n_partitions = -1  # full rewrite
+    # keep ALL (in-slice) historical rows plus the active rows of
+    # unchanged keys — only the active rows of changed keys leave this
+    # set (they re-enter via `closing`)
+    untouched = base.filter(~F.col(current_col)).unionByName(
+        base.filter(F.col(current_col)).join(
+            F.broadcast(changed_keys), key_cols, "left_anti"
+        )
     )
     out_cols = cur.columns
     result = (
@@ -308,8 +378,21 @@ def scd2_apply(
     )
     n_closed = closing.count()
     n_inserted = inserted.count()
-    result.write.mode("overwrite").option("compression", "snappy").parquet(path)
-    return {"rows_closed": n_closed, "rows_inserted": n_inserted}
+    writer = result.write.mode("overwrite").option("compression", "snappy")
+    if partition_col is not None:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            writer.partitionBy(partition_col).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        writer.parquet(path)
+    return {
+        "rows_closed": n_closed,
+        "rows_inserted": n_inserted,
+        "partitions_rewritten": n_partitions,
+    }
 
 
 def scd2_as_of(
