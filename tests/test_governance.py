@@ -531,3 +531,116 @@ def test_governed_sql_guard_on_raw_spark_sql(spark, tmp_path_factory):
         e["principal"] == "intern" and e["status"] == "FAILED"
         for e in eng.catalog.audit.events
     )
+
+
+def test_schema_evolution_fail_closed_for_allowlist(spark, tmp_path_factory):
+    # Round-5 VERDICT #3: a column added after the grants were written is
+    # invisible to the allowlist-filtered analyst until BOTH explicit
+    # decisions land (approval + an allowlist naming it). The dataadmin's
+    # unconditioned ALL grant sees it immediately.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        DataCellsFilter,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        merge_into,
+    )
+
+    lake = str(tmp_path_factory.mktemp("evolake"))
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    q = f"{fx.DATABASE}.{fx.TABLE}"
+    cat.evolve_table_schema(q, [T.StructField("loyalty_tier", T.StringType())])
+    path = cat.tables[q].location
+    upd = (
+        spark.read.parquet(path)
+        .filter(F.col("customer_id") <= "CUST0005")
+        .withColumn("loyalty_tier", F.lit("gold"))
+    )
+    merge_into(spark, path, upd, ["customer_id"], evolve_schema=True)
+
+    # unconditioned grant: visible immediately (whole-table grant)
+    df = eng.sql("SELECT * FROM sales_db.sales", principal="dataadmin")
+    assert "loyalty_tier" in df.columns
+
+    # allowlist-filtered analyst: invisible pre-approval...
+    df = eng.sql("SELECT * FROM sales_db.sales", principal="analyst")
+    assert "loyalty_tier" not in df.columns
+    qid = eng.submit("SELECT loyalty_tier FROM sales_db.sales", principal="analyst")
+    assert eng.status(qid).value == "FAILED"  # COLUMN_NOT_FOUND analog
+
+    # ...and STILL invisible after approval alone (approval != grant)
+    cat.approve_evolved_columns(q, ["loyalty_tier"])
+    df = eng.sql("SELECT * FROM sales_db.sales", principal="analyst")
+    assert "loyalty_tier" not in df.columns
+
+    # the allowlist naming it is the grant
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="analyst-apac-filter",
+            database=fx.DATABASE,
+            table=fx.TABLE,
+            columns=fx.ANALYST_COLUMNS + ("loyalty_tier",),
+            row_filter="sales_region = 'APAC'",
+        )
+    )
+    rows = eng.sql(
+        "SELECT * FROM sales_db.sales ORDER BY customer_id", principal="analyst"
+    ).collect()
+    tiers = {r.customer_id: r.loyalty_tier for r in rows}
+    assert len(rows) == 8 and tiers["CUST0001"] == "gold"
+    assert tiers["CUST0016"] is None  # APAC row outside the merge batch
+    # audit carries both governance decisions
+    queries = [e["query"] for e in cat.audit.events]
+    assert any(q_.startswith("ALTER TABLE sales_db.sales ADD") for q_ in queries)
+    assert any(q_.startswith("APPROVE EVOLVED COLUMNS") for q_ in queries)
+
+
+def test_schema_evolution_fail_closed_for_tag_grants(spark, tmp_path_factory):
+    # The untagged-complement (tag-exclude) path is the dangerous one: a
+    # brand-new column is untagged, so without the quarantine it would
+    # leak the moment it lands. Pre-approval invisible; post-approval it
+    # joins the complement; a column evolved WITH a pii tag stays
+    # excluded by the tag path even after approval.
+    from pyspark.sql import types as T
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import SELECT
+
+    lake = str(tmp_path_factory.mktemp("evolake_tag"))
+    cat = fx.bootstrap(spark, lake)
+    q = f"{fx.DATABASE}.{fx.TABLE}"
+    cat.grant(
+        "tagger", SELECT, fx.DATABASE, fx.TABLE,
+        via_tag_exclude=(fx.PII_TAG, "sensitive"),
+    )
+    base = cat.table(q, "tagger").columns
+    assert "customer_email" not in base and "ssn" not in base
+
+    cat.evolve_table_schema(q, [T.StructField("risk_score", T.DoubleType())])
+    assert "risk_score" not in cat.table(q, "tagger").columns  # fail closed
+    cat.approve_evolved_columns(q, ["risk_score"])
+    assert "risk_score" in cat.table(q, "tagger").columns  # untagged complement
+
+    cat.evolve_table_schema(
+        q,
+        [T.StructField("passport", T.StringType())],
+        tags={"passport": {fx.PII_TAG: "sensitive"}},
+    )
+    cat.approve_evolved_columns(q, ["passport"])
+    assert "passport" not in cat.table(q, "tagger").columns  # tagged out
+
+
+def test_evolve_table_schema_validation(spark, tmp_path_factory):
+    from pyspark.sql import types as T
+
+    lake = str(tmp_path_factory.mktemp("evolake_val"))
+    cat = fx.bootstrap(spark, lake)
+    q = f"{fx.DATABASE}.{fx.TABLE}"
+    with pytest.raises(ValueError, match="already exist"):
+        cat.evolve_table_schema(q, [T.StructField("ssn", T.StringType())])
+    with pytest.raises(ValueError, match="no columns"):
+        cat.evolve_table_schema(q, [])
+    with pytest.raises(ValueError, match="no such columns"):
+        cat.approve_evolved_columns(q, ["nope"])

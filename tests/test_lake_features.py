@@ -464,3 +464,66 @@ def test_scd2_as_of_time_travel(spark, tmp_path):
     assert scd2_as_of(spark, path, datetime.datetime(2023, 1, 1)).count() == 0
     # exactly-at-boundary: as_of == change instant sees the NEW version
     assert scd2_as_of(spark, path, t1).first().v == "a2"
+
+
+def test_merge_into_schema_evolution_strict_and_evolving(spark, sf_dir, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        merge_into,
+    )
+
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lake = str(tmp_path / "evo")
+    n.write.parquet(lake)
+    upd = spark.createDataFrame(
+        [(0, "RENAMED", "x")], "n_nationkey int, n_name string, extra string"
+    )
+    # a typo'd/unknown column must not silently evolve the lake
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        merge_into(spark, lake, upd, ["n_nationkey"])
+    merge_into(spark, lake, upd, ["n_nationkey"], evolve_schema=True)
+    back = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert "extra" in back.columns
+    assert back.filter("n_nationkey = 0").first().extra == "x"
+    assert back.filter("n_nationkey = 1").first().extra is None
+    # second merge WITHOUT the flag on the evolved table: the merged-
+    # schema read must preserve the evolved column for kept rows
+    upd2 = spark.createDataFrame(
+        [(1, "ALSO", "y")], "n_nationkey int, n_name string, extra string"
+    )
+    merge_into(spark, lake, upd2, ["n_nationkey"])
+    back = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert back.filter("n_nationkey = 0").first().extra == "x"  # not dropped
+    assert back.filter("n_nationkey = 1").first().extra == "y"
+
+
+def test_scd2_apply_schema_evolution(spark, tmp_path):
+    import datetime
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import scd2_apply
+
+    path = str(tmp_path / "dim_evo")
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 6, 1)
+    spark.createDataFrame(
+        [(1, "a", t0, None, True), (2, "b", t0, None, True)],
+        "k int, v string, effective_from timestamp, effective_to timestamp, "
+        "is_current boolean",
+    ).write.parquet(path)
+    upd = spark.createDataFrame([(1, "a2", "w1")], "k int, v string, w string")
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        scd2_apply(spark, path, upd, ["k"], ["v"], t1)
+    # metadata columns are never legal in a batch, evolving or not
+    meta = spark.createDataFrame(
+        [(1, "a2", True)], "k int, v string, is_current boolean"
+    )
+    with pytest.raises(ValueError, match="validity metadata"):
+        scd2_apply(spark, path, meta, ["k"], ["v"], t1, evolve_schema=True)
+    scd2_apply(spark, path, upd, ["k"], ["v"], t1, evolve_schema=True)
+    rows = {
+        (r.k, r.v): (r.w, r.is_current)
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert rows[(1, "a")] == (None, False)  # pre-evolution version: NULL
+    assert rows[(1, "a2")] == ("w1", True)  # evolved version carries value
+    assert rows[(2, "b")] == (None, True)  # untouched key: NULL

@@ -61,6 +61,10 @@ class TableDef:
     column_comments: dict[str, str] = field(default_factory=dict)
     column_tags: dict[str, dict[str, str]] = field(default_factory=dict)
     partition_keys: tuple[str, ...] = ()
+    # Columns appended by evolve_table_schema and not yet released by
+    # approve_evolved_columns: invisible to every CONDITIONED grant path
+    # (fail-closed schema evolution).
+    pending_columns: set[str] = field(default_factory=set)
 
     @property
     def qualified(self) -> str:
@@ -132,6 +136,91 @@ class GovernedCatalog:
     def create_view(self, database: str, name: str, sql: str) -> None:
         """V1 — ``CREATE OR REPLACE VIEW`` (outputs.tf:44-53)."""
         self.views[f"{database}.{name}"] = ViewDef(database, name, sql)
+
+    def evolve_table_schema(
+        self,
+        qualified: str,
+        new_fields: "T.StructType | list[T.StructField]",
+        comments: dict[str, str] | None = None,
+        tags: dict[str, dict[str, str]] | None = None,
+    ) -> None:
+        """Glue ``UpdateTable`` analog: append columns to a registered
+        table's schema. Schema-on-read means no data rewrite — files
+        written before the evolution return NULL for the new columns via
+        the declared-schema scan (the reference holds schemas in the
+        catalog for exactly this, main.tf:330-371).
+
+        Fail-closed governance (round-5 VERDICT #3): evolved columns are
+        recorded as PENDING and stay invisible to every conditioned
+        grant path — data-cells-filter allowlists, row-only filters, and
+        tag-exclude complements — until :meth:`approve_evolved_columns`
+        records the explicit decision. Without the quarantine, a
+        tag-based grant ("every column NOT tagged pii") would leak a new
+        column the moment it lands, before anyone classified it — the
+        week-one evolving-lake hole. Unconditioned ALL/SELECT grants and
+        admins (main.tf:82-91) see new columns immediately: they are
+        granted the whole table, not a column set. Columns evolved WITH
+        a tag assignment (``tags=``) are classified at birth and need no
+        separate approval for tag-based paths, but remain pending for
+        allowlist paths until approved.
+        """
+        table = self.tables[qualified]
+        if table.schema is None:
+            raise ValueError(f"{qualified} has no declared schema to evolve")
+        fields = (
+            list(new_fields.fields)
+            if isinstance(new_fields, T.StructType)
+            else list(new_fields)
+        )
+        if not fields:
+            raise ValueError("no columns to add")
+        existing = {f_.name for f_ in table.schema.fields}
+        dupes = [f_.name for f_ in fields if f_.name in existing]
+        if dupes:
+            raise ValueError(f"columns already exist on {qualified}: {dupes}")
+        table.schema = T.StructType(list(table.schema.fields) + fields)
+        for f_ in fields:
+            table.pending_columns.add(f_.name)
+        for col, comment in (comments or {}).items():
+            table.column_comments[col] = comment
+        for col, ts in (tags or {}).items():
+            for k, v in ts.items():
+                self.tags[k].validate(v)
+                table.column_tags.setdefault(col, {})[k] = v
+        added = ", ".join(
+            f"{f_.name} {f_.dataType.simpleString()}" for f_ in fields
+        )
+        self.audit.record(
+            principal="<catalog>",
+            query=f"ALTER TABLE {qualified} ADD COLUMNS ({added})",
+            tables=[qualified],
+            filters_applied=[],
+            status="ok",
+        )
+
+    def approve_evolved_columns(self, qualified: str, columns: list[str]) -> None:
+        """The explicit governance decision that releases evolved columns
+        to conditioned grant evaluation. Approval alone does not grant
+        anything: an approved column still needs a filter allowlist or
+        untagged-complement path that actually includes it."""
+        table = self.tables[qualified]
+        known = (
+            {f_.name for f_ in table.schema.fields}
+            if table.schema is not None
+            else set()
+        )
+        unknown = [c for c in columns if c not in known]
+        if unknown:
+            raise ValueError(f"no such columns on {qualified}: {unknown}")
+        for c in columns:
+            table.pending_columns.discard(c)
+        self.audit.record(
+            principal="<catalog>",
+            query=f"APPROVE EVOLVED COLUMNS {qualified} ({', '.join(sorted(columns))})",
+            tables=[qualified],
+            filters_applied=[],
+            status="ok",
+        )
 
     def drop_view(self, database: str, name: str) -> None:
         """V2 — ``DROP VIEW`` (README.md:320)."""
@@ -440,6 +529,24 @@ class GovernedCatalog:
             raise PermissionDeniedError(
                 f"principal {name!r} has no SELECT path to {qualified}"
             )
+        # Fail-closed schema evolution: pending (evolved, not-yet-approved)
+        # columns are struck from every conditioned allowlist — including
+        # the all-columns (None) case and the tag-exclude complement, which
+        # would otherwise leak a new column before it was classified.
+        pending = table.pending_columns
+        if pending and table.schema is not None:
+            full = tuple(
+                f_.name for f_ in table.schema.fields if f_.name not in pending
+            )
+            cells = [
+                (
+                    pred,
+                    full
+                    if cols is None
+                    else tuple(c for c in cols if c not in pending),
+                )
+                for pred, cols in cells
+            ]
         if _filters_out is not None:
             _filters_out.extend(applied)
         df = self._raw(table)

@@ -132,3 +132,72 @@ def governance_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM sales_db.sales_masked ORDER BY customer_id LIMIT 10",
         principal="analyst",
     )
+
+
+@query(
+    "governance_schema_evolution",
+    f"""
+    WITH {_SALES_CTE}
+    SELECT customer_id, customer_name, sales_region,
+           CAST(sales_amount AS DOUBLE) AS sales_amount, sale_date,
+           CASE WHEN customer_id IN ('CUST0001','CUST0002','CUST0003',
+                                     'CUST0004','CUST0005')
+                THEN 'gold' END AS loyalty_tier
+    FROM sales_fixture
+    WHERE sales_region = 'APAC'
+    ORDER BY customer_id
+    """,
+    "Fail-closed schema evolution on the governed lake (round-5 VERDICT "
+    "#3): sales evolves a loyalty_tier column (catalog ALTER + merge "
+    "with evolve_schema), which stays INVISIBLE to the analyst's "
+    "allowlist until the two explicit decisions land — "
+    "approve_evolved_columns plus an allowlist that names it (the "
+    "pre-grant invisibility is pinned in tests/test_governance.py). "
+    "Differential oracle: fixture VALUES + row predicate + the EXTENDED "
+    "6-column allowlist, loyalty_tier = 'gold' for the five merged "
+    "customers and NULL elsewhere.",
+)
+def governance_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the full week-one evolution flow on ITS OWN bootstrapped
+    lake (never the shared cached engine — this query mutates catalog
+    state): evolve schema -> land values through the evolved MERGE path
+    -> approve the column -> extend the analyst allowlist -> analyst
+    star-select shows the new column with values. Reference analogs:
+    catalog-held schema main.tf:330-371, allowlist main.tf:442-448."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..governance import DataCellsFilter
+    from ..sources.lake import merge_into
+
+    lake = scratch_dir("sales_evolve_")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    q = f"{fx.DATABASE}.{fx.TABLE}"
+    cat.evolve_table_schema(
+        q,
+        [T.StructField("loyalty_tier", T.StringType())],
+        comments={"loyalty_tier": "Loyalty tier (evolved column)"},
+    )
+    path = cat.tables[q].location
+    upd = (
+        spark.read.parquet(path)
+        .filter(F.col("customer_id") <= "CUST0005")
+        .withColumn("loyalty_tier", F.lit("gold"))
+    )
+    merge_into(spark, path, upd, ["customer_id"], evolve_schema=True)
+    # The two explicit governance decisions that make the column visible:
+    cat.approve_evolved_columns(q, ["loyalty_tier"])
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="analyst-apac-filter",
+            database=fx.DATABASE,
+            table=fx.TABLE,
+            columns=fx.ANALYST_COLUMNS + ("loyalty_tier",),
+            row_filter="sales_region = 'APAC'",
+        )
+    )
+    return eng.sql(
+        "SELECT * FROM sales_db.sales ORDER BY customer_id",
+        principal="analyst",
+    )

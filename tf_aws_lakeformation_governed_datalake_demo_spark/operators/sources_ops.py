@@ -123,6 +123,83 @@ def lake_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_schema_evolution",
+    """
+    WITH base AS (SELECT c_custkey, c_name, c_acctbal,
+                         c_custkey % 2 AS grp
+                  FROM customer WHERE c_custkey <= 200),
+    upd AS (SELECT c_custkey, c_name, c_acctbal + 50 AS c_acctbal, grp,
+                   'gold' AS tier
+            FROM base WHERE c_custkey <= 50 AND c_custkey % 2 = 0
+            UNION ALL
+            SELECT c_custkey + 1000, c_name, c_acctbal, grp, 'new'
+            FROM base WHERE c_custkey <= 10 AND c_custkey % 2 = 0)
+    SELECT b.c_custkey, b.c_name, CAST(b.c_acctbal AS DOUBLE) AS c_acctbal,
+           CAST(b.grp AS BIGINT) AS grp, CAST(NULL AS VARCHAR) AS tier
+    FROM base b ANTI JOIN upd u ON b.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE),
+           CAST(grp AS BIGINT), tier
+    FROM upd
+    ORDER BY c_custkey
+    """,
+    "Add-column schema evolution through the MERGE path on a partitioned "
+    "lake table: the update batch carries a brand-new `tier` column "
+    "(evolve_schema=True), only the touched partition (grp=0) is "
+    "rewritten with the evolved schema, the untouched grp=1 partition "
+    "keeps its old files, and the mergeSchema read NULL-fills `tier` for "
+    "every pre-evolution row. The oracle replays: even keys <= 50 "
+    "replaced with tier='gold', inserts 1000-1010 with tier='new', all "
+    "other rows NULL tier.",
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives sources.lake.merge_into with evolve_schema end to end.
+    Scale notes on the library function: evolution costs nothing beyond
+    the merge itself — no table-wide rewrite, old files are never
+    touched, and the new column materializes lazily through the merged /
+    catalog-declared schema."""
+    from ..sources.lake import merge_into
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    base = c.filter(F.col("c_custkey") <= 200).withColumn(
+        "grp", F.col("c_custkey") % 2
+    )
+    lake = scratch_dir("evolve_lake_")
+    write_partitioned(base, lake, partition_by=["grp"])
+    even = (F.col("c_custkey") % 2 == 0)
+    upd_changed = base.filter((F.col("c_custkey") <= 50) & even).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 50).alias("c_acctbal"),
+        "grp",
+        F.lit("gold").alias("tier"),
+    )
+    upd_new = base.filter((F.col("c_custkey") <= 10) & even).select(
+        (F.col("c_custkey") + 1000).alias("c_custkey"),
+        "c_name",
+        "c_acctbal",
+        "grp",
+        F.lit("new").alias("tier"),
+    )
+    merge_into(
+        spark,
+        lake,
+        upd_changed.unionByName(upd_new),
+        ["c_custkey"],
+        partition_by=["grp"],
+        evolve_schema=True,
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(lake)
+    return back.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        F.col("grp").cast("long").alias("grp"),
+        "tier",
+    ).orderBy("c_custkey")
+
+
+@query(
     "lake_scd2_partitioned",
     """
     WITH init AS (SELECT c_custkey, c_name, c_acctbal
