@@ -644,3 +644,125 @@ def test_evolve_table_schema_validation(spark, tmp_path_factory):
         cat.evolve_table_schema(q, [])
     with pytest.raises(ValueError, match="no such columns"):
         cat.approve_evolved_columns(q, ["nope"])
+
+
+PII_COLS = {"customer_email", "ssn"}
+
+
+def test_pii_unreachable_via_every_engine_surface(spark, tmp_path_factory):
+    # Round-5 VERDICT #4a: the analyst's grants must hold on EVERY
+    # engine.* surface, not just engine.sql — CTAS and UNLOAD execute AS
+    # the principal (materializing only governed cells), prepared
+    # statements run governed, EXPLAIN shows the governed plan, and the
+    # sql guard routes raw spark.sql through the same path.
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        governed_sql_guard,
+    )
+
+    base = tmp_path_factory.mktemp("surface")
+    eng = Engine(
+        spark, fx.bootstrap(spark, str(base / "lake")),
+        results_dir=str(base / "results"),
+    )
+
+    # sql / submit
+    assert not PII_COLS & set(
+        eng.sql("SELECT * FROM sales_db.sales", principal="analyst").columns
+    )
+    qid = eng.submit("SELECT ssn FROM sales_db.sales", principal="analyst")
+    assert eng.status(qid).value == "FAILED"
+
+    # EXPLAIN: the governed plan's ReadSchema carries no PII column, and
+    # explaining a PII select fails to analyze
+    plan = eng.explain("SELECT * FROM sales_db.sales", principal="analyst")
+    assert "customer_email" not in plan and "ssn" not in plan
+    with pytest.raises(Exception, match="ssn"):
+        eng.explain("SELECT ssn FROM sales_db.sales", principal="analyst")
+
+    # CTAS: the materialized table contains ONLY governed cells
+    ctas_loc = str(base / "ctas_out")
+    eng.ctas(
+        "SELECT * FROM sales_db.sales", "sales_db", "analyst_copy",
+        ctas_loc, principal="analyst",
+    )
+    copied = spark.read.parquet(ctas_loc)
+    assert not PII_COLS & set(copied.columns)
+    rows = copied.collect()
+    assert len(rows) == 8 and all(r.sales_region == "APAC" for r in rows)
+
+    # UNLOAD: ditto for the file export
+    unload_loc = str(base / "unload_out")
+    eng.unload(
+        "SELECT * FROM sales_db.sales", unload_loc, principal="analyst"
+    )
+    assert not PII_COLS & set(spark.read.parquet(unload_loc).columns)
+
+    # prepared statements: parameters cannot widen access
+    eng.prepare("by_region", "SELECT * FROM sales_db.sales WHERE sales_region = ?")
+    got = eng.execute_prepared("by_region", ["APAC"], principal="analyst")
+    assert not PII_COLS & set(got.columns)
+    eng.prepare("steal", "SELECT ssn FROM sales_db.sales WHERE sales_region = ?")
+    with pytest.raises(Exception, match="ssn"):
+        eng.execute_prepared("steal", ["APAC"], principal="analyst")
+
+    # per-principal session handle
+    sess = eng.session("analyst")
+    assert not PII_COLS & set(sess.table("sales_db.sales").columns)
+
+    # the sql guard routes raw spark.sql through the same checks
+    with governed_sql_guard(eng, "analyst"):
+        assert not PII_COLS & set(
+            spark.sql("SELECT * FROM sales_db.sales").columns
+        )
+        with pytest.raises(Exception, match="ssn"):
+            spark.sql("SELECT ssn FROM sales_db.sales")
+
+    # an ungranted principal is denied on every surface
+    for attempt in (
+        lambda: eng.sql("SELECT 1 FROM sales_db.sales", principal="intern"),
+        lambda: eng.explain("SELECT 1 FROM sales_db.sales", principal="intern"),
+        lambda: eng.ctas(
+            "SELECT 1 FROM sales_db.sales", "sales_db", "t2",
+            str(base / "deny_ctas"), principal="intern",
+        ),
+        lambda: eng.unload(
+            "SELECT 1 FROM sales_db.sales", str(base / "deny_unload"),
+            principal="intern",
+        ),
+        lambda: eng.session("intern").table("sales_db.sales"),
+    ):
+        with pytest.raises(PermissionDeniedError):
+            attempt()
+
+
+def test_trust_boundary_spark_read_is_outside(spark, tmp_path_factory):
+    # Round-5 VERDICT #4b: the DOCUMENTED boundary. A caller holding the
+    # raw SparkSession bypasses governance with spark.read — the analog
+    # of raw S3 credentials bypassing Athena, which the reference closes
+    # with storage-level credential vending (main.tf:432-490) and a
+    # single-JVM library cannot. This test PINS that documented boundary
+    # (so a future change that silently widens or narrows it fails) and
+    # the presence of the documentation itself.
+    import pathlib
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        engine as engine_mod,
+        governed_sql_guard,
+    )
+
+    lake = str(tmp_path_factory.mktemp("boundary"))
+    eng = Engine(spark, fx.bootstrap(spark, lake))
+    loc = eng.catalog.tables["sales_db.sales"].location
+
+    # even while the guard is active, spark.read is raw: full PII
+    with governed_sql_guard(eng, "analyst"):
+        raw = spark.read.parquet(loc)
+        assert PII_COLS <= set(raw.columns)
+        assert raw.count() == 20  # all regions, no row filter
+
+    # the boundary is stated where users will see it
+    assert "NOT AN ENFORCEMENT BOUNDARY" in governed_sql_guard.__doc__
+    readme = (
+        pathlib.Path(engine_mod.__file__).resolve().parents[1] / "README.md"
+    ).read_text()
+    assert "Trust boundary" in readme and "spark.read" in readme

@@ -370,10 +370,19 @@ def governed_sql_guard(engine: Engine, principal: Principal | str):
     install; this guard instead rebinds the session's ``sql`` entry
     point, which covers every access path that goes through it
     (including view expansion, since the rewrite happens on the SQL
-    text before analysis) but NOT ``spark.read`` or a stashed
-    pre-guard reference to the original method. Single-threaded by
-    design — the temporary unbind during the engine's internal
+    text before analysis) but NOT ``spark.read``/``spark.table`` or a
+    stashed pre-guard reference to the original method. Single-threaded
+    by design — the temporary unbind during the engine's internal
     ``spark.sql`` call is not re-entrant across threads.
+
+    THIS IS NOT AN ENFORCEMENT BOUNDARY. A caller holding the
+    SparkSession can always read lake paths directly — the analog of an
+    AWS principal with raw S3 credentials bypassing Athena, which the
+    reference closes with storage-level credential vending
+    (main.tf:432-490) and a single-JVM library cannot. The boundary is
+    documented in README "Trust boundary" and pinned by
+    tests/test_governance.py::test_trust_boundary_spark_read_is_outside:
+    hand untrusted code an Engine/PrincipalSession, never the session.
     """
     spark = engine.spark
     orig = spark.sql
