@@ -248,3 +248,86 @@ def test_durable_sink_resume_after_restart(spark, sf_dir, tmp_path):
         )
     }
     assert finald == expected
+
+
+def test_outer_join_state_resume_after_restart(spark, sf_dir, tmp_path):
+    # Round-5 VERDICT #7: extend the checkpoint-resume proof to the
+    # STATEFUL outer interval join. Run 1 buffers unmatched clicks in the
+    # state store; the "crash" loses the query but not the checkpoint;
+    # run 2 must restore that state — clicks from the first half match
+    # purchases from the second half, null-extended rows appear exactly
+    # once, and the resumed union equals the batch oracle.
+    import pyarrow.parquet as pq
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.streaming import (
+        events as se,
+    )
+
+    d = tmp_path / "join_in"
+    d.mkdir()
+    out, ckpt = str(tmp_path / "jout"), str(tmp_path / "jckpt")
+    t = pq.read_table(f"{sf_dir}/events.parquet").sort_by([("ts", "ascending")])
+    n = t.num_rows
+    pq.write_table(t.slice(0, n // 2), str(d / "events_a.parquet"))
+
+    def run():
+        stream = se.stream_click_purchase_left_join(
+            se.read_events_stream(spark, str(d), pattern="*.parquet")
+        )
+        se.run_stream_durable(stream, out, ckpt)
+        return [
+            (r.click_id, r.purchase_ts, r.purchase_value)
+            for r in spark.read.parquet(out).collect()
+        ]
+
+    first = run()
+    pq.write_table(t.slice(n // 2), str(d / "events_b.parquet"))
+    final = run()
+    # exactly-once across the restart: no duplicated join/null rows
+    assert len(final) == len(set(final))
+    assert set(first) <= set(final)
+    assert len(final) > len(first)
+    # a click is either matched or null-extended, never both
+    null_clicks = {cid for cid, pts, _ in final if pts is None}
+    match_clicks = {cid for cid, pts, _ in final if pts is not None}
+    assert not null_clicks & match_clicks
+    # third restart with no new input appends nothing
+    assert sorted(run(), key=repr) == sorted(final, key=repr)
+
+    # resumed union == batch oracle: all interval matches, plus
+    # null-extended clicks whose window the final min-watermark closed
+    e = load(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    m = c.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("click_id", "purchase_ts", "purchase_value")
+    import datetime
+
+    wm = min(
+        c.agg(F.max("click_ts")).first()[0],
+        p.agg(F.max("purchase_ts")).first()[0],
+    ) - datetime.timedelta(hours=1)
+    u = (
+        c.join(m.select("click_id"), "click_id", "left_anti")
+        .filter(F.col("click_ts") + F.expr("INTERVAL 30 MINUTES") <= F.lit(wm))
+        .select(
+            "click_id",
+            F.lit(None).cast("timestamp").alias("purchase_ts"),
+            F.lit(None).cast("double").alias("purchase_value"),
+        )
+    )
+    expected = {
+        (r.click_id, r.purchase_ts, r.purchase_value)
+        for r in m.unionByName(u).collect()
+    }
+    assert set(final) == expected
