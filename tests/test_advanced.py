@@ -123,3 +123,35 @@ def test_multimodal_feature_extract_shape(spark, sf_dir):
         per_doc.setdefault(r.doc_id, set()).add(r.dim)
         assert 0 <= r.value <= 255
     assert all(dims == set(range(N_FEATURE_DIMS)) for dims in per_doc.values())
+
+
+def test_byte_histogram_encoder_unit(spark):
+    # the real-numpy encoder: L1-normalized high-nibble histogram,
+    # checked against a hand-computed payload
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.multimodal import (
+        N_HIST_BINS,
+        byte_histogram_encoder,
+    )
+
+    payload = bytes([0x00, 0x0F, 0x10, 0x1F, 0xF0, 0xFF, 0xFF, 0xFF])
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    ).mapInPandas(byte_histogram_encoder, "doc_id long, embedding array<double>")
+    row = df.first()
+    vec = row.embedding
+    assert row.doc_id == 7 and len(vec) == N_HIST_BINS
+    assert abs(sum(vec) - 1.0) < 1e-12  # L1-normalized
+    assert vec[0] == 0.25   # two bytes with high nibble 0
+    assert vec[1] == 0.25   # two with nibble 1
+    assert vec[15] == 0.5   # four with nibble F
+    assert all(v == 0.0 for v in vec[2:15])
+
+
+def test_multimodal_embed_knn_composition(spark, sf_dir):
+    # encoder -> similarity stack composition: bounded ranked output,
+    # cosine in [0, 1] (nonnegative histogram vectors), top-k plan
+    rows = REGISTRY["multimodal_embed_knn"].builder(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in sims)
