@@ -57,6 +57,14 @@ HEADLINE = [
     "governance_analyst_row_column_security",
     "lake_merge_upsert",
     "ann_multiprobe_topk",
+    # round 6 additions (round-5 VERDICT #5): the r5 operators that had
+    # no perf bar — the SCD2 apply (now partition-bounded), the simhash
+    # banding pipeline, the durable streaming sink end to end — plus the
+    # new media-encoder similarity composition
+    "lake_scd2_apply",
+    "dedup_simhash",
+    "stream_hourly_counts_durable",
+    "multimodal_embed_knn",
 ]
 
 

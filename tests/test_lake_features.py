@@ -527,3 +527,38 @@ def test_scd2_apply_schema_evolution(spark, tmp_path):
     assert rows[(1, "a")] == (None, False)  # pre-evolution version: NULL
     assert rows[(1, "a2")] == ("w1", True)  # evolved version carries value
     assert rows[(2, "b")] == (None, True)  # untouched key: NULL
+
+
+def test_merge_into_declared_schema_preserves_evolved_column(spark, sf_dir, tmp_path):
+    # The at-scale read path: a declared schema (as the governed catalog
+    # would supply) plans ZERO footer reads yet still NULL-fills evolved
+    # columns from pre-evolution files and never drops evolved data.
+    from pyspark.sql import types as T
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        merge_into,
+    )
+
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lake = str(tmp_path / "declared")
+    n.write.parquet(lake)
+    upd = spark.createDataFrame(
+        [(0, "RENAMED", "x")], "n_nationkey int, n_name string, extra string"
+    )
+    merge_into(spark, lake, upd, ["n_nationkey"], evolve_schema=True)
+    evolved = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("extra", T.StringType()),
+        ]
+    )
+    upd2 = spark.createDataFrame(
+        [(1, "ALSO", "y")], "n_nationkey int, n_name string, extra string"
+    )
+    merge_into(spark, lake, upd2, ["n_nationkey"], schema=evolved)
+    back = spark.read.schema(evolved).parquet(lake)
+    assert back.filter("n_nationkey = 0").first().extra == "x"
+    assert back.filter("n_nationkey = 1").first().extra == "y"
+    assert back.filter("n_nationkey = 2").first().extra is None

@@ -332,3 +332,29 @@ def test_keep_best_reuses_component_partitioning(spark, sf_dir):
     df = REGISTRY["dedup_keep_best"].builder(spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_embed_knn_filters_before_encoder_and_topk(spark, sf_dir):
+    # The media encoder composition must stay: doc_id filters BELOW both
+    # Arrow/Python boundaries (they cannot push through an opaque
+    # mapInPandas, so they must be placed before it — the query branch
+    # encodes ONE payload, not the corpus), query vector broadcast (no
+    # cartesian of corpus rows), and heap-based top-k, never a global
+    # sort.
+    df = REGISTRY["multimodal_embed_knn"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("MapInPandas") == 2  # corpus pass + 1-row query pass
+    # the query-side branch reaches the scan as a pushed doc_id=0 filter
+    assert "EqualTo(doc_id,0)" in plan
+    assert "CartesianProduct" not in plan
+    assert_top_k(df)
+
+
+def test_ivf_nprobe_sweep_broadcasts_and_no_cartesian(spark, sf_dir):
+    # Sweeping 6 nprobe settings must not re-scan the corpus per setting:
+    # the scored table is checkpointed once, the probe list joins it by
+    # broadcast, and nothing degenerates into a product.
+    df = REGISTRY["ann_ivf_nprobe_sweep"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

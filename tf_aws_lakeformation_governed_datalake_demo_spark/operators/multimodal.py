@@ -281,15 +281,23 @@ def multimodal_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _cos, _with_norm
 
     images = media_frame(spark, sf_dir).filter(F.col("media_type") == "image")
-    enc = images.mapInPandas(
-        byte_histogram_encoder, "doc_id long, embedding array<double>"
+    enc_schema = "doc_id long, embedding array<double>"
+    # The doc_id filters sit BEFORE the Python boundary on both branches
+    # (they cannot push through an opaque mapInPandas): the query branch
+    # encodes exactly one payload instead of re-encoding the corpus —
+    # pinned in tests/test_plans.py.
+    v = _with_norm(
+        images.filter(F.col("doc_id") != 0).mapInPandas(
+            byte_histogram_encoder, enc_schema
+        )
     )
-    v = _with_norm(enc)
-    q = v.filter(F.col("doc_id") == 0).select(
-        F.col("embedding").alias("qe"), F.col("norm").alias("qnorm")
-    )
+    q = _with_norm(
+        images.filter(F.col("doc_id") == 0).mapInPandas(
+            byte_histogram_encoder, enc_schema
+        )
+    ).select(F.col("embedding").alias("qe"), F.col("norm").alias("qnorm"))
     return (
-        v.filter(F.col("doc_id") != 0)
+        v
         .crossJoin(F.broadcast(q))
         .select(
             "doc_id",

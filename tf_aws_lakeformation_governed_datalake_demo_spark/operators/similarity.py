@@ -1112,7 +1112,7 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nprobe", "qid", "vec_id")
     )
     return (
-        np_df.crossJoin(gt)
+        F.broadcast(np_df).crossJoin(gt)
         .join(ann.withColumn("hit", F.lit(1)), ["nprobe", "qid", "vec_id"], "left")
         .groupBy(F.col("nprobe").cast("long").alias("nprobe"))
         .agg(

@@ -461,7 +461,11 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    merge_into(spark, lake, updates, ["doc_id"], partition_by=["lang"])
+    # declared-schema read (the at-scale path): zero footer reads — the
+    # schema comes from the writer's frame, as it would from the catalog
+    merge_into(
+        spark, lake, updates, ["doc_id"], partition_by=["lang"], schema=d.schema
+    )
     back = spark.read.parquet(lake)
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -132,6 +132,7 @@ def merge_into(
     key_cols: list[str],
     partition_by: list[str] | None = None,
     evolve_schema: bool = False,
+    schema: T.StructType | None = None,
 ) -> dict:
     """Keyed MERGE/upsert on a plain-Parquet lake table — the Delta
     ``MERGE INTO`` / ``replaceWhere`` analog, executable without ACID
@@ -171,11 +172,15 @@ def merge_into(
     carry NULL, and partitions the batch doesn't touch keep their old
     files (their rows read as NULL through a merged/declared schema).
     Without the flag, an update batch with unknown columns fails fast —
-    a typo'd column must not silently evolve the lake. Reads here use
-    ``mergeSchema`` so a previously-evolved table can never lose its new
-    columns to a footer picked from an old file (that would silently
-    DROP evolved data from every rewritten row); at 100 TB prefer the
-    governed catalog's declared schema, which reads no footers at all.
+    a typo'd column must not silently evolve the lake. Without a
+    declared ``schema``, reads here use ``mergeSchema`` so a
+    previously-evolved table can never lose its new columns to a footer
+    picked from an old file (that would silently DROP evolved data from
+    every rewritten row). ``mergeSchema`` is a distributed footer-read
+    job over the whole table — fine for a dimension, wrong at 100 TB
+    (millions of footers): pass ``schema`` (e.g. the governed catalog's
+    declared schema) and the read plans ZERO footer reads while old
+    files still NULL-fill evolved columns.
 
     Durability contract (round-4 ADVICE): the overwrite is NOT atomic.
     Plain Parquet has no commit log, so a failure mid-write can leave the
@@ -192,7 +197,11 @@ def merge_into(
     # updates plan (sampling, un-sorted limit) makes the stats diverge
     # from what was written (round-4 ADVICE).
     updates = updates.localCheckpoint(eager=True)
-    reader = spark.read.option("mergeSchema", "true")
+    reader = (
+        spark.read.schema(schema)
+        if schema is not None
+        else spark.read.option("mergeSchema", "true")
+    )
     if partition_by:
         missing = [c for c in partition_by if c not in updates.columns]
         if missing:
@@ -263,6 +272,7 @@ def scd2_apply(
     current_col: str = "is_current",
     partition_col: str | None = None,
     evolve_schema: bool = False,
+    schema: T.StructType | None = None,
 ) -> dict:
     """Type-2 slowly-changing-dimension apply on a plain-Parquet table.
 
@@ -310,7 +320,11 @@ def scd2_apply(
     missing = [c for c in [*key_cols, *change_cols] if c not in updates.columns]
     if missing:
         raise ValueError(f"updates is missing key/change columns: {missing}")
-    cur = spark.read.option("mergeSchema", "true").parquet(path)
+    cur = (
+        spark.read.schema(schema)
+        if schema is not None
+        else spark.read.option("mergeSchema", "true")
+    ).parquet(path)
     if partition_col is not None and partition_col not in cur.columns:
         raise ValueError(f"table at {path} has no partition column {partition_col!r}")
     meta_cols = (from_col, to_col, current_col)
@@ -436,6 +450,7 @@ def scd2_as_of(
     as_of,
     from_col: str = "effective_from",
     to_col: str = "effective_to",
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """Point-in-time read of an scd2_apply-maintained dimension: the row
     version valid at ``as_of`` per key (from <= as_of < to, with NULL
@@ -445,7 +460,12 @@ def scd2_as_of(
     Scale: both validity predicates push into the Parquet scan; at rest,
     partitioning the dimension by a date bucket of ``from_col`` prunes
     old version files entirely."""
-    return spark.read.option("mergeSchema", "true").parquet(path).filter(
+    reader = (
+        spark.read.schema(schema)
+        if schema is not None
+        else spark.read.option("mergeSchema", "true")
+    )
+    return reader.parquet(path).filter(
         (F.col(from_col) <= F.lit(as_of))
         & (F.col(to_col).isNull() | (F.col(to_col) > F.lit(as_of)))
     )
