@@ -20,16 +20,18 @@ round. Round-6 scheme (four prefixes, freshest-last):
   semantics change) driver verdict. Round 6: the IVF nprobe sweep
   instrument, the two schema-evolution queries (lake + governance
   differential), the partitioned/partial-batch SCD2 query, the
-  multimodal embed->knn composition, and ``lake_scd2_apply`` (its
-  implementation gained carry-forward semantics and partition-bounded
-  rewrites this round, so its r5 verdict is stale). 6 names.
+  multimodal embed->knn composition, ``dedup_minhash_lsh_md5`` (the
+  SQL-replayable exemplar that gives the minhash family a driver hash
+  verdict), and ``lake_scd2_apply`` (its implementation gained
+  carry-forward semantics and partition-bounded rewrites this round, so
+  its r5 verdict is stale). 7 names.
 - ``x_<name>`` — oracle-backed query whose last green driver verdict is
   from round 1 or 2 (the 25 names that spilled past round 5's window —
   round-5 VERDICT #2). These sort right after the unprefixed block, so
-  the window retires the whole stale backlog this round: 6 + 25 = 31
+  the window retires the whole stale backlog this round: 7 + 25 = 32
   slots.
 - ``y0_<name>`` — verified green in round 3 or 4 (the OLDEST fresh
-  verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so the 19 spare
+  verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so the 18 spare
   window slots re-verify the oldest greens first — the rotation now
   self-heals: every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
@@ -40,13 +42,15 @@ round. Round-6 scheme (four prefixes, freshest-last):
 - ``z_<name>`` — no SQL oracle exists; 4 queries, each with a written
   reason: dedup_minhash_lsh hashes with Spark xxhash64 (no DuckDB
   equivalent, and switching its 16 hash functions to md5 would tax the
-  benched hot path 16x), kmeans_embeddings and dedup_clusters are
-  iterative, approx_aggregates is HLL-approximate. Exactness / recall /
-  bound tests live in tests/.
+  benched hot path 16x — but the family's banding math IS
+  oracle-verified via the round-6 ``dedup_minhash_lsh_md5`` exemplar,
+  which swaps only the hash for md5), kmeans_embeddings and
+  dedup_clusters are iterative, approx_aggregates is HLL-approximate.
+  Exactness / recall / bound tests live in tests/.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r05 except the six unprefixed names
-above, which are new or changed in round 6 and get theirs here.
+driver verdict in CORRECTNESS_r01..r05 except the seven unprefixed
+names above, which are new or changed in round 6 and get theirs here.
 """
 
 from __future__ import annotations

@@ -32,8 +32,25 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 _MERSENNE = (1 << 31) - 1
 
 
+def md5_token_hash(t) -> "F.Column":
+    """31-bit token id from the first 8 md5 hex chars — the DuckDB-
+    replayable alternative to xxhash64 (identical to
+    ``CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT) & 2147483647``).
+    ~16x the hashing cost of xxhash64; used by the oracle-verified
+    minhash exemplar, never the benched default."""
+    return (
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+
+
 def shingle_hash_frame(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    token_hash=None,
 ) -> DataFrame:
     """id + ``shingle_hashes`` (distinct 31-bit ids of k-token shingles),
     string-free.
@@ -47,11 +64,12 @@ def shingle_hash_frame(
 
     Docs shorter than k tokens yield an empty shingle set.
     """
+    if token_hash is None:
+        token_hash = lambda t: F.xxhash64(t).bitwiseAND(F.lit(0x7FFFFFFF))
     staged = df.select(
         F.col(id_col),
         F.transform(
-            F.split(F.lower(F.col(text_col)), r"\s+"),
-            lambda t: F.xxhash64(t).bitwiseAND(F.lit(0x7FFFFFFF)),
+            F.split(F.lower(F.col(text_col)), r"\s+"), token_hash
         ).alias("th"),
     )
     th = F.col("th")
@@ -200,22 +218,29 @@ def minhash_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    string_buckets: bool = False,
 ) -> DataFrame:
     """LSH banding: 16 band keys per doc -> inverted-index self-join.
 
     Buckets larger than ``max_bucket_size`` are excluded (see
-    DEFAULT_MAX_BUCKET for the recall argument)."""
+    DEFAULT_MAX_BUCKET for the recall argument). ``string_buckets``
+    joins on the ':'-joined band values themselves instead of their
+    xxhash64 fold — identical collision semantics (the fold only
+    compresses the key), SQL-replayable, slightly wider shuffle keys;
+    used by the oracle-verified exemplar."""
+
+    def _fold(b):
+        cells = [
+            F.element_at(F.col("signature"), b * ROWS_PER_BAND + r + 1)
+            for r in range(ROWS_PER_BAND)
+        ]
+        if string_buckets:
+            return F.concat_ws(":", *[c.cast("string") for c in cells])
+        return F.xxhash64(*cells)
+
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                *[
-                    F.element_at(F.col("signature"), b * ROWS_PER_BAND + r + 1)
-                    for r in range(ROWS_PER_BAND)
-                ]
-            ).alias("bucket"),
-        ),
+        lambda b: F.struct(b.alias("band"), _fold(b).alias("bucket")),
     )
     exploded = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
         id_col, "bk.band", "bk.bucket"
@@ -239,7 +264,11 @@ def minhash_candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, docs: DataFrame, threshold: float, id_col: str = "doc_id"
+    pairs: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    token_hash=None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs only.
 
@@ -252,7 +281,7 @@ def jaccard_verify(
         .distinct()
     )
     pruned = docs.join(ids, id_col, "left_semi")
-    sets_ = shingle_hash_frame(pruned, id_col=id_col)
+    sets_ = shingle_hash_frame(pruned, id_col=id_col, token_hash=token_hash)
     a = sets_.withColumnRenamed(id_col, "doc_a").withColumnRenamed("shingle_hashes", "sh_a")
     b = sets_.withColumnRenamed(id_col, "doc_b").withColumnRenamed("shingle_hashes", "sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -273,8 +302,11 @@ def jaccard_verify(
     "dedup_minhash_lsh",
     None,
     "Near-dup detection: 5-token shingles -> 64 minhashes -> 16x4 LSH "
-    "bands -> bucket self-join -> exact-Jaccard verify >= 0.8. Not "
-    "SQL-expressible; exactness covered by tests/test_dedup.py on crafted "
+    "bands -> bucket self-join -> exact-Jaccard verify >= 0.8. "
+    "Rows-only because xxhash64 has no DuckDB equivalent — but the "
+    "family's banding math IS driver-hash-verified via "
+    "dedup_minhash_lsh_md5 (same pipeline, SQL-expressible hashes); "
+    "exactness additionally covered by tests/test_dedup.py on crafted "
     "near-duplicates.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +314,87 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort for deterministic registry output only — library form is
     # sort-free (pair consumers are order-insensitive)
     return minhash_jaccard_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+_W = [31**j % _MERSENNE for j in range(5)]
+_MINHASH_MD5_ORACLE = f"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\\s+') AS tk
+                  FROM documents),
+    th AS (SELECT doc_id,
+                  list_transform(tk, t ->
+                    CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                      & 2147483647) AS th
+           FROM toks WHERE len(tk) >= 5),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(th) - 3), i ->
+                    (th[i] * {_W[0]} + th[i + 1] * {_W[1]}
+                     + th[i + 2] * {_W[2]} + th[i + 3] * {_W[3]}
+                     + th[i + 4] * {_W[4]}) % {_MERSENNE})) AS sh
+           FROM th),
+    shx AS (SELECT doc_id, unnest(sh) AS x FROM sh),
+    perms AS (SELECT unnest(range(0, {N_PERM})) AS i),
+    sig AS (SELECT doc_id, i,
+                   min((x * (2 * i + 1)
+                        + (2654435769 * (i + 1)) % 2147483648)
+                       % {_MERSENNE}) AS v
+            FROM shx CROSS JOIN perms GROUP BY 1, 2),
+    bands AS (SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+                     string_agg(CAST(v AS VARCHAR), ':' ORDER BY i) AS key
+              FROM sig GROUP BY 1, 2),
+    hot AS (SELECT band, key FROM bands GROUP BY band, key
+            HAVING count(*) > {DEFAULT_MAX_BUCKET}),
+    bk AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band, key)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bk a JOIN bk b
+               ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    shared AS (SELECT c.doc_a, c.doc_b, count(*) AS ns
+               FROM cand c
+               JOIN shx a ON a.doc_id = c.doc_a
+               JOIN shx b ON b.doc_id = c.doc_b AND a.x = b.x
+               GROUP BY 1, 2)
+    SELECT s.doc_a, s.doc_b,
+           round(CAST(s.ns AS DOUBLE) / (na.n + nb.n - s.ns), 4) AS jaccard
+    FROM shared s
+    JOIN sizes na ON s.doc_a = na.doc_id
+    JOIN sizes nb ON s.doc_b = nb.doc_id
+    WHERE round(CAST(s.ns AS DOUBLE) / (na.n + nb.n - s.ns), 4) >= 0.8
+    ORDER BY s.doc_a, s.doc_b
+"""
+
+
+@query(
+    "dedup_minhash_lsh_md5",
+    _MINHASH_MD5_ORACLE,
+    "The oracle-verified exemplar of the MinHash family: the SAME "
+    "pipeline as dedup_minhash_lsh (5-token shingles -> 64 affine "
+    "minhash permutations -> 16x4 banding -> hot-capped bucket join -> "
+    "exact-Jaccard verify >= 0.8) with its two xxhash64 uses swapped "
+    "for SQL-expressible forms — md5-derived 31-bit token ids and "
+    "':'-joined band keys — so DuckDB replays shingling, permutations, "
+    "banding, the hot cap, and verification end to end. The benched "
+    "default stays on xxhash64 (~16x cheaper token hashing); this "
+    "variant pins the family's banding math with a driver hash verdict.",
+)
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs shorter than the shingle width are excluded on both sides
+    (an empty shingle set cannot clear a 0.8 Jaccard, and keeping them
+    would band every empty doc into one degenerate bucket)."""
+    d = load(spark, sf_dir, "documents")
+    hashed = shingle_hash_frame(d, token_hash=md5_token_hash).filter(
+        F.size("shingle_hashes") > 0
+    )
+    sig = hashed.select(
+        "doc_id", _minhash_signature(F.col("shingle_hashes")).alias("signature")
+    ).cache()
+    sig.count()  # eager — see minhash_jaccard_pairs
+    pairs = minhash_candidate_pairs(sig, string_buckets=True).cache()
+    pairs.count()
+    return jaccard_verify(
+        pairs, d, threshold=0.8, token_hash=md5_token_hash
+    ).orderBy("doc_a", "doc_b")
 
 
 def minhash_jaccard_pairs(
