@@ -22,16 +22,18 @@ round. Round-6 scheme (four prefixes, freshest-last):
   differential), the partitioned/partial-batch SCD2 query, the
   multimodal embed->knn composition, ``dedup_minhash_lsh_md5`` (the
   SQL-replayable exemplar that gives the minhash family a driver hash
-  verdict), and ``lake_scd2_apply`` (its implementation gained
-  carry-forward semantics and partition-bounded rewrites this round, so
-  its r5 verdict is stale). 7 names.
+  verdict), the funnel/retention product-analytics pair, the CHAINED
+  stateful streaming query (interval join -> windowed agg in one
+  checkpointed query), and ``lake_scd2_apply`` (its implementation
+  gained carry-forward semantics and partition-bounded rewrites this
+  round, so its r5 verdict is stale). 10 names.
 - ``x_<name>`` — oracle-backed query whose last green driver verdict is
   from round 1 or 2 (the 25 names that spilled past round 5's window —
   round-5 VERDICT #2). These sort right after the unprefixed block, so
-  the window retires the whole stale backlog this round: 7 + 25 = 32
+  the window retires the whole stale backlog this round: 10 + 25 = 35
   slots.
 - ``y0_<name>`` — verified green in round 3 or 4 (the OLDEST fresh
-  verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so the 18 spare
+  verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so the 15 spare
   window slots re-verify the oldest greens first — the rotation now
   self-heals: every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
@@ -49,7 +51,7 @@ round. Round-6 scheme (four prefixes, freshest-last):
   Exactness / recall / bound tests live in tests/.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r05 except the seven unprefixed
+driver verdict in CORRECTNESS_r01..r05 except the ten unprefixed
 names above, which are new or changed in round 6 and get theirs here.
 """
 

@@ -207,6 +207,40 @@ def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "stream_attributed_revenue_hourly",
+    """
+    WITH c AS (SELECT user_id, ts AS click_ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id AS pu, ts AS pts, value FROM events
+          WHERE event_type = 'purchase'),
+    m AS (SELECT c.click_ts, round(CAST(p.value AS DOUBLE), 2) AS pv
+          FROM c JOIN p
+            ON c.user_id = p.pu
+           AND p.pts >= c.click_ts
+           AND p.pts <= c.click_ts + INTERVAL 30 MINUTE),
+    mx AS (SELECT least((SELECT max(click_ts) FROM c),
+                        (SELECT max(pts) FROM p)) AS mt),
+    agg AS (SELECT date_trunc('hour', click_ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_attributed,
+                   round(CAST(sum(pv) AS DOUBLE), 2) AS revenue
+            FROM m GROUP BY 1)
+    SELECT a.hour, a.n_attributed, a.revenue
+    FROM agg a CROSS JOIN mx
+    WHERE a.hour + INTERVAL 1 HOUR <= mx.mt - INTERVAL 90 MINUTE
+    """,
+    "CHAINED stateful streaming (Spark 3.4+ watermark propagation): "
+    "stream-stream interval join -> tumbling hourly revenue aggregation "
+    "in ONE query, append mode. The join delays the click watermark by "
+    "its 30-minute interval bound, so the oracle is the batch "
+    "join+aggregate restricted to windows with end <= min(max click_ts, "
+    "max purchase_ts) - 1h (watermark) - 30min (join delay) — emitted "
+    "window values equal batch exactly.",
+)
+def stream_attributed_revenue_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, se.stream_attributed_revenue_hourly, "append")
+
+
+@query(
     "stream_dedup",
     """
     SELECT event_id, ts, user_id, event_type, value, props

@@ -234,6 +234,36 @@ def stream_click_purchase_left_join(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_attributed_revenue_hourly(events: DataFrame) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 3.4+
+    watermark propagation): the click->purchase interval join feeds a
+    tumbling hourly aggregation of attributed revenue directly — no
+    intermediate sink, no re-declared watermark (redefining one is
+    disallowed once multiple stateful operators are active; the join's
+    output watermark propagates into the window operator).
+
+    Emission semantics (empirically pinned at sf0.001 and sf0.01, and
+    what the propagation math predicts): the join delays the click-side
+    watermark by the interval bound (30 min), so a window finalizes when
+    min(click wm, purchase wm) passes window_end + 30 min — i.e. emitted
+    windows are those with end <= min(max click_ts, max purchase_ts)
+    - 1 h (watermark lag) - 30 min (join delay). Every emitted window's
+    values equal the batch join+aggregate exactly.
+
+    Scale: this is the shape that replaces a two-job pipeline (join ->
+    table -> agg) with one checkpointed query — half the state-store
+    I/O, no intermediate storage, and exactly-once end to end."""
+    joined = stream_click_purchase_join(events)
+    return (
+        joined.groupBy(F.window("click_ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.round(F.sum("purchase_value"), 2).alias("revenue"),
+        )
+        .select(F.col("win.start").alias("hour"), "n_attributed", "revenue")
+    )
+
+
 def run_stream_to_batch(
     stream_df: DataFrame,
     query_name: str,
