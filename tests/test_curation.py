@@ -127,3 +127,24 @@ def test_dedup_keep_best_covers_corpus_and_keeps_longest(spark, sf_dir):
     # at least one non-trivial cluster exists in the corpus (else the
     # operator is vacuous on this fixture)
     assert any(r.cluster_size > 1 for r in keep)
+
+
+def test_dataset_mixture_upsamples_low_resource_langs(spark, sf_dir):
+    rows = REGISTRY["pipeline_dataset_mixture"].builder(spark, sf_dir).collect()
+    by_lang = {r.lang: r for r in rows}
+    # quotas never exceed availability and the budget is respected
+    n_corpus = sum(r.n_total for r in rows)
+    assert sum(r.n_sampled for r in rows) <= int(0.6 * n_corpus)
+    assert all(r.n_sampled <= r.n_total for r in rows)
+    # alpha<1 temperature scaling: the largest language is sampled at a
+    # LOWER rate than the smallest (low-resource upsampling)
+    largest = max(rows, key=lambda r: r.n_total)
+    smallest = min(rows, key=lambda r: r.n_total)
+    if largest.n_total > smallest.n_total:
+        assert largest.realized_frac < smallest.realized_frac
+    # weights are a distribution (rounding slack)
+    assert abs(sum(r.target_w for r in rows) - 1.0) < 0.01
+    assert set(by_lang) == {
+        r.lang for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang").distinct().collect()
+    }

@@ -18,5 +18,6 @@ from . import iterative  # noqa: E402,F401 — k-means, connected components
 from . import pipelines  # noqa: E402,F401 — end-to-end curation pipelines
 from . import curation  # noqa: E402,F401 — split/sample/decontaminate/repetition
 from . import privacy  # noqa: E402,F401 — corpus PII scrubbing
+from . import quantization  # noqa: E402,F401 — product quantization (ADC ANN)
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

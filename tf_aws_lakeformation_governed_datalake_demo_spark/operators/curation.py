@@ -331,3 +331,98 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_ratio"),
         )
     )
+
+
+_MIXTURE_ORACLE = """
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+               FROM documents GROUP BY lang),
+    t AS (SELECT CAST(sum(n_total) AS BIGINT) AS n_corpus,
+                 sum(sqrt(n_total)) AS sum_w FROM c),
+    tg AS (SELECT lang, n_total,
+                  round(sqrt(n_total) / sum_w, 4) AS target_w,
+                  least(n_total,
+                        CAST(floor(floor(0.6 * n_corpus)
+                                   * sqrt(n_total) / sum_w) AS BIGINT))
+                    AS n_take
+           FROM c, t),
+    r AS (SELECT doc_id, lang, row_number() OVER (
+                   PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+          FROM documents),
+    s AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS n_sampled,
+                 CAST(sum(r.doc_id) AS BIGINT) AS sum_doc_id
+          FROM r JOIN tg ON r.lang = tg.lang
+          WHERE r.rn <= tg.n_take GROUP BY r.lang)
+    SELECT tg.lang, tg.n_total, s.n_sampled, s.sum_doc_id, tg.target_w,
+           round(CAST(s.n_sampled AS DOUBLE) / tg.n_total, 4) AS realized_frac
+    FROM tg JOIN s ON tg.lang = s.lang
+    ORDER BY tg.lang
+"""
+
+
+@query(
+    "pipeline_dataset_mixture",
+    _MIXTURE_ORACLE,
+    "Temperature-weighted dataset mixing (alpha = 0.5): per-language "
+    "sampling quotas proportional to count^alpha under a 60%-of-corpus "
+    "token budget, filled by deterministic content-hash rank. "
+    "sum_doc_id pins exact row-level sample membership, not just "
+    "counts; realized_frac shows the low-resource upsampling effect.",
+)
+def pipeline_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual-LM mixture sampling (the XLM/mT5 alpha-scaling
+    scheme): quota_l = min(n_l, B * n_l^0.5 / sum(n^0.5)) with
+    B = floor(0.6 * N), filled by the B smallest md5(text) hashes per
+    language — content-addressed, so membership is stable across
+    re-ingests and replayable by the oracle.
+
+    Scale: quota computation is a tiny per-language agg crossJoined as
+    a 1-row broadcast; the exact-quota fill here ranks within language
+    (one shuffle; partition-per-language is skew-prone at 100 TB). The
+    production-scale variant keeps quotas approximate instead: take
+    doc if uniform_hash(text) < quota/n — map-only, no sort — or
+    two-pass exact (approx hash-quantile at quota/n, then filter).
+    This operator is the exact, hash-verified exemplar of the scheme."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_total"))
+    tot = counts.agg(
+        F.sum("n_total").alias("n_corpus"),
+        F.sum(F.sqrt("n_total")).alias("sum_w"),
+    )
+    targets = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_total",
+        F.round(F.sqrt("n_total") / F.col("sum_w"), 4).alias("target_w"),
+        F.least(
+            F.col("n_total"),
+            F.floor(
+                F.floor(F.lit(0.6) * F.col("n_corpus"))
+                * F.sqrt("n_total")
+                / F.col("sum_w")
+            ).cast("long"),
+        ).alias("n_take"),
+    )
+    win = W.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = (
+        d.select("doc_id", "lang", F.md5("text").alias("h"))
+        .withColumn("rn", F.row_number().over(win))
+        .join(F.broadcast(targets), "lang")
+        .filter(F.col("rn") <= F.col("n_take"))
+    )
+    sampled = ranked.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+    return (
+        targets.join(sampled, "lang")
+        .select(
+            "lang",
+            "n_total",
+            "n_sampled",
+            "sum_doc_id",
+            "target_w",
+            F.round(
+                F.col("n_sampled").cast("double") / F.col("n_total"), 4
+            ).alias("realized_frac"),
+        )
+        .orderBy("lang")
+    )
