@@ -562,3 +562,56 @@ def test_merge_into_declared_schema_preserves_evolved_column(spark, sf_dir, tmp_
     assert back.filter("n_nationkey = 0").first().extra == "x"
     assert back.filter("n_nationkey = 1").first().extra == "y"
     assert back.filter("n_nationkey = 2").first().extra is None
+
+
+def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_dir, tmp_path):
+    """The z-ordered layout must let parquet footer stats prune files
+    for a 2-D predicate where a 1-D time-sorted layout cannot prune on
+    user_id at all."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.sources_ops import (
+        zorder_value,
+    )
+
+    e = load(spark, sf_dir, "events")
+    dd = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long")
+    z = e.select(
+        "event_id", "user_id", dd.alias("dd"),
+        zorder_value(F.col("user_id"), dd).alias("zval"),
+    )
+    u_max = e.agg(F.max("user_id")).collect()[0][0]
+    lo_u, hi_u = u_max // 3, u_max // 3 + max(1, u_max // 9)
+    zdir = str(tmp_path / "zorder")
+    tdir = str(tmp_path / "tsorted")
+    z.repartitionByRange(16, "zval").sortWithinPartitions("zval").write.parquet(zdir)
+    z.repartitionByRange(16, "dd").sortWithinPartitions("dd").write.parquet(tdir)
+
+    def hit_files(path, lo_u, hi_u, lo_d, hi_d):
+        hits, total = 0, 0
+        for f in _glob.glob(path + "/part-*.parquet"):
+            md = pq.read_metadata(f)
+            if md.num_rows == 0:
+                continue
+            total += 1
+            u_min = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+            u_max = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+            d_min = min(md.row_group(i).column(2).statistics.min for i in range(md.num_row_groups))
+            d_max = max(md.row_group(i).column(2).statistics.max for i in range(md.num_row_groups))
+            if u_max >= lo_u and u_min <= hi_u and d_max >= lo_d and d_min <= hi_d:
+                hits += 1
+        return hits, total
+
+    z_hits, z_total = hit_files(zdir, lo_u, hi_u, 10, 14)
+    assert z_total >= 8
+    # 2-D box predicate: the z-layout prunes a majority of files
+    assert z_hits < z_total / 2, (z_hits, z_total)
+    # user-only predicate (all days): the time-sorted layout cannot
+    # prune AT ALL (every file spans the full user range), while the
+    # z-layout still skips — the property a 1-D sort cannot give both
+    # dimensions at once
+    zu_hits, _ = hit_files(zdir, lo_u, hi_u, 0, 10**9)
+    tu_hits, t_total = hit_files(tdir, lo_u, hi_u, 0, 10**9)
+    assert tu_hits == t_total
+    assert zu_hits < tu_hits, (zu_hits, tu_hits)
