@@ -24,16 +24,20 @@ round. Round-6 scheme (four prefixes, freshest-last):
   SQL-replayable exemplar that gives the minhash family a driver hash
   verdict), the funnel/retention product-analytics pair, the CHAINED
   stateful streaming query (interval join -> windowed agg in one
-  checkpointed query), and ``lake_scd2_apply`` (its implementation
+  checkpointed query), ``lake_scd2_apply`` (its implementation
   gained carry-forward semantics and partition-bounded rewrites this
-  round, so its r5 verdict is stale). 10 names.
+  round, so its r5 verdict is stale), the five product-quantization
+  queries (``pq_code_histogram`` / ``pq_adc_topk`` /
+  ``pq_adc_rerank_topk`` / ``pq_recall_at_k`` / ``ann_ivfadc_topk``),
+  the temperature-weighted ``pipeline_dataset_mixture``, and the
+  Z-order layout scan ``lake_zorder_scan``. 17 names.
 - ``x_<name>`` — oracle-backed query whose last green driver verdict is
   from round 1 or 2 (the 25 names that spilled past round 5's window —
   round-5 VERDICT #2). These sort right after the unprefixed block, so
-  the window retires the whole stale backlog this round: 10 + 25 = 35
+  the window retires the whole stale backlog this round: 17 + 25 = 42
   slots.
 - ``y0_<name>`` — verified green in round 3 or 4 (the OLDEST fresh
-  verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so the 15 spare
+  verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so the 8 spare
   window slots re-verify the oldest greens first — the rotation now
   self-heals: every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
@@ -51,7 +55,7 @@ round. Round-6 scheme (four prefixes, freshest-last):
   Exactness / recall / bound tests live in tests/.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r05 except the ten unprefixed
+driver verdict in CORRECTNESS_r01..r05 except the seventeen unprefixed
 names above, which are new or changed in round 6 and get theirs here.
 """
 

@@ -65,6 +65,14 @@ HEADLINE = [
     "dedup_simhash",
     "stream_hourly_counts_durable",
     "multimodal_embed_knn",
+    # round 6 late additions: the PQ compressed-ANN read path (codebook
+    # + encode + ADC shortlist + exact re-rank, end to end), the
+    # temperature-weighted mixture sampler, and the Z-order layout
+    # rewrite + 2-D-predicate scan
+    "pq_adc_rerank_topk",
+    "pipeline_dataset_mixture",
+    "lake_zorder_scan",
+    "ann_ivfadc_topk",
 ]
 
 

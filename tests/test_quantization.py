@@ -90,3 +90,28 @@ def test_pq_rerank_recall_gate(spark, sf001_dir):
     mean_adc = sum(r.recall_adc for r in rows) / len(rows)
     assert mean_rr >= 0.8, [(r.qid, r.recall_rerank) for r in rows]
     assert mean_rr >= mean_adc  # re-ranking can only help
+
+
+def test_arrow_encode_matches_expression_encode(spark, sf_dir):
+    """The numpy kernel and the HOF expression path are two
+    implementations of the same contract — identical codes on the whole
+    corpus (norm fold order, rounding rule, argmin tie-break)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.quantization import (
+        pq_anchor_codebook,
+        pq_encode_arrow,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    cb = pq_anchor_codebook(spark, sf_dir)
+    v = load(spark, sf_dir, "embeddings")
+    arrow = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode_arrow(v, cb).select("vec_id", "codes").collect()
+    }
+    expr = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(normalized_components(v), cb)
+        .select("vec_id", "codes")
+        .collect()
+    }
+    assert arrow == expr

@@ -54,6 +54,8 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -106,21 +108,39 @@ def normalized_components(df: DataFrame, vec_col: str = "embedding") -> DataFram
     )
 
 
+def _normalize_round_np(mat):
+    """Shared normalize-and-round kernel: np.cumsum norm fold (strictly
+    sequential, same order as the oracle's left-associated chain) and
+    half-away-from-zero rounding on the scaled double — the rule the
+    SQL engines apply."""
+    scale = 10.0**_COMP_ROUND
+    nrm = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+    scaled = mat / nrm[:, None] * scale
+    return np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / scale
+
+
 def pq_anchor_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     """Per-sub-space codebooks ``cb[m][k][d]``: codeword k of sub-space
     m is the m-th sub-vector of the k-th anchor row, anchors ordered by
     (md5(vec_id), vec_id). O(K) driver collect — same budget class as
-    the k-means centroid reduction (iterative.py)."""
-    v = normalized_components(load(spark, sf_dir, "embeddings"))
+    the k-means centroid reduction (iterative.py). The hash ranking
+    runs over RAW vectors (TakeOrderedAndProject on a string hash —
+    cheap); normalization touches only the K collected anchors, via the
+    same numpy kernel the Arrow encode uses."""
     rows = (
-        v.select("vec_id", "ne", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
         .orderBy("h", "vec_id")
         .limit(PQ_K)
         .collect()
     )
-    anchors = [list(r["ne"]) for r in rows]
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    anchors = _normalize_round_np(mat)
     return [
-        [a[m * PQ_DSUB : (m + 1) * PQ_DSUB] for a in anchors] for m in range(PQ_M)
+        [anchors[k][m * PQ_DSUB : (m + 1) * PQ_DSUB].tolist() for k in range(PQ_K)]
+        for m in range(PQ_M)
     ]
 
 
@@ -148,27 +168,97 @@ def pq_encode(df: DataFrame, codebook: list[list[list[float]]]) -> DataFrame:
     return df.withColumn("codes", F.array(*code_cols))
 
 
+def pq_encode_arrow(
+    df: DataFrame, codebook: list[list[list[float]]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Corpus-side encode as an Arrow-batched numpy kernel (the
+    banded_lsh_keys precedent): normalize, round, and argmin against
+    every codeword in one (batch x K x DSUB) broadcastable subtract —
+    >10x the interpreted higher-order-function path on the corpus scan
+    (5.7 s -> sub-second for the PQ bench query at sf0.1).
+
+    Determinism contract with the oracle (and with pq_encode):
+    - the norm fold is np.cumsum (strictly sequential, same order as
+      the oracle's explicit left-associated chain);
+    - rounding is half-away-from-zero on the scaled double
+      (floor(|x|*1e6 + 0.5)), the same rule the SQL engines apply;
+    - per-sub-space distances sum their DSUB terms in written
+      left-to-right order;
+    - np.argmin returns the FIRST minimum, matching the oracle's
+      (dist, k) row_number tie-break.
+    tests/test_quantization.py cross-validates this kernel against the
+    expression-based pq_encode on the full corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb_arr = np.asarray(codebook, dtype=np.float64)  # (M, K, DSUB)
+
+    @pandas_udf("array<int>")
+    def codes_udf(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(e.to_numpy()).astype(np.float64)  # (n, DIM)
+        ne = _normalize_round_np(mat)
+        out = np.empty((len(e), PQ_M), dtype=np.int32)
+        for m in range(PQ_M):
+            sub = ne[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]  # (n, DSUB)
+            diff = sub[:, None, :] - cb_arr[m][None, :, :]  # (n, K, DSUB)
+            sq = diff * diff
+            d2 = sq[:, :, 0]
+            for d in range(1, PQ_DSUB):
+                d2 = d2 + sq[:, :, d]
+            out[:, m] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return df.withColumn("codes", codes_udf(F.col(vec_col)))
+
+
 def _corpus_codes(spark: SparkSession, sf_dir: str, codebook) -> DataFrame:
     """The encoded corpus (vec_id, label, codes), cached.
 
-    The cache() is load-bearing, not an optimization nicety: the
-    higher-order-function encode projection is codegen-ineligible, and
-    downstream operators that re-drive it per emitted row (explode:
-    measured 110 s vs 0.3 s over materialized codes at sf0.01) or
-    consume it twice (the recall instrument) multiply its cost.
-    Materializing once (cache here; in a real pipeline the persisted
-    PQ index table) is also the honest production shape — you encode
-    100 TB once and query the stored codes. Same hazard class as
-    dedup.py's dual-consumed signature table."""
-    v = normalized_components(load(spark, sf_dir, "embeddings"))
-    return pq_encode(v, codebook).select("vec_id", "label", "codes").cache()
+    The cache() is load-bearing, not an optimization nicety: downstream
+    operators re-drive the encode per emitted row (explode over the
+    expression path: measured 110 s vs 0.3 s over materialized codes at
+    sf0.01) or consume it twice (the recall instrument). Materializing
+    once (cache here; in a real pipeline the persisted PQ index table)
+    is also the honest production shape — you encode 100 TB once and
+    query the stored codes. Same hazard class as dedup.py's
+    dual-consumed signature table."""
+    v = load(spark, sf_dir, "embeddings")
+    return pq_encode_arrow(v, codebook).select("vec_id", "label", "codes").cache()
 
 
-def _query_tables(qdf: DataFrame, codebook) -> DataFrame:
-    """Attach ``dt``: the flat M*K ADC sub-distance table of the query
-    vector ``qe`` (dt[m*K + k], 1-based at lookup time)."""
-    parts = [_subspace_dists(F.col("qe"), codebook[m], m) for m in range(PQ_M)]
-    return qdf.withColumn("dt", F.concat(*parts))
+def _query_tables(
+    spark: SparkSession, base: DataFrame, nq: int, codebook
+) -> DataFrame:
+    """(qid, dt) — the flat M*K ADC sub-distance table per query vector
+    (dt[m*K + k], 1-based at lookup time), computed driver-side in
+    numpy over the O(nq) collected query vectors and shipped as a tiny
+    literal DataFrame.
+
+    Why not an expression: a per-sub-space codebook literal costs
+    ~2000 expression nodes of analyzer/py4j time PER QUERY BUILD (the
+    banded_lsh_keys lesson) for arithmetic over <= 10 rows. The numpy
+    kernel shares _normalize_round_np and the explicit left-to-right
+    DSUB-term sums, so the oracle replay still matches."""
+    rows = (
+        base.filter(F.col("vec_id") < nq).select("vec_id", "embedding").collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    qe = _normalize_round_np(mat)
+    cb_arr = np.asarray(codebook, dtype=np.float64)  # (M, K, DSUB)
+    out = []
+    for i, r in enumerate(rows):
+        dt = np.empty(PQ_M * PQ_K, dtype=np.float64)
+        for m in range(PQ_M):
+            diff = qe[i, m * PQ_DSUB : (m + 1) * PQ_DSUB] - cb_arr[m]  # (K, DSUB)
+            sq = diff * diff
+            d2 = sq[:, 0]
+            for d in range(1, PQ_DSUB):
+                d2 = d2 + sq[:, d]
+            dt[m * PQ_K : (m + 1) * PQ_K] = d2
+        out.append((int(r["vec_id"]), [float(x) for x in dt]))
+    return spark.createDataFrame(out, "qid long, dt array<double>")
 
 
 def _adc_dist():
@@ -308,10 +398,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the full IVFADC (scan only probed cells)."""
     cb = pq_anchor_codebook(spark, sf_dir)
     codes = _corpus_codes(spark, sf_dir, cb)
-    q = normalized_components(
-        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _NQ_ADC)
-    ).select(F.col("vec_id").alias("qid"), F.col("ne").alias("qe"))
-    qtab = _query_tables(q, cb).select("qid", "dt")
+    qtab = _query_tables(spark, load(spark, sf_dir, "embeddings"), _NQ_ADC, cb)
 
     scored = (
         codes.crossJoin(F.broadcast(qtab))
@@ -409,10 +496,7 @@ def pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_anchor_codebook(spark, sf_dir)
     codes = _corpus_codes(spark, sf_dir, cb)
     base = load(spark, sf_dir, "embeddings")
-    q = normalized_components(base.filter(F.col("vec_id") < _NQ_ADC)).select(
-        F.col("vec_id").alias("qid"), F.col("ne").alias("qe")
-    )
-    qtab = _query_tables(q, cb).select("qid", "dt")
+    qtab = _query_tables(spark, base, _NQ_ADC, cb)
     win = W.partitionBy("qid").orderBy("adist", "vec_id")
     shortlist = (
         codes.crossJoin(F.broadcast(qtab))
@@ -485,10 +569,7 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_anchor_codebook(spark, sf_dir)
     codes = _corpus_codes(spark, sf_dir, cb)
     base = load(spark, sf_dir, "embeddings")
-    qn = normalized_components(base.filter(F.col("vec_id") < _NQ_RECALL)).select(
-        F.col("vec_id").alias("qid"), F.col("ne").alias("qe")
-    )
-    qtab = _query_tables(qn, cb).select("qid", "dt")
+    qtab = _query_tables(spark, base, _NQ_RECALL, cb)
 
     win_pq = W.partitionBy("qid").orderBy("adist", "vec_id")
     adc_ranked = (
@@ -542,3 +623,123 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_rerank"),
         )
     )
+
+
+_IVFADC_NPROBE = 2
+
+
+_IVFADC_ORACLE = f"""
+    WITH {_ne_sql()},
+    {_anchor_sql()},
+    {_codes_sql()},
+    el AS (SELECT vec_id, label,
+                  unnest(range(0, {PQ_DIM})) AS d,
+                  unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings),
+    cent AS (SELECT label, d, avg(x) AS m FROM el GROUP BY 1, 2),
+    cn AS (SELECT label, sqrt(sum(m * m)) AS cnorm FROM cent GROUP BY 1),
+    qel AS (SELECT vec_id AS qid, d, x FROM el WHERE vec_id < {_NQ_ADC}),
+    qnm AS (SELECT qid, sqrt(sum(x * x)) AS qnorm FROM qel GROUP BY qid),
+    csim AS (SELECT qel.qid, c.label,
+                    sum(c.m * qel.x)
+                      / (any_value(cn.cnorm) * any_value(qnm.qnorm)) AS s
+             FROM cent c
+             JOIN qel ON c.d = qel.d
+             JOIN cn ON cn.label = c.label
+             JOIN qnm ON qnm.qid = qel.qid
+             GROUP BY qel.qid, c.label),
+    probed AS (SELECT qid, label FROM (
+                 SELECT qid, label, row_number() OVER (
+                          PARTITION BY qid ORDER BY s DESC, label) AS rn
+                 FROM csim)
+               WHERE rn <= {_IVFADC_NPROBE}),
+    {_dt_sql(_NQ_ADC, 'dt')},
+    ad AS (SELECT dt.qid, c.vec_id, round(sum(dt.d2), 4) AS adist
+           FROM codes c
+           JOIN probed p ON p.label = c.label
+           JOIN dt ON dt.qid = p.qid AND dt.m = c.m AND dt.k = c.code
+           GROUP BY dt.qid, c.vec_id),
+    {_shortlist_sql('ad', PQ_SHORTLIST)}
+    SELECT qid, vec_id, label, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT s.qid, s.vec_id, cv.label,
+             round(list_cosine_similarity(cv.e, qv.e), 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY s.qid
+               ORDER BY round(list_cosine_similarity(cv.e, qv.e), 4)
+                          DESC, s.vec_id) AS rn
+      FROM shortlist s JOIN v cv ON s.vec_id = cv.vec_id
+                       JOIN v qv ON s.qid = qv.vec_id)
+    WHERE rn <= 10
+"""
+
+
+@query(
+    "ann_ivfadc_topk",
+    _IVFADC_ORACLE,
+    "The classic IVFADC pipeline (Jegou et al. 2011) end to end: IVF "
+    "cell routing (probe the nprobe=2 nearest per-label centroids) x "
+    "PQ codes (ADC-score ONLY probed-cell members) x C=50 exact "
+    "re-rank. The oracle replays centroids, routing, codebook, encode, "
+    "tables, and both rankings.",
+)
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB ANN cost model in one query: the centroid table
+    is tiny and broadcasts; cell assignment at rest is a partition
+    column, so probing = partition pruning (scan nprobe/n_cells of the
+    codes, NOT the whole table); the pruned scan reads 10 B/vector
+    codes; exact vectors are fetched for Q x C shortlist rows only.
+    Recall factors as (routing recall) x (PQ fidelity): per the
+    ann_ivf_nprobe_sweep scoping, cell routing at small nprobe suits
+    cluster-aligned corpora; for this corpus's mid-sim regime the
+    flat-scan pq_adc_rerank_topk or multi-probe LSH paths apply."""
+    cb = pq_anchor_codebook(spark, sf_dir)
+    codes = _corpus_codes(spark, sf_dir, cb)
+    base = load(spark, sf_dir, "embeddings")
+    qtab = _query_tables(spark, base, _NQ_ADC, cb)
+
+    # Coarse quantizer: per-label elementwise mean (ann_ivf_cosine shape)
+    v = base.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    cent = (
+        v.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+        .withColumn("cnorm", F.sqrt(_dot(F.col("centroid"), F.col("centroid"))))
+    )
+    qv = v.filter(F.col("vec_id") < _NQ_ADC).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    win_cell = W.partitionBy("qid").orderBy(F.desc("s"), "label")
+    probed = (
+        cent.crossJoin(F.broadcast(qv))
+        .select(
+            "qid",
+            "label",
+            (
+                _dot(F.col("centroid"), F.col("qe"))
+                / (F.col("cnorm") * F.col("qnorm"))
+            ).alias("s"),
+        )
+        .withColumn("rn", F.row_number().over(win_cell))
+        .filter(F.col("rn") <= _IVFADC_NPROBE)
+        .select("qid", "label")
+    )
+
+    win = W.partitionBy("qid").orderBy("adist", "vec_id")
+    shortlist = (
+        codes.join(F.broadcast(probed), "label")
+        .join(F.broadcast(qtab), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(_adc_dist(), 4).alias("adist"))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("qid", "vec_id")
+    )
+    return _rerank_cosine(shortlist, base, _NQ_ADC)

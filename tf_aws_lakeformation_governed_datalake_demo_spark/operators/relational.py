@@ -1013,3 +1013,70 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+_ANOMALY_ORACLE = """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT day, event_type, cnt,
+                 avg(cnt) OVER w7 AS mu,
+                 stddev_samp(cnt) OVER w7 AS sd,
+                 count(*) OVER w7 AS n7
+          FROM d
+          WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT day, event_type, cnt, round((cnt - mu) / sd, 4) AS z,
+           abs(round((cnt - mu) / sd, 4)) >= 2.0 AS is_anomaly
+    FROM w WHERE n7 = 7 AND sd > 0
+    ORDER BY day, event_type
+"""
+
+
+@query(
+    "events_anomaly_zscore",
+    _ANOMALY_ORACLE,
+    "Trailing-window anomaly detection: per event_type daily counts "
+    "scored against the mean/stddev of the preceding 7 full days; "
+    "|z| >= 2 flags the day. Emits EVERY scored day (not just "
+    "anomalies) so the result is non-empty on calm data and the whole "
+    "scoring is hash-verified, not just the flag.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring query every event lake runs nightly. Scale: one
+    shuffle to daily (day, event_type) grains — a tiny table no matter
+    the input size (map-side partial agg does the heavy lifting) —
+    then per-type sequential window passes on the grain table. The
+    anomaly flag derives from the ROUNDED z in both engines so the
+    boundary case cannot diverge."""
+    e = load(spark, sf_dir, "events")
+    d = (
+        e.groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        ).agg(F.count("*").alias("cnt"))
+    )
+    w7 = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    scored = d.select(
+        "day",
+        "event_type",
+        "cnt",
+        F.avg("cnt").over(w7).alias("mu"),
+        F.stddev_samp("cnt").over(w7).alias("sd"),
+        F.count("*").over(w7).alias("n7"),
+    )
+    z = F.round((F.col("cnt") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        scored.filter((F.col("n7") == 7) & (F.col("sd") > 0))
+        .select(
+            "day",
+            "event_type",
+            "cnt",
+            z.alias("z"),
+            (F.abs(z) >= 2.0).alias("is_anomaly"),
+        )
+        .orderBy("day", "event_type")
+    )
