@@ -29,15 +29,16 @@ round. Round-6 scheme (four prefixes, freshest-last):
   round, so its r5 verdict is stale), the five product-quantization
   queries (``pq_code_histogram`` / ``pq_adc_topk`` /
   ``pq_adc_rerank_topk`` / ``pq_recall_at_k`` / ``ann_ivfadc_topk``),
-  the temperature-weighted ``pipeline_dataset_mixture``, and the
-  Z-order layout scan ``lake_zorder_scan``. 17 names.
+  the temperature-weighted ``pipeline_dataset_mixture``, the
+  Z-order layout scan ``lake_zorder_scan``, and the trailing-window
+  monitoring query ``events_anomaly_zscore``. 18 names.
 - ``x_<name>`` — oracle-backed query whose last green driver verdict is
   from round 1 or 2 (the 25 names that spilled past round 5's window —
   round-5 VERDICT #2). These sort right after the unprefixed block, so
-  the window retires the whole stale backlog this round: 17 + 25 = 42
+  the window retires the whole stale backlog this round: 18 + 25 = 43
   slots.
 - ``y0_<name>`` — verified green in round 3 or 4 (the OLDEST fresh
-  verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so the 8 spare
+  verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so the 7 spare
   window slots re-verify the oldest greens first — the rotation now
   self-heals: every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
@@ -55,7 +56,7 @@ round. Round-6 scheme (four prefixes, freshest-last):
   Exactness / recall / bound tests live in tests/.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r05 except the seventeen unprefixed
+driver verdict in CORRECTNESS_r01..r05 except the eighteen unprefixed
 names above, which are new or changed in round 6 and get theirs here.
 """
 

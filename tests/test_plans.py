@@ -358,3 +358,42 @@ def test_ivf_nprobe_sweep_broadcasts_and_no_cartesian(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_rerank_broadcasts_tables_and_no_cartesian(spark, sf_dir):
+    # The ADC scan must join the tiny per-query table frame by
+    # broadcast; the shortlist's vector fetch is a join on vec_id, and
+    # nothing degenerates into a product of corpus rows.
+    plan = physical_plan(REGISTRY["pq_adc_rerank_topk"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # corpus-side encode is the Arrow kernel, not interpreted HOFs
+    assert "ArrowEvalPython" in plan or "InMemory" in plan
+
+
+def test_ivfadc_prunes_cells_by_broadcast(spark, sf_dir):
+    # Cell routing must reach the codes scan as a broadcast hash join on
+    # label (the partition-pruning analog), never a shuffle of the codes
+    # table against the 10-row probed frame.
+    plan = physical_plan(REGISTRY["ann_ivfadc_topk"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_scan_pushes_both_predicates(spark, sf_dir):
+    # Both dimensions of the 2-D predicate must reach the parquet scan
+    # of the z-ordered layout as pushed filters (footer-stats skipping
+    # depends on it).
+    plan = physical_plan(REGISTRY["lake_zorder_scan"].builder(spark, sf_dir))
+    assert "PushedFilters" in plan
+    pushed = plan[plan.index("PushedFilters") :].split("]")[0]
+    assert "user_id" in pushed
+    assert "ts" in pushed
+
+
+def test_dataset_mixture_broadcasts_quotas(spark, sf_dir):
+    # The 5-row quota frame joins by broadcast; the only wide shuffle is
+    # the per-language rank window.
+    plan = physical_plan(REGISTRY["pipeline_dataset_mixture"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
