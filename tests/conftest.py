@@ -26,3 +26,15 @@ def sf_dir() -> str:
 @pytest.fixture(scope="session")
 def lake(tmp_path_factory):
     return str(tmp_path_factory.mktemp("lake"))
+
+
+@pytest.fixture(scope="session")
+def sf001_dir(sf_dir):
+    """The sf0.01 fixture the similarity/PQ recall gates were calibrated
+    on, derived as a sibling of the (env-overridable) test sf_dir rather
+    than hardcoded (round-5 ADVICE): recall measurements are
+    corpus-size-dependent, so the gates only hold at that scale."""
+    cand = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.exists(os.path.join(cand, "embeddings.parquet")):
+        pytest.skip(f"sf0.01 calibration fixture not found at {cand}")
+    return cand

@@ -645,6 +645,33 @@ def test_evolve_table_schema_validation(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="no such columns"):
         cat.approve_evolved_columns(q, ["nope"])
 
+    # typo'd tags/comments key must fail BEFORE any state mutates —
+    # otherwise the real evolved column lands unclassified (fail-open)
+    # and a later approval releases it into the untagged complement
+    before = [f.name for f in cat.tables[q].schema.fields]
+    with pytest.raises(ValueError, match="non-evolved columns"):
+        cat.evolve_table_schema(
+            q,
+            [T.StructField("passport", T.StringType())],
+            tags={"passprot": {fx.PII_TAG: "sensitive"}},
+        )
+    assert [f.name for f in cat.tables[q].schema.fields] == before
+    assert "passport" not in cat.tables[q].pending_columns
+    with pytest.raises(ValueError, match="unknown LF-tag"):
+        cat.evolve_table_schema(
+            q,
+            [T.StructField("passport", T.StringType())],
+            tags={"passport": {"no-such-tag": "x"}},
+        )
+    assert [f.name for f in cat.tables[q].schema.fields] == before
+    with pytest.raises(ValueError, match="non-evolved columns"):
+        cat.evolve_table_schema(
+            q,
+            [T.StructField("passport", T.StringType())],
+            comments={"passprot": "travel document"},
+        )
+    assert [f.name for f in cat.tables[q].schema.fields] == before
+
 
 PII_COLS = {"customer_email", "ssn"}
 

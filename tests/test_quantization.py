@@ -20,14 +20,6 @@ from tf_aws_lakeformation_governed_datalake_demo_spark.operators.quantization im
 )
 
 
-@pytest.fixture(scope="module")
-def sf001_dir(sf_dir):
-    """sf0.01 calibration fixture as a sibling of the env-overridable
-    test sf_dir (recall gates are corpus-size-dependent)."""
-    cand = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
-    if not os.path.exists(os.path.join(cand, "embeddings.parquet")):
-        pytest.skip(f"sf0.01 calibration fixture not found at {cand}")
-    return cand
 
 
 def test_encode_assigns_nearest_codeword(spark):

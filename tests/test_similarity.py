@@ -152,18 +152,6 @@ def test_multiprobe_expansion_shape(spark):
         assert len(ks) == 1 + PLANES_PER_BAND  # all flips distinct
 
 
-@pytest.fixture(scope="module")
-def sf001_dir(sf_dir):
-    """The sf0.01 fixture the recall gates were calibrated on, derived as
-    a sibling of the (env-overridable) test sf_dir rather than hardcoded
-    (round-5 ADVICE): recall measurements are corpus-size-dependent, so
-    the gates only hold at the calibration scale."""
-    import os
-
-    cand = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
-    if not os.path.exists(os.path.join(cand, "embeddings.parquet")):
-        pytest.skip(f"sf0.01 calibration fixture not found at {cand}")
-    return cand
 
 
 def test_ann_recall_midsim_gate(spark, sf001_dir):

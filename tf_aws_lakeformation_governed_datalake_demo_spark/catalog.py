@@ -160,9 +160,17 @@ class GovernedCatalog:
         week-one evolving-lake hole. Unconditioned ALL/SELECT grants and
         admins (main.tf:82-91) see new columns immediately: they are
         granted the whole table, not a column set. Columns evolved WITH
-        a tag assignment (``tags=``) are classified at birth and need no
-        separate approval for tag-based paths, but remain pending for
-        allowlist paths until approved.
+        a tag assignment (``tags=``) are classified at birth, but STILL
+        stay pending — invisible to every conditioned path, tag-based
+        ones included — until :meth:`approve_evolved_columns` (one
+        quarantine rule, no exceptions; the at-birth tag just means
+        approval releases the column into the right complement).
+
+        Validation is all-or-nothing BEFORE any state mutates: a
+        ``comments``/``tags`` key that is not one of the new columns,
+        or a tag name that does not exist, raises ValueError with the
+        schema untouched — a typo'd key must not silently leave the
+        real evolved column unclassified (fail-open) or half-apply.
         """
         table = self.tables[qualified]
         if table.schema is None:
@@ -178,6 +186,20 @@ class GovernedCatalog:
         dupes = [f_.name for f_ in fields if f_.name in existing]
         if dupes:
             raise ValueError(f"columns already exist on {qualified}: {dupes}")
+        new_names = {f_.name for f_ in fields}
+        stray = sorted(
+            (set(comments or {}) | set(tags or {})) - new_names
+        )
+        if stray:
+            raise ValueError(
+                f"comments/tags reference non-evolved columns on "
+                f"{qualified}: {stray} (new columns: {sorted(new_names)})"
+            )
+        for col, ts in (tags or {}).items():
+            for k, v in ts.items():
+                if k not in self.tags:
+                    raise ValueError(f"unknown LF-tag {k!r} for column {col!r}")
+                self.tags[k].validate(v)
         table.schema = T.StructType(list(table.schema.fields) + fields)
         for f_ in fields:
             table.pending_columns.add(f_.name)
@@ -185,7 +207,6 @@ class GovernedCatalog:
             table.column_comments[col] = comment
         for col, ts in (tags or {}).items():
             for k, v in ts.items():
-                self.tags[k].validate(v)
                 table.column_tags.setdefault(col, {})[k] = v
         added = ", ".join(
             f"{f_.name} {f_.dataType.simpleString()}" for f_ in fields

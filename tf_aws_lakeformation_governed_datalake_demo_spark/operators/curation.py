@@ -337,7 +337,8 @@ _MIXTURE_ORACLE = """
     WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
                FROM documents GROUP BY lang),
     t AS (SELECT CAST(sum(n_total) AS BIGINT) AS n_corpus,
-                 sum(sqrt(n_total)) AS sum_w FROM c),
+                 list_reduce(list_sort(list(sqrt(n_total))),
+                             (a, b) -> a + b) AS sum_w FROM c),
     tg AS (SELECT lang, n_total,
                   round(sqrt(n_total) / sum_w, 4) AS target_w,
                   least(n_total,
@@ -384,9 +385,17 @@ def pipeline_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     This operator is the exact, hash-verified exemplar of the scheme."""
     d = load(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_total"))
+    # sum_w feeds floor() with no rounding guard, so its value must be
+    # bit-identical across engines: fold the SORTED weight list
+    # sequentially (matches the oracle's list_reduce over list_sort) —
+    # an unordered float sum could flip a quota by 1 on a ULP boundary.
     tot = counts.agg(
         F.sum("n_total").alias("n_corpus"),
-        F.sum(F.sqrt("n_total")).alias("sum_w"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt("n_total"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_w"),
     )
     targets = counts.crossJoin(F.broadcast(tot)).select(
         "lang",

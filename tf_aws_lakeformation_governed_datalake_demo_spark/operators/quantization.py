@@ -36,11 +36,16 @@ left-associated term chain in the oracle) so summation order matches.
 Implementation note — expression size: a first cut spelled the
 M x K x DSUB distance lattice out as ~1000 scalar expressions; after
 projection collapsing that handed Catalyst a multi-million-node tree
-(minutes of planning before a single task ran). This version keeps the
-codebook as ONE nested array literal per sub-space and computes the
-K distances with transform/zip_with/aggregate — a few dozen expression
-nodes total, identical arithmetic. The lesson generalizes: on wide
-per-row lattices, push the lattice into array values, not into the
+(minutes of planning before a single task ran). The surviving
+expression path (pq_encode, kept for tests and as the semantics
+reference) keeps the codebook as ONE nested array literal per
+sub-space and computes the K distances with
+transform/zip_with/aggregate — a few dozen expression nodes total.
+The REGISTERED queries go further: the corpus encode is an
+Arrow-batched numpy kernel (pq_encode_arrow, cross-validated against
+the expression path) and the <=10-row query-side ADC tables are
+computed driver-side (_query_tables) — both because per-row lattice
+work belongs in array values / vectorized kernels, never in the
 expression tree.
 
 Scale notes (local[32] here, 1000 executors in design):
@@ -53,6 +58,7 @@ Scale notes (local[32] here, 1000 executors in design):
 from __future__ import annotations
 
 from functools import reduce
+from weakref import WeakKeyDictionary
 
 import numpy as np
 import pandas as pd
@@ -61,6 +67,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load
 from .registry import query
+from .similarity import _dot, label_centroids
 
 PQ_M = 16  # sub-spaces
 PQ_DSUB = 4  # dims per sub-space (16 x 4 = the 64-dim embedding)
@@ -119,14 +126,35 @@ def _normalize_round_np(mat):
     return np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / scale
 
 
+# Five registered queries share the codebook and the encoded corpus; a
+# driver/bench run builds each ONCE per (session, sf_dir) instead of
+# re-sorting + re-encoding + re-caching per query (the WeakKeyDictionary
+# pattern governed.py uses for its per-session Engine).
+_PQ_MEMO: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def _session_memo(spark: SparkSession, key, build):
+    per_session = _PQ_MEMO.setdefault(spark, {})
+    if key not in per_session:
+        per_session[key] = build()
+    return per_session[key]
+
+
 def pq_anchor_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     """Per-sub-space codebooks ``cb[m][k][d]``: codeword k of sub-space
     m is the m-th sub-vector of the k-th anchor row, anchors ordered by
     (md5(vec_id), vec_id). O(K) driver collect — same budget class as
-    the k-means centroid reduction (iterative.py). The hash ranking
-    runs over RAW vectors (TakeOrderedAndProject on a string hash —
-    cheap); normalization touches only the K collected anchors, via the
-    same numpy kernel the Arrow encode uses."""
+    the k-means centroid reduction (iterative.py) — memoized per
+    (session, sf_dir). The hash ranking runs over RAW vectors
+    (TakeOrderedAndProject on a string hash — cheap); normalization
+    touches only the K collected anchors, via the same numpy kernel the
+    Arrow encode uses."""
+    return _session_memo(
+        spark, ("cb", sf_dir), lambda: _build_anchor_codebook(spark, sf_dir)
+    )
+
+
+def _build_anchor_codebook(spark: SparkSession, sf_dir: str):
     rows = (
         load(spark, sf_dir, "embeddings")
         .select(
@@ -221,10 +249,17 @@ def _corpus_codes(spark: SparkSession, sf_dir: str, codebook) -> DataFrame:
     sf0.01) or consume it twice (the recall instrument). Materializing
     once (cache here; in a real pipeline the persisted PQ index table)
     is also the honest production shape — you encode 100 TB once and
-    query the stored codes. Same hazard class as dedup.py's
-    dual-consumed signature table."""
-    v = load(spark, sf_dir, "embeddings")
-    return pq_encode_arrow(v, codebook).select("vec_id", "label", "codes").cache()
+    query the stored codes (memoized per (session, sf_dir) so the five
+    registered PQ queries share ONE cached copy). Same hazard class as
+    dedup.py's dual-consumed signature table."""
+
+    def build():
+        v = load(spark, sf_dir, "embeddings")
+        return (
+            pq_encode_arrow(v, codebook).select("vec_id", "label", "codes").cache()
+        )
+
+    return _session_memo(spark, ("codes", sf_dir), build)
 
 
 def _query_tables(
@@ -413,16 +448,6 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adist",
         F.row_number().over(win).cast("long").alias("rn"),
     ).filter(F.col("rn") <= 10)
-
-
-def _dot(a, b):
-    """Double-precision dot product (sequential fold, same as the
-    similarity family)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 def _rerank_cosine(shortlist: DataFrame, base: DataFrame, nq: int) -> DataFrame:
@@ -697,20 +722,9 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "embeddings")
     qtab = _query_tables(spark, base, _NQ_ADC, cb)
 
-    # Coarse quantizer: per-label elementwise mean (ann_ivf_cosine shape)
+    # Coarse quantizer shared with the IVF family (similarity.py)
     v = base.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
-    cent = (
-        v.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg("val").alias("m"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("centroid")
-        )
-        .withColumn("cnorm", F.sqrt(_dot(F.col("centroid"), F.col("centroid"))))
-    )
+    cent = label_centroids(v)
     qv = v.filter(F.col("vec_id") < _NQ_ADC).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),

@@ -58,6 +58,25 @@ def _cos(e_a, e_b, norm_a, norm_b):
     return _dot(e_a, e_b) / (norm_a * norm_b)
 
 
+def label_centroids(v: DataFrame) -> DataFrame:
+    """(label, centroid, cnorm): the per-label elementwise-mean coarse
+    quantizer shared by the IVF family (posexplode -> avg -> ordered
+    rebuild). One definition so a cross-engine determinism fix lands
+    everywhere at once."""
+    return (
+        v.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+        .withColumn("cnorm", F.sqrt(_dot(F.col("centroid"), F.col("centroid"))))
+    )
+
+
 @query(
     "knn_cosine_topk",
     """
@@ -236,18 +255,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     and this operator keeps nprobe=2 as the cell-pruned exemplar."""
     v = _with_norm(load(spark, sf_dir, "embeddings"))
     # coarse quantizer: per-label elementwise mean (posexplode -> avg -> rebuild)
-    cent = (
-        v.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg("val").alias("m"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("centroid")
-        )
-        .withColumn("cnorm", F.sqrt(_dot(F.col("centroid"), F.col("centroid"))))
-    )
+    cent = label_centroids(v)
     q = v.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"), F.col("norm").alias("qnorm")
     )
@@ -899,18 +907,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass."""
     K = 10
     v = _with_norm(load(spark, sf_dir, "embeddings"))
-    cent = (
-        v.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg("val").alias("m"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("centroid")
-        )
-        .withColumn("cnorm", F.sqrt(_dot(F.col("centroid"), F.col("centroid"))))
-    )
+    cent = label_centroids(v)
     qv = v.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -1050,18 +1047,7 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking is per-(nprobe, qid) windows over candidate scores."""
     K = 10
     v = _with_norm(load(spark, sf_dir, "embeddings"))
-    cent = (
-        v.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg("val").alias("m"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("centroid")
-        )
-        .withColumn("cnorm", F.sqrt(_dot(F.col("centroid"), F.col("centroid"))))
-    )
+    cent = label_centroids(v)
     qv = v.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
