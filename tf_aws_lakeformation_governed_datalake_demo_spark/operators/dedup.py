@@ -16,7 +16,7 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load
@@ -165,6 +165,30 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
             F.count("*").alias("n_copies"),
         )
+    )
+
+
+def collapse_exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One representative (lowest id) per exact text content.
+
+    Near-dup pair generation is quadratic in duplicate multiplicity: a
+    corpus where every document has d exact copies puts d copies of
+    every member into every LSH bucket, inflating bucket pair counts by
+    d^2 (measured 15x wall-clock on an 8x-replicated corpus, where
+    linear work scales 8x). Exact duplicates are the EXACT dedup
+    stage's output (dedup_exact, cap-free by design); collapsing them
+    to one representative before banding restores sum(bucket^2) to the
+    distinct-content corpus — the standard exact-then-near pipeline
+    ordering. Cost: one content-hash shuffle, the same class as
+    dedup_exact (measured ~2x at 8x scale)."""
+    w = W.partitionBy("__ch").orderBy(id_col)
+    return (
+        docs.withColumn("__ch", F.md5(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__ch", "__rn")
     )
 
 
@@ -318,9 +342,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _W = [31**j % _MERSENNE for j in range(5)]
 _MINHASH_MD5_ORACLE = f"""
-    WITH toks AS (SELECT doc_id,
+    WITH reps AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, row_number() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1),
+    toks AS (SELECT doc_id,
                          string_split_regex(lower(text), '\\s+') AS tk
-                  FROM documents),
+                  FROM reps),
     th AS (SELECT doc_id,
                   list_transform(tk, t ->
                     CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
@@ -382,7 +410,7 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs shorter than the shingle width are excluded on both sides
     (an empty shingle set cannot clear a 0.8 Jaccard, and keeping them
     would band every empty doc into one degenerate bucket)."""
-    d = load(spark, sf_dir, "documents")
+    d = collapse_exact_duplicates(load(spark, sf_dir, "documents"))
     hashed = shingle_hash_frame(d, token_hash=md5_token_hash).filter(
         F.size("shingle_hashes") > 0
     )
@@ -409,11 +437,12 @@ def minhash_jaccard_pairs(
     final job schedules those subtrees concurrently (measured 4x cost).
     At 100 TB this is a persisted intermediate of ~64 longs/doc.
     """
-    sig = minhash_signatures(docs).cache()
+    reps = collapse_exact_duplicates(docs, id_col=id_col)
+    sig = minhash_signatures(reps).cache()
     sig.count()
     pairs = minhash_candidate_pairs(sig, id_col=id_col).cache()
     pairs.count()
-    return jaccard_verify(pairs, docs, threshold=threshold, id_col=id_col)
+    return jaccard_verify(pairs, reps, threshold=threshold, id_col=id_col)
 
 
 @query(
@@ -844,10 +873,14 @@ def embedding_cosine_pairs_lsh(
     only -> threshold filter. Emits unordered (vec_a, vec_b, cos_sim)
     pairs for clustering or blocklists.
     """
-    from .similarity import _cos, lsh_candidate_pairs
+    from .similarity import _cos, collapse_exact_vectors, lsh_candidate_pairs
 
     v = v_with_norm
-    pairs = lsh_candidate_pairs(v)
+    # exact-duplicate vectors collapse to one representative before
+    # banding: pair generation is quadratic in duplicate multiplicity
+    # (see collapse_exact_vectors); output-neutral on duplicate-free
+    # corpora, intra-duplicate pairs are exact-dedup's output
+    pairs = lsh_candidate_pairs(collapse_exact_vectors(v))
     a = v.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("na")
     )

@@ -77,6 +77,29 @@ def label_centroids(v: DataFrame) -> DataFrame:
     )
 
 
+def collapse_exact_vectors(
+    v: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One representative (lowest id) per exact embedding value.
+
+    Pair generation is quadratic in duplicate multiplicity: d exact
+    copies of a vector put d members into every one of its buckets,
+    inflating bucket pair counts by d^2 (measured ~30x wall-clock on an
+    8x-replicated corpus where linear work scales 8x). Exact-duplicate
+    vectors are the exact-dedup stage's job; collapsing them before
+    banding restores sum(bucket^2) to the distinct-vector corpus. The
+    group key is the ARRAY ITSELF (bit-exact in both engines — no
+    float-to-string formatting dependency); on corpora with no
+    duplicate vectors (all test SFs) this is output-neutral."""
+    w = W.partitionBy(vec_col).orderBy(id_col)
+    return (
+        v.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+
 @query(
     "knn_cosine_topk",
     """
@@ -373,8 +396,16 @@ def lsh_candidate_pairs(
 def _ann_lsh_pairs_oracle(threshold_clause: str, order_clause: str) -> str:
     return f"""
     WITH {{sig}},
+    vr AS (SELECT vec_id FROM (
+             SELECT vec_id, row_number() OVER (
+                      PARTITION BY e ORDER BY vec_id) AS rn FROM v)
+           WHERE rn = 1),
+    keysr AS (SELECT keys.* FROM keys JOIN vr USING (vec_id)),
+    hotr AS (SELECT band, key FROM keysr GROUP BY band, key
+             HAVING count(*) > 128),
+    k2r AS (SELECT keysr.* FROM keysr ANTI JOIN hotr USING (band, key)),
     cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-             FROM k2 a JOIN k2 b USING (band, key)
+             FROM k2r a JOIN k2r b USING (band, key)
              WHERE a.vec_id < b.vec_id),
     scored AS (SELECT cand.vec_a, cand.vec_b,
                       round(list_cosine_similarity(va.e, vb.e), 4) AS cos_sim
@@ -403,7 +434,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str, top_k: int = 100) -> DataFr
     exact scoring touches candidate pairs only; the final top-k is
     TakeOrderedAndProject, not a global sort of all candidates."""
     v = _with_norm(load(spark, sf_dir, "embeddings"))
-    pairs = lsh_candidate_pairs(v)
+    pairs = lsh_candidate_pairs(collapse_exact_vectors(v))
     a = v.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
