@@ -79,9 +79,13 @@ def test_ngram_jaccard_on_crafted(docs):
         (r.doc_a, r.doc_b): r.jaccard
         for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
     }
-    assert found[(1, 2)] == 1.0  # exact duplicate
-    assert (1, 3) in found and (2, 3) in found  # near-dup (1 token changed)
-    assert not any(4 in p for p in found)  # unrelated doc never pairs
+    # exact duplicates collapse to one representative pre-banding
+    # (intra-duplicate pairs are exact-dedup's output), so doc 2 — an
+    # exact copy of doc 1 — appears in NO pair; its near-dup relation
+    # is represented through doc 1
+    assert (1, 2) not in found
+    assert (1, 3) in found  # near-dup (1 token changed) via the rep
+    assert not any(2 in p or 4 in p for p in found)
 
 
 def test_hot_bucket_cap_bounds_degenerate_corpus(spark):

@@ -448,8 +448,12 @@ def minhash_jaccard_pairs(
 @query(
     "dedup_ngram_jaccard",
     """
-    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
-               FROM documents),
+    WITH reps AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, row_number() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1),
+    t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+               FROM reps),
     sh AS (SELECT doc_id,
                   unnest(list_distinct(list_transform(
                     range(1, len(toks)-4+1),
@@ -508,7 +512,14 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = DEFAULT_MAX_BUCKET,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Core of dedup_ngram_jaccard, reusable on any (id, text) frame."""
+    """Core of dedup_ngram_jaccard, reusable on any (id, text) frame.
+
+    Exact-duplicate texts collapse to one representative first — d
+    copies of a doc put d members in every posting list, inflating join
+    rows by d^2 (see collapse_exact_duplicates); intra-duplicate pairs
+    are exact-dedup's output. Output-neutral on duplicate-free corpora.
+    """
+    docs = collapse_exact_duplicates(docs, id_col=id_col)
     sets_ = shingle_hash_frame(docs, id_col=id_col).select(
         id_col, F.col("shingle_hashes").alias("sh")
     )
@@ -554,8 +565,12 @@ def ngram_jaccard_pairs(
 @query(
     "dedup_shingle_containment",
     """
-    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
-               FROM documents),
+    WITH reps AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, row_number() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1),
+    t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+               FROM reps),
     sh AS (SELECT doc_id,
                   unnest(list_distinct(list_transform(
                     range(1, len(toks)-4+1),
