@@ -19,5 +19,7 @@ from . import pipelines  # noqa: E402,F401 — end-to-end curation pipelines
 from . import curation  # noqa: E402,F401 — split/sample/decontaminate/repetition
 from . import privacy  # noqa: E402,F401 — corpus PII scrubbing
 from . import quantization  # noqa: E402,F401 — product quantization (ADC ANN)
+from . import maintenance  # noqa: E402,F401 — CDC diff, incremental MV refresh
+from . import semantic  # noqa: E402,F401 — cluster-scoped semantic dedup
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -333,6 +333,127 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_FEAT = 1024  # hashed-unigram feature buckets for importance resampling
+
+_DSIR_ORACLE = rf"""
+    WITH t AS (SELECT doc_id, lang,
+                      unnest(string_split_regex(lower(text), '\s+')) AS token
+               FROM documents),
+    tb AS (SELECT doc_id, lang,
+                  CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT)
+                    % {N_FEAT} AS b
+           FROM t),
+    tgt AS (SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM tb
+            WHERE doc_id < 20 GROUP BY b),
+    raw AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM tb
+            WHERE doc_id >= 20 GROUP BY b),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tb WHERE doc_id < 20),
+    nr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tb WHERE doc_id >= 20),
+    lr AS (SELECT coalesce(tgt.b, raw.b) AS b,
+                  CAST(round(ln((coalesce(ct, 0) + 1) / (nt.n + {N_FEAT}))
+                             * 1000000) AS BIGINT)
+                - CAST(round(ln((coalesce(cr, 0) + 1) / (nr.n + {N_FEAT}))
+                             * 1000000) AS BIGINT) AS lw
+           FROM tgt FULL JOIN raw ON tgt.b = raw.b, nt, nr),
+    sc AS (SELECT tb.doc_id, any_value(tb.lang) AS lang,
+                  CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(lr.lw) AS BIGINT) AS s
+           FROM tb JOIN lr ON tb.b = lr.b
+           WHERE tb.doc_id >= 20 GROUP BY tb.doc_id)
+    SELECT doc_id, lang, n_tokens, logw, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT doc_id, lang, n_tokens,
+             round((CAST(s AS DOUBLE) / n_tokens) / 1000000, 4) AS logw,
+             row_number() OVER (
+               ORDER BY round((CAST(s AS DOUBLE) / n_tokens) / 1000000, 4)
+                          DESC, doc_id) AS rn
+      FROM sc)
+    WHERE rn <= 50
+"""
+
+
+@query(
+    "pipeline_importance_resampling",
+    _DSIR_ORACLE,
+    "DSIR-style data selection (Xie et al., 'Data Selection for "
+    "Language Models via Importance Resampling', 2023): hashed-unigram "
+    "LMs of a target slice (doc_id < 20) and of the raw corpus, "
+    "add-one-smoothed; every raw document scored by its mean "
+    "log-importance weight ln(p_target/p_raw); top-50 selected. The "
+    "oracle replays feature hashing, both LMs, and the ranking.",
+)
+def pipeline_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-corpus selection: upweight raw documents that look like
+    the high-quality target distribution. Features are md5-hashed
+    unigram buckets (content-addressed — the split/shard discipline), so
+    the two LMs are fixed-width tables no matter the vocabulary.
+
+    Scale: both LM tables are <= N_FEAT rows — tiny aggregates with
+    map-side partial combine, then ONE broadcast log-ratio table; the
+    corpus is scored in a single map-side-join pass (no corpus shuffle
+    except the per-doc partial-aggregated sum). Per-token log-ratios are
+    rounded to 1e-6 and summed as scaled integers (the
+    text_unigram_cross_entropy discipline), so the per-doc mean is exact
+    and order-free; ranking on the rounded mean with a doc_id tiebreak
+    is engine-independent. At 100 TB the top-N window would become a
+    quantile threshold (score >= approx-quantile cutoff, map-only) —
+    the pipeline_dataset_mixture note's same exact-vs-approximate
+    trade."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+    ).select("doc_id", "lang", _md5_bucket(F.col("token"), N_FEAT).alias("b"))
+    tgt = toks.filter(F.col("doc_id") < 20)
+    raw = toks.filter(F.col("doc_id") >= 20)
+    ct = tgt.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    cr = raw.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cr"))
+    nt = tgt.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    nr = raw.agg(F.count(F.lit(1)).cast("double").alias("nr"))
+    lw = (
+        F.round(
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0.0)) + 1)
+                / (F.col("nt") + N_FEAT)
+            )
+            * 1000000
+        ).cast("long")
+        - F.round(
+            F.log(
+                (F.coalesce(F.col("cr"), F.lit(0.0)) + 1)
+                / (F.col("nr") + N_FEAT)
+            )
+            * 1000000
+        ).cast("long")
+    )
+    lr = (
+        ct.join(cr, "b", "full_outer")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select("b", lw.alias("lw"))
+    )
+    sc = (
+        raw.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lw").cast("long").alias("s"),
+        )
+    )
+    logw = F.round((F.col("s").cast("double") / F.col("n_tokens")) / 1000000, 4)
+    # TakeOrderedAndProject top-50 first (per-partition top-k, no global
+    # sort), THEN a row_number window over the 50 survivors only — a
+    # global rank window here would single-partition the whole corpus.
+    top = (
+        sc.select("doc_id", "lang", "n_tokens", logw.alias("logw"))
+        .orderBy(F.desc("logw"), "doc_id")
+        .limit(50)
+    )
+    win = W.orderBy(F.desc("logw"), "doc_id")
+    return top.withColumn("rn", F.row_number().over(win).cast("long"))
+
+
 _MIXTURE_ORACLE = """
     WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
                FROM documents GROUP BY lang),
