@@ -107,3 +107,23 @@ def test_arrow_encode_matches_expression_encode(spark, sf_dir):
         .collect()
     }
     assert arrow == expr
+
+
+def test_sq_rerank_recall_vs_exact(spark, sf001_dir):
+    """Scalar 8-bit quantization is near-exact: the C=50 reconstructed-L2
+    shortlist re-ranked by exact cosine must recover (almost) the exact
+    top-10 — the fidelity rung SQ buys with only 4x compression. Ground
+    truth is knn_cosine_batch (same vec_id < 5 query set)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    sq = {
+        (r.qid, r.vec_id)
+        for r in REGISTRY["ann_sq_rerank_topk"].builder(spark, sf001_dir).collect()
+    }
+    gt = {
+        (r.qid, r.vec_id)
+        for r in REGISTRY["knn_cosine_batch"].builder(spark, sf001_dir).collect()
+    }
+    assert len(gt) == 50
+    recall = len(sq & gt) / len(gt)
+    assert recall >= 0.95, recall

@@ -259,3 +259,45 @@ def stream_attributed_revenue_hourly(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, se.stream_dedup_events, "append")
+
+
+@query(
+    "stream_topk_trending",
+    """
+    WITH g AS (SELECT unnest(range(0, 4)) AS k),
+    e AS (SELECT make_timestamp((CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)
+                                 - k * 900) * 1000000) AS win_start,
+                 event_type
+          FROM events CROSS JOIN g),
+    a AS (SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2)
+    SELECT win_start, event_type, n, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT win_start, event_type, n, row_number() OVER (
+               PARTITION BY win_start ORDER BY n DESC, event_type) AS rn
+      FROM a)
+    WHERE rn <= 2
+    """,
+    "Trending detection: the continuously-maintained sliding-window "
+    "(1h/15m) per-type counts, served as the top-2 event types per "
+    "window — the streaming-state + serving-layer-rank split every "
+    "trending/leaderboard feature uses. Ranking runs over the compact "
+    "complete-mode state (windows x types), never the raw stream; "
+    "oracle replays the 4-window slide expansion and the ranking.",
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the streamed aggregation holds (windows x types) state —
+    tiny relative to the event stream — and the rank window partitions
+    by win_start over that state table, so the expensive part stays the
+    incremental stream; the serving query is O(state). In production the
+    state lands in the durable sink (stream_hourly_counts_durable) and
+    this ranking is the read-side query."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    state = _run(spark, sf_dir, se.stream_sliding_avg, "complete")
+    win = W.partitionBy("win_start").orderBy(F.desc("n"), "event_type")
+    return (
+        state.select("win_start", "event_type", "n")
+        .withColumn("rn", F.row_number().over(win).cast("long"))
+        .filter(F.col("rn") <= 2)
+    )
