@@ -30,15 +30,20 @@ round. Round-6 scheme (four prefixes, freshest-last):
   queries (``pq_code_histogram`` / ``pq_adc_topk`` /
   ``pq_adc_rerank_topk`` / ``pq_recall_at_k`` / ``ann_ivfadc_topk``),
   the temperature-weighted ``pipeline_dataset_mixture``, the
-  Z-order layout scan ``lake_zorder_scan``, and the trailing-window
-  monitoring query ``events_anomaly_zscore``. 18 names.
+  Z-order layout scan ``lake_zorder_scan``, the trailing-window
+  monitoring query ``events_anomaly_zscore``, and the six second-half
+  round-6 additions: CDC snapshot diff ``lake_table_diff``,
+  incremental MV maintenance ``lake_incremental_agg_refresh``,
+  SemDeDup-style ``dedup_semantic_centroids``, DSIR-style
+  ``pipeline_importance_resampling``, int8
+  ``ann_sq_rerank_topk``, and ``stream_topk_trending``. 24 names.
 - ``x_<name>`` — oracle-backed query whose last green driver verdict is
   from round 1 or 2 (the 25 names that spilled past round 5's window —
   round-5 VERDICT #2). These sort right after the unprefixed block, so
-  the window retires the whole stale backlog this round: 18 + 25 = 43
+  the window retires the whole stale backlog this round: 24 + 25 = 49
   slots.
 - ``y0_<name>`` — verified green in round 3 or 4 (the OLDEST fresh
-  verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so the 7 spare
+  verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so the single spare
   window slots re-verify the oldest greens first — the rotation now
   self-heals: every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
@@ -56,7 +61,7 @@ round. Round-6 scheme (four prefixes, freshest-last):
   Exactness / recall / bound tests live in tests/.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r05 except the eighteen unprefixed
+driver verdict in CORRECTNESS_r01..r05 except the twenty-four unprefixed
 names above, which are new or changed in round 6 and get theirs here.
 """
 

@@ -148,3 +148,19 @@ def test_dataset_mixture_upsamples_low_resource_langs(spark, sf_dir):
         r.lang for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("lang").distinct().collect()
     }
+
+
+def test_importance_resampling_selects_from_raw_only(spark, sf_dir):
+    """DSIR output: raw-corpus docs only (never the target slice),
+    dense unique ranks, and weight monotone non-increasing in rank."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    rows = sorted(
+        REGISTRY["pipeline_importance_resampling"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.rn,
+    )
+    assert rows and len(rows) <= 50
+    assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.doc_id >= 20 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.logw >= b.logw

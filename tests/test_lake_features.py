@@ -615,3 +615,57 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_dir, tmp_path):
     tu_hits, t_total = hit_files(tdir, lo_u, hi_u, 0, 10**9)
     assert tu_hits == t_total
     assert zu_hits < tu_hits, (zu_hits, tu_hits)
+
+
+def test_table_diff_edit_script_semantics(spark, sf_dir):
+    """Every emitted change row must be one of the three declared edit
+    classes with the right old/new shape; unchanged keys never appear."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    rows = REGISTRY["lake_table_diff"].builder(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.change_type, []).append(r)
+    for r in by_type.get("update", []):
+        assert r.c_custkey <= 50
+        assert abs((r.acctbal_new - r.acctbal_old) - 25) < 1e-6
+    for r in by_type.get("delete", []):
+        assert 191 <= r.c_custkey <= 200
+        assert r.acctbal_new is None and r.acctbal_old is not None
+    for r in by_type.get("insert", []):
+        assert 201 <= r.c_custkey <= 210
+        assert r.acctbal_old is None and r.acctbal_new is not None
+    assert set(by_type) <= {"insert", "update", "delete"}
+    # the +25 edit touches every key <= 50 present in the base table
+    n_le_50 = (
+        load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50).count()
+    )
+    assert len(by_type.get("update", [])) == n_le_50
+
+
+def test_incremental_refresh_equals_recompute(spark, sf_dir):
+    """Engine-internal identity: the merged MV must equal the direct
+    full aggregation row-for-row (the oracle proves it against DuckDB;
+    this pins it inside Spark so a refactor of either path can't drift)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    merged = {
+        (r.event_type, r.day): (r.n, r.total_value)
+        for r in REGISTRY["lake_incremental_agg_refresh"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    full = {
+        (r.event_type, r.day): (r.n, r.total_value)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 1000000).cast("long")) / 1000000.0, 2
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+    assert merged == full

@@ -397,3 +397,62 @@ def test_dataset_mixture_broadcasts_quotas(spark, sf_dir):
     plan = physical_plan(REGISTRY["pipeline_dataset_mixture"].builder(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_table_diff_is_single_key_join(spark, sf_dir):
+    # The CDC diff must be ONE full-outer key join — no product, no
+    # broadcast of a snapshot (both sides are table-sized at 100 TB),
+    # and the unchanged-row filter sits in the join's output, not a
+    # second pass.
+    plan = physical_plan(REGISTRY["lake_table_diff"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    assert "FullOuter" in plan
+
+
+def test_incremental_refresh_never_rescans_base(spark, sf_dir):
+    # The refresh plan reads the STORED MV (parquet scan of the scratch
+    # path) plus one delta aggregate; the base-corpus aggregation must
+    # not appear (exactly one events scan — the delta's).
+    df = REGISTRY["lake_incremental_agg_refresh"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("events.parquet") == 1, plan
+    assert "FullOuter" in plan
+
+
+def test_semantic_dedup_pairs_join_on_cluster(spark, sf_dir):
+    # In-cluster pair generation must be an equi-join on the cluster id
+    # (sum(cluster^2) candidates), never a corpus product; centroid
+    # assignment is a broadcast of the k-row centroid table.
+    plan = physical_plan(REGISTRY["dedup_semantic_centroids"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # equi-join on cluster: SMJ/SHJ at scale; BHJ when the cached member
+    # table is small enough to broadcast (this SF) — never a nested loop
+    # over corpus rows
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    # the cached member table must feed both join sides (InMemoryTableScan),
+    # not re-derive the assignment subtree per side
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_importance_resampling_broadcasts_lm_and_topk(spark, sf_dir):
+    # Scoring is a map-side broadcast join against the <= N_FEAT-row
+    # log-ratio table; the top-50 is a TakeOrderedAndProject, not a
+    # global sort or single-partition rank window over the corpus.
+    df = REGISTRY["pipeline_importance_resampling"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sq_rerank_broadcasts_queries_no_cartesian(spark, sf_dir):
+    # The SQ scan scores against <= 5 broadcast query vectors; exact
+    # vectors are fetched for shortlist rows via key joins only.
+    plan = physical_plan(REGISTRY["ann_sq_rerank_topk"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -347,8 +347,8 @@ _DSIR_ORACLE = rf"""
             WHERE doc_id < 20 GROUP BY b),
     raw AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM tb
             WHERE doc_id >= 20 GROUP BY b),
-    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tb WHERE doc_id < 20),
-    nr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tb WHERE doc_id >= 20),
+    nt AS (SELECT sum(ct) AS n FROM tgt),
+    nr AS (SELECT sum(cr) AS n FROM raw),
     lr AS (SELECT coalesce(tgt.b, raw.b) AS b,
                   CAST(round(ln((coalesce(ct, 0) + 1) / (nt.n + {N_FEAT}))
                              * 1000000) AS BIGINT)
@@ -408,8 +408,12 @@ def pipeline_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFram
     raw = toks.filter(F.col("doc_id") >= 20)
     ct = tgt.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("ct"))
     cr = raw.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cr"))
-    nt = tgt.agg(F.count(F.lit(1)).cast("double").alias("nt"))
-    nr = raw.agg(F.count(F.lit(1)).cast("double").alias("nr"))
+    # Totals fold off the N_FEAT-row LM tables, NOT the corpus — deriving
+    # them from tb directly would re-tokenize the whole corpus once per
+    # total (sums of integer-valued doubles are exact below 2^53, so the
+    # value is identical either way and the oracle mirrors this shape).
+    nt = ct.agg(F.sum("ct").alias("nt"))
+    nr = cr.agg(F.sum("cr").alias("nr"))
     lw = (
         F.round(
             F.log(

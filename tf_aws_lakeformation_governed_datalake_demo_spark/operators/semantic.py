@@ -104,9 +104,17 @@ def dedup_semantic_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster")
     )
+    # cache + eager materialize: the member table feeds BOTH sides of
+    # the in-cluster self-join; lazy, each side would re-derive the
+    # centroid aggregation and the full assignment pass (visible as a
+    # doubled subtree in the physical plan). Persisting the assignment
+    # once is also the production shape — cluster membership is computed
+    # one time and stored next to the index (the dedup.py signature-table
+    # rationale).
     mem = assign.join(
         v.select("vec_id", "embedding", "norm"), "vec_id"
-    )
+    ).cache()
+    mem.count()
     a = mem.select(
         F.col("vec_id").alias("va"),
         "cluster",
