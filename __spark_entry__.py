@@ -36,14 +36,15 @@ round. Round-6 scheme (four prefixes, freshest-last):
   incremental MV maintenance ``lake_incremental_agg_refresh``,
   SemDeDup-style ``dedup_semantic_centroids``, DSIR-style
   ``pipeline_importance_resampling``, int8
-  ``ann_sq_rerank_topk``, and ``stream_topk_trending``. 24 names.
+  ``ann_sq_rerank_topk``, ``stream_topk_trending``, and the
+  ``privacy_k_anonymity`` release audit. 25 names.
 - ``x_<name>`` — oracle-backed query whose last green driver verdict is
   from round 1 or 2 (the 25 names that spilled past round 5's window —
   round-5 VERDICT #2). These sort right after the unprefixed block, so
-  the window retires the whole stale backlog this round: 24 + 25 = 49
-  slots.
+  the window retires the whole stale backlog this round: 25 + 25 =
+  exactly the 50 slots.
 - ``y0_<name>`` — verified green in round 3 or 4 (the OLDEST fresh
-  verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so the single spare
+  verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so any spare
   window slots re-verify the oldest greens first — the rotation now
   self-heals: every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
@@ -61,7 +62,7 @@ round. Round-6 scheme (four prefixes, freshest-last):
   Exactness / recall / bound tests live in tests/.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r05 except the twenty-four unprefixed
+driver verdict in CORRECTNESS_r01..r05 except the twenty-five unprefixed
 names above, which are new or changed in round 6 and get theirs here.
 """
 

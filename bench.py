@@ -73,6 +73,17 @@ HEADLINE = [
     "pipeline_dataset_mixture",
     "lake_zorder_scan",
     "ann_ivfadc_topk",
+    # round 6 second-half additions: lake maintenance (CDC diff,
+    # incremental MV refresh), cluster-scoped semantic dedup, DSIR
+    # importance resampling, the int8 scalar-quantization ANN path, and
+    # the streaming trending rank
+    "lake_table_diff",
+    "lake_incremental_agg_refresh",
+    "dedup_semantic_centroids",
+    "pipeline_importance_resampling",
+    "ann_sq_rerank_topk",
+    "stream_topk_trending",
+    "privacy_k_anonymity",
 ]
 
 

@@ -387,10 +387,11 @@ def pipeline_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFram
     unigram buckets (content-addressed — the split/shard discipline), so
     the two LMs are fixed-width tables no matter the vocabulary.
 
-    Scale: both LM tables are <= N_FEAT rows — tiny aggregates with
-    map-side partial combine, then ONE broadcast log-ratio table; the
-    corpus is scored in a single map-side-join pass (no corpus shuffle
-    except the per-doc partial-aggregated sum). Per-token log-ratios are
+    Scale: the corpus is tokenized + feature-hashed exactly once, into
+    a cached (doc, bucket, count) feature table; both LM tables are
+    <= N_FEAT-row aggregates over it, and scoring is one broadcast join
+    of the log-ratio table against it (count-weighted sums — no per-token
+    rows ever shuffle). Per-token log-ratios are
     rounded to 1e-6 and summed as scaled integers (the
     text_unigram_cross_entropy discipline), so the per-doc mean is exact
     and order-free; ranking on the rounded mean with a doc_id tiebreak
@@ -404,14 +405,32 @@ def pipeline_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFram
         "lang",
         F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
     ).select("doc_id", "lang", _md5_bucket(F.col("token"), N_FEAT).alias("b"))
-    tgt = toks.filter(F.col("doc_id") < 20)
-    raw = toks.filter(F.col("doc_id") >= 20)
-    ct = tgt.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("ct"))
-    cr = raw.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cr"))
-    # Totals fold off the N_FEAT-row LM tables, NOT the corpus — deriving
-    # them from tb directly would re-tokenize the whole corpus once per
-    # total (sums of integer-valued doubles are exact below 2^53, so the
-    # value is identical either way and the oracle mirrors this shape).
+    # The md5 feature hash dominates the cost, so it must run ONCE: fold
+    # the token stream to its (doc, bucket) count grain — the compressed
+    # feature table every consumer (both LMs and the scorer) reads —
+    # and cache+eager it (the dedup.py signature-table rationale: three
+    # lazy consumers would re-tokenize the corpus three times; measured
+    # 5.0 s -> 0.6 s at sf0.1). In a real pipeline this IS the persisted
+    # per-doc feature table.
+    tbc = (
+        toks.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .cache()
+    )
+    tbc.count()
+    ct = (
+        tbc.filter(F.col("doc_id") < 20)
+        .groupBy("b")
+        .agg(F.sum("cnt").cast("double").alias("ct"))
+    )
+    cr = (
+        tbc.filter(F.col("doc_id") >= 20)
+        .groupBy("b")
+        .agg(F.sum("cnt").cast("double").alias("cr"))
+    )
+    # Totals fold off the N_FEAT-row LM tables, NOT the corpus (sums of
+    # integer-valued doubles are exact below 2^53, so the value is
+    # identical either way and the oracle mirrors this shape).
     nt = ct.agg(F.sum("ct").alias("nt"))
     nr = cr.agg(F.sum("cr").alias("nr"))
     lw = (
@@ -437,12 +456,13 @@ def pipeline_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFram
         .select("b", lw.alias("lw"))
     )
     sc = (
-        raw.join(F.broadcast(lr), "b")
+        tbc.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
             F.any_value("lang").alias("lang"),
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("lw").cast("long").alias("s"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("lw") * F.col("cnt")).cast("long").alias("s"),
         )
     )
     logw = F.round((F.col("s").cast("double") / F.col("n_tokens")) / 1000000, 4)

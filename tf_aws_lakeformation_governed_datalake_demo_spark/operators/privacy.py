@@ -104,3 +104,66 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(s).alias("scrub_md5"),
         F.substring(s, 1, 40).alias("scrub_prefix"),
     )
+
+
+K_ANON = 5  # minimum group size for releasable quasi-identifier groups
+
+_K_ANON_ORACLE = f"""
+    WITH g0 AS (SELECT c_nationkey,
+                       c_mktsegment,
+                       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM customer GROUP BY 1, 2, 3),
+    g1 AS (SELECT c_nationkey, c_mktsegment,
+                  CAST(sum(n) AS BIGINT) AS n1
+           FROM g0 GROUP BY 1, 2)
+    SELECT g0.c_nationkey, g0.c_mktsegment, g0.bal_band, g0.n,
+           CASE WHEN g0.n >= {K_ANON} THEN 'ok'
+                WHEN g1.n1 >= {K_ANON} THEN 'generalized'
+                ELSE 'suppressed' END AS anonymity_action
+    FROM g0 JOIN g1 USING (c_nationkey, c_mktsegment)
+"""
+
+
+@query(
+    "privacy_k_anonymity",
+    _K_ANON_ORACLE,
+    f"k-anonymity audit (k={K_ANON}) with a generalization ladder over "
+    "the customer quasi-identifiers (nation, segment, account-balance "
+    "band): groups meeting k release as-is, small groups whose "
+    "coarsened (nation, segment) parent meets k are generalized up one "
+    "level, the rest are suppressed — the release decision every "
+    "privacy review applies before sharing governed microdata.",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The structured-data counterpart of text_pii_scrub: masking hides
+    direct identifiers, but quasi-identifier COMBINATIONS re-identify
+    (Sweeney's k-anonymity) — the governed-sharing surface (CTAS/UNLOAD
+    exports) needs this audit in front of it.
+
+    Scale: one partial-aggregated shuffle keyed on the level-0 QI tuple;
+    the generalization ladder is computed on the QI-GROUP table (orders
+    of magnitude smaller than the microdata) — the level-1 rollup
+    re-aggregates those group rows and joins back on their own prefix
+    key, so the base table is scanned exactly once. Deeper ladders
+    (nation -> region -> all) iterate the same rollup over the group
+    table, never the corpus."""
+    c = load(spark, sf_dir, "customer")
+    g0 = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g1 = g0.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("long").alias("n1")
+    )
+    return g0.join(g1, ["c_nationkey", "c_mktsegment"]).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "n",
+        F.when(F.col("n") >= K_ANON, "ok")
+        .when(F.col("n1") >= K_ANON, "generalized")
+        .otherwise("suppressed")
+        .alias("anonymity_action"),
+    )
