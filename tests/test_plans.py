@@ -451,8 +451,10 @@ def test_importance_resampling_broadcasts_lm_and_topk(spark, sf_dir):
 
 
 def test_sq_rerank_broadcasts_queries_no_cartesian(spark, sf_dir):
-    # The SQ scan scores against <= 5 broadcast query vectors; exact
-    # vectors are fetched for shortlist rows via key joins only.
+    # Scoring is ONE Arrow map pass (queries live inside the kernel —
+    # no join at all on the scoring side); exact vectors are fetched for
+    # shortlist rows via key joins with the query frame broadcast.
     plan = physical_plan(REGISTRY["ann_sq_rerank_topk"].builder(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan

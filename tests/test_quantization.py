@@ -127,3 +127,50 @@ def test_sq_rerank_recall_vs_exact(spark, sf001_dir):
     assert len(gt) == 50
     recall = len(sq & gt) / len(gt)
     assert recall >= 0.95, recall
+
+
+def test_sq_arrow_scores_match_expression_path(spark, sf_dir):
+    """sq_scores_arrow and the sq_recon_expr expression path are two
+    implementations of the same contract — identical rounded distances
+    for every (corpus vector, query) pair."""
+    from pyspark.sql import functions as F
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.quantization import (
+        _NQ_ADC,
+        _normalize_round_np,
+        _sq_l2,
+        _sq_stats,
+        sq_recon_expr,
+        sq_scores_arrow,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    mn, mx = _sq_stats(spark, sf_dir)
+    base = load(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        base.filter(F.col("vec_id") < _NQ_ADC).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qmat = _normalize_round_np(
+        np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    )
+    qids = [int(r["vec_id"]) for r in qrows]
+    arrow = {
+        (r.vec_id, r.qid): r.adist
+        for r in sq_scores_arrow(base, mn, mx, qmat, qids).collect()
+    }
+    qdf = spark.createDataFrame(
+        [(qids[i], [float(x) for x in qmat[i]]) for i in range(len(qids))],
+        "qid long, qe array<double>",
+    )
+    expr = {
+        (r.vec_id, r.qid): r.adist
+        for r in normalized_components(base)
+        .select("vec_id", sq_recon_expr(F.col("ne"), mn, mx).alias("r"))
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id", "qid", F.round(_sq_l2(F.col("r"), F.col("qe")), 4).alias("adist")
+        )
+        .collect()
+    }
+    assert arrow == expr

@@ -677,6 +677,80 @@ def _sq_stats(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[float
     return _session_memo(spark, ("sq", sf_dir), build)
 
 
+def sq_recon_expr(ne_col, mn: list[float], mx: list[float]):
+    """Expression-path SQ round trip: quantize ``ne_col`` to 8-bit codes
+    against the (mn, mx) codebook and reconstruct — the semantics
+    reference the Arrow kernel is cross-validated against
+    (tests/test_quantization.py), mirroring the pq_encode /
+    pq_encode_arrow pairing."""
+    mn_lit = F.array(*[F.lit(v) for v in mn])
+    mx_lit = F.array(*[F.lit(v) for v in mx])
+
+    def comp(x, i):
+        lo = F.element_at(mn_lit, i + 1)
+        hi = F.element_at(mx_lit, i + 1)
+        code = F.floor((x - lo) / (hi - lo) * _SQ_LEVELS + F.lit(0.5))
+        return F.when(hi == lo, lo).otherwise(
+            lo + code * (hi - lo) / F.lit(float(_SQ_LEVELS))
+        )
+
+    return F.transform(ne_col, comp)
+
+
+def sq_scores_arrow(
+    df: DataFrame, mn: list[float], mx: list[float], qmat, qids
+) -> DataFrame:
+    """(vec_id, qid, adist): asymmetric reconstructed-L2 of every corpus
+    vector against every query, as ONE Arrow-batched numpy kernel
+    (normalize -> round -> quantize -> reconstruct -> (n x Q x DIM)
+    broadcast subtract) — the pq_encode_arrow lesson applied to SQ
+    (measured 1.85 s -> sub-second for the registered query at sf0.1).
+
+    Determinism contract with sq_recon_expr and the oracle:
+    - norm fold and component rounding via the shared
+      _normalize_round_np kernel;
+    - reconstruction arithmetic in the written order
+      mn + floor((x-mn)/(mx-mn)*255 + 0.5) * (mx-mn)/255;
+    - adist rounded half-AWAY-from-zero (floor(d*1e4 + 0.5) — np.round
+      would bank-round) to 4 decimals, the SQL engines' rule. The
+      squared-term sum is a numpy axis-sum; like the oracle's unordered
+      SQL sum it differs from a left fold only below the 4-decimal
+      round (the _PQ_ADC precedent)."""
+    mn_a = np.asarray(mn, dtype=np.float64)
+    mx_a = np.asarray(mx, dtype=np.float64)
+    span = mx_a - mn_a
+    safe = np.where(span == 0, 1.0, span)
+    qm = np.asarray(qmat, dtype=np.float64)
+    qid_arr = np.asarray(qids, dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ne = _normalize_round_np(mat)
+            code = np.floor((ne - mn_a) / safe * _SQ_LEVELS + 0.5)
+            recon = np.where(
+                span == 0, mn_a, mn_a + code * span / float(_SQ_LEVELS)
+            )
+            d = ((qm[None, :, :] - recon[:, None, :]) ** 2).sum(axis=2)
+            d = np.floor(d * 1e4 + 0.5) / 1e4
+            n, nq = d.shape
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy().astype(np.int64), nq
+                    ),
+                    "qid": np.tile(qid_arr, n),
+                    "adist": d.reshape(-1),
+                }
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_id long, qid long, adist double"
+    )
+
+
 _SQ_RERANK_ORACLE = f"""
     WITH {_ne_sql()},
     g AS (SELECT unnest(range({PQ_DIM})) AS d),
@@ -726,31 +800,16 @@ def ann_sq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact but full IO) — the right default when the corpus fits the
     budget at 4x and recall must stay ~1.0.
 
-    Scale: the codebook is 2 x 64 doubles (driver-collected tiny agg,
-    broadcast as literals); encode + reconstruct + score are map-only
-    over the corpus scan against <= 5 broadcast query vectors; ranking
-    is a per-query window top-k; exact vectors are fetched for the Q x C
-    shortlist rows only (the pq_adc_rerank_topk read shape). On disk the
-    codes column is what the scan reads — 64 B/vector instead of 256."""
+    Scale: the codebook is 2 x 64 doubles (driver-collected tiny agg);
+    scoring is one Arrow-batched map pass over the corpus against <= 5
+    query vectors held in the kernel (sq_scores_arrow; the
+    expression-path sq_recon_expr is the cross-validated semantics
+    reference); ranking is a per-query window top-k; exact vectors are
+    fetched for the Q x C shortlist rows only (the pq_adc_rerank_topk
+    read shape). On disk the codes column is what the scan reads —
+    64 B/vector instead of 256."""
     mn, mx = _sq_stats(spark, sf_dir)
-    mn_lit = F.array(*[F.lit(v) for v in mn])
-    mx_lit = F.array(*[F.lit(v) for v in mx])
-
-    def recon(ne_col):
-        def comp(x, i):
-            lo = F.element_at(mn_lit, i + 1)
-            hi = F.element_at(mx_lit, i + 1)
-            code = F.floor((x - lo) / (hi - lo) * _SQ_LEVELS + F.lit(0.5))
-            return F.when(hi == lo, lo).otherwise(
-                lo + code * (hi - lo) / F.lit(float(_SQ_LEVELS))
-            )
-
-        return F.transform(ne_col, comp)
-
     base = load(spark, sf_dir, "embeddings")
-    corpus = normalized_components(base).select(
-        "vec_id", recon(F.col("ne")).alias("r")
-    )
     # Query-side exact ne, computed driver-side over the O(nq) collected
     # vectors with the shared numpy kernel (the _query_tables rationale).
     qrows = (
@@ -760,19 +819,11 @@ def ann_sq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qmat = _normalize_round_np(
         np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
     )
-    qdf = spark.createDataFrame(
-        [(int(r["vec_id"]), [float(x) for x in qmat[i]]) for i, r in enumerate(qrows)],
-        "qid long, qe array<double>",
-    )
+    qids = [int(r["vec_id"]) for r in qrows]
     win = W.partitionBy("qid").orderBy("adist", "vec_id")
     shortlist = (
-        corpus.crossJoin(F.broadcast(qdf))
+        sq_scores_arrow(base, mn, mx, qmat, qids)
         .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(_sq_l2(F.col("r"), F.col("qe")), 4).alias("adist"),
-        )
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= PQ_SHORTLIST)
         .select("qid", "vec_id")

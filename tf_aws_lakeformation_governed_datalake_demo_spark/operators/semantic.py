@@ -22,17 +22,22 @@ from pyspark.sql import functions as F
 
 from ..sources import load
 from .registry import query
-from .similarity import _dot, _with_norm, label_centroids
+from .similarity import _dot, _with_norm, collapse_exact_vectors, label_centroids
 
 SEM_THRESHOLD = 0.3  # same regime the embedding-cosine family operates in
 _DIM = 64
 
 
 _SEMDEDUP_ORACLE = f"""
-    WITH el AS (SELECT vec_id, label,
-                       unnest(range(0, {_DIM})) AS d,
-                       unnest(embedding::DOUBLE[]) AS x
-                FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    vr AS (SELECT vec_id FROM (
+             SELECT vec_id, row_number() OVER (
+                      PARTITION BY e ORDER BY vec_id) AS rn FROM v)
+           WHERE rn = 1),
+    el AS (SELECT emb.vec_id, emb.label,
+                  unnest(range(0, {_DIM})) AS d,
+                  unnest(emb.embedding::DOUBLE[]) AS x
+           FROM embeddings emb JOIN vr USING (vec_id)),
     cent AS (SELECT label, d, avg(x) AS m FROM el GROUP BY 1, 2),
     cn AS (SELECT label, sqrt(sum(m * m)) AS cnorm FROM cent GROUP BY 1),
     vn AS (SELECT vec_id, sqrt(sum(x * x)) AS vnorm FROM el GROUP BY vec_id),
@@ -49,7 +54,6 @@ _SEMDEDUP_ORACLE = f"""
                           PARTITION BY vec_id ORDER BY s DESC, label) AS rn
                  FROM csim)
                WHERE rn = 1),
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     mem AS (SELECT a.vec_id, a.cluster, v.e FROM assign a JOIN v USING (vec_id)),
     p AS (SELECT x.vec_id AS va, y.vec_id AS vb, x.cluster,
                  round(list_cosine_similarity(x.e, y.e), 4) AS cos_sim
@@ -84,11 +88,16 @@ def dedup_semantic_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only against the broadcast centroid table; the in-cluster
     self-join shuffles once on the cluster id (salt or sub-cluster a
     pathological hot cell, the dedup.py hot-bucket discipline); the
-    keep/remove decision is a per-vector aggregate. Heavy exact-dup
-    corpora should collapse identical vectors first
-    (similarity.collapse_exact_vectors) so duplicate multiplicity never
-    re-inflates the quadratic term."""
-    v = _with_norm(load(spark, sf_dir, "embeddings"))
+    keep/remove decision is a per-vector aggregate. Exact-duplicate
+    vectors collapse to one representative FIRST
+    (similarity.collapse_exact_vectors, mirrored by the oracle's vr
+    CTE): d exact copies would otherwise land in one cluster and
+    re-inflate the quadratic term by d^2 — the same hazard the 8x
+    scale experiment exposed for the LSH families (BASELINE.md).
+    Intra-duplicate removals are exact-dedup's output by the standard
+    exact-then-near ordering; on duplicate-free corpora (all test SFs)
+    the collapse is output-neutral."""
+    v = collapse_exact_vectors(_with_norm(load(spark, sf_dir, "embeddings")))
     cent = label_centroids(v)
     s = F.round(
         _dot(F.col("centroid"), F.col("embedding"))
