@@ -84,6 +84,7 @@ HEADLINE = [
     "ann_sq_rerank_topk",
     "stream_topk_trending",
     "privacy_k_anonymity",
+    "lake_scd2_as_of",
 ]
 
 

@@ -561,3 +561,77 @@ def lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "dd", "event_type", "zval")
         .orderBy("event_id")
     )
+
+
+@query(
+    "lake_scd2_as_of",
+    """
+    WITH init AS (SELECT c_custkey, c_name, c_acctbal
+                  FROM customer WHERE c_custkey <= 200),
+    ins_new AS (SELECT c_custkey, c_name, c_acctbal
+                FROM customer WHERE c_custkey BETWEEN 201 AND 220)
+    SELECT '2024-03-15' AS snapshot, c_custkey, c_name,
+           round(c_acctbal, 2) AS c_acctbal
+    FROM init
+    UNION ALL
+    SELECT '2024-07-01', c_custkey, c_name,
+           round(CASE WHEN c_custkey <= 80 THEN c_acctbal + 100
+                      ELSE c_acctbal END, 2)
+    FROM init
+    UNION ALL
+    SELECT '2024-07-01', c_custkey, c_name, round(c_acctbal, 2)
+    FROM ins_new
+    """,
+    "Point-in-time (time travel) reads over the versioned SCD2 "
+    "dimension: after one apply batch, the same table is read AS OF a "
+    "pre-update instant (must return the seed state — closed versions "
+    "selected, post-update versions invisible) and AS OF a post-update "
+    "instant (changed keys show the new version, inserts appear). The "
+    "oracle replays both snapshots from the base table — the VERSION AS "
+    "OF semantics a Delta user expects, on plain parquet.",
+)
+def lake_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives sources.lake.scd2_as_of end to end over an
+    scd2_apply-maintained dimension. Scale notes on the library
+    function: both validity predicates push into the parquet scan, and
+    a date-bucket partition on effective_from prunes old-version files
+    — time travel costs one pruned scan, no table format or log replay."""
+    import datetime
+
+    from ..sources import scd2_apply
+    from ..sources.lake import scd2_as_of
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    path = scratch_dir("scd2_asof_") + "/dim"
+    seeded = (
+        c.filter(F.col("c_custkey") <= 200)
+        .withColumn("effective_from", F.lit(datetime.datetime(2024, 1, 1)))
+        .withColumn("effective_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    seeded.write.parquet(path)
+    updates = (
+        c.filter(F.col("c_custkey") <= 80)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .unionByName(c.filter(F.col("c_custkey").between(201, 220)))
+    )
+    scd2_apply(
+        spark,
+        path,
+        updates,
+        key_cols=["c_custkey"],
+        change_cols=["c_acctbal"],
+        as_of=datetime.datetime(2024, 6, 1),
+    )
+
+    def snap(tag: str, at: "datetime.datetime") -> DataFrame:
+        return scd2_as_of(spark, path, at, schema=seeded.schema).select(
+            F.lit(tag).alias("snapshot"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+
+    return snap("2024-03-15", datetime.datetime(2024, 3, 15)).unionByName(
+        snap("2024-07-01", datetime.datetime(2024, 7, 1))
+    )
