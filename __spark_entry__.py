@@ -37,15 +37,17 @@ round. Round-6 scheme (four prefixes, freshest-last):
   SemDeDup-style ``dedup_semantic_centroids``, DSIR-style
   ``pipeline_importance_resampling``, int8
   ``ann_sq_rerank_topk``, ``stream_topk_trending``, the
-  ``privacy_k_anonymity`` release audit, and the time-travel
-  ``lake_scd2_as_of``. 26 names.
+  ``privacy_k_anonymity`` release audit, the time-travel
+  ``lake_scd2_as_of``, and the CDC-apply pipeline
+  ``stream_cdc_upsert``. 27 names.
 - ``x_<name>`` — oracle-backed query whose last green driver verdict is
   from round 1 or 2 (the 25 names that spilled past round 5's window —
   round-5 VERDICT #2). These sort right after the unprefixed block, so
-  the window retires the stale backlog this round: 26 + 24 fill the 50
-  slots; the alphabetically-last stale name
-  (``x_window_topk_per_group``) spills to round 7's spare capacity —
-  still locally oracle-diffed on every pytest run.
+  the window retires the stale backlog this round: 27 + 23 fill the 50
+  slots; the two alphabetically-last stale names
+  (``x_window_running_sum``, ``x_window_topk_per_group``) spill to
+  round 7's spare capacity — still locally oracle-diffed on every
+  pytest run.
 - ``y0_<name>`` — verified green in round 3 or 4 (the OLDEST fresh
   verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so any spare
   window slots re-verify the oldest greens first — the rotation now
@@ -65,7 +67,7 @@ round. Round-6 scheme (four prefixes, freshest-last):
   Exactness / recall / bound tests live in tests/.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r05 except the twenty-six unprefixed
+driver verdict in CORRECTNESS_r01..r05 except the twenty-seven unprefixed
 names above, which are new or changed in round 6 and get theirs here.
 """
 

@@ -85,6 +85,7 @@ HEADLINE = [
     "stream_topk_trending",
     "privacy_k_anonymity",
     "lake_scd2_as_of",
+    "stream_cdc_upsert",
 ]
 
 

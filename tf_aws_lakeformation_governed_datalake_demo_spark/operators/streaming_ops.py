@@ -301,3 +301,131 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(win).cast("long"))
         .filter(F.col("rn") <= 2)
     )
+
+
+@query(
+    "stream_cdc_upsert",
+    """
+    SELECT user_id, CAST(user_id % 8 AS BIGINT) AS bucket,
+           event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type,
+           round(CAST(value AS DOUBLE), 2) AS last_value
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    "Streaming CDC apply: a change stream (3 parquet files consumed one "
+    "per micro-batch, keys arriving out of order across batches) is "
+    "upserted into a bucket-partitioned lake dimension via foreachBatch "
+    "+ conditional MERGE — an incoming row replaces the stored row only "
+    "if (ts, event_id) is newer, so the final state is the global "
+    "latest-per-key regardless of batch arrival order. The oracle is "
+    "that global latest state over all events.",
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'CDC stream -> lake table' pipeline every warehouse feeds:
+    Kafka-shaped change capture applied incrementally to a queryable
+    dimension. foreachBatch is Spark's idempotent-sink escape hatch;
+    the merge is ORDER-TOLERANT (newer-(ts, id)-wins condition) because
+    real CDC streams deliver late and out of order — replaying or
+    reordering batches cannot corrupt the dimension.
+
+    Scale: each micro-batch ranks ONLY its own rows, compares against
+    the current dimension by key join, and rewrites only partitions
+    holding updated keys (sources.lake.merge_into partition pruning via
+    the user_id bucket). Dimension reads use the declared schema — no
+    footer scans per batch. The checkpointLocation makes restarts
+    resume at the unprocessed file."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..scratch import scratch_dir
+    from ..sources import load, write_partitioned
+    from ..sources.lake import merge_into
+
+    e = load(spark, sf_dir, "events")
+    base = scratch_dir("cdc_upsert_")
+    dim = f"{base}/dim"
+    src = f"{base}/changes"
+
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                (F.col("user_id") % 8).alias("bucket"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_type"),
+                F.col("value").alias("last_value"),
+            )
+        )
+
+    seed = e.filter(F.col("event_id") % 7 == 0)
+    seed_latest = latest_per_user(seed)
+    write_partitioned(seed_latest, dim, partition_by=["bucket"])
+    dim_schema = seed_latest.schema
+
+    # Three change files -> three sequential micro-batches; the % 3 split
+    # interleaves event times across files, so later batches routinely
+    # carry OLDER rows for a key than an earlier batch did (the
+    # out-of-order delivery the conditional merge must absorb).
+    rest = e.filter(F.col("event_id") % 7 != 0)
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        tmp = f"{base}/_tmp{i}"
+        rest.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/c{i}.parquet")
+        shutil.rmtree(tmp)
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        latest = latest_per_user(batch)
+        cur = (
+            spark.read.schema(dim_schema)
+            .parquet(dim)
+            .select(
+                "user_id",
+                F.col("last_ts").alias("cur_ts"),
+                F.col("last_event_id").alias("cur_id"),
+            )
+        )
+        newer = F.struct("last_ts", "last_event_id") > F.struct("cur_ts", "cur_id")
+        upd = (
+            latest.join(cur, "user_id", "left")
+            .filter(F.col("cur_ts").isNull() | newer)
+            .drop("cur_ts", "cur_id")
+        )
+        if upd.isEmpty():
+            return
+        merge_into(
+            spark, dim, upd, ["user_id"], partition_by=["bucket"], schema=dim_schema
+        )
+
+    (
+        spark.readStream.schema(e.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    return spark.read.parquet(dim).select(
+        "user_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        "last_event_id",
+        "last_ts",
+        "last_type",
+        F.round("last_value", 2).alias("last_value"),
+    )
