@@ -86,6 +86,7 @@ HEADLINE = [
     "privacy_k_anonymity",
     "lake_scd2_as_of",
     "stream_cdc_upsert",
+    "ann_filtered_topk",
 ]
 
 

@@ -458,3 +458,14 @@ def test_sq_rerank_broadcasts_queries_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_filtered_ann_pushes_predicate_to_scan(spark, sf_dir):
+    # Pre-filtered vector search: the metadata predicate must reach the
+    # parquet scan (bytes for non-matching labels are never read), and
+    # scoring joins the tiny query frame by broadcast.
+    df = REGISTRY["ann_filtered_topk"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan and "In(label" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -230,3 +230,73 @@ def test_cleanup_results_removes_files(spark, tmp_path_factory):
     assert eng.executions[qid].results_path is None
     # audit/execution record remains
     assert eng.status(qid).value == "SUCCEEDED"
+
+
+# ---------------------------------------------------- L7 result reuse
+
+
+@pytest.fixture()
+def reuse_engine(spark, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("reuselake"))
+    return Engine(spark, fx.bootstrap(spark, lake))
+
+
+_REUSE_SQL = (
+    "SELECT sales_region, COUNT(*) AS n FROM sales_db.sales GROUP BY sales_region"
+)
+
+
+def test_result_reuse_hit_and_lineage(reuse_engine):
+    eng = reuse_engine
+    q1 = eng.submit(_REUSE_SQL, principal="analyst")
+    q2 = eng.submit(_REUSE_SQL, principal="analyst", reuse_max_age=3600)
+    assert eng.executions[q2].reused_from == q1
+    assert eng.metrics["queries_reused"] == 1
+    assert sorted(map(tuple, eng.results(q1))) == sorted(map(tuple, eng.results(q2)))
+    # the audit trail records the reuse with its producing query id
+    statuses = [e.get("status") for e in eng.catalog.audit.events]
+    assert any(s == f"REUSED:{q1}" for s in statuses)
+
+
+def test_result_reuse_requires_opt_in_and_same_principal(reuse_engine):
+    eng = reuse_engine
+    q1 = eng.submit(_REUSE_SQL, principal="analyst")
+    # no reuse_max_age -> always fresh
+    q2 = eng.submit(_REUSE_SQL, principal="analyst")
+    assert eng.executions[q2].reused_from is None
+    # a different principal has a different governed rewrite -> no reuse
+    q3 = eng.submit(_REUSE_SQL, principal="data_admin", reuse_max_age=3600)
+    assert eng.executions[q3].reused_from is None
+    # zero age window -> expired immediately
+    q4 = eng.submit(_REUSE_SQL, principal="analyst", reuse_max_age=0)
+    assert eng.executions[q4].reused_from in (None, q1)  # sub-ms clock edge
+    assert eng.executions[q1].reused_from is None
+
+
+def test_result_reuse_invalidated_by_data_change(reuse_engine):
+    import glob
+    import os
+
+    eng = reuse_engine
+    q1 = eng.submit(_REUSE_SQL, principal="analyst")
+    # new data lands in the table location -> fingerprint changes ->
+    # the cached result must NOT be served
+    loc = eng.catalog.tables["sales_db.sales"].location
+    f = glob.glob(f"{loc}/**/*.parquet", recursive=True)[0]
+    st = os.stat(f)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    q2 = eng.submit(_REUSE_SQL, principal="analyst", reuse_max_age=3600)
+    assert eng.executions[q2].reused_from is None
+    # and the fresh result repopulates the cache for the next caller
+    q3 = eng.submit(_REUSE_SQL, principal="analyst", reuse_max_age=3600)
+    assert eng.executions[q3].reused_from == q2
+
+
+def test_result_reuse_invalidated_by_governance_change(reuse_engine):
+    eng = reuse_engine
+    q1 = eng.submit(_REUSE_SQL, principal="analyst")
+    # ANY governance metadata mutation (here: a new grant) must
+    # invalidate the cache — a policy change can never be ridden
+    eng.catalog.grant("auditor", "SELECT", "sales_db", "sales")
+    q2 = eng.submit(_REUSE_SQL, principal="analyst", reuse_max_age=3600)
+    assert eng.executions[q2].reused_from is None

@@ -438,6 +438,30 @@ class GovernedCatalog:
         """G9 — data-lake admins bypass grant checks (main.tf:82-91)."""
         self.admins.update(principals)
 
+    def governance_fingerprint(self) -> str:
+        """Digest of every governance-relevant structure (tables, views,
+        tags, filters, grants, admins, flag). Any metadata mutation —
+        a new grant, an edited row filter, a re-tagged column, a schema
+        evolution — changes the digest. Consumers (Engine L7 result
+        reuse) treat it as the Glue/LF metadata-version analog: cached
+        work is valid only while the digest matches, so no policy change
+        can be ridden by a stale cache."""
+        import hashlib
+
+        state = repr(
+            (
+                self.governance_enabled,
+                sorted(self.databases.items()),
+                sorted((q, t) for q, t in self.tables.items()),
+                sorted((q, v) for q, v in self.views.items()),
+                sorted(self.tags.items()),
+                sorted(self.filters.items()),
+                self.grants,
+                sorted(self.admins),
+            )
+        )
+        return hashlib.md5(state.encode()).hexdigest()
+
     def grants_for(self, principal: str, database: str, resource: str) -> list[Grant]:
         return [
             g

@@ -47,6 +47,8 @@ class QueryExecution:
     # lazily-pinned snapshot that all result pages read from (never the
     # live plan — see Engine.results_page)
     page_source: DataFrame | None = None
+    # query id this execution's result was reused from (L7 result reuse)
+    reused_from: str | None = None
 
 
 class Engine:
@@ -75,13 +77,25 @@ class Engine:
             "queries_succeeded": 0,
             "queries_failed": 0,
             "queries_denied": 0,
+            "queries_reused": 0,
             "rows_fetched": 0,
         }
+        # L7 result-reuse cache: (principal, REWRITTEN sql) ->
+        # (query_id, completed_at, {table: fingerprint})
+        self._reuse_cache: dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------- L1-L4
-    def submit(self, sql: str, principal: Principal | str | None = None) -> str:
-        """L1 — submit a query; returns its query id (validate.sh:74-87)."""
-        qe = self._execute(sql, principal)
+    def submit(
+        self,
+        sql: str,
+        principal: Principal | str | None = None,
+        reuse_max_age: float | None = None,
+    ) -> str:
+        """L1 — submit a query; returns its query id (validate.sh:74-87).
+
+        ``reuse_max_age`` (seconds) opts into L7 result reuse — the
+        Athena ``ResultReuseByAgeConfiguration`` analog."""
+        qe = self._execute(sql, principal, reuse_max_age=reuse_max_age)
         return qe.query_id
 
     def status(self, query_id: str) -> QueryState:
@@ -151,11 +165,39 @@ class Engine:
                 removed += 1
         return removed
 
-    def sql(self, sql: str, principal: Principal | str | None = None) -> DataFrame:
+    def sql(
+        self,
+        sql: str,
+        principal: Principal | str | None = None,
+        reuse_max_age: float | None = None,
+    ) -> DataFrame:
         """Execute governed SQL and return the DataFrame (raises on deny)."""
-        qe = self._execute(sql, principal, raise_on_error=True)
+        qe = self._execute(
+            sql, principal, raise_on_error=True, reuse_max_age=reuse_max_age
+        )
         assert qe.result is not None
         return qe.result
+
+    # ------------------------------------------------- L7 result reuse
+    def _table_fingerprint(self, qualified: str) -> tuple:
+        """Cheap freshness token for a table's storage: (file count, max
+        mtime ns) under its location — the Glue table-version analog. At
+        catalog scale you would read the version counter the writer bumps
+        instead of statting files; the contract is the same: any data
+        change changes the fingerprint."""
+        import os
+
+        td = self.catalog.tables.get(qualified)
+        if td is None:
+            return (qualified, None, None)
+        n, mx = 0, 0
+        for root, _dirs, files in os.walk(td.location):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                n += 1
+                mx = max(mx, os.stat(os.path.join(root, f)).st_mtime_ns)
+        return (qualified, n, mx)
 
     # ---------------------------------------------------------- internals
     def _execute(
@@ -163,12 +205,66 @@ class Engine:
         sql: str,
         principal: Principal | str | None,
         raise_on_error: bool = False,
+        reuse_max_age: float | None = None,
     ) -> QueryExecution:
+        """``reuse_max_age`` (seconds) enables L7 result reuse — Athena's
+        ``ResultReuseByAgeConfiguration`` analog, made strictly safer:
+
+        - a hit requires the catalog's ``governance_fingerprint`` to be
+          unchanged since the producing run (whose rewrite enforced the
+          then-current grants) — any grant / filter / tag / schema
+          mutation invalidates the whole cache, so no policy change can
+          be ridden by a cached result (Athena reuses within the
+          workgroup on the raw query string alone);
+        - a hit additionally requires every touched table's storage
+          fingerprint to be unchanged, so stale-data reuse (the
+          documented Athena caveat) cannot happen.
+
+        A reused execution gets its own query id and audit row (status
+        ``REUSED:<producer id>``) — the lineage a billing/audit reviewer
+        needs."""
+        import time as _time
+
         name = principal.name if isinstance(principal, Principal) else principal
         qe = QueryExecution(query_id=uuid.uuid4().hex, sql=sql, principal=name)
         self.executions[qe.query_id] = qe
         self.metrics["queries_submitted"] += 1
         qe.state = QueryState.RUNNING
+        reuse_key = (name, sql)
+        if reuse_max_age is not None:
+            hit = self._reuse_cache.get(reuse_key)
+            if hit is not None:
+                src_id, done_at, gov_fp, table_fps = hit
+                # valid only while (a) inside the age window, (b) NO
+                # governance metadata changed since the producing run
+                # (whose rewrite enforced the then-current grants), and
+                # (c) every touched table's storage is byte-unchanged
+                fresh = (
+                    _time.time() - done_at <= reuse_max_age
+                    and gov_fp == self.catalog.governance_fingerprint()
+                    and all(
+                        self._table_fingerprint(t) == fp
+                        for t, fp in table_fps.items()
+                    )
+                )
+                src = self.executions.get(src_id)
+                if fresh and src is not None and src.result is not None:
+                    qe.result = src.result
+                    qe.results_path = src.results_path
+                    qe.tables = list(src.tables)
+                    qe.filters_applied = list(src.filters_applied)
+                    qe.reused_from = src_id
+                    qe.state = QueryState.SUCCEEDED
+                    self.metrics["queries_reused"] += 1
+                    self.metrics["queries_succeeded"] += 1
+                    self.catalog.audit.record(
+                        name or "<anonymous>",
+                        sql,
+                        qe.tables,
+                        qe.filters_applied,
+                        f"REUSED:{src_id}",
+                    )
+                    return qe
         created_views: list[str] = []
         try:
             try:
@@ -204,6 +300,14 @@ class Engine:
                 qe.results_path = out
             qe.state = QueryState.SUCCEEDED
             self.metrics["queries_succeeded"] += 1
+            # populate the reuse cache unconditionally so a LATER submit
+            # with reuse_max_age can hit results produced before it
+            self._reuse_cache[reuse_key] = (
+                qe.query_id,
+                _time.time(),
+                self.catalog.governance_fingerprint(),
+                {t: self._table_fingerprint(t) for t in touched},
+            )
             self.catalog.audit.record(
                 name or "<anonymous>", sql, touched, qe.filters_applied, "SUCCEEDED"
             )

@@ -1176,3 +1176,69 @@ _attach_oracle(
     "planted-near-dup recall vs the brute-force baseline additionally "
     "asserted in tests/test_dedup.py.",
 )
+
+
+@query(
+    "ann_filtered_topk",
+    """
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, v.vec_id, v.label,
+                  round(list_cosine_similarity(v.e, q.qe), 4) AS cos_sim,
+                  row_number() OVER (
+                    PARTITION BY q.qid
+                    ORDER BY round(list_cosine_similarity(v.e, q.qe), 4)
+                               DESC, v.vec_id
+                  ) AS rn
+           FROM v JOIN q ON v.vec_id <> q.qid
+           WHERE v.label IN (2, 3)
+         )
+    SELECT qid, vec_id, label, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= 10
+    """,
+    "Filtered vector search: top-10 cosine per query restricted to a "
+    "metadata predicate (label IN (2, 3)) — the pre-filtered search "
+    "shape every RAG corpus query uses (tenant / language / source "
+    "filters). The filter is applied BEFORE scoring and reaches the "
+    "parquet scan (plan-pinned), so selectivity pays for itself in "
+    "bytes never read.",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtering (filter -> search) vs post-filtering (search ->
+    filter) is THE design axis of filtered ANN: post-filtering a top-k
+    under-returns when the predicate is selective. This operator is the
+    exact pre-filtered form; at 100 TB the same predicate composes with
+    the index families — partition/cell pruning in IVF
+    (ann_ivf_cosine's routing), per-bucket filters in the LSH paths —
+    because label/tenant is a partition column of the stored index, so
+    the filter prunes files before any vector is read (the
+    partitioned_write_prune discipline applied to the vector corpus).
+
+    Scale: map-only scoring of the FILTERED scan against <= 5 broadcast
+    query vectors; per-query window top-k; PushedFilters pinned in
+    tests/test_plans.py."""
+    v = _with_norm(load(spark, sf_dir, "embeddings"))
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        v.filter(F.col("label").isin(2, 3))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(
+                _cos(F.col("embedding"), F.col("qe"), F.col("norm"), F.col("qnorm")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return scored.select(
+        "qid", "vec_id", "label", "cos_sim",
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).filter(F.col("rn") <= 10)
