@@ -39,14 +39,15 @@ round. Round-6 scheme (four prefixes, freshest-last):
   ``ann_sq_rerank_topk``, ``stream_topk_trending``, the
   ``privacy_k_anonymity`` release audit, the time-travel
   ``lake_scd2_as_of``, and the CDC-apply pipeline
-  ``stream_cdc_upsert``, and the pre-filtered vector search
-  ``ann_filtered_topk``. 28 names.
+  ``stream_cdc_upsert``, the pre-filtered vector search
+  ``ann_filtered_topk``, and the bloom semi-join reduction
+  ``join_bloom_pruned_revenue``. 29 names.
 - ``x_<name>`` — oracle-backed query whose last green driver verdict is
   from round 1 or 2 (the 25 names that spilled past round 5's window —
   round-5 VERDICT #2). These sort right after the unprefixed block, so
-  the window retires the stale backlog this round: 28 + 22 fill the 50
-  slots; the three alphabetically-last stale names
-  (``x_window_rank_parts``, ``x_window_running_sum``,
+  the window retires the stale backlog this round: 29 + 21 fill the 50
+  slots; the four alphabetically-last stale names (``x_window_range_frame``,
+  ``x_window_rank_parts``, ``x_window_running_sum``,
   ``x_window_topk_per_group``) spill to
   round 7's spare capacity — still locally oracle-diffed on every
   pytest run.
@@ -69,7 +70,7 @@ round. Round-6 scheme (four prefixes, freshest-last):
   Exactness / recall / bound tests live in tests/.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r05 except the twenty-eight unprefixed
+driver verdict in CORRECTNESS_r01..r05 except the twenty-nine unprefixed
 names above, which are new or changed in round 6 and get theirs here.
 """
 

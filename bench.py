@@ -87,6 +87,7 @@ HEADLINE = [
     "lake_scd2_as_of",
     "stream_cdc_upsert",
     "ann_filtered_topk",
+    "join_bloom_pruned_revenue",
 ]
 
 

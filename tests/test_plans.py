@@ -469,3 +469,15 @@ def test_filtered_ann_pushes_predicate_to_scan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "PushedFilters" in plan and "In(label" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bloom_prune_filters_fact_before_join(spark, sf_dir):
+    # The bloom bit-test must sit on the lineitem side BELOW the
+    # sort-merge join (map-side shuffle reduction), and the join itself
+    # is the forced SMJ modeling a too-big-to-broadcast dimension.
+    plan = physical_plan(REGISTRY["join_bloom_pruned_revenue"].builder(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "shiftright" in plan  # the bloom membership test survives to the plan
+    # the bit test evaluates below the join's exchange, not after the join
+    assert plan.index("shiftright") > plan.index("SortMergeJoin")

@@ -377,3 +377,106 @@ def string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_name", "a").cast("long").alias("a_pos"),
         F.repeat("p_brand", 2).alias("doubled"),
     )
+
+
+_BLOOM_BITS = 1 << 16  # 64 Kbit bitmap -> 1024 packed longs
+_BLOOM_WORDS = _BLOOM_BITS // 64
+
+
+def _bloom_positions(key_col):
+    """Two md5-derived bit positions per key (k=2 bloom hashes) —
+    deterministic, engine-independent."""
+    h = F.md5(key_col.cast("string"))
+    p1 = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % _BLOOM_BITS
+    p2 = F.conv(F.substring(h, 5, 4), 16, 10).cast("long") % _BLOOM_BITS
+    return p1, p2
+
+
+@query(
+    "join_bloom_pruned_revenue",
+    """
+    WITH o AS (SELECT o_orderkey, o_orderpriority FROM orders
+               WHERE o_orderdate >= DATE '1995-03-01'
+                 AND o_orderdate < DATE '1995-04-01'
+                 AND o_orderpriority = '1-URGENT')
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    "Bloom-filter semi-join reduction: the urgent-March-1995 order keys "
+    "build a 64 Kbit / k=2 bloom bitmap (driver-collected 1024 longs), "
+    "the fact scan drops non-member rows MAP-SIDE before any shuffle, "
+    "and the surviving sliver exact-joins (bloom passes a superset, so "
+    "the join result — and the oracle, which is the plain join — is "
+    "exactly equal).",
+)
+def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semi-join reduction for the regime broadcast can't reach: a
+    dimension too big to broadcast but whose KEY SET fits a bloom filter
+    (100M keys ~ a few hundred MB of bitmap vs tens of GB of rows).
+    Spark's AQE injects runtime bloom filters for some shapes
+    (spark.sql.optimizer.runtime.bloomFilter); this operator is the
+    explicit, plannable form — build once, reuse across queries.
+
+    Scale: the bitmap build is one partial-aggregated bit_or over the
+    filtered dim keys (1024 result rows, O(1) driver collect); the fact
+    scan evaluates two bit tests per row inside codegen and drops
+    non-members BEFORE the join's exchange — at a 0.1% match rate that
+    is a ~1000x shuffle reduction. The exact join afterwards keeps
+    semantics identical to the plain join (false positives are
+    eliminated there), which is why the oracle needs no bloom at all.
+    The join is forced to sort-merge (hint) to model the
+    too-big-to-broadcast dimension this trick exists for."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-03-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_orderkey", "o_orderpriority")
+
+    p1, p2 = _bloom_positions(F.col("o_orderkey"))
+    words = (
+        o.select(F.explode(F.array(p1, p2)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * _BLOOM_WORDS
+    for r in words:
+        bitmap[int(r["w"])] = int(r["bits"])
+    bm = F.array(*[F.lit(x) for x in bitmap])
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    q1, q2 = _bloom_positions(F.col("l_orderkey"))
+    staged = li.withColumn(
+        "w1", F.element_at(bm, ((q1 / 64).cast("long") + 1).cast("int"))
+    ).withColumn(
+        "w2", F.element_at(bm, ((q2 / 64).cast("long") + 1).cast("int"))
+    ).withColumn("p1", q1).withColumn("p2", q2)
+    # dynamic shift amounts need the SQL form (the Python shiftright
+    # wrapper takes a literal int only)
+    pruned = staged.filter(
+        F.expr(
+            "(shiftright(w1, CAST(p1 % 64 AS INT)) & 1) = 1 AND "
+            "(shiftright(w2, CAST(p2 % 64 AS INT)) & 1) = 1"
+        )
+    ).drop("w1", "w2", "p1", "p2")
+    joined = pruned.join(
+        o.hint("merge"), pruned["l_orderkey"] == o["o_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
