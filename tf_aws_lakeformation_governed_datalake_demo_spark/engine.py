@@ -160,8 +160,14 @@ class Engine:
         )
         for qe in targets:
             if qe.results_path is not None:
-                shutil.rmtree(qe.results_path, ignore_errors=True)
-                qe.results_path = None
+                path = qe.results_path
+                shutil.rmtree(path, ignore_errors=True)
+                # L7 reuse shares the producer's CSV path across
+                # executions — null out EVERY execution pointing at the
+                # deleted files so no stale path survives
+                for other in self.executions.values():
+                    if other.results_path == path:
+                        other.results_path = None
                 removed += 1
         return removed
 
