@@ -166,8 +166,11 @@ def lake_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     mv_path = scratch_dir("incr_mv_") + "/mv"
-    agg(e.filter(~delta_pred)).write.parquet(mv_path)
-    mv = spark.read.parquet(mv_path).alias("m")
+    base_agg = agg(e.filter(~delta_pred))
+    base_agg.write.parquet(mv_path)
+    # declared-schema read (the catalog-backed at-scale path): the
+    # refresh job never pays footer scans on the stored MV
+    mv = spark.read.schema(base_agg.schema).parquet(mv_path).alias("m")
     d = agg(e.filter(delta_pred)).alias("d")
     merged = mv.join(
         d,
