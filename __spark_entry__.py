@@ -31,7 +31,7 @@ round. Round-6 scheme (four prefixes, freshest-last):
   ``pq_adc_rerank_topk`` / ``pq_recall_at_k`` / ``ann_ivfadc_topk``),
   the temperature-weighted ``pipeline_dataset_mixture``, the
   Z-order layout scan ``lake_zorder_scan``, the trailing-window
-  monitoring query ``events_anomaly_zscore``, and the six second-half
+  monitoring query ``events_anomaly_zscore``, and the eleven second-half
   round-6 additions: CDC snapshot diff ``lake_table_diff``,
   incremental MV maintenance ``lake_incremental_agg_refresh``,
   SemDeDup-style ``dedup_semantic_centroids``, DSIR-style

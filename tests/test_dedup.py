@@ -247,3 +247,72 @@ def test_semantic_dedup_invariants(spark, sf_dir):
         assert r.max_sim >= SEM_THRESHOLD
         assert r.vec_id not in seen  # one verdict per removed vector
         seen.add(r.vec_id)
+
+
+def test_semantic_dedup_closure_vs_numpy(spark, sf_dir):
+    """Completeness: an INDEPENDENT numpy re-implementation (centroids,
+    nearest-centroid assignment, in-cluster pairwise cosine) must agree
+    with the operator's removal set exactly — a silently-dropped removal
+    row fails here even though every emitted row looks valid."""
+    import numpy as np
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.semantic import (
+        SEM_THRESHOLD,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r.vec_id for r in rows])
+    labels = np.array([r.label for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, labels, mat = ids[order], labels[order], mat[order]
+
+    # collapse exact duplicates (lowest id per identical vector)
+    seen = {}
+    keep = []
+    for i in range(len(ids)):
+        key = mat[i].tobytes()
+        if key not in seen:
+            seen[key] = ids[i]
+            keep.append(i)
+    ids, labels, mat = ids[keep], labels[keep], mat[keep]
+
+    # per-label mean centroids over the collapsed corpus
+    ulabels = np.unique(labels)
+    cents = np.array([mat[labels == l].mean(axis=0) for l in ulabels])
+    cn = np.linalg.norm(cents, axis=1)
+    vn = np.linalg.norm(mat, axis=1)
+    sims = np.round((mat @ cents.T) / (vn[:, None] * cn[None, :]), 4)
+    # nearest centroid, ties to the LOWEST label (ulabels is sorted)
+    assign = ulabels[
+        np.array([int(np.argmax(s)) for s in sims])
+    ]
+
+    removed = {}
+    for c in ulabels:
+        m = assign == c
+        cid, cmat, cvn = ids[m], mat[m], vn[m]
+        cos = np.round((cmat @ cmat.T) / (cvn[:, None] * cvn[None, :]), 4)
+        for j in range(len(cid)):
+            smaller = [
+                k for k in range(len(cid))
+                if cid[k] < cid[j] and cos[k, j] >= SEM_THRESHOLD
+            ]
+            if smaller:
+                removed[int(cid[j])] = (
+                    int(c),
+                    int(min(cid[k] for k in smaller)),
+                    float(max(cos[k, j] for k in smaller)),
+                )
+
+    got = {
+        int(r.vec_id): (int(r.cluster), int(r.keeper), float(r.max_sim))
+        for r in REGISTRY["dedup_semantic_centroids"].builder(spark, sf_dir).collect()
+    }
+    assert set(got) == set(removed)  # closure: exactly the right rows
+    for vid in got:
+        assert got[vid][0] == removed[vid][0]
+        assert got[vid][1] == removed[vid][1]
+        assert abs(got[vid][2] - removed[vid][2]) <= 2e-4  # rounding-path tolerance

@@ -248,7 +248,7 @@ _REUSE_SQL = (
 
 def test_result_reuse_hit_and_lineage(reuse_engine):
     eng = reuse_engine
-    q1 = eng.submit(_REUSE_SQL, principal="analyst")
+    q1 = eng.submit(_REUSE_SQL, principal="analyst", reuse_max_age=3600)
     q2 = eng.submit(_REUSE_SQL, principal="analyst", reuse_max_age=3600)
     assert eng.executions[q2].reused_from == q1
     assert eng.metrics["queries_reused"] == 1
@@ -260,8 +260,11 @@ def test_result_reuse_hit_and_lineage(reuse_engine):
 
 def test_result_reuse_requires_opt_in_and_same_principal(reuse_engine):
     eng = reuse_engine
-    q1 = eng.submit(_REUSE_SQL, principal="analyst")
-    # no reuse_max_age -> always fresh
+    # a producer that did NOT opt in populates nothing
+    q0 = eng.submit(_REUSE_SQL, principal="analyst")
+    q1 = eng.submit(_REUSE_SQL, principal="analyst", reuse_max_age=3600)
+    assert eng.executions[q1].reused_from is None  # q0 left no cache entry
+    # no reuse_max_age on the consumer -> always fresh
     q2 = eng.submit(_REUSE_SQL, principal="analyst")
     assert eng.executions[q2].reused_from is None
     # a different principal has a different governed rewrite -> no reuse
@@ -278,7 +281,7 @@ def test_result_reuse_invalidated_by_data_change(reuse_engine):
     import os
 
     eng = reuse_engine
-    q1 = eng.submit(_REUSE_SQL, principal="analyst")
+    q1 = eng.submit(_REUSE_SQL, principal="analyst", reuse_max_age=3600)
     # new data lands in the table location -> fingerprint changes ->
     # the cached result must NOT be served
     loc = eng.catalog.tables["sales_db.sales"].location
@@ -294,9 +297,50 @@ def test_result_reuse_invalidated_by_data_change(reuse_engine):
 
 def test_result_reuse_invalidated_by_governance_change(reuse_engine):
     eng = reuse_engine
-    q1 = eng.submit(_REUSE_SQL, principal="analyst")
+    q1 = eng.submit(_REUSE_SQL, principal="analyst", reuse_max_age=3600)
     # ANY governance metadata mutation (here: a new grant) must
     # invalidate the cache — a policy change can never be ridden
     eng.catalog.grant("auditor", "SELECT", "sales_db", "sales")
     q2 = eng.submit(_REUSE_SQL, principal="analyst", reuse_max_age=3600)
     assert eng.executions[q2].reused_from is None
+
+
+def test_result_reuse_view_gated_on_base_table_storage(reuse_engine):
+    import glob
+    import os
+
+    eng = reuse_engine
+    vsql = "SELECT sales_region, COUNT(*) AS n FROM sales_db.sales_masked GROUP BY sales_region"
+    q1 = eng.submit(vsql, principal="analyst", reuse_max_age=3600)
+    q2 = eng.submit(vsql, principal="analyst", reuse_max_age=3600)
+    assert eng.executions[q2].reused_from == q1  # views CAN reuse...
+    # ...but new data behind the view's BASE table must invalidate
+    loc = eng.catalog.tables["sales_db.sales"].location
+    f = glob.glob(f"{loc}/**/*.parquet", recursive=True)[0]
+    st = os.stat(f)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    q3 = eng.submit(vsql, principal="analyst", reuse_max_age=3600)
+    assert eng.executions[q3].reused_from is None
+
+
+def test_cleanup_of_reused_execution_keeps_producer_artifact(
+    spark, tmp_path_factory
+):
+    import os
+
+    lake = str(tmp_path_factory.mktemp("reuselake2"))
+    results = str(tmp_path_factory.mktemp("reuseres"))
+    eng = Engine(spark, fx.bootstrap(spark, lake), results_dir=results)
+    q1 = eng.submit(_REUSE_SQL, principal="analyst", reuse_max_age=3600)
+    q2 = eng.submit(_REUSE_SQL, principal="analyst", reuse_max_age=3600)
+    assert eng.executions[q2].reused_from == q1
+    path = eng.executions[q1].results_path
+    assert path and os.path.isdir(path)
+    # targeted cleanup of the REUSED execution detaches its pointer only
+    eng.cleanup_results(q2)
+    assert eng.executions[q2].results_path is None
+    assert eng.executions[q1].results_path == path and os.path.isdir(path)
+    # cleanup of the producer removes the files and detaches everyone
+    eng.cleanup_results(q1)
+    assert eng.executions[q1].results_path is None
+    assert not os.path.isdir(path)

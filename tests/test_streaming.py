@@ -339,84 +339,53 @@ def test_cdc_upsert_resume_after_restart(spark, sf_dir, tmp_path):
     # unprocessed file, already-applied batches are never re-applied
     # (checkpoint), re-applying would be harmless anyway (newer-wins
     # condition is idempotent), and the final dimension equals the
-    # global latest-per-key state.
-    import glob as _glob
-    import shutil as _shutil
-
-    from pyspark.sql import Window as W
-
+    # global latest-per-key state. Semantics come from the SHARED
+    # cdc_* helpers the registered operator itself runs — the test
+    # cannot drift from the shipped code.
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.streaming_ops import (
+        cdc_apply_batch,
+        cdc_land_change_files,
+        cdc_latest_per_user,
+    )
     from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
         load,
         write_partitioned,
     )
-    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
-        merge_into,
-    )
 
     e = load(spark, sf_dir, "events")
     dim = str(tmp_path / "dim")
-    src = tmp_path / "changes"
-    src.mkdir()
+    src = str(tmp_path / "changes")
     ckpt = str(tmp_path / "ckpt")
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-
-    def latest_per_user(df):
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "user_id",
-                (F.col("user_id") % 8).alias("bucket"),
-                F.col("event_id").alias("last_event_id"),
-                F.col("ts").alias("last_ts"),
-                F.col("event_type").alias("last_type"),
-                F.col("value").alias("last_value"),
-            )
-        )
 
     seed = e.filter(F.col("event_id") % 7 == 0)
-    write_partitioned(latest_per_user(seed), dim, partition_by=["bucket"])
-    dim_schema = latest_per_user(seed).schema
+    write_partitioned(cdc_latest_per_user(seed), dim, partition_by=["bucket"])
+    dim_schema = cdc_latest_per_user(seed).schema
     rest = e.filter(F.col("event_id") % 7 != 0)
 
+    # land change files ONE AT A TIME out of the shared 3-way split
+    all_src = str(tmp_path / "allchanges")
+    cdc_land_change_files(rest, all_src, str(tmp_path))
+
+    import shutil as _shutil
+    import os as _os
+
+    _os.makedirs(src)
+
     def land(i):
-        tmp = str(tmp_path / f"_t{i}")
-        rest.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(tmp)
-        _shutil.move(_glob.glob(f"{tmp}/part-*.parquet")[0], str(src / f"c{i}.parquet"))
-        _shutil.rmtree(tmp)
+        _shutil.copy(f"{all_src}/c{i}.parquet", f"{src}/c{i}.parquet")
 
     applied_batches = []
 
     def apply_batch(batch, batch_id):
         applied_batches.append(batch_id)
-        latest = latest_per_user(batch)
-        cur = (
-            spark.read.schema(dim_schema)
-            .parquet(dim)
-            .select(
-                "user_id",
-                F.col("last_ts").alias("cur_ts"),
-                F.col("last_event_id").alias("cur_id"),
-            )
-        )
-        newer = F.struct("last_ts", "last_event_id") > F.struct("cur_ts", "cur_id")
-        upd = (
-            latest.join(cur, "user_id", "left")
-            .filter(F.col("cur_ts").isNull() | newer)
-            .drop("cur_ts", "cur_id")
-        )
-        if not upd.isEmpty():
-            merge_into(
-                spark, dim, upd, ["user_id"], partition_by=["bucket"],
-                schema=dim_schema,
-            )
+        cdc_apply_batch(spark, dim, dim_schema, batch)
 
     def run():
         (
             spark.readStream.schema(e.schema)
             .format("parquet")
             .option("maxFilesPerTrigger", 1)
-            .load(str(src))
+            .load(src)
             .writeStream.foreachBatch(apply_batch)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -432,6 +401,7 @@ def test_cdc_upsert_resume_after_restart(spark, sf_dir, tmp_path):
     first = run()
     n_first = len(applied_batches)
     assert n_first >= 1
+    assert first
 
     # "crash" happened; the remaining change files land; a NEW query
     # resumes from the same checkpoint and must NOT reprocess c0
@@ -446,6 +416,6 @@ def test_cdc_upsert_resume_after_restart(spark, sf_dir, tmp_path):
 
     expected = {
         r.user_id: (r.last_event_id, r.last_ts)
-        for r in latest_per_user(e).collect()
+        for r in cdc_latest_per_user(e).collect()
     }
     assert final == expected

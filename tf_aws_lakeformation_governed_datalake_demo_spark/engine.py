@@ -80,8 +80,11 @@ class Engine:
             "queries_reused": 0,
             "rows_fetched": 0,
         }
-        # L7 result-reuse cache: (principal, REWRITTEN sql) ->
-        # (query_id, completed_at, {table: fingerprint})
+        # L7 result-reuse cache: (principal, RAW sql) -> (query_id,
+        # completed_at, governance_fingerprint, {base table: storage
+        # fingerprint}). Raw-SQL keying is safe ONLY because a hit also
+        # requires the governance fingerprint to be unchanged since the
+        # producing run (whose rewrite enforced the then-current grants).
         self._reuse_cache: dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------- L1-L4
@@ -160,11 +163,16 @@ class Engine:
         )
         for qe in targets:
             if qe.results_path is not None:
+                # L7 reuse shares the producer's CSV path. A TARGETED
+                # cleanup of a reused execution only detaches its own
+                # pointer — it must not destroy the producer's durable
+                # artifact; the producer (or a cleanup-all) deletes the
+                # files, and the sweep below detaches every sharer.
+                if query_id is not None and qe.reused_from is not None:
+                    qe.results_path = None
+                    continue
                 path = qe.results_path
                 shutil.rmtree(path, ignore_errors=True)
-                # L7 reuse shares the producer's CSV path across
-                # executions — null out EVERY execution pointing at the
-                # deleted files so no stale path survives
                 for other in self.executions.values():
                     if other.results_path == path:
                         other.results_path = None
@@ -185,17 +193,45 @@ class Engine:
         return qe.result
 
     # ------------------------------------------------- L7 result reuse
-    def _table_fingerprint(self, qualified: str) -> tuple:
+    def _storage_tables(self, qualified: str, _seen: set | None = None) -> set:
+        """Base TABLES whose storage backs ``qualified``: the name itself
+        for a table; for a VIEW, every known table reachable through its
+        (possibly nested) SQL body — so view-query reuse is gated on the
+        same file fingerprints a direct table query would be. Unknown
+        names resolve to themselves and fingerprint as None (fail
+        closed: a None fingerprint never validates a hit)."""
+        seen = _seen if _seen is not None else set()
+        if qualified in seen:
+            return set()
+        seen.add(qualified)
+        vdef = self.catalog.views.get(qualified)
+        if vdef is None:
+            return {qualified}
+        import re
+
+        out: set = set()
+        for name in list(self.catalog.tables) + list(self.catalog.views):
+            if name == qualified:
+                continue
+            if re.search(
+                r"(?<![A-Za-z0-9_.])" + re.escape(name) + r"(?![A-Za-z0-9_])",
+                vdef.sql,
+            ):
+                out |= self._storage_tables(name, seen)
+        return out
+
+    def _table_fingerprint(self, qualified: str) -> tuple | None:
         """Cheap freshness token for a table's storage: (file count, max
         mtime ns) under its location — the Glue table-version analog. At
         catalog scale you would read the version counter the writer bumps
         instead of statting files; the contract is the same: any data
-        change changes the fingerprint."""
+        change changes the fingerprint. Unknown names return None, which
+        the hit check treats as never-fresh."""
         import os
 
         td = self.catalog.tables.get(qualified)
         if td is None:
-            return (qualified, None, None)
+            return None
         n, mx = 0, 0
         for root, _dirs, files in os.walk(td.location):
             for f in files:
@@ -204,6 +240,12 @@ class Engine:
                 n += 1
                 mx = max(mx, os.stat(os.path.join(root, f)).st_mtime_ns)
         return (qualified, n, mx)
+
+    def _storage_fingerprints(self, touched: list[str]) -> dict:
+        tables: set = set()
+        for q in touched:
+            tables |= self._storage_tables(q)
+        return {t: self._table_fingerprint(t) for t in sorted(tables)}
 
     # ---------------------------------------------------------- internals
     def _execute(
@@ -222,11 +264,17 @@ class Engine:
           mutation invalidates the whole cache, so no policy change can
           be ridden by a cached result (Athena reuses within the
           workgroup on the raw query string alone);
-        - a hit additionally requires every touched table's storage
-          fingerprint to be unchanged, so stale-data reuse (the
-          documented Athena caveat) cannot happen.
+        - a hit additionally requires every touched BASE table's storage
+          fingerprint to be unchanged — views resolve (recursively) to
+          the tables behind them — so stale-data reuse (the documented
+          Athena caveat) cannot happen; an unresolvable name
+          fingerprints as None and fails closed.
 
-        A reused execution gets its own query id and audit row (status
+        Like Athena's per-query ResultReuseConfiguration, BOTH the
+        producing and the consuming call must pass ``reuse_max_age``:
+        production-time fingerprints are what make a later hit safe,
+        and non-reuse callers never pay the fingerprint cost. A reused
+        execution gets its own query id and audit row (status
         ``REUSED:<producer id>``) — the lineage a billing/audit reviewer
         needs."""
         import time as _time
@@ -249,7 +297,7 @@ class Engine:
                     _time.time() - done_at <= reuse_max_age
                     and gov_fp == self.catalog.governance_fingerprint()
                     and all(
-                        self._table_fingerprint(t) == fp
+                        fp is not None and self._table_fingerprint(t) == fp
                         for t, fp in table_fps.items()
                     )
                 )
@@ -306,14 +354,19 @@ class Engine:
                 qe.results_path = out
             qe.state = QueryState.SUCCEEDED
             self.metrics["queries_succeeded"] += 1
-            # populate the reuse cache unconditionally so a LATER submit
-            # with reuse_max_age can hit results produced before it
-            self._reuse_cache[reuse_key] = (
-                qe.query_id,
-                _time.time(),
-                self.catalog.governance_fingerprint(),
-                {t: self._table_fingerprint(t) for t in touched},
-            )
+            # Populate the reuse cache only when THIS call opted into
+            # reuse (Athena's per-query ResultReuseConfiguration shape):
+            # production-time fingerprints are what make a later hit
+            # safe, and computing them (an os.walk per touched table +
+            # the catalog digest) is not a cost every non-reuse caller
+            # should pay on the hot path.
+            if reuse_max_age is not None:
+                self._reuse_cache[reuse_key] = (
+                    qe.query_id,
+                    _time.time(),
+                    self.catalog.governance_fingerprint(),
+                    self._storage_fingerprints(touched),
+                )
             self.catalog.audit.record(
                 name or "<anonymous>", sql, touched, qe.filters_applied, "SUCCEEDED"
             )

@@ -401,7 +401,8 @@ def _bloom_positions(key_col):
                  AND o_orderpriority = '1-URGENT')
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
+           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
              AS revenue
     FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
@@ -474,9 +475,14 @@ def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = pruned.join(
         o.hint("merge"), pruned["l_orderkey"] == o["o_orderkey"]
     )
+    # integer-cents sum (the tpch_more discipline): per-line money
+    # rounds to exact cents in both engines, and the integer sum is
+    # order-independent — an unordered double sum could flip the
+    # 2-decimal round on a half-cent boundary
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        F.round(F.sum(cents).cast("double") / 100.0, 2).alias("revenue"),
     )

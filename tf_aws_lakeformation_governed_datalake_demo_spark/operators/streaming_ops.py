@@ -303,6 +303,86 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_N_BUCKETS = 8  # dimension partition buckets (user_id % N)
+
+
+def cdc_latest_per_user(df: DataFrame) -> DataFrame:
+    """Collapse a change batch to its newest row per key ((ts, event_id)
+    descending), shaped as the dimension row. Shared by the registered
+    stream_cdc_upsert pipeline and its restart-resume test so the pinned
+    semantics are the shipped code's."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            (F.col("user_id") % CDC_N_BUCKETS).alias("bucket"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+def cdc_apply_batch(spark: SparkSession, dim: str, dim_schema, batch: DataFrame) -> None:
+    """One CDC micro-batch applied to the bucket-partitioned dimension:
+    rank the batch to latest-per-key, keep only rows strictly NEWER
+    ((ts, event_id) lexicographic) than the stored version, and MERGE
+    the survivors with touched-partition pruning. Order-tolerant and
+    idempotent — replayed or reordered batches cannot corrupt the
+    dimension."""
+    from pyspark.sql import functions as F
+
+    from ..sources.lake import merge_into
+
+    latest = cdc_latest_per_user(batch)
+    cur = (
+        spark.read.schema(dim_schema)
+        .parquet(dim)
+        .select(
+            "user_id",
+            F.col("last_ts").alias("cur_ts"),
+            F.col("last_event_id").alias("cur_id"),
+        )
+    )
+    newer = F.struct("last_ts", "last_event_id") > F.struct("cur_ts", "cur_id")
+    upd = (
+        latest.join(cur, "user_id", "left")
+        .filter(F.col("cur_ts").isNull() | newer)
+        .drop("cur_ts", "cur_id")
+    )
+    if upd.isEmpty():
+        return
+    merge_into(
+        spark, dim, upd, ["user_id"], partition_by=["bucket"], schema=dim_schema
+    )
+
+
+def cdc_land_change_files(df: DataFrame, src: str, tmp_root: str, n: int = 3) -> None:
+    """Split a change set into ``n`` single parquet files under ``src``
+    (one micro-batch each) keyed on event_id % n — interleaving event
+    times across files so later batches routinely carry OLDER rows for
+    a key than earlier batches did (the out-of-order delivery the
+    conditional merge must absorb)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(src, exist_ok=True)
+    for i in range(n):
+        tmp = f"{tmp_root}/_cdc_tmp{i}"
+        df.filter(F.col("event_id") % n == i).coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/c{i}.parquet")
+        shutil.rmtree(tmp)
+
+
 @query(
     "stream_cdc_upsert",
     """
@@ -337,77 +417,25 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the user_id bucket). Dimension reads use the declared schema — no
     footer scans per batch. The checkpointLocation makes restarts
     resume at the unprocessed file."""
-    import glob
-    import os
-    import shutil
-
-    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     from ..scratch import scratch_dir
     from ..sources import load, write_partitioned
-    from ..sources.lake import merge_into
 
     e = load(spark, sf_dir, "events")
     base = scratch_dir("cdc_upsert_")
     dim = f"{base}/dim"
     src = f"{base}/changes"
 
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-
-    def latest_per_user(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "user_id",
-                (F.col("user_id") % 8).alias("bucket"),
-                F.col("event_id").alias("last_event_id"),
-                F.col("ts").alias("last_ts"),
-                F.col("event_type").alias("last_type"),
-                F.col("value").alias("last_value"),
-            )
-        )
-
     seed = e.filter(F.col("event_id") % 7 == 0)
-    seed_latest = latest_per_user(seed)
+    seed_latest = cdc_latest_per_user(seed)
     write_partitioned(seed_latest, dim, partition_by=["bucket"])
     dim_schema = seed_latest.schema
 
-    # Three change files -> three sequential micro-batches; the % 3 split
-    # interleaves event times across files, so later batches routinely
-    # carry OLDER rows for a key than an earlier batch did (the
-    # out-of-order delivery the conditional merge must absorb).
-    rest = e.filter(F.col("event_id") % 7 != 0)
-    os.makedirs(src, exist_ok=True)
-    for i in range(3):
-        tmp = f"{base}/_tmp{i}"
-        rest.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(tmp)
-        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/c{i}.parquet")
-        shutil.rmtree(tmp)
+    cdc_land_change_files(e.filter(F.col("event_id") % 7 != 0), src, base)
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
-        latest = latest_per_user(batch)
-        cur = (
-            spark.read.schema(dim_schema)
-            .parquet(dim)
-            .select(
-                "user_id",
-                F.col("last_ts").alias("cur_ts"),
-                F.col("last_event_id").alias("cur_id"),
-            )
-        )
-        newer = F.struct("last_ts", "last_event_id") > F.struct("cur_ts", "cur_id")
-        upd = (
-            latest.join(cur, "user_id", "left")
-            .filter(F.col("cur_ts").isNull() | newer)
-            .drop("cur_ts", "cur_id")
-        )
-        if upd.isEmpty():
-            return
-        merge_into(
-            spark, dim, upd, ["user_id"], partition_by=["bucket"], schema=dim_schema
-        )
+        cdc_apply_batch(spark, dim, dim_schema, batch)
 
     (
         spark.readStream.schema(e.schema)
