@@ -88,6 +88,7 @@ HEADLINE = [
     "stream_cdc_upsert",
     "ann_filtered_topk",
     "join_bloom_pruned_revenue",
+    "stream_enriched_region_counts",
 ]
 
 

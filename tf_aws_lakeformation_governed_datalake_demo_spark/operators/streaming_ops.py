@@ -457,3 +457,59 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_type",
         F.round("last_value", 2).alias("last_value"),
     )
+
+
+@query(
+    "stream_enriched_region_counts",
+    """
+    SELECT date_trunc('hour', e.ts) AS hour, n.n_name AS region,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(e.value * 1000000) AS BIGINT)) / 1000000.0, 2)
+             AS total_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    "Stream-static dimension enrichment: the event stream joins the "
+    "static nation dimension (broadcast — no stream-side state, no "
+    "watermark needed for the join) before a tumbling hourly "
+    "aggregation per region, complete mode. The missing classic among "
+    "the streaming shapes: every production stream is enriched against "
+    "slowly-changing reference data exactly like this.",
+)
+def stream_enriched_region_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: a stream-STATIC join keeps zero join state — the static
+    side broadcasts to every task and each micro-batch probes it
+    map-side (contrast stream-stream joins, whose state grows with the
+    watermark window). The static table is re-read per micro-batch in
+    availableNow mode, so a dimension refresh lands without restarting
+    the query; pair with scd2_as_of reads for point-in-time-correct
+    enrichment. Aggregation state is (hours x regions) — tiny. Value
+    sums are 1e-6-scaled integers (order-free, oracle-exact)."""
+    from pyspark.sql import functions as F
+
+    from ..sources import load
+
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name").alias("region"),
+    )
+    events = se.read_events_stream(spark, sf_dir)
+    enriched = events.join(
+        F.broadcast(nation), events["user_id"] % 25 == nation["n_nationkey"]
+    )
+    agg = (
+        enriched.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "region")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("sv"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "region",
+            "n",
+            F.round(F.col("sv").cast("double") / 1000000.0, 2).alias("total_value"),
+        )
+    )
+    name = f"stream_out_{next(_COUNTER)}"
+    return se.run_stream_to_batch(agg, name, output_mode="complete")
