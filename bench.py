@@ -89,6 +89,7 @@ HEADLINE = [
     "ann_filtered_topk",
     "join_bloom_pruned_revenue",
     "stream_enriched_region_counts",
+    "graph_triangle_count",
 ]
 
 

@@ -21,5 +21,6 @@ from . import privacy  # noqa: E402,F401 — corpus PII scrubbing
 from . import quantization  # noqa: E402,F401 — product quantization (ADC ANN)
 from . import maintenance  # noqa: E402,F401 — CDC diff, incremental MV refresh
 from . import semantic  # noqa: E402,F401 — cluster-scoped semantic dedup
+from . import graph  # noqa: E402,F401 — co-purchase graph analytics
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
