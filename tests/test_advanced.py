@@ -155,3 +155,38 @@ def test_multimodal_embed_knn_composition(spark, sf_dir):
     sims = [r.cos_sim for r in rows]
     assert sims == sorted(sims, reverse=True)
     assert all(0.0 <= s <= 1.0 for s in sims)
+
+
+def test_anomaly_zscore_scores_outage_day(spark, tmp_path):
+    """A zero-event day — the canonical outage — must BE a scored row
+    (cnt=0, flagged), not a silent gap that stretches the trailing
+    window past 7 calendar days (round-6 review finding)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 3, 1, 12, 0)
+    for day in range(10):
+        if day == 8:  # the outage day (2024-03-09): zero events
+            continue
+        n = 100 + (day % 2)  # alternate 100/101 so sd > 0
+        for i in range(n):
+            rows.append((eid, base + datetime.timedelta(days=day, seconds=i), "click"))
+            eid += 1
+    sf = str(tmp_path / "outage_sf")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    out = {
+        r.day: (r.cnt, r.z, r.is_anomaly)
+        for r in REGISTRY["events_anomaly_zscore"].builder(spark, sf).collect()
+    }
+    outage = datetime.date(2024, 3, 9)
+    assert outage in out, sorted(out)
+    cnt, z, flagged = out[outage]
+    assert cnt == 0 and z < -2 and flagged

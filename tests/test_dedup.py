@@ -316,3 +316,66 @@ def test_semantic_dedup_closure_vs_numpy(spark, sf_dir):
         assert got[vid][0] == removed[vid][0]
         assert got[vid][1] == removed[vid][1]
         assert abs(got[vid][2] - removed[vid][2]) <= 2e-4  # rounding-path tolerance
+
+
+def test_cluster_oracles_agree_on_duplicated_corpus(spark, tmp_path):
+    """The round-6 review reproduced impl/oracle divergence for the
+    clustering family on corpora with EXACT duplicates (collapse on one
+    side only). Pin the fix: a crafted duplicated corpus must hash-match
+    between Spark and DuckDB for every collapse-affected query, exact
+    copies must land in their near-dup component, and keep-best must
+    keep exactly one of an exact pair."""
+    import duckdb
+
+    from tests.test_oracle_diff import _rows_multiset
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    long_a = " ".join(f"w{i}" for i in range(30))
+    near_a = " ".join(f"w{i}" for i in range(29)) + " zz"
+    docs = [
+        (1, long_a),
+        (2, long_a),            # exact copy of 1
+        (3, near_a),            # near-dup of 1 (jaccard ~0.93)
+        (4, "completely different tokens " * 6),
+        (5, "x y z"),           # short exact pair — below shingle length,
+        (6, "x y z"),           # connected ONLY by the attachment edge
+    ]
+    sf = str(tmp_path / "dup_sf")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    for name in [
+        "dedup_clusters_exact",
+        "dedup_keep_best",
+        "dedup_shingle_containment",
+        "dedup_ngram_jaccard",
+    ]:
+        spec = REGISTRY[name]
+        sdf = spec.builder(spark, sf)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        rel = con.sql(spec.oracle)
+        d_rows = rel.fetchall()
+        assert len(s_rows) == len(d_rows), (name, s_rows, d_rows)
+        assert _rows_multiset(s_rows, sdf.columns) == _rows_multiset(
+            d_rows, rel.columns
+        ), name
+
+    comp = {
+        r.doc_id: r.component
+        for r in REGISTRY["dedup_clusters_exact"].builder(spark, sf).collect()
+    }
+    assert comp[1] == comp[2] == comp[3]  # exact copy joins the near cluster
+    assert comp[5] == comp[6]             # short exact pair still connected
+    assert 4 not in comp                  # isolated doc has no edges
+    keepers = {
+        r.component: (r.keeper_doc_id, r.cluster_size)
+        for r in REGISTRY["dedup_keep_best"].builder(spark, sf).collect()
+    }
+    assert keepers[comp[1]] == (1, 3)     # one keeper for {1,2,3}
+    assert keepers[comp[5]] == (5, 2)     # one keeper for the exact pair
+    assert keepers[4] == (4, 1)           # singleton survives

@@ -192,6 +192,35 @@ def collapse_exact_duplicates(
     )
 
 
+# The SQL mirror of collapse_exact_duplicates — ONE definition shared by
+# every oracle that replays the exact-then-near collapse (md5(text)
+# partition, lowest doc_id wins). Inline drift between this CTE and the
+# Python helper is exactly the divergence class the round-6 review
+# caught; keep them together.
+REPS_CTE = """reps AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, row_number() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1)"""
+
+
+def exact_duplicate_edges(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_a, doc_b) edges attaching every exact copy to its lowest-id
+    representative. Pair-mining paths collapse exact duplicates before
+    banding (collapse_exact_duplicates); CLUSTERING consumers must union
+    these attachment edges back in, or exact copies silently fall out of
+    their near-dup components. One content-hash shuffle; d copies emit
+    d-1 edges (a star), never d^2 pairs."""
+    rep = F.min(id_col).over(W.partitionBy("__ch"))
+    return (
+        docs.withColumn("__ch", F.md5(F.col(text_col)))
+        .withColumn("__rep", rep)
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(F.col("__rep").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """doc_id + 64-value minhash ``signature`` array (reusable block).
 
@@ -342,10 +371,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _W = [31**j % _MERSENNE for j in range(5)]
 _MINHASH_MD5_ORACLE = f"""
-    WITH reps AS (SELECT doc_id, text FROM (
-             SELECT doc_id, text, row_number() OVER (
-                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
-             FROM documents) WHERE rn = 1),
+    WITH {REPS_CTE},
     toks AS (SELECT doc_id,
                          string_split_regex(lower(text), '\\s+') AS tk
                   FROM reps),
@@ -447,11 +473,8 @@ def minhash_jaccard_pairs(
 
 @query(
     "dedup_ngram_jaccard",
-    """
-    WITH reps AS (SELECT doc_id, text FROM (
-             SELECT doc_id, text, row_number() OVER (
-                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
-             FROM documents) WHERE rn = 1),
+    f"""
+    WITH {REPS_CTE},
     t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
                FROM reps),
     sh AS (SELECT doc_id,
@@ -564,11 +587,8 @@ def ngram_jaccard_pairs(
 
 @query(
     "dedup_shingle_containment",
-    """
-    WITH reps AS (SELECT doc_id, text FROM (
-             SELECT doc_id, text, row_number() OVER (
-                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
-             FROM documents) WHERE rn = 1),
+    f"""
+    WITH {REPS_CTE},
     t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
                FROM reps),
     sh AS (SELECT doc_id,
@@ -626,7 +646,14 @@ def shingle_containment_pairs(
     pairs; containment is two extra projections over the same shared-
     count aggregate, so the plan (and its 100 TB behavior) is the
     Jaccard plan, not a new one.
+
+    Exact-duplicate texts collapse to one representative first (the
+    family-wide exact-then-near ordering; the oracle's reps CTE
+    mirrors this) — without it, d exact copies inflate posting-list
+    pair counts by d^2, and impl/oracle would diverge on any
+    duplicated corpus.
     """
+    docs = collapse_exact_duplicates(docs, id_col=id_col)
     sets_ = shingle_hash_frame(docs, id_col=id_col).select(
         id_col, F.col("shingle_hashes").alias("sh")
     )

@@ -178,13 +178,23 @@ def label_propagation(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     "training-data dedup pipeline end-to-end.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import minhash_jaccard_pairs
+    from .dedup import exact_duplicate_edges, minhash_jaccard_pairs
     from ..sources import load
 
     # sort-free pair input (tests/test_plans.py pins no range-partition
     # Exchange): clustering is order-insensitive, so the registry form's
     # oracle-determinism sort would be a pure scale-tax here.
-    pairs = minhash_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8).cache()
+    # Pair mining collapses exact duplicates (the d^2 hazard), so the
+    # CLUSTERING consumer must union the exact-attachment edges back in
+    # — without them, exact copies fall out of their components
+    # entirely (round-6 review finding, reproduced on a dup corpus).
+    d = load(spark, sf_dir, "documents")
+    pairs = (
+        minhash_jaccard_pairs(d, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .unionByName(exact_duplicate_edges(d))
+        .cache()
+    )
     pairs.count()
     labels = label_propagation(pairs)
     return (
@@ -202,12 +212,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared recursive-CTE prefix: exact >=0.8-Jaccard 5-gram pairs ->
-# transitive closure -> per-doc component. Reused by the clustering
-# oracle and the keep-best canonical-selection oracle below.
+# Shared recursive-CTE prefix: exact-duplicate collapse -> exact
+# >=0.8-Jaccard 5-gram pairs over REPRESENTATIVES (shingle doc-freq cap
+# counted over reps, exactly like the impl) -> union the exact-copy
+# attachment edges (dedup.exact_duplicate_edges mirror) -> transitive
+# closure -> per-doc component. Reused by the clustering oracle and the
+# keep-best canonical-selection oracle below.
 _JACCARD_CLOSURE_CTES = """
+    reps AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, row_number() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1),
     t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
-          FROM documents),
+          FROM reps),
     sh AS (SELECT doc_id,
                   unnest(list_distinct(list_transform(
                     range(1, len(toks)-4+1),
@@ -226,8 +243,15 @@ _JACCARD_CLOSURE_CTES = """
                           JOIN sizes nb ON pairs.doc_b = nb.doc_id
                WHERE round(CAST(n_shared AS DOUBLE)
                            / (na.n + nb.n - n_shared), 4) >= 0.8),
+    dup_edges AS (SELECT rep AS doc_a, doc_id AS doc_b FROM (
+                    SELECT doc_id, min(doc_id) OVER (
+                             PARTITION BY md5(text)) AS rep
+                    FROM documents)
+                  WHERE doc_id <> rep),
     edges AS (SELECT doc_a AS s, doc_b AS d FROM edges0
-              UNION SELECT doc_b, doc_a FROM edges0),
+              UNION SELECT doc_b, doc_a FROM edges0
+              UNION SELECT doc_a, doc_b FROM dup_edges
+              UNION SELECT doc_b, doc_a FROM dup_edges),
     reach(id, comp) AS (
         SELECT s, s FROM edges
         UNION
@@ -253,11 +277,19 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     component-diameter rounds of two shuffles each — near-dup clusters
     are shallow (diameter ~2-3), so this is ~6 bounded shuffles, not an
     unbounded transitive closure like the oracle's CTE (which is the
-    small-data check, not the cluster algorithm)."""
-    from .dedup import ngram_jaccard_pairs
+    small-data check, not the cluster algorithm). Exact copies attach
+    to their representative's component via dedup.exact_duplicate_edges
+    (mirrored by the oracle's dup_edges CTE) — pair mining collapses
+    them, so clustering must reconnect them."""
+    from .dedup import exact_duplicate_edges, ngram_jaccard_pairs
 
     d = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.8).cache()
+    pairs = (
+        ngram_jaccard_pairs(d, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .unionByName(exact_duplicate_edges(d))
+        .cache()
+    )
     pairs.count()
     try:
         labels = label_propagation(pairs)
@@ -309,10 +341,15 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — no global sort except the tiny oracle-determinism orderBy."""
     from pyspark.sql import Window as W
 
-    from .dedup import ngram_jaccard_pairs
+    from .dedup import exact_duplicate_edges, ngram_jaccard_pairs
 
     d = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.8).cache()
+    pairs = (
+        ngram_jaccard_pairs(d, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .unionByName(exact_duplicate_edges(d))
+        .cache()
+    )
     pairs.count()
     try:
         labels = label_propagation(pairs)

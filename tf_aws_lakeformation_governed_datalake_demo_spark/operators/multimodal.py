@@ -224,25 +224,30 @@ def byte_histogram_encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
     """
     import numpy as np
 
+    def _vec(b):
+        c = np.bincount(
+            np.frombuffer(bytes(b), dtype=np.uint8) >> 4,
+            minlength=N_HIST_BINS,
+        ).astype(np.float64)
+        s = c.sum()
+        # empty payload -> uniform distribution, NOT 0/0 NaNs (a NaN
+        # embedding would seize top-k slots under Spark's NaN-is-greatest
+        # ordering; round-6 review). The registered pipeline also filters
+        # empty payloads out before encoding, matching its oracle.
+        if s == 0:
+            return np.full(N_HIST_BINS, 1.0 / N_HIST_BINS).tolist()
+        return (c / s).tolist()
+
     for pdf in batches:
-        vecs = [
-            (
-                lambda c: (c / c.sum()).tolist()
-            )(
-                np.bincount(
-                    np.frombuffer(bytes(b), dtype=np.uint8) >> 4,
-                    minlength=N_HIST_BINS,
-                ).astype(np.float64)
-            )
-            for b in pdf["payload"]
-        ]
+        vecs = [_vec(b) for b in pdf["payload"]]
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
 
 
 @query(
     "multimodal_embed_knn",
     """
-    WITH img AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    WITH img AS (SELECT doc_id, text FROM documents
+                 WHERE doc_id % 3 = 0 AND length(text) > 0),
     ch AS (SELECT img.doc_id, ord(substr(img.text, i.i, 1)) // 16 AS bin
            FROM img CROSS JOIN LATERAL
                 (SELECT unnest(range(1, length(img.text) + 1)) AS i) i),
@@ -280,7 +285,9 @@ def multimodal_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the encoded corpus outgrows one scan per query."""
     from .similarity import _cos, _with_norm
 
-    images = media_frame(spark, sf_dir).filter(F.col("media_type") == "image")
+    images = media_frame(spark, sf_dir).filter(
+        (F.col("media_type") == "image") & (F.length("payload") > 0)
+    )
     enc_schema = "doc_id long, embedding array<double>"
     # The doc_id filters sit BEFORE the Python boundary on both branches
     # (they cannot push through an opaque mapInPandas): the query branch

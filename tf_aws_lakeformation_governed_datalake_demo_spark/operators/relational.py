@@ -1016,9 +1016,17 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANOMALY_ORACLE = """
-    WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
-                      CAST(count(*) AS BIGINT) AS cnt
-               FROM events GROUP BY 1, 2),
+    WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+               FROM events),
+    spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                          AS DATE) AS day FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnts AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM events GROUP BY 1, 2),
+    d AS (SELECT s.day, t.event_type, coalesce(c.cnt, 0) AS cnt
+          FROM spine s CROSS JOIN types t
+          LEFT JOIN cnts c ON c.day = s.day AND c.event_type = t.event_type),
     w AS (SELECT day, event_type, cnt,
                  avg(cnt) OVER w7 AS mu,
                  stddev_samp(cnt) OVER w7 AS sd,
@@ -1037,8 +1045,10 @@ _ANOMALY_ORACLE = """
     "events_anomaly_zscore",
     _ANOMALY_ORACLE,
     "Trailing-window anomaly detection: per event_type daily counts "
-    "scored against the mean/stddev of the preceding 7 full days; "
-    "|z| >= 2 flags the day. Emits EVERY scored day (not just "
+    "on a DENSIFIED day spine (zero-event days present, so an outage "
+    "day scores as the anomaly it is and the 7-row window is truly 7 "
+    "calendar days) scored against the mean/stddev of the preceding "
+    "7 days; |z| >= 2 flags the day. Emits EVERY scored day (not just "
     "anomalies) so the result is non-empty on calm data and the whole "
     "scoring is hash-verified, not just the flag.",
 )
@@ -1047,13 +1057,36 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle to daily (day, event_type) grains — a tiny table no matter
     the input size (map-side partial agg does the heavy lifting) —
     then per-type sequential window passes on the grain table. The
-    anomaly flag derives from the ROUNDED z in both engines so the
-    boundary case cannot diverge."""
+    grain is densified against a generated (day x type) spine before
+    windowing (round-6 review): without it a zero-event day — the
+    canonical outage anomaly — is simply ABSENT from the grain, never
+    scored, and the 'trailing 7 rows' silently spans more than 7
+    calendar days across the gap. The spine costs one 1-row bounds agg
+    plus a generated-days x types grid (tiny). The anomaly flag derives
+    from the ROUNDED z in both engines so the boundary case cannot
+    diverge."""
     e = load(spark, sf_dir, "events")
-    d = (
+    cnts = (
         e.groupBy(
             F.col("ts").cast("date").alias("day"), "event_type"
         ).agg(F.count("*").alias("cnt"))
+    )
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    d = (
+        spine.crossJoin(F.broadcast(types))
+        .join(cnts, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        )
     )
     w7 = (
         W.partitionBy("event_type")

@@ -478,10 +478,20 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def zorder_value(x, y, bits: int = 8):
+ZORDER_BITS = 11  # covers user_id < 2048 (sf0.1 max 1499) and the day dim
+
+
+def zorder_value(x, y, bits: int = ZORDER_BITS):
     """Morton/Z-order interleave of the low ``bits`` of two integer
     columns: bit b of x lands at position 2b, bit b of y at 2b+1.
-    Pure bit arithmetic — JVM-side and replayable in the oracle."""
+    Pure bit arithmetic — JVM-side and replayable in the oracle.
+
+    ``bits`` must cover the larger dimension's value range: values
+    above 2^bits alias onto the same low bits, collapsing the layout's
+    clustering for that dimension (round-6 review: the old default of 8
+    aliased sf0.1's 1500 users into ~6 overlapping ranges and silently
+    destroyed user-side file skipping at exactly the benched scale). In
+    production derive it from the column's max via catalog stats."""
     from functools import reduce
 
     parts = []
@@ -493,7 +503,7 @@ def zorder_value(x, y, bits: int = 8):
     return reduce(lambda a, b: a.bitwiseOR(b), parts).cast("long")
 
 
-def _zorder_sql(x: str, y: str, bits: int = 8) -> str:
+def _zorder_sql(x: str, y: str, bits: int = ZORDER_BITS) -> str:
     return " | ".join(
         f"((({x} >> {b}) & 1) << {2 * b}) | ((({y} >> {b}) & 1) << {2 * b + 1})"
         for b in range(bits)

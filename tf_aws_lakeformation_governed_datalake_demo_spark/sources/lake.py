@@ -125,6 +125,20 @@ def compact_parquet(
     return len(files), n_after
 
 
+def _reader(spark: SparkSession, schema: T.StructType | None):
+    """Lake read path shared by merge/SCD2/as-of: a declared schema (the
+    catalog-backed at-scale path — ZERO footer reads) when given, else a
+    mergeSchema read (the no-catalog correctness fallback: a distributed
+    footer scan that tolerates schema evolution). One definition so a
+    read-path change lands in every consumer at once (round-6 review:
+    this conditional was copy-pasted at three sites)."""
+    return (
+        spark.read.schema(schema)
+        if schema is not None
+        else spark.read.option("mergeSchema", "true")
+    )
+
+
 def merge_into(
     spark: SparkSession,
     path: str,
@@ -197,11 +211,7 @@ def merge_into(
     # updates plan (sampling, un-sorted limit) makes the stats diverge
     # from what was written (round-4 ADVICE).
     updates = updates.localCheckpoint(eager=True)
-    reader = (
-        spark.read.schema(schema)
-        if schema is not None
-        else spark.read.option("mergeSchema", "true")
-    )
+    reader = _reader(spark, schema)
     if partition_by:
         missing = [c for c in partition_by if c not in updates.columns]
         if missing:
@@ -320,11 +330,7 @@ def scd2_apply(
     missing = [c for c in [*key_cols, *change_cols] if c not in updates.columns]
     if missing:
         raise ValueError(f"updates is missing key/change columns: {missing}")
-    cur = (
-        spark.read.schema(schema)
-        if schema is not None
-        else spark.read.option("mergeSchema", "true")
-    ).parquet(path)
+    cur = _reader(spark, schema).parquet(path)
     if partition_col is not None and partition_col not in cur.columns:
         raise ValueError(f"table at {path} has no partition column {partition_col!r}")
     meta_cols = (from_col, to_col, current_col)
@@ -460,11 +466,7 @@ def scd2_as_of(
     Scale: both validity predicates push into the Parquet scan; at rest,
     partitioning the dimension by a date bucket of ``from_col`` prunes
     old version files entirely."""
-    reader = (
-        spark.read.schema(schema)
-        if schema is not None
-        else spark.read.option("mergeSchema", "true")
-    )
+    reader = _reader(spark, schema)
     return reader.parquet(path).filter(
         (F.col(from_col) <= F.lit(as_of))
         & (F.col(to_col).isNull() | (F.col(to_col) > F.lit(as_of)))
