@@ -71,6 +71,14 @@ round. Round-6 scheme (four prefixes, freshest-last):
   dedup_clusters are iterative, approx_aggregates is HLL-approximate.
   Exactness / recall / bound tests live in tests/.
 
+Late-round-6 note: the review-driven exact-then-near collapse fix
+changed `dedup_clusters_exact` / `dedup_keep_best` /
+`dedup_shingle_containment` semantics ONLY on corpora containing exact
+duplicates — the driver fixtures are duplicate-free, so their r3-r5
+verdicts' outputs are bit-identical under the new code (re-verified by
+the local oracle diff); the duplicated-corpus behavior is pinned by
+`tests/test_dedup.py::test_cluster_oracles_agree_on_duplicated_corpus`.
+
 Union claim: every oracle-backed query has a green (rows+schema+hash)
 driver verdict in CORRECTNESS_r01..r05 except the thirty-one unprefixed
 names above, which are new or changed in round 6 and get theirs here.
