@@ -31,7 +31,7 @@ round. Round-6 scheme (four prefixes, freshest-last):
   ``pq_adc_rerank_topk`` / ``pq_recall_at_k`` / ``ann_ivfadc_topk``),
   the temperature-weighted ``pipeline_dataset_mixture``, the
   Z-order layout scan ``lake_zorder_scan``, the trailing-window
-  monitoring query ``events_anomaly_zscore``, and the thirteen second-half
+  monitoring query ``events_anomaly_zscore``, and the fourteen second-half
   round-6 additions: CDC snapshot diff ``lake_table_diff``,
   incremental MV maintenance ``lake_incremental_agg_refresh``,
   SemDeDup-style ``dedup_semantic_centroids``, DSIR-style
@@ -42,15 +42,17 @@ round. Round-6 scheme (four prefixes, freshest-last):
   ``stream_cdc_upsert``, the pre-filtered vector search
   ``ann_filtered_topk``, the bloom semi-join reduction
   ``join_bloom_pruned_revenue``, the stream-static enrichment
-  ``stream_enriched_region_counts``, and the degree-oriented
-  ``graph_triangle_count``. 31 names.
+  ``stream_enriched_region_counts``, the degree-oriented
+  ``graph_triangle_count``, and the lang-ID confusion instrument
+  ``text_lang_id_confusion``. 32 names.
 - ``x_<name>`` — oracle-backed query whose last green driver verdict is
   from round 1 or 2 (the 25 names that spilled past round 5's window —
   round-5 VERDICT #2). These sort right after the unprefixed block, so
-  the window retires the stale backlog this round: 31 + 19 fill the 50
-  slots; the six alphabetically-last stale names (``x_window_lag_delta``,
-  ``x_window_ntile_percent``, ``x_window_range_frame``, ``x_window_rank_parts``,
-  ``x_window_running_sum``, ``x_window_topk_per_group``) spill to
+  the window retires the stale backlog this round: 32 + 18 fill the 50
+  slots; the seven alphabetically-last stale names (``x_unpivot_event_counts``,
+  ``x_window_lag_delta``, ``x_window_ntile_percent``, ``x_window_range_frame``,
+  ``x_window_rank_parts``, ``x_window_running_sum``, ``x_window_topk_per_group``)
+  spill to
   round 7's spare capacity — still locally oracle-diffed on every
   pytest run.
 - ``y0_<name>`` — verified green in round 3 or 4 (the OLDEST fresh
@@ -80,7 +82,7 @@ the local oracle diff); the duplicated-corpus behavior is pinned by
 `tests/test_dedup.py::test_cluster_oracles_agree_on_duplicated_corpus`.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r05 except the thirty-one unprefixed
+driver verdict in CORRECTNESS_r01..r05 except the thirty-two unprefixed
 names above, which are new or changed in round 6 and get theirs here.
 """
 

@@ -114,9 +114,10 @@ def _lang_scores_spark(toks):
     }
 
 
-@query(
-    "text_lang_id",
-    """
+# The lang-ID scoring SQL, shared by the classifier query and the
+# confusion-matrix instrument below (one definition - the REPS_CTE
+# drift lesson).
+_LANG_ID_ORACLE = """
     WITH t AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
     ), s AS (
@@ -136,7 +137,12 @@ def _lang_scores_spark(toks):
                 ELSE 'es' END AS predicted_lang,
            round(CAST(greatest(s_en, s_de, s_fr, s_es) AS DOUBLE) / n, 4) AS confidence
     FROM s
-    """,
+    """
+
+
+@query(
+    "text_lang_id",
+    _LANG_ID_ORACLE,
     "Language-ID: marker-token (stopword n-gram) scoring with argmax; "
     "'und' when no marker hits.",
 )
@@ -646,4 +652,55 @@ def text_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
         .orderBy("doc_id")
+    )
+
+
+_LANG_CONFUSION_ORACLE = f"""
+    WITH pred AS ({_LANG_ID_ORACLE}),
+    lab AS (SELECT p.doc_id, d.lang, p.predicted_lang
+            FROM pred p JOIN documents d USING (doc_id)),
+    cell AS (SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+             FROM lab GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM cell GROUP BY lang)
+    SELECT c.lang, c.predicted_lang, c.n,
+           round(CAST(c.n AS DOUBLE) / t.t, 4) AS share
+    FROM cell c JOIN tot t USING (lang)
+    ORDER BY c.lang, c.predicted_lang
+"""
+
+
+@query(
+    "text_lang_id_confusion",
+    _LANG_CONFUSION_ORACLE,
+    "Lang-ID quality instrumentation: the marker-token classifier's "
+    "predictions against the documents.lang labels as a confusion "
+    "matrix (true lang x predicted, count + per-true-lang share — the "
+    "diagonal shares are per-class recall). The measurement-as-operator "
+    "pattern the ANN family uses (ann_recall_at_k), applied to the text "
+    "family: classifier changes get graded by a hash-verified "
+    "instrument, not by eyeballing.",
+)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: prediction is the map-only lang-ID pass; the matrix is a
+    tiny (langs x langs) aggregate with map-side partial combine, and
+    the per-class totals re-aggregate the CELL table, never the corpus.
+    Routing decisions (which languages need better markers, whether
+    'und' dominates a source) read straight off the shares."""
+    d = load(spark, sf_dir, "documents")
+    pred = text_lang_id(spark, sf_dir)  # @query returns the bare builder
+    cell = (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n").cast("long").alias("t"))
+    return (
+        cell.join(tot, "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 4).alias("share"),
+        )
+        .orderBy("lang", "predicted_lang")
     )
