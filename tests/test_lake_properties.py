@@ -1,0 +1,131 @@
+"""Property-based lake-upsert invariants (hypothesis): for ANY sequence
+of update batches, merge_into must behave as the naive key-replace map,
+and scd2_apply must preserve full history with exactly one open version
+per key. The adversarial inputs the crafted fixtures can't enumerate —
+empty batches, all-new keys, all-replacement batches, repeated applies.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+    merge_into,
+    scd2_apply,
+    scd2_as_of,
+)
+
+# (key, value) batches over a small key space so collisions are common
+_BATCH = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 99)),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda kv: kv[0],  # merge contract: unique keys per batch
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(_BATCH, min_size=1, max_size=3))
+def test_merge_into_equals_naive_key_replace(spark, tmp_path_factory, batches):
+    """After any batch sequence, the table equals the dict you would get
+    by replaying key -> value assignments in order (REPLACED matched
+    keys, INSERTED new ones, untouched everything else)."""
+    path = str(tmp_path_factory.mktemp("mergeprop") / "t")
+    seed = [(k, -1) for k in range(0, 5)]
+    df = spark.createDataFrame(seed, "k long, v long").withColumn(
+        "bucket", F.col("k") % 2
+    )
+    df.write.partitionBy("bucket").parquet(path)
+    expected = dict(seed)
+    for batch in batches:
+        if not batch:
+            continue
+        upd = spark.createDataFrame(batch, "k long, v long").withColumn(
+            "bucket", F.col("k") % 2
+        )
+        merge_into(
+            spark, path, upd, ["k"], partition_by=["bucket"], schema=df.schema
+        )
+        expected.update(dict(batch))
+    got = {
+        r.k: r.v for r in spark.read.schema(df.schema).parquet(path).collect()
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(_BATCH, min_size=1, max_size=3))
+def test_scd2_history_invariants(spark, tmp_path_factory, batches):
+    """After any apply sequence: exactly one open version per key, closed
+    versions form contiguous non-overlapping validity chains, a no-op
+    re-apply of the same values adds nothing, and the final as-of read
+    equals the naive replay."""
+    import datetime
+
+    path = str(tmp_path_factory.mktemp("scd2prop") / "dim")
+    seed = [(k, -1) for k in range(0, 5)]
+    t0 = datetime.datetime(2024, 1, 1)
+    (
+        spark.createDataFrame(seed, "k long, v long")
+        .withColumn("effective_from", F.lit(t0))
+        .withColumn("effective_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+        .write.parquet(path)
+    )
+    expected = dict(seed)
+    when = t0
+    for i, batch in enumerate(batches):
+        if not batch:
+            continue
+        when = t0 + datetime.timedelta(days=30 * (i + 1))
+        upd = spark.createDataFrame(batch, "k long, v long")
+        scd2_apply(spark, path, upd, key_cols=["k"], change_cols=["v"], as_of=when)
+        expected.update(dict(batch))
+        # idempotence: re-applying the SAME batch at a later instant is a
+        # no-op (null-safe unchanged detection)
+        n_before = spark.read.option("mergeSchema", "true").parquet(path).count()
+        scd2_apply(
+            spark,
+            path,
+            upd,
+            key_cols=["k"],
+            change_cols=["v"],
+            as_of=when + datetime.timedelta(days=1),
+        )
+        assert (
+            spark.read.option("mergeSchema", "true").parquet(path).count()
+            == n_before
+        )
+
+    hist = spark.read.option("mergeSchema", "true").parquet(path).collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    for k, rows in by_key.items():
+        opens = [r for r in rows if r.is_current]
+        assert len(opens) == 1 and opens[0].effective_to is None
+        closed = sorted(
+            (r for r in rows if not r.is_current), key=lambda r: r.effective_from
+        )
+        # validity chain: each closed version ends where some later one begins
+        chain = closed + opens
+        for a, b in zip(chain, chain[1:]):
+            assert a.effective_to == b.effective_from
+    final = {
+        r.k: r.v
+        for r in scd2_as_of(
+            spark, path, when + datetime.timedelta(days=2)
+        ).collect()
+    }
+    assert final == expected
