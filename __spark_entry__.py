@@ -64,13 +64,15 @@ round. Round-6 scheme (four prefixes, freshest-last):
   Rotated past the window; still oracle-diffed locally on every pytest
   run (tests/test_oracle_diff.py parametrizes ALL oracle queries vs
   DuckDB).
-- ``z_<name>`` — no SQL oracle exists; 4 queries, each with a written
+- ``z_<name>`` — no SQL oracle exists; 5 queries, each with a written
   reason: dedup_minhash_lsh hashes with Spark xxhash64 (no DuckDB
   equivalent, and switching its 16 hash functions to md5 would tax the
   benched hot path 16x — but the family's banding math IS
   oracle-verified via the round-6 ``dedup_minhash_lsh_md5`` exemplar,
-  which swaps only the hash for md5), kmeans_embeddings and
-  dedup_clusters are iterative, approx_aggregates is HLL-approximate.
+  which swaps only the hash for md5), kmeans_embeddings,
+  dedup_clusters, and graph_pagerank (r6) are iterative (pagerank is
+  cross-checked against a dense numpy power iteration to 1e-9 in
+  tests/test_iterative.py), approx_aggregates is HLL-approximate.
   Exactness / recall / bound tests live in tests/.
 
 Late-round-6 note: the review-driven exact-then-near collapse fix

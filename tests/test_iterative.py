@@ -79,3 +79,41 @@ def test_kmeans_high_dim_256(spark):
     # each well-separated blob lands wholly in one distinct cluster
     assert len(blob0) == 1 and len(blob1) == 1 and blob0 != blob1
     assert all(b <= a * (1 + 1e-9) for a, b in zip(sse, sse[1:])), sse
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    """The distributed loop must reproduce a dense numpy power iteration
+    exactly (same init, damping, iteration count): identical top-20
+    ordering and ranks to 1e-9."""
+    import numpy as np
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.graph import (
+        PR_DAMPING,
+        PR_ITERATIONS,
+        copurchase_edges,
+    )
+
+    edges = [(r.ua, r.ub) for r in copurchase_edges(spark, sf_dir).collect()]
+    assert edges
+    ids = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(ids)}
+    n = len(ids)
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[idx[a], idx[b]] = 1.0
+        adj[idx[b], idx[a]] = 1.0
+    out_deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(PR_ITERATIONS):
+        r = (1.0 - PR_DAMPING) / n + PR_DAMPING * (adj.T @ (r / out_deg))
+    order = sorted(range(n), key=lambda i: (-round(r[i], 9), ids[i]))[:20]
+    expected = [(ids[i], round(float(r[i]), 9)) for i in order]
+
+    got = [
+        (row.id, row.rank)
+        for row in REGISTRY["graph_pagerank"].builder(spark, sf_dir).collect()
+    ]
+    assert [g[0] for g in got] == [e[0] for e in expected]
+    for (gi, gr), (ei, er) in zip(got, expected):
+        assert abs(gr - er) < 1e-9, (gi, gr, er)

@@ -46,6 +46,27 @@ _TRIANGLE_ORACLE = f"""
 """
 
 
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-purchase edge set (ua < ub): user pairs with purchases in
+    >= MIN_SHARED_HOURS shared hours. Pairs generate within an hour
+    bucket only (sum(bucket^2), never n_users^2), partial-aggregated on
+    the pair key. Shared by the triangle census and PageRank."""
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+    )
+    pb = p.select(F.col("user_id").alias("ub_"), F.col("h").alias("hb"))
+    return (
+        p.join(pb, (F.col("h") == F.col("hb")) & (F.col("user_id") < F.col("ub_")))
+        .groupBy(F.col("user_id").alias("ua"), F.col("ub_").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .filter(F.col("nh") >= MIN_SHARED_HOURS)
+        .select("ua", "ub")
+    )
+
+
 @query(
     "graph_triangle_count",
     _TRIANGLE_ORACLE,
@@ -67,20 +88,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum(bucket^2), never n_users^2), partial-aggregated on the pair
     key. The closing-edge check is a semi-join against the canonical
     edge set; all three relations hash-partition on their join keys."""
-    p = (
-        load(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select("user_id", F.date_trunc("hour", "ts").alias("h"))
-        .distinct()
-    )
-    pb = p.select(F.col("user_id").alias("ub_"), F.col("h").alias("hb"))
-    e = (
-        p.join(pb, (F.col("h") == F.col("hb")) & (F.col("user_id") < F.col("ub_")))
-        .groupBy(F.col("user_id").alias("ua"), F.col("ub_").alias("ub"))
-        .agg(F.count(F.lit(1)).alias("nh"))
-        .filter(F.col("nh") >= MIN_SHARED_HOURS)
-        .select("ua", "ub")
-    )
+    e = copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("ua").alias("u"))
         .unionAll(e.select(F.col("ub").alias("u")))
@@ -124,4 +132,64 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("n_triangles"),
             F.round(3.0 * F.col("t") / F.col("n_wedges"), 4).alias("clustering"),
         )
+    )
+
+
+PR_DAMPING = 0.85
+PR_ITERATIONS = 15
+
+
+@query(
+    "graph_pagerank",
+    None,
+    "PageRank over the co-purchase graph (symmetric edges, damping "
+    "0.85, 15 fixed power iterations from the uniform vector): top-20 "
+    "users by influence rank. Iterative, so it takes the rows-only "
+    "driver check; exactness is pinned by a numpy power-iteration "
+    "cross-check in tests/test_iterative.py (identical ranks to 1e-9 "
+    "and identical ordering).",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other canonical graph aggregate next to the triangle census:
+    influence scoring. Scale: each iteration is one join of the edge
+    list against the rank vector (both hash-partitioned on the node
+    key; the rank vector is nodes-sized, tiny next to edges) plus a
+    partial-aggregated sum — the standard distributed power iteration.
+    localCheckpoint every few rounds truncates the growing lineage
+    (iterative.py's label-propagation rationale). Fixed iteration count
+    keeps the result deterministic for the rows-only driver check and
+    the numpy cross-check."""
+    e = copurchase_edges(spark, sf_dir)
+    sym = e.select(F.col("ua").alias("src"), F.col("ub").alias("dst")).unionAll(
+        e.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    sym = sym.join(deg, "src").localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    n = nodes.count()
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    base = (1.0 - PR_DAMPING) / n
+    for i in range(PR_ITERATIONS):
+        contrib = (
+            sym.join(ranks, sym["src"] == ranks["id"])
+            .select(F.col("dst").alias("id"), (F.col("r") / F.col("d")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(PR_DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+        if i % 3 == 2:
+            ranks = ranks.localCheckpoint(eager=True)
+    return (
+        ranks.select("id", F.round("r", 9).alias("rank"))
+        .orderBy(F.desc("rank"), "id")
+        .limit(20)
     )
