@@ -344,3 +344,36 @@ def test_cleanup_of_reused_execution_keeps_producer_artifact(
     eng.cleanup_results(q1)
     assert eng.executions[q1].results_path is None
     assert not os.path.isdir(path)
+
+
+def test_privacy_gated_ctas_export(spark, tmp_path_factory):
+    """The release-review flow the k-anonymity audit exists for: an
+    analyst's CTAS export of aggregate sales data is (a) governed — only
+    their row/column slice feeds the export — and (b) releasable only at
+    group sizes meeting k, enforced by a HAVING bound in the export
+    query; the audit shape (privacy_k_anonymity) is the same
+    group-size-then-decide computation on the governed slice."""
+    lake = str(tmp_path_factory.mktemp("kexplake"))
+    out = str(tmp_path_factory.mktemp("kexp") / "release")
+    eng = Engine(spark, fx.bootstrap(spark, lake))
+    K = 3
+    eng.ctas(
+        "SELECT sales_region, COUNT(*) AS n, ROUND(SUM(sales_amount), 2) AS amt "
+        "FROM sales_db.sales GROUP BY sales_region "
+        f"HAVING COUNT(*) >= {K}",
+        database="sales_db",
+        table="release_agg",
+        location=out,
+        principal="analyst",
+    )
+    rows = eng.sql(
+        "SELECT * FROM sales_db.release_agg", principal="analyst"
+    ).collect()
+    # the analyst's row security restricts the export to APAC, and the
+    # released group meets k
+    assert [r.sales_region for r in rows] == ["APAC"]
+    assert all(r.n >= K for r in rows)
+    # the exported table carries no PII columns (the analyst allowlist
+    # excluded them before aggregation)
+    cols = {f.name for f in spark.read.parquet(out).schema.fields}
+    assert cols.isdisjoint({"customer_email", "ssn"})
