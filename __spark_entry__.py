@@ -86,6 +86,15 @@ the local oracle diff); the duplicated-corpus behavior is pinned by
 Union claim: every oracle-backed query has a green (rows+schema+hash)
 driver verdict in CORRECTNESS_r01..r05 except the thirty-two unprefixed
 names above, which are new or changed in round 6 and get theirs here.
+
+Round-7 rotation plan (for the next builder session): once
+CORRECTNESS_r06 lands green, (1) move the 32 unprefixed round-6 names
+into a fresh verified set (y-class), (2) promote the seven spilled
+``x_window_*``/``x_unpivot_event_counts`` names to the FRONT of the
+round-7 window (they are the only names whose last driver verdict is
+r1/r2), (3) promote the remaining r1/r2-verified names already retired
+this round plus the oldest ``y0_`` r3/r4 names into the spare slots —
+freshness-first, exactly the self-healing policy described above.
 """
 
 from __future__ import annotations
