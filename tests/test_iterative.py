@@ -117,3 +117,38 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
     assert [g[0] for g in got] == [e[0] for e in expected]
     for (gi, gr), (ei, er) in zip(got, expected):
         assert abs(gr - er) < 1e-9, (gi, gr, er)
+
+
+def test_copurchase_hot_hour_cap_bounds_pair_work(spark, tmp_path):
+    """A celebrity hour (every user co-active at once) must be droppable
+    by the cap BEFORE pair generation: with the cap, edges come only
+    from the calm hours; without it, the hot hour contributes
+    ~n_users^2/2 pairs — the quadratic term the 8x experiment measured."""
+    import datetime
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    base = datetime.datetime(2024, 5, 1, 0, 30)
+    rows = []
+    eid = 0
+    # calm hours: users 0 and 1 co-purchase in hours 0..2 (3 shared hours)
+    for hr in range(3):
+        for u in (0, 1):
+            rows.append((eid, base + datetime.timedelta(hours=hr), u, "purchase"))
+            eid += 1
+    # the celebrity hour: 50 users all co-active once in hour 10, twice in 11
+    for hr in (10, 11):
+        for u in range(50):
+            rows.append((eid, base + datetime.timedelta(hours=hr), u, "purchase"))
+            eid += 1
+    sf = str(tmp_path / "hot_sf")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    uncapped = copurchase_edges(spark, sf).count()
+    capped = copurchase_edges(spark, sf, max_hour_users=10).count()
+    assert uncapped == 50 * 49 // 2  # the hot hours dominate: all-pairs
+    assert capped == 1  # only the calm-hours (0,1) edge survives

@@ -46,17 +46,36 @@ _TRIANGLE_ORACLE = f"""
 """
 
 
-def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def copurchase_edges(
+    spark: SparkSession, sf_dir: str, max_hour_users: int | None = None
+) -> DataFrame:
     """The co-purchase edge set (ua < ub): user pairs with purchases in
     >= MIN_SHARED_HOURS shared hours. Pairs generate within an hour
     bucket only (sum(bucket^2), never n_users^2), partial-aggregated on
-    the pair key. Shared by the triangle census and PageRank."""
+    the pair key. Shared by the triangle census and PageRank.
+
+    ``max_hour_users`` is the hot-bucket guard the 8x scale experiment
+    motivated (BASELINE.md: co-occurrence graphs densify QUADRATICALLY
+    in concurrent users per hour — 65x edges from 8x events): hours
+    with more co-active purchasers than the cap are DROPPED before pair
+    generation, exactly the dedup family's hot-shingle discipline — a
+    crowd hour carries little pairwise signal and all of the quadratic
+    cost. None (the registry default, so the oracles stay exact) keeps
+    every hour; production sets it from the observed bucket histogram."""
     p = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .select("user_id", F.date_trunc("hour", "ts").alias("h"))
         .distinct()
     )
+    if max_hour_users is not None:
+        hot = (
+            p.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("nu"))
+            .filter(F.col("nu") > max_hour_users)
+            .select("h")
+        )
+        p = p.join(hot, "h", "left_anti")
     pb = p.select(F.col("user_id").alias("ub_"), F.col("h").alias("hb"))
     return (
         p.join(pb, (F.col("h") == F.col("hb")) & (F.col("user_id") < F.col("ub_")))
