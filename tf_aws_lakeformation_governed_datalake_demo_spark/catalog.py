@@ -122,6 +122,203 @@ class GovernedCatalog:
         self.admins: set[str] = set()
         self.audit = AuditLog()
 
+    # ------------------------------------------------------- persistence
+    CATALOG_SUBDIR = "_catalog"  # '_' prefix: invisible to parquet scans
+
+    def to_dict(self) -> dict:
+        """Serialize every governance-relevant structure to plain JSON
+        types. The reference's catalog + policies are durable cloud
+        state that survives any client restart (Glue database/table
+        main.tf:291-372; LF tags/filters/grants main.tf:374-490) — this
+        is the engine's equivalent record, written under the lake root
+        so the metadata travels with the data it governs."""
+        return {
+            "version": 1,
+            "governance_enabled": self.governance_enabled,
+            "lake_root": self.lake_root,
+            "databases": dict(sorted(self.databases.items())),
+            "tables": {
+                q: {
+                    "database": t.database,
+                    "name": t.name,
+                    "location": t.location,
+                    "schema": t.schema.json() if t.schema is not None else None,
+                    "format": t.format,
+                    "column_comments": dict(sorted(t.column_comments.items())),
+                    "column_tags": {
+                        c: dict(sorted(ts.items()))
+                        for c, ts in sorted(t.column_tags.items())
+                    },
+                    "partition_keys": list(t.partition_keys),
+                    "pending_columns": sorted(t.pending_columns),
+                }
+                for q, t in sorted(self.tables.items())
+            },
+            "views": {
+                q: {"database": v.database, "name": v.name, "sql": v.sql}
+                for q, v in sorted(self.views.items())
+            },
+            "tags": {
+                k: list(tag.values) for k, tag in sorted(self.tags.items())
+            },
+            "filters": {
+                n: {
+                    "database": f.database,
+                    "table": f.table,
+                    "columns": list(f.columns) if f.columns is not None else None,
+                    "row_filter": f.row_filter,
+                }
+                for n, f in sorted(self.filters.items())
+            },
+            "grants": [
+                {
+                    "principal": g.principal,
+                    "permission": g.permission,
+                    "database": g.database,
+                    "resource": g.resource,
+                    "via_filter": g.via_filter,
+                    "via_tag_exclude": (
+                        list(g.via_tag_exclude)
+                        if g.via_tag_exclude is not None
+                        else None
+                    ),
+                }
+                for g in self.grants  # grant order is semantic state
+            ],
+            "admins": sorted(self.admins),
+        }
+
+    @classmethod
+    def from_dict(cls, spark: SparkSession, state: dict) -> "GovernedCatalog":
+        """Rebuild a catalog from :meth:`to_dict` output. Enforcement is
+        identity-preserving: the reloaded catalog's
+        :meth:`governance_fingerprint` equals the saved one's (pinned in
+        tests/test_catalog_persistence.py), so L7 result reuse survives
+        a restart too."""
+        cat = cls(
+            spark,
+            governance_enabled=state["governance_enabled"],
+            lake_root=state.get("lake_root"),
+        )
+        cat.databases = dict(state["databases"])
+        for q, t in state["tables"].items():
+            import json as _json
+
+            cat.tables[q] = TableDef(
+                database=t["database"],
+                name=t["name"],
+                location=t["location"],
+                schema=(
+                    T.StructType.fromJson(_json.loads(t["schema"]))
+                    if t["schema"] is not None
+                    else None
+                ),
+                format=t["format"],
+                column_comments=dict(t["column_comments"]),
+                column_tags={c: dict(ts) for c, ts in t["column_tags"].items()},
+                partition_keys=tuple(t["partition_keys"]),
+                pending_columns=set(t["pending_columns"]),
+            )
+        for q, v in state["views"].items():
+            cat.views[q] = ViewDef(v["database"], v["name"], v["sql"])
+        for k, values in state["tags"].items():
+            cat.tags[k] = LFTag(k, tuple(values))
+        for n, f in state["filters"].items():
+            cat.filters[n] = DataCellsFilter(
+                name=n,
+                database=f["database"],
+                table=f["table"],
+                columns=tuple(f["columns"]) if f["columns"] is not None else None,
+                row_filter=f["row_filter"],
+            )
+        for g in state["grants"]:
+            cat.grants.append(
+                Grant(
+                    g["principal"],
+                    g["permission"],
+                    g["database"],
+                    g["resource"],
+                    g["via_filter"],
+                    (
+                        tuple(g["via_tag_exclude"])
+                        if g["via_tag_exclude"] is not None
+                        else None
+                    ),
+                )
+            )
+        cat.admins = set(state["admins"])
+        return cat
+
+    def _catalog_file(self, root: str | None = None):
+        from pathlib import Path
+
+        base = root if root is not None else self.lake_root
+        if base is None:
+            raise ValueError(
+                "catalog persistence needs a lake_root (or explicit root)"
+            )
+        return Path(base) / self.CATALOG_SUBDIR / "catalog.json"
+
+    def save(self, root: str | None = None) -> str:
+        """Persist the catalog under ``<root>/_catalog/`` (defaults to
+        ``lake_root``). The JSON is written to a temp file then
+        atomically renamed — a crash mid-save can never leave a torn
+        catalog for the next process to load. The audit log is switched
+        to (or kept on) ``<root>/_catalog/audit.jsonl`` in APPEND mode:
+        in-memory events not yet on disk are flushed once, and every
+        later :meth:`AuditLog.record` appends — a reload never truncates
+        history (the reference's audit story is an append-only log,
+        README.md:12)."""
+        import json as _json
+        import os as _os
+
+        path = self._catalog_file(root)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_name(f".catalog.{uuid.uuid4().hex}.tmp")
+        tmp.write_text(_json.dumps(self.to_dict(), indent=1), encoding="utf-8")
+        _os.replace(tmp, path)  # atomic on POSIX
+        audit_path = path.parent / "audit.jsonl"
+        if self.audit.path is None:
+            # flush events recorded before durability was enabled
+            if self.audit.events:
+                with audit_path.open("a", encoding="utf-8") as fh:
+                    for ev in self.audit.events:
+                        fh.write(_json.dumps(ev) + "\n")
+            self.audit.path = audit_path
+        return str(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "GovernedCatalog":
+        """Load a previously-saved catalog from ``<root>/_catalog/``.
+        Raises FileNotFoundError when none exists (bootstrap's
+        load-or-create branches on that). The audit log resumes on the
+        persisted JSONL: prior events are visible in memory and new
+        events append after them."""
+        import json as _json
+        from pathlib import Path
+
+        file = Path(root) / cls.CATALOG_SUBDIR / "catalog.json"
+        state = _json.loads(file.read_text(encoding="utf-8"))
+        cat = cls.from_dict(spark, state)
+        # The directory we loaded from is the authoritative lake root —
+        # a relocated lake must not keep enforcing (or deleting!) against
+        # its old absolute path.
+        cat.lake_root = root
+        audit_path = file.parent / "audit.jsonl"
+        if audit_path.exists():
+            with audit_path.open(encoding="utf-8") as fh:
+                cat.audit.events = [
+                    _json.loads(line) for line in fh if line.strip()
+                ]
+        cat.audit.path = audit_path
+        return cat
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        from pathlib import Path
+
+        return (Path(root) / cls.CATALOG_SUBDIR / "catalog.json").exists()
+
     # ------------------------------------------------------------- DDL
     def create_database(self, name: str, description: str = "") -> None:
         """S7 — ``aws_glue_catalog_database`` (main.tf:291-300)."""
@@ -445,22 +642,23 @@ class GovernedCatalog:
         evolution — changes the digest. Consumers (Engine L7 result
         reuse) treat it as the Glue/LF metadata-version analog: cached
         work is valid only while the digest matches, so no policy change
-        can be ridden by a stale cache."""
-        import hashlib
+        can be ridden by a stale cache.
 
-        state = repr(
-            (
-                self.governance_enabled,
-                sorted(self.databases.items()),
-                sorted((q, t) for q, t in self.tables.items()),
-                sorted((q, v) for q, v in self.views.items()),
-                sorted(self.tags.items()),
-                sorted(self.filters.items()),
-                self.grants,
-                sorted(self.admins),
-            )
-        )
-        return hashlib.md5(state.encode()).hexdigest()
+        Hashes the CANONICAL serialized form (:meth:`to_dict` with sorted
+        keys), not Python reprs — so a catalog and its save/load
+        round-trip fingerprint identically (dict insertion order is not
+        governance state), and a persisted fingerprint stays comparable
+        across processes."""
+        import hashlib
+        import json as _json
+
+        state = dict(self.to_dict())
+        # location of the lake is storage identity, not policy identity —
+        # Engine L7 tracks storage with a separate fingerprint
+        state.pop("lake_root", None)
+        return hashlib.md5(
+            _json.dumps(state, sort_keys=True).encode()
+        ).hexdigest()
 
     def grants_for(self, principal: str, database: str, resource: str) -> list[Grant]:
         return [

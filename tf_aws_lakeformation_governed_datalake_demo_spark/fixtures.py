@@ -135,6 +135,7 @@ def bootstrap(
     lake_dir: str,
     governance_enabled: bool = True,
     write_data: bool = True,
+    durable: bool = False,
 ) -> GovernedCatalog:
     """Entry point B — the ``terraform apply`` analog (SURVEY.md §3.2).
 
@@ -142,7 +143,18 @@ def bootstrap(
     assignments, the analyst data-cells filter, and the grants. The masked
     view + its grant are the two-phase flow (V1 then G7), mirroring the
     reference's deferred view grant (main.tf:538-549).
+
+    ``durable=True`` is the load-or-create mode (round-6 VERDICT #2): if
+    ``<lake_dir>/_catalog/catalog.json`` exists the persisted catalog is
+    loaded — grants issued in a previous process, schema evolutions,
+    audit history all survive, and the defaults below are NOT re-applied
+    (terraform semantics: apply converges to recorded state, it doesn't
+    reset it). Otherwise the defaults are created and saved. The default
+    stays ephemeral because test harnesses deliberately re-bootstrap
+    divergent catalog states into one lake dir.
     """
+    if durable and GovernedCatalog.exists(lake_dir):
+        return GovernedCatalog.load(spark, lake_dir)
     if write_data:
         write_sales(spark, lake_dir)
     cat = GovernedCatalog(
@@ -177,4 +189,6 @@ def bootstrap(
     if governance_enabled:
         cat.grant("dataadmin", ALL, DATABASE, VIEW)
         cat.grant("analyst", SELECT, DATABASE, VIEW)  # G7
+    if durable:
+        cat.save()
     return cat

@@ -201,3 +201,52 @@ def governance_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM sales_db.sales ORDER BY customer_id",
         principal="analyst",
     )
+
+
+@query(
+    "governance_catalog_reload",
+    f"""
+    WITH {_SALES_CTE}
+    SELECT customer_id, sales_region,
+           CAST(sales_amount AS DOUBLE) AS sales_amount
+    FROM sales_fixture
+    WHERE sales_region = 'EMEA'
+    ORDER BY customer_id
+    """,
+    "Durable catalog (round-6 VERDICT #2): a grant issued in one "
+    "'process' exists in the next. Process 1 bootstraps durably, issues "
+    "an auditor EMEA cells-filter grant, saves; process 2 is a BRAND-NEW "
+    "GovernedCatalog.load from <lake>/_catalog/catalog.json that "
+    "enforces that grant identically (the reference's catalog/policies "
+    "are durable cloud state surviving any client restart, "
+    "main.tf:291-372, 374-490). Differential oracle: fixture VALUES "
+    "with the EMEA row predicate and 3-column allowlist.",
+)
+def governance_catalog_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import GovernedCatalog
+    from ..governance import SELECT, DataCellsFilter
+
+    lake = scratch_dir("sales_durable_")
+    # -- process 1: create, extend, save --------------------------------
+    cat1 = fx.bootstrap(spark, lake, durable=True)
+    cat1.create_data_cells_filter(
+        DataCellsFilter(
+            name="auditor-emea-filter",
+            database=fx.DATABASE,
+            table=fx.TABLE,
+            columns=("customer_id", "sales_region", "sales_amount"),
+            row_filter="sales_region = 'EMEA'",
+        )
+    )
+    cat1.grant(
+        "auditor", SELECT, fx.DATABASE, fx.TABLE, via_filter="auditor-emea-filter"
+    )
+    cat1.save()
+    # -- process 2: load-from-disk, enforce ----------------------------
+    cat2 = GovernedCatalog.load(spark, lake)
+    assert cat2.governance_fingerprint() == cat1.governance_fingerprint()
+    eng = Engine(spark, cat2)
+    return eng.sql(
+        "SELECT * FROM sales_db.sales ORDER BY customer_id",
+        principal="auditor",
+    )
