@@ -669,3 +669,116 @@ def test_incremental_refresh_equals_recompute(spark, sf_dir):
         .collect()
     }
     assert merged == full
+
+
+# ---------------------------------------------------------------- vacuum
+def _seed_scd2_dim(spark, sf_dir, tmpdir):
+    import datetime
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        scd2_apply,
+        scd2_partition_value,
+    )
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    path = f"{tmpdir}/dim"
+    (
+        c.filter(F.col("c_custkey") <= 100)
+        .withColumn("effective_from", F.lit(datetime.datetime(2024, 1, 1)))
+        .withColumn("effective_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+        .withColumn("effective_month", scd2_partition_value(F.col("effective_from")))
+        .write.partitionBy("effective_month")
+        .parquet(path)
+    )
+    for mod, bump, as_of in (
+        (3, 100, datetime.datetime(2024, 2, 1)),
+        (5, 200, datetime.datetime(2024, 3, 1)),
+    ):
+        batch = (
+            c.filter((F.col("c_custkey") <= 100) & (F.col("c_custkey") % mod == 0))
+            .select("c_custkey", (F.col("c_acctbal") + bump).alias("c_acctbal"))
+        )
+        scd2_apply(
+            spark, path, batch, ["c_custkey"], ["c_acctbal"], as_of,
+            partition_col="effective_month",
+        )
+    return path
+
+
+def test_expire_scd2_versions_preserves_in_window_asof(spark, sf_dir, tmp_path):
+    """Expired history is gone; as-of reads inside the retention window
+    still replay exactly; untouched partitions stay byte-identical."""
+    import datetime
+    from pathlib import Path
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        expire_scd2_versions,
+        scd2_as_of,
+    )
+
+    path = _seed_scd2_dim(spark, sf_dir, str(tmp_path))
+    horizon = datetime.datetime(2024, 2, 15)
+    probe_times = [
+        datetime.datetime(2024, 2, 15),  # == horizon
+        datetime.datetime(2024, 2, 20),  # between the two batches
+        datetime.datetime(2024, 6, 1),  # after everything
+    ]
+    before_reads = {
+        t: sorted(map(tuple, scd2_as_of(spark, path, t).collect()))
+        for t in probe_times
+    }
+    pre_expiry_history = sorted(
+        map(tuple, scd2_as_of(spark, path, datetime.datetime(2024, 1, 15)).collect())
+    )
+    snap = lambda: {
+        str(p.relative_to(path)): p.stat().st_size
+        for p in Path(path).rglob("*.parquet")
+    }
+    before_files = snap()
+
+    stats = expire_scd2_versions(
+        spark, path, before=horizon, partition_col="effective_month"
+    )
+    # exactly the v1 rows of %3 keys (closed 2024-02-01) expire;
+    # only their partition (2024-01) is rewritten
+    assert stats["rows_expired"] == len([k for k in range(0, 101) if k % 3 == 0])
+    assert stats["partitions_rewritten"] == 1
+    after_files = snap()
+    untouched = {k: v for k, v in before_files.items() if "2024-01" not in k}
+    assert untouched == {k: v for k, v in after_files.items() if "2024-01" not in k}
+
+    # in-window as-of reads replay exactly
+    for t in probe_times:
+        assert (
+            sorted(map(tuple, scd2_as_of(spark, path, t).collect()))
+            == before_reads[t]
+        )
+    # pre-horizon history is really gone (the point of retention)
+    post = sorted(
+        map(tuple, scd2_as_of(spark, path, datetime.datetime(2024, 1, 15)).collect())
+    )
+    assert len(post) < len(pre_expiry_history)
+    # idempotent: nothing left to expire at the same horizon
+    again = expire_scd2_versions(
+        spark, path, before=horizon, partition_col="effective_month"
+    )
+    assert again == {"rows_expired": 0, "partitions_rewritten": 0}
+
+
+def test_compact_in_place_preserves_rows(spark, sf_dir, tmp_path):
+    """CDC-style fragmented partitions compact atomically in place."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        compact_in_place,
+    )
+
+    path = str(tmp_path / "frag")
+    e = load(spark, sf_dir, "events").withColumn(
+        "bucket", F.col("user_id") % 4
+    )
+    # fragment: many small files per partition
+    e.repartition(16).write.partitionBy("bucket").parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    n_before, n_after = compact_in_place(spark, path, partition_by=["bucket"])
+    assert n_after < n_before
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before

@@ -645,3 +645,99 @@ def lake_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap("2024-03-15", datetime.datetime(2024, 3, 15)).unionByName(
         snap("2024-07-01", datetime.datetime(2024, 7, 1))
     )
+
+
+@query(
+    "lake_vacuum_expire",
+    """
+    WITH base AS (SELECT c_custkey AS k, c_name AS nm, c_acctbal AS b
+                  FROM customer WHERE c_custkey <= 200)
+    SELECT k AS c_custkey, nm AS c_name,
+           CAST(b + 100 AS DOUBLE) AS c_acctbal,
+           TIMESTAMP '2024-02-01' AS effective_from,
+           TIMESTAMP '2024-03-01' AS effective_to,
+           FALSE AS is_current, '2024-02' AS effective_month
+    FROM base WHERE k % 15 = 0
+    UNION ALL
+    SELECT k, nm, CAST(b + 200 AS DOUBLE), TIMESTAMP '2024-03-01',
+           CAST(NULL AS TIMESTAMP), TRUE, '2024-03'
+    FROM base WHERE k % 5 = 0
+    UNION ALL
+    SELECT k, nm, CAST(b + 100 AS DOUBLE), TIMESTAMP '2024-02-01',
+           CAST(NULL AS TIMESTAMP), TRUE, '2024-02'
+    FROM base WHERE k % 3 = 0 AND k % 5 <> 0
+    UNION ALL
+    SELECT k, nm, CAST(b AS DOUBLE), TIMESTAMP '2024-01-01',
+           TIMESTAMP '2024-03-01', FALSE, '2024-01'
+    FROM base WHERE k % 5 = 0 AND k % 3 <> 0
+    UNION ALL
+    SELECT k, nm, CAST(b AS DOUBLE), TIMESTAMP '2024-01-01',
+           CAST(NULL AS TIMESTAMP), TRUE, '2024-01'
+    FROM base WHERE k % 3 <> 0 AND k % 5 <> 0
+    ORDER BY c_custkey, effective_from
+    """,
+    "Retention/vacuum on a month-partitioned SCD2 dimension (round-6 "
+    "VERDICT #4): two version batches (%3 keys re-priced at 2024-02-01, "
+    "%5 keys at 2024-03-01) then expire_scd2_versions(before="
+    "2024-02-15) physically removes exactly the versions closed at or "
+    "before the horizon (the 2024-02-01-closed v1 rows of %3 keys) "
+    "while every as-of read at or after the horizon replays unchanged. "
+    "Only the 2024-01 partition (the one holding expired rows) is "
+    "rewritten. The oracle replays the surviving version set per "
+    "residue class.",
+)
+def lake_vacuum_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives sources.lake.expire_scd2_versions end to end on a
+    dimension built by two scd2_apply batches. Scale notes on the
+    library function: expired-row predicate pushes to the scan, rewrite
+    bounded to partitions containing expired rows, atomic publish."""
+    import datetime
+
+    from ..sources.lake import scd2_apply, scd2_partition_value, expire_scd2_versions
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    path = scratch_dir("scd2_vacuum_") + "/dim"
+    (
+        c.filter(F.col("c_custkey") <= 200)
+        .withColumn("effective_from", F.lit(datetime.datetime(2024, 1, 1)))
+        .withColumn("effective_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+        .withColumn("effective_month", scd2_partition_value(F.col("effective_from")))
+        .write.partitionBy("effective_month")
+        .parquet(path)
+    )
+    base = c.filter(F.col("c_custkey") <= 200)
+    batch1 = base.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal")
+    )
+    batch2 = base.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 200).alias("c_acctbal")
+    )
+    for batch, as_of in (
+        (batch1, datetime.datetime(2024, 2, 1)),
+        (batch2, datetime.datetime(2024, 3, 1)),
+    ):
+        scd2_apply(
+            spark,
+            path,
+            batch,
+            key_cols=["c_custkey"],
+            change_cols=["c_acctbal"],
+            as_of=as_of,
+            partition_col="effective_month",
+        )
+    expire_scd2_versions(
+        spark,
+        path,
+        before=datetime.datetime(2024, 2, 15),
+        partition_col="effective_month",
+    )
+    return spark.read.parquet(path).select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "effective_from",
+        "effective_to",
+        "is_current",
+        F.col("effective_month").cast("string").alias("effective_month"),
+    ).orderBy("c_custkey", "effective_from")

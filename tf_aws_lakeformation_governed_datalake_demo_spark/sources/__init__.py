@@ -8,22 +8,30 @@ Catalyst handles column pruning and predicate pushdown at the scan.
 
 from .lake import (
     TPCH_TABLES,
+    compact_in_place,
+    expire_scd2_versions,
     load,
     load_all,
     merge_into,
+    publish_overwrite,
     register_views,
     scd2_apply,
     scd2_as_of,
+    vacuum_publish_artifacts,
     write_partitioned,
 )
 
 __all__ = [
     "TPCH_TABLES",
+    "compact_in_place",
+    "expire_scd2_versions",
     "load",
     "load_all",
     "merge_into",
+    "publish_overwrite",
     "register_views",
     "scd2_apply",
     "scd2_as_of",
+    "vacuum_publish_artifacts",
     "write_partitioned",
 ]
