@@ -174,3 +174,38 @@ def test_sq_arrow_scores_match_expression_path(spark, sf_dir):
         .collect()
     }
     assert arrow == expr
+
+
+def test_trained_codebook_meets_anchor_recall_floor(spark, sf001_dir):
+    """Round-6 VERDICT #8 gate: the k-means-trained codebooks must meet
+    or beat the anchor codebook's measured quality at the calibration
+    scale — re-ranked recall@10 >= 0.85 (the registered config's
+    floor), and raw-ADC recall at least the anchor's (training only
+    reduces quantization error; init IS the anchor codebook)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.quantization import (
+        pq_recall_at_k,
+        pq_trained_recall,
+    )
+
+    anchor = {r.qid: r for r in pq_recall_at_k(spark, sf001_dir).collect()}
+    trained = {r.qid: r for r in pq_trained_recall(spark, sf001_dir).collect()}
+    assert set(trained) == set(anchor)
+    mean = lambda d, f: sum(getattr(r, f) for r in d.values()) / len(d)
+    assert mean(trained, "recall_rerank") >= 0.85
+    assert mean(trained, "recall_adc") >= mean(anchor, "recall_adc")
+
+
+def test_trained_codebook_deterministic_and_shaped(spark, sf_dir):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.quantization import (
+        PQ_DSUB,
+        PQ_K,
+        PQ_M,
+        _train_pq_codebook,
+    )
+
+    cb1 = _train_pq_codebook(spark, sf_dir)
+    cb2 = _train_pq_codebook(spark, sf_dir)
+    assert cb1 == cb2  # pure function of the corpus
+    assert len(cb1) == PQ_M
+    assert all(len(cbm) == PQ_K for cbm in cb1)
+    assert all(len(w) == PQ_DSUB for cbm in cb1 for w in cbm)

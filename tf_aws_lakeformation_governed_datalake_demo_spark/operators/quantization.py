@@ -574,25 +574,14 @@ _PQ_RECALL_ORACLE = f"""
 """
 
 
-@query(
-    "pq_recall_at_k",
-    _PQ_RECALL_ORACLE,
-    "PQ quality instrumentation: recall@10 vs brute-force cosine ground "
-    "truth for BOTH read paths — raw ADC ranking over codes, and the "
-    "registered C=50 shortlist + exact re-rank (mean 0.85 mid-sim). "
-    "The whole measurement is replayed by the oracle.",
-)
-def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The measurement-as-operator pattern (ann_recall_at_k): at 100 TB
-    you choose M/K/C (compression vs fidelity vs re-rank IO) by
-    measured recall — the swept table lives next to the constants
-    above. The anchor codebook is the verifiable floor; trained
-    k-means codebooks (kmeans_embeddings) only improve it. Ground
-    truth broadcasts the queries and scores in one corpus pass; the
-    ADC side is the code-lookup scan; recall is a tiny final agg."""
+def _recall_instrument(
+    spark: SparkSession, sf_dir: str, cb, codes: DataFrame
+) -> DataFrame:
+    """Shared recall@10 measurement for any PQ codebook: ADC ranking +
+    C-shortlist exact re-rank, both scored against brute-force cosine
+    ground truth. Codebook-agnostic — pq_recall_at_k (anchor) and
+    pq_trained_recall (k-means) differ only in what they pass here."""
     K = 10
-    cb = pq_anchor_codebook(spark, sf_dir)
-    codes = _corpus_codes(spark, sf_dir, cb)
     base = load(spark, sf_dir, "embeddings")
     qtab = _query_tables(spark, base, _NQ_RECALL, cb)
 
@@ -648,6 +637,28 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_rerank"),
         )
     )
+
+
+@query(
+    "pq_recall_at_k",
+    _PQ_RECALL_ORACLE,
+    "PQ quality instrumentation: recall@10 vs brute-force cosine ground "
+    "truth for BOTH read paths — raw ADC ranking over codes, and the "
+    "registered C=50 shortlist + exact re-rank (mean 0.85 mid-sim). "
+    "The whole measurement is replayed by the oracle.",
+)
+def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement-as-operator pattern (ann_recall_at_k): at 100 TB
+    you choose M/K/C (compression vs fidelity vs re-rank IO) by
+    measured recall — the swept table lives next to the constants
+    above. The anchor codebook is the verifiable floor; trained
+    k-means codebooks (pq_trained_codebook) only improve it — gated in
+    tests/test_quantization.py. Ground truth broadcasts the queries
+    and scores in one corpus pass; the ADC side is the code-lookup
+    scan; recall is a tiny final agg."""
+    cb = pq_anchor_codebook(spark, sf_dir)
+    codes = _corpus_codes(spark, sf_dir, cb)
+    return _recall_instrument(spark, sf_dir, cb, codes)
 
 
 # ----------------------------------------------------- scalar quantization
@@ -938,3 +949,101 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
     )
     return _rerank_cosine(shortlist, base, _NQ_ADC)
+
+
+# ------------------------------------------------- trained PQ codebooks
+
+_PQ_TRAIN_N = 2048  # training sample size (driver-side, corpus-independent)
+_PQ_TRAIN_ITERS = 20  # Lloyd iteration cap (converges earlier in practice)
+
+
+def pq_trained_codebook(spark: SparkSession, sf_dir: str):
+    """Per-sub-space k-means-TRAINED codebooks — the documented
+    production upgrade over the anchor codebooks (round-6 VERDICT #8).
+
+    Training is driver-side numpy Lloyd iteration over a BOUNDED
+    deterministic sample: the _PQ_TRAIN_N vectors with the smallest
+    (md5(vec_id), vec_id) — content-addressed like the anchors, so the
+    sample (and therefore the codebook) is a pure function of the
+    corpus, independent of partitioning or engine. This is the standard
+    PQ training budget (Jegou et al. 2011; faiss trains on
+    O(max(10^4, 256*K)) samples regardless of corpus size): at 100 TB
+    you still train on thousands of vectors and ENCODE on all of them —
+    training cost does not scale with the table.
+
+    Determinism: init = the anchor codebook (so training starts at the
+    verifiable floor and can only reduce quantization error);
+    assignment uses np.argmin (first-min wins) over float64 distances;
+    update is the fixed-order mean of assigned sub-vectors; an emptied
+    cluster keeps its previous codeword. Iteration stops when
+    assignments are stable or at _PQ_TRAIN_ITERS.
+
+    Rows-only class by nature (iterative, like kmeans_embeddings); the
+    recall gate vs the anchor floor lives in tests/test_quantization.py.
+    """
+    return _session_memo(
+        spark, ("cb_trained", sf_dir), lambda: _train_pq_codebook(spark, sf_dir)
+    )
+
+
+def _train_pq_codebook(spark: SparkSession, sf_dir: str):
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(_PQ_TRAIN_N)
+        .collect()
+    )
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    train = _normalize_round_np(mat)  # (n, DIM)
+    anchor = np.asarray(
+        _build_anchor_codebook(spark, sf_dir), dtype=np.float64
+    )  # (M, K, DSUB)
+    out = []
+    for m in range(PQ_M):
+        sub = train[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]  # (n, DSUB)
+        cent = anchor[m].copy()  # (K, DSUB)
+        prev_assign = None
+        for _ in range(_PQ_TRAIN_ITERS):
+            diff = sub[:, None, :] - cent[None, :, :]  # (n, K, DSUB)
+            d2 = np.einsum("nkd,nkd->nk", diff, diff)
+            assign = np.argmin(d2, axis=1)  # first-min wins
+            if prev_assign is not None and np.array_equal(assign, prev_assign):
+                break
+            prev_assign = assign
+            for k in range(PQ_K):
+                members = sub[assign == k]
+                if len(members):
+                    cent[k] = members.mean(axis=0)
+        out.append([[float(x) for x in word] for word in cent])
+    return out
+
+
+@query(
+    "pq_trained_recall",
+    None,  # iterative k-means training: rows-only class (like
+    # kmeans_embeddings); the >= anchor-floor recall gate is asserted in
+    # tests/test_quantization.py
+    "PQ recall@10 instrument with k-means-TRAINED per-sub-space "
+    "codebooks (Lloyd over a bounded content-addressed sample, "
+    "anchor-codebook init): the production configuration the anchor "
+    "queries floor. Same measurement shape as pq_recall_at_k; gated "
+    "in tests to meet or beat the anchor codebook's re-ranked 0.85.",
+)
+def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical pipeline to pq_recall_at_k (ADC ranking + C=50 exact
+    re-rank vs brute-force ground truth) with the trained codebook
+    swapped in — one argument, because every stage downstream of the
+    codebook is codebook-agnostic. Scale story unchanged: train O(n
+    sample) on the driver, broadcast 1024 doubles, encode map-only."""
+    cb = pq_trained_codebook(spark, sf_dir)
+    codes = _session_memo(
+        spark,
+        ("codes_trained", sf_dir),
+        lambda: pq_encode_arrow(load(spark, sf_dir, "embeddings"), cb)
+        .select("vec_id", "label", "codes")
+        .cache(),
+    )
+    return _recall_instrument(spark, sf_dir, cb, codes)
