@@ -90,6 +90,17 @@ HEADLINE = [
     "join_bloom_pruned_revenue",
     "stream_enriched_region_counts",
     "graph_triangle_count",
+    # round 7 additions: the durable-catalog reload path (bootstrap +
+    # save + load + governed scan — pure metadata cost, like the
+    # governance entry), SCD2 retention end to end (seed + two applies
+    # + expire + read-back), the durable append-mode trending pipeline
+    # (checkpointed parquet sink + read-side rank), and the
+    # k-means-trained-PQ recall instrument (train + encode + ADC +
+    # re-rank + ground truth)
+    "governance_catalog_reload",
+    "lake_vacuum_expire",
+    "stream_topk_trending_durable",
+    "pq_trained_recall",
 ]
 
 

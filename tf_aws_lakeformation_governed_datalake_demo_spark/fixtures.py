@@ -124,7 +124,11 @@ def write_sales(spark: SparkSession, lake_dir: str) -> str:
     (snappy parquet, upload_sample.sh:27 analog). Returns the table path.
     """
     path = f"{lake_dir}/sales"
-    sales_dataframe(spark).coalesce(1).write.mode("overwrite").option(
+    # repartition(1), NOT coalesce(1): the local relation parallelizes
+    # over 32 slices whose Python-side evaluation coalesce would chain
+    # sequentially into ONE task (~6 s measured); the shuffle keeps the
+    # upstream evaluation parallel and writes one file in 0.6 s.
+    sales_dataframe(spark).repartition(1).write.mode("overwrite").option(
         "compression", "snappy"
     ).parquet(path)
     return path
