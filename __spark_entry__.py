@@ -24,10 +24,12 @@ freshness-first, self-healing):
   class, never yet in a window — its numpy power-iteration cross-check
   lives in tests/test_iterative.py), ``pq_trained_recall`` (new
   rows-only k-means-trained-codebook instrument, recall-gated in
-  tests/test_quantization.py), and the three new round-7 oracle-backed
+  tests/test_quantization.py), and the four new round-7 oracle-backed
   queries: ``governance_catalog_reload`` (durable catalog),
-  ``lake_vacuum_expire`` (SCD2 retention), and
-  ``stream_topk_trending_durable`` (append-mode trending). 12 names.
+  ``lake_vacuum_expire`` (SCD2 retention),
+  ``stream_topk_trending_durable`` (append-mode trending), and
+  ``stream_scd2_enrichment`` (point-in-time-correct stream enrichment
+  against the versioned dimension). 13 names.
 - ``y0_<name>`` — last verified in round 3/4 (the OLDEST fresh
   verdicts; 57 names). They sort directly after the unprefixed block,
   so the ~38 spare window slots re-verify the alphabetically-first of

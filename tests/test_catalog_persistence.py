@@ -133,3 +133,40 @@ def test_load_reassigns_lake_root(spark, durable_lake, tmp_path):
     shutil.copytree(lake, moved)
     cat = GovernedCatalog.load(spark, moved)
     assert cat.lake_root == moved
+
+
+def test_concurrent_save_fails_closed(spark, durable_lake):
+    """Two sessions load revision N and both mutate: the second save
+    must fail with the reload-and-reapply instruction instead of
+    silently discarding the first session's grant."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+        ConcurrentCatalogModificationError,
+    )
+
+    lake, _ = durable_lake
+    a = GovernedCatalog.load(spark, lake)
+    b = GovernedCatalog.load(spark, lake)
+    a.grant("alice", SELECT, fx.DATABASE, fx.TABLE)
+    b.grant("bob", SELECT, fx.DATABASE, fx.TABLE)
+    a.save()
+    with pytest.raises(ConcurrentCatalogModificationError):
+        b.save()
+    # the losing session reloads, reapplies, and succeeds
+    b2 = GovernedCatalog.load(spark, lake)
+    assert b2.grants_for("alice", fx.DATABASE, fx.TABLE)  # winner preserved
+    b2.grant("bob", SELECT, fx.DATABASE, fx.TABLE)
+    b2.save()
+    final = GovernedCatalog.load(spark, lake)
+    assert final.grants_for("alice", fx.DATABASE, fx.TABLE)
+    assert final.grants_for("bob", fx.DATABASE, fx.TABLE)
+
+
+def test_same_session_resave_is_fine(spark, durable_lake):
+    lake, cat = durable_lake
+    r0 = cat.revision
+    cat.grant("carol", SELECT, fx.DATABASE, fx.TABLE)
+    cat.save()
+    cat.grant("dave", SELECT, fx.DATABASE, fx.TABLE)
+    cat.save()  # sequential saves from one session never conflict
+    assert cat.revision == r0 + 2
+    assert GovernedCatalog.load(spark, lake).revision == cat.revision

@@ -98,6 +98,10 @@ class ViewDef:
         return f"{self.database}.{self.name}"
 
 
+class ConcurrentCatalogModificationError(RuntimeError):
+    """Another session saved the catalog since this one loaded it."""
+
+
 class GovernedCatalog:
     """Registry of databases/tables/views + governance state + enforcement."""
 
@@ -121,6 +125,8 @@ class GovernedCatalog:
         self.grants: list[Grant] = []
         self.admins: set[str] = set()
         self.audit = AuditLog()
+        # Monotonic save counter for optimistic concurrency (see save()).
+        self.revision = 0
 
     # ------------------------------------------------------- persistence
     CATALOG_SUBDIR = "_catalog"  # '_' prefix: invisible to parquet scans
@@ -133,7 +139,8 @@ class GovernedCatalog:
         is the engine's equivalent record, written under the lake root
         so the metadata travels with the data it governs."""
         return {
-            "version": 1,
+            "version": 1,  # serialization format version
+            "revision": self.revision,  # optimistic-concurrency counter
             "governance_enabled": self.governance_enabled,
             "lake_root": self.lake_root,
             "databases": dict(sorted(self.databases.items())),
@@ -247,6 +254,7 @@ class GovernedCatalog:
                 )
             )
         cat.admins = set(state["admins"])
+        cat.revision = state.get("revision", 0)
         return cat
 
     def _catalog_file(self, root: str | None = None):
@@ -274,9 +282,34 @@ class GovernedCatalog:
 
         path = self._catalog_file(root)
         path.parent.mkdir(parents=True, exist_ok=True)
+        # Optimistic concurrency: a save is valid only against the
+        # revision this catalog loaded (or last saved). Two sessions
+        # that both load revision N and both mutate cannot silently
+        # clobber each other — the second save fails with the
+        # reload-and-reapply instruction instead of discarding the
+        # first session's grants. (Best-effort single-host CAS: the
+        # check-then-rename window is microseconds; a cloud catalog
+        # service does this server-side, Glue UpdateTable-style.)
+        if path.exists():
+            on_disk = _json.loads(path.read_text(encoding="utf-8")).get(
+                "revision", 0
+            )
+            if on_disk != self.revision:
+                raise ConcurrentCatalogModificationError(
+                    f"catalog at {path} is at revision {on_disk}, this "
+                    f"session loaded revision {self.revision}: reload "
+                    "and reapply your changes"
+                )
+        self.revision += 1
         tmp = path.with_name(f".catalog.{uuid.uuid4().hex}.tmp")
-        tmp.write_text(_json.dumps(self.to_dict(), indent=1), encoding="utf-8")
-        _os.replace(tmp, path)  # atomic on POSIX
+        try:
+            tmp.write_text(
+                _json.dumps(self.to_dict(), indent=1), encoding="utf-8"
+            )
+            _os.replace(tmp, path)  # atomic on POSIX
+        except BaseException:
+            self.revision -= 1  # failed save consumes no revision
+            raise
         audit_path = path.parent / "audit.jsonl"
         if self.audit.path is None:
             # flush events recorded before durability was enabled
@@ -654,8 +687,10 @@ class GovernedCatalog:
 
         state = dict(self.to_dict())
         # location of the lake is storage identity, not policy identity —
-        # Engine L7 tracks storage with a separate fingerprint
+        # Engine L7 tracks storage with a separate fingerprint; the
+        # revision counter is save bookkeeping, not policy
         state.pop("lake_root", None)
+        state.pop("revision", None)
         return hashlib.md5(
             _json.dumps(state, sort_keys=True).encode()
         ).hexdigest()

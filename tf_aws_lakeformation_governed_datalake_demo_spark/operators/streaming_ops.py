@@ -588,3 +588,88 @@ def stream_topk_trending_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(win).cast("long"))
         .filter(F.col("rn") <= 2)
     )
+
+
+@query(
+    "stream_scd2_enrichment",
+    """
+    WITH mid AS (SELECT date_trunc('day', max(ts)) AS m FROM events)
+    SELECT date_trunc('hour', e.ts) AS hour,
+           CASE WHEN e.user_id % 3 = 0 AND e.ts >= mid.m
+                THEN 'gold' ELSE 'bronze' END AS tier,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e CROSS JOIN mid
+    GROUP BY 1, 2
+    """,
+    "POINT-IN-TIME-correct stream enrichment: each event joins the SCD2 "
+    "user-tier dimension version valid AT THE EVENT'S OWN TIMESTAMP "
+    "(e.ts within [effective_from, effective_to)), not the current "
+    "version — so events from before a tier change aggregate under the "
+    "old tier and later events under the new one, exactly what "
+    "training-data / revenue attribution pipelines need when reference "
+    "data changes mid-stream. The dimension is built by a real "
+    "scd2_apply (all users bronze, %3 users promoted to gold at "
+    "date_trunc('day', max(ts))); the oracle replays the tier function "
+    "per event.",
+)
+def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition the stream_enriched_region_counts docstring promises:
+    stream-STATIC join where the static side is the versioned dimension
+    and the join predicate is the validity-range as-of condition. Zero
+    join state (static side broadcasts; the range predicate evaluates
+    map-side per batch); a dimension refresh (next scd2_apply) lands at
+    the next micro-batch without restarting the query. Aggregation
+    state is (hours x tiers) — tiny."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ..scratch import scratch_dir
+    from ..sources import load, scd2_apply
+
+    e = load(spark, sf_dir, "events")
+    mid = spark.sql(
+        "SELECT date_trunc('DAY', max(ts)) AS m FROM {e}", e=e
+    ).first()[0]
+    dim = scratch_dir("scd2_enrich_") + "/dim"
+    users = e.select("user_id").distinct()
+    (
+        users.withColumn("tier", F.lit("bronze"))
+        .withColumn(
+            "effective_from", F.lit(datetime.datetime(2000, 1, 1))
+        )
+        .withColumn("effective_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+        .write.parquet(dim)
+    )
+    promo = (
+        users.filter(F.col("user_id") % 3 == 0)
+        .withColumn("tier", F.lit("gold"))
+    )
+    scd2_apply(
+        spark, dim, promo, key_cols=["user_id"], change_cols=["tier"], as_of=mid
+    )
+
+    d = F.broadcast(
+        spark.read.parquet(dim).select(
+            F.col("user_id").alias("d_user_id"),
+            "tier",
+            "effective_from",
+            "effective_to",
+        )
+    )
+    events = se.read_events_stream(spark, sf_dir)
+    enriched = events.join(
+        d,
+        (events["user_id"] == d["d_user_id"])
+        & (events["ts"] >= d["effective_from"])
+        & (d["effective_to"].isNull() | (events["ts"] < d["effective_to"])),
+    )
+    agg = (
+        enriched.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("hour"), "tier", "n")
+    )
+    name = f"stream_out_{next(_COUNTER)}"
+    return se.run_stream_to_batch(agg, name, output_mode="complete")
