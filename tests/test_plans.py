@@ -481,3 +481,49 @@ def test_bloom_prune_filters_fact_before_join(spark, sf_dir):
     assert "shiftright" in plan  # the bloom membership test survives to the plan
     # the bit test evaluates below the join's exchange, not after the join
     assert plan.index("shiftright") > plan.index("SortMergeJoin")
+
+
+def test_expire_scan_pushes_horizon_predicate(spark, sf_dir, tmp_path):
+    """expire_scd2_versions' expired-row detection must read the
+    dimension through a scan-level predicate (PushedFilters on the
+    validity-end column), not a post-scan filter — at 100 TB the scan
+    is the cost."""
+    import datetime
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    path = str(tmp_path / "dim")
+    (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .withColumn("effective_from", F.lit(datetime.datetime(2024, 1, 1)))
+        .withColumn("effective_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+        .write.parquet(path)
+    )
+    expired = spark.read.parquet(path).filter(
+        F.col("effective_to").isNotNull()
+        & (F.col("effective_to") <= F.lit(datetime.datetime(2024, 2, 15)))
+    )
+    assert_pushed_filter(expired, "effective_to")
+
+
+def test_scd2_enrichment_dimension_broadcasts(spark, sf_dir):
+    """The point-in-time enrichment's static side must broadcast (zero
+    stream-side join state); pin the batch analog of the join shape."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    e = load(spark, sf_dir, "events")
+    d = F.broadcast(
+        e.select("user_id").distinct().withColumn("tier", F.lit("bronze"))
+        .withColumn("effective_from", F.lit("2000-01-01").cast("timestamp"))
+        .withColumn("effective_to", F.lit(None).cast("timestamp"))
+        .selectExpr("user_id AS d_user_id", "tier", "effective_from", "effective_to")
+    )
+    joined = e.join(
+        d,
+        (e["user_id"] == d["d_user_id"])
+        & (e["ts"] >= d["effective_from"])
+        & (d["effective_to"].isNull() | (e["ts"] < d["effective_to"])),
+    )
+    assert_broadcast_join(joined)
