@@ -379,3 +379,25 @@ def test_cluster_oracles_agree_on_duplicated_corpus(spark, tmp_path):
     assert keepers[comp[1]] == (1, 3)     # one keeper for {1,2,3}
     assert keepers[comp[5]] == (5, 2)     # one keeper for the exact pair
     assert keepers[4] == (4, 1)           # singleton survives
+
+
+def test_incremental_minhash_equals_batch_restricted_full_run(spark, sf_dir):
+    """The incremental result must be EXACTLY the full-corpus result
+    restricted to pairs touching the batch — no pair lost to the
+    index/batch split (same bands, same hot cap, same verify)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.dedup import (
+        dedup_incremental_minhash,
+        dedup_minhash_lsh_md5,
+    )
+
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_lsh_md5(spark, sf_dir).collect()
+    }
+    want = {t for t in full if t[0] % 4 == 0 or t[1] % 4 == 0}
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_incremental_minhash(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got  # non-trivial: the fixture has batch-touching near-dups
