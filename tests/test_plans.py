@@ -527,3 +527,18 @@ def test_scd2_enrichment_dimension_broadcasts(spark, sf_dir):
         & (d["effective_to"].isNull() | (e["ts"] < d["effective_to"])),
     )
     assert_broadcast_join(joined)
+
+
+def test_path_transitions_single_event_scale_exchange(spark, sf_dir):
+    """Sessionization and the in-session lag must share ONE user_id
+    exchange (HashPartitioning(user_id) satisfies the (user_id, sid)
+    clustering requirement — only a sort is added); later exchanges
+    operate on the tiny (types x types) aggregate."""
+    import re
+
+    df = REGISTRY["events_path_transitions"].builder(spark, sf_dir)
+    # AQE's toString appends the Initial Plan below the Final Plan —
+    # count exchanges in the final section only
+    plan = final_plan(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+    assert not re.search(r"hashpartitioning\(user_id[^)]*sid", plan)

@@ -1113,3 +1113,80 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "events_path_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (SELECT user_id, ts, event_id, event_type,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+    t AS (SELECT lag(event_type) OVER (
+                   PARTITION BY user_id, sid ORDER BY ts, event_id
+                 ) AS src_type,
+                 event_type AS dst_type
+          FROM s)
+    SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY src_type), 4) AS p
+    FROM t WHERE src_type IS NOT NULL
+    GROUP BY src_type, dst_type
+    ORDER BY src_type, dst_type
+    """,
+    "Session path analysis: within 30-minute-gap sessions, count every "
+    "(previous event type -> event type) transition and its per-source "
+    "probability — the Markov transition matrix behind user-journey / "
+    "next-action analytics. Session boundaries cut transitions (the "
+    "last event of one session never links to the next session). "
+    "Oracle replays gap-cumsum sessionization, the in-session lag, and "
+    "the row-conditional probability normalization.",
+)
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id serves sessionization AND the
+    in-session lag (the (user_id, sid) lag window is a restriction of
+    the user_id partitioning, so no second exchange); the transition
+    count is a tiny (types x types) aggregate with map-side partials,
+    and the probability normalization is a window over that aggregate —
+    O(distinct transitions), not O(events). Ties at identical
+    timestamps order by event_id in BOTH engines, so the lag is
+    deterministic."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 30 * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    s = e.withColumn("brk", brk).withColumn(
+        "sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    ws = W.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    t = s.select(
+        F.lag("event_type").over(ws).alias("src_type"),
+        F.col("event_type").alias("dst_type"),
+    ).filter(F.col("src_type").isNotNull())
+    agg = t.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = W.partitionBy("src_type")
+    return agg.select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 4).alias("p"),
+    ).orderBy("src_type", "dst_type")
