@@ -381,7 +381,13 @@ def cdc_apply_batch(spark: SparkSession, dim: str, dim_schema, batch: DataFrame)
     if upd.isEmpty():
         return
     merge_into(
-        spark, dim, upd, ["user_id"], partition_by=["bucket"], schema=dim_schema
+        spark,
+        dim,
+        upd,
+        ["user_id"],
+        partition_by=["bucket"],
+        schema=dim_schema,
+        collect_stats=False,  # per-batch stats jobs are pure overhead here
     )
 
 

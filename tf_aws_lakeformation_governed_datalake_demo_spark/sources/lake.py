@@ -272,6 +272,7 @@ def merge_into(
     partition_by: list[str] | None = None,
     evolve_schema: bool = False,
     schema: T.StructType | None = None,
+    collect_stats: bool = True,
 ) -> dict:
     """Keyed MERGE/upsert on a plain-Parquet lake table — the Delta
     ``MERGE INTO`` / ``replaceWhere`` analog, executable without ACID
@@ -360,14 +361,22 @@ def merge_into(
     # never targets the directory this plan reads, so there is no
     # read-under-overwrite hazard to pin against.
     merged = keep.select(*cols).unionByName(updates.select(*cols))
-    # Key-overlap stats: column-pruned semi-join count over the pinned
-    # updates, evaluated BEFORE the swap mutates ``path``.
-    n_updated = (
-        current.select(*key_cols)
-        .join(updates.select(*key_cols), key_cols, "left_semi")
-        .count()
-    )
-    n_inserted = updates.count() - n_updated
+    if collect_stats:
+        # Key-overlap stats: column-pruned semi-join count over the
+        # pinned updates, evaluated BEFORE the swap mutates ``path``.
+        # ``collect_stats=False`` skips these two jobs — the right call
+        # for high-frequency callers that never read them (CDC
+        # micro-batches); the updates localCheckpoint above stays
+        # unconditionally, because it also pins WHICH rows the
+        # touched-partition list and the staged write see.
+        n_updated = (
+            current.select(*key_cols)
+            .join(updates.select(*key_cols), key_cols, "left_semi")
+            .count()
+        )
+        n_inserted = updates.count() - n_updated
+    else:
+        n_updated = n_inserted = None
     publish_overwrite(spark, path, merged, partition_by)
     return {
         "rows_updated": n_updated,
