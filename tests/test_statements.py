@@ -377,3 +377,76 @@ def test_privacy_gated_ctas_export(spark, tmp_path_factory):
     # excluded them before aggregation)
     cols = {f.name for f in spark.read.parquet(out).schema.fields}
     assert cols.isdisjoint({"customer_email", "ssn"})
+
+
+# ---------------------------------------------------------- maintenance
+def test_maintain_requires_admin_or_all(spark, tmp_path):
+    """Maintenance rewrites storage: SELECT-via-filter does not qualify;
+    admin and table-ALL do; denials and successes are audited."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        PermissionDeniedError,
+    )
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    q = f"{fx.DATABASE}.{fx.TABLE}"
+
+    with pytest.raises(PermissionDeniedError):
+        eng.maintain(q, "vacuum_artifacts", principal="analyst")
+    # dataadmin holds an unconditioned ALL grant on the table
+    out = eng.maintain(q, "vacuum_artifacts", principal="dataadmin")
+    assert out == {"removed": []}
+    # a real catalog admin bypasses grants entirely
+    cat.set_admins(["ops"])
+    assert eng.maintain(q, "vacuum_artifacts", principal="ops") == {"removed": []}
+
+    audited = [
+        (e["query"], e["status"])
+        for e in cat.audit.events
+        if e["query"].startswith("MAINTAIN")
+    ]
+    assert ("MAINTAIN vacuum_artifacts " + q, "denied") in audited
+    assert ("MAINTAIN vacuum_artifacts " + q, "ok") in audited
+
+
+def test_maintain_compact_preserves_governed_reads(spark, sf_dir, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark import TableDef
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    # register a fragmented governed table inside the lake root
+    loc = f"{lake}/events_frag"
+    load(spark, sf_dir, "events").repartition(16).write.parquet(loc)
+    cat.register_table(TableDef(fx.DATABASE, "events_frag", loc))
+    cat.set_admins(["ops"])
+    before = eng.sql(
+        f"SELECT count(*) AS n FROM {fx.DATABASE}.events_frag",
+        principal="ops",
+    ).first().n
+    stats = eng.maintain(
+        f"{fx.DATABASE}.events_frag", "compact", principal="ops"
+    )
+    assert stats["files_after"] < stats["files_before"]
+    after = eng.sql(
+        f"SELECT count(*) AS n FROM {fx.DATABASE}.events_frag",
+        principal="ops",
+    ).first().n
+    assert after == before
+
+
+def test_maintain_refuses_location_outside_lake_root(spark, sf_dir, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark import TableDef
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    outside = str(tmp_path / "outside")
+    load(spark, sf_dir, "nation").write.parquet(outside)
+    cat.register_table(TableDef(fx.DATABASE, "outside_t", outside))
+    cat.set_admins(["ops"])
+    with pytest.raises(ValueError, match="lake_root"):
+        eng.maintain(f"{fx.DATABASE}.outside_t", "compact", principal="ops")

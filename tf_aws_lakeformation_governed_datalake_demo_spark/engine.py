@@ -484,6 +484,107 @@ class Engine:
             raise ValueError(f"unsupported UNLOAD format {format!r}")
         return path
 
+    # ---------------------------------------------------- maintenance
+    def maintain(
+        self,
+        qualified: str,
+        action: str,
+        principal: "Principal | str | None" = None,
+        **kwargs,
+    ) -> dict:
+        """Governed storage maintenance — the OPTIMIZE/VACUUM statement
+        surface, gated like a destructive DDL: maintenance REWRITES
+        table storage, so it requires an admin (main.tf:82-91) or an
+        unconditioned ALL grant on the table — SELECT (even unfiltered)
+        is read permission and does not qualify. Every invocation
+        (including denials) is audit-logged as ``MAINTAIN <action>``.
+
+        Actions:
+        - ``"compact"`` — in-place small-file compaction
+          (sources.lake.compact_in_place; ``target_file_bytes=`` kwarg),
+          partitioned by the table's declared partition keys;
+        - ``"expire_versions"`` — SCD2 retention
+          (sources.lake.expire_scd2_versions; ``before=`` required,
+          plus its column kwargs);
+        - ``"vacuum_artifacts"`` — reclaim crashed-publish staging/trash
+          (sources.lake.vacuum_publish_artifacts).
+
+        Same fail-closed location guard as drop_table(delete_data=True):
+        the catalog must have a ``lake_root`` and the table location
+        must resolve under it — a table registered at a mistaken or
+        hostile location must not be rewritten.
+        """
+        from pathlib import Path
+
+        from .governance import ALL, PermissionDeniedError
+        from .sources.lake import (
+            compact_in_place,
+            expire_scd2_versions,
+            vacuum_publish_artifacts,
+        )
+
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        table = self.catalog.tables[qualified]  # KeyError: fail closed
+
+        def _audit(status: str, error: str | None = None):
+            self.catalog.audit.record(
+                principal=name or "<none>",
+                query=f"MAINTAIN {action} {qualified}",
+                tables=[qualified],
+                filters_applied=[],
+                status=status,
+                error=error,
+            )
+
+        if self.catalog.governance_enabled and name not in self.catalog.admins:
+            grants = (
+                self.catalog.grants_for(name, table.database, table.name)
+                if name is not None
+                else []
+            )
+            if not any(
+                g.permission == ALL
+                and g.via_filter is None
+                and g.via_tag_exclude is None
+                for g in grants
+            ):
+                _audit("denied", "maintenance requires admin or ALL grant")
+                raise PermissionDeniedError(
+                    f"principal {name!r} may not run maintenance on "
+                    f"{qualified}: requires admin or an unconditioned ALL "
+                    "grant"
+                )
+        loc = Path(table.location).resolve()
+        if self.catalog.lake_root is None or not loc.is_relative_to(
+            Path(self.catalog.lake_root).resolve()
+        ):
+            _audit("denied", "location outside lake root")
+            raise ValueError(
+                f"refusing to maintain {loc}: catalog lake_root must be "
+                "configured and contain the table location (fail-closed "
+                "guard, same rule as destructive drops)"
+            )
+
+        if action == "compact":
+            before, after = compact_in_place(
+                self.spark,
+                table.location,
+                partition_by=list(table.partition_keys) or None,
+                **kwargs,
+            )
+            result = {"files_before": before, "files_after": after}
+        elif action == "expire_versions":
+            result = expire_scd2_versions(self.spark, table.location, **kwargs)
+        elif action == "vacuum_artifacts":
+            result = {"removed": vacuum_publish_artifacts(table.location)}
+        else:
+            _audit("failed", f"unknown action {action!r}")
+            raise ValueError(f"unknown maintenance action {action!r}")
+        _audit("ok")
+        return result
+
     # ------------------------------------------------ prepared statements
     def prepare(self, name: str, sql: str) -> None:
         """PREPARE — store a parameterized statement (? placeholders)."""

@@ -725,6 +725,7 @@ def lake_vacuum_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
             change_cols=["c_acctbal"],
             as_of=as_of,
             partition_col="effective_month",
+            collect_stats=False,  # stats unread in this pipeline
         )
     expire_scd2_versions(
         spark,

@@ -653,7 +653,8 @@ def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tier", F.lit("gold"))
     )
     scd2_apply(
-        spark, dim, promo, key_cols=["user_id"], change_cols=["tier"], as_of=mid
+        spark, dim, promo, key_cols=["user_id"], change_cols=["tier"],
+        as_of=mid, collect_stats=False,
     )
 
     d = F.broadcast(

@@ -406,6 +406,7 @@ def scd2_apply(
     partition_col: str | None = None,
     evolve_schema: bool = False,
     schema: T.StructType | None = None,
+    collect_stats: bool = True,
 ) -> dict:
     """Type-2 slowly-changing-dimension apply on a plain-Parquet table.
 
@@ -557,8 +558,13 @@ def scd2_apply(
         .unionByName(closing.select(*out_cols))
         .unionByName(inserted.select(*out_cols))
     )
-    n_closed = closing.count()
-    n_inserted = inserted.count()
+    if collect_stats:
+        # two O(batch-bounded) counts; skip for high-frequency callers
+        # that never read them (merge_into's collect_stats contract)
+        n_closed = closing.count()
+        n_inserted = inserted.count()
+    else:
+        n_closed = n_inserted = None
     publish_overwrite(
         spark,
         path,
