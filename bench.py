@@ -101,6 +101,13 @@ HEADLINE = [
     "lake_vacuum_expire",
     "stream_topk_trending_durable",
     "pq_trained_recall",
+    # round 7 second-half additions: point-in-time stream enrichment
+    # (scd2 dimension build + validity-range broadcast join + windowed
+    # agg), incremental batch-vs-index near-dup detection, and the
+    # session-path Markov transition matrix
+    "stream_scd2_enrichment",
+    "dedup_incremental_minhash",
+    "events_path_transitions",
 ]
 
 

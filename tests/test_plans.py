@@ -542,3 +542,32 @@ def test_path_transitions_single_event_scale_exchange(spark, sf_dir):
     plan = final_plan(df).split("== Initial Plan ==")[0]
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
     assert not re.search(r"hashpartitioning\(user_id[^)]*sid", plan)
+
+
+def test_incremental_minhash_probe_is_broadcast_semi_join(spark, sf_dir):
+    """The batch-id restriction of the band table must be a BROADCAST
+    left-semi join (batch ids are tiny vs the index) — the probe side
+    never shuffles the full band table to find its own rows."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.dedup import (
+        collapse_exact_duplicates,
+        incremental_minhash_pairs,
+        md5_token_hash,
+        minhash_signatures,
+        shingle_hash_frame,
+        _minhash_signature,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    d = collapse_exact_duplicates(load(spark, sf_dir, "documents"))
+    hashed = shingle_hash_frame(d, token_hash=md5_token_hash).filter(
+        F.size("shingle_hashes") > 0
+    )
+    sig = hashed.select(
+        "doc_id", _minhash_signature(F.col("shingle_hashes")).alias("signature")
+    )
+    pairs = incremental_minhash_pairs(
+        sig.filter(F.col("doc_id") % 4 == 0),
+        sig.filter(F.col("doc_id") % 4 != 0),
+    )
+    plan = physical_plan(pairs)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
