@@ -571,3 +571,24 @@ def test_incremental_minhash_probe_is_broadcast_semi_join(spark, sf_dir):
     )
     plan = physical_plan(pairs)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_ivf_partitioned_scan_prunes_cells(spark, sf_dir, tmp_path):
+    """The probed-cell IN-filter must resolve at planning time into
+    PartitionFilters on the index's label partition column — unprobed
+    cell directories are never listed or read."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        load,
+        write_partitioned,
+    )
+
+    v = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    index = str(tmp_path / "cells")
+    write_partitioned(v, index, partition_by=["label"])
+    pruned = spark.read.parquet(index).filter(F.col("label").isin([0, 1]))
+    plan = physical_plan(pruned)
+    seg = plan.split("PartitionFilters")[1][:160] if "PartitionFilters" in plan else ""
+    assert "label" in seg, plan
+    # and the pruned read returns exactly those cells' rows
+    want = v.filter(F.col("label").isin([0, 1])).count()
+    assert pruned.count() == want

@@ -1242,3 +1242,72 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "vec_id", "label", "cos_sim",
         F.row_number().over(w).cast("long").alias("rn"),
     ).filter(F.col("rn") <= 10)
+
+
+@query(
+    "ann_ivf_partitioned_scan",
+    _ANN_IVF_ORACLE,
+    "The IVF at-rest layout made literal: the corpus is WRITTEN as a "
+    "hive-partitioned index (one directory per cell label), and cell "
+    "probing becomes planning-time PARTITION PRUNING — the scan lists "
+    "and reads only the nprobe=2 probed cells' files "
+    "(PartitionFilters pinned in tests/test_plans.py). Same probe, "
+    "scoring, and ranking as ann_ivf_cosine, so the same oracle "
+    "replays it — proving the layout changes I/O, never results.",
+)
+def ann_ivf_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What ann_ivf_cosine's docstring promises ('at rest this is a
+    partition column: probing = partition pruning'), executed: build
+    the partitioned index once (in production: when the index is
+    built), then the query path reads ONLY probed directories. The
+    probed-label collect is O(nprobe) driver rows — the literal values
+    are what makes the IN-filter resolvable at planning time. At 100 TB
+    the unprobed cells are never listed, never opened: the scan cost is
+    nprobe/n_cells of the corpus, before any scoring happens."""
+    from ..scratch import scratch_dir
+    from ..sources import write_partitioned
+
+    v = _with_norm(load(spark, sf_dir, "embeddings"))
+    index = scratch_dir("ivf_index_") + "/cells"
+    write_partitioned(
+        v.select("vec_id", "embedding", "label"), index, partition_by=["label"]
+    )
+
+    cent = label_centroids(v)
+    q = v.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("norm").alias("qnorm")
+    )
+    probed = [
+        r.label
+        for r in (
+            cent.crossJoin(F.broadcast(q))
+            .select(
+                "label",
+                _cos(
+                    F.col("centroid"), F.col("qe"), F.col("cnorm"), F.col("qnorm")
+                ).alias("csim"),
+            )
+            .orderBy(F.desc("csim"), "label")
+            .limit(2)
+            .collect()
+        )
+    ]
+    cells = (
+        spark.read.parquet(index)
+        .filter(F.col("label").isin(probed))  # planning-time pruning
+        .filter(F.col("vec_id") != 0)
+    )
+    cells = _with_norm(cells)
+    return (
+        cells.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.round(
+                _cos(F.col("embedding"), F.col("qe"), F.col("norm"), F.col("qnorm")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
