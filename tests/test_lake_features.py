@@ -782,3 +782,61 @@ def test_compact_in_place_preserves_rows(spark, sf_dir, tmp_path):
     n_before, n_after = compact_in_place(spark, path, partition_by=["bucket"])
     assert n_after < n_before
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+
+def test_scd2_as_of_prunes_future_month_partitions(spark, sf_dir, tmp_path):
+    """On a month-partitioned dimension, as-of reads prune partitions
+    after the as-of month at planning time AND return exactly what the
+    unpruned read returns."""
+    import datetime
+    import re
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        scd2_as_of,
+    )
+
+    path = _seed_scd2_dim(spark, sf_dir, str(tmp_path))  # months 01/02/03
+    t = datetime.datetime(2024, 2, 20)
+    pruned = scd2_as_of(spark, path, t, partition_col="effective_month")
+    plain = scd2_as_of(spark, path, t)
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "effective_month" in m.group(1), plan
+    # the 2024-03 partition's files are outside the pruned file set
+    files = pruned.inputFiles() if hasattr(pruned, "inputFiles") else []
+    # inputFiles ignores pruning; assert via partition dirs instead:
+    # only months <= 2024-02 satisfy the filter
+    from pathlib import Path
+
+    months = {p.name for p in Path(path).iterdir() if p.name.startswith("effective_month=")}
+    assert "effective_month=2024-03" in months  # the data exists...
+    assert pruned.filter("effective_month = '2024-03'").count() == 0  # ...unread
+
+
+def test_vacuum_artifacts_age_guard(spark, sf_dir, tmp_path):
+    """Artifacts younger than min_age_seconds are left alone (a publish
+    may be in progress in another process); old ones are reaped."""
+    import os
+    import time
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        vacuum_publish_artifacts,
+    )
+
+    path = tmp_path / "t"
+    path.mkdir()
+    fresh = path / "_staged_fresh"
+    old = path / "_trash_old"
+    fresh.mkdir()
+    old.mkdir()
+    past = time.time() - 7200
+    os.utime(old, (past, past))
+    removed = vacuum_publish_artifacts(str(path), min_age_seconds=3600)
+    assert [r for r in removed if "old" in r]
+    assert fresh.exists() and not old.exists()
+    # age 0 reaps everything
+    vacuum_publish_artifacts(str(path))
+    assert not fresh.exists()

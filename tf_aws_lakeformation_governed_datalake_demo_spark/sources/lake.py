@@ -237,12 +237,22 @@ def publish_overwrite(
         shutil.rmtree(trash, ignore_errors=True)
 
 
-def vacuum_publish_artifacts(path: str) -> list[str]:
+def vacuum_publish_artifacts(path: str, min_age_seconds: float = 0.0) -> list[str]:
     """Reclaim staging/trash remnants a crashed publish left behind.
     They are invisible to readers (``_``/``.`` prefixes), so this is
     space hygiene, not correctness; run it before/after batch windows.
-    Returns the removed paths."""
+    Returns the removed paths.
+
+    ``min_age_seconds`` guards concurrent writers: an artifact younger
+    than the threshold may belong to a publish IN PROGRESS in another
+    process — deleting its staging mid-write would only fail that
+    publish safely (the live table stays old-complete), but failing a
+    healthy publish is still wrong. Operational callers (Engine
+    ``maintain("vacuum_artifacts")``) should pass an age comfortably
+    above their longest rewrite job; 0 (reap everything) suits
+    single-writer pipelines and tests."""
     import shutil
+    import time
     from pathlib import Path
 
     live = Path(path)
@@ -258,7 +268,13 @@ def vacuum_publish_artifacts(path: str) -> list[str]:
     candidates += [
         p for p in live.parent.glob(f"{live.name}.__staged_*")
     ] + [p for p in live.parent.glob(f"{live.name}.__trash_*")]
+    cutoff = time.time() - min_age_seconds
     for p in candidates:
+        try:
+            if p.stat().st_mtime > cutoff:
+                continue  # possibly a live publish — leave it
+        except OSError:
+            pass  # raced with its own cleanup; rmtree below is a no-op
         shutil.rmtree(p, ignore_errors=True)
         removed.append(str(p))
     return removed
@@ -585,17 +601,32 @@ def scd2_as_of(
     from_col: str = "effective_from",
     to_col: str = "effective_to",
     schema: T.StructType | None = None,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Point-in-time read of an scd2_apply-maintained dimension: the row
     version valid at ``as_of`` per key (from <= as_of < to, with NULL
     ``to`` meaning still open). This is the time-travel query a Delta
     user runs with VERSION AS OF — on a versioned plain-Parquet
     dimension it is a pushdown-friendly filter, no table format needed.
-    Scale: both validity predicates push into the Parquet scan; at rest,
-    partitioning the dimension by a date bucket of ``from_col`` prunes
-    old version files entirely."""
+
+    Scale: both validity predicates push into the Parquet scan; on a
+    month-partitioned dimension pass ``partition_col`` and the read
+    additionally PRUNES every partition after the as-of month at
+    planning time — sound because the stored partition value is the
+    month of ``from_col`` (scd2_partition_value), and ``from_col <=
+    as_of`` implies its month <= the as-of month ('yyyy-MM' strings
+    compare lexicographically in date order). Versions that STARTED
+    after ``as_of`` cannot be valid at it, so whole future months are
+    never listed or read — the common "read last month's dimension
+    state against years of history" query touches only the partitions
+    up to that month."""
     reader = _reader(spark, schema)
-    return reader.parquet(path).filter(
+    df = reader.parquet(path)
+    if partition_col is not None:
+        df = df.filter(
+            F.col(partition_col) <= scd2_partition_value(F.lit(as_of))
+        )
+    return df.filter(
         (F.col(from_col) <= F.lit(as_of))
         & (F.col(to_col).isNull() | (F.col(to_col) > F.lit(as_of)))
     )
