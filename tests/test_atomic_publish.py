@@ -168,3 +168,23 @@ def test_merge_crash_then_rerun_converges(spark, nation_table):
     assert untouched_before == untouched_after
     got = spark.read.parquet(path).filter(F.col("note") == "merged").count()
     assert got == upd.count()
+
+
+def test_publish_drops_partitions_emptied_by_deletion(spark, nation_table):
+    """A touched partition whose rewrite has ZERO rows must be REMOVED
+    (deletion semantics), not silently kept — pinned directly on
+    publish_overwrite's drop_missing_partitions contract."""
+    path, n = nation_table
+    # "delete" region 2 entirely: result has no rows for that partition
+    survivors = n.filter(F.col("n_regionkey") != 2)
+    lk.publish_overwrite(
+        spark,
+        path,
+        survivors,
+        partition_by=["n_regionkey"],
+        drop_missing_partitions=["n_regionkey=2"],
+    )
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("n_regionkey") == 2).count() == 0
+    assert back.count() == survivors.count()
+    assert not (Path(path) / "n_regionkey=2").exists()

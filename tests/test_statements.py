@@ -450,3 +450,52 @@ def test_maintain_refuses_location_outside_lake_root(spark, sf_dir, tmp_path):
     cat.set_admins(["ops"])
     with pytest.raises(ValueError, match="lake_root"):
         eng.maintain(f"{fx.DATABASE}.outside_t", "compact", principal="ops")
+
+
+def test_maintain_expire_versions_on_governed_dimension(spark, sf_dir, tmp_path):
+    import datetime
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark import TableDef
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        scd2_apply,
+        scd2_partition_value,
+    )
+    from pyspark.sql import functions as F
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    cat.set_admins(["ops"])
+    dim = f"{lake}/user_dim"
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal").filter(
+        F.col("c_custkey") <= 50
+    )
+    (
+        c.withColumn("effective_from", F.lit(datetime.datetime(2024, 1, 1)))
+        .withColumn("effective_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+        .withColumn("effective_month", scd2_partition_value(F.col("effective_from")))
+        .write.partitionBy("effective_month")
+        .parquet(dim)
+    )
+    scd2_apply(
+        spark, dim,
+        c.withColumn("c_acctbal", F.col("c_acctbal") + 1),
+        ["c_custkey"], ["c_acctbal"], datetime.datetime(2024, 2, 1),
+        partition_col="effective_month",
+    )
+    cat.register_table(
+        TableDef(fx.DATABASE, "user_dim", dim, partition_keys=("effective_month",))
+    )
+    out = eng.maintain(
+        f"{fx.DATABASE}.user_dim",
+        "expire_versions",
+        principal="ops",
+        before=datetime.datetime(2024, 3, 1),
+        partition_col="effective_month",
+    )
+    assert out["rows_expired"] > 0 and out["partitions_rewritten"] == 1
+    # only current rows remain
+    left = spark.read.parquet(dim)
+    assert left.filter(~F.col("is_current")).count() == 0

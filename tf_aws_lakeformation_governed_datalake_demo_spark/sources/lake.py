@@ -156,12 +156,25 @@ def _leaf_partition_dirs(root, depth: int):
     yield from walk(Path(root), 0)
 
 
+def hive_partition_relpath(partition_by: list[str], values: tuple) -> str:
+    """Relative hive directory path for one partition-value tuple, in
+    Spark's naming (``a=1/b=x``; NULL becomes the Hive default token).
+    Only the value classes our partition columns use (ints, plain
+    strings like 'yyyy-MM') are supported — no URL-escaping."""
+    parts = []
+    for col, v in zip(partition_by, values):
+        sv = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        parts.append(f"{col}={sv}")
+    return "/".join(parts)
+
+
 def publish_overwrite(
     spark: SparkSession,
     path: str,
     result: DataFrame,
     partition_by: list[str] | None = None,
     compression: str = "snappy",
+    drop_missing_partitions: list[str] | None = None,
 ) -> None:
     """Atomic stage-then-rename publication of a (slice) rewrite —
     the commit protocol under merge_into / scd2_apply /
@@ -214,8 +227,10 @@ def publish_overwrite(
         writer = result.write.mode("overwrite").option("compression", compression)
         writer.partitionBy(*partition_by).parquet(str(staged))
         trash.mkdir()
+        flipped: set[str] = set()
         for leaf in _leaf_partition_dirs(staged, len(partition_by)):
             rel = leaf.relative_to(staged)
+            flipped.add(str(rel))
             dst = live / rel
             dst.parent.mkdir(parents=True, exist_ok=True)
             if dst.exists():
@@ -224,6 +239,19 @@ def publish_overwrite(
                 tomb.parent.mkdir(parents=True, exist_ok=True)
                 dst.rename(tomb)
             leaf.rename(dst)
+        # Touched partitions whose rewrite produced ZERO rows have no
+        # staged dir to flip in — a deletion-capable caller (expire)
+        # names them so their old dirs are REMOVED (one atomic rename to
+        # trash each), not silently kept. Without this, a partition
+        # whose every row was deleted would survive the publish intact.
+        for rel in drop_missing_partitions or []:
+            if rel in flipped:
+                continue
+            dst = live / rel
+            if dst.exists():
+                tomb = trash / rel
+                tomb.parent.mkdir(parents=True, exist_ok=True)
+                dst.rename(tomb)
         shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
     else:
@@ -676,18 +704,32 @@ def expire_scd2_versions(
     if n_expired == 0:
         return {"rows_expired": 0, "partitions_rewritten": 0}
     if partition_col is not None:
-        touched = expired.select(partition_col).distinct()
+        # O(#touched) collect: the touched values double as the
+        # drop-list for partitions the expiry EMPTIES — their staged
+        # rewrite has zero rows, so publish must remove (not keep)
+        # their old directories.
+        touched_vals = [
+            r[0] for r in expired.select(partition_col).distinct().collect()
+        ]
+        touched = spark.createDataFrame(
+            [(v,) for v in touched_vals], [partition_col]
+        )
         base = cur.join(F.broadcast(touched), [partition_col], "left_semi")
-        n_partitions = touched.count()
+        n_partitions = len(touched_vals)
+        drop = [
+            hive_partition_relpath([partition_col], (v,)) for v in touched_vals
+        ]
     else:
         base = cur
         n_partitions = -1  # full rewrite
+        drop = None
     keep = base.filter(~expired_pred)
     publish_overwrite(
         spark,
         path,
         keep,
         [partition_col] if partition_col is not None else None,
+        drop_missing_partitions=drop,
     )
     return {"rows_expired": n_expired, "partitions_rewritten": n_partitions}
 
