@@ -188,3 +188,35 @@ def test_publish_drops_partitions_emptied_by_deletion(spark, nation_table):
     assert back.filter(F.col("n_regionkey") == 2).count() == 0
     assert back.count() == survivors.count()
     assert not (Path(path) / "n_regionkey=2").exists()
+
+
+def test_concurrent_publishes_never_interleave_partitions(spark, nation_table):
+    """Two concurrent full-table publishes: the swap-phase lock makes
+    the final state exactly ONE writer's complete result — never a
+    partition mix of the two."""
+    import threading
+
+    path, n = nation_table
+    results = {
+        "A": n.withColumn("note", F.lit("writerA")),
+        "B": n.withColumn("note", F.lit("writerB")),
+    }
+    errs = []
+
+    def run(tag):
+        try:
+            lk.publish_overwrite(
+                spark, path, results[tag], partition_by=["n_regionkey"]
+            )
+        except Exception as ex:  # pragma: no cover - surfaced below
+            errs.append((tag, ex))
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in ("A", "B")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    notes = {r.note for r in spark.read.parquet(path).select("note").collect()}
+    assert notes in ({"writerA"}, {"writerB"})  # one whole result, no mix
+    assert spark.read.parquet(path).count() == n.count()

@@ -217,7 +217,38 @@ def publish_overwrite(
     """
     import shutil
     import uuid as _uuid
+    from contextlib import contextmanager
     from pathlib import Path
+
+    @contextmanager
+    def _swap_lock(live_dir: Path):
+        """Single-writer guard for the SWAP phase: two concurrent
+        publishes interleaving their swaps would leave a partition mix
+        neither writer intended (each partition still whole — the
+        per-rename atomicity holds — but the SET of partitions would be
+        torn across the two results). An exclusive flock on a hidden
+        sibling lock file serializes swaps (sibling, not in-table: the
+        unpartitioned dance renames the table dir itself away); the
+        expensive staging job stays concurrent, so the serialized
+        region is O(#partitions) renames. Readers never take the lock.
+        Advisory and single-host — the reference's S3 model gets this
+        from conditional PUTs; a multi-host deployment needs the
+        object-store equivalent. Note this serializes PUBLICATION, not
+        semantics: two writers that both read the pre-state still
+        last-write-wins at whole-publish granularity — coordinate
+        batches (or re-run, they are idempotent) for merge semantics.
+        """
+        import fcntl
+
+        live_dir.parent.mkdir(parents=True, exist_ok=True)
+        lock_file = live_dir.parent / f".{live_dir.name}.publish.lock"
+        fh = open(lock_file, "w")
+        try:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+            fh.close()
 
     txid = _uuid.uuid4().hex
     live = Path(path)
@@ -228,30 +259,32 @@ def publish_overwrite(
         writer.partitionBy(*partition_by).parquet(str(staged))
         trash.mkdir()
         flipped: set[str] = set()
-        for leaf in _leaf_partition_dirs(staged, len(partition_by)):
-            rel = leaf.relative_to(staged)
-            flipped.add(str(rel))
-            dst = live / rel
-            dst.parent.mkdir(parents=True, exist_ok=True)
-            if dst.exists():
-                # flip: old out (atomic), new in (atomic)
-                tomb = trash / rel
-                tomb.parent.mkdir(parents=True, exist_ok=True)
-                dst.rename(tomb)
-            leaf.rename(dst)
-        # Touched partitions whose rewrite produced ZERO rows have no
-        # staged dir to flip in — a deletion-capable caller (expire)
-        # names them so their old dirs are REMOVED (one atomic rename to
-        # trash each), not silently kept. Without this, a partition
-        # whose every row was deleted would survive the publish intact.
-        for rel in drop_missing_partitions or []:
-            if rel in flipped:
-                continue
-            dst = live / rel
-            if dst.exists():
-                tomb = trash / rel
-                tomb.parent.mkdir(parents=True, exist_ok=True)
-                dst.rename(tomb)
+        with _swap_lock(live):
+            for leaf in _leaf_partition_dirs(staged, len(partition_by)):
+                rel = leaf.relative_to(staged)
+                flipped.add(str(rel))
+                dst = live / rel
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                if dst.exists():
+                    # flip: old out (atomic), new in (atomic)
+                    tomb = trash / rel
+                    tomb.parent.mkdir(parents=True, exist_ok=True)
+                    dst.rename(tomb)
+                leaf.rename(dst)
+            # Touched partitions whose rewrite produced ZERO rows have
+            # no staged dir to flip in — a deletion-capable caller
+            # (expire) names them so their old dirs are REMOVED (one
+            # atomic rename to trash each), not silently kept. Without
+            # this, a partition whose every row was deleted would
+            # survive the publish intact.
+            for rel in drop_missing_partitions or []:
+                if rel in flipped:
+                    continue
+                dst = live / rel
+                if dst.exists():
+                    tomb = trash / rel
+                    tomb.parent.mkdir(parents=True, exist_ok=True)
+                    dst.rename(tomb)
         shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
     else:
@@ -260,8 +293,9 @@ def publish_overwrite(
         result.write.mode("overwrite").option("compression", compression).parquet(
             str(staged)
         )
-        live.rename(trash)
-        staged.rename(live)
+        with _swap_lock(live):
+            live.rename(trash)
+            staged.rename(live)
         shutil.rmtree(trash, ignore_errors=True)
 
 
