@@ -24,7 +24,7 @@ freshness-first, self-healing):
   class, never yet in a window — its numpy power-iteration cross-check
   lives in tests/test_iterative.py), ``pq_trained_recall`` (new
   rows-only k-means-trained-codebook instrument, recall-gated in
-  tests/test_quantization.py), and the seven new round-7 oracle-backed
+  tests/test_quantization.py), and the eight new round-7 oracle-backed
   queries: ``governance_catalog_reload`` (durable catalog),
   ``lake_vacuum_expire`` (SCD2 retention),
   ``stream_topk_trending_durable`` (append-mode trending),
@@ -32,8 +32,11 @@ freshness-first, self-healing):
   against the versioned dimension), ``dedup_incremental_minhash``
   (batch-vs-historical-index near-dup detection, the md5 oracle
   replaying the batch restriction), ``events_path_transitions``
-  (session-path Markov transitions), and ``ann_ivf_partitioned_scan``
-  (cell probing as literal partition pruning). 16 names.
+  (session-path Markov transitions), ``ann_ivf_partitioned_scan``
+  (cell probing as literal partition pruning), and
+  ``lake_delete_user_rows`` (the DELETE FROM / GDPR-erasure primitive,
+  exercising the emptied-partition removal fix end to end). 17
+  names.
 - ``y0_<name>`` — last verified in round 3/4 (the OLDEST fresh
   verdicts; 57 names). They sort directly after the unprefixed block,
   so the ~38 spare window slots re-verify the alphabetically-first of
@@ -58,7 +61,7 @@ so rotation only controls DRIVER-verdict freshness, never correctness
 coverage.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r06 except the seven new unprefixed
+driver verdict in CORRECTNESS_r01..r06 except the eight new unprefixed
 round-7 names, which get theirs here.
 
 Round-8 rotation plan (for the next builder session): once

@@ -840,3 +840,38 @@ def test_vacuum_artifacts_age_guard(spark, sf_dir, tmp_path):
     # age 0 reaps everything
     vacuum_publish_artifacts(str(path))
     assert not fresh.exists()
+
+
+def test_delete_rows_erasure_complete_and_idempotent(spark, sf_dir, tmp_path):
+    """GDPR contract: after delete_rows returns, NO reader can observe a
+    matched row (physically gone, partition dir removed when emptied);
+    re-running deletes nothing; untouched partitions byte-identical."""
+    from pathlib import Path
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        delete_rows,
+        load,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "events")
+    e = load(spark, sf_dir, "events").withColumn("bucket", F.col("user_id") % 8)
+    write_partitioned(e, path, partition_by=["bucket"])
+    snap = lambda: {
+        str(p.relative_to(path)): p.stat().st_size
+        for p in Path(path).rglob("*.parquet")
+    }
+    before = snap()
+    stats = delete_rows(spark, path, "user_id % 8 = 3", partition_col="bucket")
+    assert stats["rows_deleted"] == e.filter("user_id % 8 = 3").count()
+    assert stats["partitions_rewritten"] == 1
+    back = spark.read.parquet(path)
+    assert back.filter("user_id % 8 = 3").count() == 0  # erased for any reader
+    assert not (Path(path) / "bucket=3").exists()  # emptied dir removed
+    # untouched buckets byte-identical
+    after = snap()
+    assert {k: v for k, v in before.items() if "bucket=3" not in k} == after
+    # idempotent
+    again = delete_rows(spark, path, "user_id % 8 = 3", partition_col="bucket")
+    assert again == {"rows_deleted": 0, "partitions_rewritten": 0}
+    assert snap() == after

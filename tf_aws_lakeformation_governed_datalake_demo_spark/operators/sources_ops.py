@@ -742,3 +742,51 @@ def lake_vacuum_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         F.col("effective_month").cast("string").alias("effective_month"),
     ).orderBy("c_custkey", "effective_from")
+
+
+@query(
+    "lake_delete_user_rows",
+    """
+    SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id % 8 <> 3
+    GROUP BY 1 ORDER BY 1
+    """,
+    "DELETE FROM / GDPR erasure on a bucket-partitioned lake table: "
+    "every event of the users in bucket 3 is physically removed "
+    "(delete_rows) — the match predicate prunes the rewrite to the one "
+    "partition holding matched rows, and because the deletion empties "
+    "it, the partition DIRECTORY is removed outright (the round-7 "
+    "emptied-partition fix exercised end to end). The oracle is the "
+    "per-bucket profile of everything that remains; erasure "
+    "completeness (no reader can observe a deleted row) and "
+    "idempotence are pinned in tests/test_lake_features.py.",
+)
+def lake_delete_user_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: erasing one user community touches its bucket only —
+    untouched buckets are never listed, read, or rewritten (the
+    merge_into partition-pruning discipline applied to deletion), and
+    publication is atomic, so readers see pre- or post-erasure state,
+    never a partial delete."""
+    from ..sources import delete_rows, load, write_partitioned
+
+    e = load(spark, sf_dir, "events")
+    path = scratch_dir("delete_rows_") + "/events"
+    write_partitioned(
+        e.withColumn("bucket", F.col("user_id") % 8), path, partition_by=["bucket"]
+    )
+    stats = delete_rows(
+        spark, path, "user_id % 8 = 3", partition_col="bucket"
+    )
+    assert stats["partitions_rewritten"] == 1, stats
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("bucket")
+    )

@@ -9,6 +9,7 @@ Catalyst handles column pruning and predicate pushdown at the scan.
 from .lake import (
     TPCH_TABLES,
     compact_in_place,
+    delete_rows,
     expire_scd2_versions,
     load,
     load_all,
@@ -24,6 +25,7 @@ from .lake import (
 __all__ = [
     "TPCH_TABLES",
     "compact_in_place",
+    "delete_rows",
     "expire_scd2_versions",
     "load",
     "load_all",

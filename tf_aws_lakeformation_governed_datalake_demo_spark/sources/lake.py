@@ -694,6 +694,70 @@ def scd2_as_of(
     )
 
 
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    partition_col: str | None = None,
+    schema: T.StructType | None = None,
+) -> dict:
+    """Physical row deletion from a plain-Parquet table — the DELETE
+    FROM / GDPR-erasure primitive (the reference's model is S3 object
+    deletion; this is the row-granular version). ``predicate`` is a SQL
+    string or Column selecting the rows to REMOVE.
+
+    100 TB design: the match predicate pushes into the parquet scan;
+    with ``partition_col`` only partitions actually CONTAINING a
+    matched row are rewritten (touched list = one distinct-collect over
+    the scan-pruned matched slice), publication is atomic
+    (publish_overwrite), and a partition whose every row matches is
+    REMOVED outright — erasing one user's bucket never lists, reads,
+    or rewrites anyone else's. Returns
+    ``{"rows_deleted", "partitions_rewritten"}``.
+
+    Erasure contract: after return, no reader (any predicate, any
+    projection) can observe a matched row — rows are physically gone
+    from the committed files, not tombstoned. Idempotent: re-running
+    deletes nothing and rewrites nothing.
+    """
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    cur = _reader(spark, schema).parquet(path)
+    if partition_col is not None and partition_col not in cur.columns:
+        raise ValueError(f"table at {path} has no partition column {partition_col!r}")
+    matched = cur.filter(pred)
+    n_deleted = matched.count()
+    if n_deleted == 0:
+        return {"rows_deleted": 0, "partitions_rewritten": 0}
+    if partition_col is not None:
+        # O(#touched) collect: the values double as the drop-list for
+        # partitions the deletion EMPTIES — their staged rewrite has
+        # zero rows, so publish must remove their old directories.
+        touched_vals = [
+            r[0] for r in matched.select(partition_col).distinct().collect()
+        ]
+        touched = spark.createDataFrame(
+            [(v,) for v in touched_vals], [partition_col]
+        )
+        base = cur.join(F.broadcast(touched), [partition_col], "left_semi")
+        n_partitions = len(touched_vals)
+        drop = [
+            hive_partition_relpath([partition_col], (v,)) for v in touched_vals
+        ]
+    else:
+        base = cur
+        n_partitions = -1  # full rewrite
+        drop = None
+    keep = base.filter(~pred)
+    publish_overwrite(
+        spark,
+        path,
+        keep,
+        [partition_col] if partition_col is not None else None,
+        drop_missing_partitions=drop,
+    )
+    return {"rows_deleted": n_deleted, "partitions_rewritten": n_partitions}
+
+
 def expire_scd2_versions(
     spark: SparkSession,
     path: str,
@@ -729,43 +793,21 @@ def expire_scd2_versions(
     every later expire's touch set. Returns
     ``{"rows_expired", "partitions_rewritten"}``.
     """
-    cur = _reader(spark, schema).parquet(path)
-    if partition_col is not None and partition_col not in cur.columns:
-        raise ValueError(f"table at {path} has no partition column {partition_col!r}")
-    expired_pred = F.col(to_col).isNotNull() & (F.col(to_col) <= F.lit(before))
-    expired = cur.filter(expired_pred)
-    n_expired = expired.count()
-    if n_expired == 0:
-        return {"rows_expired": 0, "partitions_rewritten": 0}
-    if partition_col is not None:
-        # O(#touched) collect: the touched values double as the
-        # drop-list for partitions the expiry EMPTIES — their staged
-        # rewrite has zero rows, so publish must remove (not keep)
-        # their old directories.
-        touched_vals = [
-            r[0] for r in expired.select(partition_col).distinct().collect()
-        ]
-        touched = spark.createDataFrame(
-            [(v,) for v in touched_vals], [partition_col]
-        )
-        base = cur.join(F.broadcast(touched), [partition_col], "left_semi")
-        n_partitions = len(touched_vals)
-        drop = [
-            hive_partition_relpath([partition_col], (v,)) for v in touched_vals
-        ]
-    else:
-        base = cur
-        n_partitions = -1  # full rewrite
-        drop = None
-    keep = base.filter(~expired_pred)
-    publish_overwrite(
+    # Retention IS a deletion: versions whose validity ENDED at or
+    # before the horizon. All machinery (scan-pruned match,
+    # touched-partition rewrite, emptied-partition removal, atomic
+    # publish) is delete_rows'.
+    stats = delete_rows(
         spark,
         path,
-        keep,
-        [partition_col] if partition_col is not None else None,
-        drop_missing_partitions=drop,
+        F.col(to_col).isNotNull() & (F.col(to_col) <= F.lit(before)),
+        partition_col=partition_col,
+        schema=schema,
     )
-    return {"rows_expired": n_expired, "partitions_rewritten": n_partitions}
+    return {
+        "rows_expired": stats["rows_deleted"],
+        "partitions_rewritten": stats["partitions_rewritten"],
+    }
 
 
 def compact_in_place(
