@@ -499,3 +499,50 @@ def test_maintain_expire_versions_on_governed_dimension(spark, sf_dir, tmp_path)
     # only current rows remain
     left = spark.read.parquet(dim)
     assert left.filter(~F.col("is_current")).count() == 0
+
+
+def test_maintain_delete_rows_governed_erasure(spark, sf_dir, tmp_path):
+    """The governed GDPR path: an admin erases one user's rows through
+    Engine.maintain; analysts can no longer observe them; the audit
+    trail records the erasure; non-admins are denied."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark import TableDef
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        SELECT,
+        PermissionDeniedError,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+    from pyspark.sql import functions as F
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    cat.set_admins(["ops"])
+    loc = f"{lake}/events_gdpr"
+    load(spark, sf_dir, "events").withColumn(
+        "bucket", F.col("user_id") % 4
+    ).write.partitionBy("bucket").parquet(loc)
+    cat.register_table(
+        TableDef(fx.DATABASE, "events_gdpr", loc, partition_keys=("bucket",))
+    )
+    cat.grant("analyst2", SELECT, fx.DATABASE, "events_gdpr")
+
+    with pytest.raises(PermissionDeniedError):
+        eng.maintain(
+            f"{fx.DATABASE}.events_gdpr", "delete_rows",
+            principal="analyst2", predicate="user_id = 7",
+        )
+    stats = eng.maintain(
+        f"{fx.DATABASE}.events_gdpr", "delete_rows",
+        principal="ops", predicate="user_id = 7", partition_col="bucket",
+    )
+    assert stats["rows_deleted"] > 0 and stats["partitions_rewritten"] == 1
+    seen = eng.sql(
+        f"SELECT count(*) AS n FROM {fx.DATABASE}.events_gdpr WHERE user_id = 7",
+        principal="analyst2",
+    ).first().n
+    assert seen == 0
+    assert any(
+        e["query"] == f"MAINTAIN delete_rows {fx.DATABASE}.events_gdpr"
+        and e["status"] == "ok"
+        for e in cat.audit.events
+    )

@@ -507,7 +507,11 @@ class Engine:
           (sources.lake.expire_scd2_versions; ``before=`` required,
           plus its column kwargs);
         - ``"vacuum_artifacts"`` — reclaim crashed-publish staging/trash
-          (sources.lake.vacuum_publish_artifacts).
+          (sources.lake.vacuum_publish_artifacts);
+        - ``"delete_rows"`` — physical row erasure, the governed GDPR
+          path (sources.lake.delete_rows; ``predicate=`` required).
+          The audit line records that an erasure ran against the table
+          — the compliance trail a right-to-be-forgotten request needs.
 
         Same fail-closed location guard as drop_table(delete_data=True):
         the catalog must have a ``lake_root`` and the table location
@@ -519,6 +523,7 @@ class Engine:
         from .governance import ALL, PermissionDeniedError
         from .sources.lake import (
             compact_in_place,
+            delete_rows,
             expire_scd2_versions,
             vacuum_publish_artifacts,
         )
@@ -579,6 +584,8 @@ class Engine:
             result = expire_scd2_versions(self.spark, table.location, **kwargs)
         elif action == "vacuum_artifacts":
             result = {"removed": vacuum_publish_artifacts(table.location)}
+        elif action == "delete_rows":
+            result = delete_rows(self.spark, table.location, **kwargs)
         else:
             _audit("failed", f"unknown action {action!r}")
             raise ValueError(f"unknown maintenance action {action!r}")
