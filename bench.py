@@ -108,6 +108,11 @@ HEADLINE = [
     "stream_scd2_enrichment",
     "dedup_incremental_minhash",
     "events_path_transitions",
+    # round 7 final additions: the IVF index as literal hive partitions
+    # (probing = partition pruning), and DELETE FROM / GDPR erasure with
+    # emptied-partition removal
+    "ann_ivf_partitioned_scan",
+    "lake_delete_user_rows",
 ]
 
 
