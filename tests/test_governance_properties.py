@@ -122,3 +122,66 @@ def test_sql_literal_never_escapes_quotes(s):
     assert lit.startswith("'") and lit.endswith("'")
     inner = lit[1:-1]
     assert inner.replace("''", "") .count("'") == 0
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    grants=st.lists(
+        st.tuples(
+            st.sampled_from(["alice", "bob", "carol"]),
+            st.sampled_from(["ALL", "SELECT"]),
+            st.booleans(),  # via the apac filter?
+        ),
+        max_size=5,
+    ),
+    admins=st.lists(st.sampled_from(["alice", "bob", "root"]), max_size=2),
+    pending=st.booleans(),
+)
+def test_catalog_roundtrip_is_identity_for_any_state(
+    spark, tmp_path_factory, grants, admins, pending
+):
+    """For ANY combination of grants, admins, and pending evolved
+    columns, save -> load reproduces the exact governance state:
+    canonical fingerprints equal, and a sampled principal's visible
+    frame is identical through both catalogs."""
+    from pyspark.sql import types as T
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark import fixtures as fx
+    from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+        GovernedCatalog,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        PermissionDeniedError,
+    )
+
+    lake = str(tmp_path_factory.mktemp("catprop"))
+    cat = fx.bootstrap(spark, lake)
+    q = f"{fx.DATABASE}.{fx.TABLE}"
+    for who, perm, via in grants:
+        cat.grant(
+            who, perm, fx.DATABASE, fx.TABLE,
+            via_filter="analyst-apac-filter" if via else None,
+        )
+    if admins:
+        cat.set_admins(admins)
+    if pending:
+        cat.evolve_table_schema(q, [T.StructField("extra", T.StringType())])
+    cat.save(lake)
+
+    cat2 = GovernedCatalog.load(spark, lake)
+    assert cat2.governance_fingerprint() == cat.governance_fingerprint()
+
+    for who in ("alice", "bob", "carol", "stranger", "root"):
+        try:
+            a = sorted(map(tuple, cat.table(q, who).collect()))
+            a_cols = cat.table(q, who).columns
+        except PermissionDeniedError:
+            with pytest.raises(PermissionDeniedError):
+                cat2.table(q, who)
+            continue
+        assert cat2.table(q, who).columns == a_cols
+        assert sorted(map(tuple, cat2.table(q, who).collect())) == a

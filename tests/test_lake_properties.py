@@ -129,3 +129,54 @@ def test_scd2_history_invariants(spark, tmp_path_factory, batches):
         ).collect()
     }
     assert final == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    preds=st.lists(
+        st.tuples(st.integers(2, 5), st.integers(0, 4)), min_size=1, max_size=3
+    )
+)
+def test_delete_rows_equals_naive_filter_sequence(spark, tmp_path_factory, preds):
+    """For ANY sequence of residue-predicate deletions, the table equals
+    the naive set-filter replay — including deletions that empty whole
+    partitions (their directories must disappear) and no-op deletions
+    (idempotence: zero rows, zero rewrites)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        delete_rows,
+    )
+
+    path = str(tmp_path_factory.mktemp("delprop") / "t")
+    rows = [(k,) for k in range(40)]
+    df = spark.createDataFrame(rows, "k long").withColumn("bucket", F.col("k") % 4)
+    df.write.partitionBy("bucket").parquet(path)
+    alive = {k for (k,) in rows}
+    for mod, res in preds:
+        res = res % mod
+        doomed = {k for k in alive if k % mod == res}
+        stats = delete_rows(
+            spark, path, f"k % {mod} = {res}", partition_col="bucket"
+        )
+        assert stats["rows_deleted"] == len(doomed)
+        alive -= doomed
+        got = {r.k for r in spark.read.parquet(path).collect()} if alive else set()
+        if alive:
+            assert got == alive
+        # partitions with no survivors are directory-gone
+        import pathlib
+
+        live_buckets = {k % 4 for k in alive}
+        for b in range(4):
+            exists = (pathlib.Path(path) / f"bucket={b}").exists()
+            assert exists == (b in live_buckets)
+        if not alive:
+            break  # fully-emptied table: nothing left to read or delete
+        # idempotence: repeating the same delete is a no-op
+        again = delete_rows(
+            spark, path, f"k % {mod} = {res}", partition_col="bucket"
+        )
+        assert again == {"rows_deleted": 0, "partitions_rewritten": 0}
