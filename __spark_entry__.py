@@ -38,10 +38,11 @@ freshness-first, self-healing):
   exercising the emptied-partition removal fix end to end). 17
   names.
 - ``y0_<name>`` — last verified in round 3/4 (the OLDEST fresh
-  verdicts; 57 names). They sort directly after the unprefixed block,
-  so the ~38 spare window slots re-verify the alphabetically-first of
-  these; the remainder spill to round 8 — every round, spare capacity
-  flows to whatever has gone longest without a driver verdict.
+  verdicts; 54 names). They sort directly after the unprefixed block,
+  so the 33 spare window slots re-verify the alphabetically-first of
+  these; the remaining 21 spill to round 8 — every round, spare
+  capacity flows to whatever has gone longest without a driver
+  verdict.
 - ``y1_<name>`` — last verified in round 5 (49 names).
 - ``y2_<name>`` — verified in round 6 (the 32 round-6 unprefixed names
   plus the 18 ``x_`` re-verifications; CORRECTNESS_r06 50/50 green).
@@ -65,12 +66,14 @@ driver verdict in CORRECTNESS_r01..r06 except the eight new unprefixed
 round-7 names, which get theirs here.
 
 Round-8 rotation plan (for the next builder session): once
-CORRECTNESS_r07 lands green, (1) move this round's unprefixed names
-into the freshest verified class (y3_, or renumber), (2) promote the
-y0_ names that spilled past round 7's window (the alphabetically-last
-~19 of the 57) to the FRONT of the round-8 window, (3) fill remaining
-spare slots with the rest of y0_ then the oldest y1_ names — the same
-freshness-first policy.
+CORRECTNESS_r07 lands green, (1) move this round's 17 unprefixed names
+into the freshest verified class (y3_, or renumber y-classes), and
+return ``graph_pagerank``/``pq_trained_recall`` to ``z_``, (2) promote
+the 21 y0_ names that spilled past round 7's window (the
+alphabetically-last of the 54, starting at
+``y0_stream_session_windows``) to the FRONT of the round-8 window, (3) fill remaining spare slots with
+the oldest y1_ (r5) names — the same freshness-first policy. After
+round 8 the oldest outstanding driver verdicts will be r5's.
 """
 
 from __future__ import annotations
