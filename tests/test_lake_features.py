@@ -875,3 +875,28 @@ def test_delete_rows_erasure_complete_and_idempotent(spark, sf_dir, tmp_path):
     again = delete_rows(spark, path, "user_id % 8 = 3", partition_col="bucket")
     assert again == {"rows_deleted": 0, "partitions_rewritten": 0}
     assert snap() == after
+
+
+def test_delete_rows_multi_column_partitioning(spark, sf_dir, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        delete_rows,
+        load,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    e = (
+        load(spark, sf_dir, "events")
+        .withColumn("b1", F.col("user_id") % 2)
+        .withColumn("b2", F.col("event_id") % 2)
+    )
+    write_partitioned(e, path, partition_by=["b1", "b2"])
+    stats = delete_rows(
+        spark, path, "user_id % 2 = 1 AND event_id % 2 = 0",
+        partition_col=["b1", "b2"],
+    )
+    assert stats["partitions_rewritten"] == 1  # exactly leaf b1=1/b2=0
+    back = spark.read.parquet(path)
+    assert back.filter("user_id % 2 = 1 AND event_id % 2 = 0").count() == 0
+    want = e.filter("NOT (user_id % 2 = 1 AND event_id % 2 = 0)").count()
+    assert back.count() == want

@@ -585,6 +585,11 @@ class Engine:
         elif action == "vacuum_artifacts":
             result = {"removed": vacuum_publish_artifacts(table.location)}
         elif action == "delete_rows":
+            # the catalog knows the layout — derive partition pruning
+            # from the declared partition keys unless overridden
+            kwargs.setdefault(
+                "partition_col", list(table.partition_keys) or None
+            )
             result = delete_rows(self.spark, table.location, **kwargs)
         else:
             _audit("failed", f"unknown action {action!r}")

@@ -698,7 +698,7 @@ def delete_rows(
     spark: SparkSession,
     path: str,
     predicate,
-    partition_col: str | None = None,
+    partition_col: "str | list[str] | None" = None,
     schema: T.StructType | None = None,
 ) -> dict:
     """Physical row deletion from a plain-Parquet table — the DELETE
@@ -721,27 +721,32 @@ def delete_rows(
     deletes nothing and rewrites nothing.
     """
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    part_cols = (
+        [partition_col] if isinstance(partition_col, str) else partition_col
+    )
     cur = _reader(spark, schema).parquet(path)
-    if partition_col is not None and partition_col not in cur.columns:
-        raise ValueError(f"table at {path} has no partition column {partition_col!r}")
+    if part_cols:
+        missing = [c for c in part_cols if c not in cur.columns]
+        if missing:
+            raise ValueError(
+                f"table at {path} has no partition columns {missing}"
+            )
     matched = cur.filter(pred)
     n_deleted = matched.count()
     if n_deleted == 0:
         return {"rows_deleted": 0, "partitions_rewritten": 0}
-    if partition_col is not None:
+    if part_cols:
         # O(#touched) collect: the values double as the drop-list for
         # partitions the deletion EMPTIES — their staged rewrite has
         # zero rows, so publish must remove their old directories.
-        touched_vals = [
-            r[0] for r in matched.select(partition_col).distinct().collect()
-        ]
+        touched_rows = matched.select(*part_cols).distinct().collect()
         touched = spark.createDataFrame(
-            [(v,) for v in touched_vals], [partition_col]
+            [tuple(r) for r in touched_rows], part_cols
         )
-        base = cur.join(F.broadcast(touched), [partition_col], "left_semi")
-        n_partitions = len(touched_vals)
+        base = cur.join(F.broadcast(touched), part_cols, "left_semi")
+        n_partitions = len(touched_rows)
         drop = [
-            hive_partition_relpath([partition_col], (v,)) for v in touched_vals
+            hive_partition_relpath(part_cols, tuple(r)) for r in touched_rows
         ]
     else:
         base = cur
@@ -752,7 +757,7 @@ def delete_rows(
         spark,
         path,
         keep,
-        [partition_col] if partition_col is not None else None,
+        part_cols,
         drop_missing_partitions=drop,
     )
     return {"rows_deleted": n_deleted, "partitions_rewritten": n_partitions}
