@@ -900,3 +900,39 @@ def test_delete_rows_multi_column_partitioning(spark, sf_dir, tmp_path):
     assert back.filter("user_id % 2 = 1 AND event_id % 2 = 0").count() == 0
     want = e.filter("NOT (user_id % 2 = 1 AND event_id % 2 = 0)").count()
     assert back.count() == want
+
+
+def test_delete_rows_keeps_null_predicate_rows(spark, tmp_path):
+    """Three-valued logic: a row where the predicate evaluates to NULL
+    is NOT matched and must SURVIVE the delete (a bare ~pred keep
+    filter would silently destroy it — GDPR-adjacent data loss)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import delete_rows
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "id long, note string"
+    ).withColumn("bucket", F.col("id") % 2)
+    df.write.partitionBy("bucket").parquet(path)
+    stats = delete_rows(spark, path, "note = 'x'", partition_col="bucket")
+    assert stats["rows_deleted"] == 1
+    left = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert left == [2, 3]  # the NULL-note row survives
+
+
+def test_delete_rows_null_partition_value(spark, tmp_path):
+    """A NULL partition value (__HIVE_DEFAULT_PARTITION__) must not
+    break the touched-partition collection or the directory drop."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import delete_rows
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None)], "id long, grp string"
+    )
+    df.write.partitionBy("grp").parquet(path)
+    stats = delete_rows(spark, path, "id IN (2, 4)", partition_col="grp")
+    assert stats["rows_deleted"] == 2 and stats["partitions_rewritten"] == 1
+    left = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert left == [1, 3]
+    from pathlib import Path
+
+    assert not (Path(path) / "grp=__HIVE_DEFAULT_PARTITION__").exists()

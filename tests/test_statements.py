@@ -546,3 +546,70 @@ def test_maintain_delete_rows_governed_erasure(spark, sf_dir, tmp_path):
         and e["status"] == "ok"
         for e in cat.audit.events
     )
+
+
+def test_maintain_vacuum_forwards_age_and_expire_derives_partition(
+    spark, sf_dir, tmp_path
+):
+    """maintain('vacuum_artifacts') must honor the age guard (default
+    3600 s — fresh artifacts survive; explicit 0 reaps), and
+    maintain('expire_versions') must derive partition pruning from the
+    table's declared partition keys."""
+    import datetime
+    import os as _os
+    import time as _time
+    from pathlib import Path
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark import TableDef
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        scd2_apply,
+        scd2_partition_value,
+    )
+    from pyspark.sql import functions as F
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    cat.set_admins(["ops"])
+
+    dim = f"{lake}/dim"
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal").filter(
+        F.col("c_custkey") <= 30
+    )
+    (
+        c.withColumn("effective_from", F.lit(datetime.datetime(2024, 1, 1)))
+        .withColumn("effective_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+        .withColumn("effective_month", scd2_partition_value(F.col("effective_from")))
+        .write.partitionBy("effective_month")
+        .parquet(dim)
+    )
+    scd2_apply(
+        spark, dim, c.withColumn("c_acctbal", F.col("c_acctbal") + 1),
+        ["c_custkey"], ["c_acctbal"], datetime.datetime(2024, 2, 1),
+        partition_col="effective_month",
+    )
+    cat.register_table(
+        TableDef(fx.DATABASE, "dim", dim, partition_keys=("effective_month",))
+    )
+
+    # age guard: fresh artifact survives the default, explicit 0 reaps
+    fresh = Path(dim) / "_staged_probe"
+    fresh.mkdir()
+    assert eng.maintain(f"{fx.DATABASE}.dim", "vacuum_artifacts", principal="ops") == {
+        "removed": []
+    }
+    assert fresh.exists()
+    out = eng.maintain(
+        f"{fx.DATABASE}.dim", "vacuum_artifacts", principal="ops",
+        min_age_seconds=0,
+    )
+    assert [r for r in out["removed"] if "_staged_probe" in r]
+
+    # expire derives partition_col from the catalog: bounded rewrite
+    stats = eng.maintain(
+        f"{fx.DATABASE}.dim", "expire_versions", principal="ops",
+        before=datetime.datetime(2024, 3, 1),
+    )
+    assert stats["rows_expired"] > 0 and stats["partitions_rewritten"] == 1

@@ -507,7 +507,10 @@ class Engine:
           (sources.lake.expire_scd2_versions; ``before=`` required,
           plus its column kwargs);
         - ``"vacuum_artifacts"`` — reclaim crashed-publish staging/trash
-          (sources.lake.vacuum_publish_artifacts);
+          (sources.lake.vacuum_publish_artifacts; ``min_age_seconds``
+          defaults to 3600 here so an in-flight publish in another
+          process is never reaped — pass 0 explicitly for
+          single-writer pipelines);
         - ``"delete_rows"`` — physical row erasure, the governed GDPR
           path (sources.lake.delete_rows; ``predicate=`` required).
           The audit line records that an erasure ran against the table
@@ -581,9 +584,20 @@ class Engine:
             )
             result = {"files_before": before, "files_after": after}
         elif action == "expire_versions":
+            # same layout derivation as delete_rows: the catalog knows
+            # the partition keys, so the retention rewrite stays
+            # bounded to partitions containing expired rows
+            if len(table.partition_keys) == 1:
+                kwargs.setdefault("partition_col", table.partition_keys[0])
             result = expire_scd2_versions(self.spark, table.location, **kwargs)
         elif action == "vacuum_artifacts":
-            result = {"removed": vacuum_publish_artifacts(table.location)}
+            # operational default: never reap an artifact younger than
+            # an hour — it may belong to a publish in progress in
+            # another process (vacuum_publish_artifacts' contract)
+            kwargs.setdefault("min_age_seconds", 3600.0)
+            result = {
+                "removed": vacuum_publish_artifacts(table.location, **kwargs)
+            }
         elif action == "delete_rows":
             # the catalog knows the layout — derive partition pruning
             # from the declared partition keys unless overridden

@@ -1161,12 +1161,16 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic."""
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros, not cast("long"): the cast truncates to whole
+    # seconds, so a gap within 1 s of the 30-min boundary would
+    # sessionize differently from the oracle's full-precision
+    # timestamp comparison (the events_sessionize discipline).
     brk = (
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-                > 30 * 60
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
             ),
             1,
         )

@@ -720,7 +720,12 @@ def delete_rows(
     from the committed files, not tombstoned. Idempotent: re-running
     deletes nothing and rewrites nothing.
     """
-    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # Three-valued logic: rows where the predicate is NULL are NOT
+    # matched — and must therefore be KEPT. A bare ``~pred`` keep-filter
+    # would silently destroy them (NULL lands in neither side); coalesce
+    # makes the match/keep pair a true partition of every row.
+    raw = F.expr(predicate) if isinstance(predicate, str) else predicate
+    pred = F.coalesce(raw.cast("boolean"), F.lit(False))
     part_cols = (
         [partition_col] if isinstance(partition_col, str) else partition_col
     )
@@ -740,8 +745,10 @@ def delete_rows(
         # partitions the deletion EMPTIES — their staged rewrite has
         # zero rows, so publish must remove their old directories.
         touched_rows = matched.select(*part_cols).distinct().collect()
+        # explicit schema: a NULL partition value (the Hive default
+        # partition) must not break type inference
         touched = spark.createDataFrame(
-            [tuple(r) for r in touched_rows], part_cols
+            [tuple(r) for r in touched_rows], matched.select(*part_cols).schema
         )
         base = cur.join(F.broadcast(touched), part_cols, "left_semi")
         n_partitions = len(touched_rows)
