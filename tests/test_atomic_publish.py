@@ -220,3 +220,15 @@ def test_concurrent_publishes_never_interleave_partitions(spark, nation_table):
     notes = {r.note for r in spark.read.parquet(path).select("note").collect()}
     assert notes in ({"writerA"}, {"writerB"})  # one whole result, no mix
     assert spark.read.parquet(path).count() == n.count()
+
+
+def test_atomic_exchange_swaps_directories(tmp_path):
+    """The RENAME_EXCHANGE primitive must truly swap on this platform
+    (publication relies on it to keep the live path always-complete;
+    the two-rename fallback covers platforms where this returns False)."""
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    (a / "fa").write_text("A")
+    (b / "fb").write_text("B")
+    assert lk._atomic_exchange(a, b)  # supported here
+    assert (a / "fb").exists() and (b / "fa").exists()

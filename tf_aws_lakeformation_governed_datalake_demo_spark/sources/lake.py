@@ -168,6 +168,34 @@ def hive_partition_relpath(partition_by: list[str], values: tuple) -> str:
     return "/".join(parts)
 
 
+def _atomic_exchange(a, b) -> bool:
+    """Atomically SWAP two paths in one syscall (Linux ``renameat2``
+    with ``RENAME_EXCHANGE``). Returns False when the syscall or the
+    filesystem doesn't support it — callers fall back to the two-rename
+    dance. The exchange is what removes the last crash window in
+    publication: with two renames there is an instant where the live
+    partition exists only in trash/staging; with the exchange the live
+    path ALWAYS holds a complete tree (old or new)."""
+    import ctypes
+    import os
+
+    libc = ctypes.CDLL(None, use_errno=True)
+    try:
+        fn = libc.renameat2
+    except AttributeError:
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    r = fn(
+        AT_FDCWD,
+        os.fsencode(str(a)),
+        AT_FDCWD,
+        os.fsencode(str(b)),
+        RENAME_EXCHANGE,
+    )
+    return r == 0
+
+
 def publish_overwrite(
     spark: SparkSession,
     path: str,
@@ -194,16 +222,19 @@ def publish_overwrite(
        ``path``, so a crash anywhere in this phase — the expensive,
        failure-prone part: a full Spark job — leaves the live table
        byte-identical.
-    2. **Swap.** Partitioned: each staged leaf partition dir replaces
-       its live counterpart with two ``os.replace``/rename calls (old
-       -> ``_trash_<txid>``, staged -> live) — each partition flip is
-       an atomic filesystem rename, so no reader ever lists a torn
-       partition; a crash between flips leaves every partition either
-       fully-old or fully-new (per-partition atomicity, the granularity
-       dynamic-overwrite pretended to have without the safety).
-       Unpartitioned: one whole-directory rename dance (live -> trash,
-       staged -> live) — old state stays complete in the trash dir
-       until the new state is live.
+    2. **Swap.** Partitioned: each staged leaf partition dir EXCHANGES
+       with its live counterpart in one atomic ``renameat2
+       RENAME_EXCHANGE`` syscall — the live path holds a complete tree
+       (old or new) at every instant, so a kill anywhere, including
+       inside a flip, leaves readers and vacuum a consistent table; a
+       crash between flips leaves every partition either fully-old or
+       fully-new (per-partition atomicity, the granularity
+       dynamic-overwrite pretended to have without the safety). On
+       platforms without the syscall the flip falls back to two renames
+       (old -> ``_trash_<txid>``, staged -> live) with a microsecond
+       missing-live window during which the old tree stays complete in
+       trash. Unpartitioned: the same exchange on the whole table dir
+       (fallback: the rename dance).
     3. **Clean.** Trash and staging remnants are deleted; leftovers
        from a crashed publish are underscore-invisible and reclaimed by
        :func:`vacuum_publish_artifacts`.
@@ -266,11 +297,21 @@ def publish_overwrite(
                 dst = live / rel
                 dst.parent.mkdir(parents=True, exist_ok=True)
                 if dst.exists():
-                    # flip: old out (atomic), new in (atomic)
-                    tomb = trash / rel
-                    tomb.parent.mkdir(parents=True, exist_ok=True)
-                    dst.rename(tomb)
-                leaf.rename(dst)
+                    # preferred: ONE atomic syscall swaps old and new —
+                    # the live path never lacks a complete tree, so even
+                    # a kill inside the flip leaves readers (and vacuum)
+                    # a consistent table; the old tree now sits in the
+                    # staged slot, reclaimed with it below.
+                    if not _atomic_exchange(leaf, dst):
+                        # fallback (non-Linux / exotic fs): two renames
+                        # with a microsecond missing-live window; the
+                        # old tree stays complete in trash throughout.
+                        tomb = trash / rel
+                        tomb.parent.mkdir(parents=True, exist_ok=True)
+                        dst.rename(tomb)
+                        leaf.rename(dst)
+                else:
+                    leaf.rename(dst)
             # Touched partitions whose rewrite produced ZERO rows have
             # no staged dir to flip in — a deletion-capable caller
             # (expire) names them so their old dirs are REMOVED (one
@@ -294,9 +335,11 @@ def publish_overwrite(
             str(staged)
         )
         with _swap_lock(live):
-            live.rename(trash)
-            staged.rename(live)
+            if not _atomic_exchange(live, staged):
+                live.rename(trash)
+                staged.rename(live)
         shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)  # old tree after exchange
 
 
 def vacuum_publish_artifacts(path: str, min_age_seconds: float = 0.0) -> list[str]:
