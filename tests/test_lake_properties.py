@@ -180,3 +180,61 @@ def test_delete_rows_equals_naive_filter_sequence(spark, tmp_path_factory, preds
             spark, path, f"k % {mod} = {res}", partition_col="bucket"
         )
         assert again == {"rows_deleted": 0, "partitions_rewritten": 0}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rewrites=st.lists(
+        st.tuples(
+            st.sets(st.integers(0, 3), min_size=1),  # buckets to rewrite
+            st.integers(0, 99),  # marker value
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_publish_overwrite_equals_naive_partition_replace(
+    spark, tmp_path_factory, rewrites
+):
+    """For ANY sequence of partial-partition publishes, the table equals
+    the naive per-partition replacement replay — untouched partitions
+    keep their exact content, no artifact survives, and the exchange
+    path never tears a partition."""
+    from pathlib import Path
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        publish_overwrite,
+    )
+
+    path = str(tmp_path_factory.mktemp("pubprop") / "t")
+    base = [(k, -1) for k in range(20)]
+    df = spark.createDataFrame(base, "k long, v long").withColumn(
+        "bucket", F.col("k") % 4
+    )
+    df.write.partitionBy("bucket").parquet(path)
+    expected = {k: -1 for k, _ in base}
+    for buckets, marker in rewrites:
+        blist = sorted(buckets)
+        result = (
+            spark.createDataFrame(
+                [(k, marker) for k in range(20) if k % 4 in buckets],
+                "k long, v long",
+            ).withColumn("bucket", F.col("k") % 4)
+        )
+        publish_overwrite(spark, path, result, partition_by=["bucket"])
+        for k in range(20):
+            if k % 4 in buckets:
+                expected[k] = marker
+        got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+        assert got == expected
+        # no publish artifacts linger
+        leftovers = [
+            p.name
+            for p in Path(path).iterdir()
+            if p.name.startswith(("_staged_", "_trash_"))
+        ]
+        assert leftovers == []
