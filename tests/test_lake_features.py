@@ -936,3 +936,123 @@ def test_delete_rows_null_partition_value(spark, tmp_path):
     from pathlib import Path
 
     assert not (Path(path) / "grp=__HIVE_DEFAULT_PARTITION__").exists()
+
+
+def test_delete_rows_null_partition_partial_delete(spark, tmp_path):
+    """Round-7 ADVICE (high): deleting only SOME rows of the NULL
+    partition must keep the rest. A null-rejecting touched-partition
+    semi-join would exclude every NULL-partition row from the rewrite
+    slice, write no __HIVE_DEFAULT_PARTITION__ staged dir, and then the
+    drop bookkeeping would remove the whole live dir — erasing rows the
+    predicate did NOT match."""
+    from pathlib import Path
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import delete_rows
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, None)], "id long, grp string"
+    )
+    df.write.partitionBy("grp").parquet(path)
+    stats = delete_rows(spark, path, "id = 2", partition_col="grp")
+    assert stats["rows_deleted"] == 1 and stats["partitions_rewritten"] == 1
+    left = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert left == [1, 3, 4]  # 3 and 4 (NULL partition, unmatched) survive
+    assert (Path(path) / "grp=__HIVE_DEFAULT_PARTITION__").exists()
+    # null-partition read-back carries the NULL value
+    assert {
+        r.grp for r in spark.read.parquet(path).filter("id IN (3,4)").collect()
+    } == {None}
+
+
+def test_merge_into_null_partition_keeps_unmatched(spark, tmp_path):
+    """Same null-rejection hazard on merge_into's touched-partition
+    restriction: upserting a key in the NULL partition must carry the
+    partition's other rows through the rewrite."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import merge_into
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", "old1"), (2, None, "old2"), (3, None, "old3")],
+        "id long, grp string, v string",
+    ).write.partitionBy("grp").parquet(path)
+    upd = spark.createDataFrame([(2, None, "new2")], "id long, grp string, v string")
+    stats = merge_into(spark, path, upd, ["id"], partition_by=["grp"])
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 0
+    back = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert back == {1: "old1", 2: "new2", 3: "old3"}
+
+
+def test_compact_in_place_preserves_evolved_schema(spark, tmp_path):
+    """Round-7 ADVICE (medium): after schema evolution wrote the new
+    column only to touched partitions, compaction's read must see every
+    column (declared schema or mergeSchema) — a bare inference read can
+    take an old file's footer and the atomic full rewrite makes the
+    column loss permanent."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        compact_in_place,
+        merge_into,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, grp string, v double"
+    ).write.partitionBy("grp").parquet(path)
+    # evolve: touch only grp=a with a new column
+    upd = spark.createDataFrame(
+        [(1, "a", 11.0, "extra1")], "id long, grp string, v double, extra string"
+    )
+    merge_into(spark, path, upd, ["id"], partition_by=["grp"], evolve_schema=True)
+    for _ in range(3):  # run a few times: footer pick order is arbitrary
+        compact_in_place(spark, path, partition_by=["grp"])
+        back = spark.read.option("mergeSchema", "true").parquet(path)
+        assert "extra" in back.columns
+        rows = {r.id: r.extra for r in back.collect()}
+        assert rows == {1: "extra1", 2: None}
+
+
+def test_delete_rows_refuses_unpartitioned_rewrite_of_partitioned_table(
+    spark, tmp_path
+):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import delete_rows
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, grp string"
+    ).write.partitionBy("grp").parquet(path)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        delete_rows(spark, path, "id = 1")  # no partition_col
+    # layout untouched
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_publish_overwrite_first_publish(spark, tmp_path):
+    """publish_overwrite is public API: the very first publish (no live
+    dir yet) must succeed for both layouts (round-7 ADVICE: the
+    unpartitioned exchange/trash dance raised FileNotFoundError)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        publish_overwrite,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, grp string")
+    flat = str(tmp_path / "flat")
+    publish_overwrite(spark, flat, df)
+    assert sorted(r.id for r in spark.read.parquet(flat).collect()) == [1, 2]
+    parted = str(tmp_path / "parted")
+    publish_overwrite(spark, parted, df, partition_by=["grp"])
+    assert sorted(r.id for r in spark.read.parquet(parted).collect()) == [1, 2]
+
+
+def test_hive_partition_relpath_rejects_escapable_values(spark):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        hive_partition_relpath,
+    )
+
+    assert hive_partition_relpath(["m"], ("2024-01",)) == "m=2024-01"
+    assert (
+        hive_partition_relpath(["a", "b"], (None, 7))
+        == "a=__HIVE_DEFAULT_PARTITION__/b=7"
+    )
+    for bad in ("has space", "50%", "a:b", "k=v", "x/y"):
+        with pytest.raises(ValueError, match="escapes"):
+            hive_partition_relpath(["g"], (bad,))

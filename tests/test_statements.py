@@ -613,3 +613,39 @@ def test_maintain_vacuum_forwards_age_and_expire_derives_partition(
         before=datetime.datetime(2024, 3, 1),
     )
     assert stats["rows_expired"] > 0 and stats["partitions_rewritten"] == 1
+
+
+def test_maintain_expire_versions_multikey_table_raises(spark, tmp_path):
+    """Round-7 ADVICE (medium): on a table with multiple partition keys
+    expire_versions' single-col derivation would fall through with
+    partition_col=None and swap in an unpartitioned full rewrite,
+    silently destroying the hive layout. Refuse instead, audited."""
+    import datetime
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark import TableDef
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    cat.set_admins(["ops"])
+    loc = f"{lake}/dim2"
+    spark.createDataFrame(
+        [(1, "a", 1, "2024-01")], "id long, v string, b int, m string"
+    ).write.partitionBy("b", "m").parquet(loc)
+    cat.register_table(
+        TableDef(fx.DATABASE, "dim2", loc, partition_keys=("b", "m"))
+    )
+    with pytest.raises(ValueError, match="at most one partition key"):
+        eng.maintain(
+            f"{fx.DATABASE}.dim2",
+            "expire_versions",
+            principal="ops",
+            before=datetime.datetime(2024, 6, 1),
+        )
+    # table untouched, denial audited as failed
+    assert spark.read.parquet(loc).count() == 1
+    assert any(
+        e["query"].startswith("MAINTAIN expire_versions")
+        and e["status"] == "failed"
+        for e in cat.audit.events
+    )

@@ -576,6 +576,11 @@ class Engine:
             )
 
         if action == "compact":
+            # pass the declared schema down (round-7 ADVICE): a
+            # schema-evolved table's new column lives only in touched
+            # partitions' files, and a schema-inference read before the
+            # atomic full rewrite would drop it permanently
+            kwargs.setdefault("schema", table.schema)
             before, after = compact_in_place(
                 self.spark,
                 table.location,
@@ -587,6 +592,16 @@ class Engine:
             # same layout derivation as delete_rows: the catalog knows
             # the partition keys, so the retention rewrite stays
             # bounded to partitions containing expired rows
+            if len(table.partition_keys) > 1:
+                # expire's signature is single-col; falling through with
+                # partition_col=None would swap in an UNPARTITIONED full
+                # rewrite, silently destroying the hive layout the
+                # catalog still declares (round-7 ADVICE)
+                _audit("failed", "expire_versions on multi-key table")
+                raise ValueError(
+                    f"expire_versions supports at most one partition key; "
+                    f"{qualified} declares {list(table.partition_keys)}"
+                )
             if len(table.partition_keys) == 1:
                 kwargs.setdefault("partition_col", table.partition_keys[0])
             result = expire_scd2_versions(self.spark, table.location, **kwargs)

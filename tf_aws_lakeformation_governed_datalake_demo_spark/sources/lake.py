@@ -10,6 +10,8 @@ parallelism scales with data, not file count.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -156,16 +158,55 @@ def _leaf_partition_dirs(root, depth: int):
     yield from walk(Path(root), 0)
 
 
+#: Partition-value characters we can map to an on-disk dir name without
+#: replicating Hive's escapePathName. Everything our partition columns
+#: produce (ints, 'yyyy-MM' months, word tokens) matches; anything Spark
+#: would URL-escape (space, '%', ':', '=', ...) does not.
+_SAFE_PARTITION_VALUE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
 def hive_partition_relpath(partition_by: list[str], values: tuple) -> str:
     """Relative hive directory path for one partition-value tuple, in
     Spark's naming (``a=1/b=x``; NULL becomes the Hive default token).
     Only the value classes our partition columns use (ints, plain
-    strings like 'yyyy-MM') are supported — no URL-escaping."""
+    strings like 'yyyy-MM') are supported — no URL-escaping. Values
+    containing characters Spark WOULD escape raise loudly (round-7
+    ADVICE): an unescaped relpath silently fails to match the escaped
+    on-disk dir name, so publish bookkeeping (partition drops) would
+    miss directories and keep stale data."""
     parts = []
     for col, v in zip(partition_by, values):
-        sv = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        if v is None:
+            sv = "__HIVE_DEFAULT_PARTITION__"
+        else:
+            sv = str(v)
+            if not _SAFE_PARTITION_VALUE.match(sv):
+                raise ValueError(
+                    f"partition value {sv!r} for column {col!r} contains "
+                    "characters Spark escapes in directory names; this "
+                    "engine's publish bookkeeping does not implement Hive "
+                    "path escaping — use values matching [A-Za-z0-9._-]+"
+                )
         parts.append(f"{col}={sv}")
     return "/".join(parts)
+
+
+def _restrict_to_partitions(
+    cur: DataFrame, touched: DataFrame, part_cols: list[str]
+) -> DataFrame:
+    """NULL-safe left-semi restriction of ``cur`` to the partition-value
+    tuples in ``touched``. A name-list equi-join here is null-rejecting:
+    rows whose partition value is NULL (the Hive default partition)
+    never match the touched list, silently escaping the rewrite slice —
+    under delete_rows the staged write then lacks the NULL-partition dir
+    and the drop bookkeeping removes the whole live directory, erasing
+    rows the predicate did NOT match (round-7 ADVICE, high)."""
+    a, t = cur.alias("__base"), touched.alias("__touched")
+    cond = None
+    for c in part_cols:
+        eq = F.col(f"__base.{c}").eqNullSafe(F.col(f"__touched.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return a.join(F.broadcast(t), cond, "left_semi")
 
 
 def _atomic_exchange(a, b) -> bool:
@@ -335,7 +376,13 @@ def publish_overwrite(
             str(staged)
         )
         with _swap_lock(live):
-            if not _atomic_exchange(live, staged):
+            if not live.exists():
+                # first publish: nothing to exchange with — the staged
+                # tree simply becomes the table (round-7 ADVICE: the
+                # exchange/trash dance raised ENOENT here, after the
+                # staged write already ran)
+                staged.rename(live)
+            elif not _atomic_exchange(live, staged):
                 live.rename(trash)
                 staged.rename(live)
         shutil.rmtree(trash, ignore_errors=True)
@@ -461,8 +508,11 @@ def merge_into(
         if missing:
             raise ValueError(f"updates missing partition columns: {missing}")
         touched = updates.select(*partition_by).distinct()
-        current = reader.parquet(path).join(
-            F.broadcast(touched), partition_by, "left_semi"
+        # NULL-safe restriction: an update batch targeting the NULL
+        # (Hive default) partition must still pull that partition's old
+        # rows into the rewrite, or the staged replacement erases them.
+        current = _restrict_to_partitions(
+            reader.parquet(path), touched, partition_by
         )
         n_partitions = touched.count()
     else:
@@ -658,7 +708,7 @@ def scd2_apply(
             )
             .distinct()
         )
-        base = cur.join(F.broadcast(touched), [partition_col], "left_semi")
+        base = _restrict_to_partitions(cur, touched, [partition_col])
         n_partitions = touched.count()
     else:
         base = cur
@@ -779,6 +829,24 @@ def delete_rows(
             raise ValueError(
                 f"table at {path} has no partition columns {missing}"
             )
+    else:
+        # Fail-closed layout guard (round-7 ADVICE): an unpartitioned
+        # full rewrite of a hive-partitioned table would swap in a tree
+        # WITHOUT partition dirs — the layout is silently destroyed and
+        # a later partitioned publish would flip leaf dirs in next to
+        # the leftover root files, duplicating rows.
+        from pathlib import Path as _P
+
+        root = _P(path)
+        if root.is_dir() and any(
+            c.is_dir() and "=" in c.name and not c.name.startswith(("_", "."))
+            for c in root.iterdir()
+        ):
+            raise ValueError(
+                f"table at {path} is hive-partitioned but no partition_col "
+                "was given: refusing the unpartitioned full rewrite that "
+                "would destroy the layout — pass the partition column(s)"
+            )
     matched = cur.filter(pred)
     n_deleted = matched.count()
     if n_deleted == 0:
@@ -793,7 +861,7 @@ def delete_rows(
         touched = spark.createDataFrame(
             [tuple(r) for r in touched_rows], matched.select(*part_cols).schema
         )
-        base = cur.join(F.broadcast(touched), part_cols, "left_semi")
+        base = _restrict_to_partitions(cur, touched, part_cols)
         n_partitions = len(touched_rows)
         drop = [
             hive_partition_relpath(part_cols, tuple(r)) for r in touched_rows
@@ -871,13 +939,22 @@ def compact_in_place(
     partition_by: list[str] | None = None,
     target_file_bytes: int = 128 << 20,
     compression: str = "snappy",
+    schema: T.StructType | None = None,
 ) -> tuple[int, int]:
     """In-place small-file compaction, published atomically. The
     companion to :func:`compact_parquet` for tables that incremental
     writers (CDC merge batches, scd2 applies, expires) have fragmented
     and whose location is pinned by a catalog entry — readers keep the
     same path and, thanks to :func:`publish_overwrite`, never observe a
-    half-compacted state. Returns (files_before, files_after)."""
+    half-compacted state. Returns (files_before, files_after).
+
+    Reads via :func:`_reader` like every other lake rewrite path
+    (round-7 ADVICE): on a schema-evolved table the new column exists
+    only in touched partitions' files, so a bare inference read can
+    take its schema from an OLD file and the atomic full rewrite would
+    make the column loss permanent. Pass the catalog's declared
+    ``schema`` to skip the footer scan entirely; without one the
+    mergeSchema fallback still sees every column."""
     import math
     from pathlib import Path
 
@@ -890,7 +967,7 @@ def compact_in_place(
         )
     ]
     total = sum(p.stat().st_size for p in files)
-    df = spark.read.parquet(path)
+    df = _reader(spark, schema).parquet(path)
     if partition_by:
         df = df.repartition(*partition_by)
     else:
