@@ -1,0 +1,234 @@
+"""Manifest-pointer commits (round-7 VERDICT #1): per-TABLE atomic
+publication + time travel on plain Parquet.
+
+Exchange-mode publish_overwrite is atomic per PARTITION (each
+renameat2 is one syscall) — a reader whose scan spans partitions
+concurrently with a publish could observe partition A fully-new and
+partition B fully-old. Manifest mode closes that window: readers list
+files through one atomically-replaced ``_manifest.json``, so any scan
+sees exactly one committed snapshot; old snapshots stay readable until
+vacuum_manifests expires them (the reference's S3 bucket-versioning +
+consistent-listing analog, main.tf:25-30)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tf_aws_lakeformation_governed_datalake_demo_spark.sources import lake as lk
+from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+    delete_rows,
+    merge_into,
+    publish_overwrite,
+    read_manifest,
+    read_table,
+    vacuum_manifests,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, grp string, v string")
+
+
+def test_manifest_publish_read_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = _mk(spark, [(1, "a", "a1"), (2, "b", "b1")])
+    publish_overwrite(spark, path, v1, ["grp"], manifest=True)
+    assert read_manifest(path)["version"] == 1
+    got = {(r.id, r.grp, r.v) for r in read_table(spark, path).collect()}
+    assert got == {(1, "a", "a1"), (2, "b", "b1")}
+    # second publish replaces only partition b (auto-detected manifest)
+    publish_overwrite(spark, path, _mk(spark, [(2, "b", "b2")]), ["grp"])
+    cur = {(r.id, r.v) for r in read_table(spark, path).collect()}
+    assert cur == {(1, "a1"), (2, "b2")}
+    # time travel to v1: the pre-publish state, partition column intact
+    old = read_table(spark, path, version=1)
+    assert {(r.id, r.grp, r.v) for r in old.collect()} == {
+        (1, "a", "a1"),
+        (2, "b", "b1"),
+    }
+    m = read_manifest(path)
+    assert m["version"] == 2 and m["parent"] == 1
+
+
+def test_reader_snapshot_isolation_across_publish(spark, tmp_path):
+    """The mixed-partition window, closed: a scan PLANNED before a
+    publish returns the old snapshot in full even when collected after
+    the publish commits — its file list is fixed and committed files
+    are never deleted by a publish."""
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark,
+        path,
+        _mk(spark, [(1, "a", "a1"), (2, "b", "b1")]),
+        ["grp"],
+        manifest=True,
+    )
+    mid_scan = read_table(spark, path)  # planned against snapshot v1
+    publish_overwrite(
+        spark, path, _mk(spark, [(1, "a", "a2"), (2, "b", "b2")]), ["grp"]
+    )
+    # entirely old — never a=old/b=new
+    assert {(r.id, r.v) for r in mid_scan.collect()} == {(1, "a1"), (2, "b1")}
+    assert {(r.id, r.v) for r in read_table(spark, path).collect()} == {
+        (1, "a2"),
+        (2, "b2"),
+    }
+
+
+def test_crash_before_and_after_pointer_replace(spark, tmp_path, monkeypatch):
+    """Crash injection at the commit point. Before the pointer replace:
+    moved files are invisible to manifest readers, the table reads
+    entirely old, and a re-run converges. The pointer replace itself is
+    one os.replace — there is no 'during'."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark, path, _mk(spark, [(1, "a", "a1")]), ["grp"], manifest=True
+    )
+
+    real_replace = _os.replace
+
+    def crashing_replace(src, dst):
+        if str(dst).endswith("_manifest.json"):
+            raise RuntimeError("injected crash before pointer replace")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", crashing_replace)
+    with pytest.raises(RuntimeError, match="injected"):
+        publish_overwrite(spark, path, _mk(spark, [(1, "a", "a2")]), ["grp"])
+    monkeypatch.undo()
+    # pointer still v1; reader sees the old snapshot only
+    assert read_manifest(path)["version"] == 1
+    assert {(r.id, r.v) for r in read_table(spark, path).collect()} == {
+        (1, "a1")
+    }
+    # re-run converges; the orphan snapshot file is skipped past
+    publish_overwrite(spark, path, _mk(spark, [(1, "a", "a2")]), ["grp"])
+    m = read_manifest(path)
+    assert m["parent"] == 1 and m["version"] >= 3
+    assert {(r.id, r.v) for r in read_table(spark, path).collect()} == {
+        (1, "a2")
+    }
+
+
+def test_merge_and_delete_on_manifest_table(spark, tmp_path):
+    """The lake mutators auto-detect manifest tables: merge keeps
+    history readable; delete_rows truncates it (erasure dominates time
+    travel — vacuum_manifests' GDPR note)."""
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark,
+        path,
+        _mk(spark, [(1, "a", "a1"), (2, "b", "b1"), (3, "b", "b3")]),
+        ["grp"],
+        manifest=True,
+    )
+    stats = merge_into(
+        spark,
+        path,
+        _mk(spark, [(2, "b", "b2"), (4, "a", "a4")]),
+        ["id"],
+        partition_by=["grp"],
+    )
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    assert {(r.id, r.v) for r in read_table(spark, path).collect()} == {
+        (1, "a1"),
+        (2, "b2"),
+        (3, "b3"),
+        (4, "a4"),
+    }
+    # pre-merge snapshot still readable
+    assert {(r.id, r.v) for r in read_table(spark, path, version=1).collect()} == {
+        (1, "a1"),
+        (2, "b1"),
+        (3, "b3"),
+    }
+    # GDPR erasure: current clean AND history truncated
+    stats = delete_rows(spark, path, "id = 2", partition_col="grp")
+    assert stats["rows_deleted"] == 1
+    assert read_table(spark, path).filter("id = 2").count() == 0
+    m = read_manifest(path)
+    assert vacuum_manifests(path, keep_last=99)["kept_versions"] == [
+        m["version"]
+    ]  # only the erased snapshot remains retrievable
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=1)
+    # and no retained file anywhere contains the erased row
+    from pathlib import Path
+
+    leftovers = [
+        p
+        for p in Path(path).rglob("*.parquet")
+        if p.is_file()
+        and spark.read.parquet(str(p)).filter("id = 2").count() > 0
+    ]
+    assert leftovers == []
+
+
+def test_exchange_publish_on_manifest_table_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark, path, _mk(spark, [(1, "a", "a1")]), ["grp"], manifest=True
+    )
+    with pytest.raises(ValueError, match="manifest-committed"):
+        publish_overwrite(
+            spark, path, _mk(spark, [(1, "a", "a2")]), ["grp"], manifest=False
+        )
+
+
+def test_vacuum_manifests_keep_last(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(1, 4):
+        publish_overwrite(
+            spark,
+            path,
+            _mk(spark, [(1, "a", f"a{i}")]),
+            ["grp"],
+            manifest=True,
+        )
+    out = vacuum_manifests(path, keep_last=2)
+    assert out["kept_versions"] == [3, 2]
+    assert out["files_removed"] >= 1  # v1's data file reclaimed
+    # retained snapshots readable, expired one gone
+    assert read_table(spark, path, version=2).first().v == "a2"
+    assert read_table(spark, path).first().v == "a3"
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=1)
+
+
+def test_publish_lock_hook_is_pluggable(spark, tmp_path, monkeypatch):
+    """Round-7 VERDICT #5: the commit-phase lock is a module hook so an
+    object-store deployment can swap the flock for a CAS lease."""
+    from contextlib import contextmanager
+
+    calls = []
+
+    @contextmanager
+    def recording_lock(live_dir):
+        calls.append(str(live_dir))
+        with lk._flock_publish_lock(live_dir):
+            yield
+
+    monkeypatch.setattr(lk, "publish_lock", recording_lock)
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark, path, _mk(spark, [(1, "a", "a1")]), ["grp"], manifest=True
+    )
+    publish_overwrite(spark, path, _mk(spark, [(1, "a", "a2")]), ["grp"])
+    assert calls == [path, path]
+
+
+def test_unpartitioned_manifest_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark, path, _mk(spark, [(1, "a", "a1")]), manifest=True
+    )
+    publish_overwrite(spark, path, _mk(spark, [(9, "z", "z9")]))
+    assert [(r.id, r.v) for r in read_table(spark, path).collect()] == [
+        (9, "z9")
+    ]
+    assert [(r.id, r.v) for r in read_table(spark, path, version=1).collect()] == [
+        (1, "a1")
+    ]

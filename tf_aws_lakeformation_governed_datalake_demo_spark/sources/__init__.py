@@ -15,9 +15,12 @@ from .lake import (
     load_all,
     merge_into,
     publish_overwrite,
+    read_manifest,
+    read_table,
     register_views,
     scd2_apply,
     scd2_as_of,
+    vacuum_manifests,
     vacuum_publish_artifacts,
     write_partitioned,
 )
@@ -31,9 +34,12 @@ __all__ = [
     "load_all",
     "merge_into",
     "publish_overwrite",
+    "read_manifest",
+    "read_table",
     "register_views",
     "scd2_apply",
     "scd2_as_of",
+    "vacuum_manifests",
     "vacuum_publish_artifacts",
     "write_partitioned",
 ]
