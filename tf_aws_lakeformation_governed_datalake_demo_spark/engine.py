@@ -655,8 +655,13 @@ class PrincipalSession:
     def sql(self, sql: str) -> DataFrame:
         return self.engine.sql(sql, self.principal)
 
-    def table(self, qualified: str) -> DataFrame:
-        return self.engine.catalog.table(qualified, self.principal)
+    def table(self, qualified: str, version: int | None = None) -> DataFrame:
+        """Governed table read; ``version`` = governed time travel to a
+        retained manifest snapshot (row/column security applies to
+        historical rows exactly as to current ones)."""
+        return self.engine.catalog.table(
+            qualified, self.principal, version=version
+        )
 
     def submit(self, sql: str) -> str:
         return self.engine.submit(sql, self.principal)

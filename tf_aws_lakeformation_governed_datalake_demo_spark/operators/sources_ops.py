@@ -790,3 +790,84 @@ def lake_delete_user_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "lake_time_travel",
+    """
+    WITH updates AS (
+      SELECT doc_id, upper(text) AS text, lang, source,
+             n_chars + 1000 AS n_chars
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    merged AS (
+      SELECT d.* FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = d.doc_id)
+      UNION ALL
+      SELECT * FROM updates
+    )
+    SELECT 'v1' AS snap, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_chk
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'v2' AS snap, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_chk
+    FROM merged GROUP BY lang
+    """,
+    "Time travel on a manifest-committed lake table (round-8): seed a "
+    "lang-partitioned documents table as manifest snapshot v1, MERGE an "
+    "update batch (10% of rows rewritten) committing snapshot v2, then "
+    "read BOTH — the current read through the atomically-replaced "
+    "manifest pointer and the historical read of snapshot v1, whose "
+    "files the merge retained. The oracle replays each state's per-lang "
+    "profile (count, chars, md5 content checksum); matching v1 numbers "
+    "prove the pre-merge bytes are still exactly readable after the "
+    "merge replaced their partitions.",
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the manifest-pointer commit protocol (sources.lake
+    read_table/publish_overwrite manifest mode) end to end. Scale: the
+    historical read costs the same as the current one — both are a
+    planning-time file-list selection, no data copied per snapshot
+    (the reference gets this from S3 bucket versioning, main.tf:25-30);
+    retention is vacuum_manifests' keep_last horizon."""
+    from ..sources.lake import merge_into, publish_overwrite, read_table
+
+    d = load(spark, sf_dir, "documents")
+    path = scratch_dir("time_travel_") + "/docs"
+    publish_overwrite(spark, path, d, ["lang"], manifest=True)
+    updates = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.upper("text").alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    merge_into(
+        spark,
+        path,
+        updates,
+        ["doc_id"],
+        partition_by=["lang"],
+        schema=d.schema,
+        collect_stats=False,
+    )
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long"))
+            .cast("long")
+            .alias("text_chk"),
+        ).select(F.lit(tag).alias("snap"), "*")
+
+    return profile(read_table(spark, path, version=1), "v1").unionByName(
+        profile(read_table(spark, path), "v2")
+    )
