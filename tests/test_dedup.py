@@ -401,3 +401,87 @@ def test_incremental_minhash_equals_batch_restricted_full_run(spark, sf_dir):
     }
     assert got == want
     assert got  # non-trivial: the fixture has batch-touching near-dups
+
+
+def test_minhash_persisted_index_probe_and_append(spark, sf_dir, tmp_path):
+    """Round-7 VERDICT #4 — the at-rest incremental index. (1) Probing
+    the persisted index from disk yields EXACTLY the in-memory
+    incremental pairs. (2) A batch whose signatures come from a tiny
+    synthetic frame probes WITHOUT any documents scan in its plan —
+    structural proof that historical signatures are read from the
+    index, never recomputed. (3) Appending a batch then probing the
+    next batch finds pairs against the appended docs."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.dedup import (
+        _minhash_signature,
+        append_minhash_index,
+        collapse_exact_duplicates,
+        incremental_minhash_pairs,
+        md5_token_hash,
+        probe_minhash_index,
+        shingle_hash_frame,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.plans import (
+        physical_plan,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    d = collapse_exact_duplicates(load(spark, sf_dir, "documents"))
+    sig = (
+        shingle_hash_frame(d, token_hash=md5_token_hash)
+        .filter(F.size("shingle_hashes") > 0)
+        .select(
+            "doc_id",
+            _minhash_signature(F.col("shingle_hashes")).alias("signature"),
+        )
+        .cache()
+    )
+    sig.count()
+    index_sig = sig.filter(F.col("doc_id") % 4 != 0)
+    batch_sig = sig.filter(F.col("doc_id") % 4 == 0)
+    index_path = str(tmp_path / "bands")
+    append_minhash_index(index_path, index_sig, string_buckets=True)
+
+    # (1) at-rest == in-memory
+    from_disk = probe_minhash_index(
+        spark, index_path, batch_sig, string_buckets=True
+    )
+    in_mem = incremental_minhash_pairs(
+        batch_sig, index_sig, string_buckets=True
+    )
+    assert sorted(map(tuple, from_disk.collect())) == sorted(
+        map(tuple, in_mem.collect())
+    )
+    # planning-time shard pruning pinned
+    plan = physical_plan(from_disk)
+    seg = (
+        plan.split("PartitionFilters")[1][:200]
+        if "PartitionFilters" in plan
+        else ""
+    )
+    assert "shard" in seg, plan
+
+    # (2) no historical recompute: a synthetic batch's probe plan scans
+    # the index parquet only — no documents source anywhere
+    synth = spark.createDataFrame(
+        [(10_000_001, [float(0)] * 0)], "doc_id long, dummy array<float>"
+    ).select(
+        "doc_id",
+        F.array([F.lit(7).cast("long")] * 64).alias("signature"),
+    )
+    probe2 = probe_minhash_index(spark, index_path, synth, string_buckets=True)
+    plan2 = physical_plan(probe2)
+    assert "documents" not in plan2, plan2
+    assert "bands" in plan2
+
+    # (3) append batch1, then a near-copy batch finds it via the index
+    append_minhash_index(index_path, batch_sig, string_buckets=True)
+    some_batch_doc = batch_sig.select("doc_id").first().doc_id
+    clone_sig = batch_sig.filter(F.col("doc_id") == some_batch_doc).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "signature"
+    )
+    found = probe_minhash_index(
+        spark, index_path, clone_sig, string_buckets=True
+    ).collect()
+    assert (some_batch_doc, some_batch_doc + 10_000_000) in {
+        (r.doc_a, r.doc_b) for r in found
+    }

@@ -993,45 +993,47 @@ _MINHASH_INCR_ORACLE = f"""
 """
 
 
-def incremental_minhash_pairs(
-    batch_sig: DataFrame,
-    index_sig: DataFrame,
+def explode_minhash_bands(
+    sig: DataFrame, id_col: str = "doc_id", string_buckets: bool = False
+) -> DataFrame:
+    """One (id, band, bucket) row per signature band — the LSH band
+    table, in the exact layout the persisted index stores."""
+
+    def _fold(b):
+        cells = [
+            F.element_at(F.col("signature"), b * ROWS_PER_BAND + r + 1)
+            for r in range(ROWS_PER_BAND)
+        ]
+        if string_buckets:
+            return F.concat_ws(":", *[c.cast("string") for c in cells])
+        return F.xxhash64(*cells)
+
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda b: F.struct(b.alias("band"), _fold(b).alias("bucket")),
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, "bk.band", "bk.bucket"
+    )
+
+
+def incremental_band_pairs(
+    batch_bands: DataFrame,
+    index_bands: DataFrame,
+    batch_ids: DataFrame,
     id_col: str = "doc_id",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
-    string_buckets: bool = False,
 ) -> DataFrame:
-    """Candidate pairs touching the BATCH only: the batch's band keys
-    probe the (historical index ∪ batch) band table — historical-vs-
-    historical pairs are never generated (they were found when those
-    docs arrived). This is the library form production dedup actually
-    runs: per-batch cost is O(|batch| x bands) probe rows against a
-    pre-bucketed index, never a full-corpus self-join.
+    """Candidate pairs touching the BATCH only, from pre-exploded band
+    tables (in-memory or read back from the persisted index).
 
-    The hot-bucket cap is computed over the FULL band table (a hot
-    boilerplate bucket is hot regardless of which side contributed the
-    members), so batch and full-run recalls degrade identically."""
-
-    def explode_bands(sig: DataFrame) -> DataFrame:
-        def _fold(b):
-            cells = [
-                F.element_at(F.col("signature"), b * ROWS_PER_BAND + r + 1)
-                for r in range(ROWS_PER_BAND)
-            ]
-            if string_buckets:
-                return F.concat_ws(":", *[c.cast("string") for c in cells])
-            return F.xxhash64(*cells)
-
-        bands = F.transform(
-            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-            lambda b: F.struct(b.alias("band"), _fold(b).alias("bucket")),
-        )
-        return sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
-            id_col, "bk.band", "bk.bucket"
-        )
-
-    all_bands = explode_bands(index_sig.unionByName(batch_sig))
+    The hot-bucket cap is computed over the FULL (visible) band table
+    (a hot boilerplate bucket is hot regardless of which side
+    contributed the members), so batch and full-run recalls degrade
+    identically; shard pruning keeps this property because a shard
+    holds every member of each of its buckets."""
+    all_bands = index_bands.unionByName(batch_bands)
     all_bands = _drop_hot_buckets(all_bands, ["band", "bucket"], max_bucket_size)
-    batch_ids = batch_sig.select(id_col)
     probe = all_bands.join(F.broadcast(batch_ids), id_col, "left_semi")
     left = probe.alias("l")
     right = all_bands.alias("r")
@@ -1047,6 +1049,102 @@ def incremental_minhash_pairs(
             F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("doc_b"),
         )
         .distinct()
+    )
+
+
+def incremental_minhash_pairs(
+    batch_sig: DataFrame,
+    index_sig: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    string_buckets: bool = False,
+) -> DataFrame:
+    """Candidate pairs touching the BATCH only: the batch's band keys
+    probe the (historical index ∪ batch) band table — historical-vs-
+    historical pairs are never generated (they were found when those
+    docs arrived). This is the library form production dedup actually
+    runs: per-batch cost is O(|batch| x bands) probe rows against a
+    pre-bucketed index, never a full-corpus self-join. For the
+    at-rest index, see append_minhash_index / probe_minhash_index."""
+    return incremental_band_pairs(
+        explode_minhash_bands(batch_sig, id_col, string_buckets),
+        explode_minhash_bands(index_sig, id_col, string_buckets),
+        batch_sig.select(id_col),
+        id_col,
+        max_bucket_size,
+    )
+
+
+MINHASH_INDEX_SHARDS = 32  # bucket-hash partition fanout of the at-rest index
+
+
+def minhash_index_shard(bucket) -> "F.Column":
+    """Stable shard of a band bucket — the index's hive partition
+    value. A pure function of the bucket key, so every member of a
+    bucket lands in one shard (the hot-cap and probe-pruning
+    invariant)."""
+    return F.pmod(
+        F.xxhash64(bucket.cast("string")), F.lit(MINHASH_INDEX_SHARDS)
+    ).cast("int")
+
+
+def append_minhash_index(
+    index_path: str,
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    string_buckets: bool = False,
+) -> None:
+    """Append a batch's band rows to the persisted, bucket-sharded LSH
+    index (round-7 VERDICT #4 — the at-rest form the
+    dedup_incremental_minhash docstring promised). Layout:
+    ``shard=K/`` hive partitions of (doc_id, band, bucket) rows, shard
+    = hash(bucket) % 32, so a probe prunes to the shards its buckets
+    hash into at PLANNING time. Append-only: a batch is one
+    partitioned parquet append (~16 rows/doc), historical rows are
+    never rewritten or recomputed."""
+    bands = explode_minhash_bands(sig, id_col, string_buckets)
+    (
+        bands.withColumn("shard", minhash_index_shard(F.col("bucket")))
+        .repartition("shard")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(index_path)
+    )
+
+
+def probe_minhash_index(
+    spark: SparkSession,
+    index_path: str,
+    batch_sig: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    string_buckets: bool = False,
+) -> DataFrame:
+    """Candidate pairs for a batch against the PERSISTED index: the
+    batch's band table is computed (O(|batch| x 16) rows), its shard
+    set collected (bounded by MINHASH_INDEX_SHARDS — an O(32) collect,
+    the ann_ivf_partitioned_scan pattern), and the index scan prunes to
+    those shard directories at planning time. Historical signatures
+    are READ, never recomputed; historical text is touched only by the
+    caller's jaccard_verify on actual candidates."""
+    batch_bands = explode_minhash_bands(
+        batch_sig, id_col, string_buckets
+    ).withColumn("shard", minhash_index_shard(F.col("bucket")))
+    batch_bands = batch_bands.localCheckpoint(eager=True)
+    shards = [
+        r.shard for r in batch_bands.select("shard").distinct().collect()
+    ]
+    index_bands = (
+        spark.read.parquet(index_path)
+        .filter(F.col("shard").isin(shards))
+        .select(id_col, "band", "bucket")
+    )
+    return incremental_band_pairs(
+        batch_bands.select(id_col, "band", "bucket"),
+        index_bands,
+        batch_sig.select(id_col),
+        id_col,
+        max_bucket_size,
     )
 
 
@@ -1087,6 +1185,52 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_sig = sig.filter(F.col("doc_id") % 4 != 0)
     pairs = incremental_minhash_pairs(
         batch_sig, index_sig, string_buckets=True
+    ).cache()
+    pairs.count()
+    return jaccard_verify(
+        pairs, d, threshold=0.8, token_hash=md5_token_hash
+    ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_minhash_index_probe",
+    _MINHASH_INCR_ORACLE,
+    "Incremental near-dup detection against the PERSISTED LSH index "
+    "(round-8): the historical signatures' band table is WRITTEN as a "
+    "bucket-sharded hive-partitioned parquet index (shard = "
+    "hash(bucket) % 32), the batch (doc_id % 4 = 0) probes it FROM "
+    "DISK — the batch's shard set resolves to planning-time partition "
+    "pruning — and candidates are Jaccard-verified >= 0.8. Same "
+    "pipeline constants as dedup_incremental_minhash, so the same "
+    "oracle replays it; the two queries returning identical rows is "
+    "itself the at-rest/in-memory equivalence proof.",
+)
+def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest form of the incremental story (round-7 VERDICT #4):
+    the index is a real parquet table probed from files, not a cached
+    DataFrame. Scale: per batch, O(|batch| x 16) band rows + one
+    bounded O(32) shard collect; the index read prunes to probed
+    shard dirs at planning time (PartitionFilters pinned in
+    tests/test_plans.py); historical signatures are read, never
+    recomputed (pinned in tests/test_dedup.py); appending the next
+    batch is one partitioned parquet append."""
+    from ..scratch import scratch_dir
+
+    d = collapse_exact_duplicates(load(spark, sf_dir, "documents"))
+    hashed = shingle_hash_frame(d, token_hash=md5_token_hash).filter(
+        F.size("shingle_hashes") > 0
+    )
+    sig = hashed.select(
+        "doc_id", _minhash_signature(F.col("shingle_hashes")).alias("signature")
+    ).cache()
+    sig.count()
+    index_path = scratch_dir("minhash_index_") + "/bands"
+    append_minhash_index(
+        index_path, sig.filter(F.col("doc_id") % 4 != 0), string_buckets=True
+    )
+    batch_sig = sig.filter(F.col("doc_id") % 4 == 0)
+    pairs = probe_minhash_index(
+        spark, index_path, batch_sig, string_buckets=True
     ).cache()
     pairs.count()
     return jaccard_verify(
