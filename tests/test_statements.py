@@ -541,8 +541,10 @@ def test_maintain_delete_rows_governed_erasure(spark, sf_dir, tmp_path):
         principal="analyst2",
     ).first().n
     assert seen == 0
+    # the erasure predicate is part of the audit trail (round-8)
     assert any(
-        e["query"] == f"MAINTAIN delete_rows {fx.DATABASE}.events_gdpr"
+        e["query"]
+        == f"MAINTAIN delete_rows {fx.DATABASE}.events_gdpr WHERE user_id = 7"
         and e["status"] == "ok"
         for e in cat.audit.events
     )
@@ -647,5 +649,56 @@ def test_maintain_expire_versions_multikey_table_raises(spark, tmp_path):
     assert any(
         e["query"].startswith("MAINTAIN expire_versions")
         and e["status"] == "failed"
+        for e in cat.audit.events
+    )
+
+
+def test_maintain_delete_rows_pending_column_denied_and_audited(spark, tmp_path):
+    """Round-7 VERDICT #6: fail-closed schema evolution extends to
+    maintenance — a maintainer cannot erase rows BY a pending-approval
+    column; the erasure predicate is audited verbatim (denials too)."""
+    from pyspark.sql import types as T
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark import TableDef
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    cat.set_admins(["ops"])
+    loc = f"{lake}/users"
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1), (3, "c", 0)], "id long, nm string, b int"
+    ).write.partitionBy("b").parquet(loc)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("nm", T.StringType()),
+            T.StructField("b", T.IntegerType()),
+        ]
+    )
+    q = f"{fx.DATABASE}.users"
+    cat.register_table(
+        TableDef(fx.DATABASE, "users", loc, schema=schema, partition_keys=("b",))
+    )
+    cat.evolve_table_schema(q, [T.StructField("churn_score", T.DoubleType())])
+
+    with pytest.raises(PermissionDeniedError, match="pending-approval"):
+        eng.maintain(
+            q, "delete_rows", principal="ops", predicate="churn_score > 0.5"
+        )
+    assert spark.read.parquet(loc).count() == 3  # nothing deleted
+    denied = [
+        e
+        for e in cat.audit.events
+        if e["status"] == "denied" and "churn_score > 0.5" in e["query"]
+    ]
+    assert denied, cat.audit.events  # predicate audited verbatim on denial
+
+    # approval releases the column; non-pending predicates always work
+    cat.approve_evolved_columns(q, ["churn_score"])
+    out = eng.maintain(q, "delete_rows", principal="ops", predicate="id = 2")
+    assert out["rows_deleted"] == 1
+    assert any(
+        e["status"] == "ok" and e["query"].endswith("WHERE id = 2")
         for e in cat.audit.events
     )

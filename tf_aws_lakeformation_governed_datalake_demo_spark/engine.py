@@ -536,10 +536,19 @@ class Engine:
         )
         table = self.catalog.tables[qualified]  # KeyError: fail closed
 
+        # The erasure predicate is recorded VERBATIM in the audit line
+        # (round-7 VERDICT #6): a right-to-be-forgotten trail must show
+        # exactly WHAT was deleted, and a denied attempt must show what
+        # was attempted.
+        predicate = kwargs.get("predicate")
+        audit_suffix = (
+            f" WHERE {predicate}" if action == "delete_rows" and predicate is not None else ""
+        )
+
         def _audit(status: str, error: str | None = None):
             self.catalog.audit.record(
                 principal=name or "<none>",
-                query=f"MAINTAIN {action} {qualified}",
+                query=f"MAINTAIN {action} {qualified}{audit_suffix}",
                 tables=[qualified],
                 filters_applied=[],
                 status=status,
@@ -614,6 +623,30 @@ class Engine:
                 "removed": vacuum_publish_artifacts(table.location, **kwargs)
             }
         elif action == "delete_rows":
+            # Fail-closed schema evolution extends to maintenance
+            # (round-7 VERDICT #6): a pending (evolved, not-yet-
+            # approved) column is invisible to every conditioned read
+            # path — a maintainer must not be able to USE it either,
+            # e.g. to erase rows by a column nobody has classified yet.
+            # The predicate string/Column is tokenized, not parsed: any
+            # identifier collision with a pending column fails closed.
+            if table.pending_columns and predicate is not None:
+                import re as _re
+
+                ptext = (
+                    predicate if isinstance(predicate, str) else str(predicate)
+                )
+                struck = sorted(
+                    set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", ptext))
+                    & set(table.pending_columns)
+                )
+                if struck:
+                    _audit("denied", f"predicate uses pending columns {struck}")
+                    raise PermissionDeniedError(
+                        f"delete_rows predicate references pending-approval "
+                        f"column(s) {struck} on {qualified}; approve the "
+                        "evolved columns first (fail-closed schema evolution)"
+                    )
             # the catalog knows the layout — derive partition pruning
             # from the declared partition keys unless overridden
             kwargs.setdefault(
