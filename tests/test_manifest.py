@@ -309,3 +309,82 @@ def test_governed_time_travel(spark, tmp_path):
     cat.set_admins(["ops"])
     with pytest.raises(ValueError, match="time travel"):
         cat.table("db.plain", "ops", version=1)
+
+
+def test_engine_sql_as_of_versions(spark, tmp_path):
+    """Governed SQL AS OF: engine.sql(..., as_of_versions={table: N})
+    resolves the named table to snapshot N with governance applied;
+    views refuse direct versioning; snapshot identity is part of the
+    result-reuse key."""
+    from pyspark.sql import types as T
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        Engine,
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        DataCellsFilter,
+    )
+
+    path = str(tmp_path / "accts")
+    publish_overwrite(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id long, grp string, bal double"
+        ),
+        ["grp"],
+        manifest=True,
+    )
+    cat = GovernedCatalog(spark)
+    cat.create_database("db")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("grp", T.StringType()),
+        ]
+    )
+    cat.register_table(
+        TableDef("db", "accts", path, schema=schema, partition_keys=("grp",))
+    )
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="a-only",
+            database="db",
+            table="accts",
+            columns=("id", "bal", "grp"),
+            row_filter="grp = 'a'",
+        )
+    )
+    cat.grant("analyst", "SELECT", "db", "accts", via_filter="a-only")
+    eng = Engine(spark, cat)
+    publish_overwrite(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a", 99.0)], "id long, grp string, bal double"),
+        ["grp"],
+    )
+    q = "SELECT id, bal FROM db.accts ORDER BY id"
+    assert [(r.id, r.bal) for r in eng.sql(q, principal="analyst").collect()] == [
+        (1, 99.0)
+    ]
+    old = eng.sql(q, principal="analyst", as_of_versions={"db.accts": 1})
+    assert [(r.id, r.bal) for r in old.collect()] == [(1, 10.0)]
+    # reuse keys differ by snapshot: versioned and unversioned results
+    # do not cross-hit
+    r_now = eng.sql(q, principal="analyst", reuse_max_age=300).collect()
+    r_old = eng.sql(
+        q, principal="analyst", reuse_max_age=300, as_of_versions={"db.accts": 1}
+    ).collect()
+    assert [(r.id, r.bal) for r in r_now] == [(1, 99.0)]
+    assert [(r.id, r.bal) for r in r_old] == [(1, 10.0)]
+    # views refuse direct AS OF
+    cat.create_view("db", "v_accts", "SELECT id FROM db.accts")
+    with pytest.raises(ValueError, match="AS OF applies to tables"):
+        eng.sql(
+            "SELECT * FROM db.v_accts",
+            principal="analyst",
+            as_of_versions={"db.v_accts": 1},
+        )

@@ -972,6 +972,7 @@ class GovernedCatalog:
         principal: Principal | str | None,
         *,
         row_only: bool = False,
+        versions: dict[str, int] | None = None,
         _filters_out: list[str] | None = None,
         _views_out: list[str] | None = None,
     ) -> tuple[str, list[str]]:
@@ -1017,10 +1018,19 @@ class GovernedCatalog:
                 continue
             touched.append(qualified)
             if qualified in self.views:
+                if versions and qualified in versions:
+                    raise ValueError(
+                        f"AS OF applies to tables, not views: {qualified} "
+                        "(version the view's base tables instead)"
+                    )
                 df = self.view(qualified, principal, _filters_out=_filters_out)
             else:
                 df = self.table(
-                    qualified, principal, row_only=row_only, _filters_out=_filters_out
+                    qualified,
+                    principal,
+                    row_only=row_only,
+                    version=(versions or {}).get(qualified),
+                    _filters_out=_filters_out,
                 )
             df.createOrReplaceTempView(alias)
             if _views_out is not None:

@@ -184,10 +184,21 @@ class Engine:
         sql: str,
         principal: Principal | str | None = None,
         reuse_max_age: float | None = None,
+        as_of_versions: dict[str, int] | None = None,
     ) -> DataFrame:
-        """Execute governed SQL and return the DataFrame (raises on deny)."""
+        """Execute governed SQL and return the DataFrame (raises on deny).
+
+        ``as_of_versions`` maps qualified table names to manifest
+        snapshot versions — the governed SQL AS OF surface (round-7
+        VERDICT #8): the named tables resolve to that retained snapshot
+        with the principal's row/column security applied to the
+        historical rows exactly as to current ones."""
         qe = self._execute(
-            sql, principal, raise_on_error=True, reuse_max_age=reuse_max_age
+            sql,
+            principal,
+            raise_on_error=True,
+            reuse_max_age=reuse_max_age,
+            as_of_versions=as_of_versions,
         )
         assert qe.result is not None
         return qe.result
@@ -254,6 +265,7 @@ class Engine:
         principal: Principal | str | None,
         raise_on_error: bool = False,
         reuse_max_age: float | None = None,
+        as_of_versions: dict[str, int] | None = None,
     ) -> QueryExecution:
         """``reuse_max_age`` (seconds) enables L7 result reuse — Athena's
         ``ResultReuseByAgeConfiguration`` analog, made strictly safer:
@@ -284,7 +296,13 @@ class Engine:
         self.executions[qe.query_id] = qe
         self.metrics["queries_submitted"] += 1
         qe.state = QueryState.RUNNING
-        reuse_key = (name, sql)
+        # a versioned read must never hit (or seed) an unversioned
+        # cache entry — the snapshot is part of the query identity
+        reuse_key = (
+            name,
+            sql,
+            tuple(sorted((as_of_versions or {}).items())),
+        )
         if reuse_max_age is not None:
             hit = self._reuse_cache.get(reuse_key)
             if hit is not None:
@@ -325,6 +343,7 @@ class Engine:
                 rewritten, touched = self.catalog._rewrite_sql(
                     sql,
                     principal,
+                    versions=as_of_versions,
                     _filters_out=qe.filters_applied,
                     _views_out=created_views,
                 )
