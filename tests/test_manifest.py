@@ -388,3 +388,128 @@ def test_engine_sql_as_of_versions(spark, tmp_path):
             principal="analyst",
             as_of_versions={"db.v_accts": 1},
         )
+
+
+def test_compact_in_place_on_manifest_table(spark, tmp_path):
+    """Compaction commits a new snapshot: fragmented current files roll
+    into ~one file per partition, the pre-compaction snapshot stays
+    readable until vacuum, and file counts reflect the manifest (not
+    historical leftovers)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        compact_in_place,
+    )
+
+    path = str(tmp_path / "t")
+    frag = _mk(
+        spark, [(i, "a" if i % 2 else "b", f"v{i}") for i in range(20)]
+    ).repartition(8)
+    publish_overwrite(spark, path, frag, ["grp"], manifest=True)
+    n_before = len(read_manifest(path)["files"])
+    assert n_before > 2
+    before_rows = sorted(map(tuple, read_table(spark, path).collect()))
+    n1, n2 = compact_in_place(spark, path, partition_by=["grp"])
+    assert n1 == n_before and n2 == 2  # one file per partition now
+    assert sorted(map(tuple, read_table(spark, path).collect())) == before_rows
+    # pre-compaction snapshot still readable (same rows, old layout)
+    assert (
+        sorted(map(tuple, read_table(spark, path, version=1).collect()))
+        == before_rows
+    )
+
+
+def test_engine_history_and_expire_snapshots(spark, tmp_path):
+    """DESCRIBE HISTORY analog + governed time-travel retention: the
+    snapshot chain reads newest-first for granted principals only, and
+    maintain('expire_snapshots') physically expires past the horizon."""
+    from pyspark.sql import types as T
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        Engine,
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        PermissionDeniedError,
+    )
+
+    lake = str(tmp_path / "lake")
+    path = f"{lake}/t"
+    for i in range(1, 4):
+        publish_overwrite(
+            spark,
+            path,
+            _mk(spark, [(1, "a", f"a{i}")]),
+            ["grp"],
+            manifest=True,
+        )
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("grp", T.StringType()),
+        ]
+    )
+    cat.register_table(
+        TableDef("db", "t", path, schema=schema, partition_keys=("grp",))
+    )
+    cat.grant("analyst", "SELECT", "db", "t")
+    cat.set_admins(["ops"])
+    eng = Engine(spark, cat)
+
+    h = eng.history("db.t", "analyst")
+    assert [x["version"] for x in h] == [3, 2, 1]
+    assert all(x["n_files"] >= 1 and x["partition_by"] == ["grp"] for x in h)
+    with pytest.raises(PermissionDeniedError):
+        eng.history("db.t", "stranger")
+
+    out = eng.maintain("db.t", "expire_snapshots", principal="ops", keep_last=2)
+    assert out["kept_versions"] == [3, 2]
+    assert [x["version"] for x in eng.history("db.t", "ops")] == [3, 2]
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=1)
+    # audited like every maintenance action
+    assert any(
+        e["query"] == "MAINTAIN expire_snapshots db.t" and e["status"] == "ok"
+        for e in cat.audit.events
+    )
+
+
+def test_cdc_merge_on_manifest_dimension(spark, sf_dir, tmp_path):
+    """The CDC foreachBatch merge composes with manifest commits: each
+    batch commits one snapshot, a reader planned before the batches
+    still collects its own snapshot afterwards (streaming upserts never
+    tear a dimension read), and the final state equals global
+    latest-per-key. Uses the SAME cdc_* helpers the registered
+    stream_cdc_upsert operator runs."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.streaming_ops import (
+        cdc_apply_batch,
+        cdc_latest_per_user,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    e = load(spark, sf_dir, "events")
+    dim = str(tmp_path / "dim")
+    seed = e.filter(F.col("event_id") % 7 == 0)
+    seeded = cdc_latest_per_user(seed)
+    publish_overwrite(spark, dim, seeded, ["bucket"], manifest=True)
+    dim_schema = seeded.schema
+
+    pre = read_table(spark, dim, dim_schema)  # planned against snapshot 1
+    rest = e.filter(F.col("event_id") % 7 != 0)
+    cdc_apply_batch(
+        spark, dim, dim_schema, rest.filter(F.col("event_id") % 2 == 0)
+    )
+    cdc_apply_batch(
+        spark, dim, dim_schema, rest.filter(F.col("event_id") % 2 == 1)
+    )
+    assert read_manifest(dim)["version"] == 3  # seed + two batch commits
+    # snapshot isolation across both merges
+    assert sorted(map(tuple, pre.collect())) == sorted(
+        map(tuple, seeded.collect())
+    )
+    # final state = global latest-per-key
+    want = sorted(map(tuple, cdc_latest_per_user(e).collect()))
+    got = sorted(map(tuple, read_table(spark, dim, dim_schema).collect()))
+    assert got == want

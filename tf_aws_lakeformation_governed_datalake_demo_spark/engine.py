@@ -534,6 +534,10 @@ class Engine:
           path (sources.lake.delete_rows; ``predicate=`` required).
           The audit line records that an erasure ran against the table
           — the compliance trail a right-to-be-forgotten request needs.
+        - ``"expire_snapshots"`` — time-travel retention on a
+          manifest-committed table (sources.lake.vacuum_manifests;
+          ``keep_last=`` defaults to 1): snapshots past the horizon and
+          the data files only they reference are physically removed.
 
         Same fail-closed location guard as drop_table(delete_data=True):
         the catalog must have a ``lake_root`` and the table location
@@ -547,6 +551,7 @@ class Engine:
             compact_in_place,
             delete_rows,
             expire_scd2_versions,
+            vacuum_manifests,
             vacuum_publish_artifacts,
         )
 
@@ -672,11 +677,63 @@ class Engine:
                 "partition_col", list(table.partition_keys) or None
             )
             result = delete_rows(self.spark, table.location, **kwargs)
+        elif action == "expire_snapshots":
+            kwargs.setdefault("keep_last", 1)
+            result = vacuum_manifests(table.location, **kwargs)
         else:
             _audit("failed", f"unknown action {action!r}")
             raise ValueError(f"unknown maintenance action {action!r}")
         _audit("ok")
         return result
+
+    def history(
+        self,
+        qualified: str,
+        principal: "Principal | str | None" = None,
+    ) -> list[dict]:
+        """DESCRIBE HISTORY analog for a manifest-committed table: the
+        retained snapshot chain, newest first — version, parent, commit
+        time, file count, partition columns. Metadata-only (no data
+        read), but still gated: any principal without SOME grant on the
+        table may not learn its commit history (implicit deny, G6).
+        Empty list for non-manifest tables."""
+        from .governance import PermissionDeniedError
+        from .sources.lake import read_manifest
+
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        table = self.catalog.tables[qualified]  # KeyError: fail closed
+        if (
+            self.catalog.governance_enabled
+            and name not in self.catalog.admins
+            and not (
+                name is not None
+                and self.catalog.grants_for(name, table.database, table.name)
+            )
+        ):
+            raise PermissionDeniedError(
+                f"principal {name!r} is not authorized to access {qualified}"
+            )
+        out: list[dict] = []
+        m = read_manifest(table.location)
+        while m is not None:
+            out.append(
+                {
+                    "version": m["version"],
+                    "parent": m["parent"],
+                    "committed_at": m["committed_at"],
+                    "n_files": len(m["files"]),
+                    "partition_by": m["partition_by"],
+                }
+            )
+            if m["parent"] is None:
+                break
+            try:
+                m = read_manifest(table.location, m["parent"])
+            except FileNotFoundError:
+                break  # older history vacuumed
+        return out
 
     # ------------------------------------------------ prepared statements
     def prepare(self, name: str, sql: str) -> None:

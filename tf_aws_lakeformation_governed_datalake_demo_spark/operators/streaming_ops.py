@@ -341,9 +341,14 @@ def cdc_current_state_pruned(
     reads only the touched directories."""
     from pyspark.sql import functions as F
 
+    # read_table: manifest-aware — on a manifest-committed dimension the
+    # current SNAPSHOT's files are listed, never historical versions of
+    # rewritten buckets (a directory read there would return multiple
+    # stored versions per key and corrupt the newer-wins comparison)
+    from ..sources.lake import read_table
+
     return (
-        spark.read.schema(dim_schema)
-        .parquet(dim)
+        read_table(spark, dim, dim_schema)
         .filter(F.col("bucket").isin(buckets))
         .select(
             "user_id",

@@ -646,14 +646,29 @@ def read_table(
     number of publishes sees exactly one snapshot — the per-table
     atomicity the reference gets from S3 consistent listing. Non-
     manifest tables read the directory as before (per-partition
-    atomicity via renameat2 exchange)."""
+    atomicity via renameat2 exchange).
+
+    When ``schema`` is declared the result's column ORDER matches it
+    too: Spark always appends hive partition columns after the data
+    columns, so without the final projection a declared
+    ``(user_id, bucket, ...)`` read of a bucket-partitioned table would
+    come back ``(user_id, ..., bucket)`` — breaking positional
+    consumers (collect-tuple comparisons, UNION by position). The
+    projection is a no-op for Catalyst when the order already
+    matches."""
+
+    def _ordered(df: DataFrame) -> DataFrame:
+        if schema is not None and df.columns != list(schema.names):
+            df = df.select(*schema.names)
+        return df
+
     m = read_manifest(path, version)
     if m is None:
         if version is not None:
             raise FileNotFoundError(
                 f"table at {path} has no manifest snapshot v{version}"
             )
-        return _reader(spark, schema).parquet(path)
+        return _ordered(_reader(spark, schema).parquet(path))
     from pathlib import Path
 
     live = Path(path)
@@ -665,7 +680,9 @@ def read_table(
                 "schema was declared — cannot synthesize an empty scan"
             )
         return spark.createDataFrame([], schema)
-    return _reader(spark, schema).option("basePath", path).parquet(*files)
+    return _ordered(
+        _reader(spark, schema).option("basePath", path).parquet(*files)
+    )
 
 
 def vacuum_manifests(
