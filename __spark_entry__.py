@@ -18,17 +18,19 @@ round. Round-8 scheme (executing the round-7 VERDICT #2 plan —
 freshness-first, self-healing):
 
 - unprefixed — needs a FIRST or fresh driver verdict this round. Round
-  8: the two NEW round-8 oracle-backed queries — ``lake_time_travel``
+  8: the three NEW round-8 oracle-backed queries — ``lake_time_travel``
   (manifest-pointer commits: per-table atomic publish + snapshot
-  time travel, round-7 VERDICT #1) and ``dedup_minhash_index_probe``
+  time travel, round-7 VERDICT #1), ``dedup_minhash_index_probe``
   (the PERSISTED bucket-sharded LSH index probed from disk with
-  planning-time shard pruning, round-7 VERDICT #4) — plus the 21
+  planning-time shard pruning, round-7 VERDICT #4), and
+  ``lake_table_changes`` (the Delta-CDF analog: v1→v2 row feed from
+  the manifest file sets alone, O(delta) scan) — plus the 21
   ``y0_`` names whose last driver verdict dates to round 3/4 and that
   spilled past round 7's window (``stream_session_windows`` …
-  ``tpch_q9_product_profit``). 23 names.
+  ``tpch_q9_product_profit``). 24 names.
 - ``y1_<name>`` — last verified in round 5 (49 names). They sort
-  directly after the unprefixed block, so the 27 spare window slots
-  re-verify the alphabetically-first of these; the remaining 22 spill
+  directly after the unprefixed block, so the 26 spare window slots
+  re-verify the alphabetically-first of these; the remaining 23 spill
   to round 9 — every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
 - ``y2_<name>`` — verified in round 6 (50 names; CORRECTNESS_r06
@@ -55,11 +57,11 @@ so rotation only controls DRIVER-verdict freshness, never correctness
 coverage.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r07 except the two new unprefixed
+driver verdict in CORRECTNESS_r01..r07 except the three new unprefixed
 round-8 names, which get theirs here.
 
 Round-9 rotation plan (for the next builder session): once
-CORRECTNESS_r08 lands green, (1) move this round's 23 unprefixed names
+CORRECTNESS_r08 lands green, (1) move this round's 24 unprefixed names
 into a fresh ``y4_`` class (verified r8), (2) promote the 22 ``y1_``
 names that spilled past round 8's window (the alphabetically-last of
 the 49, starting after the 27 verified here) to the FRONT of the
@@ -80,11 +82,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
-# Needs a first/fresh driver verdict in the round-8 window: the two new
-# round-8 queries plus the 21 round-3/4-verified names that spilled past
+# Needs a first/fresh driver verdict in the round-8 window: the three
+# new round-8 queries plus the 21 round-3/4-verified names that spilled past
 # round 7's window (the oldest outstanding driver verdicts).
 _NEEDS_VERDICT = {
     "lake_time_travel",
+    "lake_table_changes",
     "dedup_minhash_index_probe",
     "stream_session_windows",
     "stream_sliding_avg",

@@ -513,3 +513,110 @@ def test_cdc_merge_on_manifest_dimension(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, cdc_latest_per_user(e).collect()))
     got = sorted(map(tuple, read_table(spark, dim, dim_schema).collect()))
     assert got == want
+
+
+def test_table_changes_reads_only_delta_files(spark, tmp_path):
+    """The CDF primitive prunes at PLANNING time: a merge that rewrites
+    one partition of three yields a change feed whose scan lists ONLY
+    that partition's old+new files — carried partitions never enter the
+    plan (the O(delta) guarantee a 100 TB consumer needs)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    v1 = _mk(
+        spark,
+        [(1, "a", "a1"), (2, "b", "b1"), (3, "c", "c1"), (4, "b", "b4")],
+    )
+    publish_overwrite(spark, path, v1, ["grp"], manifest=True)
+    # rewrite partition b only: update id=2, keep id=4 carried-in-place
+    merge_into(
+        spark,
+        path,
+        _mk(spark, [(2, "b", "b2")]),
+        ["id"],
+        partition_by=["grp"],
+        schema=v1.schema,
+        collect_stats=False,
+    )
+    tc = table_changes(spark, path, 1)
+    got = {(r.id, r.grp, r.v, r._change_type) for r in tc.collect()}
+    # id=4 was rewritten into the new b files byte-identically — it
+    # cancels in the multiset difference; only the real change surfaces
+    assert got == {(2, "b", "b2", "insert"), (2, "b", "b1", "delete")}
+    m1, m2 = read_manifest(path, 1), read_manifest(path, 2)
+    delta = set(m2["files"]) ^ set(m1["files"])
+    scanned = {f.split(path + "/", 1)[1] for f in tc.inputFiles()}
+    assert scanned == delta
+    assert all(f.startswith("grp=b/") for f in scanned)
+
+
+def test_table_changes_composes_and_inverts(spark, tmp_path):
+    """1→3 equals the multiset union of 1→2 and 2→3 after cancelling
+    intermediate churn; from>to yields the rollback feed; same-version
+    diff is empty with the table schema + _change_type."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark, path, _mk(spark, [(1, "a", "a1")]), ["grp"], manifest=True
+    )
+    publish_overwrite(spark, path, _mk(spark, [(1, "a", "a2"), (2, "b", "b1")]), ["grp"])
+    publish_overwrite(spark, path, _mk(spark, [(1, "a", "a3")]), ["grp"])
+
+    def feed(a, b):
+        return sorted(
+            (r.id, r.grp, r.v, r._change_type)
+            for r in table_changes(spark, path, a, b).collect()
+        )
+
+    assert feed(1, 3) == [
+        (1, "a", "a1", "delete"),
+        (1, "a", "a3", "insert"),
+        (2, "b", "b1", "insert"),
+    ]
+    # rollback feed = the inverse change types
+    assert feed(3, 1) == [
+        (1, "a", "a1", "insert"),
+        (1, "a", "a3", "delete"),
+        (2, "b", "b1", "delete"),
+    ]
+    empty = table_changes(spark, path, 2, 2)
+    assert empty.count() == 0
+    # schema=None follows the hive read contract: partition cols last
+    assert empty.columns == ["id", "v", "grp", "_change_type"]
+    # applying the 1→3 feed to v1 reproduces v3 exactly
+    v1 = read_table(spark, path, version=1)
+    tc = table_changes(spark, path, 1, 3)
+    ins = tc.filter(F.col("_change_type") == "insert").drop("_change_type")
+    dels = tc.filter(F.col("_change_type") == "delete").drop("_change_type")
+    rebuilt = v1.select(*ins.columns).exceptAll(dels).unionByName(ins)
+    want = read_table(spark, path, version=3).select(*ins.columns)
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_table_changes_schema_evolution_null_fills(spark, tmp_path):
+    """A column added between the snapshots is NULL on the delete side
+    of the feed (the mergeSchema read contract)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark, path, _mk(spark, [(1, "a", "a1")]), ["grp"], manifest=True
+    )
+    evolved = spark.createDataFrame(
+        [(1, "a", "a2", 7)], "id long, grp string, v string, extra long"
+    )
+    publish_overwrite(spark, path, evolved, ["grp"])
+    got = {
+        (r.id, r.v, r.extra, r._change_type)
+        for r in table_changes(spark, path, 1).collect()
+    }
+    assert got == {(1, "a2", 7, "insert"), (1, "a1", None, "delete")}

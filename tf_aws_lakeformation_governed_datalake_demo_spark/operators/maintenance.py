@@ -193,3 +193,81 @@ def lake_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("sv") / 1000000.0, 2).alias("total_value"),
     )
+
+
+_TABLE_CHANGES_ORACLE = """
+    WITH touched AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      WHERE lang = 'de' AND doc_id % 10 = 0
+    )
+    SELECT doc_id, 'insert' AS change_type, lang,
+           CAST(n_chars + 1000 AS BIGINT) AS n_chars,
+           CAST(concat('0x', substr(md5(upper(text)), 1, 8)) AS BIGINT)
+             AS text_chk
+    FROM touched
+    UNION ALL
+    SELECT doc_id, 'delete' AS change_type, lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS text_chk
+    FROM touched
+"""
+
+
+@query(
+    "lake_table_changes",
+    _TABLE_CHANGES_ORACLE,
+    "Manifest-scoped change feed (Delta CDF analog, round-8): seed a "
+    "lang-partitioned manifest table from documents, MERGE an update "
+    "batch touching ONE partition (lang='de', every 10th doc: "
+    "upper-cased text, n_chars+1000), then emit the v1->v2 row-level "
+    "feed from the two committed manifests ALONE — files present in "
+    "exactly one snapshot are scanned, carried partitions are pruned "
+    "at planning time, and rows rewritten byte-identically inside the "
+    "touched partition cancel in the multiset difference. The oracle "
+    "replays the edit script: each touched doc surfaces once as the "
+    "inserted new version and once as the deleted old one.",
+)
+def lake_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlike lake_table_diff (a full-outer join of two COMPLETE
+    snapshots), this is the O(delta) form: the manifests are compared
+    as file sets, so a consumer of a 100 TB table scans only the
+    rewritten partitions' old+new files — the body asserts the scan
+    touched nothing outside lang=de. exceptAll shuffles only those
+    delta rows. This is the incremental-consumption primitive that
+    feeds lake_incremental_agg_refresh without a base-table rescan."""
+    from ..sources.lake import merge_into, publish_overwrite, table_changes
+
+    d = load(spark, sf_dir, "documents")
+    path = scratch_dir("table_changes_") + "/docs"
+    publish_overwrite(spark, path, d, ["lang"], manifest=True)
+    updates = d.filter(
+        (F.col("lang") == "de") & (F.col("doc_id") % 10 == 0)
+    ).select(
+        "doc_id",
+        F.upper("text").alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    merge_into(
+        spark,
+        path,
+        updates,
+        ["doc_id"],
+        partition_by=["lang"],
+        schema=d.schema,
+        collect_stats=False,
+    )
+    tc = table_changes(spark, path, 1, 2)
+    # the O(delta) contract, enforced: only the touched partition's
+    # files (old and new) ever enter the plan
+    assert all("lang=de/" in f for f in tc.inputFiles()), tc.inputFiles()
+    return tc.select(
+        "doc_id",
+        F.col("_change_type").alias("change_type"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("text_chk"),
+    )

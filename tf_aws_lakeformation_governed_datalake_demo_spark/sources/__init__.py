@@ -20,6 +20,7 @@ from .lake import (
     register_views,
     scd2_apply,
     scd2_as_of,
+    table_changes,
     vacuum_manifests,
     vacuum_publish_artifacts,
     write_partitioned,
@@ -39,6 +40,7 @@ __all__ = [
     "register_views",
     "scd2_apply",
     "scd2_as_of",
+    "table_changes",
     "vacuum_manifests",
     "vacuum_publish_artifacts",
     "write_partitioned",
