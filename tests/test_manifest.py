@@ -620,3 +620,97 @@ def test_table_changes_schema_evolution_null_fills(spark, tmp_path):
         for r in table_changes(spark, path, 1).collect()
     }
     assert got == {(1, "a2", 7, "insert"), (1, "a1", None, "delete")}
+
+
+def test_rollback_table_restores_snapshot(spark, tmp_path):
+    """RESTORE is a pure metadata commit: rolling back to v1 commits a
+    NEW snapshot (v3) with v1's file list — no data moves, the bad
+    publish (v2) stays time-travel-readable, rolling forward again is
+    another rollback, and a rollback can never resurrect erased rows
+    because delete_rows truncates history first."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        rollback_table,
+    )
+
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark,
+        path,
+        _mk(spark, [(1, "a", "good"), (2, "b", "keep")]),
+        ["grp"],
+        manifest=True,
+    )
+    publish_overwrite(spark, path, _mk(spark, [(1, "a", "BAD")]), ["grp"])
+    out = rollback_table(path, 1)
+    assert out == {"rolled_back_to": 1, "new_version": 3, "n_files": 2}
+    cur = {(r.id, r.v) for r in read_table(spark, path).collect()}
+    assert cur == {(1, "good"), (2, "keep")}
+    # history is linear: v3's parent is v2, and the bad state is still
+    # inspectable via time travel until vacuumed
+    m = read_manifest(path)
+    assert m["version"] == 3 and m["parent"] == 2
+    bad = {(r.id, r.v) for r in read_table(spark, path, version=2).collect()}
+    assert bad == {(1, "BAD"), (2, "keep")}
+    # roll forward to the bad state again — every retained state reachable
+    assert rollback_table(path, 2)["new_version"] == 4
+    assert {(r.id, r.v) for r in read_table(spark, path).collect()} == bad
+    # rollback to the current state is a no-op commit
+    assert rollback_table(path, 4)["new_version"] == 4
+    # erased history cannot be restored
+    delete_rows(spark, path, "id = 1", partition_col="grp")
+    with pytest.raises(FileNotFoundError):
+        rollback_table(path, 2)
+
+
+def test_engine_maintain_rollback_governed(spark, tmp_path):
+    """maintain('rollback') is admin-gated like every maintenance
+    action and audits the target version verbatim."""
+    from pyspark.sql import types as T
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        Engine,
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        PermissionDeniedError,
+    )
+
+    lake = str(tmp_path / "lake")
+    path = f"{lake}/t"
+    publish_overwrite(
+        spark, path, _mk(spark, [(1, "a", "v1")]), ["grp"], manifest=True
+    )
+    publish_overwrite(spark, path, _mk(spark, [(1, "a", "v2")]), ["grp"])
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    cat.register_table(
+        TableDef("db", "t", path, schema=schema, partition_keys=("grp",))
+    )
+    cat.set_admins(["ops"])
+    eng = Engine(spark, cat)
+    with pytest.raises(PermissionDeniedError):
+        eng.maintain("db.t", "rollback", principal="intern", to_version=1)
+    with pytest.raises(ValueError):
+        eng.maintain("db.t", "rollback", principal="ops")
+    out = eng.maintain("db.t", "rollback", principal="ops", to_version=1)
+    assert out["rolled_back_to"] == 1 and out["new_version"] == 3
+    assert {r.v for r in read_table(spark, path).collect()} == {"v1"}
+    assert any(
+        e["query"] == "MAINTAIN rollback db.t TO VERSION 1"
+        and e["status"] == "ok"
+        for e in cat.audit.events
+    )
+    # the denied attempt is in the trail too
+    assert any(
+        e["query"] == "MAINTAIN rollback db.t TO VERSION 1"
+        and e["status"] == "denied"
+        for e in cat.audit.events
+    )

@@ -538,6 +538,11 @@ class Engine:
           manifest-committed table (sources.lake.vacuum_manifests;
           ``keep_last=`` defaults to 1): snapshots past the horizon and
           the data files only they reference are physically removed.
+        - ``"rollback"`` — RESTORE to a retained snapshot
+          (sources.lake.rollback_table; ``to_version=`` required): a
+          pure metadata commit, no data movement; the audited
+          recover-from-bad-publish path. Cannot resurrect erased rows
+          (delete_rows truncates history first).
 
         Same fail-closed location guard as drop_table(delete_data=True):
         the catalog must have a ``lake_root`` and the table location
@@ -551,6 +556,7 @@ class Engine:
             compact_in_place,
             delete_rows,
             expire_scd2_versions,
+            rollback_table,
             vacuum_manifests,
             vacuum_publish_artifacts,
         )
@@ -568,6 +574,8 @@ class Engine:
         audit_suffix = (
             f" WHERE {predicate}" if action == "delete_rows" and predicate is not None else ""
         )
+        if action == "rollback" and "to_version" in kwargs:
+            audit_suffix = f" TO VERSION {kwargs['to_version']}"
 
         def _audit(status: str, error: str | None = None):
             self.catalog.audit.record(
@@ -680,6 +688,11 @@ class Engine:
         elif action == "expire_snapshots":
             kwargs.setdefault("keep_last", 1)
             result = vacuum_manifests(table.location, **kwargs)
+        elif action == "rollback":
+            if "to_version" not in kwargs:
+                _audit("failed", "rollback requires to_version=")
+                raise ValueError("rollback requires to_version=")
+            result = rollback_table(table.location, kwargs["to_version"])
         else:
             _audit("failed", f"unknown action {action!r}")
             raise ValueError(f"unknown maintenance action {action!r}")

@@ -18,6 +18,7 @@ from .lake import (
     read_manifest,
     read_table,
     register_views,
+    rollback_table,
     scd2_apply,
     scd2_as_of,
     table_changes,
@@ -38,6 +39,7 @@ __all__ = [
     "read_manifest",
     "read_table",
     "register_views",
+    "rollback_table",
     "scd2_apply",
     "scd2_as_of",
     "table_changes",

@@ -768,6 +768,58 @@ def table_changes(
     )
 
 
+def rollback_table(path: str, version: int) -> dict:
+    """RESTORE a manifest table to a retained snapshot — the
+    recover-from-bad-publish primitive (Delta's RESTORE, Iceberg's
+    rollback). Pure metadata: a NEW snapshot is committed whose file
+    list is version N's, so no data moves or copies, history stays
+    linear (the bad publish remains inspectable via time travel until
+    vacuumed), and readers flip atomically with the pointer replace.
+
+    Rolling FORWARD again is just another rollback — every state ever
+    committed is reachable while its snapshot is retained. GDPR
+    interaction: :func:`delete_rows` truncates history to the erased
+    state (keep_last=1), so a rollback can never resurrect erased rows
+    — the pre-erasure snapshot files are already unreferenced and its
+    manifests gone; this raises FileNotFoundError instead."""
+    import uuid as _uuid
+
+    from pathlib import Path
+
+    live = Path(path)
+    target = read_manifest(path, version)  # FileNotFoundError if vacuumed
+    if read_manifest(path) is None:
+        raise FileNotFoundError(
+            f"table at {path} is not manifest-committed — nothing to roll back"
+        )
+    missing = [f for f in target["files"] if not (live / f).exists()]
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot v{version} references {len(missing)} vacuumed data "
+            f"file(s) (first: {missing[0]}) — cannot restore"
+        )
+    with publish_lock(live):
+        current = read_manifest(path)  # re-read under the commit lock
+        if current["version"] == version:
+            return {
+                "rolled_back_to": version,
+                "new_version": current["version"],
+                "n_files": len(current["files"]),
+            }
+        snap = _commit_manifest(
+            live,
+            target["files"],
+            target["partition_by"],
+            current,
+            _uuid.uuid4().hex,
+        )
+    return {
+        "rolled_back_to": version,
+        "new_version": snap["version"],
+        "n_files": len(snap["files"]),
+    }
+
+
 def vacuum_manifests(
     path: str, keep_last: int = 1, min_age_seconds: float = 0.0
 ) -> dict:
