@@ -271,3 +271,99 @@ def lake_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("text_chk"),
     )
+
+
+_CDF_REFRESH_ORACLE = """
+    WITH de_new AS (
+      SELECT CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents WHERE lang = 'de' AND doc_id % 10 <> 0
+    ),
+    v2 AS (
+      SELECT lang, n_chars FROM documents WHERE lang <> 'de'
+      UNION ALL
+      SELECT 'de' AS lang, n_chars FROM de_new
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM v2 GROUP BY lang
+"""
+
+
+@query(
+    "lake_cdf_agg_refresh",
+    _CDF_REFRESH_ORACLE,
+    "Incremental view maintenance FROM the change feed (round-8): a "
+    "per-lang count/sum MV over a manifest-committed documents table "
+    "is refreshed by aggregating the v1->v2 table_changes feed with "
+    "SIGNED contributions (+1/+n_chars per insert, -1/-n_chars per "
+    "delete) and merging into the stored MV — the one refresh shape "
+    "that survives row DELETIONS, which the delta-batch form "
+    "(lake_incremental_agg_refresh) cannot express. The v2 publish "
+    "rewrites only lang=de: every 10th doc dropped, every 4th "
+    "remaining doc's n_chars grown by 1000. The oracle is the full "
+    "recompute of the v2 state, so the hash check proves "
+    "feed-merge == recompute exactly.",
+)
+def lake_cdf_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition the manifest stack exists for: publishes commit
+    snapshots, table_changes turns any two snapshots into an O(delta)
+    row feed, and additive MVs refresh from the feed alone — deletes
+    subtract, inserts add, an update is the pair. Scale: the feed
+    scans only the rewritten partition's files, the signed aggregate
+    combines map-side to O(groups-touched) rows, and the MV merge is a
+    broadcast full-outer join (delta side is tiny by construction);
+    the base corpus is never rescanned. A group whose count reaches 0
+    drops out of the MV."""
+    from ..sources.lake import publish_overwrite, read_table, table_changes
+
+    d = load(spark, sf_dir, "documents")
+    path = scratch_dir("cdf_refresh_") + "/docs"
+    publish_overwrite(spark, path, d, ["lang"], manifest=True)
+    mv0 = (
+        read_table(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    mv_path = scratch_dir("cdf_refresh_") + "/mv"
+    mv0.repartition(1).write.parquet(mv_path)
+    # v2: rewrite ONE partition — drop every 10th de doc, grow every
+    # 4th remaining one's n_chars
+    de_new = d.filter(
+        (F.col("lang") == "de") & (F.col("doc_id") % 10 != 0)
+    ).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 4 == 0, F.col("n_chars") + 1000)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    publish_overwrite(spark, path, de_new, ["lang"])
+    feed = table_changes(spark, path, 1, 2)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    delta = feed.groupBy("lang").agg(
+        F.sum(sign).cast("long").alias("dn"),
+        F.sum(sign * F.col("n_chars")).cast("long").alias("dchars"),
+    )
+    mv = spark.read.schema(mv0.schema).parquet(mv_path)
+    return (
+        mv.join(F.broadcast(delta), "lang", "full_outer")
+        .select(
+            "lang",
+            (F.coalesce("n_docs", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long")
+            .alias("n_docs"),
+            (
+                F.coalesce("total_chars", F.lit(0))
+                + F.coalesce("dchars", F.lit(0))
+            )
+            .cast("long")
+            .alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
