@@ -714,3 +714,75 @@ def test_engine_maintain_rollback_governed(spark, tmp_path):
         and e["status"] == "denied"
         for e in cat.audit.events
     )
+
+
+def test_manifest_commit_records_file_stats(spark, tmp_path, monkeypatch):
+    """Every commit records per-file column min/max from the parquet
+    footers; carried files INHERIT the parent snapshot's stats without
+    re-reading any footer (the at-scale invariant: commit cost is
+    O(new files), never O(table))."""
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark,
+        path,
+        _mk(spark, [(1, "a", "a1"), (9, "b", "b1")]),
+        ["grp"],
+        manifest=True,
+    )
+    m1 = read_manifest(path)
+    assert set(m1["file_stats"]) == set(m1["files"])
+    by_part = {
+        f.split("/")[0]: s["id"] for f, s in m1["file_stats"].items()
+    }
+    assert by_part == {"grp=a": [1, 1], "grp=b": [9, 9]}
+
+    calls = []
+    real = lk._file_column_stats
+
+    def counting(fpath):
+        calls.append(str(fpath))
+        return real(fpath)
+
+    monkeypatch.setattr(lk, "_file_column_stats", counting)
+    # rewrite partition a only: b's file is carried with inherited stats
+    publish_overwrite(spark, path, _mk(spark, [(2, "a", "a2")]), ["grp"])
+    m2 = read_manifest(path)
+    assert all("grp=a" in c for c in calls)  # footer reads: new files only
+    b_file = next(f for f in m2["files"] if f.startswith("grp=b"))
+    assert m2["file_stats"][b_file] == m1["file_stats"][b_file]
+    a_file = next(f for f in m2["files"] if f.startswith("grp=a"))
+    assert m2["file_stats"][a_file]["id"] == [2, 2]
+
+
+def test_read_table_prune_skips_files_fail_open(spark, tmp_path):
+    """prune= eliminates files whose recorded [min,max] cannot
+    intersect the range — planning-time, zero footer reads — and fails
+    OPEN for unrecorded columns. Pruning composes with the actual
+    filter, so results equal the unpruned read exactly."""
+    path = str(tmp_path / "t")
+    rows = [(i, "g", f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, grp string, v string")
+    publish_overwrite(
+        spark, path, df.repartitionByRange(5, "id"), None, manifest=True
+    )
+    m = read_manifest(path)
+    assert len(m["files"]) == 5
+    pruned = read_table(spark, path, df.schema, prune={"id": (30, 45)})
+    assert 1 <= len(pruned.inputFiles()) <= 2
+    want = sorted(r.id for r in df.filter("id BETWEEN 30 AND 45").collect())
+    got = sorted(
+        r.id for r in pruned.filter("id BETWEEN 30 AND 45").collect()
+    )
+    assert got == want
+    # open-ended bound
+    lopen = read_table(spark, path, df.schema, prune={"id": (80, None)})
+    assert len(lopen.inputFiles()) == 1
+    # unrecorded column: fail open — all files scanned
+    noop = read_table(spark, path, df.schema, prune={"nope": (0, 1)})
+    assert len(noop.inputFiles()) == 5
+    # everything pruned: empty result, declared schema preserved
+    none = read_table(spark, path, df.schema, prune={"id": (1000, None)})
+    assert none.count() == 0 and none.columns == ["id", "grp", "v"]
+    # everything pruned without a schema: zero rows, real shape
+    none2 = read_table(spark, path, prune={"id": (1000, None)})
+    assert none2.count() == 0 and set(none2.columns) == {"id", "grp", "v"}

@@ -531,6 +531,57 @@ def _data_file_relpaths(live) -> list[str]:
     )
 
 
+#: String min/max longer than this are not recorded in manifest file
+#: stats: a truncated upper bound would be WRONG (smaller than the true
+#: max), and storing megabyte text bounds bloats the manifest. Missing
+#: stats fail OPEN — the file is always scanned.
+_STATS_MAX_STR = 256
+
+
+def _file_column_stats(fpath) -> dict[str, list]:
+    """Per-file column min/max from the parquet FOOTER (no data read),
+    folded across row groups — the Iceberg-style planning stats a
+    manifest commit records so readers can skip files without touching
+    them. Conservative by construction: only top-level int/float/str/
+    bool columns with writer-provided statistics are recorded; NaN
+    bounds, bytes/timestamps, nested paths, and oversized string bounds
+    are dropped (fail-open: an unrecorded column never prunes)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fpath).metadata
+    except Exception:
+        return {}
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            name = col.path_in_schema
+            if name in bad or "." in name:
+                bad.add(name)
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            mn, mx = st.min, st.max
+            ok = all(
+                isinstance(v, (bool, int, float, str))
+                and not (isinstance(v, float) and v != v)
+                and not (isinstance(v, str) and len(v) > _STATS_MAX_STR)
+                for v in (mn, mx)
+            )
+            if not ok:
+                bad.add(name)
+                continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return {n: [mins[n], maxs[n]] for n in mins if n not in bad}
+
+
 def _commit_manifest(
     live, files: list[str], partition_by, parent: dict | None, txid: str
 ) -> dict:
@@ -540,7 +591,13 @@ def _commit_manifest(
     writes leaves an orphan snapshot file outside the committed parent
     chain: harmless (its data files are still invisible to manifest
     readers) and overwritten-or-vacuumed later; version numbering skips
-    past it."""
+    past it.
+
+    Every commit records per-file column min/max (``file_stats``) for
+    planning-time skipping (:func:`read_table` ``prune=``): files
+    carried from the parent snapshot inherit their recorded stats
+    (zero I/O); only NEW files pay one footer read each — the cost
+    Iceberg pays at write time, amortized identically."""
     import json
     import os
     import time
@@ -552,12 +609,19 @@ def _commit_manifest(
     ]
     parent_version = parent["version"] if parent else 0
     version = max([parent_version, *existing], default=0) + 1
+    parent_stats = (parent or {}).get("file_stats", {})
+    file_stats = {}
+    for f in sorted(files):
+        s = parent_stats.get(f) or _file_column_stats(live / f)
+        if s:
+            file_stats[f] = s
     snap = {
         "version": version,
         "parent": parent["version"] if parent else None,
         "txid": txid,
         "partition_by": list(partition_by or []),
         "files": sorted(files),
+        "file_stats": file_stats,
         "committed_at": time.time(),
     }
     data = json.dumps(snap, sort_keys=True)
@@ -634,6 +698,7 @@ def read_table(
     path: str,
     schema: T.StructType | None = None,
     version: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """THE lake read path: manifest-aware, schema-declared when given.
 
@@ -655,7 +720,16 @@ def read_table(
     come back ``(user_id, ..., bucket)`` — breaking positional
     consumers (collect-tuple comparisons, UNION by position). The
     projection is a no-op for Catalyst when the order already
-    matches."""
+    matches.
+
+    ``prune={"col": (lo, hi)}`` (inclusive bounds, ``None`` = open
+    end) skips files whose manifest-recorded [min, max] cannot
+    intersect the given range — planning-time file elimination with
+    ZERO footer reads at query time (the stats were paid for once, at
+    commit). Pruning is I/O elimination only, never a filter: callers
+    still apply the actual predicate, so a column or file without
+    recorded stats fails OPEN (scanned, then filtered). Non-manifest
+    tables ignore ``prune``."""
 
     def _ordered(df: DataFrame) -> DataFrame:
         if schema is not None and df.columns != list(schema.names):
@@ -672,14 +746,40 @@ def read_table(
     from pathlib import Path
 
     live = Path(path)
-    files = [str(live / f) for f in m["files"]]
+    kept = m["files"]
+    if prune:
+        stats = m.get("file_stats", {})
+
+        def _survives(f: str) -> bool:
+            fs = stats.get(f)
+            for col, (lo, hi) in prune.items():
+                if fs is None or col not in fs:
+                    continue  # no stats recorded — fail open
+                mn, mx = fs[col]
+                if (hi is not None and mn > hi) or (
+                    lo is not None and mx < lo
+                ):
+                    return False
+            return True
+
+        kept = [f for f in kept if _survives(f)]
+    files = [str(live / f) for f in kept]
     if not files:
-        if schema is None:
-            raise ValueError(
-                f"manifest v{m['version']} at {path} is empty and no "
-                "schema was declared — cannot synthesize an empty scan"
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        if m["files"]:
+            # everything pruned away, no declared schema: plan ONE
+            # file's footer for the shape, emit zero rows
+            return (
+                _reader(spark, None)
+                .option("basePath", path)
+                .parquet(str(live / m["files"][0]))
+                .limit(0)
             )
-        return spark.createDataFrame([], schema)
+        raise ValueError(
+            f"manifest v{m['version']} at {path} is empty and no "
+            "schema was declared — cannot synthesize an empty scan"
+        )
     return _ordered(
         _reader(spark, schema).option("basePath", path).parquet(*files)
     )
