@@ -118,6 +118,14 @@ HEADLINE = [
     # bucket-sharded MinHash index probed from disk
     "lake_time_travel",
     "dedup_minhash_index_probe",
+    # round 8 second-half additions: the manifest-scoped change feed
+    # (publish + one-partition merge + O(delta) v1->v2 diff), the MV
+    # refreshed FROM that feed (the deletion-surviving refresh shape),
+    # and manifest-stats file skipping (range-clustered publish + band
+    # aggregate scanning 2 of 8 files)
+    "lake_table_changes",
+    "lake_cdf_agg_refresh",
+    "lake_manifest_skip_scan",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
