@@ -238,3 +238,77 @@ def test_publish_overwrite_equals_naive_partition_replace(
             if p.name.startswith(("_staged_", "_trash_"))
         ]
         assert leftovers == []
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(_BATCH, min_size=1, max_size=3))
+def test_table_changes_feed_reconstructs_every_snapshot(
+    spark, tmp_path_factory, batches
+):
+    """CDF soundness for ANY merge sequence on a manifest table: for
+    every consecutive snapshot pair, applying the v_i -> v_{i+1} feed
+    to v_i reproduces v_{i+1} as a multiset, and the long feed
+    v_1 -> v_N telescopes to the same final state — inserts and deletes
+    from intermediate churn must cancel exactly."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        publish_overwrite,
+        read_manifest,
+        read_table,
+        table_changes,
+    )
+
+    path = str(tmp_path_factory.mktemp("cdfprop") / "t")
+    seed = [(k, -1) for k in range(0, 5)]
+    df = spark.createDataFrame(seed, "k long, v long").withColumn(
+        "bucket", F.col("k") % 2
+    )
+    publish_overwrite(spark, path, df, ["bucket"], manifest=True)
+    for batch in batches:
+        if not batch:
+            continue
+        upd = spark.createDataFrame(batch, "k long, v long").withColumn(
+            "bucket", F.col("k") % 2
+        )
+        merge_into(
+            spark,
+            path,
+            upd,
+            ["k"],
+            partition_by=["bucket"],
+            schema=df.schema,
+            collect_stats=False,
+        )
+    latest = read_manifest(path)["version"]
+
+    def apply_feed(base_rows, feed_rows):
+        state = sorted(base_rows)
+        for r in sorted(feed_rows):
+            row = (r.k, r.v, r.bucket)
+            if r._change_type == "delete":
+                state.remove(row)  # ValueError = feed deleted a ghost row
+            else:
+                state.append(row)
+        return sorted(state)
+
+    def snap(version):
+        return sorted(
+            (r.k, r.v, r.bucket)
+            for r in read_table(spark, path, version=version).select(
+                "k", "v", "bucket"
+            ).collect()
+        )
+
+    for v in range(1, latest):
+        feed = table_changes(spark, path, v, v + 1).select(
+            "k", "v", "bucket", "_change_type"
+        )
+        assert apply_feed(snap(v), feed.collect()) == snap(v + 1)
+    if latest > 1:
+        long_feed = table_changes(spark, path, 1, latest).select(
+            "k", "v", "bucket", "_change_type"
+        )
+        assert apply_feed(snap(1), long_feed.collect()) == snap(latest)
