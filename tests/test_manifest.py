@@ -786,3 +786,55 @@ def test_read_table_prune_skips_files_fail_open(spark, tmp_path):
     # everything pruned without a schema: zero rows, real shape
     none2 = read_table(spark, path, prune={"id": (1000, None)})
     assert none2.count() == 0 and set(none2.columns) == {"id", "grp", "v"}
+
+
+def test_consume_table_changes_checkpointed(spark, tmp_path):
+    """The incremental consumer: first call seeds with the full
+    snapshot, each later call returns only the changes since the
+    committed checkpoint, an idle consumer gets an empty feed, a crash
+    before commit() replays the same feed (at-least-once), and
+    consumption resumes across 'restarts' (a fresh call with the same
+    checkpoint file)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        consume_table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "consumer.ckpt")
+    publish_overwrite(
+        spark,
+        path,
+        _mk(spark, [(1, "a", "a1"), (2, "b", "b1")]),
+        ["grp"],
+        manifest=True,
+    )
+    feed, v, commit = consume_table_changes(spark, path, ckpt)
+    assert v == 1
+    assert sorted((r.id, r._change_type) for r in feed.collect()) == [
+        (1, "insert"),
+        (2, "insert"),
+    ]
+    # crash before commit: the same seed replays
+    feed2, v2, commit2 = consume_table_changes(spark, path, ckpt)
+    assert v2 == 1 and feed2.count() == 2
+    commit2()
+    # idle: empty feed, same version, schema intact
+    feed3, v3, _ = consume_table_changes(spark, path, ckpt)
+    assert v3 == 1 and feed3.count() == 0
+    assert "_change_type" in feed3.columns
+    # two publishes, one consumption: the feeds telescope
+    publish_overwrite(spark, path, _mk(spark, [(1, "a", "a2")]), ["grp"])
+    publish_overwrite(spark, path, _mk(spark, [(3, "b", "b3")]), ["grp"])
+    feed4, v4, commit4 = consume_table_changes(spark, path, ckpt)
+    assert v4 == 3
+    got = sorted((r.id, r.v, r._change_type) for r in feed4.collect())
+    # publish 3 REPLACED partition b wholesale, so (2, b1) is deleted
+    assert got == [
+        (1, "a1", "delete"),
+        (1, "a2", "insert"),
+        (2, "b1", "delete"),
+        (3, "b3", "insert"),
+    ]
+    commit4()
+    feed5, v5, _ = consume_table_changes(spark, path, ckpt)
+    assert v5 == 3 and feed5.count() == 0

@@ -9,6 +9,7 @@ Catalyst handles column pruning and predicate pushdown at the scan.
 from .lake import (
     TPCH_TABLES,
     compact_in_place,
+    consume_table_changes,
     delete_rows,
     expire_scd2_versions,
     load,
@@ -30,6 +31,7 @@ from .lake import (
 __all__ = [
     "TPCH_TABLES",
     "compact_in_place",
+    "consume_table_changes",
     "delete_rows",
     "expire_scd2_versions",
     "load",
