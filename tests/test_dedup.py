@@ -471,7 +471,12 @@ def test_minhash_persisted_index_probe_and_append(spark, sf_dir, tmp_path):
     probe2 = probe_minhash_index(spark, index_path, synth, string_buckets=True)
     plan2 = physical_plan(probe2)
     assert "documents" not in plan2, plan2
-    assert "bands" in plan2
+    # the only file source in the plan is the index (checked via
+    # inputFiles — the plan's Location string truncates at 100 chars,
+    # so a path substring test is length-of-tmpdir flaky)
+    assert "FileScan parquet" in plan2
+    files2 = probe2.inputFiles()
+    assert files2 and all(index_path in f for f in files2)
 
     # (3) append batch1, then a near-copy batch finds it via the index
     append_minhash_index(index_path, batch_sig, string_buckets=True)
