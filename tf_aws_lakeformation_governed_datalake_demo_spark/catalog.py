@@ -705,13 +705,21 @@ class GovernedCatalog:
         ]
 
     # ------------------------------------------------------ enforcement
-    def _raw(self, table: TableDef, version: int | None = None) -> DataFrame:
+    def _raw(
+        self,
+        table: TableDef,
+        version: int | None = None,
+        prune: dict | None = None,
+    ) -> DataFrame:
         """S1 — ungoverned scan with the declared (never inferred) schema.
 
         ``version`` selects a retained manifest snapshot (time travel);
         manifest-committed parquet tables also route their CURRENT read
         through the manifest so a governed scan sees one committed
-        snapshot (sources.lake.read_table's isolation contract)."""
+        snapshot (sources.lake.read_table's isolation contract).
+        ``prune`` is manifest-stats file skipping (read_table's
+        contract: I/O elimination only, fail-open, the caller still
+        filters; ignored on non-manifest tables)."""
         reader = self.spark.read
         schema = table.spark_schema()
         if schema is not None:
@@ -719,9 +727,17 @@ class GovernedCatalog:
         if table.format == "parquet":
             from .sources.lake import read_manifest, read_table
 
-            if version is not None or read_manifest(table.location) is not None:
+            if (
+                version is not None
+                or prune
+                or read_manifest(table.location) is not None
+            ):
                 return read_table(
-                    self.spark, table.location, schema, version=version
+                    self.spark,
+                    table.location,
+                    schema,
+                    version=version,
+                    prune=prune,
                 )
             return reader.parquet(table.location)
         if version is not None:
@@ -744,6 +760,7 @@ class GovernedCatalog:
         *,
         row_only: bool = False,
         version: int | None = None,
+        prune: dict | None = None,
         _filters_out: list[str] | None = None,
     ) -> DataFrame:
         """Read a table as a principal, with governance applied at the scan.
@@ -764,6 +781,12 @@ class GovernedCatalog:
         tension: GDPR delete_rows truncates manifest history for this
         reason (see sources.lake.vacuum_manifests), so erased rows are
         unreachable at any version.
+
+        ``prune={"col": (lo, hi)}`` is manifest-stats file skipping
+        applied BELOW every governance transform — pure I/O
+        elimination (read_table's fail-open contract), so the governed
+        result is identical with or without it; the caller still
+        applies the real predicate.
         """
         if qualified not in self.tables:
             raise KeyError(f"unknown table {qualified!r}")
@@ -774,7 +797,7 @@ class GovernedCatalog:
             else principal
         )
         if not self.governance_enabled or name is None or name in self.admins:
-            return self._raw(table, version)
+            return self._raw(table, version, prune)
 
         grants = self.grants_for(name, table.database, table.name)
         if not grants:
@@ -788,7 +811,7 @@ class GovernedCatalog:
             and g.permission in (ALL, SELECT)
             for g in grants
         ):
-            return self._raw(table, version)
+            return self._raw(table, version, prune)
         # Conditioned grants are ADDITIVE (LF semantics: several cell
         # filters may attach to one (principal, table); effective access is
         # the union of their CELLS — main.tf:432-457 defines one filter but
@@ -853,7 +876,7 @@ class GovernedCatalog:
             ]
         if _filters_out is not None:
             _filters_out.extend(applied)
-        df = self._raw(table, version)
+        df = self._raw(table, version, prune)
         # Rows: visible iff any filter's row predicate matches. One OR
         # chain of pushable comparisons — Catalyst still pushes the whole
         # disjunction into the parquet scan.
