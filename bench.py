@@ -126,6 +126,10 @@ HEADLINE = [
     "lake_table_changes",
     "lake_cdf_agg_refresh",
     "lake_manifest_skip_scan",
+    # round 8 third-wave addition: transactional streaming append — 4
+    # micro-batch manifest commits + a replayed-batch no-op + the
+    # read-back aggregate through the committed snapshot
+    "stream_lake_append_txn",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

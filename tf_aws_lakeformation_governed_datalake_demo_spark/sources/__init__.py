@@ -8,6 +8,7 @@ Catalyst handles column pruning and predicate pushdown at the scan.
 
 from .lake import (
     TPCH_TABLES,
+    append_rows,
     compact_in_place,
     consume_table_changes,
     delete_rows,
@@ -30,6 +31,7 @@ from .lake import (
 
 __all__ = [
     "TPCH_TABLES",
+    "append_rows",
     "compact_in_place",
     "consume_table_changes",
     "delete_rows",

@@ -583,7 +583,12 @@ def _file_column_stats(fpath) -> dict[str, list]:
 
 
 def _commit_manifest(
-    live, files: list[str], partition_by, parent: dict | None, txid: str
+    live,
+    files: list[str],
+    partition_by,
+    parent: dict | None,
+    txid: str,
+    app_versions: dict | None = None,
 ) -> dict:
     """Write snapshot ``_manifests/v{N}.json`` then atomically replace
     the ``_manifest.json`` pointer with the same content (``os.replace``
@@ -597,7 +602,14 @@ def _commit_manifest(
     planning-time skipping (:func:`read_table` ``prune=``): files
     carried from the parent snapshot inherit their recorded stats
     (zero I/O); only NEW files pay one footer read each — the cost
-    Iceberg pays at write time, amortized identically."""
+    Iceberg pays at write time, amortized identically.
+
+    ``app_versions`` is the per-writer idempotence ledger (Delta's
+    ``txn`` appId/version analog): ``{stream_id: last_batch_id}``.
+    ``None`` (every non-append commit) CARRIES the parent's ledger
+    unchanged — a merge or rollback between stream batches must not
+    reset a sink's high-water mark, or the next restart would
+    double-append replayed batches."""
     import json
     import os
     import time
@@ -615,6 +627,8 @@ def _commit_manifest(
         s = parent_stats.get(f) or _file_column_stats(live / f)
         if s:
             file_stats[f] = s
+    if app_versions is None:
+        app_versions = (parent or {}).get("app_versions", {})
     snap = {
         "version": version,
         "parent": parent["version"] if parent else None,
@@ -624,6 +638,8 @@ def _commit_manifest(
         "file_stats": file_stats,
         "committed_at": time.time(),
     }
+    if app_versions:
+        snap["app_versions"] = dict(app_versions)
     data = json.dumps(snap, sort_keys=True)
     tmp = mdir / f".tmp_{txid}"
     tmp.write_text(data)
@@ -925,6 +941,109 @@ def consume_table_changes(
         os.replace(tmp, ckpt)
 
     return feed, version, commit
+
+
+def append_rows(
+    spark: SparkSession,
+    path: str,
+    rows: DataFrame,
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+    stream_id: str | None = None,
+    batch_id: int | None = None,
+) -> dict | None:
+    """Transactional APPEND to a manifest table — the ingestion commit
+    (Delta's append + ``txn`` idempotence in plain Parquet). The batch
+    is staged invisibly, its files move in under globally unique part
+    names, and ONE atomic pointer replace commits ``parent.files +
+    new_files``; nothing is rewritten, dropped, or carried
+    conditionally, so commit cost is O(batch files) regardless of
+    table size — the property that makes this the streaming-sink
+    primitive (:func:`..operators.streaming_ops.stream_lake_append`).
+
+    ``(stream_id, batch_id)`` makes replays no-ops: each snapshot
+    carries an ``app_versions`` ledger ``{stream_id: last_batch_id}``
+    and an append whose ``batch_id`` is <= the ledger entry returns
+    ``None`` without writing — checked authoritatively under the
+    commit lock, so a foreachBatch sink that crashed after commit but
+    before the checkpoint advanced re-runs the batch harmlessly
+    (exactly-once table state from at-least-once delivery, the same
+    contract Delta sinks give Structured Streaming). Monotonic
+    ``batch_id`` per ``stream_id`` is the caller's contract (Spark's
+    epoch ids are). Empty batches still commit — the high-water mark
+    must advance or a replay after an all-late-data batch would stall.
+
+    First append on an empty/missing path creates snapshot v1; a
+    directory with pre-existing un-manifested data raises (publish it
+    with ``manifest=True`` first — appending around a directory
+    listing would be the mixed-read window manifests exist to close).
+    """
+    import shutil
+    import uuid as _uuid
+    from pathlib import Path
+
+    if (stream_id is None) != (batch_id is None):
+        raise ValueError("stream_id and batch_id must be given together")
+    live = Path(path)
+    current = read_manifest(str(live))
+    if current is None and live.exists() and _data_file_relpaths(live):
+        raise ValueError(
+            f"table at {path} has data but no manifest — append_rows "
+            "requires manifest commits; publish_overwrite(..., "
+            "manifest=True) it first"
+        )
+    pb = list(partition_by or [])
+    if current is not None and current["partition_by"] != pb:
+        raise ValueError(
+            f"partition_by {pb} does not match the table's committed "
+            f"layout {current['partition_by']}"
+        )
+
+    def _committed(snap: dict | None) -> bool:
+        return (
+            stream_id is not None
+            and snap is not None
+            and snap.get("app_versions", {}).get(stream_id, -1) >= batch_id
+        )
+
+    if _committed(current):
+        return None  # cheap pre-check; authoritative one is under the lock
+    txid = _uuid.uuid4().hex
+    live.mkdir(parents=True, exist_ok=True)
+    staged = live / f"_staged_{txid}"
+    writer = rows.write.mode("overwrite").option("compression", compression)
+    if pb:
+        writer = writer.partitionBy(*pb)
+    writer.parquet(str(staged))
+    staged_files = sorted(
+        p.relative_to(staged) for p in staged.rglob("*.parquet") if p.is_file()
+    )
+    try:
+        with publish_lock(live):
+            current = read_manifest(str(live))  # re-read under the lock
+            if _committed(current):
+                return None  # raced with our own replay — batch already in
+            new_files = []
+            for rel in staged_files:
+                dst = live / rel
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                if dst.exists():
+                    raise FileExistsError(f"data file collision at {dst}")
+                (staged / rel).rename(dst)
+                new_files.append(str(rel))
+            ledger = dict((current or {}).get("app_versions", {}))
+            if stream_id is not None:
+                ledger[stream_id] = batch_id
+            return _commit_manifest(
+                live,
+                [*(current["files"] if current else []), *new_files],
+                pb,
+                current,
+                txid,
+                app_versions=ledger,
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
 
 
 def rollback_table(path: str, version: int) -> dict:
