@@ -126,10 +126,13 @@ HEADLINE = [
     "lake_table_changes",
     "lake_cdf_agg_refresh",
     "lake_manifest_skip_scan",
-    # round 8 third-wave addition: transactional streaming append — 4
+    # round 8 third-wave additions: transactional streaming append (4
     # micro-batch manifest commits + a replayed-batch no-op + the
-    # read-back aggregate through the committed snapshot
+    # read-back aggregate through the committed snapshot) and the
+    # bucketed co-located fact-fact join (two clustering writes + the
+    # exchange-free merge join)
     "stream_lake_append_txn",
+    "join_bucketed_colocated",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

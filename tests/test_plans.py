@@ -592,3 +592,20 @@ def test_ivf_partitioned_scan_prunes_cells(spark, sf_dir, tmp_path):
     # and the pruned read returns exactly those cells' rows
     want = v.filter(F.col("label").isin([0, 1])).count()
     assert pruned.count() == want
+
+
+def test_bucketed_join_reads_clustering_no_exchange(spark, sf_dir):
+    """S26: both sides written bucketed on the join key -> the SMJ's
+    distribution requirement is satisfied by the scans themselves.
+    The fact-scale shuffle must be absent; the scans must be bucketed."""
+    df = REGISTRY["join_bucketed_colocated"].builder(spark, sf_dir)
+    # the builder's own join-plan asserts ran; pin the scan properties
+    # end to end here (aggregate on top may exchange on its tiny key)
+    plan = physical_plan(df)
+    assert plan.count("Bucketed: true") == 2, plan[:3000]
+    assert "SelectedBucketsCount: 16 out of 16" in plan, plan[:3000]
+    assert "SortMergeJoin" in plan
+    # exactly the aggregation's own exchange may remain, on the
+    # grouping key — never on the join key
+    join_part = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_part, join_part[:2000]

@@ -925,3 +925,117 @@ def lake_manifest_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+_BUCKET_SEQ = __import__("itertools").count()
+
+
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """Write ``df`` as a BUCKETED parquet table (Spark ``bucketBy`` +
+    ``sortBy``, registered in the session catalog over ``path``) and
+    return its scan. Bucketing is the write-once/join-forever layout:
+    rows are hash-clustered on ``bucket_cols`` into ``n_buckets`` files
+    per write, and every future join or aggregation keyed on those
+    columns reads the clustering instead of shuffling — EnsureRequirements
+    sees the scan's HashPartitioning and plans NO Exchange. The input is
+    repartitioned to the bucket spec first (same murmur3 hash), so each
+    bucket is ONE file per write; the residual per-bucket merge-join
+    Sort is local (within a task, spill-safe), never an exchange.
+
+    100 TB: this is how fact-fact joins (orders x lineitem on orderkey)
+    avoid shuffling 100 TB per query — both sides pay ONE clustering
+    shuffle at ingest, then every join is map-side merge. The same
+    mechanism the CDC dimension uses at hive-partition granularity
+    (bucket dirs = partition pruning) applied at FILE granularity with
+    Spark's native join co-location. Bucket count is fixed at write
+    time: size it to target file sizes at full scale (e.g. 100 TB /
+    16384 buckets ~ 6 GB/bucket file)."""
+    writer = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+    return spark.table(name)
+
+
+@query(
+    "join_bucketed_colocated",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    "Shuffle-free fact-fact join via Spark bucketing (round-8): "
+    "lineitem and orders are each written ONCE as 16-bucket tables "
+    "hash-clustered and sorted on the order key, then joined — the "
+    "scans' HashPartitioning satisfies the sort-merge join's "
+    "distribution requirement, so the physical plan contains NO "
+    "Exchange on either side (asserted in the body and pinned in "
+    "test_plans.py). This is the join shape broadcast can never "
+    "rescue — both sides are fact-scale — and the oracle is the plain "
+    "join + per-priority revenue aggregate.",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: at 100 TB a lineitem x orders join shuffles both tables
+    per query unless their at-rest layout already clusters them; with
+    both bucketed on the join key the per-query cost drops to a
+    map-side merge of co-numbered bucket files. The one-time clustering
+    write is the same shuffle a single join would have paid — amortized
+    over every subsequent join, the canonical warehouse trade. The
+    post-join aggregation still exchanges on its own (tiny) grouping
+    key; only the fact-scale shuffle disappears."""
+    from ..plans import physical_plan
+
+    k = next(_BUCKET_SEQ)
+    base = scratch_dir("bucketed_")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    bli = write_bucketed(
+        spark, li, f"bkt_lineitem_{k}", ["l_orderkey"], 16,
+        ["l_orderkey"], f"{base}/lineitem",
+    )
+    bo = write_bucketed(
+        spark, orders, f"bkt_orders_{k}", ["o_orderkey"], 16,
+        ["o_orderkey"], f"{base}/orders",
+    )
+    joined = bli.hint("merge").join(
+        bo, bli["l_orderkey"] == bo["o_orderkey"]
+    )
+    plan = physical_plan(joined)
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "Exchange" not in plan, (
+        "bucketed join should not shuffle:\n" + plan[:2000]
+    )
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            / 100.0,
+            2,
+        ).alias("revenue"),
+    )
