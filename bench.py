@@ -133,6 +133,9 @@ HEADLINE = [
     # exchange-free merge join)
     "stream_lake_append_txn",
     "join_bucketed_colocated",
+    # ... and the streaming arrival form of the persisted-index dedup
+    # (3 micro-batches of probe + verify + append)
+    "stream_minhash_dedup",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -490,3 +490,83 @@ def test_minhash_persisted_index_probe_and_append(spark, sf_dir, tmp_path):
     assert (some_batch_doc, some_batch_doc + 10_000_000) in {
         (r.doc_a, r.doc_b) for r in found
     }
+
+
+def test_stream_minhash_dedup_resumes_after_restart(spark, sf_dir, tmp_path):
+    """Round-8 streaming arrival protocol: a crash after two of three
+    batches restarts from the SAME checkpoint and must process ONLY the
+    remaining file — the index reflects exactly the processed batches
+    (no duplicate band rows), and the final pair set equals the
+    full-corpus run (every pair found exactly once, in its later
+    member's batch)."""
+    import glob
+    import shutil
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.dedup import (
+        _minhash_signature,
+        collapse_exact_duplicates,
+        incremental_minhash_pairs,
+        jaccard_verify,
+        md5_token_hash,
+        run_minhash_dedup_stream,
+        shingle_hash_frame,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.streaming_ops import (
+        cdc_land_change_files,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    d = collapse_exact_duplicates(load(spark, sf_dir, "documents"))
+    base = str(tmp_path)
+    src = f"{base}/incoming"
+    idx, docs, out, ckpt = (
+        f"{base}/index", f"{base}/docs", f"{base}/pairs", f"{base}/ckpt"
+    )
+    cdc_land_change_files(d, src, base, n=3, key_col="doc_id")
+    hidden = f"{base}/c2.parquet.hidden"
+    shutil.move(f"{src}/c2.parquet", hidden)  # batch 3 hasn't arrived
+
+    run_minhash_dedup_stream(spark, src, d.schema, idx, docs, out, ckpt)
+    n_idx_partial = spark.read.parquet(idx).count()
+    shutil.move(hidden, f"{src}/c2.parquet")  # arrives; restart resumes
+    run_minhash_dedup_stream(spark, src, d.schema, idx, docs, out, ckpt)
+
+    # only batch 3's bands were appended: no (doc, band) duplicates
+    bands = spark.read.parquet(idx)
+    assert bands.count() > n_idx_partial
+    assert bands.count() == bands.select("doc_id", "band").distinct().count()
+    # the corpus landed exactly once per doc
+    landed = spark.read.schema(d.schema).parquet(docs)
+    assert landed.count() == d.count()
+
+    # union over batches == full-corpus run (cap-free, see the query)
+    sig = (
+        shingle_hash_frame(d, token_hash=md5_token_hash)
+        .filter(F.size("shingle_hashes") > 0)
+        .select(
+            "doc_id",
+            _minhash_signature(F.col("shingle_hashes")).alias("signature"),
+        )
+        .cache()
+    )
+    sig.count()
+    full_pairs = incremental_minhash_pairs(
+        sig, sig.limit(0), max_bucket_size=None, string_buckets=True
+    )
+    want = sorted(
+        map(
+            tuple,
+            jaccard_verify(
+                full_pairs, d, threshold=0.8, token_hash=md5_token_hash
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.schema("doc_a long, doc_b long, jaccard double")
+            .parquet(out)
+            .collect(),
+        )
+    )
+    assert got == want and got

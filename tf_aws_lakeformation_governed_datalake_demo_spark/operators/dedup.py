@@ -1127,6 +1127,8 @@ def probe_minhash_index(
     those shard directories at planning time. Historical signatures
     are READ, never recomputed; historical text is touched only by the
     caller's jaccard_verify on actual candidates."""
+    import os
+
     batch_bands = explode_minhash_bands(
         batch_sig, id_col, string_buckets
     ).withColumn("shard", minhash_index_shard(F.col("bucket")))
@@ -1134,11 +1136,16 @@ def probe_minhash_index(
     shards = [
         r.shard for r in batch_bands.select("shard").distinct().collect()
     ]
-    index_bands = (
-        spark.read.parquet(index_path)
-        .filter(F.col("shard").isin(shards))
-        .select(id_col, "band", "bucket")
-    )
+    if os.path.isdir(index_path):
+        index_bands = (
+            spark.read.parquet(index_path)
+            .filter(F.col("shard").isin(shards))
+            .select(id_col, "band", "bucket")
+        )
+    else:
+        # bootstrap: the FIRST batch probes an index that doesn't exist
+        # yet — an empty index, so only new-vs-new pairs are generated
+        index_bands = batch_bands.select(id_col, "band", "bucket").limit(0)
     return incremental_band_pairs(
         batch_bands.select(id_col, "band", "bucket"),
         index_bands,
@@ -1236,3 +1243,154 @@ def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(
         pairs, d, threshold=0.8, token_hash=md5_token_hash
     ).orderBy("doc_a", "doc_b")
+
+
+_MINHASH_STREAM_ORACLE = f"""
+    WITH {REPS_CTE},
+    toks AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\\s+') AS tk
+                  FROM reps),
+    th AS (SELECT doc_id,
+                  list_transform(tk, t ->
+                    CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                      & 2147483647) AS th
+           FROM toks WHERE len(tk) >= 5),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(th) - 3), i ->
+                    (th[i] * {_W[0]} + th[i + 1] * {_W[1]}
+                     + th[i + 2] * {_W[2]} + th[i + 3] * {_W[3]}
+                     + th[i + 4] * {_W[4]}) % {_MERSENNE})) AS sh
+           FROM th),
+    shx AS (SELECT doc_id, unnest(sh) AS x FROM sh),
+    perms AS (SELECT unnest(range(0, {N_PERM})) AS i),
+    sig AS (SELECT doc_id, i,
+                   min((x * (2 * i + 1)
+                        + (2654435769 * (i + 1)) % 2147483648)
+                       % {_MERSENNE}) AS v
+            FROM shx CROSS JOIN perms GROUP BY 1, 2),
+    bands AS (SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+                     string_agg(CAST(v AS VARCHAR), ':' ORDER BY i) AS key
+              FROM sig GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    shared AS (SELECT c.doc_a, c.doc_b, count(*) AS ns
+               FROM cand c
+               JOIN shx a ON a.doc_id = c.doc_a
+               JOIN shx b ON b.doc_id = c.doc_b AND a.x = b.x
+               GROUP BY 1, 2)
+    SELECT s.doc_a, s.doc_b,
+           round(CAST(s.ns AS DOUBLE) / (na.n + nb.n - s.ns), 4) AS jaccard
+    FROM shared s
+    JOIN sizes na ON s.doc_a = na.doc_id
+    JOIN sizes nb ON s.doc_b = nb.doc_id
+    WHERE round(CAST(s.ns AS DOUBLE) / (na.n + nb.n - s.ns), 4) >= 0.8
+    ORDER BY s.doc_a, s.doc_b
+"""
+
+
+@query(
+    "stream_minhash_dedup",
+    _MINHASH_STREAM_ORACLE,
+    "STREAMING incremental near-dup detection (round-8): the corpus "
+    "arrives as 3 document micro-batches; each batch probes the "
+    "persisted bucket-sharded LSH index (bootstrapped empty), "
+    "Jaccard-verifies its candidates against the corpus landed so far, "
+    "appends verified pairs to a result sink, and appends its own band "
+    "rows to the index. Every near-dup pair is emitted exactly once — "
+    "in the batch its LATER member arrived with — so the union over "
+    "batches equals the full-corpus run, and the oracle is the plain "
+    "end-to-end md5 LSH pipeline (no hot-bucket cap here, so the "
+    "batch-order-dependent cap timing cannot perturb equality; the "
+    "capped form is oracle-proven in dedup_incremental_minhash).",
+)
+def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arrival protocol on top of the at-rest index (S21): what
+    production runs every ingestion window, as an actual Structured
+    Streaming query. foreachBatch gives batch-id-addressed delivery;
+    the index append is the only state carried between batches, so a
+    restart resumes at the unprocessed file with the index exactly
+    reflecting processed batches (asserted in tests/test_dedup.py).
+
+    Scale: per batch O(|batch| x 16) probe rows against shard-pruned
+    index partitions; verification re-reads text only for candidate
+    docs (jaccard_verify's semi-join prune); the result sink and the
+    index grow by appends only. Nothing in the loop scans the full
+    corpus — the streaming form inherits every bound the batch
+    incremental form proved."""
+    from ..scratch import scratch_dir
+    from .streaming_ops import cdc_land_change_files
+
+    d = collapse_exact_duplicates(load(spark, sf_dir, "documents"))
+    base = scratch_dir("stream_dedup_")
+    src = f"{base}/incoming"
+    idx = f"{base}/index"
+    docs = f"{base}/docs"
+    out = f"{base}/pairs"
+    cdc_land_change_files(d, src, base, n=3, key_col="doc_id")
+    run_minhash_dedup_stream(spark, src, d.schema, idx, docs, out, f"{base}/ckpt")
+    return (
+        spark.read.schema("doc_a long, doc_b long, jaccard double")
+        .parquet(out)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_stream_sink(spark: SparkSession, docs_schema, idx: str, docs: str, out: str):
+    """The per-batch body of :func:`stream_minhash_dedup` as a reusable
+    foreachBatch sink: land the batch docs, probe the persisted index
+    (no hot cap — see the query docstring), verify candidates against
+    the corpus landed so far, append verified pairs and the batch's
+    band rows. The index append is the ONLY state carried between
+    batches — restart-resume equivalence is pinned in
+    tests/test_dedup.py."""
+
+    def process(batch: DataFrame, _bid: int) -> None:
+        batch = batch.localCheckpoint(eager=True)  # multi-consumed below
+        batch.write.mode("append").parquet(docs)
+        hashed = shingle_hash_frame(batch, token_hash=md5_token_hash).filter(
+            F.size("shingle_hashes") > 0
+        )
+        sig = hashed.select(
+            "doc_id",
+            _minhash_signature(F.col("shingle_hashes")).alias("signature"),
+        ).localCheckpoint(eager=True)
+        cand = probe_minhash_index(
+            spark, idx, sig, max_bucket_size=None, string_buckets=True
+        )
+        corpus = spark.read.schema(docs_schema).parquet(docs)
+        jaccard_verify(
+            cand, corpus, threshold=0.8, token_hash=md5_token_hash
+        ).write.mode("append").parquet(out)
+        append_minhash_index(idx, sig, string_buckets=True)
+
+    return process
+
+
+def run_minhash_dedup_stream(
+    spark: SparkSession,
+    src: str,
+    docs_schema,
+    idx: str,
+    docs: str,
+    out: str,
+    checkpoint: str,
+) -> None:
+    """Drive the dedup stream over ``src`` to completion (availableNow,
+    one file per micro-batch); with an existing ``checkpoint`` this is
+    the RESTART path — only unprocessed files run."""
+    (
+        spark.readStream.schema(docs_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .writeStream.foreachBatch(
+            minhash_stream_sink(spark, docs_schema, idx, docs, out)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

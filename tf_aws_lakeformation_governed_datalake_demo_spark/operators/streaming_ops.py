@@ -396,9 +396,11 @@ def cdc_apply_batch(spark: SparkSession, dim: str, dim_schema, batch: DataFrame)
     )
 
 
-def cdc_land_change_files(df: DataFrame, src: str, tmp_root: str, n: int = 3) -> None:
+def cdc_land_change_files(
+    df: DataFrame, src: str, tmp_root: str, n: int = 3, key_col: str = "event_id"
+) -> None:
     """Split a change set into ``n`` single parquet files under ``src``
-    (one micro-batch each) keyed on event_id % n — interleaving event
+    (one micro-batch each) keyed on ``key_col`` % n — interleaving event
     times across files so later batches routinely carry OLDER rows for
     a key than earlier batches did (the out-of-order delivery the
     conditional merge must absorb)."""
@@ -411,7 +413,7 @@ def cdc_land_change_files(df: DataFrame, src: str, tmp_root: str, n: int = 3) ->
     os.makedirs(src, exist_ok=True)
     for i in range(n):
         tmp = f"{tmp_root}/_cdc_tmp{i}"
-        df.filter(F.col("event_id") % n == i).coalesce(1).write.parquet(tmp)
+        df.filter(F.col(key_col) % n == i).coalesce(1).write.parquet(tmp)
         shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/c{i}.parquet")
         shutil.rmtree(tmp)
 
