@@ -1348,7 +1348,12 @@ def minhash_stream_sink(spark: SparkSession, docs_schema, idx: str, docs: str, o
     tests/test_dedup.py."""
 
     def process(batch: DataFrame, _bid: int) -> None:
-        batch = batch.localCheckpoint(eager=True)  # multi-consumed below
+        # a single-file micro-batch arrives as ONE partition — spread it
+        # before the (expensive) shingle/signature compute or it runs on
+        # one core; the checkpoint pins the spread result, multi-consumed
+        batch = batch.repartition(
+            spark.sparkContext.defaultParallelism
+        ).localCheckpoint(eager=True)
         batch.write.mode("append").parquet(docs)
         hashed = shingle_hash_frame(batch, token_hash=md5_token_hash).filter(
             F.size("shingle_hashes") > 0
