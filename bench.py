@@ -136,6 +136,9 @@ HEADLINE = [
     # ... and the streaming arrival form of the persisted-index dedup
     # (3 micro-batches of probe + verify + append)
     "stream_minhash_dedup",
+    # round 8 fourth-wave addition: per-file bloom bitmaps recorded at
+    # manifest commit pruning a point lookup on a hash-clustered layout
+    "lake_bloom_point_lookup",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -890,3 +890,119 @@ def test_governed_read_with_manifest_prune(spark, tmp_path):
         map(tuple, pruned.filter("id BETWEEN 30 AND 45").collect())
     )
     assert got == want and all(r[1] == "ok" for r in got) and got
+
+
+def test_bloom_point_prune_records_inherits_fails_open(spark, tmp_path):
+    """S28: per-file bloom bitmaps recorded at commit prune point
+    lookups on hash-clustered layouts where min/max stats cannot; a
+    merge carries untouched files' bitmaps from the parent (no
+    recompute); unsupported column types record nothing and fail OPEN;
+    exchange mode refuses bloom_cols."""
+    path = str(tmp_path / "t")
+    rows = [(i, "u%d" % (i % 7), float(i) / 3) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, user string, v double")
+    # hash-cluster on user: every file spans the full id/user range
+    publish_overwrite(
+        spark,
+        path,
+        df.repartition(4, F.col("user")),
+        None,
+        manifest=True,
+        bloom_cols=["user", "id", "v"],  # v is double -> not recorded
+    )
+    m = read_manifest(path)
+    assert m["version"] == 1 and m["file_blooms"]
+    for b in m["file_blooms"].values():
+        assert set(b) == {"user", "id"}  # v skipped (float string forms)
+
+    # point lookup on the clustered key prunes to ~1 file, same rows
+    pruned = read_table(spark, path, df.schema, prune={"user": "u3"})
+    full = read_table(spark, path, df.schema)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert sorted(
+        r.id for r in pruned.filter(F.col("user") == "u3").collect()
+    ) == sorted(r.id for r in full.filter(F.col("user") == "u3").collect())
+    # unrecorded column -> fail open (all files kept)
+    assert len(
+        read_table(spark, path, df.schema, prune={"v": 1.0}).inputFiles()
+    ) == len(full.inputFiles())
+    # a key that exists nowhere prunes everything (planning-time empty)
+    assert (
+        read_table(spark, path, df.schema, prune={"user": "nope"}).count()
+        == 0
+    )
+
+    # a whole-table rewrite WITHOUT bloom_cols drops the bitmaps for
+    # its new files — reads fail OPEN (prune keeps all files), rows
+    # stay correct through version 2
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "u1", 9.9)], "id long, user string, v double"
+        ),
+        ["id"],
+        collect_stats=False,
+    )
+    assert read_manifest(path)["version"] == 2
+    got = read_table(spark, path, df.schema, prune={"id": 1}).filter(
+        F.col("id") == 1
+    )
+    assert [(r.id, r.user) for r in got.collect()] == [(1, "u1")]
+
+    with pytest.raises(ValueError, match="bloom_cols requires manifest"):
+        publish_overwrite(
+            spark, str(tmp_path / "x"), df, None, manifest=False,
+            bloom_cols=["id"],
+        )
+
+
+def test_bloom_inherited_by_partition_merge_and_append(spark, tmp_path):
+    """Carried files keep their parent-recorded bitmaps through a
+    partition-scoped merge (structural: the carried relpaths' bloom
+    entries are identical objects to the parent's), and append_rows
+    records bitmaps for its batch files only."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        append_rows,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), "k%d" % i) for i in range(40)],
+        "id long, grp string, k string",
+    )
+    publish_overwrite(
+        spark, path, df, ["grp"], manifest=True, bloom_cols=["k"]
+    )
+    v1 = read_manifest(path)
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(0, "g0", "k0x")], "id long, grp string, k string"
+        ),
+        ["id"],
+        partition_by=["grp"],
+        collect_stats=False,
+        bloom_cols=["k"],
+    )
+    v2 = read_manifest(path)
+    carried = [f for f in v2["files"] if f in set(v1["files"])]
+    assert carried and all(
+        v2["file_blooms"].get(f) == v1["file_blooms"].get(f) for f in carried
+    )
+    # append: new batch files get bitmaps; carried keep theirs
+    snap = append_rows(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(100, "g0", "k100")], "id long, grp string, k string"
+        ),
+        ["grp"],
+        bloom_cols=["k"],
+    )
+    new = [f for f in snap["files"] if f not in set(v2["files"])]
+    assert new and all(f in snap["file_blooms"] for f in new)
+    pruned = read_table(spark, path, df.schema, prune={"k": "k100"})
+    assert len(pruned.inputFiles()) < len(snap["files"])
+    assert pruned.filter(F.col("k") == "k100").count() == 1

@@ -1039,3 +1039,68 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("revenue"),
     )
+
+
+@query(
+    "lake_bloom_point_lookup",
+    """
+    WITH u AS (SELECT min(user_id) AS uid FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 2)
+             AS total_value
+    FROM events, u WHERE user_id = u.uid
+    GROUP BY event_type
+    """,
+    "Per-file bloom pruning for point lookups (round-8): events are "
+    "hash-clustered on user_id into 8 files — the layout under which "
+    "every file spans the full key RANGE, so manifest min/max stats "
+    "can prune nothing — and the manifest commit records a 16 Kbit "
+    "k=2 bloom bitmap per (file, user_id). A point lookup for one "
+    "user probes the bitmaps at planning time and scans only files "
+    "that may contain the key (the body asserts fewer files entered "
+    "the plan than the snapshot holds; hash clustering puts the user "
+    "in exactly one). Bloom pruning is I/O elimination only — false "
+    "positives cost a scan, never a wrong row — so the oracle is the "
+    "plain per-type profile of that user's events.",
+)
+def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing rung of the skipping ladder for POINT predicates:
+    partition pruning needs the key to be the partition scheme,
+    min/max stats need the layout to be range-clustered on the key —
+    but production fact tables are usually hash-distributed, where
+    both are useless for a needle lookup. The per-file bloom (the
+    Iceberg/Puffin index model, inlined in the manifest at this
+    scale) answers 'which files can hold key k' from metadata alone:
+    at 100 TB / 10k files, a point lookup opens ~1 file instead of
+    all of them. Commit cost is one distinct-positions job over NEW
+    files only (carried files inherit their bitmaps, like file
+    stats)."""
+    from ..sources.lake import publish_overwrite, read_table
+
+    e = load(spark, sf_dir, "events")
+    path = scratch_dir("bloom_lookup_") + "/events"
+    publish_overwrite(
+        spark,
+        path,
+        e.repartition(8, F.col("user_id")),
+        None,
+        manifest=True,
+        bloom_cols=["user_id"],
+    )
+    uid = e.agg(F.min("user_id")).first()[0]  # O(1) collect — probe key
+    pruned = read_table(spark, path, e.schema, prune={"user_id": uid})
+    n_all = len(read_table(spark, path, e.schema).inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert n_pruned < n_all, (n_pruned, n_all)
+    return (
+        pruned.filter(F.col("user_id") == uid)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                / 1000000.0,
+                2,
+            ).alias("total_value"),
+        )
+    )

@@ -290,6 +290,7 @@ def publish_overwrite(
     compression: str = "snappy",
     drop_missing_partitions: list[str] | None = None,
     manifest: bool | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> None:
     """Atomic stage-then-rename publication of a (slice) rewrite —
     the commit protocol under merge_into / scd2_apply /
@@ -388,8 +389,14 @@ def publish_overwrite(
             compression,
             drop_missing_partitions,
             txid,
+            bloom_cols=bloom_cols,
         )
         return
+    if bloom_cols:
+        raise ValueError(
+            "bloom_cols requires manifest mode — exchange-mode tables "
+            "have nowhere to record per-file bloom bitmaps"
+        )
     if partition_by:
         staged = live / f"_staged_{txid}"
         trash = live / f"_trash_{txid}"
@@ -582,6 +589,95 @@ def _file_column_stats(fpath) -> dict[str, list]:
     return {n: [mins[n], maxs[n]] for n in mins if n not in bad}
 
 
+#: Bits per (file, column) bloom bitmap recorded in the manifest
+#: (2 KB bitmap -> 4 KB hex per file per column). k=2 md5-derived
+#: positions, the same engine-independent dialect the operators'
+#: semi-join bloom uses. Sized for ~10k distinct keys/file at <3%
+#: false-positive rate; at larger files-per-key counts the bitmap
+#: belongs in sidecar index files (the Iceberg/Puffin model) rather
+#: than inline JSON — recorded as the scale note, not implemented.
+_FILE_BLOOM_BITS = 16384
+
+
+def _bloom_probe_positions(value) -> tuple[int, int]:
+    """The two bit positions a value occupies in a per-file bloom —
+    Python twin of the Spark-side expression in
+    :func:`_staged_file_blooms` (md5 of the string form; int and string
+    columns only, where Spark's cast-to-string and Python's str agree).
+    """
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    return int(h[0:4], 16) % _FILE_BLOOM_BITS, int(h[4:8], 16) % _FILE_BLOOM_BITS
+
+
+def _staged_file_blooms(
+    spark: SparkSession, staged, cols: list[str]
+) -> dict[str, dict[str, str]]:
+    """Per-file bloom bitmaps over ``cols``, computed from the STAGED
+    tree in ONE Spark job before the commit: each row contributes two
+    md5-derived bit positions per column, distinct (file, col, pos)
+    triples come back bounded by #files x #cols x bits, and the driver
+    packs them into hex bitmaps. Only int/string columns are recorded
+    (float/bool string forms differ between engines) — anything else
+    fails OPEN at read time, same contract as file_stats. NULLs set no
+    bits (a NULL never point-prunes)."""
+    df = spark.read.parquet(str(staged))
+    types = dict(df.dtypes)
+    usable = [
+        c
+        for c in cols
+        if types.get(c) in ("tinyint", "smallint", "int", "bigint", "string")
+    ]
+    if not usable:
+        return {}
+    structs = []
+    for c in usable:
+        h = F.md5(F.col(c).cast("string"))
+        for off in (1, 5):
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("c"),
+                    (
+                        F.conv(F.substring(h, off, 4), 16, 10).cast("long")
+                        % _FILE_BLOOM_BITS
+                    ).alias("p"),
+                )
+            )
+    rows = (
+        df.select(
+            F.input_file_name().alias("f"),
+            F.explode(F.array(*structs)).alias("cp"),
+        )
+        .select("f", "cp.c", "cp.p")
+        .filter(F.col("p").isNotNull())
+        .distinct()
+        .collect()
+    )
+    staged_uri = staged.resolve().as_uri()
+    bitmaps: dict[str, dict[str, bytearray]] = {}
+    for r in rows:
+        rel = r.f.split(staged_uri + "/", 1)[-1]
+        bm = bitmaps.setdefault(rel, {}).setdefault(
+            r.c, bytearray(_FILE_BLOOM_BITS // 8)
+        )
+        bm[r.p // 8] |= 1 << (r.p % 8)
+    return {
+        rel: {c: bm.hex() for c, bm in by_col.items()}
+        for rel, by_col in bitmaps.items()
+    }
+
+
+def _bloom_may_contain(hex_bitmap: str, value) -> bool:
+    """Membership test against a recorded per-file bloom. False means
+    PROVABLY absent; True means possibly present (scan the file)."""
+    p1, p2 = _bloom_probe_positions(value)
+    bm = bytes.fromhex(hex_bitmap)
+    return bool(bm[p1 // 8] & (1 << (p1 % 8))) and bool(
+        bm[p2 // 8] & (1 << (p2 % 8))
+    )
+
+
 def _commit_manifest(
     live,
     files: list[str],
@@ -589,6 +685,7 @@ def _commit_manifest(
     parent: dict | None,
     txid: str,
     app_versions: dict | None = None,
+    file_blooms: dict | None = None,
 ) -> dict:
     """Write snapshot ``_manifests/v{N}.json`` then atomically replace
     the ``_manifest.json`` pointer with the same content (``os.replace``
@@ -629,6 +726,12 @@ def _commit_manifest(
             file_stats[f] = s
     if app_versions is None:
         app_versions = (parent or {}).get("app_versions", {})
+    parent_blooms = (parent or {}).get("file_blooms", {})
+    blooms = {}
+    for f in sorted(files):
+        b = (file_blooms or {}).get(f) or parent_blooms.get(f)
+        if b:
+            blooms[f] = b
     snap = {
         "version": version,
         "parent": parent["version"] if parent else None,
@@ -640,6 +743,8 @@ def _commit_manifest(
     }
     if app_versions:
         snap["app_versions"] = dict(app_versions)
+    if blooms:
+        snap["file_blooms"] = blooms
     data = json.dumps(snap, sort_keys=True)
     tmp = mdir / f".tmp_{txid}"
     tmp.write_text(data)
@@ -657,6 +762,7 @@ def _publish_manifest_commit(
     compression: str,
     drop_missing_partitions: list[str] | None,
     txid: str,
+    bloom_cols: list[str] | None = None,
 ) -> None:
     """Manifest-mode publish body (see publish_overwrite's contract):
     stage, move files in under unique names (old files retained), then
@@ -673,6 +779,11 @@ def _publish_manifest_commit(
         p.relative_to(staged)
         for p in staged.rglob("*.parquet")
         if p.is_file()
+    )
+    new_blooms = (
+        _staged_file_blooms(result.sparkSession, staged, bloom_cols)
+        if bloom_cols
+        else {}
     )
     with publish_lock(live):
         current = read_manifest(str(live))
@@ -704,7 +815,12 @@ def _publish_manifest_commit(
         else:
             carried = []  # whole-table publish
         _commit_manifest(
-            live, [*carried, *new_files], partition_by, current, txid
+            live,
+            [*carried, *new_files],
+            partition_by,
+            current,
+            txid,
+            file_blooms=new_blooms,
         )
     shutil.rmtree(staged, ignore_errors=True)
 
@@ -742,10 +858,16 @@ def read_table(
     end) skips files whose manifest-recorded [min, max] cannot
     intersect the given range — planning-time file elimination with
     ZERO footer reads at query time (the stats were paid for once, at
-    commit). Pruning is I/O elimination only, never a filter: callers
-    still apply the actual predicate, so a column or file without
-    recorded stats fails OPEN (scanned, then filtered). Non-manifest
-    tables ignore ``prune``."""
+    commit). A SCALAR value (``prune={"col": v}``) is a point lookup:
+    min/max pruning with lo = hi = v, AND membership against the
+    per-file bloom bitmaps when the commit recorded them
+    (``bloom_cols=``) — the mechanism that still prunes when the
+    layout is hash-clustered and every file spans the full key range
+    (min/max useless, bloom decisive). Pruning is I/O elimination
+    only, never a filter: callers still apply the actual predicate, so
+    a column or file without recorded stats/blooms fails OPEN
+    (scanned, then filtered), and bloom false positives only cost a
+    scan. Non-manifest tables ignore ``prune``."""
 
     def _ordered(df: DataFrame) -> DataFrame:
         if schema is not None and df.columns != list(schema.names):
@@ -765,16 +887,32 @@ def read_table(
     kept = m["files"]
     if prune:
         stats = m.get("file_stats", {})
+        blooms = m.get("file_blooms", {})
+        bounds: dict[str, tuple] = {}
+        points: dict[str, object] = {}
+        for col, bound in prune.items():
+            if isinstance(bound, (tuple, list)):
+                bounds[col] = tuple(bound)
+            else:
+                bounds[col] = (bound, bound)
+                if bound is not None:
+                    points[col] = bound
 
         def _survives(f: str) -> bool:
             fs = stats.get(f)
-            for col, (lo, hi) in prune.items():
+            for col, (lo, hi) in bounds.items():
                 if fs is None or col not in fs:
                     continue  # no stats recorded — fail open
                 mn, mx = fs[col]
                 if (hi is not None and mn > hi) or (
                     lo is not None and mx < lo
                 ):
+                    return False
+            fb = blooms.get(f)
+            for col, v in points.items():
+                if fb is None or col not in fb:
+                    continue  # no bloom recorded — fail open
+                if not _bloom_may_contain(fb[col], v):
                     return False
             return True
 
@@ -951,6 +1089,7 @@ def append_rows(
     compression: str = "snappy",
     stream_id: str | None = None,
     batch_id: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict | None:
     """Transactional APPEND to a manifest table — the ingestion commit
     (Delta's append + ``txn`` idempotence in plain Parquet). The batch
@@ -1018,6 +1157,11 @@ def append_rows(
     staged_files = sorted(
         p.relative_to(staged) for p in staged.rglob("*.parquet") if p.is_file()
     )
+    new_blooms = (
+        _staged_file_blooms(spark, staged, bloom_cols)
+        if bloom_cols and staged_files
+        else {}
+    )
     try:
         with publish_lock(live):
             current = read_manifest(str(live))  # re-read under the lock
@@ -1041,6 +1185,7 @@ def append_rows(
                 current,
                 txid,
                 app_versions=ledger,
+                file_blooms=new_blooms,
             )
     finally:
         shutil.rmtree(staged, ignore_errors=True)
@@ -1195,6 +1340,7 @@ def merge_into(
     evolve_schema: bool = False,
     schema: T.StructType | None = None,
     collect_stats: bool = True,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Keyed MERGE/upsert on a plain-Parquet lake table — the Delta
     ``MERGE INTO`` / ``replaceWhere`` analog, executable without ACID
@@ -1301,7 +1447,7 @@ def merge_into(
         n_inserted = updates.count() - n_updated
     else:
         n_updated = n_inserted = None
-    publish_overwrite(spark, path, merged, partition_by)
+    publish_overwrite(spark, path, merged, partition_by, bloom_cols=bloom_cols)
     return {
         "rows_updated": n_updated,
         "rows_inserted": n_inserted,
