@@ -1006,3 +1006,76 @@ def test_bloom_inherited_by_partition_merge_and_append(spark, tmp_path):
     pruned = read_table(spark, path, df.schema, prune={"k": "k100"})
     assert len(pruned.inputFiles()) < len(snap["files"])
     assert pruned.filter(F.col("k") == "k100").count() == 1
+
+
+def test_concurrent_rewrites_conflict_not_lost_update(spark, tmp_path):
+    """Optimistic concurrency (round-8): two writers both compute a
+    merge against snapshot v1; the first commits v2, the second's
+    commit must RAISE — committing would silently drop the first
+    writer's row (the lost update last-write-wins allowed before).
+    The failed commit leaves the table byte-identical; re-running the
+    stale merge against the current snapshot converges."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        ConcurrentLakeModificationError,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        publish_overwrite as po,
+    )
+
+    path = str(tmp_path / "t")
+    base = _mk(spark, [(1, "a", "v1"), (2, "b", "v1")])
+    publish_overwrite(spark, path, base, ["grp"], manifest=True)
+
+    # writer B stages its rewrite against v1 ... then writer A commits
+    b_result = read_table(spark, path).filter(F.col("id") == 2).withColumn(
+        "v", F.lit("from_b")
+    ).select("id", "grp", "v").localCheckpoint(eager=True)
+    merge_into(  # writer A lands first: v2
+        spark, path, _mk(spark, [(1, "a", "from_a")]), ["id"],
+        partition_by=["grp"], collect_stats=False,
+    )
+    with pytest.raises(ConcurrentLakeModificationError, match="v2"):
+        po(spark, path, b_result, ["grp"], expected_version=1)
+    # nothing committed, nothing lost
+    m = read_manifest(path)
+    assert m["version"] == 2
+    got = {(r.id, r.v) for r in read_table(spark, path).collect()}
+    assert got == {(1, "from_a"), (2, "v1")}
+    # retry against the current snapshot converges
+    merge_into(
+        spark, path, _mk(spark, [(2, "b", "from_b")]), ["id"],
+        partition_by=["grp"], collect_stats=False,
+    )
+    got = {(r.id, r.v) for r in read_table(spark, path).collect()}
+    assert got == {(1, "from_a"), (2, "from_b")}
+    # exchange mode has no version to check against
+    with pytest.raises(ValueError, match="expected_version requires"):
+        po(spark, str(tmp_path / "x"), base, None, manifest=False,
+           expected_version=1)
+
+
+def test_appends_interleave_with_rewrites_without_conflict(spark, tmp_path):
+    """Appends commute: an append landing between a merge's read and
+    its commit is a real conflict (the merge's carried file list would
+    drop the appended file) — the merge must raise; the appended rows
+    must survive. And an append after any rewrite needs no check at
+    all (it recomputes carried files under the commit lock)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        ConcurrentLakeModificationError,
+        append_rows,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        publish_overwrite as po,
+    )
+
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark, path, _mk(spark, [(1, "a", "x")]), ["grp"], manifest=True
+    )
+    rewrite = read_table(spark, path).localCheckpoint(eager=True)
+    append_rows(spark, path, _mk(spark, [(2, "b", "y")]), ["grp"])
+    with pytest.raises(ConcurrentLakeModificationError):
+        po(spark, path, rewrite, ["grp"], expected_version=1)
+    assert read_table(spark, path).count() == 2  # append survived
+    append_rows(spark, path, _mk(spark, [(3, "a", "z")]), ["grp"])
+    assert {r.id for r in read_table(spark, path).collect()} == {1, 2, 3}

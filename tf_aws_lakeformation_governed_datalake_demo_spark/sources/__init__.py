@@ -8,6 +8,7 @@ Catalyst handles column pruning and predicate pushdown at the scan.
 
 from .lake import (
     TPCH_TABLES,
+    ConcurrentLakeModificationError,
     append_rows,
     compact_in_place,
     consume_table_changes,
@@ -31,6 +32,7 @@ from .lake import (
 
 __all__ = [
     "TPCH_TABLES",
+    "ConcurrentLakeModificationError",
     "append_rows",
     "compact_in_place",
     "consume_table_changes",

@@ -282,6 +282,14 @@ def _flock_publish_lock(live_dir):
 publish_lock = _flock_publish_lock
 
 
+class ConcurrentLakeModificationError(RuntimeError):
+    """Another writer committed a manifest snapshot between this
+    writer's table read and its commit — committing anyway would
+    silently drop that writer's changes (a lost update). The table is
+    untouched; re-run the mutation against the current snapshot. The
+    lake twin of the catalog's ConcurrentCatalogModificationError."""
+
+
 def publish_overwrite(
     spark: SparkSession,
     path: str,
@@ -291,6 +299,7 @@ def publish_overwrite(
     drop_missing_partitions: list[str] | None = None,
     manifest: bool | None = None,
     bloom_cols: list[str] | None = None,
+    expected_version: int | None = None,
 ) -> None:
     """Atomic stage-then-rename publication of a (slice) rewrite —
     the commit protocol under merge_into / scd2_apply /
@@ -363,7 +372,16 @@ def publish_overwrite(
     :data:`publish_lock` (default: single-host flock; see its
     multi-host CAS note). It serializes PUBLICATION, not semantics —
     two writers that both read the pre-state still last-write-wins at
-    whole-publish granularity.
+    whole-publish granularity, UNLESS ``expected_version`` is given
+    (manifest mode only): the commit then fails with
+    :class:`ConcurrentLakeModificationError` when the current snapshot
+    is no longer the one the writer read — optimistic concurrency, the
+    Delta/Iceberg commit-conflict model. Every rewrite-shaped mutator
+    here (merge_into / scd2_apply / delete_rows / compact_in_place)
+    passes the version it read, so concurrent rewrites can never
+    silently drop each other's rows; plain appends
+    (:func:`append_rows`) commute and need no check — they recompute
+    the carried file list under the commit lock.
     """
     import shutil
     import uuid as _uuid
@@ -390,12 +408,18 @@ def publish_overwrite(
             drop_missing_partitions,
             txid,
             bloom_cols=bloom_cols,
+            expected_version=expected_version,
         )
         return
     if bloom_cols:
         raise ValueError(
             "bloom_cols requires manifest mode — exchange-mode tables "
             "have nowhere to record per-file bloom bitmaps"
+        )
+    if expected_version is not None:
+        raise ValueError(
+            "expected_version requires manifest mode — exchange-mode "
+            "tables have no committed version to check against"
         )
     if partition_by:
         staged = live / f"_staged_{txid}"
@@ -763,10 +787,13 @@ def _publish_manifest_commit(
     drop_missing_partitions: list[str] | None,
     txid: str,
     bloom_cols: list[str] | None = None,
+    expected_version: int | None = None,
 ) -> None:
     """Manifest-mode publish body (see publish_overwrite's contract):
     stage, move files in under unique names (old files retained), then
-    commit with one atomic pointer replace."""
+    commit with one atomic pointer replace. A conflict raise
+    (``expected_version`` mismatch) happens BEFORE any file moves, so
+    a failed optimistic commit leaves the live tree byte-identical."""
     import shutil
     from pathlib import Path
 
@@ -785,44 +812,58 @@ def _publish_manifest_commit(
         if bloom_cols
         else {}
     )
-    with publish_lock(live):
-        current = read_manifest(str(live))
-        prev_files = (
-            current["files"] if current is not None else _data_file_relpaths(live)
-        )
-        new_files = []
-        for rel in staged_files:
-            dst = live / rel
-            dst.parent.mkdir(parents=True, exist_ok=True)
-            if dst.exists():
-                # part-file names carry a per-job UUID; a collision means
-                # the same staged tree is being committed twice
-                raise FileExistsError(f"data file collision at {dst}")
-            (staged / rel).rename(dst)
-            new_files.append(str(rel))
-        if partition_by:
-            # partitions present in the staged tree are REPLACED; ones
-            # the caller names as emptied are DROPPED; everything else
-            # is carried forward from the previous snapshot untouched
-            replaced = {str(Path(f).parent) for f in new_files}
-            dropped = set(drop_missing_partitions or [])
-            carried = [
-                f
-                for f in prev_files
-                if str(Path(f).parent) not in replaced
-                and str(Path(f).parent) not in dropped
-            ]
-        else:
-            carried = []  # whole-table publish
-        _commit_manifest(
-            live,
-            [*carried, *new_files],
-            partition_by,
-            current,
-            txid,
-            file_blooms=new_blooms,
-        )
-    shutil.rmtree(staged, ignore_errors=True)
+    try:
+        with publish_lock(live):
+            current = read_manifest(str(live))
+            if expected_version is not None:
+                actual = current["version"] if current else 0
+                if actual != expected_version:
+                    raise ConcurrentLakeModificationError(
+                        f"table at {live} is at snapshot v{actual}, but "
+                        f"this rewrite was computed against v"
+                        f"{expected_version} — committing would drop the "
+                        "intervening writer's changes; re-run against "
+                        "the current snapshot"
+                    )
+            prev_files = (
+                current["files"]
+                if current is not None
+                else _data_file_relpaths(live)
+            )
+            new_files = []
+            for rel in staged_files:
+                dst = live / rel
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                if dst.exists():
+                    # part-file names carry a per-job UUID; a collision
+                    # means the same staged tree is committed twice
+                    raise FileExistsError(f"data file collision at {dst}")
+                (staged / rel).rename(dst)
+                new_files.append(str(rel))
+            if partition_by:
+                # partitions present in the staged tree are REPLACED;
+                # ones the caller names as emptied are DROPPED;
+                # everything else is carried forward untouched
+                replaced = {str(Path(f).parent) for f in new_files}
+                dropped = set(drop_missing_partitions or [])
+                carried = [
+                    f
+                    for f in prev_files
+                    if str(Path(f).parent) not in replaced
+                    and str(Path(f).parent) not in dropped
+                ]
+            else:
+                carried = []  # whole-table publish
+            _commit_manifest(
+                live,
+                [*carried, *new_files],
+                partition_by,
+                current,
+                txid,
+                file_blooms=new_blooms,
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
 
 
 def read_table(
@@ -1402,6 +1443,11 @@ def merge_into(
     # updates plan (sampling, un-sorted limit) makes the stats diverge
     # from what was written (round-4 ADVICE).
     updates = updates.localCheckpoint(eager=True)
+    # Optimistic concurrency: remember which snapshot this rewrite is
+    # computed against (read_table's file list is fixed at planning
+    # time); the publish refuses to commit over a different one.
+    pre = read_manifest(path)
+    base_version = pre["version"] if pre else None
     if partition_by:
         missing = [c for c in partition_by if c not in updates.columns]
         if missing:
@@ -1447,7 +1493,14 @@ def merge_into(
         n_inserted = updates.count() - n_updated
     else:
         n_updated = n_inserted = None
-    publish_overwrite(spark, path, merged, partition_by, bloom_cols=bloom_cols)
+    publish_overwrite(
+        spark,
+        path,
+        merged,
+        partition_by,
+        bloom_cols=bloom_cols,
+        expected_version=base_version,
+    )
     return {
         "rows_updated": n_updated,
         "rows_inserted": n_inserted,
@@ -1526,6 +1579,8 @@ def scd2_apply(
     missing = [c for c in [*key_cols, *change_cols] if c not in updates.columns]
     if missing:
         raise ValueError(f"updates is missing key/change columns: {missing}")
+    pre = read_manifest(path)  # optimistic concurrency (merge_into's note)
+    base_version = pre["version"] if pre else None
     cur = read_table(spark, path, schema)
     if partition_col is not None and partition_col not in cur.columns:
         raise ValueError(f"table at {path} has no partition column {partition_col!r}")
@@ -1640,6 +1695,7 @@ def scd2_apply(
         path,
         result,
         [partition_col] if partition_col is not None else None,
+        expected_version=base_version,
     )
     return {
         "rows_closed": n_closed,
@@ -1720,6 +1776,8 @@ def delete_rows(
     part_cols = (
         [partition_col] if isinstance(partition_col, str) else partition_col
     )
+    pre = read_manifest(path)  # optimistic concurrency (merge_into's note)
+    base_version = pre["version"] if pre else None
     cur = read_table(spark, path, schema)
     if part_cols:
         missing = [c for c in part_cols if c not in cur.columns]
@@ -1775,6 +1833,7 @@ def delete_rows(
         keep,
         part_cols,
         drop_missing_partitions=drop,
+        expected_version=base_version,
     )
     if read_manifest(path) is not None:
         # Erasure dominates time travel (vacuum_manifests' GDPR note):
@@ -1884,7 +1943,14 @@ def compact_in_place(
         df = df.repartition(*partition_by)
     else:
         df = df.repartition(max(1, math.ceil(total / target_file_bytes)))
-    publish_overwrite(spark, path, df, partition_by, compression=compression)
+    publish_overwrite(
+        spark,
+        path,
+        df,
+        partition_by,
+        compression=compression,
+        expected_version=m["version"] if m is not None else None,
+    )
     m2 = read_manifest(path)
     if m2 is not None:
         n_after = len(m2["files"])
