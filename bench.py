@@ -136,9 +136,12 @@ HEADLINE = [
     # ... and the streaming arrival form of the persisted-index dedup
     # (3 micro-batches of probe + verify + append)
     "stream_minhash_dedup",
-    # round 8 fourth-wave addition: per-file bloom bitmaps recorded at
-    # manifest commit pruning a point lookup on a hash-clustered layout
+    # round 8 fourth-wave additions: per-file bloom bitmaps recorded at
+    # manifest commit pruning a point lookup on a hash-clustered layout,
+    # and snapshot RESTORE (seed + bad merge + metadata rollback + both
+    # snapshot reads)
     "lake_bloom_point_lookup",
+    "lake_rollback_restore",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -1104,3 +1104,67 @@ def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+@query(
+    "lake_rollback_restore",
+    """
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN n_chars + 777 ELSE n_chars END
+               AS n_chars,
+             lang
+      FROM documents
+    ),
+    prof AS (
+      SELECT 'v2' AS snap, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM v2 GROUP BY lang
+      UNION ALL
+      SELECT 'restored' AS snap, lang, CAST(count(*) AS BIGINT),
+             CAST(sum(n_chars) AS BIGINT)
+      FROM documents GROUP BY lang
+    )
+    SELECT * FROM prof
+    """,
+    "Snapshot RESTORE as a metadata commit (round-8): a manifest table "
+    "at v1 takes a bad merge (10% of rows corrupted, +777 chars) "
+    "committing v2, then rollback_table(v1) commits v3 whose file list "
+    "IS v1's — no data moves or copies, history stays linear (v2 "
+    "remains inspectable). The result reads the bad snapshot v2 AND "
+    "the restored current state; the oracle replays both profiles, and "
+    "the restored one matching the ORIGINAL documents proves the "
+    "rollback is byte-exact.",
+)
+def lake_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives sources.lake.rollback_table end to end. Scale: RESTORE
+    costs one manifest write regardless of table size — the
+    recover-from-bad-publish primitive (Delta RESTORE / Iceberg
+    rollback); the bad snapshot's files are reclaimed later by
+    vacuum_manifests, and erased rows can never be resurrected
+    (delete_rows truncates history first, pinned in
+    tests/test_manifest.py)."""
+    from ..sources.lake import merge_into, publish_overwrite, read_table, rollback_table
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    path = scratch_dir("rollback_") + "/docs"
+    publish_overwrite(spark, path, d, ["lang"], manifest=True)
+    bad = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 777
+    )
+    merge_into(
+        spark, path, bad, ["doc_id"], partition_by=["lang"],
+        schema=d.schema, collect_stats=False,
+    )
+    out = rollback_table(path, 1)
+    assert out["rolled_back_to"] == 1 and out["new_version"] == 3, out
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).select(F.lit(tag).alias("snap"), "*")
+
+    return profile(read_table(spark, path, version=2), "v2").unionByName(
+        profile(read_table(spark, path), "restored")
+    )
