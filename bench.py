@@ -142,6 +142,9 @@ HEADLINE = [
     # snapshot reads)
     "lake_bloom_point_lookup",
     "lake_rollback_restore",
+    # round 8 final addition: Structured Streaming FROM the lake table
+    # (publish + 2 appends + the Python-data-source stream aggregate)
+    "stream_from_lake_source",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -822,3 +822,75 @@ def stream_lake_append_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+@query(
+    "stream_from_lake_source",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 2)
+             AS total_value
+    FROM events GROUP BY event_type
+    """,
+    "Structured Streaming FROM the lake table (round-8): a manifest "
+    "table built by one publish + two transactional appends is read "
+    "through the registered lake_manifest Python data source — stream "
+    "offsets ARE snapshot versions, each micro-batch's partitions are "
+    "the files the next snapshot added, read executor-side as Arrow "
+    "batches with hive partition values recovered from the paths — "
+    "and aggregated per event type. The three snapshots union to the "
+    "whole events table, so the oracle is the plain per-type profile; "
+    "append-only enforcement, ignoreChanges, retention-bounded resume, "
+    "and restart-at-offset semantics are pinned in "
+    "tests/test_manifest_stream.py.",
+)
+def stream_from_lake_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source half of the lake-streaming loop (stream_lake_append_txn
+    is the sink half): downstream consumers subscribe to a governed
+    lake table the way they would a Kafka topic, with the manifest
+    chain as the offset log. Scale: offset discovery is two manifest
+    reads — no file listing; a micro-batch plans O(new files)
+    partitions regardless of table size; rows never pass through the
+    driver (pyarrow reads on executors)."""
+    from pyspark.sql import functions as F
+
+    from ..scratch import scratch_dir
+    from ..sources import append_rows, load, publish_overwrite
+    from ..sources.manifest_stream import register_lake_manifest_source
+
+    register_lake_manifest_source(spark)
+    e = load(spark, sf_dir, "events")
+    path = scratch_dir("lake_src_") + "/events"
+    # one file per partition per commit: each stream input partition is
+    # one Python-worker task, so a 32-way staged write would hand the
+    # source ~16x more (tiny) partitions for the same bytes
+    publish_overwrite(
+        spark,
+        path,
+        e.filter(F.col("event_id") % 3 == 0).repartition("event_type"),
+        ["event_type"],
+        manifest=True,
+    )
+    for k in (1, 2):
+        append_rows(
+            spark,
+            path,
+            e.filter(F.col("event_id") % 3 == k).repartition("event_type"),
+            ["event_type"],
+        )
+    agg = (
+        spark.readStream.format("lake_manifest")
+        .schema(e.schema)
+        .load(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                / 1000000.0,
+                2,
+            ).alias("total_value"),
+        )
+    )
+    name = f"stream_out_{next(_COUNTER)}"
+    return se.run_stream_to_batch(agg, name, output_mode="complete")

@@ -6,6 +6,10 @@ layout (`<sf_dir>/<table>.parquet`). Loaders return plain DataFrames so
 Catalyst handles column pruning and predicate pushdown at the scan.
 """
 
+from .manifest_stream import (
+    LakeManifestDataSource,
+    register_lake_manifest_source,
+)
 from .lake import (
     TPCH_TABLES,
     ConcurrentLakeModificationError,
@@ -31,6 +35,7 @@ from .lake import (
 )
 
 __all__ = [
+    "LakeManifestDataSource",
     "TPCH_TABLES",
     "ConcurrentLakeModificationError",
     "append_rows",
@@ -43,6 +48,7 @@ __all__ = [
     "merge_into",
     "publish_overwrite",
     "read_manifest",
+    "register_lake_manifest_source",
     "read_table",
     "register_views",
     "rollback_table",
