@@ -101,7 +101,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
 # Needs a first/fresh driver verdict in the round-8 window: the eleven
-# new round-8 queries (the four third/fourth-wave ones are unprefixed
+# new round-8 queries (the six third/fourth-wave ones are unprefixed
 # by default — new names match no verified set) plus the 21
 # round-3/4-verified names that spilled past round 7's window (the
 # oldest outstanding driver verdicts).

@@ -508,6 +508,7 @@ def test_stream_minhash_dedup_resumes_after_restart(spark, sf_dir, tmp_path):
         incremental_minhash_pairs,
         jaccard_verify,
         md5_token_hash,
+        minhash_stream_sink,
         run_minhash_dedup_stream,
         shingle_hash_frame,
     )
@@ -536,8 +537,39 @@ def test_stream_minhash_dedup_resumes_after_restart(spark, sf_dir, tmp_path):
     assert bands.count() > n_idx_partial
     assert bands.count() == bands.select("doc_id", "band").distinct().count()
     # the corpus landed exactly once per doc
-    landed = spark.read.schema(d.schema).parquet(docs)
+    landed = spark.read.schema(d.schema).parquet(f"{docs}/batch=*")
     assert landed.count() == d.count()
+
+    # mid-epoch replay (crash after the sink ran, before the epoch
+    # committed): re-delivering an epoch overwrites its own
+    # deterministic output dirs — nothing duplicates, nothing changes
+    n_bands, n_docs = bands.count(), landed.count()
+    pairs_before = sorted(
+        map(
+            tuple,
+            spark.read.schema("doc_a long, doc_b long, jaccard double")
+            .parquet(f"{out}/batch=*")
+            .collect(),
+        )
+    )
+    sink = minhash_stream_sink(spark, d.schema, idx, docs, out)
+    sink(d.filter(F.col("doc_id") % 3 == 2), 2)  # re-deliver epoch 2
+    assert spark.read.parquet(idx).count() == n_bands
+    assert (
+        spark.read.schema(d.schema).parquet(f"{docs}/batch=*").count()
+        == n_docs
+    )
+    assert (
+        sorted(
+            map(
+                tuple,
+                spark.read.schema("doc_a long, doc_b long, jaccard double")
+                .parquet(f"{out}/batch=*")
+                .collect(),
+            )
+        )
+        == pairs_before
+    )
 
     # union over batches == full-corpus run (cap-free, see the query)
     sig = (
@@ -565,7 +597,7 @@ def test_stream_minhash_dedup_resumes_after_restart(spark, sf_dir, tmp_path):
         map(
             tuple,
             spark.read.schema("doc_a long, doc_b long, jaccard double")
-            .parquet(out)
+            .parquet(f"{out}/batch=*")
             .collect(),
         )
     )

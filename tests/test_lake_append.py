@@ -108,6 +108,19 @@ def test_append_refuses_layout_drift_and_unmanifested_data(spark, tmp_path):
         append_rows(
             spark, path, _mk(spark, [(2, "b", "y")]), ["grp"], stream_id="s"
         )
+    # schema drift fails fast (merge_into's typo'd-column contract):
+    # an extra, missing, or retyped column must not land mixed-schema
+    # files into the chain
+    drifted = spark.createDataFrame(
+        [(2, "b", "y")], "id long, grp string, vv string"
+    )
+    with pytest.raises(ValueError, match="extra=\\['vv'\\]"):
+        append_rows(spark, path, drifted, ["grp"])
+    retyped = spark.createDataFrame(
+        [(2, "b", 3)], "id long, grp string, v long"
+    )
+    with pytest.raises(ValueError, match="retyped=\\['v'\\]"):
+        append_rows(spark, path, retyped, ["grp"])
     bare = str(tmp_path / "bare")
     _mk(spark, [(1, "a", "x")]).write.parquet(bare)
     with pytest.raises(ValueError, match="no manifest"):

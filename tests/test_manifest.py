@@ -926,6 +926,18 @@ def test_bloom_point_prune_records_inherits_fails_open(spark, tmp_path):
     assert len(
         read_table(spark, path, df.schema, prune={"v": 1.0}).inputFiles()
     ) == len(full.inputFiles())
+    # recorded int column probed with a FLOAT -> bloom must fail open
+    # (str(5.0) != CAST(5 AS STRING): probing would false-negative the
+    # file holding id=5); min/max still applies numerically, rows exact
+    fl = read_table(spark, path, df.schema, prune={"id": 5.0})
+    assert sorted(r.id for r in fl.filter(F.col("id") == 5.0).collect()) == [5]
+    # bool probe is never a bloom probe either (str(True) != 'true')
+    assert (
+        read_table(spark, path, df.schema, prune={"id": True})
+        .filter(F.col("id") == 1)
+        .count()
+        == 1
+    )
     # a key that exists nowhere prunes everything (planning-time empty)
     assert (
         read_table(spark, path, df.schema, prune={"user": "nope"}).count()
@@ -1006,6 +1018,24 @@ def test_bloom_inherited_by_partition_merge_and_append(spark, tmp_path):
     pruned = read_table(spark, path, df.schema, prune={"k": "k100"})
     assert len(pruned.inputFiles()) < len(snap["files"])
     assert pruned.filter(F.col("k") == "k100").count() == 1
+    # RESTORE is metadata-only: the rolled-back snapshot inherits the
+    # TARGET's recorded stats and blooms verbatim (no footer re-reads,
+    # no bloom loss — point pruning keeps working after a restore)
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        rollback_table,
+    )
+
+    rollback_table(path, 1)
+    restored = read_manifest(path)
+    assert restored["files"] == v1["files"]
+    assert restored.get("file_blooms") == v1.get("file_blooms")
+    assert restored.get("file_stats") == v1.get("file_stats")
+    assert (
+        len(
+            read_table(spark, path, df.schema, prune={"k": "k3"}).inputFiles()
+        )
+        < len(v1["files"])
+    )
 
 
 def test_concurrent_rewrites_conflict_not_lost_update(spark, tmp_path):

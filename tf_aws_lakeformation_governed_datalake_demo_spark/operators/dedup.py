@@ -1127,7 +1127,7 @@ def probe_minhash_index(
     those shard directories at planning time. Historical signatures
     are READ, never recomputed; historical text is touched only by the
     caller's jaccard_verify on actual candidates."""
-    import os
+    from pathlib import Path
 
     batch_bands = explode_minhash_bands(
         batch_sig, id_col, string_buckets
@@ -1136,15 +1136,19 @@ def probe_minhash_index(
     shards = [
         r.shard for r in batch_bands.select("shard").distinct().collect()
     ]
-    if os.path.isdir(index_path):
+    # bootstrap: an index that doesn't exist yet — or exists but holds
+    # no data files (every doc of the first batch fell below the
+    # shingle minimum, so its append wrote only _SUCCESS) — is an
+    # EMPTY index: only new-vs-new pairs are generated. (Local-fs
+    # check, like the rest of this sandbox's lake layer.)
+    has_files = any(Path(index_path).rglob("*.parquet"))
+    if has_files:
         index_bands = (
             spark.read.parquet(index_path)
             .filter(F.col("shard").isin(shards))
             .select(id_col, "band", "bucket")
         )
     else:
-        # bootstrap: the FIRST batch probes an index that doesn't exist
-        # yet — an empty index, so only new-vs-new pairs are generated
         index_bands = batch_bands.select(id_col, "band", "bucket").limit(0)
     return incremental_band_pairs(
         batch_bands.select(id_col, "band", "bucket"),
@@ -1333,7 +1337,7 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_minhash_dedup_stream(spark, src, d.schema, idx, docs, out, f"{base}/ckpt")
     return (
         spark.read.schema("doc_a long, doc_b long, jaccard double")
-        .parquet(out)
+        .parquet(f"{out}/batch=*")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1343,18 +1347,35 @@ def minhash_stream_sink(spark: SparkSession, docs_schema, idx: str, docs: str, o
     foreachBatch sink: land the batch docs, probe the persisted index
     (no hot cap — see the query docstring), verify candidates against
     the corpus landed so far, append verified pairs and the batch's
-    band rows. The index append is the ONLY state carried between
-    batches — restart-resume equivalence is pinned in
+    band rows.
+
+    Replay-safe (foreachBatch delivery is at-least-once): every output
+    of epoch K lands in an epoch-deterministic directory
+    (``.../batch=K``) written with overwrite semantics, and the
+    batch's own index slice is removed before probing — so a
+    re-delivered epoch overwrites exactly its own prior partial
+    output, never duplicating docs, pairs, or band rows, and never
+    touching other epochs'. The index is the only state carried
+    between batches; restart-resume (clean and mid-epoch) is pinned in
     tests/test_dedup.py."""
 
-    def process(batch: DataFrame, _bid: int) -> None:
+    def process(batch: DataFrame, bid: int) -> None:
+        import shutil
+
+        ddir = f"{docs}/batch={bid}"
+        pdir = f"{out}/batch={bid}"
+        idir = f"{idx}/batch={bid}"
+        # a crashed prior attempt at THIS epoch may have appended its
+        # band rows already — drop them before probing, or the batch
+        # would find itself in the index
+        shutil.rmtree(idir, ignore_errors=True)
         # a single-file micro-batch arrives as ONE partition — spread it
         # before the (expensive) shingle/signature compute or it runs on
         # one core; the checkpoint pins the spread result, multi-consumed
         batch = batch.repartition(
             spark.sparkContext.defaultParallelism
         ).localCheckpoint(eager=True)
-        batch.write.mode("append").parquet(docs)
+        batch.write.mode("overwrite").parquet(ddir)
         hashed = shingle_hash_frame(batch, token_hash=md5_token_hash).filter(
             F.size("shingle_hashes") > 0
         )
@@ -1365,11 +1386,11 @@ def minhash_stream_sink(spark: SparkSession, docs_schema, idx: str, docs: str, o
         cand = probe_minhash_index(
             spark, idx, sig, max_bucket_size=None, string_buckets=True
         )
-        corpus = spark.read.schema(docs_schema).parquet(docs)
+        corpus = spark.read.schema(docs_schema).parquet(f"{docs}/batch=*")
         jaccard_verify(
             cand, corpus, threshold=0.8, token_hash=md5_token_hash
-        ).write.mode("append").parquet(out)
-        append_minhash_index(idx, sig, string_buckets=True)
+        ).write.mode("overwrite").parquet(pdir)
+        append_minhash_index(idir, sig, string_buckets=True)
 
     return process
 

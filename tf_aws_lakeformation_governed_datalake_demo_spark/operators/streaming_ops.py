@@ -413,7 +413,10 @@ def cdc_land_change_files(
     os.makedirs(src, exist_ok=True)
     for i in range(n):
         tmp = f"{tmp_root}/_cdc_tmp{i}"
-        df.filter(F.col(key_col) % n == i).coalesce(1).write.parquet(tmp)
+        # repartition(1), not coalesce(1): several callers feed
+        # Python-sourced local relations, where coalesce collapses the
+        # filter into one task (round-7 finding on the fixture write)
+        df.filter(F.col(key_col) % n == i).repartition(1).write.parquet(tmp)
         shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/c{i}.parquet")
         shutil.rmtree(tmp)
 

@@ -710,6 +710,8 @@ def _commit_manifest(
     txid: str,
     app_versions: dict | None = None,
     file_blooms: dict | None = None,
+    file_stats_hints: dict | None = None,
+    table_schema: dict | None = None,
 ) -> dict:
     """Write snapshot ``_manifests/v{N}.json`` then atomically replace
     the ``_manifest.json`` pointer with the same content (``os.replace``
@@ -745,7 +747,14 @@ def _commit_manifest(
     parent_stats = (parent or {}).get("file_stats", {})
     file_stats = {}
     for f in sorted(files):
-        s = parent_stats.get(f) or _file_column_stats(live / f)
+        # hint lookup first (rollback supplies the TARGET snapshot's
+        # recorded stats so a restore never re-reads footers), then the
+        # parent's, then one footer read for a genuinely new file
+        s = (
+            (file_stats_hints or {}).get(f)
+            or parent_stats.get(f)
+            or _file_column_stats(live / f)
+        )
         if s:
             file_stats[f] = s
     if app_versions is None:
@@ -769,6 +778,10 @@ def _commit_manifest(
         snap["app_versions"] = dict(app_versions)
     if blooms:
         snap["file_blooms"] = blooms
+    if table_schema is None:
+        table_schema = (parent or {}).get("schema")
+    if table_schema:
+        snap["schema"] = table_schema
     data = json.dumps(snap, sort_keys=True)
     tmp = mdir / f".tmp_{txid}"
     tmp.write_text(data)
@@ -777,6 +790,23 @@ def _commit_manifest(
     tmp2.write_text(data)
     os.replace(tmp2, live / "_manifest.json")
     return snap
+
+
+def _move_staged_in(live, staged, staged_files) -> list[str]:
+    """Move a staged tree's files into the live tree under their
+    (globally unique) part names — the shared commit step of
+    :func:`_publish_manifest_commit` and :func:`append_rows`. Old files
+    are never touched; a name collision means the same staged tree is
+    being committed twice."""
+    new_files = []
+    for rel in staged_files:
+        dst = live / rel
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        if dst.exists():
+            raise FileExistsError(f"data file collision at {dst}")
+        (staged / rel).rename(dst)
+        new_files.append(str(rel))
+    return new_files
 
 
 def _publish_manifest_commit(
@@ -830,16 +860,7 @@ def _publish_manifest_commit(
                 if current is not None
                 else _data_file_relpaths(live)
             )
-            new_files = []
-            for rel in staged_files:
-                dst = live / rel
-                dst.parent.mkdir(parents=True, exist_ok=True)
-                if dst.exists():
-                    # part-file names carry a per-job UUID; a collision
-                    # means the same staged tree is committed twice
-                    raise FileExistsError(f"data file collision at {dst}")
-                (staged / rel).rename(dst)
-                new_files.append(str(rel))
+            new_files = _move_staged_in(live, staged, staged_files)
             if partition_by:
                 # partitions present in the staged tree are REPLACED;
                 # ones the caller names as emptied are DROPPED;
@@ -861,6 +882,7 @@ def _publish_manifest_commit(
                 current,
                 txid,
                 file_blooms=new_blooms,
+                table_schema=result.schema.jsonValue(),
             )
     finally:
         shutil.rmtree(staged, ignore_errors=True)
@@ -936,7 +958,15 @@ def read_table(
                 bounds[col] = tuple(bound)
             else:
                 bounds[col] = (bound, bound)
-                if bound is not None:
+                # bloom bits were set from Spark's cast-to-string of an
+                # int/string column; only probe when Python's str() is
+                # guaranteed to produce the same text (int or str, never
+                # bool/float — str(1.0) != CAST(1 AS STRING), and a
+                # false NEGATIVE here would silently drop rows). Other
+                # types fail OPEN to the min/max check + real filter.
+                if isinstance(bound, str) or (
+                    isinstance(bound, int) and not isinstance(bound, bool)
+                ):
                     points[col] = bound
 
         def _survives(f: str) -> bool:
@@ -1178,6 +1208,30 @@ def append_rows(
             f"partition_by {pb} does not match the table's committed "
             f"layout {current['partition_by']}"
         )
+    # Fail fast on schema drift (merge_into's contract): a typo'd or
+    # missing column in a streaming batch must not silently land a
+    # mixed-schema file set into the chain. Snapshots record the
+    # writer's schema; batches must match it name-for-name and
+    # type-for-type (nullability/metadata ignored). Pre-recording
+    # snapshots (older tables) skip the check.
+    recorded = (current or {}).get("schema")
+    if recorded is not None:
+        want = {f["name"]: f["type"] for f in recorded["fields"]}
+        have = {
+            f["name"]: f["type"] for f in rows.schema.jsonValue()["fields"]
+        }
+        if want != have:
+            extra = sorted(set(have) - set(want))
+            missing = sorted(set(want) - set(have))
+            retyped = sorted(
+                n for n in set(want) & set(have) if want[n] != have[n]
+            )
+            raise ValueError(
+                f"append batch schema does not match the table's "
+                f"committed schema (extra={extra}, missing={missing}, "
+                f"retyped={retyped}) — evolve the table through "
+                "merge_into(evolve_schema=True) first"
+            )
 
     def _committed(snap: dict | None) -> bool:
         return (
@@ -1208,14 +1262,7 @@ def append_rows(
             current = read_manifest(str(live))  # re-read under the lock
             if _committed(current):
                 return None  # raced with our own replay — batch already in
-            new_files = []
-            for rel in staged_files:
-                dst = live / rel
-                dst.parent.mkdir(parents=True, exist_ok=True)
-                if dst.exists():
-                    raise FileExistsError(f"data file collision at {dst}")
-                (staged / rel).rename(dst)
-                new_files.append(str(rel))
+            new_files = _move_staged_in(live, staged, staged_files)
             ledger = dict((current or {}).get("app_versions", {}))
             if stream_id is not None:
                 ledger[stream_id] = batch_id
@@ -1227,6 +1274,7 @@ def append_rows(
                 txid,
                 app_versions=ledger,
                 file_blooms=new_blooms,
+                table_schema=rows.schema.jsonValue(),
             )
     finally:
         shutil.rmtree(staged, ignore_errors=True)
@@ -1276,6 +1324,13 @@ def rollback_table(path: str, version: int) -> dict:
             target["partition_by"],
             current,
             _uuid.uuid4().hex,
+            # restore really IS metadata-only: the target snapshot
+            # already recorded its files' stats/blooms/schema — inherit
+            # them instead of dropping the blooms and re-reading every
+            # restored file's footer through the parent-only lookup
+            file_stats_hints=target.get("file_stats"),
+            file_blooms=target.get("file_blooms"),
+            table_schema=target.get("schema"),
         )
     return {
         "rolled_back_to": version,
