@@ -586,8 +586,10 @@ def test_table_changes_composes_and_inverts(spark, tmp_path):
     ]
     empty = table_changes(spark, path, 2, 2)
     assert empty.count() == 0
-    # schema=None follows the hive read contract: partition cols last
-    assert empty.columns == ["id", "v", "grp", "_change_type"]
+    # schema=None resolves to the snapshot's RECORDED writer schema
+    # (round-8): declared order, not the hive partition-cols-last read
+    # order — stable regardless of which file a footer race would pick
+    assert empty.columns == ["id", "grp", "v", "_change_type"]
     # applying the 1→3 feed to v1 reproduces v3 exactly
     v1 = read_table(spark, path, version=1)
     tc = table_changes(spark, path, 1, 3)

@@ -944,6 +944,13 @@ def read_table(
                 f"table at {path} has no manifest snapshot v{version}"
             )
         return _ordered(_reader(spark, schema).parquet(path))
+    if schema is None and m.get("schema"):
+        # snapshots record the writer's schema (round-8): a schema-less
+        # read of a manifest table is still a DECLARED read — no
+        # inference from an arbitrary footer, no mergeSchema job, and
+        # schema-evolved columns can never be lost to an old file's
+        # footer winning the race
+        schema = T.StructType.fromJson(m["schema"])
     from pathlib import Path
 
     live = Path(path)
