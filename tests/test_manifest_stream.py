@@ -131,3 +131,51 @@ def test_batch_reader_matches_read_table_and_infers_schema(spark, tmp_path):
     inf = spark.read.format("lake_manifest").load(path)
     assert dict(inf.dtypes)["bucket"] == "string"
     assert inf.count() == 9
+
+
+def test_governed_stream_table_enforces_like_batch(spark, tmp_path):
+    """Governance composes with streaming (round-8): stream_table
+    applies the analyst's data-cells filter (APAC rows, 5 non-PII
+    columns) to every micro-batch; an ungranted principal is denied
+    BEFORE any stream starts; admins stream raw. Streaming is not a
+    governance bypass."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark import fixtures as fx
+    from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+        PermissionDeniedError,
+    )
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    # convert the sales table to manifest commits (same rows)
+    sales = spark.read.parquet(f"{lake}/sales")
+    publish_overwrite(
+        spark, f"{lake}/sales", sales, None, manifest=True
+    )
+
+    def drain(stream_df):
+        name = f"gov_stream_{abs(hash(str(tmp_path))) % 10_000}"
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.sql(f"SELECT * FROM {name}")
+
+    got = drain(cat.stream_table("sales_db.sales", "analyst"))
+    rows = got.collect()
+    assert len(rows) == 8  # APAC only (generator split 8/6/6)
+    assert {r.sales_region for r in rows} == {"APAC"}
+    assert sorted(got.columns) == sorted(
+        ["customer_id", "customer_name", "sales_region", "sales_amount",
+         "sale_date"]
+    )  # PII columns never enter the stream
+    with pytest.raises(PermissionDeniedError):
+        cat.stream_table("sales_db.sales", "nobody")
+    # admin streams the raw table — all 20 rows, all 7 columns
+    admin = drain(cat.stream_table("sales_db.sales", "dataadmin"))
+    assert admin.count() == 20 and len(admin.columns) == 7

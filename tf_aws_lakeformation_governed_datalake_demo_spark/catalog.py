@@ -799,6 +799,21 @@ class GovernedCatalog:
         if not self.governance_enabled or name is None or name in self.admins:
             return self._raw(table, version, prune)
 
+        resolved = self._resolve_cells(name, table, qualified)
+        if resolved is None:  # unconditioned ALL/SELECT wins over filtered
+            return self._raw(table, version, prune)
+        cells, applied = resolved
+        if _filters_out is not None:
+            _filters_out.extend(applied)
+        df = self._raw(table, version, prune)
+        return self._apply_cells(table, cells, df, row_only)
+
+    def _resolve_cells(self, name: str, table: "TableDef", qualified: str):
+        """Conditioned-grant analysis shared by the batch
+        (:meth:`table`) and streaming (:meth:`stream_table`) read
+        paths: None when an unconditioned ALL/SELECT grant gives the
+        raw table; else ``(cells, applied_filter_names)``. Raises on
+        no grant / no SELECT path (implicit deny)."""
         grants = self.grants_for(name, table.database, table.name)
         if not grants:
             raise PermissionDeniedError(
@@ -811,7 +826,7 @@ class GovernedCatalog:
             and g.permission in (ALL, SELECT)
             for g in grants
         ):
-            return self._raw(table, version, prune)
+            return None
         # Conditioned grants are ADDITIVE (LF semantics: several cell
         # filters may attach to one (principal, table); effective access is
         # the union of their CELLS — main.tf:432-457 defines one filter but
@@ -874,9 +889,18 @@ class GovernedCatalog:
                 )
                 for pred, cols in cells
             ]
-        if _filters_out is not None:
-            _filters_out.extend(applied)
-        df = self._raw(table, version, prune)
+        return cells, applied
+
+    def _apply_cells(
+        self,
+        table: "TableDef",
+        cells: list,
+        df: DataFrame,
+        row_only: bool = False,
+    ) -> DataFrame:
+        """Apply resolved cell grants to a scan — batch OR streaming
+        DataFrame (every transform here is a stateless filter/project,
+        legal on streams)."""
         # Rows: visible iff any filter's row predicate matches. One OR
         # chain of pushable comparisons — Catalyst still pushes the whole
         # disjunction into the parquet scan.
@@ -924,6 +948,60 @@ class GovernedCatalog:
                     .alias(c)
                 )
         return df.select(*projection)
+
+    def stream_table(
+        self,
+        qualified: str,
+        principal: Principal | str | None = None,
+        *,
+        row_only: bool = False,
+        options: dict | None = None,
+    ) -> DataFrame:
+        """Governed STREAMING read of a manifest-committed lake table —
+        subscribe to the table (the ``lake_manifest`` source: offsets
+        are snapshot versions) with EXACTLY the enforcement a batch
+        read gets: implicit deny, row predicates, column allowlists,
+        per-cell NULL masking, tag-based exclusion, and the
+        pending-column strike all apply to every micro-batch, because
+        they are stateless filter/projects applied above the streaming
+        scan. Streaming is not a governance bypass — the streaming
+        twin of the time-travel rule (history isn't either).
+
+        ``options`` passes source options through (e.g.
+        ``{"ignoreChanges": "true"}``). Note the composition caveat:
+        a GDPR ``delete_rows`` is a rewrite, so by default a governed
+        stream STOPS at an erasure instead of replaying erased rows —
+        the fail-closed direction."""
+        if qualified not in self.tables:
+            raise KeyError(f"unknown table {qualified!r}")
+        table = self.tables[qualified]
+        if table.format != "parquet":
+            raise ValueError(
+                f"stream_table requires a manifest-committed parquet "
+                f"table; {qualified} is {table.format}"
+            )
+        from .sources.manifest_stream import register_lake_manifest_source
+
+        register_lake_manifest_source(self.spark)
+        reader = self.spark.readStream.format("lake_manifest")
+        schema = table.spark_schema()
+        if schema is not None:
+            reader = reader.schema(schema)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(table.location)
+        name = (
+            principal.name
+            if isinstance(principal, Principal)
+            else principal
+        )
+        if not self.governance_enabled or name is None or name in self.admins:
+            return df
+        resolved = self._resolve_cells(name, table, qualified)
+        if resolved is None:
+            return df
+        cells, _applied = resolved
+        return self._apply_cells(table, cells, df, row_only)
 
     def view(
         self,
