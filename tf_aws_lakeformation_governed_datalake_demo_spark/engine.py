@@ -785,6 +785,16 @@ class PrincipalSession:
             qualified, self.principal, version=version
         )
 
+    def stream_table(
+        self, qualified: str, options: dict | None = None
+    ) -> DataFrame:
+        """Governed STREAMING read of a manifest table — the same
+        enforcement as :meth:`table`, applied to every micro-batch
+        (catalog.stream_table)."""
+        return self.engine.catalog.stream_table(
+            qualified, self.principal, options=options
+        )
+
     def submit(self, sql: str) -> str:
         return self.engine.submit(sql, self.principal)
 
