@@ -18,7 +18,7 @@ round. Round-8 scheme (executing the round-7 VERDICT #2 plan —
 freshness-first, self-healing):
 
 - unprefixed — needs a FIRST or fresh driver verdict this round. Round
-  8: the eleven NEW round-8 oracle-backed queries — ``lake_time_travel``
+  8: the twelve NEW round-8 oracle-backed queries — ``lake_time_travel``
   (manifest-pointer commits: per-table atomic publish + snapshot
   time travel, round-7 VERDICT #1), ``dedup_minhash_index_probe``
   (the PERSISTED bucket-sharded LSH index probed from disk with
@@ -42,13 +42,16 @@ freshness-first, self-healing):
   commit — the bad publish stays inspectable, the restore is
   byte-exact), and ``stream_from_lake_source`` (Structured Streaming
   FROM the lake table: the lake_manifest Python data source, offsets
-  = snapshot versions) — plus the 21
+  = snapshot versions), and ``governance_streamed_counts`` (the
+  Analyst SUBSCRIBES to the governed manifest table — every
+  micro-batch passes the data-cells rewrite; differential fixture
+  oracle) — plus the 21
   ``y0_`` names whose last driver verdict dates to round 3/4 and that
   spilled past round 7's window (``stream_session_windows`` …
-  ``tpch_q9_product_profit``). 32 names.
+  ``tpch_q9_product_profit``). 33 names.
 - ``y1_<name>`` — last verified in round 5 (49 names). They sort
-  directly after the unprefixed block, so the 18 spare window slots
-  re-verify the alphabetically-first of these; the remaining 31 spill
+  directly after the unprefixed block, so the 17 spare window slots
+  re-verify the alphabetically-first of these; the remaining 32 spill
   to round 9 — every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
 - ``y2_<name>`` — verified in round 6 (50 names; CORRECTNESS_r06
@@ -75,14 +78,14 @@ so rotation only controls DRIVER-verdict freshness, never correctness
 coverage.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r07 except the eleven new unprefixed
+driver verdict in CORRECTNESS_r01..r07 except the twelve new unprefixed
 round-8 names, which get theirs here.
 
 Round-9 rotation plan (for the next builder session): once
-CORRECTNESS_r08 lands green, (1) move this round's 32 unprefixed names
-into a fresh ``y4_`` class (verified r8), (2) promote the 31 ``y1_``
+CORRECTNESS_r08 lands green, (1) move this round's 33 unprefixed names
+into a fresh ``y4_`` class (verified r8), (2) promote the 32 ``y1_``
 names that spilled past round 8's window (the alphabetically-last of
-the 49, starting after the 18 verified here) to the FRONT of the
+the 49, starting after the 17 verified here) to the FRONT of the
 round-9 window alongside any new round-9 queries, (3) fill remaining
 spare slots with the oldest ``y2_`` (r6) names. After round 9 the
 oldest outstanding driver verdicts will be r6's.
@@ -101,7 +104,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
 # Needs a first/fresh driver verdict in the round-8 window: the eleven
-# new round-8 queries (the six third/fourth-wave ones are unprefixed
+# new round-8 queries (the seven third/fourth-wave ones are unprefixed
 # by default — new names match no verified set) plus the 21
 # round-3/4-verified names that spilled past round 7's window (the
 # oldest outstanding driver verdicts).

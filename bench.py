@@ -142,9 +142,12 @@ HEADLINE = [
     # snapshot reads)
     "lake_bloom_point_lookup",
     "lake_rollback_restore",
-    # round 8 final addition: Structured Streaming FROM the lake table
-    # (publish + 2 appends + the Python-data-source stream aggregate)
+    # round 8 final additions: Structured Streaming FROM the lake table
+    # (publish + 2 appends + the Python-data-source stream aggregate),
+    # and the governed stream (analyst subscribes to the manifest sales
+    # table through the data-cells rewrite)
     "stream_from_lake_source",
+    "governance_streamed_counts",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

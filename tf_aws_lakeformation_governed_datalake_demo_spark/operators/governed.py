@@ -250,3 +250,80 @@ def governance_catalog_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM sales_db.sales ORDER BY customer_id",
         principal="auditor",
     )
+
+
+_GOV_STREAM_SEQ = __import__("itertools").count()
+
+# Weak keys for the same session-lifetime reason as _ENGINES.
+_STREAM_CATALOGS: "weakref.WeakKeyDictionary[SparkSession, object]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _stream_catalog(spark: SparkSession):
+    """One manifest-committed governed sales lake per SparkSession —
+    separate from _engine's lake (converting THAT one to manifest mode
+    mid-session would alter the other goldens' read path)."""
+    cat = _STREAM_CATALOGS.get(spark)
+    if cat is None:
+        from ..sources import publish_overwrite
+
+        lake = scratch_dir("gov_stream_lake_")
+        cat = fx.bootstrap(spark, lake)
+        publish_overwrite(
+            spark,
+            f"{lake}/sales",
+            spark.read.parquet(f"{lake}/sales"),
+            None,
+            manifest=True,
+        )
+        _STREAM_CATALOGS[spark] = cat
+    return cat
+
+
+@query(
+    "governance_streamed_counts",
+    f"""
+    WITH {_SALES_CTE}
+    SELECT sales_region, CAST(count(*) AS BIGINT) AS count,
+           round(CAST(sum(CAST(round(sales_amount * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS total_amount
+    FROM sales_fixture
+    WHERE sales_region = 'APAC'
+    GROUP BY sales_region
+    """,
+    "Governed STREAMING read (round-8): the sales table is converted to "
+    "manifest commits and the Analyst SUBSCRIBES to it — "
+    "catalog.stream_table routes the lake_manifest source through the "
+    "same data-cells enforcement as batch, so every micro-batch carries "
+    "only APAC rows and the 5 non-PII columns; a complete-mode "
+    "aggregation over the stream equals the fixture VALUES with the "
+    "declared row predicate applied (differential oracle). Streaming is "
+    "not a governance bypass.",
+)
+def governance_streamed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes S30 (the manifest streaming source) with §2.10
+    governance: the stream's plan is filter+project ABOVE the source,
+    identical to the batch rewrite, so enforcement cost is the same
+    pushable predicate. Uses its own scratch lake (converting the
+    shared fixture lake to manifest mode would alter the other
+    goldens' read path mid-session)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import run_stream_to_batch
+
+    catalog = _stream_catalog(spark)
+    agg = (
+        catalog.stream_table("sales_db.sales", "analyst")
+        .groupBy("sales_region")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.round(
+                F.sum(F.round(F.col("sales_amount") * 100).cast("long"))
+                / 100.0,
+                2,
+            ).alias("total_amount"),
+        )
+    )
+    name = f"gov_stream_out_{next(_GOV_STREAM_SEQ)}"
+    return run_stream_to_batch(agg, name, output_mode="complete")
