@@ -45,10 +45,15 @@ freshness-first, self-healing):
   = snapshot versions), and ``governance_streamed_counts`` (the
   Analyst SUBSCRIBES to the governed manifest table — every
   micro-batch passes the data-cells rewrite; differential fixture
-  oracle) — plus the 21
+  oracle), and the merge-on-read pair ``lake_delete_mor`` (DELETE as
+  a metadata-only tombstone commit, sequence-number-scoped so later
+  appends land matching rows untouched) + ``lake_mor_purge_cdf``
+  (table_changes emits tombstone deltas as 'delete' rows;
+  purge_deleted_rows rewrites only covered files and clears the
+  tombstones result-equal) — plus the 21
   ``y0_`` names whose last driver verdict dates to round 3/4 and that
   spilled past round 7's window (``stream_session_windows`` …
-  ``tpch_q9_product_profit``). 33 names.
+  ``tpch_q9_product_profit``). 35 names.
 - ``y1_<name>`` — last verified in round 5 (49 names). They sort
   directly after the unprefixed block, so the 17 spare window slots
   re-verify the alphabetically-first of these; the remaining 32 spill

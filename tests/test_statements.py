@@ -702,3 +702,89 @@ def test_maintain_delete_rows_pending_column_denied_and_audited(spark, tmp_path)
         e["status"] == "ok" and e["query"].endswith("WHERE id = 2")
         for e in cat.audit.events
     )
+
+
+def test_maintain_mor_delete_and_purge_governed(spark, sf_dir, tmp_path):
+    """Merge-on-read maintenance surface (round-8): delete_rows_mor is
+    a governed metadata-only tombstone commit (verbatim-predicate
+    audit, pending-column fail-closed like the eager path); analysts
+    immediately stop observing matched rows; purge_deletes later
+    materializes and clears the tombstones without changing results."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark import TableDef
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        SELECT,
+        PermissionDeniedError,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        load,
+        publish_overwrite,
+        read_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    cat.set_admins(["ops"])
+    loc = f"{lake}/events_mor"
+    ev = load(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 4).cast("int")
+    )
+    publish_overwrite(spark, loc, ev, ["bucket"], manifest=True)
+    cat.register_table(
+        TableDef(
+            fx.DATABASE,
+            "events_mor",
+            loc,
+            schema=ev.schema,
+            partition_keys=("bucket",),
+        )
+    )
+    cat.grant("analyst2", SELECT, fx.DATABASE, "events_mor")
+    q = f"{fx.DATABASE}.events_mor"
+
+    with pytest.raises(PermissionDeniedError):
+        eng.maintain(
+            q, "delete_rows_mor", principal="analyst2", predicate="user_id = 7"
+        )
+    files_before = read_manifest(loc)["files"]
+    out = eng.maintain(
+        q, "delete_rows_mor", principal="ops", predicate="user_id = 7"
+    )
+    assert out["rows_deleted"] > 0 and out["tombstones"] == 1
+    # metadata-only: no file moved, and the governed read hides the rows
+    assert read_manifest(loc)["files"] == files_before
+    seen = (
+        eng.sql(
+            f"SELECT count(*) AS n FROM {q} WHERE user_id = 7",
+            principal="analyst2",
+        )
+        .first()
+        .n
+    )
+    assert seen == 0
+    assert any(
+        e["query"] == f"MAINTAIN delete_rows_mor {q} WHERE user_id = 7"
+        and e["status"] == "ok"
+        for e in cat.audit.events
+    )
+
+    # pending-column fail-closed applies to the MoR path too
+    cat.evolve_table_schema(q, [T.StructField("risk", T.DoubleType())])
+    with pytest.raises(PermissionDeniedError, match="pending-approval"):
+        eng.maintain(
+            q, "delete_rows_mor", principal="ops", predicate="risk > 0.5"
+        )
+
+    total_before = (
+        eng.sql(f"SELECT count(*) AS n FROM {q}", principal="ops").first().n
+    )
+    purged = eng.maintain(q, "purge_deletes", principal="ops")
+    assert purged["tombstones_cleared"] == 1
+    assert not read_manifest(loc).get("delete_predicates")
+    total_after = (
+        eng.sql(f"SELECT count(*) AS n FROM {q}", principal="ops").first().n
+    )
+    assert total_after == total_before

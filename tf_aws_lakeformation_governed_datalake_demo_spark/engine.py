@@ -534,6 +534,15 @@ class Engine:
           path (sources.lake.delete_rows; ``predicate=`` required).
           The audit line records that an erasure ran against the table
           — the compliance trail a right-to-be-forgotten request needs.
+        - ``"delete_rows_mor"`` — merge-on-read DELETE
+          (sources.lake.delete_rows_mor; ``predicate=`` required): a
+          metadata-only tombstone commit on a manifest table. Same
+          grant gate, verbatim-predicate audit line, and fail-closed
+          pending-column check as ``delete_rows`` — but NOT erasure
+          (rows persist until ``purge_deletes`` + ``expire_snapshots``).
+        - ``"purge_deletes"`` — materialize accumulated merge-on-read
+          tombstones (sources.lake.purge_deleted_rows): rewrites only
+          covered files, clears every tombstone.
         - ``"expire_snapshots"`` — time-travel retention on a
           manifest-committed table (sources.lake.vacuum_manifests;
           ``keep_last=`` defaults to 1): snapshots past the horizon and
@@ -555,7 +564,9 @@ class Engine:
         from .sources.lake import (
             compact_in_place,
             delete_rows,
+            delete_rows_mor,
             expire_scd2_versions,
+            purge_deleted_rows,
             rollback_table,
             vacuum_manifests,
             vacuum_publish_artifacts,
@@ -572,7 +583,10 @@ class Engine:
         # was attempted.
         predicate = kwargs.get("predicate")
         audit_suffix = (
-            f" WHERE {predicate}" if action == "delete_rows" and predicate is not None else ""
+            f" WHERE {predicate}"
+            if action in ("delete_rows", "delete_rows_mor")
+            and predicate is not None
+            else ""
         )
         if action == "rollback" and "to_version" in kwargs:
             audit_suffix = f" TO VERSION {kwargs['to_version']}"
@@ -654,7 +668,7 @@ class Engine:
             result = {
                 "removed": vacuum_publish_artifacts(table.location, **kwargs)
             }
-        elif action == "delete_rows":
+        elif action in ("delete_rows", "delete_rows_mor"):
             # Fail-closed schema evolution extends to maintenance
             # (round-7 VERDICT #6): a pending (evolved, not-yet-
             # approved) column is invisible to every conditioned read
@@ -679,12 +693,23 @@ class Engine:
                         f"column(s) {struck} on {qualified}; approve the "
                         "evolved columns first (fail-closed schema evolution)"
                     )
-            # the catalog knows the layout — derive partition pruning
-            # from the declared partition keys unless overridden
-            kwargs.setdefault(
-                "partition_col", list(table.partition_keys) or None
-            )
-            result = delete_rows(self.spark, table.location, **kwargs)
+            if action == "delete_rows_mor":
+                # merge-on-read: a metadata-only tombstone commit — NOT
+                # erasure (the audit line carries the predicate either
+                # way; the GDPR trail needs the eager path)
+                result = delete_rows_mor(
+                    self.spark, table.location, **kwargs
+                )
+            else:
+                # the catalog knows the layout — derive partition
+                # pruning from the declared partition keys unless
+                # overridden
+                kwargs.setdefault(
+                    "partition_col", list(table.partition_keys) or None
+                )
+                result = delete_rows(self.spark, table.location, **kwargs)
+        elif action == "purge_deletes":
+            result = purge_deleted_rows(self.spark, table.location, **kwargs)
         elif action == "expire_snapshots":
             kwargs.setdefault("keep_last", 1)
             result = vacuum_manifests(table.location, **kwargs)

@@ -1168,3 +1168,159 @@ def lake_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(read_table(spark, path, version=2), "v2").unionByName(
         profile(read_table(spark, path), "restored")
     )
+
+
+_MOR_VISIBLE_SEED = """
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE NOT coalesce(n_chars < 200, FALSE)
+        AND NOT coalesce(nullif(lang, 'en') = 'de', FALSE)
+"""
+
+
+@query(
+    "lake_delete_mor",
+    f"""
+    WITH visible_seed AS ({_MOR_VISIBLE_SEED}),
+    appended AS (
+      SELECT doc_id + 10000000 AS doc_id, lang, source, n_chars
+      FROM documents WHERE n_chars < 180
+    ),
+    cur AS (
+      SELECT *, FALSE AS appended FROM visible_seed
+      UNION ALL
+      SELECT *, TRUE AS appended FROM appended
+    )
+    SELECT lang, appended, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM cur GROUP BY lang, appended
+    """,
+    "Merge-on-read DELETE (round-8): two predicate tombstones commit as "
+    "metadata-only snapshots on a lang-partitioned manifest table (file "
+    "list unchanged — asserted), then an append lands rows MATCHING the "
+    "first predicate. The oracle replays the exact visibility rules: "
+    "seed rows hidden under both tombstones with three-valued logic "
+    "(nullif makes predicate 2 NULL for 'en' rows — they stay), "
+    "appended rows fully visible because tombstones are scoped by file "
+    "sequence number (Iceberg's merge-on-read rule) and never apply to "
+    "files committed after the delete.",
+)
+def lake_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE as an O(1)-data-movement manifest commit
+    (sources/lake.py delete_rows_mor): the rewrite is deferred to
+    purge_deleted_rows, the read-side cost is one pushable keep-filter.
+    Scale: deleting a predicate's worth of rows from a 100 TB table
+    costs one JSON pointer replace; the eager path (delete_rows) stays
+    the GDPR primitive. Scope/3VL/rollback pinned in
+    tests/test_mor_deletes.py."""
+    from ..sources import (
+        append_rows,
+        delete_rows_mor,
+        publish_overwrite,
+        read_manifest,
+        read_table,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = scratch_dir("mor_delete_") + "/docs"
+    publish_overwrite(spark, path, d, ["lang"], manifest=True)
+    before = read_manifest(path)
+    delete_rows_mor(spark, path, "n_chars < 200", count=False)
+    delete_rows_mor(spark, path, "nullif(lang, 'en') = 'de'", count=False)
+    after = read_manifest(path)
+    assert after["files"] == before["files"], "tombstone commit moved data"
+    assert len(after["delete_predicates"]) == 2, after
+    batch = d.filter(F.col("n_chars") < 180).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    append_rows(spark, path, batch, partition_by=["lang"])
+    return (
+        read_table(spark, path)
+        .withColumn("appended", F.col("doc_id") >= 10_000_000)
+        .groupBy("lang", "appended")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@query(
+    "lake_mor_purge_cdf",
+    f"""
+    WITH hidden AS (
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE coalesce(n_chars < 200, FALSE)
+         OR coalesce(nullif(lang, 'en') = 'de', FALSE)
+    ),
+    visible_seed AS ({_MOR_VISIBLE_SEED})
+    SELECT 'cdf_delete' AS stage, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM hidden GROUP BY lang
+    UNION ALL
+    SELECT 'post_purge' AS stage, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM visible_seed GROUP BY lang
+    """,
+    "Merge-on-read purge + change feed (round-8): after two tombstone "
+    "commits, table_changes across them emits the newly hidden rows as "
+    "'delete' changes WITHOUT the file sets differing — the feed "
+    "detects per-file tombstone-coverage deltas and scans only covered "
+    "files. purge_deleted_rows then rewrites exactly the covered files "
+    "with the keep-filters applied and clears every tombstone "
+    "(asserted); the post-purge read must replay the same visible "
+    "profile the masked read gave — materialization changes bytes, "
+    "never results.",
+)
+def lake_mor_purge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deferred-rewrite half of merge-on-read: tombstones
+    accumulate cheaply, the purge pays the rewrite once, file-granular
+    (uncovered files are carried by name — asserted). The CDF leg
+    proves downstream incremental consumers observe MoR deletes
+    exactly (sources/lake.py table_changes' coverage-delta scan)."""
+    from ..sources import (
+        delete_rows_mor,
+        publish_overwrite,
+        purge_deleted_rows,
+        read_manifest,
+        read_table,
+        table_changes,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = scratch_dir("mor_purge_") + "/docs"
+    publish_overwrite(spark, path, d, ["lang"], manifest=True)
+    v1 = read_manifest(path)["version"]
+    delete_rows_mor(spark, path, "n_chars < 200", count=False)
+    delete_rows_mor(spark, path, "nullif(lang, 'en') = 'de'", count=False)
+    v3 = read_manifest(path)["version"]
+    feed = table_changes(spark, path, v1, v3)
+    cdf = (
+        feed.filter(F.col("_change_type") == "delete")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(F.lit("cdf_delete").alias("stage"), "*")
+    )
+    stats = purge_deleted_rows(spark, path)
+    assert stats["tombstones_cleared"] == 2, stats
+    assert not read_manifest(path).get("delete_predicates")
+    post = (
+        read_table(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(F.lit("post_purge").alias("stage"), "*")
+    )
+    return cdf.unionByName(post)

@@ -17,11 +17,13 @@ from .lake import (
     compact_in_place,
     consume_table_changes,
     delete_rows,
+    delete_rows_mor,
     expire_scd2_versions,
     load,
     load_all,
     merge_into,
     publish_overwrite,
+    purge_deleted_rows,
     read_manifest,
     read_table,
     register_views,
@@ -42,11 +44,13 @@ __all__ = [
     "compact_in_place",
     "consume_table_changes",
     "delete_rows",
+    "delete_rows_mor",
     "expire_scd2_versions",
     "load",
     "load_all",
     "merge_into",
     "publish_overwrite",
+    "purge_deleted_rows",
     "read_manifest",
     "register_lake_manifest_source",
     "read_table",

@@ -702,6 +702,70 @@ def _bloom_may_contain(hex_bitmap: str, value) -> bool:
     )
 
 
+def _applicable_tombstones(m: dict, f: str) -> frozenset:
+    """The delete tombstones of snapshot ``m`` that cover file ``f``,
+    as a frozenset of (pred, scope) pairs — identity that is stable
+    across snapshots (indices are not: pruning renumbers)."""
+    preds = m.get("delete_predicates")
+    if not preds:
+        return frozenset()
+    av = m.get("file_added", {}).get(f, 0)
+    return frozenset(
+        (p["pred"], p["scope"]) for p in preds if av <= p["scope"]
+    )
+
+
+def _keep_filter(df: DataFrame, tombstones) -> DataFrame:
+    """Apply delete tombstones as keep-filters. Three-valued logic
+    matches :func:`delete_rows`: a row where the predicate evaluates
+    NULL was NOT matched by the delete and is therefore KEPT."""
+    for pred_sql, _scope in sorted(tombstones):
+        raw = F.expr(pred_sql).cast("boolean")
+        df = df.filter(~F.coalesce(raw, F.lit(False)))
+    return df
+
+
+def _masked_scan(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    files: list[str],
+    schema: T.StructType | None,
+) -> DataFrame:
+    """Scan ``files`` of manifest snapshot ``m`` with its merge-on-read
+    delete tombstones applied. Zero overhead when the snapshot carries
+    none (the common case — one scan, no union). With tombstones, files
+    are grouped by their applicable tombstone SET (after k deletes the
+    groups nest, so there are at most k+1, typically 2: old files under
+    the tombstones, post-delete files clean); each group is one scan
+    with its keep-filters — plain Catalyst filters above the file scan,
+    no join, no shuffle — unioned by name."""
+    from pathlib import Path
+
+    live = Path(path)
+
+    def _scan(fs: list[str]) -> DataFrame:
+        return (
+            _reader(spark, schema)
+            .option("basePath", path)
+            .parquet(*[str(live / f) for f in fs])
+        )
+
+    if not m.get("delete_predicates"):
+        return _scan(files)
+    groups: dict[frozenset, list[str]] = {}
+    for f in files:
+        groups.setdefault(_applicable_tombstones(m, f), []).append(f)
+    parts = [
+        _keep_filter(_scan(fs), key)
+        for key, fs in sorted(groups.items(), key=lambda kv: sorted(kv[0]))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _commit_manifest(
     live,
     files: list[str],
@@ -712,6 +776,8 @@ def _commit_manifest(
     file_blooms: dict | None = None,
     file_stats_hints: dict | None = None,
     table_schema: dict | None = None,
+    delete_predicates: list | None = None,
+    file_added_hints: dict | None = None,
 ) -> dict:
     """Write snapshot ``_manifests/v{N}.json`` then atomically replace
     the ``_manifest.json`` pointer with the same content (``os.replace``
@@ -732,7 +798,20 @@ def _commit_manifest(
     ``None`` (every non-append commit) CARRIES the parent's ledger
     unchanged — a merge or rollback between stream batches must not
     reset a sink's high-water mark, or the next restart would
-    double-append replayed batches."""
+    double-append replayed batches.
+
+    ``file_added`` (always recorded) maps each data file to the
+    version that ADDED it — the Iceberg data-sequence-number analog.
+    It scopes ``delete_predicates`` (merge-on-read DELETE,
+    :func:`delete_rows_mor`): a tombstone ``{"pred": sql, "scope": V}``
+    suppresses matching rows ONLY in files with
+    ``file_added <= scope`` — files committed after the delete are
+    never affected, so appends/merges land clean data without
+    consulting history. ``delete_predicates=None`` carries the
+    parent's tombstones; either way tombstones no longer covering any
+    live file (every covered file was rewritten or vacuumed) are
+    pruned here, which is why a full rewrite or a targeted
+    :func:`purge_deleted_rows` clears them with no explicit step."""
     import json
     import os
     import time
@@ -765,6 +844,28 @@ def _commit_manifest(
         b = (file_blooms or {}).get(f) or parent_blooms.get(f)
         if b:
             blooms[f] = b
+    # sequence numbers: hint (rollback restores the target's) > parent's
+    # recorded value > 0 for a pre-tracking legacy file (oldest scope —
+    # every tombstone applies) > this commit's version for a new file
+    parent_added = (parent or {}).get("file_added", {})
+    parent_files = set((parent or {}).get("files", []))
+    file_added = {}
+    for f in sorted(files):
+        if file_added_hints and f in file_added_hints:
+            file_added[f] = file_added_hints[f]
+        elif f in parent_added:
+            file_added[f] = parent_added[f]
+        elif f in parent_files:
+            file_added[f] = 0
+        else:
+            file_added[f] = version
+    if delete_predicates is None:
+        delete_predicates = (parent or {}).get("delete_predicates", [])
+    delete_predicates = [
+        p
+        for p in delete_predicates
+        if any(file_added[f] <= p["scope"] for f in files)
+    ]
     snap = {
         "version": version,
         "parent": parent["version"] if parent else None,
@@ -772,8 +873,11 @@ def _commit_manifest(
         "partition_by": list(partition_by or []),
         "files": sorted(files),
         "file_stats": file_stats,
+        "file_added": file_added,
         "committed_at": time.time(),
     }
+    if delete_predicates:
+        snap["delete_predicates"] = list(delete_predicates)
     if app_versions:
         snap["app_versions"] = dict(app_versions)
     if blooms:
@@ -1012,9 +1116,7 @@ def read_table(
             f"manifest v{m['version']} at {path} is empty and no "
             "schema was declared — cannot synthesize an empty scan"
         )
-    return _ordered(
-        _reader(spark, schema).option("basePath", path).parquet(*files)
-    )
+    return _ordered(_masked_scan(spark, path, m, kept, schema))
 
 
 def table_changes(
@@ -1059,25 +1161,57 @@ def table_changes(
         )
     added = sorted(set(m_to["files"]) - set(m_from["files"]))
     removed = sorted(set(m_from["files"]) - set(m_to["files"]))
+    # merge-on-read deletes (delete_rows_mor) change VISIBILITY without
+    # changing the file set: a carried file whose applicable tombstone
+    # set differs between the two snapshots contributes its newly
+    # hidden (or, after a rollback, newly restored) rows to the feed.
+    # Only files whose coverage CHANGED are ever scanned — the feed
+    # stays O(delta) (tombstone-covered files are bounded by the purge
+    # cadence; untouched-and-unchanged files never enter the plan).
+    changed: dict[tuple, list[str]] = {}
+    for f in sorted(set(m_to["files"]) & set(m_from["files"])):
+        kf = _applicable_tombstones(m_from, f)
+        kt = _applicable_tombstones(m_to, f)
+        if kf != kt:
+            changed.setdefault((kf, kt), []).append(f)
     live = Path(path)
 
-    def _scan(files: list[str]) -> DataFrame:
-        df = (
-            _reader(spark, schema)
-            .option("basePath", path)
-            .parquet(*[str(live / f) for f in files])
-        )
+    def _project(df: DataFrame) -> DataFrame:
         if schema is not None and df.columns != list(schema.names):
             df = df.select(*schema.names)
         return df
 
-    if not added and not removed:
+    def _scan(files: list[str], m: dict) -> DataFrame:
+        return _project(_masked_scan(spark, path, m, files, schema))
+
+    if not added and not removed and not changed:
         proto = schema or read_table(spark, path, version=from_version).schema
         return spark.createDataFrame([], proto).withColumn(
             "_change_type", F.lit("insert")
         )
-    new = _scan(added) if added else None
-    old = _scan(removed) if removed else None
+    new_parts = [_scan(added, m_to)] if added else []
+    old_parts = [_scan(removed, m_from)] if removed else []
+    for (kf, kt), fs in sorted(
+        changed.items(), key=lambda kv: (sorted(kv[0][0]), sorted(kv[0][1]))
+    ):
+        raw = _project(
+            _reader(spark, schema)
+            .option("basePath", path)
+            .parquet(*[str(live / f) for f in fs])
+        )
+        old_parts.append(_keep_filter(raw, kf))
+        new_parts.append(_keep_filter(raw, kt))
+
+    def _fold(parts: list[DataFrame]) -> DataFrame | None:
+        out = None
+        for p in parts:
+            out = p if out is None else out.unionByName(
+                p, allowMissingColumns=True
+            )
+        return out
+
+    new = _fold(new_parts)
+    old = _fold(old_parts)
     if new is None:
         new = spark.createDataFrame([], old.schema)
     if old is None:
@@ -1338,6 +1472,13 @@ def rollback_table(path: str, version: int) -> dict:
             file_stats_hints=target.get("file_stats"),
             file_blooms=target.get("file_blooms"),
             table_schema=target.get("schema"),
+            # restore the TARGET's delete tombstones and sequence
+            # numbers (explicit [] when it had none — a rollback to a
+            # pre-delete snapshot must not carry the parent's
+            # tombstones forward, or the restored rows would stay
+            # hidden)
+            delete_predicates=target.get("delete_predicates", []),
+            file_added_hints=target.get("file_added"),
         )
     return {
         "rolled_back_to": version,
@@ -1905,6 +2046,183 @@ def delete_rows(
         # contract holds for version= readers too.
         vacuum_manifests(path, keep_last=1)
     return {"rows_deleted": n_deleted, "partitions_rewritten": n_partitions}
+
+
+def delete_rows_mor(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    count: bool = True,
+) -> dict:
+    """Merge-on-read DELETE on a manifest table: commit a predicate
+    TOMBSTONE instead of rewriting data — the Delta deletion-vector /
+    Iceberg merge-on-read analog, expressed as a predicate scoped by
+    file sequence number rather than per-file position bitmaps.
+
+    The commit is **metadata-only**: the new snapshot carries the same
+    file list plus ``{"pred": predicate, "scope": current_version}`` in
+    ``delete_predicates``. Every read path (:func:`read_table`, time
+    travel, :func:`table_changes`, and everything built on them)
+    applies the tombstone as a keep-filter over files with
+    ``file_added <= scope`` — a plain Catalyst filter, no join, no
+    shuffle — while files committed AFTER the delete are never
+    consulted against it, so later appends/merges land rows matching
+    the old predicate untouched (exactly Iceberg's sequence-number
+    rule). :func:`purge_deleted_rows` (or any full rewrite) later
+    materializes and clears accumulated tombstones.
+
+    100 TB design: DELETE cost becomes O(1) data movement — one
+    manifest commit — regardless of how many TB the predicate touches;
+    the rewrite is deferred to purge/compaction where it amortizes.
+    The read-side cost is one pushable filter until purge. This is the
+    low-latency complement to :func:`delete_rows` (copy-on-write).
+
+    **Not an erasure primitive**: matched rows remain physically
+    present in the data files and readable via time travel until
+    :func:`purge_deleted_rows` + :func:`vacuum_manifests` (or eager
+    :func:`delete_rows`, the GDPR path, which also truncates history).
+
+    ``predicate`` must be a SQL string (it is stored in the manifest
+    JSON). Rows where it evaluates NULL are NOT matched and stay
+    visible (three-valued logic, :func:`delete_rows`'s contract).
+    ``count=False`` skips the matched-row count scan — the commit
+    itself never needs one. Returns ``{"rows_deleted", "version",
+    "tombstones"}`` (``rows_deleted`` None when uncounted)."""
+    import uuid as _uuid
+    from pathlib import Path as _P
+
+    if not isinstance(predicate, str):
+        raise TypeError(
+            "delete_rows_mor stores the predicate in the manifest — "
+            "pass a SQL string, not a Column"
+        )
+    F.expr(predicate)  # fail fast on unparseable SQL
+    live = _P(path)
+    m = read_manifest(path)
+    if m is None:
+        raise ValueError(
+            f"table at {path} is not manifest-committed — tombstones "
+            "live in the manifest; use delete_rows (eager) or "
+            "publish_overwrite(..., manifest=True) first"
+        )
+    rows_deleted = None
+    if count:
+        raw = F.expr(predicate).cast("boolean")
+        rows_deleted = (
+            read_table(spark, path)
+            .filter(F.coalesce(raw, F.lit(False)))
+            .count()
+        )
+    with publish_lock(live):
+        current = read_manifest(path)
+        if current is None or current["version"] != m["version"]:
+            raise ConcurrentLakeModificationError(
+                f"table at {path} moved past snapshot v{m['version']} "
+                "while the delete was being prepared — re-run against "
+                "the current snapshot"
+            )
+        tomb = {"pred": predicate, "scope": current["version"]}
+        snap = _commit_manifest(
+            live,
+            current["files"],
+            current["partition_by"],
+            current,
+            _uuid.uuid4().hex,
+            delete_predicates=[
+                *current.get("delete_predicates", []),
+                tomb,
+            ],
+        )
+    return {
+        "rows_deleted": rows_deleted,
+        "version": snap["version"],
+        "tombstones": len(snap.get("delete_predicates", [])),
+    }
+
+
+def purge_deleted_rows(
+    spark: SparkSession,
+    path: str,
+    compression: str = "snappy",
+) -> dict:
+    """Materialize a manifest table's accumulated merge-on-read
+    tombstones (:func:`delete_rows_mor`): rewrite ONLY the files a
+    tombstone covers, with the keep-filters applied, and commit
+    ``uncovered ∪ rewritten`` — the new snapshot's data is clean, so
+    :func:`_commit_manifest`'s coverage pruning clears every tombstone
+    with no explicit step. File-granular: uncovered files (everything
+    appended or rewritten since the last delete) are carried by NAME,
+    never listed, read, or rewritten; a 100 TB table pays only for the
+    covered slice, which the purge cadence bounds.
+
+    Fully-deleted partitions simply stop being referenced (manifest
+    readers never list directories); their on-disk remnants fall to
+    :func:`vacuum_manifests`, which also removes then-empty dirs.
+    Physical erasure = purge + ``vacuum_manifests(keep_last=1)``;
+    until then the pre-purge snapshots still time-travel.
+
+    Returns ``{"files_rewritten", "files_written",
+    "tombstones_cleared", "version"}`` (version None on no-op)."""
+    import shutil
+    import uuid as _uuid
+    from pathlib import Path as _P
+
+    live = _P(path)
+    m = read_manifest(path)
+    if m is None:
+        raise ValueError(
+            f"table at {path} is not manifest-committed — nothing to purge"
+        )
+    covered = [f for f in m["files"] if _applicable_tombstones(m, f)]
+    n_tomb = len(m.get("delete_predicates", []))
+    if not covered:
+        return {
+            "files_rewritten": 0,
+            "files_written": 0,
+            "tombstones_cleared": 0,
+            "version": None,
+        }
+    uncovered = [f for f in m["files"] if not _applicable_tombstones(m, f)]
+    schema = (
+        T.StructType.fromJson(m["schema"]) if m.get("schema") else None
+    )
+    part_by = list(m.get("partition_by") or [])
+    df = _masked_scan(spark, path, m, covered, schema)
+    txid = _uuid.uuid4().hex
+    staged = live / f"_staged_{txid}"
+    writer = df.write.mode("overwrite").option("compression", compression)
+    if part_by:
+        writer = writer.partitionBy(*part_by)
+    writer.parquet(str(staged))
+    staged_files = sorted(
+        p.relative_to(staged) for p in staged.rglob("*.parquet") if p.is_file()
+    )
+    try:
+        with publish_lock(live):
+            current = read_manifest(path)
+            if current is None or current["version"] != m["version"]:
+                raise ConcurrentLakeModificationError(
+                    f"table at {path} moved past snapshot v{m['version']} "
+                    "while the purge rewrite ran — re-run against the "
+                    "current snapshot"
+                )
+            new_files = _move_staged_in(live, staged, staged_files)
+            snap = _commit_manifest(
+                live,
+                [*uncovered, *new_files],
+                part_by or None,
+                current,
+                txid,
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    assert not snap.get("delete_predicates"), snap.get("delete_predicates")
+    return {
+        "files_rewritten": len(covered),
+        "files_written": len(new_files),
+        "tombstones_cleared": n_tomb,
+        "version": snap["version"],
+    }
 
 
 def expire_scd2_versions(
