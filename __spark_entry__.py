@@ -50,10 +50,12 @@ freshness-first, self-healing):
   appends land matching rows untouched) + ``lake_mor_purge_cdf``
   (table_changes emits tombstone deltas as 'delete' rows;
   purge_deleted_rows rewrites only covered files and clears the
-  tombstones result-equal) — plus the 21
+  tombstones result-equal), and ``lake_write_audit_publish`` (the
+  Iceberg WAP pattern: invisible candidate snapshot → audit →
+  one-pointer promote or zero-trace abort) — plus the 21
   ``y0_`` names whose last driver verdict dates to round 3/4 and that
   spilled past round 7's window (``stream_session_windows`` …
-  ``tpch_q9_product_profit``). 35 names.
+  ``tpch_q9_product_profit``). 36 names.
 - ``y1_<name>`` — last verified in round 5 (49 names). They sort
   directly after the unprefixed block, so the 17 spare window slots
   re-verify the alphabetically-first of these; the remaining 32 spill

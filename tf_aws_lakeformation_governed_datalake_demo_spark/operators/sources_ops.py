@@ -1324,3 +1324,86 @@ def lake_mor_purge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("post_purge").alias("stage"), "*")
     )
     return cdf.unionByName(post)
+
+
+@query(
+    "lake_write_audit_publish",
+    """
+    SELECT 'after_abort' AS stage, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'after_commit' AS stage, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars + 10) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    "Write-audit-publish (round-8, the Iceberg WAP pattern): a BAD "
+    "rewrite (corrupted n_chars on 10% of rows) is staged as an "
+    "invisible candidate snapshot, the audit query counts the "
+    "violations on read_candidate and ABORTS — the live table must "
+    "still replay the seed profile exactly ('after_abort'). A GOOD "
+    "rewrite (+10 chars per doc) then stages, audits clean, and "
+    "commits with one atomic pointer promote ('after_commit'). The "
+    "oracle replays both stages; equality proves a rejected batch "
+    "leaves zero trace and an accepted one lands exactly once.",
+)
+def lake_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-gated ingestion shape a production lake needs: the
+    expensive write happens outside any lock, audits read the
+    candidate at full scan parallelism, promotion is one JSON pointer
+    replace regardless of data volume (sources/lake.py begin_publish
+    contract). Crash/abandon reclaim + conflict detection pinned in
+    tests/test_wap.py."""
+    from ..sources import (
+        abort_publish,
+        begin_publish,
+        commit_publish,
+        publish_overwrite,
+        read_candidate,
+        read_manifest,
+        read_table,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = scratch_dir("wap_") + "/docs"
+    publish_overwrite(spark, path, d, ["lang"], manifest=True)
+    v1 = read_manifest(path)["version"]
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+            .select(F.lit(tag).alias("stage"), "*")
+        )
+
+    bad = d.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(-1)).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    cand = begin_publish(spark, path, bad, ["lang"])
+    violations = (
+        read_candidate(spark, path, cand).filter(F.col("n_chars") < 0).count()
+    )
+    assert violations > 0, "audit should catch the corrupt batch"
+    abort_publish(path, cand)
+    assert read_manifest(path)["version"] == v1, "abort must not commit"
+    after_abort = profile(read_table(spark, path), "after_abort")
+
+    good = d.withColumn("n_chars", F.col("n_chars") + 10)
+    cand2 = begin_publish(spark, path, good, ["lang"])
+    assert (
+        read_candidate(spark, path, cand2).filter(F.col("n_chars") < 0).count()
+        == 0
+    ), "good batch must audit clean"
+    commit_publish(path, cand2)
+    after_commit = profile(read_table(spark, path), "after_commit")
+    return after_abort.unionByName(after_commit)

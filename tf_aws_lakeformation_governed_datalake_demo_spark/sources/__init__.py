@@ -12,6 +12,9 @@ from .manifest_stream import (
 )
 from .lake import (
     TPCH_TABLES,
+    abort_publish,
+    begin_publish,
+    commit_publish,
     ConcurrentLakeModificationError,
     append_rows,
     compact_in_place,
@@ -24,6 +27,7 @@ from .lake import (
     merge_into,
     publish_overwrite,
     purge_deleted_rows,
+    read_candidate,
     read_manifest,
     read_table,
     register_views,
@@ -39,6 +43,9 @@ from .lake import (
 __all__ = [
     "LakeManifestDataSource",
     "TPCH_TABLES",
+    "abort_publish",
+    "begin_publish",
+    "commit_publish",
     "ConcurrentLakeModificationError",
     "append_rows",
     "compact_in_place",
@@ -51,6 +58,7 @@ __all__ = [
     "merge_into",
     "publish_overwrite",
     "purge_deleted_rows",
+    "read_candidate",
     "read_manifest",
     "register_lake_manifest_source",
     "read_table",

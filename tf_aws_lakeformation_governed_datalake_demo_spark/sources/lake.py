@@ -1487,6 +1487,201 @@ def rollback_table(path: str, version: int) -> dict:
     }
 
 
+def begin_publish(
+    spark: SparkSession,
+    path: str,
+    result: DataFrame,
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> dict:
+    """Write-audit-publish, step 1 (the Iceberg WAP pattern): stage a
+    candidate snapshot WITHOUT committing it. The rewrite is written
+    and its files moved into the live tree under globally unique part
+    names — exactly a manifest publish — but the manifest POINTER is
+    untouched; instead the would-be file set is recorded as
+    ``_manifests/candidate_<txid>.json``. Readers cannot observe any
+    of it. Audit the candidate with :func:`read_candidate` (data
+    quality gates, row counts, constraint checks), then promote it
+    with :func:`commit_publish` — one atomic pointer commit — or
+    discard it with :func:`abort_publish`.
+
+    Same replace semantics as ``publish_overwrite`` manifest mode:
+    partitions present in ``result`` are replaced, the rest carried.
+
+    100 TB design: the expensive Spark job (the staged write) happens
+    entirely outside the commit path and outside any lock; audits read
+    the candidate at full scan parallelism; promotion costs one JSON
+    pointer replace no matter how much data the candidate carries. A
+    crashed/abandoned candidate is invisible forever and reclaimed by
+    :func:`vacuum_manifests` once older than its ``min_age_seconds``
+    (pass an age longer than your longest audit).
+
+    Returns the candidate dict (pass it to the other WAP calls)."""
+    import json
+    import shutil
+    import time
+    import uuid as _uuid
+    from pathlib import Path
+
+    txid = _uuid.uuid4().hex
+    live = Path(path)
+    current = read_manifest(path)
+    if current is None and live.exists() and _data_file_relpaths(live):
+        raise ValueError(
+            f"table at {path} has data but no manifest — write-audit-"
+            "publish needs manifest commits; publish_overwrite(..., "
+            "manifest=True) it first"
+        )
+    if current is not None and current["partition_by"] != list(
+        partition_by or []
+    ):
+        raise ValueError(
+            f"partition_by {list(partition_by or [])} does not match the "
+            f"table's committed layout {current['partition_by']}"
+        )
+    staged = live / f"_staged_{txid}"
+    writer = result.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(staged))
+    staged_files = sorted(
+        p.relative_to(staged) for p in staged.rglob("*.parquet") if p.is_file()
+    )
+    try:
+        new_files = _move_staged_in(live, staged, staged_files)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    prev_files = current["files"] if current else []
+    if partition_by:
+        replaced = {str(Path(f).parent) for f in new_files}
+        carried = [
+            f for f in prev_files if str(Path(f).parent) not in replaced
+        ]
+    else:
+        carried = []
+    cand = {
+        "candidate": txid,
+        "base_version": current["version"] if current else 0,
+        "partition_by": list(partition_by or []),
+        "files": sorted([*carried, *new_files]),
+        "new_files": sorted(new_files),
+        "schema": result.schema.jsonValue(),
+        "created_at": time.time(),
+    }
+    cpath = live / "_manifests"
+    cpath.mkdir(parents=True, exist_ok=True)
+    tmp = cpath / f".tmp_cand_{txid}"
+    tmp.write_text(json.dumps(cand, sort_keys=True))
+    import os
+
+    os.replace(tmp, cpath / f"candidate_{txid}.json")
+    return cand
+
+
+def read_candidate(
+    spark: SparkSession,
+    path: str,
+    candidate: dict,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read the table AS IF the candidate snapshot were committed — the
+    audit-side read of write-audit-publish. Carried files keep the
+    current snapshot's merge-on-read tombstones (the candidate's new
+    files are clean by construction), exactly the visibility
+    :func:`commit_publish` would produce."""
+    current = read_manifest(path) or {}
+    if schema is None and candidate.get("schema"):
+        schema = T.StructType.fromJson(candidate["schema"])
+    synth = {
+        "files": candidate["files"],
+        "file_added": {
+            **current.get("file_added", {}),
+            # new files postdate every existing tombstone scope
+            **{
+                f: current.get("version", 0) + 1
+                for f in candidate["new_files"]
+            },
+        },
+        "delete_predicates": current.get("delete_predicates", []),
+    }
+    df = _masked_scan(spark, path, synth, candidate["files"], schema)
+    if schema is not None and df.columns != list(schema.names):
+        df = df.select(*schema.names)
+    return df
+
+
+def commit_publish(path: str, candidate: dict) -> dict:
+    """Write-audit-publish, step 3: atomically promote an audited
+    candidate. Optimistic concurrency against the base the candidate
+    was staged from — if any writer committed since
+    :func:`begin_publish`, the audit no longer describes what
+    promotion would produce, so this raises
+    :class:`ConcurrentLakeModificationError` (re-stage and re-audit).
+    The candidate marker is consumed."""
+    import uuid as _uuid
+    from pathlib import Path
+
+    live = Path(path)
+    with publish_lock(live):
+        current = read_manifest(path)
+        actual = current["version"] if current else 0
+        if actual != candidate["base_version"]:
+            raise ConcurrentLakeModificationError(
+                f"table at {path} is at snapshot v{actual}, but this "
+                f"candidate was staged and audited against v"
+                f"{candidate['base_version']} — abort and re-stage"
+            )
+        snap = _commit_manifest(
+            live,
+            candidate["files"],
+            candidate["partition_by"] or None,
+            current,
+            _uuid.uuid4().hex,
+            table_schema=candidate.get("schema"),
+        )
+    cpath = live / "_manifests" / f"candidate_{candidate['candidate']}.json"
+    cpath.unlink(missing_ok=True)
+    return snap
+
+
+def abort_publish(path: str, candidate: dict) -> dict:
+    """Write-audit-publish abort: delete the candidate's moved-in
+    files (only its NEW files — carried files belong to committed
+    snapshots) and its marker. The live table was never touched."""
+    from pathlib import Path
+
+    live = Path(path)
+    removed = 0
+    for rel in candidate["new_files"]:
+        p = live / rel
+        try:
+            p.unlink()
+            removed += 1
+        except OSError:
+            continue
+    for d in sorted(
+        (
+            p
+            for p in live.rglob("*")
+            if p.is_dir()
+            and not any(
+                part.startswith(("_", "."))
+                for part in p.relative_to(live).parts
+            )
+        ),
+        key=lambda p: len(p.parts),
+        reverse=True,
+    ):
+        try:
+            d.rmdir()  # only succeeds when empty
+        except OSError:
+            pass
+    (
+        live / "_manifests" / f"candidate_{candidate['candidate']}.json"
+    ).unlink(missing_ok=True)
+    return {"files_removed": removed}
+
+
 def vacuum_manifests(
     path: str, keep_last: int = 1, min_age_seconds: float = 0.0
 ) -> dict:
@@ -1513,7 +1708,12 @@ def vacuum_manifests(
     live = Path(path)
     current = read_manifest(path)
     if current is None:
-        return {"manifests_removed": 0, "files_removed": 0, "kept_versions": []}
+        return {
+            "manifests_removed": 0,
+            "files_removed": 0,
+            "candidates_removed": 0,
+            "kept_versions": [],
+        }
     keep: list[dict] = [current]
     while len(keep) < keep_last and keep[-1]["parent"] is not None:
         try:
@@ -1523,6 +1723,22 @@ def vacuum_manifests(
     kept_versions = [m["version"] for m in keep]
     referenced = {f for m in keep for f in m["files"]}
     cutoff = time.time() - min_age_seconds
+    # in-flight write-audit-publish candidates younger than the age
+    # guard protect their files (an audit may be reading them); older
+    # markers are abandoned begins — drop the marker and let the
+    # unreferenced-file sweep below reclaim their data
+    import json as _json
+
+    candidates_removed = 0
+    for cp in (live / "_manifests").glob("candidate_*.json"):
+        try:
+            if cp.stat().st_mtime > cutoff:
+                referenced |= set(_json.loads(cp.read_text())["files"])
+            else:
+                cp.unlink()
+                candidates_removed += 1
+        except (OSError, ValueError, KeyError):
+            continue
     files_removed = 0
     for rel in _data_file_relpaths(live):
         if rel in referenced:
@@ -1571,6 +1787,7 @@ def vacuum_manifests(
     return {
         "manifests_removed": manifests_removed,
         "files_removed": files_removed,
+        "candidates_removed": candidates_removed,
         "kept_versions": kept_versions,
     }
 
