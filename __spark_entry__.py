@@ -52,10 +52,16 @@ freshness-first, self-healing):
   purge_deleted_rows rewrites only covered files and clears the
   tombstones result-equal), and ``lake_write_audit_publish`` (the
   Iceberg WAP pattern: invisible candidate snapshot → audit →
-  one-pointer promote or zero-trace abort) — plus the 21
+  one-pointer promote or zero-trace abort), and the round-8 LLM-
+  pipeline trio ``dedup_paragraphs`` (RefinedWeb-style corpus-wide
+  keep-first segment dedup + reassembly), ``text_bm25_topk`` (Okapi
+  BM25 retrieval, broadcast query-term postings probe), and
+  ``events_heavy_hitters`` (two-pass exact top-k: Misra-Gries
+  candidates via mapInPandas, then a semi-restricted exact re-count)
+  — plus the 21
   ``y0_`` names whose last driver verdict dates to round 3/4 and that
   spilled past round 7's window (``stream_session_windows`` …
-  ``tpch_q9_product_profit``). 36 names.
+  ``tpch_q9_product_profit``). 39 names.
 - ``y1_<name>`` — last verified in round 5 (49 names). They sort
   directly after the unprefixed block, so the 17 spare window slots
   re-verify the alphabetically-first of these; the remaining 32 spill

@@ -602,3 +602,16 @@ def test_stream_minhash_dedup_resumes_after_restart(spark, sf_dir, tmp_path):
         )
     )
     assert got == want and got
+
+
+def test_dedup_paragraphs_removes_real_duplicates(spark, sf_dir):
+    """The chunk-level pass must remove something on this corpus (near-
+    dup documents share exact word runs) and keep-first must hold: the
+    first occurrence of every distinct segment survives."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    out = REGISTRY["dedup_paragraphs"].builder(spark, sf_dir).collect()
+    total = sum(r.total_chunks for r in out)
+    kept = sum(r.kept_chunks for r in out)
+    assert 0 < kept < total  # duplicates existed and were removed
+    assert sum(r.n_docs for r in out) > 0

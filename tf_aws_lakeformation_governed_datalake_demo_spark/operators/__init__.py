@@ -22,5 +22,6 @@ from . import quantization  # noqa: E402,F401 — product quantization (ADC ANN)
 from . import maintenance  # noqa: E402,F401 — CDC diff, incremental MV refresh
 from . import semantic  # noqa: E402,F401 — cluster-scoped semantic dedup
 from . import graph  # noqa: E402,F401 — co-purchase graph analytics
+from . import sketches  # noqa: E402,F401 — heavy hitters / frequency sketches
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

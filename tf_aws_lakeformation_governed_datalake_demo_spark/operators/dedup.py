@@ -1420,3 +1420,118 @@ def run_minhash_dedup_stream(
         .start()
         .awaitTermination()
     )
+
+
+_PARA_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, lang, w,
+             unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS chunk_idx
+      FROM words
+    ),
+    chunks AS (
+      SELECT doc_id, lang, chunk_idx,
+             array_to_string(w[chunk_idx * 10 + 1 : chunk_idx * 10 + 10],
+                             ' ') AS seg
+      FROM idx
+    ),
+    marked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY seg ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    ),
+    rebuilt AS (
+      SELECT doc_id, lang,
+             count(*) AS n_chunks,
+             sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+             string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                        ORDER BY chunk_idx) AS dedup_text
+      FROM marked GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+           CAST(sum(n_kept) AS BIGINT) AS kept_chunks,
+           CAST(sum(CASE WHEN dedup_text IS NULL THEN NULL ELSE
+                CAST(concat('0x', substr(md5(dedup_text), 1, 8)) AS BIGINT)
+                END) AS BIGINT) AS text_chk
+    FROM rebuilt GROUP BY lang
+"""
+
+
+@query(
+    "dedup_paragraphs",
+    _PARA_ORACLE,
+    "Corpus-wide paragraph-level exact dedup (the RefinedWeb / "
+    "MassiveText recipe): every document is segmented, each distinct "
+    "segment keeps its globally FIRST occurrence (ordered by doc_id, "
+    "position) and every later copy — across documents or within one — "
+    "is removed, then documents are reassembled from their surviving "
+    "segments in order. This corpus has no newline structure, so the "
+    "segmenter is a 10-word chunker standing in for the paragraph "
+    "splitter (the pipeline is splitter-agnostic). The oracle replays "
+    "segmentation, global keep-first, and reassembly, checksumming the "
+    "rebuilt texts per language; a fully-deduplicated document "
+    "contributes a NULL checksum in both engines.",
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup — the pass LLM pipelines run BETWEEN
+    document-level exact dedup and fuzzy MinHash (boilerplate headers,
+    quoted replies, shared license blocks). 100 TB design: one shuffle
+    by segment text (the keep-first window), one map-side reassembly
+    shuffle by doc_id; no joins against the corpus, no candidate
+    explosion — cost is linear in total segments. Near-dup documents
+    share long exact word runs here, so kept_chunks < total_chunks is
+    exercised for real (~5% of chunks removed at sf0.01; pinned in
+    tests/test_dedup.py)."""
+    W_SIZE = 10
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    segs = F.expr(
+        f"transform(sequence(0, int(ceil(size(split(text, ' ')) / {W_SIZE}.0)) - 1),"
+        f" i -> array_join(slice(split(text, ' '), i * {W_SIZE} + 1, {W_SIZE}), ' '))"
+    )
+    chunks = d.select(
+        "doc_id", "lang", F.posexplode(segs).alias("chunk_idx", "seg")
+    )
+    marked = chunks.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("seg").orderBy("doc_id", "chunk_idx")
+        ),
+    )
+    rebuilt = marked.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1,
+                            F.struct("chunk_idx", "seg"),
+                        )
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    out = rebuilt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").cast("long").alias("total_chunks"),
+        F.sum("n_kept").cast("long").alias("kept_chunks"),
+        F.sum(
+            F.when(
+                F.col("n_kept") > 0,
+                F.conv(
+                    F.substring(F.md5("dedup_text"), 1, 8), 16, 10
+                ).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("text_chk"),
+    )
+    return out

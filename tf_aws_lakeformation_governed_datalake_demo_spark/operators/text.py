@@ -704,3 +704,146 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "predicted_lang")
     )
+
+
+_BM25_ORACLE = """
+    WITH queries(query, term) AS (
+      VALUES ('q_spark_join', 'spark'), ('q_spark_join', 'join'),
+             ('q_window_agg', 'window'), ('q_window_agg', 'agg'),
+             ('q_hash_scan', 'hash'), ('q_hash_scan', 'table'),
+             ('q_hash_scan', 'scan')
+    ),
+    tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tokens GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             avg(dl) AS avgdl
+      FROM dl
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM tf
+      WHERE term IN (SELECT DISTINCT term FROM queries)
+      GROUP BY term
+    ),
+    scored AS (
+      SELECT q.query, t.doc_id,
+             sum(
+               ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * t.tf * (1.2 + 1)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))
+             ) AS score
+      FROM tf t
+      JOIN queries q ON q.term = t.term
+      JOIN df f ON f.term = t.term
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s
+      GROUP BY q.query, t.doc_id
+    ),
+    ranked AS (
+      SELECT query, doc_id, round(score, 4) AS score,
+             row_number() OVER (
+               PARTITION BY query
+               ORDER BY round(score, 4) DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT query, doc_id, score, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+"""
+
+
+@query(
+    "text_bm25_topk",
+    _BM25_ORACLE,
+    "BM25 retrieval (round-8): three multi-term keyword queries scored "
+    "with the standard Okapi BM25 formula (k1=1.2, b=0.75, the "
+    "+1-smoothed idf) over whitespace tokens, top-5 documents per "
+    "query with a doc_id tiebreak on the 4-decimal-rounded score. The "
+    "oracle replays tokenization, tf/df/avgdl and the exact scoring "
+    "formula in SQL.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval over the corpus — the sparse complement to
+    the embedding ANN family (BM25 is the baseline every dense
+    retriever is measured against, and the retrieval arm of
+    decontamination/quality pipelines).
+
+    100 TB design: tf is one shuffle by (doc_id, term); df and avgdl
+    are tiny aggregates; the QUERY side (a handful of terms) is
+    broadcast into the postings join, so scoring touches only postings
+    of query terms — the inverted-index access pattern without
+    materializing an index. Per-query top-k is a TakeOrdered over the
+    scored candidates, never a global sort."""
+    from pyspark.sql import Window
+
+    K1, B = 1.2, 0.75
+    qterms = spark.createDataFrame(
+        [
+            ("q_spark_join", "spark"),
+            ("q_spark_join", "join"),
+            ("q_window_agg", "window"),
+            ("q_window_agg", "agg"),
+            ("q_hash_scan", "hash"),
+            ("q_hash_scan", "table"),
+            ("q_hash_scan", "scan"),
+        ],
+        "query string, term string",
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # doc length and corpus stats are computed WITHOUT exploding:
+    # size(split()) is a map-only expression, so the only shuffle that
+    # sees every token is avoided entirely
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # postings restricted to query terms BEFORE any aggregation: the
+    # broadcast probe makes the tf shuffle carry only matching tokens
+    # (the inverted-index access pattern without materializing one)
+    tokens = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    hits = tokens.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cand = tf.join(F.broadcast(qterms), "term")
+    df_ = (
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        cand.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score_term",
+            F.log(
+                1
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf")
+            * (K1 + 1)
+            / (
+                F.col("tf")
+                + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query", "doc_id")
+        .agg(F.sum("score_term").alias("raw"))
+        .withColumn("score", F.round("raw", 4))
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("query", "doc_id", "score", "rk")
+    )
