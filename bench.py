@@ -148,6 +148,18 @@ HEADLINE = [
     # table through the data-cells rewrite)
     "stream_from_lake_source",
     "governance_streamed_counts",
+    # round 8 fifth-wave additions: merge-on-read deletes (tombstone
+    # commits + scoped append + masked read; then the CDF delta feed +
+    # file-granular purge), write-audit-publish (bad candidate audited
+    # and aborted, good candidate promoted), and the LLM-pipeline trio
+    # (corpus-wide keep-first segment dedup, BM25 retrieval, two-pass
+    # exact heavy hitters)
+    "lake_delete_mor",
+    "lake_mor_purge_cdf",
+    "lake_write_audit_publish",
+    "dedup_paragraphs",
+    "text_bm25_topk",
+    "events_heavy_hitters",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
