@@ -160,6 +160,9 @@ HEADLINE = [
     "dedup_paragraphs",
     "text_bm25_topk",
     "events_heavy_hitters",
+    # ... and the write-side data-quality gate (constraint add + refused
+    # violating append + accepted clean batch)
+    "lake_check_constraints",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -1407,3 +1407,76 @@ def lake_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit_publish(path, cand2)
     after_commit = profile(read_table(spark, path), "after_commit")
     return after_abort.unionByName(after_commit)
+
+
+@query(
+    "lake_check_constraints",
+    """
+    WITH cur AS (
+      SELECT doc_id, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, lang, source, n_chars + 5
+      FROM documents WHERE n_chars >= 300
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars
+    FROM cur GROUP BY lang
+    """,
+    "Table CHECK constraints (round-8, the Delta ALTER TABLE ADD "
+    "CONSTRAINT analog): a constraint commits as metadata after "
+    "validating existing data; a violating append (negative n_chars) "
+    "is refused at commit time — one scan of the STAGED files, never a "
+    "recompute of the producing plan — leaving no visible trace "
+    "(asserted: manifest byte-identical); a clean batch lands. The "
+    "oracle replays seed + the accepted batch only; min_chars proves "
+    "no violating row ever became visible.",
+)
+def lake_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side data-quality gate (sources/lake.py
+    add_constraint): constraints ride the manifest, survive rollback,
+    and gate every commit path — append, publish rewrite, and WAP
+    candidates (pinned in tests/test_constraints.py). SQL CHECK
+    semantics: NULL passes; violation is explicit FALSE."""
+    from ..sources import (
+        ConstraintViolationError,
+        add_constraint,
+        append_rows,
+        publish_overwrite,
+        read_manifest,
+        read_table,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = scratch_dir("constraints_") + "/docs"
+    publish_overwrite(spark, path, d, ["lang"], manifest=True)
+    add_constraint(spark, path, "chars_positive", "n_chars > 0")
+    m_before = read_manifest(path)
+    bad = (
+        d.filter(F.col("n_chars") >= 300)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        .withColumn("n_chars", (F.col("n_chars") * -1))
+    )
+    try:
+        append_rows(spark, path, bad, partition_by=["lang"])
+        raise AssertionError("violating batch must be refused")
+    except ConstraintViolationError:
+        pass
+    assert read_manifest(path) == m_before, "refused batch left a commit"
+    good = (
+        d.filter(F.col("n_chars") >= 300)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        .withColumn("n_chars", F.col("n_chars") + 5)
+    )
+    append_rows(spark, path, good, partition_by=["lang"])
+    return (
+        read_table(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+        )
+    )

@@ -16,11 +16,14 @@ from .lake import (
     begin_publish,
     commit_publish,
     ConcurrentLakeModificationError,
+    ConstraintViolationError,
+    add_constraint,
     append_rows,
     compact_in_place,
     consume_table_changes,
     delete_rows,
     delete_rows_mor,
+    drop_constraint,
     expire_scd2_versions,
     load,
     load_all,
@@ -47,11 +50,14 @@ __all__ = [
     "begin_publish",
     "commit_publish",
     "ConcurrentLakeModificationError",
+    "ConstraintViolationError",
+    "add_constraint",
     "append_rows",
     "compact_in_place",
     "consume_table_changes",
     "delete_rows",
     "delete_rows_mor",
+    "drop_constraint",
     "expire_scd2_versions",
     "load",
     "load_all",

@@ -282,6 +282,11 @@ def _flock_publish_lock(live_dir):
 publish_lock = _flock_publish_lock
 
 
+class ConstraintViolationError(RuntimeError):
+    """An incoming batch violates a table CHECK constraint — the
+    commit is refused and the live table is untouched."""
+
+
 class ConcurrentLakeModificationError(RuntimeError):
     """Another writer committed a manifest snapshot between this
     writer's table read and its commit — committing anyway would
@@ -778,6 +783,7 @@ def _commit_manifest(
     table_schema: dict | None = None,
     delete_predicates: list | None = None,
     file_added_hints: dict | None = None,
+    constraints: dict | None = None,
 ) -> dict:
     """Write snapshot ``_manifests/v{N}.json`` then atomically replace
     the ``_manifest.json`` pointer with the same content (``os.replace``
@@ -886,6 +892,10 @@ def _commit_manifest(
         table_schema = (parent or {}).get("schema")
     if table_schema:
         snap["schema"] = table_schema
+    if constraints is None:
+        constraints = (parent or {}).get("constraints", {})
+    if constraints:
+        snap["constraints"] = dict(constraints)
     data = json.dumps(snap, sort_keys=True)
     tmp = mdir / f".tmp_{txid}"
     tmp.write_text(data)
@@ -931,6 +941,7 @@ def _publish_manifest_commit(
     import shutil
     from pathlib import Path
 
+    pre_constraints = (read_manifest(str(live)) or {}).get("constraints", {})
     staged = live / f"_staged_{txid}"
     writer = result.write.mode("overwrite").option("compression", compression)
     if partition_by:
@@ -941,6 +952,14 @@ def _publish_manifest_commit(
         for p in staged.rglob("*.parquet")
         if p.is_file()
     )
+    try:
+        if staged_files:
+            _enforce_constraints(
+                result.sparkSession, staged, pre_constraints
+            )
+    except ConstraintViolationError:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
     new_blooms = (
         _staged_file_blooms(result.sparkSession, staged, bloom_cols)
         if bloom_cols
@@ -949,6 +968,12 @@ def _publish_manifest_commit(
     try:
         with publish_lock(live):
             current = read_manifest(str(live))
+            if (current or {}).get("constraints", {}) != pre_constraints:
+                raise ConcurrentLakeModificationError(
+                    f"table at {live} changed its CHECK constraints while "
+                    "this publish was staging — the batch was validated "
+                    "against the old set; re-run"
+                )
             if expected_version is not None:
                 actual = current["version"] if current else 0
                 if actual != expected_version:
@@ -1393,6 +1418,13 @@ def append_rows(
     staged_files = sorted(
         p.relative_to(staged) for p in staged.rglob("*.parquet") if p.is_file()
     )
+    pre_constraints = (current or {}).get("constraints", {})
+    try:
+        if staged_files:
+            _enforce_constraints(spark, staged, pre_constraints)
+    except ConstraintViolationError:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
     new_blooms = (
         _staged_file_blooms(spark, staged, bloom_cols)
         if bloom_cols and staged_files
@@ -1401,6 +1433,12 @@ def append_rows(
     try:
         with publish_lock(live):
             current = read_manifest(str(live))  # re-read under the lock
+            if (current or {}).get("constraints", {}) != pre_constraints:
+                raise ConcurrentLakeModificationError(
+                    f"table at {live} changed its CHECK constraints while "
+                    "this append was staging — the batch was validated "
+                    "against the old set; re-run"
+                )
             if _committed(current):
                 return None  # raced with our own replay — batch already in
             new_files = _move_staged_in(live, staged, staged_files)
@@ -1479,12 +1517,123 @@ def rollback_table(path: str, version: int) -> dict:
             # hidden)
             delete_predicates=target.get("delete_predicates", []),
             file_added_hints=target.get("file_added"),
+            constraints=target.get("constraints", {}),
         )
     return {
         "rolled_back_to": version,
         "new_version": snap["version"],
         "n_files": len(snap["files"]),
     }
+
+
+def _enforce_constraints(
+    spark: SparkSession, staged, constraints: dict | None
+) -> None:
+    """Validate a STAGED batch against the table's CHECK constraints by
+    re-reading the just-written staged tree (one columnar scan of the
+    batch — never a recompute of the producing plan, which at 100 TB
+    may be a full pipeline). SQL CHECK semantics: a row passes when the
+    expression is TRUE or NULL (UNKNOWN passes, the standard's rule and
+    Delta's); a violation is an explicit FALSE. The clean path costs
+    ONE any-violation scan; only on failure does a second pass name the
+    violated constraint."""
+    if not constraints:
+        return
+    df = _reader(spark, None).parquet(str(staged))
+    conds = {
+        name: ~F.coalesce(F.expr(sql).cast("boolean"), F.lit(True))
+        for name, sql in sorted(constraints.items())
+    }
+    from functools import reduce
+
+    any_viol = reduce(lambda a, b: a | b, conds.values())
+    if df.filter(any_viol).limit(1).count() == 0:
+        return
+    for name, cond in conds.items():
+        if df.filter(cond).limit(1).count() > 0:
+            raise ConstraintViolationError(
+                f"incoming batch violates CHECK constraint {name!r} "
+                f"({constraints[name]}) — commit refused, table untouched"
+            )
+    raise ConstraintViolationError(
+        "incoming batch violates a CHECK constraint"
+    )  # pragma: no cover — per-constraint loop always finds the culprit
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, sql: str
+) -> dict:
+    """ADD a named CHECK constraint to a manifest table (Delta's ALTER
+    TABLE ADD CONSTRAINT). Existing data is validated FIRST (the add
+    fails with the violating-row count if the table already breaks it),
+    then the constraint lands as a metadata-only commit and every later
+    ``append_rows`` / ``publish_overwrite`` / ``begin_publish`` batch
+    is validated against it by one scan of the staged files before
+    anything becomes visible (fail-closed: a violating batch raises
+    :class:`ConstraintViolationError` and leaves the table untouched).
+    Constraints survive rollback (RESTORE restores the target
+    snapshot's set) and are carried by every commit."""
+    import uuid as _uuid
+    from pathlib import Path as _P
+
+    F.expr(sql)  # fail fast on unparseable SQL
+    live = _P(path)
+    m = read_manifest(path)
+    if m is None:
+        raise ValueError(
+            f"table at {path} is not manifest-committed — constraints "
+            "live in the manifest"
+        )
+    existing = (
+        read_table(spark, path)
+        .filter(~F.coalesce(F.expr(sql).cast("boolean"), F.lit(True)))
+        .count()
+    )
+    if existing:
+        raise ConstraintViolationError(
+            f"cannot add CHECK constraint {name!r} ({sql}): {existing} "
+            "existing row(s) violate it"
+        )
+    with publish_lock(live):
+        current = read_manifest(path)
+        if current is None or current["version"] != m["version"]:
+            raise ConcurrentLakeModificationError(
+                f"table at {path} moved past snapshot v{m['version']} "
+                "while existing data was being validated — re-run"
+            )
+        cons = {**current.get("constraints", {}), name: sql}
+        return _commit_manifest(
+            live,
+            current["files"],
+            current["partition_by"],
+            current,
+            _uuid.uuid4().hex,
+            constraints=cons,
+        )
+
+
+def drop_constraint(path: str, name: str) -> dict:
+    """DROP a named CHECK constraint — a metadata-only commit."""
+    import uuid as _uuid
+    from pathlib import Path as _P
+
+    live = _P(path)
+    with publish_lock(live):
+        current = read_manifest(path)
+        if current is None:
+            raise ValueError(f"table at {path} is not manifest-committed")
+        cons = dict(current.get("constraints", {}))
+        if name not in cons:
+            raise KeyError(f"table at {path} has no constraint {name!r}")
+        del cons[name]
+        return _commit_manifest(
+            live,
+            current["files"],
+            current["partition_by"],
+            current,
+            _uuid.uuid4().hex,
+            constraints=cons,
+        )
 
 
 def begin_publish(
@@ -1548,6 +1697,16 @@ def begin_publish(
         p.relative_to(staged) for p in staged.rglob("*.parquet") if p.is_file()
     )
     try:
+        # candidates face the same CHECK gate as direct commits: WAP is
+        # for bespoke audits, not a constraint bypass (a constraint
+        # added between begin and commit is caught by commit_publish's
+        # base_version check — constraint changes are commits)
+        if staged_files:
+            _enforce_constraints(
+                spark,
+                staged,
+                (current or {}).get("constraints", {}),
+            )
         new_files = _move_staged_in(live, staged, staged_files)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
