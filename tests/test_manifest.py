@@ -1111,3 +1111,118 @@ def test_appends_interleave_with_rewrites_without_conflict(spark, tmp_path):
     assert read_table(spark, path).count() == 2  # append survived
     append_rows(spark, path, _mk(spark, [(3, "a", "z")]), ["grp"])
     assert {r.id for r in read_table(spark, path).collect()} == {1, 2, 3}
+
+
+def test_timestamp_as_of_resolution_and_read(spark, sf_dir, tmp_path):
+    """TIMESTAMP AS OF: resolve to the newest retained snapshot at or
+    before the instant; pre-history timestamps fail loudly."""
+    import time as _t
+
+    import pytest as _pytest
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        append_rows,
+        load,
+        publish_overwrite,
+        read_manifest,
+        read_table,
+        version_at_timestamp,
+    )
+
+    n = load(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_ts")
+    publish_overwrite(spark, path, n, None, manifest=True)
+    t1 = read_manifest(path)["committed_at"]
+    append_rows(spark, path, n.limit(3))
+    t2 = read_manifest(path)["committed_at"]
+    assert version_at_timestamp(path, t1) == 1
+    assert version_at_timestamp(path, (t1 + t2) / 2) == 1
+    assert version_at_timestamp(path, _t.time() + 60) == 2
+    assert read_table(spark, path, as_of_timestamp=t1).count() == n.count()
+    assert (
+        read_table(spark, path, as_of_timestamp=t2).count() == n.count() + 3
+    )
+    with _pytest.raises(FileNotFoundError, match="no retained snapshot"):
+        version_at_timestamp(path, t1 - 10)
+    with _pytest.raises(ValueError, match="not both"):
+        read_table(spark, path, version=1, as_of_timestamp=t1)
+
+
+def test_verify_table_clean_and_detects_damage(spark, sf_dir, tmp_path):
+    """fsck: a healthy table verifies ok (deep included); a deleted
+    committed file is reported missing; an in-place replacement is
+    caught by the deep stats comparison; crashed-publish debris shows
+    as orphans without failing the check."""
+    from pathlib import Path
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        append_rows,
+        load,
+        publish_overwrite,
+        read_manifest,
+        verify_table,
+    )
+
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_fsck")
+    publish_overwrite(spark, path, n, ["n_regionkey"], manifest=True)
+    append_rows(spark, path, n.limit(2), partition_by=["n_regionkey"])
+    rep = verify_table(path, deep=True)
+    assert rep["ok"] and rep["snapshots_checked"] == [2, 1]
+    assert not rep["missing"] and not rep["stat_mismatches"]
+
+    # orphan: a stray data file nothing references
+    stray = Path(path) / "n_regionkey=0" / "part-stray.parquet"
+    n.limit(1).toPandas().to_parquet(stray)
+    rep = verify_table(path)
+    assert rep["ok"] and rep["orphans"] == ["n_regionkey=0/part-stray.parquet"]
+    stray.unlink()
+
+    # in-place replacement: same name, different content -> deep catches
+    victim = read_manifest(path)["files"][0]
+    vp = Path(path) / victim
+    original = vp.read_bytes()
+    import pandas as pd
+
+    pd.DataFrame(
+        {"n_nationkey": [999], "n_name": ["zz"]}
+    ).to_parquet(vp)
+    rep = verify_table(path, deep=True)
+    assert not rep["ok"] and rep["stat_mismatches"]
+    vp.write_bytes(original)
+
+    # missing committed file
+    vp.unlink()
+    rep = verify_table(path)
+    assert not rep["ok"] and rep["missing"] == [victim]
+
+
+def test_history_reports_tombstones_and_constraints(spark, sf_dir, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark import Engine, TableDef
+    from tf_aws_lakeformation_governed_datalake_demo_spark import fixtures as fx
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        add_constraint,
+        delete_rows_mor,
+        load,
+        publish_overwrite,
+    )
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    cat.set_admins(["ops"])
+    eng = Engine(spark, cat)
+    loc = f"{lake}/docs_hist"
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    publish_overwrite(spark, loc, d, ["lang"], manifest=True)
+    add_constraint(spark, loc, "chars_positive", "n_chars > 0")
+    delete_rows_mor(spark, loc, "n_chars < 100", count=False)
+    cat.register_table(
+        TableDef(fx.DATABASE, "docs_hist", loc, partition_keys=("lang",))
+    )
+    hist = eng.history(f"{fx.DATABASE}.docs_hist", principal="ops")
+    assert [h["version"] for h in hist] == [3, 2, 1]
+    assert hist[0]["n_tombstones"] == 1 and hist[2]["n_tombstones"] == 0
+    assert hist[0]["constraints"] == ["chars_positive"]
+    assert hist[2]["constraints"] == []

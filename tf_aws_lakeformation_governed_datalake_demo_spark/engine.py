@@ -763,6 +763,10 @@ class Engine:
                     "committed_at": m["committed_at"],
                     "n_files": len(m["files"]),
                     "partition_by": m["partition_by"],
+                    # round-8 surfaces: active merge-on-read tombstones
+                    # and CHECK constraints at this snapshot
+                    "n_tombstones": len(m.get("delete_predicates", [])),
+                    "constraints": sorted(m.get("constraints", {})),
                 }
             )
             if m["parent"] is None:

@@ -553,6 +553,39 @@ def read_manifest(path: str, version: int | None = None) -> dict | None:
     )
 
 
+def version_at_timestamp(path: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution (Delta's time-travel-by-time): the
+    newest RETAINED snapshot on the committed parent chain whose
+    ``committed_at`` is <= ``ts`` (epoch seconds). Walks the chain from
+    the current pointer (commit times are monotone along it — each
+    child commits after its parent), so orphan candidates and crashed
+    commits outside the chain are never selected. Raises when ``ts``
+    predates the oldest retained snapshot (vacuumed history must fail
+    loudly, never silently serve the oldest survivor)."""
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(
+            f"table at {path} is not manifest-committed"
+        )
+    oldest = m
+    while m is not None:
+        if m["committed_at"] <= ts:
+            return m["version"]
+        oldest = m
+        if m["parent"] is None:
+            break
+        try:
+            m = read_manifest(path, m["parent"])
+        except FileNotFoundError:
+            m = None  # older history vacuumed
+    raise FileNotFoundError(
+        f"table at {path} has no retained snapshot committed at or "
+        f"before ts={ts} (oldest retained: v{oldest['version']} at "
+        f"{oldest['committed_at']}) — history before it was vacuumed "
+        "or the table did not exist yet"
+    )
+
+
 def _data_file_relpaths(live) -> list[str]:
     """Visible data files under a table root, relative to it —
     excluding staging/trash/manifest artifacts (underscore/dot path
@@ -1023,6 +1056,7 @@ def read_table(
     schema: T.StructType | None = None,
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
+    as_of_timestamp: float | None = None,
 ) -> DataFrame:
     """THE lake read path: manifest-aware, schema-declared when given.
 
@@ -1066,6 +1100,15 @@ def read_table(
             df = df.select(*schema.names)
         return df
 
+    if as_of_timestamp is not None:
+        # TIMESTAMP AS OF: resolve to the newest retained snapshot
+        # committed at or before the instant, then read it exactly like
+        # VERSION AS OF (tombstones, stats, schema all snapshot-scoped)
+        if version is not None:
+            raise ValueError(
+                "pass version= or as_of_timestamp=, not both"
+            )
+        version = version_at_timestamp(path, as_of_timestamp)
     m = read_manifest(path, version)
     if m is None:
         if version is not None:
@@ -1839,6 +1882,73 @@ def abort_publish(path: str, candidate: dict) -> dict:
         live / "_manifests" / f"candidate_{candidate['candidate']}.json"
     ).unlink(missing_ok=True)
     return {"files_removed": removed}
+
+
+def verify_table(path: str, deep: bool = False) -> dict:
+    """fsck for a manifest table: audit the committed state against the
+    filesystem without reading data through Spark. Checks every file
+    referenced by any RETAINED snapshot (the committed parent chain —
+    what time travel can reach) for existence and non-zero size;
+    ``deep=True`` additionally re-reads each referenced parquet footer
+    and compares it against the snapshot's recorded ``file_stats``
+    (a mismatch means the file was replaced or corrupted in place —
+    committed files are immutable by protocol). Also reports orphan
+    data files no retained snapshot references (crashed publishes /
+    vacuumable debris — waste, not corruption).
+
+    Metadata-plus-footers only — cost is O(#files) stat calls (+ one
+    footer read each when deep), no data scan; runs safely against a
+    live table (publishes never delete committed files). Returns
+    ``{"ok", "snapshots_checked", "files_checked", "missing", "empty",
+    "stat_mismatches", "orphans"}`` — ``ok`` ignores orphans."""
+    from pathlib import Path
+
+    live = Path(path)
+    current = read_manifest(path)
+    if current is None:
+        raise ValueError(
+            f"table at {path} is not manifest-committed — nothing to verify"
+        )
+    chain: list[dict] = [current]
+    while chain[-1]["parent"] is not None:
+        try:
+            chain.append(read_manifest(path, chain[-1]["parent"]))
+        except FileNotFoundError:
+            break  # older history vacuumed
+    referenced: dict[str, dict] = {}
+    for m in chain:
+        for f in m["files"]:
+            referenced.setdefault(f, m)  # newest snapshot's stats win
+    missing, empty, mismatches = [], [], []
+    for f in sorted(referenced):
+        p = live / f
+        if not p.is_file():
+            missing.append(f)
+            continue
+        if p.stat().st_size == 0:
+            empty.append(f)
+            continue
+        if deep:
+            recorded = referenced[f].get("file_stats", {}).get(f)
+            if recorded:
+                actual = _file_column_stats(p)
+                for col, bounds in recorded.items():
+                    if actual.get(col) != bounds:
+                        mismatches.append(
+                            {"file": f, "column": col,
+                             "recorded": bounds,
+                             "actual": actual.get(col)}
+                        )
+    orphans = sorted(set(_data_file_relpaths(live)) - set(referenced))
+    return {
+        "ok": not (missing or empty or mismatches),
+        "snapshots_checked": [m["version"] for m in chain],
+        "files_checked": len(referenced),
+        "missing": missing,
+        "empty": empty,
+        "stat_mismatches": mismatches,
+        "orphans": orphans,
+    }
 
 
 def vacuum_manifests(
