@@ -60,14 +60,17 @@ freshness-first, self-healing):
   candidates via mapInPandas, then a semi-restricted exact re-count),
   and ``lake_check_constraints`` (CHECK constraints riding the
   manifest: adds validate existing data, every commit path validates
-  the staged batch — a violating append leaves zero trace) — plus
+  the staged batch — a violating append leaves zero trace), and
+  ``lake_optimize_cluster`` (OPTIMIZE with clustering: the rewrite
+  range-partitions + sorts on the cluster key so manifest per-file
+  stats become selective; doubles as the tombstone purge) — plus
   the 21
   ``y0_`` names whose last driver verdict dates to round 3/4 and that
   spilled past round 7's window (``stream_session_windows`` …
-  ``tpch_q9_product_profit``). 40 names.
+  ``tpch_q9_product_profit``). 41 names.
 - ``y1_<name>`` — last verified in round 5 (49 names). They sort
-  directly after the unprefixed block, so the 10 spare window slots
-  re-verify the alphabetically-first of these; the remaining 39 spill
+  directly after the unprefixed block, so the 9 spare window slots
+  re-verify the alphabetically-first of these; the remaining 40 spill
   to round 9 — every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
 - ``y2_<name>`` — verified in round 6 (50 names; CORRECTNESS_r06
@@ -98,9 +101,9 @@ driver verdict in CORRECTNESS_r01..r07 except the twelve new unprefixed
 round-8 names, which get theirs here.
 
 Round-9 rotation plan (for the next builder session): once
-CORRECTNESS_r08 lands green, (1) move this round's 40 unprefixed names
-into a fresh ``y4_`` class (verified r8), (2) promote the 39 ``y1_``
-names that spilled past round 8's window (everything after the 10
+CORRECTNESS_r08 lands green, (1) move this round's 41 unprefixed names
+into a fresh ``y4_`` class (verified r8), (2) promote the 40 ``y1_``
+names that spilled past round 8's window (everything after the 9
 alphabetically-first, which get verified here) to the FRONT of the
 round-9 window alongside any new round-9 queries, (3) fill remaining
 spare slots with the oldest ``y2_`` (r6) names. After round 9 the

@@ -163,6 +163,9 @@ HEADLINE = [
     # ... and the write-side data-quality gate (constraint add + refused
     # violating append + accepted clean batch)
     "lake_check_constraints",
+    # ... and OPTIMIZE-with-clustering (shuffled publish + full-scan
+    # assert + clustered rewrite + pruned band read)
+    "lake_optimize_cluster",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -1226,3 +1226,63 @@ def test_history_reports_tombstones_and_constraints(spark, sf_dir, tmp_path):
     assert hist[0]["n_tombstones"] == 1 and hist[2]["n_tombstones"] == 0
     assert hist[0]["constraints"] == ["chars_positive"]
     assert hist[2]["constraints"] == []
+
+
+def test_compact_cluster_by_partitioned_and_purges_tombstones(
+    spark, sf_dir, tmp_path
+):
+    """OPTIMIZE with clustering on a hive-partitioned manifest table:
+    rows preserved exactly, each partition dir's files split the
+    cluster range (selective per-file stats), and accumulated
+    merge-on-read tombstones are materialized and cleared by the
+    rewrite."""
+    from pyspark.sql import functions as F
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        compact_in_place,
+        delete_rows_mor,
+        load,
+        publish_overwrite,
+        read_manifest,
+        read_table,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = str(tmp_path / "docs_opt")
+    publish_overwrite(spark, path, d.repartition(8), ["lang"], manifest=True)
+    delete_rows_mor(spark, path, "n_chars < 100", count=False)
+    expect = sorted(
+        tuple(r)
+        for r in d.filter(~(F.col("n_chars") < 100)).collect()
+    )
+    total = sum(
+        (__import__("pathlib").Path(path) / f).stat().st_size
+        for f in read_manifest(path)["files"]
+    )
+    compact_in_place(
+        spark,
+        path,
+        partition_by=["lang"],
+        target_file_bytes=max(1, total // 6),
+        cluster_by=["n_chars"],
+    )
+    m = read_manifest(path)
+    assert not m.get("delete_predicates")  # purge rode the rewrite
+    got = sorted(tuple(r) for r in read_table(spark, path).collect())
+    assert got == expect
+    # per-file stats are narrow: within a partition, files must not all
+    # span the same full range (at least one pair of disjoint ranges)
+    from collections import defaultdict
+    from pathlib import Path
+
+    by_part = defaultdict(list)
+    for f, st in m["file_stats"].items():
+        if "n_chars" in st:
+            by_part[str(Path(f).parent)].append(tuple(st["n_chars"]))
+    multi = {p: sorted(v) for p, v in by_part.items() if len(v) > 1}
+    assert multi, "expected multiple files in at least one partition"
+    assert any(
+        ranges[0][1] < ranges[-1][0] for ranges in multi.values()
+    ), multi

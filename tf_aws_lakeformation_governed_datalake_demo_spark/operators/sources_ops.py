@@ -1480,3 +1480,66 @@ def lake_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").cast("long").alias("min_chars"),
         )
     )
+
+
+@query(
+    "lake_optimize_cluster",
+    _MANIFEST_SKIP_ORACLE,
+    "OPTIMIZE with clustering (round-8): a manifest table published as "
+    "8 randomly-ordered files answers an n_chars band query by "
+    "scanning all 8 (every file spans the full range — asserted); "
+    "compact_in_place(cluster_by=['n_chars']) range-partitions and "
+    "sorts the rewrite so each output file covers a narrow band, and "
+    "the same prune read now plans strictly fewer files (asserted) "
+    "while the pre-OPTIMIZE snapshot stays readable (history "
+    "preserved, asserted). Results are layout-independent: the oracle "
+    "is the plain band aggregate.",
+)
+def lake_optimize_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance op that makes S24 manifest-stats skipping
+    ENGINEERED rather than opportunistic (sources/lake.py
+    compact_in_place cluster_by): at 100 TB, clustering at OPTIMIZE
+    time is what keeps band queries from scanning every file of every
+    partition. Doubles as the merge-on-read tombstone purge (the
+    rewrite reads the masked table)."""
+    from pathlib import Path
+
+    from ..sources import (
+        compact_in_place,
+        publish_overwrite,
+        read_manifest,
+        read_table,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = scratch_dir("optimize_") + "/docs"
+    # deliberately shuffled layout: 8 files, each spanning the full
+    # n_chars range -> stats-based skipping has nothing to bite on
+    publish_overwrite(spark, path, d.repartition(8), None, manifest=True)
+    band = {"n_chars": (200, 300)}
+    files_before = len(read_table(spark, path, prune=band).inputFiles())
+    n_total = len(read_manifest(path)["files"])
+    assert files_before == n_total, (files_before, n_total)
+    total_bytes = sum(
+        (Path(path) / f).stat().st_size for f in read_manifest(path)["files"]
+    )
+    compact_in_place(
+        spark,
+        path,
+        target_file_bytes=max(1, total_bytes // 8),
+        cluster_by=["n_chars"],
+    )
+    pruned = read_table(spark, path, prune=band)
+    files_after = len(pruned.inputFiles())
+    assert files_after < n_total, (files_after, n_total)
+    assert read_table(spark, path, version=1).count() == d.count()
+    return (
+        pruned.filter(F.col("n_chars").between(200, 300))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -2770,6 +2770,7 @@ def compact_in_place(
     target_file_bytes: int = 128 << 20,
     compression: str = "snappy",
     schema: T.StructType | None = None,
+    cluster_by: list | None = None,
 ) -> tuple[int, int]:
     """In-place small-file compaction, published atomically. The
     companion to :func:`compact_parquet` for tables that incremental
@@ -2784,7 +2785,20 @@ def compact_in_place(
     take its schema from an OLD file and the atomic full rewrite would
     make the column loss permanent. Pass the catalog's declared
     ``schema`` to skip the footer scan entirely; without one the
-    mergeSchema fallback still sees every column."""
+    mergeSchema fallback still sees every column.
+
+    ``cluster_by`` (columns or Column expressions, e.g. a Morton
+    ``zorder_value``) turns compaction into OPTIMIZE-with-clustering:
+    rows are range-partitioned and sorted on the cluster key(s), so
+    each output file covers a NARROW value band and the manifest's
+    per-file min/max (recorded at the commit this publish makes)
+    become selective — the maintenance op that turns S24 file skipping
+    from opportunistic to engineered. On a hive-partitioned table the
+    range runs over (partition keys, cluster keys), so every partition
+    directory's files split the cluster range instead of one fat file
+    per partition. On a manifest table this is also the tombstone
+    purge (the rewrite reads the masked table; coverage pruning clears
+    the tombstones) and history keeps the pre-OPTIMIZE layout readable."""
     import math
     from pathlib import Path
 
@@ -2805,10 +2819,17 @@ def compact_in_place(
         ]
     total = sum(p.stat().st_size for p in files)
     df = read_table(spark, path, schema)
-    if partition_by:
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    if cluster_by:
+        exprs = [F.col(c) if isinstance(c, str) else c for c in cluster_by]
+        lead = [F.col(c) for c in (partition_by or [])]
+        df = df.repartitionByRange(n_out, *lead, *exprs).sortWithinPartitions(
+            *lead, *exprs
+        )
+    elif partition_by:
         df = df.repartition(*partition_by)
     else:
-        df = df.repartition(max(1, math.ceil(total / target_file_bytes)))
+        df = df.repartition(n_out)
     publish_overwrite(
         spark,
         path,
