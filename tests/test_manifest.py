@@ -1286,3 +1286,53 @@ def test_compact_cluster_by_partitioned_and_purges_tombstones(
     assert any(
         ranges[0][1] < ranges[-1][0] for ranges in multi.values()
     ), multi
+
+
+def test_governed_sql_timestamp_as_of(spark, sf_dir, tmp_path):
+    """TIMESTAMP AS OF through the governed engine: the resolved
+    historical snapshot passes the same enforcement as a current read."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark import Engine, TableDef
+    from tf_aws_lakeformation_governed_datalake_demo_spark import fixtures as fx
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        append_rows,
+        load,
+        publish_overwrite,
+        read_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    cat.set_admins(["ops"])
+    eng = Engine(spark, cat)
+    loc = f"{lake}/docs_ts"
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    publish_overwrite(spark, loc, d, ["lang"], manifest=True)
+    t1 = read_manifest(loc)["committed_at"]
+    append_rows(
+        spark, loc, d.limit(7).selectExpr("doc_id + 90000000 AS doc_id", "lang", "n_chars"),
+        partition_by=["lang"],
+    )
+    cat.register_table(
+        TableDef(fx.DATABASE, "docs_ts", loc, partition_keys=("lang",))
+    )
+    q = f"{fx.DATABASE}.docs_ts"
+    now_n = eng.sql(f"SELECT count(*) AS n FROM {q}", principal="ops").first().n
+    old_n = (
+        eng.sql(
+            f"SELECT count(*) AS n FROM {q}",
+            principal="ops",
+            as_of_timestamps={q: t1},
+        )
+        .first()
+        .n
+    )
+    assert now_n == old_n + 7
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="both"):
+        eng.sql(
+            f"SELECT count(*) AS n FROM {q}",
+            principal="ops",
+            as_of_versions={q: 1},
+            as_of_timestamps={q: t1},
+        )

@@ -185,6 +185,7 @@ class Engine:
         principal: Principal | str | None = None,
         reuse_max_age: float | None = None,
         as_of_versions: dict[str, int] | None = None,
+        as_of_timestamps: dict[str, float] | None = None,
     ) -> DataFrame:
         """Execute governed SQL and return the DataFrame (raises on deny).
 
@@ -192,7 +193,24 @@ class Engine:
         snapshot versions — the governed SQL AS OF surface (round-7
         VERDICT #8): the named tables resolve to that retained snapshot
         with the principal's row/column security applied to the
-        historical rows exactly as to current ones."""
+        historical rows exactly as to current ones.
+        ``as_of_timestamps`` is the TIMESTAMP AS OF form: each entry
+        resolves to the newest retained snapshot committed at or
+        before the instant (sources.lake.version_at_timestamp — pre-
+        history timestamps raise) and then behaves exactly like
+        ``as_of_versions``; naming a table in both is an error."""
+        if as_of_timestamps:
+            from .sources.lake import version_at_timestamp
+
+            as_of_versions = dict(as_of_versions or {})
+            for q, ts in as_of_timestamps.items():
+                if q in as_of_versions:
+                    raise ValueError(
+                        f"{q} given in both as_of_versions and "
+                        "as_of_timestamps"
+                    )
+                table = self.catalog.tables[q]  # KeyError: fail closed
+                as_of_versions[q] = version_at_timestamp(table.location, ts)
         qe = self._execute(
             sql,
             principal,
