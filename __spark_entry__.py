@@ -63,14 +63,17 @@ freshness-first, self-healing):
   the staged batch — a violating append leaves zero trace), and
   ``lake_optimize_cluster`` (OPTIMIZE with clustering: the rewrite
   range-partitions + sorts on the cluster key so manifest per-file
-  stats become selective; doubles as the tombstone purge) — plus
-  the 21
+  stats become selective; doubles as the tombstone purge), and
+  ``ann_ivf_index_append`` (incremental IVF: frozen seed-trained
+  coarse quantizer, broadcast-argmax batch assignment, ONE
+  transactional append into the cell-partitioned manifest index,
+  probe = partition pruning) — plus the 21
   ``y0_`` names whose last driver verdict dates to round 3/4 and that
   spilled past round 7's window (``stream_session_windows`` …
-  ``tpch_q9_product_profit``). 41 names.
+  ``tpch_q9_product_profit``). 42 names.
 - ``y1_<name>`` — last verified in round 5 (49 names). They sort
-  directly after the unprefixed block, so the 9 spare window slots
-  re-verify the alphabetically-first of these; the remaining 40 spill
+  directly after the unprefixed block, so the 8 spare window slots
+  re-verify the alphabetically-first of these; the remaining 41 spill
   to round 9 — every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
 - ``y2_<name>`` — verified in round 6 (50 names; CORRECTNESS_r06
@@ -101,9 +104,9 @@ driver verdict in CORRECTNESS_r01..r07 except the twelve new unprefixed
 round-8 names, which get theirs here.
 
 Round-9 rotation plan (for the next builder session): once
-CORRECTNESS_r08 lands green, (1) move this round's 41 unprefixed names
-into a fresh ``y4_`` class (verified r8), (2) promote the 40 ``y1_``
-names that spilled past round 8's window (everything after the 9
+CORRECTNESS_r08 lands green, (1) move this round's 42 unprefixed names
+into a fresh ``y4_`` class (verified r8), (2) promote the 41 ``y1_``
+names that spilled past round 8's window (everything after the 8
 alphabetically-first, which get verified here) to the FRONT of the
 round-9 window alongside any new round-9 queries, (3) fill remaining
 spare slots with the oldest ``y2_`` (r6) names. After round 9 the

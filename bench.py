@@ -166,6 +166,9 @@ HEADLINE = [
     # ... and OPTIMIZE-with-clustering (shuffled publish + full-scan
     # assert + clustered rewrite + pruned band read)
     "lake_optimize_cluster",
+    # ... and incremental IVF maintenance (seed index publish + frozen-
+    # quantizer batch assignment + transactional append + pruned probe)
+    "ann_ivf_index_append",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

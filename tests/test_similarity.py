@@ -209,3 +209,80 @@ def test_ann_ivf_nprobe_sweep_scoping_decision(spark, sf001_dir):
     assert curve == sorted(curve), rows  # monotone non-decreasing
     assert rows[4] < 0.8, rows
     assert rows[8] >= 0.8, rows
+
+
+def test_ivf_index_append_finds_new_vectors_and_prunes(spark, sf_dir):
+    """The incremental-IVF invariants: appended vectors are REACHABLE
+    through the probe (at least when the query is one of them — a
+    vector is always nearest its own cell), and the probe scan reads
+    only probed cell directories (planning-time partition pruning on
+    the manifest read)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.similarity import (
+        _cos,
+        _dot,
+        _with_norm,
+        label_centroids,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.scratch import scratch_dir
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        append_rows,
+        load,
+        publish_overwrite,
+        read_table,
+    )
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    v = _with_norm(load(spark, sf_dir, "embeddings"))
+    seed = v.filter(F.col("vec_id") % 4 != 1)
+    batch = v.filter(F.col("vec_id") % 4 == 1)
+    index = scratch_dir("ivf_append_t_") + "/cells"
+    publish_overwrite(
+        spark, index, seed.select("vec_id", "embedding", "label"),
+        ["label"], manifest=True,
+    )
+    cent = label_centroids(seed)
+    scored = (
+        batch.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent.withColumnRenamed("label", "cell")))
+        .select(
+            "vec_id", "embedding", "cell",
+            (_dot(F.col("embedding"), F.col("centroid")) / F.col("cnorm")).alias("s"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("s"), "cell")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cell").alias("label"))
+    )
+    append_rows(spark, index, assigned, partition_by=["label"])
+
+    # query = an APPENDED vector: its top hit (excluding itself) must
+    # come back, and its own assigned cell is among the probed ones
+    qrow = assigned.orderBy("vec_id").first()
+    q = spark.createDataFrame(
+        [(qrow.embedding,)], "qe array<double>"
+    ).withColumn("qnorm", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    probed = [
+        r.label
+        for r in (
+            cent.crossJoin(F.broadcast(q))
+            .select(
+                "label",
+                _cos(F.col("centroid"), F.col("qe"), F.col("cnorm"), F.col("qnorm")).alias("c"),
+            )
+            .orderBy(F.desc("c"), "label")
+            .limit(2)
+            .collect()
+        )
+    ]
+    assert qrow.label in probed  # a vector is nearest its own cell
+    scan = read_table(spark, index).filter(F.col("label").isin(probed))
+    # planning-time pruning: the probe filter lands in PartitionFilters
+    # (directory elimination before any file is opened)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    part_clause = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "label" in part_clause, plan
+    # the appended query vector itself is IN the scanned cells
+    assert scan.filter(F.col("vec_id") == qrow.vec_id).count() == 1

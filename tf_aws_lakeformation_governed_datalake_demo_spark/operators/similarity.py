@@ -1311,3 +1311,154 @@ def ann_ivf_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+_ANN_IVF_APPEND_ORACLE = """
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+               FROM embeddings),
+    seed AS (SELECT * FROM v WHERE vec_id % 4 <> 1),
+    batch AS (SELECT * FROM v WHERE vec_id % 4 = 1),
+    el AS (SELECT vec_id, label, unnest(range(0, 64)) AS d,
+                  unnest(e) AS x
+           FROM seed),
+    cent AS (SELECT label, d, avg(x) AS m FROM el GROUP BY 1, 2),
+    cn AS (SELECT label, sqrt(sum(m * m)) AS cnorm FROM cent GROUP BY 1),
+    bel AS (SELECT vec_id, unnest(range(0, 64)) AS d, unnest(e) AS x
+            FROM batch),
+    bsim AS (SELECT b.vec_id, c.label,
+                    sum(c.m * b.x) / any_value(cn.cnorm) AS s
+             FROM bel b
+             JOIN cent c ON c.d = b.d
+             JOIN cn ON cn.label = c.label
+             GROUP BY b.vec_id, c.label),
+    assigned AS (
+      SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY s DESC, label) AS rn
+        FROM bsim) WHERE rn = 1
+    ),
+    index_t AS (
+      SELECT vec_id, label, e FROM seed
+      UNION ALL
+      SELECT b.vec_id, a.label, b.e
+      FROM batch b JOIN assigned a USING (vec_id)
+    ),
+    q AS (SELECT d, x FROM el WHERE vec_id = 0),
+    qn AS (SELECT sqrt(sum(x * x)) AS qnorm FROM q),
+    csim AS (SELECT c.label,
+                    sum(c.m * q.x)
+                      / (any_value(cn.cnorm) * any_value(qn.qnorm)) AS s
+             FROM cent c
+             JOIN q ON c.d = q.d
+             JOIN cn ON cn.label = c.label
+             CROSS JOIN qn
+             GROUP BY c.label),
+    probed AS (SELECT label FROM csim ORDER BY s DESC, label LIMIT 2),
+    qv AS (SELECT e FROM v WHERE vec_id = 0)
+    SELECT i.vec_id, i.label,
+           round(list_cosine_similarity(i.e, qv.e), 4) AS cos_sim
+    FROM index_t i JOIN probed USING (label) CROSS JOIN qv
+    WHERE i.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+"""
+
+
+@query(
+    "ann_ivf_index_append",
+    _ANN_IVF_APPEND_ORACLE,
+    "Incremental IVF index maintenance (round-8): the partitioned IVF "
+    "index seeds from 3/4 of the corpus as a manifest table (cells = "
+    "hive partitions), the coarse quantizer is FROZEN (per-cell mean "
+    "centroids of the seed — appends never retrain it, the production "
+    "invariant), and the remaining 1/4 arrives as a batch: each vector "
+    "is assigned to its nearest centroid by a broadcast argmax and the "
+    "batch lands as ONE transactional append. The probe then reads "
+    "only the 2 probed cell directories and must surface appended "
+    "vectors ranked identically to the oracle's full replay "
+    "(seed-labeled ∪ assigned-batch).",
+)
+def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the incremental-arrival story for the ANN family
+    (what S21/S27 did for MinHash dedup): at 100 TB the index is never
+    rebuilt per batch — assignment is a broadcast argmax against an
+    O(cells) centroid table, the append is O(batch) through the
+    manifest commit (snapshot-isolated against concurrent probes), and
+    probing stays planning-time partition pruning. Centroid drift is
+    the documented operational trade: retraining is an OPTIMIZE-class
+    rebuild, not an ingest-path cost."""
+    from ..scratch import scratch_dir
+    from ..sources import append_rows, publish_overwrite, read_table
+
+    v = _with_norm(load(spark, sf_dir, "embeddings"))
+    seed = v.filter(F.col("vec_id") % 4 != 1)
+    batch = v.filter(F.col("vec_id") % 4 == 1)
+    index = scratch_dir("ivf_append_") + "/cells"
+    publish_overwrite(
+        spark,
+        index,
+        seed.select("vec_id", "embedding", "label"),
+        ["label"],
+        manifest=True,
+    )
+    cent = label_centroids(seed)  # FROZEN quantizer: seed-only means
+    # batch assignment: argmax over cells of dot/cnorm (the vector's own
+    # norm is constant per vector and cannot change the argmax — fewer
+    # fp ops means fewer cross-engine tie hazards)
+    scored = (
+        batch.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent.withColumnRenamed("label", "cell")))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            (
+                _dot(F.col("embedding"), F.col("centroid")) / F.col("cnorm")
+            ).alias("s"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("s"), "cell")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cell").alias("label"))
+    )
+    append_rows(spark, index, assigned, partition_by=["label"])
+
+    q = v.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("norm").alias("qnorm")
+    )
+    probed = [
+        r.label
+        for r in (
+            cent.crossJoin(F.broadcast(q))
+            .select(
+                "label",
+                _cos(
+                    F.col("centroid"), F.col("qe"), F.col("cnorm"), F.col("qnorm")
+                ).alias("csim"),
+            )
+            .orderBy(F.desc("csim"), "label")
+            .limit(2)
+            .collect()
+        )
+    ]
+    cells = _with_norm(
+        read_table(spark, index)
+        .filter(F.col("label").isin(probed))  # planning-time pruning
+        .filter(F.col("vec_id") != 0)
+    )
+    return (
+        cells.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.round(
+                _cos(F.col("embedding"), F.col("qe"), F.col("norm"), F.col("qnorm")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
