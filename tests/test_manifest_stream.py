@@ -179,3 +179,42 @@ def test_governed_stream_table_enforces_like_batch(spark, tmp_path):
     # admin streams the raw table — all 20 rows, all 7 columns
     admin = drain(cat.stream_table("sales_db.sales", "dataadmin"))
     assert admin.count() == 20 and len(admin.columns) == 7
+
+
+def test_stream_refuses_mor_tombstones_unless_ignore_changes(spark, tmp_path):
+    """A merge-on-read delete changes visibility without touching the
+    file set — still a retraction for a forward-only stream: the next
+    micro-batch after a tombstone commit must fail closed (same
+    contract as a file rewrite), and ignoreChanges opts out."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        delete_rows_mor,
+    )
+
+    path, out, ckpt = (
+        str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    df = _mk(spark, [(1, 0, "a"), (2, 1, "b")])
+    publish_overwrite(spark, path, df, ["bucket"], manifest=True)
+    _run_stream(spark, df.schema, path, out, ckpt)
+    delete_rows_mor(spark, path, "id = 1", count=False)
+    append_rows(spark, path, _mk(spark, [(3, 0, "c")]), ["bucket"])
+    with pytest.raises(Exception, match="tombstone|ignoreChanges"):
+        _run_stream(spark, df.schema, path, out, ckpt)
+    q = (
+        spark.readStream.format("lake_manifest")
+        .schema(df.schema)
+        .option("ignoreChanges", "true")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.schema(df.schema).parquet(out)
+    # the new file streamed; previously-emitted rows stay emitted
+    assert got.filter("id = 3").count() == 1

@@ -158,6 +158,34 @@ class LakeManifestStreamReader(_ManifestReaderMixin, DataSourceStreamReader):
                 "files anyway (rewritten rows re-appear, Delta "
                 "ignoreChanges semantics)"
             )
+        # merge-on-read deletes change VISIBILITY without touching the
+        # file set — for a forward-only stream that is still a
+        # retraction. Same contract as a file removal: fail loudly
+        # unless the consumer opted into ignoreChanges (already-emitted
+        # rows stay emitted; files arriving later are read RAW, so
+        # tombstone-hidden rows in them re-appear — consistent with the
+        # rewritten-rows caveat above).
+        if not self._ignore_changes:
+            prev_preds = (
+                []
+                if sv == 0
+                else _read_manifest_json(self._path, sv).get(
+                    "delete_predicates", []
+                )
+            )
+            added_preds = [
+                p
+                for p in cur.get("delete_predicates", [])
+                if p not in prev_preds
+            ]
+            if added_preds:
+                raise ValueError(
+                    f"versions v{sv}->v{ev} of {self._path} added "
+                    f"{len(added_preds)} merge-on-read delete "
+                    "tombstone(s): a streaming source cannot retract "
+                    "rows. Use table_changes for retraction-aware "
+                    "consumption, or pass ignoreChanges=true"
+                )
         return [
             _FilePartition(f) for f in sorted(set(cur["files"]) - prev)
         ]
