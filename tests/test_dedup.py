@@ -615,3 +615,37 @@ def test_dedup_paragraphs_removes_real_duplicates(spark, sf_dir):
     kept = sum(r.kept_chunks for r in out)
     assert 0 < kept < total  # duplicates existed and were removed
     assert sum(r.n_docs for r in out) > 0
+
+
+def test_exact_substring_dedup_span_semantics(spark):
+    """Synthetic pin of the suffix-array-style semantics: a 10-token run
+    shared by two documents is removed from the LATER one only, and the
+    removal is token-coverage (the whole duplicated span, not just gram
+    starts); a document with no 8-gram in common stays byte-identical;
+    a short (<8 token) document is never touched."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    run = "a b c d e f g h i j"  # 10 tokens => 3 grams of 8
+    rows = [
+        (1, f"x1 x2 {run} x3 x4", "en", "s", 0),
+        (2, f"y1 y2 y3 {run} y4", "en", "s", 0),  # later copy => removed
+        (3, "p q r s t u v w x y z", "en", "s", 0),
+        (4, "tiny doc here", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r.lang: r
+            for r in REGISTRY["dedup_exact_substrings"].builder(spark, tmp).collect()
+        }
+    en = out["en"]
+    # doc 2 loses exactly the 10 run tokens; docs 1/3/4 untouched.
+    assert en.n_docs == 4
+    assert en.docs_touched == 1
+    assert en.removed_tokens == 10
+    assert en.total_tokens == 14 + 14 + 11 + 3

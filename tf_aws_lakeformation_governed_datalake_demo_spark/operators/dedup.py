@@ -1535,3 +1535,182 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text_chk"),
     )
     return out
+
+
+_SUBSTR_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, gpos,
+             md5(array_to_string(w[gpos + 1 : gpos + 8], ' ')) AS gh
+      FROM (SELECT doc_id, w, unnest(range(len(w) - 8 + 1)) AS gpos
+            FROM toks WHERE len(w) >= 8)
+    ),
+    marked AS (
+      SELECT doc_id, gpos FROM (
+        SELECT doc_id, gpos,
+               row_number() OVER (PARTITION BY gh
+                                  ORDER BY doc_id, gpos) AS rn
+        FROM occ) WHERE rn > 1
+    ),
+    tok AS (
+      SELECT doc_id, lang, w, unnest(range(len(w))) AS tpos FROM toks
+    ),
+    cov AS (
+      SELECT t.doc_id, t.lang, t.tpos, t.w[t.tpos + 1] AS tok,
+             max(CASE WHEN m.gpos IS NULL THEN 0 ELSE 1 END) OVER (
+               PARTITION BY t.doc_id ORDER BY t.tpos
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+      FROM tok t LEFT JOIN marked m
+        ON t.doc_id = m.doc_id AND t.tpos = m.gpos
+    ),
+    rebuilt AS (
+      SELECT doc_id, lang,
+             count(*) AS n_tokens,
+             sum(covered) AS n_removed,
+             string_agg(CASE WHEN covered = 0 THEN tok END, ' '
+                        ORDER BY tpos) AS dedup_text
+      FROM cov GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_touched,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_removed) AS BIGINT) AS removed_tokens,
+           CAST(sum(CASE WHEN n_removed < n_tokens THEN
+                CAST(concat('0x', substr(md5(dedup_text), 1, 8)) AS BIGINT)
+                END) AS BIGINT) AS text_chk
+    FROM rebuilt GROUP BY lang
+"""
+
+
+@query(
+    "dedup_exact_substrings",
+    _SUBSTR_ORACLE,
+    "Exact duplicate-SUBSTRING removal (the suffix-array dedup recipe "
+    "of Lee et al. 2021, re-expressed in relational primitives): every "
+    "overlapping 8-token span is fingerprinted, each span keeps its "
+    "globally FIRST occurrence (ordered by doc_id, position), and every "
+    "token covered by a non-first duplicated span is removed — "
+    "sub-segment-granular, so boilerplate that straddles paragraph "
+    "boundaries (which chunk-level dedup misses) is caught. Documents "
+    "are reassembled from surviving tokens; the oracle replays "
+    "fingerprinting, global keep-first, window coverage, and "
+    "reassembly, checksumming rebuilt texts per language (a fully-"
+    "removed document contributes NULL in both engines).",
+)
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB design, where a literal suffix array is a single-machine
+    structure: (1) the dedup key is md5(8-token span) — a 32-char
+    shuffle key regardless of span text width; (2) first-occurrence is
+    groupBy(gh).agg(min(struct(doc,pos))) — map-side partial
+    aggregation, so a span duplicated a million times combines per
+    partition instead of flooding one reducer the way a row_number
+    window would; (3) only TOUCHED documents (those owning a non-first
+    occurrence) take the explode -> coverage-window -> reassemble path —
+    clean documents (the vast majority of a deduped corpus) pass
+    through as one map-side checksum, never exploded to token rows.
+    Coverage itself is a linear rows-frame window, not a range join."""
+    K = 8
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    )
+    occ = d.where(F.size("w") >= K).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {K}),"
+                f" i -> md5(array_join(slice(w, i + 1, {K}), ' ')))"
+            )
+        ).alias("gpos", "gh"),
+    )
+    first = occ.groupBy("gh").agg(
+        F.min(F.struct("doc_id", "gpos")).alias("keep")
+    )
+    marked = (
+        occ.join(first, "gh")
+        .where(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("gpos") != F.col("keep.gpos"))
+        )
+        .select("doc_id", "gpos")
+    )
+    touched_ids = marked.select("doc_id").distinct()
+    clean = d.join(touched_ids, "doc_id", "left_anti").select(
+        "lang",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.conv(
+            F.substring(F.md5(F.array_join("w", " ")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("chk"),
+    )
+    tok = (
+        d.join(touched_ids, "doc_id", "left_semi")
+        .select("doc_id", "lang", F.posexplode("w").alias("tpos", "tok"))
+    )
+    m = marked.select(
+        F.col("doc_id").alias("m_doc"), F.col("gpos").alias("m_pos")
+    )
+    joined = tok.join(
+        m,
+        (F.col("doc_id") == F.col("m_doc"))
+        & (F.col("tpos") == F.col("m_pos")),
+        "left",
+    )
+    w_cov = W.partitionBy("doc_id").orderBy("tpos").rowsBetween(-(K - 1), 0)
+    cov = joined.select(
+        "doc_id",
+        "lang",
+        "tpos",
+        "tok",
+        F.max(
+            F.when(F.col("m_pos").isNotNull(), 1).otherwise(0)
+        )
+        .over(w_cov)
+        .alias("covered"),
+    )
+    rebuilt = cov.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("covered").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("covered") == 0, F.struct("tpos", "tok")
+                        )
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    t_stats = rebuilt.select(
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.when(
+            F.col("n_removed") < F.col("n_tokens"),
+            F.conv(
+                F.substring(F.md5("dedup_text"), 1, 8), 16, 10
+            ).cast("long"),
+        ).alias("chk"),
+    )
+    return (
+        clean.unionByName(t_stats)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_removed") > 0).cast("long"))
+            .cast("long")
+            .alias("docs_touched"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_removed").cast("long").alias("removed_tokens"),
+            F.sum("chk").cast("long").alias("text_chk"),
+        )
+    )
