@@ -67,13 +67,18 @@ freshness-first, self-healing):
   ``ann_ivf_index_append`` (incremental IVF: frozen seed-trained
   coarse quantizer, broadcast-argmax batch assignment, ONE
   transactional append into the cell-partitioned manifest index,
-  probe = partition pruning) — plus the 21
-  ``y0_`` names whose last driver verdict dates to round 3/4 and that
-  spilled past round 7's window (``stream_session_windows`` …
-  ``tpch_q9_product_profit``). 42 names.
+  probe = partition pruning), and ``dedup_exact_substrings`` (the
+  suffix-array dedup recipe as relational primitives: global
+  keep-first 8-token spans, coverage-window removal, reassembly), and
+  ``lake_partition_evolution`` (Iceberg spec evolution as a metadata
+  commit: mixed-layout reads union one scan per spec, appends land on
+  the new spec immediately, compact_in_place migrates/heals) — plus
+  the 21 ``y0_`` names whose last driver verdict dates to round 3/4
+  and that spilled past round 7's window (``stream_session_windows``
+  … ``tpch_q9_product_profit``). 44 names.
 - ``y1_<name>`` — last verified in round 5 (49 names). They sort
-  directly after the unprefixed block, so the 8 spare window slots
-  re-verify the alphabetically-first of these; the remaining 41 spill
+  directly after the unprefixed block, so the 6 spare window slots
+  re-verify the alphabetically-first of these; the remaining 43 spill
   to round 9 — every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
 - ``y2_<name>`` — verified in round 6 (50 names; CORRECTNESS_r06

@@ -169,6 +169,13 @@ HEADLINE = [
     # ... and incremental IVF maintenance (seed index publish + frozen-
     # quantizer batch assignment + transactional append + pruned probe)
     "ann_ivf_index_append",
+    # round 8 sixth-wave additions: the suffix-array-style exact
+    # substring dedup (global keep-first 8-token spans + coverage
+    # removal + reassembly) and partition-spec evolution (seed publish
+    # + metadata evolution + new-spec append + the mixed-layout union
+    # read)
+    "dedup_exact_substrings",
+    "lake_partition_evolution",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

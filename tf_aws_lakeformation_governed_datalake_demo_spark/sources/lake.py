@@ -305,6 +305,7 @@ def publish_overwrite(
     manifest: bool | None = None,
     bloom_cols: list[str] | None = None,
     expected_version: int | None = None,
+    full_rewrite: bool = False,
 ) -> None:
     """Atomic stage-then-rename publication of a (slice) rewrite —
     the commit protocol under merge_into / scd2_apply /
@@ -414,6 +415,7 @@ def publish_overwrite(
             txid,
             bloom_cols=bloom_cols,
             expected_version=expected_version,
+            full_rewrite=full_rewrite,
         )
         return
     if bloom_cols:
@@ -763,6 +765,47 @@ def _keep_filter(df: DataFrame, tombstones) -> DataFrame:
     return df
 
 
+def _spec_scan(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    files: list[str],
+    schema: T.StructType | None,
+) -> DataFrame:
+    """Scan ``files`` grouped by the partition spec each was written
+    under (:func:`evolve_partitioning`). Hive partition recovery
+    requires every file of one parquet relation to share a directory
+    layout, so a partition-evolved snapshot scans one relation per
+    spec and unions by name — with the declared schema, a column that
+    is a partition directory in one spec and a data column in another
+    materializes identically in both groups. Single-spec snapshots
+    (the common case) take the one-relation fast path unchanged."""
+    from pathlib import Path
+
+    live = Path(path)
+
+    def _one(fs: list[str]) -> DataFrame:
+        return (
+            _reader(spark, schema)
+            .option("basePath", path)
+            .parquet(*[str(live / f) for f in fs])
+        )
+
+    specs = m.get("partition_specs")
+    if not specs:
+        return _one(files)
+    fspec = m.get("file_spec", {})
+    default = m.get("default_spec")
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        groups.setdefault(fspec.get(f, default), []).append(f)
+    parts = [_one(fs) for _, fs in sorted(groups.items())]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _masked_scan(
     spark: SparkSession,
     path: str,
@@ -777,17 +820,11 @@ def _masked_scan(
     groups nest, so there are at most k+1, typically 2: old files under
     the tombstones, post-delete files clean); each group is one scan
     with its keep-filters — plain Catalyst filters above the file scan,
-    no join, no shuffle — unioned by name."""
-    from pathlib import Path
-
-    live = Path(path)
+    no join, no shuffle — unioned by name. Each group scan is itself
+    spec-aware (:func:`_spec_scan`) on partition-evolved tables."""
 
     def _scan(fs: list[str]) -> DataFrame:
-        return (
-            _reader(spark, schema)
-            .option("basePath", path)
-            .parquet(*[str(live / f) for f in fs])
-        )
+        return _spec_scan(spark, path, m, fs, schema)
 
     if not m.get("delete_predicates"):
         return _scan(files)
@@ -817,6 +854,8 @@ def _commit_manifest(
     delete_predicates: list | None = None,
     file_added_hints: dict | None = None,
     constraints: dict | None = None,
+    partition_specs: dict | None = None,
+    file_spec: dict | None = None,
 ) -> dict:
     """Write snapshot ``_manifests/v{N}.json`` then atomically replace
     the ``_manifest.json`` pointer with the same content (``os.replace``
@@ -905,6 +944,53 @@ def _commit_manifest(
         for p in delete_predicates
         if any(file_added[f] <= p["scope"] for f in files)
     ]
+    # Partition evolution bookkeeping (round-8): when any live file was
+    # written under a retired partition spec (evolve_partitioning), the
+    # snapshot carries the spec table + per-file spec map. Inheritance
+    # mirrors file_stats: carried files keep their recorded spec, new
+    # files get the committing writer's spec (writers are pinned to the
+    # current default by the append/publish layout guards). The moment
+    # every live file is back on the default spec — a full rewrite /
+    # OPTIMIZE — the keys are dropped and the table heals to the plain
+    # single-spec form.
+    pb_now = list(partition_by or [])
+    if partition_specs is None:
+        parent_specs = (parent or {}).get("partition_specs")
+        if parent_specs:
+            parent_fspec = (parent or {}).get("file_spec", {})
+            sid = next(
+                (k for k, v in parent_specs.items() if list(v) == pb_now),
+                None,
+            )
+            if sid is None:
+                raise ValueError(
+                    f"commit partition_by {pb_now} matches no spec "
+                    "recorded on this partition-evolved table — change "
+                    "layouts with evolve_partitioning()"
+                )
+            partition_specs = dict(parent_specs)
+            file_spec = {f: parent_fspec.get(f, sid) for f in files}
+    default_sid = None
+    if partition_specs:
+        default_sid = next(
+            (k for k, v in partition_specs.items() if list(v) == pb_now),
+            None,
+        )
+        if default_sid is None:
+            raise ValueError(
+                f"partition_specs records no spec for partition_by {pb_now}"
+            )
+        file_spec = {f: (file_spec or {}).get(f, default_sid) for f in files}
+        live_sids = set(file_spec.values())
+        if live_sids <= {default_sid}:
+            partition_specs = None  # healed: every file on the default
+            file_spec = None
+        else:
+            partition_specs = {
+                k: v
+                for k, v in partition_specs.items()
+                if k in live_sids or k == default_sid
+            }
     snap = {
         "version": version,
         "parent": parent["version"] if parent else None,
@@ -915,6 +1001,12 @@ def _commit_manifest(
         "file_added": file_added,
         "committed_at": time.time(),
     }
+    if partition_specs:
+        snap["partition_specs"] = {
+            k: list(v) for k, v in partition_specs.items()
+        }
+        snap["default_spec"] = default_sid
+        snap["file_spec"] = dict(file_spec)
     if delete_predicates:
         snap["delete_predicates"] = list(delete_predicates)
     if app_versions:
@@ -965,12 +1057,22 @@ def _publish_manifest_commit(
     txid: str,
     bloom_cols: list[str] | None = None,
     expected_version: int | None = None,
+    full_rewrite: bool = False,
 ) -> None:
     """Manifest-mode publish body (see publish_overwrite's contract):
     stage, move files in under unique names (old files retained), then
     commit with one atomic pointer replace. A conflict raise
     (``expected_version`` mismatch) happens BEFORE any file moves, so
-    a failed optimistic commit leaves the live tree byte-identical."""
+    a failed optimistic commit leaves the live tree byte-identical.
+
+    ``full_rewrite=True`` (compact_in_place / OPTIMIZE) declares that
+    ``result`` IS the complete table: nothing is carried even on a
+    partitioned layout. It is also the one rewrite allowed on a
+    partition-evolved table — a partial (replaced-partitions) rewrite
+    there is refused, because files written under a retired spec live
+    in directories the new spec's staged tree can never replace, so
+    rows of a "touched" logical partition would silently survive in
+    old-spec files."""
     import shutil
     from pathlib import Path
 
@@ -1017,13 +1119,31 @@ def _publish_manifest_commit(
                         "intervening writer's changes; re-run against "
                         "the current snapshot"
                     )
+            if partition_by and current is not None:
+                cur_pb = current.get("partition_by", [])
+                if cur_pb != list(partition_by):
+                    raise ValueError(
+                        f"publish partition_by {list(partition_by)} does "
+                        f"not match the table's committed layout {cur_pb}"
+                        " — change layouts with evolve_partitioning()"
+                    )
+                if current.get("partition_specs") and not full_rewrite:
+                    raise ValueError(
+                        f"table at {live} is partition-evolved (files "
+                        "under retired spec(s) remain): a partial "
+                        "rewrite cannot replace old-spec files' "
+                        "directories — compact_in_place() it first to "
+                        "migrate every file to the current spec"
+                    )
             prev_files = (
                 current["files"]
                 if current is not None
                 else _data_file_relpaths(live)
             )
             new_files = _move_staged_in(live, staged, staged_files)
-            if partition_by:
+            if full_rewrite:
+                carried = []  # result IS the whole table
+            elif partition_by:
                 # partitions present in the staged tree are REPLACED;
                 # ones the caller names as emptied are DROPPED;
                 # everything else is carried forward untouched
@@ -1262,11 +1382,11 @@ def table_changes(
     for (kf, kt), fs in sorted(
         changed.items(), key=lambda kv: (sorted(kv[0][0]), sorted(kv[0][1]))
     ):
-        raw = _project(
-            _reader(spark, schema)
-            .option("basePath", path)
-            .parquet(*[str(live / f) for f in fs])
-        )
+        # spec-aware scan: carried files keep their spec forever, but
+        # only one of the two snapshots may carry the spec table (an
+        # evolution between the versions) — use whichever records it
+        m_spec = m_to if m_to.get("partition_specs") else m_from
+        raw = _project(_spec_scan(spark, path, m_spec, fs, schema))
         old_parts.append(_keep_filter(raw, kf))
         new_parts.append(_keep_filter(raw, kt))
 
@@ -1561,12 +1681,104 @@ def rollback_table(path: str, version: int) -> dict:
             delete_predicates=target.get("delete_predicates", []),
             file_added_hints=target.get("file_added"),
             constraints=target.get("constraints", {}),
+            # restore the target's partition-spec bookkeeping verbatim:
+            # inheriting from the CURRENT snapshot would mis-spec files
+            # it no longer carries (None on a pre-evolution target falls
+            # back to inheritance, which resolves every restored file to
+            # the target's own layout and heals to single-spec)
+            partition_specs=target.get("partition_specs"),
+            file_spec=target.get("file_spec"),
         )
     return {
         "rolled_back_to": version,
         "new_version": snap["version"],
         "n_files": len(snap["files"]),
     }
+
+
+def evolve_partitioning(path: str, new_partition_by: list[str] | None) -> dict:
+    """Change a manifest table's partition layout WITHOUT rewriting a
+    byte of data — Iceberg's partition-spec evolution on plain Parquet.
+    (The reference's Glue tables pin one partition scheme at CREATE
+    time; re-layout there is a full CTAS.)
+
+    The commit is pure metadata: the snapshot's ``partition_by``
+    becomes the new spec, every carried file keeps a record of the spec
+    it was WRITTEN under (``partition_specs`` / ``file_spec``), and:
+
+    - **reads** (:func:`read_table`, time travel, :func:`table_changes`,
+      streaming) scan one parquet relation per spec and union — a
+      column that is a partition directory in one spec and a data
+      column in another materializes identically in both (declared
+      schema), and Spark's own partition pruning still applies per
+      spec-group at planning time;
+    - **appends** (:func:`append_rows`, the streaming sink) write under
+      the new spec immediately — new data gets the new layout's
+      pruning from its first commit, the point of evolving;
+    - **partial rewrites** (merge_into / scd2 / delete_rows / WAP) are
+      REFUSED while retired-spec files remain: their replaced-
+      partitions semantics cannot see old-spec directories, so touched
+      rows would silently survive in old files. The migration is
+      :func:`compact_in_place` — a full rewrite under the current
+      spec, after which the spec bookkeeping heals away and every
+      mutator works again. Fail-closed beats silently-duplicated.
+
+    100 TB rationale: re-partitioning a petabyte table eagerly is a
+    cluster-week; evolution makes the layout change O(1) now and lets
+    the rewrite happen per-partition, on maintenance cadence, or never
+    (old data ages out through retention while new data enjoys the new
+    layout). Requires a recorded writer schema (every round-8 commit
+    records one) so mixed-spec scans are declared, never inferred."""
+    import uuid as _uuid
+    from pathlib import Path
+
+    live = Path(path)
+    if read_manifest(path) is None:
+        raise ValueError(
+            f"table at {path} is not manifest-committed — partition "
+            "evolution needs manifest snapshots; publish_overwrite(..., "
+            "manifest=True) it first"
+        )
+    new = list(new_partition_by or [])
+    with publish_lock(live):
+        current = read_manifest(path)  # re-read under the commit lock
+        recorded = current.get("schema")
+        if recorded is None:
+            raise ValueError(
+                f"table at {path} has no recorded writer schema — "
+                "mixed-spec scans must be declared; re-publish once to "
+                "record it"
+            )
+        names = [f["name"] for f in recorded["fields"]]
+        missing = [c for c in new if c not in names]
+        if missing:
+            raise ValueError(
+                f"new partition columns {missing} are not on the "
+                f"table's schema {names}"
+            )
+        if current["partition_by"] == new:
+            return current  # already this layout — nothing to commit
+        specs = {
+            k: list(v)
+            for k, v in (current.get("partition_specs") or {}).items()
+        }
+        fspec = dict(current.get("file_spec") or {})
+        if not specs:
+            specs = {"0": list(current["partition_by"])}
+            fspec = {f: "0" for f in current["files"]}
+        sid = next((k for k, v in specs.items() if v == new), None)
+        if sid is None:
+            sid = str(max(int(k) for k in specs) + 1)
+            specs[sid] = new
+        return _commit_manifest(
+            live,
+            current["files"],
+            new,
+            current,
+            _uuid.uuid4().hex,
+            partition_specs=specs,
+            file_spec=fspec,
+        )
 
 
 def _enforce_constraints(
@@ -1730,6 +1942,12 @@ def begin_publish(
         raise ValueError(
             f"partition_by {list(partition_by or [])} does not match the "
             f"table's committed layout {current['partition_by']}"
+        )
+    if current is not None and current.get("partition_specs"):
+        raise ValueError(
+            f"table at {path} is partition-evolved: a candidate's "
+            "replaced-partitions semantics cannot see old-spec files' "
+            "directories — compact_in_place() it first"
         )
     staged = live / f"_staged_{txid}"
     writer = result.write.mode("overwrite").option("compression", compression)
@@ -2837,6 +3055,10 @@ def compact_in_place(
         partition_by,
         compression=compression,
         expected_version=m["version"] if m is not None else None,
+        # compaction reads the WHOLE table and rewrites it — declaring
+        # that lets the manifest publish carry nothing, which is also
+        # what migrates a partition-evolved table back to a single spec
+        full_rewrite=m is not None,
     )
     m2 = read_manifest(path)
     if m2 is not None:
