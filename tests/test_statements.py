@@ -788,3 +788,75 @@ def test_maintain_mor_delete_and_purge_governed(spark, sf_dir, tmp_path):
         eng.sql(f"SELECT count(*) AS n FROM {q}", principal="ops").first().n
     )
     assert total_after == total_before
+
+
+def test_maintain_evolve_partitioning_governed(spark, sf_dir, tmp_path):
+    """The governed layout change: admin-gated, audited with the new
+    spec, catalog partition_keys follow, pending columns refused, and a
+    later governed compact derives the NEW layout."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark import TableDef
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        load,
+        publish_overwrite,
+        read_manifest,
+    )
+    from pyspark.sql import types as T
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    loc = f"{lake}/docs_evo"
+    d = load(spark, sf_dir, "documents")
+    publish_overwrite(spark, loc, d, ["lang"], manifest=True)
+    cat.register_table(
+        TableDef(
+            fx.DATABASE,
+            "docs_evo",
+            loc,
+            schema=d.schema,
+            partition_keys=("lang",),
+        )
+    )
+    cat.set_admins(["ops"])
+    q = f"{fx.DATABASE}.docs_evo"
+
+    # non-admin without ALL: denied and audited
+    with pytest.raises(PermissionDeniedError):
+        eng.maintain(
+            q, "evolve_partitioning", principal="analyst",
+            new_partition_by=["source"],
+        )
+
+    # pending column cannot become the physical layout (directory names
+    # leak values to anyone who can list storage)
+    cat.evolve_table_schema(q, [T.StructField("tier", T.StringType())])
+    with pytest.raises(PermissionDeniedError, match="pending"):
+        eng.maintain(
+            q, "evolve_partitioning", principal="ops",
+            new_partition_by=["tier"],
+        )
+
+    res = eng.maintain(
+        q, "evolve_partitioning", principal="ops",
+        new_partition_by=["source"],
+    )
+    assert res["partition_by"] == ["source"]
+    assert cat.tables[q].partition_keys == ("source",)
+    assert read_manifest(loc)["partition_by"] == ["source"]
+    lines = [
+        e for e in cat.audit.events
+        if "MAINTAIN evolve_partitioning" in e["query"]
+    ]
+    assert any("TO (source)" in e["query"] and e["status"] == "ok"
+               for e in lines)
+    assert any(e["status"] == "denied" for e in lines)
+
+    # governed compact now derives the NEW layout and migrates the
+    # mixed-spec table back to single-spec
+    stats = eng.maintain(q, "compact", principal="ops")
+    m = read_manifest(loc)
+    assert "partition_specs" not in m and m["partition_by"] == ["source"]
+    n = eng.sql(
+        f"SELECT count(*) AS n FROM {q}", principal="ops"
+    ).first().n
+    assert n == d.count()

@@ -570,6 +570,13 @@ class Engine:
           pure metadata commit, no data movement; the audited
           recover-from-bad-publish path. Cannot resurrect erased rows
           (delete_rows truncates history first).
+        - ``"evolve_partitioning"`` — change the table's partition
+          layout as a metadata commit
+          (sources.lake.evolve_partitioning; ``new_partition_by=``
+          required, columns must be on the declared schema and not
+          pending approval). The catalog's declared ``partition_keys``
+          follow the new spec, so later ``compact``/``delete_rows``
+          derive the right layout.
 
         Same fail-closed location guard as drop_table(delete_data=True):
         the catalog must have a ``lake_root`` and the table location
@@ -583,6 +590,7 @@ class Engine:
             compact_in_place,
             delete_rows,
             delete_rows_mor,
+            evolve_partitioning,
             expire_scd2_versions,
             purge_deleted_rows,
             rollback_table,
@@ -608,6 +616,10 @@ class Engine:
         )
         if action == "rollback" and "to_version" in kwargs:
             audit_suffix = f" TO VERSION {kwargs['to_version']}"
+        if action == "evolve_partitioning" and "new_partition_by" in kwargs:
+            audit_suffix = (
+                f" TO ({', '.join(list(kwargs['new_partition_by'] or []))})"
+            )
 
         def _audit(status: str, error: str | None = None):
             self.catalog.audit.record(
@@ -736,6 +748,32 @@ class Engine:
                 _audit("failed", "rollback requires to_version=")
                 raise ValueError("rollback requires to_version=")
             result = rollback_table(table.location, kwargs["to_version"])
+        elif action == "evolve_partitioning":
+            if "new_partition_by" not in kwargs:
+                _audit("failed", "evolve_partitioning requires new_partition_by=")
+                raise ValueError(
+                    "evolve_partitioning requires new_partition_by="
+                )
+            new_pb = list(kwargs["new_partition_by"] or [])
+            # fail-closed schema evolution extends here too: a pending
+            # (unclassified) column must not become the table's physical
+            # layout — directory names leak its values to anyone who can
+            # list storage
+            struck = sorted(set(new_pb) & set(table.pending_columns))
+            if struck:
+                _audit("denied", f"layout uses pending columns {struck}")
+                raise PermissionDeniedError(
+                    f"new partition columns {struck} on {qualified} are "
+                    "pending approval; approve the evolved columns first"
+                )
+            snap = evolve_partitioning(table.location, new_pb)
+            # keep the catalog's declared layout in step — compact /
+            # delete_rows derive partitioning from it
+            table.partition_keys = tuple(new_pb)
+            result = {
+                "version": snap["version"],
+                "partition_by": snap["partition_by"],
+            }
         else:
             _audit("failed", f"unknown action {action!r}")
             raise ValueError(f"unknown maintenance action {action!r}")
