@@ -72,13 +72,16 @@ freshness-first, self-healing):
   keep-first 8-token spans, coverage-window removal, reassembly), and
   ``lake_partition_evolution`` (Iceberg spec evolution as a metadata
   commit: mixed-layout reads union one scan per spec, appends land on
-  the new spec immediately, compact_in_place migrates/heals) — plus
-  the 21 ``y0_`` names whose last driver verdict dates to round 3/4
-  and that spilled past round 7's window (``stream_session_windows``
-  … ``tpch_q9_product_profit``). 44 names.
+  the new spec immediately, compact_in_place migrates/heals), and
+  ``text_bpe_pair_counts`` (the oracle-verified counting core of BPE
+  tokenizer training: corpus-weighted char-pair statistics over the
+  distinct-word vocabulary) — plus the 21 ``y0_`` names whose last
+  driver verdict dates to round 3/4 and that spilled past round 7's
+  window (``stream_session_windows`` … ``tpch_q9_product_profit``).
+  45 names.
 - ``y1_<name>`` — last verified in round 5 (49 names). They sort
-  directly after the unprefixed block, so the 6 spare window slots
-  re-verify the alphabetically-first of these; the remaining 43 spill
+  directly after the unprefixed block, so the 5 spare window slots
+  re-verify the alphabetically-first of these; the remaining 44 spill
   to round 9 — every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
 - ``y2_<name>`` — verified in round 6 (50 names; CORRECTNESS_r06
@@ -87,7 +90,7 @@ freshness-first, self-healing):
   2 expected no_oracle rows): the 15 round-7 unprefixed oracle-backed
   names (8 new round-7 queries + ``unpivot_event_counts`` + the six
   ``window_*``) and the 33 ``y0_`` re-verifications.
-- ``z_<name>`` — no SQL oracle exists; 6 queries, each with a written
+- ``z_<name>`` — no SQL oracle exists; 7 queries, each with a written
   reason: dedup_minhash_lsh hashes with Spark xxhash64 (no DuckDB
   equivalent; the family's banding math IS oracle-verified via the
   round-6 ``dedup_minhash_lsh_md5`` exemplar, which swaps only the
@@ -95,7 +98,10 @@ freshness-first, self-healing):
   are iterative (pagerank numpy-cross-checked to 1e-9 in
   tests/test_iterative.py), approx_aggregates is HLL-approximate, and
   pq_trained_recall is a recall instrument (gated >= 0.85 in
-  tests/test_quantization.py). graph_pagerank and pq_trained_recall
+  tests/test_quantization.py), and text_bpe_learn is iterative BPE
+  training (exact-match-pinned against a pure-Python reference
+  implementation in tests/test_text.py; its per-iteration statistics
+  are the oracle-verified text_bpe_pair_counts). graph_pagerank and pq_trained_recall
   recorded their rows-only driver verdicts in round 7.
   Exactness / recall / bound tests live in tests/.
 
@@ -109,9 +115,9 @@ driver verdict in CORRECTNESS_r01..r07 except the twelve new unprefixed
 round-8 names, which get theirs here.
 
 Round-9 rotation plan (for the next builder session): once
-CORRECTNESS_r08 lands green, (1) move this round's 42 unprefixed names
-into a fresh ``y4_`` class (verified r8), (2) promote the 41 ``y1_``
-names that spilled past round 8's window (everything after the 8
+CORRECTNESS_r08 lands green, (1) move this round's 45 unprefixed names
+into a fresh ``y4_`` class (verified r8), (2) promote the 44 ``y1_``
+names that spilled past round 8's window (everything after the 5
 alphabetically-first, which get verified here) to the FRONT of the
 round-9 window alongside any new round-9 queries, (3) fill remaining
 spare slots with the oldest ``y2_`` (r6) names. After round 9 the

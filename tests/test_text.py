@@ -233,3 +233,51 @@ def test_cross_entropy_rare_tokens_score_higher(spark):
     assert out[2] > out[1] > 0
     # all-common doc: every token has p ~ 8/14 or 6/14 -> low entropy
     assert out[0] == out[1]  # same token distribution
+
+
+def test_bpe_learn_matches_pure_python_reference(spark, sf_dir):
+    """The distributed BPE learner must reproduce the classic
+    single-machine algorithm exactly — merges, order, and counts —
+    including the deterministic (count desc, left, right) tiebreak and
+    greedy left-to-right non-overlapping application."""
+    from collections import Counter
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    texts = [
+        r.text for r in load(spark, sf_dir, "documents").select("text").collect()
+    ]
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if len(w) >= 2:
+                wf[w] += 1
+    vocab = {w: (list(w), n) for w, n in wf.items()}
+    want = []
+    for rank in range(1, 13):
+        pairs = Counter()
+        for syms, n in vocab.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, l, r, l + r, cnt))
+        for w, (syms, n) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (out, n)
+    got = [
+        (x.rank, x.left, x.right, x.merged, x.pair_count)
+        for x in REGISTRY["text_bpe_learn"].builder(spark, sf_dir).collect()
+    ]
+    assert got == want

@@ -847,3 +847,150 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query", "doc_id", "score", "rk")
     )
+
+
+_BPE_PAIRS_ORACLE = """
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    wf AS (
+      SELECT w, count(*) AS freq FROM words
+      WHERE len(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, freq
+      FROM (SELECT w, freq, unnest(range(1, len(w))) AS i FROM wf)
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 30
+"""
+
+
+@query(
+    "text_bpe_pair_counts",
+    _BPE_PAIRS_ORACLE,
+    "The counting core of BPE tokenizer training: corpus-frequency-"
+    "weighted adjacent-symbol pair counts at the character level (the "
+    "iteration-0 statistics whose argmax is the first learned merge), "
+    "top 30 pairs with a deterministic tiebreak. The oracle replays "
+    "word-frequency aggregation and positional 2-char substring "
+    "extraction; this is the oracle-verified exemplar for "
+    "text_bpe_learn's per-iteration statistics.",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB design: the ONLY corpus-scale job is word-frequency
+    aggregation (map-side combinable; one shuffle on the word). Pair
+    extraction runs over the DISTINCT-word vocabulary — bounded by
+    vocabulary growth (sublinear in corpus size, Heaps' law), not by
+    corpus rows — which is what makes iterated BPE training feasible
+    at all."""
+    d = load(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(30)
+    )
+
+
+def _merge_pair_in_arrays(col, a: str, b: str):
+    """Greedy left-to-right single-pass merge of adjacent (a, b) symbol
+    occurrences — the BPE apply step — as one Catalyst fold, no UDF.
+    Non-overlapping by construction: a merged element can only chain
+    when the merged string literally equals ``a`` again, which a
+    non-empty ``b`` makes impossible."""
+
+    def step(acc, x):
+        can = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b))
+        )
+        return F.when(
+            can,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(col, F.array().cast("array<string>"), step)
+
+
+@query(
+    "text_bpe_learn",
+    None,
+    "BPE tokenizer training (Sennrich et al. 2016), 12 merges: the "
+    "corpus collapses ONCE to a distinct-word frequency vocabulary, "
+    "then every iteration counts corpus-weighted adjacent-symbol pairs "
+    "over that vocabulary, collects the single argmax pair (O(1) "
+    "driver traffic per iteration, deterministic count-then-lex "
+    "tiebreak), and applies the merge to the symbol arrays as a "
+    "Catalyst fold. No SQL oracle (iterative); exactness is pinned "
+    "against a pure-Python reference implementation on the same corpus "
+    "in tests/test_text.py.",
+)
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returns the learned merge table (rank, left, right, merged,
+    pair_count). 100 TB design: iteration cost is bounded by VOCABULARY
+    size, not corpus size — the corpus-scale shuffle happens exactly
+    once (word counts, map-side combinable); the per-iteration argmax
+    collect is one row; localCheckpoint every iteration truncates the
+    12-fold lineage the way the other iterative operators do."""
+    n_merges = 12
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substr(w, i, 1))"
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            vocab.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS l, "
+                        "element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((rank, top.l, top.r, top.l + top.r, int(top.cnt)))
+        vocab = vocab.select(
+            _merge_pair_in_arrays(F.col("syms"), top.l, top.r).alias(
+                "syms"
+            ),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )
