@@ -75,13 +75,17 @@ freshness-first, self-healing):
   the new spec immediately, compact_in_place migrates/heals), and
   ``text_bpe_pair_counts`` (the oracle-verified counting core of BPE
   tokenizer training: corpus-weighted char-pair statistics over the
-  distinct-word vocabulary) — plus the 21 ``y0_`` names whose last
-  driver verdict dates to round 3/4 and that spilled past round 7's
-  window (``stream_session_windows`` … ``tpch_q9_product_profit``).
-  45 names.
+  distinct-word vocabulary), and ``lake_count_pushdown``
+  (metadata-only COUNT: every commit records exact per-file footer row
+  counts, so count(*) total and per partition is O(#files) driver
+  arithmetic with zero scan; MoR tombstones fail closed to a real
+  scan) — plus the 21 ``y0_`` names whose last driver verdict dates
+  to round 3/4 and that spilled past round 7's window
+  (``stream_session_windows`` … ``tpch_q9_product_profit``).
+  46 names.
 - ``y1_<name>`` — last verified in round 5 (49 names). They sort
-  directly after the unprefixed block, so the 5 spare window slots
-  re-verify the alphabetically-first of these; the remaining 44 spill
+  directly after the unprefixed block, so the 4 spare window slots
+  re-verify the alphabetically-first of these; the remaining 45 spill
   to round 9 — every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
 - ``y2_<name>`` — verified in round 6 (50 names; CORRECTNESS_r06
@@ -115,9 +119,9 @@ driver verdict in CORRECTNESS_r01..r07 except the twelve new unprefixed
 round-8 names, which get theirs here.
 
 Round-9 rotation plan (for the next builder session): once
-CORRECTNESS_r08 lands green, (1) move this round's 45 unprefixed names
-into a fresh ``y4_`` class (verified r8), (2) promote the 44 ``y1_``
-names that spilled past round 8's window (everything after the 5
+CORRECTNESS_r08 lands green, (1) move this round's 46 unprefixed names
+into a fresh ``y4_`` class (verified r8), (2) promote the 45 ``y1_``
+names that spilled past round 8's window (everything after the 4
 alphabetically-first, which get verified here) to the FRONT of the
 round-9 window alongside any new round-9 queries, (3) fill remaining
 spare slots with the oldest ``y2_`` (r6) names. After round 9 the

@@ -176,6 +176,11 @@ HEADLINE = [
     # read)
     "dedup_exact_substrings",
     "lake_partition_evolution",
+    # ... plus the BPE counting core (one word-freq shuffle +
+    # vocabulary-bounded pair agg) and metadata-only COUNT (publish +
+    # append + the zero-scan per-partition count)
+    "text_bpe_pair_counts",
+    "lake_count_pushdown",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -1336,3 +1336,84 @@ def test_governed_sql_timestamp_as_of(spark, sf_dir, tmp_path):
             as_of_versions={q: 1},
             as_of_timestamps={q: t1},
         )
+
+
+def test_count_rows_metadata_only(spark, tmp_path, monkeypatch):
+    """count(*) from the manifest: exact after publish and append, the
+    append pays footer reads for NEW files only (carried counts
+    inherited), tombstones fail closed to None, purge restores the
+    metadata answer, and a pre-recording snapshot returns None."""
+    import json
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        append_rows,
+        count_rows,
+        purge_deleted_rows,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        delete_rows_mor,
+    )
+
+    path = str(tmp_path / "t")
+    seed = _mk(
+        spark, [(i, "a" if i % 2 else "b", f"v{i}") for i in range(10)]
+    )
+    publish_overwrite(spark, path, seed, ["grp"], manifest=True)
+    meta = count_rows(path)
+    assert meta["rows"] == 10
+    assert meta["partitions"] == {"grp=a": 5, "grp=b": 5}
+
+    # the append's commit must read footers for the BATCH files only
+    calls = []
+    real = lk._file_footer_info
+
+    def spy(fpath):
+        calls.append(str(fpath))
+        return real(fpath)
+
+    monkeypatch.setattr(lk, "_file_footer_info", spy)
+    append_rows(spark, path, _mk(spark, [(100, "a", "x")]), ["grp"])
+    carried = set(read_manifest(path, 1)["files"])
+    assert calls and not any(
+        c.endswith(f) for c in calls for f in carried
+    )
+    monkeypatch.setattr(lk, "_file_footer_info", real)
+    meta = count_rows(path)
+    assert meta["rows"] == 11 and meta["partitions"]["grp=a"] == 6
+
+    # merge-on-read tombstone: visible rows != file rows -> fail closed
+    delete_rows_mor(spark, path, "id = 100")
+    assert count_rows(path) is None
+    assert count_rows(path, version=2) == meta  # history still answers
+    purge_deleted_rows(spark, path)
+    assert count_rows(path)["rows"] == 10
+
+    # a snapshot without recorded counts (pre-feature) answers None
+    m = read_manifest(path)
+    m.pop("file_rows")
+    (tmp_path / "t" / "_manifest.json").write_text(json.dumps(m))
+    assert count_rows(path) is None
+
+
+def test_count_rows_spans_partition_specs(spark, tmp_path):
+    """On a partition-evolved table the per-partition keys are each
+    file's OWN layout directories — counts stay exact across specs."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        append_rows,
+        count_rows,
+        evolve_partitioning,
+    )
+
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark,
+        path,
+        _mk(spark, [(1, "a", "x"), (2, "b", "y")]),
+        ["grp"],
+        manifest=True,
+    )
+    evolve_partitioning(path, ["v"])
+    append_rows(spark, path, _mk(spark, [(3, "c", "z")]), ["v"])
+    meta = count_rows(path)
+    assert meta["rows"] == 3
+    assert meta["partitions"] == {"grp=a": 1, "grp=b": 1, "v=z": 1}

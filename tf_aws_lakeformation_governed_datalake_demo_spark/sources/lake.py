@@ -588,6 +588,46 @@ def version_at_timestamp(path: str, ts: float) -> int:
     )
 
 
+def count_rows(path: str, version: int | None = None) -> dict | None:
+    """Metadata-only COUNT — answer ``count(*)`` (total and per
+    hive-partition) from the manifest's recorded per-file footer row
+    counts, without planning a scan or reading a byte of data. The
+    Iceberg/Delta parity point: a 100 TB table's count is O(#files)
+    driver-side arithmetic because every commit already paid one footer
+    read per NEW file (the same read that records min/max skipping
+    stats; carried files inherit).
+
+    Fail-closed to ``None`` (caller must scan) when:
+    - the table is not manifest-committed, or the snapshot predates
+      row-count recording (any live file lacks a count), or
+    - the snapshot carries merge-on-read delete tombstones — file
+      contents and visible rows differ until :func:`purge_deleted_rows`.
+
+    Returns ``{"rows", "partitions", "partition_by", "version"}``;
+    ``partitions`` maps each partition DIRECTORY relpath (e.g.
+    ``lang=en``, ``""`` for unpartitioned files) to its row count —
+    raw hive-encoded values, the same convention as
+    :func:`hive_partition_relpath`."""
+    m = read_manifest(path, version)
+    if m is None:
+        return None
+    if m.get("delete_predicates"):
+        return None  # visibility != file contents until purged
+    file_rows = m.get("file_rows", {})
+    if any(f not in file_rows for f in m["files"]):
+        return None  # pre-recording snapshot: no exact answer here
+    parts: dict[str, int] = {}
+    for f in m["files"]:
+        d = f.rsplit("/", 1)[0] if "/" in f else ""
+        parts[d] = parts.get(d, 0) + int(file_rows[f])
+    return {
+        "rows": sum(parts.values()),
+        "partitions": parts,
+        "partition_by": list(m.get("partition_by") or []),
+        "version": m["version"],
+    }
+
+
 def _data_file_relpaths(live) -> list[str]:
     """Visible data files under a table root, relative to it —
     excluding staging/trash/manifest artifacts (underscore/dot path
@@ -617,12 +657,20 @@ def _file_column_stats(fpath) -> dict[str, list]:
     bool columns with writer-provided statistics are recorded; NaN
     bounds, bytes/timestamps, nested paths, and oversized string bounds
     are dropped (fail-open: an unrecorded column never prunes)."""
+    return _file_footer_info(fpath)[0]
+
+
+def _file_footer_info(fpath) -> tuple[dict[str, list], int | None]:
+    """(column min/max stats, exact row count) from ONE parquet footer
+    read — the commit-time cost that buys both planning-time file
+    skipping (``file_stats``) and metadata-only COUNT
+    (:func:`count_rows`, ``file_rows``)."""
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(fpath).metadata
     except Exception:
-        return {}
+        return {}, None
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     bad: set[str] = set()
@@ -650,7 +698,10 @@ def _file_column_stats(fpath) -> dict[str, list]:
                 continue
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-    return {n: [mins[n], maxs[n]] for n in mins if n not in bad}
+    return (
+        {n: [mins[n], maxs[n]] for n in mins if n not in bad},
+        md.num_rows,
+    )
 
 
 #: Bits per (file, column) bloom bitmap recorded in the manifest
@@ -856,6 +907,7 @@ def _commit_manifest(
     constraints: dict | None = None,
     partition_specs: dict | None = None,
     file_spec: dict | None = None,
+    file_rows_hints: dict | None = None,
 ) -> dict:
     """Write snapshot ``_manifests/v{N}.json`` then atomically replace
     the ``_manifest.json`` pointer with the same content (``os.replace``
@@ -902,18 +954,27 @@ def _commit_manifest(
     parent_version = parent["version"] if parent else 0
     version = max([parent_version, *existing], default=0) + 1
     parent_stats = (parent or {}).get("file_stats", {})
+    parent_rows = (parent or {}).get("file_rows", {})
     file_stats = {}
+    file_rows = {}
     for f in sorted(files):
         # hint lookup first (rollback supplies the TARGET snapshot's
         # recorded stats so a restore never re-reads footers), then the
-        # parent's, then one footer read for a genuinely new file
-        s = (
-            (file_stats_hints or {}).get(f)
-            or parent_stats.get(f)
-            or _file_column_stats(live / f)
-        )
+        # parent's, then ONE footer read for a genuinely new file —
+        # which yields both the skipping stats AND the exact row count
+        # (metadata-only COUNT, :func:`count_rows`)
+        s = (file_stats_hints or {}).get(f) or parent_stats.get(f)
+        r = (file_rows_hints or {}).get(f)
+        if r is None:
+            r = parent_rows.get(f)
+        if s is None or r is None:
+            st, nr = _file_footer_info(live / f)
+            s = s if s is not None else st
+            r = r if r is not None else nr
         if s:
             file_stats[f] = s
+        if r is not None:
+            file_rows[f] = r
     if app_versions is None:
         app_versions = (parent or {}).get("app_versions", {})
     parent_blooms = (parent or {}).get("file_blooms", {})
@@ -1001,6 +1062,8 @@ def _commit_manifest(
         "file_added": file_added,
         "committed_at": time.time(),
     }
+    if file_rows:
+        snap["file_rows"] = file_rows
     if partition_specs:
         snap["partition_specs"] = {
             k: list(v) for k, v in partition_specs.items()
@@ -1671,6 +1734,7 @@ def rollback_table(path: str, version: int) -> dict:
             # them instead of dropping the blooms and re-reading every
             # restored file's footer through the parent-only lookup
             file_stats_hints=target.get("file_stats"),
+            file_rows_hints=target.get("file_rows"),
             file_blooms=target.get("file_blooms"),
             table_schema=target.get("schema"),
             # restore the TARGET's delete tombstones and sequence
