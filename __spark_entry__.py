@@ -79,13 +79,16 @@ freshness-first, self-healing):
   (metadata-only COUNT: every commit records exact per-file footer row
   counts, so count(*) total and per partition is O(#files) driver
   arithmetic with zero scan; MoR tombstones fail closed to a real
-  scan) — plus the 21 ``y0_`` names whose last driver verdict dates
-  to round 3/4 and that spilled past round 7's window
-  (``stream_session_windows`` … ``tpch_q9_product_profit``).
-  46 names.
+  scan), and ``lake_rename_column`` (RENAME without rewrite, the
+  Delta column-mapping model: files keep frozen physical names, reads
+  alias physical→logical in the scan projection, writes stage
+  logical→physical, OPTIMIZE migrates and heals) — plus the 21
+  ``y0_`` names whose last driver verdict dates to round 3/4 and that
+  spilled past round 7's window (``stream_session_windows`` …
+  ``tpch_q9_product_profit``). 47 names.
 - ``y1_<name>`` — last verified in round 5 (49 names). They sort
-  directly after the unprefixed block, so the 4 spare window slots
-  re-verify the alphabetically-first of these; the remaining 45 spill
+  directly after the unprefixed block, so the 3 spare window slots
+  re-verify the alphabetically-first of these; the remaining 46 spill
   to round 9 — every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
 - ``y2_<name>`` — verified in round 6 (50 names; CORRECTNESS_r06
@@ -119,9 +122,9 @@ driver verdict in CORRECTNESS_r01..r07 except the twelve new unprefixed
 round-8 names, which get theirs here.
 
 Round-9 rotation plan (for the next builder session): once
-CORRECTNESS_r08 lands green, (1) move this round's 46 unprefixed names
-into a fresh ``y4_`` class (verified r8), (2) promote the 45 ``y1_``
-names that spilled past round 8's window (everything after the 4
+CORRECTNESS_r08 lands green, (1) move this round's 47 unprefixed names
+into a fresh ``y4_`` class (verified r8), (2) promote the 46 ``y1_``
+names that spilled past round 8's window (everything after the 3
 alphabetically-first, which get verified here) to the FRONT of the
 round-9 window alongside any new round-9 queries, (3) fill remaining
 spare slots with the oldest ``y2_`` (r6) names. After round 9 the

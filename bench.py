@@ -181,6 +181,9 @@ HEADLINE = [
     # append + the zero-scan per-partition count)
     "text_bpe_pair_counts",
     "lake_count_pushdown",
+    # ... and RENAME-without-rewrite (seed publish + metadata rename +
+    # new-name append + the mapping-translated read)
+    "lake_rename_column",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

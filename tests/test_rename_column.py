@@ -1,0 +1,178 @@
+"""Column RENAME without rewrite (round-8): the Delta column-mapping
+model on plain Parquet. Files carry frozen physical names; a rename is
+one metadata commit; reads alias physical->logical at the scan, writes
+alias logical->physical at staging; compact_in_place migrates files to
+the logical names and heals the mapping."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+    append_rows,
+    compact_in_place,
+    count_rows,
+    merge_into,
+    publish_overwrite,
+    read_manifest,
+    read_table,
+    rename_column,
+    rollback_table,
+    table_changes,
+)
+
+
+def _seed(spark):
+    return spark.createDataFrame(
+        [(i, f"t{i}", ["en", "de"][i % 2], i * 10) for i in range(10)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+
+
+@pytest.fixture()
+def renamed(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    publish_overwrite(spark, path, _seed(spark), ["lang"], manifest=True)
+    rename_column(path, "n_chars", "char_count")
+    return path
+
+
+def test_rename_is_metadata_only_and_values_survive(spark, renamed):
+    m = read_manifest(renamed)
+    assert m["column_mapping"] == {"char_count": "n_chars"}
+    assert m["files"] == read_manifest(renamed, 1)["files"]  # zero data moved
+    df = read_table(spark, renamed)
+    assert "char_count" in df.columns and "n_chars" not in df.columns
+    assert df.agg(F.sum("char_count")).first()[0] == sum(
+        i * 10 for i in range(10)
+    )
+    # time travel shows each era's own names
+    assert "n_chars" in read_table(spark, renamed, version=1).columns
+
+
+def test_writes_after_rename_stay_physically_consistent(spark, renamed):
+    import pyarrow.parquet as pq
+
+    before = set(read_manifest(renamed)["files"])
+    batch = spark.createDataFrame(
+        [(100, "x", "fr", 5)],
+        "doc_id long, text string, lang string, char_count long",
+    )
+    append_rows(spark, renamed, batch, ["lang"])
+    m = read_manifest(renamed)
+    newf = next(f for f in m["files"] if f not in before)
+    # the appended file carries the FROZEN physical name
+    assert "n_chars" in pq.ParquetFile(
+        os.path.join(renamed, newf)
+    ).schema_arrow.names
+    assert read_table(spark, renamed).count() == 11
+    # merges arrive logical too, and rewrites keep the mapping
+    merge_into(
+        spark,
+        renamed,
+        spark.createDataFrame([(0, "y", "en", 999)], batch.schema),
+        ["doc_id"],
+        ["lang"],
+        collect_stats=False,
+    )
+    got = read_table(spark, renamed)
+    assert got.filter("doc_id = 0").first().char_count == 999
+    assert got.count() == 11
+    assert count_rows(renamed)["rows"] == 11
+
+
+def test_prune_keys_translate_through_the_mapping(spark, renamed):
+    # manifest file_stats key on the physical name; a logical prune
+    # still skips files
+    m = read_manifest(renamed)
+    assert any("n_chars" in s for s in m["file_stats"].values())
+    df = read_table(spark, renamed, prune={"char_count": (0, 5)})
+    plan_files = df.inputFiles()
+    assert len(plan_files) < len(m["files"])
+    assert df.filter("char_count <= 5").count() == 1  # doc 0
+
+
+def test_compact_migrates_physical_names_and_heals(spark, renamed):
+    import pyarrow.parquet as pq
+
+    compact_in_place(spark, renamed, ["lang"])
+    m = read_manifest(renamed)
+    assert "column_mapping" not in m
+    for f in m["files"]:
+        assert "char_count" in pq.ParquetFile(
+            os.path.join(renamed, f)
+        ).schema_arrow.names
+    # pre-compaction history still reads with its own era's mapping
+    assert "char_count" in read_table(spark, renamed, version=2).columns
+    # rename back and forth heals without a rewrite
+    rename_column(renamed, "char_count", "tmp_name")
+    rename_column(renamed, "tmp_name", "char_count")
+    assert "column_mapping" not in read_manifest(renamed)
+
+
+def test_rename_refusals_fail_closed(spark, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        add_constraint,
+        drop_constraint,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        delete_rows_mor,
+        purge_deleted_rows,
+    )
+
+    path = str(tmp_path / "t")
+    publish_overwrite(spark, path, _seed(spark), ["lang"], manifest=True)
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(path, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(path, "n_chars", "text")
+    with pytest.raises(ValueError, match="partition column"):
+        rename_column(path, "lang", "language")
+    add_constraint(spark, path, "pos", "n_chars >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        rename_column(path, "n_chars", "char_count")
+    drop_constraint(path, "pos")
+    delete_rows_mor(spark, path, "doc_id = 0")
+    with pytest.raises(ValueError, match="tombstone"):
+        rename_column(path, "n_chars", "char_count")
+    purge_deleted_rows(spark, path)
+    rename_column(path, "n_chars", "char_count")  # now clean
+
+
+def test_changes_and_stream_fail_closed_across_rename(spark, renamed):
+    batch = spark.createDataFrame(
+        [(100, "x", "fr", 5)],
+        "doc_id long, text string, lang string, char_count long",
+    )
+    append_rows(spark, renamed, batch, ["lang"])
+    # within the renamed era: fine (v2 rename commit -> v3 append)
+    ch = table_changes(spark, renamed, 2, 3)
+    assert ch.count() == 1 and "char_count" in ch.columns
+    # across the boundary: loud refusal, never mis-aligned columns
+    with pytest.raises(ValueError, match="rename_column boundary"):
+        table_changes(spark, renamed, 1, 3)
+    # streaming source refuses mapped tables
+    spark.dataSource.registered = getattr(spark.dataSource, "registered", None)
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        LakeManifestDataSource,
+    )
+
+    spark.dataSource.register(LakeManifestDataSource)
+    with pytest.raises(Exception, match="renamed columns"):
+        spark.read.format("lake_manifest").load(renamed).collect()
+
+
+def test_rollback_across_rename_restores_each_eras_names(spark, renamed):
+    rollback_table(renamed, 1)
+    m = read_manifest(renamed)
+    assert "column_mapping" not in m
+    assert "n_chars" in read_table(spark, renamed).columns
+    # roll forward again: the renamed era comes back mapping and all
+    rollback_table(renamed, 2)
+    assert read_manifest(renamed)["column_mapping"] == {
+        "char_count": "n_chars"
+    }
+    assert "char_count" in read_table(spark, renamed).columns

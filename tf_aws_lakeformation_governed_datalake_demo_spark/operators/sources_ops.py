@@ -1647,3 +1647,63 @@ def lake_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         for dirname, n in sorted(meta["partitions"].items())
     ]
     return spark.createDataFrame(rows, "lang string, n_docs long")
+
+
+@query(
+    "lake_rename_column",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_char_count,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_chk
+    FROM documents GROUP BY lang
+    """,
+    "Column RENAME without rewrite (round-8, the Delta column-mapping "
+    "model; the reference's Glue schema is fixed at CREATE): seed 2/3 "
+    "of the corpus, RENAME n_chars to char_count as one metadata "
+    "commit (zero bytes moved — old files keep the frozen physical "
+    "name), append the remaining 1/3 whose batch arrives under the NEW "
+    "logical name (staged back to the physical name so files stay "
+    "consistent), then read and aggregate BY THE NEW NAME across both "
+    "file generations. The oracle is the full-corpus per-lang profile "
+    "over the original column — equality proves the mapping translated "
+    "every read and write exactly.",
+)
+def lake_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: renaming a column on a 100 TB table is one JSON pointer
+    commit; reads alias physical->logical in a projection Catalyst
+    collapses into the scan, and the mapping heals away at the next
+    OPTIMIZE (compact_in_place writes logical-named files). Refusals
+    (partition columns, live tombstones, referencing constraints,
+    streaming) are pinned in tests/test_rename_column.py."""
+    from ..sources import append_rows, publish_overwrite, rename_column
+    from ..sources.lake import read_manifest, read_table
+
+    d = load(spark, sf_dir, "documents")
+    path = scratch_dir("rename_col_") + "/docs"
+    publish_overwrite(
+        spark, path, d.filter(F.col("doc_id") % 3 != 0), ["lang"],
+        manifest=True,
+    )
+    rename_column(path, "n_chars", "char_count")
+    batch = d.filter(F.col("doc_id") % 3 == 0).withColumnRenamed(
+        "n_chars", "char_count"
+    )
+    append_rows(spark, path, batch, ["lang"])
+    assert read_manifest(path)["column_mapping"] == {"char_count": "n_chars"}
+    return (
+        read_table(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("char_count").cast("long").alias("total_char_count"),
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("text_chk"),
+        )
+    )

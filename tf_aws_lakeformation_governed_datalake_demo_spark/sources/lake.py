@@ -816,6 +816,50 @@ def _keep_filter(df: DataFrame, tombstones) -> DataFrame:
     return df
 
 
+def _phys_name(m: dict, logical: str) -> str:
+    """A column's FROZEN physical (in-file) name under the snapshot's
+    rename mapping (:func:`rename_column`). Identity when unmapped."""
+    return (m.get("column_mapping") or {}).get(logical, logical)
+
+
+def _physical_schema(
+    m: dict, schema: T.StructType | None
+) -> T.StructType | None:
+    """The logical schema with field names swapped to their physical
+    (in-file) counterparts — what the parquet scan must be declared
+    with on a renamed table."""
+    mapping = m.get("column_mapping") or {}
+    if schema is None or not mapping:
+        return schema
+    return T.StructType(
+        [
+            T.StructField(
+                mapping.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_logical(df: DataFrame, m: dict) -> DataFrame:
+    """Alias a physically-named scan back to logical column names."""
+    mapping = m.get("column_mapping") or {}
+    if not mapping:
+        return df
+    inv = {p: l for l, p in mapping.items()}
+    return df.select([F.col(c).alias(inv.get(c, c)) for c in df.columns])
+
+
+def _to_physical_df(df: DataFrame, m: dict) -> DataFrame:
+    """Alias a logically-named result to physical names for staging —
+    files always carry the frozen physical names, so one file never
+    needs rewriting no matter how often the table renames."""
+    mapping = m.get("column_mapping") or {}
+    if not mapping:
+        return df
+    return df.select([F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+
+
 def _spec_scan(
     spark: SparkSession,
     path: str,
@@ -830,21 +874,26 @@ def _spec_scan(
     spec and unions by name — with the declared schema, a column that
     is a partition directory in one spec and a data column in another
     materializes identically in both groups. Single-spec snapshots
-    (the common case) take the one-relation fast path unchanged."""
+    (the common case) take the one-relation fast path unchanged.
+
+    On a renamed table (:func:`rename_column`) the scan is declared
+    with the frozen PHYSICAL schema and aliased back to logical names
+    at the end — a projection Catalyst collapses into the scan."""
     from pathlib import Path
 
     live = Path(path)
+    phys = _physical_schema(m, schema)
 
     def _one(fs: list[str]) -> DataFrame:
         return (
-            _reader(spark, schema)
+            _reader(spark, phys)
             .option("basePath", path)
             .parquet(*[str(live / f) for f in fs])
         )
 
     specs = m.get("partition_specs")
     if not specs:
-        return _one(files)
+        return _to_logical(_one(files), m)
     fspec = m.get("file_spec", {})
     default = m.get("default_spec")
     groups: dict[str, list[str]] = {}
@@ -854,7 +903,7 @@ def _spec_scan(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _to_logical(out, m)
 
 
 def _masked_scan(
@@ -908,6 +957,7 @@ def _commit_manifest(
     partition_specs: dict | None = None,
     file_spec: dict | None = None,
     file_rows_hints: dict | None = None,
+    column_mapping: dict | None = None,
 ) -> dict:
     """Write snapshot ``_manifests/v{N}.json`` then atomically replace
     the ``_manifest.json`` pointer with the same content (``os.replace``
@@ -1084,6 +1134,12 @@ def _commit_manifest(
         constraints = (parent or {}).get("constraints", {})
     if constraints:
         snap["constraints"] = dict(constraints)
+    # rename mapping (rename_column): None carries the parent's; an
+    # explicit {} clears it (full-rewrite migration / rename-back heal)
+    if column_mapping is None:
+        column_mapping = (parent or {}).get("column_mapping", {})
+    if column_mapping:
+        snap["column_mapping"] = dict(column_mapping)
     data = json.dumps(snap, sort_keys=True)
     tmp = mdir / f".tmp_{txid}"
     tmp.write_text(data)
@@ -1139,7 +1195,16 @@ def _publish_manifest_commit(
     import shutil
     from pathlib import Path
 
-    pre_constraints = (read_manifest(str(live)) or {}).get("constraints", {})
+    pre = read_manifest(str(live)) or {}
+    pre_constraints = pre.get("constraints", {})
+    pre_mapping = pre.get("column_mapping", {})
+    # the recorded schema is always LOGICAL; files carry the frozen
+    # physical names (rename_column). A full rewrite writes fresh files
+    # under the logical names — the rename's OPTIMIZE-style migration,
+    # after which the mapping heals away (committed below)
+    logical_schema = result.schema.jsonValue()
+    if pre_mapping and not full_rewrite:
+        result = _to_physical_df(result, pre)
     staged = live / f"_staged_{txid}"
     writer = result.write.mode("overwrite").option("compression", compression)
     if partition_by:
@@ -1153,11 +1218,17 @@ def _publish_manifest_commit(
     try:
         if staged_files:
             _enforce_constraints(
-                result.sparkSession, staged, pre_constraints
+                result.sparkSession,
+                staged,
+                pre_constraints,
+                mapping={} if full_rewrite else pre_mapping,
             )
     except ConstraintViolationError:
         shutil.rmtree(staged, ignore_errors=True)
         raise
+    if bloom_cols and pre_mapping and not full_rewrite:
+        # staged files carry physical names; bitmaps key on them too
+        bloom_cols = [pre_mapping.get(c, c) for c in bloom_cols]
     new_blooms = (
         _staged_file_blooms(result.sparkSession, staged, bloom_cols)
         if bloom_cols
@@ -1171,6 +1242,12 @@ def _publish_manifest_commit(
                     f"table at {live} changed its CHECK constraints while "
                     "this publish was staging — the batch was validated "
                     "against the old set; re-run"
+                )
+            if (current or {}).get("column_mapping", {}) != pre_mapping:
+                raise ConcurrentLakeModificationError(
+                    f"table at {live} renamed columns while this publish "
+                    "was staging — the batch was written under the old "
+                    "physical names; re-run"
                 )
             if expected_version is not None:
                 actual = current["version"] if current else 0
@@ -1227,7 +1304,10 @@ def _publish_manifest_commit(
                 current,
                 txid,
                 file_blooms=new_blooms,
-                table_schema=result.schema.jsonValue(),
+                table_schema=logical_schema,
+                # a full rewrite just wrote every live file under the
+                # logical names — the rename mapping heals away
+                column_mapping={} if full_rewrite else None,
             )
     finally:
         shutil.rmtree(staged, ignore_errors=True)
@@ -1316,6 +1396,7 @@ def read_table(
         bounds: dict[str, tuple] = {}
         points: dict[str, object] = {}
         for col, bound in prune.items():
+            col = _phys_name(m, col)  # stats/blooms key on in-file names
             if isinstance(bound, (tuple, list)):
                 bounds[col] = tuple(bound)
             else:
@@ -1357,11 +1438,12 @@ def read_table(
         if m["files"]:
             # everything pruned away, no declared schema: plan ONE
             # file's footer for the shape, emit zero rows
-            return (
+            return _to_logical(
                 _reader(spark, None)
                 .option("basePath", path)
                 .parquet(str(live / m["files"][0]))
-                .limit(0)
+                .limit(0),
+                m,
             )
         raise ValueError(
             f"manifest v{m['version']} at {path} is empty and no "
@@ -1409,6 +1491,13 @@ def table_changes(
         raise FileNotFoundError(
             f"table at {path} is not manifest-committed — table_changes "
             "needs two committed snapshots"
+        )
+    if m_from.get("column_mapping", {}) != m_to.get("column_mapping", {}):
+        raise ValueError(
+            f"snapshots v{m_from['version']} and v{m_to['version']} of "
+            f"{path} lie across a rename_column boundary — a multiset "
+            "difference over differently-named columns would mis-align; "
+            "consume each naming era separately"
         )
     added = sorted(set(m_to["files"]) - set(m_from["files"]))
     removed = sorted(set(m_from["files"]) - set(m_to["files"]))
@@ -1637,6 +1726,12 @@ def append_rows(
     txid = _uuid.uuid4().hex
     live.mkdir(parents=True, exist_ok=True)
     staged = live / f"_staged_{txid}"
+    logical_schema = rows.schema.jsonValue()
+    pre_mapping = (current or {}).get("column_mapping", {})
+    if pre_mapping:
+        # batches arrive under LOGICAL names; files carry the frozen
+        # physical ones (rename_column)
+        rows = _to_physical_df(rows, current)
     writer = rows.write.mode("overwrite").option("compression", compression)
     if pb:
         writer = writer.partitionBy(*pb)
@@ -1647,10 +1742,14 @@ def append_rows(
     pre_constraints = (current or {}).get("constraints", {})
     try:
         if staged_files:
-            _enforce_constraints(spark, staged, pre_constraints)
+            _enforce_constraints(
+                spark, staged, pre_constraints, mapping=pre_mapping
+            )
     except ConstraintViolationError:
         shutil.rmtree(staged, ignore_errors=True)
         raise
+    if bloom_cols and pre_mapping:
+        bloom_cols = [pre_mapping.get(c, c) for c in bloom_cols]
     new_blooms = (
         _staged_file_blooms(spark, staged, bloom_cols)
         if bloom_cols and staged_files
@@ -1664,6 +1763,12 @@ def append_rows(
                     f"table at {live} changed its CHECK constraints while "
                     "this append was staging — the batch was validated "
                     "against the old set; re-run"
+                )
+            if (current or {}).get("column_mapping", {}) != pre_mapping:
+                raise ConcurrentLakeModificationError(
+                    f"table at {live} renamed columns while this append "
+                    "was staging — the batch was written under the old "
+                    "physical names; re-run"
                 )
             if _committed(current):
                 return None  # raced with our own replay — batch already in
@@ -1679,7 +1784,7 @@ def append_rows(
                 txid,
                 app_versions=ledger,
                 file_blooms=new_blooms,
-                table_schema=rows.schema.jsonValue(),
+                table_schema=logical_schema,
             )
     finally:
         shutil.rmtree(staged, ignore_errors=True)
@@ -1752,12 +1857,106 @@ def rollback_table(path: str, version: int) -> dict:
             # the target's own layout and heals to single-spec)
             partition_specs=target.get("partition_specs"),
             file_spec=target.get("file_spec"),
+            column_mapping=target.get("column_mapping", {}),
         )
     return {
         "rolled_back_to": version,
         "new_version": snap["version"],
         "n_files": len(snap["files"]),
     }
+
+
+def rename_column(path: str, old: str, new: str) -> dict:
+    """RENAME a manifest table's column WITHOUT rewriting a byte — the
+    Delta column-mapping model on plain Parquet. Files carry FROZEN
+    physical names (the name a column had when its first file was
+    written); a rename is one metadata commit updating the snapshot's
+    logical schema + ``column_mapping`` {logical: physical}. Reads
+    declare the physical schema at the scan and alias back to logical
+    (a projection Catalyst collapses into the scan — zero runtime
+    cost); writes (appends, merges, WAP candidates) arrive logical and
+    are aliased to physical before staging, so new files stay
+    consistent with old ones; skipping stats, blooms, and ``prune=``
+    keys translate through the mapping. A FULL rewrite
+    (:func:`compact_in_place`) writes fresh files under the logical
+    names and the mapping heals away — the same OPTIMIZE-migration
+    contract as partition evolution; renaming back to the physical
+    name heals it too.
+
+    Fail-closed v1 scope (each refusal is a loud error, never a wrong
+    result): partition columns cannot be renamed (directory names are
+    load-bearing — evolve partitioning away from the column first);
+    renames are refused while merge-on-read tombstones exist (their
+    predicates reference rename-era names; purge first) and while any
+    CHECK constraint references the column (drop/re-add it); the
+    streaming source refuses mapped tables. ``table_changes`` across a
+    rename boundary raises rather than mis-aligning columns."""
+    import re as _re
+    import uuid as _uuid
+    from pathlib import Path
+
+    live = Path(path)
+    if read_manifest(path) is None:
+        raise ValueError(
+            f"table at {path} is not manifest-committed — rename needs "
+            "manifest snapshots; publish_overwrite(..., manifest=True) "
+            "it first"
+        )
+    with publish_lock(live):
+        current = read_manifest(path)
+        recorded = current.get("schema")
+        if recorded is None:
+            raise ValueError(
+                f"table at {path} has no recorded writer schema — "
+                "re-publish once to record it"
+            )
+        names = [f["name"] for f in recorded["fields"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r} on {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists on {names}")
+        part_cols = set(current.get("partition_by") or [])
+        for spec in (current.get("partition_specs") or {}).values():
+            part_cols.update(spec)
+        if old in part_cols:
+            raise ValueError(
+                f"column {old!r} is a partition column — directory "
+                "names are load-bearing; evolve_partitioning() away "
+                "from it first"
+            )
+        if current.get("delete_predicates"):
+            raise ValueError(
+                f"table at {path} carries merge-on-read delete "
+                "tombstones whose predicates reference current names — "
+                "purge_deleted_rows() first"
+            )
+        for cname, sql in (current.get("constraints") or {}).items():
+            if old in _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sql):
+                raise ValueError(
+                    f"CHECK constraint {cname!r} ({sql}) references "
+                    f"{old!r} — drop it, rename, re-add under the new "
+                    "name"
+                )
+        mapping = dict(current.get("column_mapping") or {})
+        phys = mapping.pop(old, old)
+        if phys != new:
+            mapping[new] = phys
+        schema = {
+            **recorded,
+            "fields": [
+                {**f, "name": new} if f["name"] == old else f
+                for f in recorded["fields"]
+            ],
+        }
+        return _commit_manifest(
+            live,
+            current["files"],
+            current.get("partition_by") or None,
+            current,
+            _uuid.uuid4().hex,
+            table_schema=schema,
+            column_mapping=mapping,
+        )
 
 
 def evolve_partitioning(path: str, new_partition_by: list[str] | None) -> dict:
@@ -1846,7 +2045,10 @@ def evolve_partitioning(path: str, new_partition_by: list[str] | None) -> dict:
 
 
 def _enforce_constraints(
-    spark: SparkSession, staged, constraints: dict | None
+    spark: SparkSession,
+    staged,
+    constraints: dict | None,
+    mapping: dict | None = None,
 ) -> None:
     """Validate a STAGED batch against the table's CHECK constraints by
     re-reading the just-written staged tree (one columnar scan of the
@@ -1859,6 +2061,10 @@ def _enforce_constraints(
     if not constraints:
         return
     df = _reader(spark, None).parquet(str(staged))
+    if mapping:
+        # staged files carry physical names; constraint expressions are
+        # written against logical ones
+        df = _to_logical(df, {"column_mapping": mapping})
     conds = {
         name: ~F.coalesce(F.expr(sql).cast("boolean"), F.lit(True))
         for name, sql in sorted(constraints.items())
@@ -2013,6 +2219,10 @@ def begin_publish(
             "replaced-partitions semantics cannot see old-spec files' "
             "directories — compact_in_place() it first"
         )
+    pre_mapping = (current or {}).get("column_mapping", {})
+    cand_schema = result.schema.jsonValue()  # logical, like every commit
+    if pre_mapping:
+        result = _to_physical_df(result, current)
     staged = live / f"_staged_{txid}"
     writer = result.write.mode("overwrite").option("compression", compression)
     if partition_by:
@@ -2025,12 +2235,14 @@ def begin_publish(
         # candidates face the same CHECK gate as direct commits: WAP is
         # for bespoke audits, not a constraint bypass (a constraint
         # added between begin and commit is caught by commit_publish's
-        # base_version check — constraint changes are commits)
+        # base_version check — constraint changes are commits, and so
+        # are renames)
         if staged_files:
             _enforce_constraints(
                 spark,
                 staged,
                 (current or {}).get("constraints", {}),
+                mapping=pre_mapping,
             )
         new_files = _move_staged_in(live, staged, staged_files)
     finally:
@@ -2049,7 +2261,7 @@ def begin_publish(
         "partition_by": list(partition_by or []),
         "files": sorted([*carried, *new_files]),
         "new_files": sorted(new_files),
-        "schema": result.schema.jsonValue(),
+        "schema": cand_schema,
         "created_at": time.time(),
     }
     cpath = live / "_manifests"
@@ -2087,6 +2299,8 @@ def read_candidate(
             },
         },
         "delete_predicates": current.get("delete_predicates", []),
+        # candidate files were staged under the same physical names
+        "column_mapping": current.get("column_mapping", {}),
     }
     df = _masked_scan(spark, path, synth, candidate["files"], schema)
     if schema is not None and df.columns != list(schema.names):

@@ -147,6 +147,18 @@ class LakeManifestStreamReader(_ManifestReaderMixin, DataSourceStreamReader):
             _read_manifest_json(self._path, sv)["files"]
         )
         cur = _read_manifest_json(self._path, ev)
+        if cur.get("column_mapping"):
+            # rename_column: files carry frozen physical names that no
+            # longer match the declared logical schema. Mapping-aware
+            # streaming needs per-batch name translation — fail closed
+            # rather than emit NULL-filled logical columns.
+            raise ValueError(
+                f"table at {self._path} has renamed columns "
+                f"({cur['column_mapping']}): the streaming source does "
+                "not translate physical file names yet — "
+                "compact_in_place() migrates the files to the logical "
+                "names, after which streaming resumes"
+            )
         removed = prev - set(cur["files"])
         if removed and not self._ignore_changes:
             raise ValueError(
@@ -200,6 +212,12 @@ class LakeManifestBatchReader(_ManifestReaderMixin, DataSourceReader):
         if m is None:
             raise FileNotFoundError(
                 f"table at {self._path} is not manifest-committed"
+            )
+        if m.get("column_mapping"):
+            raise ValueError(
+                f"table at {self._path} has renamed columns "
+                f"({m['column_mapping']}): use lake.read_table (mapping-"
+                "aware) or compact_in_place() to migrate the files"
             )
         return [_FilePartition(f) for f in m["files"]]
 
