@@ -860,3 +860,92 @@ def test_maintain_evolve_partitioning_governed(spark, sf_dir, tmp_path):
         f"SELECT count(*) AS n FROM {q}", principal="ops"
     ).first().n
     assert n == d.count()
+
+
+def test_maintain_rename_column_migrates_policies(spark, tmp_path):
+    """Governed RENAME COLUMN: the storage commit plus identity-
+    preserving migration of every policy object naming the column —
+    schema, tags, comments, and the analyst's data-cells filter
+    (allowlist AND row predicate), whose enforcement must be unchanged
+    under the new name. Referencing views fail closed."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark import TableDef
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        DataCellsFilter,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        publish_overwrite,
+        read_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    loc = f"{lake}/docs_ren"
+    d = spark.createDataFrame(
+        [(i, f"t{i}", ["en", "de"][i % 2], i * 10) for i in range(10)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    publish_overwrite(spark, loc, d, ["lang"], manifest=True)
+    cat.register_table(
+        TableDef(
+            fx.DATABASE,
+            "docs_ren",
+            loc,
+            schema=d.schema,
+            partition_keys=("lang",),
+            column_comments={"n_chars": "document length"},
+        )
+    )
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="short-docs",
+            database=fx.DATABASE,
+            table="docs_ren",
+            columns=("doc_id", "lang", "n_chars"),
+            row_filter="n_chars <= 50",
+        )
+    )
+    cat.grant("reader", "SELECT", fx.DATABASE, "docs_ren",
+              via_filter="short-docs")
+    cat.set_admins(["ops"])
+    q = f"{fx.DATABASE}.docs_ren"
+
+    before = sorted(
+        (r.doc_id, r.n_chars)
+        for r in eng.sql(
+            f"SELECT doc_id, n_chars FROM {q}", principal="reader"
+        ).collect()
+    )
+    assert before == [(i, i * 10) for i in range(6)]  # predicate enforced
+
+    # denial for non-admin, then the governed rename
+    with pytest.raises(PermissionDeniedError):
+        eng.maintain(q, "rename_column", principal="reader",
+                     old="n_chars", new="char_count")
+    eng.maintain(q, "rename_column", principal="ops",
+                 old="n_chars", new="char_count")
+
+    # storage + catalog schema + policy objects all follow
+    assert read_manifest(loc)["column_mapping"] == {"char_count": "n_chars"}
+    assert "char_count" in [f.name for f in cat.tables[q].schema.fields]
+    assert cat.tables[q].column_comments == {"char_count": "document length"}
+    flt = cat.filters["short-docs"]
+    assert flt.columns == ("doc_id", "lang", "char_count")
+    assert flt.row_filter == "char_count <= 50"
+
+    # the reader's access is IDENTICAL under the new name
+    after = sorted(
+        (r.doc_id, r.char_count)
+        for r in eng.sql(
+            f"SELECT doc_id, char_count FROM {q}", principal="reader"
+        ).collect()
+    )
+    assert after == before
+    with pytest.raises(Exception):  # old name is gone
+        eng.sql(f"SELECT n_chars FROM {q}", principal="ops")
+
+    # a view naming the column fails closed
+    cat.create_view(fx.DATABASE, "docs_v",
+                    f"SELECT char_count FROM {fx.DATABASE}.docs_ren")
+    with pytest.raises(ValueError, match="view"):
+        cat.rename_column(q, "char_count", "n2")

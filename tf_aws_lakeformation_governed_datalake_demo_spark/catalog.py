@@ -473,6 +473,96 @@ class GovernedCatalog:
             status="ok",
         )
 
+    def rename_column(self, qualified: str, old: str, new: str) -> None:
+        """ALTER TABLE ... RENAME COLUMN with POLICY MIGRATION — the
+        piece Glue/LF lacks (a Glue rename is drop+add: tags, comments,
+        and data-cells filters silently stop matching). A rename is
+        identity-preserving, so every catalog object that names the
+        column follows it atomically with the storage commit:
+
+        - the declared schema field, its comment, its LF column tags,
+          and its pending-approval status (a pending column stays
+          pending under its new name — rename is not an approval);
+        - data-cells filter column ALLOWLISTS (the security-critical
+          one: an allowlist left pointing at the old name would stop
+          matching and silently widen or narrow access) and row
+          predicates (token-rewritten, word-boundary exact);
+        - views are FAIL-CLOSED: a view body that mentions both the
+          table and the column refuses the rename (SQL rewrite inside
+          arbitrary view text is not identity-preserving — recreate
+          the view first).
+
+        Storage-side the rename is :func:`..sources.lake.rename_column`
+        (manifest tables only — on a plain directory table a declared-
+        schema read under the new name would NULL-fill every old file),
+        which commits FIRST; if it refuses, the catalog is untouched."""
+        import dataclasses
+        import re as _re
+
+        from .sources.lake import rename_column as _lake_rename
+
+        table = self.tables[qualified]  # KeyError: fail closed
+        if table.schema is None:
+            raise ValueError(f"{qualified} has no declared schema")
+        names = [f_.name for f_ in table.schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} on {qualified} ({names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists on {qualified}")
+        if old in table.partition_keys:
+            raise ValueError(
+                f"column {old!r} is a partition key of {qualified} — "
+                "evolve partitioning away from it first"
+            )
+        token = _re.compile(rf"\b{_re.escape(old)}\b")
+        for vq, v in sorted(self.views.items()):
+            if token.search(v.sql) and table.name in v.sql:
+                raise ValueError(
+                    f"view {vq} references {qualified}.{old} — recreate "
+                    "the view under the new name first (fail-closed: "
+                    "rewriting arbitrary view SQL is not "
+                    "identity-preserving)"
+                )
+        # storage first: the manifest commit has its own refusals
+        # (tombstones, constraints, partition columns) and the catalog
+        # must stay untouched when it raises
+        _lake_rename(table.location, old, new)
+        table.schema = T.StructType(
+            [
+                T.StructField(new, f_.dataType, f_.nullable, f_.metadata)
+                if f_.name == old
+                else f_
+                for f_ in table.schema.fields
+            ]
+        )
+        if old in table.column_comments:
+            table.column_comments[new] = table.column_comments.pop(old)
+        if old in table.column_tags:
+            table.column_tags[new] = table.column_tags.pop(old)
+        if old in table.pending_columns:
+            table.pending_columns.discard(old)
+            table.pending_columns.add(new)
+        for fname, flt in sorted(self.filters.items()):
+            if (flt.database, flt.table) != (table.database, table.name):
+                continue
+            cols = flt.columns
+            if cols and old in cols:
+                cols = tuple(new if c == old else c for c in cols)
+            rf = flt.row_filter
+            if rf and token.search(rf):
+                rf = token.sub(new, rf)
+            if (cols, rf) != (flt.columns, flt.row_filter):
+                self.filters[fname] = dataclasses.replace(
+                    flt, columns=cols, row_filter=rf
+                )
+        self.audit.record(
+            principal="<catalog>",
+            query=f"ALTER TABLE {qualified} RENAME COLUMN {old} TO {new}",
+            tables=[qualified],
+            filters_applied=[],
+            status="ok",
+        )
+
     def drop_view(self, database: str, name: str) -> None:
         """V2 — ``DROP VIEW`` (README.md:320)."""
         self.views.pop(f"{database}.{name}", None)

@@ -577,6 +577,13 @@ class Engine:
           pending approval). The catalog's declared ``partition_keys``
           follow the new spec, so later ``compact``/``delete_rows``
           derive the right layout.
+        - ``"rename_column"`` — ALTER TABLE RENAME COLUMN
+          (catalog.rename_column; ``old=`` and ``new=`` required):
+          storage rename as one metadata commit (frozen physical
+          names) plus identity-preserving migration of every catalog
+          policy object naming the column — schema, comments, tags,
+          pending status, data-cells filter allowlists and row
+          predicates; referencing views fail closed.
 
         Same fail-closed location guard as drop_table(delete_data=True):
         the catalog must have a ``lake_root`` and the table location
@@ -620,6 +627,8 @@ class Engine:
             audit_suffix = (
                 f" TO ({', '.join(list(kwargs['new_partition_by'] or []))})"
             )
+        if action == "rename_column" and {"old", "new"} <= set(kwargs):
+            audit_suffix = f" {kwargs['old']} TO {kwargs['new']}"
 
         def _audit(status: str, error: str | None = None):
             self.catalog.audit.record(
@@ -774,6 +783,17 @@ class Engine:
                 "version": snap["version"],
                 "partition_by": snap["partition_by"],
             }
+        elif action == "rename_column":
+            if not {"old", "new"} <= set(kwargs):
+                _audit("failed", "rename_column requires old= and new=")
+                raise ValueError("rename_column requires old= and new=")
+            # catalog.rename_column commits storage first, then
+            # migrates schema/tags/filters — all-or-nothing from the
+            # caller's view
+            self.catalog.rename_column(
+                qualified, kwargs["old"], kwargs["new"]
+            )
+            result = {"renamed": [kwargs["old"], kwargs["new"]]}
         else:
             _audit("failed", f"unknown action {action!r}")
             raise ValueError(f"unknown maintenance action {action!r}")
