@@ -609,3 +609,39 @@ def test_bucketed_join_reads_clustering_no_exchange(spark, sf_dir):
     # grouping key — never on the join key
     join_part = plan[plan.index("SortMergeJoin"):]
     assert "Exchange" not in join_part, join_part[:2000]
+
+
+def test_rename_alias_preserves_pushdown_and_pruning(spark, tmp_path):
+    """The rename mapping's physical->logical projection must collapse
+    into the scan: a filter on the LOGICAL name reaches the parquet
+    reader as a pushed filter on the PHYSICAL name, the read schema is
+    pruned to the referenced physical columns, and a partition-key
+    filter still prunes directories."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        publish_overwrite,
+        read_table,
+        rename_column,
+    )
+
+    path = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [(i, f"t{i}", ["en", "de"][i % 2], i * 10) for i in range(10)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    publish_overwrite(spark, path, seed, ["lang"], manifest=True)
+    rename_column(path, "n_chars", "char_count")
+    df = (
+        read_table(spark, path)
+        .filter("char_count > 50")
+        .select("doc_id", "char_count")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(n_chars,50)" in plan  # pushed, physical name
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan
+    assert df.count() == 4
+    df2 = read_table(spark, path).filter("lang = 'de'")
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan2 and "lang" in plan2.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    assert df2.count() == 5
