@@ -182,8 +182,10 @@ HEADLINE = [
     "text_bpe_pair_counts",
     "lake_count_pushdown",
     # ... and RENAME-without-rewrite (seed publish + metadata rename +
-    # new-name append + the mapping-translated read)
+    # new-name append + the mapping-translated read), and contrastive
+    # hard-negative mining (8 broadcast anchors, anti-label ranking)
     "lake_rename_column",
+    "ann_hard_negatives",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -286,3 +286,29 @@ def test_ivf_index_append_finds_new_vectors_and_prunes(spark, sf_dir):
     assert "label" in part_clause, plan
     # the appended query vector itself is IN the scanned cells
     assert scan.filter(F.col("vec_id") == qrow.vec_id).count() == 1
+
+
+def test_hard_negatives_never_share_the_anchor_label(spark, sf_dir):
+    """The one property that makes a mined negative usable for
+    contrastive training: it must be similar but differently labeled —
+    and ranked above every lower-similarity candidate of any label."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    out = REGISTRY["ann_hard_negatives"].builder(spark, sf_dir).collect()
+    anchors = {
+        r.vec_id: r.label
+        for r in load(spark, sf_dir, "embeddings")
+        .filter("vec_id < 8")
+        .collect()
+    }
+    assert len({r.qid for r in out}) == len(anchors)
+    for r in out:
+        assert r.label != anchors[r.qid], (r.qid, r.vec_id, r.label)
+    # per-anchor ranks are dense 1..5
+    from collections import defaultdict
+
+    ranks = defaultdict(list)
+    for r in out:
+        ranks[r.qid].append(r.rn)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in ranks.values())

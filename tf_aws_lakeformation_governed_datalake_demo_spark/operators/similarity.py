@@ -1462,3 +1462,67 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "ann_hard_negatives",
+    """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe
+          FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT q.qid, v.vec_id, v.label,
+             round(list_cosine_similarity(v.e, q.qe), 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(v.e, q.qe), 4) DESC,
+                        v.vec_id
+             ) AS rn
+      FROM v JOIN q ON v.label <> q.qlabel
+    )
+    SELECT qid, vec_id, label, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= 5
+    """,
+    "Hard-negative mining — the contrastive-training data op (DPR / "
+    "sentence-transformers recipe): for each of 8 anchor vectors, the "
+    "top-5 most-similar corpus vectors whose LABEL differs (similar "
+    "enough to be hard, labeled differently so they are negatives). "
+    "The label inequality is applied in the JOIN, before scoring, so "
+    "same-label vectors never enter the ranking; the oracle replays "
+    "scoring, the anti-label join, and the per-anchor window.",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB design: anchors broadcast (training batches are small);
+    scoring is one map-only pass over the corpus; the label filter
+    eliminates candidates BEFORE the per-anchor ranking window, and
+    per-anchor top-k shuffles only (anchors x corpus-survivors) scored
+    rows. The scale path for big anchor batches is the IVF route
+    (probe cells first, then this ranking over the candidate set)."""
+    v = _with_norm(load(spark, sf_dir, "embeddings"))
+    q = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = v.join(
+        F.broadcast(q), F.col("label") != F.col("qlabel")
+    ).select(
+        "qid",
+        "vec_id",
+        "label",
+        F.round(
+            _cos(F.col("embedding"), F.col("qe"), F.col("norm"), F.col("qnorm")),
+            4,
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return scored.select(
+        "qid",
+        "vec_id",
+        "label",
+        "cos_sim",
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).filter(F.col("rn") <= 5)
