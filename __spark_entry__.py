@@ -85,13 +85,16 @@ freshness-first, self-healing):
   logical→physical, OPTIMIZE migrates and heals), and
   ``ann_hard_negatives`` (contrastive-training hard-negative mining:
   per anchor, top-5 most-similar DIFFERENTLY-labeled vectors — the
-  label inequality applied in the join, before ranking) — plus the 21
+  label inequality applied in the join, before ranking), and
+  ``lake_snapshot_tags`` (named snapshot tags PINNING retention: the
+  tagged training corpus survives vacuum keep_last=1 byte-reproducible
+  while untagged history reclaims; erasure drops tags) — plus the 21
   ``y0_`` names whose last driver verdict dates to round 3/4 and that
   spilled past round 7's window (``stream_session_windows`` …
-  ``tpch_q9_product_profit``). 48 names.
+  ``tpch_q9_product_profit``). 49 names.
 - ``y1_<name>`` — last verified in round 5 (49 names). They sort
-  directly after the unprefixed block, so the 2 spare window slots
-  re-verify the alphabetically-first of these; the remaining 47 spill
+  directly after the unprefixed block, so the 1 spare window slot
+  re-verifies the alphabetically-first of these; the remaining 48 spill
   to round 9 — every round, spare capacity flows to whatever has gone
   longest without a driver verdict.
 - ``y2_<name>`` — verified in round 6 (50 names; CORRECTNESS_r06
@@ -125,10 +128,10 @@ driver verdict in CORRECTNESS_r01..r07 except the twelve new unprefixed
 round-8 names, which get theirs here.
 
 Round-9 rotation plan (for the next builder session): once
-CORRECTNESS_r08 lands green, (1) move this round's 48 unprefixed names
-into a fresh ``y4_`` class (verified r8), (2) promote the 47 ``y1_``
-names that spilled past round 8's window (everything after the 2
-alphabetically-first, which get verified here) to the FRONT of the
+CORRECTNESS_r08 lands green, (1) move this round's 49 unprefixed names
+into a fresh ``y4_`` class (verified r8), (2) promote the 48 ``y1_``
+names that spilled past round 8's window (everything after the 1
+alphabetically-first, which gets verified here) to the FRONT of the
 round-9 window alongside any new round-9 queries, (3) fill remaining
 spare slots with the oldest ``y2_`` (r6) names. After round 9 the
 oldest outstanding driver verdicts will be r5's tail or r6's.

@@ -186,6 +186,9 @@ HEADLINE = [
     # hard-negative mining (8 broadcast anchors, anti-label ranking)
     "lake_rename_column",
     "ann_hard_negatives",
+    # ... and snapshot tags pinning retention (seed + tag + 2 merges +
+    # vacuum + the tag-resolved and current reads)
+    "lake_snapshot_tags",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -1417,3 +1417,50 @@ def test_count_rows_spans_partition_specs(spark, tmp_path):
     meta = count_rows(path)
     assert meta["rows"] == 3
     assert meta["partitions"] == {"grp=a": 1, "grp=b": 1, "v=z": 1}
+
+
+def test_snapshot_tags_pin_retention_until_dropped(spark, tmp_path):
+    """Tags (Iceberg analog): a tagged snapshot and its files survive
+    vacuum past any keep_last horizon and stay readable by name;
+    dropping the tag releases them to the next vacuum; erasure
+    (delete_rows) drops all tags — a forget request cannot be pinned
+    around."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        drop_tag,
+        list_tags,
+        tag_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark, path, _mk(spark, [(1, "a", "v1")]), ["grp"], manifest=True
+    )
+    tag_snapshot(path, "training-run-1")  # pins v1
+    publish_overwrite(spark, path, _mk(spark, [(1, "a", "v2")]), ["grp"])
+    publish_overwrite(spark, path, _mk(spark, [(1, "a", "v3")]), ["grp"])
+    got = vacuum_manifests(path, keep_last=1)
+    assert 1 in got["kept_versions"]  # pinned past the horizon
+    assert [r.v for r in read_table(spark, path, tag="training-run-1").collect()] == ["v1"]
+    # v2 (untagged, past horizon) is gone; current still fine
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=2)
+    assert [r.v for r in read_table(spark, path).collect()] == ["v3"]
+
+    # retargeting and unknown-tag behavior
+    tag_snapshot(path, "training-run-1")  # retarget to current (v3)
+    assert list_tags(path)["training-run-1"] == 3
+    with pytest.raises(ValueError, match="no tag"):
+        read_table(spark, path, tag="nope")
+    with pytest.raises(ValueError, match="not a retained"):
+        tag_snapshot(path, "x", version=99)
+
+    # drop releases the pin
+    assert drop_tag(path, "training-run-1") is True
+    assert drop_tag(path, "training-run-1") is False
+    got = vacuum_manifests(path, keep_last=1)
+    assert got["kept_versions"] == [read_manifest(path)["version"]]
+
+    # erasure dominates tags
+    tag_snapshot(path, "pinned")
+    delete_rows(spark, path, "id = 1", partition_col="grp")
+    assert list_tags(path) == {}

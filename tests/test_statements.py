@@ -949,3 +949,35 @@ def test_maintain_rename_column_migrates_policies(spark, tmp_path):
                     f"SELECT char_count FROM {fx.DATABASE}.docs_ren")
     with pytest.raises(ValueError, match="view"):
         cat.rename_column(q, "char_count", "n2")
+
+
+def test_maintain_tag_and_drop_tag_governed(spark, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark import TableDef
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        list_tags,
+        publish_overwrite,
+    )
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    loc = f"{lake}/t_tags"
+    d = spark.createDataFrame([(1, "a")], "id long, grp string")
+    publish_overwrite(spark, loc, d, ["grp"], manifest=True)
+    cat.register_table(TableDef(fx.DATABASE, "t_tags", loc, schema=d.schema))
+    cat.set_admins(["ops"])
+    q = f"{fx.DATABASE}.t_tags"
+    with pytest.raises(PermissionDeniedError):
+        eng.maintain(q, "tag", principal="analyst", name="pin1")
+    res = eng.maintain(q, "tag", principal="ops", name="pin1")
+    assert res == {"name": "pin1", "version": 1}
+    assert list_tags(loc) == {"pin1": 1}
+    assert eng.maintain(q, "drop_tag", principal="ops", name="pin1") == {
+        "dropped": True
+    }
+    lines = [
+        e for e in cat.audit.events if "MAINTAIN tag" in e["query"]
+        or "MAINTAIN drop_tag" in e["query"]
+    ]
+    assert any("pin1" in e["query"] and e["status"] == "ok" for e in lines)
+    assert any(e["status"] == "denied" for e in lines)

@@ -577,6 +577,11 @@ class Engine:
           pending approval). The catalog's declared ``partition_keys``
           follow the new spec, so later ``compact``/``delete_rows``
           derive the right layout.
+        - ``"tag"`` / ``"drop_tag"`` — snapshot tags
+          (sources.lake.tag_snapshot / drop_tag; ``name=`` required,
+          ``to_version=`` optional): a tag PINS retention, so creating
+          one is a storage-cost decision and dropping one releases
+          data to the next vacuum — both admin-gated and audited.
         - ``"rename_column"`` — ALTER TABLE RENAME COLUMN
           (catalog.rename_column; ``old=`` and ``new=`` required):
           storage rename as one metadata commit (frozen physical
@@ -629,6 +634,12 @@ class Engine:
             )
         if action == "rename_column" and {"old", "new"} <= set(kwargs):
             audit_suffix = f" {kwargs['old']} TO {kwargs['new']}"
+        if action in ("tag", "drop_tag") and "name" in kwargs:
+            audit_suffix = f" {kwargs['name']}" + (
+                f" AT VERSION {kwargs['to_version']}"
+                if kwargs.get("to_version") is not None
+                else ""
+            )
 
         def _audit(status: str, error: str | None = None):
             self.catalog.audit.record(
@@ -783,6 +794,22 @@ class Engine:
                 "version": snap["version"],
                 "partition_by": snap["partition_by"],
             }
+        elif action in ("tag", "drop_tag"):
+            from .sources.lake import drop_tag, tag_snapshot
+
+            if "name" not in kwargs:
+                _audit("failed", f"{action} requires name=")
+                raise ValueError(f"{action} requires name=")
+            if action == "tag":
+                result = tag_snapshot(
+                    table.location,
+                    kwargs["name"],
+                    version=kwargs.get("to_version"),
+                )
+            else:
+                result = {
+                    "dropped": drop_tag(table.location, kwargs["name"])
+                }
         elif action == "rename_column":
             if not {"old", "new"} <= set(kwargs):
                 _audit("failed", "rename_column requires old= and new=")

@@ -1707,3 +1707,70 @@ def lake_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("text_chk"),
         )
     )
+
+
+@query(
+    "lake_snapshot_tags",
+    """
+    WITH cur AS (
+      SELECT doc_id, text, lang, source,
+             CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+    )
+    SELECT 'tagged' AS snap, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'current' AS snap, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM cur GROUP BY lang
+    """,
+    "Snapshot TAGS pinning retention (round-8, the Iceberg tag "
+    "analog): the seed snapshot is tagged 'training-data-v1', two "
+    "merges land, and retention runs at keep_last=1 — which reclaims "
+    "ordinary history but MUST keep the tagged snapshot and its files. "
+    "The verified read is the union of the tag-resolved read (the "
+    "original corpus, byte-reproducible after vacuum) and the current "
+    "snapshot (both merges applied); the oracle replays both states. "
+    "The body also asserts the untagged intermediate version really "
+    "was reclaimed — the pin is surgical, not a retention bypass.",
+)
+def lake_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: a tag is one entry in one JSON file; its retention pin
+    costs vacuum exactly the tagged snapshot's file set. The
+    training-data story: tag the corpus a run trained on and the run
+    stays reproducible while daily history ages out. Erasure drops
+    tags (delete_rows: a forget request cannot be pinned around) —
+    pinned in tests/test_manifest.py."""
+    from ..sources import tag_snapshot, publish_overwrite, vacuum_manifests
+    from ..sources.lake import merge_into, read_manifest, read_table
+
+    d = load(spark, sf_dir, "documents")
+    path = scratch_dir("snap_tags_") + "/docs"
+    publish_overwrite(spark, path, d, ["lang"], manifest=True)
+    tag_snapshot(path, "training-data-v1")
+    upd = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 500
+    )
+    merge_into(spark, path, upd, ["doc_id"], ["lang"], collect_stats=False)
+    upd2 = upd.withColumn("n_chars", F.col("n_chars") + 500)
+    merge_into(spark, path, upd2, ["doc_id"], ["lang"], collect_stats=False)
+    vacuum_manifests(path, keep_last=1)
+    try:  # the untagged middle version is really gone
+        read_table(spark, path, version=2)
+        raise AssertionError("v2 should have been vacuumed")
+    except FileNotFoundError:
+        pass
+
+    def profile(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).select(F.lit(snap).alias("snap"), "lang", "n_docs", "total_chars")
+
+    return profile(
+        read_table(spark, path, tag="training-data-v1"), "tagged"
+    ).unionByName(profile(read_table(spark, path), "current"))

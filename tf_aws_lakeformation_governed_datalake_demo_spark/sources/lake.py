@@ -588,6 +588,93 @@ def version_at_timestamp(path: str, ts: float) -> int:
     )
 
 
+_TAG_NAME = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def list_tags(path: str) -> dict[str, int]:
+    """Named snapshot tags: ``{name: version}`` (Iceberg tag analog)."""
+    import json
+    from pathlib import Path
+
+    tf = Path(path) / "_manifests" / "_tags.json"
+    try:
+        return {k: int(v) for k, v in json.loads(tf.read_text()).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def tag_snapshot(path: str, name: str, version: int | None = None) -> dict:
+    """TAG a retained snapshot with a durable name — Iceberg tags on
+    plain Parquet. A tag is a named, human-meaningful pointer
+    (``audit-2026q3``, ``training-run-17``) resolved by
+    ``read_table(tag=)``, and it PINS retention:
+    :func:`vacuum_manifests` keeps tagged snapshots and their data
+    files regardless of ``keep_last``, so the dataset a model was
+    trained on stays byte-reproducible while ordinary history ages
+    out. Re-tagging an existing name retargets it (git-tag -f
+    semantics; the commit lock serializes). Erasure still dominates:
+    :func:`delete_rows` drops ALL tags when it truncates history —
+    a right-to-be-forgotten request cannot be pinned around.
+
+    ``version=None`` tags the current snapshot. The version must be on
+    the committed parent chain (orphan snapshots from crashed commits
+    are not taggable)."""
+    import json
+    import os
+    from pathlib import Path
+
+    if not _TAG_NAME.match(name or ""):
+        raise ValueError(f"invalid tag name {name!r} (want {_TAG_NAME.pattern})")
+    live = Path(path)
+    with publish_lock(live):
+        current = read_manifest(path)
+        if current is None:
+            raise ValueError(
+                f"table at {path} is not manifest-committed — nothing to tag"
+            )
+        if version is None:
+            version = current["version"]
+        chain, m = [current["version"]], current
+        while m.get("parent") is not None:
+            chain.append(m["parent"])
+            try:
+                m = read_manifest(path, m["parent"])
+            except FileNotFoundError:
+                break
+        if version not in chain:
+            raise ValueError(
+                f"v{version} is not a retained committed snapshot of "
+                f"{path} (chain: {chain})"
+            )
+        tags = list_tags(path)
+        tags[name] = version
+        tf = live / "_manifests" / "_tags.json"
+        tmp = live / "_manifests" / ".tmp_tags"
+        tmp.write_text(json.dumps(tags, sort_keys=True))
+        os.replace(tmp, tf)
+    return {"name": name, "version": version}
+
+
+def drop_tag(path: str, name: str) -> bool:
+    """Remove a snapshot tag; the snapshot it pinned becomes ordinary
+    history (reclaimed by the next :func:`vacuum_manifests` past the
+    horizon). Returns whether the tag existed."""
+    import json
+    import os
+    from pathlib import Path
+
+    live = Path(path)
+    with publish_lock(live):
+        tags = list_tags(path)
+        existed = tags.pop(name, None) is not None
+        tf = live / "_manifests" / "_tags.json"
+        if existed:
+            tmp = live / "_manifests" / ".tmp_tags"
+            tmp.write_text(json.dumps(tags, sort_keys=True))
+            os.replace(tmp, tf)
+    return existed
+
+
 def count_rows(path: str, version: int | None = None) -> dict | None:
     """Metadata-only COUNT — answer ``count(*)`` (total and per
     hive-partition) from the manifest's recorded per-file footer row
@@ -1320,8 +1407,11 @@ def read_table(
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
     as_of_timestamp: float | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """THE lake read path: manifest-aware, schema-declared when given.
+    ``tag=`` reads the snapshot a named tag pins (:func:`tag_snapshot`)
+    — exactly VERSION AS OF at the tag's resolved version.
 
     On a manifest table the scan lists files through the committed
     snapshot (``version=None`` → current; ``version=N`` → time travel
@@ -1363,6 +1453,17 @@ def read_table(
             df = df.select(*schema.names)
         return df
 
+    if tag is not None:
+        if version is not None or as_of_timestamp is not None:
+            raise ValueError(
+                "pass tag= alone, not with version=/as_of_timestamp="
+            )
+        tags = list_tags(path)
+        if tag not in tags:
+            raise ValueError(
+                f"no tag {tag!r} on {path} (tags: {sorted(tags)})"
+            )
+        version = tags[tag]
     if as_of_timestamp is not None:
         # TIMESTAMP AS OF: resolve to the newest retained snapshot
         # committed at or before the instant, then read it exactly like
@@ -2448,7 +2549,10 @@ def verify_table(path: str, deep: bool = False) -> dict:
 
 
 def vacuum_manifests(
-    path: str, keep_last: int = 1, min_age_seconds: float = 0.0
+    path: str,
+    keep_last: int = 1,
+    min_age_seconds: float = 0.0,
+    drop_tags: bool = False,
 ) -> dict:
     """Retention for manifest-table history: keep the newest
     ``keep_last`` snapshots of the committed parent chain, delete older
@@ -2485,6 +2589,19 @@ def vacuum_manifests(
             keep.append(read_manifest(path, keep[-1]["parent"]))
         except FileNotFoundError:
             break  # older history already vacuumed
+    # tags PIN retention (tag_snapshot): tagged snapshots and their
+    # files survive any keep_last horizon. drop_tags=True is the
+    # erasure override — delete_rows passes it so a right-to-be-
+    # forgotten truncation cannot be pinned around.
+    if drop_tags:
+        (live / "_manifests" / "_tags.json").unlink(missing_ok=True)
+    else:
+        kept_now = {m["version"] for m in keep}
+        for v in sorted(set(list_tags(path).values()) - kept_now):
+            try:
+                keep.append(read_manifest(path, v))
+            except FileNotFoundError:
+                continue  # dangling tag (pre-existing damage): nothing to pin
     kept_versions = [m["version"] for m in keep]
     referenced = {f for m in keep for f in m["files"]}
     cutoff = time.time() - min_age_seconds
@@ -3025,8 +3142,9 @@ def delete_rows(
         # the rewrite produced a clean CURRENT snapshot, but matched
         # rows still exist in retained historical snapshots' files —
         # truncate history so the "no reader can observe a matched row"
-        # contract holds for version= readers too.
-        vacuum_manifests(path, keep_last=1)
+        # contract holds for version= readers too. drop_tags: erasure
+        # dominates tag pinning the same way it dominates time travel.
+        vacuum_manifests(path, keep_last=1, drop_tags=True)
     return {"rows_deleted": n_deleted, "partitions_rewritten": n_partitions}
 
 
