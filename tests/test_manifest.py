@@ -1464,3 +1464,87 @@ def test_snapshot_tags_pin_retention_until_dropped(spark, tmp_path):
     tag_snapshot(path, "pinned")
     delete_rows(spark, path, "id = 1", partition_col="grp")
     assert list_tags(path) == {}
+
+
+def test_engine_sql_tag_as_of_governed(spark, tmp_path):
+    """Governed TAG AS OF: engine.sql(..., as_of_tags={table: name})
+    resolves the tag to its pinned version with the principal's row
+    security applied to the historical rows — the governed read of a
+    retention-pinned training corpus."""
+    from pyspark.sql import types as T
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        Engine,
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        DataCellsFilter,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        tag_snapshot,
+    )
+
+    path = str(tmp_path / "accts")
+    publish_overwrite(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id long, grp string, bal double"
+        ),
+        ["grp"],
+        manifest=True,
+    )
+    tag_snapshot(path, "seed")
+    publish_overwrite(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a", 99.0)], "id long, grp string, bal double"),
+        ["grp"],
+    )
+    cat = GovernedCatalog(spark)
+    cat.create_database("db")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("grp", T.StringType()),
+        ]
+    )
+    cat.register_table(
+        TableDef("db", "accts", path, schema=schema, partition_keys=("grp",))
+    )
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="a-only",
+            database="db",
+            table="accts",
+            columns=("id", "bal", "grp"),
+            row_filter="grp = 'a'",
+        )
+    )
+    cat.grant("reader", "SELECT", "db", "accts", via_filter="a-only")
+    eng = Engine(spark, cat)
+    cur = eng.sql("SELECT bal FROM db.accts", principal="reader").collect()
+    assert [r.bal for r in cur] == [99.0]  # current, filtered
+    old = eng.sql(
+        "SELECT bal FROM db.accts",
+        principal="reader",
+        as_of_tags={"db.accts": "seed"},
+    ).collect()
+    assert [r.bal for r in old] == [10.0]  # tagged snapshot, SAME filter
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no tag"):
+        eng.sql(
+            "SELECT bal FROM db.accts",
+            principal="reader",
+            as_of_tags={"db.accts": "nope"},
+        )
+    with _pytest.raises(ValueError, match="another AS OF"):
+        eng.sql(
+            "SELECT bal FROM db.accts",
+            principal="reader",
+            as_of_versions={"db.accts": 1},
+            as_of_tags={"db.accts": "seed"},
+        )

@@ -186,6 +186,7 @@ class Engine:
         reuse_max_age: float | None = None,
         as_of_versions: dict[str, int] | None = None,
         as_of_timestamps: dict[str, float] | None = None,
+        as_of_tags: dict[str, str] | None = None,
     ) -> DataFrame:
         """Execute governed SQL and return the DataFrame (raises on deny).
 
@@ -198,12 +199,15 @@ class Engine:
         resolves to the newest retained snapshot committed at or
         before the instant (sources.lake.version_at_timestamp — pre-
         history timestamps raise) and then behaves exactly like
-        ``as_of_versions``; naming a table in both is an error."""
-        if as_of_timestamps:
-            from .sources.lake import version_at_timestamp
+        ``as_of_versions``; ``as_of_tags`` is the TAG AS OF form
+        (tag_snapshot names resolve to their pinned versions — the
+        governed read of a retention-pinned training corpus). Naming a
+        table in more than one AS OF map is an error."""
+        if as_of_timestamps or as_of_tags:
+            from .sources.lake import list_tags, version_at_timestamp
 
             as_of_versions = dict(as_of_versions or {})
-            for q, ts in as_of_timestamps.items():
+            for q, ts in (as_of_timestamps or {}).items():
                 if q in as_of_versions:
                     raise ValueError(
                         f"{q} given in both as_of_versions and "
@@ -211,6 +215,18 @@ class Engine:
                     )
                 table = self.catalog.tables[q]  # KeyError: fail closed
                 as_of_versions[q] = version_at_timestamp(table.location, ts)
+            for q, tagname in (as_of_tags or {}).items():
+                if q in as_of_versions:
+                    raise ValueError(
+                        f"{q} given in as_of_tags and another AS OF map"
+                    )
+                table = self.catalog.tables[q]  # KeyError: fail closed
+                tags = list_tags(table.location)
+                if tagname not in tags:
+                    raise ValueError(
+                        f"no tag {tagname!r} on {q} (tags: {sorted(tags)})"
+                    )
+                as_of_versions[q] = tags[tagname]
         qe = self._execute(
             sql,
             principal,
