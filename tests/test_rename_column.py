@@ -176,3 +176,26 @@ def test_rollback_across_rename_restores_each_eras_names(spark, renamed):
         "char_count": "n_chars"
     }
     assert "char_count" in read_table(spark, renamed).columns
+
+
+def test_evolving_to_a_renamed_column_fails_closed(spark, renamed):
+    """Layout change onto a mapped column would partitionBy a logical
+    name the physical files don't carry — refused until compaction
+    migrates the names; afterwards the evolution proceeds."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        evolve_partitioning,
+    )
+
+    with pytest.raises(ValueError, match="renamed"):
+        evolve_partitioning(renamed, ["char_count"])
+    compact_in_place(spark, renamed, ["lang"])
+    m = evolve_partitioning(renamed, ["char_count"])
+    assert m["partition_by"] == ["char_count"]
+    batch = spark.createDataFrame(
+        [(200, "z", "fr", 7)],
+        "doc_id long, text string, lang string, char_count long",
+    )
+    append_rows(spark, renamed, batch, ["char_count"])
+    df = read_table(spark, renamed)
+    assert df.count() == 11
+    assert df.filter("char_count = 7").first().doc_id == 200

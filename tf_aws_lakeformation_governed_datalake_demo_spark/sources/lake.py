@@ -2120,6 +2120,16 @@ def evolve_partitioning(path: str, new_partition_by: list[str] | None) -> dict:
                 f"new partition columns {missing} are not on the "
                 f"table's schema {names}"
             )
+        mapping = current.get("column_mapping") or {}
+        mapped = sorted(set(new) & set(mapping))
+        if mapped:
+            raise ValueError(
+                f"new partition columns {mapped} are renamed "
+                "(logical != in-file physical name): writers would "
+                "partitionBy a name the staged files don't carry — "
+                "compact_in_place() first to migrate files to the "
+                "logical names"
+            )
         if current["partition_by"] == new:
             return current  # already this layout — nothing to commit
         specs = {
