@@ -199,3 +199,137 @@ def test_evolving_to_a_renamed_column_fails_closed(spark, renamed):
     df = read_table(spark, renamed)
     assert df.count() == 11
     assert df.filter("char_count = 7").first().doc_id == 200
+
+
+def test_purge_on_renamed_table_stages_physical_names(spark, renamed):
+    """Review fix: purge_deleted_rows rewrites covered files — those
+    files must carry the frozen PHYSICAL names like every other write
+    path, or the carried mapping NULL-fills the column afterwards."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        delete_rows_mor,
+        purge_deleted_rows,
+    )
+
+    delete_rows_mor(spark, renamed, "doc_id = 2")
+    purge_deleted_rows(spark, renamed)
+    df = read_table(spark, renamed)
+    assert df.count() == 9
+    vals = {r.doc_id: r.char_count for r in df.collect()}
+    assert vals == {i: i * 10 for i in range(10) if i != 2}
+    assert not any(v is None for v in vals.values())
+
+
+def test_historical_read_with_declared_schema_across_rename(spark, renamed):
+    """Review fix: the governed AS OF path declares the CURRENT logical
+    schema against historical snapshots — a pre-rename snapshot must
+    materialize under the current names (physical identity is frozen),
+    never NULL-fill."""
+    from pyspark.sql import types as T
+
+    cur_schema = T.StructType.fromJson(read_manifest(renamed)["schema"])
+    old = read_table(spark, renamed, schema=cur_schema, version=1)
+    assert "char_count" in old.columns
+    vals = {r.doc_id: r.char_count for r in old.collect()}
+    assert vals == {i: i * 10 for i in range(10)}  # values, not NULLs
+
+
+def test_governed_tag_as_of_across_rename(spark, renamed, tmp_path):
+    """End to end: tag before rename, governed-style declared read of
+    the tag afterwards — the training corpus stays readable under the
+    migrated names with a migrated row predicate still filtering."""
+    from pyspark.sql import types as T
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        tag_snapshot,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        list_tags,
+    )
+
+    tag_snapshot(renamed, "seed", version=1)  # pre-rename snapshot
+    cur_schema = T.StructType.fromJson(read_manifest(renamed)["schema"])
+    df = read_table(spark, renamed, schema=cur_schema, tag="seed")
+    kept = df.filter("char_count <= 50")  # the migrated predicate shape
+    assert kept.count() == 6
+    assert list_tags(renamed)["seed"] == 1
+
+
+def test_rollback_to_pre_evolution_after_heal_and_reevolve(spark, tmp_path):
+    """Review fix: a restore must never depend on the CURRENT spec
+    table containing the target's layout — heal + re-evolve in between
+    and roll all the way back."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        evolve_partitioning,
+    )
+
+    path = str(tmp_path / "t")
+    publish_overwrite(spark, path, _seed(spark), ["lang"], manifest=True)
+    evolve_partitioning(path, ["doc_id"])          # v2
+    compact_in_place(spark, path, ["doc_id"])      # v3: heals
+    evolve_partitioning(path, ["n_chars"])         # v4: fresh specs
+    rollback_table(path, 1)                        # lang era, long gone
+    m = read_manifest(path)
+    assert m["partition_by"] == ["lang"] and "partition_specs" not in m
+    assert read_table(spark, path).count() == 10
+
+
+def test_filter_rewrite_is_literal_safe(spark, tmp_path):
+    """Review fix: the old column name inside a string VALUE of a row
+    predicate must survive a rename untouched."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        Engine,
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        DataCellsFilter,
+    )
+
+    path = str(tmp_path / "t")
+    d = spark.createDataFrame(
+        [(1, "n_chars", "en", 5), (2, "other", "en", 6)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    publish_overwrite(spark, path, d, ["lang"], manifest=True)
+    cat = GovernedCatalog(spark)
+    cat.create_database("db")
+    cat.register_table(
+        TableDef("db", "t", path, schema=d.schema, partition_keys=("lang",))
+    )
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="lit",
+            database="db",
+            table="t",
+            columns=None,
+            row_filter="text = 'n_chars' OR n_chars > 5",
+        )
+    )
+    cat.rename_column("db.t", "n_chars", "char_count")
+    flt = cat.filters["lit"]
+    assert flt.row_filter == "text = 'n_chars' OR char_count > 5"
+
+
+def test_wap_audit_fails_loudly_on_rename_race(spark, tmp_path):
+    """Review fix: a rename committed between begin_publish and the
+    audit read makes read_candidate raise instead of NULL-filling the
+    audited column."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        begin_publish,
+        read_candidate,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        ConcurrentLakeModificationError,
+    )
+
+    path = str(tmp_path / "t")
+    publish_overwrite(spark, path, _seed(spark), ["lang"], manifest=True)
+    cand = begin_publish(
+        spark,
+        path,
+        _seed(spark).filter("lang = 'en'").withColumn("n_chars", F.lit(0)),
+        ["lang"],
+    )
+    rename_column(path, "n_chars", "char_count")
+    with pytest.raises(ConcurrentLakeModificationError, match="renamed"):
+        read_candidate(spark, path, cand)

@@ -549,8 +549,15 @@ class GovernedCatalog:
             if cols and old in cols:
                 cols = tuple(new if c == old else c for c in cols)
             rf = flt.row_filter
-            if rf and token.search(rf):
-                rf = token.sub(new, rf)
+            if rf:
+                # literal-safe: the old column NAME appearing inside a
+                # string VALUE ("note = 'n_chars'") must not be
+                # rewritten — that would silently change which rows the
+                # filter admits (same rule as _rewrite_sql, round-1
+                # ADVICE)
+                rf, n_sub = self._sub_outside_literals(token, new, rf)
+                if n_sub == 0:
+                    rf = flt.row_filter
             if (cols, rf) != (flt.columns, flt.row_filter):
                 self.filters[fname] = dataclasses.replace(
                     flt, columns=cols, row_filter=rf

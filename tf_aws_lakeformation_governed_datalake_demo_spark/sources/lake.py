@@ -1487,6 +1487,19 @@ def read_table(
         # schema-evolved columns can never be lost to an old file's
         # footer winning the race
         schema = T.StructType.fromJson(m["schema"])
+    elif schema is not None and version is not None:
+        # Explicitly-declared schema on a HISTORICAL read (the governed
+        # VERSION/TIMESTAMP/TAG AS OF path): the caller speaks the
+        # CURRENT logical names, so translate through the LIVE
+        # pointer's rename mapping, not the target era's. Physical
+        # names are frozen per column identity across every era, so
+        # physicalizing via the live mapping reads the right in-file
+        # column from snapshots before, between, and after any number
+        # of renames — a pre-rename snapshot then materializes under
+        # the caller's current names instead of silently NULL-filling
+        # a column that "did not exist yet" under its old name.
+        cur = read_manifest(path)
+        m = {**m, "column_mapping": (cur or {}).get("column_mapping", {})}
     from pathlib import Path
 
     live = Path(path)
@@ -1951,13 +1964,15 @@ def rollback_table(path: str, version: int) -> dict:
             delete_predicates=target.get("delete_predicates", []),
             file_added_hints=target.get("file_added"),
             constraints=target.get("constraints", {}),
-            # restore the target's partition-spec bookkeeping verbatim:
-            # inheriting from the CURRENT snapshot would mis-spec files
-            # it no longer carries (None on a pre-evolution target falls
-            # back to inheritance, which resolves every restored file to
-            # the target's own layout and heals to single-spec)
-            partition_specs=target.get("partition_specs"),
-            file_spec=target.get("file_spec"),
+            # restore the target's partition-spec bookkeeping verbatim —
+            # ALWAYS explicitly, never by inheritance: the current
+            # snapshot may have healed and re-evolved since, so its spec
+            # table need not contain the target's layout at all (the
+            # inheritance lookup would refuse a legitimate restore). An
+            # explicit {} on a pre-evolution target is exactly right:
+            # every restored file is the target's own single layout.
+            partition_specs=target.get("partition_specs") or {},
+            file_spec=target.get("file_spec") or {},
             column_mapping=target.get("column_mapping", {}),
         )
     return {
@@ -2373,6 +2388,7 @@ def begin_publish(
         "files": sorted([*carried, *new_files]),
         "new_files": sorted(new_files),
         "schema": cand_schema,
+        "column_mapping": dict(pre_mapping),
         "created_at": time.time(),
     }
     cpath = live / "_manifests"
@@ -2410,9 +2426,18 @@ def read_candidate(
             },
         },
         "delete_predicates": current.get("delete_predicates", []),
-        # candidate files were staged under the same physical names
-        "column_mapping": current.get("column_mapping", {}),
+        # the mapping the candidate was STAGED under, not the live one:
+        # a rename committed mid-audit must fail loudly (below) rather
+        # than silently NULL-fill the audited column
+        "column_mapping": candidate.get("column_mapping", {}),
     }
+    if current.get("column_mapping", {}) != candidate.get(
+        "column_mapping", {}
+    ):
+        raise ConcurrentLakeModificationError(
+            f"table at {path} renamed columns since this candidate was "
+            "staged — the audit would read wrong data; abort and re-stage"
+        )
     df = _masked_scan(spark, path, synth, candidate["files"], schema)
     if schema is not None and df.columns != list(schema.names):
         df = df.select(*schema.names)
@@ -3298,6 +3323,10 @@ def purge_deleted_rows(
     )
     part_by = list(m.get("partition_by") or [])
     df = _masked_scan(spark, path, m, covered, schema)
+    # the masked scan returns LOGICAL names; staged files must carry the
+    # frozen physical ones like every other write path, or the carried
+    # mapping would NULL-fill the renamed column on the next read
+    df = _to_physical_df(df, m)
     txid = _uuid.uuid4().hex
     staged = live / f"_staged_{txid}"
     writer = df.write.mode("overwrite").option("compression", compression)
