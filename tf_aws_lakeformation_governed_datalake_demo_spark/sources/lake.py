@@ -555,6 +555,29 @@ def read_manifest(path: str, version: int | None = None) -> dict | None:
     )
 
 
+def _retained_chain(path: str, start: dict | None = None):
+    """Yield the committed parent chain's manifests newest-first,
+    starting at the live pointer (or ``start``, for callers that
+    already read it under the commit lock) and stopping at a vacuumed
+    (missing) ancestor — THE definition of "retained history" shared
+    by timestamp resolution, tagging, and vacuum retention (orphan
+    snapshots from crashed commits are never on it). Raises
+    FileNotFoundError when the table has no manifest at all."""
+    m = start or read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(
+            f"table at {path} is not manifest-committed"
+        )
+    while m is not None:
+        yield m
+        if m["parent"] is None:
+            return
+        try:
+            m = read_manifest(path, m["parent"])
+        except FileNotFoundError:
+            return  # older history vacuumed
+
+
 def version_at_timestamp(path: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution (Delta's time-travel-by-time): the
     newest RETAINED snapshot on the committed parent chain whose
@@ -564,22 +587,11 @@ def version_at_timestamp(path: str, ts: float) -> int:
     commits outside the chain are never selected. Raises when ``ts``
     predates the oldest retained snapshot (vacuumed history must fail
     loudly, never silently serve the oldest survivor)."""
-    m = read_manifest(path)
-    if m is None:
-        raise FileNotFoundError(
-            f"table at {path} is not manifest-committed"
-        )
-    oldest = m
-    while m is not None:
+    oldest = None
+    for m in _retained_chain(path):
         if m["committed_at"] <= ts:
             return m["version"]
         oldest = m
-        if m["parent"] is None:
-            break
-        try:
-            m = read_manifest(path, m["parent"])
-        except FileNotFoundError:
-            m = None  # older history vacuumed
     raise FileNotFoundError(
         f"table at {path} has no retained snapshot committed at or "
         f"before ts={ts} (oldest retained: v{oldest['version']} at "
@@ -634,13 +646,7 @@ def tag_snapshot(path: str, name: str, version: int | None = None) -> dict:
             )
         if version is None:
             version = current["version"]
-        chain, m = [current["version"]], current
-        while m.get("parent") is not None:
-            chain.append(m["parent"])
-            try:
-                m = read_manifest(path, m["parent"])
-            except FileNotFoundError:
-                break
+        chain = [m["version"] for m in _retained_chain(path, current)]
         if version not in chain:
             raise ValueError(
                 f"v{version} is not a retained committed snapshot of "
@@ -2618,12 +2624,9 @@ def vacuum_manifests(
             "candidates_removed": 0,
             "kept_versions": [],
         }
-    keep: list[dict] = [current]
-    while len(keep) < keep_last and keep[-1]["parent"] is not None:
-        try:
-            keep.append(read_manifest(path, keep[-1]["parent"]))
-        except FileNotFoundError:
-            break  # older history already vacuumed
+    from itertools import islice
+
+    keep: list[dict] = list(islice(_retained_chain(path, current), keep_last))
     # tags PIN retention (tag_snapshot): tagged snapshots and their
     # files survive any keep_last horizon. drop_tags=True is the
     # erasure override — delete_rows passes it so a right-to-be-
