@@ -1,0 +1,130 @@
+"""Model-based property test for the metadata-DDL lifecycle: ANY
+bounded random sequence of append / merge / rename / partition
+evolution / compaction / rollback must leave the table exactly equal
+to a pure-Python model — rows, current logical column names, and every
+retained historical version. The operations that refuse on certain
+states (partial rewrite on a mixed-spec table, evolve onto a mapped
+column) must refuse EXACTLY when the model says the state is one of
+those, and leave the table untouched."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+    append_rows,
+    compact_in_place,
+    evolve_partitioning,
+    merge_into,
+    publish_overwrite,
+    read_manifest,
+    read_table,
+    rename_column,
+    rollback_table,
+)
+
+# op vocabulary: (kind, payload) — payloads drawn small so sequences
+# explore interactions, not data volume
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 2)),
+        st.tuples(st.just("merge"), st.integers(0, 4)),
+        st.tuples(st.just("rename"), st.none()),
+        st.tuples(st.just("evolve"), st.none()),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("rollback"), st.integers(0, 10)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_ddl_lifecycle_matches_model(spark, tmp_path_factory, ops):
+    tmp = tmp_path_factory.mktemp("ddlprop")
+    path = str(tmp / "t")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, grp string, v long")
+
+    # ---- model state ----
+    rows = {i: ("a" if i % 2 else "b", i * 10) for i in range(4)}
+    vname = "v"  # current logical name of the value column
+    part = ["grp"]  # current partition spec (["grp"] or [])
+    mixed = False  # retired-spec files remain
+    mapped = False  # a rename mapping is live
+    next_id = 100
+    publish_overwrite(spark, path, mk([(i, g, v) for i, (g, v) in rows.items()]),
+                      part, manifest=True)
+    history = {read_manifest(path)["version"]: (dict(rows), vname, list(part), mixed, mapped)}
+
+    def check():
+        df = read_table(spark, path)
+        assert sorted(df.columns) == sorted(["id", "grp", vname])
+        got = {(r["id"], r["grp"], r[vname]) for r in df.collect()}
+        want = {(i, g, v) for i, (g, v) in rows.items()}
+        assert got == want, (sorted(got)[:5], sorted(want)[:5])
+
+    for kind, arg in ops:
+        if kind == "append":
+            batch = [(next_id + k, "a", (next_id + k) * 10) for k in range(arg + 1)]
+            append_rows(
+                spark, path,
+                mk(batch).withColumnRenamed("v", vname),
+                part,
+            )
+            for i, g, v in batch:
+                rows[i] = (g, v)
+            next_id += arg + 1
+        elif kind == "merge":
+            tgt = sorted(rows)[arg % len(rows)]
+            g = rows[tgt][0]
+            upd = mk([(tgt, g, rows[tgt][1] + 1)]).withColumnRenamed("v", vname)
+            if mixed:
+                with pytest.raises(ValueError, match="partition-evolved"):
+                    merge_into(spark, path, upd, ["id"], part or None,
+                               collect_stats=False)
+            else:
+                merge_into(spark, path, upd, ["id"], part or None,
+                           collect_stats=False)
+                rows[tgt] = (g, rows[tgt][1] + 1)
+        elif kind == "rename":
+            new = "v2" if vname == "v" else "v"
+            rename_column(path, vname, new)
+            vname = new
+            # mapping heals when the rename lands back on the frozen
+            # physical name; the PHYSICAL name is whatever the current
+            # files carry, which compaction resets to the then-logical
+            mapped = read_manifest(path).get("column_mapping") is not None \
+                and "column_mapping" in read_manifest(path)
+        elif kind == "evolve":
+            new_part = [] if part == ["grp"] else ["grp"]
+            evolve_partitioning(path, new_part)
+            m = read_manifest(path)
+            part = new_part
+            mixed = "partition_specs" in m
+        elif kind == "compact":
+            compact_in_place(spark, path, part or None)
+            mixed = False
+            mapped = False
+        elif kind == "rollback":
+            retained = sorted(history)
+            target = retained[arg % len(retained)]
+            rollback_table(path, target)
+            rows, vname, part, mixed, mapped = (
+                dict(history[target][0]),
+                history[target][1],
+                list(history[target][2]),
+                history[target][3],
+                history[target][4],
+            )
+        v = read_manifest(path)["version"]
+        history[v] = (dict(rows), vname, list(part), mixed, mapped)
+        check()
