@@ -142,7 +142,9 @@ def test_rename_refusals_fail_closed(spark, tmp_path):
     rename_column(path, "n_chars", "char_count")  # now clean
 
 
-def test_changes_and_stream_fail_closed_across_rename(spark, renamed):
+def test_changes_fail_closed_and_source_translates_across_rename(
+    spark, renamed
+):
     batch = spark.createDataFrame(
         [(100, "x", "fr", 5)],
         "doc_id long, text string, lang string, char_count long",
@@ -154,15 +156,68 @@ def test_changes_and_stream_fail_closed_across_rename(spark, renamed):
     # across the boundary: loud refusal, never mis-aligned columns
     with pytest.raises(ValueError, match="rename_column boundary"):
         table_changes(spark, renamed, 1, 3)
-    # streaming source refuses mapped tables
-    spark.dataSource.registered = getattr(spark.dataSource, "registered", None)
+    # the data source translates logical -> frozen physical per file:
+    # pre-rename files and post-rename appends both materialize under
+    # the declared CURRENT names with real values, never NULL-fill
+    from pyspark.sql import types as T
+
     from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
         LakeManifestDataSource,
     )
 
     spark.dataSource.register(LakeManifestDataSource)
-    with pytest.raises(Exception, match="renamed columns"):
-        spark.read.format("lake_manifest").load(renamed).collect()
+    cur_schema = T.StructType.fromJson(read_manifest(renamed)["schema"])
+    got = (
+        spark.read.format("lake_manifest")
+        .schema(cur_schema)
+        .load(renamed)
+        .collect()
+    )
+    vals = {r.doc_id: r.char_count for r in got}
+    assert vals == {**{i: i * 10 for i in range(10)}, 100: 5}
+
+
+def test_stream_refuses_mid_stream_rename(spark, renamed, tmp_path):
+    """A rename committing between stream offsets changes the reader's
+    fixed logical->physical map — the same loud-refusal contract as a
+    rewrite; a fresh stream picks up the new names."""
+    from pyspark.sql import types as T
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        LakeManifestDataSource,
+    )
+
+    spark.dataSource.register(LakeManifestDataSource)
+    cur_schema = T.StructType.fromJson(read_manifest(renamed)["schema"])
+    out = str(tmp_path / "out")
+
+    def run():
+        (
+            spark.readStream.format("lake_manifest")
+            .schema(cur_schema)
+            .load(renamed)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run()  # consumes the mapped table fine
+    got = spark.read.schema(cur_schema).parquet(out)
+    assert got.count() == 10
+    assert {r.doc_id: r.char_count for r in got.collect()} == {
+        i: i * 10 for i in range(10)
+    }
+    rename_column(renamed, "char_count", "chars2")  # map changes
+    batch = spark.createDataFrame(
+        [(101, "y", "fr", 9)],
+        "doc_id long, text string, lang string, chars2 long",
+    )
+    append_rows(spark, renamed, batch, ["lang"])
+    with pytest.raises(Exception, match="not on the"):
+        run()  # restarted reader: its declared schema predates the rename
 
 
 def test_rollback_across_rename_restores_each_eras_names(spark, renamed):

@@ -2010,9 +2010,12 @@ def rename_column(path: str, old: str, new: str) -> dict:
     load-bearing — evolve partitioning away from the column first);
     renames are refused while merge-on-read tombstones exist (their
     predicates reference rename-era names; purge first) and while any
-    CHECK constraint references the column (drop/re-add it); the
-    streaming source refuses mapped tables. ``table_changes`` across a
-    rename boundary raises rather than mis-aligning columns."""
+    CHECK constraint references the column (drop/re-add it). The
+    streaming/batch data source translates declared logical names
+    through the frozen physical names per file; a rename committing
+    MID-stream, or a restart whose declared schema predates the
+    rename, fails loudly. ``table_changes`` across a rename boundary
+    raises rather than mis-aligning columns."""
     import re as _re
     import uuid as _uuid
     from pathlib import Path

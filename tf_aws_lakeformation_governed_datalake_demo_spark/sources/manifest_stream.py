@@ -96,11 +96,36 @@ class _ManifestReaderMixin:
         self._ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        # rename_column mapping, FIXED at reader construction: files
+        # carry frozen physical names (era-invariant per column
+        # identity), so one logical->physical map serves every batch's
+        # files regardless of when they were written; a rename
+        # committing MID-stream changes the map and partitions() fails
+        # loudly (same contract as a rewrite)
+        m = _read_manifest_json(self._path)
+        self._mapping = dict((m or {}).get("column_mapping", {}))
+        if self._mapping and m.get("schema"):
+            # on a mapped table a stale declared schema (e.g. a stream
+            # restarted across a rename with its old .schema(...))
+            # would silently NULL-fill the renamed column — on unmapped
+            # tables a missing name is ordinary schema-evolution
+            # NULL-fill, but here it means the name moved: fail loudly
+            logical = {f["name"] for f in m["schema"]["fields"]}
+            unknown = sorted(
+                f.name for f in self._schema if f.name not in logical
+            )
+            if unknown:
+                raise ValueError(
+                    f"declared column(s) {unknown} are not on the "
+                    f"renamed table's current schema ({sorted(logical)}) "
+                    "— restart the stream with the current names"
+                )
 
     def read(self, partition: _FilePartition):
         """Executor-side: stream one committed file as Arrow batches,
         reordered/cast to the declared schema, hive partition values
-        recovered from the relpath."""
+        recovered from the relpath, renamed columns resolved through
+        the frozen physical names."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -112,8 +137,9 @@ class _ManifestReaderMixin:
         for batch in pq.ParquetFile(fpath).iter_batches():
             cols = []
             for name, atype in fields:
-                if name in batch.schema.names:
-                    cols.append(batch.column(name).cast(atype))
+                phys = self._mapping.get(name, name)
+                if phys in batch.schema.names:
+                    cols.append(batch.column(phys).cast(atype))
                 elif name in pvals:
                     v = pvals[name]
                     cols.append(
@@ -147,17 +173,16 @@ class LakeManifestStreamReader(_ManifestReaderMixin, DataSourceStreamReader):
             _read_manifest_json(self._path, sv)["files"]
         )
         cur = _read_manifest_json(self._path, ev)
-        if cur.get("column_mapping"):
-            # rename_column: files carry frozen physical names that no
-            # longer match the declared logical schema. Mapping-aware
-            # streaming needs per-batch name translation — fail closed
-            # rather than emit NULL-filled logical columns.
+        if cur.get("column_mapping", {}) != self._mapping:
+            # a rename committed MID-stream: the reader's fixed
+            # logical->physical map no longer matches the table's — the
+            # same retraction-class contract as a rewrite: fail loudly,
+            # restart the stream (its fresh reader picks up the new map)
             raise ValueError(
-                f"table at {self._path} has renamed columns "
-                f"({cur['column_mapping']}): the streaming source does "
-                "not translate physical file names yet — "
-                "compact_in_place() migrates the files to the logical "
-                "names, after which streaming resumes"
+                f"versions v{sv}->v{ev} of {self._path} changed the "
+                f"rename mapping ({self._mapping} -> "
+                f"{cur.get('column_mapping', {})}): restart the stream "
+                "to pick up the new column names"
             )
         removed = prev - set(cur["files"])
         if removed and not self._ignore_changes:
@@ -212,12 +237,6 @@ class LakeManifestBatchReader(_ManifestReaderMixin, DataSourceReader):
         if m is None:
             raise FileNotFoundError(
                 f"table at {self._path} is not manifest-committed"
-            )
-        if m.get("column_mapping"):
-            raise ValueError(
-                f"table at {self._path} has renamed columns "
-                f"({m['column_mapping']}): use lake.read_table (mapping-"
-                "aware) or compact_in_place() to migrate the files"
             )
         return [_FilePartition(f) for f in m["files"]]
 
