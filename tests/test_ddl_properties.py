@@ -35,6 +35,7 @@ _OPS = st.lists(
         st.tuples(st.just("evolve"), st.none()),
         st.tuples(st.just("compact"), st.none()),
         st.tuples(st.just("rollback"), st.integers(0, 10)),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
     ),
     min_size=1,
     max_size=6,
@@ -42,7 +43,7 @@ _OPS = st.lists(
 
 
 @settings(
-    max_examples=8,
+    max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -114,6 +115,14 @@ def test_ddl_lifecycle_matches_model(spark, tmp_path_factory, ops):
             compact_in_place(spark, path, part or None)
             mixed = False
             mapped = False
+        elif kind == "vacuum":
+            from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+                vacuum_manifests,
+            )
+
+            got = vacuum_manifests(path, keep_last=arg)
+            # the model's reachable history shrinks to what retention kept
+            history = {v: history[v] for v in got["kept_versions"]}
         elif kind == "rollback":
             retained = sorted(history)
             target = retained[arg % len(retained)]
