@@ -88,15 +88,22 @@ freshness-first, self-healing):
   label inequality applied in the join, before ranking), and
   ``lake_snapshot_tags`` (named snapshot tags PINNING retention: the
   tagged training corpus survives vacuum keep_last=1 byte-reproducible
-  while untagged history reclaims; erasure drops tags) — plus the 21
-  ``y0_`` names whose last driver verdict dates to round 3/4 and that
-  spilled past round 7's window (``stream_session_windows`` …
-  ``tpch_q9_product_profit``). 49 names.
+  while untagged history reclaims; erasure drops tags), and
+  ``ann_matryoshka_recall`` (MRL-style truncation instrument:
+  recall@10 of prefix-truncated rankings vs full-dimension — the
+  measurement that justifies or refuses shipping truncated vectors;
+  on this corpus's untrained embeddings it honestly reads 0.08-0.32,
+  with the dim=64 sanity row at 1.0) — plus the 21 ``y0_`` names
+  whose last driver verdict dates to round 3/4 and that spilled past
+  round 7's window (``stream_session_windows`` …
+  ``tpch_q9_product_profit``). 50 names — the round-8 window is
+  entirely first-verdict names; every ``y1_`` re-verification spills
+  to round 9.
 - ``y1_<name>`` — last verified in round 5 (49 names). They sort
-  directly after the unprefixed block, so the 1 spare window slot
-  re-verifies the alphabetically-first of these; the remaining 48 spill
-  to round 9 — every round, spare capacity flows to whatever has gone
-  longest without a driver verdict.
+  directly after the unprefixed block; with zero spare slots this
+  round, all 49 spill to round 9, where they go FIRST — every round,
+  spare capacity flows to whatever has gone longest without a driver
+  verdict.
 - ``y2_<name>`` — verified in round 6 (50 names; CORRECTNESS_r06
   50/50 green).
 - ``y3_<name>`` — verified in round 7 (CORRECTNESS_r07 48/50 green +
@@ -128,12 +135,11 @@ driver verdict in CORRECTNESS_r01..r07 except the twelve new unprefixed
 round-8 names, which get theirs here.
 
 Round-9 rotation plan (for the next builder session): once
-CORRECTNESS_r08 lands green, (1) move this round's 49 unprefixed names
-into a fresh ``y4_`` class (verified r8), (2) promote the 48 ``y1_``
-names that spilled past round 8's window (everything after the 1
-alphabetically-first, which gets verified here) to the FRONT of the
-round-9 window alongside any new round-9 queries, (3) fill remaining
-spare slots with the oldest ``y2_`` (r6) names. After round 9 the
+CORRECTNESS_r08 lands green, (1) move this round's 50 unprefixed names
+into a fresh ``y4_`` class (verified r8), (2) promote the 49 ``y1_``
+names (all of which spilled past round 8's window) to the FRONT of
+the round-9 window alongside any new round-9 queries, (3) fill
+remaining spare slots with the oldest ``y2_`` (r6) names. After round 9 the
 oldest outstanding driver verdicts will be r5's tail or r6's.
 """
 

@@ -187,8 +187,10 @@ HEADLINE = [
     "lake_rename_column",
     "ann_hard_negatives",
     # ... and snapshot tags pinning retention (seed + tag + 2 merges +
-    # vacuum + the tag-resolved and current reads)
+    # vacuum + the tag-resolved and current reads), and the Matryoshka
+    # truncation-recall instrument (4 dims x 5 anchors x corpus scan)
     "lake_snapshot_tags",
+    "ann_matryoshka_recall",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

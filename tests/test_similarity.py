@@ -312,3 +312,18 @@ def test_hard_negatives_never_share_the_anchor_label(spark, sf_dir):
     for r in out:
         ranks[r.qid].append(r.rn)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in ranks.values())
+
+
+def test_matryoshka_recall_monotone_and_exact_at_full(spark, sf_dir):
+    """The truncation instrument's invariants: recall@10 is 1.0 at the
+    full dimension by construction, and (weakly) improves as the
+    prefix grows on this corpus."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    out = {
+        r.dim: r.recall_at_10
+        for r in REGISTRY["ann_matryoshka_recall"].builder(spark, sf_dir).collect()
+    }
+    assert out[64] == 1.0
+    assert out[8] <= out[16] <= out[32] <= 1.0
+    assert all(0.0 <= v <= 1.0 for v in out.values())

@@ -1526,3 +1526,122 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         F.row_number().over(w).cast("long").alias("rn"),
     ).filter(F.col("rn") <= 5)
+
+
+_MATRYOSHKA_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+    dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+    scored AS (
+      SELECT d.dim, q.qid, v.vec_id,
+             row_number() OVER (
+               PARTITION BY d.dim, q.qid
+               ORDER BY round(list_cosine_similarity(
+                          v.e[1:d.dim], q.qe[1:d.dim]), 4) DESC,
+                        v.vec_id
+             ) AS rn
+      FROM v JOIN q ON v.vec_id <> q.qid CROSS JOIN dims d
+    ),
+    truth AS (
+      SELECT qid, vec_id FROM scored WHERE dim = 64 AND rn <= 10
+    ),
+    hits AS (
+      SELECT s.dim, s.qid,
+             sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+      FROM scored s LEFT JOIN truth t
+        ON s.qid = t.qid AND s.vec_id = t.vec_id
+      WHERE s.rn <= 10
+      GROUP BY s.dim, s.qid
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           round(avg(h) / 10, 4) AS recall_at_10
+    FROM hits GROUP BY dim ORDER BY dim
+"""
+
+
+@query(
+    "ann_matryoshka_recall",
+    _MATRYOSHKA_ORACLE,
+    "Matryoshka-truncation recall instrument (MRL-style): rank top-10 "
+    "neighbors per anchor using only the FIRST d dimensions of every "
+    "embedding (d in 8/16/32/64) and measure recall@10 against the "
+    "full-dimension ranking — the measurement that justifies (or "
+    "refuses) shipping truncated vectors, which cut index storage and "
+    "scan bytes proportionally. The oracle replays prefix-slicing, "
+    "per-(dim, anchor) ranking with the deterministic tiebreak, and "
+    "the recall aggregation; dim=64 recalls 1.0 by construction (the "
+    "built-in sanity row).",
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB design: one corpus scan scores ALL dims per candidate "
+    (the truncated dot products are prefixes of the same accumulation;
+    here expressed as independent slices for oracle parity), anchors
+    broadcast, and per-(dim, anchor) top-k shuffles only scored rows.
+    At production scale the d-dim ranking runs over a d-dim STORED
+    index (the storage win being measured); this instrument quantifies
+    what that buys before any index is rebuilt."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    dims = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias("dim")
+    )
+    pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).crossJoin(
+        F.broadcast(dims)
+    )
+
+    def _cos_prefix(e, qe, d):
+        dot = F.aggregate(
+            F.zip_with(
+                F.slice(e, 1, d), F.slice(qe, 1, d), lambda a, b: a * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nrm = lambda col: F.sqrt(
+            F.aggregate(
+                F.slice(col, 1, d), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        return dot / (nrm(e) * nrm(qe))
+
+    scored = pairs.select(
+        "dim",
+        "qid",
+        "vec_id",
+        F.round(
+            _cos_prefix(F.col("e"), F.col("qe"), F.col("dim")), 4
+        ).alias("cs"),
+    )
+    w = W.partitionBy("dim", "qid").orderBy(F.desc("cs"), "vec_id")
+    ranked = scored.select(
+        "dim", "qid", "vec_id", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 10)
+    truth = ranked.filter(F.col("dim") == 64).select(
+        F.col("qid").alias("t_qid"), F.col("vec_id").alias("t_vid")
+    )
+    hits = (
+        ranked.join(
+            F.broadcast(truth),
+            (F.col("qid") == F.col("t_qid"))
+            & (F.col("vec_id") == F.col("t_vid")),
+            "left",
+        )
+        .groupBy("dim", "qid")
+        .agg(
+            F.sum(
+                F.when(F.col("t_vid").isNotNull(), 1).otherwise(0)
+            ).alias("h")
+        )
+    )
+    return (
+        hits.groupBy("dim")
+        .agg(F.round(F.avg("h") / 10, 4).alias("recall_at_10"))
+        .select(F.col("dim").cast("long").alias("dim"), "recall_at_10")
+        .orderBy("dim")
+    )
