@@ -735,6 +735,27 @@ def _data_file_relpaths(live) -> list[str]:
     )
 
 
+def _candidate_file_relpaths(live) -> set[str]:
+    """Data files belonging to staged-but-uncommitted write-audit-publish
+    candidates (their ``new_files`` — carried files belong to committed
+    snapshots). These live in the visible tree but are NOT table data:
+    first-commit file adoption and "has data but no manifest" checks
+    must ignore them, or a concurrent first publish would adopt a
+    never-audited candidate's files into the committed snapshot."""
+    import json as _json
+
+    out: set[str] = set()
+    mdir = live / "_manifests"
+    if not mdir.is_dir():
+        return out
+    for cp in mdir.glob("candidate_*.json"):
+        try:
+            out |= set(_json.loads(cp.read_text())["new_files"])
+        except (OSError, ValueError, KeyError):
+            continue
+    return out
+
+
 #: String min/max longer than this are not recorded in manifest file
 #: stats: a truncated upper bound would be WRONG (smaller than the true
 #: max), and storing megabyte text bounds bloats the manifest. Missing
@@ -1371,7 +1392,13 @@ def _publish_manifest_commit(
             prev_files = (
                 current["files"]
                 if current is not None
-                else _data_file_relpaths(live)
+                # first commit adopts pre-existing visible files — but
+                # never a staged WAP candidate's (unaudited data must
+                # not ride a concurrent first publish into the snapshot)
+                else sorted(
+                    set(_data_file_relpaths(live))
+                    - _candidate_file_relpaths(live)
+                )
             )
             new_files = _move_staged_in(live, staged, staged_files)
             if full_rewrite:
@@ -1797,7 +1824,9 @@ def append_rows(
         raise ValueError("stream_id and batch_id must be given together")
     live = Path(path)
     current = read_manifest(str(live))
-    if current is None and live.exists() and _data_file_relpaths(live):
+    if current is None and live.exists() and (
+        set(_data_file_relpaths(live)) - _candidate_file_relpaths(live)
+    ):
         raise ValueError(
             f"table at {path} has data but no manifest — append_rows "
             "requires manifest commits; publish_overwrite(..., "
@@ -1889,6 +1918,18 @@ def append_rows(
                     f"table at {live} renamed columns while this append "
                     "was staging — the batch was written under the old "
                     "physical names; re-run"
+                )
+            if current is not None and current.get("partition_by", []) != pb:
+                # mirror of _publish_manifest_commit's layout guard: a
+                # concurrent evolve_partitioning committed while this
+                # batch was staging; committing pb here would silently
+                # revert the table's default spec (the retired spec is
+                # still in partition_specs, so _commit_manifest would
+                # resolve it without error)
+                raise ConcurrentLakeModificationError(
+                    f"table at {live} evolved its partition layout to "
+                    f"{current.get('partition_by', [])} while this append "
+                    f"was staging under {pb} — re-run"
                 )
             if _committed(current):
                 return None  # raced with our own replay — batch already in
@@ -2322,8 +2363,9 @@ def begin_publish(
     the candidate at full scan parallelism; promotion costs one JSON
     pointer replace no matter how much data the candidate carries. A
     crashed/abandoned candidate is invisible forever and reclaimed by
-    :func:`vacuum_manifests` once older than its ``min_age_seconds``
-    (pass an age longer than your longest audit).
+    :func:`vacuum_manifests` once older than its
+    ``candidate_min_age_seconds`` grace (>= 1 hour by default — pass
+    an age longer than your longest audit).
 
     Returns the candidate dict (pass it to the other WAP calls)."""
     import json
@@ -2335,7 +2377,9 @@ def begin_publish(
     txid = _uuid.uuid4().hex
     live = Path(path)
     current = read_manifest(path)
-    if current is None and live.exists() and _data_file_relpaths(live):
+    if current is None and live.exists() and (
+        set(_data_file_relpaths(live)) - _candidate_file_relpaths(live)
+    ):
         raise ValueError(
             f"table at {path} has data but no manifest — write-audit-"
             "publish needs manifest commits; publish_overwrite(..., "
@@ -2528,8 +2572,9 @@ def abort_publish(path: str, candidate: dict) -> dict:
 def verify_table(path: str, deep: bool = False) -> dict:
     """fsck for a manifest table: audit the committed state against the
     filesystem without reading data through Spark. Checks every file
-    referenced by any RETAINED snapshot (the committed parent chain —
-    what time travel can reach) for existence and non-zero size;
+    referenced by any RETAINED snapshot (the committed parent chain
+    plus tag-pinned snapshots — exactly what time travel can reach and
+    vacuum_manifests keeps) for existence and non-zero size;
     ``deep=True`` additionally re-reads each referenced parquet footer
     and compares it against the snapshot's recorded ``file_stats``
     (a mismatch means the file was replaced or corrupted in place —
@@ -2541,7 +2586,9 @@ def verify_table(path: str, deep: bool = False) -> dict:
     footer read each when deep), no data scan; runs safely against a
     live table (publishes never delete committed files). Returns
     ``{"ok", "snapshots_checked", "files_checked", "missing", "empty",
-    "stat_mismatches", "orphans"}`` — ``ok`` ignores orphans."""
+    "stat_mismatches", "orphans", "candidate_files"}`` — ``ok`` ignores
+    orphans; staged write-audit-publish candidates' files are listed
+    under ``candidate_files`` (pending audit), never as orphans."""
     from pathlib import Path
 
     live = Path(path)
@@ -2556,6 +2603,16 @@ def verify_table(path: str, deep: bool = False) -> dict:
             chain.append(read_manifest(path, chain[-1]["parent"]))
         except FileNotFoundError:
             break  # older history vacuumed
+    # tag-pinned snapshots are retained (vacuum_manifests keeps them)
+    # even once vacuum has removed the intermediate parent chain — the
+    # audit must use vacuum's retention definition, or a tagged
+    # training corpus' files get reported as vacuumable orphans and
+    # deep stat checks skip them
+    for v in sorted(set(list_tags(path).values()) - {m["version"] for m in chain}):
+        try:
+            chain.append(read_manifest(path, v))
+        except FileNotFoundError:
+            continue  # dangling tag — pre-existing damage, not new debris
     referenced: dict[str, dict] = {}
     for m in chain:
         for f in m["files"]:
@@ -2580,7 +2637,13 @@ def verify_table(path: str, deep: bool = False) -> dict:
                              "recorded": bounds,
                              "actual": actual.get(col)}
                         )
-    orphans = sorted(set(_data_file_relpaths(live)) - set(referenced))
+    # staged WAP candidates' files are pending-audit data, not debris:
+    # report them separately so an operator doesn't "clean up" a
+    # candidate mid-audit (vacuum_manifests protects fresh ones too)
+    cand_files = _candidate_file_relpaths(live)
+    orphans = sorted(
+        set(_data_file_relpaths(live)) - set(referenced) - cand_files
+    )
     return {
         "ok": not (missing or empty or mismatches),
         "snapshots_checked": [m["version"] for m in chain],
@@ -2589,6 +2652,7 @@ def verify_table(path: str, deep: bool = False) -> dict:
         "empty": empty,
         "stat_mismatches": mismatches,
         "orphans": orphans,
+        "candidate_files": sorted(cand_files - set(referenced)),
     }
 
 
@@ -2597,6 +2661,7 @@ def vacuum_manifests(
     keep_last: int = 1,
     min_age_seconds: float = 0.0,
     drop_tags: bool = False,
+    candidate_min_age_seconds: float | None = None,
 ) -> dict:
     """Retention for manifest-table history: keep the newest
     ``keep_last`` snapshots of the committed parent chain, delete older
@@ -2605,7 +2670,10 @@ def vacuum_manifests(
     analog is S3 lifecycle rules on noncurrent object versions
     (main.tf:25-30). ``min_age_seconds`` protects a concurrent
     publish's moved-but-uncommitted files (same contract as
-    vacuum_publish_artifacts). Returns counts.
+    vacuum_publish_artifacts); write-audit-publish candidates get
+    ``candidate_min_age_seconds`` (default: at least one hour) so a
+    routine retention run cannot destroy a candidate mid-audit.
+    Returns counts.
 
     GDPR interaction (round-7 VERDICT #8 note): physical erasure
     (delete_rows) on a manifest table rewrites only the CURRENT
@@ -2649,13 +2717,24 @@ def vacuum_manifests(
     # in-flight write-audit-publish candidates younger than the age
     # guard protect their files (an audit may be reading them); older
     # markers are abandoned begins — drop the marker and let the
-    # unreferenced-file sweep below reclaim their data
+    # unreferenced-file sweep below reclaim their data. Candidates get
+    # their OWN grace period, never below one hour by default: the
+    # routine retention call is vacuum_manifests(keep_last=N) with no
+    # min_age (cutoff = now), and a mid-audit candidate must survive
+    # that — destroying a live candidate is data loss for the WAP
+    # writer. Pass candidate_min_age_seconds explicitly to override
+    # (0.0 reclaims everything, for disaster cleanup).
+    cand_cutoff = time.time() - (
+        candidate_min_age_seconds
+        if candidate_min_age_seconds is not None
+        else max(min_age_seconds, 3600.0)
+    )
     import json as _json
 
     candidates_removed = 0
     for cp in (live / "_manifests").glob("candidate_*.json"):
         try:
-            if cp.stat().st_mtime > cutoff:
+            if cp.stat().st_mtime > cand_cutoff:
                 referenced |= set(_json.loads(cp.read_text())["files"])
             else:
                 cp.unlink()
