@@ -237,18 +237,68 @@ def main() -> None:
     timings = {n: timings[n] for n in HEADLINE}
     cold = {n: cold[n] for n in HEADLINE}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    common18 = round(sum(timings[n] for n in HEADLINE[:18]), 3)
+
+    # Full per-query detail always lands in BENCH_FULL.json next to this
+    # script (the driver runs bench.py inside the repo, so the file is
+    # inspectable and committable afterwards).
+    full = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "common18_sec": common18,
+        "queries": timings,
+        "cold": cold,
+        "cold_run_sec": round(sum(cold.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1)
+
+    # The driver captures only the LAST ~2000 characters of stdout and
+    # json-parses the final line (round-8 lesson: the full 105-query line
+    # was 2.9k chars, the tail started mid-line, and the driver recorded
+    # "parsed": null — a whole round of perf data lost). So the printed
+    # line reports a priority-truncated subset that always fits:
+    # the common-18 judge subset first, then the newest additions first
+    # (newest queries are the ones without any prior driver number).
+    # "value"/"common18_sec" stay totals over ALL measured queries.
+    # watch-listed queries (round-7 VERDICT: ann_lsh_cosine has two
+    # red-looking driver rounds; stream_cdc_upsert is the heaviest
+    # fixed-cost pipeline) always get a driver-visible number.
+    watched = ["ann_lsh_cosine", "stream_cdc_upsert"]
+    tail_priority = [n for n in reversed(HEADLINE[18:]) if n not in watched]
+    priority = HEADLINE[:18] + watched + tail_priority
+    reported: dict[str, float] = {}
+    budget = 1800
+
+    def _line(q: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "cold_run_sec": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "common18_sec": common18,
+                "queries": q,
+                "nq_total": len(timings),
+                "full": "BENCH_FULL.json",
+                "sf": full["sf"],
+            },
+            separators=(",", ":"),
         )
-    )
+
+    for name in priority:
+        candidate = dict(reported)
+        candidate[name] = timings[name]
+        if len(_line(candidate)) > budget:
+            break
+        reported = candidate
+    # keep HEADLINE order within the reported subset
+    reported = {n: reported[n] for n in HEADLINE if n in reported}
+    print(_line(reported))
 
 
 if __name__ == "__main__":
