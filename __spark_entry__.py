@@ -14,102 +14,34 @@ Driver-window rotation
 The correctness driver records the first 50 emitted entries only
 (observed since round 1), so this adapter renames registry entries with
 sort-ordered prefixes to steer what the bounded window verifies each
-round. Round-8 scheme (executing the round-7 VERDICT #2 plan —
+round. Round-9 scheme (executing round 8's written rotation plan —
 freshness-first, self-healing):
 
-- unprefixed — needs a FIRST or fresh driver verdict this round. Round
-  8: the twelve NEW round-8 oracle-backed queries — ``lake_time_travel``
-  (manifest-pointer commits: per-table atomic publish + snapshot
-  time travel, round-7 VERDICT #1), ``dedup_minhash_index_probe``
-  (the PERSISTED bucket-sharded LSH index probed from disk with
-  planning-time shard pruning, round-7 VERDICT #4),
-  ``lake_table_changes`` (the Delta-CDF analog: v1→v2 row feed from
-  the manifest file sets alone, O(delta) scan),
-  ``lake_cdf_agg_refresh`` (incremental view maintenance FROM that
-  feed — the refresh shape that survives deletions),
-  ``lake_manifest_skip_scan`` (per-file min/max recorded at commit,
-  band queries skip files at LISTING time),
-  ``stream_lake_append_txn`` (transactional streaming append: each
-  micro-batch one manifest commit, replays skipped via the
-  (stream_id, batch_id) app_versions ledger),
-  ``join_bucketed_colocated`` (bucketBy clustering writes + the
-  exchange-free fact-fact merge join), ``stream_minhash_dedup``
-  (the S21 index's streaming arrival protocol: per-batch probe /
-  verify / append with restart-resume),
-  ``lake_bloom_point_lookup`` (per-file bloom bitmaps recorded at
-  manifest commit pruning point lookups on hash-clustered layouts),
-  and ``lake_rollback_restore`` (snapshot RESTORE as a metadata
-  commit — the bad publish stays inspectable, the restore is
-  byte-exact), and ``stream_from_lake_source`` (Structured Streaming
-  FROM the lake table: the lake_manifest Python data source, offsets
-  = snapshot versions), and ``governance_streamed_counts`` (the
-  Analyst SUBSCRIBES to the governed manifest table — every
-  micro-batch passes the data-cells rewrite; differential fixture
-  oracle), and the merge-on-read pair ``lake_delete_mor`` (DELETE as
-  a metadata-only tombstone commit, sequence-number-scoped so later
-  appends land matching rows untouched) + ``lake_mor_purge_cdf``
-  (table_changes emits tombstone deltas as 'delete' rows;
-  purge_deleted_rows rewrites only covered files and clears the
-  tombstones result-equal), and ``lake_write_audit_publish`` (the
-  Iceberg WAP pattern: invisible candidate snapshot → audit →
-  one-pointer promote or zero-trace abort), and the round-8 LLM-
-  pipeline trio ``dedup_paragraphs`` (RefinedWeb-style corpus-wide
-  keep-first segment dedup + reassembly), ``text_bm25_topk`` (Okapi
-  BM25 retrieval, broadcast query-term postings probe), and
-  ``events_heavy_hitters`` (two-pass exact top-k: Misra-Gries
-  candidates via mapInPandas, then a semi-restricted exact re-count),
-  and ``lake_check_constraints`` (CHECK constraints riding the
-  manifest: adds validate existing data, every commit path validates
-  the staged batch — a violating append leaves zero trace), and
-  ``lake_optimize_cluster`` (OPTIMIZE with clustering: the rewrite
-  range-partitions + sorts on the cluster key so manifest per-file
-  stats become selective; doubles as the tombstone purge), and
-  ``ann_ivf_index_append`` (incremental IVF: frozen seed-trained
-  coarse quantizer, broadcast-argmax batch assignment, ONE
-  transactional append into the cell-partitioned manifest index,
-  probe = partition pruning), and ``dedup_exact_substrings`` (the
-  suffix-array dedup recipe as relational primitives: global
-  keep-first 8-token spans, coverage-window removal, reassembly), and
-  ``lake_partition_evolution`` (Iceberg spec evolution as a metadata
-  commit: mixed-layout reads union one scan per spec, appends land on
-  the new spec immediately, compact_in_place migrates/heals), and
-  ``text_bpe_pair_counts`` (the oracle-verified counting core of BPE
-  tokenizer training: corpus-weighted char-pair statistics over the
-  distinct-word vocabulary), and ``lake_count_pushdown``
-  (metadata-only COUNT: every commit records exact per-file footer row
-  counts, so count(*) total and per partition is O(#files) driver
-  arithmetic with zero scan; MoR tombstones fail closed to a real
-  scan), and ``lake_rename_column`` (RENAME without rewrite, the
-  Delta column-mapping model: files keep frozen physical names, reads
-  alias physical→logical in the scan projection, writes stage
-  logical→physical, OPTIMIZE migrates and heals), and
-  ``ann_hard_negatives`` (contrastive-training hard-negative mining:
-  per anchor, top-5 most-similar DIFFERENTLY-labeled vectors — the
-  label inequality applied in the join, before ranking), and
-  ``lake_snapshot_tags`` (named snapshot tags PINNING retention: the
-  tagged training corpus survives vacuum keep_last=1 byte-reproducible
-  while untagged history reclaims; erasure drops tags), and
-  ``ann_matryoshka_recall`` (MRL-style truncation instrument:
-  recall@10 of prefix-truncated rankings vs full-dimension — the
-  measurement that justifies or refuses shipping truncated vectors;
-  on this corpus's untrained embeddings it honestly reads 0.08-0.32,
-  with the dim=64 sanity row at 1.0) — plus the 21 ``y0_`` names
-  whose last driver verdict dates to round 3/4 and that spilled past
-  round 7's window (``stream_session_windows`` …
-  ``tpch_q9_product_profit``). 50 names — the round-8 window is
-  entirely first-verdict names; every ``y1_`` re-verification spills
-  to round 9.
-- ``y1_<name>`` — last verified in round 5 (49 names). They sort
-  directly after the unprefixed block; with zero spare slots this
-  round, all 49 spill to round 9, where they go FIRST — every round,
-  spare capacity flows to whatever has gone longest without a driver
-  verdict.
-- ``y2_<name>`` — verified in round 6 (50 names; CORRECTNESS_r06
-  50/50 green).
-- ``y3_<name>`` — verified in round 7 (CORRECTNESS_r07 48/50 green +
-  2 expected no_oracle rows): the 15 round-7 unprefixed oracle-backed
-  names (8 new round-7 queries + ``unpivot_event_counts`` + the six
-  ``window_*``) and the 33 ``y0_`` re-verifications.
+- unprefixed — needs a FIRST or fresh driver verdict this round: the
+  49 names last verified in round 5 (the oldest outstanding driver
+  verdicts after round 8 re-verified everything older), promoted to
+  the window front, plus every NEW round-9 query (new names match no
+  verified set, so they land here automatically). With more than 50
+  unprefixed names, the alphabetically-last ones spill to round 10,
+  where they remain unprefixed and go first — spare capacity always
+  flows to whatever has gone longest without a driver verdict.
+- ``y2_``/``y3_``/``y4_`` — last verified in rounds 6/7/8
+  (CORRECTNESS_r06 50/50, r07 48/50 + 2 expected no_oracle rows,
+  r08 50/50 — zero failures in each).
+- ``z_`` — no SQL oracle exists (written justifications below).
+
+Round-8 record: the round-8 window was entirely first-verdict names —
+the 24 new round-8 oracle-backed queries (manifest time travel, CDF +
+MV-refresh-from-CDF, manifest stats/bloom skipping, transactional and
+lake-source streaming, WAP, MoR deletes + purge, CHECK constraints,
+OPTIMIZE-with-clustering, partition-spec evolution, RENAME without
+rewrite, snapshot tags, COUNT pushdown, incremental IVF, persisted
+MinHash index + its streaming form, paragraph/substring dedup, BM25,
+BPE pair counts, heavy hitters, hard negatives, Matryoshka recall)
+plus the 26 round-3/4-verified names that had spilled past round 7
+(CORRECTNESS_r08: 50/50 green). Per-query design notes live in each
+operator's docstring and in git history.
+
 - ``z_<name>`` — no SQL oracle exists; 7 queries, each with a written
   reason: dedup_minhash_lsh hashes with Spark xxhash64 (no DuckDB
   equivalent; the family's banding math IS oracle-verified via the
@@ -131,16 +63,15 @@ so rotation only controls DRIVER-verdict freshness, never correctness
 coverage.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r07 except the twelve new unprefixed
-round-8 names, which get theirs here.
+driver verdict in CORRECTNESS_r01..r08 except the new unprefixed
+round-9 names, which get theirs here.
 
-Round-9 rotation plan (for the next builder session): once
-CORRECTNESS_r08 lands green, (1) move this round's 50 unprefixed names
-into a fresh ``y4_`` class (verified r8), (2) promote the 49 ``y1_``
-names (all of which spilled past round 8's window) to the FRONT of
-the round-9 window alongside any new round-9 queries, (3) fill
-remaining spare slots with the oldest ``y2_`` (r6) names. After round 9 the
-oldest outstanding driver verdicts will be r5's tail or r6's.
+Round-10 rotation plan (for the next builder session): once
+CORRECTNESS_r09 lands green, (1) move the round-9 window's 50 names
+into a fresh ``y5_`` class (verified r9), (2) keep any unprefixed
+names that spilled past round 9's window at the FRONT alongside new
+round-10 queries, (3) fill remaining spare slots with the oldest
+``y2_`` (r6) names, alphabetically.
 """
 
 from __future__ import annotations
@@ -155,19 +86,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
-# Needs a first/fresh driver verdict in the round-8 window: the eleven
-# new round-8 queries (the seven third/fourth-wave ones are unprefixed
-# by default — new names match no verified set) plus the 21
-# round-3/4-verified names that spilled past round 7's window (the
-# oldest outstanding driver verdicts).
-_NEEDS_VERDICT = {
-    "lake_time_travel",
-    "lake_table_changes",
-    "lake_cdf_agg_refresh",
-    "lake_manifest_skip_scan",
+# Green in the round-8 window -> y4_ (CORRECTNESS_r08 50/50). The 49
+# round-5-verified names are now the oldest outstanding driver
+# verdicts; they carry no prefix this round (window front).
+_VERIFIED_R8 = {
+    "ann_hard_negatives",
+    "ann_ivf_index_append",
+    "ann_matryoshka_recall",
+    "dedup_exact_substrings",
     "dedup_minhash_index_probe",
+    "dedup_paragraphs",
+    "events_heavy_hitters",
+    "governance_streamed_counts",
+    "join_bucketed_colocated",
+    "lake_bloom_point_lookup",
+    "lake_cdf_agg_refresh",
+    "lake_check_constraints",
+    "lake_count_pushdown",
+    "lake_delete_mor",
+    "lake_manifest_skip_scan",
+    "lake_mor_purge_cdf",
+    "lake_optimize_cluster",
+    "lake_partition_evolution",
+    "lake_rename_column",
+    "lake_rollback_restore",
+    "lake_snapshot_tags",
+    "lake_table_changes",
+    "lake_time_travel",
+    "lake_write_audit_publish",
+    "stream_from_lake_source",
+    "stream_lake_append_txn",
+    "stream_minhash_dedup",
     "stream_session_windows",
     "stream_sliding_avg",
+    "text_bm25_topk",
+    "text_bpe_pair_counts",
     "text_pii_scrub",
     "text_tfidf_cosine_topk",
     "text_unigram_cross_entropy",
@@ -187,60 +140,6 @@ _NEEDS_VERDICT = {
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-}
-
-# Green in the round-5 window -> y1_ (oldest fresh; spare window slots
-# re-verify these first, alphabetically).
-_VERIFIED_R5 = {
-    "ann_ivf_cosine",
-    "ann_ivf_recall",
-    "ann_lsh_cosine",
-    "ann_multiprobe_topk",
-    "ann_recall_at_k",
-    "ann_recall_midsim",
-    "dedup_embedding_cosine",
-    "dedup_keep_best",
-    "dedup_simhash",
-    "dedup_winnow",
-    "events_json_props_extract",
-    "governance_admin_count_by_region",
-    "governance_analyst_row_column_security",
-    "governance_masked_view",
-    "join_fact_revenue",
-    "join_full_outer",
-    "join_left_null",
-    "join_salted_skew",
-    "join_semi",
-    "join_theta_lag",
-    "json_roundtrip",
-    "knn_cosine_batch",
-    "knn_cosine_topk",
-    "mask_pii_expressions",
-    "multimodal_decode",
-    "multimodal_feature_extract",
-    "multimodal_resize",
-    "nulls_ordering_topk",
-    "orc_roundtrip_agg",
-    "orderby_limit_topk",
-    "partitioned_write_prune",
-    "pipeline_dedup_then_stats",
-    "pipeline_quality_filter",
-    "pipeline_shard_assignment",
-    "pipeline_train_val_split",
-    "project_string_funcs",
-    "range_join_price_bands",
-    "sample_stratified_by_lang",
-    "scalar_math_funcs",
-    "scan_project_filter",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "stream_click_purchase_join",
-    "stream_click_purchase_left_join",
-    "stream_hourly_counts",
-    "stream_hourly_counts_durable",
-    "stream_stateful_user_totals",
-    "text_winnow_fingerprint",
 }
 
 # Green in the round-6 window -> y2_ (CORRECTNESS_r06 50/50).
@@ -353,16 +252,14 @@ _VERIFIED_R7 = {
 
 
 def _driver_name(name: str, spec) -> str:
-    if name in _NEEDS_VERDICT:
-        return name
     if not spec.oracle:
         return "z_" + name
-    if name in _VERIFIED_R5:
-        return "y1_" + name
     if name in _VERIFIED_R6:
         return "y2_" + name
     if name in _VERIFIED_R7:
         return "y3_" + name
+    if name in _VERIFIED_R8:
+        return "y4_" + name
     return name
 
 
