@@ -191,6 +191,10 @@ HEADLINE = [
     # truncation-recall instrument (4 dims x 5 anchors x corpus scan)
     "lake_snapshot_tags",
     "ann_matryoshka_recall",
+    # round 9 additions: branch commits + fast-forward publication
+    # (seed publish + 2 branch appends + the one-pointer publish +
+    # before/after profile reads)
+    "lake_branch_merge",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -1,0 +1,157 @@
+"""Branch commits + fast-forward publication (round 9): the
+multi-commit generalization of write-audit-publish. A branch is a
+named commit pointer; append_rows(branch=) chains real snapshots onto
+it while main readers stay pinned; fast_forward publishes the whole
+chain with one atomic pointer replace. Reference analog: the staging
+bucket in validate.sh's upload flow, made transactional and zero-copy."""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+
+import pytest
+
+from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+    ConcurrentLakeModificationError,
+    append_rows,
+    branch_head,
+    create_branch,
+    drop_branch,
+    fast_forward,
+    list_branches,
+    publish_overwrite,
+    read_manifest,
+    read_table,
+    vacuum_manifests,
+    verify_table,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, grp string, v string")
+
+
+def _rows(df):
+    return sorted((r.id, r.grp, r.v) for r in df.collect())
+
+
+@pytest.fixture()
+def seeded(spark, tmp_path):
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark, path, _mk(spark, [(1, "a", "seed"), (2, "b", "seed")]),
+        ["grp"], manifest=True,
+    )
+    return path
+
+
+def test_branch_commits_invisible_until_fast_forward(spark, seeded):
+    path = seeded
+    create_branch(path, "etl")
+    s1 = append_rows(spark, path, _mk(spark, [(3, "a", "b1")]), ["grp"],
+                     branch="etl")
+    s2 = append_rows(spark, path, _mk(spark, [(4, "c", "b2")]), ["grp"],
+                     branch="etl")
+    # main pointer and readers: still the seed
+    assert read_manifest(path)["version"] == 1
+    assert _rows(read_table(spark, path)) == [
+        (1, "a", "seed"), (2, "b", "seed"),
+    ]
+    # branch head chains the commits
+    head = branch_head(path, "etl")
+    assert head["version"] == s2["version"]
+    assert s2["parent"] == s1["version"] and s1["parent"] == 1
+    # branch read = ordinary snapshot read
+    assert _rows(read_table(spark, path, version=head["version"])) == [
+        (1, "a", "seed"), (2, "b", "seed"), (3, "a", "b1"), (4, "c", "b2"),
+    ]
+    # one pointer replace publishes the whole chain
+    fast_forward(path, "etl")
+    assert read_manifest(path)["version"] == s2["version"]
+    assert _rows(read_table(spark, path)) == [
+        (1, "a", "seed"), (2, "b", "seed"), (3, "a", "b1"), (4, "c", "b2"),
+    ]
+    # branch commits are now ordinary main history (time travel)
+    assert _rows(read_table(spark, path, version=s1["version"])) == [
+        (1, "a", "seed"), (2, "b", "seed"), (3, "a", "b1"),
+    ]
+
+
+def test_fast_forward_refuses_divergent_main(spark, seeded):
+    path = seeded
+    create_branch(path, "etl")
+    append_rows(spark, path, _mk(spark, [(3, "a", "b1")]), ["grp"],
+                branch="etl")
+    # a main commit lands after the fork -> not fast-forwardable
+    append_rows(spark, path, _mk(spark, [(9, "b", "main")]), ["grp"])
+    with pytest.raises(ConcurrentLakeModificationError, match="ancestor"):
+        fast_forward(path, "etl")
+    # main unharmed
+    assert (9, "b", "main") in _rows(read_table(spark, path))
+
+
+def test_branch_guards_and_replay_ledger(spark, seeded):
+    path = seeded
+    create_branch(path, "etl")
+    with pytest.raises(KeyError):
+        append_rows(spark, path, _mk(spark, [(3, "a", "x")]), ["grp"],
+                    branch="nope")
+    with pytest.raises(ValueError, match="partition_by"):
+        append_rows(spark, path, _mk(spark, [(3, "a", "x")]), [],
+                    branch="etl")
+    s1 = append_rows(spark, path, _mk(spark, [(3, "a", "x")]), ["grp"],
+                     branch="etl", stream_id="s", batch_id=7)
+    assert s1 is not None
+    # replayed batch is a no-op on the BRANCH ledger
+    assert append_rows(spark, path, _mk(spark, [(3, "a", "x")]), ["grp"],
+                       branch="etl", stream_id="s", batch_id=7) is None
+    # names are single-use
+    with pytest.raises(ValueError, match="already exists"):
+        create_branch(path, "etl")
+
+
+def test_vacuum_and_verify_retain_branch_chain(spark, seeded):
+    path = seeded
+    create_branch(path, "etl")
+    s1 = append_rows(spark, path, _mk(spark, [(3, "a", "b1")]), ["grp"],
+                     branch="etl")
+    s2 = append_rows(spark, path, _mk(spark, [(4, "c", "b2")]), ["grp"],
+                     branch="etl")
+    # age everything so only retention policy decides
+    old = time.time() - 7200
+    for p in Path(path).rglob("*"):
+        if p.is_file():
+            os.utime(p, (old, old))
+    out = vacuum_manifests(path, keep_last=1)
+    assert {1, s1["version"], s2["version"]} <= set(out["kept_versions"])
+    rep = verify_table(path, deep=True)
+    assert rep["ok"] and not rep["orphans"]
+    assert s1["version"] in rep["snapshots_checked"]
+    # the chain still fast-forwards after the vacuum
+    fast_forward(path, "etl")
+    assert read_table(spark, path).count() == 4
+    # dropped branch = unpinned history; only main's head survives
+    assert drop_branch(path, "etl")
+    assert list_branches(path) == {}
+
+
+def test_dropped_branch_is_reclaimed(spark, seeded):
+    path = seeded
+    create_branch(path, "tmp")
+    s1 = append_rows(spark, path, _mk(spark, [(3, "a", "b1")]), ["grp"],
+                     branch="tmp")
+    drop_branch(path, "tmp")
+    old = time.time() - 7200
+    for p in Path(path).rglob("*"):
+        if p.is_file():
+            os.utime(p, (old, old))
+    out = vacuum_manifests(path, keep_last=1)
+    assert out["kept_versions"] == [1]
+    with pytest.raises(FileNotFoundError):
+        read_manifest(path, s1["version"])
+    # the branch's data files are gone too; main is intact
+    rep = verify_table(path, deep=True)
+    assert rep["ok"] and not rep["orphans"]
+    assert read_table(spark, path).count() == 2

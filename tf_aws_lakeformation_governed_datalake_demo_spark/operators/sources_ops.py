@@ -1774,3 +1774,91 @@ def lake_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(
         read_table(spark, path, tag="training-data-v1"), "tagged"
     ).unionByName(profile(read_table(spark, path), "current"))
+
+
+@query(
+    "lake_branch_merge",
+    """
+    WITH b1 AS (
+      SELECT doc_id + 1000000 AS doc_id, text, lang, source,
+             n_chars + 1 AS n_chars
+      FROM documents WHERE doc_id % 7 = 0
+    ), b2 AS (
+      SELECT doc_id + 2000000 AS doc_id, text, lang, source,
+             n_chars + 2 AS n_chars
+      FROM documents WHERE doc_id % 11 = 0
+    ), merged AS (
+      SELECT * FROM documents
+      UNION ALL SELECT * FROM b1
+      UNION ALL SELECT * FROM b2
+    )
+    SELECT 'before' AS snap, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'after' AS snap, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM merged GROUP BY lang
+    """,
+    "BRANCH commits + fast-forward publication (round-9): the "
+    "multi-commit generalization of write-audit-publish. Two ingest "
+    "batches commit onto a named branch — real snapshots with stats, "
+    "constraints, and the replay ledger — while main readers stay "
+    "pinned to the seed (asserted in the body); then ONE atomic "
+    "pointer replace publishes the whole chain. The verified read is "
+    "the union of main-before-publication (the seed, via the branch "
+    "fork's version pin) and main-after; the oracle replays both "
+    "states relationally.",
+)
+def lake_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style branches on plain Parquet (sources/lake.py
+    create_branch / append_rows(branch=) / fast_forward).
+
+    Scale: a branch commit costs exactly a main commit (O(batch
+    files) + one pointer write) and publication is one rename syscall
+    regardless of how many commits or terabytes the branch carries —
+    a multi-step backfill becomes atomic-at-publication with zero
+    copies. Retention pins the unpublished chain (head -> fork base)
+    so routine vacuum cannot destroy an in-progress backfill; a
+    dropped branch ages out like any unreferenced history
+    (tests/test_branches.py)."""
+    from ..sources import (
+        append_rows,
+        create_branch,
+        fast_forward,
+        publish_overwrite,
+        read_manifest,
+        read_table,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    path = scratch_dir("branch_merge_") + "/docs"
+    publish_overwrite(spark, path, d, ["lang"], manifest=True)
+    create_branch(path, "backfill")
+    b1 = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang",
+        "source", (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    b2 = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text", "lang",
+        "source", (F.col("n_chars") + 2).alias("n_chars"),
+    )
+    append_rows(spark, path, b1, ["lang"], branch="backfill")
+    append_rows(spark, path, b2, ["lang"], branch="backfill")
+    # main is still the seed while the branch carries both commits
+    assert read_manifest(path)["version"] == 1
+    before = read_table(spark, path, version=1)
+    fast_forward(path, "backfill")
+    assert read_manifest(path)["version"] > 1
+
+    def profile(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).select(F.lit(snap).alias("snap"), "lang", "n_docs", "total_chars")
+
+    return profile(before, "before").unionByName(
+        profile(read_table(spark, path), "after")
+    )

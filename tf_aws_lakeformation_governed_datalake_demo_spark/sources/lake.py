@@ -681,6 +681,193 @@ def drop_tag(path: str, name: str) -> bool:
     return existed
 
 
+def list_branches(path: str) -> dict[str, dict]:
+    """Named branches: ``{name: {"head": version, "base": version}}``
+    (Iceberg branch analog). ``base`` is the fork point — the main
+    snapshot the branch was created from; it scopes retention
+    (:func:`vacuum_manifests` keeps each branch's chain head→base)."""
+    import json
+    from pathlib import Path
+
+    bf = Path(path) / "_manifests" / "_branches.json"
+    try:
+        return {
+            k: {"head": int(v["head"]), "base": int(v["base"])}
+            for k, v in json.loads(bf.read_text()).items()
+        }
+    except (OSError, ValueError, KeyError, TypeError):
+        return {}
+
+
+def _write_branches(live, branches: dict) -> None:
+    import json
+    import os
+
+    mdir = live / "_manifests"
+    mdir.mkdir(parents=True, exist_ok=True)
+    tmp = mdir / ".tmp_branches"
+    tmp.write_text(json.dumps(branches, sort_keys=True))
+    os.replace(tmp, mdir / "_branches.json")
+
+
+def branch_head(path: str, name: str) -> dict:
+    """The snapshot a branch points at (KeyError for an unknown
+    branch). Read it with ``read_table(path, version=head["version"])``
+    — branch snapshots are ordinary retained snapshots, just not on
+    the main pointer's chain until :func:`fast_forward`."""
+    b = list_branches(path)
+    if name not in b:
+        raise KeyError(f"table at {path} has no branch {name!r}")
+    return read_manifest(path, b[name]["head"])
+
+
+def create_branch(path: str, name: str, version: int | None = None) -> dict:
+    """BRANCH a manifest table — the multi-commit generalization of
+    write-audit-publish (Iceberg branches on plain Parquet). A branch
+    is a named commit pointer forked from a retained main snapshot:
+    :func:`append_rows` with ``branch=`` commits real snapshots onto
+    it (staged data, constraints, stats — everything a main commit
+    gets) while ``_manifest.json`` and every main reader stay
+    untouched. Audit the branch at any point
+    (``read_table(version=branch_head(...)["version"])``), then
+    publish the WHOLE chain with one :func:`fast_forward` pointer
+    replace — or walk away: an abandoned branch is invisible and its
+    snapshots age out once :func:`drop_branch` unpins them.
+
+    100 TB rationale: a multi-step backfill (N ingest commits + a
+    compaction) becomes atomic-at-publication without copying a byte —
+    the branch's files land in the live tree exactly like main commits
+    (globally unique names), and promotion is one rename syscall no
+    matter how many commits or terabytes the branch carries.
+
+    The reference's analog is staging-bucket-then-copy
+    (validate.sh's upload flow); this keeps the staging INSIDE the
+    table, transactional, and zero-copy. Refuses an existing name
+    (drop it first — branches are not retargetable, unlike tags:
+    silently moving a branch would orphan its committed chain)."""
+    if not _TAG_NAME.match(name or ""):
+        raise ValueError(
+            f"invalid branch name {name!r} (want {_TAG_NAME.pattern})"
+        )
+    from pathlib import Path
+
+    live = Path(path)
+    with publish_lock(live):
+        current = read_manifest(path)
+        if current is None:
+            raise ValueError(
+                f"table at {path} is not manifest-committed — nothing to "
+                "branch"
+            )
+        if version is None:
+            version = current["version"]
+        chain = [m["version"] for m in _retained_chain(path, current)]
+        if version not in chain:
+            raise ValueError(
+                f"v{version} is not a retained committed snapshot of "
+                f"{path} (chain: {chain})"
+            )
+        branches = list_branches(path)
+        if name in branches:
+            raise ValueError(
+                f"branch {name!r} already exists (head v"
+                f"{branches[name]['head']}) — drop_branch() it first"
+            )
+        branches[name] = {"head": version, "base": version}
+        _write_branches(live, branches)
+    return {"name": name, "head": version, "base": version}
+
+
+def drop_branch(path: str, name: str) -> bool:
+    """Remove a branch pointer; its unpublished snapshots become
+    unretained history (reclaimed by the next :func:`vacuum_manifests`
+    past the age guard). Returns whether the branch existed."""
+    from pathlib import Path
+
+    live = Path(path)
+    with publish_lock(live):
+        branches = list_branches(path)
+        existed = branches.pop(name, None) is not None
+        if existed:
+            _write_branches(live, branches)
+    return existed
+
+
+def fast_forward(path: str, name: str) -> dict:
+    """Publish a branch: atomically move the MAIN pointer to the
+    branch head — one rename syscall, after which every branch commit
+    is ordinary main history (time travel walks through it,
+    table_changes diffs across it, the app_versions ledger carries).
+    Fast-forward only: main's current snapshot must be an ancestor of
+    the branch head, i.e. nobody committed to main since the fork —
+    otherwise raises :class:`ConcurrentLakeModificationError` (the
+    branch was audited against a base main no longer has; re-branch
+    from the new main and replay, exactly commit_publish's contract).
+    The branch pointer survives (now merely an alias of main) until
+    :func:`drop_branch`."""
+    import json
+    import os
+    from pathlib import Path
+
+    live = Path(path)
+    with publish_lock(live):
+        current = read_manifest(path)
+        if current is None:
+            raise ValueError(
+                f"table at {path} is not manifest-committed"
+            )
+        head = branch_head(path, name)
+        if head["version"] == current["version"]:
+            return head  # nothing to publish
+        # ancestry walk: main's head must be on the branch chain
+        m = head
+        on_chain = False
+        while m is not None:
+            if m["version"] == current["version"]:
+                on_chain = True
+                break
+            if m["parent"] is None or m["parent"] < current["version"]:
+                break  # walked past main's version — divergence
+            try:
+                m = read_manifest(path, m["parent"])
+            except FileNotFoundError:
+                break  # intermediate vacuumed while unpublished
+        if not on_chain:
+            raise ConcurrentLakeModificationError(
+                f"table at {path} is at v{current['version']}, which is "
+                f"not an ancestor of branch {name!r}'s head v"
+                f"{head['version']} — main advanced since the fork; "
+                "re-branch and replay"
+            )
+        data = json.dumps(head, sort_keys=True)
+        tmp = live / f"._manifest_tmp_ff_{name}"
+        tmp.write_text(data)
+        os.replace(tmp, live / "_manifest.json")
+    return head
+
+
+def _branch_pinned_manifests(path: str) -> list[dict]:
+    """Every snapshot any branch retains: each branch's chain from its
+    head down to (and including) its fork base — THE branch retention
+    definition shared by vacuum_manifests and verify_table. Missing
+    (already-vacuumed) intermediates end that branch's walk."""
+    out: list[dict] = []
+    for name, ptr in list_branches(path).items():
+        try:
+            m = read_manifest(path, ptr["head"])
+        except FileNotFoundError:
+            continue
+        while m is not None:
+            out.append(m)
+            if m["version"] <= ptr["base"] or m["parent"] is None:
+                break
+            try:
+                m = read_manifest(path, m["parent"])
+            except FileNotFoundError:
+                break
+    return out
+
+
 def count_rows(path: str, version: int | None = None) -> dict | None:
     """Metadata-only COUNT — answer ``count(*)`` (total and per
     hive-partition) from the manifest's recorded per-file footer row
@@ -1072,10 +1259,14 @@ def _commit_manifest(
     file_spec: dict | None = None,
     file_rows_hints: dict | None = None,
     column_mapping: dict | None = None,
+    update_pointer: bool = True,
 ) -> dict:
     """Write snapshot ``_manifests/v{N}.json`` then atomically replace
     the ``_manifest.json`` pointer with the same content (``os.replace``
-    — one rename syscall, the whole commit). A crash between the two
+    — one rename syscall, the whole commit). ``update_pointer=False``
+    writes the snapshot WITHOUT moving the main pointer — a branch
+    commit (:func:`append_rows` ``branch=``): the caller advances its
+    branch pointer under the same lock instead. A crash between the two
     writes leaves an orphan snapshot file outside the committed parent
     chain: harmless (its data files are still invisible to manifest
     readers) and overwritten-or-vacuumed later; version numbering skips
@@ -1258,9 +1449,10 @@ def _commit_manifest(
     tmp = mdir / f".tmp_{txid}"
     tmp.write_text(data)
     os.replace(tmp, mdir / f"v{version:010d}.json")
-    tmp2 = live / f"._manifest_tmp_{txid}"
-    tmp2.write_text(data)
-    os.replace(tmp2, live / "_manifest.json")
+    if update_pointer:
+        tmp2 = live / f"._manifest_tmp_{txid}"
+        tmp2.write_text(data)
+        os.replace(tmp2, live / "_manifest.json")
     return snap
 
 
@@ -1789,6 +1981,7 @@ def append_rows(
     stream_id: str | None = None,
     batch_id: int | None = None,
     bloom_cols: list[str] | None = None,
+    branch: str | None = None,
 ) -> dict | None:
     """Transactional APPEND to a manifest table — the ingestion commit
     (Delta's append + ``txn`` idempotence in plain Parquet). The batch
@@ -1815,6 +2008,13 @@ def append_rows(
     directory with pre-existing un-manifested data raises (publish it
     with ``manifest=True`` first — appending around a directory
     listing would be the mixed-read window manifests exist to close).
+
+    ``branch=`` commits onto a named branch (:func:`create_branch`)
+    instead of main: the parent is the BRANCH head, every guard
+    (layout, schema, constraints, rename mapping, replay ledger) runs
+    against it, and the commit advances the branch pointer while
+    ``_manifest.json`` — and every main reader — stays untouched.
+    Publish the chain with :func:`fast_forward`.
     """
     import shutil
     import uuid as _uuid
@@ -1823,7 +2023,15 @@ def append_rows(
     if (stream_id is None) != (batch_id is None):
         raise ValueError("stream_id and batch_id must be given together")
     live = Path(path)
-    current = read_manifest(str(live))
+
+    def _parent() -> dict | None:
+        # branch commits chain on the branch head (KeyError surfaces
+        # an unknown branch); main commits on the live pointer
+        return branch_head(str(live), branch) if branch else read_manifest(
+            str(live)
+        )
+
+    current = _parent()
     if current is None and live.exists() and (
         set(_data_file_relpaths(live)) - _candidate_file_relpaths(live)
     ):
@@ -1906,7 +2114,7 @@ def append_rows(
     )
     try:
         with publish_lock(live):
-            current = read_manifest(str(live))  # re-read under the lock
+            current = _parent()  # re-read under the lock
             if (current or {}).get("constraints", {}) != pre_constraints:
                 raise ConcurrentLakeModificationError(
                     f"table at {live} changed its CHECK constraints while "
@@ -1937,7 +2145,7 @@ def append_rows(
             ledger = dict((current or {}).get("app_versions", {}))
             if stream_id is not None:
                 ledger[stream_id] = batch_id
-            return _commit_manifest(
+            snap = _commit_manifest(
                 live,
                 [*(current["files"] if current else []), *new_files],
                 pb,
@@ -1946,7 +2154,15 @@ def append_rows(
                 app_versions=ledger,
                 file_blooms=new_blooms,
                 table_schema=logical_schema,
+                update_pointer=branch is None,
             )
+            if branch is not None:
+                # advance the branch pointer under the same lock —
+                # main's _manifest.json was deliberately not touched
+                branches = list_branches(str(live))
+                branches[branch]["head"] = snap["version"]
+                _write_branches(live, branches)
+            return snap
     finally:
         shutil.rmtree(staged, ignore_errors=True)
 
@@ -2613,6 +2829,12 @@ def verify_table(path: str, deep: bool = False) -> dict:
             chain.append(read_manifest(path, v))
         except FileNotFoundError:
             continue  # dangling tag — pre-existing damage, not new debris
+    # ... and so are branch-pinned chains (unpublished backfills)
+    seen = {m["version"] for m in chain}
+    for m in _branch_pinned_manifests(path):
+        if m["version"] not in seen:
+            chain.append(m)
+            seen.add(m["version"])
     referenced: dict[str, dict] = {}
     for m in chain:
         for f in m["files"]:
@@ -2704,6 +2926,7 @@ def vacuum_manifests(
     # forgotten truncation cannot be pinned around.
     if drop_tags:
         (live / "_manifests" / "_tags.json").unlink(missing_ok=True)
+        (live / "_manifests" / "_branches.json").unlink(missing_ok=True)
     else:
         kept_now = {m["version"] for m in keep}
         for v in sorted(set(list_tags(path).values()) - kept_now):
@@ -2711,6 +2934,14 @@ def vacuum_manifests(
                 keep.append(read_manifest(path, v))
             except FileNotFoundError:
                 continue  # dangling tag (pre-existing damage): nothing to pin
+        # branches pin their whole unpublished chain (head -> fork base):
+        # an in-progress multi-commit backfill must survive routine
+        # retention exactly like a mid-audit WAP candidate does
+        kept_now = {m["version"] for m in keep}
+        for m in _branch_pinned_manifests(path):
+            if m["version"] not in kept_now:
+                keep.append(m)
+                kept_now.add(m["version"])
     kept_versions = [m["version"] for m in keep]
     referenced = {f for m in keep for f in m["files"]}
     cutoff = time.time() - min_age_seconds
