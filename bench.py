@@ -195,6 +195,14 @@ HEADLINE = [
     # (seed publish + 2 branch appends + the one-pointer publish +
     # before/after profile reads)
     "lake_branch_merge",
+    # ... the interval-overlap join (sessionize + explode-to-buckets,
+    # no join node), semantic benchmark decontamination (broadcast
+    # cross + per-vector rollup), RFM quartile segmentation, and the
+    # per-doc word-entropy filter
+    "join_interval_overlap",
+    "decontaminate_semantic",
+    "events_rfm_segments",
+    "text_doc_entropy",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -645,3 +645,26 @@ def test_rename_alias_preserves_pushdown_and_pruning(spark, tmp_path):
         "PartitionFilters", 1
     )[1].split("]", 1)[0]
     assert df2.count() == 5
+
+
+def test_interval_overlap_has_no_join(spark, sf_dir):
+    # the interval-join bucketing trick: hour buckets come from a
+    # map-side explode, so there must be NO join node at all (the
+    # naive theta form plans a nested-loop product)
+    plan = physical_plan(REGISTRY["join_interval_overlap"].builder(spark, sf_dir))
+    assert "Generate explode" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_decontaminate_semantic_broadcasts_benchmark(spark, sf_dir):
+    # the benchmark side is tiny by definition -> one broadcast, the
+    # corpus is a single map pass (no corpus shuffle before the agg)
+    plan = physical_plan(
+        REGISTRY["decontaminate_semantic"].builder(spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_doc_entropy_topk_is_heap(spark, sf_dir):
+    assert_top_k(REGISTRY["text_doc_entropy"].builder(spark, sf_dir))

@@ -580,3 +580,58 @@ def pipeline_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "decontaminate_semantic",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    bench AS (SELECT * FROM v WHERE vec_id < 20),
+    corpus AS (SELECT * FROM v WHERE vec_id >= 20),
+    hits AS (
+      SELECT corpus.vec_id,
+             round(list_cosine_similarity(corpus.e, bench.e), 4) AS cos_sim
+      FROM corpus CROSS JOIN bench
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_bench_hits,
+           max(cos_sim) AS max_cos
+    FROM hits WHERE cos_sim >= 0.3
+    GROUP BY vec_id
+    """,
+    "SEMANTIC benchmark decontamination: corpus vectors whose embedding "
+    "is cosine-similar (>= 0.3 after round-4) to ANY benchmark vector "
+    "(vec_id < 20 stands in for an eval suite) — the paraphrase-leak "
+    "complement of decontaminate_ngram_overlap, which only catches "
+    "verbatim 5-gram overlap.",
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the benchmark set is small by definition (eval suites are
+    thousands of rows, not billions), so it BROADCASTS and the corpus
+    is one map pass — per corpus vector, cosine against every
+    broadcast benchmark vector, then a partial-aggregated per-vector
+    rollup. No corpus shuffle, no candidate generation needed: the
+    benchmark side being tiny makes the exact form cheaper than any
+    LSH at every scale. (A billion-row benchmark would flip this to
+    the LSH-bucketed join in dedup_embedding_cosine — documented, not
+    silently assumed.)"""
+    from .similarity import _cos, _with_norm
+
+    v = _with_norm(load(spark, sf_dir, "embeddings"))
+    bench = v.filter(F.col("vec_id") < 20).select(
+        F.col("embedding").alias("eb"), F.col("norm").alias("nb")
+    )
+    corpus = v.filter(F.col("vec_id") >= 20).select(
+        "vec_id", F.col("embedding").alias("ea"), F.col("norm").alias("na")
+    )
+    cos = F.round(_cos(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4)
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+    )

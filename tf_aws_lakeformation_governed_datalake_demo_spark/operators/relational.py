@@ -1194,3 +1194,162 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wp), 4).alias("p"),
     ).orderBy("src_type", "dst_type")
+
+
+@query(
+    "join_interval_overlap",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), sess AS (
+      SELECT user_id, sid,
+             date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM s GROUP BY user_id, sid
+    ), hours AS (
+      SELECT unnest(generate_series(
+        (SELECT date_trunc('hour', min(ts)) FROM events),
+        (SELECT date_trunc('hour', max(ts)) FROM events),
+        INTERVAL 1 HOUR)) AS hr
+    )
+    SELECT hr,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM hours JOIN sess ON sess.h0 <= hours.hr AND hours.hr <= sess.h1
+    GROUP BY hr
+    """,
+    "Interval-overlap join (hourly concurrent sessions): 30-min-gap "
+    "sessions become [start,end] intervals, overlap-joined against the "
+    "hour dimension. The oracle runs the textbook THETA join (hours x "
+    "sessions with a range predicate); the engine runs the scale form.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval-join bucketing trick: a theta join (range predicate)
+    has no equi-key, so Spark would nested-loop it — O(|hours| x
+    |sessions|) with one poor parallelization axis. Instead each
+    interval EXPLODES to the hour buckets it covers (``sequence`` —
+    one map-side generator, output size = true overlap count) and the
+    aggregation is an ordinary hash agg on the bucket key. Cost is
+    O(sessions x mean_span) = the size of the join's own output; no
+    join node at all.
+
+    100 TB: sessionization shuffles once on user_id (same exchange as
+    events_sessionize); the explode is map-side; the final agg
+    partial-aggregates. Long-lived interval skew (one session spanning
+    weeks => huge explode) is bounded by the session definition
+    itself: a 30-min gap caps realistic spans. count(DISTINCT user_id)
+    per hour is exact — at extreme fanout swap for approx_count_
+    distinct, documented here rather than silently."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    ws = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = (
+        e.select("user_id", "ts", is_new.alias("is_new"))
+        .withColumn("sid", F.sum("is_new").over(ws))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+    )
+    return (
+        sess.select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "events_rfm_segments",
+    """
+    WITH u AS (
+      SELECT user_id,
+             date_diff('day', CAST(max(ts) AS DATE),
+                       (SELECT CAST(max(ts) AS DATE) FROM events)) AS rec_days,
+             CAST(count(*) AS BIGINT) AS freq,
+             coalesce(sum(CASE WHEN event_type = 'purchase'
+                               THEN CAST(value AS DECIMAL(18,2)) END),
+                      0) AS mon
+      FROM events GROUP BY user_id
+    ), t AS (
+      SELECT user_id, mon,
+             ntile(4) OVER (ORDER BY rec_days ASC, user_id) AS r,
+             ntile(4) OVER (ORDER BY freq DESC, user_id) AS f,
+             ntile(4) OVER (ORDER BY mon DESC, user_id) AS m
+      FROM u
+    )
+    SELECT r, f, m,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(avg(mon) AS DOUBLE), 2) AS avg_monetary
+    FROM t GROUP BY r, f, m
+    """,
+    "RFM segmentation: per-user recency/frequency/monetary quartiles "
+    "(ntile with deterministic user_id tie-break; monetary summed as "
+    "DECIMAL so quartile boundaries cannot drift on float summation "
+    "order), aggregated to segment sizes.",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle to the per-user profile (map-side partial
+    agg), then three window ranks over the USER table — the small
+    derivative, not the event log. A global ntile is a single-ordering
+    operation; at extreme user counts swap for percentile_approx cut
+    points computed in one pass and a map-side bucketize — the
+    documented trade (exact quartiles vs no global sort). The global
+    max(ts) is a 1-row broadcast."""
+    e = load(spark, sf_dir, "events")
+    gmax = e.agg(F.max("ts").cast("date").alias("gmax"))
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").cast("date").alias("umax"),
+            F.count(F.lit(1)).alias("freq"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,2)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,2)"),
+            ).alias("mon"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "user_id",
+            F.datediff("gmax", "umax").alias("rec_days"),
+            "freq",
+            "mon",
+        )
+    )
+    t = u.select(
+        "mon",
+        F.ntile(4).over(W.orderBy(F.asc("rec_days"), F.asc("user_id"))).alias("r"),
+        F.ntile(4).over(W.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f"),
+        F.ntile(4).over(W.orderBy(F.desc("mon"), F.asc("user_id"))).alias("m"),
+    )
+    return t.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("mon").cast("double"), 2).alias("avg_monetary"),
+    )

@@ -994,3 +994,62 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )
+
+
+@query(
+    "text_doc_entropy",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS c
+      FROM w GROUP BY doc_id, word
+    ), tot AS (
+      SELECT doc_id, sum(c) AS n, CAST(count(*) AS BIGINT) AS n_distinct
+      FROM wc GROUP BY doc_id
+    )
+    SELECT wc.doc_id,
+           CAST(any_value(tot.n) AS BIGINT) AS n_tokens,
+           any_value(tot.n_distinct) AS n_distinct,
+           round(-sum((c / tot.n) * log2(c / tot.n)), 4) AS entropy
+    FROM wc JOIN tot ON wc.doc_id = tot.doc_id
+    GROUP BY wc.doc_id
+    ORDER BY entropy ASC, wc.doc_id
+    LIMIT 40
+    """,
+    "Word-distribution entropy per document (low entropy = repetitive "
+    "boilerplate/junk): the 40 lowest-entropy docs with token counts — "
+    "the filter a pretraining pipeline runs alongside repetition ratio.",
+)
+def text_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: explode -> two-level hash agg, all map-side partial —
+    the (doc_id, word) agg pre-combines within partitions and docs are
+    hash-distributed, so no skew beyond a single pathological doc
+    (bounded upstream by ingest length caps). The top-k is
+    TakeOrderedAndProject (no global sort materialization).
+    Complements text_repetition_ratio (top-word mass) — entropy sees
+    the WHOLE distribution, catching templated docs whose top word is
+    unremarkable."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(_ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    tot = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        wc.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").cast("long").alias("n_tokens"),
+            F.first("n_distinct").alias("n_distinct"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"),
+        )
+        .orderBy(F.asc("entropy"), F.asc("doc_id"))
+        .limit(40)
+    )
