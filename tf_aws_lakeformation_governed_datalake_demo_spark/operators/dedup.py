@@ -335,8 +335,26 @@ def jaccard_verify(
     )
     pruned = docs.join(ids, id_col, "left_semi")
     sets_ = shingle_hash_frame(pruned, id_col=id_col, token_hash=token_hash)
-    a = sets_.withColumnRenamed(id_col, "doc_a").withColumnRenamed("shingle_hashes", "sh_a")
-    b = sets_.withColumnRenamed(id_col, "doc_b").withColumnRenamed("shingle_hashes", "sh_b")
+    return jaccard_verify_sets(pairs, sets_, threshold, id_col=id_col)
+
+
+def jaccard_verify_sets(
+    pairs: DataFrame,
+    sets_: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs from PRECOMPUTED
+    shingle sets (``id_col``, ``shingle_hashes``) — the zero-reshingle
+    path for pipelines that already persist sets as state (the
+    streaming dedup sink stores each batch's sets once; verification
+    is then two narrow joins, never a text scan)."""
+    a = sets_.select(
+        F.col(id_col).alias("doc_a"), F.col("shingle_hashes").alias("sh_a")
+    )
+    b = sets_.select(
+        F.col(id_col).alias("doc_b"), F.col("shingle_hashes").alias("sh_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -1319,11 +1337,14 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reflecting processed batches (asserted in tests/test_dedup.py).
 
     Scale: per batch O(|batch| x 16) probe rows against shard-pruned
-    index partitions; verification re-reads text only for candidate
-    docs (jaccard_verify's semi-join prune); the result sink and the
-    index grow by appends only. Nothing in the loop scans the full
-    corpus — the streaming form inherits every bound the batch
-    incremental form proved."""
+    index partitions; each document is TOKENIZED EXACTLY ONCE, in its
+    arrival batch — its shingle set persists as stream state, so
+    verification is two narrow joins against stored sets, never a text
+    scan (round-9: the previous form re-shingled every candidate doc
+    every batch, the dominant term of the loop); the result sink, the
+    set store, and the index grow by appends only. Nothing in the loop
+    scans the full corpus — the streaming form inherits every bound
+    the batch incremental form proved."""
     from ..scratch import scratch_dir
     from .streaming_ops import cdc_land_change_files
 
@@ -1344,8 +1365,9 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_stream_sink(spark: SparkSession, docs_schema, idx: str, docs: str, out: str):
     """The per-batch body of :func:`stream_minhash_dedup` as a reusable
-    foreachBatch sink: land the batch docs, probe the persisted index
-    (no hot cap — see the query docstring), verify candidates against
+    foreachBatch sink: land the batch docs AND their shingle sets
+    (tokenize-once state), probe the persisted index (no hot cap — see
+    the query docstring), verify candidates against the stored sets of
     the corpus landed so far, append verified pairs and the batch's
     band rows.
 
@@ -1363,6 +1385,7 @@ def minhash_stream_sink(spark: SparkSession, docs_schema, idx: str, docs: str, o
         import shutil
 
         ddir = f"{docs}/batch={bid}"
+        sdir = f"{docs}_sets/batch={bid}"
         pdir = f"{out}/batch={bid}"
         idir = f"{idx}/batch={bid}"
         # a crashed prior attempt at THIS epoch may have appended its
@@ -1370,26 +1393,44 @@ def minhash_stream_sink(spark: SparkSession, docs_schema, idx: str, docs: str, o
         # would find itself in the index
         shutil.rmtree(idir, ignore_errors=True)
         # a single-file micro-batch arrives as ONE partition — spread it
-        # before the (expensive) shingle/signature compute or it runs on
-        # one core; the checkpoint pins the spread result, multi-consumed
+        # before the (expensive) shingle compute or it runs on one
+        # core; the checkpoint pins the spread result, multi-consumed
         batch = batch.repartition(
             spark.sparkContext.defaultParallelism
         ).localCheckpoint(eager=True)
         batch.write.mode("overwrite").parquet(ddir)
-        hashed = shingle_hash_frame(batch, token_hash=md5_token_hash).filter(
+        # shingle ONCE per document, ever: the batch's sets persist as
+        # stream state next to the corpus, so this batch's signature
+        # AND every later batch's Jaccard verification read them back
+        # columnar instead of re-tokenizing text (the pre-round-9 form
+        # re-shingled every candidate doc every batch — the dominant
+        # term of the loop)
+        shingle_hash_frame(batch, token_hash=md5_token_hash).filter(
             F.size("shingle_hashes") > 0
+        ).select("doc_id", "shingle_hashes").write.mode("overwrite").parquet(
+            sdir
         )
-        sig = hashed.select(
-            "doc_id",
-            _minhash_signature(F.col("shingle_hashes")).alias("signature"),
-        ).localCheckpoint(eager=True)
+        sets_schema = "doc_id long, shingle_hashes array<bigint>"
+        sig = (
+            spark.read.schema(sets_schema)
+            .parquet(sdir)
+            .select(
+                "doc_id",
+                _minhash_signature(F.col("shingle_hashes")).alias(
+                    "signature"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
         cand = probe_minhash_index(
             spark, idx, sig, max_bucket_size=None, string_buckets=True
         )
-        corpus = spark.read.schema(docs_schema).parquet(f"{docs}/batch=*")
-        jaccard_verify(
-            cand, corpus, threshold=0.8, token_hash=md5_token_hash
-        ).write.mode("overwrite").parquet(pdir)
+        all_sets = spark.read.schema(sets_schema).parquet(
+            f"{docs}_sets/batch=*"
+        )
+        jaccard_verify_sets(cand, all_sets, threshold=0.8).write.mode(
+            "overwrite"
+        ).parquet(pdir)
         append_minhash_index(idir, sig, string_buckets=True)
 
     return process
