@@ -1246,13 +1246,19 @@ def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..scratch import scratch_dir
 
     d = collapse_exact_duplicates(load(spark, sf_dir, "documents"))
-    hashed = shingle_hash_frame(d, token_hash=md5_token_hash).filter(
-        F.size("shingle_hashes") > 0
+    # cache the SETS, not the signatures: every downstream consumer —
+    # the index write, the batch probe, and the Jaccard verification —
+    # derives from them, so the corpus is tokenized exactly once and
+    # verification never touches text (jaccard_verify_sets)
+    hashed = (
+        shingle_hash_frame(d, token_hash=md5_token_hash)
+        .filter(F.size("shingle_hashes") > 0)
+        .cache()
     )
+    hashed.count()
     sig = hashed.select(
         "doc_id", _minhash_signature(F.col("shingle_hashes")).alias("signature")
-    ).cache()
-    sig.count()
+    )
     index_path = scratch_dir("minhash_index_") + "/bands"
     append_minhash_index(
         index_path, sig.filter(F.col("doc_id") % 4 != 0), string_buckets=True
@@ -1262,8 +1268,8 @@ def dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, index_path, batch_sig, string_buckets=True
     ).cache()
     pairs.count()
-    return jaccard_verify(
-        pairs, d, threshold=0.8, token_hash=md5_token_hash
+    return jaccard_verify_sets(
+        pairs, hashed.select("doc_id", "shingle_hashes"), threshold=0.8
     ).orderBy("doc_a", "doc_b")
 
 
