@@ -455,17 +455,23 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (an empty shingle set cannot clear a 0.8 Jaccard, and keeping them
     would band every empty doc into one degenerate bucket)."""
     d = collapse_exact_duplicates(load(spark, sf_dir, "documents"))
-    hashed = shingle_hash_frame(d, token_hash=md5_token_hash).filter(
-        F.size("shingle_hashes") > 0
+    # tokenize once: the cached SETS feed the signature compute and the
+    # Jaccard verification (jaccard_verify_sets) — text is never
+    # re-read for candidates
+    hashed = (
+        shingle_hash_frame(d, token_hash=md5_token_hash)
+        .filter(F.size("shingle_hashes") > 0)
+        .cache()
     )
+    hashed.count()
     sig = hashed.select(
         "doc_id", _minhash_signature(F.col("shingle_hashes")).alias("signature")
     ).cache()
     sig.count()  # eager — see minhash_jaccard_pairs
     pairs = minhash_candidate_pairs(sig, string_buckets=True).cache()
     pairs.count()
-    return jaccard_verify(
-        pairs, d, threshold=0.8, token_hash=md5_token_hash
+    return jaccard_verify_sets(
+        pairs, hashed.select("doc_id", "shingle_hashes"), threshold=0.8
     ).orderBy("doc_a", "doc_b")
 
 
@@ -482,11 +488,21 @@ def minhash_jaccard_pairs(
     At 100 TB this is a persisted intermediate of ~64 longs/doc.
     """
     reps = collapse_exact_duplicates(docs, id_col=id_col)
-    sig = minhash_signatures(reps).cache()
+    hashed = shingle_hash_frame(reps, id_col=id_col).cache()
+    hashed.count()  # tokenize once — sets feed signatures AND verify
+    sig = hashed.select(
+        F.col(id_col),
+        _minhash_signature(F.col("shingle_hashes")).alias("signature"),
+    ).cache()
     sig.count()
     pairs = minhash_candidate_pairs(sig, id_col=id_col).cache()
     pairs.count()
-    return jaccard_verify(pairs, reps, threshold=threshold, id_col=id_col)
+    return jaccard_verify_sets(
+        pairs,
+        hashed.select(id_col, "shingle_hashes"),
+        threshold=threshold,
+        id_col=id_col,
+    )
 
 
 @query(
@@ -1196,16 +1212,20 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     in production (~64 longs + 16 band keys per doc — built once, per
     batch appended); per-batch cost is |batch| x 16 probe rows joined
     against it on (band, bucket) — at rest, bucket-partitioned so the
-    probe prunes. Verification rebuilds shingles only for docs in a
-    candidate pair (jaccard_verify's semi-join prune), so historical
-    TEXT is re-read only for actual near-dup suspects — the O(batch)
+    probe prunes. Verification joins the stored shingle sets
+    (jaccard_verify_sets) — historical text is never re-read at all;
+    the set store is the same per-batch state the streaming form
+    persists — the O(batch)
     incremental story end to end. The index side here is computed
     fresh (the driver gives one parquet corpus) but flows through the
     same cached DataFrame a persisted index would."""
     d = collapse_exact_duplicates(load(spark, sf_dir, "documents"))
-    hashed = shingle_hash_frame(d, token_hash=md5_token_hash).filter(
-        F.size("shingle_hashes") > 0
+    hashed = (
+        shingle_hash_frame(d, token_hash=md5_token_hash)
+        .filter(F.size("shingle_hashes") > 0)
+        .cache()
     )
+    hashed.count()  # tokenize once — sets feed signatures AND verify
     sig = hashed.select(
         "doc_id", _minhash_signature(F.col("shingle_hashes")).alias("signature")
     ).cache()
@@ -1216,8 +1236,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_sig, index_sig, string_buckets=True
     ).cache()
     pairs.count()
-    return jaccard_verify(
-        pairs, d, threshold=0.8, token_hash=md5_token_hash
+    return jaccard_verify_sets(
+        pairs, hashed.select("doc_id", "shingle_hashes"), threshold=0.8
     ).orderBy("doc_a", "doc_b")
 
 
