@@ -981,3 +981,52 @@ def test_maintain_tag_and_drop_tag_governed(spark, tmp_path):
     ]
     assert any("pin1" in e["query"] and e["status"] == "ok" for e in lines)
     assert any(e["status"] == "denied" for e in lines)
+
+
+def test_maintain_branch_lifecycle_governed(spark, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark import TableDef
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        append_rows,
+        list_branches,
+        publish_overwrite,
+        read_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    loc = f"{lake}/t_branch"
+    d = spark.createDataFrame([(1, "a")], "id long, grp string")
+    publish_overwrite(spark, loc, d, ["grp"], manifest=True)
+    cat.register_table(TableDef(fx.DATABASE, "t_branch", loc, schema=d.schema))
+    cat.set_admins(["ops"])
+    q = f"{fx.DATABASE}.t_branch"
+    # non-admin denied on every lifecycle action
+    for action in ("create_branch", "fast_forward", "drop_branch"):
+        with pytest.raises(PermissionDeniedError):
+            eng.maintain(q, action, principal="analyst", name="etl")
+    res = eng.maintain(q, "create_branch", principal="ops", name="etl")
+    assert res == {"name": "etl", "head": 1, "base": 1}
+    # branch writes go through the lake layer; publication is governed
+    append_rows(
+        spark, loc,
+        spark.createDataFrame([(2, "b")], "id long, grp string"),
+        ["grp"], branch="etl",
+    )
+    assert read_manifest(loc)["version"] == 1  # unpublished
+    res = eng.maintain(q, "fast_forward", principal="ops", name="etl")
+    assert read_manifest(loc)["version"] == res["version"] > 1
+    assert eng.maintain(q, "drop_branch", principal="ops", name="etl") == {
+        "dropped": True
+    }
+    assert list_branches(loc) == {}
+    audited = [
+        e for e in cat.audit.events if "MAINTAIN fast_forward" in e["query"]
+    ]
+    assert audited and audited[-1]["status"] == "ok"
+    denied = [
+        e
+        for e in cat.audit.events
+        if "MAINTAIN create_branch" in e["query"] and e["status"] == "denied"
+    ]
+    assert denied

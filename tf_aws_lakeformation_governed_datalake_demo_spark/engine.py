@@ -598,6 +598,14 @@ class Engine:
           ``to_version=`` optional): a tag PINS retention, so creating
           one is a storage-cost decision and dropping one releases
           data to the next vacuum — both admin-gated and audited.
+        - ``"create_branch"`` / ``"fast_forward"`` / ``"drop_branch"``
+          — branch lifecycle (sources.lake; ``name=`` required,
+          ``to_version=`` optional on create). Branch WRITES go through
+          the lake layer (append_rows ``branch=``); the lifecycle sits
+          here because creating a branch pins retention, fast-forward
+          atomically changes what every reader sees, and dropping one
+          releases its chain to the next vacuum — all admin-gated and
+          audited.
         - ``"rename_column"`` — ALTER TABLE RENAME COLUMN
           (catalog.rename_column; ``old=`` and ``new=`` required):
           storage rename as one metadata commit (frozen physical
@@ -825,6 +833,28 @@ class Engine:
             else:
                 result = {
                     "dropped": drop_tag(table.location, kwargs["name"])
+                }
+        elif action in ("create_branch", "fast_forward", "drop_branch"):
+            from .sources.lake import create_branch, drop_branch, fast_forward
+
+            if "name" not in kwargs:
+                _audit("failed", f"{action} requires name=")
+                raise ValueError(f"{action} requires name=")
+            if action == "create_branch":
+                result = create_branch(
+                    table.location,
+                    kwargs["name"],
+                    version=kwargs.get("to_version"),
+                )
+            elif action == "fast_forward":
+                # PUBLISHES the branch chain to every reader — the
+                # state-changing half of the branch lifecycle, which is
+                # exactly why it sits behind the maintain gate + audit
+                snap = fast_forward(table.location, kwargs["name"])
+                result = {"version": snap["version"]}
+            else:
+                result = {
+                    "dropped": drop_branch(table.location, kwargs["name"])
                 }
         elif action == "rename_column":
             if not {"old", "new"} <= set(kwargs):
