@@ -203,6 +203,9 @@ HEADLINE = [
     "decontaminate_semantic",
     "events_rfm_segments",
     "text_doc_entropy",
+    # ... and binary quantization (sign-bit packing + xor/popcount
+    # Hamming shortlist + exact re-rank), the cheapest compressed rung
+    "ann_bq_hamming_rerank",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -209,3 +209,26 @@ def test_trained_codebook_deterministic_and_shaped(spark, sf_dir):
     assert len(cb1) == PQ_M
     assert all(len(cbm) == PQ_K for cbm in cb1)
     assert all(len(w) == PQ_DSUB for cbm in cb1 for w in cbm)
+
+
+def test_bq_hamming_rerank_recall_floor(spark, sf001_dir):
+    """Sign-bit binary quantization with 64 bits is the coarse rung:
+    the C=64 Hamming shortlist re-ranked by exact cosine recovers
+    ~0.75 of the exact top-10 on this corpus (measured 0.74-0.78 at
+    sf0.001/sf0.01) — gated at 0.70. Every emitted row is an exact
+    cosine (precision 1); BQ only risks recall. Real deployments pack
+    512-1024 bits and recall climbs with code width; 64 here is the
+    corpus's own dimensionality."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+    bq = {
+        (r.qid, r.vec_id)
+        for r in REGISTRY["ann_bq_hamming_rerank"].builder(spark, sf001_dir).collect()
+    }
+    gt = {
+        (r.qid, r.vec_id)
+        for r in REGISTRY["knn_cosine_batch"].builder(spark, sf001_dir).collect()
+    }
+    assert len(gt) == 50
+    recall = len(bq & gt) / len(gt)
+    assert recall >= 0.70, recall

@@ -1047,3 +1047,107 @@ def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache(),
     )
     return _recall_instrument(spark, sf_dir, cb, codes)
+
+
+# --------------------------------------------------- binary quantization
+
+_BQ_SHORTLIST = 64  # Hamming shortlist size for the exact re-rank stage
+
+_BQ_ORACLE = f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+               FROM embeddings),
+    sg AS (SELECT vec_id, label, e,
+             list_sum(list_transform(range(1, 33), i ->
+               CASE WHEN e[i] > 0 THEN 1::BIGINT << (i - 1)
+                    ELSE 0::BIGINT END)) AS w0,
+             list_sum(list_transform(range(33, 65), i ->
+               CASE WHEN e[i] > 0 THEN 1::BIGINT << (i - 33)
+                    ELSE 0::BIGINT END)) AS w1
+           FROM v),
+    q AS (SELECT vec_id AS qid, e AS qe, w0 AS qw0, w1 AS qw1
+          FROM sg WHERE vec_id < {_NQ_ADC}),
+    h AS (SELECT q.qid, s.vec_id,
+                 bit_count(xor(s.w0, q.qw0))
+                   + bit_count(xor(s.w1, q.qw1)) AS hd
+          FROM sg s CROSS JOIN q WHERE s.vec_id <> q.qid),
+    short AS (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id, row_number() OVER (
+                         PARTITION BY qid ORDER BY hd, vec_id) AS rn
+                FROM h)
+              WHERE rn <= {_BQ_SHORTLIST}),
+    r AS (SELECT short.qid, short.vec_id, s.label,
+                 round(list_cosine_similarity(s.e, q.qe), 4) AS cos_sim
+          FROM short
+          JOIN sg s USING (vec_id)
+          JOIN q ON q.qid = short.qid)
+    SELECT qid, vec_id, label, cos_sim,
+           CAST(row_number() OVER (
+                  PARTITION BY qid
+                  ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn
+    FROM r QUALIFY rn <= 10
+"""
+
+
+def bq_sign_words(prefix: str = "") -> list:
+    """Binary quantization of a 64-dim ``embedding``: the sign bit of
+    each component, packed into two BIGINT words (bits 1-32, 33-64) —
+    16 bytes/vector, a 16x scan-size reduction over float32, and
+    Hamming distance is two xor+popcount ops (SIMD-friendly on any
+    column engine). Pure JVM expressions — no Python in the path."""
+    def word(lo: int, hi: int) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(sequence({lo},{hi}), i -> "
+            f"IF(element_at(embedding, i) > CAST(0.0 AS FLOAT), "
+            f"shiftleft(CAST(1 AS BIGINT), i-{lo}), CAST(0 AS BIGINT))), "
+            f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+
+    return [word(1, 32).alias(f"{prefix}w0"), word(33, 64).alias(f"{prefix}w1")]
+
+
+@query(
+    "ann_bq_hamming_rerank",
+    _BQ_ORACLE,
+    "BINARY quantization ANN (round-9, the cheapest rung of the "
+    "compressed ladder): sign-bit codes packed into two 64-bit words "
+    "(16 B/vector, 16x smaller than float32), Hamming-distance "
+    f"shortlist of C={_BQ_SHORTLIST} via xor+popcount, exact cosine "
+    "re-rank to top-10. The oracle replays packing, Hamming ranking, "
+    "and the re-rank bit-for-bit; recall vs exact ground truth is "
+    "gated in tests/test_quantization.py.",
+)
+def ann_bq_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ladder position: BQ 16x (coarse) > PQ ~25x (lossy-trained) >
+    SQ 4x (near-exact) > floats 1x (exact). BQ needs no training at
+    all — the codebook IS the sign function — so it survives
+    distribution drift that stales PQ codebooks, and its shortlist
+    feeds the same exact re-rank as the other rungs.
+
+    Scale: packing is a map-only expression (16 B/vector at rest);
+    the <= 5 query words broadcast; scoring is xor+popcount per
+    (vector, query) in whole-stage codegen; shortlist is a per-query
+    window top-C; raw vectors are fetched for the Q x C re-rank rows
+    only."""
+    base = load(spark, sf_dir, "embeddings")
+    sg = base.select("vec_id", *bq_sign_words())
+    q = F.broadcast(
+        sg.filter(F.col("vec_id") < _NQ_ADC).select(
+            F.col("vec_id").alias("qid"),
+            F.col("w0").alias("qw0"),
+            F.col("w1").alias("qw1"),
+        )
+    )
+    hd = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+    ).alias("hd")
+    win = W.partitionBy("qid").orderBy("hd", "vec_id")
+    shortlist = (
+        sg.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", hd)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _BQ_SHORTLIST)
+        .select("qid", "vec_id")
+    )
+    return _rerank_cosine(shortlist, base, _NQ_ADC)
