@@ -206,6 +206,9 @@ HEADLINE = [
     # ... and binary quantization (sign-bit packing + xor/popcount
     # Hamming shortlist + exact re-rank), the cheapest compressed rung
     "ann_bq_hamming_rerank",
+    # ... and staged streaming ingestion (3 micro-batch commits on a
+    # branch + the one-pointer fast-forward publish + both reads)
+    "stream_branch_ingest",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
