@@ -155,3 +155,80 @@ def test_dropped_branch_is_reclaimed(spark, seeded):
     rep = verify_table(path, deep=True)
     assert rep["ok"] and not rep["orphans"]
     assert read_table(spark, path).count() == 2
+
+
+def test_engine_sql_branch_as_of_governed(spark, tmp_path):
+    """Governed BRANCH AS OF: engine.sql(..., as_of_branches={table:
+    name}) resolves a branch head for the audit read of a staged
+    ingest — with the auditor's row security applied to the staged
+    rows exactly as to published ones."""
+    from pyspark.sql import types as T
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        Engine,
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        DataCellsFilter,
+    )
+
+    path = str(tmp_path / "accts")
+    publish_overwrite(
+        spark, path,
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)],
+            "id long, grp string, bal double",
+        ),
+        ["grp"], manifest=True,
+    )
+    create_branch(path, "staged")
+    append_rows(
+        spark, path,
+        spark.createDataFrame(
+            [(3, "a", 30.0), (4, "b", 40.0)],
+            "id long, grp string, bal double",
+        ),
+        ["grp"], branch="staged",
+    )
+    cat = GovernedCatalog(spark)
+    cat.create_database("db")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("grp", T.StringType()),
+        ]
+    )
+    cat.register_table(
+        TableDef("db", "accts", path, schema=schema, partition_keys=("grp",))
+    )
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="a-only", database="db", table="accts",
+            columns=("id", "bal", "grp"), row_filter="grp = 'a'",
+        )
+    )
+    cat.grant("auditor", "SELECT", "db", "accts", via_filter="a-only")
+    eng = Engine(spark, cat)
+    cur = eng.sql("SELECT bal FROM db.accts", principal="auditor").collect()
+    assert sorted(r.bal for r in cur) == [10.0]  # published rows only
+    staged = eng.sql(
+        "SELECT bal FROM db.accts",
+        principal="auditor",
+        as_of_branches={"db.accts": "staged"},
+    ).collect()
+    assert sorted(r.bal for r in staged) == [10.0, 30.0]  # SAME filter
+    with pytest.raises(KeyError):
+        eng.sql(
+            "SELECT bal FROM db.accts",
+            principal="auditor",
+            as_of_branches={"db.accts": "nope"},
+        )
+    with pytest.raises(ValueError, match="another AS OF"):
+        eng.sql(
+            "SELECT bal FROM db.accts",
+            principal="auditor",
+            as_of_versions={"db.accts": 1},
+            as_of_branches={"db.accts": "staged"},
+        )

@@ -187,6 +187,7 @@ class Engine:
         as_of_versions: dict[str, int] | None = None,
         as_of_timestamps: dict[str, float] | None = None,
         as_of_tags: dict[str, str] | None = None,
+        as_of_branches: dict[str, str] | None = None,
     ) -> DataFrame:
         """Execute governed SQL and return the DataFrame (raises on deny).
 
@@ -201,10 +202,18 @@ class Engine:
         history timestamps raise) and then behaves exactly like
         ``as_of_versions``; ``as_of_tags`` is the TAG AS OF form
         (tag_snapshot names resolve to their pinned versions — the
-        governed read of a retention-pinned training corpus). Naming a
-        table in more than one AS OF map is an error."""
-        if as_of_timestamps or as_of_tags:
-            from .sources.lake import list_tags, version_at_timestamp
+        governed read of a retention-pinned training corpus);
+        ``as_of_branches`` is the BRANCH AS OF form (branch names
+        resolve to their head versions — the governed AUDIT read of a
+        staged ingest before fast_forward publishes it, with the
+        auditor's row/column security applied). Naming a table in more
+        than one AS OF map is an error."""
+        if as_of_timestamps or as_of_tags or as_of_branches:
+            from .sources.lake import (
+                branch_head,
+                list_tags,
+                version_at_timestamp,
+            )
 
             as_of_versions = dict(as_of_versions or {})
             for q, ts in (as_of_timestamps or {}).items():
@@ -227,6 +236,15 @@ class Engine:
                         f"no tag {tagname!r} on {q} (tags: {sorted(tags)})"
                     )
                 as_of_versions[q] = tags[tagname]
+            for q, brname in (as_of_branches or {}).items():
+                if q in as_of_versions:
+                    raise ValueError(
+                        f"{q} given in as_of_branches and another AS OF map"
+                    )
+                table = self.catalog.tables[q]  # KeyError: fail closed
+                as_of_versions[q] = branch_head(table.location, brname)[
+                    "version"
+                ]
         qe = self._execute(
             sql,
             principal,
