@@ -209,6 +209,11 @@ HEADLINE = [
     # ... and staged streaming ingestion (3 micro-batch commits on a
     # branch + the one-pointer fast-forward publish + both reads)
     "stream_branch_ingest",
+    # ... and the context-aware LM quality gate (bigram counts from the
+    # 80% train slice + held-out scoring), plus the MLlib classifier
+    # rung (hashed-TF features + LBFGS train + broadcast inference)
+    "text_bigram_cross_entropy",
+    "pipeline_quality_classifier",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -23,5 +23,6 @@ from . import maintenance  # noqa: E402,F401 — CDC diff, incremental MV refres
 from . import semantic  # noqa: E402,F401 — cluster-scoped semantic dedup
 from . import graph  # noqa: E402,F401 — co-purchase graph analytics
 from . import sketches  # noqa: E402,F401 — heavy hitters / frequency sketches
+from . import ml  # noqa: E402,F401 — MLlib quality-classifier curation rung
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1053,3 +1053,100 @@ def text_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("entropy"), F.asc("doc_id"))
         .limit(40)
     )
+
+
+@query(
+    "text_bigram_cross_entropy",
+    r"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\s+') AS t
+                  FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)), i ->
+                    struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+           FROM toks WHERE len(t) >= 2),
+    flat AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    train AS (SELECT * FROM flat WHERE doc_id % 5 <> 0),
+    held AS (SELECT * FROM flat WHERE doc_id % 5 = 0),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM train GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM train GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM train),
+    scored AS (SELECT held.doc_id,
+                      CAST(round(ln((coalesce(c2.c2, 0) + 0.5)
+                                    / (coalesce(c1.c1, 0) + 0.5 * v.v))
+                                 * 1000000) AS BIGINT) AS lp
+               FROM held
+               LEFT JOIN c2 ON held.w1 = c2.w1 AND held.w2 = c2.w2
+               LEFT JOIN c1 ON held.w1 = c1.w1, v)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-(CAST(sum(lp) AS DOUBLE) / count(*)) / 1000000, 4)
+             AS cross_entropy
+    FROM scored GROUP BY doc_id
+    ORDER BY cross_entropy DESC, doc_id
+    LIMIT 40
+    """,
+    "Bigram-LM cross-entropy with add-k smoothing (k=0.5): an 80% "
+    "train slice (doc_id % 5 <> 0) fits conditional bigram counts, "
+    "held-out docs score -mean ln p(w2|w1) — the CONTEXT-aware rung "
+    "above text_unigram_cross_entropy (a doc of common words in alien "
+    "order is invisible to unigrams, loud here). Top-40 most "
+    "surprising held-out docs.",
+)
+def text_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet/KenLM-style quality gate with real context: unseen
+    bigrams and unseen heads back off to the smoothed floor
+    (k / (c1 + kV), with V the train vocabulary), so OOV-heavy docs
+    rank as surprising rather than erroring.
+
+    Scale: bigram explode is map-side; the two count tables are one
+    partial-aggregated shuffle each and vocabulary-bounded, so AQE
+    broadcasts the score joins when they fit (same plan a broadcast
+    pre-trained-LM table would have); V is a 1-row broadcast. Same
+    scaled-integer log-prob discipline as the unigram op — per-doc
+    means are exact and accumulation-order-free."""
+    d = load(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", _ws_tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    train = bg.filter(F.col("doc_id") % 5 != 0)
+    held = bg.filter(F.col("doc_id") % 5 == 0)
+    c2 = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    v = train.agg(F.countDistinct("w2").cast("double").alias("v"))
+    p = (F.coalesce(F.col("c2"), F.lit(0.0)) + 0.5) / (
+        F.coalesce(F.col("c1"), F.lit(0.0)) + 0.5 * F.col("v")
+    )
+    return (
+        held.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(F.log(p) * 1000000).cast("long").alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -(F.sum("lp").cast("double") / F.count(F.lit(1))) / 1000000, 4
+            ).alias("cross_entropy"),
+        )
+        .select("doc_id", "n_bigrams", "cross_entropy")
+        .orderBy(F.desc("cross_entropy"), F.asc("doc_id"))
+        .limit(40)
+    )
