@@ -17,14 +17,15 @@ sort-ordered prefixes to steer what the bounded window verifies each
 round. Round-9 scheme (executing round 8's written rotation plan —
 freshness-first, self-healing):
 
-- unprefixed — needs a FIRST or fresh driver verdict this round: the
-  49 names last verified in round 5 (the oldest outstanding driver
-  verdicts after round 8 re-verified everything older), promoted to
-  the window front, plus every NEW round-9 query (new names match no
-  verified set, so they land here automatically). With more than 50
-  unprefixed names, the alphabetically-last ones spill to round 10,
-  where they remain unprefixed and go first — spare capacity always
-  flows to whatever has gone longest without a driver verdict.
+- unprefixed — the NEW round-9 queries (first-ever driver verdicts
+  take the window front): lake_branch_merge, stream_branch_ingest,
+  join_interval_overlap, decontaminate_semantic, events_rfm_segments,
+  text_doc_entropy, text_bigram_cross_entropy, ann_bq_hamming_rerank.
+- ``x_<name>`` — promoted re-verifications: the 49 names last verified
+  in round 5, the oldest outstanding driver verdicts. "x_" sorts after
+  every new name and before the y-classes, so the window is all new
+  queries plus as many of these as fit; the alphabetically-last spill
+  to round 10, where they go first.
 - ``y2_``/``y3_``/``y4_`` — last verified in rounds 6/7/8
   (CORRECTNESS_r06 50/50, r07 48/50 + 2 expected no_oracle rows,
   r08 50/50 — zero failures in each).
@@ -68,10 +69,14 @@ round-9 names, which get theirs here.
 
 Round-10 rotation plan (for the next builder session): once
 CORRECTNESS_r09 lands green, (1) move the round-9 window's 50 names
-into a fresh ``y5_`` class (verified r9), (2) keep any unprefixed
-names that spilled past round 9's window at the FRONT alongside new
-round-10 queries, (3) fill remaining spare slots with the oldest
-``y2_`` (r6) names, alphabetically.
+(the 8 new queries + the first 42 ``x_`` re-verifications) into a
+fresh ``y5_`` class (verified r9), (2) promote the 7 spilled ``x_``
+names (``set_union``, ``stream_click_purchase_join``,
+``stream_click_purchase_left_join``, ``stream_hourly_counts``,
+``stream_hourly_counts_durable``, ``stream_stateful_user_totals``,
+``text_winnow_fingerprint`` — still r5-verified, the oldest) to the
+front alongside new round-10 queries, (3) fill remaining spare slots
+with the oldest ``y2_`` (r6) names, alphabetically.
 """
 
 from __future__ import annotations
@@ -85,6 +90,64 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+
+# Promoted re-verifications: last verified round 5 — the oldest
+# outstanding driver verdicts. "x_" sorts AFTER every unprefixed new
+# round-9 name (none start beyond "t") and BEFORE y2_/y3_/y4_/z_, so
+# the window is: all new queries first, then as many of these as fit;
+# the alphabetically-last spill to round 10 unprefixed-equivalent.
+_PROMOTED_R5 = {
+    "ann_ivf_cosine",
+    "ann_ivf_recall",
+    "ann_lsh_cosine",
+    "ann_multiprobe_topk",
+    "ann_recall_at_k",
+    "ann_recall_midsim",
+    "dedup_embedding_cosine",
+    "dedup_keep_best",
+    "dedup_simhash",
+    "dedup_winnow",
+    "events_json_props_extract",
+    "governance_admin_count_by_region",
+    "governance_analyst_row_column_security",
+    "governance_masked_view",
+    "join_fact_revenue",
+    "join_full_outer",
+    "join_left_null",
+    "join_salted_skew",
+    "join_semi",
+    "join_theta_lag",
+    "json_roundtrip",
+    "knn_cosine_batch",
+    "knn_cosine_topk",
+    "mask_pii_expressions",
+    "multimodal_decode",
+    "multimodal_feature_extract",
+    "multimodal_resize",
+    "nulls_ordering_topk",
+    "orc_roundtrip_agg",
+    "orderby_limit_topk",
+    "partitioned_write_prune",
+    "pipeline_dedup_then_stats",
+    "pipeline_quality_filter",
+    "pipeline_shard_assignment",
+    "pipeline_train_val_split",
+    "project_string_funcs",
+    "range_join_price_bands",
+    "sample_stratified_by_lang",
+    "scalar_math_funcs",
+    "scan_project_filter",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "stream_click_purchase_join",
+    "stream_click_purchase_left_join",
+    "stream_hourly_counts",
+    "stream_hourly_counts_durable",
+    "stream_stateful_user_totals",
+    "text_winnow_fingerprint",
+}
+
 
 # Green in the round-8 window -> y4_ (CORRECTNESS_r08 50/50). The 49
 # round-5-verified names are now the oldest outstanding driver
@@ -254,6 +317,8 @@ _VERIFIED_R7 = {
 def _driver_name(name: str, spec) -> str:
     if not spec.oracle:
         return "z_" + name
+    if name in _PROMOTED_R5:
+        return "x_" + name
     if name in _VERIFIED_R6:
         return "y2_" + name
     if name in _VERIFIED_R7:
