@@ -214,6 +214,9 @@ HEADLINE = [
     # rung (hashed-TF features + LBFGS train + broadcast inference)
     "text_bigram_cross_entropy",
     "pipeline_quality_classifier",
+    # ... and the DP release rung (distinct-user counts + seeded
+    # inverse-CDF Laplace noise)
+    "privacy_dp_event_counts",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
