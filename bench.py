@@ -215,8 +215,10 @@ HEADLINE = [
     "text_bigram_cross_entropy",
     "pipeline_quality_classifier",
     # ... and the DP release rung (distinct-user counts + seeded
-    # inverse-CDF Laplace noise)
+    # inverse-CDF Laplace noise), and the experimentation readout
+    # (per-user conversion + pooled two-proportion z-test)
     "privacy_dp_event_counts",
+    "events_ab_test",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -1353,3 +1353,86 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.avg("mon").cast("double"), 2).alias("avg_monetary"),
     )
+
+
+@query(
+    "events_ab_test",
+    """
+    WITH assign AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+             max(CASE WHEN event_type = 'purchase' AND value > 90
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT grp, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(converted) AS DOUBLE) AS conv
+      FROM assign GROUP BY grp
+    ), w AS (
+      SELECT max(CASE WHEN grp = 0 THEN n END) AS n0,
+             max(CASE WHEN grp = 0 THEN conv END) AS c0,
+             max(CASE WHEN grp = 1 THEN n END) AS n1,
+             max(CASE WHEN grp = 1 THEN conv END) AS c1
+      FROM g
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control,
+           CAST(n1 AS BIGINT) AS n_treatment,
+           round(c0 / n0, 4) AS rate_control,
+           round(c1 / n1, 4) AS rate_treatment,
+           round((c1 / n1 - c0 / n0)
+                 / sqrt(((c0 + c1) / (n0 + n1))
+                        * (1 - (c0 + c1) / (n0 + n1))
+                        * (1 / n0 + 1 / n1)), 4) AS z_stat,
+           abs((c1 / n1 - c0 / n0)
+               / sqrt(((c0 + c1) / (n0 + n1))
+                      * (1 - (c0 + c1) / (n0 + n1))
+                      * (1 / n0 + 1 / n1))) > 1.96 AS significant
+    FROM w
+    """,
+    "Two-proportion A/B z-test on per-user high-value-purchase "
+    "conversion (a purchase with value > 90; every synthetic user has "
+    "SOME purchase, so plain conversion would be degenerate at 100%) "
+    "(assignment = user_id parity — the deterministic hash-assignment "
+    "every experimentation platform uses): pooled-variance z statistic "
+    "+ the 95% significance verdict. On this uniform synthetic corpus "
+    "the honest answer is 'not significant' — the operator measures, "
+    "never manufactures, an effect.",
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle to the per-user conversion flag (map-side
+    partial max), a 2-group agg, and driver-free scalar arithmetic on
+    a 1-row frame. The experimentation readout is the cheapest query
+    in the warehouse — the point of precomputing assignment
+    deterministically from the user id."""
+    e = load(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).alias("grp"), "converted"
+    )
+    g = assign.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("conv"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("c1"),
+    )
+    pooled = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    z = (F.col("c1") / F.col("n1") - F.col("c0") / F.col("n0")) / F.sqrt(
+        pooled * (1 - pooled) * (1 / F.col("n0") + 1 / F.col("n1"))
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.round(F.col("c0") / F.col("n0"), 4).alias("rate_control"),
+        F.round(F.col("c1") / F.col("n1"), 4).alias("rate_treatment"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
