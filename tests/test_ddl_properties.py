@@ -1,6 +1,6 @@
 """Model-based property test for the metadata-DDL lifecycle: ANY
 bounded random sequence of append / merge / rename / partition
-evolution / compaction / rollback must leave the table exactly equal
+evolution / compaction / rollback / branching must leave the table equal
 to a pure-Python model — rows, current logical column names, and every
 retained historical version. The operations that refuse on certain
 states (partial rewrite on a mixed-spec table, evolve onto a mapped
@@ -14,9 +14,13 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+    ConcurrentLakeModificationError,
     append_rows,
     compact_in_place,
+    create_branch,
+    drop_branch,
     evolve_partitioning,
+    fast_forward,
     merge_into,
     publish_overwrite,
     read_manifest,
@@ -36,9 +40,13 @@ _OPS = st.lists(
         st.tuples(st.just("compact"), st.none()),
         st.tuples(st.just("rollback"), st.integers(0, 10)),
         st.tuples(st.just("vacuum"), st.integers(1, 3)),
+        st.tuples(st.just("branch"), st.none()),
+        st.tuples(st.just("bappend"), st.integers(0, 1)),
+        st.tuples(st.just("ff"), st.none()),
+        st.tuples(st.just("bdrop"), st.none()),
     ),
     min_size=1,
-    max_size=6,
+    max_size=8,
 )
 
 
@@ -62,6 +70,7 @@ def test_ddl_lifecycle_matches_model(spark, tmp_path_factory, ops):
     mixed = False  # retired-spec files remain
     mapped = False  # a rename mapping is live
     next_id = 100
+    branch = None  # {"rows", "vname", "part", "fork_v", "head_v"}
     publish_overwrite(spark, path, mk([(i, g, v) for i, (g, v) in rows.items()]),
                       part, manifest=True)
     history = {read_manifest(path)["version"]: (dict(rows), vname, list(part), mixed, mapped)}
@@ -124,8 +133,56 @@ def test_ddl_lifecycle_matches_model(spark, tmp_path_factory, ops):
             )
 
             got = vacuum_manifests(path, keep_last=arg)
-            # the model's reachable history shrinks to what retention kept
-            history = {v: history[v] for v in got["kept_versions"]}
+            # the model's reachable history shrinks to what retention
+            # kept (branch-chain versions are pinned too but were never
+            # main states, so they are not rollback targets)
+            history = {
+                v: history[v] for v in got["kept_versions"] if v in history
+            }
+        elif kind == "branch":
+            if branch is None:
+                info = create_branch(path, "b")
+                branch = {
+                    "rows": dict(rows), "vname": vname, "part": list(part),
+                    "fork_v": info["base"], "head_v": info["head"],
+                }
+            else:
+                with pytest.raises(ValueError, match="already exists"):
+                    create_branch(path, "b")
+        elif kind == "bappend":
+            if branch is not None:
+                batch = [
+                    (next_id + k, "b", (next_id + k) * 10)
+                    for k in range(arg + 1)
+                ]
+                snap = append_rows(
+                    spark, path,
+                    mk(batch).withColumnRenamed("v", branch["vname"]),
+                    branch["part"], branch="b",
+                )
+                for i, g, v in batch:
+                    branch["rows"][i] = (g, v)
+                branch["head_v"] = snap["version"]
+                next_id += arg + 1
+        elif kind == "ff":
+            if branch is not None:
+                main_v = read_manifest(path)["version"]
+                if branch["head_v"] == main_v:
+                    fast_forward(path, "b")  # no-op publish
+                elif main_v == branch["fork_v"]:
+                    fast_forward(path, "b")
+                    rows = dict(branch["rows"])
+                    vname = branch["vname"]
+                    part = list(branch["part"])
+                    branch = None
+                else:
+                    # main advanced since the fork — refuse, untouched
+                    with pytest.raises(ConcurrentLakeModificationError):
+                        fast_forward(path, "b")
+        elif kind == "bdrop":
+            if branch is not None:
+                assert drop_branch(path, "b")
+                branch = None
         elif kind == "rollback":
             retained = sorted(history)
             target = retained[arg % len(retained)]
