@@ -232,3 +232,37 @@ def test_engine_sql_branch_as_of_governed(spark, tmp_path):
             as_of_versions={"db.accts": 1},
             as_of_branches={"db.accts": "staged"},
         )
+
+
+def test_erasure_dominates_staged_branches(spark, tmp_path):
+    """GDPR erasure (delete_rows: history truncation + drop_tags) must
+    also destroy STAGED branch state: a branch whose unpublished
+    commits contain matched rows cannot remain readable, or 'no reader
+    can observe a matched row' would fail for branch_head readers."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        delete_rows,
+    )
+
+    path = str(tmp_path / "t")
+    publish_overwrite(
+        spark, path, _mk(spark, [(1, "a", "keep"), (2, "b", "erase-me")]),
+        ["grp"], manifest=True,
+    )
+    create_branch(path, "staged")
+    snap = append_rows(
+        spark, path, _mk(spark, [(3, "b", "erase-me-too")]), ["grp"],
+        branch="staged",
+    )
+    head_v, head_files = snap["version"], snap["files"]
+    delete_rows(spark, path, "v LIKE 'erase%'", partition_col="grp")
+    # current read is clean
+    assert _rows(read_table(spark, path)) == [(1, "a", "keep")]
+    # the branch pointer is gone — erasure cannot be pinned around
+    assert list_branches(path) == {}
+    # the staged snapshot is unreachable and its matched-row files gone
+    with pytest.raises(FileNotFoundError):
+        read_manifest(path, head_v)
+    live_files = set(read_manifest(path)["files"])
+    for rel in head_files:
+        if rel not in live_files:
+            assert not Path(path, rel).exists(), rel
