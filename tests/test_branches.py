@@ -266,3 +266,27 @@ def test_erasure_dominates_staged_branches(spark, tmp_path):
     for rel in head_files:
         if rel not in live_files:
             assert not Path(path, rel).exists(), rel
+
+
+def test_two_branches_first_publish_wins(spark, seeded):
+    """Independent branches chain independently; publication is
+    first-wins: the second fast-forward sees main advanced past its
+    fork and must refuse (re-branch and replay, commit_publish's
+    contract)."""
+    path = seeded
+    create_branch(path, "b1")
+    create_branch(path, "b2")
+    append_rows(spark, path, _mk(spark, [(3, "a", "b1")]), ["grp"],
+                branch="b1")
+    append_rows(spark, path, _mk(spark, [(4, "a", "b2")]), ["grp"],
+                branch="b2")
+    # interleaved version numbers, independent parents
+    h1, h2 = branch_head(path, "b1"), branch_head(path, "b2")
+    assert h1["parent"] == 1 and h2["parent"] == 1
+    assert h1["version"] != h2["version"]
+    fast_forward(path, "b1")
+    assert (3, "a", "b1") in _rows(read_table(spark, path))
+    with pytest.raises(ConcurrentLakeModificationError, match="ancestor"):
+        fast_forward(path, "b2")
+    # b2's staged rows never became visible
+    assert (4, "a", "b2") not in _rows(read_table(spark, path))
