@@ -219,6 +219,9 @@ HEADLINE = [
     # (per-user conversion + pooled two-proportion z-test)
     "privacy_dp_event_counts",
     "events_ab_test",
+    # ... and targeted bin-packing OPTIMIZE (fragmented publish + 4
+    # appends + the small-tail-only rewrite + both snapshot reads)
+    "lake_optimize_binpack",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -1548,3 +1548,58 @@ def test_engine_sql_tag_as_of_governed(spark, tmp_path):
             as_of_versions={"db.accts": 1},
             as_of_tags={"db.accts": "seed"},
         )
+
+
+def test_optimize_binpack_partial_rewrite_and_guards(spark, tmp_path):
+    """Bin-packing rewrites ONLY the small-file tail: a big file keeps
+    its exact relpath (and inherited stats/sequence number); small
+    siblings pack; the guards fail closed on tombstoned, renamed, and
+    spec-evolved tables with the designated cure in the message."""
+    import pytest as _pytest
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        append_rows,
+        delete_rows_mor,
+        evolve_partitioning,
+        optimize_binpack,
+        publish_overwrite,
+        rename_column,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, grp string, v long")
+
+    path = str(tmp_path / "t")
+    # one BIG file per partition (above target) + small appended files
+    big = mk([(i, "a", i) for i in range(50)]).coalesce(1)
+    publish_overwrite(spark, path, big, ["grp"], manifest=True)
+    m1 = read_manifest(path)
+    big_files = set(m1["files"])
+    for k in range(3):
+        append_rows(spark, path, mk([(100 + k, "a", k)]), ["grp"])
+    out = optimize_binpack(spark, path, target_rows=40)
+    # the big file survived by name; the 3 small ones packed into 1
+    m2 = read_manifest(path)
+    assert big_files <= set(m2["files"])
+    assert out["files_rewritten"] == 3
+    assert out["files_after"] == len(big_files) + 1
+    got = {(r.id, r.v) for r in read_table(spark, path).collect()}
+    assert got == {(i, i) for i in range(50)} | {(100 + k, k) for k in range(3)}
+    # idempotent: nothing left below target in groups of >= 2
+    again = optimize_binpack(spark, path, target_rows=40)
+    assert again["version"] is None and again["files_rewritten"] == 0
+
+    # guards, each naming its cure
+    delete_rows_mor(spark, path, "id = 0")
+    with _pytest.raises(ValueError, match="purge_deleted_rows"):
+        optimize_binpack(spark, path)
+    p2 = str(tmp_path / "t2")
+    publish_overwrite(spark, p2, mk([(1, "a", 1)]), ["grp"], manifest=True)
+    rename_column(p2, "v", "val")
+    with _pytest.raises(ValueError, match="compact_in_place"):
+        optimize_binpack(spark, p2)
+    p3 = str(tmp_path / "t3")
+    publish_overwrite(spark, p3, mk([(1, "a", 1)]), ["grp"], manifest=True)
+    evolve_partitioning(p3, [])
+    with _pytest.raises(ValueError, match="compact_in_place"):
+        optimize_binpack(spark, p3)

@@ -571,6 +571,11 @@ class Engine:
         (including denials) is audit-logged as ``MAINTAIN <action>``.
 
         Actions:
+        - ``"optimize_binpack"`` — targeted small-file OPTIMIZE
+          (sources.lake.optimize_binpack): rewrites only the
+          below-target tail per partition dir, carries everything
+          else by name; the maintenance-cadence op between full
+          compactions.
         - ``"compact"`` — in-place small-file compaction
           (sources.lake.compact_in_place; ``target_file_bytes=`` kwarg),
           partitioned by the table's declared partition keys;
@@ -735,6 +740,13 @@ class Engine:
                 **kwargs,
             )
             result = {"files_before": before, "files_after": after}
+        elif action == "optimize_binpack":
+            from .sources.lake import optimize_binpack
+
+            # targeted bin-pack: rewrites only the small-file tail
+            # (fail-closed on tombstones/rename/spec evolution — the
+            # lake layer names the cure)
+            result = optimize_binpack(self.spark, table.location, **kwargs)
         elif action == "expire_versions":
             # same layout derivation as delete_rows: the catalog knows
             # the partition keys, so the retention rewrite stays

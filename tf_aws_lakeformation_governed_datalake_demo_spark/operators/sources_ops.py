@@ -1862,3 +1862,63 @@ def lake_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(before, "before").unionByName(
         profile(read_table(spark, path), "after")
     )
+
+
+@query(
+    "lake_optimize_binpack",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(doc_id AS BIGINT)) AS BIGINT) AS id_chk
+    FROM documents GROUP BY lang
+    """,
+    "Targeted small-file OPTIMIZE (round-9, the Delta bin-packing "
+    "semantics): a fragmented table (16-way-shuffled seed publish + "
+    "three appends) is bin-packed per partition directory — ONLY files "
+    "below the row target rewrite, every untouched file is carried by "
+    "name, and the commit is one snapshot. The body asserts the file "
+    "count collapsed, the rewrite touched only the small tail, and the "
+    "pre-OPTIMIZE snapshot stays readable; the oracle is the plain "
+    "per-language profile (layout changes I/O, never results).",
+)
+def lake_optimize_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: planning is O(#files) arithmetic on the manifest's own
+    recorded row counts (zero I/O); the rewrite reads only small-file
+    bytes — at 100 TB that is the streaming-append tail, not the
+    table. compact_in_place stays the FULL-rewrite migration tool
+    (spec evolution, rename healing, clustering); this is the
+    maintenance-cadence op between those migrations. Fail-closed
+    interactions (tombstones, rename mapping, spec evolution) are
+    pinned in tests/test_manifest.py."""
+    from ..sources import append_rows, optimize_binpack, publish_overwrite
+    from ..sources.lake import read_manifest, read_table
+
+    d = load(spark, sf_dir, "documents")
+    path = scratch_dir("binpack_") + "/docs"
+    publish_overwrite(
+        spark, path, d.filter(F.col("doc_id") % 5 == 0).repartition(16),
+        ["lang"], manifest=True,
+    )
+    for k in (1, 2, 3):
+        append_rows(
+            spark, path, d.filter(F.col("doc_id") % 5 == k), ["lang"]
+        )
+    append_rows(spark, path, d.filter(F.col("doc_id") % 5 == 4), ["lang"])
+    before = read_manifest(path)
+    out = optimize_binpack(spark, path, target_rows=1_000_000)
+    assert out["files_after"] < out["files_before"], out
+    assert out["files_rewritten"] == out["files_before"], out  # all small
+    # the pre-OPTIMIZE snapshot is ordinary retained history
+    assert read_table(spark, path, version=before["version"]).count() == (
+        read_table(spark, path).count()
+    )
+    return (
+        read_table(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.col("doc_id").cast("long")).cast("long").alias("id_chk"),
+        )
+    )

@@ -3732,6 +3732,155 @@ def expire_scd2_versions(
     }
 
 
+def optimize_binpack(
+    spark: SparkSession,
+    path: str,
+    target_rows: int = 1_000_000,
+    compression: str = "snappy",
+) -> dict:
+    """Targeted small-file OPTIMIZE on a manifest table: rewrite ONLY
+    the small-file tail (files whose recorded row count is below
+    ``target_rows``), bin-packed per partition directory, committed as
+    one manifest snapshot carrying every untouched file by name. The
+    Delta ``OPTIMIZE`` bin-packing semantics — and the operation that
+    actually matters at 100 TB, where :func:`compact_in_place`'s full
+    rewrite is a cluster-day but the streaming-append tail is a few
+    thousand tiny files: cost here is O(small-file bytes), never
+    O(table bytes).
+
+    Uses the manifest's own per-file row counts (recorded at every
+    commit for metadata-only COUNT) to pick files — zero I/O planning.
+    Fail-closed on state it would corrupt, with the designated cure:
+
+    - partition-spec evolved (retired-spec files remain) → a partial
+      rewrite cannot preserve old-spec directories; ``compact_in_place``
+      migrates and heals.
+    - live rename mapping → files carry frozen physical names and this
+      rewrite round-trips raw files; ``compact_in_place`` migrates.
+    - merge-on-read tombstones → new files get a fresh sequence number
+      outside every tombstone's scope, so covered rows would RESURRECT;
+      :func:`purge_deleted_rows` first.
+    - missing row counts (pre-recording snapshots) → re-publish once.
+
+    Bin-packed files get fresh footer stats at commit (the same read
+    that records their row counts); they drop any per-file bloom their
+    inputs carried (blooms are recorded by bloom-writing commits —
+    re-add on the next such write, or accept the scan). Untouched files
+    inherit stats, blooms, and sequence numbers unchanged. Optimistic
+    concurrency: refuses if any writer committed since planning.
+
+    Returns ``{"files_before", "files_after", "files_rewritten",
+    "version"}`` (version None when nothing needed packing)."""
+    import math
+    import shutil
+    import uuid as _uuid
+    from collections import defaultdict
+    from pathlib import Path
+
+    live = Path(path)
+    m = read_manifest(path)
+    if m is None:
+        raise ValueError(
+            f"table at {path} is not manifest-committed — nothing to optimize"
+        )
+    if m.get("partition_specs"):
+        raise ValueError(
+            f"table at {path} is partition-evolved — compact_in_place() "
+            "migrates retired-spec files; a partial bin-pack cannot"
+        )
+    if m.get("column_mapping"):
+        raise ValueError(
+            f"table at {path} has a live rename mapping — "
+            "compact_in_place() migrates physical names; a raw-file "
+            "bin-pack cannot"
+        )
+    if m.get("delete_predicates"):
+        raise ValueError(
+            f"table at {path} carries merge-on-read tombstones — "
+            "purge_deleted_rows() first (bin-packed files would escape "
+            "every tombstone's sequence scope and resurrect deleted rows)"
+        )
+    file_rows = m.get("file_rows", {})
+    missing = [f for f in m["files"] if f not in file_rows]
+    if missing:
+        raise ValueError(
+            f"table at {path} lacks recorded row counts for "
+            f"{len(missing)} file(s) — re-publish once to record them"
+        )
+    by_dir: dict[str, list[str]] = defaultdict(list)
+    for f in m["files"]:
+        by_dir[str(Path(f).parent)].append(f)
+    picked: list[str] = []
+    plans: list[tuple[str, list[str], int]] = []  # (dir, files, n_out)
+    for d, files in sorted(by_dir.items()):
+        small = [f for f in files if file_rows[f] < target_rows]
+        if len(small) < 2:
+            continue  # nothing to pack here
+        n_out = max(
+            1, math.ceil(sum(file_rows[f] for f in small) / target_rows)
+        )
+        if n_out >= len(small):
+            continue  # packing would not reduce the file count
+        picked.extend(small)
+        plans.append((d, small, n_out))
+    if not plans:
+        return {
+            "files_before": len(m["files"]),
+            "files_after": len(m["files"]),
+            "files_rewritten": 0,
+            "version": None,
+        }
+    txid = _uuid.uuid4().hex
+    staged = live / f"_staged_{txid}"
+    try:
+        for d, files, n_out in plans:
+            out_dir = staged if d == "." else staged / d
+            # mergeSchema: a partition dir can legitimately hold pre-
+            # and post-schema-evolution files; the packed file carries
+            # the union with nulls — exactly what a declared-schema
+            # read of those rows produces
+            (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[str(live / f) for f in files])
+                .coalesce(n_out)
+                .write.mode("overwrite")
+                .option("compression", compression)
+                .parquet(str(out_dir))
+            )
+        staged_files = sorted(
+            p.relative_to(staged)
+            for p in staged.rglob("*.parquet")
+            if p.is_file()
+        )
+        with publish_lock(live):
+            current = read_manifest(path)
+            if current is None or current["version"] != m["version"]:
+                raise ConcurrentLakeModificationError(
+                    f"table at {path} advanced past v{m['version']} while "
+                    "this bin-pack was staging — re-plan against the "
+                    "current snapshot"
+                )
+            new_files = _move_staged_in(live, staged, staged_files)
+            keep = [f for f in m["files"] if f not in set(picked)]
+            snap = _commit_manifest(
+                live,
+                [*keep, *new_files],
+                m["partition_by"] or None,
+                current,
+                txid,
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    # the packed inputs stay referenced by RETAINED history only;
+    # vacuum_manifests reclaims them past the horizon like any rewrite
+    return {
+        "files_before": len(m["files"]),
+        "files_after": len(snap["files"]),
+        "files_rewritten": len(picked),
+        "version": snap["version"],
+    }
+
+
 def compact_in_place(
     spark: SparkSession,
     path: str,
