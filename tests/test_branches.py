@@ -290,3 +290,57 @@ def test_two_branches_first_publish_wins(spark, seeded):
         fast_forward(path, "b2")
     # b2's staged rows never became visible
     assert (4, "a", "b2") not in _rows(read_table(spark, path))
+
+
+def test_branch_commit_crash_between_snapshot_and_pointer(spark, seeded):
+    """A crash after the snapshot file lands but before the branch
+    sidecar advances must leave an ORPHAN snapshot: the branch head is
+    unchanged, readers see nothing, the next branch commit simply
+    skips past the orphan's version number, and vacuum reclaims it."""
+    import os
+    import time
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        lake as lk,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        vacuum_manifests,
+    )
+
+    path = seeded
+    create_branch(path, "etl")
+    real = lk._write_branches
+    calls = {"n": 0}
+
+    def crashing(live, branches):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected crash before the sidecar advance")
+        return real(live, branches)
+
+    lk._write_branches = crashing
+    try:
+        with pytest.raises(OSError, match="injected"):
+            append_rows(spark, path, _mk(spark, [(3, "a", "x")]), ["grp"],
+                        branch="etl")
+    finally:
+        lk._write_branches = real
+    # branch head unchanged; main untouched; the orphan is invisible
+    assert branch_head(path, "etl")["version"] == 1
+    assert read_manifest(path)["version"] == 1
+    assert read_table(spark, path).count() == 2
+    # the next commit skips past the orphan's version
+    s2 = append_rows(spark, path, _mk(spark, [(4, "a", "y")]), ["grp"],
+                     branch="etl")
+    assert s2["version"] > 2 and s2["parent"] == 1
+    assert read_table(spark, path, version=s2["version"]).count() == 3
+    # aged orphan data is reclaimed; the live chain is intact
+    old = time.time() - 7200
+    for p in Path(path).rglob("*"):
+        if p.is_file():
+            os.utime(p, (old, old))
+    vacuum_manifests(path, keep_last=1)
+    rep = verify_table(path, deep=True)
+    assert rep["ok"] and not rep["orphans"]
+    fast_forward(path, "etl")
+    assert read_table(spark, path).count() == 3
