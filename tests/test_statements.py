@@ -1030,3 +1030,38 @@ def test_maintain_branch_lifecycle_governed(spark, tmp_path):
         if "MAINTAIN create_branch" in e["query"] and e["status"] == "denied"
     ]
     assert denied
+
+
+def test_maintain_optimize_binpack_governed(spark, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark import TableDef
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        append_rows,
+        publish_overwrite,
+        read_table,
+    )
+
+    lake = str(tmp_path / "lake")
+    cat = fx.bootstrap(spark, lake)
+    eng = Engine(spark, cat)
+    loc = f"{lake}/t_pack"
+    d = spark.createDataFrame([(i, "a") for i in range(10)], "id long, grp string")
+    publish_overwrite(spark, loc, d, ["grp"], manifest=True)
+    for k in range(3):
+        append_rows(
+            spark, loc,
+            spark.createDataFrame([(100 + k, "a")], "id long, grp string"),
+            ["grp"],
+        )
+    cat.register_table(TableDef(fx.DATABASE, "t_pack", loc, schema=d.schema))
+    cat.set_admins(["ops"])
+    q = f"{fx.DATABASE}.t_pack"
+    with pytest.raises(PermissionDeniedError):
+        eng.maintain(q, "optimize_binpack", principal="analyst")
+    res = eng.maintain(q, "optimize_binpack", principal="ops",
+                       target_rows=1000)
+    assert res["files_after"] < res["files_before"]
+    assert read_table(spark, loc).count() == 13
+    assert any(
+        "MAINTAIN optimize_binpack" in e["query"] and e["status"] == "ok"
+        for e in cat.audit.events
+    )
