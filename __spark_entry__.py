@@ -21,10 +21,10 @@ freshness-first, self-healing):
   take the window front): lake_branch_merge, lake_optimize_binpack,
   stream_branch_ingest, join_interval_overlap, decontaminate_semantic,
   events_rfm_segments, events_ab_test, privacy_dp_event_counts,
-  text_doc_entropy, text_bigram_cross_entropy, ann_bq_hamming_rerank
-  (11 oracle-backed; the 12th new query, pipeline_quality_classifier,
-  is z_-class rows-only — iterative LBFGS training, AUC-gated in
-  tests/).
+  text_doc_entropy, text_bigram_cross_entropy, ann_bq_hamming_rerank,
+  events_anomaly_mad, pipeline_data_profile (13 oracle-backed; the
+  14th new query, pipeline_quality_classifier, is z_-class rows-only
+  — iterative LBFGS training, AUC-gated in tests/).
 - ``x_<name>`` — promoted re-verifications: the 49 names last verified
   in round 5, the oldest outstanding driver verdicts. "x_" sorts after
   every new name and before the y-classes, so the window is all new
@@ -75,8 +75,8 @@ round-9 names, which get theirs here.
 
 Round-10 rotation plan (for the next builder session): once
 CORRECTNESS_r09 lands green, (1) move the round-9 window's 50 names
-(the 11 new queries + the first 39 ``x_`` re-verifications) into a
-fresh ``y5_`` class (verified r9), (2) promote the 10 spilled ``x_``
+(the 13 new queries + the first 37 ``x_`` re-verifications) into a
+fresh ``y5_`` class (verified r9), (2) promote the 12 spilled ``x_``
 names (``scan_project_filter`` onward alphabetically — run
 ``[n for n in queries() if n.startswith("x_")][39:]`` for the exact
 list; still r5-verified, the oldest) to the front alongside new

@@ -222,6 +222,10 @@ HEADLINE = [
     # ... and targeted bin-packing OPTIMIZE (fragmented publish + 4
     # appends + the small-tail-only rewrite + both snapshot reads)
     "lake_optimize_binpack",
+    # ... and the robust MAD anomaly scorer + the one-pass ANALYZE
+    # profile
+    "events_anomaly_mad",
+    "pipeline_data_profile",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -97,3 +97,69 @@ def pipeline_dedup_then_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).cast("long").alias("total_chars"),
         )
     )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "pipeline_data_profile",
+    """
+    SELECT 'l_quantity' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           round(min(l_quantity), 4) AS vmin, round(max(l_quantity), 4) AS vmax
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           round(min(l_extendedprice), 4), round(max(l_extendedprice), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_discount) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           round(min(l_discount), 4), round(max(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_tax) AS BIGINT),
+           CAST(count(DISTINCT l_tax) AS BIGINT),
+           round(min(l_tax), 4), round(max(l_tax), 4)
+    FROM lineitem
+    """,
+    "Data-profile report (the ANALYZE TABLE / expectations-suite "
+    "shape): per numeric column, row/null/distinct counts and exact "
+    "min/max in one corpus pass — the read-side complement of the "
+    "write-side CHECK constraints (a drifted upstream shows up here "
+    "before it violates anything).",
+)
+def pipeline_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE scan computes every column's aggregates side by side
+    (Catalyst plans a single hash-agg over all measures — column
+    pruning keeps the scan to exactly the profiled columns); the
+    stack() unpivot to long form touches one 1-row frame. Exact
+    count(DISTINCT) over multiple columns expands the agg (Spark plans
+    one expand + agg); at extreme cardinalities swap in
+    approx_count_distinct per column, documented rather than silent."""
+    li = load(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, vmin, vmax)"
+    )
