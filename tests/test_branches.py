@@ -344,3 +344,17 @@ def test_branch_commit_crash_between_snapshot_and_pointer(spark, seeded):
     assert rep["ok"] and not rep["orphans"]
     fast_forward(path, "etl")
     assert read_table(spark, path).count() == 3
+
+
+def test_read_table_branch_kwarg(spark, seeded):
+    path = seeded
+    create_branch(path, "etl")
+    append_rows(spark, path, _mk(spark, [(3, "c", "b1")]), ["grp"],
+                branch="etl")
+    got = _rows(read_table(spark, path, branch="etl"))
+    assert (3, "c", "b1") in got and len(got) == 3
+    assert read_table(spark, path).count() == 2  # main pinned
+    with pytest.raises(KeyError):
+        read_table(spark, path, branch="nope")
+    with pytest.raises(ValueError, match="alone"):
+        read_table(spark, path, branch="etl", version=1)

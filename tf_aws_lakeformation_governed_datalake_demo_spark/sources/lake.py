@@ -1633,10 +1633,13 @@ def read_table(
     prune: dict[str, tuple] | None = None,
     as_of_timestamp: float | None = None,
     tag: str | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """THE lake read path: manifest-aware, schema-declared when given.
     ``tag=`` reads the snapshot a named tag pins (:func:`tag_snapshot`)
-    — exactly VERSION AS OF at the tag's resolved version.
+    — exactly VERSION AS OF at the tag's resolved version; ``branch=``
+    reads a branch's head (:func:`create_branch`) — the audit read of
+    a staged multi-commit ingest before :func:`fast_forward`.
 
     On a manifest table the scan lists files through the committed
     snapshot (``version=None`` → current; ``version=N`` → time travel
@@ -1678,6 +1681,12 @@ def read_table(
             df = df.select(*schema.names)
         return df
 
+    if branch is not None:
+        if version is not None or as_of_timestamp is not None or tag is not None:
+            raise ValueError(
+                "pass branch= alone, not with version=/as_of_timestamp=/tag="
+            )
+        version = branch_head(path, branch)["version"]  # KeyError if unknown
     if tag is not None:
         if version is not None or as_of_timestamp is not None:
             raise ValueError(
