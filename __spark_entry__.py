@@ -77,10 +77,10 @@ Round-10 rotation plan (for the next builder session): once
 CORRECTNESS_r09 lands green, (1) move the round-9 window's 50 names
 (the 13 new queries + the first 37 ``x_`` re-verifications) into a
 fresh ``y5_`` class (verified r9), (2) promote the 12 spilled ``x_``
-names (``scan_project_filter`` onward alphabetically — run
-``[n for n in queries() if n.startswith("x_")][39:]`` for the exact
-list; still r5-verified, the oldest) to the front alongside new
-round-10 queries, (3) fill remaining spare slots
+names — exactly the ``x_`` entries ABSENT from CORRECTNESS_r09.json's
+window (self-identifying; alphabetically they run from
+``x_sample_stratified_by_lang`` onward; still r5-verified, the
+oldest) to the front alongside new round-10 queries, (3) fill remaining spare slots
 with the oldest ``y2_`` (r6) names, alphabetically.
 """
 

@@ -174,6 +174,11 @@ def test_ddl_lifecycle_matches_model(spark, tmp_path_factory, ops):
                     rows = dict(branch["rows"])
                     vname = branch["vname"]
                     part = list(branch["part"])
+                    # the pointer SURVIVES publication (alias of main)
+                    # until dropped — the model treats publish as the
+                    # end of the branch's life, so drop it for real or
+                    # the next create_branch would hit "already exists"
+                    drop_branch(path, "b")
                     branch = None
                 else:
                     # main advanced since the fork — refuse, untouched

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load
+from .curation import _md5_bucket
 from .registry import query
 
 _N_FEATURES = 1 << 15  # hashed token space (fasttext-bucket analog)
@@ -68,10 +69,7 @@ def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.split(F.lower(corrupted), r"\s+").alias("toks"),
         (F.col("doc_id") % 2 == 0).cast("double").alias("label"),
-        (
-            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
-            % 100
-        ).alias("bucket"),
+        _md5_bucket(F.col("text")).alias("bucket"),
     )
 
 

@@ -1200,7 +1200,7 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_interval_overlap",
     """
     WITH g AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS is_new
@@ -1208,7 +1208,7 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sid
       FROM g
     ), sess AS (
@@ -1254,11 +1254,15 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
-    ws = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # the running sum orders by (ts, event_id) like is_new's window:
+    # duplicate per-user timestamps exist in this corpus, and an
+    # untied accumulation order could split a tie group across two
+    # sessions differently per engine (review finding, round 9)
+    ws = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     sess = (
-        e.select("user_id", "ts", is_new.alias("is_new"))
+        e.select("user_id", "event_id", "ts", is_new.alias("is_new"))
         .withColumn("sid", F.sum("is_new").over(ws))
         .groupBy("user_id", "sid")
         .agg(

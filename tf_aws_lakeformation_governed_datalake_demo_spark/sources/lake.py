@@ -3870,7 +3870,8 @@ def optimize_binpack(
                     "current snapshot"
                 )
             new_files = _move_staged_in(live, staged, staged_files)
-            keep = [f for f in m["files"] if f not in set(picked)]
+            picked_set = set(picked)
+            keep = [f for f in m["files"] if f not in picked_set]
             snap = _commit_manifest(
                 live,
                 [*keep, *new_files],
