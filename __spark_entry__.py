@@ -22,9 +22,10 @@ freshness-first, self-healing):
   stream_branch_ingest, join_interval_overlap, decontaminate_semantic,
   events_rfm_segments, events_ab_test, privacy_dp_event_counts,
   text_doc_entropy, text_bigram_cross_entropy, ann_bq_hamming_rerank,
-  events_anomaly_mad, pipeline_data_profile (13 oracle-backed; the
-  14th new query, pipeline_quality_classifier, is z_-class rows-only
-  — iterative LBFGS training, AUC-gated in tests/).
+  events_anomaly_mad, pipeline_data_profile,
+  governance_materialized_view (14 oracle-backed; the 15th new query,
+  pipeline_quality_classifier, is z_-class rows-only — iterative
+  LBFGS training, AUC-gated in tests/).
 - ``x_<name>`` — promoted re-verifications: the 49 names last verified
   in round 5, the oldest outstanding driver verdicts. "x_" sorts after
   every new name and before the y-classes, so the window is all new
@@ -75,8 +76,8 @@ round-9 names, which get theirs here.
 
 Round-10 rotation plan (for the next builder session): once
 CORRECTNESS_r09 lands green, (1) move the round-9 window's 50 names
-(the 13 new queries + the first 37 ``x_`` re-verifications) into a
-fresh ``y5_`` class (verified r9), (2) promote the 12 spilled ``x_``
+(the 14 new queries + the first 36 ``x_`` re-verifications) into a
+fresh ``y5_`` class (verified r9), (2) promote the 13 spilled ``x_``
 names — exactly the ``x_`` entries ABSENT from CORRECTNESS_r09.json's
 window (self-identifying; alphabetically they run from
 ``x_sample_stratified_by_lang`` onward; still r5-verified, the

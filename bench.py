@@ -226,6 +226,9 @@ HEADLINE = [
     # profile
     "events_anomaly_mad",
     "pipeline_data_profile",
+    # ... and the engine-level MATERIALIZED VIEW (create + MoR delete +
+    # update merge + the one incremental refresh + governed read)
+    "governance_materialized_view",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

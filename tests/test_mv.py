@@ -1,0 +1,166 @@
+"""Catalog-level MATERIALIZED VIEWs (round 9): additive aggregates
+stored as their own manifest tables, refreshed incrementally from the
+source's change feed, governed like any table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tf_aws_lakeformation_governed_datalake_demo_spark import (
+    Engine,
+    GovernedCatalog,
+    TableDef,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+    DataCellsFilter,
+    PermissionDeniedError,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+    append_rows,
+    delete_rows,
+    delete_rows_mor,
+    merge_into,
+    publish_overwrite,
+    read_table,
+)
+
+
+def _setup(spark, tmp_path, n=20):
+    lake = str(tmp_path / "lake")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/docs"
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i * 10) for i in range(n)],
+        "id long, grp string, v long",
+    )
+    publish_overwrite(spark, loc, df, ["grp"], manifest=True)
+    cat.register_table(
+        TableDef("db", "docs", loc, schema=df.schema, partition_keys=("grp",))
+    )
+    return cat, Engine(spark, cat), loc, df
+
+
+def _recompute(spark, loc):
+    return {
+        (r.grp, r.n, r.total)
+        for r in read_table(spark, loc)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+
+
+def test_mv_refresh_equals_recompute_under_deletes(spark, tmp_path):
+    cat, eng, loc, df = _setup(spark, tmp_path)
+    eng.create_materialized_view(
+        "db.docs_mv", "db.docs", ["grp"],
+        {"n": ("count", None), "total": ("sum", "v")}, principal="ops",
+    )
+    # v2: tombstone delete; v3: update merge; v4: append incl. new group
+    delete_rows_mor(spark, loc, "id < 4")
+    upd = df.filter((F.col("grp") == "a") & (F.col("id") >= 10)).withColumn(
+        "v", F.col("v") + 1
+    )
+    merge_into(spark, loc, upd, ["id"], ["grp"], collect_stats=False)
+    append_rows(
+        spark, loc,
+        spark.createDataFrame([(100, "c", 7)], "id long, grp string, v long"),
+        ["grp"],
+    )
+    out = eng.refresh_materialized_view("db.docs_mv", principal="ops")
+    assert out["refreshed"]
+    got = {
+        (r.grp, r.n, r.total)
+        for r in eng.sql("SELECT * FROM db.docs_mv", principal="ops").collect()
+    }
+    assert got == _recompute(spark, loc)
+    # no-op refresh
+    assert not eng.refresh_materialized_view("db.docs_mv", principal="ops")[
+        "refreshed"
+    ]
+
+
+def test_mv_group_leaves_when_emptied_and_governance_applies(spark, tmp_path):
+    cat, eng, loc, df = _setup(spark, tmp_path, n=6)
+    eng.create_materialized_view(
+        "db.docs_mv", "db.docs", ["grp"],
+        {"n": ("count", None), "total": ("sum", "v")}, principal="ops",
+    )
+    delete_rows_mor(spark, loc, "grp = 'b'")  # empties group b
+    eng.refresh_materialized_view("db.docs_mv", principal="ops")
+    rows = eng.sql("SELECT * FROM db.docs_mv", principal="ops").collect()
+    assert [r.grp for r in rows] == ["a"]
+    # the MV is a governed table: row security applies to readers
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="none", database="db", table="docs_mv",
+            columns=("grp", "n", "total"), row_filter="grp = 'zzz'",
+        )
+    )
+    cat.grant("analyst", "SELECT", "db", "docs_mv", via_filter="none")
+    assert (
+        eng.sql("SELECT * FROM db.docs_mv", principal="analyst").count() == 0
+    )
+    # and creation/refresh are operator actions
+    with pytest.raises(PermissionDeniedError):
+        eng.refresh_materialized_view("db.docs_mv", principal="analyst")
+    denied = [
+        e for e in cat.audit.events
+        if "REFRESH MATERIALIZED VIEW" in e["query"]
+        and e["status"] == "denied"
+    ]
+    assert denied
+
+
+def test_mv_guards(spark, tmp_path):
+    cat, eng, loc, df = _setup(spark, tmp_path)
+    with pytest.raises(ValueError, match="count"):
+        eng.create_materialized_view(
+            "db.m1", "db.docs", ["grp"], {"total": ("sum", "v")},
+            principal="ops",
+        )
+    with pytest.raises(ValueError, match="additive"):
+        eng.create_materialized_view(
+            "db.m2", "db.docs", ["grp"],
+            {"n": ("count", None), "hi": ("max", "v")}, principal="ops",
+        )
+    eng.create_materialized_view(
+        "db.m3", "db.docs", ["grp"], {"n": ("count", None)}, principal="ops"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        eng.create_materialized_view(
+            "db.m3", "db.docs", ["grp"], {"n": ("count", None)},
+            principal="ops",
+        )
+    # erasure truncates source history -> incremental refresh refuses
+    # with the re-create instruction (never silently serves stale state)
+    delete_rows(spark, loc, "id = 1", partition_col="grp")
+    with pytest.raises(ValueError, match="re-create"):
+        eng.refresh_materialized_view("db.m3", principal="ops")
+
+
+def test_mv_survives_catalog_reload(spark, tmp_path):
+    cat, eng, loc, df = _setup(spark, tmp_path)
+    eng.create_materialized_view(
+        "db.docs_mv", "db.docs", ["grp"],
+        {"n": ("count", None), "total": ("sum", "v")}, principal="ops",
+    )
+    cat.save()
+    cat2 = GovernedCatalog.load(spark, cat.lake_root)
+    assert cat2.governance_fingerprint() == cat.governance_fingerprint()
+    eng2 = Engine(spark, cat2)
+    append_rows(
+        spark, loc,
+        spark.createDataFrame([(100, "a", 5)], "id long, grp string, v long"),
+        ["grp"],
+    )
+    out = eng2.refresh_materialized_view("db.docs_mv", principal="ops")
+    assert out["refreshed"]
+    got = {
+        (r.grp, r.n, r.total)
+        for r in eng2.sql("SELECT * FROM db.docs_mv", principal="ops").collect()
+    }
+    assert got == _recompute(spark, loc)

@@ -98,6 +98,28 @@ class ViewDef:
         return f"{self.database}.{self.name}"
 
 
+@dataclass
+class MaterializedViewDef:
+    """An incrementally-maintained aggregate over ONE manifest-committed
+    source table (Engine.create_materialized_view / refresh). Measures
+    are ADDITIVE only (count / sum) — the invariant that makes a
+    signed change-feed merge equal a full recompute under deletes;
+    min/max are refused at creation (a delete can strand them).
+    ``last_version`` is the source snapshot the stored state reflects."""
+
+    database: str
+    name: str
+    source: str  # qualified source table
+    group_by: tuple
+    measures: dict  # out_col -> [agg, src_col|None]; agg in {count, sum}
+    location: str
+    last_version: int
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.database}.{self.name}"
+
+
 class ConcurrentCatalogModificationError(RuntimeError):
     """Another session saved the catalog since this one loaded it."""
 
@@ -124,6 +146,7 @@ class GovernedCatalog:
         self.filters: dict[str, DataCellsFilter] = {}
         self.grants: list[Grant] = []
         self.admins: set[str] = set()
+        self.mvs: dict[str, MaterializedViewDef] = {}  # "db.mv" -> def
         self.audit = AuditLog()
         # Monotonic save counter for optimistic concurrency (see save()).
         self.revision = 0
@@ -193,6 +216,29 @@ class GovernedCatalog:
                 for g in self.grants  # grant order is semantic state
             ],
             "admins": sorted(self.admins),
+            # emitted only when present so pre-MV catalogs (and their
+            # persisted governance fingerprints) serialize identically
+            **(
+                {
+                    "materialized_views": {
+                        q: {
+                            "database": m.database,
+                            "name": m.name,
+                            "source": m.source,
+                            "group_by": list(m.group_by),
+                            "measures": {
+                                k: list(v)
+                                for k, v in sorted(m.measures.items())
+                            },
+                            "location": m.location,
+                            "last_version": m.last_version,
+                        }
+                        for q, m in sorted(self.mvs.items())
+                    }
+                }
+                if self.mvs
+                else {}
+            ),
         }
 
     @classmethod
@@ -254,6 +300,16 @@ class GovernedCatalog:
                 )
             )
         cat.admins = set(state["admins"])
+        for q, m in state.get("materialized_views", {}).items():
+            cat.mvs[q] = MaterializedViewDef(
+                database=m["database"],
+                name=m["name"],
+                source=m["source"],
+                group_by=tuple(m["group_by"]),
+                measures={k: tuple(v) for k, v in m["measures"].items()},
+                location=m["location"],
+                last_version=int(m["last_version"]),
+            )
         cat.revision = state.get("revision", 0)
         return cat
 

@@ -903,6 +903,238 @@ class Engine:
         _audit("ok")
         return result
 
+
+    # --------------------------------------- materialized views (r9)
+    def _mv_gate(self, name, table, verb: str, qualified: str) -> None:
+        """Same admin-or-unconditioned-ALL rule as maintain(): creating
+        or refreshing an MV scans the SOURCE outside row/column
+        security, so it is an operator action, audited incl. denials."""
+        from .governance import ALL, PermissionDeniedError
+
+        if (
+            self.catalog.governance_enabled
+            and name not in self.catalog.admins
+        ):
+            grants = (
+                self.catalog.grants_for(name, table.database, table.name)
+                if name is not None
+                else []
+            )
+            if not any(
+                g.permission == ALL
+                and g.via_filter is None
+                and g.via_tag_exclude is None
+                for g in grants
+            ):
+                self.catalog.audit.record(
+                    principal=name or "<none>",
+                    query=f"{verb} {qualified}",
+                    tables=[qualified],
+                    filters_applied=[],
+                    status="denied",
+                    error="requires admin or ALL grant",
+                )
+                raise PermissionDeniedError(
+                    f"principal {name!r} may not {verb} {qualified}: "
+                    "requires admin or an unconditioned ALL grant on the "
+                    "source"
+                )
+
+    def create_materialized_view(
+        self,
+        qualified_mv: str,
+        source: str,
+        group_by: list[str],
+        measures: dict[str, tuple],
+        principal: "Principal | str | None" = None,
+    ) -> dict:
+        """CREATE MATERIALIZED VIEW: an incrementally-maintained
+        aggregate over one manifest-committed source table, stored as
+        its own manifest table under ``<lake_root>/_mv/`` and
+        registered in the catalog — so grants, row/column security,
+        result reuse, and AS OF reads apply to the MV like any table.
+
+        ``measures`` maps output columns to ``("count", None)`` or
+        ``("sum", src_col)`` — ADDITIVE aggregates only, the invariant
+        that makes :meth:`refresh_materialized_view`'s signed
+        change-feed merge equal a full recompute under row deletions
+        (min/max refused: a delete can strand them; at least one count
+        measure required: it is how emptied groups leave the MV).
+
+        100 TB: creation pays one full aggregation of the source —
+        once; every refresh after that is O(changed files) through
+        table_changes. The stored state is O(groups)."""
+        from pathlib import Path
+
+        from .catalog import MaterializedViewDef, TableDef
+        from .sources.lake import publish_overwrite, read_manifest, read_table
+
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        src = self.catalog.tables[source]  # KeyError: fail closed
+        self._mv_gate(name, src, "CREATE MATERIALIZED VIEW", qualified_mv)
+        if qualified_mv in self.catalog.tables or qualified_mv in self.catalog.views:
+            raise ValueError(f"{qualified_mv} already exists")
+        db, _, mv_name = qualified_mv.partition(".")
+        if db not in self.catalog.databases:
+            raise KeyError(f"database {db!r} does not exist")
+        if self.catalog.lake_root is None:
+            raise ValueError("materialized views need a catalog lake_root")
+        if read_manifest(src.location) is None:
+            raise ValueError(
+                f"source {source} is not manifest-committed — the refresh "
+                "path needs table_changes; publish it with manifest=True"
+            )
+        if not any(agg == "count" for agg, _ in measures.values()):
+            raise ValueError(
+                "at least one ('count', None) measure is required — it is "
+                "how groups whose rows are all deleted leave the MV"
+            )
+        for out, (agg, col) in measures.items():
+            if agg not in ("count", "sum"):
+                raise ValueError(
+                    f"measure {out}={agg!r} is not additive under deletes "
+                    "— only count/sum can refresh from a signed change "
+                    "feed (recompute min/max with a full re-create)"
+                )
+            if (agg == "sum") != (col is not None):
+                raise ValueError(f"measure {out}: sum needs a column, count none")
+        from pyspark.sql import functions as F
+
+        cur = read_manifest(src.location)["version"]
+        base = read_table(self.spark, src.location, schema=src.schema)
+        aggs = [
+            (
+                F.count(F.lit(1)).cast("long")
+                if agg == "count"
+                else F.sum(col)
+            ).alias(out)
+            for out, (agg, col) in measures.items()
+        ]
+        state = base.groupBy(*group_by).agg(*aggs)
+        location = str(Path(self.catalog.lake_root) / "_mv" / db / mv_name)
+        publish_overwrite(
+            self.spark, location, state.repartition(1), None, manifest=True
+        )
+        self.catalog.register_table(
+            TableDef(db, mv_name, location, schema=state.schema)
+        )
+        self.catalog.mvs[qualified_mv] = MaterializedViewDef(
+            database=db,
+            name=mv_name,
+            source=source,
+            group_by=tuple(group_by),
+            measures={k: tuple(v) for k, v in measures.items()},
+            location=location,
+            last_version=cur,
+        )
+        self.catalog.audit.record(
+            principal=name or "<none>",
+            query=(
+                f"CREATE MATERIALIZED VIEW {qualified_mv} AS "
+                f"agg({source}) BY ({', '.join(group_by)})"
+            ),
+            tables=[qualified_mv, source],
+            filters_applied=[],
+            status="ok",
+        )
+        return {"location": location, "source_version": cur}
+
+    def refresh_materialized_view(
+        self,
+        qualified_mv: str,
+        principal: "Principal | str | None" = None,
+    ) -> dict:
+        """REFRESH MATERIALIZED VIEW, incrementally: aggregate the
+        source's table_changes feed since ``last_version`` with SIGNED
+        contributions (+ for inserts, - for deletes; an update is the
+        pair), union with the stored state, re-aggregate, drop groups
+        whose count reached zero, and publish the new state atomically.
+        The source is never rescanned — cost is O(changed files) +
+        O(groups). Refresh == recompute is pinned in tests/test_mv.py
+        against partition rewrites that both delete and update rows."""
+        from pyspark.sql import functions as F
+
+        from .sources.lake import (
+            publish_overwrite,
+            read_manifest,
+            read_table,
+            table_changes,
+        )
+
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        mv = self.catalog.mvs[qualified_mv]  # KeyError: fail closed
+        src = self.catalog.tables[mv.source]
+        self._mv_gate(name, src, "REFRESH MATERIALIZED VIEW", qualified_mv)
+        cur = read_manifest(src.location)["version"]
+        if cur == mv.last_version:
+            return {"refreshed": False, "source_version": cur}
+        try:
+            feed = table_changes(
+                self.spark, src.location, mv.last_version, cur, src.schema
+            )
+        except FileNotFoundError as exc:
+            # erasure (delete_rows) truncates source history to the
+            # erased state, exactly so nothing can replay pre-erasure
+            # rows — incremental refresh across that boundary is
+            # IMPOSSIBLE by design, not an error to paper over
+            raise ValueError(
+                f"source {mv.source} history since v{mv.last_version} was "
+                "truncated (erasure or vacuum) — drop and re-create "
+                f"{qualified_mv}; its stored state may reflect erased rows"
+            ) from exc
+        sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+        old = read_table(self.spark, mv.location)
+        delta_aggs = [
+            (
+                F.sum(sign).cast("long")
+                if agg == "count"
+                else F.sum(sign * F.col(col))
+            ).alias(out)
+            for out, (agg, col) in mv.measures.items()
+        ]
+        delta = feed.groupBy(*mv.group_by).agg(*delta_aggs)
+        # cast delta measures to the stored types so the union is exact
+        delta = delta.select(
+            *mv.group_by,
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in old.schema.fields
+                if f.name not in mv.group_by
+            ],
+        )
+        count_col = next(
+            out for out, (agg, _) in mv.measures.items() if agg == "count"
+        )
+        state = (
+            old.unionByName(delta)
+            .groupBy(*mv.group_by)
+            .agg(
+                *[
+                    F.sum(out).cast(
+                        old.schema[out].dataType.simpleString()
+                    ).alias(out)
+                    for out in mv.measures
+                ]
+            )
+            .filter(F.col(count_col) > 0)
+        )
+        publish_overwrite(
+            self.spark, mv.location, state.repartition(1), None
+        )
+        mv.last_version = cur
+        self.catalog.audit.record(
+            principal=name or "<none>",
+            query=f"REFRESH MATERIALIZED VIEW {qualified_mv}",
+            tables=[qualified_mv, mv.source],
+            filters_applied=[],
+            status="ok",
+        )
+        return {"refreshed": True, "source_version": cur}
+
     def history(
         self,
         qualified: str,

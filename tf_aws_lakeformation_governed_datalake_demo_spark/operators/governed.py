@@ -18,6 +18,7 @@ from __future__ import annotations
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import fixtures as fx
 from ..engine import Engine
@@ -327,3 +328,67 @@ def governance_streamed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"gov_stream_out_{next(_GOV_STREAM_SEQ)}"
     return run_stream_to_batch(agg, name, output_mode="complete")
+
+
+@query(
+    "governance_materialized_view",
+    """
+    WITH v2 AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+      WHERE doc_id % 10 <> 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM v2 GROUP BY lang
+    """,
+    "MATERIALIZED VIEW with incremental refresh (round-9): the engine "
+    "creates a per-lang count/sum MV over a governed manifest table, "
+    "the source takes a MoR DELETE (every 10th doc) and an update "
+    "merge (every 4th remaining doc grows n_chars by 1000), and ONE "
+    "refresh folds the signed change feed into the stored state — the "
+    "source is never rescanned. The oracle is the full recompute of "
+    "the v-final state, so the hash check proves engine-level "
+    "feed-refresh == recompute across deletes and updates.",
+)
+def governance_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse object tying the round-8/9 machinery together:
+    manifest commits give the change feed, additive aggregates refresh
+    from it in O(changed files) + O(groups), the stored state is
+    itself a governed manifest table (grants, AS OF, result reuse all
+    apply), and erasure on the source fail-closes the refresh with a
+    re-create instruction (tests/test_mv.py). Measures are additive
+    only — the invariant that makes the signed merge exact."""
+    from ..catalog import GovernedCatalog, TableDef
+    from ..sources import delete_rows_mor, load, merge_into, publish_overwrite
+
+    d = load(spark, sf_dir, "documents")
+    lake = scratch_dir("gov_mv_")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/docs"
+    publish_overwrite(spark, loc, d, ["lang"], manifest=True)
+    cat.register_table(
+        TableDef("db", "docs", loc, schema=d.schema, partition_keys=("lang",))
+    )
+    eng = Engine(spark, cat)
+    eng.create_materialized_view(
+        "db.docs_mv", "db.docs", ["lang"],
+        {"n_docs": ("count", None), "total_chars": ("sum", "n_chars")},
+        principal="ops",
+    )
+    delete_rows_mor(spark, loc, "doc_id % 10 = 0")
+    upd = (
+        d.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 4 == 0))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+    )
+    merge_into(spark, loc, upd, ["doc_id"], ["lang"], collect_stats=False)
+    out = eng.refresh_materialized_view("db.docs_mv", principal="ops")
+    assert out["refreshed"], out
+    return eng.sql(
+        "SELECT lang, n_docs, total_chars FROM db.docs_mv", principal="ops"
+    )
