@@ -164,3 +164,27 @@ def test_mv_survives_catalog_reload(spark, tmp_path):
         for r in eng2.sql("SELECT * FROM db.docs_mv", principal="ops").collect()
     }
     assert got == _recompute(spark, loc)
+
+
+def test_mv_drop_and_recreate(spark, tmp_path):
+    cat, eng, loc, df = _setup(spark, tmp_path)
+    eng.create_materialized_view(
+        "db.docs_mv", "db.docs", ["grp"],
+        {"n": ("count", None), "total": ("sum", "v")}, principal="ops",
+    )
+    with pytest.raises(PermissionDeniedError):
+        eng.drop_materialized_view("db.docs_mv", principal="analyst")
+    eng.drop_materialized_view(
+        "db.docs_mv", principal="ops", delete_data=True
+    )
+    assert "db.docs_mv" not in cat.mvs and "db.docs_mv" not in cat.tables
+    # re-creation after the erasure instruction works
+    eng.create_materialized_view(
+        "db.docs_mv", "db.docs", ["grp"],
+        {"n": ("count", None), "total": ("sum", "v")}, principal="ops",
+    )
+    got = {
+        (r.grp, r.n, r.total)
+        for r in eng.sql("SELECT * FROM db.docs_mv", principal="ops").collect()
+    }
+    assert got == _recompute(spark, loc)

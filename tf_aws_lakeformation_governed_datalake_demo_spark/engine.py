@@ -1041,6 +1041,33 @@ class Engine:
         )
         return {"location": location, "source_version": cur}
 
+    def drop_materialized_view(
+        self,
+        qualified_mv: str,
+        principal: "Principal | str | None" = None,
+        delete_data: bool = False,
+    ) -> None:
+        """DROP MATERIALIZED VIEW: removes the MV definition and its
+        catalog table (optionally the stored state's files, with
+        drop_table's fail-closed lake_root guard) — the other half of
+        the erasure contract's 'drop and re-create' instruction. Gated
+        and audited like creation."""
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        mv = self.catalog.mvs[qualified_mv]  # KeyError: fail closed
+        src = self.catalog.tables[mv.source]
+        self._mv_gate(name, src, "DROP MATERIALIZED VIEW", qualified_mv)
+        self.catalog.drop_table(qualified_mv, delete_data=delete_data)
+        del self.catalog.mvs[qualified_mv]
+        self.catalog.audit.record(
+            principal=name or "<none>",
+            query=f"DROP MATERIALIZED VIEW {qualified_mv}",
+            tables=[qualified_mv],
+            filters_applied=[],
+            status="ok",
+        )
+
     def refresh_materialized_view(
         self,
         qualified_mv: str,
