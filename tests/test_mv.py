@@ -188,3 +188,70 @@ def test_mv_drop_and_recreate(spark, tmp_path):
         for r in eng.sql("SELECT * FROM db.docs_mv", principal="ops").collect()
     }
     assert got == _recompute(spark, loc)
+
+
+def test_mv_watermark_is_atomic_with_state(spark, tmp_path):
+    """The source-version watermark rides the MV manifest's own
+    app_versions ledger — a second session with a STALE catalog def
+    cannot double-apply the change feed (round-9 review #1)."""
+    cat, eng, loc, df = _setup(spark, tmp_path)
+    eng.create_materialized_view(
+        "db.docs_mv", "db.docs", ["grp"],
+        {"n": ("count", None), "total": ("sum", "v")}, principal="ops",
+    )
+    cat.save()
+    # session B loads the catalog BEFORE A's refresh
+    cat_b = GovernedCatalog.load(spark, cat.lake_root)
+    eng_b = Engine(spark, cat_b)
+    append_rows(
+        spark, loc,
+        spark.createDataFrame([(100, "a", 5)], "id long, grp string, v long"),
+        ["grp"],
+    )
+    assert eng.refresh_materialized_view("db.docs_mv", principal="ops")[
+        "refreshed"
+    ]
+    # B's def predates A's refresh — its refresh must be a NO-OP, not a
+    # re-application of the same feed
+    assert not eng_b.refresh_materialized_view("db.docs_mv", principal="ops")[
+        "refreshed"
+    ]
+    got = {
+        (r.grp, r.n, r.total)
+        for r in eng_b.sql(
+            "SELECT * FROM db.docs_mv", principal="ops"
+        ).collect()
+    }
+    assert got == _recompute(spark, loc)
+
+
+def test_mv_fail_closed_interactions(spark, tmp_path):
+    """Catalog objects cannot silently invalidate an MV: renaming an
+    aggregated column refuses, dropping the source refuses, and
+    re-creating over leftover state refuses (time travel on the old
+    chain would serve pre-erasure aggregates)."""
+    cat, eng, loc, df = _setup(spark, tmp_path)
+    eng.create_materialized_view(
+        "db.docs_mv", "db.docs", ["grp"],
+        {"n": ("count", None), "total": ("sum", "v")}, principal="ops",
+    )
+    with pytest.raises(ValueError, match="aggregates"):
+        cat.rename_column("db.docs", "v", "val")
+    with pytest.raises(ValueError, match="drop them first"):
+        cat.drop_table("db.docs")
+    # global-aggregate scope guard
+    with pytest.raises(ValueError, match="non-empty"):
+        eng.create_materialized_view(
+            "db.g", "db.docs", [], {"n": ("count", None)}, principal="ops"
+        )
+    # metadata-only drop leaves state files -> re-create refuses
+    eng.drop_materialized_view("db.docs_mv", principal="ops")
+    with pytest.raises(ValueError, match="leftover state"):
+        eng.create_materialized_view(
+            "db.docs_mv", "db.docs", ["grp"],
+            {"n": ("count", None)}, principal="ops",
+        )
+    # a SAME-db cascade takes the MV def with it (its own table is in
+    # the cascade); only a cross-db sourcing MV refuses the cascade
+    cat.drop_database("db", cascade=True)
+    assert cat.mvs == {} and "db.docs" not in cat.tables

@@ -105,7 +105,14 @@ class MaterializedViewDef:
     are ADDITIVE only (count / sum) — the invariant that makes a
     signed change-feed merge equal a full recompute under deletes;
     min/max are refused at creation (a delete can strand them).
-    ``last_version`` is the source snapshot the stored state reflects."""
+
+    The source-version WATERMARK the stored state reflects is NOT here:
+    it rides the MV manifest's own ``app_versions`` ledger
+    (``{"mv_source": N}``), committed atomically with the state in the
+    same pointer replace — a catalog def can never go stale against
+    the files (round-9 review: a stale in-memory watermark double-
+    applied the change feed), and refreshes don't churn the
+    governance fingerprint."""
 
     database: str
     name: str
@@ -113,7 +120,6 @@ class MaterializedViewDef:
     group_by: tuple
     measures: dict  # out_col -> [agg, src_col|None]; agg in {count, sum}
     location: str
-    last_version: int
 
     @property
     def qualified(self) -> str:
@@ -231,7 +237,6 @@ class GovernedCatalog:
                                 for k, v in sorted(m.measures.items())
                             },
                             "location": m.location,
-                            "last_version": m.last_version,
                         }
                         for q, m in sorted(self.mvs.items())
                     }
@@ -308,7 +313,6 @@ class GovernedCatalog:
                 group_by=tuple(m["group_by"]),
                 measures={k: tuple(v) for k, v in m["measures"].items()},
                 location=m["location"],
-                last_version=int(m["last_version"]),
             )
         cat.revision = state.get("revision", 0)
         return cat
@@ -579,6 +583,19 @@ class GovernedCatalog:
                     "rewriting arbitrary view SQL is not "
                     "identity-preserving)"
                 )
+        # materialized views are FAIL-CLOSED the same way: a def whose
+        # group_by/measures name the old column would brick at the next
+        # refresh (table_changes refuses across a rename boundary
+        # anyway) — refuse now, at the rename, with the cure named
+        for mq, m in sorted(self.mvs.items()):
+            if m.source == qualified and (
+                old in m.group_by
+                or any(col == old for _, col in m.measures.values())
+            ):
+                raise ValueError(
+                    f"materialized view {mq} aggregates {qualified}.{old} "
+                    "— drop and re-create it under the new name first"
+                )
         # storage first: the manifest commit has its own refusals
         # (tombstones, constraints, partition columns) and the catalog
         # must stay untouched when it raises
@@ -648,6 +665,15 @@ class GovernedCatalog:
         from pathlib import Path
 
         table = self.tables[qualified]  # KeyError for unknown tables
+        sourcing = sorted(
+            q for q, m in self.mvs.items() if m.source == qualified
+        )
+        if sourcing:
+            raise ValueError(
+                f"{qualified} is the source of materialized view(s) "
+                f"{sourcing} — drop them first (a dangling MV would "
+                "refresh against whatever table reuses the name)"
+            )
         if delete_data:
             import shutil
 
@@ -665,6 +691,7 @@ class GovernedCatalog:
             if loc.exists():
                 shutil.rmtree(loc)
         self.tables.pop(qualified)
+        self.mvs.pop(qualified, None)  # an MV's own table drops its def
 
     def drop_database(self, name: str, cascade: bool = False) -> None:
         """Drop a database. Without ``cascade`` it must be empty (Glue
@@ -676,7 +703,14 @@ class GovernedCatalog:
             raise ValueError(
                 f"database {name!r} is not empty: {sorted(members + views)}"
             )
+        for q in [q for q, m in self.mvs.items() if m.database == name]:
+            self.mvs.pop(q)
         for q in members:
+            if any(m.source == q for m in self.mvs.values()):
+                raise ValueError(
+                    f"{q} is the source of a materialized view outside "
+                    f"{name!r} — drop it first"
+                )
             self.tables.pop(q)
         for q in views:
             self.views.pop(q)

@@ -981,7 +981,15 @@ class Engine:
             raise KeyError(f"database {db!r} does not exist")
         if self.catalog.lake_root is None:
             raise ValueError("materialized views need a catalog lake_root")
-        if read_manifest(src.location) is None:
+        if not group_by:
+            raise ValueError(
+                "group_by must be non-empty — a global-aggregate MV "
+                "cannot distinguish an emptied source (one row, n=0) "
+                "from group departure (v1 scope; wrap a constant "
+                "grouping column if you need the global form)"
+            )
+        src_manifest = read_manifest(src.location)
+        if src_manifest is None:
             raise ValueError(
                 f"source {source} is not manifest-committed — the refresh "
                 "path needs table_changes; publish it with manifest=True"
@@ -1002,8 +1010,22 @@ class Engine:
                 raise ValueError(f"measure {out}: sum needs a column, count none")
         from pyspark.sql import functions as F
 
-        cur = read_manifest(src.location)["version"]
-        base = read_table(self.spark, src.location, schema=src.schema)
+        cur = src_manifest["version"]
+        location = str(Path(self.catalog.lake_root) / "_mv" / db / mv_name)
+        if Path(location).exists() and any(Path(location).iterdir()):
+            # an erased-and-re-created MV must NOT chain onto leftover
+            # state: time travel on the old chain would serve
+            # aggregates derived from erased rows (round-9 review)
+            raise ValueError(
+                f"leftover state at {location} — "
+                "drop_materialized_view(..., delete_data=True) first"
+            )
+        # pin the scan to the SAME snapshot the watermark records: a
+        # commit landing between the manifest read and the scan would
+        # otherwise be double-applied by the first refresh
+        base = read_table(
+            self.spark, src.location, schema=src.schema, version=cur
+        )
         aggs = [
             (
                 F.count(F.lit(1)).cast("long")
@@ -1013,9 +1035,9 @@ class Engine:
             for out, (agg, col) in measures.items()
         ]
         state = base.groupBy(*group_by).agg(*aggs)
-        location = str(Path(self.catalog.lake_root) / "_mv" / db / mv_name)
         publish_overwrite(
-            self.spark, location, state.repartition(1), None, manifest=True
+            self.spark, location, state.repartition(1), None, manifest=True,
+            app_versions={"mv_source": cur},
         )
         self.catalog.register_table(
             TableDef(db, mv_name, location, schema=state.schema)
@@ -1027,7 +1049,6 @@ class Engine:
             group_by=tuple(group_by),
             measures={k: tuple(v) for k, v in measures.items()},
             location=location,
-            last_version=cur,
         )
         self.catalog.audit.record(
             principal=name or "<none>",
@@ -1058,8 +1079,9 @@ class Engine:
         mv = self.catalog.mvs[qualified_mv]  # KeyError: fail closed
         src = self.catalog.tables[mv.source]
         self._mv_gate(name, src, "DROP MATERIALIZED VIEW", qualified_mv)
+        # drop_table pops the MV def itself (an MV's own table drops it)
         self.catalog.drop_table(qualified_mv, delete_data=delete_data)
-        del self.catalog.mvs[qualified_mv]
+        self.catalog.mvs.pop(qualified_mv, None)
         self.catalog.audit.record(
             principal=name or "<none>",
             query=f"DROP MATERIALIZED VIEW {qualified_mv}",
@@ -1096,12 +1118,24 @@ class Engine:
         mv = self.catalog.mvs[qualified_mv]  # KeyError: fail closed
         src = self.catalog.tables[mv.source]
         self._mv_gate(name, src, "REFRESH MATERIALIZED VIEW", qualified_mv)
+        # the watermark is read from the MV's own manifest ledger —
+        # committed atomically with the state it describes, so a stale
+        # catalog def (another session refreshed; this one loaded an
+        # older save) can never double-apply the feed
+        mvm = read_manifest(mv.location)
+        last = (mvm or {}).get("app_versions", {}).get("mv_source")
+        if last is None:
+            raise ValueError(
+                f"{qualified_mv} has no source watermark in its manifest "
+                "— drop_materialized_view(..., delete_data=True) and "
+                "re-create"
+            )
         cur = read_manifest(src.location)["version"]
-        if cur == mv.last_version:
+        if cur == last:
             return {"refreshed": False, "source_version": cur}
         try:
             feed = table_changes(
-                self.spark, src.location, mv.last_version, cur, src.schema
+                self.spark, src.location, last, cur, src.schema
             )
         except FileNotFoundError as exc:
             # erasure (delete_rows) truncates source history to the
@@ -1109,9 +1143,10 @@ class Engine:
             # rows — incremental refresh across that boundary is
             # IMPOSSIBLE by design, not an error to paper over
             raise ValueError(
-                f"source {mv.source} history since v{mv.last_version} was "
-                "truncated (erasure or vacuum) — drop and re-create "
-                f"{qualified_mv}; its stored state may reflect erased rows"
+                f"source {mv.source} history since v{last} was truncated "
+                f"(erasure or vacuum) — drop_materialized_view("
+                f"{qualified_mv!r}, delete_data=True) and re-create; the "
+                "stored state and its history may reflect erased rows"
             ) from exc
         sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
         old = read_table(self.spark, mv.location)
@@ -1150,9 +1185,10 @@ class Engine:
             .filter(F.col(count_col) > 0)
         )
         publish_overwrite(
-            self.spark, mv.location, state.repartition(1), None
+            self.spark, mv.location, state.repartition(1), None,
+            app_versions={"mv_source": cur},
+            expected_version=mvm["version"],  # racing refreshes conflict
         )
-        mv.last_version = cur
         self.catalog.audit.record(
             principal=name or "<none>",
             query=f"REFRESH MATERIALIZED VIEW {qualified_mv}",

@@ -306,6 +306,7 @@ def publish_overwrite(
     bloom_cols: list[str] | None = None,
     expected_version: int | None = None,
     full_rewrite: bool = False,
+    app_versions: dict | None = None,
 ) -> None:
     """Atomic stage-then-rename publication of a (slice) rewrite —
     the commit protocol under merge_into / scd2_apply /
@@ -416,8 +417,14 @@ def publish_overwrite(
             bloom_cols=bloom_cols,
             expected_version=expected_version,
             full_rewrite=full_rewrite,
+            app_versions=app_versions,
         )
         return
+    if app_versions is not None:
+        raise ValueError(
+            "app_versions requires manifest mode — exchange-mode tables "
+            "have no snapshot ledger to record it in"
+        )
     if bloom_cols:
         raise ValueError(
             "bloom_cols requires manifest mode — exchange-mode tables "
@@ -1483,8 +1490,13 @@ def _publish_manifest_commit(
     bloom_cols: list[str] | None = None,
     expected_version: int | None = None,
     full_rewrite: bool = False,
+    app_versions: dict | None = None,
 ) -> None:
     """Manifest-mode publish body (see publish_overwrite's contract):
+    ``app_versions`` (None = carry the parent's) lets a caller commit a
+    WATERMARK atomically with the state it describes — the MV refresh
+    records the source snapshot its stored aggregates reflect in the
+    same pointer replace (the Delta ``txn`` pattern on a rewrite).
     stage, move files in under unique names (old files retained), then
     commit with one atomic pointer replace. A conflict raise
     (``expected_version`` mismatch) happens BEFORE any file moves, so
@@ -1615,6 +1627,7 @@ def _publish_manifest_commit(
                 partition_by,
                 current,
                 txid,
+                app_versions=app_versions,
                 file_blooms=new_blooms,
                 table_schema=logical_schema,
                 # a full rewrite just wrote every live file under the
