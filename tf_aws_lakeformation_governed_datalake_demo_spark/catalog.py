@@ -118,8 +118,20 @@ class MaterializedViewDef:
     name: str
     source: str  # qualified source table
     group_by: tuple
-    measures: dict  # out_col -> [agg, src_col|None]; agg in {count, sum}
+    # PHYSICAL stored measures: out_col -> [agg, src_col|None]; agg in
+    # {count, sum, nncount} (nncount = non-null count, the denominator
+    # an avg measure stores — still additive under the signed feed)
+    measures: dict
     location: str
+    # Derived (read-time) measures: out_col -> (sum_col, n_col) for
+    # AVG, computed as CAST(sum AS DOUBLE)/n by the catalog VIEW that
+    # fronts the state table. Storing sum+count is what keeps avg
+    # refreshable from the signed feed (avg itself is not additive).
+    derived: dict = field(default_factory=dict)
+    # Qualified name of the registered state table when the MV is
+    # fronted by a view (derived measures present); None = the MV's
+    # own name IS the state table (plain count/sum MVs, the v1 shape).
+    state_table: str | None = None
 
     @property
     def qualified(self) -> str:
@@ -237,6 +249,11 @@ class GovernedCatalog:
                                 for k, v in sorted(m.measures.items())
                             },
                             "location": m.location,
+                            "derived": {
+                                k: list(v)
+                                for k, v in sorted(m.derived.items())
+                            },
+                            "state_table": m.state_table,
                         }
                         for q, m in sorted(self.mvs.items())
                     }
@@ -313,6 +330,10 @@ class GovernedCatalog:
                 group_by=tuple(m["group_by"]),
                 measures={k: tuple(v) for k, v in m["measures"].items()},
                 location=m["location"],
+                derived={
+                    k: tuple(v) for k, v in m.get("derived", {}).items()
+                },
+                state_table=m.get("state_table"),
             )
         cat.revision = state.get("revision", 0)
         return cat

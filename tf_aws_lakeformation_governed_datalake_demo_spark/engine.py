@@ -343,11 +343,36 @@ class Engine:
         needs."""
         import time as _time
 
+        from .statements import parse_statement
+
         name = principal.name if isinstance(principal, Principal) else principal
         qe = QueryExecution(query_id=uuid.uuid4().hex, sql=sql, principal=name)
         self.executions[qe.query_id] = qe
         self.metrics["queries_submitted"] += 1
         qe.state = QueryState.RUNNING
+        # Statement dispatch (round-10): MERGE/UPDATE/DELETE/OPTIMIZE/
+        # VACUUM/MV lifecycle/SHOW/DESCRIBE parse here and route to the
+        # governed implementations; None = a query, which flows through
+        # the governance rewrite below. Detection happens BEFORE the
+        # reuse cache: a mutation must never be served (or seeded) from
+        # a cached result.
+        try:
+            stmt = parse_statement(sql)
+        except ValueError as exc:
+            qe.state = QueryState.FAILED
+            self.metrics["queries_failed"] += 1
+            qe.state_change_reason = f"{type(exc).__name__}: {exc}"
+            self.catalog.audit.record(
+                name or "<anonymous>",
+                sql,
+                [],
+                [],
+                "FAILED",
+                error=qe.state_change_reason,
+            )
+            if raise_on_error:
+                raise
+            return qe
         # a versioned read must never hit (or seed) an unversioned
         # cache entry — the snapshot is part of the query identity
         reuse_key = (
@@ -355,7 +380,7 @@ class Engine:
             sql,
             tuple(sorted((as_of_versions or {}).items())),
         )
-        if reuse_max_age is not None:
+        if stmt is None and reuse_max_age is not None:
             hit = self._reuse_cache.get(reuse_key)
             if hit is not None:
                 src_id, done_at, gov_fp, table_fps = hit
@@ -391,22 +416,30 @@ class Engine:
                     return qe
         created_views: list[str] = []
         try:
-            try:
-                rewritten, touched = self.catalog._rewrite_sql(
-                    sql,
-                    principal,
-                    versions=as_of_versions,
-                    _filters_out=qe.filters_applied,
-                    _views_out=created_views,
-                )
-                qe.tables = touched
-                # spark.sql analyzes eagerly; the resolved plan survives the
-                # temp-view drop below, so no governed alias outlives the query
-                # (round-1 cross-principal temp-view leak).
-                df = self.spark.sql(rewritten)
-            finally:
-                for v in created_views:
-                    self.spark.catalog.dropTempView(v)
+            if stmt is not None:
+                if as_of_versions:
+                    raise ValueError(
+                        "AS OF maps apply to queries, not statements"
+                    )
+                df = self._run_statement(stmt, principal, qe)
+                touched = qe.tables
+            else:
+                try:
+                    rewritten, touched = self.catalog._rewrite_sql(
+                        sql,
+                        principal,
+                        versions=as_of_versions,
+                        _filters_out=qe.filters_applied,
+                        _views_out=created_views,
+                    )
+                    qe.tables = touched
+                    # spark.sql analyzes eagerly; the resolved plan survives the
+                    # temp-view drop below, so no governed alias outlives the query
+                    # (round-1 cross-principal temp-view leak).
+                    df = self.spark.sql(rewritten)
+                finally:
+                    for v in created_views:
+                        self.spark.catalog.dropTempView(v)
             qe.result = df
             if self.results_dir is not None:
                 # S5 — persist the result set as headered CSV per query id.
@@ -430,8 +463,8 @@ class Engine:
             # production-time fingerprints are what make a later hit
             # safe, and computing them (an os.walk per touched table +
             # the catalog digest) is not a cost every non-reuse caller
-            # should pay on the hot path.
-            if reuse_max_age is not None:
+            # should pay on the hot path. Statements never seed it.
+            if stmt is None and reuse_max_age is not None:
                 self._reuse_cache[reuse_key] = (
                     qe.query_id,
                     _time.time(),
@@ -458,6 +491,350 @@ class Engine:
             if raise_on_error:
                 raise
         return qe
+
+    # ----------------------------------------- statement dispatch (r10)
+    def _run_statement(self, stmt, principal, qe: QueryExecution) -> DataFrame:
+        """Execute a parsed governed statement (statements.py) and
+        return its result set as a DataFrame — DML verbs return their
+        operation metrics (the Athena console shape), introspection
+        verbs return rows.
+
+        Every mutation routes through the SAME choke points the Python
+        API uses — :meth:`maintain` for DELETE/UPDATE/OPTIMIZE/VACUUM
+        (admin-or-ALL gate, verbatim audit, lake-root guard, pending-
+        column fail-close) and the MV lifecycle methods — so the SQL
+        surface can never do what the API surface would refuse. MERGE
+        reads its USING select THROUGH the governance rewrite as the
+        submitting principal, then applies the same write gate. Audit:
+        ``_execute`` records the verbatim statement; the underlying
+        action records its own line (two-line trail: what was asked,
+        what ran)."""
+        from pyspark.sql import functions as F
+
+        from .statements import (
+            CreateMVStatement,
+            DeleteStatement,
+            DescribeHistoryStatement,
+            DescribeStatement,
+            DropMVStatement,
+            MergeStatement,
+            OptimizeStatement,
+            RefreshMVStatement,
+            ShowPartitionsStatement,
+            ShowTablesStatement,
+            UpdateStatement,
+            VacuumStatement,
+        )
+
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        spark = self.spark
+
+        def _row(d: dict, types: str) -> DataFrame:
+            return spark.createDataFrame([tuple(d.values())], types)
+
+        if isinstance(stmt, MergeStatement):
+            from .sources.lake import merge_into
+
+            table = self.catalog.tables[stmt.target]  # KeyError: fail closed
+            # write gate first: a principal who may not write the target
+            # must not even trigger the source read
+            self._mv_gate(name, table, "MERGE INTO", stmt.target)
+            created: list[str] = []
+            try:
+                rewritten, touched = self.catalog._rewrite_sql(
+                    stmt.source_sql,
+                    principal,
+                    _filters_out=qe.filters_applied,
+                    _views_out=created,
+                )
+                updates = spark.sql(rewritten)
+            finally:
+                for v in created:
+                    spark.catalog.dropTempView(v)
+            missing = [k for k in stmt.key_cols if k not in updates.columns]
+            if missing:
+                raise ValueError(
+                    f"MERGE ON key column(s) {missing} are not in the "
+                    "USING select's output"
+                )
+            if table.schema is not None:
+                short = [
+                    f.name
+                    for f in table.schema.fields
+                    if f.name not in updates.columns
+                ]
+                if short:
+                    raise ValueError(
+                        f"MERGE is replace-by-key (UPDATE SET * / INSERT *):"
+                        f" the USING select must produce every table column;"
+                        f" missing {short}"
+                    )
+            res = merge_into(
+                spark,
+                table.location,
+                updates,
+                list(stmt.key_cols),
+                partition_by=list(table.partition_keys) or None,
+                schema=table.schema,
+            )
+            qe.tables = [stmt.target, *touched]
+            return _row(
+                {
+                    "rows_updated": res["rows_updated"],
+                    "rows_inserted": res["rows_inserted"],
+                    "partitions_rewritten": res["partitions_rewritten"],
+                },
+                "rows_updated long, rows_inserted long, "
+                "partitions_rewritten long",
+            )
+
+        if isinstance(stmt, DeleteStatement):
+            res = self.maintain(
+                stmt.target, "delete_rows", principal, predicate=stmt.predicate
+            )
+            qe.tables = [stmt.target]
+            return _row(
+                {
+                    "rows_deleted": res["rows_deleted"],
+                    "partitions_rewritten": res["partitions_rewritten"],
+                },
+                "rows_deleted long, partitions_rewritten long",
+            )
+
+        if isinstance(stmt, UpdateStatement):
+            res = self.maintain(
+                stmt.target,
+                "update_rows",
+                principal,
+                assignments=dict(stmt.assignments),
+                predicate=stmt.predicate,
+            )
+            qe.tables = [stmt.target]
+            return _row(
+                {
+                    "rows_updated": res["rows_updated"],
+                    "partitions_rewritten": res["partitions_rewritten"],
+                },
+                "rows_updated long, partitions_rewritten long",
+            )
+
+        if isinstance(stmt, OptimizeStatement):
+            qe.tables = [stmt.target]
+            if stmt.mode == "binpack":
+                res = self.maintain(stmt.target, "optimize_binpack", principal)
+                return _row(
+                    {
+                        "files_before": res["files_before"],
+                        "files_after": res["files_after"],
+                        "files_rewritten": res["files_rewritten"],
+                    },
+                    "files_before long, files_after long, files_rewritten long",
+                )
+            res = self.maintain(
+                stmt.target, "compact", principal,
+                cluster_by=list(stmt.cluster_by),
+            )
+            return _row(
+                {
+                    "files_before": res["files_before"],
+                    "files_after": res["files_after"],
+                },
+                "files_before long, files_after long",
+            )
+
+        if isinstance(stmt, VacuumStatement):
+            qe.tables = [stmt.target]
+            res = self.maintain(
+                stmt.target,
+                "expire_snapshots",
+                principal,
+                keep_last=stmt.keep_last,
+            )
+            removed = self.maintain(stmt.target, "vacuum_artifacts", principal)
+            return _row(
+                {
+                    "snapshots_removed": int(res.get("manifests_removed", 0)),
+                    "files_removed": int(res.get("files_removed", 0)),
+                    "artifacts_removed": len(removed["removed"]),
+                },
+                "snapshots_removed long, files_removed long, "
+                "artifacts_removed long",
+            )
+
+        if isinstance(stmt, CreateMVStatement):
+            res = self.create_materialized_view(
+                stmt.mv,
+                stmt.source,
+                list(stmt.group_by),
+                {out: (agg, col) for out, agg, col in stmt.measures},
+                principal=principal,
+            )
+            qe.tables = [stmt.mv, stmt.source]
+            return _row(
+                {
+                    "mv": stmt.mv,
+                    "source_version": res["source_version"],
+                },
+                "mv string, source_version long",
+            )
+
+        if isinstance(stmt, RefreshMVStatement):
+            res = self.refresh_materialized_view(stmt.mv, principal=principal)
+            qe.tables = [stmt.mv]
+            return _row(
+                {
+                    "refreshed": res["refreshed"],
+                    "source_version": res["source_version"],
+                },
+                "refreshed boolean, source_version long",
+            )
+
+        if isinstance(stmt, DropMVStatement):
+            self.drop_materialized_view(
+                stmt.mv, principal=principal, delete_data=stmt.purge
+            )
+            qe.tables = [stmt.mv]
+            return _row(
+                {"mv": stmt.mv, "purged": stmt.purge}, "mv string, purged boolean"
+            )
+
+        # ---- introspection (SHOW / DESCRIBE) — the Glue GetTable(s) /
+        # GetPartitions read surface (main.tf:165-180), grant-aware:
+        # governance hides from an ungranted principal even the
+        # EXISTENCE of a table (implicit deny, G6).
+        if isinstance(stmt, ShowTablesStatement):
+            gov = self.catalog.governance_enabled and name not in self.catalog.admins
+            rows = []
+            for q, td in sorted(self.catalog.tables.items()):
+                if stmt.database and td.database != stmt.database:
+                    continue
+                if gov and (
+                    name is None
+                    or not self.catalog.grants_for(name, td.database, td.name)
+                ):
+                    continue
+                rows.append((td.database, td.name))
+            qe.tables = []
+            return spark.createDataFrame(
+                rows or [], "database string, table string"
+            )
+
+        if isinstance(stmt, ShowPartitionsStatement):
+            import os
+
+            table, _ = self._introspect_gate(stmt.target, name)
+            qe.tables = [stmt.target]
+            from .sources.lake import read_manifest
+
+            # metadata-only: partition values come from the manifest's
+            # file list (or, for exchange-mode tables, the directory
+            # tree) — never a data scan
+            parts: set[str] = set()
+            m = read_manifest(table.location)
+            if m is not None:
+                for f in m["files"]:
+                    rel = os.path.dirname(f)
+                    if rel and "=" in rel:
+                        parts.add(rel.replace(os.sep, "/"))
+            else:
+                for root, dirs, files in os.walk(table.location):
+                    rel = os.path.relpath(root, table.location)
+                    if (
+                        rel != "."
+                        and all("=" in seg for seg in rel.split(os.sep))
+                        and any(not f.startswith(("_", ".")) for f in files)
+                    ):
+                        parts.add(rel.replace(os.sep, "/"))
+            return spark.createDataFrame(
+                [(p,) for p in sorted(parts)] or [], "partition string"
+            )
+
+        if isinstance(stmt, DescribeStatement):
+            table, allowed = self._introspect_gate(
+                stmt.target, name, columns=True
+            )
+            qe.tables = [stmt.target]
+            rows = []
+            schema = table.schema
+            if schema is None:
+                schema = self.catalog.table(stmt.target, principal).schema
+            for f in schema.fields:
+                if allowed is not None and f.name not in allowed:
+                    continue  # redacted: outside every grant rectangle
+                rows.append(
+                    (
+                        f.name,
+                        f.dataType.simpleString(),
+                        f.name in (table.partition_keys or ()),
+                        table.column_comments.get(f.name),
+                    )
+                )
+            return spark.createDataFrame(
+                rows,
+                "col_name string, data_type string, is_partition boolean, "
+                "comment string",
+            )
+
+        if isinstance(stmt, DescribeHistoryStatement):
+            hist = self.history(stmt.target, principal)
+            qe.tables = [stmt.target]
+            rows = [
+                (
+                    h["version"],
+                    h["parent"],
+                    float(h["committed_at"]),
+                    h["n_files"],
+                    h["n_tombstones"],
+                    list(h["partition_by"] or []),
+                    list(h["constraints"]),
+                )
+                for h in hist
+            ]
+            return spark.createDataFrame(
+                rows or [],
+                "version long, parent long, committed_at double, "
+                "n_files long, n_tombstones long, "
+                "partition_by array<string>, constraints array<string>",
+            )
+
+        raise ValueError(f"unhandled statement {type(stmt).__name__}")
+
+    def _introspect_gate(
+        self, qualified: str, name, columns: bool = False
+    ) -> tuple:
+        """Grant gate for SHOW PARTITIONS / DESCRIBE: any grant admits
+        (same rule as :meth:`history` — metadata still requires SOME
+        SELECT path; implicit deny otherwise). Returns ``(table,
+        allowed_columns)`` where ``allowed_columns`` is None for
+        unrestricted principals, else the DESCRIBE redaction set: the
+        union of every conditioned grant's column rectangle — a column
+        the principal can read on SOME rows lists; one outside every
+        rectangle does not exist for them (computed only when
+        ``columns=True``)."""
+        table = self.catalog.tables[qualified]  # KeyError: fail closed
+        if (
+            not self.catalog.governance_enabled
+            or name is None
+            or name in self.catalog.admins
+        ):
+            return table, None
+        # raises PermissionDeniedError on no grant (implicit deny)
+        resolved = self.catalog._resolve_cells(name, table, qualified)
+        if resolved is None or not columns:
+            return table, None
+        cells, _ = resolved
+        if any(cols is None for _pred, cols in cells):
+            # an all-columns row filter: every non-pending column shows
+            # (_resolve_cells already struck pending from named lists)
+            if table.schema is None:
+                return table, None
+            pend = set(table.pending_columns or ())
+            return table, {
+                f.name for f in table.schema.fields if f.name not in pend
+            }
+        return table, {c for _pred, cols in cells for c in (cols or ())}
 
     def session(self, principal: Principal | str) -> "PrincipalSession":
         """G11 — per-principal session handle (validate.sh:46-67 analog)."""
@@ -591,6 +968,13 @@ class Engine:
           path (sources.lake.delete_rows; ``predicate=`` required).
           The audit line records that an erasure ran against the table
           — the compliance trail a right-to-be-forgotten request needs.
+        - ``"update_rows"`` — in-place UPDATE (sources.lake.update_rows;
+          ``assignments=`` and ``predicate=`` required): touched-
+          partition rewrite replacing matched rows with their SET-
+          transformed selves. The audit line records the verbatim
+          SET list and predicate — the same change-trail rule as
+          erasure. History is NOT truncated (UPDATE is a mutation,
+          not erasure).
         - ``"delete_rows_mor"`` — merge-on-read DELETE
           (sources.lake.delete_rows_mor; ``predicate=`` required): a
           metadata-only tombstone commit on a manifest table. Same
@@ -673,6 +1057,13 @@ class Engine:
             and predicate is not None
             else ""
         )
+        if action == "update_rows":
+            sets = ", ".join(
+                f"{c} = {e}" for c, e in (kwargs.get("assignments") or {}).items()
+            )
+            audit_suffix = f" SET {sets}" + (
+                f" WHERE {predicate}" if predicate is not None else ""
+            )
         if action == "rollback" and "to_version" in kwargs:
             audit_suffix = f" TO VERSION {kwargs['to_version']}"
         if action == "evolve_partitioning" and "new_partition_by" in kwargs:
@@ -772,6 +1163,46 @@ class Engine:
             result = {
                 "removed": vacuum_publish_artifacts(table.location, **kwargs)
             }
+        elif action == "update_rows":
+            from .sources.lake import update_rows
+
+            if predicate is None or "assignments" not in kwargs:
+                _audit("failed", "update_rows requires assignments= and predicate=")
+                raise ValueError(
+                    "update_rows requires assignments= and predicate="
+                )
+            # fail-closed schema evolution (delete_rows' rule): neither
+            # the WHERE predicate nor any SET target/expression may
+            # touch a pending (evolved, unapproved) column
+            if table.pending_columns:
+                import re as _re
+
+                texts = [
+                    predicate if isinstance(predicate, str) else str(predicate)
+                ]
+                for c, e in kwargs["assignments"].items():
+                    texts.append(c)
+                    texts.append(e if isinstance(e, str) else str(e))
+                struck = sorted(
+                    {
+                        t
+                        for txt in texts
+                        for t in _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", txt)
+                    }
+                    & set(table.pending_columns)
+                )
+                if struck:
+                    _audit("denied", f"update uses pending columns {struck}")
+                    raise PermissionDeniedError(
+                        f"update_rows references pending-approval column(s) "
+                        f"{struck} on {qualified}; approve the evolved "
+                        "columns first (fail-closed schema evolution)"
+                    )
+            kwargs.setdefault(
+                "partition_col", list(table.partition_keys) or None
+            )
+            kwargs.setdefault("schema", table.schema)
+            result = update_rows(self.spark, table.location, **kwargs)
         elif action in ("delete_rows", "delete_rows_mor"):
             # Fail-closed schema evolution extends to maintenance
             # (round-7 VERDICT #6): a pending (evolved, not-yet-
@@ -940,6 +1371,44 @@ class Engine:
                     "source"
                 )
 
+    # MV state files target ~this many rows each. The toy MVs (tens of
+    # groups) stay one file; a 100×-cardinality group key fans the
+    # write out across tasks instead of serializing it through one
+    # (round-9 VERDICT "what's wrong" #3). Override per-Engine for
+    # tests or unusual row widths.
+    mv_state_rows_per_file: int = 1_000_000
+
+    def _mv_state_frame(self, state: DataFrame, group_by) -> DataFrame:
+        """Partition the MV state for publication: O(groups) rows land
+        in ceil(n / mv_state_rows_per_file) files (capped at 256),
+        hashed by group key. The state is pinned (localCheckpoint)
+        first so the count and the write see one materialization."""
+        staged = state.localCheckpoint(eager=True)
+        n = staged.count()
+        parts = max(
+            1, min(256, -(-n // int(self.mv_state_rows_per_file)))
+        )
+        if parts == 1:
+            return staged.coalesce(1)
+        return staged.repartition(parts, *group_by)
+
+    @staticmethod
+    def _mv_view_sql(
+        state_q: str, group_by, measures: dict, derived: dict
+    ) -> str:
+        """SELECT body of the view fronting an avg-bearing MV: group
+        columns and physical measures pass through; each avg out-column
+        derives as CAST(sum AS DOUBLE)/n (NULL when the group has no
+        non-null values — n=0 division yields NULL, matching AVG)."""
+        parts = list(group_by)
+        for out, (agg, _col) in measures.items():
+            if agg == "avg":
+                s, n = derived[out]
+                parts.append(f"CAST({s} AS DOUBLE) / {n} AS {out}")
+            else:
+                parts.append(out)
+        return f"SELECT {', '.join(parts)} FROM {state_q}"
+
     def create_materialized_view(
         self,
         qualified_mv: str,
@@ -954,12 +1423,16 @@ class Engine:
         registered in the catalog — so grants, row/column security,
         result reuse, and AS OF reads apply to the MV like any table.
 
-        ``measures`` maps output columns to ``("count", None)`` or
-        ``("sum", src_col)`` — ADDITIVE aggregates only, the invariant
-        that makes :meth:`refresh_materialized_view`'s signed
-        change-feed merge equal a full recompute under row deletions
-        (min/max refused: a delete can strand them; at least one count
-        measure required: it is how emptied groups leave the MV).
+        ``measures`` maps output columns to ``("count", None)``,
+        ``("sum", src_col)``, or ``("avg", src_col)``. Storage is
+        ADDITIVE aggregates only — the invariant that makes
+        :meth:`refresh_materialized_view`'s signed change-feed merge
+        equal a full recompute under row deletions. ``avg`` satisfies
+        it by expansion: the state stores ``__sum_<out>`` +
+        ``__n_<out>`` (non-null count) and the MV's name becomes a
+        catalog VIEW deriving the quotient at read time (min/max stay
+        refused: a delete can strand them; at least one count measure
+        required: it is how emptied groups leave the MV).
 
         100 TB: creation pays one full aggregation of the source —
         once; every refresh after that is O(changed files) through
@@ -999,15 +1472,42 @@ class Engine:
                 "at least one ('count', None) measure is required — it is "
                 "how groups whose rows are all deleted leave the MV"
             )
+        # Expand user measures into the PHYSICAL additive set. AVG is
+        # not additive, but sum + non-null count are — so an avg
+        # measure stores both and a catalog VIEW derives the quotient
+        # at read time (round-9 VERDICT next #3). min/max stay refused:
+        # a delete can strand them and no stored complement cures it.
+        physical: dict = {}
+        derived: dict = {}
         for out, (agg, col) in measures.items():
-            if agg not in ("count", "sum"):
+            if agg == "count":
+                if col is not None:
+                    raise ValueError(f"measure {out}: count takes no column")
+                physical[out] = ("count", None)
+            elif agg == "sum":
+                if col is None:
+                    raise ValueError(f"measure {out}: sum needs a column")
+                physical[out] = ("sum", col)
+            elif agg == "avg":
+                if col is None:
+                    raise ValueError(f"measure {out}: avg needs a column")
+                physical[f"__sum_{out}"] = ("sum", col)
+                physical[f"__n_{out}"] = ("nncount", col)
+                derived[out] = (f"__sum_{out}", f"__n_{out}")
+            else:
                 raise ValueError(
                     f"measure {out}={agg!r} is not additive under deletes "
-                    "— only count/sum can refresh from a signed change "
-                    "feed (recompute min/max with a full re-create)"
+                    "— count/sum refresh from a signed change feed and "
+                    "avg derives from stored sum+count (recompute min/max "
+                    "with a full re-create)"
                 )
-            if (agg == "sum") != (col is not None):
-                raise ValueError(f"measure {out}: sum needs a column, count none")
+        if derived:
+            state_q = f"{db}.{mv_name}__state"
+            if (
+                state_q in self.catalog.tables
+                or state_q in self.catalog.views
+            ):
+                raise ValueError(f"{state_q} already exists")
         from pyspark.sql import functions as F
 
         cur = src_manifest["version"]
@@ -1030,25 +1530,45 @@ class Engine:
             (
                 F.count(F.lit(1)).cast("long")
                 if agg == "count"
+                else F.count(F.col(col)).cast("long")
+                if agg == "nncount"
                 else F.sum(col)
             ).alias(out)
-            for out, (agg, col) in measures.items()
+            for out, (agg, col) in physical.items()
         ]
         state = base.groupBy(*group_by).agg(*aggs)
         publish_overwrite(
-            self.spark, location, state.repartition(1), None, manifest=True,
+            self.spark,
+            location,
+            self._mv_state_frame(state, group_by),
+            None,
+            manifest=True,
             app_versions={"mv_source": cur},
         )
-        self.catalog.register_table(
-            TableDef(db, mv_name, location, schema=state.schema)
-        )
+        if derived:
+            # state table under a __state suffix; the MV's own name is
+            # a catalog VIEW deriving each avg — so grants compose the
+            # same way as any view-over-table, and every reader of the
+            # MV name sees the quotient, never the raw complement pair
+            self.catalog.register_table(
+                TableDef(db, f"{mv_name}__state", location, schema=state.schema)
+            )
+            self.catalog.create_view(
+                db, mv_name, self._mv_view_sql(state_q, group_by, measures, derived)
+            )
+        else:
+            self.catalog.register_table(
+                TableDef(db, mv_name, location, schema=state.schema)
+            )
         self.catalog.mvs[qualified_mv] = MaterializedViewDef(
             database=db,
             name=mv_name,
             source=source,
             group_by=tuple(group_by),
-            measures={k: tuple(v) for k, v in measures.items()},
+            measures={k: tuple(v) for k, v in physical.items()},
             location=location,
+            derived=derived,
+            state_table=state_q if derived else None,
         )
         self.catalog.audit.record(
             principal=name or "<none>",
@@ -1079,8 +1599,14 @@ class Engine:
         mv = self.catalog.mvs[qualified_mv]  # KeyError: fail closed
         src = self.catalog.tables[mv.source]
         self._mv_gate(name, src, "DROP MATERIALIZED VIEW", qualified_mv)
-        # drop_table pops the MV def itself (an MV's own table drops it)
-        self.catalog.drop_table(qualified_mv, delete_data=delete_data)
+        if mv.state_table is not None:
+            # avg-bearing MV: the name is a VIEW over the state table —
+            # drop both halves
+            self.catalog.drop_view(mv.database, mv.name)
+            self.catalog.drop_table(mv.state_table, delete_data=delete_data)
+        else:
+            # drop_table pops the MV def itself (an MV's own table drops it)
+            self.catalog.drop_table(qualified_mv, delete_data=delete_data)
         self.catalog.mvs.pop(qualified_mv, None)
         self.catalog.audit.record(
             principal=name or "<none>",
@@ -1154,6 +1680,11 @@ class Engine:
             (
                 F.sum(sign).cast("long")
                 if agg == "count"
+                else F.sum(
+                    sign
+                    * F.when(F.col(col).isNull(), F.lit(0)).otherwise(F.lit(1))
+                ).cast("long")
+                if agg == "nncount"
                 else F.sum(sign * F.col(col))
             ).alias(out)
             for out, (agg, col) in mv.measures.items()
@@ -1185,7 +1716,10 @@ class Engine:
             .filter(F.col(count_col) > 0)
         )
         publish_overwrite(
-            self.spark, mv.location, state.repartition(1), None,
+            self.spark,
+            mv.location,
+            self._mv_state_frame(state, list(mv.group_by)),
+            None,
             app_versions={"mv_source": cur},
             expected_version=mvm["version"],  # racing refreshes conflict
         )

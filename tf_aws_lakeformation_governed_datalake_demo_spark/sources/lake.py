@@ -3521,6 +3521,134 @@ def delete_rows(
     return {"rows_deleted": n_deleted, "partitions_rewritten": n_partitions}
 
 
+def update_rows(
+    spark: SparkSession,
+    path: str,
+    assignments: dict,
+    predicate,
+    partition_col: "str | list[str] | None" = None,
+    schema: T.StructType | None = None,
+) -> dict:
+    """In-place UPDATE on a plain-Parquet / manifest lake table — the
+    ``UPDATE <t> SET col = expr WHERE pred`` primitive (the reference's
+    Athena v3 executes this verb on governed Iceberg tables;
+    validate.sh:74-87 is the submission shape). ``assignments`` maps
+    column names to SQL expression strings or Columns; ``predicate``
+    selects the rows to transform (SQL string or Column).
+
+    Semantics: matched rows are REPLACED by themselves with the SET
+    expressions applied (expressions see the row's OLD values, all
+    evaluated simultaneously — standard SQL UPDATE); unmatched rows are
+    untouched. Rows where the predicate evaluates NULL are NOT matched
+    (three-valued logic, :func:`delete_rows`'s contract).
+
+    100 TB design (same shape as :func:`delete_rows`): the match
+    predicate pushes into the parquet scan; with ``partition_col`` only
+    partitions actually CONTAINING a matched row are rewritten (touched
+    list = one distinct-collect over the scan-pruned matched slice) and
+    publication is atomic per :func:`publish_overwrite`. Untouched
+    partitions' files are never listed, read, or replaced. Unlike
+    :func:`delete_rows`, history is NOT truncated — UPDATE is a normal
+    mutation, so prior snapshots stay time-travelable and
+    :func:`table_changes` sees the update as delete+insert pairs.
+
+    Guard: SET may not target a partition column — the transformed row
+    would belong in a different directory than the rewrite targets,
+    silently corrupting the layout (move rows with
+    :func:`delete_rows` + :func:`append_rows`, or :func:`merge_into`
+    on an identity key). Returns ``{"rows_updated",
+    "partitions_rewritten"}``. Idempotence is NOT implied (``SET n =
+    n + 1`` re-applies); the optimistic-concurrency check
+    (``expected_version`` on manifest tables) is what prevents a
+    double-submit from racing another writer.
+    """
+    raw = F.expr(predicate) if isinstance(predicate, str) else predicate
+    pred = F.coalesce(raw.cast("boolean"), F.lit(False))
+    part_cols = (
+        [partition_col] if isinstance(partition_col, str) else partition_col
+    )
+    set_map = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in assignments.items()
+    }
+    if not set_map:
+        raise ValueError("update_rows needs at least one SET assignment")
+    if part_cols:
+        struck = sorted(set(set_map) & set(part_cols))
+        if struck:
+            raise ValueError(
+                f"SET targets partition column(s) {struck}: the updated "
+                "row would belong in a different directory than this "
+                "rewrite replaces — move rows via delete+append or a "
+                "keyed merge_into instead"
+            )
+    pre = read_manifest(path)  # optimistic concurrency (merge_into's note)
+    base_version = pre["version"] if pre else None
+    cur = read_table(spark, path, schema)
+    unknown = sorted(set(set_map) - set(cur.columns))
+    if unknown:
+        raise ValueError(f"SET targets unknown column(s) {unknown}")
+    if part_cols:
+        missing = [c for c in part_cols if c not in cur.columns]
+        if missing:
+            raise ValueError(
+                f"table at {path} has no partition columns {missing}"
+            )
+    else:
+        # same fail-closed layout guard as delete_rows: refuse the
+        # unpartitioned full rewrite of a hive-partitioned tree
+        from pathlib import Path as _P
+
+        root = _P(path)
+        if root.is_dir() and any(
+            c.is_dir() and "=" in c.name and not c.name.startswith(("_", "."))
+            for c in root.iterdir()
+        ):
+            raise ValueError(
+                f"table at {path} is hive-partitioned but no partition_col "
+                "was given: refusing the unpartitioned full rewrite that "
+                "would destroy the layout — pass the partition column(s)"
+            )
+    matched = cur.filter(pred)
+    n_updated = matched.count()
+    if n_updated == 0:
+        return {"rows_updated": 0, "partitions_rewritten": 0}
+    if part_cols:
+        touched_rows = matched.select(*part_cols).distinct().collect()
+        touched = spark.createDataFrame(
+            [tuple(r) for r in touched_rows], matched.select(*part_cols).schema
+        )
+        base = _restrict_to_partitions(cur, touched, part_cols)
+        n_partitions = len(touched_rows)
+    else:
+        base = cur
+        n_partitions = -1  # full rewrite
+    # one pass over the touched slice: SET expressions evaluate against
+    # OLD values simultaneously (CASE WHEN pred THEN expr ELSE col), and
+    # column order/types are pinned to the table schema so the staged
+    # files are drop-in replacements
+    out = base.select(
+        *[
+            (
+                F.when(pred, set_map[c].cast(base.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_map
+                else F.col(c)
+            )
+            for c in base.columns
+        ]
+    )
+    publish_overwrite(
+        spark,
+        path,
+        out,
+        part_cols,
+        expected_version=base_version,
+    )
+    return {"rows_updated": n_updated, "partitions_rewritten": n_partitions}
+
+
 def delete_rows_mor(
     spark: SparkSession,
     path: str,
