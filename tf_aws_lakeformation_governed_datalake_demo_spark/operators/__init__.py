@@ -24,5 +24,6 @@ from . import semantic  # noqa: E402,F401 — cluster-scoped semantic dedup
 from . import graph  # noqa: E402,F401 — co-purchase graph analytics
 from . import sketches  # noqa: E402,F401 — heavy hitters / frequency sketches
 from . import ml  # noqa: E402,F401 — MLlib quality-classifier curation rung
+from . import statements_ops  # noqa: E402,F401 — governed SQL DML statements
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

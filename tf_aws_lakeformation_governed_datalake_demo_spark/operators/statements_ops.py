@@ -1,0 +1,362 @@
+"""SQL-statement-surface operators (round 10) — the mutation verbs of
+the reference's ACTUAL interface, driven end-to-end as SQL strings.
+
+The reference submits every operation as a SQL string to a workgroup
+(``validate.sh:74-87``); Athena engine v3 executes MERGE INTO / UPDATE
+/ DELETE / OPTIMIZE / VACUUM against governed Iceberg tables through
+that same interface. Each query here seeds a governed manifest table
+from the driver testdata, runs the verb THROUGH ``engine.sql`` (parse
+-> grant gate -> audit -> lake implementation), and returns an
+aggregate of the final on-disk state; the DuckDB oracle replays the
+mutation declaratively, so the hash verdict proves the statement
+surface executes exactly the semantics the SQL declares.
+
+Scale notes: every statement routes to the partition-pruned lake
+primitives (merge_into / update_rows / delete_rows /
+optimize_binpack) — the SQL layer adds parsing and gating, never a
+second data path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import GovernedCatalog, TableDef
+from ..engine import Engine
+from ..scratch import scratch_dir
+from ..sources import load, publish_overwrite
+from .registry import query
+
+
+def _governed_docs(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> tuple[Engine, str]:
+    """Seed a lang-partitioned manifest `documents` table under a fresh
+    governed catalog (admin principal 'ops'); returns (engine, lake)."""
+    d = load(spark, sf_dir, "documents")
+    lake = scratch_dir(prefix)
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/docs"
+    publish_overwrite(spark, loc, d, ["lang"], manifest=True)
+    cat.register_table(
+        TableDef(
+            "db", "docs", loc, schema=d.schema, partition_keys=("lang",)
+        )
+    )
+    return Engine(spark, cat), lake
+
+
+_FINAL_AGG = (
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+    "CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) "
+    "AS BIGINT) AS text_chk "
+    "FROM db.docs GROUP BY lang"
+)
+
+
+def _final_agg_spark(eng: Engine) -> DataFrame:
+    """Final-state aggregate, Spark side (md5 checksum proves content
+    landed on disk; integer sum keeps the verdict order-free)."""
+    return eng.sql(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(sum(conv(substr(md5(text), 1, 8), 16, 10)) AS BIGINT) "
+        "AS text_chk FROM db.docs GROUP BY lang",
+        "ops",
+    )
+
+
+@query(
+    "sql_update_rows",
+    """
+    WITH v AS (
+      SELECT doc_id, text, lang,
+             CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END
+               AS source,
+             CASE WHEN doc_id % 7 = 0 THEN n_chars + 500 ELSE n_chars END
+               AS n_chars
+      FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM v GROUP BY lang
+    """,
+    "UPDATE as a governed SQL statement: engine.sql parses the verb, "
+    "gates it (admin-or-ALL), audits the verbatim SET/WHERE, and "
+    "routes to sources.lake.update_rows — a touched-partition rewrite "
+    "where SET expressions see old values simultaneously. The oracle "
+    "replays the update as a CASE WHEN over the raw table.",
+)
+def sql_update_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: identical plan to update_rows (scan-pruned match,
+    touched-partition atomic rewrite); the statement layer adds a
+    regex parse and a grant lookup, both O(statement)."""
+    eng, _ = _governed_docs(spark, sf_dir, "sqlupd_")
+    res = eng.sql(
+        "UPDATE db.docs SET n_chars = n_chars + 500, source = upper(source) "
+        "WHERE doc_id % 7 = 0",
+        "ops",
+    ).first()
+    assert res.rows_updated > 0, "driver data must produce matches"
+    return eng.sql(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_sources "
+        "FROM db.docs GROUP BY lang",
+        "ops",
+    )
+
+
+@query(
+    "sql_delete_rows",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_chk
+    FROM documents
+    WHERE NOT (doc_id % 13 = 0 OR n_chars < 60)
+    GROUP BY lang
+    """,
+    "DELETE FROM as a governed SQL statement: routes through "
+    "maintain('delete_rows') — same grant gate, verbatim-predicate "
+    "audit line, partition-pruned eager erasure, history truncation. "
+    "The oracle keeps the complement rows.",
+)
+def sql_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure through the SQL modality: after the statement returns,
+    no reader (current or time-traveling) can observe a matched row —
+    the same contract delete_rows gives the Python API."""
+    eng, _ = _governed_docs(spark, sf_dir, "sqldel_")
+    res = eng.sql(
+        "DELETE FROM db.docs WHERE doc_id % 13 = 0 OR n_chars < 60", "ops"
+    ).first()
+    assert res.rows_deleted > 0, "driver data must produce matches"
+    return _final_agg_spark(eng)
+
+
+@query(
+    "sql_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT doc_id, upper(text) AS text, lang, source,
+             n_chars + 1000 AS n_chars
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 17 = 3
+    ),
+    merged AS (
+      SELECT d.* FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = d.doc_id)
+      UNION ALL
+      SELECT * FROM updates
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_chk
+    FROM merged GROUP BY lang
+    """,
+    "MERGE INTO as a governed SQL statement: the USING select reads "
+    "THROUGH the governance rewrite as the submitting principal, the "
+    "write gate is the same admin-or-ALL rule as maintain, and the "
+    "merge is the partition-pruned replace-by-key merge_into. Mixed "
+    "batch: 10% replaced rows + inserted rows.",
+)
+def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-user migration path: an Athena v3 MERGE string "
+    "runs here unchanged (restricted to UPDATE SET * / INSERT *, "
+    "which is exactly merge_into's replace-by-key contract)."""
+    eng, _ = _governed_docs(spark, sf_dir, "sqlmerge_")
+    res = eng.sql(
+        "MERGE INTO db.docs AS t USING ("
+        "  SELECT doc_id, upper(text) AS text, lang, source,"
+        "         n_chars + 1000 AS n_chars"
+        "  FROM db.docs WHERE doc_id % 10 = 0"
+        "  UNION ALL"
+        "  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars"
+        "  FROM db.docs WHERE doc_id % 17 = 3"
+        ") AS s ON t.doc_id = s.doc_id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        "ops",
+    ).first()
+    assert res.rows_updated > 0 and res.rows_inserted > 0
+    return _final_agg_spark(eng)
+
+
+@query(
+    "sql_optimize_vacuum",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    "OPTIMIZE + VACUUM as governed SQL statements: a table fragmented "
+    "by four appends is bin-packed (files_after < files_before, "
+    "asserted) and its pre-OPTIMIZE snapshots expired (>=1 removed, "
+    "asserted); results are layout-independent, so the oracle is the "
+    "plain aggregate — the hash proves maintenance moved bytes without "
+    "changing a single row.",
+)
+def sql_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance cadence as SQL: OPTIMIZE rewrites only the
+    small-file tail per partition (targeted bin-pack), VACUUM =
+    snapshot retention + publish-artifact reclamation. Verbs a
+    reference user types into the Athena console today."""
+    from ..sources import append_rows, read_manifest
+
+    d = load(spark, sf_dir, "documents")
+    lake = scratch_dir("sqlopt_")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/docs"
+    seed = d.filter(F.col("doc_id") % 5 != 0)
+    publish_overwrite(spark, loc, seed, ["lang"], manifest=True)
+    for k in range(4):  # fragment: four small per-partition appends
+        batch = d.filter(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 4 == k)
+        )
+        append_rows(spark, loc, batch, partition_by=["lang"])
+    cat.register_table(
+        TableDef("db", "docs", loc, schema=d.schema, partition_keys=("lang",))
+    )
+    eng = Engine(spark, cat)
+    files_before = len(read_manifest(loc)["files"])
+    o = eng.sql("OPTIMIZE db.docs", "ops").first()
+    assert o.files_after < files_before, (o, files_before)
+    v = eng.sql("VACUUM db.docs RETAIN 1 SNAPSHOTS", "ops").first()
+    assert v.snapshots_removed >= 1, v
+    return eng.sql(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM db.docs GROUP BY lang",
+        "ops",
+    )
+
+
+@query(
+    "sql_refresh_mv",
+    """
+    WITH v2 AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 4 = 0 THEN n_chars + 2000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+    ),
+    final AS (
+      SELECT * FROM v2
+      UNION ALL
+      SELECT doc_id + 5000000 AS doc_id, lang, n_chars FROM v2
+      WHERE doc_id % 9 = 1
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM final GROUP BY lang
+    """,
+    "The MV lifecycle as SQL statements: CREATE MATERIALIZED VIEW "
+    "parses group-by + additive measures from the select list, two "
+    "MERGE statements mutate the source (updates every 4th doc, "
+    "inserts a 1/9 slice), and ONE REFRESH MATERIALIZED VIEW folds "
+    "the signed change feed. Oracle = full recompute of the final "
+    "state, so the hash proves SQL-surface refresh == recompute.",
+)
+def sql_refresh_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the round-9 MV machinery with the round-10 statement
+    surface: every step a reference user would type — no Python API
+    call in the flow."""
+    eng, _ = _governed_docs(spark, sf_dir, "sqlmv_")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW db.mv AS "
+        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+        "FROM db.docs GROUP BY lang",
+        "ops",
+    )
+    eng.sql(
+        "MERGE INTO db.docs AS t USING ("
+        "  SELECT doc_id, text, lang, source, n_chars + 2000 AS n_chars"
+        "  FROM db.docs WHERE doc_id % 4 = 0"
+        ") AS s ON t.doc_id = s.doc_id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        "ops",
+    )
+    eng.sql(
+        "MERGE INTO db.docs AS t USING ("
+        "  SELECT doc_id + 5000000 AS doc_id, text, lang, source, n_chars"
+        "  FROM db.docs WHERE doc_id % 9 = 1"
+        ") AS s ON t.doc_id = s.doc_id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        "ops",
+    )
+    r = eng.sql("REFRESH MATERIALIZED VIEW db.mv", "ops").first()
+    assert r.refreshed
+    return eng.sql(
+        "SELECT lang, n_docs, total_chars FROM db.mv", "ops"
+    )
+
+
+@query(
+    "governance_materialized_view_avg",
+    """
+    WITH v2 AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+      WHERE doc_id % 10 <> 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars
+    FROM v2 GROUP BY lang
+    """,
+    "AVG materialized view (round-10): avg is not additive, so the "
+    "state stores sum + non-null count and the MV's name is a catalog "
+    "VIEW deriving CAST(sum AS DOUBLE)/n at read time. Source takes a "
+    "MoR DELETE + an update merge; ONE refresh folds the signed feed "
+    "into both complements. Oracle recomputes the quotient from the "
+    "raw final state — hash equality proves derived-avg refresh == "
+    "recompute across deletes and updates.",
+)
+def governance_materialized_view_avg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-9 VERDICT next-#3: the derivable aggregate ships; min/max
+    stay refused (a delete can strand them — no stored complement
+    cures that). Division semantics: the exact integer sum and count
+    divide identically in Spark and DuckDB, so the verdict needs no
+    rounding."""
+    from ..sources import delete_rows_mor, merge_into
+
+    d = load(spark, sf_dir, "documents")
+    lake = scratch_dir("gov_mv_avg_")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/docs"
+    publish_overwrite(spark, loc, d, ["lang"], manifest=True)
+    cat.register_table(
+        TableDef("db", "docs", loc, schema=d.schema, partition_keys=("lang",))
+    )
+    eng = Engine(spark, cat)
+    eng.create_materialized_view(
+        "db.docs_mv",
+        "db.docs",
+        ["lang"],
+        {"n_docs": ("count", None), "avg_chars": ("avg", "n_chars")},
+        principal="ops",
+    )
+    delete_rows_mor(spark, loc, "doc_id % 10 = 0")
+    upd = d.filter(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 4 == 0)
+    ).withColumn("n_chars", F.col("n_chars") + 1000)
+    merge_into(spark, loc, upd, ["doc_id"], ["lang"], collect_stats=False)
+    out = eng.refresh_materialized_view("db.docs_mv", principal="ops")
+    assert out["refreshed"], out
+    return eng.sql(
+        "SELECT lang, n_docs, avg_chars FROM db.docs_mv", principal="ops"
+    )
