@@ -255,3 +255,71 @@ def test_mv_fail_closed_interactions(spark, tmp_path):
     # the cascade); only a cross-db sourcing MV refuses the cascade
     cat.drop_database("db", cascade=True)
     assert cat.mvs == {} and "db.docs" not in cat.tables
+
+
+def test_mv_streaming_restart_resume(spark, tmp_path):
+    """Round-10: the streaming MV-maintenance sink (append_rows with a
+    stream ledger + refresh per commit) survives a checkpoint LOSS —
+    the full replay appends nothing and refreshes nothing; table and
+    MV state are byte-identical to the first run's."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        read_manifest,
+    )
+
+    cat, eng, loc, df = _setup(spark, tmp_path)
+    eng.create_materialized_view(
+        "db.mv", "db.docs", ["grp"],
+        {"n": ("count", None), "total": ("sum", "v")},
+        principal="ops",
+    )
+    arriving = spark.createDataFrame(
+        [(100 + i, "ab"[i % 2], i) for i in range(8)],
+        "id long, grp string, v long",
+    )
+    src = str(tmp_path / "incoming")
+    import os
+
+    os.makedirs(src)
+    for i in range(2):
+        arriving.filter(F.col("id") % 2 == i).repartition(1).write.parquet(
+            str(tmp_path / f"_t{i}")
+        )
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / f"_t{i}" / "part-*.parquet"))[0]
+        shutil.copy(part, f"{src}/batch{i}.parquet")
+
+    def run(ckpt: str):
+        def sink(batch, epoch_id):
+            committed = append_rows(
+                spark, loc, batch, partition_by=["grp"],
+                stream_id="mvs", batch_id=epoch_id,
+            )
+            if committed is not None:
+                eng.refresh_materialized_view("db.mv", principal="ops")
+
+        (
+            spark.readStream.schema(arriving.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run(str(tmp_path / "ckpt1"))
+    v_first = read_manifest(loc)["version"]
+    mv_first = {
+        tuple(r) for r in eng.sql("SELECT * FROM db.mv", "ops").collect()
+    }
+    assert mv_first == _recompute(spark, loc)
+    # checkpoint lost: full replay — ledger makes every batch a no-op
+    run(str(tmp_path / "ckpt2"))
+    assert read_manifest(loc)["version"] == v_first
+    assert {
+        tuple(r) for r in eng.sql("SELECT * FROM db.mv", "ops").collect()
+    } == mv_first

@@ -1335,6 +1335,104 @@ class Engine:
         return result
 
 
+    # ------------------------------ multi-table staged publish (r10)
+    def stage_and_publish(
+        self,
+        tables: list,
+        writer,
+        principal: "Principal | str | None" = None,
+    ) -> dict:
+        """Coordinated multi-table publish — the shipped alternative to
+        catalog-level multi-table transactions (SURVEY §7.5's documented
+        non-goal, wrapped as one governed convenience per the round-9
+        review): every write inside ``writer(stage)`` lands on a
+        per-table staging BRANCH (invisible to every reader), and after
+        the callback returns the branches fast-forward back-to-back —
+        so the cross-table inconsistency window is exactly N pointer
+        renames, each individually atomic, instead of N full write
+        jobs.
+
+        ``writer`` receives a :class:`PublishStage`: ``stage.append(
+        qualified, df)`` commits onto that table's branch (partition
+        layout defaults to the catalog's declared keys);
+        ``stage.read(qualified)`` is the write-audit read of the staged
+        head. Gating: admin-or-unconditioned-ALL on EVERY named table,
+        checked before any branch exists. Audit: one span line (ok /
+        failed) naming all tables.
+
+        Failure contract (honest, not pretend-atomic): an error before
+        any fast-forward abandons the staging branches (dropped; their
+        snapshots age out) and no reader ever saw anything. An error
+        BETWEEN fast-forwards leaves earlier tables published — a
+        pointer rename cannot be unpublished — so the audit line names
+        exactly which tables landed; the remaining branches are KEPT
+        for a retry (re-run fast_forward via
+        ``maintain(q, 'fast_forward', name=...)``). The only cause is
+        a concurrent main commit on a later table
+        (ConcurrentLakeModificationError — re-branch and replay).
+
+        100 TB: staging is zero-copy (branch commits ARE the table's
+        files under unique names); publication cost is O(tables)
+        renames regardless of how many commits or TB each branch
+        carries."""
+        import uuid as _uuid
+
+        from .sources import lake as _lake
+
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        tdefs = {q: self.catalog.tables[q] for q in tables}  # KeyError: closed
+        for q, td in tdefs.items():
+            self._mv_gate(name, td, "STAGE AND PUBLISH", q)
+        span = _uuid.uuid4().hex[:12]
+        branch = f"staged_{span}"
+
+        def _audit(status: str, error: str | None = None):
+            self.catalog.audit.record(
+                principal=name or "<none>",
+                query=(
+                    f"STAGE AND PUBLISH span={span} "
+                    f"tables=({', '.join(tables)})"
+                ),
+                tables=list(tables),
+                filters_applied=[],
+                status=status,
+                error=error,
+            )
+
+        created: list[str] = []
+        published: dict = {}
+        try:
+            for q, td in tdefs.items():
+                _lake.create_branch(td.location, branch)
+                created.append(td.location)
+            writer(PublishStage(self, branch, tdefs))
+            # the publication window: one pointer rename per table,
+            # nothing else — readers see each table flip old->new
+            # complete, and the cross-table skew is bounded by the
+            # rename loop, not by any data movement
+            for q, td in tdefs.items():
+                published[q] = _lake.fast_forward(td.location, branch)[
+                    "version"
+                ]
+        except Exception as exc:  # noqa: BLE001 — audit then surface
+            if not published:
+                for loc in created:
+                    _lake.drop_branch(loc, branch)
+                _audit("failed", f"nothing published; {exc}")
+            else:
+                _audit(
+                    "failed",
+                    f"published={sorted(published)} before error; "
+                    f"remaining branches kept as {branch!r}; {exc}",
+                )
+            raise
+        for q, td in tdefs.items():
+            _lake.drop_branch(td.location, branch)
+        _audit("ok")
+        return {"span": span, "branch": branch, "versions": published}
+
     # --------------------------------------- materialized views (r9)
     def _mv_gate(self, name, table, verb: str, qualified: str) -> None:
         """Same admin-or-unconditioned-ALL rule as maintain(): creating
@@ -1802,6 +1900,47 @@ class Engine:
         template = self._prepared[name]
         filled = _fill_params(template, list(params))
         return self.sql(filled, principal)
+
+
+class PublishStage:
+    """Write handle inside :meth:`Engine.stage_and_publish`'s callback:
+    every verb targets the staging branch, never main — the callback
+    physically cannot publish early."""
+
+    def __init__(self, engine: Engine, branch: str, tables: dict):
+        self._engine = engine
+        self._branch = branch
+        self._tables = tables
+
+    def append(
+        self, qualified: str, rows: DataFrame, partition_by=None
+    ) -> dict | None:
+        """Transactional append onto the table's staging branch;
+        partition layout defaults to the catalog's declared keys."""
+        from .sources import lake as _lake
+
+        td = self._tables[qualified]  # KeyError: not a staged table
+        return _lake.append_rows(
+            self._engine.spark,
+            td.location,
+            rows,
+            partition_by=(
+                partition_by
+                if partition_by is not None
+                else (list(td.partition_keys) or None)
+            ),
+            branch=self._branch,
+        )
+
+    def read(self, qualified: str) -> DataFrame:
+        """Write-audit read of the staged head (branch snapshot)."""
+        from .sources import lake as _lake
+
+        td = self._tables[qualified]
+        v = _lake.branch_head(td.location, self._branch)["version"]
+        return _lake.read_table(
+            self._engine.spark, td.location, schema=td.schema, version=v
+        )
 
 
 @dataclass

@@ -300,6 +300,91 @@ def sql_refresh_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_multi_table_publish",
+    """
+    WITH seed AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    final_docs AS (SELECT * FROM seed UNION ALL SELECT * FROM batch),
+    final_stats AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM seed GROUP BY lang
+      UNION ALL
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM batch GROUP BY lang
+    ),
+    stats_t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_stats
+                FROM final_stats GROUP BY lang)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs, s.n_stats
+    FROM final_docs d JOIN stats_t s ON s.lang = d.lang
+    GROUP BY d.lang, s.n_stats
+    """,
+    "Multi-table coordinated publish (round-10, SURVEY §7.5's shipped "
+    "alternative to catalog transactions): a docs batch AND its "
+    "per-lang stats delta stage on per-table branches — invisible to "
+    "every reader (asserted mid-callback) — then publish as "
+    "back-to-back pointer renames. The result joins both final tables "
+    "per lang; hash equality proves the pair landed consistently "
+    "(n_docs == n_stats per lang by construction).",
+)
+def lake_multi_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-and-summary pattern that needs cross-table
+    coordination at 100 TB: staging is zero-copy branch commits,
+    publication is O(tables) renames regardless of batch size, and a
+    failed validation abandons both branches without any reader ever
+    seeing a half-published pair (Engine.stage_and_publish)."""
+    d = load(spark, sf_dir, "documents")
+    lake = scratch_dir("multipub_")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    seed = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    publish_overwrite(spark, f"{lake}/docs", seed, ["lang"], manifest=True)
+    seed_stats = seed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    publish_overwrite(spark, f"{lake}/stats", seed_stats, None, manifest=True)
+    cat.register_table(
+        TableDef(
+            "db", "docs", f"{lake}/docs", schema=d.schema,
+            partition_keys=("lang",),
+        )
+    )
+    cat.register_table(
+        TableDef("db", "stats", f"{lake}/stats", schema=seed_stats.schema)
+    )
+    eng = Engine(spark, cat)
+    seed_total = seed.count()
+
+    def writer(stage):
+        stage.append("db.docs", batch)
+        stage.append(
+            "db.stats",
+            batch.groupBy("lang").agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            ),
+        )
+        # staging is invisible: main still serves the seed only
+        assert (
+            eng.sql("SELECT count(*) AS n FROM db.docs", "ops").first().n
+            == seed_total
+        )
+
+    eng.stage_and_publish(["db.docs", "db.stats"], writer, "ops")
+    docs_agg = eng.sql(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM db.docs "
+        "GROUP BY lang",
+        "ops",
+    )
+    stats_agg = eng.sql(
+        "SELECT lang, CAST(sum(n) AS BIGINT) AS n_stats FROM db.stats "
+        "GROUP BY lang",
+        "ops",
+    )
+    return docs_agg.join(stats_agg, "lang").select(
+        "lang", "n_docs", "n_stats"
+    )
+
+
+@query(
     "governance_materialized_view_avg",
     """
     WITH v2 AS (
