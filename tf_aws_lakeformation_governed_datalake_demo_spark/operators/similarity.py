@@ -77,6 +77,92 @@ def label_centroids(v: DataFrame) -> DataFrame:
     )
 
 
+def retrain_ivf(
+    spark: SparkSession, path: str, iterations: int = 2
+) -> dict:
+    """OPTIMIZE-class IVF retrain (round-10, the governed cure for the
+    drift ``ann_ivf_index_append`` documents): the ingest path FREEZES
+    the coarse quantizer — appends assign against seed-era centroids,
+    never retrain — so after enough drifted batches the cells stop
+    being tight and probes lose recall. This maintenance action
+    recomputes the quantizer from the CURRENT index contents
+    (spherical-k-means Lloyd iterations seeded from the per-cell
+    means), reassigns every vector to its nearest retrained centroid,
+    and rewrites the cell-partitioned index atomically.
+
+    The index contract is the family's at-rest layout: a manifest (or
+    plain) table with columns ``(vec_id, embedding, label)``
+    hive-partitioned by ``label`` (cell id). The label SPACE is
+    preserved — cells = the existing distinct labels — so probe code
+    and partition layout survive retraining unchanged.
+
+    100 TB: each Lloyd iteration is one broadcast-argmax pass over the
+    index (centroids are O(cells) rows, broadcast; never a
+    cells-by-corpus shuffle) plus one O(cells·dim) centroid rebuild;
+    the rewrite is one partitioned atomic publish — the same cost
+    class as OPTIMIZE cluster_by, run on the maintenance cadence, not
+    the ingest path. Returns ``{"cells", "moved", "rows"}``."""
+    from ..sources.lake import publish_overwrite, read_manifest, read_table
+
+    if read_manifest(path) is None:
+        raise ValueError(
+            f"IVF index at {path} is not manifest-committed — the "
+            "retrain rewrite moves vectors BETWEEN cells (emptied cell "
+            "dirs must drop atomically); publish the index with "
+            "manifest=True first"
+        )
+    cur = read_table(spark, path)
+    need = {"vec_id", "embedding", "label"}
+    if not need <= set(cur.columns):
+        raise ValueError(
+            f"IVF index at {path} must have columns {sorted(need)} "
+            f"(got {cur.columns})"
+        )
+    cur = cur.select("vec_id", "embedding", "label").localCheckpoint(
+        eager=True
+    )
+    cells = cur
+    for _ in range(max(1, iterations)):
+        cent = label_centroids(cells)
+        scored = (
+            cells.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(cent.withColumnRenamed("label", "cell")))
+            .select(
+                "vec_id",
+                "embedding",
+                "cell",
+                (
+                    _dot(F.col("embedding"), F.col("centroid"))
+                    / F.col("cnorm")
+                ).alias("s"),
+            )
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("s"), "cell")
+        cells = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", F.col("cell").alias("label"))
+        )
+    cells = cells.localCheckpoint(eager=True)
+    moved = (
+        cells.select("vec_id", "label")
+        .join(
+            cur.select("vec_id", F.col("label").alias("old_label")),
+            "vec_id",
+        )
+        .filter(F.col("label") != F.col("old_label"))
+        .count()
+    )
+    # full_rewrite: the reassigned frame IS the whole index — cells a
+    # vector vacated must drop their stale rows, never be carried
+    publish_overwrite(spark, path, cells, ["label"], full_rewrite=True)
+    return {
+        "cells": cells.select("label").distinct().count(),
+        "moved": moved,
+        "rows": cells.count(),
+    }
+
+
 def collapse_exact_vectors(
     v: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
