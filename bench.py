@@ -229,6 +229,20 @@ HEADLINE = [
     # ... and the engine-level MATERIALIZED VIEW (create + MoR delete +
     # update merge + the one incremental refresh + governed read)
     "governance_materialized_view",
+    # round 10 additions: the governed SQL statement surface (each is
+    # seed publish + the statement through parse/gate/audit + the
+    # final-state read-back), the derived-AVG MV, the multi-table
+    # staged publish (2 branches + 2 appends + 2 fast-forwards), and
+    # per-micro-batch streaming MV maintenance (3 commits, 3
+    # incremental refreshes, a replay no-op)
+    "sql_merge_upsert",
+    "sql_update_rows",
+    "sql_delete_rows",
+    "sql_optimize_vacuum",
+    "sql_refresh_mv",
+    "governance_materialized_view_avg",
+    "lake_multi_table_publish",
+    "stream_mv_refresh",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
@@ -336,7 +350,12 @@ def main() -> None:
         reported = candidate
     # keep HEADLINE order within the reported subset
     reported = {n: reported[n] for n in HEADLINE if n in reported}
-    print(_line(reported))
+    line = _line(reported)
+    # hard stop, not just the loop above: a future edit to the line's
+    # fixed fields must not silently re-break the driver's ~2 KB tail
+    # parse (the round-8 lesson)
+    assert len(line) <= budget, (len(line), budget)
+    print(line)
 
 
 if __name__ == "__main__":
