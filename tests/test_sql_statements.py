@@ -594,3 +594,44 @@ def test_update_rows_pending_column_fail_close(spark, tmp_path_factory):
         eng.sql("UPDATE db.t SET v = 2.0 WHERE secret = 'x'", "ops")
     with pytest.raises(PermissionDeniedError, match="pending"):
         eng.sql("UPDATE db.t SET secret = 'y' WHERE id = 1", "ops")
+
+
+def test_explain_statement_returns_governed_plan(engine):
+    rows = engine.sql(
+        "EXPLAIN SELECT customer_id FROM sales_db.sales", "analyst"
+    ).collect()
+    plan = "\n".join(r.plan for r in rows)
+    assert "PushedFilters" in plan and "sales_region" in plan
+    with pytest.raises(PermissionDeniedError):
+        engine.sql("EXPLAIN SELECT * FROM sales_db.sales", "nobody")
+    with pytest.raises(Exception, match="queries only"):
+        engine.sql(
+            "EXPLAIN DELETE FROM sales_db.sales WHERE TRUE", "dataadmin"
+        )
+
+
+def test_alter_rename_column_statement(spark, tmp_path_factory):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        publish_overwrite,
+    )
+
+    lake = str(tmp_path_factory.mktemp("altren"))
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    d = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, amt double")
+    publish_overwrite(spark, f"{lake}/t", d, None, manifest=True)
+    cat.register_table(TableDef("db", "t", f"{lake}/t", schema=d.schema))
+    eng = Engine(spark, cat)
+    r = eng.sql(
+        "ALTER TABLE db.t RENAME COLUMN amt TO amount", "ops"
+    ).first()
+    assert (r.old, r.new) == ("amt", "amount")
+    got = eng.sql("SELECT sum(amount) AS s FROM db.t", "ops").first()
+    assert got.s == 30.0
+    with pytest.raises(PermissionDeniedError):
+        eng.sql("ALTER TABLE db.t RENAME COLUMN amount TO x", "nobody")

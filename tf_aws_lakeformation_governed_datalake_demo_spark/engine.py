@@ -517,9 +517,11 @@ class Engine:
             DescribeHistoryStatement,
             DescribeStatement,
             DropMVStatement,
+            ExplainStatement,
             MergeStatement,
             OptimizeStatement,
             RefreshMVStatement,
+            RenameColumnStatement,
             ShowPartitionsStatement,
             ShowTablesStatement,
             UpdateStatement,
@@ -533,6 +535,29 @@ class Engine:
 
         def _row(d: dict, types: str) -> DataFrame:
             return spark.createDataFrame([tuple(d.values())], types)
+
+        if isinstance(stmt, ExplainStatement):
+            # Athena EXPLAIN shape: the governed plan as result rows
+            # (engine.explain never executes, writes no result CSV)
+            text = self.explain(stmt.query_sql, principal, mode=stmt.mode)
+            qe.tables = []
+            return spark.createDataFrame(
+                [(ln,) for ln in text.splitlines()], "plan string"
+            )
+
+        if isinstance(stmt, RenameColumnStatement):
+            self.maintain(
+                stmt.target,
+                "rename_column",
+                principal,
+                old=stmt.old,
+                new=stmt.new,
+            )
+            qe.tables = [stmt.target]
+            return _row(
+                {"table": stmt.target, "old": stmt.old, "new": stmt.new},
+                "table string, old string, new string",
+            )
 
         if isinstance(stmt, MergeStatement):
             from .sources.lake import merge_into

@@ -198,6 +198,19 @@ class DropMVStatement:
 
 
 @dataclass(frozen=True)
+class ExplainStatement:
+    query_sql: str
+    mode: str = "formatted"
+
+
+@dataclass(frozen=True)
+class RenameColumnStatement:
+    target: str
+    old: str
+    new: str
+
+
+@dataclass(frozen=True)
 class ShowTablesStatement:
     database: str | None = None
 
@@ -218,6 +231,8 @@ class DescribeHistoryStatement:
 
 
 Statement = (
+    ExplainStatement,
+    RenameColumnStatement,
     MergeStatement,
     DeleteStatement,
     UpdateStatement,
@@ -434,6 +449,37 @@ def parse_statement(sql: str):
     if text.startswith("(") or verb in ("select", "with", "values", "table"):
         return None
 
+    if verb == "explain":
+        # EXPLAIN <query> — Athena returns the plan as result rows; the
+        # plan shown is of the REWRITTEN query (engine.explain), so a
+        # principal sees exactly what their governed scan reads
+        m = re.match(
+            r"explain\s+(?:(formatted|extended|codegen|cost|simple)\s+)?(.+)$",
+            text,
+            re.I | re.S,
+        )
+        inner = m.group(2).strip()
+        ih = re.match(r"[A-Za-z]+", inner)
+        if not ih or ih.group(0).lower() not in ("select", "with", "values"):
+            raise UnsupportedStatementError(
+                "EXPLAIN supports queries only (SELECT/WITH/VALUES); "
+                "statements execute through their own audited verbs"
+            )
+        return ExplainStatement(inner, (m.group(1) or "formatted").lower())
+    if verb == "alter":
+        m = re.fullmatch(
+            rf"alter\s+table\s+({_QUALIFIED})\s+rename\s+column\s+"
+            rf"({_IDENT})\s+to\s+({_IDENT})",
+            text,
+            re.I,
+        )
+        if m:
+            return RenameColumnStatement(m.group(1), m.group(2), m.group(3))
+        raise UnsupportedStatementError(
+            "ALTER through engine.sql supports only ALTER TABLE <db.table> "
+            "RENAME COLUMN <old> TO <new> (the metadata-only rename); other "
+            "ALTERs go through the catalog API"
+        )
     if verb == "merge":
         return _parse_merge(text)
     if verb == "update":
@@ -544,8 +590,9 @@ def parse_statement(sql: str):
         )
     raise UnsupportedStatementError(
         f"statement verb {verb.upper()!r} is outside the governed grammar "
-        "(supported: SELECT/WITH/VALUES queries, MERGE INTO, UPDATE, "
-        "DELETE FROM, OPTIMIZE, VACUUM, CREATE/REFRESH/DROP MATERIALIZED "
-        "VIEW, SHOW TABLES/PARTITIONS, DESCRIBE [HISTORY]); raw DDL does "
-        "not run through the governed engine"
+        "(supported: SELECT/WITH/VALUES queries, EXPLAIN <query>, MERGE "
+        "INTO, UPDATE, DELETE FROM, OPTIMIZE, VACUUM, CREATE/REFRESH/DROP "
+        "MATERIALIZED VIEW, ALTER TABLE RENAME COLUMN, SHOW "
+        "TABLES/PARTITIONS, DESCRIBE [HISTORY]); raw DDL does not run "
+        "through the governed engine"
     )
