@@ -21,9 +21,10 @@ freshness-first, self-healing):
   take the window front): the governed SQL statement surface
   (sql_merge_upsert, sql_update_rows, sql_delete_rows,
   sql_optimize_vacuum, sql_refresh_mv), the derived-AVG materialized
-  view (governance_materialized_view_avg), the multi-table staged
+  view (governance_materialized_view_avg), the HLL count-distinct MV
+  (governance_materialized_view_distinct), the multi-table staged
   publish (lake_multi_table_publish), and streaming MV maintenance
-  (stream_mv_refresh) — 8 oracle-backed.
+  (stream_mv_refresh) — 9 oracle-backed.
 - ``x_<name>`` — the 13 round-5-verified names that spilled past the
   round-9 window (the oldest outstanding driver verdicts, exactly the
   ``x_`` entries absent from CORRECTNESS_r09.json): they sort right
@@ -31,8 +32,8 @@ freshness-first, self-healing):
   list reaches zero.
 - ``y2_``/``y3_``/``y4_``/``y5_`` — last verified in rounds 6/7/8/9
   (CORRECTNESS_r06 50/50, r07 48/50 + 2 expected no_oracle rows,
-  r08 50/50, r09 50/50 — zero failures in each). After the 8 new +
-  13 ``x_`` names, the window's remaining 29 slots fill with the
+  r08 50/50, r09 50/50 — zero failures in each). After the 9 new +
+  13 ``x_`` names, the window's remaining 28 slots fill with the
   alphabetically-first ``y2_`` (r6) names — the oldest class ages
   first by construction.
 - ``z_`` — no SQL oracle exists (written justifications below).
@@ -77,9 +78,9 @@ round-10 names, which get theirs here.
 
 Round-11 rotation plan (for the next builder session): once
 CORRECTNESS_r10 lands green, (1) move the round-10 window's 50 names
-(the 8 new queries + the 13 ``x_`` + the 29 ``y2_`` re-verifications
+(the 9 new queries + the 13 ``x_`` + the 28 ``y2_`` re-verifications
 — exactly CORRECTNESS_r10.json's keys, prefixes stripped) into a
-fresh ``y6_`` class (verified r10), (2) promote the 21 remaining
+fresh ``y6_`` class (verified r10), (2) promote the 22 remaining
 ``y2_`` names (r6-verified, then the oldest outstanding; they are the
 ``y2_`` entries ABSENT from CORRECTNESS_r10.json) to ``x_``, (3) new
 round-11 queries go unprefixed, (4) remaining slots fill with the
@@ -98,11 +99,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
-# Promoted re-verifications: last verified round 5 — the oldest
-# outstanding driver verdicts. "x_" sorts AFTER every unprefixed new
-# round-9 name (none start beyond "t") and BEFORE y2_/y3_/y4_/z_, so
-# the window is: all new queries first, then as many of these as fit;
-# the alphabetically-last spill to round 10 unprefixed-equivalent.
+# Promoted re-verifications: the 13 round-5-verified names that
+# spilled past the round-9 window — the oldest outstanding driver
+# verdicts. "x_" sorts AFTER every unprefixed new round-10 name (none
+# start beyond "s") and BEFORE the y-classes, so all 13 fit this round
+# and the spill list reaches zero.
 _PROMOTED_R5 = {
     "range_join_price_bands",
     "sample_stratified_by_lang",

@@ -241,6 +241,7 @@ HEADLINE = [
     "sql_optimize_vacuum",
     "sql_refresh_mv",
     "governance_materialized_view_avg",
+    "governance_materialized_view_distinct",
     "lake_multi_table_publish",
     "stream_mv_refresh",
 ]

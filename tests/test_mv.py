@@ -323,3 +323,76 @@ def test_mv_streaming_restart_resume(spark, tmp_path):
     assert {
         tuple(r) for r in eng.sql("SELECT * FROM db.mv", "ops").collect()
     } == mv_first
+
+
+def test_mv_approx_count_distinct_insert_only(spark, tmp_path):
+    """HLL measure (round-10): sketch-of-union == union-of-sketches, so
+    after insert-only feeds the incrementally-refreshed estimate equals
+    the full-recompute estimate EXACTLY (same sketch algorithm, same
+    lgK) — and tracks the true distinct count within HLL error."""
+    cat, eng, loc, df = _setup(spark, tmp_path)
+    # v column has duplicates across groups: true distincts per grp
+    eng.create_materialized_view(
+        "db.mv", "db.docs", ["grp"],
+        {"n": ("count", None), "users": ("approx_count_distinct", "v")},
+        principal="ops",
+    )
+    # state is view-fronted with the sketch stored
+    assert "db.mv" in cat.views
+    assert "__hll_users" in set(
+        cat.tables["db.mv__state"].schema.fieldNames()
+    )
+    # two insert-only mutations: an append with overlapping + new values
+    append_rows(
+        spark, loc,
+        spark.createDataFrame(
+            [(100 + i, "ab"[i % 2], (i % 7) * 10) for i in range(14)],
+            "id long, grp string, v long",
+        ),
+        partition_by=["grp"],
+    )
+    r = eng.refresh_materialized_view("db.mv", principal="ops")
+    assert r["refreshed"]
+    got = {
+        x.grp: (x.n, x.users)
+        for x in eng.sql("SELECT * FROM db.mv", "ops").collect()
+    }
+    # exact sketch equality vs recompute
+    want = {
+        x.grp: (x.n, x.users)
+        for x in read_table(spark, loc)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("users"),
+        )
+        .collect()
+    }
+    assert got == want
+    # and the estimate is exact at this tiny cardinality
+    true = {
+        x.grp: x.d
+        for x in read_table(spark, loc)
+        .groupBy("grp")
+        .agg(F.countDistinct("v").alias("d"))
+        .collect()
+    }
+    for g in true:
+        assert got[g][1] == true[g], (g, got[g], true[g])
+
+
+def test_mv_approx_count_distinct_fail_closed_on_deletes(spark, tmp_path):
+    cat, eng, loc, df = _setup(spark, tmp_path)
+    eng.create_materialized_view(
+        "db.mv", "db.docs", ["grp"],
+        {"n": ("count", None), "users": ("approx_count_distinct", "v")},
+        principal="ops",
+    )
+    delete_rows_mor(spark, loc, "id % 3 = 0")
+    with pytest.raises(ValueError, match="cannot subtract"):
+        eng.refresh_materialized_view("db.mv", principal="ops")
+    # plain count/sum MVs on the same source still refresh fine
+    eng.create_materialized_view(
+        "db.mv2", "db.docs", ["grp"], {"n": ("count", None)},
+        principal="ops",
+    )

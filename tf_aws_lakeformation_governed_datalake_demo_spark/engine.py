@@ -1533,15 +1533,19 @@ class Engine:
     def _mv_view_sql(
         state_q: str, group_by, measures: dict, derived: dict
     ) -> str:
-        """SELECT body of the view fronting an avg-bearing MV: group
-        columns and physical measures pass through; each avg out-column
-        derives as CAST(sum AS DOUBLE)/n (NULL when the group has no
-        non-null values — n=0 division yields NULL, matching AVG)."""
+        """SELECT body of the view fronting a derived-measure MV: group
+        columns and physical measures pass through; avg derives as
+        CAST(sum AS DOUBLE)/n (NULL when the group has no non-null
+        values — n=0 division yields NULL, matching AVG);
+        approx_count_distinct derives as the HLL estimate."""
         parts = list(group_by)
         for out, (agg, _col) in measures.items():
             if agg == "avg":
-                s, n = derived[out]
+                _kind, s, n = derived[out]
                 parts.append(f"CAST({s} AS DOUBLE) / {n} AS {out}")
+            elif agg == "approx_count_distinct":
+                _kind, h = derived[out]
+                parts.append(f"hll_sketch_estimate({h}) AS {out}")
             else:
                 parts.append(out)
         return f"SELECT {', '.join(parts)} FROM {state_q}"
@@ -1561,15 +1565,21 @@ class Engine:
         result reuse, and AS OF reads apply to the MV like any table.
 
         ``measures`` maps output columns to ``("count", None)``,
-        ``("sum", src_col)``, or ``("avg", src_col)``. Storage is
-        ADDITIVE aggregates only — the invariant that makes
-        :meth:`refresh_materialized_view`'s signed change-feed merge
-        equal a full recompute under row deletions. ``avg`` satisfies
-        it by expansion: the state stores ``__sum_<out>`` +
-        ``__n_<out>`` (non-null count) and the MV's name becomes a
-        catalog VIEW deriving the quotient at read time (min/max stay
-        refused: a delete can strand them; at least one count measure
-        required: it is how emptied groups leave the MV).
+        ``("sum", src_col)``, ``("avg", src_col)``, or
+        ``("approx_count_distinct", src_col)``. Storage is MERGEABLE
+        aggregates only — the invariant that makes
+        :meth:`refresh_materialized_view`'s change-feed merge equal a
+        full recompute. ``avg`` satisfies it by expansion: the state
+        stores ``__sum_<out>`` + ``__n_<out>`` (non-null count) and the
+        MV's name becomes a catalog VIEW deriving the quotient at read
+        time. ``approx_count_distinct`` stores a mergeable HLL sketch
+        (``__hll_<out>``; the view derives the estimate) — lossless
+        under insert-only feeds (sketch-of-union == union-of-sketches,
+        so refresh == recompute EXACTLY at the sketch level), but
+        sketches cannot subtract, so a feed carrying deletes
+        fail-closes the refresh with a re-create instruction. min/max
+        stay refused (a delete can strand them); at least one count
+        measure required (it is how emptied groups leave the MV).
 
         100 TB: creation pays one full aggregation of the source —
         once; every refresh after that is O(changed files) through
@@ -1630,13 +1640,26 @@ class Engine:
                     raise ValueError(f"measure {out}: avg needs a column")
                 physical[f"__sum_{out}"] = ("sum", col)
                 physical[f"__n_{out}"] = ("nncount", col)
-                derived[out] = (f"__sum_{out}", f"__n_{out}")
+                derived[out] = ("avg", f"__sum_{out}", f"__n_{out}")
+            elif agg == "approx_count_distinct":
+                # HLL sketches MERGE losslessly (sketch-of-union ==
+                # union-of-sketches), so insert-only feeds refresh
+                # exactly; they cannot SUBTRACT, so a feed carrying
+                # deletes fail-closes the refresh with a re-create
+                # instruction (refresh_materialized_view)
+                if col is None:
+                    raise ValueError(
+                        f"measure {out}: approx_count_distinct needs a column"
+                    )
+                physical[f"__hll_{out}"] = ("hll", col)
+                derived[out] = ("hll", f"__hll_{out}")
             else:
                 raise ValueError(
                     f"measure {out}={agg!r} is not additive under deletes "
-                    "— count/sum refresh from a signed change feed and "
-                    "avg derives from stored sum+count (recompute min/max "
-                    "with a full re-create)"
+                    "— count/sum refresh from a signed change feed, avg "
+                    "derives from stored sum+count, approx_count_distinct "
+                    "from a mergeable HLL sketch (recompute min/max with "
+                    "a full re-create)"
                 )
         if derived:
             state_q = f"{db}.{mv_name}__state"
@@ -1669,6 +1692,8 @@ class Engine:
                 if agg == "count"
                 else F.count(F.col(col)).cast("long")
                 if agg == "nncount"
+                else F.hll_sketch_agg(col)
+                if agg == "hll"
                 else F.sum(col)
             ).alias(out)
             for out, (agg, col) in physical.items()
@@ -1811,6 +1836,21 @@ class Engine:
                 f"{qualified_mv!r}, delete_data=True) and re-create; the "
                 "stored state and its history may reflect erased rows"
             ) from exc
+        hll_outs = [
+            out for out, (agg, _c) in mv.measures.items() if agg == "hll"
+        ]
+        if hll_outs and feed.filter(
+            F.col("_change_type") == "delete"
+        ).limit(1).count():
+            # sketches merge, they cannot subtract — a deleting feed
+            # would silently overcount forever (fail closed, same rule
+            # as erasure-truncated history)
+            raise ValueError(
+                f"{qualified_mv} carries approx_count_distinct measure(s) "
+                f"{hll_outs} and the change feed contains deletes — HLL "
+                "sketches cannot subtract; drop_materialized_view(..., "
+                "delete_data=True) and re-create"
+            )
         sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
         old = read_table(self.spark, mv.location)
         delta_aggs = [
@@ -1822,6 +1862,8 @@ class Engine:
                     * F.when(F.col(col).isNull(), F.lit(0)).otherwise(F.lit(1))
                 ).cast("long")
                 if agg == "nncount"
+                else F.hll_sketch_agg(col)
+                if agg == "hll"
                 else F.sum(sign * F.col(col))
             ).alias(out)
             for out, (agg, col) in mv.measures.items()
@@ -1844,10 +1886,14 @@ class Engine:
             .groupBy(*mv.group_by)
             .agg(
                 *[
-                    F.sum(out).cast(
-                        old.schema[out].dataType.simpleString()
+                    (
+                        F.hll_union_agg(out)
+                        if agg == "hll"
+                        else F.sum(out).cast(
+                            old.schema[out].dataType.simpleString()
+                        )
                     ).alias(out)
-                    for out in mv.measures
+                    for out, (agg, _c) in mv.measures.items()
                 ]
             )
             .filter(F.col(count_col) > 0)

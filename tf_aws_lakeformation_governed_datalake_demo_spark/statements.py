@@ -406,15 +406,17 @@ def _parse_create_mv(text: str) -> CreateMVStatement:
             continue
         ma = re.fullmatch(
             rf"(count)\s*\(\s*\*\s*\)\s+as\s+({_IDENT})"
-            rf"|(sum|avg)\s*\(\s*({_IDENT})\s*\)\s+as\s+({_IDENT})",
+            rf"|(sum|avg|approx_count_distinct)\s*\(\s*({_IDENT})\s*\)"
+            rf"\s+as\s+({_IDENT})",
             item,
             re.I,
         )
         if not ma:
             raise UnsupportedStatementError(
-                f"MV measures are count(*)/sum(col)/avg(col) AS alias — "
-                f"the additive set the incremental refresh supports "
-                f"(got {item!r}); min/max need a full re-create by design"
+                f"MV measures are count(*)/sum(col)/avg(col)/"
+                f"approx_count_distinct(col) AS alias — the "
+                f"incrementally-refreshable set (got {item!r}); min/max "
+                f"need a full re-create by design"
             )
         if ma.group(1):
             measures.append((ma.group(2), "count", None))
