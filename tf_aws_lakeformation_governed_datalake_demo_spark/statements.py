@@ -460,6 +460,11 @@ def parse_statement(sql: str):
             text,
             re.I | re.S,
         )
+        if not m:
+            raise UnsupportedStatementError(
+                "supported form: EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST|"
+                "SIMPLE] <query>"
+            )
         inner = m.group(2).strip()
         ih = re.match(r"[A-Za-z]+", inner)
         if not ih or ih.group(0).lower() not in ("select", "with", "values"):
