@@ -141,7 +141,7 @@ def test_parse_mv_statements():
 
 
 def test_parse_mv_rejects_min_max():
-    with pytest.raises(UnsupportedStatementError, match="additive"):
+    with pytest.raises(UnsupportedStatementError, match="incrementally-refreshable"):
         parse_statement(
             "CREATE MATERIALIZED VIEW db.mv AS SELECT g, count(*) AS n, "
             "min(x) AS mx FROM db.src GROUP BY g"

@@ -1515,11 +1515,28 @@ class Engine:
     # tests or unusual row widths.
     mv_state_rows_per_file: int = 1_000_000
 
-    def _mv_state_frame(self, state: DataFrame, group_by) -> DataFrame:
+    def _mv_state_frame(
+        self, state: DataFrame, group_by, src_location: str | None = None
+    ) -> DataFrame:
         """Partition the MV state for publication: O(groups) rows land
         in ceil(n / mv_state_rows_per_file) files (capped at 256),
-        hashed by group key. The state is pinned (localCheckpoint)
-        first so the count and the write see one materialization."""
+        hashed by group key.
+
+        Fast path: groups <= source rows, and the source's row count is
+        metadata-only arithmetic on a manifest table (count_rows, zero
+        scan) — so a small source proves a one-file state without the
+        pin-and-count job the sizing otherwise needs. Only states that
+        MIGHT exceed one file pay the localCheckpoint + count (pinned
+        so the count and the write see one materialization)."""
+        if src_location is not None:
+            from .sources.lake import count_rows
+
+            meta = count_rows(src_location)
+            if (
+                meta is not None
+                and meta["rows"] <= int(self.mv_state_rows_per_file)
+            ):
+                return state.coalesce(1)
         staged = state.localCheckpoint(eager=True)
         n = staged.count()
         parts = max(
@@ -1702,7 +1719,7 @@ class Engine:
         publish_overwrite(
             self.spark,
             location,
-            self._mv_state_frame(state, group_by),
+            self._mv_state_frame(state, group_by, src.location),
             None,
             manifest=True,
             app_versions={"mv_source": cur},
@@ -1901,7 +1918,7 @@ class Engine:
         publish_overwrite(
             self.spark,
             mv.location,
-            self._mv_state_frame(state, list(mv.group_by)),
+            self._mv_state_frame(state, list(mv.group_by), src.location),
             None,
             app_versions={"mv_source": cur},
             expected_version=mvm["version"],  # racing refreshes conflict
