@@ -635,3 +635,54 @@ def test_alter_rename_column_statement(spark, tmp_path_factory):
     assert got.s == 30.0
     with pytest.raises(PermissionDeniedError):
         eng.sql("ALTER TABLE db.t RENAME COLUMN amount TO x", "nobody")
+
+
+def test_ctas_statement_governed(engine, spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ctasstmt") / "apac")
+    r = engine.sql(
+        f"CREATE TABLE sales_db.apac_copy WITH ("
+        f"external_location = '{out}', format = 'PARQUET') AS "
+        "SELECT customer_id, sales_region, sales_amount "
+        "FROM sales_db.sales",
+        "analyst",
+    ).first()
+    assert r.table == "sales_db.apac_copy"
+    # the analyst's CTAS materialized only their 8 APAC rows
+    assert spark.read.parquet(out).count() == 8
+    n = engine.sql(
+        "SELECT count(*) AS n FROM sales_db.apac_copy", "analyst"
+    ).first()
+    assert n.n == 8
+
+
+def test_ctas_statement_partitioned(engine, spark, tmp_path_factory):
+    import pathlib
+
+    out = str(tmp_path_factory.mktemp("ctasstmt2") / "byregion")
+    engine.sql(
+        f"CREATE TABLE sales_db.by_region2 WITH ("
+        f"external_location = '{out}', "
+        f"partitioned_by = ARRAY['sales_region']) AS "
+        "SELECT customer_id, sales_amount, sales_region "
+        "FROM sales_db.sales",
+        "dataadmin",
+    )
+    dirs = {p.name for p in pathlib.Path(out).iterdir() if p.is_dir()}
+    assert {"sales_region=APAC", "sales_region=EMEA", "sales_region=AMER"} <= dirs
+
+
+def test_unload_statement(engine, spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("unloadstmt") / "dump")
+    r = engine.sql(
+        f"UNLOAD (SELECT customer_id, sales_amount FROM sales_db.sales) "
+        f"TO '{out}' WITH (format = 'PARQUET')",
+        "analyst",
+    ).first()
+    assert r.path == out
+    assert spark.read.parquet(out).count() == 8  # governed subset only
+    with pytest.raises(Exception, match="unsupported UNLOAD"):
+        engine.sql(
+            f"UNLOAD (SELECT 1) TO '{out}2' WITH (format = 'PARQUET', "
+            "compression = 'lz4')",
+            "dataadmin",
+        )

@@ -513,6 +513,7 @@ class Engine:
 
         from .statements import (
             CreateMVStatement,
+            CtasStatement,
             DeleteStatement,
             DescribeHistoryStatement,
             DescribeStatement,
@@ -524,6 +525,7 @@ class Engine:
             RenameColumnStatement,
             ShowPartitionsStatement,
             ShowTablesStatement,
+            UnloadStatement,
             UpdateStatement,
             VacuumStatement,
         )
@@ -535,6 +537,38 @@ class Engine:
 
         def _row(d: dict, types: str) -> DataFrame:
             return spark.createDataFrame([tuple(d.values())], types)
+
+        if isinstance(stmt, CtasStatement):
+            # Athena CTAS as SQL: the governed select materializes only
+            # what the principal's grants allow; creator owns the table
+            db, _, tname = stmt.target.partition(".")
+            inner = self.ctas(
+                stmt.select_sql,
+                database=db,
+                table=tname,
+                location=stmt.location,
+                principal=principal,
+                partition_by=list(stmt.partitioned_by) or None,
+            )
+            qe.tables = [stmt.target, *inner.tables]
+            return _row(
+                {"table": stmt.target, "location": stmt.location},
+                "table string, location string",
+            )
+
+        if isinstance(stmt, UnloadStatement):
+            self.unload(
+                stmt.select_sql,
+                stmt.path,
+                principal=principal,
+                format=stmt.format,
+                partition_by=list(stmt.partitioned_by) or None,
+            )
+            qe.tables = []
+            return _row(
+                {"path": stmt.path, "format": stmt.format},
+                "path string, format string",
+            )
 
         if isinstance(stmt, ExplainStatement):
             # Athena EXPLAIN shape: the governed plan as result rows

@@ -211,6 +211,22 @@ class RenameColumnStatement:
 
 
 @dataclass(frozen=True)
+class CtasStatement:
+    target: str
+    select_sql: str
+    location: str
+    partitioned_by: tuple = ()
+
+
+@dataclass(frozen=True)
+class UnloadStatement:
+    select_sql: str
+    path: str
+    format: str = "parquet"
+    partitioned_by: tuple = ()
+
+
+@dataclass(frozen=True)
 class ShowTablesStatement:
     database: str | None = None
 
@@ -231,6 +247,8 @@ class DescribeHistoryStatement:
 
 
 Statement = (
+    CtasStatement,
+    UnloadStatement,
     ExplainStatement,
     RenameColumnStatement,
     MergeStatement,
@@ -431,6 +449,75 @@ def _parse_create_mv(text: str) -> CreateMVStatement:
     return CreateMVStatement(mv, source, group_by, tuple(measures))
 
 
+def _parse_props(text: str) -> dict:
+    """Athena WITH-property list: ``k = 'v'`` or ``k = ARRAY['a','b']``
+    items, comma-separated (paren/literal-aware). Keys lowercase;
+    ARRAY values become tuples."""
+    props: dict = {}
+    if not text.strip():
+        return props
+    for item in _split_top(text):
+        m = re.fullmatch(
+            r"(\w+)\s*=\s*(?:'([^']*)'"
+            r"|array\s*\[([^\]]*)\])",
+            item,
+            re.I | re.S,
+        )
+        if not m:
+            raise UnsupportedStatementError(
+                f"WITH property {item!r} is not k = 'v' or k = "
+                "ARRAY['a', ...]"
+            )
+        key = m.group(1).lower()
+        if m.group(3) is not None:
+            props[key] = tuple(
+                v.strip().strip("'") for v in m.group(3).split(",") if v.strip()
+            )
+        else:
+            props[key] = m.group(2)
+    return props
+
+
+def _parse_ctas(text: str) -> CtasStatement:
+    grammar = (
+        "CREATE TABLE <db.table> WITH (external_location = '<path>'"
+        "[, format = 'PARQUET', partitioned_by = ARRAY['col', ...]]) "
+        "AS <select>"
+    )
+    m = re.match(
+        rf"create\s+table\s+({_QUALIFIED})\s+with\s*", text, re.I
+    )
+    if not m:
+        raise UnsupportedStatementError(f"supported CTAS form: {grammar}")
+    target = m.group(1)
+    rest = text[m.end() :].lstrip()
+    if not rest.startswith("("):
+        raise UnsupportedStatementError(f"supported CTAS form: {grammar}")
+    end = _balanced_paren_span(rest, 0)
+    props = _parse_props(rest[1 : end - 1])
+    rest = rest[end:].strip()
+    ma = re.match(r"as\s+(.+)$", rest, re.I | re.S)
+    if not ma:
+        raise UnsupportedStatementError(f"supported CTAS form: {grammar}")
+    location = props.pop("external_location", None)
+    if not location:
+        raise UnsupportedStatementError(
+            "CTAS requires external_location = '<path>' (this engine's "
+            "tables are external, like the reference's Glue tables)"
+        )
+    fmt = (props.pop("format", "parquet") or "parquet").lower()
+    if fmt != "parquet":
+        raise UnsupportedStatementError(
+            f"CTAS format {fmt!r} unsupported (parquet only)"
+        )
+    pby = props.pop("partitioned_by", ())
+    if props:
+        raise UnsupportedStatementError(
+            f"unsupported CTAS propert(ies) {sorted(props)}"
+        )
+    return CtasStatement(target, ma.group(1).strip(), location, tuple(pby))
+
+
 def parse_statement(sql: str):
     """Parse a governed statement.
 
@@ -542,12 +629,43 @@ def parse_statement(sql: str):
     if verb == "create":
         if re.match(r"create\s+materialized\s+view\b", text, re.I):
             return _parse_create_mv(text)
+        if re.match(r"create\s+table\b", text, re.I):
+            return _parse_ctas(text)
         raise UnsupportedStatementError(
-            "CREATE through engine.sql supports only CREATE MATERIALIZED "
-            "VIEW; tables/views/databases go through the catalog API "
-            "(create_database / register_table / create_view) or "
-            "Engine.ctas"
+            "CREATE through engine.sql supports CREATE MATERIALIZED VIEW "
+            "and CREATE TABLE ... WITH (external_location=...) AS "
+            "<select> (Athena CTAS); plain tables/views/databases go "
+            "through the catalog API (create_database / register_table / "
+            "create_view)"
         )
+    if verb == "unload":
+        m = re.match(r"unload\s*", text, re.I)
+        rest = text[m.end() :]
+        if not rest.startswith("("):
+            raise UnsupportedStatementError(
+                "supported form: UNLOAD (<select>) TO '<path>' WITH "
+                "(format = 'PARQUET'|'CSV'|'JSON'|'ORC'[, partitioned_by "
+                "= ARRAY['col', ...]])"
+            )
+        end = _balanced_paren_span(rest, 0)
+        select_sql = rest[1 : end - 1].strip()
+        tail = rest[end:].strip()
+        mt = re.fullmatch(
+            r"to\s+'([^']+)'\s*(?:with\s*\((.*)\))?", tail, re.I | re.S
+        )
+        if not mt:
+            raise UnsupportedStatementError(
+                "UNLOAD needs TO '<path>' [WITH (format = ..., "
+                "partitioned_by = ...)]"
+            )
+        props = _parse_props(mt.group(2) or "")
+        fmt = (props.pop("format", "parquet") or "parquet").lower()
+        pby = props.pop("partitioned_by", ())
+        if props:
+            raise UnsupportedStatementError(
+                f"unsupported UNLOAD propert(ies) {sorted(props)}"
+            )
+        return UnloadStatement(select_sql, mt.group(1), fmt, tuple(pby))
     if verb == "refresh":
         m = re.fullmatch(
             rf"refresh\s+materialized\s+view\s+({_QUALIFIED})", text, re.I
