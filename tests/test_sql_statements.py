@@ -686,3 +686,35 @@ def test_unload_statement(engine, spark, tmp_path_factory):
             "compression = 'lz4')",
             "dataadmin",
         )
+
+
+def test_update_rows_rewrites_only_touched_partitions(spark, tmp_path):
+    """Scale pin: an UPDATE matching rows in ONE partition must carry
+    the other partitions' files by name — never list, read, or rewrite
+    them (the 100 TB property delete_rows already pins)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        publish_overwrite,
+        update_rows,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        read_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    d = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)],
+        "id long, grp string, v double",
+    )
+    publish_overwrite(spark, path, d, ["grp"], manifest=True)
+    before = {
+        f for f in read_manifest(path)["files"] if not f.startswith("grp=a/")
+    }
+    r = update_rows(
+        spark, path, {"v": "v + 1"}, "grp = 'a' AND id < 100",
+        partition_col="grp",
+    )
+    assert r["partitions_rewritten"] == 1
+    after = {
+        f for f in read_manifest(path)["files"] if not f.startswith("grp=a/")
+    }
+    assert after == before  # b/c files carried by name, byte-untouched
