@@ -240,6 +240,7 @@ HEADLINE = [
     "sql_delete_rows",
     "sql_optimize_vacuum",
     "sql_refresh_mv",
+    "sql_ctas_unload",
     "governance_materialized_view_avg",
     "governance_materialized_view_distinct",
     "lake_multi_table_publish",

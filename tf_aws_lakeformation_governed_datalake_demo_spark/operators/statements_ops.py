@@ -300,6 +300,62 @@ def sql_refresh_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_ctas_unload",
+    """
+    WITH big AS (SELECT * FROM documents WHERE n_chars >= 120)
+    SELECT b.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.n_chars) AS BIGINT) AS total_chars,
+           CAST(any_value(s.n_src) AS BIGINT) AS n_src
+    FROM big b
+    JOIN (SELECT lang, count(DISTINCT source) AS n_src
+          FROM documents WHERE n_chars >= 120 GROUP BY lang) s
+      ON s.lang = b.lang
+    GROUP BY b.lang
+    """,
+    "CTAS + UNLOAD as governed SQL statements (Athena WITH-property "
+    "forms): CREATE TABLE ... WITH (external_location, partitioned_by) "
+    "AS materializes a filtered slice as a registered lang-partitioned "
+    "table owned by its creator; UNLOAD writes a per-lang source-count "
+    "rollup to bare parquet. The result joins the CTAS table (read "
+    "governed, partition-pruned) with the UNLOAD files read back — "
+    "hash equality proves both statements materialized exactly the "
+    "governed select they declared.",
+)
+def sql_ctas_unload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last two Athena statement shapes (validate.sh's submission
+    modality; outputs.tf:44-95 name CTAS result tables). Scale: CTAS
+    is one governed query + one partitioned write; UNLOAD the same
+    minus registration."""
+    eng, lake = _governed_docs(spark, sf_dir, "sqlctas_")
+    eng.sql(
+        f"CREATE TABLE db.big_docs WITH ("
+        f"external_location = '{lake}/big_docs', "
+        f"partitioned_by = ARRAY['lang']) AS "
+        "SELECT doc_id, source, n_chars, lang FROM db.docs "
+        "WHERE n_chars >= 120",
+        "ops",
+    )
+    out = f"{lake}/unload_rollup"
+    eng.sql(
+        f"UNLOAD (SELECT lang AS u_lang, "
+        f"CAST(count(DISTINCT source) AS BIGINT) AS n_src "
+        f"FROM db.docs WHERE n_chars >= 120 GROUP BY lang) "
+        f"TO '{out}' WITH (format = 'PARQUET')",
+        "ops",
+    )
+    rollup = spark.read.parquet(out)
+    ctas_agg = eng.sql(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM db.big_docs GROUP BY lang",
+        "ops",
+    )
+    return ctas_agg.join(
+        rollup, ctas_agg.lang == rollup.u_lang
+    ).select("lang", "n_docs", "total_chars", "n_src")
+
+
+@query(
     "governance_materialized_view_distinct",
     """
     WITH final AS (
