@@ -132,6 +132,13 @@ class MaterializedViewDef:
     # fronted by a view (derived measures present); None = the MV's
     # own name IS the state table (plain count/sum MVs, the v1 shape).
     state_table: str | None = None
+    # Optional source row filter (SQL predicate string): the MV
+    # aggregates only matching rows, and refresh applies the SAME
+    # predicate to the signed change feed — a deleted matching row
+    # subtracts, a non-matching row never contributed, so filtered
+    # refresh == filtered recompute exactly (NULL predicate rows are
+    # excluded on both paths — standard WHERE semantics).
+    where: str | None = None
 
     @property
     def qualified(self) -> str:
@@ -254,6 +261,7 @@ class GovernedCatalog:
                                 for k, v in sorted(m.derived.items())
                             },
                             "state_table": m.state_table,
+                            "where": m.where,
                         }
                         for q, m in sorted(self.mvs.items())
                     }
@@ -334,6 +342,7 @@ class GovernedCatalog:
                     k: tuple(v) for k, v in m.get("derived", {}).items()
                 },
                 state_table=m.get("state_table"),
+                where=m.get("where"),
             )
         cat.revision = state.get("revision", 0)
         return cat

@@ -729,6 +729,7 @@ class Engine:
                 list(stmt.group_by),
                 {out: (agg, col) for out, agg, col in stmt.measures},
                 principal=principal,
+                where=stmt.where,
             )
             qe.tables = [stmt.mv, stmt.source]
             return _row(
@@ -1608,6 +1609,7 @@ class Engine:
         group_by: list[str],
         measures: dict[str, tuple],
         principal: "Principal | str | None" = None,
+        where: str | None = None,
     ) -> dict:
         """CREATE MATERIALIZED VIEW: an incrementally-maintained
         aggregate over one manifest-committed source table, stored as
@@ -1737,6 +1739,9 @@ class Engine:
         base = read_table(
             self.spark, src.location, schema=src.schema, version=cur
         )
+        if where is not None:
+            F.expr(where)  # fail fast on unparseable SQL
+            base = base.filter(F.expr(where))
         aggs = [
             (
                 F.count(F.lit(1)).cast("long")
@@ -1782,12 +1787,14 @@ class Engine:
             location=location,
             derived=derived,
             state_table=state_q if derived else None,
+            where=where,
         )
         self.catalog.audit.record(
             principal=name or "<none>",
             query=(
                 f"CREATE MATERIALIZED VIEW {qualified_mv} AS "
                 f"agg({source}) BY ({', '.join(group_by)})"
+                + (f" WHERE {where}" if where else "")
             ),
             tables=[qualified_mv, source],
             filters_applied=[],
@@ -1887,6 +1894,13 @@ class Engine:
                 f"{qualified_mv!r}, delete_data=True) and re-create; the "
                 "stored state and its history may reflect erased rows"
             ) from exc
+        if mv.where is not None:
+            # the MV's own WHERE applies to the feed exactly as it did
+            # to the creation scan: a matching deleted row subtracts, a
+            # non-matching row never contributed (filtered refresh ==
+            # filtered recompute; NULL predicate rows excluded on both
+            # paths — standard WHERE semantics)
+            feed = feed.filter(F.expr(mv.where))
         hll_outs = [
             out for out, (agg, _c) in mv.measures.items() if agg == "hll"
         ]

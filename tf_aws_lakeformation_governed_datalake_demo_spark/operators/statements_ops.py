@@ -423,6 +423,63 @@ def governance_materialized_view_distinct(
 
 
 @query(
+    "governance_materialized_view_filtered",
+    """
+    WITH v2 AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+      WHERE doc_id % 10 <> 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM v2
+    WHERE n_chars >= 150
+    GROUP BY lang
+    """,
+    "Filtered materialized view (round-10): CREATE MATERIALIZED VIEW "
+    "... WHERE n_chars >= 150 through the SQL statement surface; the "
+    "refresh applies the SAME predicate to the signed change feed, so "
+    "a MoR delete of matching rows subtracts, the +1000 update merge "
+    "MOVES rows across the predicate boundary in both directions "
+    "(its delete+insert pair handles the membership change "
+    "automatically), and filtered refresh == filtered recompute — the "
+    "oracle is the recompute.",
+)
+def governance_materialized_view_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WHERE increment closes a real modeling gap: production MVs
+    almost always aggregate a slice (status='active', date >= ...),
+    and the signed feed makes the filter exact even when updates move
+    rows across the predicate boundary. 100 TB: the predicate pushes
+    into both the creation scan and the O(changed files) feed read."""
+    from ..sources import delete_rows_mor, merge_into
+
+    eng, lake = _governed_docs(spark, sf_dir, "gov_mv_filt_")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW db.docs_mv AS "
+        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+        "FROM db.docs WHERE n_chars >= 150 GROUP BY lang",
+        "ops",
+    )
+    d = load(spark, sf_dir, "documents")
+    loc = f"{lake}/docs"
+    delete_rows_mor(spark, loc, "doc_id % 10 = 0")
+    upd = d.filter(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 4 == 0)
+    ).withColumn("n_chars", F.col("n_chars") + 1000)
+    merge_into(spark, loc, upd, ["doc_id"], ["lang"], collect_stats=False)
+    r = eng.sql("REFRESH MATERIALIZED VIEW db.docs_mv", "ops").first()
+    assert r.refreshed
+    return eng.sql(
+        "SELECT lang, n_docs, total_chars FROM db.docs_mv", "ops"
+    )
+
+
+@query(
     "lake_multi_table_publish",
     """
     WITH seed AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),

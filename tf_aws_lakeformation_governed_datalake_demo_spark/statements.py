@@ -184,6 +184,7 @@ class CreateMVStatement:
     source: str
     group_by: tuple
     measures: tuple  # ((out_col, agg, src_col|None), ...)
+    where: str | None = None  # optional source row filter
 
 
 @dataclass(frozen=True)
@@ -380,8 +381,9 @@ def _parse_update(text: str) -> UpdateStatement:
 def _parse_create_mv(text: str) -> CreateMVStatement:
     grammar = (
         "CREATE MATERIALIZED VIEW <db.mv> AS SELECT <group cols>, "
-        "count(*) AS a [, sum(col) AS b, avg(col) AS c ...] "
-        "FROM <db.table> GROUP BY <group cols>"
+        "count(*) AS a [, sum(col) AS b, avg(col) AS c, "
+        "approx_count_distinct(col) AS d ...] "
+        "FROM <db.table> [WHERE <predicate>] GROUP BY <group cols>"
     )
     m = re.match(
         rf"create\s+materialized\s+view\s+({_QUALIFIED})\s+as\s+select\s+",
@@ -397,15 +399,32 @@ def _parse_create_mv(text: str) -> CreateMVStatement:
         raise UnsupportedStatementError(f"supported form: {grammar}")
     select_list = rest[:from_at]
     rest = rest[from_at + 4 :].strip()
-    mf = re.match(rf"({_QUALIFIED})\s+group\s+by\s+(.+)$", rest, re.I | re.S)
+    mf = re.match(rf"({_QUALIFIED})\s+", rest)
     if not mf:
         raise UnsupportedStatementError(
             f"MV source must be one table with GROUP BY; supported form: "
             f"{grammar}"
         )
     source = mf.group(1)
+    tail = rest[mf.end() :]
+    gb_at = _find_keyword(tail, "group")
+    if gb_at < 0:
+        raise UnsupportedStatementError(
+            f"MV needs GROUP BY; supported form: {grammar}"
+        )
+    where_clause = None
+    head_part = tail[:gb_at].strip()
+    if head_part:
+        mw = re.match(r"where\s+(.+)$", head_part, re.I | re.S)
+        if not mw:
+            raise UnsupportedStatementError(
+                f"unrecognized clause {head_part!r} between FROM and "
+                f"GROUP BY; supported form: {grammar}"
+            )
+        where_clause = mw.group(1).strip()
+    mg = re.match(r"group\s+by\s+(.+)$", tail[gb_at:], re.I | re.S)
     group_by = tuple(
-        g.strip() for g in _split_top(mf.group(2)) if g.strip()
+        g.strip() for g in _split_top(mg.group(1)) if g.strip()
     )
     for g in group_by:
         if not re.fullmatch(_IDENT, g):
@@ -446,7 +465,9 @@ def _parse_create_mv(text: str) -> CreateMVStatement:
         )
     if not measures:
         raise UnsupportedStatementError("MV needs at least one measure")
-    return CreateMVStatement(mv, source, group_by, tuple(measures))
+    return CreateMVStatement(
+        mv, source, group_by, tuple(measures), where_clause
+    )
 
 
 def _parse_props(text: str) -> dict:
