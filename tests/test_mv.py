@@ -396,3 +396,51 @@ def test_mv_approx_count_distinct_fail_closed_on_deletes(spark, tmp_path):
         "db.mv2", "db.docs", ["grp"], {"n": ("count", None)},
         principal="ops",
     )
+
+
+def test_mv_filtered_source_boundary_crossing(spark, tmp_path):
+    """Round-10 WHERE increment: the filter applies identically to the
+    creation scan and the signed feed, so an UPDATE that moves rows
+    ACROSS the predicate boundary (in both directions) keeps filtered
+    refresh == filtered recompute exactly."""
+    cat, eng, loc, df = _setup(spark, tmp_path)
+    eng.create_materialized_view(
+        "db.mv", "db.docs", ["grp"],
+        {"n": ("count", None), "total": ("sum", "v")},
+        principal="ops", where="v >= 100",
+    )
+    # move rows across the boundary both ways: ids 2,4 (v 20,40 -> +100,
+    # entering) and ids 12,14 (v 120,140 -> -100, leaving); delete one
+    # matching row outright (id 18, v 180)
+    merge_into(
+        spark, loc,
+        spark.createDataFrame(
+            [(2, "a", 120), (4, "a", 140), (12, "a", 20), (14, "a", 40)],
+            "id long, grp string, v long",
+        ),
+        ["id"], ["grp"], collect_stats=False,
+    )
+    delete_rows_mor(spark, loc, "id = 18")
+    r = eng.refresh_materialized_view("db.mv", principal="ops")
+    assert r["refreshed"]
+    got = {
+        (x.grp, x.n, x.total)
+        for x in eng.sql("SELECT * FROM db.mv", "ops").collect()
+    }
+    want = {
+        (x.grp, x.n, x.total)
+        for x in read_table(spark, loc)
+        .filter(F.col("v") >= 100)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == want
+    # reload persistence carries the filter
+    cat.save()
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        GovernedCatalog as GC,
+    )
+
+    cat2 = GC.load(spark, cat.lake_root)
+    assert cat2.mvs["db.mv"].where == "v >= 100"

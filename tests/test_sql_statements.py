@@ -718,3 +718,23 @@ def test_update_rows_rewrites_only_touched_partitions(spark, tmp_path):
         f for f in read_manifest(path)["files"] if not f.startswith("grp=a/")
     }
     assert after == before  # b/c files carried by name, byte-untouched
+
+
+def test_parse_mv_with_where():
+    s = parse_statement(
+        "CREATE MATERIALIZED VIEW db.mv AS SELECT g, count(*) AS n "
+        "FROM db.src WHERE status = 'active' AND v >= 10 GROUP BY g"
+    )
+    assert s.where == "status = 'active' AND v >= 10"
+    assert s.group_by == ("g",)
+    # no WHERE still parses
+    assert parse_statement(
+        "CREATE MATERIALIZED VIEW db.mv AS SELECT g, count(*) AS n "
+        "FROM db.src GROUP BY g"
+    ).where is None
+    # junk between FROM and GROUP BY is refused
+    with pytest.raises(UnsupportedStatementError, match="unrecognized"):
+        parse_statement(
+            "CREATE MATERIALIZED VIEW db.mv AS SELECT g, count(*) AS n "
+            "FROM db.src JOIN db.other ON x = y GROUP BY g"
+        )
