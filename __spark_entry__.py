@@ -24,9 +24,10 @@ freshness-first, self-healing):
   covering the Athena CTAS + UNLOAD forms), the derived-AVG materialized
   view (governance_materialized_view_avg), the HLL count-distinct MV
   (governance_materialized_view_distinct), the filtered-source MV
-  (governance_materialized_view_filtered), the multi-table staged
+  (governance_materialized_view_filtered), the enriched (pinned-dim
+  join) MV (governance_materialized_view_join), the multi-table staged
   publish (lake_multi_table_publish), and streaming MV maintenance
-  (stream_mv_refresh) — 11 oracle-backed.
+  (stream_mv_refresh) — 12 oracle-backed.
 - ``x_<name>`` — the 13 round-5-verified names that spilled past the
   round-9 window (the oldest outstanding driver verdicts, exactly the
   ``x_`` entries absent from CORRECTNESS_r09.json): they sort right
@@ -34,8 +35,8 @@ freshness-first, self-healing):
   list reaches zero.
 - ``y2_``/``y3_``/``y4_``/``y5_`` — last verified in rounds 6/7/8/9
   (CORRECTNESS_r06 50/50, r07 48/50 + 2 expected no_oracle rows,
-  r08 50/50, r09 50/50 — zero failures in each). After the 11 new +
-  13 ``x_`` names, the window's remaining 26 slots fill with the
+  r08 50/50, r09 50/50 — zero failures in each). After the 12 new +
+  13 ``x_`` names, the window's remaining 25 slots fill with the
   alphabetically-first ``y2_`` (r6) names — the oldest class ages
   first by construction.
 - ``z_`` — no SQL oracle exists (written justifications below).
@@ -80,9 +81,9 @@ round-10 names, which get theirs here.
 
 Round-11 rotation plan (for the next builder session): once
 CORRECTNESS_r10 lands green, (1) move the round-10 window's 50 names
-(the 11 new queries + the 13 ``x_`` + the 26 ``y2_`` re-verifications
+(the 12 new queries + the 13 ``x_`` + the 25 ``y2_`` re-verifications
 — exactly CORRECTNESS_r10.json's keys, prefixes stripped) into a
-fresh ``y6_`` class (verified r10), (2) promote the 24 remaining
+fresh ``y6_`` class (verified r10), (2) promote the 25 remaining
 ``y2_`` names (r6-verified, then the oldest outstanding; they are the
 ``y2_`` entries ABSENT from CORRECTNESS_r10.json) to ``x_``, (3) new
 round-11 queries go unprefixed, (4) remaining slots fill with the

@@ -243,6 +243,7 @@ HEADLINE = [
     "sql_ctas_unload",
     "governance_materialized_view_avg",
     "governance_materialized_view_filtered",
+    "governance_materialized_view_join",
     "governance_materialized_view_distinct",
     "lake_multi_table_publish",
     "stream_mv_refresh",

@@ -444,3 +444,69 @@ def test_mv_filtered_source_boundary_crossing(spark, tmp_path):
 
     cat2 = GC.load(spark, cat.lake_root)
     assert cat2.mvs["db.mv"].where == "v >= 100"
+
+
+def test_mv_enriched_dim_drift_fail_closes(spark, tmp_path):
+    """Enriched MV (round-10): refresh joins the feed against the
+    PINNED dimension snapshot; a moved dimension fail-closes with the
+    re-create cure, and dropping the dimension is refused while the
+    MV lives."""
+    cat, eng, loc, df = _setup(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [("a", "north"), ("b", "south")], "grp string, region string"
+    )
+    dloc = f"{cat.lake_root}/dim"
+    publish_overwrite(spark, dloc, dim, None, manifest=True)
+    cat.register_table(TableDef("db", "dim", dloc, schema=dim.schema))
+    eng.create_materialized_view(
+        "db.mv", "db.docs", ["region"],
+        {"n": ("count", None), "total": ("sum", "v")},
+        principal="ops",
+        enrich={"table": "db.dim", "on": {"grp": "grp"},
+                "select": ["region"]},
+    )
+    # fact-only mutation refreshes exactly (join against the pin)
+    append_rows(
+        spark, loc,
+        spark.createDataFrame(
+            [(100, "a", 1000), (101, "b", 2000)],
+            "id long, grp string, v long",
+        ),
+        partition_by=["grp"],
+    )
+    eng.refresh_materialized_view("db.mv", principal="ops")
+    got = {
+        (x.region, x.n, x.total)
+        for x in eng.sql("SELECT * FROM db.mv", "ops").collect()
+    }
+    want = {
+        (x.region, x.n, x.total)
+        for x in read_table(spark, loc)
+        .join(dim, "grp", "left")
+        .groupBy("region")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == want
+    # dimension drift -> fail-closed refresh
+    append_rows(
+        spark, dloc,
+        spark.createDataFrame([("c", "east")], "grp string, region string"),
+    )
+    append_rows(
+        spark, loc,
+        spark.createDataFrame([(102, "a", 1)], "id long, grp string, v long"),
+        partition_by=["grp"],
+    )
+    with pytest.raises(ValueError, match="moved to v2"):
+        eng.refresh_materialized_view("db.mv", principal="ops")
+    # dropping the dimension is refused while the MV lives
+    with pytest.raises(ValueError, match="enrich dimension"):
+        cat.drop_table("db.dim")
+    # persistence carries the enrich def
+    cat.save()
+    from tf_aws_lakeformation_governed_datalake_demo_spark import (
+        GovernedCatalog as GC,
+    )
+
+    assert GC.load(spark, cat.lake_root).mvs["db.mv"].enrich["table"] == "db.dim"

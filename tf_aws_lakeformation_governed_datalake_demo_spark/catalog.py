@@ -139,6 +139,13 @@ class MaterializedViewDef:
     # refresh == filtered recompute exactly (NULL predicate rows are
     # excluded on both paths — standard WHERE semantics).
     where: str | None = None
+    # Optional enrich-join definition: {"table": qualified dim, "on":
+    # {fact_col: dim_col}, "select": [dim cols]} — the fact LEFT-joins
+    # this dimension PINNED at its creation-time snapshot (the pin
+    # rides the MV manifest's app_versions as "mv_dim"); a drifted
+    # dimension fail-closes refresh (mixing join eras would corrupt
+    # already-aggregated groups).
+    enrich: dict | None = None
 
     @property
     def qualified(self) -> str:
@@ -262,6 +269,7 @@ class GovernedCatalog:
                             },
                             "state_table": m.state_table,
                             "where": m.where,
+                            "enrich": m.enrich,
                         }
                         for q, m in sorted(self.mvs.items())
                     }
@@ -343,6 +351,7 @@ class GovernedCatalog:
                 },
                 state_table=m.get("state_table"),
                 where=m.get("where"),
+                enrich=m.get("enrich"),
             )
         cat.revision = state.get("revision", 0)
         return cat
@@ -621,10 +630,21 @@ class GovernedCatalog:
             if m.source == qualified and (
                 old in m.group_by
                 or any(col == old for _, col in m.measures.values())
+                or (m.where is not None and token.search(m.where))
             ):
                 raise ValueError(
                     f"materialized view {mq} aggregates {qualified}.{old} "
                     "— drop and re-create it under the new name first"
+                )
+            if m.enrich is not None and m.enrich["table"] == qualified and (
+                old in m.enrich["on"].values()
+                or old in (m.enrich["select"] or [])
+                or old in m.group_by
+            ):
+                raise ValueError(
+                    f"materialized view {mq} enriches through "
+                    f"{qualified}.{old} — drop and re-create it under "
+                    "the new name first"
                 )
         # storage first: the manifest commit has its own refusals
         # (tombstones, constraints, partition columns) and the catalog
@@ -696,13 +716,17 @@ class GovernedCatalog:
 
         table = self.tables[qualified]  # KeyError for unknown tables
         sourcing = sorted(
-            q for q, m in self.mvs.items() if m.source == qualified
+            q
+            for q, m in self.mvs.items()
+            if m.source == qualified
+            or (m.enrich is not None and m.enrich["table"] == qualified)
         )
         if sourcing:
             raise ValueError(
-                f"{qualified} is the source of materialized view(s) "
-                f"{sourcing} — drop them first (a dangling MV would "
-                "refresh against whatever table reuses the name)"
+                f"{qualified} is the source or enrich dimension of "
+                f"materialized view(s) {sourcing} — drop them first (a "
+                "dangling MV would refresh against whatever table reuses "
+                "the name)"
             )
         if delete_data:
             import shutil

@@ -1581,6 +1581,60 @@ class Engine:
             return staged.coalesce(1)
         return staged.repartition(parts, *group_by)
 
+    def _mv_enrich(self, fact: DataFrame, enrich: dict, dim_version: int):
+        """LEFT-join the fact frame to the enrich dimension PINNED at
+        ``dim_version`` — used identically by the creation scan and the
+        refresh feed, which is what makes enriched refresh exact. The
+        dimension broadcasts (an enrich dim is small by definition —
+        the 100 TB join strategy for fact×dim); join keys ride
+        temporary ``__mvdim_<i>`` aliases so equal-named keys never
+        collide, and selected dim columns are collision-checked against
+        the fact schema (alias in ``select`` before enriching)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from .sources.lake import read_table
+
+        dim_td = self.catalog.tables[enrich["table"]]
+        dim = read_table(
+            self.spark,
+            dim_td.location,
+            schema=dim_td.schema,
+            version=dim_version,
+        )
+        on = enrich["on"]
+        sel = list(enrich["select"]) or [
+            c for c in dim.columns if c not in set(on.values())
+        ]
+        bad = sorted(set(sel) - set(dim.columns))
+        if bad:
+            raise ValueError(
+                f"enrich select names unknown dimension column(s) {bad}"
+            )
+        overlap = sorted(set(sel) & set(fact.columns))
+        if overlap:
+            raise ValueError(
+                f"enrich dimension column(s) {overlap} collide with fact "
+                "columns — project/alias the dimension (enrich['select']) "
+                "first"
+            )
+        keys = list(on.items())
+        renamed = dim.select(
+            *[F.col(dc).alias(f"__mvdim_{i}") for i, (_fc, dc) in enumerate(keys)],
+            *sel,
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                fact[fc] == renamed[f"__mvdim_{i}"]
+                for i, (fc, _dc) in enumerate(keys)
+            ],
+        )
+        return fact.join(F.broadcast(renamed), cond, "left").drop(
+            *[f"__mvdim_{i}" for i in range(len(keys))]
+        )
+
     @staticmethod
     def _mv_view_sql(
         state_q: str, group_by, measures: dict, derived: dict
@@ -1610,6 +1664,7 @@ class Engine:
         measures: dict[str, tuple],
         principal: "Principal | str | None" = None,
         where: str | None = None,
+        enrich: dict | None = None,
     ) -> dict:
         """CREATE MATERIALIZED VIEW: an incrementally-maintained
         aggregate over one manifest-committed source table, stored as
@@ -1672,6 +1727,34 @@ class Engine:
                 "at least one ('count', None) measure is required — it is "
                 "how groups whose rows are all deleted leave the MV"
             )
+        # MV-over-join, bounded honest form (round-10): the fact source
+        # is LEFT-joined to ONE dimension PINNED at its creation-time
+        # snapshot, so group_by may use dimension columns (enrichment
+        # rollups). The pin is what keeps the signed-feed refresh exact
+        # — and a drifted dimension fail-closes the refresh rather than
+        # silently mixing join eras (the full bitemporal delta algebra,
+        # dA⋈B ∪ A⋈dB ∪ dA⋈dB, is a documented non-goal).
+        enrich_def = None
+        dim_pin = None
+        if enrich is not None:
+            dim_q = enrich["table"]
+            dim_td = self.catalog.tables[dim_q]  # KeyError: fail closed
+            # enriching scans the dimension outside row security — the
+            # same operator-grade gate as the fact source
+            self._mv_gate(name, dim_td, "CREATE MATERIALIZED VIEW", qualified_mv)
+            dm = read_manifest(dim_td.location)
+            if dm is None:
+                raise ValueError(
+                    f"enrich dimension {dim_q} is not manifest-committed "
+                    "— the refresh pin needs a snapshot version; publish "
+                    "it with manifest=True"
+                )
+            dim_pin = dm["version"]
+            enrich_def = {
+                "table": dim_q,
+                "on": dict(enrich["on"]),
+                "select": list(enrich.get("select") or []),
+            }
         # Expand user measures into the PHYSICAL additive set. AVG is
         # not additive, but sum + non-null count are — so an avg
         # measure stores both and a catalog VIEW derives the quotient
@@ -1739,6 +1822,8 @@ class Engine:
         base = read_table(
             self.spark, src.location, schema=src.schema, version=cur
         )
+        if enrich_def is not None:
+            base = self._mv_enrich(base, enrich_def, dim_pin)
         if where is not None:
             F.expr(where)  # fail fast on unparseable SQL
             base = base.filter(F.expr(where))
@@ -1761,7 +1846,11 @@ class Engine:
             self._mv_state_frame(state, group_by, src.location),
             None,
             manifest=True,
-            app_versions={"mv_source": cur},
+            app_versions=(
+                {"mv_source": cur, "mv_dim": dim_pin}
+                if dim_pin is not None
+                else {"mv_source": cur}
+            ),
         )
         if derived:
             # state table under a __state suffix; the MV's own name is
@@ -1788,6 +1877,7 @@ class Engine:
             derived=derived,
             state_table=state_q if derived else None,
             where=where,
+            enrich=enrich_def,
         )
         self.catalog.audit.record(
             principal=name or "<none>",
@@ -1894,6 +1984,28 @@ class Engine:
                 f"{qualified_mv!r}, delete_data=True) and re-create; the "
                 "stored state and its history may reflect erased rows"
             ) from exc
+        if mv.enrich is not None:
+            # enriched MV: the feed joins the SAME pinned dimension
+            # snapshot creation used; if the dimension moved, refresh
+            # fail-closes — mixing join eras would silently corrupt
+            # every already-aggregated group
+            dim_td = self.catalog.tables[mv.enrich["table"]]
+            pin = (mvm or {}).get("app_versions", {}).get("mv_dim")
+            if pin is None:
+                raise ValueError(
+                    f"{qualified_mv} has no dimension pin in its manifest "
+                    "— drop_materialized_view(..., delete_data=True) and "
+                    "re-create"
+                )
+            cur_dim = read_manifest(dim_td.location)["version"]
+            if cur_dim != pin:
+                raise ValueError(
+                    f"enrich dimension {mv.enrich['table']} moved to "
+                    f"v{cur_dim} (MV pinned v{pin}) — the stored groups "
+                    "reflect the old dimension; drop_materialized_view("
+                    f"{qualified_mv!r}, delete_data=True) and re-create"
+                )
+            feed = self._mv_enrich(feed, mv.enrich, pin)
         if mv.where is not None:
             # the MV's own WHERE applies to the feed exactly as it did
             # to the creation scan: a matching deleted row subtracts, a
@@ -1968,7 +2080,16 @@ class Engine:
             mv.location,
             self._mv_state_frame(state, list(mv.group_by), src.location),
             None,
-            app_versions={"mv_source": cur},
+            app_versions={
+                "mv_source": cur,
+                # carry the dimension pin (app_versions replaces, not
+                # merges): losing it would break the NEXT refresh
+                **(
+                    {"mv_dim": mvm["app_versions"]["mv_dim"]}
+                    if mv.enrich is not None
+                    else {}
+                ),
+            },
             expected_version=mvm["version"],  # racing refreshes conflict
         )
         self.catalog.audit.record(

@@ -480,6 +480,84 @@ def governance_materialized_view_filtered(
 
 
 @query(
+    "governance_materialized_view_join",
+    """
+    WITH o2 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 4 = 0
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 10000
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+             END AS cents
+      FROM orders WHERE o_orderkey % 10 <> 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM o2 LEFT JOIN customer c ON c.c_custkey = o2.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    "Enriched (join) materialized view (round-10): the orders fact "
+    "LEFT-joins the customer dimension PINNED at its creation-time "
+    "snapshot (group by c_mktsegment — a dimension column), the fact "
+    "takes a MoR DELETE + an update merge, and ONE refresh joins the "
+    "signed feed against the SAME pinned dimension — so enriched "
+    "refresh == enriched recompute (the oracle). A drifted dimension "
+    "fail-closes the refresh instead of mixing join eras "
+    "(tests/test_mv.py).",
+)
+def governance_materialized_view_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The bounded-honest MV-over-join: full bitemporal join-delta
+    algebra is a non-goal; fact-changes-over-pinned-dim covers the
+    enrichment-rollup shape (fact x small dim) that dominates real
+    reporting MVs. 100 TB: the dim broadcasts; the feed join is
+    O(changed files) x broadcast."""
+    from ..sources import delete_rows_mor, merge_into, read_table
+
+    lake = scratch_dir("gov_mv_join_")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    fact = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    floc, dloc = f"{lake}/orders_f", f"{lake}/cust_d"
+    publish_overwrite(spark, floc, fact, None, manifest=True)
+    publish_overwrite(spark, dloc, dim, None, manifest=True)
+    cat.register_table(TableDef("db", "orders_f", floc, schema=fact.schema))
+    cat.register_table(TableDef("db", "cust_d", dloc, schema=dim.schema))
+    eng = Engine(spark, cat)
+    eng.create_materialized_view(
+        "db.seg_mv",
+        "db.orders_f",
+        ["c_mktsegment"],
+        {"n_orders": ("count", None), "cents": ("sum", "cents")},
+        principal="ops",
+        enrich={
+            "table": "db.cust_d",
+            "on": {"o_custkey": "c_custkey"},
+            "select": ["c_mktsegment"],
+        },
+    )
+    delete_rows_mor(spark, floc, "o_orderkey % 10 = 0")
+    upd = (
+        read_table(spark, floc, schema=fact.schema)
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .withColumn("cents", F.col("cents") + 10000)
+    )
+    merge_into(spark, floc, upd, ["o_orderkey"], collect_stats=False)
+    out = eng.refresh_materialized_view("db.seg_mv", principal="ops")
+    assert out["refreshed"], out
+    return eng.sql(
+        "SELECT c_mktsegment, n_orders, cents FROM db.seg_mv", "ops"
+    )
+
+
+@query(
     "lake_multi_table_publish",
     """
     WITH seed AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
