@@ -510,3 +510,29 @@ def test_mv_enriched_dim_drift_fail_closes(spark, tmp_path):
     )
 
     assert GC.load(spark, cat.lake_root).mvs["db.mv"].enrich["table"] == "db.dim"
+
+
+def test_mv_enrich_join_is_broadcast(spark, tmp_path):
+    """Scale pin: the enrich dimension must broadcast — a fact x dim
+    shuffle join at 100 TB would shuffle the fact on the join key for
+    a dimension that fits in memory by definition."""
+    cat, eng, loc, df = _setup(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [("a", "north"), ("b", "south")], "grp string, region string"
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        read_table,
+    )
+
+    dloc = f"{cat.lake_root}/dim"
+    publish_overwrite(spark, dloc, dim, None, manifest=True)
+    cat.register_table(TableDef("db", "dim", dloc, schema=dim.schema))
+    fact = read_table(spark, loc)
+    joined = eng._mv_enrich(
+        fact,
+        {"table": "db.dim", "on": {"grp": "grp"}, "select": ["region"]},
+        1,
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
