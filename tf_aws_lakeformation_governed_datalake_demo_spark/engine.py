@@ -191,6 +191,14 @@ class Engine:
     ) -> DataFrame:
         """Execute governed SQL and return the DataFrame (raises on deny).
 
+        Accepts queries (SELECT/WITH/VALUES, routed through the
+        governance rewrite) AND the statement grammar (statements.py —
+        MERGE/UPDATE/DELETE/OPTIMIZE/VACUUM/MV lifecycle/CTAS/UNLOAD/
+        EXPLAIN/RENAME COLUMN/SHOW/DESCRIBE, each dispatched to its
+        governed implementation); unknown verbs raise instead of
+        reaching ungoverned spark.sql. DML statements return their
+        operation metrics as a one-row DataFrame (the Athena shape).
+
         ``as_of_versions`` maps qualified table names to manifest
         snapshot versions — the governed SQL AS OF surface (round-7
         VERDICT #8): the named tables resolve to that retained snapshot
