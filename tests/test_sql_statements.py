@@ -122,7 +122,12 @@ def test_parse_optimize_and_vacuum():
     assert s.mode == "cluster" and s.cluster_by == ("a", "b")
     s = parse_statement("VACUUM db.t RETAIN 3 SNAPSHOTS")
     assert isinstance(s, VacuumStatement) and s.keep_last == 3
-    assert parse_statement("VACUUM db.t").keep_last == 1
+    # bare VACUUM would truncate history to the head snapshot — the
+    # destructive setting must be asked for (round-10 ADVICE)
+    with pytest.raises(UnsupportedStatementError, match="RETAIN"):
+        parse_statement("VACUUM db.t")
+    with pytest.raises(UnsupportedStatementError, match="at least 1"):
+        parse_statement("VACUUM db.t RETAIN 0 SNAPSHOTS")
 
 
 def test_parse_mv_statements():
@@ -145,6 +150,51 @@ def test_parse_mv_rejects_min_max():
         parse_statement(
             "CREATE MATERIALIZED VIEW db.mv AS SELECT g, count(*) AS n, "
             "min(x) AS mx FROM db.src GROUP BY g"
+        )
+
+
+def test_parse_mv_rejects_duplicate_aliases():
+    # duplicate measure aliases would silently drop a measure in the
+    # {out: (agg, col)} dispatch (round-10 ADVICE)
+    with pytest.raises(UnsupportedStatementError, match="duplicate MV"):
+        parse_statement(
+            "CREATE MATERIALIZED VIEW db.mv AS SELECT g, count(*) AS n, "
+            "sum(x) AS n FROM db.src GROUP BY g"
+        )
+    # a measure alias shadowing a GROUP BY column is ambiguous the same way
+    with pytest.raises(UnsupportedStatementError, match="duplicate MV"):
+        parse_statement(
+            "CREATE MATERIALIZED VIEW db.mv AS SELECT g, count(*) AS g "
+            "FROM db.src GROUP BY g"
+        )
+
+
+def test_parse_ctas_multi_element_array():
+    # _top_level is bracket-aware: the comma inside ARRAY[...] must not
+    # split the WITH-property list (round-10 ADVICE)
+    s = parse_statement(
+        "CREATE TABLE db.t WITH (external_location = '/tmp/x', "
+        "partitioned_by = ARRAY['a', 'b']) AS SELECT 1"
+    )
+    assert s.partitioned_by == ("a", "b")
+    u = parse_statement(
+        "UNLOAD (SELECT 1) TO '/tmp/y' WITH (format = 'PARQUET', "
+        "partitioned_by = ARRAY['a', 'b'])"
+    )
+    assert u.partitioned_by == ("a", "b")
+
+
+def test_parse_rejects_scalar_partitioned_by():
+    # the scalar form would iterate per-character into ('l','a','n','g')
+    # and surface as an unknown-column error downstream (round-10 ADVICE)
+    with pytest.raises(UnsupportedStatementError, match="ARRAY"):
+        parse_statement(
+            "CREATE TABLE db.t WITH (external_location = '/tmp/x', "
+            "partitioned_by = 'lang') AS SELECT 1"
+        )
+    with pytest.raises(UnsupportedStatementError, match="ARRAY"):
+        parse_statement(
+            "UNLOAD (SELECT 1) TO '/tmp/y' WITH (partitioned_by = 'lang')"
         )
 
 
@@ -594,6 +644,58 @@ def test_update_rows_pending_column_fail_close(spark, tmp_path_factory):
         eng.sql("UPDATE db.t SET v = 2.0 WHERE secret = 'x'", "ops")
     with pytest.raises(PermissionDeniedError, match="pending"):
         eng.sql("UPDATE db.t SET secret = 'y' WHERE id = 1", "ops")
+
+
+def test_merge_pending_column_fail_close(spark, tmp_path_factory):
+    """MERGE rewrites whole rows, so it fail-closes on pending columns
+    like UPDATE/DELETE do, and records a MAINTAIN-style audit line
+    (round-10 ADVICE)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        publish_overwrite,
+        read_table,
+    )
+
+    lake = str(tmp_path_factory.mktemp("mergepend"))
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    d = spark.createDataFrame(
+        [(1, 1.0, "x")], "id long, v double, secret string"
+    )
+    publish_overwrite(spark, f"{lake}/t", d, None, manifest=True)
+    td = TableDef("db", "t", f"{lake}/t", schema=d.schema)
+    td.pending_columns = {"secret"}
+    cat.register_table(td)
+    eng = Engine(spark, cat)
+    merge = (
+        "MERGE INTO db.t AS t USING ("
+        "  SELECT id, v + 1 AS v, secret FROM db.t"
+        ") AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    with pytest.raises(PermissionDeniedError, match="pending"):
+        eng.sql(merge, "ops")
+    # denial audited in the MAINTAIN shape, table untouched
+    denied = [
+        e
+        for e in eng.catalog.audit.events
+        if e["status"] == "denied" and "merge_into db.t" in e["query"]
+    ]
+    assert denied and "pending" in denied[0]["error"]
+    assert read_table(spark, f"{lake}/t").first().v == 1.0
+    # approval releases the column; the merge then audits a MAINTAIN ok
+    td.pending_columns = set()
+    r = eng.sql(merge, "ops").first()
+    assert r.rows_updated == 1
+    assert any(
+        e["status"] == "ok"
+        and e["query"] == "MAINTAIN merge_into db.t ON (id)"
+        for e in eng.catalog.audit.events
+    )
 
 
 def test_explain_statement_returns_governed_plan(engine):

@@ -608,6 +608,24 @@ class Engine:
             # write gate first: a principal who may not write the target
             # must not even trigger the source read
             self._mv_gate(name, table, "MERGE INTO", stmt.target)
+
+            # maintain-style audit parity (round-10 ADVICE): MERGE is a
+            # mutation verb like UPDATE/DELETE — it records its own
+            # MAINTAIN-shaped line (incl. pending-column denials) on top
+            # of _execute's verbatim-statement line
+            def _merge_audit(status: str, error: str | None = None):
+                self.catalog.audit.record(
+                    principal=name or "<none>",
+                    query=(
+                        f"MAINTAIN merge_into {stmt.target} "
+                        f"ON ({', '.join(stmt.key_cols)})"
+                    ),
+                    tables=[stmt.target],
+                    filters_applied=[],
+                    status=status,
+                    error=error,
+                )
+
             created: list[str] = []
             try:
                 rewritten, touched = self.catalog._rewrite_sql(
@@ -626,6 +644,24 @@ class Engine:
                     f"MERGE ON key column(s) {missing} are not in the "
                     "USING select's output"
                 )
+            # fail-closed schema evolution, same rule as UPDATE/DELETE
+            # through maintain (round-10 ADVICE): MERGE rewrites whole
+            # rows, so neither a key column nor any USING output column
+            # may be pending approval
+            if table.pending_columns:
+                struck = sorted(
+                    (set(stmt.key_cols) | set(updates.columns))
+                    & set(table.pending_columns)
+                )
+                if struck:
+                    _merge_audit(
+                        "denied", f"merge uses pending columns {struck}"
+                    )
+                    raise PermissionDeniedError(
+                        f"MERGE references pending-approval column(s) "
+                        f"{struck} on {stmt.target}; approve the evolved "
+                        "columns first (fail-closed schema evolution)"
+                    )
             if table.schema is not None:
                 short = [
                     f.name
@@ -646,6 +682,7 @@ class Engine:
                 partition_by=list(table.partition_keys) or None,
                 schema=table.schema,
             )
+            _merge_audit("ok")
             qe.tables = [stmt.target, *touched]
             return _row(
                 {

@@ -71,7 +71,10 @@ def _blank_comments(sql: str) -> str:
 
 
 def _top_level(text: str):
-    """Yield (index, char) at paren depth 0, outside string literals."""
+    """Yield (index, char) at paren AND bracket depth 0, outside string
+    literals. Brackets count so the documented multi-element property
+    form ``partitioned_by = ARRAY['a','b']`` never splits at the comma
+    inside ``ARRAY[...]`` (round-10 ADVICE)."""
     depth = 0
     i = 0
     n = len(text)
@@ -83,9 +86,9 @@ def _top_level(text: str):
                 return
             i = m.end()
             continue
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         elif depth == 0:
             yield i, ch
@@ -175,7 +178,9 @@ class OptimizeStatement:
 @dataclass(frozen=True)
 class VacuumStatement:
     target: str
-    keep_last: int = 1
+    # no default: the parser requires an explicit RETAIN n SNAPSHOTS —
+    # history truncation must be asked for (round-10 ADVICE)
+    keep_last: int
 
 
 @dataclass(frozen=True)
@@ -465,6 +470,19 @@ def _parse_create_mv(text: str) -> CreateMVStatement:
         )
     if not measures:
         raise UnsupportedStatementError("MV needs at least one measure")
+    # duplicate output aliases would silently drop all but one measure
+    # in the engine's {out: (agg, col)} dispatch — loud failure instead
+    # (round-10 ADVICE); group-column collisions are ambiguous the same way
+    aliases = [out for out, _agg, _col in measures]
+    dupes = sorted(
+        {a for a in aliases if aliases.count(a) > 1}
+        | (set(aliases) & set(group_by))
+    )
+    if dupes:
+        raise UnsupportedStatementError(
+            f"duplicate MV output name(s) {dupes}: every measure alias "
+            "must be unique and distinct from the GROUP BY columns"
+        )
     return CreateMVStatement(
         mv, source, group_by, tuple(measures), where_clause
     )
@@ -499,6 +517,20 @@ def _parse_props(text: str) -> dict:
     return props
 
 
+def _partition_prop(pby) -> tuple:
+    """Validate a parsed ``partitioned_by`` property value: it must be
+    the ARRAY form (a tuple from :func:`_parse_props`). A scalar
+    ``partitioned_by = 'lang'`` would otherwise iterate per-CHARACTER
+    into ``('l','a','n','g')`` and surface as a confusing downstream
+    unknown-column error (round-10 ADVICE) — reject at the grammar."""
+    if not isinstance(pby, tuple):
+        raise UnsupportedStatementError(
+            f"partitioned_by must be the ARRAY form — partitioned_by = "
+            f"ARRAY['col', ...] (got the scalar {pby!r})"
+        )
+    return pby
+
+
 def _parse_ctas(text: str) -> CtasStatement:
     grammar = (
         "CREATE TABLE <db.table> WITH (external_location = '<path>'"
@@ -531,12 +563,12 @@ def _parse_ctas(text: str) -> CtasStatement:
         raise UnsupportedStatementError(
             f"CTAS format {fmt!r} unsupported (parquet only)"
         )
-    pby = props.pop("partitioned_by", ())
+    pby = _partition_prop(props.pop("partitioned_by", ()))
     if props:
         raise UnsupportedStatementError(
             f"unsupported CTAS propert(ies) {sorted(props)}"
         )
-    return CtasStatement(target, ma.group(1).strip(), location, tuple(pby))
+    return CtasStatement(target, ma.group(1).strip(), location, pby)
 
 
 def parse_statement(sql: str):
@@ -643,10 +675,26 @@ def parse_statement(sql: str):
         )
         if not m:
             raise UnsupportedStatementError(
-                "supported VACUUM form: VACUUM <db.table> [RETAIN <n> "
-                "SNAPSHOTS]"
+                "supported VACUUM form: VACUUM <db.table> RETAIN <n> "
+                "SNAPSHOTS"
             )
-        return VacuumStatement(m.group(1), int(m.group(2) or 1))
+        if m.group(2) is None:
+            # a bare VACUUM would default to keep_last=1 and silently
+            # expire ALL time-travel history in one statement; the most
+            # destructive setting must be asked for explicitly — the
+            # same fail-closed posture as UPDATE's mandatory WHERE
+            # (round-10 ADVICE)
+            raise UnsupportedStatementError(
+                "VACUUM requires an explicit RETAIN <n> SNAPSHOTS clause "
+                "(RETAIN 1 SNAPSHOTS truncates history to the head "
+                "snapshot — destructive retention must be asked for)"
+            )
+        keep = int(m.group(2))
+        if keep < 1:
+            raise UnsupportedStatementError(
+                "VACUUM RETAIN must keep at least 1 snapshot"
+            )
+        return VacuumStatement(m.group(1), keep)
     if verb == "create":
         if re.match(r"create\s+materialized\s+view\b", text, re.I):
             return _parse_create_mv(text)
@@ -681,12 +729,12 @@ def parse_statement(sql: str):
             )
         props = _parse_props(mt.group(2) or "")
         fmt = (props.pop("format", "parquet") or "parquet").lower()
-        pby = props.pop("partitioned_by", ())
+        pby = _partition_prop(props.pop("partitioned_by", ()))
         if props:
             raise UnsupportedStatementError(
                 f"unsupported UNLOAD propert(ies) {sorted(props)}"
             )
-        return UnloadStatement(select_sql, mt.group(1), fmt, tuple(pby))
+        return UnloadStatement(select_sql, mt.group(1), fmt, pby)
     if verb == "refresh":
         m = re.fullmatch(
             rf"refresh\s+materialized\s+view\s+({_QUALIFIED})", text, re.I
