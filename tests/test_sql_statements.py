@@ -213,7 +213,7 @@ def test_parse_show_describe():
 
 def test_unknown_verbs_fail_closed():
     for bad in (
-        "INSERT INTO db.t VALUES (1)",
+        "INSERT OVERWRITE db.t SELECT 1",
         "CREATE TABLE db.t (a INT)",
         "DROP TABLE db.t",
         "ALTER TABLE db.t ADD COLUMN x INT",
@@ -222,6 +222,49 @@ def test_unknown_verbs_fail_closed():
     ):
         with pytest.raises(UnsupportedStatementError):
             parse_statement(bad)
+
+
+def test_parse_view_insert_prepare_statements():
+    from tf_aws_lakeformation_governed_datalake_demo_spark.statements import (
+        CreateViewStatement,
+        DropViewStatement,
+        ExecuteStatement,
+        InsertStatement,
+        PrepareStatement,
+    )
+
+    s = parse_statement(
+        "CREATE OR REPLACE VIEW db.v AS SELECT a, b FROM db.t"
+    )
+    assert isinstance(s, CreateViewStatement)
+    assert s.view == "db.v" and s.or_replace
+    assert s.select_sql == "SELECT a, b FROM db.t"
+    assert not parse_statement("CREATE VIEW db.v AS SELECT 1").or_replace
+    with pytest.raises(UnsupportedStatementError, match="view body"):
+        parse_statement("CREATE VIEW db.v AS DELETE FROM db.t WHERE TRUE")
+
+    d = parse_statement("DROP VIEW IF EXISTS db.v")
+    assert isinstance(d, DropViewStatement) and d.if_exists
+    assert not parse_statement("DROP VIEW db.v").if_exists
+
+    i = parse_statement("INSERT INTO db.t (a, b) VALUES (1, 'x'), (2, 'y')")
+    assert isinstance(i, InsertStatement)
+    assert i.columns == ("a", "b")
+    assert i.source_sql.startswith("VALUES")
+    i2 = parse_statement("INSERT INTO db.t SELECT * FROM db.s")
+    assert i2.columns == () and i2.source_sql == "SELECT * FROM db.s"
+    with pytest.raises(UnsupportedStatementError, match="duplicate column"):
+        parse_statement("INSERT INTO db.t (a, a) VALUES (1, 2)")
+
+    p = parse_statement("PREPARE q1 FROM SELECT * FROM db.t WHERE a = ?")
+    assert isinstance(p, PrepareStatement)
+    assert p.name == "q1" and p.statement_sql.endswith("a = ?")
+    e = parse_statement("EXECUTE q1 USING 3, 'it''s', TRUE, NULL, 1.5")
+    assert isinstance(e, ExecuteStatement)
+    assert e.params == (3, "it's", True, None, 1.5)
+    assert parse_statement("EXECUTE q1").params == ()
+    with pytest.raises(UnsupportedStatementError, match="not a literal"):
+        parse_statement("EXECUTE q1 USING a + 1")
 
 
 # -------------------------------------------------- engine integration
@@ -696,6 +739,206 @@ def test_merge_pending_column_fail_close(spark, tmp_path_factory):
         and e["query"] == "MAINTAIN merge_into db.t ON (id)"
         for e in eng.catalog.audit.events
     )
+
+
+def test_create_view_statement_governed(engine):
+    """V1 as SQL (outputs.tf:44-53): the reference's masked-view DDL
+    pasted verbatim, plus the two-phase grant flow (main.tf:538-549)."""
+    r = engine.sql(
+        "CREATE OR REPLACE VIEW sales_db.sales_masked2 AS SELECT "
+        "customer_id, "
+        "REGEXP_REPLACE(customer_email, '^([^@]{1,3}).*@', '***@') "
+        "AS customer_email, "
+        "REGEXP_REPLACE(ssn, '\\\\d', '*') AS ssn, sales_region "
+        "FROM sales_db.sales",
+        "dataadmin",
+    ).first()
+    assert r.view == "sales_db.sales_masked2" and r.replaced is False
+    # creator-grant: dataadmin reads its own view immediately
+    assert engine.sql(
+        "SELECT * FROM sales_db.sales_masked2", "dataadmin"
+    ).count() == 20
+    # phase 2: the deferred analyst grant; row security composes (V3)
+    engine.catalog.grant("analyst", "SELECT", "sales_db", "sales_masked2")
+    rows = engine.sql(
+        "SELECT * FROM sales_db.sales_masked2", "analyst"
+    ).collect()
+    assert len(rows) == 8  # APAC only
+    assert all(x.customer_email.startswith("***@") for x in rows)
+    assert all(set(x.ssn) <= {"*", "-"} for x in rows)
+    # plain CREATE VIEW over an existing name refuses; OR REPLACE by a
+    # non-owner is denied and audited
+    with pytest.raises(ValueError, match="already exists"):
+        engine.sql(
+            "CREATE VIEW sales_db.sales_masked2 AS SELECT 1 AS one",
+            "dataadmin",
+        )
+    with pytest.raises(PermissionDeniedError, match="ALL grant on the view"):
+        engine.sql(
+            "CREATE OR REPLACE VIEW sales_db.sales_masked2 AS "
+            "SELECT 1 AS one",
+            "analyst",
+        )
+    # the body is validated as the SUBMITTING principal: implicit deny
+    # on referenced tables applies at CREATE time
+    with pytest.raises(PermissionDeniedError):
+        engine.sql(
+            "CREATE VIEW sales_db.leak AS SELECT * FROM sales_db.sales",
+            "nobody",
+        )
+    with pytest.raises(ValueError, match="recursive"):
+        engine.sql(
+            "CREATE OR REPLACE VIEW sales_db.sales_masked2 AS "
+            "SELECT * FROM sales_db.sales_masked2",
+            "dataadmin",
+        )
+
+
+def test_drop_view_statement_governed(engine):
+    # IF EXISTS on a missing view is a no-op row, not an error
+    r = engine.sql("DROP VIEW IF EXISTS sales_db.nope", "dataadmin").first()
+    assert r.dropped is False
+    with pytest.raises(KeyError):
+        engine.sql("DROP VIEW sales_db.nope", "dataadmin")
+    # the analyst (SELECT on the view) may not drop it — audited denial
+    with pytest.raises(PermissionDeniedError, match="ALL grant on the view"):
+        engine.sql("DROP VIEW sales_db.sales_masked", "analyst")
+    assert any(
+        e["status"] == "denied" and "DROP VIEW sales_db.sales_masked" in e["query"]
+        for e in engine.catalog.audit.events
+    )
+    # dataadmin holds ALL on the view (bootstrap): the reference's
+    # cleanup step (README.md:320)
+    r = engine.sql("DROP VIEW sales_db.sales_masked", "dataadmin").first()
+    assert r.dropped is True
+    assert "sales_db.sales_masked" not in engine.catalog.views
+
+
+def test_insert_statement_values_and_select(engine):
+    """INSERT INTO as a governed statement: VALUES and SELECT forms,
+    positional mapping, NULL fill for unnamed columns, write gate."""
+    r = engine.sql(
+        "INSERT INTO sales_db.sales VALUES "
+        "('CUST021', 'New One', 'n1@x.com', '111-22-3333', 'APAC', "
+        "10.5, '2024-03-01'), "
+        "('CUST022', 'New Two', 'n2@x.com', '222-33-4444', 'EMEA', "
+        "20.5, '2024-03-02')",
+        "dataadmin",
+    ).first()
+    assert r.rows_inserted == 2
+    assert (
+        engine.sql("SELECT count(*) AS n FROM sales_db.sales", "dataadmin")
+        .first().n == 22
+    )
+    # column-list form: unnamed columns land NULL, values cast to the
+    # declared types
+    r = engine.sql(
+        "INSERT INTO sales_db.sales (customer_id, sales_region, "
+        "sales_amount) VALUES ('CUST023', 'APAC', 30)",
+        "dataadmin",
+    ).first()
+    assert r.rows_inserted == 1
+    row = engine.sql(
+        "SELECT * FROM sales_db.sales WHERE customer_id = 'CUST023'",
+        "dataadmin",
+    ).first()
+    assert row.customer_name is None and row.sales_amount == 30.0
+    # INSERT ... SELECT reads through the governance rewrite
+    r = engine.sql(
+        "INSERT INTO sales_db.sales SELECT concat(customer_id, '_COPY'), "
+        "customer_name, customer_email, ssn, sales_region, "
+        "sales_amount + 1, sale_date FROM sales_db.sales "
+        "WHERE customer_id = 'CUST021'",
+        "dataadmin",
+    ).first()
+    assert r.rows_inserted == 1
+    # the row-filtered analyst may not write
+    with pytest.raises(PermissionDeniedError):
+        engine.sql(
+            "INSERT INTO sales_db.sales VALUES ('X', 'x', 'x', 'x', "
+            "'APAC', 1.0, '2024-01-01')",
+            "analyst",
+        )
+    # arity mismatches are loud
+    with pytest.raises(ValueError, match="positionally"):
+        engine.sql(
+            "INSERT INTO sales_db.sales (customer_id) VALUES ('A', 'B')",
+            "dataadmin",
+        )
+    with pytest.raises(ValueError, match="declared schema"):
+        engine.sql(
+            "INSERT INTO sales_db.sales (no_such_col) VALUES (1)",
+            "dataadmin",
+        )
+
+
+def test_insert_statement_manifest_table(spark, tmp_path_factory):
+    """On a manifest table, INSERT lands as a transactional append_rows
+    commit — ledgered snapshot, O(batch) cost, rows_inserted from the
+    manifest's own footer row counts (no extra count job)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        publish_overwrite,
+        read_manifest,
+    )
+
+    lake = str(tmp_path_factory.mktemp("insmanif"))
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    d = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, grp string, v double"
+    )
+    publish_overwrite(spark, f"{lake}/t", d, ["grp"], manifest=True)
+    cat.register_table(
+        TableDef("db", "t", f"{lake}/t", schema=d.schema,
+                 partition_keys=("grp",))
+    )
+    eng = Engine(spark, cat)
+    v0 = read_manifest(f"{lake}/t")["version"]
+    r = eng.sql(
+        "INSERT INTO db.t VALUES (3, 'a', 3.0), (4, 'c', 4.0)", "ops"
+    ).first()
+    assert r.rows_inserted == 2 and r.version == v0 + 1
+    assert eng.sql("SELECT count(*) AS n FROM db.t", "ops").first().n == 4
+    # snapshot history: the pre-insert version still reads 2 rows
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        read_table,
+    )
+
+    assert read_table(spark, f"{lake}/t", version=v0).count() == 2
+
+
+def test_prepare_execute_statements(engine):
+    engine.sql(
+        "PREPARE by_region FROM SELECT customer_id, sales_amount "
+        "FROM sales_db.sales WHERE sales_region = ? "
+        "AND sales_amount > ? ORDER BY customer_id",
+        "dataadmin",
+    )
+    rows = engine.sql(
+        "EXECUTE by_region USING 'EMEA', 100", "dataadmin"
+    ).collect()
+    assert rows and all(r.sales_amount > 100 for r in rows)
+    # a parameter containing quote-plus-OR stays ONE literal: the
+    # classic injection returns zero rows instead of every row
+    inj = engine.sql(
+        "EXECUTE by_region USING 'EMEA'' OR ''1''=''1', 0", "dataadmin"
+    ).collect()
+    assert inj == []
+    with pytest.raises(KeyError, match="no prepared statement"):
+        engine.sql("EXECUTE nope USING 1", "dataadmin")
+    # the FILLED statement's own gates apply at EXECUTE time
+    engine.sql(
+        "PREPARE wipe FROM DELETE FROM sales_db.sales WHERE "
+        "sales_region = ?",
+        "analyst",
+    )
+    with pytest.raises(PermissionDeniedError):
+        engine.sql("EXECUTE wipe USING 'APAC'", "analyst")
 
 
 def test_explain_statement_returns_governed_plan(engine):

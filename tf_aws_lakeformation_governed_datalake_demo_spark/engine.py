@@ -521,14 +521,19 @@ class Engine:
 
         from .statements import (
             CreateMVStatement,
+            CreateViewStatement,
             CtasStatement,
             DeleteStatement,
             DescribeHistoryStatement,
             DescribeStatement,
             DropMVStatement,
+            DropViewStatement,
+            ExecuteStatement,
             ExplainStatement,
+            InsertStatement,
             MergeStatement,
             OptimizeStatement,
+            PrepareStatement,
             RefreshMVStatement,
             RenameColumnStatement,
             ShowPartitionsStatement,
@@ -577,6 +582,120 @@ class Engine:
                 {"path": stmt.path, "format": stmt.format},
                 "path string, format string",
             )
+
+        if isinstance(stmt, CreateViewStatement):
+            # V1 as SQL (outputs.tf:44-53): the verb a reference user
+            # types first. The body is VALIDATED as the submitting
+            # principal — _rewrite_sql raises implicit deny on any
+            # referenced table they hold no grant on, and spark.sql
+            # analyzes the rewritten text — then stored VERBATIM (view
+            # reads re-apply the READING principal's security, V3).
+            db, _, vname = stmt.view.partition(".")
+            if stmt.view in self.catalog.tables:
+                raise ValueError(f"{stmt.view} is a table, not a view")
+            if stmt.view in self.catalog.mvs:
+                raise ValueError(
+                    f"{stmt.view} is a materialized view — use the MV "
+                    "lifecycle statements"
+                )
+            if db not in self.catalog.databases:
+                raise KeyError(f"database {db!r} does not exist")
+            import re as _re
+
+            if _re.search(
+                r"(?<![A-Za-z0-9_.])"
+                + _re.escape(stmt.view)
+                + r"(?![A-Za-z0-9_])",
+                stmt.select_sql,
+            ):
+                raise ValueError(
+                    f"view body references {stmt.view} itself — recursive "
+                    "views are not supported"
+                )
+            replaced = stmt.view in self.catalog.views
+            if replaced and not stmt.or_replace:
+                raise ValueError(
+                    f"view {stmt.view} already exists (use CREATE OR "
+                    "REPLACE VIEW)"
+                )
+            if replaced:
+                # replacing someone's view is destructive: same gate as
+                # dropping it (admin or unconditioned ALL on the view)
+                self._view_gate(name, stmt.view, "CREATE OR REPLACE VIEW")
+            created_v: list[str] = []
+            try:
+                rewritten, touched = self.catalog._rewrite_sql(
+                    stmt.select_sql, principal, _views_out=created_v
+                )
+                spark.sql(rewritten)  # analyze only — never executed
+            finally:
+                for v in created_v:
+                    spark.catalog.dropTempView(v)
+            self.catalog.create_view(db, vname, stmt.select_sql)
+            # creator-grant (CTAS parity): the creating principal owns
+            # the view; granting OTHERS stays the explicit second phase
+            # (the reference's deferred view grant, main.tf:538-549)
+            if name is not None and not replaced:
+                from .governance import ALL
+
+                self.catalog.grant(name, ALL, db, vname)
+            qe.tables = [stmt.view, *touched]
+            return _row(
+                {"view": stmt.view, "replaced": replaced},
+                "view string, replaced boolean",
+            )
+
+        if isinstance(stmt, DropViewStatement):
+            # V2 as SQL (README.md:320)
+            db, _, vname = stmt.view.partition(".")
+            if stmt.view in self.catalog.mvs:
+                raise ValueError(
+                    f"{stmt.view} is a materialized view — use DROP "
+                    "MATERIALIZED VIEW"
+                )
+            if stmt.view not in self.catalog.views:
+                if stmt.if_exists:
+                    qe.tables = []
+                    return _row(
+                        {"view": stmt.view, "dropped": False},
+                        "view string, dropped boolean",
+                    )
+                raise KeyError(f"view {stmt.view} does not exist")
+            self._view_gate(name, stmt.view, "DROP VIEW")
+            self.catalog.drop_view(db, vname)
+            qe.tables = [stmt.view]
+            return _row(
+                {"view": stmt.view, "dropped": True},
+                "view string, dropped boolean",
+            )
+
+        if isinstance(stmt, InsertStatement):
+            return self._run_insert(stmt, principal, qe)
+
+        if isinstance(stmt, PrepareStatement):
+            # Athena PREPARE: store the template verbatim; placeholder
+            # filling and statement dispatch happen at EXECUTE, so the
+            # gates of the FILLED verb apply then
+            self.prepare(stmt.name, stmt.statement_sql)
+            qe.tables = []
+            return _row(
+                {"name": stmt.name, "prepared": True},
+                "name string, prepared boolean",
+            )
+
+        if isinstance(stmt, ExecuteStatement):
+            template = self._prepared.get(stmt.name)
+            if template is None:
+                raise KeyError(f"no prepared statement {stmt.name!r}")
+            # parameters were parsed as VALUES (literals only) and are
+            # re-rendered through the escaping literal writer — a
+            # parameter containing quotes/keywords stays one literal
+            filled = _fill_params(template, list(stmt.params))
+            inner = self._execute(filled, principal, raise_on_error=True)
+            qe.tables = list(inner.tables)
+            qe.filters_applied = list(inner.filters_applied)
+            assert inner.result is not None
+            return inner.result
 
         if isinstance(stmt, ExplainStatement):
             # Athena EXPLAIN shape: the governed plan as result rows
@@ -905,6 +1024,152 @@ class Engine:
             )
 
         raise ValueError(f"unhandled statement {type(stmt).__name__}")
+
+    def _view_gate(self, name, qualified: str, verb: str) -> None:
+        """Destructive view DDL (DROP / CREATE OR REPLACE over an
+        existing view) requires admin or an unconditioned ALL grant on
+        the VIEW — the same ownership rule as table maintenance; the
+        creator-grant issued at CREATE VIEW satisfies it. Denials are
+        audited."""
+        from .governance import ALL, PermissionDeniedError
+
+        if not self.catalog.governance_enabled or name in self.catalog.admins:
+            return
+        db, _, vname = qualified.partition(".")
+        grants = (
+            self.catalog.grants_for(name, db, vname)
+            if name is not None
+            else []
+        )
+        if not any(
+            g.permission == ALL
+            and g.via_filter is None
+            and g.via_tag_exclude is None
+            for g in grants
+        ):
+            self.catalog.audit.record(
+                principal=name or "<none>",
+                query=f"{verb} {qualified}",
+                tables=[qualified],
+                filters_applied=[],
+                status="denied",
+                error="requires admin or ALL grant on the view",
+            )
+            raise PermissionDeniedError(
+                f"principal {name!r} may not {verb} {qualified}: requires "
+                "admin or an unconditioned ALL grant on the view"
+            )
+
+    def _run_insert(self, stmt, principal, qe: QueryExecution) -> DataFrame:
+        """INSERT INTO dispatch: the batch query reads THROUGH the
+        governance rewrite as the submitting principal, maps
+        POSITIONALLY onto the named (or full declared) column list —
+        standard SQL INSERT semantics: unnamed columns fill NULL,
+        values cast to the declared types — and lands as a
+        transactional ``append_rows`` commit on manifest tables (ledger,
+        CHECK constraints, O(batch) cost) or a plain partitioned
+        parquet append otherwise. Write gate and pending-column
+        fail-close match MERGE."""
+        from pyspark.sql import functions as F
+
+        from .sources.lake import append_rows, read_manifest
+
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        spark = self.spark
+        table = self.catalog.tables[stmt.target]  # KeyError: fail closed
+        self._mv_gate(name, table, "INSERT INTO", stmt.target)
+        if table.schema is None:
+            raise ValueError(
+                f"INSERT needs {stmt.target}'s declared schema in the "
+                "catalog (positional mapping and NULL-fill are "
+                "schema-driven)"
+            )
+        declared = [f.name for f in table.schema.fields]
+        unknown = [c for c in stmt.columns if c not in declared]
+        if unknown:
+            raise ValueError(
+                f"INSERT column(s) {unknown} are not on {stmt.target}'s "
+                f"declared schema {declared}"
+            )
+        expected = list(stmt.columns) or declared
+        # fail-closed schema evolution (MERGE's rule): a pending column
+        # cannot be written — named or swept in by the full-width form
+        if table.pending_columns:
+            struck = sorted(set(expected) & set(table.pending_columns))
+            if struck:
+                self.catalog.audit.record(
+                    principal=name or "<none>",
+                    query=f"INSERT INTO {stmt.target}",
+                    tables=[stmt.target],
+                    filters_applied=[],
+                    status="denied",
+                    error=f"insert targets pending columns {struck}",
+                )
+                raise PermissionDeniedError(
+                    f"INSERT references pending-approval column(s) "
+                    f"{struck} on {stmt.target}; approve the evolved "
+                    "columns first (fail-closed schema evolution) or "
+                    "name the approved columns explicitly"
+                )
+        created: list[str] = []
+        try:
+            rewritten, touched = self.catalog._rewrite_sql(
+                stmt.source_sql,
+                principal,
+                _filters_out=qe.filters_applied,
+                _views_out=created,
+            )
+            batch = spark.sql(rewritten)
+        finally:
+            for v in created:
+                spark.catalog.dropTempView(v)
+        if len(batch.columns) != len(expected):
+            raise ValueError(
+                f"INSERT source produces {len(batch.columns)} column(s), "
+                f"the target list has {len(expected)} — INSERT maps "
+                "positionally"
+            )
+        batch = batch.toDF(*expected)
+        by_name = {f.name: f for f in table.schema.fields}
+        batch = batch.select(
+            *[
+                (
+                    F.col(n).cast(by_name[n].dataType)
+                    if n in batch.columns
+                    else F.lit(None).cast(by_name[n].dataType)
+                ).alias(n)
+                for n in declared
+            ]
+        )
+        pkeys = list(table.partition_keys) or None
+        if read_manifest(table.location) is not None:
+            before = set(read_manifest(table.location)["files"])
+            snap = append_rows(spark, table.location, batch, partition_by=pkeys)
+            cur = read_manifest(table.location)
+            rows = sum(
+                int(cur.get("file_rows", {}).get(f, 0))
+                for f in set(cur["files"]) - before
+            )
+            version = snap["version"] if snap else cur["version"]
+        else:
+            # plain (non-manifest) table: a parquet append is new files
+            # only — existing data untouched; pin the batch so the count
+            # and the write see one materialization
+            batch = batch.localCheckpoint(eager=True)
+            rows = batch.count()
+            writer = batch.write.mode("append").option(
+                "compression", "snappy"
+            )
+            if pkeys:
+                writer = writer.partitionBy(*pkeys)
+            writer.parquet(table.location)
+            version = None
+        qe.tables = [stmt.target, *touched]
+        return self.spark.createDataFrame(
+            [(rows, version)], "rows_inserted long, version long"
+        )
 
     def _introspect_gate(
         self, qualified: str, name, columns: bool = False

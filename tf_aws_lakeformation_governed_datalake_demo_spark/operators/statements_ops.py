@@ -25,6 +25,7 @@ from ..catalog import GovernedCatalog, TableDef
 from ..engine import Engine
 from ..scratch import scratch_dir
 from ..sources import load, publish_overwrite
+from .governed import _SALES_CTE
 from .registry import query
 
 
@@ -353,6 +354,144 @@ def sql_ctas_unload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctas_agg.join(
         rollup, ctas_agg.lang == rollup.u_lang
     ).select("lang", "n_docs", "total_chars", "n_src")
+
+
+@query(
+    "sql_view_ddl",
+    f"""
+    WITH {_SALES_CTE}
+    SELECT customer_id, customer_name,
+           regexp_replace(customer_email, '^([^@]{{1,3}}).*@', '***@')
+             AS customer_email,
+           regexp_replace(ssn, '\\d', '*', 'g') AS ssn,
+           sales_region,
+           CAST(sales_amount AS DOUBLE) AS sales_amount,
+           sale_date
+    FROM sales_fixture
+    WHERE sales_region = 'APAC'
+    ORDER BY customer_id
+    LIMIT 10
+    """,
+    "View DDL as governed SQL statements (round-11): the reference's "
+    "masked-view flow is EXACTLY this — CREATE OR REPLACE VIEW pasted "
+    "into Athena (outputs.tf:44-53) and DROP VIEW for cleanup "
+    "(README.md:320). The statement-created view composes with the "
+    "analyst's row security (V3) after the deferred second-phase grant "
+    "(main.tf:538-549); the oracle replays the fixture VALUES with the "
+    "masking regexes over the row filter — identical semantics to the "
+    "API-created governance_masked_view.",
+)
+def sql_view_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the last reference-DDL gap: a reference user's CREATE OR
+    REPLACE VIEW / DROP VIEW strings run here unchanged, with the body
+    validated as the submitting principal (implicit deny at CREATE
+    time) and stored verbatim so every READER's own security applies."""
+    from .. import fixtures as fx
+    from ..governance import SELECT
+
+    lake = scratch_dir("sqlview_")
+    eng = Engine(spark, fx.bootstrap(spark, lake))
+    # the cleanup verb (README.md:320) — on the bootstrap-made view
+    r = eng.sql("DROP VIEW sales_db.sales_masked", "dataadmin").first()
+    assert r.dropped is True
+    # phase 1: the DDL verbatim from outputs.tf:44-53, new view name
+    # (no pre-existing grants — the two-phase flow is the claim)
+    eng.sql(
+        "CREATE OR REPLACE VIEW sales_db.sales_masked2 AS SELECT "
+        "customer_id, customer_name, "
+        "REGEXP_REPLACE(customer_email, '^([^@]{1,3}).*@', '***@') "
+        "AS customer_email, "
+        "REGEXP_REPLACE(ssn, '\\\\d', '*') AS ssn, "
+        "sales_region, sales_amount, sale_date FROM sales_db.sales",
+        "dataadmin",
+    )
+    # phase 2: the deferred view grant (main.tf:538-549)
+    eng.catalog.grant("analyst", SELECT, "sales_db", "sales_masked2")
+    return eng.sql(
+        "SELECT * FROM sales_db.sales_masked2 ORDER BY customer_id "
+        "LIMIT 10",
+        "analyst",
+    )
+
+
+@query(
+    "sql_insert_append",
+    """
+    WITH ins(doc_id, text, lang, source, n_chars) AS (VALUES
+      (9000001, 'inserted row one', 'de', 'manual', 16),
+      (9000002, 'inserted row two', 'fr', 'manual', 16)),
+    final AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id, text, lang, source, n_chars FROM ins
+      UNION ALL
+      SELECT doc_id + 8000000, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 11 = 5
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_chk
+    FROM final GROUP BY lang
+    """,
+    "INSERT INTO as a governed SQL statement (round-11): the VALUES "
+    "form and the SELECT form (read THROUGH the governance rewrite as "
+    "the submitting principal), landing as transactional append_rows "
+    "commits on the manifest table — ledgered snapshots, O(batch) "
+    "cost, rows_inserted from the manifest's own footer row counts. "
+    "Oracle = seed UNION inserted rows.",
+)
+def sql_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Athena executes INSERT INTO; this engine routed it to the
+    fail-closed error until round 11. Write gate = admin-or-ALL (the
+    MERGE rule); positional mapping + NULL fill are schema-driven."""
+    eng, _ = _governed_docs(spark, sf_dir, "sqlins_")
+    r = eng.sql(
+        "INSERT INTO db.docs VALUES "
+        "(9000001, 'inserted row one', 'de', 'manual', 16), "
+        "(9000002, 'inserted row two', 'fr', 'manual', 16)",
+        "ops",
+    ).first()
+    assert r.rows_inserted == 2, r
+    r = eng.sql(
+        "INSERT INTO db.docs SELECT doc_id + 8000000, text, lang, "
+        "source, n_chars FROM db.docs "
+        "WHERE doc_id % 11 = 5 AND doc_id < 8000000",
+        "ops",
+    ).first()
+    assert r.rows_inserted > 0, "driver data must produce a slice"
+    return _final_agg_spark(eng)
+
+
+@query(
+    "sql_prepared_exec",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars >= 100 AND source <> 'no''such'
+    GROUP BY lang
+    """,
+    "PREPARE / EXECUTE ... USING as governed SQL statements "
+    "(round-11): Athena ships these verbs; parameters are parsed as "
+    "LITERALS only and re-rendered through the escaping literal "
+    "writer, so the quote-bearing second parameter stays one literal "
+    "(the injection-proof contract, pinned adversarially in "
+    "tests/test_sql_statements.py). Oracle replays the filled query.",
+)
+def sql_prepared_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filled statement routes through the normal dispatch, so the
+    filled verb's own gates apply at EXECUTE time — a prepared DELETE
+    still needs the maintenance grant."""
+    eng, _ = _governed_docs(spark, sf_dir, "sqlprep_")
+    eng.sql(
+        "PREPARE lang_stats FROM SELECT lang, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM db.docs WHERE n_chars >= ? AND source <> ? GROUP BY lang",
+        "ops",
+    )
+    return eng.sql("EXECUTE lang_stats USING 100, 'no''such'", "ops")
 
 
 @query(

@@ -233,6 +233,38 @@ class UnloadStatement:
 
 
 @dataclass(frozen=True)
+class CreateViewStatement:
+    view: str  # qualified view name
+    select_sql: str  # the view body (stored verbatim in the catalog)
+    or_replace: bool = False
+
+
+@dataclass(frozen=True)
+class DropViewStatement:
+    view: str
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
+class InsertStatement:
+    target: str  # qualified table
+    columns: tuple  # () = positional against the full declared schema
+    source_sql: str  # SELECT/WITH/VALUES producing the batch
+
+
+@dataclass(frozen=True)
+class PrepareStatement:
+    name: str
+    statement_sql: str  # template with ? placeholders
+
+
+@dataclass(frozen=True)
+class ExecuteStatement:
+    name: str
+    params: tuple  # parsed literal values, statement order
+
+
+@dataclass(frozen=True)
 class ShowTablesStatement:
     database: str | None = None
 
@@ -253,6 +285,11 @@ class DescribeHistoryStatement:
 
 
 Statement = (
+    CreateViewStatement,
+    DropViewStatement,
+    InsertStatement,
+    PrepareStatement,
+    ExecuteStatement,
     CtasStatement,
     UnloadStatement,
     ExplainStatement,
@@ -571,6 +608,77 @@ def _parse_ctas(text: str) -> CtasStatement:
     return CtasStatement(target, ma.group(1).strip(), location, pby)
 
 
+_QUERY_VERBS = ("select", "with", "values")
+
+
+def _require_query(body: str, context: str) -> str:
+    """Validate that ``body`` is a query (SELECT/WITH/VALUES or a
+    parenthesized one) and return it stripped."""
+    body = body.strip()
+    h = re.match(r"[A-Za-z]+", body)
+    if not (
+        body.startswith("(")
+        or (h and h.group(0).lower() in _QUERY_VERBS)
+    ):
+        raise UnsupportedStatementError(
+            f"{context} must be a query (SELECT/WITH/VALUES)"
+        )
+    return body
+
+
+def _parse_literal(text: str):
+    """One EXECUTE ... USING parameter: a SQL literal only — numbers,
+    '...'-quoted strings ('' escapes), TRUE/FALSE/NULL. Expressions are
+    refused: parameters are VALUES, and keeping them values is what
+    makes the prepared-statement surface injection-proof (the filled
+    text re-renders them through the literal-escaping writer)."""
+    t = text.strip()
+    m = re.fullmatch(r"'((?:[^']|'')*)'", t, re.S)
+    if m:
+        return m.group(1).replace("''", "'")
+    low = t.lower()
+    if low == "null":
+        return None
+    if low in ("true", "false"):
+        return low == "true"
+    if re.fullmatch(r"[+-]?\d+", t):
+        return int(t)
+    if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+|\d+)(e[+-]?\d+)?", t, re.I):
+        return float(t)
+    raise UnsupportedStatementError(
+        f"EXECUTE parameter {t!r} is not a literal (number, 'string', "
+        "TRUE/FALSE, NULL)"
+    )
+
+
+def _parse_insert(text: str) -> InsertStatement:
+    grammar = (
+        "INSERT INTO <db.table> [(col, ...)] <select | VALUES (...), ...>"
+    )
+    m = re.match(rf"insert\s+into\s+({_QUALIFIED})\s*", text, re.I)
+    if not m:
+        raise UnsupportedStatementError(f"supported INSERT form: {grammar}")
+    target = m.group(1)
+    rest = text[m.end() :].lstrip()
+    columns: tuple = ()
+    if rest.startswith("("):
+        # a leading paren is EITHER a column list or a parenthesized
+        # query — peek inside: a comma-separated identifier list is the
+        # former
+        end = _balanced_paren_span(rest, 0)
+        inner = rest[1 : end - 1]
+        items = _split_top(inner)
+        if all(re.fullmatch(_IDENT, it) for it in items):
+            columns = tuple(items)
+            if len(set(c.lower() for c in columns)) != len(columns):
+                raise UnsupportedStatementError(
+                    "duplicate column in INSERT column list"
+                )
+            rest = rest[end:].lstrip()
+    body = _require_query(rest, "the INSERT source")
+    return InsertStatement(target, columns, body)
+
+
 def parse_statement(sql: str):
     """Parse a governed statement.
 
@@ -695,17 +803,53 @@ def parse_statement(sql: str):
                 "VACUUM RETAIN must keep at least 1 snapshot"
             )
         return VacuumStatement(m.group(1), keep)
+    if verb == "insert":
+        return _parse_insert(text)
+    if verb == "prepare":
+        m = re.match(
+            rf"prepare\s+({_IDENT})\s+from\s+(.+)$", text, re.I | re.S
+        )
+        if not m:
+            raise UnsupportedStatementError(
+                "supported form: PREPARE <name> FROM <statement>"
+            )
+        return PrepareStatement(m.group(1), m.group(2).strip())
+    if verb == "execute":
+        m = re.match(
+            rf"execute\s+({_IDENT})(?:\s+using\s+(.+))?$", text, re.I | re.S
+        )
+        if not m:
+            raise UnsupportedStatementError(
+                "supported form: EXECUTE <name> [USING <literal>, ...]"
+            )
+        raw = m.group(2)
+        params = (
+            tuple(_parse_literal(p) for p in _split_top(raw))
+            if raw is not None
+            else ()
+        )
+        return ExecuteStatement(m.group(1), params)
     if verb == "create":
         if re.match(r"create\s+materialized\s+view\b", text, re.I):
             return _parse_create_mv(text)
+        m = re.match(
+            rf"create\s+(or\s+replace\s+)?view\s+({_QUALIFIED})\s+as\s+",
+            text,
+            re.I,
+        )
+        if m:
+            # the reference's masked-view flow is exactly this DDL
+            # pasted into Athena (outputs.tf:44-53, README.md:159-197)
+            body = _require_query(text[m.end() :], "the view body")
+            return CreateViewStatement(m.group(2), body, bool(m.group(1)))
         if re.match(r"create\s+table\b", text, re.I):
             return _parse_ctas(text)
         raise UnsupportedStatementError(
-            "CREATE through engine.sql supports CREATE MATERIALIZED VIEW "
-            "and CREATE TABLE ... WITH (external_location=...) AS "
-            "<select> (Athena CTAS); plain tables/views/databases go "
-            "through the catalog API (create_database / register_table / "
-            "create_view)"
+            "CREATE through engine.sql supports CREATE [OR REPLACE] VIEW "
+            "<db.view> AS <select>, CREATE MATERIALIZED VIEW, and CREATE "
+            "TABLE ... WITH (external_location=...) AS <select> (Athena "
+            "CTAS); plain tables/databases go through the catalog API "
+            "(create_database / register_table)"
         )
     if verb == "unload":
         m = re.match(r"unload\s*", text, re.I)
@@ -752,9 +896,16 @@ def parse_statement(sql: str):
         )
         if m:
             return DropMVStatement(m.group(1), bool(m.group(2)))
+        m = re.fullmatch(
+            rf"drop\s+view\s+(if\s+exists\s+)?({_QUALIFIED})", text, re.I
+        )
+        if m:
+            # the reference's cleanup step (README.md:320)
+            return DropViewStatement(m.group(2), bool(m.group(1)))
         raise UnsupportedStatementError(
-            "DROP through engine.sql supports only DROP MATERIALIZED VIEW "
-            "<db.mv> [PURGE]; tables/views go through the catalog API"
+            "DROP through engine.sql supports DROP MATERIALIZED VIEW "
+            "<db.mv> [PURGE] and DROP VIEW [IF EXISTS] <db.view>; tables "
+            "go through the catalog API"
         )
     if verb == "show":
         m = re.fullmatch(rf"show\s+tables(?:\s+in\s+({_IDENT}))?", text, re.I)
@@ -785,8 +936,9 @@ def parse_statement(sql: str):
     raise UnsupportedStatementError(
         f"statement verb {verb.upper()!r} is outside the governed grammar "
         "(supported: SELECT/WITH/VALUES queries, EXPLAIN <query>, MERGE "
-        "INTO, UPDATE, DELETE FROM, OPTIMIZE, VACUUM, CREATE/REFRESH/DROP "
-        "MATERIALIZED VIEW, ALTER TABLE RENAME COLUMN, SHOW "
+        "INTO, INSERT INTO, UPDATE, DELETE FROM, OPTIMIZE, VACUUM, "
+        "CREATE/REFRESH/DROP MATERIALIZED VIEW, CREATE [OR REPLACE] VIEW, "
+        "DROP VIEW, PREPARE/EXECUTE, ALTER TABLE RENAME COLUMN, SHOW "
         "TABLES/PARTITIONS, DESCRIBE [HISTORY]); raw DDL does not run "
         "through the governed engine"
     )
