@@ -1083,3 +1083,71 @@ def test_parse_mv_with_where():
             "CREATE MATERIALIZED VIEW db.mv AS SELECT g, count(*) AS n "
             "FROM db.src JOIN db.other ON x = y GROUP BY g"
         )
+
+
+# ------------------------------- multi-statement scripts (round 11)
+def test_split_statements_literal_aware():
+    from tf_aws_lakeformation_governed_datalake_demo_spark.statements import (
+        split_statements,
+    )
+
+    parts = split_statements(
+        "UPDATE db.t SET note = 'a; b' WHERE TRUE; -- c; d\n"
+        "DELETE FROM db.t WHERE id = 1;;  \n"
+        "SELECT 1"
+    )
+    assert parts == [
+        "UPDATE db.t SET note = 'a; b' WHERE TRUE",
+        "DELETE FROM db.t WHERE id = 1",
+        "SELECT 1",
+    ]
+
+
+def test_sql_script_sequential_and_audit_span(engine):
+    results = engine.sql_script(
+        "UPDATE sales_db.sales SET sales_amount = sales_amount + 1 "
+        "WHERE sales_region = 'EMEA';"
+        "SELECT count(*) AS n FROM sales_db.sales WHERE "
+        "sales_amount > 1;",
+        "dataadmin",
+    )
+    assert len(results) == 2
+    assert results[0].first().rows_updated == 6
+    spans = [
+        e for e in engine.catalog.audit.events
+        if e["query"].startswith("SCRIPT span=") and e["status"] == "ok"
+    ]
+    assert spans and "statements=2" in spans[-1]["query"]
+
+
+def test_sql_script_stops_at_first_failure(engine):
+    before = engine.sql(
+        "SELECT count(*) AS n FROM sales_db.sales", "dataadmin"
+    ).first().n
+    with pytest.raises(Exception):
+        engine.sql_script(
+            "DELETE FROM sales_db.sales WHERE sales_region = 'AMER';"
+            "SELECT * FROM sales_db.no_such_table;"
+            "DELETE FROM sales_db.sales WHERE sales_region = 'EMEA';",
+            "dataadmin",
+        )
+    # statement 1 committed, statement 3 never ran (stop at first failure)
+    after = engine.sql(
+        "SELECT sales_region, count(*) AS n FROM sales_db.sales "
+        "GROUP BY sales_region", "dataadmin"
+    ).collect()
+    got = {r.sales_region: r.n for r in after}
+    assert "AMER" not in got and got["EMEA"] == 6
+    assert before - sum(got.values()) == 6
+    span = [
+        e for e in engine.catalog.audit.events
+        if e["query"].startswith("SCRIPT span=") and e["status"] == "failed"
+    ]
+    assert span and "stopped_at=2" in span[-1]["query"]
+    # a denied statement stops the script the same way
+    with pytest.raises(PermissionDeniedError):
+        engine.sql_script(
+            "SELECT * FROM sales_db.sales;"
+            "DELETE FROM sales_db.sales WHERE TRUE;",
+            "analyst",
+        )

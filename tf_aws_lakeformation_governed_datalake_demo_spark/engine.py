@@ -282,6 +282,60 @@ class Engine:
         assert qe.result is not None
         return qe.result
 
+    def sql_script(
+        self,
+        script: str,
+        principal: Principal | str | None = None,
+    ) -> list[DataFrame]:
+        """Execute a ``;``-separated statement SCRIPT sequentially under
+        one audit span — the natural unit for the MERGE-then-REFRESH
+        cadence (Athena runs scripts one statement at a time; so does
+        this, with the same per-statement gates and audit lines as
+        :meth:`sql`).
+
+        Stops at the FIRST failure: earlier statements' effects stand
+        (each statement commits individually — a script is a cadence,
+        not a transaction; cross-table atomicity is
+        :meth:`stage_and_publish`), the span line records exactly how
+        far the script got, and the failure re-raises. Returns one
+        result DataFrame per executed statement."""
+        import uuid as _uuid
+
+        from .statements import split_statements
+
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        stmts = split_statements(script)
+        if not stmts:
+            raise ValueError("empty script")
+        span = _uuid.uuid4().hex[:12]
+        results: list[DataFrame] = []
+        for i, stmt_sql in enumerate(stmts):
+            try:
+                results.append(self.sql(stmt_sql, principal))
+            except Exception as exc:  # noqa: BLE001 — span-audit then surface
+                self.catalog.audit.record(
+                    principal=name or "<none>",
+                    query=(
+                        f"SCRIPT span={span} statements={len(stmts)} "
+                        f"stopped_at={i + 1}"
+                    ),
+                    tables=[],
+                    filters_applied=[],
+                    status="failed",
+                    error=f"statement {i + 1}/{len(stmts)} failed: {exc}",
+                )
+                raise
+        self.catalog.audit.record(
+            principal=name or "<none>",
+            query=f"SCRIPT span={span} statements={len(stmts)}",
+            tables=[],
+            filters_applied=[],
+            status="ok",
+        )
+        return results
+
     # ------------------------------------------------- L7 result reuse
     def _storage_tables(self, qualified: str, _seen: set | None = None) -> set:
         """Base TABLES whose storage backs ``qualified``: the name itself

@@ -495,6 +495,47 @@ def sql_prepared_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_script_exec",
+    """
+    WITH v2 AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 3 = 1 THEN n_chars + 700
+                  ELSE n_chars END AS n_chars
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM v2 GROUP BY lang
+    """,
+    "Multi-statement SCRIPT through Engine.sql_script (round-11): the "
+    "MERGE-then-REFRESH cadence as ONE ;-separated script — CREATE "
+    "MATERIALIZED VIEW; MERGE INTO; REFRESH — executed sequentially "
+    "under one audit span, stopping at first failure (each statement "
+    "keeps its own gates and audit lines; a script is a cadence, not "
+    "a transaction). Oracle = full recompute of the final MV state.",
+)
+def sql_script_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Athena runs scripts one statement at a time; so does this —
+    the grammar half (literal-aware ';' split) is
+    statements.split_statements."""
+    eng, _ = _governed_docs(spark, sf_dir, "sqlscript_")
+    results = eng.sql_script(
+        "CREATE MATERIALIZED VIEW db.mv AS "
+        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+        "FROM db.docs GROUP BY lang;"
+        "MERGE INTO db.docs AS t USING ("
+        "  SELECT doc_id, text, lang, source, n_chars + 700 AS n_chars"
+        "  FROM db.docs WHERE doc_id % 3 = 1"
+        ") AS s ON t.doc_id = s.doc_id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *;"
+        "REFRESH MATERIALIZED VIEW db.mv;",
+        "ops",
+    )
+    assert len(results) == 3 and results[2].first().refreshed
+    return eng.sql("SELECT lang, n_docs, total_chars FROM db.mv", "ops")
+
+
+@query(
     "governance_mv_rewrite",
     """
     WITH v2 AS (

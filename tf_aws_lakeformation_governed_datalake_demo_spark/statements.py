@@ -792,6 +792,23 @@ def _parse_insert(text: str) -> InsertStatement:
     return InsertStatement(target, columns, body)
 
 
+def split_statements(script: str) -> list[str]:
+    """Split a ``;``-separated statement script into its statements
+    (literal- and comment-aware: a ``;`` inside a quoted string or a
+    comment never splits). Comments are blanked, empty segments
+    dropped. Athena runs scripts one statement at a time; this is the
+    grammar half of :meth:`Engine.sql_script`."""
+    text = _blank_comments(script)
+    parts: list[str] = []
+    last = 0
+    for i, ch in _top_level(text):
+        if ch == ";":
+            parts.append(text[last:i])
+            last = i + 1
+    parts.append(text[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def parse_statement(sql: str):
     """Parse a governed statement.
 
