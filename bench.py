@@ -247,6 +247,16 @@ HEADLINE = [
     "governance_materialized_view_distinct",
     "lake_multi_table_publish",
     "stream_mv_refresh",
+    # round 11 additions: the last SQL verbs (view DDL on the sales
+    # fixture; INSERT INTO = 2 transactional appends; PREPARE/EXECUTE =
+    # parse + fill + one governed agg; the 3-statement script = MV
+    # create + merge + refresh), and the transparent MV rewrite (create
+    # + merge + refresh + the state-served aggregate)
+    "sql_view_ddl",
+    "sql_insert_append",
+    "sql_prepared_exec",
+    "sql_script_exec",
+    "governance_mv_rewrite",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

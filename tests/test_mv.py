@@ -676,9 +676,10 @@ def test_mv_rewrite_ineligible_shapes_fall_back(spark, tmp_path):
         "SELECT grp, count(*) AS n FROM db.docs "
         "WHERE upper(grp) = 'A' GROUP BY grp"
     )
-    # ORDER BY tail / HAVING are not the servable shape
+    # HAVING is not the servable shape (ORDER BY/LIMIT now are —
+    # test_mv_rewrite_orderby_limit_and_filtered_mv)
     assert src(
-        "SELECT grp, count(*) AS n FROM db.docs GROUP BY grp ORDER BY grp"
+        "SELECT grp, count(*) AS n FROM db.docs GROUP BY grp HAVING n > 1"
     )
     # approx_count_distinct never serves (HLL++ vs Datasketches)
     assert src(
@@ -762,3 +763,69 @@ def test_hll_refresh_append_only_skips_probe_job(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="cannot subtract"):
         eng.refresh_materialized_view("db.docs_mv", principal="ops")
     assert len(calls) >= 1  # the probe job ran this time
+
+
+def test_mv_rewrite_orderby_limit_and_filtered_mv(spark, tmp_path):
+    """Round-11 second half: ORDER BY/LIMIT tails serve from the state,
+    and a FILTERED MV serves exactly the query carrying its own WHERE
+    text (normalized), nothing else."""
+    lake = str(tmp_path / "lake")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/docs"
+    df = spark.createDataFrame(
+        [(i, "abcd"[i % 4], i * 10) for i in range(40)],
+        "id long, grp string, v long",
+    )
+    publish_overwrite(spark, loc, df, ["grp"], manifest=True)
+    cat.register_table(
+        TableDef("db", "docs", loc, schema=df.schema, partition_keys=("grp",))
+    )
+    eng = Engine(spark, cat)
+    eng.create_materialized_view(
+        "db.top_mv", "db.docs", ["grp"],
+        {"n": ("count", None), "total": ("sum", "v")}, principal="ops",
+    )
+    # ORDER BY a measure alias + LIMIT: the dashboard top-k shape
+    q = ("SELECT grp, count(*) AS n, sum(v) AS total FROM db.docs "
+         "GROUP BY grp ORDER BY total DESC, grp LIMIT 2")
+    served = eng.sql(q, "ops", use_mvs=True)
+    assert all("/_mv/" in f for f in served.inputFiles())
+    direct = eng.sql(q, "ops")
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+    # an expression sort key is not the servable shape
+    notserved = eng.sql(
+        "SELECT grp, count(*) AS n FROM db.docs GROUP BY grp "
+        "ORDER BY n + 1 LIMIT 2",
+        "ops",
+        use_mvs=True,
+    )
+    assert any(loc in f for f in notserved.inputFiles())
+
+    # filtered MV: serves the textually-identical WHERE only
+    eng.create_materialized_view(
+        "db.big_mv", "db.docs", ["grp"],
+        {"n": ("count", None), "total": ("sum", "v")},
+        principal="ops", where="v >= 100",
+    )
+    fq = ("SELECT grp, count(*) AS n, sum(v) AS total FROM db.docs "
+          "WHERE  V >=   100 GROUP BY grp")  # case/space-normalized match
+    fserved = eng.sql(fq, "ops", use_mvs=True)
+    assert all("/_mv/" in f for f in fserved.inputFiles())
+    fdirect = eng.sql(fq, "ops")
+    assert _mv_rows(fserved) == _mv_rows(fdirect)
+    # a DIFFERENT predicate must not be served by the filtered MV
+    other = eng.sql(
+        "SELECT grp, count(*) AS n, sum(v) AS total FROM db.docs "
+        "WHERE v >= 200 GROUP BY grp",
+        "ops",
+        use_mvs=True,
+    )
+    assert any(loc in f for f in other.inputFiles())
+
+
+def _mv_rows(df):
+    return {(r.grp, int(r.n), int(r.total)) for r in df.collect()}

@@ -2062,10 +2062,14 @@ class Engine:
         Exactness conditions (all required):
 
         - the query parses as the single-table aggregate shape
-          (statements.parse_aggregate_query) over some MV's source;
-        - the MV is PLAIN — unfiltered, un-enriched: a WHERE'd or
-          joined MV's state covers a slice of the source, and deciding
-          predicate implication is a theorem we refuse to half-prove;
+          (statements.parse_aggregate_query; optional ORDER BY over
+          group columns / measure aliases and LIMIT tails apply after
+          the state re-aggregation) over some MV's source;
+        - the MV is un-enriched (a joined MV's groups reflect a
+          pinned dimension era the query did not ask for); a FILTERED
+          MV serves only a query whose WHERE is textually the same
+          predicate (whitespace/case-normalized) — predicate
+          implication is a theorem we refuse to half-prove;
         - query group-by ⊆ MV group-by (the state re-aggregates
           losslessly: counts and sums are additive, avg re-derives
           from summed sum+count pairs);
@@ -2097,24 +2101,38 @@ class Engine:
         parsed = parse_aggregate_query(sql)
         if parsed is None:
             return None
-        source, group_by, measures, where = parsed
+        source, group_by, measures, where, order_by, limit = parsed
+
+        def _norm(pred: str | None) -> str | None:
+            import re as _re
+
+            if pred is None:
+                return None
+            return _re.sub(r"\s+", " ", pred.strip()).lower()
+
         name = (
             principal.name if isinstance(principal, Principal) else principal
         )
         for qmv, mv in sorted(self.catalog.mvs.items()):
-            if (
-                mv.source != source
-                or mv.enrich is not None
-                or mv.where is not None
-            ):
+            if mv.source != source or mv.enrich is not None:
                 continue
+            state_where = where
+            if mv.where is not None:
+                # a FILTERED MV covers a slice of the source; serve only
+                # a query whose WHERE is textually the same predicate
+                # (whitespace/case-normalized — predicate implication is
+                # a theorem we refuse to half-prove), and then the state
+                # needs no further filter
+                if _norm(where) != _norm(mv.where):
+                    continue
+                state_where = None
             if not set(group_by) <= set(mv.group_by):
                 continue
             plan = self._mv_measure_plan(mv, measures)
             if plan is None:
                 continue
-            if where is not None:
-                cols = predicate_columns(where)
+            if state_where is not None:
+                cols = predicate_columns(state_where)
                 if cols is None or not cols <= set(mv.group_by):
                     continue
             src_td = self.catalog.tables.get(source)
@@ -2138,11 +2156,20 @@ class Engine:
             if watermark != src_m["version"] and not allow_stale:
                 continue  # fail open: the reader gets fresh data
             state = read_table(self.spark, mv.location)
-            if where is not None:
-                state = state.filter(F.expr(where))
+            if state_where is not None:
+                state = state.filter(F.expr(state_where))
             df = state.groupBy(*group_by).agg(
                 *[expr.alias(out) for out, expr in plan]
             )
+            if order_by:
+                df = df.orderBy(
+                    *[
+                        F.col(c).asc() if asc else F.col(c).desc()
+                        for c, asc in order_by
+                    ]
+                )
+            if limit is not None:
+                df = df.limit(limit)
             qe.tables = [source, qmv]
             qe.filters_applied.append(f"MV_REWRITE:{qmv}")
             return df

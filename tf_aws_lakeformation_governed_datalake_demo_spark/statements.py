@@ -618,9 +618,13 @@ def parse_aggregate_query(sql: str):
         SELECT <group cols>, count(*)/sum(col)/avg(col) AS alias [...]
         FROM <db.table> [WHERE <pred>] GROUP BY <group cols>
 
-    Returns ``(source, group_by, measures, where)`` with ``measures`` =
-    ``((alias, agg, col|None), ...)``, or ``None`` for ANY other shape
-    — including HAVING/ORDER BY/LIMIT tails, subqueries, joins, and
+        [ORDER BY <col [ASC|DESC]>, ...] [LIMIT <n>]
+
+    Returns ``(source, group_by, measures, where, order_by, limit)``
+    with ``measures`` = ``((alias, agg, col|None), ...)`` and
+    ``order_by`` = ``((col, ascending), ...)`` over group columns or
+    measure aliases — or ``None`` for ANY other shape: HAVING,
+    subqueries, joins, expression sort keys, and
     approx_count_distinct (Spark's HLL++ and the MV's Datasketches
     sketch estimate differently, so serving one for the other would be
     silently wrong). Never raises: the caller falls back to the
@@ -654,9 +658,33 @@ def parse_aggregate_query(sql: str):
             if not mw:
                 return None
             where = mw.group(1).strip()
-        mg = re.fullmatch(
-            r"group\s+by\s+(.+?)\s*", tail[gb_at:], re.I | re.S
-        )
+        gb_text = tail[gb_at:]
+        order_by: tuple = ()
+        limit = None
+        ml = re.search(r"\s+limit\s+(\d+)\s*$", gb_text, re.I)
+        if ml:
+            limit = int(ml.group(1))
+            gb_text = gb_text[: ml.start()]
+        ob_at = _find_keyword(gb_text, "order")
+        if ob_at >= 0:
+            mo = re.fullmatch(
+                r"order\s+by\s+(.+?)\s*", gb_text[ob_at:], re.I | re.S
+            )
+            if not mo:
+                return None
+            items = []
+            for it in _split_top(mo.group(1)):
+                mi = re.fullmatch(
+                    rf"({_IDENT})(?:\s+(asc|desc))?", it.strip(), re.I
+                )
+                if not mi:
+                    return None
+                items.append(
+                    (mi.group(1), (mi.group(2) or "asc").lower() == "asc")
+                )
+            order_by = tuple(items)
+            gb_text = gb_text[:ob_at]
+        mg = re.fullmatch(r"group\s+by\s+(.+?)\s*", gb_text, re.I | re.S)
         if not mg:
             return None
         group_by = tuple(
@@ -693,7 +721,11 @@ def parse_aggregate_query(sql: str):
         aliases = [out for out, _a, _c in measures]
         if len(set(aliases)) != len(aliases) or set(aliases) & set(group_by):
             return None
-        return source, group_by, tuple(measures), where
+        if any(
+            c not in group_by and c not in aliases for c, _asc in order_by
+        ):
+            return None
+        return source, group_by, tuple(measures), where, order_by, limit
     except UnsupportedStatementError:
         return None
 
