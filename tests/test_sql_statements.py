@@ -1151,3 +1151,71 @@ def test_sql_script_stops_at_first_failure(engine):
             "DELETE FROM sales_db.sales WHERE TRUE;",
             "analyst",
         )
+
+
+# ---------------- ALTER ADD COLUMNS + SHOW DATABASES/VIEWS (round 11)
+def test_parse_add_columns():
+    from tf_aws_lakeformation_governed_datalake_demo_spark.statements import (
+        AddColumnsStatement,
+    )
+
+    s = parse_statement(
+        "ALTER TABLE db.t ADD COLUMNS (loyalty_tier string COMMENT "
+        "'it''s a tier', scores array<int>)"
+    )
+    assert isinstance(s, AddColumnsStatement)
+    assert s.columns == (
+        ("loyalty_tier", "string", "it's a tier"),
+        ("scores", "array<int>", None),
+    )
+    with pytest.raises(UnsupportedStatementError, match="duplicate"):
+        parse_statement("ALTER TABLE db.t ADD COLUMNS (a int, A string)")
+    with pytest.raises(UnsupportedStatementError, match="trailing"):
+        parse_statement("ALTER TABLE db.t ADD COLUMNS (a int) garbage")
+    with pytest.raises(UnsupportedStatementError):
+        parse_statement("ALTER TABLE db.t ADD COLUMNS ()")
+
+
+def test_alter_add_columns_statement_governed(engine):
+    rows = engine.sql(
+        "ALTER TABLE sales_db.sales ADD COLUMNS "
+        "(loyalty_tier string COMMENT 'customer tier')",
+        "dataadmin",
+    ).collect()
+    assert [(r.col_name, r.status) for r in rows] == [
+        ("loyalty_tier", "pending")
+    ]
+    td = engine.catalog.tables["sales_db.sales"]
+    assert "loyalty_tier" in {f.name for f in td.schema.fields}
+    assert "loyalty_tier" in td.pending_columns
+    # pending = invisible to the conditioned analyst path (quarantine)
+    assert "loyalty_tier" not in engine.sql(
+        "SELECT * FROM sales_db.sales", "analyst"
+    ).columns
+    # the filtered-SELECT analyst may not evolve the schema
+    with pytest.raises(PermissionDeniedError):
+        engine.sql(
+            "ALTER TABLE sales_db.sales ADD COLUMNS (x int)", "analyst"
+        )
+    # a bad DDL type is loud
+    with pytest.raises(ValueError, match="cannot parse type"):
+        engine.sql(
+            "ALTER TABLE sales_db.sales ADD COLUMNS (y no_such_type)",
+            "dataadmin",
+        )
+
+
+def test_show_databases_and_views_grant_aware(engine):
+    # dataadmin holds grants in sales_db -> sees it; nobody sees nothing
+    assert [
+        r.database
+        for r in engine.sql("SHOW DATABASES", "dataadmin").collect()
+    ] == ["sales_db"]
+    assert engine.sql("SHOW DATABASES", "nobody").count() == 0
+    assert engine.sql("SHOW SCHEMAS", "dataadmin").count() == 1
+    # SHOW VIEWS: the analyst holds SELECT on the masked view
+    vs = engine.sql("SHOW VIEWS IN sales_db", "analyst").collect()
+    assert [(r.database, r.view) for r in vs] == [
+        ("sales_db", "sales_masked")
+    ]
+    assert engine.sql("SHOW VIEWS", "nobody").count() == 0

@@ -604,6 +604,7 @@ class Engine:
         from pyspark.sql import functions as F
 
         from .statements import (
+            AddColumnsStatement,
             CreateMVStatement,
             CreateViewStatement,
             CtasStatement,
@@ -620,8 +621,10 @@ class Engine:
             PrepareStatement,
             RefreshMVStatement,
             RenameColumnStatement,
+            ShowDatabasesStatement,
             ShowPartitionsStatement,
             ShowTablesStatement,
+            ShowViewsStatement,
             UnloadStatement,
             UpdateStatement,
             VacuumStatement,
@@ -788,6 +791,84 @@ class Engine:
             qe.tables = []
             return spark.createDataFrame(
                 [(ln,) for ln in text.splitlines()], "plan string"
+            )
+
+        if isinstance(stmt, AddColumnsStatement):
+            # Glue UpdateTable as SQL: schema-on-read evolution — no
+            # data rewrite, and the new columns land PENDING (invisible
+            # to every conditioned grant path until
+            # approve_evolved_columns — the fail-closed quarantine).
+            # Gate: evolving the schema is an operator action on the
+            # table, same admin-or-ALL rule as the other ALTER.
+            from pyspark.sql import types as T
+
+            table = self.catalog.tables[stmt.target]  # KeyError: closed
+            self._mv_gate(name, table, "ALTER TABLE ADD COLUMNS", stmt.target)
+            fields = []
+            for cname, ddl_type, _comment in stmt.columns:
+                try:
+                    parsed_t = T.StructType.fromDDL(f"{cname} {ddl_type}")
+                except Exception as exc:
+                    raise ValueError(
+                        f"ADD COLUMNS: cannot parse type {ddl_type!r} for "
+                        f"{cname!r}: {exc}"
+                    ) from exc
+                fields.append(parsed_t.fields[0])
+            comments = {
+                cname: c for cname, _t, c in stmt.columns if c is not None
+            }
+            self.catalog.evolve_table_schema(
+                stmt.target, fields, comments=comments or None
+            )
+            qe.tables = [stmt.target]
+            return spark.createDataFrame(
+                [
+                    (cname, ddl_type, "pending")
+                    for cname, ddl_type, _c in stmt.columns
+                ],
+                "col_name string, data_type string, status string",
+            )
+
+        if isinstance(stmt, ShowDatabasesStatement):
+            # grant-aware database listing: an ungranted principal
+            # cannot enumerate even database NAMES (implicit deny G6 on
+            # the enumeration surface, like SHOW TABLES)
+            gov = (
+                self.catalog.governance_enabled
+                and name not in self.catalog.admins
+            )
+            rows = []
+            for db in sorted(self.catalog.databases):
+                if gov and (
+                    name is None
+                    or not any(
+                        g.principal == name and g.database == db
+                        for g in self.catalog.grants
+                    )
+                ):
+                    continue
+                rows.append((db,))
+            qe.tables = []
+            return spark.createDataFrame(rows or [], "database string")
+
+        if isinstance(stmt, ShowViewsStatement):
+            gov = (
+                self.catalog.governance_enabled
+                and name not in self.catalog.admins
+            )
+            rows = []
+            for q, vd in sorted(self.catalog.views.items()):
+                if stmt.database and vd.database != stmt.database:
+                    continue
+                if gov and (
+                    name is None
+                    or not self.catalog.grants_for(name, vd.database, vd.name)
+                ):
+                    continue
+                rows.append((vd.database, vd.name))
+            qe.tables = []
+            return spark.createDataFrame(
+                rows or [], "database string, view string"
             )
 
         if isinstance(stmt, RenameColumnStatement):

@@ -217,6 +217,24 @@ class RenameColumnStatement:
 
 
 @dataclass(frozen=True)
+class AddColumnsStatement:
+    target: str
+    # ((name, ddl_type, comment|None), ...) — types stay strings here;
+    # the engine parses them with Spark's own DDL parser at dispatch
+    columns: tuple
+
+
+@dataclass(frozen=True)
+class ShowDatabasesStatement:
+    pass
+
+
+@dataclass(frozen=True)
+class ShowViewsStatement:
+    database: str | None = None
+
+
+@dataclass(frozen=True)
 class CtasStatement:
     target: str
     select_sql: str
@@ -285,6 +303,9 @@ class DescribeHistoryStatement:
 
 
 Statement = (
+    AddColumnsStatement,
+    ShowDatabasesStatement,
+    ShowViewsStatement,
     CreateViewStatement,
     DropViewStatement,
     InsertStatement,
@@ -892,10 +913,58 @@ def parse_statement(sql: str):
         )
         if m:
             return RenameColumnStatement(m.group(1), m.group(2), m.group(3))
+        m = re.match(
+            rf"alter\s+table\s+({_QUALIFIED})\s+add\s+columns\s*",
+            text,
+            re.I,
+        )
+        if m:
+            # the Athena/Glue schema-evolution verb — routes to the
+            # catalog's fail-closed evolution (new columns land PENDING)
+            rest = text[m.end() :].lstrip()
+            if not rest.startswith("("):
+                raise UnsupportedStatementError(
+                    "supported form: ALTER TABLE <db.table> ADD COLUMNS "
+                    "(<col> <type> [COMMENT '<text>'], ...)"
+                )
+            end = _balanced_paren_span(rest, 0)
+            if rest[end:].strip():
+                raise UnsupportedStatementError(
+                    "unexpected trailing text after ADD COLUMNS (...)"
+                )
+            cols: list[tuple] = []
+            for item in _split_top(rest[1 : end - 1]):
+                mc = re.fullmatch(
+                    rf"({_IDENT})\s+([A-Za-z0-9_<>,()\s]+?)"
+                    r"(?:\s+comment\s+'((?:[^']|'')*)')?",
+                    item,
+                    re.I | re.S,
+                )
+                if not mc:
+                    raise UnsupportedStatementError(
+                        f"ADD COLUMNS item {item!r} is not <col> <type> "
+                        "[COMMENT '<text>']"
+                    )
+                comment = (
+                    mc.group(3).replace("''", "'")
+                    if mc.group(3) is not None
+                    else None
+                )
+                cols.append((mc.group(1), mc.group(2).strip(), comment))
+            if not cols:
+                raise UnsupportedStatementError("ADD COLUMNS needs columns")
+            names = [c[0].lower() for c in cols]
+            if len(set(names)) != len(names):
+                raise UnsupportedStatementError(
+                    "duplicate column in ADD COLUMNS"
+                )
+            return AddColumnsStatement(m.group(1), tuple(cols))
         raise UnsupportedStatementError(
-            "ALTER through engine.sql supports only ALTER TABLE <db.table> "
-            "RENAME COLUMN <old> TO <new> (the metadata-only rename); other "
-            "ALTERs go through the catalog API"
+            "ALTER through engine.sql supports ALTER TABLE <db.table> "
+            "RENAME COLUMN <old> TO <new> (the metadata-only rename) and "
+            "ALTER TABLE <db.table> ADD COLUMNS (col type [COMMENT ...], "
+            "...) (fail-closed schema evolution); other ALTERs go through "
+            "the catalog API"
         )
     if verb == "merge":
         return _parse_merge(text)
@@ -1073,12 +1142,17 @@ def parse_statement(sql: str):
         m = re.fullmatch(rf"show\s+tables(?:\s+in\s+({_IDENT}))?", text, re.I)
         if m:
             return ShowTablesStatement(m.group(1))
+        m = re.fullmatch(rf"show\s+views(?:\s+in\s+({_IDENT}))?", text, re.I)
+        if m:
+            return ShowViewsStatement(m.group(1))
+        if re.fullmatch(r"show\s+(databases|schemas)", text, re.I):
+            return ShowDatabasesStatement()
         m = re.fullmatch(rf"show\s+partitions\s+({_QUALIFIED})", text, re.I)
         if m:
             return ShowPartitionsStatement(m.group(1))
         raise UnsupportedStatementError(
-            "supported SHOW forms: SHOW TABLES [IN <db>] | SHOW "
-            "PARTITIONS <db.table>"
+            "supported SHOW forms: SHOW DATABASES | SHOW TABLES [IN <db>] "
+            "| SHOW VIEWS [IN <db>] | SHOW PARTITIONS <db.table>"
         )
     if verb in ("describe", "desc"):
         m = re.fullmatch(
@@ -1100,7 +1174,7 @@ def parse_statement(sql: str):
         "(supported: SELECT/WITH/VALUES queries, EXPLAIN <query>, MERGE "
         "INTO, INSERT INTO, UPDATE, DELETE FROM, OPTIMIZE, VACUUM, "
         "CREATE/REFRESH/DROP MATERIALIZED VIEW, CREATE [OR REPLACE] VIEW, "
-        "DROP VIEW, PREPARE/EXECUTE, ALTER TABLE RENAME COLUMN, SHOW "
-        "TABLES/PARTITIONS, DESCRIBE [HISTORY]); raw DDL does not run "
-        "through the governed engine"
+        "DROP VIEW, PREPARE/EXECUTE, ALTER TABLE RENAME COLUMN / ADD "
+        "COLUMNS, SHOW DATABASES/TABLES/VIEWS/PARTITIONS, DESCRIBE "
+        "[HISTORY]); raw DDL does not run through the governed engine"
     )
