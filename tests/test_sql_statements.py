@@ -1219,3 +1219,19 @@ def test_show_databases_and_views_grant_aware(engine):
         ("sales_db", "sales_masked")
     ]
     assert engine.sql("SHOW VIEWS", "nobody").count() == 0
+
+
+def test_execute_recursion_refused(engine):
+    engine.sql("PREPARE self_ref FROM EXECUTE self_ref", "dataadmin")
+    with pytest.raises(ValueError, match="recursive"):
+        engine.sql("EXECUTE self_ref", "dataadmin")
+
+
+def test_describe_view(engine):
+    rows = engine.sql("DESCRIBE sales_db.sales_masked", "analyst").collect()
+    assert [r.col_name for r in rows] == [
+        "customer_id", "customer_name", "customer_email", "ssn",
+        "sales_region", "sales_amount", "sale_date",
+    ]
+    with pytest.raises(PermissionDeniedError):
+        engine.sql("DESCRIBE sales_db.sales_masked", "nobody")

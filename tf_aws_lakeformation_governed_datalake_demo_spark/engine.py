@@ -771,9 +771,20 @@ class Engine:
             )
 
         if isinstance(stmt, ExecuteStatement):
+            import re as _re
+
             template = self._prepared.get(stmt.name)
             if template is None:
                 raise KeyError(f"no prepared statement {stmt.name!r}")
+            # a template that is itself PREPARE/EXECUTE would recurse
+            # (EXECUTE q FROM a template saying EXECUTE q) — refuse the
+            # verbs outright rather than bound a depth counter
+            head = _re.match(r"\s*([A-Za-z]+)", template)
+            if head and head.group(1).lower() in ("execute", "prepare"):
+                raise ValueError(
+                    "a prepared template may not itself be "
+                    "PREPARE/EXECUTE (recursive prepared statements)"
+                )
             # parameters were parsed as VALUES (literals only) and are
             # re-rendered through the escaping literal writer — a
             # parameter containing quotes/keywords stays one literal
@@ -1141,6 +1152,20 @@ class Engine:
             )
 
         if isinstance(stmt, DescribeStatement):
+            if stmt.target in self.catalog.views:
+                # DESCRIBE a view: resolve the body AS the principal —
+                # catalog.view gates (implicit deny) and its schema is
+                # the view's own projection
+                vdf = self.catalog.view(stmt.target, principal)
+                qe.tables = [stmt.target]
+                return spark.createDataFrame(
+                    [
+                        (f.name, f.dataType.simpleString(), False, None)
+                        for f in vdf.schema.fields
+                    ],
+                    "col_name string, data_type string, "
+                    "is_partition boolean, comment string",
+                )
             table, allowed = self._introspect_gate(
                 stmt.target, name, columns=True
             )
