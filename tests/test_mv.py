@@ -829,3 +829,53 @@ def test_mv_rewrite_orderby_limit_and_filtered_mv(spark, tmp_path):
 
 def _mv_rows(df):
     return {(r.grp, int(r.n), int(r.total)) for r in df.collect()}
+
+
+def test_mv_state_mutation_refused(spark, tmp_path):
+    """Row-mutation verbs must not corrupt derived MV state (round-11
+    self-review): INSERT/MERGE/UPDATE/DELETE on the MV name or its
+    __state table refuse loudly; layout-only OPTIMIZE stays allowed."""
+    cat, eng, loc, df = _setup(spark, tmp_path)
+    eng.create_materialized_view(
+        "db.docs_mv", "db.docs", ["grp"],
+        {"n": ("count", None), "av": ("avg", "v")}, principal="ops",
+    )
+    for stmt in (
+        "INSERT INTO db.docs_mv__state VALUES ('x', 1, 1, 1)",
+        "UPDATE db.docs_mv__state SET n = 0 WHERE TRUE",
+        "DELETE FROM db.docs_mv__state WHERE TRUE",
+        "MERGE INTO db.docs_mv__state AS t USING (SELECT * FROM "
+        "db.docs_mv__state) AS s ON t.grp = s.grp "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    ):
+        with pytest.raises(ValueError, match="state is derived"):
+            eng.sql(stmt, "ops")
+    with pytest.raises(ValueError, match="state is derived"):
+        eng.maintain("db.docs_mv__state", "delete_rows", "ops",
+                     predicate="TRUE")
+    # layout-only maintenance is allowed on the state table
+    res = eng.maintain("db.docs_mv__state", "optimize_binpack", "ops")
+    assert "files_after" in res
+
+
+def test_mv_rewrite_stale_result_not_shared_via_reuse_cache(spark, tmp_path):
+    """An allow-stale MV-served result must never be served from the
+    L7 reuse cache to a caller who did not opt into staleness (the
+    table-fingerprint check compares against PRODUCTION-time storage,
+    so it cannot catch a source that moved BEFORE production)."""
+    cat, eng, loc, df = _mv_rewrite_setup(spark, tmp_path)
+    append_rows(
+        spark, loc,
+        spark.createDataFrame(
+            [(1000, "a", "x", 7)], "id long, grp string, sub string, v long"
+        ),
+        ["grp"],
+    )  # source now ahead of the MV watermark
+    stale = eng.sql(
+        _REWRITE_SQL, "ops", reuse_max_age=3600,
+        use_mvs=True, mv_allow_stale=True,
+    )
+    fresh = eng.sql(_REWRITE_SQL, "ops", reuse_max_age=3600)
+    assert _agg_rows(stale) != _agg_rows(fresh)  # genuinely different
+    # the fresh caller did NOT get the cached stale result
+    assert any(loc in f for f in fresh.inputFiles())

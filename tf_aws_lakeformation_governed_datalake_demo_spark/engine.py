@@ -457,11 +457,18 @@ class Engine:
                 raise
             return qe
         # a versioned read must never hit (or seed) an unversioned
-        # cache entry — the snapshot is part of the query identity
+        # cache entry — the snapshot is part of the query identity;
+        # likewise the MV-rewrite opt-ins: an allow-stale run may cache
+        # values the source had already moved past at production time,
+        # which the table-fingerprint check cannot see (it compares
+        # against production-time storage) — only an identically
+        # stale-opted caller may share them
         reuse_key = (
             name,
             sql,
             tuple(sorted((as_of_versions or {}).items())),
+            bool(use_mvs),
+            bool(mv_allow_stale),
         )
         if stmt is None and reuse_max_age is not None:
             hit = self._reuse_cache.get(reuse_key)
@@ -899,6 +906,7 @@ class Engine:
         if isinstance(stmt, MergeStatement):
             from .sources.lake import merge_into
 
+            self._refuse_mv_mutation(stmt.target, "MERGE INTO")
             table = self.catalog.tables[stmt.target]  # KeyError: fail closed
             # write gate first: a principal who may not write the target
             # must not even trigger the source read
@@ -1215,6 +1223,21 @@ class Engine:
 
         raise ValueError(f"unhandled statement {type(stmt).__name__}")
 
+    def _refuse_mv_mutation(self, qualified: str, verb: str) -> None:
+        """Row-mutation verbs (INSERT/MERGE/UPDATE/DELETE) must not
+        target a materialized view's backing state table: the state is
+        derived — maintained exclusively by REFRESH — and a direct
+        mutation would silently desynchronize it from its watermark.
+        Layout-only maintenance (OPTIMIZE/VACUUM) stays allowed."""
+        for q, mv in self.catalog.mvs.items():
+            if qualified == q or qualified == mv.state_table:
+                raise ValueError(
+                    f"{verb} may not target materialized view {q} or its "
+                    "state table — MV state is derived (REFRESH maintains "
+                    "it; DROP MATERIALIZED VIEW and re-create to change "
+                    "its definition)"
+                )
+
     def _view_gate(self, name, qualified: str, verb: str) -> None:
         """Destructive view DDL (DROP / CREATE OR REPLACE over an
         existing view) requires admin or an unconditioned ALL grant on
@@ -1268,6 +1291,7 @@ class Engine:
             principal.name if isinstance(principal, Principal) else principal
         )
         spark = self.spark
+        self._refuse_mv_mutation(stmt.target, "INSERT INTO")
         table = self.catalog.tables[stmt.target]  # KeyError: fail closed
         self._mv_gate(name, table, "INSERT INTO", stmt.target)
         if table.schema is None:
@@ -1611,6 +1635,10 @@ class Engine:
         name = (
             principal.name if isinstance(principal, Principal) else principal
         )
+        if action in ("delete_rows", "delete_rows_mor", "update_rows"):
+            # derived state: REFRESH maintains it (layout-only actions
+            # like optimize/vacuum stay allowed)
+            self._refuse_mv_mutation(qualified, f"maintain({action!r})")
         table = self.catalog.tables[qualified]  # KeyError: fail closed
 
         # The erasure predicate is recorded VERBATIM in the audit line
