@@ -257,6 +257,9 @@ HEADLINE = [
     "sql_prepared_exec",
     "sql_script_exec",
     "governance_mv_rewrite",
+    # ... and inline FOR VERSION AS OF time travel (seed + append + the
+    # pinned v1 aggregate joined with current)
+    "sql_time_travel",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -1235,3 +1235,85 @@ def test_describe_view(engine):
     ]
     with pytest.raises(PermissionDeniedError):
         engine.sql("DESCRIBE sales_db.sales_masked", "nobody")
+
+
+# ------------------------------------ inline time travel (round 11)
+def test_extract_as_of():
+    from tf_aws_lakeformation_governed_datalake_demo_spark.statements import (
+        extract_as_of,
+    )
+
+    clean, clauses = extract_as_of(
+        "SELECT * FROM db.t FOR VERSION AS OF 3 JOIN db.d "
+        "FOR TIMESTAMP AS OF '2024-01-01 00:00:00' ON TRUE"
+    )
+    assert clean == "SELECT * FROM db.t JOIN db.d ON TRUE"
+    assert clauses == {
+        "db.t": ("version", 3),
+        "db.d": ("timestamp", "2024-01-01 00:00:00"),
+    }
+    # SYSTEM_VERSION spelling; literal content untouched
+    clean, clauses = extract_as_of(
+        "SELECT 'db.x FOR VERSION AS OF 9' AS s FROM db.t "
+        "FOR SYSTEM_VERSION AS OF 2"
+    )
+    assert clauses == {"db.t": ("version", 2)}
+    assert "'db.x FOR VERSION AS OF 9'" in clean
+    with pytest.raises(UnsupportedStatementError, match="two different"):
+        extract_as_of(
+            "SELECT * FROM db.t FOR VERSION AS OF 1 JOIN db.t "
+            "FOR VERSION AS OF 2 ON TRUE"
+        )
+
+
+def test_inline_time_travel_governed(spark, tmp_path_factory):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        append_rows,
+        publish_overwrite,
+        read_manifest,
+    )
+
+    lake = str(tmp_path_factory.mktemp("inlinett"))
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    d = spark.createDataFrame(
+        [(i, "ab"[i % 2], i) for i in range(10)],
+        "id long, grp string, v long",
+    )
+    publish_overwrite(spark, f"{lake}/t", d, ["grp"], manifest=True)
+    append_rows(
+        spark, f"{lake}/t",
+        spark.createDataFrame([(100, "a", 1)], "id long, grp string, v long"),
+        ["grp"],
+    )
+    cat.register_table(
+        TableDef("db", "t", f"{lake}/t", schema=d.schema,
+                 partition_keys=("grp",))
+    )
+    eng = Engine(spark, cat)
+    assert (
+        eng.sql(
+            "SELECT count(*) AS n FROM db.t FOR VERSION AS OF 1", "ops"
+        ).first().n == 10
+    )
+    assert eng.sql("SELECT count(*) AS n FROM db.t", "ops").first().n == 11
+    # timestamp form: the v1 commit instant (epoch-in-quotes accepted)
+    t1 = read_manifest(f"{lake}/t", 1)["committed_at"]
+    assert (
+        eng.sql(
+            f"SELECT count(*) AS n FROM db.t FOR TIMESTAMP AS OF '{t1}'",
+            "ops",
+        ).first().n == 10
+    )
+    # pinned both inline and via the map -> error
+    with pytest.raises(ValueError, match="pinned both"):
+        eng.sql(
+            "SELECT count(*) AS n FROM db.t FOR VERSION AS OF 1",
+            "ops",
+            as_of_versions={"db.t": 2},
+        )

@@ -201,6 +201,13 @@ class Engine:
         reaching ungoverned spark.sql. DML statements return their
         operation metrics as a one-row DataFrame (the Athena shape).
 
+        Time travel can also be written INLINE in the SQL (round-11,
+        the Athena/Iceberg syntax): ``FROM db.t FOR VERSION AS OF 3``
+        or ``FOR TIMESTAMP AS OF '2024-01-01 00:00:00'`` (naive ISO =
+        UTC; quoted epoch seconds accepted) — stripped and merged into
+        the AS OF maps below; pinning a table both inline and in a map
+        is an error.
+
         ``as_of_versions`` maps qualified table names to manifest
         snapshot versions — the governed SQL AS OF surface (round-7
         VERDICT #8): the named tables resolve to that retained snapshot
@@ -233,6 +240,43 @@ class Engine:
         against the source (``mv_allow_stale=True`` explicitly accepts
         the stale state instead). AS OF maps disable the rewrite (the
         MV state carries no history of the source's versions)."""
+        from .statements import extract_as_of
+
+        clean_sql, inline = extract_as_of(sql)
+        if inline:
+            # inline Athena/Iceberg time-travel syntax: FOR VERSION AS
+            # OF n / FOR TIMESTAMP AS OF '<ts>' — merged into the AS OF
+            # maps (naming a table in both is the usual double-AS-OF
+            # error). Naive ISO timestamps are UTC; quoted epoch
+            # seconds are accepted.
+            sql = clean_sql
+            as_of_versions = dict(as_of_versions or {})
+            as_of_timestamps = dict(as_of_timestamps or {})
+            for q, (kind, val) in inline.items():
+                maps = (
+                    as_of_versions,
+                    as_of_timestamps,
+                    as_of_tags or {},
+                    as_of_branches or {},
+                )
+                if any(q in mm for mm in maps):
+                    raise ValueError(
+                        f"{q} is pinned both inline (FOR ... AS OF) and "
+                        "in an as_of_* map"
+                    )
+                if kind == "version":
+                    as_of_versions[q] = val
+                else:
+                    from datetime import datetime, timezone
+
+                    try:
+                        ts = float(val)
+                    except ValueError:
+                        dt = datetime.fromisoformat(val)
+                        if dt.tzinfo is None:
+                            dt = dt.replace(tzinfo=timezone.utc)
+                        ts = dt.timestamp()
+                    as_of_timestamps[q] = ts
         if as_of_timestamps or as_of_tags or as_of_branches:
             from .sources.lake import (
                 branch_head,

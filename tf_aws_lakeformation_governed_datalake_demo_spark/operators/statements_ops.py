@@ -495,6 +495,65 @@ def sql_prepared_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_time_travel",
+    """
+    WITH seed AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+    v1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_v1,
+                  CAST(sum(n_chars) AS BIGINT) AS chars_v1
+           FROM seed GROUP BY lang),
+    cur AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cur
+            FROM documents GROUP BY lang)
+    SELECT v1.lang, v1.n_v1, v1.chars_v1, cur.n_cur
+    FROM v1 JOIN cur ON cur.lang = v1.lang
+    """,
+    "Inline SQL time travel (round-11): FOR VERSION AS OF — the "
+    "Athena/Iceberg syntax — parsed out of the query text "
+    "(literal-aware) and resolved through the same governed snapshot "
+    "read as the as_of_versions map. The query joins the v1 aggregate "
+    "(pre-append seed) with the current one; the oracle replays both "
+    "snapshots from the raw table, so hash equality proves the pin "
+    "resolved to exactly the committed v1 file set.",
+)
+def sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance composes: the pinned read applies the principal's
+    row/column security to HISTORICAL rows identically (history is not
+    a bypass — the S20 rule, now reachable from plain SQL text)."""
+    from ..sources import append_rows
+
+    d = load(spark, sf_dir, "documents")
+    lake = scratch_dir("sqltt_")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/docs"
+    publish_overwrite(
+        spark, loc, d.filter(F.col("doc_id") % 3 != 0), ["lang"],
+        manifest=True,
+    )
+    append_rows(
+        spark, loc, d.filter(F.col("doc_id") % 3 == 0), partition_by=["lang"]
+    )
+    cat.register_table(
+        TableDef("db", "docs", loc, schema=d.schema, partition_keys=("lang",))
+    )
+    eng = Engine(spark, cat)
+    v1 = eng.sql(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_v1, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars_v1 "
+        "FROM db.docs FOR VERSION AS OF 1 GROUP BY lang",
+        "ops",
+    )
+    cur = eng.sql(
+        "SELECT lang AS c_lang, CAST(count(*) AS BIGINT) AS n_cur "
+        "FROM db.docs GROUP BY lang",
+        "ops",
+    )
+    return v1.join(cur, v1.lang == cur.c_lang).select(
+        "lang", "n_v1", "chars_v1", "n_cur"
+    )
+
+
+@query(
     "sql_script_exec",
     """
     WITH v2 AS (

@@ -845,6 +845,63 @@ def _parse_insert(text: str) -> InsertStatement:
     return InsertStatement(target, columns, body)
 
 
+_AS_OF_CLAUSE = re.compile(
+    rf"({_QUALIFIED})\s+for\s+(?:system_)?(version|timestamp)\s+as\s+of\s+"
+    rf"(?:(\d+)|(?:timestamp\s+)?'([^']*)')",
+    re.I,
+)
+
+
+def extract_as_of(sql: str):
+    """Inline time-travel syntax (the Athena/Iceberg form):
+
+        SELECT ... FROM <db.table> FOR VERSION AS OF <n>
+        SELECT ... FROM <db.table> FOR TIMESTAMP AS OF [TIMESTAMP] '<ts>'
+
+    Returns ``(clean_sql, clauses)`` where every clause is stripped down
+    to the bare table name and ``clauses`` maps the qualified name to
+    ``("version", n)`` or ``("timestamp", iso_string)``. References
+    inside string literals/comments are left alone. Naming one table in
+    two different AS OF clauses raises (ambiguous pin). SYSTEM_VERSION /
+    SYSTEM_TIME spellings are accepted via the SYSTEM_ prefix."""
+    spans = [(m.start(), m.end()) for m in _SPANS.finditer(sql)]
+
+    def _in_span(i: int) -> bool:
+        return any(a <= i < b for a, b in spans)
+
+    clauses: dict = {}
+    out: list[str] = []
+    pos = 0
+    for m in _AS_OF_CLAUSE.finditer(sql):
+        if _in_span(m.start()):
+            continue
+        q = m.group(1)
+        kind = m.group(2).lower()
+        val = (
+            ("version", int(m.group(3)))
+            if kind == "version"
+            else ("timestamp", m.group(4))
+        )
+        if kind == "version" and m.group(3) is None:
+            raise UnsupportedStatementError(
+                "FOR VERSION AS OF takes an integer snapshot version"
+            )
+        if kind == "timestamp" and m.group(4) is None:
+            raise UnsupportedStatementError(
+                "FOR TIMESTAMP AS OF takes a quoted timestamp"
+            )
+        if q in clauses and clauses[q] != val:
+            raise UnsupportedStatementError(
+                f"{q} is pinned by two different AS OF clauses"
+            )
+        clauses[q] = val
+        out.append(sql[pos : m.start()])
+        out.append(q)
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out), clauses
+
+
 def split_statements(script: str) -> list[str]:
     """Split a ``;``-separated statement script into its statements
     (literal- and comment-aware: a ``;`` inside a quoted string or a
