@@ -23,8 +23,10 @@ freshness-first, self-healing):
   (sql_view_ddl: CREATE OR REPLACE VIEW / DROP VIEW, the reference's
   own masked-view flow, outputs.tf:44-53 / README.md:320), INSERT INTO
   (sql_insert_append), PREPARE/EXECUTE (sql_prepared_exec) — plus
-  multi-statement scripts (sql_script_exec) and inline FOR VERSION /
-  TIMESTAMP AS OF time travel (sql_time_travel) — 6 oracle-backed.
+  multi-statement scripts (sql_script_exec), inline FOR VERSION /
+  TIMESTAMP AS OF time travel (sql_time_travel), FineWeb-style
+  per-domain caps (pipeline_domain_caps), and the Gopher word-level
+  repetition rule table (text_gopher_quality_rules) — 8 oracle-backed.
 - ``x_<name>`` — the 25 round-6-verified names that did NOT fit the
   round-10 window (the oldest outstanding driver verdicts, exactly
   the ``y2_`` entries absent from CORRECTNESS_r10.json): they sort
@@ -32,8 +34,8 @@ freshness-first, self-healing):
   ``y2_`` class is empty.
 - ``y3_``/``y4_``/``y5_``/``y6_`` — last verified in rounds 7/8/9/10
   (CORRECTNESS_r07 48/50 + 2 expected no_oracle rows, r08 50/50,
-  r09 50/50, r10 50/50 — zero failures in each). After the 6 new +
-  25 ``x_`` names, the window's remaining 19 slots fill with the
+  r09 50/50, r10 50/50 — zero failures in each). After the 8 new +
+  25 ``x_`` names, the window's remaining 17 slots fill with the
   alphabetically-first ``y3_`` (r7) names — the oldest class ages
   first by construction.
 - ``z_`` — no SQL oracle exists (written justifications below).
@@ -78,9 +80,9 @@ round-11 names, which get theirs here.
 
 Round-12 rotation plan (for the next builder session): once
 CORRECTNESS_r11 lands green, (1) move the round-11 window's 50 names
-(the 6 new queries + the 25 ``x_`` + the 19 ``y3_`` re-verifications
+(the 8 new queries + the 25 ``x_`` + the 17 ``y3_`` re-verifications
 — exactly CORRECTNESS_r11.json's keys, prefixes stripped) into a
-fresh ``y7_`` class (verified r11), (2) promote the 29 remaining
+fresh ``y7_`` class (verified r11), (2) promote the 31 remaining
 ``y3_`` names (r7-verified, then the oldest outstanding; they are the
 ``y3_`` entries ABSENT from CORRECTNESS_r11.json) to ``x_``, (3) new
 round-12 queries go unprefixed, (4) remaining slots fill with the

@@ -260,6 +260,11 @@ HEADLINE = [
     # ... and inline FOR VERSION AS OF time travel (seed + append + the
     # pinned v1 aggregate joined with current)
     "sql_time_travel",
+    # ... and the two round-11 curation/text additions: per-domain caps
+    # (one domain-key window + rollup) and the Gopher rule table (one
+    # corpus bigram shuffle + per-doc window + rollup)
+    "pipeline_domain_caps",
+    "text_gopher_quality_rules",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

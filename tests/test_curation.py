@@ -164,3 +164,27 @@ def test_importance_resampling_selects_from_raw_only(spark, sf_dir):
     assert all(r.doc_id >= 20 for r in rows)
     for a, b in zip(rows, rows[1:]):
         assert a.logw >= b.logw
+
+
+def test_domain_caps_bind_and_are_content_addressed(spark):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.curation import (
+        pipeline_domain_caps,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    out = pipeline_domain_caps(spark, "/root/testdata/sf0.01")
+    total_kept = sum(r.n_docs for r in out.collect())
+    d = load(spark, "/root/testdata/sf0.01", "documents")
+    n_sources = d.select("source").distinct().count()
+    assert total_kept == 15 * n_sources  # every domain capped (25 -> 15)
+    # content-addressed: a shuffled re-ingest keeps the SAME survivors
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    d.orderBy(F.md5(F.col("doc_id").cast("string"))).coalesce(3).write.parquet(
+        f"{tmp}/documents.parquet"
+    )
+    again = pipeline_domain_caps(spark, tmp)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )

@@ -281,3 +281,40 @@ def test_bpe_learn_matches_pure_python_reference(spark, sf_dir):
         for x in REGISTRY["text_bpe_learn"].builder(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_gopher_rules_mixed_verdict_and_edges(spark):
+    """The rule table must actually split the corpus (a gate that keeps
+    everything or nothing proves nothing), and each rule must fire on a
+    crafted violator."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.text import (
+        text_gopher_quality_rules,
+    )
+
+    out = text_gopher_quality_rules(spark, "/root/testdata/sf0.001")
+    verdicts = {r.keep for r in out.collect()}
+    assert verdicts == {True, False}
+
+    import tempfile
+
+    d = spark.createDataFrame(
+        [
+            # passes every rule: 16 distinct-ish medium words
+            (1, " ".join(f"word{i:02d}" for i in range(16)), "en", "s", 100),
+            # too short (< 15 words)
+            (2, "only a few words here now", "en", "s", 20),
+            # duplicate-word fraction > 0.6
+            (3, " ".join(["spam"] * 30 + ["x", "y", "z"]), "en", "s", 100),
+            # top-bigram char fraction > 0.1 (one dominant 2-gram)
+            (4, " ".join(["alpha beta"] * 12 +
+                         [f"w{i:03d}x" for i in range(24)]), "en", "s", 100),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp()
+    d.write.parquet(f"{tmp}/documents.parquet")
+    rows = text_gopher_quality_rules(spark, tmp).collect()
+    kept = {r.sum_doc_id for r in rows if r.keep}
+    dropped = {r.sum_doc_id for r in rows if not r.keep}
+    assert kept == {1}
+    assert dropped == {2 + 3 + 4}

@@ -635,3 +635,51 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cos_sim").alias("max_cos"),
         )
     )
+
+
+@query(
+    "pipeline_domain_caps",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5(text), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM ranked WHERE rk <= 15
+    GROUP BY lang
+    """,
+    "Per-domain document caps (round-11) — the FineWeb/CommonCrawl "
+    "top-heavy-domain downsampling stage: within every source domain "
+    "keep at most 15 documents, selected by CONTENT-ADDRESSED rank "
+    "(md5(text), doc_id tiebreak) so re-ingesting the corpus keeps the "
+    "same survivors. sum_doc_id pins exact membership in the oracle, "
+    "not just counts.",
+)
+def pipeline_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB one mega-domain can be half the crawl; the cap bounds
+    it without a global sort: ONE hash shuffle on the domain key, a
+    per-domain window (each domain's rows are one partition's work),
+    and the tiny per-lang rollup. The content-hash rank makes the
+    survivor set a pure function of the corpus — stable across
+    re-crawls, re-shards, and re-runs (same property as the
+    train/val split)."""
+    d = load(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "source", "n_chars", rk.alias("rk"))
+        .filter(F.col("rk") <= 15)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -1150,3 +1150,132 @@ def text_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cross_entropy"), F.asc("doc_id"))
         .limit(40)
     )
+
+
+@query(
+    "text_gopher_quality_rules",
+    """
+    WITH w AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, lang, len(words) AS n_words,
+             len(list_distinct(words)) AS n_distinct,
+             list_sum(list_transform(words, x -> len(x))) AS word_chars,
+             list_filter(list_transform(words, (x, i) ->
+               CASE WHEN i < len(words) THEN x || ' ' || words[i+1] END),
+               y -> y IS NOT NULL) AS bigrams
+      FROM w
+    ),
+    bg AS (SELECT doc_id, unnest(bigrams) AS bigram FROM base),
+    bgc AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+    ),
+    topbg AS (
+      SELECT doc_id, CAST(c * len(bigram) AS BIGINT) AS top_chars,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, bigram
+             ) AS rk
+      FROM bgc
+    ),
+    scored AS (
+      SELECT b.lang, b.doc_id, b.n_words, b.n_distinct, b.word_chars,
+             t.top_chars,
+             (b.n_words >= 15
+              AND 3 * b.n_words <= b.word_chars
+              AND b.word_chars <= 10 * b.n_words
+              AND 10 * (b.n_words - b.n_distinct) <= 6 * b.n_words
+              AND 5 * t.top_chars <= b.word_chars) AS keep
+      FROM base b JOIN topbg t ON t.doc_id = b.doc_id AND t.rk = 1
+    )
+    SELECT lang, keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(n_words) AS BIGINT) AS words_chk,
+           CAST(sum(n_distinct) AS BIGINT) AS distinct_chk,
+           CAST(sum(top_chars) AS BIGINT) AS topbg_chk
+    FROM scored GROUP BY lang, keep
+    """,
+    "Gopher-style repetition quality rules (round-11; Rae et al. 2021 "
+    "table A1, the word-level subset meaningful on this single-line "
+    "synthetic corpus): per document — word count >= 15, mean word "
+    "length in [3, 10], duplicate-word fraction <= 0.6, and "
+    "most-common-2-gram character fraction <= 0.2 (the paper's own threshold) — with every "
+    "threshold evaluated in CROSS-MULTIPLIED INTEGER form, so the "
+    "verdict is float-free and bit-equal across engines. Oracle "
+    "replays the whole rule table; sum_doc_id pins per-verdict "
+    "membership exactly. Line-level Gopher rules (duplicate-line / "
+    "bullet / ellipsis fractions) are degenerate here by construction "
+    "(every synthetic doc is one line) and deliberately omitted "
+    "rather than shipped untestable.",
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape (the same as text_doc_entropy's): the bigram mode
+    needs ONE corpus-scale explode into a (doc_id, bigram) partial
+    hash agg — map-side combine collapses each document's repeats
+    before the shuffle — then a per-document window and a join back
+    on doc_id that reuses the same hash partitioning; the final
+    rollup is O(langs x 2). No Python UDFs anywhere; 100 TB cost is
+    the one bigram shuffle, which is the quantity being measured."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select(
+        "doc_id",
+        "lang",
+        words.alias("words"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("words").alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_distinct"),
+        F.expr(
+            "aggregate(transform(words, x -> length(x)), 0, (a, b) -> a + b)"
+        ).alias("word_chars"),
+        F.expr(
+            "zip_with(slice(words, 1, size(words) - 1), "
+            "slice(words, 2, size(words) - 1), "
+            "(a, b) -> concat(a, ' ', b))"
+        ).alias("bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.desc("c"), F.asc("bigram")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            (F.col("c") * F.length("bigram")).cast("long").alias("top_chars"),
+        )
+    )
+    keep = (
+        (F.col("n_words") >= 15)
+        & (3 * F.col("n_words") <= F.col("word_chars"))
+        & (F.col("word_chars") <= 10 * F.col("n_words"))
+        & (10 * (F.col("n_words") - F.col("n_distinct")) <= 6 * F.col("n_words"))
+        & (5 * F.col("top_chars") <= F.col("word_chars"))
+    )
+    return (
+        base.drop("bigrams")
+        .join(top, "doc_id")
+        .withColumn("keep", keep)
+        .groupBy("lang", "keep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("n_words").cast("long").alias("words_chk"),
+            F.sum("n_distinct").cast("long").alias("distinct_chk"),
+            F.sum("top_chars").cast("long").alias("topbg_chk"),
+        )
+    )
