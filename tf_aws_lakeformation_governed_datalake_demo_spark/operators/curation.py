@@ -637,6 +637,63 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOMAIN_CAP = 15
+_DOMAIN_SALTS = 64
+
+
+def _domain_caps_survivors(d: DataFrame, cap: int = _DOMAIN_CAP) -> DataFrame:
+    """Exact two-phase top-``cap`` per domain (the round-11 skew cure).
+
+    At 100 TB one mega-domain can be half the crawl, so a single
+    ``row_number() OVER (PARTITION BY source)`` window is a straggler:
+    one task sorts half the corpus. Instead:
+
+    phase 1 — salt the domain key with a deterministic 64-way hash of
+      ``doc_id`` and rank per (salt, source): the hot domain's rows
+      spread over up to 64 parallel tasks, each keeping only its local
+      top-``cap``. EXACT because any row in a domain's global
+      top-``cap`` is necessarily in the top-``cap`` of its own salt
+      bucket (ranks only shrink when rows are removed).
+    phase 2 — the final per-domain ``row_number`` runs over at most
+      ``cap * 64`` survivors per domain (<= 960 rows for cap=15), so
+      the formerly-skewed window is now bounded regardless of corpus
+      size or domain skew.
+
+    The salt is content-independent of the ORDER BY key, so the
+    survivor set is still a pure function of the corpus (md5(text),
+    doc_id) — re-ingest-stable, same property as the train/val split.
+    Returns the capped rows (doc_id, lang, source, n_chars) so tests
+    can pin both membership and the phase-1 volume bound.
+    """
+    order = [F.col("h").asc(), F.col("doc_id").asc()]
+    pruned = _domain_caps_phase1(d, cap)
+    rk = F.row_number().over(W.partitionBy("source").orderBy(*order))
+    return (
+        pruned.withColumn("rk", rk)
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def _domain_caps_phase1(d: DataFrame, cap: int = _DOMAIN_CAP) -> DataFrame:
+    """Phase 1 of the two-phase cap: salted local top-``cap``.
+
+    Output is bounded at ``cap * _DOMAIN_SALTS`` rows PER DOMAIN by
+    construction (the volume pin tests assert this on a crafted
+    hot-domain corpus), and is a superset of every domain's global
+    top-``cap``.
+    """
+    order = [F.col("h").asc(), F.col("doc_id").asc()]
+    hashed = d.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("h"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(_DOMAIN_SALTS)).alias("salt"),
+    )
+    local_rk = F.row_number().over(
+        W.partitionBy("salt", "source").orderBy(*order)
+    )
+    return hashed.withColumn("lrk", local_rk).filter(F.col("lrk") <= cap)
+
+
 @query(
     "pipeline_domain_caps",
     """
@@ -662,20 +719,16 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "not just counts.",
 )
 def pipeline_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """At 100 TB one mega-domain can be half the crawl; the cap bounds
-    it without a global sort: ONE hash shuffle on the domain key, a
-    per-domain window (each domain's rows are one partition's work),
-    and the tiny per-lang rollup. The content-hash rank makes the
-    survivor set a pure function of the corpus — stable across
-    re-crawls, re-shards, and re-runs (same property as the
-    train/val split)."""
+    """Scale: exact two-phase top-K (see ``_domain_caps_survivors``) —
+    the salted phase-1 window bounds every task at the local
+    top-15-per-domain regardless of domain skew, and the final
+    per-domain window ranks <= 960 rows per domain. No global sort, no
+    straggler; the per-lang rollup is a tiny partial-agg shuffle. The
+    content-hash rank keeps the survivor set a pure function of the
+    corpus — stable across re-crawls, re-shards, and re-runs."""
     d = load(spark, sf_dir, "documents")
-    rk = F.row_number().over(
-        W.partitionBy("source").orderBy(F.md5("text"), "doc_id")
-    )
     return (
-        d.select("doc_id", "lang", "source", "n_chars", rk.alias("rk"))
-        .filter(F.col("rk") <= 15)
+        _domain_caps_survivors(d)
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
