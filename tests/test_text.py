@@ -318,3 +318,68 @@ def test_gopher_rules_mixed_verdict_and_edges(spark):
     dropped = {r.sum_doc_id for r in rows if not r.keep}
     assert kept == {1}
     assert dropped == {2 + 3 + 4}
+
+
+def test_gopher_line_rules_per_rule_violators(spark):
+    """The rule engine on REAL multi-line documents (newline-split),
+    one crafted violator per line-level rule — each doc fails exactly
+    the rule it was built to break (Rae et al. table A1 thresholds)."""
+    from pyspark.sql import functions as F
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.text import (
+        _gopher_line_verdicts,
+    )
+
+    distinct10 = [f"unique content line number {i} here" for i in range(10)]
+    docs = [
+        # 1: clean — 10 distinct plain lines, every rule passes
+        (1, "en", "\n".join(distinct10)),
+        # 2: duplicate-LINE violator — 5 copies of a SHORT line among 5
+        #    long ones: dup fraction 0.4 > 0.3, but dup CHARS 12/~227
+        #    stay under 0.2 (fails rule 1 only)
+        (2, "en", "\n".join(["dup"] * 5 + [x + " padded out long" for x in distinct10[:5]])),
+        # 3: duplicate-CHAR violator — ONE 200-char line twice among 8
+        #    short lines: dup-line fraction 0.1 <= 0.3 but dup chars
+        #    200/~440 > 0.2 (fails rule 2 only)
+        (3, "en", "\n".join(["x" * 200] * 2 + [f"tiny{i}" for i in range(8)])),
+        # 4: bullet violator — all 10 lines bullet-started (1.0 > 0.9)
+        (4, "en", "\n".join("- " + x for x in distinct10)),
+        # 5: ellipsis violator — 4 of 10 lines ellipsis-ended (0.4 > 0.3)
+        (5, "en", "\n".join([x + "..." for x in distinct10[:4]] + distinct10[4:])),
+    ]
+    lines = (
+        spark.createDataFrame(docs, "doc_id long, lang string, text string")
+        .select("doc_id", "lang", F.explode(F.split("text", "\n")).alias("line"))
+    )
+    out = {r.doc_id: r for r in _gopher_line_verdicts(lines).collect()}
+    assert out[1].keep
+    for doc in (2, 3, 4, 5):
+        assert not out[doc].keep, doc
+    # each violator trips ONLY its own rule
+    r2 = out[2]
+    assert 10 * (r2.n_lines - r2.n_distinct) > 3 * r2.n_lines
+    assert 5 * r2.dup_chars <= r2.total_chars
+    r3 = out[3]
+    assert 10 * (r3.n_lines - r3.n_distinct) <= 3 * r3.n_lines
+    assert 5 * r3.dup_chars > r3.total_chars
+    r4 = out[4]
+    assert 10 * r4.n_bullets > 9 * r4.n_lines
+    assert 10 * (r4.n_lines - r4.n_distinct) <= 3 * r4.n_lines
+    r5 = out[5]
+    assert 10 * r5.n_ellipsis > 3 * r5.n_lines
+    assert 10 * r5.n_bullets <= 9 * r5.n_lines
+
+
+def test_gopher_line_rules_corpus_mixed_verdicts(spark):
+    """The registry query produces BOTH verdicts in every lang at
+    sf0.001 — the round-11 degeneracy (single-line docs => all rules
+    vacuously pass) is gone."""
+    rows = (
+        REGISTRY["text_gopher_line_rules"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.keep)
+    assert by_lang and all(v == {True, False} for v in by_lang.values()), by_lang

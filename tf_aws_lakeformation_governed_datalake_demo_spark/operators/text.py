@@ -1206,10 +1206,8 @@ def text_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "threshold evaluated in CROSS-MULTIPLIED INTEGER form, so the "
     "verdict is float-free and bit-equal across engines. Oracle "
     "replays the whole rule table; sum_doc_id pins per-verdict "
-    "membership exactly. Line-level Gopher rules (duplicate-line / "
-    "bullet / ellipsis fractions) are degenerate here by construction "
-    "(every synthetic doc is one line) and deliberately omitted "
-    "rather than shipped untestable.",
+    "membership exactly. The LINE-level half of table A1 ships as "
+    "text_gopher_line_rules (round-12).",
 )
 def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape (the same as text_doc_entropy's): the bigram mode
@@ -1277,5 +1275,179 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("long").alias("words_chk"),
             F.sum("n_distinct").cast("long").alias("distinct_chk"),
             F.sum("top_chars").cast("long").alias("topbg_chk"),
+        )
+    )
+
+
+def _gopher_line_verdicts(lines: DataFrame) -> DataFrame:
+    """Doc-level verdicts for the LINE-level half of Rae et al. 2021
+    table A1 (the other half of ``text_gopher_quality_rules``):
+
+    - duplicate-line fraction  <= 0.30   (10 * dups      <= 3 * lines)
+    - duplicate-line CHAR fraction (chars in 2nd+ occurrences of a
+      repeated line / total chars) <= 0.20  (5 * dup_chars <= chars)
+    - bullet-start line fraction  <= 0.90  (10 * bullets  <= 9 * lines)
+    - ellipsis-end line fraction  <= 0.30  (10 * ellipsis <= 3 * lines)
+
+    every threshold in CROSS-MULTIPLIED INTEGER form (float-free,
+    bit-equal across engines). Input is the exploded (doc_id, lang,
+    line) relation — callers split real multi-line text on newlines;
+    the registry query derives lines deterministically from the
+    single-line synthetic corpus (see ``_synth_multiline``).
+
+    Scale: one (doc_id, line) partial hash agg — map-side combine
+    collapses each document's repeated lines before the shuffle —
+    then a doc-keyed rollup that reuses the same hash partitioning;
+    both keys are high-cardinality and unskewed (a document has
+    bounded lines). No Python UDFs.
+    """
+    lc = (
+        lines.groupBy("doc_id", "lang", "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("ln", F.length("line"))
+    )
+    doc = lc.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("ln")).cast("long").alias("total_chars"),
+        F.sum((F.col("c") - 1) * F.col("ln")).cast("long").alias("dup_chars"),
+        F.sum(
+            F.when(F.col("line").startswith("- "), F.col("c")).otherwise(0)
+        ).cast("long").alias("n_bullets"),
+        F.sum(
+            F.when(F.col("line").endswith("..."), F.col("c")).otherwise(0)
+        ).cast("long").alias("n_ellipsis"),
+    )
+    keep = (
+        (10 * (F.col("n_lines") - F.col("n_distinct")) <= 3 * F.col("n_lines"))
+        & (5 * F.col("dup_chars") <= F.col("total_chars"))
+        & (10 * F.col("n_bullets") <= 9 * F.col("n_lines"))
+        & (10 * F.col("n_ellipsis") <= 3 * F.col("n_lines"))
+    )
+    return doc.withColumn("keep", keep)
+
+
+#: Shared deterministic multi-line derivation: the synthetic corpus is
+#: single-line by construction (and /root/testdata is read-only), so
+#: both engines reassemble each document into 5-word lines and inject
+#: structure as a pure function of (doc_id, line index): boilerplate
+#: repeats (all lines of doc_id%19 docs at even positions, else every
+#: (i+doc_id)%5==2), bullet prefixes (all of doc_id%13 docs, else every
+#: (i+doc_id)%7==0), ellipsis suffixes (odd positions of doc_id%17
+#: docs, else every (i+doc_id)%11==3) — so every rule sees genuinely
+#: mixed verdicts. The rule engine itself (_gopher_line_verdicts) is
+#: corpus-agnostic and is exercised on REAL newline-split multi-line
+#: docs in tests/test_text.py.
+_SYNTH_LINES_SPARK = """
+transform(sequence(0, cast(ceil(size(words) / 5.0) as int) - 1), i ->
+  concat(
+    CASE WHEN (doc_id % 13 = 0 OR (i + doc_id) % 7 = 0)
+         THEN '- ' ELSE '' END,
+    CASE WHEN ((doc_id % 19 = 0 AND i % 2 = 0)
+               OR (doc_id % 19 != 0 AND (i + doc_id) % 5 = 2))
+         THEN 'repeated boilerplate line'
+         ELSE array_join(slice(words, cast(i * 5 + 1 as int), 5), ' ')
+    END,
+    CASE WHEN ((doc_id % 17 = 0 AND i % 2 = 1) OR (i + doc_id) % 11 = 3)
+         THEN '...' ELSE '' END
+  ))
+"""
+
+
+def _synth_multiline(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, line) from the single-line corpus — see
+    ``_SYNTH_LINES_SPARK``."""
+    return (
+        d.select(
+            "doc_id", "lang",
+            F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+        )
+        .select("doc_id", "lang", F.expr(_SYNTH_LINES_SPARK).alias("lines"))
+        .select("doc_id", "lang", F.explode("lines").alias("line"))
+    )
+
+
+@query(
+    "text_gopher_line_rules",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents
+    ),
+    ln AS (
+      SELECT doc_id, lang,
+        list_transform(range(CAST(ceil(len(words) / 5.0) AS INT)), i ->
+          (CASE WHEN (doc_id % 13 = 0 OR (i + doc_id) % 7 = 0)
+                THEN '- ' ELSE '' END)
+          || (CASE WHEN ((doc_id % 19 = 0 AND i % 2 = 0)
+                         OR (doc_id % 19 <> 0 AND (i + doc_id) % 5 = 2))
+                THEN 'repeated boilerplate line'
+                ELSE array_to_string(words[i*5+1 : i*5+5], ' ') END)
+          || (CASE WHEN ((doc_id % 17 = 0 AND i % 2 = 1)
+                         OR (i + doc_id) % 11 = 3)
+                THEN '...' ELSE '' END)
+        ) AS lines
+      FROM w
+    ),
+    l AS (SELECT doc_id, lang, unnest(lines) AS line FROM ln),
+    lc AS (
+      SELECT doc_id, lang, line, count(*) AS c, len(line) AS cl
+      FROM l GROUP BY doc_id, lang, line
+    ),
+    doc AS (
+      SELECT doc_id, lang,
+        CAST(sum(c) AS BIGINT) AS n_lines,
+        CAST(count(*) AS BIGINT) AS n_distinct,
+        CAST(sum(c * cl) AS BIGINT) AS total_chars,
+        CAST(sum((c - 1) * cl) AS BIGINT) AS dup_chars,
+        CAST(sum(CASE WHEN line LIKE '- %' THEN c ELSE 0 END) AS BIGINT)
+          AS n_bullets,
+        CAST(sum(CASE WHEN line LIKE '%...' THEN c ELSE 0 END) AS BIGINT)
+          AS n_ellipsis
+      FROM lc GROUP BY doc_id, lang
+    ),
+    scored AS (
+      SELECT lang, doc_id, n_lines, dup_chars, n_bullets, n_ellipsis,
+        (10 * (n_lines - n_distinct) <= 3 * n_lines
+         AND 5 * dup_chars <= total_chars
+         AND 10 * n_bullets <= 9 * n_lines
+         AND 10 * n_ellipsis <= 3 * n_lines) AS keep
+      FROM doc
+    )
+    SELECT lang, keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(n_lines) AS BIGINT) AS lines_chk,
+           CAST(sum(dup_chars) AS BIGINT) AS dupchars_chk,
+           CAST(sum(n_bullets) AS BIGINT) AS bullets_chk,
+           CAST(sum(n_ellipsis) AS BIGINT) AS ellipsis_chk
+    FROM scored GROUP BY lang, keep
+    """,
+    "Gopher LINE-level quality rules (round-12; Rae et al. 2021 table "
+    "A1, the half deliberately deferred in round 11): per document — "
+    "duplicate-line fraction <= 0.3, duplicate-line CHAR fraction "
+    "<= 0.2, bullet-start fraction <= 0.9, ellipsis-end fraction "
+    "<= 0.3 — every threshold in cross-multiplied integer form. The "
+    "multi-line corpus is derived deterministically from the "
+    "single-line fixture inside BOTH engines (same (doc_id, i) "
+    "function), so the oracle replays the whole rule table; "
+    "sum_doc_id pins per-verdict membership exactly.",
+)
+def text_gopher_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the line synthesis is map-only; then the ONE
+    (doc_id, line) partial hash agg + doc rollup documented on
+    ``_gopher_line_verdicts``; the final rollup is O(langs x 2)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        _gopher_line_verdicts(_synth_multiline(d))
+        .groupBy("lang", "keep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("n_lines").cast("long").alias("lines_chk"),
+            F.sum("dup_chars").cast("long").alias("dupchars_chk"),
+            F.sum("n_bullets").cast("long").alias("bullets_chk"),
+            F.sum("n_ellipsis").cast("long").alias("ellipsis_chk"),
         )
     )
