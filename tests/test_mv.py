@@ -879,3 +879,105 @@ def test_mv_rewrite_stale_result_not_shared_via_reuse_cache(spark, tmp_path):
     assert _agg_rows(stale) != _agg_rows(fresh)  # genuinely different
     # the fresh caller did NOT get the cached stale result
     assert any(loc in f for f in fresh.inputFiles())
+
+
+def test_filtered_mv_residual_prover():
+    """Unit pins on the restricted implication prover (round-12): the
+    exact set of provable shapes, and refusal of everything else."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.statements import (
+        filtered_mv_residual as fr,
+    )
+
+    g = ("grp", "sub", "tier")
+    # textual equality (case/space-normalized; literals byte-exact)
+    assert fr("v >= 100", "V  >=  100", g) == ""
+    assert fr("grp = 'DE'", "grp = 'DE'", g) == ""
+    assert fr("grp = 'DE'", "grp = 'de'", g) is None  # literal is data
+    # conjunct-set equality modulo order
+    assert fr("a = 1 AND b = 2", "b = 2 AND a = 1", g) == ""
+    # conjunction superset: extra conjuncts on group columns serve
+    assert fr("v >= 100 AND grp = 'a'", "v >= 100", g) == "grp = 'a'"
+    assert (
+        fr("v >= 100 AND grp = 'a' AND sub = 'x'", "v >= 100", g)
+        == "grp = 'a' AND sub = 'x'"
+    )
+    # numeric range subsumption on a group column
+    assert fr("tier > 7", "tier >= 5", g) == "tier > 7"
+    assert fr("tier >= 5", "tier >= 5.0", g) == "tier >= 5"
+    assert fr("tier = 9", "tier > 5", g) == "tier = 9"
+    assert fr("tier < 3", "tier <= 10", g) == "tier < 3"
+    # NOT implied: wider or disjoint ranges
+    assert fr("tier > 3", "tier >= 5", g) is None
+    assert fr("tier >= 5", "tier > 5", g) is None
+    # query without WHERE wants MORE than the MV slice
+    assert fr(None, "v >= 100", g) is None
+    # query that is a strict SUBSET of the MV conjuncts (wants more rows)
+    assert fr("v >= 100", "v >= 100 AND grp = 'a'", g) is None
+    # refusals: OR, NOT, parens/functions/IN, non-group residual,
+    # string ranges (collation), qualified refs
+    assert fr("v >= 100 OR grp = 'a'", "v >= 100", g) is None
+    assert fr("v >= 100 AND NOT grp = 'a'", "v >= 100", g) is None
+    assert fr("v >= 100 AND upper(grp) = 'A'", "v >= 100", g) is None
+    assert fr("v >= 100 AND grp IN ('a', 'b')", "v >= 100", g) is None
+    assert fr("v >= 100 AND w = 3", "v >= 100", g) is None  # w not grouped
+    assert fr("grp > 'a'", "grp >= 'a'", g) is None  # string range
+    assert fr("v >= 100 AND t.grp = 'a'", "v >= 100", g) is None
+    # literal containing AND/parens must not confuse the splitter
+    assert fr("v >= 100 AND grp = 'x AND (y'", "v >= 100", g) == (
+        "grp = 'x AND (y'"
+    )
+
+
+def test_mv_rewrite_filtered_implication_serves_and_refuses(spark, tmp_path):
+    """Round-12: a filtered MV serves the provably-tighter query — the
+    slice-plus-extra-group-conjunct shape and same-column numeric range
+    subsumption — and still falls back on everything unprovable."""
+    lake = str(tmp_path / "lake")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/docs"
+    df = spark.createDataFrame(
+        [(i, "abcd"[i % 4], i % 5, i * 10) for i in range(40)],
+        "id long, grp string, tier long, v long",
+    )
+    publish_overwrite(spark, loc, df, ["grp"], manifest=True)
+    cat.register_table(
+        TableDef("db", "docs", loc, schema=df.schema, partition_keys=("grp",))
+    )
+    eng = Engine(spark, cat)
+    eng.create_materialized_view(
+        "db.big_mv", "db.docs", ["grp", "tier"],
+        {"n": ("count", None), "total": ("sum", "v")},
+        principal="ops", where="v >= 100",
+    )
+    # extra conjunct on a group column: served, filtered to the residual
+    q1 = ("SELECT grp, count(*) AS n, sum(v) AS total FROM db.docs "
+          "WHERE v >= 100 AND grp = 'a' GROUP BY grp")
+    served = eng.sql(q1, "ops", use_mvs=True)
+    assert all("/_mv/" in f for f in served.inputFiles())
+    assert _mv_rows(served) == _mv_rows(eng.sql(q1, "ops"))
+    # range subsumption on a numeric GROUP column: tier > 2 vs no MV
+    # tier conjunct is just a residual; tighter v is NOT provable
+    q2 = ("SELECT grp, count(*) AS n, sum(v) AS total FROM db.docs "
+          "WHERE v >= 100 AND tier >= 3 GROUP BY grp")
+    s2 = eng.sql(q2, "ops", use_mvs=True)
+    assert all("/_mv/" in f for f in s2.inputFiles())
+    assert _mv_rows(s2) == _mv_rows(eng.sql(q2, "ops"))
+    # unprovable shapes fall back to the source scan
+    for q in (
+        # tighter on the FILTER column (not in state)
+        "SELECT grp, count(*) AS n FROM db.docs "
+        "WHERE v >= 200 AND grp = 'a' GROUP BY grp",
+        # OR at the top level
+        "SELECT grp, count(*) AS n FROM db.docs "
+        "WHERE v >= 100 OR grp = 'a' GROUP BY grp",
+        # function call in the residual
+        "SELECT grp, count(*) AS n FROM db.docs "
+        "WHERE v >= 100 AND upper(grp) = 'A' GROUP BY grp",
+        # residual on a non-group column
+        "SELECT grp, count(*) AS n FROM db.docs "
+        "WHERE v >= 100 AND id > 5 GROUP BY grp",
+    ):
+        fell_back = eng.sql(q, "ops", use_mvs=True)
+        assert any(loc in f for f in fell_back.inputFiles()), q

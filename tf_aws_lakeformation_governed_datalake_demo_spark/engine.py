@@ -2245,9 +2245,12 @@ class Engine:
           the state re-aggregation) over some MV's source;
         - the MV is un-enriched (a joined MV's groups reflect a
           pinned dimension era the query did not ask for); a FILTERED
-          MV serves only a query whose WHERE is textually the same
-          predicate (whitespace/case-normalized) — predicate
-          implication is a theorem we refuse to half-prove;
+          MV serves a query whose WHERE provably decomposes as
+          ``mv.where AND residual`` with the residual on MV group
+          columns only (statements.filtered_mv_residual: textual
+          equality, conjunction superset, same-column numeric range
+          subsumption — the proof is restricted but SOUND; anything
+          unprovable falls back);
         - query group-by ⊆ MV group-by (the state re-aggregates
           losslessly: counts and sums are additive, avg re-derives
           from summed sum+count pairs);
@@ -2274,19 +2277,16 @@ class Engine:
         from pyspark.sql import functions as F
 
         from .sources.lake import read_manifest, read_table
-        from .statements import parse_aggregate_query, predicate_columns
+        from .statements import (
+            filtered_mv_residual,
+            parse_aggregate_query,
+            predicate_columns,
+        )
 
         parsed = parse_aggregate_query(sql)
         if parsed is None:
             return None
         source, group_by, measures, where, order_by, limit = parsed
-
-        def _norm(pred: str | None) -> str | None:
-            import re as _re
-
-            if pred is None:
-                return None
-            return _re.sub(r"\s+", " ", pred.strip()).lower()
 
         name = (
             principal.name if isinstance(principal, Principal) else principal
@@ -2296,14 +2296,16 @@ class Engine:
                 continue
             state_where = where
             if mv.where is not None:
-                # a FILTERED MV covers a slice of the source; serve only
-                # a query whose WHERE is textually the same predicate
-                # (whitespace/case-normalized — predicate implication is
-                # a theorem we refuse to half-prove), and then the state
-                # needs no further filter
-                if _norm(where) != _norm(mv.where):
+                # a FILTERED MV covers a slice of the source; serve a
+                # query whose WHERE provably decomposes as
+                # mv.where AND residual-on-group-columns (round-12:
+                # statements.filtered_mv_residual — textual equality,
+                # conjunction superset, same-column numeric range
+                # subsumption; everything unprovable falls back)
+                residual = filtered_mv_residual(where, mv.where, mv.group_by)
+                if residual is None:
                     continue
-                state_where = None
+                state_where = residual or None
             if not set(group_by) <= set(mv.group_by):
                 continue
             plan = self._mv_measure_plan(mv, measures)

@@ -662,6 +662,58 @@ def governance_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "governance_mv_rewrite_filtered",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars >= 120 AND source = 'src1'
+    GROUP BY lang
+    """,
+    "FILTERED-MV rewrite with a STRICTLY TIGHTER query predicate "
+    "(round-12): the MV stores WHERE n_chars >= 120 grouped by (lang, "
+    "source); the query adds source = 'src1'. The restricted-but-sound "
+    "implication prover (statements.filtered_mv_residual) decomposes "
+    "the query WHERE as mv.where AND residual-on-group-columns and "
+    "serves the MV state filtered by the residual — the round-11 "
+    "textual-equality rule left exactly this most-common acceleration "
+    "shape on the floor. The body asserts the source was never "
+    "scanned; oracle is the full recompute.",
+)
+def governance_mv_rewrite_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unprovable shapes (OR, function calls, non-group residual
+    columns, string ranges) still fall back — refusal-pinned in
+    tests/test_mv.py. 100 TB: same O(groups)-state read as
+    governance_mv_rewrite, now reachable from the slice-plus-extra-
+    conjunct queries real dashboards issue."""
+    eng, _lake = _governed_docs(spark, sf_dir, "mvrwf_")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW db.docs_mv_f AS "
+        "SELECT lang, source, count(*) AS n_docs, "
+        "sum(n_chars) AS total_chars "
+        "FROM db.docs WHERE n_chars >= 120 GROUP BY lang, source",
+        "ops",
+    )
+    out = eng.sql(
+        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+        "FROM db.docs WHERE n_chars >= 120 AND source = 'src1' "
+        "GROUP BY lang",
+        "ops",
+        use_mvs=True,
+    )
+    files = out.inputFiles()
+    assert files and all("/_mv/" in f for f in files), files[:3]
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
     "governance_materialized_view_distinct",
     """
     WITH final AS (

@@ -762,11 +762,12 @@ def predicate_columns(pred: str) -> set | None:
     function call or other shape whose semantics we will not guess
     (e.g. ``upper(lang)``). Used by the MV rewrite to decide whether a
     predicate filters on group columns alone; None = not servable."""
-    if _find_keyword(pred, "select") >= 0 or "(" in pred:
-        return None
-    # blank literals AND comments before tokenizing — the content of
-    # 'de' in ``lang = 'de'`` is data, not a column reference
+    # blank literals AND comments before ANY structural check — the
+    # content of 'de' in ``lang = 'de'`` (parens included) is data,
+    # not a column reference or a function call
     blanked = _SPANS.sub(lambda m: " " * len(m.group(0)), pred)
+    if _find_keyword(pred, "select") >= 0 or "(" in blanked:
+        return None
     cols: set = set()
     for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_.]*", blanked):
         if tok.lower() in _SQL_PRED_KEYWORDS:
@@ -775,6 +776,127 @@ def predicate_columns(pred: str) -> set | None:
             return None  # qualified refs: ambiguous against state cols
         cols.add(tok)
     return cols
+
+
+def _norm_sql(text: str) -> str:
+    """Whitespace-collapsed, lowercased-OUTSIDE-string-literals form of
+    a predicate — literals stay byte-exact ('DE' is data, not syntax)."""
+    out: list[str] = []
+    pos = 0
+    for m in _SPANS.finditer(text):
+        out.append(re.sub(r"\s+", " ", text[pos : m.start()]).lower())
+        g = m.group(0)
+        out.append(g if g[0] in "'\"" else " ")
+        pos = m.end()
+    out.append(re.sub(r"\s+", " ", text[pos:]).lower())
+    return "".join(out).strip()
+
+
+def _split_and_conjuncts(pred: str) -> list | None:
+    """Top-level AND conjuncts of a parenthesis-free predicate, or
+    ``None`` when the shape is outside the provable grammar: any
+    parenthesis (function calls, IN lists, grouping — structure we
+    will not reason about), or a top-level OR/NOT."""
+    blanked = _SPANS.sub(lambda m: " " * len(m.group(0)), pred)
+    if "(" in blanked or ")" in blanked:
+        return None
+    if _find_keyword(pred, "or") >= 0 or _find_keyword(pred, "not") >= 0:
+        return None
+    parts: list[str] = []
+    text = pred
+    while True:
+        at = _find_keyword(text, "and")
+        if at < 0:
+            parts.append(text.strip())
+            break
+        parts.append(text[:at].strip())
+        text = text[at + 3 :]
+    return parts if all(parts) else None
+
+
+_CMP_CONJUNCT = re.compile(
+    rf"^({_IDENT})\s*(<=|>=|=|<|>)\s*(-?\d+(?:\.\d+)?)$"
+)
+
+
+def _conjunct_implies(q: str, m: str) -> bool:
+    """True only when conjunct ``q`` PROVABLY implies conjunct ``m``:
+    both must be the simple numeric comparison ``col op literal`` on
+    the SAME column, with ``q``'s range contained in ``m``'s. String
+    comparisons are refused (collation differs across engines);
+    anything unparsed is not implied."""
+    pq, pm = _CMP_CONJUNCT.match(q.strip()), _CMP_CONJUNCT.match(m.strip())
+    if not pq or not pm or pq.group(1).lower() != pm.group(1).lower():
+        return False
+    a, opq = float(pq.group(3)), pq.group(2)
+    b, opm = float(pm.group(3)), pm.group(2)
+    if opm == ">=":
+        return opq in (">=", ">", "=") and a >= b
+    if opm == ">":
+        return (opq == ">" and a >= b) or (opq in (">=", "=") and a > b)
+    if opm == "<=":
+        return opq in ("<=", "<", "=") and a <= b
+    if opm == "<":
+        return (opq == "<" and a <= b) or (opq in ("<=", "=") and a < b)
+    if opm == "=":
+        return opq == "=" and a == b
+    return False
+
+
+def filtered_mv_residual(
+    query_where: str | None, mv_where: str, group_cols
+) -> str | None:
+    """Restricted SOUND predicate implication for filtered-MV serving
+    (round-12; closes round-11 What's missing #2).
+
+    A filtered MV's state aggregates exactly the source rows matching
+    ``mv_where``; serving a query from it requires the query predicate
+    to decompose EXACTLY as ``mv_where AND residual`` with the residual
+    constant per state row. Proven shapes only:
+
+    - textual equality (whitespace/identifier-case-normalized, string
+      literals byte-exact) — residual ``""``;
+    - conjunction superset: every query conjunct either textually
+      matches an MV conjunct or references MV GROUP columns only (the
+      residual, applied to the state); every MV conjunct is textually
+      matched — or numerically implied by a residual conjunct via
+      same-column range subsumption (``x > 7`` serves from an
+      ``x >= 5`` MV when x is a group column).
+
+    Soundness: query_where == AND(matched MV conjuncts) AND residual,
+    and mv_where AND residual collapses to the same formula because
+    every unmatched MV conjunct is implied by the residual — so
+    per group the state's row set equals the query's row set exactly.
+    Everything else (OR, NOT, parentheses, function calls, IN,
+    BETWEEN, string ranges, non-group residual columns) returns
+    ``None`` and the caller falls back to the governed scan.
+    """
+    if query_where is None:
+        return None  # query wants the whole source; the MV is a slice
+    if _norm_sql(query_where) == _norm_sql(mv_where):
+        return ""
+    q_parts = _split_and_conjuncts(query_where)
+    m_parts = _split_and_conjuncts(mv_where)
+    if not q_parts or not m_parts:
+        return None
+    m_norm = {_norm_sql(m) for m in m_parts}
+    residual: list[str] = []
+    matched: set = set()
+    for q in q_parts:
+        qn = _norm_sql(q)
+        if qn in m_norm:
+            matched.add(qn)
+            continue
+        cols = predicate_columns(q)
+        if cols is None or not cols <= set(group_cols):
+            return None
+        residual.append(q)
+    for m in m_parts:
+        if _norm_sql(m) in matched:
+            continue
+        if not any(_conjunct_implies(q, m) for q in residual):
+            return None
+    return " AND ".join(residual)
 
 
 def _require_query(body: str, context: str) -> str:
