@@ -265,6 +265,12 @@ HEADLINE = [
     # corpus bigram shuffle + per-doc window + rollup)
     "pipeline_domain_caps",
     "text_gopher_quality_rules",
+    # round 12 additions: line-level Gopher rules (map-only multi-line
+    # synthesis + one (doc, line) partial agg + doc rollup) and the
+    # filtered-MV rewrite under predicate implication (create + the
+    # residual-filtered state read)
+    "text_gopher_line_rules",
+    "governance_mv_rewrite_filtered",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
