@@ -2079,6 +2079,117 @@ class Engine:
         _audit("ok")
         return {"span": span, "branch": branch, "versions": published}
 
+    def lake_transaction(
+        self,
+        tables: list,
+        writer,
+        principal: "Principal | str | None" = None,
+    ) -> dict:
+        """Cross-table ATOMIC commit through the lake transaction log
+        (round-12; upgrades :meth:`stage_and_publish`'s N-rename window
+        to one): writes stage on per-table branches exactly as in
+        stage_and_publish, then ONE ``_txlog`` record naming every
+        (table, staged version) pair commits the whole cut —
+        txlog-aware readers (:func:`~.sources.txlog.read_table_txn`,
+        :meth:`table_txn`) see all named tables flip together; the
+        per-table pointer moves are demoted to idempotent propagation
+        performed inside the same locked region (crash-healed by
+        ``sources.txlog.txlog_roll_forward``).
+
+        Requires the catalog to have a ``lake_root`` (the txlog lives
+        at its top level). Gating, staging, and audit match
+        stage_and_publish; the failure contract is strictly better —
+        any error BEFORE the record rename abandons the branches with
+        nothing visible; after it, the transaction is committed and
+        only propagation can lag (never torn for txn readers).
+
+        100 TB: the commit is O(tables) JSON bytes + renames; staging
+        stays zero-copy branch commits."""
+        import uuid as _uuid
+
+        from .sources import lake as _lake
+        from .sources import txlog as _txlog
+
+        if self.catalog.lake_root is None:
+            raise ValueError(
+                "lake_transaction needs a catalog lake_root for _txlog"
+            )
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        tdefs = {q: self.catalog.tables[q] for q in tables}  # KeyError: closed
+        for q, td in tdefs.items():
+            self._mv_gate(name, td, "LAKE TRANSACTION", q)
+        span = _uuid.uuid4().hex[:12]
+        branch = f"txn_{span}"
+
+        def _audit(status: str, error: str | None = None):
+            self.catalog.audit.record(
+                principal=name or "<none>",
+                query=(
+                    f"LAKE TRANSACTION span={span} "
+                    f"tables=({', '.join(tables)})"
+                ),
+                tables=list(tables),
+                filters_applied=[],
+                status=status,
+                error=error,
+            )
+
+        created: list[str] = []
+        rec = None
+        try:
+            for q, td in tdefs.items():
+                _lake.create_branch(td.location, branch)
+                created.append(td.location)
+            writer(PublishStage(self, branch, tdefs))
+            pins = {
+                td.location: _lake.branch_head(td.location, branch)[
+                    "version"
+                ]
+                for td in tdefs.values()
+            }
+            # THE commit point: one record rename pins the whole cut
+            # (and propagates the pointers under the tables' locks)
+            rec = _txlog.txlog_commit(self.catalog.lake_root, pins)
+        except Exception as exc:  # noqa: BLE001 — audit then surface
+            if rec is None:
+                for loc in created:
+                    _lake.drop_branch(loc, branch)
+                _audit("failed", f"nothing committed; {exc}")
+            else:  # pragma: no cover — post-commit failure is propagation
+                _audit(
+                    "failed",
+                    f"txlog seq={rec['seq']} committed; propagation "
+                    f"error (heal via txlog_roll_forward); {exc}",
+                )
+            raise
+        for td in tdefs.values():
+            _lake.drop_branch(td.location, branch)
+        _audit("ok")
+        return {
+            "span": span,
+            "seq": rec["seq"],
+            "versions": {
+                q: rec["pins"][_txlog._table_key(td.location)]
+                for q, td in tdefs.items()
+            },
+        }
+
+    def table_txn(self, qualified: str, principal=None) -> DataFrame:
+        """Governed read through the lake transaction log: the same
+        security rewrite as :meth:`~GovernedCatalog.table`, with the
+        scan pinned to the newest committed txlog cut when it is ahead
+        of the table's main pointer. One tiny JSON resolution on top
+        of the ordinary governed read."""
+        from .sources import txlog as _txlog
+
+        td = self.catalog.tables[qualified]
+        v = None
+        if self.catalog.lake_root is not None:
+            v = _txlog.txlog_resolve(self.catalog.lake_root, td.location)
+        return self.catalog.table(qualified, principal, version=v)
+
     # --------------------------------------- materialized views (r9)
     def _mv_gate(self, name, table, verb: str, qualified: str) -> None:
         """Same admin-or-unconditioned-ALL rule as maintain(): creating

@@ -1061,3 +1061,91 @@ def governance_materialized_view_avg(
     return eng.sql(
         "SELECT lang, n_docs, avg_chars FROM db.docs_mv", principal="ops"
     )
+
+
+@query(
+    "lake_txlog_commit",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_stats
+    FROM documents GROUP BY lang
+    """,
+    "Lake-level TRANSACTION-LOG commit (round-12; SURVEY §7.5's "
+    "design sketch shipped): two sequential cross-table transactions "
+    "— a docs batch AND its per-lang stats delta each time — commit "
+    "through ONE _txlog record rename per transaction (seq 1 then 2), "
+    "with the per-table pointer moves demoted to idempotent "
+    "propagation inside the locked region. Mid-callback, BOTH the "
+    "plain and the txn read path still serve the pre-commit cut "
+    "(asserted in the body). The result joins the final docs and "
+    "stats tables per lang; hash equality proves every (batch, delta) "
+    "pair landed consistently — n_docs == n_stats per lang by "
+    "construction because the three stats slices partition the corpus.",
+)
+def lake_txlog_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine.lake_transaction upgrades stage_and_publish's N-rename
+    publication window to ONE record rename; txlog-aware readers see
+    the whole cut flip atomically even across a crash before the
+    pointer moves (torn-cut test in tests/test_txlog.py). 100 TB: the
+    commit is O(tables) JSON bytes; staging stays zero-copy branch
+    commits; the txn read adds one tiny JSON resolution."""
+    d = load(spark, sf_dir, "documents")
+    lake = scratch_dir("txlog_")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    seed = d.filter(F.col("doc_id") % 3 == 0)
+    b1 = d.filter(F.col("doc_id") % 3 == 1)
+    b2 = d.filter(F.col("doc_id") % 3 == 2)
+    publish_overwrite(spark, f"{lake}/docs", seed, ["lang"], manifest=True)
+    stats_of = lambda batch: batch.groupBy("lang").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    publish_overwrite(
+        spark, f"{lake}/stats", stats_of(seed), None, manifest=True
+    )
+    cat.register_table(
+        TableDef("db", "docs", f"{lake}/docs", schema=d.schema,
+                 partition_keys=("lang",))
+    )
+    cat.register_table(
+        TableDef("db", "stats", f"{lake}/stats",
+                 schema=stats_of(seed).schema)
+    )
+    eng = Engine(spark, cat)
+    seed_total = seed.count()
+
+    def txn(batch):
+        def writer(stage):
+            stage.append("db.docs", batch)
+            stage.append("db.stats", stats_of(batch))
+
+        return eng.lake_transaction(["db.docs", "db.stats"], writer, "ops")
+
+    def writer1(stage):
+        stage.append("db.docs", b1)
+        stage.append("db.stats", stats_of(b1))
+        # pre-commit: both read paths still serve the seed cut only
+        assert eng.table_txn("db.docs", "ops").count() == seed_total
+        assert (
+            eng.sql("SELECT count(*) AS n FROM db.docs", "ops").first().n
+            == seed_total
+        )
+
+    out1 = eng.lake_transaction(["db.docs", "db.stats"], writer1, "ops")
+    out2 = txn(b2)
+    assert (out1["seq"], out2["seq"]) == (1, 2), (out1, out2)
+    docs_agg = (
+        eng.table_txn("db.docs", "ops")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    stats_agg = (
+        eng.table_txn("db.stats", "ops")
+        .groupBy("lang")
+        .agg(F.sum("n").cast("long").alias("n_stats"))
+    )
+    return docs_agg.join(stats_agg, "lang").select(
+        "lang", "n_docs", "n_stats"
+    )
