@@ -383,3 +383,49 @@ def test_gopher_line_rules_corpus_mixed_verdicts(spark):
     for r in rows:
         by_lang.setdefault(r.lang, set()).add(r.keep)
     assert by_lang and all(v == {True, False} for v in by_lang.values()), by_lang
+
+
+def test_c4_clean_per_rule_violators(spark):
+    """C4 page rules on REAL multi-line documents — one crafted
+    violator per rule, each failing for exactly its own reason."""
+    from pyspark.sql import functions as F
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.text import (
+        _c4_page_verdicts,
+    )
+
+    good = [f"this is a perfectly fine sentence number {i}." for i in range(5)]
+    docs = [
+        # 1: clean page — every line terminal-punctuated, >= 3 words
+        (1, "en", "\n".join(good)),
+        # 2: brace violator ('{' anywhere drops the page)
+        (2, "en", "\n".join(good + ["var cfg = { enabled: true };"])),
+        # 3: lorem ipsum violator (case-folded match)
+        (3, "en", "\n".join(good + ["Lorem IPSUM dolor sit amet."])),
+        # 4: < 3 surviving lines: only 2 terminal lines; the rest are
+        #    headings without punctuation or too-short lines
+        (4, "en", "\n".join(good[:2] + ["Navigation", "Home", "ok."[:2]])),
+        # 5: line-rule granularity: non-terminal and short lines are
+        #    DROPPED but the page survives on its 3+ good lines
+        (5, "en", "\n".join(good[:3] + ["READ MORE", "yes!"])),
+    ]
+    lines = (
+        spark.createDataFrame(docs, "doc_id long, lang string, text string")
+        .select("doc_id", "lang", F.explode(F.split("text", "\n")).alias("line"))
+    )
+    out = {r.doc_id: r for r in _c4_page_verdicts(lines).collect()}
+    assert out[1].kept
+    assert not out[2].kept and out[2].has_brace and not out[2].has_lorem
+    assert not out[3].kept and out[3].has_lorem and not out[3].has_brace
+    assert not out[4].kept and out[4].n_kept_lines == 2
+    assert out[5].kept and out[5].n_kept_lines == 3  # 2 junk lines dropped
+
+
+def test_c4_clean_corpus_mixed_verdicts(spark):
+    rows = (
+        REGISTRY["text_c4_clean"].builder(spark, "/root/testdata/sf0.001").collect()
+    )
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.kept)
+    assert by_lang and all(v == {True, False} for v in by_lang.values()), by_lang

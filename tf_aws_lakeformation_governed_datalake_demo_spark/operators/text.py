@@ -1451,3 +1451,151 @@ def text_gopher_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_ellipsis").cast("long").alias("ellipsis_chk"),
         )
     )
+
+
+def _c4_page_verdicts(lines: DataFrame) -> DataFrame:
+    """Page verdicts for the C4 cleaning rules over exploded (doc_id,
+    lang, line) rows — callers split real multi-line text on newlines;
+    the registry query synthesizes lines (``_SYNTH_C4_SPARK``).
+
+    Line rule: keep only lines ending in terminal punctuation
+    (. ! ? \") with >= 3 whitespace words. Page rules: drop on any
+    '{', any case-folded 'lorem ipsum', or < 3 surviving lines.
+    Scale: the per-line rule is a map-side flag; ONE (doc_id) partial
+    agg rolls pages up. No Python UDFs."""
+    terminal = (
+        F.col("line").endswith(".")
+        | F.col("line").endswith("!")
+        | F.col("line").endswith("?")
+        | F.col("line").endswith('"')
+    )
+    keep_line = terminal & (F.size(F.split(F.col("line"), r"\s+")) >= 3)
+    doc = (
+        lines.select(
+            "doc_id", "lang", "line", keep_line.alias("keep_line"),
+            F.col("line").contains("{").alias("brace"),
+            F.lower(F.col("line")).contains("lorem ipsum").alias("lorem"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.when(F.col("keep_line"), 1).otherwise(0))
+            .cast("long").alias("n_kept_lines"),
+            F.sum(F.when(F.col("keep_line"), F.length("line")).otherwise(0))
+            .cast("long").alias("kept_chars"),
+            F.max("brace").alias("has_brace"),
+            F.max("lorem").alias("has_lorem"),
+        )
+    )
+    kept = (
+        ~F.col("has_brace") & ~F.col("has_lorem")
+        & (F.col("n_kept_lines") >= 3)
+    )
+    return doc.withColumn("kept", kept)
+
+
+
+#: C4-specific deterministic multi-line derivation (separate from the
+#: Gopher synthesis so each oracle stays frozen): 5-word lines; two
+#: thirds get a terminal period ((i+doc_id)%3 != 0); doc_id%29 docs
+#: open with a 'lorem ipsum' line and doc_id%23 docs (that aren't %29)
+#: open with a '{'-bearing line — the paper's page-level violators,
+#: planted as REAL string content the rules then detect.
+_SYNTH_C4_SPARK = """
+transform(sequence(0, cast(ceil(size(words) / 5.0) as int) - 1), i ->
+  concat(
+    CASE WHEN (doc_id % 29 = 0 AND i = 0)
+         THEN 'lorem ipsum dolor sit amet'
+         WHEN (doc_id % 23 = 0 AND i = 0)
+         THEN concat(array_join(slice(words, 1, 5), ' '), ' {')
+         ELSE array_join(slice(words, cast(i * 5 + 1 as int), 5), ' ')
+    END,
+    CASE WHEN (i + doc_id) % 3 != 0 THEN '.' ELSE '' END
+  ))
+"""
+
+
+@query(
+    "text_c4_clean",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents
+    ),
+    ln AS (
+      SELECT doc_id, lang,
+        list_transform(range(CAST(ceil(len(words) / 5.0) AS INT)), i ->
+          (CASE WHEN (doc_id % 29 = 0 AND i = 0)
+                THEN 'lorem ipsum dolor sit amet'
+                WHEN (doc_id % 23 = 0 AND i = 0)
+                THEN array_to_string(words[1:5], ' ') || ' {'
+                ELSE array_to_string(words[i*5+1 : i*5+5], ' ') END)
+          || (CASE WHEN (i + doc_id) % 3 <> 0 THEN '.' ELSE '' END)
+        ) AS lines
+      FROM w
+    ),
+    l AS (SELECT doc_id, lang, unnest(lines) AS line FROM ln),
+    scored AS (
+      SELECT doc_id, lang, line,
+        (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?'
+         OR line LIKE '%"')
+        AND len(regexp_split_to_array(line, '\s+')) >= 3 AS keep_line,
+        contains(line, '{') AS brace,
+        contains(lower(line), 'lorem ipsum') AS lorem
+      FROM l
+    ),
+    doc AS (
+      SELECT doc_id, lang,
+        CAST(sum(CASE WHEN keep_line THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept_lines,
+        CAST(sum(CASE WHEN keep_line THEN len(line) ELSE 0 END) AS BIGINT)
+          AS kept_chars,
+        max(brace) AS has_brace, max(lorem) AS has_lorem
+      FROM scored GROUP BY doc_id, lang
+    ),
+    verdict AS (
+      SELECT lang, doc_id, n_kept_lines, kept_chars,
+        (NOT has_brace AND NOT has_lorem AND n_kept_lines >= 3) AS kept
+      FROM doc
+    )
+    SELECT lang, kept,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(n_kept_lines) AS BIGINT) AS kept_lines_chk,
+           CAST(sum(kept_chars) AS BIGINT) AS kept_chars_chk
+    FROM verdict GROUP BY lang, kept
+    """,
+    "C4-style page cleaning (round-12; Raffel et al. 2020 §2.2): "
+    "line-level — keep only lines ending in terminal punctuation "
+    "(. ! ? \") with at least 3 words; page-level — drop any page "
+    "containing '{' or 'lorem ipsum' (case-folded), or with fewer "
+    "than 3 surviving lines. The multi-line corpus (with planted "
+    "violators) derives deterministically from the single-line "
+    "fixture identically in both engines; every rule then operates "
+    "on REAL string content. sum_doc_id pins per-verdict membership.",
+)
+def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: line synthesis is map-only, then the one partial
+    agg documented on ``_c4_page_verdicts``; the final rollup is
+    O(langs x 2). The C4 rules complement the Gopher tables
+    (repetition/structure) with the punctuation/boilerplate axis —
+    together the standard web-crawl cleaning stack."""
+    d = load(spark, sf_dir, "documents")
+    lines = (
+        d.select(
+            "doc_id", "lang",
+            F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+        )
+        .select("doc_id", "lang", F.expr(_SYNTH_C4_SPARK).alias("lines"))
+        .select("doc_id", "lang", F.explode("lines").alias("line"))
+    )
+    return (
+        _c4_page_verdicts(lines)
+        .groupBy("lang", "kept")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("n_kept_lines").cast("long").alias("kept_lines_chk"),
+            F.sum("kept_chars").cast("long").alias("kept_chars_chk"),
+        )
+    )
