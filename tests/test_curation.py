@@ -247,3 +247,27 @@ def test_domain_caps_two_phase_exact_under_hot_domain_skew(spark):
     }
     assert per_domain["hot.example"] <= _DOMAIN_CAP * _DOMAIN_SALTS
     assert per_domain["hot.example"] < n_hot  # genuinely pruned
+
+
+def test_web_cleaning_stack_funnel_monotone(spark):
+    """The composed stack's per-lang funnel is monotone non-increasing
+    (every stage only removes documents) and every stage binds
+    somewhere at sf0.01 except exact-dedup, which the synthetic
+    corpus's surviving slice may not exercise (its own operator pins
+    real duplicates)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.registry import (
+        REGISTRY,
+    )
+
+    rows = (
+        REGISTRY["pipeline_web_cleaning_stack"]
+        .builder(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.n_raw >= r.n_c4 >= r.n_gopher >= r.n_dedup >= r.n_caps
+        assert r.n_caps > 0
+    assert sum(r.n_c4 for r in rows) < sum(r.n_raw for r in rows)  # C4 binds
+    assert sum(r.n_gopher for r in rows) < sum(r.n_c4 for r in rows)
+    assert sum(r.n_caps for r in rows) < sum(r.n_dedup for r in rows)

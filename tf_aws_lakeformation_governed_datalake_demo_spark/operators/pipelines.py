@@ -163,3 +163,188 @@ def pipeline_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, vmin, vmax)"
     )
+
+
+@query(
+    "pipeline_web_cleaning_stack",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents
+    ),
+    c4ln AS (
+      SELECT doc_id, lang,
+        list_transform(range(CAST(ceil(len(words) / 5.0) AS INT)), i ->
+          (CASE WHEN (doc_id % 29 = 0 AND i = 0)
+                THEN 'lorem ipsum dolor sit amet'
+                WHEN (doc_id % 23 = 0 AND i = 0)
+                THEN array_to_string(words[1:5], ' ') || ' {'
+                ELSE array_to_string(words[i*5+1 : i*5+5], ' ') END)
+          || (CASE WHEN (i + doc_id) % 3 <> 0 THEN '.' ELSE '' END)
+        ) AS lines
+      FROM w
+    ),
+    c4l AS (SELECT doc_id, unnest(lines) AS line FROM c4ln),
+    c4doc AS (
+      SELECT doc_id,
+        sum(CASE WHEN (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?'
+                       OR line LIKE '%"')
+                 AND len(regexp_split_to_array(line, '\s+')) >= 3
+                 THEN 1 ELSE 0 END) AS n_kept_lines,
+        max(contains(line, '{')) AS has_brace,
+        max(contains(lower(line), 'lorem ipsum')) AS has_lorem
+      FROM c4l GROUP BY doc_id
+    ),
+    s1 AS (
+      SELECT d.* FROM documents d JOIN c4doc c USING (doc_id)
+      WHERE NOT c.has_brace AND NOT c.has_lorem AND c.n_kept_lines >= 3
+    ),
+    gw AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+      FROM s1
+    ),
+    gbase AS (
+      SELECT doc_id, len(words) AS n_words,
+             len(list_distinct(words)) AS n_distinct,
+             list_sum(list_transform(words, x -> len(x))) AS word_chars,
+             list_filter(list_transform(words, (x, i) ->
+               CASE WHEN i < len(words) THEN x || ' ' || words[i+1] END),
+               y -> y IS NOT NULL) AS bigrams
+      FROM gw
+    ),
+    gbg AS (SELECT doc_id, unnest(bigrams) AS bigram FROM gbase),
+    gbgc AS (
+      SELECT doc_id, bigram, count(*) AS c FROM gbg GROUP BY doc_id, bigram
+    ),
+    gtop AS (
+      SELECT doc_id, CAST(c * len(bigram) AS BIGINT) AS top_chars,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, bigram
+             ) AS rk
+      FROM gbgc
+    ),
+    s2 AS (
+      SELECT s1.* FROM s1
+      JOIN gbase b USING (doc_id)
+      JOIN gtop t ON t.doc_id = s1.doc_id AND t.rk = 1
+      WHERE b.n_words >= 15
+        AND 3 * b.n_words <= b.word_chars
+        AND b.word_chars <= 10 * b.n_words
+        AND 10 * (b.n_words - b.n_distinct) <= 6 * b.n_words
+        AND 5 * t.top_chars <= b.word_chars
+    ),
+    s3 AS (
+      SELECT * FROM (
+        SELECT s2.*, row_number() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id
+        ) AS dk FROM s2
+      ) WHERE dk = 1
+    ),
+    s4 AS (
+      SELECT * FROM (
+        SELECT s3.*, row_number() OVER (
+          PARTITION BY source ORDER BY md5(text), doc_id
+        ) AS ck FROM s3
+      ) WHERE ck <= 15
+    ),
+    raw_n AS (SELECT lang, count(*) AS n_raw FROM documents GROUP BY lang),
+    s1_n AS (SELECT lang, count(*) AS n_c4 FROM s1 GROUP BY lang),
+    s2_n AS (SELECT lang, count(*) AS n_gopher FROM s2 GROUP BY lang),
+    s3_n AS (SELECT lang, count(*) AS n_dedup FROM s3 GROUP BY lang),
+    s4_n AS (
+      SELECT lang, count(*) AS n_caps, sum(doc_id) AS sum_doc_id
+      FROM s4 GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_raw AS BIGINT) AS n_raw,
+           CAST(coalesce(n_c4, 0) AS BIGINT) AS n_c4,
+           CAST(coalesce(n_gopher, 0) AS BIGINT) AS n_gopher,
+           CAST(coalesce(n_dedup, 0) AS BIGINT) AS n_dedup,
+           CAST(coalesce(n_caps, 0) AS BIGINT) AS n_caps,
+           CAST(coalesce(sum_doc_id, 0) AS BIGINT) AS sum_doc_id
+    FROM raw_n
+    LEFT JOIN s1_n USING (lang) LEFT JOIN s2_n USING (lang)
+    LEFT JOIN s3_n USING (lang) LEFT JOIN s4_n USING (lang)
+    """,
+    "The standard web-crawl cleaning stack END TO END (round-12): "
+    "C4 page cleaning (terminal punctuation / 3-word lines, brace + "
+    "lorem-ipsum + <3-line page drops) -> Gopher word-level quality "
+    "rules -> exact content dedup (keep-first by md5(text)) -> "
+    "FineWeb per-domain caps — the per-lang funnel counts after every "
+    "stage, with sum_doc_id pinning the FINAL survivor membership. "
+    "Each stage reuses the factored rule engine of its standalone "
+    "operator, so the composition is the proof that the pieces "
+    "actually fit together.",
+)
+def pipeline_web_cleaning_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the stack fuses to ~5 shuffles total (the C4 doc rollup,
+    the bigram partial agg, the content-hash dedup window, the salted
+    two-phase caps, the lang rollup) — each documented on its factored
+    helper; stages communicate by doc_id semi-joins that reuse the
+    scan. No stage materializes; Catalyst plans the whole funnel as
+    one DAG."""
+    from pyspark.sql import Window as W
+
+    from .curation import _domain_caps_survivors
+    from .text import (
+        _SYNTH_C4_SPARK,
+        _c4_page_verdicts,
+        _gopher_word_verdicts,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    c4_lines = (
+        d.select(
+            "doc_id", "lang",
+            F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+        )
+        .select("doc_id", "lang", F.expr(_SYNTH_C4_SPARK).alias("lines"))
+        .select("doc_id", "lang", F.explode("lines").alias("line"))
+    )
+    c4_keep = _c4_page_verdicts(c4_lines).filter("kept").select("doc_id")
+    s1 = d.join(c4_keep, "doc_id")
+    g_keep = (
+        _gopher_word_verdicts(s1.select("doc_id", "lang", "text"))
+        .filter("keep")
+        .select("doc_id")
+    )
+    s2 = s1.join(g_keep, "doc_id")
+    s3 = (
+        s2.withColumn(
+            "dk",
+            F.row_number().over(
+                W.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("dk") == 1)
+        .drop("dk")
+    )
+    s4 = _domain_caps_survivors(s3)
+
+    def _n(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias(alias)
+        )
+
+    funnel = (
+        _n(d, "n_raw")
+        .join(_n(s1, "n_c4"), "lang", "left")
+        .join(_n(s2, "n_gopher"), "lang", "left")
+        .join(_n(s3, "n_dedup"), "lang", "left")
+        .join(
+            s4.groupBy("lang").agg(
+                F.count(F.lit(1)).cast("long").alias("n_caps"),
+                F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            ),
+            "lang",
+            "left",
+        )
+    )
+    fill = {
+        c: 0 for c in ("n_c4", "n_gopher", "n_dedup", "n_caps", "sum_doc_id")
+    }
+    return funnel.na.fill(fill).select(
+        "lang", "n_raw", "n_c4", "n_gopher", "n_dedup", "n_caps",
+        "sum_doc_id",
+    )

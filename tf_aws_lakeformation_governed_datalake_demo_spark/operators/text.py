@@ -1209,17 +1209,17 @@ def text_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "membership exactly. The LINE-level half of table A1 ships as "
     "text_gopher_line_rules (round-12).",
 )
-def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape (the same as text_doc_entropy's): the bigram mode
-    needs ONE corpus-scale explode into a (doc_id, bigram) partial
-    hash agg — map-side combine collapses each document's repeats
-    before the shuffle — then a per-document window and a join back
-    on doc_id that reuses the same hash partitioning; the final
-    rollup is O(langs x 2). No Python UDFs anywhere; 100 TB cost is
-    the one bigram shuffle, which is the quantity being measured."""
+def _gopher_word_verdicts(d: DataFrame) -> DataFrame:
+    """Doc-level verdicts for the WORD-level Gopher rules over
+    (doc_id, lang, text) rows — factored (round-12) so pipeline
+    compositions reuse the exact rule table. Scale shape (same as
+    text_doc_entropy's): the bigram mode needs ONE corpus-scale
+    explode into a (doc_id, bigram) partial hash agg — map-side
+    combine collapses each document's repeats before the shuffle —
+    then a per-document window and a join back on doc_id that reuses
+    the same hash partitioning. No Python UDFs anywhere."""
     from pyspark.sql import Window as W
 
-    d = load(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     base = d.select(
         "doc_id",
@@ -1264,10 +1264,16 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (10 * (F.col("n_words") - F.col("n_distinct")) <= 6 * F.col("n_words"))
         & (5 * F.col("top_chars") <= F.col("word_chars"))
     )
+    return base.drop("bigrams").join(top, "doc_id").withColumn("keep", keep)
+
+
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word-level rule table — see ``_gopher_word_verdicts`` for
+    the scale shape; the final rollup is O(langs x 2). 100 TB cost is
+    the one bigram shuffle, which is the quantity being measured."""
+    d = load(spark, sf_dir, "documents")
     return (
-        base.drop("bigrams")
-        .join(top, "doc_id")
-        .withColumn("keep", keep)
+        _gopher_word_verdicts(d)
         .groupBy("lang", "keep")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
