@@ -271,6 +271,13 @@ HEADLINE = [
     # residual-filtered state read)
     "text_gopher_line_rules",
     "governance_mv_rewrite_filtered",
+    # ... the lake transaction log (2 seed publishes + two staged
+    # cross-table transactions, each one _txlog record rename + branch
+    # propagation, + the txn-read join), C4 page cleaning (map-only
+    # synthesis + one doc rollup), and the 4-stage cleaning funnel
+    "lake_txlog_commit",
+    "text_c4_clean",
+    "pipeline_web_cleaning_stack",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -66,3 +66,23 @@ def test_rows_only_queries_run(spark, sf_dir):
         if spec.oracle is None:
             df = spec.builder(spark, sf_dir)
             assert df.count() >= 0, name
+
+
+def test_registry_builder_hygiene():
+    """Every registry entry's builder IS the function named by the key
+    and is callable as (spark, sf_dir) — pins against the decorator-
+    misattachment class of bug (round-12: a helper def inserted
+    between @query and its function silently registered the helper,
+    passing every direct-call test while breaking the registry path)."""
+    import inspect
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import (
+        REGISTRY,
+    )
+
+    for name, spec in REGISTRY.items():
+        assert spec.builder.__name__ == name, (name, spec.builder.__name__)
+        params = list(inspect.signature(spec.builder).parameters.values())
+        assert len(params) >= 2, name
+        for extra in params[2:]:
+            assert extra.default is not inspect.Parameter.empty, name

@@ -1152,63 +1152,6 @@ def text_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_gopher_quality_rules",
-    """
-    WITH w AS (
-      SELECT doc_id, lang,
-             regexp_split_to_array(trim(text), '\\s+') AS words
-      FROM documents
-    ),
-    base AS (
-      SELECT doc_id, lang, len(words) AS n_words,
-             len(list_distinct(words)) AS n_distinct,
-             list_sum(list_transform(words, x -> len(x))) AS word_chars,
-             list_filter(list_transform(words, (x, i) ->
-               CASE WHEN i < len(words) THEN x || ' ' || words[i+1] END),
-               y -> y IS NOT NULL) AS bigrams
-      FROM w
-    ),
-    bg AS (SELECT doc_id, unnest(bigrams) AS bigram FROM base),
-    bgc AS (
-      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
-    ),
-    topbg AS (
-      SELECT doc_id, CAST(c * len(bigram) AS BIGINT) AS top_chars,
-             row_number() OVER (
-               PARTITION BY doc_id ORDER BY c DESC, bigram
-             ) AS rk
-      FROM bgc
-    ),
-    scored AS (
-      SELECT b.lang, b.doc_id, b.n_words, b.n_distinct, b.word_chars,
-             t.top_chars,
-             (b.n_words >= 15
-              AND 3 * b.n_words <= b.word_chars
-              AND b.word_chars <= 10 * b.n_words
-              AND 10 * (b.n_words - b.n_distinct) <= 6 * b.n_words
-              AND 5 * t.top_chars <= b.word_chars) AS keep
-      FROM base b JOIN topbg t ON t.doc_id = b.doc_id AND t.rk = 1
-    )
-    SELECT lang, keep,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
-           CAST(sum(n_words) AS BIGINT) AS words_chk,
-           CAST(sum(n_distinct) AS BIGINT) AS distinct_chk,
-           CAST(sum(top_chars) AS BIGINT) AS topbg_chk
-    FROM scored GROUP BY lang, keep
-    """,
-    "Gopher-style repetition quality rules (round-11; Rae et al. 2021 "
-    "table A1, the word-level subset meaningful on this single-line "
-    "synthetic corpus): per document — word count >= 15, mean word "
-    "length in [3, 10], duplicate-word fraction <= 0.6, and "
-    "most-common-2-gram character fraction <= 0.2 (the paper's own threshold) — with every "
-    "threshold evaluated in CROSS-MULTIPLIED INTEGER form, so the "
-    "verdict is float-free and bit-equal across engines. Oracle "
-    "replays the whole rule table; sum_doc_id pins per-verdict "
-    "membership exactly. The LINE-level half of table A1 ships as "
-    "text_gopher_line_rules (round-12).",
-)
 def _gopher_word_verdicts(d: DataFrame) -> DataFrame:
     """Doc-level verdicts for the WORD-level Gopher rules over
     (doc_id, lang, text) rows — factored (round-12) so pipeline
@@ -1267,6 +1210,64 @@ def _gopher_word_verdicts(d: DataFrame) -> DataFrame:
     return base.drop("bigrams").join(top, "doc_id").withColumn("keep", keep)
 
 
+
+@query(
+    "text_gopher_quality_rules",
+    """
+    WITH w AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, lang, len(words) AS n_words,
+             len(list_distinct(words)) AS n_distinct,
+             list_sum(list_transform(words, x -> len(x))) AS word_chars,
+             list_filter(list_transform(words, (x, i) ->
+               CASE WHEN i < len(words) THEN x || ' ' || words[i+1] END),
+               y -> y IS NOT NULL) AS bigrams
+      FROM w
+    ),
+    bg AS (SELECT doc_id, unnest(bigrams) AS bigram FROM base),
+    bgc AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+    ),
+    topbg AS (
+      SELECT doc_id, CAST(c * len(bigram) AS BIGINT) AS top_chars,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, bigram
+             ) AS rk
+      FROM bgc
+    ),
+    scored AS (
+      SELECT b.lang, b.doc_id, b.n_words, b.n_distinct, b.word_chars,
+             t.top_chars,
+             (b.n_words >= 15
+              AND 3 * b.n_words <= b.word_chars
+              AND b.word_chars <= 10 * b.n_words
+              AND 10 * (b.n_words - b.n_distinct) <= 6 * b.n_words
+              AND 5 * t.top_chars <= b.word_chars) AS keep
+      FROM base b JOIN topbg t ON t.doc_id = b.doc_id AND t.rk = 1
+    )
+    SELECT lang, keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(n_words) AS BIGINT) AS words_chk,
+           CAST(sum(n_distinct) AS BIGINT) AS distinct_chk,
+           CAST(sum(top_chars) AS BIGINT) AS topbg_chk
+    FROM scored GROUP BY lang, keep
+    """,
+    "Gopher-style repetition quality rules (round-11; Rae et al. 2021 "
+    "table A1, the word-level subset meaningful on this single-line "
+    "synthetic corpus): per document — word count >= 15, mean word "
+    "length in [3, 10], duplicate-word fraction <= 0.6, and "
+    "most-common-2-gram character fraction <= 0.2 (the paper's own threshold) — with every "
+    "threshold evaluated in CROSS-MULTIPLIED INTEGER form, so the "
+    "verdict is float-free and bit-equal across engines. Oracle "
+    "replays the whole rule table; sum_doc_id pins per-verdict "
+    "membership exactly. The LINE-level half of table A1 ships as "
+    "text_gopher_line_rules (round-12).",
+)
 def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The word-level rule table — see ``_gopher_word_verdicts`` for
     the scale shape; the final rollup is O(langs x 2). 100 TB cost is
