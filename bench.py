@@ -278,6 +278,9 @@ HEADLINE = [
     "lake_txlog_commit",
     "text_c4_clean",
     "pipeline_web_cleaning_stack",
+    # ... and the streaming x txlog composition (3 micro-batches, each
+    # one cross-table transaction, + a replayed no-op cut + txn reads)
+    "stream_txlog_ingest",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -214,3 +214,52 @@ def test_lake_transaction_gating(spark, lake_pair):
         )
     assert tx.txlog_current(lake) is None
     assert lk.list_branches(f"{lake}/docs") == {}
+
+
+def test_stream_txlog_lost_checkpoint_replays_as_noop_cuts(
+    spark, lake_pair, tmp_path
+):
+    """The streaming x txlog composition's restart contract: replaying
+    every micro-batch (lost checkpoint) stages nothing — each
+    transaction degenerates to a no-op cut; both tables' versions and
+    contents are byte-identical, cross-table consistency holds
+    throughout."""
+    eng, lake = lake_pair
+    batches = [
+        spark.createDataFrame(
+            [(200 + 10 * b + i, ["a", "b"][i % 2], i) for i in range(4)],
+            "id long, grp string, v long",
+        )
+        for b in range(3)
+    ]
+
+    def run_all():
+        for epoch, batch in enumerate(batches):
+            def writer(stage, batch=batch, epoch=epoch):
+                stage.append("db.docs", batch,
+                             stream_id="s1", batch_id=epoch)
+                stage.append(
+                    "db.stats",
+                    batch.groupBy("grp").agg(F.count(F.lit(1)).alias("n")),
+                    stream_id="s1", batch_id=epoch,
+                )
+            eng.lake_transaction(["db.docs", "db.stats"], writer, "ops")
+
+    run_all()
+    v_docs = lk.read_manifest(f"{lake}/docs")["version"]
+    n_docs = lk.read_table(spark, f"{lake}/docs").count()
+    n_stats = lk.read_table(spark, f"{lake}/stats").agg(F.sum("n")).first()[0]
+    # seed (20 docs / stats summing 20) + 3 batches x 4 rows
+    assert n_docs == 20 + 12 and n_stats == 20 + 12
+    run_all()  # full replay: every append is a ledger no-op
+    assert lk.read_manifest(f"{lake}/docs")["version"] == v_docs
+    assert lk.read_table(spark, f"{lake}/docs").count() == n_docs
+    assert (
+        lk.read_table(spark, f"{lake}/stats").agg(F.sum("n")).first()[0]
+        == n_stats
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.txlog import (
+        txlog_current,
+    )
+
+    assert txlog_current(lake)["seq"] == 6  # 3 real cuts + 3 no-op cuts

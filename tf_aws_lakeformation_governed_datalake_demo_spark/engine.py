@@ -3057,10 +3057,20 @@ class PublishStage:
         self._tables = tables
 
     def append(
-        self, qualified: str, rows: DataFrame, partition_by=None
+        self,
+        qualified: str,
+        rows: DataFrame,
+        partition_by=None,
+        stream_id: str | None = None,
+        batch_id: int | None = None,
     ) -> dict | None:
         """Transactional append onto the table's staging branch;
-        partition layout defaults to the catalog's declared keys."""
+        partition layout defaults to the catalog's declared keys.
+        ``(stream_id, batch_id)`` rides the branch's app_versions
+        ledger exactly as on main (append_rows), so a foreachBatch
+        sink staging through a transaction keeps its replayed batches
+        no-ops — returns None without writing (round-12, the
+        streaming x txlog composition)."""
         from .sources import lake as _lake
 
         td = self._tables[qualified]  # KeyError: not a staged table
@@ -3073,6 +3083,8 @@ class PublishStage:
                 if partition_by is not None
                 else (list(td.partition_keys) or None)
             ),
+            stream_id=stream_id,
+            batch_id=batch_id,
             branch=self._branch,
         )
 

@@ -1092,3 +1092,124 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         "SELECT lang, n_docs, total_chars FROM db.docs_mv", "ops"
     )
+
+
+@query(
+    "stream_txlog_ingest",
+    """
+    WITH agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, cents, n AS n_stats, cents AS cents_stats
+    FROM agg
+    """,
+    "Streaming x transaction-log composition (round-12): a fact "
+    "firehose AND its per-type summary table ingested by ONE "
+    "foreachBatch sink that wraps each micro-batch in "
+    "Engine.lake_transaction — the batch's fact append and its stats "
+    "delta commit as a single _txlog record, so even a txn-aware "
+    "reader racing the stream can never see a batch's facts without "
+    "its stats (or vice versa). The (stream_id, epoch) ledger rides "
+    "each staging branch, so a REPLAYED batch stages nothing and the "
+    "transaction degenerates to a no-op cut — exactly-once CROSS-TABLE "
+    "state from at-least-once delivery (replay probed in the body). "
+    "Oracle: both tables reduce to the same per-type profile; hash "
+    "equality proves every (facts, stats) pair landed consistently.",
+)
+def stream_txlog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per batch — O(batch files) branch commits x 2 tables +
+    ONE O(tables) record rename; the summary table receives O(types)
+    rows per batch. This is the Delta txn-sink protocol upgraded from
+    per-table to cross-table atomicity."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import GovernedCatalog, TableDef
+    from ..engine import Engine
+    from ..scratch import scratch_dir
+    from ..sources import load
+    from ..sources.lake import publish_overwrite, read_manifest
+    from ..sources.txlog import txlog_current
+
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 1000000).cast("long")
+    base = scratch_dir("txlog_stream_")
+    src = f"{base}/incoming"
+    cdc_land_change_files(e, src, base, n=3)
+
+    cat = GovernedCatalog(spark, lake_root=base)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    seed = e.limit(0)
+    seed_stats = spark.createDataFrame(
+        [], "event_type string, n long, cents long"
+    )
+    publish_overwrite(
+        spark, f"{base}/facts", seed, ["event_type"], manifest=True
+    )
+    publish_overwrite(spark, f"{base}/stats", seed_stats, None, manifest=True)
+    cat.register_table(
+        TableDef("db", "facts", f"{base}/facts", schema=e.schema,
+                 partition_keys=("event_type",))
+    )
+    cat.register_table(
+        TableDef("db", "stats", f"{base}/stats", schema=seed_stats.schema)
+    )
+    eng = Engine(spark, cat)
+
+    def stats_of(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).alias("cents"),
+        )
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        def writer(stage):
+            stage.append("db.facts", batch,
+                         stream_id="ingest", batch_id=epoch_id)
+            stage.append("db.stats", stats_of(batch),
+                         stream_id="ingest", batch_id=epoch_id)
+
+        eng.lake_transaction(["db.facts", "db.stats"], writer, "ops")
+
+    (
+        spark.readStream.schema(e.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    # replay probe: re-deliver batch 0 — the branch ledger stages
+    # nothing, the transaction is a no-op cut, table versions hold
+    v_before = read_manifest(f"{base}/facts")["version"]
+    sink(e.filter(F.col("event_id") % 3 == 0), 0)
+    assert read_manifest(f"{base}/facts")["version"] == v_before
+    rec = txlog_current(base)
+    assert rec is not None and rec["seq"] == 4, rec  # 3 batches + no-op
+
+    facts = (
+        eng.table_txn("db.facts", "ops")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).alias("cents"),
+        )
+    )
+    stats = (
+        eng.table_txn("db.stats", "ops")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_stats"),
+            F.sum("cents").cast("long").alias("cents_stats"),
+        )
+    )
+    return facts.join(stats, "event_type").select(
+        "event_type", "n", "cents", "n_stats", "cents_stats"
+    )
