@@ -263,3 +263,58 @@ def test_stream_txlog_lost_checkpoint_replays_as_noop_cuts(
     )
 
     assert txlog_current(lake)["seq"] == 6  # 3 real cuts + 3 no-op cuts
+
+
+def test_txlog_vacuum_bounds_the_log_but_keeps_unpropagated_pins(
+    spark, lake_pair, monkeypatch
+):
+    eng, lake = lake_pair
+    new_docs, new_stats = _batches(spark)
+    # 4 transactions -> 4 records
+    for i in range(4):
+        eng.lake_transaction(
+            ["db.docs", "db.stats"],
+            lambda st: (st.append("db.docs", new_docs,
+                                  stream_id="s", batch_id=i),
+                        st.append("db.stats", new_stats,
+                                  stream_id="s", batch_id=i)),
+            "ops",
+        )
+    assert len(tx.txlog_records(lake)) == 4
+    out = tx.txlog_vacuum(lake, keep_last=2)
+    assert out == {"deleted": 2, "kept": 2}
+    assert [r["seq"] for r in tx.txlog_records(lake)] == [3, 4]
+    # resolution still works after vacuum (all pins propagated -> main)
+    assert tx.txlog_resolve(lake, f"{lake}/docs") is None
+
+    # a crashed-propagation record is NEVER reclaimed past keep_last
+    real_write = tx._write_pointer
+    monkeypatch.setattr(
+        tx, "_write_pointer",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("crash")),
+    )
+    with pytest.raises(OSError):
+        eng.lake_transaction(
+            ["db.docs", "db.stats"],
+            lambda st: (st.append("db.docs", new_docs,
+                                  stream_id="s", batch_id=9),
+                        st.append("db.stats", new_stats,
+                                  stream_id="s", batch_id=9)),
+            "ops",
+        )
+    monkeypatch.setattr(tx, "_write_pointer", real_write)
+    # push the crashed record out of the keep window with newer commits
+    lk.append_rows(spark, f"{lake}/docs", new_docs.limit(1),
+                   partition_by=["grp"])
+    # (main advanced past docs' pin, but stats' pin is still ahead)
+    out = tx.txlog_vacuum(lake, keep_last=1)
+    kept = tx.txlog_records(lake)
+    assert any(
+        tx.txlog_resolve(lake, f"{lake}/stats") is not None
+        for _ in [0]
+    )  # the un-propagated stats pin survives vacuum
+    assert kept and kept[0]["seq"] == 5  # crashed record retained
+    # heal, then vacuum reclaims it
+    tx.txlog_roll_forward(lake)
+    out = tx.txlog_vacuum(lake, keep_last=1)
+    assert [r["seq"] for r in tx.txlog_records(lake)] == [5]

@@ -238,3 +238,38 @@ def txlog_roll_forward(lake_root: str) -> dict[str, str]:
             _write_pointer(key, m)
             out[key] = "rolled"
     return out
+
+
+def txlog_vacuum(lake_root: str, keep_last: int = 20) -> dict:
+    """Retention for the transaction log — the maintenance path that
+    bounds it for long-running streams (one record per micro-batch
+    through ``stream_txlog_ingest``; resolution lists the directory,
+    so an unbounded log makes every txn read slower).
+
+    Keeps the newest ``keep_last`` records unconditionally. An OLDER
+    record is deleted only when every one of its pins is INERT — the
+    table's main pointer is at or past the pinned version (propagated
+    or superseded) — so a crashed propagation that only an old record
+    remembers is never forgotten: run :func:`txlog_roll_forward`
+    first to heal, then vacuum reclaims. Runs under the txlog lock
+    (no commit can interleave)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    d = _txlog_dir(lake_root)
+    if not d.is_dir():
+        return {"deleted": 0, "kept": 0}
+    with publish_lock(d):
+        recs = txlog_records(lake_root)
+        deletable = recs[:-keep_last] if len(recs) > keep_last else []
+        deleted = 0
+        for rec in deletable:
+            inert = True
+            for key, v in rec["pins"].items():
+                cur = read_manifest(key)
+                if cur is None or cur["version"] < v:
+                    inert = False  # un-propagated pin: keep the record
+                    break
+            if inert:
+                (d / f"{_REC_PREFIX}{rec['seq']:012d}.json").unlink()
+                deleted += 1
+        return {"deleted": deleted, "kept": len(recs) - deleted}
