@@ -981,3 +981,19 @@ def test_mv_rewrite_filtered_implication_serves_and_refuses(spark, tmp_path):
     ):
         fell_back = eng.sql(q, "ops", use_mvs=True)
         assert any(loc in f for f in fell_back.inputFiles()), q
+
+
+def test_filtered_mv_residual_refuses_between():
+    """BETWEEN's internal AND must not shear a conjunct into fragments
+    (round-12 self-review): any BETWEEN refuses the implication path
+    entirely; an exact textual match still serves (normalization runs
+    before splitting)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.statements import (
+        filtered_mv_residual as fr,
+    )
+
+    g = ("grp", "tier")
+    assert fr("v >= 100 AND tier BETWEEN 1 AND 3", "v >= 100", g) is None
+    assert fr("tier BETWEEN 1 AND 3", "tier BETWEEN 1 AND 5", g) is None
+    # exact match (case/space-normalized) still serves
+    assert fr("tier BETWEEN 1 AND 5", "tier  between 1 AND 5", g) == ""

@@ -802,6 +802,11 @@ def _split_and_conjuncts(pred: str) -> list | None:
         return None
     if _find_keyword(pred, "or") >= 0 or _find_keyword(pred, "not") >= 0:
         return None
+    # BETWEEN's internal AND would shear one conjunct into fragments —
+    # refuse the whole predicate (textual-equality serving, which
+    # normalizes BEFORE splitting, still covers the exact-match case)
+    if _find_keyword(pred, "between") >= 0:
+        return None
     parts: list[str] = []
     text = pred
     while True:
