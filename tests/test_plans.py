@@ -668,3 +668,31 @@ def test_decontaminate_semantic_broadcasts_benchmark(spark, sf_dir):
 
 def test_doc_entropy_topk_is_heap(spark, sf_dir):
     assert_top_k(REGISTRY["text_doc_entropy"].builder(spark, sf_dir))
+
+
+def test_domain_caps_two_phase_plan(spark, sf_dir):
+    """The round-12 skew cure's plan shape: TWO Window nodes — the
+    salted (salt, source) local rank feeding the bounded per-source
+    final rank — and no single window over the raw domain key alone
+    before pruning."""
+    df = REGISTRY["pipeline_domain_caps"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Window") >= 2, plan[:800]
+    assert "salt" in plan, "phase-1 salted partition spec missing"
+
+
+def test_web_cleaning_stack_no_cartesian_no_python_udf(spark, sf_dir):
+    """The 4-stage funnel must stay JVM-side and join-sane at 100 TB:
+    no CartesianProduct, no Python row UDF anywhere in the fused
+    plan."""
+    df = REGISTRY["pipeline_web_cleaning_stack"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_gopher_and_c4_line_ops_stay_jvm_side(spark, sf_dir):
+    for name in ("text_gopher_line_rules", "text_c4_clean"):
+        plan = physical_plan(REGISTRY[name].builder(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, name
+        assert "CartesianProduct" not in plan, name
