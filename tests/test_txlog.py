@@ -318,3 +318,37 @@ def test_txlog_vacuum_bounds_the_log_but_keeps_unpropagated_pins(
     tx.txlog_roll_forward(lake)
     out = tx.txlog_vacuum(lake, keep_last=1)
     assert [r["seq"] for r in tx.txlog_records(lake)] == [5]
+
+
+def test_maintain_txlog_gate_and_actions(spark, lake_pair, monkeypatch):
+    eng, lake = lake_pair
+    new_docs, new_stats = _batches(spark)
+    # a crashed propagation to heal
+    real_write = tx._write_pointer
+    monkeypatch.setattr(
+        tx, "_write_pointer",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("crash")),
+    )
+    with pytest.raises(OSError):
+        eng.lake_transaction(
+            ["db.docs", "db.stats"],
+            lambda st: (st.append("db.docs", new_docs),
+                        st.append("db.stats", new_stats)),
+            "ops",
+        )
+    monkeypatch.setattr(tx, "_write_pointer", real_write)
+    # non-admin refused and audited; nothing healed
+    with pytest.raises(PermissionDeniedError):
+        eng.maintain_txlog("roll_forward", "analyst")
+    assert lk.read_table(spark, f"{lake}/docs").count() == 20
+    out = eng.maintain_txlog("roll_forward", "ops")
+    assert set(out["tables"].values()) == {"rolled"}
+    assert lk.read_table(spark, f"{lake}/docs").count() == 30
+    assert eng.maintain_txlog("vacuum", "ops", keep_last=1) == {
+        "deleted": 0, "kept": 1,
+    }
+    audited = [
+        e for e in eng.catalog.audit.events
+        if e["query"].startswith("MAINTAIN TXLOG")
+    ]
+    assert [a["status"] for a in audited] == ["denied", "ok", "ok"]

@@ -2176,6 +2176,60 @@ class Engine:
             },
         }
 
+    def maintain_txlog(
+        self,
+        action: str,
+        principal: "Principal | str | None" = None,
+        **kwargs,
+    ) -> dict:
+        """Governed LAKE-level maintenance for the transaction log
+        (round-12). Actions:
+
+        - ``"roll_forward"`` — heal a crash between a txlog commit and
+          its pointer propagation (sources.txlog.txlog_roll_forward);
+        - ``"vacuum"`` — retention for the log
+          (sources.txlog.txlog_vacuum; ``keep_last=`` defaults to 20).
+
+        ADMIN-ONLY: a txlog record spans tables, so no per-table grant
+        can authorize touching it — the same reasoning that makes
+        lake_transaction's gate the union of its tables' gates, applied
+        to the artifact that outlives any one table. Every invocation
+        (including denials) is audited as ``MAINTAIN TXLOG <action>``.
+        """
+        from .governance import PermissionDeniedError
+        from .sources import txlog as _txlog
+
+        if action not in ("roll_forward", "vacuum"):
+            raise ValueError(f"unknown txlog maintenance action {action!r}")
+        if self.catalog.lake_root is None:
+            raise ValueError("maintain_txlog needs a catalog lake_root")
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+
+        def _audit(status: str, error: str | None = None):
+            self.catalog.audit.record(
+                principal=name or "<none>",
+                query=f"MAINTAIN TXLOG {action}",
+                tables=[],
+                filters_applied=[],
+                status=status,
+                error=error,
+            )
+
+        if self.catalog.governance_enabled and name not in self.catalog.admins:
+            _audit("denied", "txlog maintenance is admin-only")
+            raise PermissionDeniedError(
+                f"principal {name!r} may not maintain the lake transaction "
+                "log: it spans tables, so only an admin qualifies"
+            )
+        if action == "roll_forward":
+            result = {"tables": _txlog.txlog_roll_forward(self.catalog.lake_root)}
+        else:
+            result = _txlog.txlog_vacuum(self.catalog.lake_root, **kwargs)
+        _audit("ok")
+        return result
+
     def table_txn(self, qualified: str, principal=None) -> DataFrame:
         """Governed read through the lake transaction log: the same
         security rewrite as :meth:`~GovernedCatalog.table`, with the
