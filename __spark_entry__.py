@@ -21,10 +21,14 @@ freshness-first, self-healing):
   take the window front): line-level Gopher quality rules
   (text_gopher_line_rules — the deferred half of Rae et al. table
   A1), the filtered-MV rewrite under restricted sound predicate
-  implication (governance_mv_rewrite_filtered), plus
-  pipeline_domain_caps, RE-verified unprefixed because its
-  implementation changed this round (the exact two-phase top-K skew
-  cure from VERDICT r11 What's wrong #1 — same oracle, new plan).
+  implication (governance_mv_rewrite_filtered), the lake transaction
+  log (lake_txlog_commit, stream_txlog_ingest), C4 page cleaning
+  (text_c4_clean) and the composed web-cleaning funnel
+  (pipeline_web_cleaning_stack), ANALYZE TABLE + cost-based
+  broadcast (sql_analyze_stats), plus pipeline_domain_caps,
+  RE-verified unprefixed because its implementation changed this
+  round (the exact two-phase top-K skew cure from VERDICT r11
+  What's wrong #1 — same oracle, new plan).
 - ``x_<name>`` — the 31 round-7-verified names that did NOT fit the
   round-11 window (the oldest outstanding driver verdicts, exactly
   the ``y3_`` entries absent from CORRECTNESS_r11.json): they sort

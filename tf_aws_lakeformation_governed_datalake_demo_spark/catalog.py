@@ -65,6 +65,12 @@ class TableDef:
     # approve_evolved_columns: invisible to every CONDITIONED grant path
     # (fail-closed schema evolution).
     pending_columns: set[str] = field(default_factory=set)
+    # ANALYZE TABLE output (Engine.analyze_table): {"row_count", "computed_at",
+    # "snapshot_version" (manifest tables), "columns": {col: {"null_count",
+    # "ndv_approx", "min", "max"}}}. Planner HINTS only — never consulted by
+    # enforcement, excluded from the governance fingerprint (refreshing stats
+    # must not invalidate reused results).
+    stats: dict | None = None
 
     @property
     def qualified(self) -> str:
@@ -182,6 +188,18 @@ class GovernedCatalog:
         self.audit = AuditLog()
         # Monotonic save counter for optimistic concurrency (see save()).
         self.revision = 0
+        # Cost-based broadcast: a governed query wraps a referenced TABLE
+        # in a broadcast hint when its known row count — manifest footer
+        # counts (always current) or ANALYZE stats for non-manifest
+        # tables — is at or under this. Catalyst's byte-based estimate
+        # is blind to row counts (a wide-but-short dim can exceed
+        # autoBroadcastJoinThreshold bytes) and the governance rewrite
+        # stacks filters/CASE projections whose selectivity it guesses
+        # conservatively; exact footer row counts are the better signal
+        # and cost one JSON read. A broadcast hint never changes
+        # semantics — worst case Spark ignores it. Session tuning, not
+        # persisted policy; None disables.
+        self.broadcast_row_threshold: int | None = 100_000
 
     # ------------------------------------------------------- persistence
     CATALOG_SUBDIR = "_catalog"  # '_' prefix: invisible to parquet scans
@@ -248,6 +266,20 @@ class GovernedCatalog:
                 for g in self.grants  # grant order is semantic state
             ],
             "admins": sorted(self.admins),
+            # emitted only when present so pre-ANALYZE catalogs serialize
+            # identically (and governance_fingerprint pops the key anyway:
+            # stats are planner hints, not policy)
+            **(
+                {
+                    "table_stats": {
+                        q: t.stats
+                        for q, t in sorted(self.tables.items())
+                        if t.stats is not None
+                    }
+                }
+                if any(t.stats is not None for t in self.tables.values())
+                else {}
+            ),
             # emitted only when present so pre-MV catalogs (and their
             # persisted governance fingerprints) serialize identically
             **(
@@ -338,6 +370,9 @@ class GovernedCatalog:
                 )
             )
         cat.admins = set(state["admins"])
+        for q, s in state.get("table_stats", {}).items():
+            if q in cat.tables:
+                cat.tables[q].stats = dict(s)
         for q, m in state.get("materialized_views", {}).items():
             cat.mvs[q] = MaterializedViewDef(
                 database=m["database"],
@@ -929,9 +964,11 @@ class GovernedCatalog:
         state = dict(self.to_dict())
         # location of the lake is storage identity, not policy identity —
         # Engine L7 tracks storage with a separate fingerprint; the
-        # revision counter is save bookkeeping, not policy
+        # revision counter is save bookkeeping, not policy; ANALYZE stats
+        # are planner hints that never change what a principal may see
         state.pop("lake_root", None)
         state.pop("revision", None)
+        state.pop("table_stats", None)
         return hashlib.md5(
             _json.dumps(state, sort_keys=True).encode()
         ).hexdigest()
@@ -1274,6 +1311,30 @@ class GovernedCatalog:
             for v in created:
                 self.spark.catalog.dropTempView(v)
 
+    def _broadcast_small(self, table: TableDef) -> bool:
+        """Should a governed query wrap this table's scan in a broadcast
+        hint? True when its row count is known and at or under
+        ``broadcast_row_threshold``. The count comes from the manifest's
+        footer row counts (zero-I/O-fresh — the same arithmetic as
+        count_rows; None under MoR tombstones) and falls back to ANALYZE
+        stats (Engine.analyze_table) for non-manifest tables, with
+        Spark's own documented staleness caveat: CBO stats describe the
+        table as of the last ANALYZE. A wrong answer here only changes
+        the join strategy, never the rows."""
+        thr = self.broadcast_row_threshold
+        if not thr:
+            return False
+        n = None
+        if table.format == "parquet":
+            from .sources.lake import count_rows
+
+            info = count_rows(table.location)
+            if info is not None:
+                n = info["rows"]
+        if n is None and table.stats is not None:
+            n = table.stats.get("row_count")
+        return n is not None and n <= thr
+
     # ----------------------------------------------------- SQL rewriting
     _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
     # Spans a table reference must NOT be rewritten inside: single-quoted
@@ -1374,6 +1435,12 @@ class GovernedCatalog:
                     version=(versions or {}).get(qualified),
                     _filters_out=_filters_out,
                 )
+                if self._broadcast_small(self.tables[qualified]):
+                    # row-count-based CBO broadcast (see _broadcast_small);
+                    # the hint rides the subtree into the outer spark.sql
+                    # plan, so it applies inside subqueries and CTEs and
+                    # never touches the SQL text
+                    df = df.hint("broadcast")
             df.createOrReplaceTempView(alias)
             if _views_out is not None:
                 _views_out.append(alias)

@@ -656,6 +656,7 @@ class Engine:
 
         from .statements import (
             AddColumnsStatement,
+            AnalyzeStatement,
             CreateMVStatement,
             CreateViewStatement,
             CtasStatement,
@@ -1203,6 +1204,23 @@ class Engine:
                 [(p,) for p in sorted(parts)] or [], "partition string"
             )
 
+        if isinstance(stmt, AnalyzeStatement):
+            qe.tables = [stmt.target]
+            res = self.analyze_table(
+                stmt.target,
+                columns=(list(stmt.columns) or None),
+                principal=principal,
+            )
+            return _row(
+                {
+                    "row_count": int(res["row_count"]),
+                    "columns_analyzed": len(res.get("columns", {})),
+                    "snapshot_version": res.get("snapshot_version"),
+                },
+                "row_count long, columns_analyzed long, "
+                "snapshot_version long",
+            )
+
         if isinstance(stmt, DescribeStatement):
             if stmt.target in self.catalog.views:
                 # DESCRIBE a view: resolve the body AS the principal —
@@ -1561,6 +1579,171 @@ class Engine:
         return path
 
     # ---------------------------------------------------- maintenance
+    def analyze_table(
+        self,
+        qualified: str,
+        columns: list | None = None,
+        principal: "Principal | str | None" = None,
+    ) -> dict:
+        """ANALYZE TABLE — compute table/column statistics and store
+        them on the catalog entry (``TableDef.stats``; durable through
+        ``catalog.save``), Spark's ``ANALYZE TABLE ... COMPUTE
+        STATISTICS`` re-expressed for the governed catalog. The row
+        count feeds the cost-based broadcast decision
+        (``GovernedCatalog._broadcast_small``): governed joins against
+        an analyzed small table plan as broadcast joins without the
+        caller hand-placing hints.
+
+        ``columns=None`` computes the row count only — for a
+        manifest-committed table that is ZERO-scan (the manifest's
+        footer row counts, :func:`sources.lake.count_rows`).
+        ``columns=["*"]`` analyzes every declared non-pending column;
+        an explicit list must name declared, approved columns (pending
+        quarantined columns are refused with the approve cure — their
+        values are not yet released to conditioned readers, so they
+        must not leak through stats either). Column stats are computed
+        in ONE aggregate pass over the table (partial aggregation
+        map-side; no per-column jobs): non-null count, HLL NDV
+        (``approx_count_distinct`` — one-pass and mergeable, the only
+        NDV a 100 TB scan can afford), and min/max for atomic types
+        (stringified for JSON durability).
+
+        Gate: admin or an unconditioned ALL grant, exactly
+        :meth:`maintain`'s rule — stats are TABLE-WIDE unfiltered
+        aggregates, so a row-filtered principal could otherwise read
+        a masked column's min/max through them. Audited as
+        ``ANALYZE TABLE`` including denials.
+
+        Returns the stored stats dict (also at
+        ``catalog.tables[qualified].stats``)."""
+        import time
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from .governance import ALL
+
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        table = self.catalog.tables[qualified]  # KeyError: fail closed
+        want = [str(c) for c in (columns or [])]
+        audit_suffix = (
+            " FOR ALL COLUMNS"
+            if want == ["*"]
+            else f" FOR COLUMNS {', '.join(want)}"
+            if want
+            else ""
+        )
+
+        def _audit(status: str, error: str | None = None):
+            self.catalog.audit.record(
+                principal=name or "<none>",
+                query=f"ANALYZE TABLE {qualified}{audit_suffix}",
+                tables=[qualified],
+                filters_applied=[],
+                status=status,
+                error=error,
+            )
+
+        if self.catalog.governance_enabled and name not in self.catalog.admins:
+            grants = (
+                self.catalog.grants_for(name, table.database, table.name)
+                if name is not None
+                else []
+            )
+            if not any(
+                g.permission == ALL
+                and g.via_filter is None
+                and g.via_tag_exclude is None
+                for g in grants
+            ):
+                _audit("denied", "ANALYZE requires admin or ALL grant")
+                raise PermissionDeniedError(
+                    f"principal {name!r} may not ANALYZE {qualified}: "
+                    "table-wide statistics require an admin or an "
+                    "unconditioned ALL grant (stats bypass row/column "
+                    "security by construction)"
+                )
+
+        # resolve the column list against the DECLARED schema
+        declared = (
+            [f_.name for f_ in table.schema.fields]
+            if table.schema is not None
+            else []
+        )
+        pending = set(table.pending_columns)
+        if want == ["*"]:
+            cols = [c for c in declared if c not in pending]
+        else:
+            for c in want:
+                if c not in declared:
+                    _audit("failed", f"unknown column {c!r}")
+                    raise ValueError(
+                        f"ANALYZE: {qualified} declares no column {c!r} "
+                        f"(declared: {declared})"
+                    )
+                if c in pending:
+                    _audit("failed", f"column {c!r} pending approval")
+                    raise ValueError(
+                        f"ANALYZE: column {c!r} on {qualified} is "
+                        "pending schema-evolution approval "
+                        "(approve_evolved_columns releases it)"
+                    )
+            cols = want
+
+        from .sources.lake import count_rows, read_manifest
+
+        stats: dict = {"computed_at": time.time()}
+        if table.format == "parquet":
+            m = read_manifest(table.location)
+            if m is not None:
+                stats["snapshot_version"] = m["version"]
+        if not cols:
+            info = (
+                count_rows(table.location)
+                if table.format == "parquet"
+                else None
+            )
+            if info is not None:
+                # metadata-only fast path: O(#files) driver arithmetic
+                stats["row_count"] = int(info["rows"])
+                stats["columns"] = {}
+                table.stats = stats
+                _audit("succeeded")
+                return dict(stats)
+        df = self.catalog.table(qualified, principal)
+        aggs = [F.count(F.lit(1)).alias("__rows__")]
+        atomic: dict[str, bool] = {}
+        for i, c in enumerate(cols):
+            dt = df.schema[c].dataType
+            atomic[c] = not isinstance(
+                dt, (T.ArrayType, T.MapType, T.StructType)
+            )
+            aggs.append(F.count(F.col(c)).alias(f"nn_{i}"))
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"ndv_{i}"))
+            if atomic[c]:
+                aggs.append(F.min(F.col(c)).alias(f"mn_{i}"))
+                aggs.append(F.max(F.col(c)).alias(f"mx_{i}"))
+        row = df.agg(*aggs).collect()[0]
+        n = int(row["__rows__"])
+        stats["row_count"] = n
+        colstats: dict = {}
+        for i, c in enumerate(cols):
+            entry = {
+                "null_count": n - int(row[f"nn_{i}"]),
+                "ndv_approx": int(row[f"ndv_{i}"]),
+            }
+            if atomic[c]:
+                mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+                entry["min"] = None if mn is None else str(mn)
+                entry["max"] = None if mx is None else str(mx)
+            colstats[c] = entry
+        stats["columns"] = colstats
+        table.stats = stats
+        _audit("succeeded")
+        return dict(stats)
+
     def maintain(
         self,
         qualified: str,

@@ -1149,3 +1149,75 @@ def lake_txlog_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_agg.join(stats_agg, "lang").select(
         "lang", "n_docs", "n_stats"
     )
+
+
+@query(
+    "sql_analyze_stats",
+    """
+    WITH s AS (
+      SELECT 'doc_id' AS col_name, count(*) AS row_count,
+             count(*) - count(doc_id) AS null_count,
+             CAST(min(doc_id) AS VARCHAR) AS min_value,
+             CAST(max(doc_id) AS VARCHAR) AS max_value
+      FROM documents
+      UNION ALL
+      SELECT 'lang', count(*), count(*) - count(lang),
+             CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars', count(*), count(*) - count(n_chars),
+             CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'source', count(*), count(*) - count(source),
+             CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+      FROM documents
+    )
+    SELECT col_name, CAST(row_count AS BIGINT) AS row_count,
+           CAST(null_count AS BIGINT) AS null_count, min_value, max_value
+    FROM s
+    """,
+    "ANALYZE TABLE as a governed SQL statement (round 12): engine.sql "
+    "parses the Spark CBO-stats verb, gates it admin-or-ALL (stats are "
+    "table-wide unfiltered aggregates — a row-filtered principal must "
+    "not read a masked column's min/max through them), audits it, "
+    "computes all column stats in ONE aggregate pass, and stores them "
+    "on the durable catalog entry where the cost-based broadcast "
+    "decision reads them. The oracle recomputes each column's stats "
+    "declaratively.",
+)
+def sql_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: the no-columns form is ZERO-scan on a manifest table
+    (footer row counts); FOR COLUMNS is one map-side-combined aggregate
+    pass — count/min/max/HLL-NDV are all partial-aggregable, so the
+    shuffle is one row per partition regardless of table size. The
+    stored row count then upgrades every later governed join against
+    the table to a broadcast join (catalog._broadcast_small) — the
+    ANALYZE pays for itself on the first join.
+
+    tests/test_analyze.py pins the zero-scan fast path, the gate, the
+    fingerprint stability, and the broadcast plan flip."""
+    eng, _ = _governed_docs(spark, sf_dir, "sqlanalyze_")
+    res = eng.sql(
+        "ANALYZE TABLE db.docs COMPUTE STATISTICS "
+        "FOR COLUMNS doc_id, lang, n_chars, source",
+        "ops",
+    ).first()
+    assert res.columns_analyzed == 4, res
+    st = eng.catalog.tables["db.docs"].stats
+    assert st["snapshot_version"] == 1
+    rows = [
+        (
+            c,
+            int(st["row_count"]),
+            int(st["columns"][c]["null_count"]),
+            st["columns"][c]["min"],
+            st["columns"][c]["max"],
+        )
+        for c in ("doc_id", "lang", "n_chars", "source")
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, row_count long, null_count long, "
+        "min_value string, max_value string",
+    )

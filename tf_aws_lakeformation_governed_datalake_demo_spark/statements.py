@@ -302,7 +302,19 @@ class DescribeHistoryStatement:
     target: str
 
 
+@dataclass(frozen=True)
+class AnalyzeStatement:
+    """``ANALYZE TABLE <db.t> COMPUTE STATISTICS [FOR COLUMNS c, ...
+    | FOR ALL COLUMNS]`` — Spark's own CBO-stats verb, routed to
+    Engine.analyze_table. ``columns=()`` computes the row count only;
+    ``("*",)`` is the FOR ALL COLUMNS marker."""
+
+    target: str
+    columns: tuple = ()
+
+
 Statement = (
+    AnalyzeStatement,
     AddColumnsStatement,
     ShowDatabasesStatement,
     ShowViewsStatement,
@@ -1338,6 +1350,37 @@ def parse_statement(sql: str):
             "supported SHOW forms: SHOW DATABASES | SHOW TABLES [IN <db>] "
             "| SHOW VIEWS [IN <db>] | SHOW PARTITIONS <db.table>"
         )
+    if verb == "analyze":
+        m = re.fullmatch(
+            rf"analyze\s+table\s+({_QUALIFIED})\s+compute\s+statistics"
+            r"(?:\s+for\s+(all\s+columns|columns\s+.+))?",
+            text,
+            re.I | re.S,
+        )
+        if not m:
+            raise UnsupportedStatementError(
+                "supported form: ANALYZE TABLE <db.table> COMPUTE "
+                "STATISTICS [FOR COLUMNS <col>, ... | FOR ALL COLUMNS]"
+            )
+        tail = m.group(2)
+        if tail is None:
+            cols: tuple = ()
+        elif re.fullmatch(r"all\s+columns", tail, re.I):
+            cols = ("*",)
+        else:
+            items = _split_top(re.sub(r"^columns\s+", "", tail, flags=re.I))
+            if not items or not all(
+                re.fullmatch(_IDENT, c.strip()) for c in items
+            ):
+                raise UnsupportedStatementError(
+                    "FOR COLUMNS takes plain column names"
+                )
+            cols = tuple(c.strip() for c in items)
+            if len({c.lower() for c in cols}) != len(cols):
+                raise UnsupportedStatementError(
+                    "duplicate column in FOR COLUMNS"
+                )
+        return AnalyzeStatement(m.group(1), cols)
     if verb in ("describe", "desc"):
         m = re.fullmatch(
             rf"(?:describe|desc)\s+history\s+({_QUALIFIED})", text, re.I
@@ -1360,5 +1403,6 @@ def parse_statement(sql: str):
         "CREATE/REFRESH/DROP MATERIALIZED VIEW, CREATE [OR REPLACE] VIEW, "
         "DROP VIEW, PREPARE/EXECUTE, ALTER TABLE RENAME COLUMN / ADD "
         "COLUMNS, SHOW DATABASES/TABLES/VIEWS/PARTITIONS, DESCRIBE "
-        "[HISTORY]); raw DDL does not run through the governed engine"
+        "[HISTORY], ANALYZE TABLE); raw DDL does not run through the "
+        "governed engine"
     )
