@@ -657,6 +657,7 @@ class Engine:
         from .statements import (
             AddColumnsStatement,
             AnalyzeStatement,
+            CloneStatement,
             CreateMVStatement,
             CreateViewStatement,
             CtasStatement,
@@ -706,6 +707,24 @@ class Engine:
             return _row(
                 {"table": stmt.target, "location": stmt.location},
                 "table string, location string",
+            )
+
+        if isinstance(stmt, CloneStatement):
+            res = self.clone_table(
+                stmt.source,
+                stmt.target,
+                stmt.location,
+                version=stmt.version,
+                principal=principal,
+            )
+            qe.tables = [stmt.target, stmt.source]
+            return _row(
+                {
+                    "table": stmt.target,
+                    "cloned_from_version": int(res["cloned_from_version"]),
+                    "n_files": int(res["n_files"]),
+                },
+                "table string, cloned_from_version long, n_files long",
             )
 
         if isinstance(stmt, UnloadStatement):
@@ -1551,6 +1570,103 @@ class Engine:
         if qe.principal is not None:
             self.catalog.grant(qe.principal, ALL, database, table)
         return qe
+
+    def clone_table(
+        self,
+        source: str,
+        target: str,
+        location: str,
+        version: int | None = None,
+        principal: "Principal | str | None" = None,
+    ) -> dict:
+        """Governed zero-copy CLONE (sources.lake.clone_table): register
+        ``target`` as an independent manifest table whose v1 snapshot is
+        a retained snapshot of ``source``, hardlinked — no data copied,
+        no scan planned, O(#files) driver-side. The catalog entry copies
+        the source's declared schema, comments, column tags, partition
+        keys AND its pending-column quarantine (a clone must not launder
+        unapproved evolved columns into visibility); governance policy
+        objects (filters, grants, LF tags) do NOT copy — the clone is a
+        NEW resource that starts with only its creator's ALL grant, the
+        same ownership rule as CTAS.
+
+        Gate: admin or an unconditioned ALL grant on the SOURCE — a
+        clone reproduces every row and column byte-for-byte, so a
+        row-filtered or column-limited principal could otherwise
+        exfiltrate past their grants with one statement (CTAS, by
+        contrast, materializes THROUGH the governed query, which is why
+        SELECT suffices there). Audited as ``CLONE TABLE`` incl.
+        denials."""
+        from .catalog import TableDef
+        from .governance import ALL
+        from .sources.lake import clone_table as lake_clone
+
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        src = self.catalog.tables[source]  # KeyError: fail closed
+        audit_suffix = (
+            f" VERSION AS OF {version}" if version is not None else ""
+        )
+
+        def _audit(status: str, error: str | None = None):
+            self.catalog.audit.record(
+                principal=name or "<none>",
+                query=f"CLONE TABLE {target} FROM {source}{audit_suffix}",
+                tables=[source, target],
+                filters_applied=[],
+                status=status,
+                error=error,
+            )
+
+        if self.catalog.governance_enabled and name not in self.catalog.admins:
+            grants = (
+                self.catalog.grants_for(name, src.database, src.name)
+                if name is not None
+                else []
+            )
+            if not any(
+                g.permission == ALL
+                and g.via_filter is None
+                and g.via_tag_exclude is None
+                for g in grants
+            ):
+                _audit("denied", "CLONE requires admin or ALL on source")
+                raise PermissionDeniedError(
+                    f"principal {name!r} may not clone {source}: a clone "
+                    "copies every row and column, so it requires an admin "
+                    "or an unconditioned ALL grant on the source"
+                )
+        db, _, tname = target.partition(".")
+        if db not in self.catalog.databases:
+            _audit("failed", f"unknown database {db!r}")
+            raise KeyError(f"unknown database {db!r}")
+        for registry, kind in (
+            (self.catalog.tables, "table"),
+            (self.catalog.views, "view"),
+            (self.catalog.mvs, "materialized view"),
+        ):
+            if target in registry:
+                _audit("failed", f"{target} already a {kind}")
+                raise ValueError(f"{target} already exists (a {kind})")
+        res = lake_clone(src.location, location, version)
+        self.catalog.register_table(
+            TableDef(
+                database=db,
+                name=tname,
+                location=location,
+                schema=src.schema,
+                format=src.format,
+                column_comments=dict(src.column_comments),
+                column_tags={c: dict(v) for c, v in src.column_tags.items()},
+                partition_keys=tuple(src.partition_keys),
+                pending_columns=set(src.pending_columns),
+            )
+        )
+        if name is not None:
+            self.catalog.grant(name, ALL, db, tname)
+        _audit("succeeded")
+        return res
 
     def unload(
         self,

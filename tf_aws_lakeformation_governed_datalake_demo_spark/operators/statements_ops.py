@@ -1221,3 +1221,59 @@ def sql_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name string, row_count long, null_count long, "
         "min_value string, max_value string",
     )
+
+
+@query(
+    "lake_clone_zero_copy",
+    """
+    WITH src AS (
+      SELECT 'src' AS tbl, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY lang),
+    cl AS (
+      SELECT 'clone' AS tbl, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents WHERE NOT doc_id % 13 = 0 GROUP BY lang)
+    SELECT * FROM src UNION ALL SELECT * FROM cl
+    """,
+    "Zero-copy CLONE as a governed SQL statement (round 12): CREATE "
+    "TABLE db.c CLONE db.docs hardlinks the snapshot's files and "
+    "inherits its recorded stats (no bytes copied, no footers read), "
+    "then the two tables evolve independently — a DELETE erases rows "
+    "from the clone while the source keeps them. The oracle replays "
+    "both final states from the raw table.",
+)
+def lake_clone_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: clone = O(#files) link syscalls + ONE manifest write
+    inheriting per-file stats/rows/blooms — no scan is ever planned.
+    Hardlinks make source vacuum/erasure physically unable to corrupt
+    the clone (tests/test_clone.py erases the whole source and reads
+    the clone), the failure mode Delta documents for its
+    path-referencing shallow clones."""
+    from ..sources import read_manifest
+
+    eng, lake = _governed_docs(spark, sf_dir, "sqlclone_")
+    out = eng.sql(
+        f"CREATE TABLE db.c CLONE db.docs "
+        f"WITH (external_location = '{lake}/c')",
+        "ops",
+    ).first()
+    assert out.cloned_from_version == 1, out
+    # zero-copy pin: the clone's v1 manifest carries the source
+    # snapshot's recorded stats verbatim (no footer was re-read)
+    assert (
+        read_manifest(f"{lake}/c")["file_stats"]
+        == read_manifest(f"{lake}/docs")["file_stats"]
+    )
+    d = eng.sql("DELETE FROM db.c WHERE doc_id % 13 = 0", "ops").first()
+    assert d.rows_deleted > 0
+    return eng.sql(
+        "SELECT 'src' AS tbl, lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM db.docs GROUP BY lang "
+        "UNION ALL "
+        "SELECT 'clone' AS tbl, lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM db.c GROUP BY lang",
+        "ops",
+    )

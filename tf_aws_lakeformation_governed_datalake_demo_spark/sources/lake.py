@@ -2298,6 +2298,111 @@ def rollback_table(path: str, version: int) -> dict:
     }
 
 
+def clone_table(src: str, dst: str, version: int | None = None) -> dict:
+    """Zero-copy table CLONE — materialize a retained snapshot of
+    ``src`` as an independent manifest table at ``dst`` without copying
+    a byte of data: every data file is HARDLINKED into ``dst``
+    (O(#files) metadata syscalls, shared inodes) and the clone's v1
+    manifest inherits the source snapshot's recorded per-file
+    stats/rows/blooms, so the whole operation is footer-read-free on a
+    manifest source. Delta/Iceberg's shallow-clone use cases — dev
+    copies of production, experiment branches that outlive the source's
+    retention, training-set freezes — with a safety upgrade over
+    path-referencing shallow clones: Delta's own docs warn a VACUUM on
+    the source breaks its shallow clones, whereas unlinking a hardlink
+    only drops a name, so source vacuum/erasure can NEVER corrupt a
+    clone (and vice versa). On an object store this maps to
+    metadata-only copy-on-reference; on a POSIX lake hardlinks ARE that
+    primitive. Cross-device targets degrade to a real copy per file
+    (correct, just not free) — clones belong on the lake's filesystem.
+
+    The two tables then evolve independently: the clone's history
+    starts at v1 (its parent chain never reaches into the source, so
+    source time travel is not cloneable history), copied files carry
+    ``file_added=0`` with the source's merge-on-read tombstones
+    re-scoped to 0 — they keep suppressing exactly the rows they
+    suppressed at the source, while every post-clone commit's files sit
+    above scope 0 and can never be shadowed by a pre-clone tombstone.
+    Schema, constraints, rename mapping, and partition-spec bookkeeping
+    copy verbatim; the source's ``app_versions`` stream ledger does NOT
+    (a stream writing to the source has never written to the clone —
+    inheriting its high-water marks would silently drop the first
+    replayed batches a sink owes a new table).
+
+    Concurrency: committed snapshot JSONs are immutable, so no source
+    lock is taken (same posture as vacuum). If a concurrent vacuum
+    expires the snapshot mid-clone, a link raises FileNotFoundError and
+    the clone fails LOUDLY with no manifest at ``dst`` — nothing
+    partial is ever visible; re-run against a retained snapshot.
+
+    ``version=None`` clones the current snapshot. The source must be
+    manifest-committed; ``dst`` must be empty of data and manifests."""
+    import os
+    import shutil
+    import uuid as _uuid
+    from pathlib import Path
+
+    src_live = Path(src).resolve()
+    dst_live = Path(dst).resolve()
+    if src_live == dst_live or dst_live.is_relative_to(src_live) or (
+        src_live.is_relative_to(dst_live)
+    ):
+        raise ValueError(
+            f"clone target {dst} overlaps the source {src} — a clone is "
+            "a sibling table, never a nested directory"
+        )
+    m = read_manifest(str(src_live), version)
+    if m is None:
+        raise FileNotFoundError(
+            f"table at {src} is not manifest-committed — clone_table "
+            "requires a manifest source (publish with manifest=True)"
+        )
+    if dst_live.exists() and (
+        (dst_live / "_manifest.json").exists()
+        or _data_file_relpaths(dst_live)
+    ):
+        raise FileExistsError(
+            f"clone target {dst} already holds a table — refusing to "
+            "adopt or overwrite"
+        )
+    dst_live.mkdir(parents=True, exist_ok=True)
+    for f in m["files"]:
+        target = dst_live / f
+        target.parent.mkdir(parents=True, exist_ok=True)
+        try:
+            os.link(src_live / f, target)
+        except OSError:
+            # cross-device (or FS without hardlinks): fall back to a
+            # real copy — still a correct clone, just not zero-byte
+            shutil.copy2(src_live / f, target)
+    with publish_lock(dst_live):
+        snap = _commit_manifest(
+            dst_live,
+            m["files"],
+            m["partition_by"],
+            None,
+            _uuid.uuid4().hex,
+            app_versions={},
+            file_stats_hints=m.get("file_stats"),
+            file_rows_hints=m.get("file_rows"),
+            file_blooms=m.get("file_blooms"),
+            table_schema=m.get("schema"),
+            delete_predicates=[
+                {**p, "scope": 0} for p in m.get("delete_predicates", [])
+            ],
+            file_added_hints={f: 0 for f in m["files"]},
+            constraints=m.get("constraints", {}),
+            partition_specs=m.get("partition_specs") or {},
+            file_spec=m.get("file_spec") or {},
+            column_mapping=m.get("column_mapping", {}),
+        )
+    return {
+        "cloned_from_version": m["version"],
+        "new_version": snap["version"],
+        "n_files": len(snap["files"]),
+    }
+
+
 def rename_column(path: str, old: str, new: str) -> dict:
     """RENAME a manifest table's column WITHOUT rewriting a byte — the
     Delta column-mapping model on plain Parquet. Files carry FROZEN

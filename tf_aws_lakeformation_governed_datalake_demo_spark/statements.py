@@ -303,6 +303,19 @@ class DescribeHistoryStatement:
 
 
 @dataclass(frozen=True)
+class CloneStatement:
+    """``CREATE TABLE <db.t> CLONE <db.src> [VERSION AS OF <n>] WITH
+    (external_location = '<path>')`` — zero-copy snapshot clone
+    (Engine.clone_table). Location is explicit like CTAS: this
+    engine's tables are external."""
+
+    target: str
+    source: str
+    version: int | None
+    location: str
+
+
+@dataclass(frozen=True)
 class AnalyzeStatement:
     """``ANALYZE TABLE <db.t> COMPUTE STATISTICS [FOR COLUMNS c, ...
     | FOR ALL COLUMNS]`` — Spark's own CBO-stats verb, routed to
@@ -315,6 +328,7 @@ class AnalyzeStatement:
 
 Statement = (
     AnalyzeStatement,
+    CloneStatement,
     AddColumnsStatement,
     ShowDatabasesStatement,
     ShowViewsStatement,
@@ -1269,14 +1283,49 @@ def parse_statement(sql: str):
             # pasted into Athena (outputs.tf:44-53, README.md:159-197)
             body = _require_query(text[m.end() :], "the view body")
             return CreateViewStatement(m.group(2), body, bool(m.group(1)))
+        m = re.match(
+            rf"create\s+table\s+({_QUALIFIED})\s+clone\s+({_QUALIFIED})\s*",
+            text,
+            re.I,
+        )
+        if m:
+            clone_grammar = (
+                "CREATE TABLE <db.table> CLONE <db.source> [VERSION AS "
+                "OF <n>] WITH (external_location = '<path>')"
+            )
+            rest = text[m.end() :].strip()
+            version = None
+            mv = re.match(r"version\s+as\s+of\s+(\d+)\s*", rest, re.I)
+            if mv:
+                version = int(mv.group(1))
+                rest = rest[mv.end() :].strip()
+            mw = re.fullmatch(r"with\s*\((.*)\)", rest, re.I | re.S)
+            if not mw:
+                raise UnsupportedStatementError(
+                    f"supported CLONE form: {clone_grammar}"
+                )
+            props = _parse_props(mw.group(1))
+            location = props.pop("external_location", None)
+            if not location:
+                raise UnsupportedStatementError(
+                    "CLONE requires external_location = '<path>' (clone "
+                    "tables are external, like CTAS results)"
+                )
+            if props:
+                raise UnsupportedStatementError(
+                    f"unsupported CLONE propert(ies) {sorted(props)}"
+                )
+            return CloneStatement(m.group(1), m.group(2), version, location)
         if re.match(r"create\s+table\b", text, re.I):
             return _parse_ctas(text)
         raise UnsupportedStatementError(
             "CREATE through engine.sql supports CREATE [OR REPLACE] VIEW "
-            "<db.view> AS <select>, CREATE MATERIALIZED VIEW, and CREATE "
+            "<db.view> AS <select>, CREATE MATERIALIZED VIEW, CREATE "
             "TABLE ... WITH (external_location=...) AS <select> (Athena "
-            "CTAS); plain tables/databases go through the catalog API "
-            "(create_database / register_table)"
+            "CTAS), and CREATE TABLE <db.t> CLONE <db.src> [VERSION AS "
+            "OF n] WITH (external_location=...); plain tables/databases "
+            "go through the catalog API (create_database / "
+            "register_table)"
         )
     if verb == "unload":
         m = re.match(r"unload\s*", text, re.I)
