@@ -26,7 +26,8 @@ freshness-first, self-healing):
   (text_c4_clean) and the composed web-cleaning funnel
   (pipeline_web_cleaning_stack), ANALYZE TABLE + cost-based
   broadcast (sql_analyze_stats), zero-copy CLONE
-  (lake_clone_zero_copy), plus pipeline_domain_caps,
+  (lake_clone_zero_copy), perplexity bucketing
+  (pipeline_perplexity_buckets), plus pipeline_domain_caps,
   RE-verified unprefixed because its implementation changed this
   round (the exact two-phase top-K skew cure from VERDICT r11
   What's wrong #1 — same oracle, new plan).

@@ -271,3 +271,38 @@ def test_web_cleaning_stack_funnel_monotone(spark):
     assert sum(r.n_c4 for r in rows) < sum(r.n_raw for r in rows)  # C4 binds
     assert sum(r.n_gopher for r in rows) < sum(r.n_c4 for r in rows)
     assert sum(r.n_caps for r in rows) < sum(r.n_dedup for r in rows)
+
+
+def test_perplexity_buckets_cover_range_and_partition_docs(spark):
+    """pipeline_perplexity_buckets (round 12): every scoreable doc lands
+    in exactly one 0-9 bucket, each language spans multiple buckets
+    (the LM separates fluent from surprising docs — a single-bucket
+    language would mean the signal is degenerate), and the bucket
+    edges tile the language's CE range without overlap."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.registry import (
+        REGISTRY,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["pipeline_perplexity_buckets"].builder(spark, sf).collect()
+    assert rows
+    langs = {}
+    for r in rows:
+        assert 0 <= r.bucket <= 9, r
+        assert r.min_ce_milli <= r.max_ce_milli
+        langs.setdefault(r.lang, []).append(r)
+    d = load(spark, sf, "documents")
+    from pyspark.sql import functions as F
+
+    scoreable = d.filter(
+        F.size(F.split(F.lower("text"), r"\s+")) >= 2
+    ).count()
+    assert sum(r.n_docs for r in rows) == scoreable  # total partition
+    for lang, rs in langs.items():
+        assert len(rs) >= 2, f"{lang}: degenerate single bucket"
+        # buckets tile without overlap: sorted by bucket id, CE ranges
+        # are strictly increasing between buckets
+        rs = sorted(rs, key=lambda r: r.bucket)
+        for a, b in zip(rs, rs[1:]):
+            assert a.max_ce_milli < b.min_ce_milli

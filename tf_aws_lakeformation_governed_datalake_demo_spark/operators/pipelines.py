@@ -348,3 +348,129 @@ def pipeline_web_cleaning_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_raw", "n_c4", "n_gopher", "n_dedup", "n_caps",
         "sum_doc_id",
     )
+
+
+@query(
+    "pipeline_perplexity_buckets",
+    r"""
+    WITH toks AS (SELECT doc_id, lang,
+                         string_split_regex(lower(text), '\s+') AS t
+                  FROM documents),
+    bg AS (SELECT doc_id, lang,
+                  unnest(list_transform(range(1, len(t)), i ->
+                    struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+           FROM toks WHERE len(t) >= 2),
+    flat AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
+           FROM flat GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM flat GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM flat),
+    scored AS (SELECT flat.doc_id, flat.lang,
+                      CAST(round(ln((coalesce(c2.c2, 0) + 0.5)
+                                    / (coalesce(c1.c1, 0) + 0.5 * v.v))
+                                 * 1000000) AS BIGINT) AS lp
+               FROM flat
+               LEFT JOIN c2 ON flat.w1 = c2.w1 AND flat.w2 = c2.w2
+               LEFT JOIN c1 ON flat.w1 = c1.w1, v),
+    doc AS (SELECT doc_id, lang,
+                   (-CAST(sum(lp) AS BIGINT)) // (count(*) * 1000)
+                     AS ce_milli
+            FROM scored GROUP BY 1, 2),
+    rng AS (SELECT lang, min(ce_milli) AS mn, max(ce_milli) AS mx
+            FROM doc GROUP BY 1)
+    SELECT d.lang,
+           CAST((d.ce_milli - r.mn) * 10 // (r.mx - r.mn + 1) AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(min(d.ce_milli) AS BIGINT) AS min_ce_milli,
+           CAST(max(d.ce_milli) AS BIGINT) AS max_ce_milli
+    FROM doc d JOIN rng r ON d.lang = r.lang
+    GROUP BY d.lang, 2
+    """,
+    "Perplexity bucketing (CCNet/Dolma's curation primitive): score "
+    "every document with the corpus-trained smoothed bigram LM, then "
+    "assign per-language fluency buckets 0-9 so downstream mixing can "
+    "up/down-sample by bucket. Buckets are EQUAL-WIDTH over the "
+    "language's scaled-integer CE range — derived from one min/max "
+    "partial aggregate, deliberately NOT per-language quantiles: an "
+    "exact per-lang ntile is a per-key sort, and at 100 TB one "
+    "language is half the crawl (the same skew wall "
+    "pipeline_domain_caps had to engineer around). Integer milli-nat "
+    "CE and integer bucket math make the assignment bit-reproducible "
+    "across engines.",
+)
+def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one corpus bigram explode into two map-side-combined
+    count tables (vocabulary-bounded, AQE-broadcast for the score
+    joins), one per-doc partial agg, one per-LANG min/max partial agg
+    broadcast back — no window, no sort, no skew-prone per-key
+    ordering anywhere. Scaled-integer log-probs (micro-nats) keep the
+    per-doc mean exact and accumulation-order-free, same discipline as
+    text_bigram_cross_entropy; milli-nat integer division and integer
+    bucket arithmetic are floor-consistent in Spark (div) and DuckDB
+    (//) for the positive CE domain."""
+    from .text import _ws_tokens
+
+    d = load(spark, sf_dir, "documents")
+    flat = (
+        d.select("doc_id", "lang", _ws_tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(
+            "doc_id", "lang",
+            F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"),
+        )
+    )
+    c2 = flat.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    c1 = flat.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    v = flat.agg(F.countDistinct("w2").cast("double").alias("v"))
+    p = (F.coalesce(F.col("c2"), F.lit(0.0)) + 0.5) / (
+        F.coalesce(F.col("c1"), F.lit(0.0)) + 0.5 * F.col("v")
+    )
+    doc = (
+        flat.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id", "lang",
+            F.round(F.log(p) * 1000000).cast("long").alias("lp"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr("(-sum(lp)) div (count(*) * 1000)").alias("ce_milli")
+        )
+    )
+    rng = doc.groupBy("lang").agg(
+        F.min("ce_milli").alias("mn"), F.max("ce_milli").alias("mx")
+    )
+    return (
+        doc.join(F.broadcast(rng), "lang")
+        .select(
+            "lang", "doc_id", "ce_milli",
+            F.expr("(ce_milli - mn) * 10 div (mx - mn + 1)").alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.min("ce_milli").cast("long").alias("min_ce_milli"),
+            F.max("ce_milli").cast("long").alias("max_ce_milli"),
+        )
+        .select(
+            "lang", F.col("bucket").cast("long").alias("bucket"),
+            "n_docs", "sum_doc_id", "min_ce_milli", "max_ce_milli",
+        )
+    )
