@@ -281,6 +281,14 @@ HEADLINE = [
     # ... and the streaming x txlog composition (3 micro-batches, each
     # one cross-table transaction, + a replayed no-op cut + txn reads)
     "stream_txlog_ingest",
+    # round 12 second-half additions: ANALYZE TABLE (seed publish + the
+    # one-pass column-stats aggregate + stats readback), zero-copy
+    # CLONE (seed publish + hardlink clone + divergence DELETE + both
+    # final-state reads), and perplexity bucketing (corpus bigram LM +
+    # per-doc CE + per-lang equal-width histogram, no windows)
+    "sql_analyze_stats",
+    "lake_clone_zero_copy",
+    "pipeline_perplexity_buckets",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
