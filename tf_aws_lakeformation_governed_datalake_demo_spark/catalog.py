@@ -940,6 +940,45 @@ class GovernedCatalog:
             Grant(name, permission, database, resource, via_filter, via_tag_exclude)
         )
 
+    def revoke(
+        self,
+        principal: Principal | str,
+        permission: str | None = None,
+        database: str | None = None,
+        resource: str | None = None,
+    ) -> int:
+        """RevokePermissions (the Lake Formation API the reference's
+        ``terraform destroy`` calls) — remove every grant matching the
+        given fields; ``None`` fields match anything, so
+        ``revoke("analyst")`` strips a departing principal entirely
+        while ``revoke("analyst", "SELECT", "db", "t")`` removes one
+        permission. Conditions (via_filter / via_tag_exclude) ride the
+        grant they condition — revoking the grant revokes the
+        conditioned access with it. Returns the number of grants
+        removed.
+
+        Enforcement is immediate: the next access check walks the
+        live grant list. Result-reuse safety is structural: grants are
+        governance state, so a revoke changes
+        :meth:`governance_fingerprint` and every cached result keyed
+        on the old digest stops serving — a revoked principal can
+        never ride a cache into data they just lost."""
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        before = len(self.grants)
+        self.grants = [
+            g
+            for g in self.grants
+            if not (
+                g.principal == name
+                and (permission is None or g.permission == permission)
+                and (database is None or g.database == database)
+                and (resource is None or g.resource == resource)
+            )
+        ]
+        return before - len(self.grants)
+
     def set_admins(self, principals: list[str]) -> None:
         """G9 — data-lake admins bypass grant checks (main.tf:82-91)."""
         self.admins.update(principals)

@@ -675,6 +675,7 @@ class Engine:
             RefreshMVStatement,
             RenameColumnStatement,
             ShowDatabasesStatement,
+            ShowGrantsStatement,
             ShowPartitionsStatement,
             ShowTablesStatement,
             ShowViewsStatement,
@@ -1221,6 +1222,70 @@ class Engine:
                         parts.add(rel.replace(os.sep, "/"))
             return spark.createDataFrame(
                 [(p,) for p in sorted(parts)] or [], "partition string"
+            )
+
+        if isinstance(stmt, ShowGrantsStatement):
+            # the Lake Formation permissions-console view. Admins may
+            # inspect any principal (FOR omitted = every grant on the
+            # object); a non-admin lists only their OWN grants, and only
+            # on an object they hold SOME grant on — implicit deny hides
+            # existence here exactly as it does for SHOW/DESCRIBE.
+            qe.tables = [stmt.target]
+            if (
+                stmt.target not in self.catalog.tables
+                and stmt.target not in self.catalog.views
+            ):
+                raise KeyError(f"unknown table or view {stmt.target!r}")
+            db, _, res = stmt.target.partition(".")
+            who = stmt.principal
+            if self.catalog.governance_enabled and name not in self.catalog.admins:
+                from .governance import ALL as _ALL
+
+                mine = (
+                    self.catalog.grants_for(name, db, res)
+                    if name is not None
+                    else []
+                )
+                owner = any(
+                    g.permission == _ALL
+                    and g.via_filter is None
+                    and g.via_tag_exclude is None
+                    for g in mine
+                )
+                if not owner:
+                    # a non-owner lists only their OWN grants
+                    if name is None or (who is not None and who != name):
+                        raise PermissionDeniedError(
+                            "SHOW GRANTS FOR another principal requires an "
+                            "admin or an unconditioned ALL grant on the "
+                            "object; others may list only their own grants"
+                        )
+                    who = name
+                    if not mine:
+                        raise PermissionDeniedError(
+                            f"principal {name!r} is not authorized to "
+                            f"access {stmt.target}"
+                        )
+            rows = [
+                (
+                    g.principal,
+                    g.permission,
+                    g.via_filter,
+                    (
+                        f"{g.via_tag_exclude[0]}={g.via_tag_exclude[1]}"
+                        if g.via_tag_exclude is not None
+                        else None
+                    ),
+                )
+                for g in self.catalog.grants
+                if g.database == db
+                and g.resource == res
+                and (who is None or g.principal == who)
+            ]
+            return spark.createDataFrame(
+                rows or [],
+                "principal string, permission string, via_filter string, "
+                "via_tag_exclude string",
             )
 
         if isinstance(stmt, AnalyzeStatement):

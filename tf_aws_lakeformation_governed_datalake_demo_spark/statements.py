@@ -303,6 +303,17 @@ class DescribeHistoryStatement:
 
 
 @dataclass(frozen=True)
+class ShowGrantsStatement:
+    """``SHOW GRANTS [FOR <principal>] ON <db.table-or-view>`` — the
+    Lake Formation permissions-console view. A non-admin may list only
+    their OWN grants (omitting FOR, or naming themselves); an admin may
+    inspect any principal's."""
+
+    target: str
+    principal: str | None = None
+
+
+@dataclass(frozen=True)
 class CloneStatement:
     """``CREATE TABLE <db.t> CLONE <db.src> [VERSION AS OF <n>] WITH
     (external_location = '<path>')`` — zero-copy snapshot clone
@@ -329,6 +340,7 @@ class AnalyzeStatement:
 Statement = (
     AnalyzeStatement,
     CloneStatement,
+    ShowGrantsStatement,
     AddColumnsStatement,
     ShowDatabasesStatement,
     ShowViewsStatement,
@@ -1395,9 +1407,17 @@ def parse_statement(sql: str):
         m = re.fullmatch(rf"show\s+partitions\s+({_QUALIFIED})", text, re.I)
         if m:
             return ShowPartitionsStatement(m.group(1))
+        m = re.fullmatch(
+            rf"show\s+grants(?:\s+for\s+({_IDENT}))?\s+on\s+({_QUALIFIED})",
+            text,
+            re.I,
+        )
+        if m:
+            return ShowGrantsStatement(m.group(2), m.group(1))
         raise UnsupportedStatementError(
             "supported SHOW forms: SHOW DATABASES | SHOW TABLES [IN <db>] "
-            "| SHOW VIEWS [IN <db>] | SHOW PARTITIONS <db.table>"
+            "| SHOW VIEWS [IN <db>] | SHOW PARTITIONS <db.table> | "
+            "SHOW GRANTS [FOR <principal>] ON <db.table>"
         )
     if verb == "analyze":
         m = re.fullmatch(
@@ -1451,7 +1471,7 @@ def parse_statement(sql: str):
         "INTO, INSERT INTO, UPDATE, DELETE FROM, OPTIMIZE, VACUUM, "
         "CREATE/REFRESH/DROP MATERIALIZED VIEW, CREATE [OR REPLACE] VIEW, "
         "DROP VIEW, PREPARE/EXECUTE, ALTER TABLE RENAME COLUMN / ADD "
-        "COLUMNS, SHOW DATABASES/TABLES/VIEWS/PARTITIONS, DESCRIBE "
-        "[HISTORY], ANALYZE TABLE); raw DDL does not run through the "
-        "governed engine"
+        "COLUMNS, SHOW DATABASES/TABLES/VIEWS/PARTITIONS/GRANTS, "
+        "DESCRIBE [HISTORY], ANALYZE TABLE); raw DDL does not run "
+        "through the governed engine"
     )
