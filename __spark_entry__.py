@@ -27,7 +27,8 @@ freshness-first, self-healing):
   (pipeline_web_cleaning_stack), ANALYZE TABLE + cost-based
   broadcast (sql_analyze_stats), zero-copy CLONE
   (lake_clone_zero_copy), perplexity bucketing
-  (pipeline_perplexity_buckets), plus pipeline_domain_caps,
+  (pipeline_perplexity_buckets), dynamic-partition overwrite
+  (sql_insert_overwrite), plus pipeline_domain_caps,
   RE-verified unprefixed because its implementation changed this
   round (the exact two-phase top-K skew cure from VERDICT r11
   What's wrong #1 — same oracle, new plan).

@@ -289,6 +289,9 @@ HEADLINE = [
     "sql_analyze_stats",
     "lake_clone_zero_copy",
     "pipeline_perplexity_buckets",
+    # ... and INSERT OVERWRITE (seed publish + self-referential batch
+    # read + one-partition atomic replace + final agg)
+    "sql_insert_overwrite",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -1,0 +1,174 @@
+"""INSERT OVERWRITE / overwrite_partitions (round 12) — dynamic-
+partition overwrite as one atomic manifest commit.
+
+The 100 TB claim is the carry set: only the partitions PRESENT in the
+batch are replaced; every other partition's files are carried BY NAME
+(asserted on file identity, not just content), so a daily reprocess
+commits O(batch) regardless of table size.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+    GovernedCatalog,
+    TableDef,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark.engine import Engine
+from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+    PermissionDeniedError,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+    delete_rows_mor,
+    overwrite_partitions,
+    publish_overwrite,
+    read_manifest,
+    read_table,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark.statements import (
+    parse_statement,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, grp string, v long")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    publish_overwrite(
+        spark,
+        loc,
+        _df(spark, [(i, "abc"[i % 3], i * 10) for i in range(30)]),
+        ["grp"],
+        manifest=True,
+    )
+    return loc
+
+
+def test_overwrite_replaces_only_present_partitions(spark, table):
+    before = read_manifest(table)
+    kept_before = {f for f in before["files"] if f.startswith("grp=b/")} | {
+        f for f in before["files"] if f.startswith("grp=c/")
+    }
+    out = overwrite_partitions(
+        spark, table, _df(spark, [(1000, "a", 1), (1001, "a", 2)]), ["grp"]
+    )
+    assert out["partitions_replaced"] == ["grp=a"]
+    assert out["files_replaced"] >= 1
+    after = read_manifest(table)
+    # untouched partitions carried BY NAME — identical file entries
+    assert kept_before <= set(after["files"])
+    assert not any(
+        f in set(after["files"])
+        for f in before["files"]
+        if f.startswith("grp=a/")
+    )
+    got = {(r.id, r.grp) for r in read_table(spark, table).collect()}
+    assert {(1000, "a"), (1001, "a")} <= got
+    assert not any(g == "a" and i < 1000 for i, g in got)
+    assert sum(1 for _, g in got if g == "b") == 10
+
+
+def test_overwrite_keeps_tombstones_on_carried_files(spark, table):
+    delete_rows_mor(spark, table, "id = 1")  # id=1 is grp=b
+    overwrite_partitions(spark, table, _df(spark, [(1000, "a", 1)]), ["grp"])
+    assert read_table(spark, table).where("id = 1").count() == 0
+    # time travel still shows the pre-overwrite snapshot
+    assert read_table(spark, table, version=1).count() == 30
+
+
+def test_overwrite_refusals(spark, table, tmp_path):
+    with pytest.raises(ValueError, match="empty batch"):
+        overwrite_partitions(
+            spark, table, _df(spark, []).limit(0), ["grp"]
+        )
+    with pytest.raises(ValueError, match="does not match"):
+        overwrite_partitions(spark, table, _df(spark, [(1, "a", 1)]), ["id"])
+    plain = str(tmp_path / "plain")
+    _df(spark, [(1, "a", 1)]).write.partitionBy("grp").parquet(plain)
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        overwrite_partitions(spark, plain, _df(spark, [(1, "a", 1)]), ["grp"])
+    # schema drift fails fast
+    bad = spark.createDataFrame([(1, "a")], "id long, grp string")
+    with pytest.raises(ValueError, match="schema"):
+        overwrite_partitions(spark, table, bad, ["grp"])
+
+
+def test_overwrite_refuses_partition_evolved_tables(spark, table):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        append_rows,
+        evolve_partitioning,
+    )
+
+    evolve_partitioning(table, ["v"])
+    append_rows(spark, table, _df(spark, [(2000, "a", 777)]), ["v"])
+    with pytest.raises(ValueError, match="retired partition spec"):
+        overwrite_partitions(
+            spark, table, _df(spark, [(1, "a", 1)]), ["v"]
+        )
+
+
+# ------------------------------------------------------------ SQL layer
+def test_parse_insert_overwrite():
+    s = parse_statement("INSERT OVERWRITE TABLE db.t SELECT * FROM db.s")
+    assert s.overwrite and s.columns == ()
+    s = parse_statement("INSERT INTO db.t SELECT * FROM db.s")
+    assert not s.overwrite
+
+
+@pytest.fixture()
+def env(spark, table, tmp_path):
+    cat = GovernedCatalog(spark, lake_root=str(tmp_path))
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    cat.register_table(
+        TableDef(
+            "db", "t", table,
+            schema=read_table(spark, table).schema,
+            partition_keys=("grp",),
+        )
+    )
+    return cat, Engine(spark, cat)
+
+
+def test_sql_insert_overwrite_end_to_end(env):
+    cat, eng = env
+    out = eng.sql(
+        "INSERT OVERWRITE db.t "
+        "SELECT id + 1000 AS id, grp, v + 1 AS v FROM db.t "
+        "WHERE grp = 'a'",
+        "ops",
+    ).first()
+    assert out.partitions_replaced == 1
+    assert out.rows_inserted == 10
+    rows = eng.sql(
+        "SELECT grp, count(*) AS n, min(id) AS lo FROM db.t GROUP BY grp "
+        "ORDER BY grp",
+        "ops",
+    ).collect()
+    assert [(r.grp, r.n) for r in rows] == [("a", 10), ("b", 10), ("c", 10)]
+    assert rows[0].lo >= 1000  # grp=a fully replaced
+    assert rows[1].lo < 1000  # grp=b untouched
+
+
+def test_sql_insert_overwrite_denied_for_conditioned_principal(env):
+    cat, eng = env
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        DataCellsFilter,
+    )
+
+    cat.create_data_cells_filter(
+        DataCellsFilter(
+            name="f", database="db", table="t",
+            columns=None, row_filter="grp = 'a'",
+        )
+    )
+    cat.grant("analyst", "SELECT", "db", "t", via_filter="f")
+    with pytest.raises(PermissionDeniedError):
+        eng.sql(
+            "INSERT OVERWRITE db.t SELECT * FROM db.t WHERE grp = 'a'",
+            "analyst",
+        )

@@ -1504,6 +1504,47 @@ class Engine:
             ]
         )
         pkeys = list(table.partition_keys) or None
+        if stmt.overwrite:
+            # dynamic-partition OVERWRITE: one atomic manifest commit
+            # replacing exactly the partitions present in the batch
+            # (overwrite_partitions' contract; refusals — unpartitioned,
+            # non-manifest, evolved layout, empty batch — surface loudly)
+            from .sources.lake import overwrite_partitions
+
+            if pkeys is None:
+                raise ValueError(
+                    f"INSERT OVERWRITE requires a partitioned table — "
+                    f"{stmt.target} is unpartitioned; a full replace is "
+                    "publish_overwrite / CTAS"
+                )
+            cur = read_manifest(table.location)
+            if cur is None:
+                raise ValueError(
+                    f"INSERT OVERWRITE requires a manifest-committed "
+                    f"table; publish {stmt.target} with manifest=True "
+                    "first"
+                )
+            before = set(cur["files"])
+            snap = overwrite_partitions(
+                spark, table.location, batch, pkeys
+            )
+            rows = sum(
+                int(snap.get("file_rows", {}).get(f, 0))
+                for f in set(snap["files"]) - before
+            )
+            qe.tables = [stmt.target, *touched]
+            return self.spark.createDataFrame(
+                [
+                    (
+                        rows,
+                        len(snap["partitions_replaced"]),
+                        int(snap["files_replaced"]),
+                        snap["version"],
+                    )
+                ],
+                "rows_inserted long, partitions_replaced long, "
+                "files_replaced long, version long",
+            )
         if read_manifest(table.location) is not None:
             before = set(read_manifest(table.location)["files"])
             snap = append_rows(spark, table.location, batch, partition_by=pkeys)

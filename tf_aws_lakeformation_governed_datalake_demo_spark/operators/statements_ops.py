@@ -1277,3 +1277,52 @@ def lake_clone_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM db.c GROUP BY lang",
         "ops",
     )
+
+
+@query(
+    "sql_insert_overwrite",
+    """
+    WITH v AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE lang <> 'de'
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text), lang, source, n_chars
+      FROM documents WHERE lang = 'de')
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_chk
+    FROM v GROUP BY lang
+    """,
+    "INSERT OVERWRITE as a governed SQL statement (round 12): "
+    "dynamic-partition overwrite — the batch (a governed SELECT over "
+    "the table itself) replaces exactly the lang='de' partition in "
+    "ONE atomic manifest commit while every other partition's files "
+    "carry by name. The oracle rebuilds the expected final state "
+    "declaratively; the md5 checksum proves the replaced partition's "
+    "new content landed.",
+)
+def sql_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: the daily-reprocess primitive — re-derive one partition,
+    commit O(batch files) + carried NAMES, never rewrite the table.
+    Staging is invisible until the pointer flips; schema drift, CHECK
+    constraints, layout and rename-mapping races all fail closed
+    (tests/test_insert_overwrite.py; carried files asserted by
+    identity, tombstones on carried files keep applying, evolved
+    layouts refused with the OPTIMIZE cure)."""
+    eng, _ = _governed_docs(spark, sf_dir, "sqlow_")
+    out = eng.sql(
+        "INSERT OVERWRITE db.docs "
+        "SELECT doc_id + 1000000 AS doc_id, upper(text) AS text, lang, "
+        "source, n_chars FROM db.docs WHERE lang = 'de'",
+        "ops",
+    ).first()
+    assert out.partitions_replaced == 1, out
+    assert out.rows_inserted > 0
+    return eng.sql(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, "
+        "CAST(sum(conv(substr(md5(text), 1, 8), 16, 10)) AS BIGINT) "
+        "AS text_chk FROM db.docs GROUP BY lang",
+        "ops",
+    )

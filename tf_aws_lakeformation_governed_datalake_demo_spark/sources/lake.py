@@ -2220,6 +2220,172 @@ def append_rows(
         shutil.rmtree(staged, ignore_errors=True)
 
 
+def overwrite_partitions(
+    spark: SparkSession,
+    path: str,
+    rows: DataFrame,
+    partition_by: list[str],
+    compression: str = "snappy",
+) -> dict:
+    """Dynamic-partition OVERWRITE on a manifest table — Spark's
+    ``partitionOverwriteMode=dynamic`` / Hive ``INSERT OVERWRITE``
+    semantics as ONE atomic manifest commit: exactly the hive
+    partitions PRESENT in the batch are replaced (their files drop out
+    of the snapshot), every other partition is carried untouched, and
+    readers flip with the pointer. The daily-reprocess primitive: at
+    100 TB you re-derive yesterday's partition, never the table, and
+    the commit costs O(batch files) + O(#carried names) manifest
+    arithmetic.
+
+    Contract mirrors :func:`append_rows` (staging invisibility, schema
+    drift fail-fast, CHECK constraints on the staged batch, layout /
+    constraint / rename-mapping guards re-checked under the commit
+    lock), with overwrite-specific rules:
+
+    - the table must be partitioned and ``partition_by`` must equal
+      the committed layout — "overwrite the matching partitions" is
+      meaningless on an unpartitioned table (use
+      :func:`publish_overwrite`);
+    - an EMPTY batch is refused loudly: dynamic overwrite derives the
+      replacement set from the data, so an empty batch would silently
+      no-op where the caller almost certainly meant to replace
+      something;
+    - a partition-EVOLVED table (live files on retired specs) is
+      refused with the OPTIMIZE cure: rows belonging to a logical
+      partition may live in files outside that partition's current
+      directory naming, so a directory-named replacement would be
+      incomplete — fail closed, never half-replace;
+    - merge-on-read tombstones scoped to replaced files are pruned
+      automatically by the commit (no live file carries them);
+      tombstones over carried files keep applying.
+
+    Returns the committed snapshot dict plus ``files_replaced`` /
+    ``partitions_replaced``."""
+    import shutil
+    import uuid as _uuid
+    from pathlib import Path
+
+    live = Path(path)
+    current = read_manifest(str(live))
+    if current is None:
+        raise FileNotFoundError(
+            f"table at {path} is not manifest-committed — "
+            "overwrite_partitions requires manifest commits "
+            "(publish_overwrite(..., manifest=True) first)"
+        )
+    pb = list(partition_by or [])
+    if not pb:
+        raise ValueError(
+            "overwrite_partitions needs partition columns — for a full "
+            "overwrite use publish_overwrite"
+        )
+    if current["partition_by"] != pb:
+        raise ValueError(
+            f"partition_by {pb} does not match the table's committed "
+            f"layout {current['partition_by']}"
+        )
+    if current.get("partition_specs"):
+        raise ValueError(
+            f"table at {path} has live files on retired partition specs "
+            "— a directory-named overwrite would miss rows written "
+            "under the old layout; run OPTIMIZE to heal to the current "
+            "spec first"
+        )
+    recorded = current.get("schema")
+    if recorded is not None:
+        want = {f["name"]: f["type"] for f in recorded["fields"]}
+        have = {
+            f["name"]: f["type"] for f in rows.schema.jsonValue()["fields"]
+        }
+        if want != have:
+            extra = sorted(set(have) - set(want))
+            missing = sorted(set(want) - set(have))
+            retyped = sorted(
+                n for n in set(want) & set(have) if want[n] != have[n]
+            )
+            raise ValueError(
+                f"overwrite batch schema does not match the table's "
+                f"committed schema (extra={extra}, missing={missing}, "
+                f"retyped={retyped})"
+            )
+    txid = _uuid.uuid4().hex
+    staged = live / f"_staged_{txid}"
+    logical_schema = rows.schema.jsonValue()
+    pre_mapping = current.get("column_mapping", {})
+    if pre_mapping:
+        rows = _to_physical_df(rows, current)
+    (
+        rows.write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy(*pb)
+        .parquet(str(staged))
+    )
+    staged_files = sorted(
+        p.relative_to(staged) for p in staged.rglob("*.parquet") if p.is_file()
+    )
+    if not staged_files:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise ValueError(
+            "overwrite_partitions refuses an empty batch: dynamic "
+            "overwrite derives the replacement set from the data, so an "
+            "empty batch would silently replace nothing — if clearing "
+            "partitions is intended, use delete_rows"
+        )
+    # the replacement set: hive partition dirs present in the batch
+    # (same partitionBy writer encoding as the table's own files)
+    touched = {str(f.parent) for f in staged_files}
+    pre_constraints = current.get("constraints", {})
+    try:
+        _enforce_constraints(
+            spark, staged, pre_constraints, mapping=pre_mapping
+        )
+    except ConstraintViolationError:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
+    try:
+        with publish_lock(live):
+            current = read_manifest(str(live))  # re-read under the lock
+            if current.get("constraints", {}) != pre_constraints:
+                raise ConcurrentLakeModificationError(
+                    f"table at {live} changed its CHECK constraints while "
+                    "this overwrite was staging — re-run"
+                )
+            if current.get("column_mapping", {}) != pre_mapping:
+                raise ConcurrentLakeModificationError(
+                    f"table at {live} renamed columns while this "
+                    "overwrite was staging — re-run"
+                )
+            if current.get("partition_by", []) != pb or current.get(
+                "partition_specs"
+            ):
+                raise ConcurrentLakeModificationError(
+                    f"table at {live} evolved its partition layout while "
+                    "this overwrite was staging — re-run"
+                )
+            new_files = _move_staged_in(live, staged, staged_files)
+            kept = [
+                f
+                for f in current["files"]
+                if (f.rsplit("/", 1)[0] if "/" in f else "") not in touched
+            ]
+            replaced = len(current["files"]) - len(kept)
+            snap = _commit_manifest(
+                live,
+                [*kept, *new_files],
+                pb,
+                current,
+                txid,
+                table_schema=logical_schema,
+            )
+            return {
+                **snap,
+                "files_replaced": replaced,
+                "partitions_replaced": sorted(touched),
+            }
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
 def rollback_table(path: str, version: int) -> dict:
     """RESTORE a manifest table to a retained snapshot — the
     recover-from-bad-publish primitive (Delta's RESTORE, Iceberg's

@@ -268,6 +268,10 @@ class InsertStatement:
     target: str  # qualified table
     columns: tuple  # () = positional against the full declared schema
     source_sql: str  # SELECT/WITH/VALUES producing the batch
+    # INSERT OVERWRITE (dynamic-partition overwrite): replace exactly
+    # the hive partitions present in the batch, atomically. Full-width
+    # only (no column list) — an overwrite writes whole rows.
+    overwrite: bool = False
 
 
 @dataclass(frozen=True)
@@ -984,8 +988,18 @@ def _parse_literal(text: str):
 
 def _parse_insert(text: str) -> InsertStatement:
     grammar = (
-        "INSERT INTO <db.table> [(col, ...)] <select | VALUES (...), ...>"
+        "INSERT INTO <db.table> [(col, ...)] <select | VALUES (...), ...> "
+        "| INSERT OVERWRITE [TABLE] <db.table> <select | VALUES ...>"
     )
+    m = re.match(
+        rf"insert\s+overwrite\s+(?:table\s+)?({_QUALIFIED})\s*", text, re.I
+    )
+    if m:
+        # dynamic-partition overwrite: whole rows only — a column list
+        # would imply NULL-filling unnamed columns into REPLACED
+        # partitions, which is almost never what an overwrite means
+        body = _require_query(text[m.end() :].lstrip(), "the INSERT source")
+        return InsertStatement(m.group(1), (), body, overwrite=True)
     m = re.match(rf"insert\s+into\s+({_QUALIFIED})\s*", text, re.I)
     if not m:
         raise UnsupportedStatementError(f"supported INSERT form: {grammar}")
