@@ -696,3 +696,20 @@ def test_gopher_and_c4_line_ops_stay_jvm_side(spark, sf_dir):
         plan = physical_plan(REGISTRY[name].builder(spark, sf_dir))
         assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_perplexity_buckets_has_no_window_or_global_sort(spark, sf_dir):
+    """pipeline_perplexity_buckets' whole design claim (round 12): the
+    per-language bucket assignment must come from a min/max partial
+    aggregate broadcast back — never a per-language window or sort,
+    which would be a straggler task on the dominant language at
+    100 TB. Also JVM-side and join-sane throughout."""
+    plan = physical_plan(
+        REGISTRY["pipeline_perplexity_buckets"].builder(spark, sf_dir)
+    )
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # the only sorts allowed are SortMergeJoin locals, never a per-lang
+    # ordering of the doc stream: the rng join must be broadcast
+    assert "BroadcastHashJoin" in plan
