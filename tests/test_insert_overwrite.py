@@ -172,3 +172,48 @@ def test_sql_insert_overwrite_denied_for_conditioned_principal(env):
             "INSERT OVERWRITE db.t SELECT * FROM db.t WHERE grp = 'a'",
             "analyst",
         )
+
+
+def test_overwrite_composes_with_mv_refresh(spark, table, tmp_path):
+    """Cross-feature pin: an MV refreshed from the change feed must stay
+    exactly equal to a full recompute across an INSERT OVERWRITE of its
+    source — the file-set feed emits the replaced partition's old rows
+    as deletes and the new rows as inserts, and the additive state
+    subtracts/adds them."""
+    cat = GovernedCatalog(spark, lake_root=str(tmp_path))
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    cat.register_table(
+        TableDef(
+            "db", "t", table,
+            schema=read_table(spark, table).schema,
+            partition_keys=("grp",),
+        )
+    )
+    eng = Engine(spark, cat)
+    eng.create_materialized_view(
+        "db.mv", "db.t", ["grp"],
+        {"n": ("count", None), "total": ("sum", "v")},
+        principal="ops",
+    )
+    eng.sql(
+        "INSERT OVERWRITE db.t "
+        "SELECT id + 1000 AS id, grp, v * 2 AS v FROM db.t "
+        "WHERE grp = 'b'",
+        "ops",
+    )
+    out = eng.refresh_materialized_view("db.mv", principal="ops")
+    assert out["refreshed"]
+    mv = {
+        (r.grp, r.n, r.total)
+        for r in eng.sql("SELECT grp, n, total FROM db.mv", "ops").collect()
+    }
+    full = {
+        (r.grp, r.n, r.total)
+        for r in eng.sql(
+            "SELECT grp, count(*) AS n, sum(v) AS total FROM db.t "
+            "GROUP BY grp",
+            "ops",
+        ).collect()
+    }
+    assert mv == full, (mv, full)
