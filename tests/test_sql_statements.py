@@ -213,7 +213,9 @@ def test_parse_show_describe():
 
 def test_unknown_verbs_fail_closed():
     for bad in (
-        "INSERT OVERWRITE db.t SELECT 1",
+        # INSERT OVERWRITE <db.t> is governed since round 12; the
+        # DIRECTORY form (ungoverned filesystem write) stays refused
+        "INSERT OVERWRITE DIRECTORY '/x' SELECT 1",
         "CREATE TABLE db.t (a INT)",
         "DROP TABLE db.t",
         "ALTER TABLE db.t ADD COLUMN x INT",
