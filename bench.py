@@ -292,6 +292,11 @@ HEADLINE = [
     # ... and INSERT OVERWRITE (seed publish + self-referential batch
     # read + one-partition atomic replace + final agg)
     "sql_insert_overwrite",
+    # ... the KN-smoothed LM gate (one bigram explode + vocabulary-
+    # bounded model tables + broadcast score joins) and the
+    # l-diversity release audit (one (QI, sensitive) shuffle + rollup)
+    "text_kneser_ney_cross_entropy",
+    "privacy_l_diversity",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -306,3 +306,31 @@ def test_perplexity_buckets_cover_range_and_partition_docs(spark):
         rs = sorted(rs, key=lambda r: r.bucket)
         for a, b in zip(rs, rs[1:]):
             assert a.max_ce_milli < b.min_ce_milli
+
+
+def test_l_diversity_verdicts_are_mixed_and_consistent(spark):
+    """privacy_l_diversity (round 12): the audit must BIND at sf0.01 —
+    both verdicts present — and each verdict must follow its own rule
+    (n_sensitive vs l, and a violating group's max share necessarily
+    high)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.privacy import (
+        L_DIVERSITY,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.registry import (
+        REGISTRY,
+    )
+
+    rows = REGISTRY["privacy_l_diversity"].builder(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    acts = {r.l_diversity_action for r in rows}
+    assert acts == {"ok", "violating"}, acts
+    for r in rows:
+        assert (r.n_sensitive >= L_DIVERSITY) == (
+            r.l_diversity_action == "ok"
+        )
+        assert r.n_sensitive <= r.n
+        if r.l_diversity_action == "violating":
+            # < l values over n rows: the top value holds at least
+            # floor(100/(l-1)) percent
+            assert r.max_share_pct >= 100 // (L_DIVERSITY - 1) - 1

@@ -429,3 +429,27 @@ def test_c4_clean_corpus_mixed_verdicts(spark):
     for r in rows:
         by_lang.setdefault(r.lang, set()).add(r.kept)
     assert by_lang and all(v == {True, False} for v in by_lang.values()), by_lang
+
+
+def test_kneser_ney_is_finite_and_reranks_vs_addk(spark):
+    """text_kneser_ney_cross_entropy (round 12): scores are positive
+    and finite for every held-out doc (the smoothed continuation floor
+    catches OOV tails and unseen heads), and the smoothing genuinely
+    changes the model — the top-40 surprise ranking must not be the
+    add-k op's ranking verbatim."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.registry import (
+        REGISTRY,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    kn = REGISTRY["text_kneser_ney_cross_entropy"].builder(spark, sf).collect()
+    assert len(kn) == 40
+    import math
+
+    for r in kn:
+        assert r.cross_entropy > 0 and math.isfinite(r.cross_entropy)
+    addk = REGISTRY["text_bigram_cross_entropy"].builder(spark, sf).collect()
+    assert [r.doc_id for r in kn] != [r.doc_id for r in addk]
+    # same candidate pool (held-out docs), so substantial overlap is
+    # expected — identical ORDER is what would indicate a no-op model
+    assert {r.doc_id for r in kn} & {r.doc_id for r in addk}

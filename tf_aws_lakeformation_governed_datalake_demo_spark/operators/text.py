@@ -1606,3 +1606,133 @@ def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("kept_chars").cast("long").alias("kept_chars_chk"),
         )
     )
+
+
+@query(
+    "text_kneser_ney_cross_entropy",
+    r"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(lower(text), '\s+') AS t
+                  FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)), i ->
+                    struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+           FROM toks WHERE len(t) >= 2),
+    flat AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    train AS (SELECT * FROM flat WHERE doc_id % 5 <> 0),
+    held AS (SELECT * FROM flat WHERE doc_id % 5 = 0),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
+           FROM train GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(c2) AS DOUBLE) AS c1,
+                  CAST(count(*) AS DOUBLE) AS n1p_head
+           FROM c2 GROUP BY 1),
+    tail AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1p_tail
+             FROM c2 GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS d_bigrams,
+                   CAST(count(DISTINCT w2) AS DOUBLE) AS v
+            FROM c2),
+    scored AS (SELECT held.doc_id,
+                      CAST(round(ln(
+                        CASE WHEN c1.c1 IS NULL THEN
+                          (coalesce(tail.n1p_tail, 0) + 0.5)
+                            / (tot.d_bigrams + 0.5 * (tot.v + 1))
+                        ELSE
+                          greatest(coalesce(c2.c2, 0) - 0.75, 0) / c1.c1
+                          + (0.75 * c1.n1p_head / c1.c1)
+                            * ((coalesce(tail.n1p_tail, 0) + 0.5)
+                               / (tot.d_bigrams + 0.5 * (tot.v + 1)))
+                        END) * 1000000) AS BIGINT) AS lp
+               FROM held
+               LEFT JOIN c2 ON held.w1 = c2.w1 AND held.w2 = c2.w2
+               LEFT JOIN c1 ON held.w1 = c1.w1
+               LEFT JOIN tail ON held.w2 = tail.w2, tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-(CAST(sum(lp) AS DOUBLE) / count(*)) / 1000000, 4)
+             AS cross_entropy
+    FROM scored GROUP BY doc_id
+    ORDER BY cross_entropy DESC, doc_id
+    LIMIT 40
+    """,
+    "Interpolated Kneser-Ney bigram cross-entropy (d=0.75) — the "
+    "smoothing KenLM actually ships, one rung above "
+    "text_bigram_cross_entropy's add-k: the backoff mass goes to the "
+    "CONTINUATION probability (how many distinct heads precede w2), "
+    "so a word frequent only inside one collocation ('Francisco') "
+    "stops inflating unseen-context scores. Unseen heads back off to "
+    "the continuation distribution; the continuation itself is add-k "
+    "smoothed so OOV tails stay finite. Top-40 most surprising "
+    "held-out docs.",
+)
+def text_kneser_ney_cross_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same scale shape as the add-k op (text_bigram_cross_entropy):
+    one corpus bigram explode, then every model table (c2, the
+    per-head totals + continuation-head counts, the per-tail
+    continuation counts, the two scalars) is derived from the
+    vocabulary-bounded c2 table — never a second corpus pass. Score
+    joins are AQE-broadcast; scaled-integer micro-nat log-probs keep
+    per-doc means exact and accumulation-order-free."""
+    d = load(spark, sf_dir, "documents")
+    flat = (
+        d.select("doc_id", _ws_tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    train = flat.filter(F.col("doc_id") % 5 != 0)
+    held = flat.filter(F.col("doc_id") % 5 == 0)
+    c2 = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").cast("double").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("n1p_head"),
+    )
+    tail = c2.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n1p_tail")
+    )
+    tot = c2.agg(
+        F.count(F.lit(1)).cast("double").alias("d_bigrams"),
+        F.countDistinct("w2").cast("double").alias("v"),
+    )
+    p_cont = (F.coalesce(F.col("n1p_tail"), F.lit(0.0)) + 0.5) / (
+        F.col("d_bigrams") + 0.5 * (F.col("v") + 1)
+    )
+    p = F.when(F.col("c1").isNull(), p_cont).otherwise(
+        F.greatest(
+            F.coalesce(F.col("c2"), F.lit(0.0)) - 0.75, F.lit(0.0)
+        )
+        / F.col("c1")
+        + (0.75 * F.col("n1p_head") / F.col("c1")) * p_cont
+    )
+    return (
+        held.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(tail, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(p) * 1000000).cast("long").alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -(F.sum("lp").cast("double") / F.count(F.lit(1))) / 1000000, 4
+            ).alias("cross_entropy"),
+        )
+        .select("doc_id", "n_bigrams", "cross_entropy")
+        .orderBy(F.desc("cross_entropy"), F.asc("doc_id"))
+        .limit(40)
+    )
