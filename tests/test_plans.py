@@ -713,3 +713,24 @@ def test_perplexity_buckets_has_no_window_or_global_sort(spark, sf_dir):
     # the only sorts allowed are SortMergeJoin locals, never a per-lang
     # ordering of the doc stream: the rng join must be broadcast
     assert "BroadcastHashJoin" in plan
+    # the corpus explodes exactly once here (scoring side): the model
+    # tables re-aggregate the checkpointed c2, never the corpus
+    assert plan.count("Generate explode") <= 1, plan.count(
+        "Generate explode"
+    )
+
+
+def test_kneser_ney_model_tables_derive_from_c2_once(spark, sf_dir):
+    """text_kneser_ney_cross_entropy (round 12): exactly ONE corpus
+    bigram explode feeds every model table — the head/tail/scalar
+    tables must re-aggregate the vocabulary-bounded c2 table, never
+    rescan the corpus. Pinned by counting Generate (explode) nodes.
+    JVM-side and join-sane throughout."""
+    plan = physical_plan(
+        REGISTRY["text_kneser_ney_cross_entropy"].builder(spark, sf_dir)
+    )
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    # one Generate per corpus branch: held + train share the explode
+    # shape; the model tables must not add more corpus explodes
+    assert plan.count("Generate explode") <= 2, plan.count("Generate explode")

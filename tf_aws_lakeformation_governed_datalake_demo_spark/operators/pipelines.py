@@ -432,11 +432,20 @@ def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"),
         )
     )
-    c2 = flat.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("c2")
+    # ONE materialization of the vocabulary-bounded count table; the
+    # per-head totals and the vocabulary size are exact re-aggregations
+    # of it (c1(w1) = sum_w2 c2; V = #distinct tails among c2 rows), so
+    # the corpus explodes exactly twice — once into this checkpoint,
+    # once on the scoring side — instead of once per model table
+    c2 = (
+        flat.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
+        .localCheckpoint(eager=True)
     )
-    c1 = flat.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
-    v = flat.agg(F.countDistinct("w2").cast("double").alias("v"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("double").alias("c1"))
+    v = c2.select("w2").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
     p = (F.coalesce(F.col("c2"), F.lit(0.0)) + 0.5) / (
         F.coalesce(F.col("c1"), F.lit(0.0)) + 0.5 * F.col("v")
     )
@@ -452,6 +461,12 @@ def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("(-sum(lp)) div (count(*) * 1000)").alias("ce_milli")
         )
+        # materialize the per-doc CE table: the per-lang range derives
+        # from it and then joins back to it — without this the bucket
+        # join re-expands the whole scoring subtree (a second corpus
+        # explode + score join). Persisting per-doc scores is exactly
+        # what a production curation pipeline does between passes.
+        .localCheckpoint(eager=True)
     )
     rng = doc.groupBy("lang").agg(
         F.min("ce_milli").alias("mn"), F.max("ce_milli").alias("mx")

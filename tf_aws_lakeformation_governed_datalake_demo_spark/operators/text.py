@@ -1692,8 +1692,14 @@ def text_kneser_ney_cross_entropy(
     )
     train = flat.filter(F.col("doc_id") % 5 != 0)
     held = flat.filter(F.col("doc_id") % 5 == 0)
-    c2 = train.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("c2")
+    # materialize the vocabulary-bounded count table ONCE: every model
+    # table below re-aggregates c2, and without the checkpoint Catalyst
+    # re-expands the corpus explode per consumer (5 corpus scans — the
+    # plan pin in tests/test_plans.py counts Generate nodes)
+    c2 = (
+        train.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
+        .localCheckpoint(eager=True)
     )
     c1 = c2.groupBy("w1").agg(
         F.sum("c2").cast("double").alias("c1"),
