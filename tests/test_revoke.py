@@ -91,3 +91,39 @@ def test_show_grants_implicit_deny_hides_existence(engine):
         engine.sql("SHOW GRANTS ON sales_db.sales", "nobody")
     with pytest.raises(KeyError):
         engine.sql("SHOW GRANTS ON sales_db.ghost", "dataadmin")
+
+
+def test_describe_detail_metadata_only(engine, spark, tmp_path_factory):
+    """DESCRIBE DETAIL (round 12): Delta's one-row metadata summary —
+    answered from catalog + manifest (plus file stats), gated like
+    DESCRIBE."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        publish_overwrite,
+    )
+
+    lake = str(tmp_path_factory.mktemp("detail"))
+    cat = engine.catalog
+    d = engine.sql("SELECT * FROM sales_db.sales", "dataadmin")
+    publish_overwrite(spark, f"{lake}/m", d, ["sales_region"], manifest=True)
+    cat.register_table(
+        TableDef(
+            "sales_db", "m", f"{lake}/m",
+            schema=d.schema, partition_keys=("sales_region",),
+        )
+    )
+    cat.grant("dataadmin", "ALL", "sales_db", "m")
+    row = engine.sql("DESCRIBE DETAIL sales_db.m", "dataadmin").first()
+    assert row.version == 1 and row.num_rows == 20
+    assert row.partition_by == ["sales_region"]
+    assert row.num_files >= 3 and row.size_bytes > 0
+    assert row.num_tombstones == 0
+    # non-manifest table: directory facts, no version
+    row = engine.sql("DESCRIBE DETAIL sales_db.sales", "dataadmin").first()
+    assert row.version is None and row.num_files >= 1
+    assert row.size_bytes > 0
+    # implicit deny hides existence
+    with pytest.raises(PermissionDeniedError):
+        engine.sql("DESCRIBE DETAIL sales_db.m", "nobody")

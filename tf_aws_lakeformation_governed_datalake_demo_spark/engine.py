@@ -662,6 +662,7 @@ class Engine:
             CreateViewStatement,
             CtasStatement,
             DeleteStatement,
+            DescribeDetailStatement,
             DescribeHistoryStatement,
             DescribeStatement,
             DropMVStatement,
@@ -1343,6 +1344,74 @@ class Engine:
                 rows,
                 "col_name string, data_type string, is_partition boolean, "
                 "comment string",
+            )
+
+        if isinstance(stmt, DescribeDetailStatement):
+            # Delta's one-row metadata summary, metadata-only: catalog
+            # entry + current manifest; a non-manifest (exchange-mode)
+            # table reports its directory facts. Same introspection
+            # gate as DESCRIBE (any grant admits; implicit deny hides).
+            import os as _os
+
+            from .sources.lake import count_rows, read_manifest
+
+            table, _ = self._introspect_gate(stmt.target, name)
+            qe.tables = [stmt.target]
+            m = (
+                read_manifest(table.location)
+                if table.format == "parquet"
+                else None
+            )
+            if m is not None:
+                files = m["files"]
+                size = 0
+                for f in files:
+                    try:
+                        size += _os.stat(
+                            _os.path.join(table.location, f)
+                        ).st_size
+                    except OSError:
+                        pass  # vacuumed between read and stat: skip
+                info = count_rows(table.location)
+                row = (
+                    table.format,
+                    table.location,
+                    int(m["version"]),
+                    float(m["committed_at"]),
+                    len(files),
+                    int(size),
+                    (int(info["rows"]) if info is not None else None),
+                    list(m.get("partition_by") or []),
+                    len(m.get("delete_predicates", [])),
+                    sorted(m.get("constraints", {})),
+                )
+            else:
+                from .sources.lake import _data_file_relpaths
+                from pathlib import Path as _P
+
+                files = _data_file_relpaths(_P(table.location))
+                size = sum(
+                    _os.stat(_os.path.join(table.location, f)).st_size
+                    for f in files
+                )
+                row = (
+                    table.format,
+                    table.location,
+                    None,
+                    None,
+                    len(files),
+                    int(size),
+                    None,
+                    list(table.partition_keys),
+                    0,
+                    [],
+                )
+            return spark.createDataFrame(
+                [row],
+                "format string, location string, version long, "
+                "committed_at double, num_files long, size_bytes long, "
+                "num_rows long, partition_by array<string>, "
+                "num_tombstones long, constraints array<string>",
             )
 
         if isinstance(stmt, DescribeHistoryStatement):

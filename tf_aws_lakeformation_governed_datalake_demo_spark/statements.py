@@ -307,6 +307,15 @@ class DescribeHistoryStatement:
 
 
 @dataclass(frozen=True)
+class DescribeDetailStatement:
+    """``DESCRIBE DETAIL <db.table>`` — Delta's one-row table-metadata
+    summary (format, location, layout, current snapshot facts),
+    answered from the catalog + manifest alone (metadata-only)."""
+
+    target: str
+
+
+@dataclass(frozen=True)
 class ShowGrantsStatement:
     """``SHOW GRANTS [FOR <principal>] ON <db.table-or-view>`` — the
     Lake Formation permissions-console view. A non-admin may list only
@@ -343,6 +352,7 @@ class AnalyzeStatement:
 
 Statement = (
     AnalyzeStatement,
+    DescribeDetailStatement,
     CloneStatement,
     ShowGrantsStatement,
     AddColumnsStatement,
@@ -1471,13 +1481,18 @@ def parse_statement(sql: str):
         if m:
             return DescribeHistoryStatement(m.group(1))
         m = re.fullmatch(
+            rf"(?:describe|desc)\s+detail\s+({_QUALIFIED})", text, re.I
+        )
+        if m:
+            return DescribeDetailStatement(m.group(1))
+        m = re.fullmatch(
             rf"(?:describe|desc)\s+(?:table\s+)?({_QUALIFIED})", text, re.I
         )
         if m:
             return DescribeStatement(m.group(1))
         raise UnsupportedStatementError(
             "supported DESCRIBE forms: DESCRIBE [TABLE] <db.table> | "
-            "DESCRIBE HISTORY <db.table>"
+            "DESCRIBE HISTORY <db.table> | DESCRIBE DETAIL <db.table>"
         )
     raise UnsupportedStatementError(
         f"statement verb {verb.upper()!r} is outside the governed grammar "
