@@ -30,7 +30,8 @@ freshness-first, self-healing):
   (pipeline_perplexity_buckets), dynamic-partition overwrite
   (sql_insert_overwrite), the l-diversity audit
   (privacy_l_diversity), Kneser-Ney cross-entropy
-  (text_kneser_ney_cross_entropy), plus pipeline_domain_caps,
+  (text_kneser_ney_cross_entropy), streaming partition reprocess
+  (stream_partition_overwrite), plus pipeline_domain_caps,
   RE-verified unprefixed because its implementation changed this
   round (the exact two-phase top-K skew cure from VERDICT r11
   What's wrong #1 — same oracle, new plan).

@@ -297,6 +297,9 @@ HEADLINE = [
     # l-diversity release audit (one (QI, sensitive) shuffle + rollup)
     "text_kneser_ney_cross_entropy",
     "privacy_l_diversity",
+    # ... and the streaming partition-reprocess sink (seed publish + 3
+    # per-language overwrite epochs + the rollback-replay no-op probe)
+    "stream_partition_overwrite",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

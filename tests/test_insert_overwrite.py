@@ -217,3 +217,34 @@ def test_overwrite_composes_with_mv_refresh(spark, table, tmp_path):
         ).collect()
     }
     assert mv == full, (mv, full)
+
+
+def test_overwrite_replay_ledger(spark, table):
+    out = overwrite_partitions(
+        spark, table, _df(spark, [(1000, "a", 1)]), ["grp"],
+        stream_id="s", batch_id=0,
+    )
+    assert out is not None
+    # replay at the high-water mark: no-op, even with DIFFERENT content
+    # (content-idempotence alone would roll the partition back)
+    assert (
+        overwrite_partitions(
+            spark, table, _df(spark, [(1, "a", 10)]), ["grp"],
+            stream_id="s", batch_id=0,
+        )
+        is None
+    )
+    got = {(r.id, r.v) for r in read_table(spark, table).where("grp='a'").collect()}
+    assert got == {(1000, 1)}
+    # next epoch commits; half-given ledger args refuse
+    assert (
+        overwrite_partitions(
+            spark, table, _df(spark, [(2000, "a", 2)]), ["grp"],
+            stream_id="s", batch_id=1,
+        )
+        is not None
+    )
+    with pytest.raises(ValueError, match="together"):
+        overwrite_partitions(
+            spark, table, _df(spark, [(1, "a", 1)]), ["grp"], stream_id="s"
+        )

@@ -2226,7 +2226,9 @@ def overwrite_partitions(
     rows: DataFrame,
     partition_by: list[str],
     compression: str = "snappy",
-) -> dict:
+    stream_id: str | None = None,
+    batch_id: int | None = None,
+) -> dict | None:
     """Dynamic-partition OVERWRITE on a manifest table — Spark's
     ``partitionOverwriteMode=dynamic`` / Hive ``INSERT OVERWRITE``
     semantics as ONE atomic manifest commit: exactly the hive
@@ -2259,12 +2261,22 @@ def overwrite_partitions(
       automatically by the commit (no live file carries them);
       tombstones over carried files keep applying.
 
+    ``(stream_id, batch_id)`` gives the overwrite append_rows' replay
+    ledger: a batch at or below the snapshot's recorded high-water mark
+    returns ``None`` without staging a byte (checked authoritatively
+    under the commit lock) — the streaming partition-REPROCESS sink
+    (each micro-batch re-derives whole partitions) gets exactly-once
+    table state from at-least-once delivery even when a replay races a
+    newer batch, where content-idempotence alone would clobber it.
+
     Returns the committed snapshot dict plus ``files_replaced`` /
-    ``partitions_replaced``."""
+    ``partitions_replaced``; ``None`` for a skipped replay."""
     import shutil
     import uuid as _uuid
     from pathlib import Path
 
+    if (stream_id is None) != (batch_id is None):
+        raise ValueError("stream_id and batch_id must be given together")
     live = Path(path)
     current = read_manifest(str(live))
     if current is None:
@@ -2273,6 +2285,15 @@ def overwrite_partitions(
             "overwrite_partitions requires manifest commits "
             "(publish_overwrite(..., manifest=True) first)"
         )
+
+    def _committed(snap: dict) -> bool:
+        return (
+            stream_id is not None
+            and snap.get("app_versions", {}).get(stream_id, -1) >= batch_id
+        )
+
+    if _committed(current):
+        return None  # cheap pre-check; authoritative one under the lock
     pb = list(partition_by or [])
     if not pb:
         raise ValueError(
@@ -2362,6 +2383,8 @@ def overwrite_partitions(
                     f"table at {live} evolved its partition layout while "
                     "this overwrite was staging — re-run"
                 )
+            if _committed(current):
+                return None  # raced with our own replay
             new_files = _move_staged_in(live, staged, staged_files)
             kept = [
                 f
@@ -2369,12 +2392,16 @@ def overwrite_partitions(
                 if (f.rsplit("/", 1)[0] if "/" in f else "") not in touched
             ]
             replaced = len(current["files"]) - len(kept)
+            ledger = dict(current.get("app_versions", {}))
+            if stream_id is not None:
+                ledger[stream_id] = batch_id
             snap = _commit_manifest(
                 live,
                 [*kept, *new_files],
                 pb,
                 current,
                 txid,
+                app_versions=ledger,
                 table_schema=logical_schema,
             )
             return {
