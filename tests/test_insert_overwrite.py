@@ -248,3 +248,83 @@ def test_overwrite_replay_ledger(spark, table):
         overwrite_partitions(
             spark, table, _df(spark, [(1, "a", 1)]), ["grp"], stream_id="s"
         )
+
+
+# ---------------------------------------- OPTIMIZE WHERE / VACUUM DRY RUN
+def test_optimize_where_scopes_to_matching_partitions(spark, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        append_rows,
+        optimize_binpack,
+    )
+
+    loc = str(tmp_path / "t")
+    publish_overwrite(
+        spark,
+        loc,
+        _df(spark, [(i, "abc"[i % 3], i) for i in range(30)]),
+        ["grp"],
+        manifest=True,
+    )
+    for i in range(3):  # small-file tail in every partition
+        append_rows(
+            spark, loc,
+            _df(spark, [(100 + i, "a", i), (200 + i, "b", i)]), ["grp"],
+        )
+    before = read_manifest(loc)
+    n_b_before = sum(1 for f in before["files"] if f.startswith("grp=b/"))
+    out = optimize_binpack(
+        spark, loc, target_rows=100, partition_where="grp = 'a'"
+    )
+    assert out["files_rewritten"] > 0
+    after = read_manifest(loc)
+    # grp=b's small tail untouched — same file entries
+    assert sum(1 for f in after["files"] if f.startswith("grp=b/")) == (
+        n_b_before
+    )
+    assert {f for f in after["files"] if f.startswith("grp=b/")} == {
+        f for f in before["files"] if f.startswith("grp=b/")
+    }
+    # content unchanged
+    assert read_table(spark, loc).count() == 36
+    # predicate on a non-partition column fails loudly
+    with pytest.raises(Exception, match="id|resolve|UNRESOLVED"):
+        optimize_binpack(
+            spark, loc, target_rows=100, partition_where="id = 1"
+        )
+
+
+def test_vacuum_dry_run_reports_without_removing(spark, table, tmp_path):
+    import os
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        vacuum_manifests,
+    )
+
+    overwrite_partitions(spark, table, _df(spark, [(1000, "a", 1)]), ["grp"])
+    overwrite_partitions(spark, table, _df(spark, [(2000, "b", 2)]), ["grp"])
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(table))
+    dry = vacuum_manifests(table, keep_last=1, dry_run=True)
+    assert dry["dry_run"] and dry["files_removed"] > 0
+    assert dry["manifests_removed"] > 0
+    # nothing actually removed; time travel still works
+    assert sum(len(fs) for _, _, fs in os.walk(table)) == n_files_before
+    assert read_table(spark, table, version=1).count() == 30
+    # the real run removes exactly what the dry run reported
+    real = vacuum_manifests(table, keep_last=1)
+    assert real["files_removed"] == dry["files_removed"]
+    assert real["manifests_removed"] == dry["manifests_removed"]
+
+
+def test_sql_optimize_where_and_vacuum_dry_run(env):
+    cat, eng = env
+    out = eng.sql(
+        "VACUUM db.t RETAIN 2 SNAPSHOTS DRY RUN", "ops"
+    ).first()
+    assert out.dry_run is True and out.artifacts_removed == 0
+    out = eng.sql("OPTIMIZE db.t WHERE grp = 'a'", "ops").first()
+    assert out.files_before >= out.files_after
+    q = [e["query"] for e in cat.audit.events]
+    assert any("MAINTAIN expire_snapshots db.t DRY RUN" in x for x in q)
+    assert any(
+        "MAINTAIN optimize_binpack db.t WHERE grp = 'a'" in x for x in q
+    )

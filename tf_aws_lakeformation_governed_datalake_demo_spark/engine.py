@@ -1096,7 +1096,14 @@ class Engine:
         if isinstance(stmt, OptimizeStatement):
             qe.tables = [stmt.target]
             if stmt.mode == "binpack":
-                res = self.maintain(stmt.target, "optimize_binpack", principal)
+                kw = (
+                    {"partition_where": stmt.where}
+                    if stmt.where is not None
+                    else {}
+                )
+                res = self.maintain(
+                    stmt.target, "optimize_binpack", principal, **kw
+                )
                 return _row(
                     {
                         "files_before": res["files_before"],
@@ -1124,7 +1131,22 @@ class Engine:
                 "expire_snapshots",
                 principal,
                 keep_last=stmt.keep_last,
+                dry_run=stmt.dry_run,
             )
+            if stmt.dry_run:
+                # report-only: the artifact sweep also stays untouched
+                return _row(
+                    {
+                        "snapshots_removed": int(
+                            res.get("manifests_removed", 0)
+                        ),
+                        "files_removed": int(res.get("files_removed", 0)),
+                        "artifacts_removed": 0,
+                        "dry_run": True,
+                    },
+                    "snapshots_removed long, files_removed long, "
+                    "artifacts_removed long, dry_run boolean",
+                )
             removed = self.maintain(stmt.target, "vacuum_artifacts", principal)
             return _row(
                 {
@@ -2179,6 +2201,11 @@ class Engine:
             )
         if action == "rollback" and "to_version" in kwargs:
             audit_suffix = f" TO VERSION {kwargs['to_version']}"
+        if action == "optimize_binpack" and kwargs.get("partition_where"):
+            # verbatim-predicate trail, same rule as erasure
+            audit_suffix = f" WHERE {kwargs['partition_where']}"
+        if action == "expire_snapshots" and kwargs.get("dry_run"):
+            audit_suffix = " DRY RUN"
         if action == "evolve_partitioning" and "new_partition_by" in kwargs:
             audit_suffix = (
                 f" TO ({', '.join(list(kwargs['new_partition_by'] or []))})"

@@ -3235,6 +3235,7 @@ def vacuum_manifests(
     min_age_seconds: float = 0.0,
     drop_tags: bool = False,
     candidate_min_age_seconds: float | None = None,
+    dry_run: bool = False,
 ) -> dict:
     """Retention for manifest-table history: keep the newest
     ``keep_last`` snapshots of the committed parent chain, delete older
@@ -3247,6 +3248,12 @@ def vacuum_manifests(
     ``candidate_min_age_seconds`` (default: at least one hour) so a
     routine retention run cannot destroy a candidate mid-audit.
     Returns counts.
+
+    ``dry_run=True`` reports exactly what a real run would remove —
+    same retention walk, tag/branch pinning, and age guards — without
+    unlinking anything (and without dropping tags even when
+    ``drop_tags`` is set): the before-the-horizon-moves check every
+    retention change deserves.
 
     GDPR interaction (round-7 VERDICT #8 note): physical erasure
     (delete_rows) on a manifest table rewrites only the CURRENT
@@ -3275,10 +3282,10 @@ def vacuum_manifests(
     # files survive any keep_last horizon. drop_tags=True is the
     # erasure override — delete_rows passes it so a right-to-be-
     # forgotten truncation cannot be pinned around.
-    if drop_tags:
+    if drop_tags and not dry_run:
         (live / "_manifests" / "_tags.json").unlink(missing_ok=True)
         (live / "_manifests" / "_branches.json").unlink(missing_ok=True)
-    else:
+    elif not drop_tags:
         kept_now = {m["version"] for m in keep}
         for v in sorted(set(list_tags(path).values()) - kept_now):
             try:
@@ -3319,7 +3326,8 @@ def vacuum_manifests(
             if cp.stat().st_mtime > cand_cutoff:
                 referenced |= set(_json.loads(cp.read_text())["files"])
             else:
-                cp.unlink()
+                if not dry_run:
+                    cp.unlink()
                 candidates_removed += 1
         except (OSError, ValueError, KeyError):
             continue
@@ -3331,13 +3339,14 @@ def vacuum_manifests(
         try:
             if p.stat().st_mtime > cutoff:
                 continue  # possibly an in-flight publish's moved file
-            p.unlink()
+            if not dry_run:
+                p.unlink()
             files_removed += 1
         except OSError:
             continue
     # prune now-empty partition dirs (bottom-up; _manifests etc. excluded
-    # by the underscore guard)
-    for d in sorted(
+    # by the underscore guard); a dry run must not even sweep these
+    for d in [] if dry_run else sorted(
         (
             p
             for p in live.rglob("*")
@@ -3364,7 +3373,8 @@ def vacuum_manifests(
         try:
             if mp.stat().st_mtime > cutoff:
                 continue
-            mp.unlink()
+            if not dry_run:
+                mp.unlink()
             manifests_removed += 1
         except OSError:
             continue
@@ -3373,6 +3383,7 @@ def vacuum_manifests(
         "files_removed": files_removed,
         "candidates_removed": candidates_removed,
         "kept_versions": kept_versions,
+        "dry_run": dry_run,
     }
 
 
@@ -4216,6 +4227,7 @@ def optimize_binpack(
     path: str,
     target_rows: int = 1_000_000,
     compression: str = "snappy",
+    partition_where: str | None = None,
 ) -> dict:
     """Targeted small-file OPTIMIZE on a manifest table: rewrite ONLY
     the small-file tail (files whose recorded row count is below
@@ -4247,6 +4259,15 @@ def optimize_binpack(
     re-add on the next such write, or accept the scan). Untouched files
     inherit stats, blooms, and sequence numbers unchanged. Optimistic
     concurrency: refuses if any writer committed since planning.
+
+    ``partition_where`` scopes the pack to matching partitions
+    (Delta's ``OPTIMIZE ... WHERE``): a Spark SQL predicate over the
+    table's PARTITION columns, evaluated driver-side against the
+    manifest's directory names (hive values surface as strings; NULL
+    partitions as NULL — use ``IS NULL``). Predicates referencing
+    non-partition columns fail loudly (an OPTIMIZE must never half-
+    apply a row predicate). The maintenance-cadence shape at 100 TB:
+    compact yesterday's hot partition, never walk the table.
 
     Returns ``{"files_before", "files_after", "files_rewritten",
     "version"}`` (version None when nothing needed packing)."""
@@ -4286,9 +4307,37 @@ def optimize_binpack(
             f"table at {path} lacks recorded row counts for "
             f"{len(missing)} file(s) — re-publish once to record them"
         )
+    allowed_dirs: set | None = None
+    if partition_where is not None:
+        pb = list(m.get("partition_by") or [])
+        if not pb:
+            raise ValueError(
+                "OPTIMIZE ... WHERE requires a partitioned table — the "
+                f"table at {path} is unpartitioned"
+            )
+        dirs = sorted({str(Path(f).parent) for f in m["files"]})
+        rows = []
+        for d in dirs:
+            vals = {}
+            for seg in (d.split("/") if d != "." else []):
+                k, _, v = seg.partition("=")
+                vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            rows.append((d, *[vals.get(c) for c in pb]))
+        pdf = spark.createDataFrame(
+            rows, ", ".join(["__dir string", *[f"{c} string" for c in pb]])
+        )
+        # evaluating with ONLY the partition columns in scope makes a
+        # predicate on any other column an AnalysisException — the
+        # loud-refusal we want, not a silent half-applied row filter
+        allowed_dirs = {
+            r[0] for r in pdf.filter(partition_where).collect()
+        }
     by_dir: dict[str, list[str]] = defaultdict(list)
     for f in m["files"]:
-        by_dir[str(Path(f).parent)].append(f)
+        d = str(Path(f).parent)
+        if allowed_dirs is not None and d not in allowed_dirs:
+            continue
+        by_dir[d].append(f)
     picked: list[str] = []
     plans: list[tuple[str, list[str], int]] = []  # (dir, files, n_out)
     for d, files in sorted(by_dir.items()):

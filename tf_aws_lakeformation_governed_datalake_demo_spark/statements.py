@@ -173,6 +173,9 @@ class OptimizeStatement:
     target: str
     mode: str  # "binpack" | "cluster"
     cluster_by: tuple = ()
+    # partition-scoped bin-pack (Delta's OPTIMIZE ... WHERE): a
+    # predicate over partition columns only; binpack mode only
+    where: str | None = None
 
 
 @dataclass(frozen=True)
@@ -181,6 +184,8 @@ class VacuumStatement:
     # no default: the parser requires an explicit RETAIN n SNAPSHOTS —
     # history truncation must be asked for (round-10 ADVICE)
     keep_last: int
+    # DRY RUN reports what would be removed without unlinking anything
+    dry_run: bool = False
 
 
 @dataclass(frozen=True)
@@ -1230,12 +1235,14 @@ def parse_statement(sql: str):
     if verb == "optimize":
         m = re.fullmatch(
             rf"optimize\s+({_QUALIFIED})"
-            r"(?:\s+rewrite\s+data\s+using\s+bin_pack|\s+binpack)?",
+            r"(?:\s+rewrite\s+data\s+using\s+bin_pack|\s+binpack)?"
+            r"(?:\s+where\s+(.+))?",
             text,
-            re.I,
+            re.I | re.S,
         )
         if m:
-            return OptimizeStatement(m.group(1), "binpack")
+            where = m.group(2).strip() if m.group(2) else None
+            return OptimizeStatement(m.group(1), "binpack", where=where)
         m = re.fullmatch(
             rf"optimize\s+({_QUALIFIED})\s+cluster\s+by\s*\(([^)]+)\)",
             text,
@@ -1250,11 +1257,13 @@ def parse_statement(sql: str):
             return OptimizeStatement(m.group(1), "cluster", cols)
         raise UnsupportedStatementError(
             "supported OPTIMIZE forms: OPTIMIZE <db.table> [REWRITE DATA "
-            "USING BIN_PACK] | OPTIMIZE <db.table> CLUSTER BY (col, ...)"
+            "USING BIN_PACK] [WHERE <partition predicate>] | "
+            "OPTIMIZE <db.table> CLUSTER BY (col, ...)"
         )
     if verb == "vacuum":
         m = re.fullmatch(
-            rf"vacuum\s+({_QUALIFIED})(?:\s+retain\s+(\d+)\s+snapshots)?",
+            rf"vacuum\s+({_QUALIFIED})(?:\s+retain\s+(\d+)\s+snapshots)?"
+            r"(\s+dry\s+run)?",
             text,
             re.I,
         )
@@ -1279,7 +1288,7 @@ def parse_statement(sql: str):
             raise UnsupportedStatementError(
                 "VACUUM RETAIN must keep at least 1 snapshot"
             )
-        return VacuumStatement(m.group(1), keep)
+        return VacuumStatement(m.group(1), keep, bool(m.group(3)))
     if verb == "insert":
         return _parse_insert(text)
     if verb == "prepare":
