@@ -913,12 +913,30 @@ def test_filtered_mv_residual_prover():
     assert fr(None, "v >= 100", g) is None
     # query that is a strict SUBSET of the MV conjuncts (wants more rows)
     assert fr("v >= 100", "v >= 100 AND grp = 'a'", g) is None
-    # refusals: OR, NOT, parens/functions/IN, non-group residual,
+    # group-column IN-list of literals: a sound finite disjunction —
+    # served as a residual that filters the state (round-13)
+    assert fr("v >= 100 AND grp IN ('a', 'b')", "v >= 100", g) == (
+        "grp IN ('a', 'b')"
+    )
+    assert fr("v >= 100 AND tier IN (1, 3)", "v >= 100", g) == (
+        "tier IN (1, 3)"
+    )
+    # literal containing AND inside the list must not split the conjunct
+    assert fr("v >= 100 AND grp IN ('x and y', 'b')", "v >= 100", g) == (
+        "grp IN ('x and y', 'b')"
+    )
+    # IN refusals: non-group column, subquery, function call, NOT IN,
+    # exponent literals (identifier-scan hazard — fail closed)
+    assert fr("v >= 100 AND w IN ('a')", "v >= 100", g) is None
+    assert fr("v >= 100 AND grp IN (SELECT g FROM t)", "v >= 100", g) is None
+    assert fr("v >= 100 AND upper(grp) IN ('A')", "v >= 100", g) is None
+    assert fr("v >= 100 AND grp NOT IN ('a')", "v >= 100", g) is None
+    assert fr("v >= 100 AND tier IN (1e5)", "v >= 100", g) is None
+    # refusals: OR, NOT, functions, non-group residual,
     # string ranges (collation), qualified refs
     assert fr("v >= 100 OR grp = 'a'", "v >= 100", g) is None
     assert fr("v >= 100 AND NOT grp = 'a'", "v >= 100", g) is None
     assert fr("v >= 100 AND upper(grp) = 'A'", "v >= 100", g) is None
-    assert fr("v >= 100 AND grp IN ('a', 'b')", "v >= 100", g) is None
     assert fr("v >= 100 AND w = 3", "v >= 100", g) is None  # w not grouped
     assert fr("grp > 'a'", "grp >= 'a'", g) is None  # string range
     assert fr("v >= 100 AND t.grp = 'a'", "v >= 100", g) is None
@@ -964,8 +982,21 @@ def test_mv_rewrite_filtered_implication_serves_and_refuses(spark, tmp_path):
     s2 = eng.sql(q2, "ops", use_mvs=True)
     assert all("/_mv/" in f for f in s2.inputFiles())
     assert _mv_rows(s2) == _mv_rows(eng.sql(q2, "ops"))
+    # group-column IN-list residual (round-13): served by filtering
+    # the state with the same finite disjunction
+    q3 = ("SELECT grp, count(*) AS n, sum(v) AS total FROM db.docs "
+          "WHERE v >= 100 AND grp IN ('a', 'b') GROUP BY grp")
+    s3 = eng.sql(q3, "ops", use_mvs=True)
+    assert all("/_mv/" in f for f in s3.inputFiles())
+    assert _mv_rows(s3) == _mv_rows(eng.sql(q3, "ops"))
     # unprovable shapes fall back to the source scan
     for q in (
+        # IN on a non-group column
+        "SELECT grp, count(*) AS n FROM db.docs "
+        "WHERE v >= 100 AND id IN (1, 2) GROUP BY grp",
+        # NOT IN (top-level NOT refuses)
+        "SELECT grp, count(*) AS n FROM db.docs "
+        "WHERE v >= 100 AND grp NOT IN ('a') GROUP BY grp",
         # tighter on the FILTER column (not in state)
         "SELECT grp, count(*) AS n FROM db.docs "
         "WHERE v >= 200 AND grp = 'a' GROUP BY grp",

@@ -734,3 +734,17 @@ def test_kneser_ney_model_tables_derive_from_c2_once(spark, sf_dir):
     # one Generate per corpus branch: held + train share the explode
     # shape; the model tables must not add more corpus explodes
     assert plan.count("Generate explode") <= 2, plan.count("Generate explode")
+
+
+def test_heavy_hitters_final_rank_is_bounded(spark, sf_dir):
+    """events_heavy_hitters (round-13; r12 VERDICT What's wrong #1):
+    the final top-20 must plan as TakeOrderedAndProject (per-partition
+    heaps over the candidate re-count), and the rank Window must sit
+    ABOVE the take — its input is the 20-row result, never the full
+    candidate table (cap x #partitions rows, 10^7+ on a 100-TB
+    cluster, through one partition-less window task)."""
+    plan = physical_plan(REGISTRY["events_heavy_hitters"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    # explain prints parents before children: the Window node must
+    # appear before (above) the take in the tree
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:1500]

@@ -714,6 +714,57 @@ def governance_mv_rewrite_filtered(
 
 
 @query(
+    "governance_mv_rewrite_inlist",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars >= 120 AND source IN ('src1', 'src3')
+    GROUP BY lang
+    """,
+    "FILTERED-MV rewrite with an IN-LIST residual (round-13; closes "
+    "r12 What's missing #4): the MV stores WHERE n_chars >= 120 "
+    "grouped by (lang, source); the query adds source IN ('src1', "
+    "'src3') — a finite disjunction of literals on a GROUP column, "
+    "which the implication prover now admits as a sound residual "
+    "(constant per state row, so serving = filtering the state by "
+    "the same list). Subquery/function/NOT-IN/non-group IN shapes "
+    "still refuse — pinned in tests/test_mv.py. The body asserts the "
+    "source was never scanned; oracle is the full recompute.",
+)
+def governance_mv_rewrite_inlist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """100 TB: same O(groups)-state read as the equality-residual
+    rewrite — the IN-list is the second-most-common dashboard
+    predicate after equality, so this closes the last common
+    accelerable shape the round-12 prover refused."""
+    eng, _lake = _governed_docs(spark, sf_dir, "mvrwi_")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW db.docs_mv_i AS "
+        "SELECT lang, source, count(*) AS n_docs, "
+        "sum(n_chars) AS total_chars "
+        "FROM db.docs WHERE n_chars >= 120 GROUP BY lang, source",
+        "ops",
+    )
+    out = eng.sql(
+        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+        "FROM db.docs WHERE n_chars >= 120 AND source IN ('src1', 'src3') "
+        "GROUP BY lang",
+        "ops",
+        use_mvs=True,
+    )
+    files = out.inputFiles()
+    assert files and all("/_mv/" in f for f in files), files[:3]
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
     "governance_materialized_view_distinct",
     """
     WITH final AS (

@@ -812,17 +812,38 @@ _SQL_PRED_KEYWORDS = frozenset(
     "and or not in between like is null true false".split()
 )
 
+# an IN-list whose every element is a literal, seen AFTER string
+# literals are blanked to spaces: only spaces, commas, and plain
+# numerics may remain between the parens (no exponents — '1e5' would
+# shed an 'e5' token into the identifier scan below; refusing keeps
+# the grammar fail-closed)
+_LITERAL_IN_LIST = re.compile(r"\bin\s*\(([\s,\-0-9.]*)\)", re.I)
+
+
+def _blank_literal_in_lists(blanked: str) -> str:
+    """Blank ``IN ( <literals only> )`` spans in an already
+    literal-blanked predicate, so the finite-disjunction shape passes
+    the no-parentheses structural checks (round-13: IN-lists on group
+    columns are sound MV residuals — a finite OR served by filtering
+    the state). IN-lists containing anything else (subqueries, column
+    refs, function calls) keep their parens and fail closed."""
+    return _LITERAL_IN_LIST.sub(lambda m: " " * len(m.group(0)), blanked)
+
 
 def predicate_columns(pred: str) -> set | None:
     """Identifiers a WHERE predicate references, excluding bare SQL
     keywords/literals — or ``None`` when the predicate contains any
     function call or other shape whose semantics we will not guess
-    (e.g. ``upper(lang)``). Used by the MV rewrite to decide whether a
-    predicate filters on group columns alone; None = not servable."""
+    (e.g. ``upper(lang)``). A literal-only ``col IN (...)`` list is
+    understood (the list content is data, not structure). Used by the
+    MV rewrite to decide whether a predicate filters on group columns
+    alone; None = not servable."""
     # blank literals AND comments before ANY structural check — the
     # content of 'de' in ``lang = 'de'`` (parens included) is data,
     # not a column reference or a function call
-    blanked = _SPANS.sub(lambda m: " " * len(m.group(0)), pred)
+    blanked = _blank_literal_in_lists(
+        _SPANS.sub(lambda m: " " * len(m.group(0)), pred)
+    )
     if _find_keyword(pred, "select") >= 0 or "(" in blanked:
         return None
     cols: set = set()
@@ -850,11 +871,16 @@ def _norm_sql(text: str) -> str:
 
 
 def _split_and_conjuncts(pred: str) -> list | None:
-    """Top-level AND conjuncts of a parenthesis-free predicate, or
-    ``None`` when the shape is outside the provable grammar: any
-    parenthesis (function calls, IN lists, grouping — structure we
-    will not reason about), or a top-level OR/NOT."""
-    blanked = _SPANS.sub(lambda m: " " * len(m.group(0)), pred)
+    """Top-level AND conjuncts of a predicate, or ``None`` when the
+    shape is outside the provable grammar: any parenthesis other than
+    a literal-only IN-list (function calls, subqueries, grouping —
+    structure we will not reason about), or a top-level OR/NOT.
+    ``col IN ('a','b')`` is admitted (round-13): a finite disjunction
+    of literals is one atomic conjunct — the AND split below cannot
+    cut inside it because _find_keyword only looks at paren depth 0."""
+    blanked = _blank_literal_in_lists(
+        _SPANS.sub(lambda m: " " * len(m.group(0)), pred)
+    )
     if "(" in blanked or ")" in blanked:
         return None
     if _find_keyword(pred, "or") >= 0 or _find_keyword(pred, "not") >= 0:
@@ -923,15 +949,21 @@ def filtered_mv_residual(
       residual, applied to the state); every MV conjunct is textually
       matched — or numerically implied by a residual conjunct via
       same-column range subsumption (``x > 7`` serves from an
-      ``x >= 5`` MV when x is a group column).
+      ``x >= 5`` MV when x is a group column). A residual conjunct
+      may be a literal-only ``col IN (...)`` list on a group column
+      (round-13; closes r12 What's missing #4): a finite disjunction
+      of literals is constant per state row, so serving = filtering
+      the state by the same list — the second-most-common dashboard
+      predicate after equality.
 
     Soundness: query_where == AND(matched MV conjuncts) AND residual,
     and mv_where AND residual collapses to the same formula because
     every unmatched MV conjunct is implied by the residual — so
     per group the state's row set equals the query's row set exactly.
-    Everything else (OR, NOT, parentheses, function calls, IN,
-    BETWEEN, string ranges, non-group residual columns) returns
-    ``None`` and the caller falls back to the governed scan.
+    Everything else (OR, NOT, parentheses beyond literal IN-lists,
+    function calls, BETWEEN, string ranges, non-group residual
+    columns) returns ``None`` and the caller falls back to the
+    governed scan.
     """
     if query_where is None:
         return None  # query wants the whole source; the MV is a slice
