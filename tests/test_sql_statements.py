@@ -216,11 +216,16 @@ def test_unknown_verbs_fail_closed():
         # INSERT OVERWRITE <db.t> is governed since round 12; the
         # DIRECTORY form (ungoverned filesystem write) stays refused
         "INSERT OVERWRITE DIRECTORY '/x' SELECT 1",
+        # column-list CREATE TABLE is governed since round 13 — but
+        # only the external LOCATION form; a managed table is refused
         "CREATE TABLE db.t (a INT)",
-        "DROP TABLE db.t",
         "ALTER TABLE db.t ADD COLUMN x INT",
-        "GRANT SELECT ON db.t TO analyst",
+        # GRANT is governed since round 13; grant-option escalation
+        # and unknown permissions stay refused
+        "GRANT SELECT ON db.t TO analyst WITH GRANT OPTION",
+        "GRANT INSERT ON db.t TO analyst",
         "TRUNCATE TABLE db.t",
+        "MSCK REPAIR TABLE db.t",
     ):
         with pytest.raises(UnsupportedStatementError):
             parse_statement(bad)

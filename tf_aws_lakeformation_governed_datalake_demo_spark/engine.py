@@ -658,7 +658,9 @@ class Engine:
             AddColumnsStatement,
             AnalyzeStatement,
             CloneStatement,
+            CreateDatabaseStatement,
             CreateMVStatement,
+            CreateTableStatement,
             CreateViewStatement,
             CtasStatement,
             DeleteStatement,
@@ -666,15 +668,18 @@ class Engine:
             DescribeHistoryStatement,
             DescribeStatement,
             DropMVStatement,
+            DropTableStatement,
             DropViewStatement,
             ExecuteStatement,
             ExplainStatement,
+            GrantStatement,
             InsertStatement,
             MergeStatement,
             OptimizeStatement,
             PrepareStatement,
             RefreshMVStatement,
             RenameColumnStatement,
+            RevokeStatement,
             ShowDatabasesStatement,
             ShowGrantsStatement,
             ShowPartitionsStatement,
@@ -727,6 +732,331 @@ class Engine:
                     "n_files": int(res["n_files"]),
                 },
                 "table string, cloned_from_version long, n_files long",
+            )
+
+        if isinstance(stmt, CreateDatabaseStatement):
+            # the reference's provisioning object (main.tf:291-300) as
+            # DDL. Admin-gated: in Lake Formation, catalog databases
+            # are created by administrators (provisioning), not by
+            # query principals.
+            def _audit_cd(status: str, error: str | None = None):
+                self.catalog.audit.record(
+                    name or "<none>",
+                    f"CREATE DATABASE {stmt.name}",
+                    [],
+                    [],
+                    status,
+                    error=error,
+                )
+
+            if (
+                self.catalog.governance_enabled
+                and name not in self.catalog.admins
+            ):
+                _audit_cd("denied", "CREATE DATABASE requires an admin")
+                raise PermissionDeniedError(
+                    f"principal {name!r} may not create databases: "
+                    "catalog provisioning is admin-only"
+                )
+            existed = stmt.name in self.catalog.databases
+            if existed and not stmt.if_not_exists:
+                _audit_cd("failed", "database exists")
+                raise ValueError(
+                    f"database {stmt.name!r} already exists (use IF NOT "
+                    "EXISTS to make creation idempotent)"
+                )
+            if not existed:
+                self.catalog.create_database(stmt.name, stmt.comment or "")
+            _audit_cd("succeeded")
+            qe.tables = []
+            return _row(
+                {"database": stmt.name, "created": not existed},
+                "database string, created boolean",
+            )
+
+        if isinstance(stmt, CreateTableStatement):
+            # column-list CREATE [EXTERNAL] TABLE (main.tf:303-372 as
+            # Athena DDL): declares catalog metadata over an external
+            # LOCATION — schema-on-read, no data written or read here.
+            # Admin-gated: registering an arbitrary location is Lake
+            # Formation's data-location permission — a non-admin could
+            # otherwise point a fresh table at files behind another
+            # table's row/column security and grant themselves around
+            # it (CTAS/CLONE stay open to non-admins because they
+            # materialize THROUGH the governed read path).
+            from pyspark.sql import types as T
+
+            from .catalog import TableDef as _TableDef
+            from .governance import ALL as _ALL_PERM
+
+            def _audit_ct(status: str, error: str | None = None):
+                self.catalog.audit.record(
+                    name or "<none>",
+                    f"CREATE TABLE {stmt.target}",
+                    [stmt.target],
+                    [],
+                    status,
+                    error=error,
+                )
+
+            qe.tables = [stmt.target]
+            if (
+                self.catalog.governance_enabled
+                and name not in self.catalog.admins
+            ):
+                _audit_ct(
+                    "denied", "CREATE TABLE (external location) is admin-only"
+                )
+                raise PermissionDeniedError(
+                    f"principal {name!r} may not register external "
+                    "tables: declaring a LOCATION is the data-location "
+                    "permission (admin-only); CTAS materializes through "
+                    "the governed read path instead"
+                )
+            db, _, tname = stmt.target.partition(".")
+            if db not in self.catalog.databases:
+                _audit_ct("failed", f"unknown database {db!r}")
+                raise KeyError(f"unknown database {db!r}")
+            for registry, kind in (
+                (self.catalog.tables, "table"),
+                (self.catalog.views, "view"),
+                (self.catalog.mvs, "materialized view"),
+            ):
+                if stmt.target in registry:
+                    if stmt.if_not_exists and kind == "table":
+                        _audit_ct("succeeded")
+                        return _row(
+                            {
+                                "table": stmt.target,
+                                "location": registry[stmt.target].location,
+                                "created": False,
+                            },
+                            "table string, location string, created boolean",
+                        )
+                    _audit_ct("failed", f"{stmt.target} already a {kind}")
+                    raise ValueError(
+                        f"{stmt.target} already exists (a {kind})"
+                    )
+            # declared (never inferred) schema: data columns then
+            # partition columns, hive-style; a bad type name raises
+            # BEFORE any catalog mutation (fail-closed)
+            ddl = ", ".join(
+                f"{c} {t}"
+                for c, t, _cm in (
+                    *stmt.columns,
+                    *((p, ty, None) for p, ty in stmt.partitioned_by),
+                )
+            )
+            try:
+                schema = T.StructType.fromDDL(ddl)
+            except Exception as exc:
+                _audit_ct("failed", f"bad column list: {exc}")
+                raise ValueError(
+                    f"CREATE TABLE {stmt.target}: unparseable column "
+                    f"list ({ddl!r})"
+                ) from exc
+            self.catalog.register_table(
+                _TableDef(
+                    database=db,
+                    name=tname,
+                    location=stmt.location,
+                    schema=schema,
+                    partition_keys=tuple(p for p, _t in stmt.partitioned_by),
+                    column_comments={
+                        c: cm for c, _t, cm in stmt.columns if cm is not None
+                    },
+                )
+            )
+            if name is not None:
+                # creator owns the table (the CTAS/CLONE rule)
+                self.catalog.grant(name, _ALL_PERM, db, tname)
+            _audit_ct("succeeded")
+            return _row(
+                {
+                    "table": stmt.target,
+                    "location": stmt.location,
+                    "created": True,
+                },
+                "table string, location string, created boolean",
+            )
+
+        if isinstance(stmt, DropTableStatement):
+            # Glue DeleteTable: catalog entry (and every grant on it)
+            # goes; EXTERNAL semantics leave data files untouched.
+            def _audit_dt(status: str, error: str | None = None):
+                self.catalog.audit.record(
+                    name or "<none>",
+                    f"DROP TABLE {stmt.target}",
+                    [stmt.target],
+                    [],
+                    status,
+                    error=error,
+                )
+
+            qe.tables = [stmt.target]
+            td = self.catalog.tables.get(stmt.target)
+            if td is None:
+                if stmt.if_exists:
+                    _audit_dt("succeeded")
+                    return _row(
+                        {"table": stmt.target, "dropped": False},
+                        "table string, dropped boolean",
+                    )
+                _audit_dt("failed", "unknown table")
+                raise KeyError(f"unknown table {stmt.target!r}")
+            from .governance import ALL as _ALL_PERM
+
+            if (
+                self.catalog.governance_enabled
+                and name not in self.catalog.admins
+            ):
+                grants = (
+                    self.catalog.grants_for(name, td.database, td.name)
+                    if name is not None
+                    else []
+                )
+                if not any(
+                    g.permission == _ALL_PERM
+                    and g.via_filter is None
+                    and g.via_tag_exclude is None
+                    for g in grants
+                ):
+                    _audit_dt(
+                        "denied", "DROP TABLE requires admin or ALL"
+                    )
+                    raise PermissionDeniedError(
+                        f"principal {name!r} may not drop {stmt.target}: "
+                        "admin or an unconditioned ALL grant required"
+                    )
+            dependent = sorted(
+                q
+                for q, mv in self.catalog.mvs.items()
+                if mv.source == stmt.target
+            )
+            if dependent:
+                _audit_dt("failed", f"dependent MVs {dependent}")
+                raise ValueError(
+                    f"{stmt.target} feeds materialized view(s) "
+                    f"{dependent}; drop those first"
+                )
+            del self.catalog.tables[stmt.target]
+            # strip every grant on the dropped resource: a later
+            # re-register under the same name must start with ONLY its
+            # creator's grant, never resurrect old access
+            self.catalog.grants = [
+                g
+                for g in self.catalog.grants
+                if not (
+                    g.database == td.database and g.resource == td.name
+                )
+            ]
+            _audit_dt("succeeded")
+            return _row(
+                {"table": stmt.target, "dropped": True},
+                "table string, dropped boolean",
+            )
+
+        if isinstance(stmt, GrantStatement):
+            # the LF permission mutation (main.tf:460-487) as governed
+            # SQL. Admin-only: granting access IS the governance
+            # console. Principals are free-form names (IAM roles live
+            # out-of-band, validate.sh:46-58), but the OBJECT must
+            # exist — no grants on phantom resources.
+            def _audit_g(status: str, error: str | None = None):
+                self.catalog.audit.record(
+                    name or "<none>",
+                    f"GRANT {stmt.permission} ON {stmt.target} "
+                    f"TO {stmt.principal}",
+                    [stmt.target],
+                    [],
+                    status,
+                    error=error,
+                )
+
+            qe.tables = [stmt.target]
+            if (
+                self.catalog.governance_enabled
+                and name not in self.catalog.admins
+            ):
+                _audit_g("denied", "GRANT is admin-only")
+                raise PermissionDeniedError(
+                    f"principal {name!r} may not grant permissions: "
+                    "the permissions console is admin-only"
+                )
+            if (
+                stmt.target not in self.catalog.tables
+                and stmt.target not in self.catalog.views
+            ):
+                _audit_g("failed", "unknown object")
+                raise KeyError(f"unknown table or view {stmt.target!r}")
+            db, _, res = stmt.target.partition(".")
+            already = any(
+                g.permission == stmt.permission
+                and g.via_filter is None
+                and g.via_tag_exclude is None
+                for g in self.catalog.grants_for(stmt.principal, db, res)
+            )
+            if not already:
+                # idempotent: re-granting an identical unconditioned
+                # permission must not duplicate SHOW GRANTS rows
+                self.catalog.grant(stmt.principal, stmt.permission, db, res)
+            _audit_g("succeeded")
+            return _row(
+                {
+                    "principal": stmt.principal,
+                    "permission": stmt.permission,
+                    "object": stmt.target,
+                    "granted": not already,
+                },
+                "principal string, permission string, object string, "
+                "granted boolean",
+            )
+
+        if isinstance(stmt, RevokeStatement):
+            # immediate enforcement: catalog.revoke mutates the live
+            # grant list AND churns the governance fingerprint, so a
+            # revoked principal can never ride the reuse cache into
+            # data they just lost (tests/test_revoke.py)
+            def _audit_r(status: str, error: str | None = None):
+                perm = stmt.permission or "ALL PERMISSIONS"
+                self.catalog.audit.record(
+                    name or "<none>",
+                    f"REVOKE {perm} ON {stmt.target} "
+                    f"FROM {stmt.principal}",
+                    [stmt.target],
+                    [],
+                    status,
+                    error=error,
+                )
+
+            qe.tables = [stmt.target]
+            if (
+                self.catalog.governance_enabled
+                and name not in self.catalog.admins
+            ):
+                _audit_r("denied", "REVOKE is admin-only")
+                raise PermissionDeniedError(
+                    f"principal {name!r} may not revoke permissions: "
+                    "the permissions console is admin-only"
+                )
+            if (
+                stmt.target not in self.catalog.tables
+                and stmt.target not in self.catalog.views
+            ):
+                _audit_r("failed", "unknown object")
+                raise KeyError(f"unknown table or view {stmt.target!r}")
+            db, _, res = stmt.target.partition(".")
+            n_revoked = self.catalog.revoke(
+                stmt.principal, stmt.permission, db, res
+            )
+            _audit_r("succeeded")
+            return _row(
+                {
+                    "principal": stmt.principal,
+                    "object": stmt.target,
+                    "revoked": n_revoked,
+                },
+                "principal string, object string, revoked long",
             )
 
         if isinstance(stmt, UnloadStatement):

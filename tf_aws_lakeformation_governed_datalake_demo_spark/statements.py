@@ -355,9 +355,78 @@ class AnalyzeStatement:
     columns: tuple = ()
 
 
+@dataclass(frozen=True)
+class CreateDatabaseStatement:
+    """``CREATE DATABASE [IF NOT EXISTS] <name> [COMMENT '<text>']`` —
+    the reference's provisioning object (``aws_glue_catalog_database``,
+    main.tf:291-300) as the DDL a console user pastes. Admin-gated:
+    database creation is lake provisioning."""
+
+    name: str
+    if_not_exists: bool = False
+    comment: str | None = None
+
+
+@dataclass(frozen=True)
+class CreateTableStatement:
+    """Column-list ``CREATE [EXTERNAL] TABLE [IF NOT EXISTS] <db.t>
+    (col type [COMMENT '...'], ...) [PARTITIONED BY (col type, ...)]
+    [STORED AS PARQUET] LOCATION '<path>'`` — the reference's own
+    table object (``aws_glue_catalog_table``, main.tf:303-372) as
+    Athena DDL. Schema-on-read: declares catalog metadata only; data
+    arrives out-of-band (upload_sample.sh:27). Partition columns are
+    declared separately with types, hive-style, and append to the
+    declared schema."""
+
+    target: str
+    columns: tuple  # ((name, type_ddl, comment|None), ...)
+    location: str
+    partitioned_by: tuple = ()  # ((name, type_ddl), ...)
+    if_not_exists: bool = False
+
+
+@dataclass(frozen=True)
+class DropTableStatement:
+    """``DROP TABLE [IF EXISTS] <db.t>`` — Glue DeleteTable: removes
+    the catalog entry (and every grant on it — a later re-register
+    must not resurrect old access); EXTERNAL semantics leave the data
+    files untouched."""
+
+    target: str
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
+class GrantStatement:
+    """``GRANT <SELECT|ALL> ON <db.obj> TO <principal>`` — the Lake
+    Formation permission mutation (``aws_lakeformation_permissions``,
+    main.tf:460-487) as governed SQL. Admin-gated, audited verbatim."""
+
+    permission: str
+    target: str
+    principal: str
+
+
+@dataclass(frozen=True)
+class RevokeStatement:
+    """``REVOKE [<perm>] ON <db.obj> FROM <principal>`` — routed to
+    catalog.revoke; enforcement is immediate (fingerprint churn kills
+    every cached result). Omitting the permission revokes every grant
+    the principal holds on the object."""
+
+    permission: str | None
+    target: str
+    principal: str
+
+
 Statement = (
     AnalyzeStatement,
     DescribeDetailStatement,
+    CreateDatabaseStatement,
+    CreateTableStatement,
+    DropTableStatement,
+    GrantStatement,
+    RevokeStatement,
     CloneStatement,
     ShowGrantsStatement,
     AddColumnsStatement,
@@ -684,6 +753,133 @@ def _parse_ctas(text: str) -> CtasStatement:
             f"unsupported CTAS propert(ies) {sorted(props)}"
         )
     return CtasStatement(target, ma.group(1).strip(), location, pby)
+
+
+_COLUMN_ITEM = re.compile(
+    rf"({_IDENT})\s+([A-Za-z0-9_<>,()\s]+?)"
+    r"(?:\s+comment\s+'((?:[^']|'')*)')?",
+    re.I | re.S,
+)
+
+
+def _split_columns(body: str) -> list[str]:
+    """Split a column list on commas OUTSIDE parens, brackets, angle
+    brackets, and string literals — ``map<string,int>`` and
+    ``decimal(10,2)`` are one item each."""
+    parts: list[str] = []
+    depth = 0
+    last = 0
+    i = 0
+    n = len(body)
+    while i < n:
+        ch = body[i]
+        if ch in "'\"":
+            m = _SPANS.match(body, i)
+            if m is None:
+                break
+            i = m.end()
+            continue
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[last:i])
+            last = i + 1
+        i += 1
+    parts.append(body[last:])
+    return [p.strip() for p in parts]
+
+
+def _parse_column_list(body: str, context: str) -> list[tuple]:
+    """Parse ``col type [COMMENT '<text>']`` items (the ADD COLUMNS
+    item grammar) from the inside of a parenthesized list."""
+    cols: list[tuple] = []
+    for item in _split_columns(body):
+        mc = _COLUMN_ITEM.fullmatch(item)
+        if not mc:
+            raise UnsupportedStatementError(
+                f"{context} item {item!r} is not <col> <type> "
+                "[COMMENT '<text>']"
+            )
+        comment = (
+            mc.group(3).replace("''", "'") if mc.group(3) is not None else None
+        )
+        cols.append((mc.group(1), mc.group(2).strip(), comment))
+    if not cols:
+        raise UnsupportedStatementError(f"{context} needs columns")
+    return cols
+
+
+def _parse_create_table(text: str) -> CreateTableStatement:
+    """Column-list CREATE [EXTERNAL] TABLE (the reference's own table
+    DDL — main.tf:303-372 declares exactly this object; README.md's
+    Athena flow pastes it). The caller has already established the
+    statement is NOT a CTAS/CLONE (no WITH props, no AS select)."""
+    grammar = (
+        "CREATE [EXTERNAL] TABLE [IF NOT EXISTS] <db.table> "
+        "(col type [COMMENT '<text>'], ...) "
+        "[PARTITIONED BY (col type, ...)] [STORED AS PARQUET] "
+        "LOCATION '<path>'"
+    )
+    m = re.match(
+        rf"create\s+(?:external\s+)?table\s+(if\s+not\s+exists\s+)?"
+        rf"({_QUALIFIED})\s*",
+        text,
+        re.I,
+    )
+    if not m:
+        raise UnsupportedStatementError(f"supported form: {grammar}")
+    if_not_exists = bool(m.group(1))
+    target = m.group(2)
+    rest = text[m.end() :].lstrip()
+    if not rest.startswith("("):
+        raise UnsupportedStatementError(f"supported form: {grammar}")
+    end = _balanced_paren_span(rest, 0)
+    cols = _parse_column_list(rest[1 : end - 1], "CREATE TABLE column")
+    tail = rest[end:].strip()
+    pby: list[tuple] = []
+    mp = re.match(r"partitioned\s+by\s*", tail, re.I)
+    if mp:
+        prest = tail[mp.end() :]
+        if not prest.startswith("("):
+            raise UnsupportedStatementError(f"supported form: {grammar}")
+        pend = _balanced_paren_span(prest, 0)
+        # hive-style: partition columns are declared OUTSIDE the data
+        # column list, with types (main.tf would put sales_region here
+        # if the reference partitioned); comments allowed, same item
+        # grammar
+        pby = _parse_column_list(
+            prest[1 : pend - 1], "PARTITIONED BY"
+        )
+        tail = prest[pend:].strip()
+    ms = re.match(r"stored\s+as\s+(\w+)\s*", tail, re.I)
+    if ms:
+        if ms.group(1).lower() != "parquet":
+            raise UnsupportedStatementError(
+                f"STORED AS {ms.group(1).upper()} unsupported (parquet "
+                "only — the reference's lake is parquet throughout, "
+                "main.tf:311-328)"
+            )
+        tail = tail[ms.end() :].strip()
+    ml = re.fullmatch(r"location\s+'([^']+)'", tail, re.I)
+    if not ml:
+        raise UnsupportedStatementError(
+            f"CREATE TABLE requires a LOCATION '<path>' tail (external "
+            f"schema-on-read tables only); supported form: {grammar}"
+        )
+    names = [c[0].lower() for c in cols] + [p[0].lower() for p in pby]
+    if len(set(names)) != len(names):
+        raise UnsupportedStatementError(
+            "duplicate column name in CREATE TABLE"
+        )
+    return CreateTableStatement(
+        target,
+        tuple(cols),
+        ml.group(1),
+        tuple((p[0], p[1]) for p in pby),
+        if_not_exists,
+    )
 
 
 _QUERY_VERBS = ("select", "with", "values")
@@ -1348,6 +1544,26 @@ def parse_statement(sql: str):
         )
         return ExecuteStatement(m.group(1), params)
     if verb == "create":
+        m = re.match(
+            rf"create\s+(?:database|schema)\s+(if\s+not\s+exists\s+)?"
+            rf"({_IDENT})\s*",
+            text,
+            re.I,
+        )
+        if m:
+            rest = text[m.end() :].strip()
+            comment = None
+            if rest:
+                mc = re.fullmatch(r"comment\s+'((?:[^']|'')*)'", rest, re.I)
+                if not mc:
+                    raise UnsupportedStatementError(
+                        "supported form: CREATE DATABASE [IF NOT EXISTS] "
+                        "<name> [COMMENT '<text>']"
+                    )
+                comment = mc.group(1).replace("''", "'")
+            return CreateDatabaseStatement(
+                m.group(2), bool(m.group(1)), comment
+            )
         if re.match(r"create\s+materialized\s+view\b", text, re.I):
             return _parse_create_mv(text)
         m = re.match(
@@ -1393,16 +1609,26 @@ def parse_statement(sql: str):
                     f"unsupported CLONE propert(ies) {sorted(props)}"
                 )
             return CloneStatement(m.group(1), m.group(2), version, location)
+        if re.match(
+            rf"create\s+(?:external\s+)?table\s+"
+            rf"(?:if\s+not\s+exists\s+)?{_QUALIFIED}\s*\(",
+            text,
+            re.I,
+        ) or re.match(r"create\s+external\s+table\b", text, re.I):
+            # a column list (or the EXTERNAL keyword) marks the plain
+            # DDL form (round-13); CTAS/CLONE have WITH/CLONE after
+            # the name instead
+            return _parse_create_table(text)
         if re.match(r"create\s+table\b", text, re.I):
             return _parse_ctas(text)
         raise UnsupportedStatementError(
-            "CREATE through engine.sql supports CREATE [OR REPLACE] VIEW "
-            "<db.view> AS <select>, CREATE MATERIALIZED VIEW, CREATE "
-            "TABLE ... WITH (external_location=...) AS <select> (Athena "
-            "CTAS), and CREATE TABLE <db.t> CLONE <db.src> [VERSION AS "
-            "OF n] WITH (external_location=...); plain tables/databases "
-            "go through the catalog API (create_database / "
-            "register_table)"
+            "CREATE through engine.sql supports CREATE DATABASE, "
+            "CREATE [OR REPLACE] VIEW <db.view> AS <select>, CREATE "
+            "MATERIALIZED VIEW, CREATE [EXTERNAL] TABLE <db.t> (col "
+            "type, ...) ... LOCATION '<path>', CREATE TABLE ... WITH "
+            "(external_location=...) AS <select> (Athena CTAS), and "
+            "CREATE TABLE <db.t> CLONE <db.src> [VERSION AS OF n] WITH "
+            "(external_location=...)"
         )
     if verb == "unload":
         m = re.match(r"unload\s*", text, re.I)
@@ -1455,10 +1681,15 @@ def parse_statement(sql: str):
         if m:
             # the reference's cleanup step (README.md:320)
             return DropViewStatement(m.group(2), bool(m.group(1)))
+        m = re.fullmatch(
+            rf"drop\s+table\s+(if\s+exists\s+)?({_QUALIFIED})", text, re.I
+        )
+        if m:
+            return DropTableStatement(m.group(2), bool(m.group(1)))
         raise UnsupportedStatementError(
             "DROP through engine.sql supports DROP MATERIALIZED VIEW "
-            "<db.mv> [PURGE] and DROP VIEW [IF EXISTS] <db.view>; tables "
-            "go through the catalog API"
+            "<db.mv> [PURGE], DROP VIEW [IF EXISTS] <db.view>, and "
+            "DROP TABLE [IF EXISTS] <db.table>"
         )
     if verb == "show":
         m = re.fullmatch(rf"show\s+tables(?:\s+in\s+({_IDENT}))?", text, re.I)
@@ -1484,6 +1715,36 @@ def parse_statement(sql: str):
             "| SHOW VIEWS [IN <db>] | SHOW PARTITIONS <db.table> | "
             "SHOW GRANTS [FOR <principal>] ON <db.table>"
         )
+    if verb == "grant":
+        m = re.fullmatch(
+            rf"grant\s+(select|all)\s+on\s+(?:table\s+)?({_QUALIFIED})"
+            rf"\s+to\s+({_IDENT})",
+            text,
+            re.I,
+        )
+        if not m:
+            raise UnsupportedStatementError(
+                "supported form: GRANT SELECT|ALL ON [TABLE] <db.obj> "
+                "TO <principal> (conditioned grants — data-cells "
+                "filters, tag excludes — attach through the catalog "
+                "API, which names the filter object)"
+            )
+        return GrantStatement(m.group(1).upper(), m.group(2), m.group(3))
+    if verb == "revoke":
+        m = re.fullmatch(
+            rf"revoke\s+(?:(select|all)\s+)?on\s+(?:table\s+)?"
+            rf"({_QUALIFIED})\s+from\s+({_IDENT})",
+            text,
+            re.I,
+        )
+        if not m:
+            raise UnsupportedStatementError(
+                "supported form: REVOKE [SELECT|ALL] ON [TABLE] "
+                "<db.obj> FROM <principal> (omitting the permission "
+                "revokes every grant the principal holds on the object)"
+            )
+        perm = m.group(1).upper() if m.group(1) else None
+        return RevokeStatement(perm, m.group(2), m.group(3))
     if verb == "analyze":
         m = re.fullmatch(
             rf"analyze\s+table\s+({_QUALIFIED})\s+compute\s+statistics"
@@ -1539,9 +1800,10 @@ def parse_statement(sql: str):
         f"statement verb {verb.upper()!r} is outside the governed grammar "
         "(supported: SELECT/WITH/VALUES queries, EXPLAIN <query>, MERGE "
         "INTO, INSERT INTO, UPDATE, DELETE FROM, OPTIMIZE, VACUUM, "
-        "CREATE/REFRESH/DROP MATERIALIZED VIEW, CREATE [OR REPLACE] VIEW, "
-        "DROP VIEW, PREPARE/EXECUTE, ALTER TABLE RENAME COLUMN / ADD "
-        "COLUMNS, SHOW DATABASES/TABLES/VIEWS/PARTITIONS/GRANTS, "
-        "DESCRIBE [HISTORY], ANALYZE TABLE); raw DDL does not run "
-        "through the governed engine"
+        "CREATE DATABASE, CREATE [EXTERNAL] TABLE, DROP TABLE, "
+        "GRANT/REVOKE, CREATE/REFRESH/DROP MATERIALIZED VIEW, CREATE "
+        "[OR REPLACE] VIEW, DROP VIEW, PREPARE/EXECUTE, ALTER TABLE "
+        "RENAME COLUMN / ADD COLUMNS, SHOW DATABASES/TABLES/VIEWS/"
+        "PARTITIONS/GRANTS, DESCRIBE [HISTORY], ANALYZE TABLE); raw "
+        "DDL does not run through the governed engine"
     )
