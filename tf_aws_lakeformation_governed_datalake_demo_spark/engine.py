@@ -557,6 +557,16 @@ class Engine:
                     )
                 df = self._run_statement(stmt, principal, qe)
                 touched = qe.tables
+            elif not as_of_versions and (
+                cnt_df := self._try_metadata_count(sql, principal, qe)
+            ) is not None:
+                # served from manifest footer row counts — zero files
+                # planned (the Athena/Iceberg/Delta stats-count parity
+                # point); eligibility mirrors the MV rewrite's and the
+                # answer is EXACT, so serving is always semantics-
+                # preserving (tests/test_count_metadata.py)
+                df = cnt_df
+                touched = qe.tables
             elif use_mvs and (
                 mv_df := self._try_mv_rewrite(
                     sql, principal, qe, allow_stale=mv_allow_stale
@@ -3223,6 +3233,65 @@ class Engine:
             else:
                 parts.append(out)
         return f"SELECT {', '.join(parts)} FROM {state_q}"
+
+    def _try_metadata_count(self, sql: str, principal, qe: QueryExecution):
+        """Serve a bare ``SELECT count(*) FROM <db.t>`` from the
+        manifest's recorded per-file footer row counts (round-13;
+        closes r12 What's missing #3) — zero I/O, no scan planned.
+        Returns the one-row DataFrame, or ``None`` to fall open to the
+        ordinary governed scan.
+
+        Exactness conditions (all required — L13's eligibility
+        pattern):
+
+        - the query is EXACTLY the bare-count shape
+          (statements.parse_bare_count): any WHERE / join / grouping /
+          time travel falls back;
+        - the table is a manifest-committed parquet table whose
+          current snapshot answers sources.lake.count_rows exactly —
+          merge-on-read tombstones or pre-recording snapshots return
+          None there and we scan;
+        - governance: implicit deny raises here exactly as the scan
+          would; any CONDITIONED access (row filter, column allowlist,
+          tag exclude) falls back — a row filter changes the count.
+
+        The audit trail carries a ``COUNT_STATS:<table>`` marker in
+        filters_applied (the MV_REWRITE tag pattern), so a reviewer
+        can see the result came from statistics, not a scan. 100 TB:
+        a trillion-row table's count is O(#files) driver-side
+        arithmetic already paid for at commit time."""
+        from pyspark.sql import types as T
+
+        from .sources.lake import count_rows
+        from .statements import parse_bare_count
+
+        parsed = parse_bare_count(sql)
+        if parsed is None:
+            return None
+        alias, qualified = parsed
+        td = self.catalog.tables.get(qualified)
+        if td is None or td.format != "parquet":
+            return None  # views/unknown names: ordinary path resolves
+        name = (
+            principal.name if isinstance(principal, Principal) else principal
+        )
+        if self.catalog.governance_enabled and name not in self.catalog.admins:
+            if name is None:
+                return None  # anonymous: let the scan path rule
+            # raises implicit deny exactly like the scan would;
+            # conditioned access falls back (the count must reflect
+            # the principal's row filter)
+            if self.catalog._resolve_cells(name, td, qualified) is not None:
+                return None
+        info = count_rows(td.location)
+        if info is None:
+            return None  # non-manifest / tombstoned: scan
+        qe.tables = [qualified]
+        qe.filters_applied.append(f"COUNT_STATS:{qualified}")
+        schema = T.StructType(
+            [T.StructField(alias or "count(1)", T.LongType(), False)]
+        )
+        return self.spark.createDataFrame([(int(info["rows"]),)], schema)
 
     def _try_mv_rewrite(
         self, sql: str, principal, qe: QueryExecution, allow_stale: bool = False

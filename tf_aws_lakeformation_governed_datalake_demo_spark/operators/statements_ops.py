@@ -766,6 +766,34 @@ def sql_create_table_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_count_metadata",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    """,
+    "Metadata-only SELECT count(*) (round-13; closes r12 What's "
+    "missing #3): the bare-count shape through engine.sql is served "
+    "from the manifest's recorded per-file footer row counts — the "
+    "body asserts ZERO files entered the plan (inputFiles() empty) — "
+    "exactly how Athena/Iceberg/Delta answer counts from statistics. "
+    "Eligibility is provably exact: unconditioned principal, "
+    "tombstone-free manifest snapshot, no WHERE; everything else "
+    "falls open to the scan (tests/test_count_metadata.py). The "
+    "oracle counts the raw table.",
+)
+def sql_count_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: a trillion-row count is O(#files) driver arithmetic "
+    "already paid at commit time (the same footer read that records "
+    "min/max skipping stats); audit carries COUNT_STATS so reviewers "
+    "see stats-served vs scanned."""
+    eng, _lake = _governed_docs(spark, sf_dir, "sqlcnt_")
+    out = eng.sql("SELECT count(*) AS n_docs FROM db.docs", "ops")
+    assert not out.inputFiles(), "bare count must plan zero files"
+    qe = eng._execute("SELECT count(*) AS n_docs FROM db.docs", "ops")
+    assert "COUNT_STATS:db.docs" in qe.filters_applied
+    return out
+
+
+@query(
     "sql_grant_revoke",
     """
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

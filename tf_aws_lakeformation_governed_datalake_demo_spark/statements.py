@@ -882,6 +882,32 @@ def _parse_create_table(text: str) -> CreateTableStatement:
     )
 
 
+_BARE_COUNT = re.compile(
+    rf"select\s+count\s*\(\s*\*\s*\)(?:\s+as\s+({_IDENT}))?"
+    rf"\s+from\s+({_QUALIFIED})",
+    re.I,
+)
+
+
+def parse_bare_count(sql: str):
+    """Match the exactly-servable metadata-count shape (round-13;
+    closes r12 What's missing #3): ``SELECT count(*) [AS alias] FROM
+    <db.t>`` with NOTHING else — no WHERE, joins, grouping, set ops,
+    time travel. Returns ``(alias | None, qualified_table)`` or
+    ``None`` (caller plans the ordinary scan). The shape mirrors what
+    Athena/Iceberg/Delta answer from statistics."""
+    try:
+        text = _blank_comments(sql).strip()
+    except Exception:
+        return None
+    while text.endswith(";"):
+        text = text[:-1].rstrip()
+    m = _BARE_COUNT.fullmatch(text)
+    if not m:
+        return None
+    return m.group(1), m.group(2)
+
+
 _QUERY_VERBS = ("select", "with", "values")
 
 
