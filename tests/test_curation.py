@@ -334,3 +334,61 @@ def test_l_diversity_verdicts_are_mixed_and_consistent(spark):
             # < l values over n rows: the top value holds at least
             # floor(100/(l-1)) percent
             assert r.max_share_pct >= 100 // (L_DIVERSITY - 1) - 1
+
+
+def test_t_closeness_verdicts_mixed_and_tvd_exact(spark):
+    """privacy_t_closeness (round 13): the audit must BIND at sf0.01 —
+    both verdicts present — each verdict must agree with its own
+    reported TVD vs the threshold, and the engine's integer TVD must
+    equal an independently computed exact TVD on the same microdata."""
+    from fractions import Fraction
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.privacy import (
+        T_CLOSENESS_PCT,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.registry import (
+        REGISTRY,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["privacy_t_closeness"].builder(spark, sf).collect()
+    acts = {r.t_closeness_action for r in rows}
+    assert acts == {"ok", "violating"}, acts
+    # reference TVD from the raw microdata, exact rationals
+    import collections
+
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_mktsegment", "c_acctbal"
+    ).collect()
+    per_value: dict = collections.Counter()
+    for r in c:
+        import math
+
+        band = math.floor(r.c_acctbal / 1000)
+        # Spark/DuckDB % is sign-of-dividend (C-style), not Python's
+        # floor mod — negative acctbal yields a negative sub-band
+        sub = int(math.fmod(math.floor(r.c_acctbal / 100), 10))
+        per_value[(r.c_mktsegment, band, sub)] += 1
+    global_v: dict = collections.Counter()
+    for (seg, band, sub), nv in per_value.items():
+        global_v[sub] += nv
+    big_n = sum(global_v.values())
+    for r in rows:
+        group = {
+            sub: nv
+            for (seg, band, sub), nv in per_value.items()
+            if seg == r.c_mktsegment and band == r.bal_band
+        }
+        n = sum(group.values())
+        assert n == r.n
+        tvd = Fraction(
+            sum(
+                abs(group.get(v, 0) * big_n - global_v[v] * n)
+                for v in global_v
+            ),
+            2 * n * big_n,
+        )
+        assert int(tvd * 100) == r.tvd_pct, (r, tvd)
+        assert (tvd * 100 <= T_CLOSENESS_PCT) == (
+            r.t_closeness_action == "ok"
+        ), (r, tvd)

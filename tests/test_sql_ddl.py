@@ -339,3 +339,63 @@ def test_ddl_audit_trail(eng, tmp_path):
         if e["principal"] == "intruder" and e["status"] == "denied"
     ]
     assert denied
+
+
+def test_show_create_table_roundtrip(eng, spark, tmp_path):
+    """SHOW CREATE TABLE's output, re-executed verbatim through
+    engine.sql, must re-declare an equivalent table — the console
+    copy-paste loop closes."""
+    _declare(eng, tmp_path)
+    ddl = eng.sql("SHOW CREATE TABLE sales_db.sales", "ops").first().ddl
+    assert "CREATE EXTERNAL TABLE sales_db.sales" in ddl
+    assert "COMMENT 'pk'" in ddl and "PARTITIONED BY (yr int)" in ddl
+    before = eng.catalog.tables["sales_db.sales"]
+    eng.sql("DROP TABLE sales_db.sales", "ops")
+    eng.sql(ddl, "ops")
+    after = eng.catalog.tables["sales_db.sales"]
+    assert after.schema == before.schema
+    assert after.partition_keys == before.partition_keys
+    assert after.location == before.location
+    assert after.column_comments == before.column_comments
+
+
+def test_show_create_table_and_columns_redaction(eng, spark, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        DataCellsFilter,
+    )
+
+    _declare(eng, tmp_path)
+    eng.catalog.create_data_cells_filter(
+        DataCellsFilter(
+            "narrow", "sales_db", "sales", ("id", "yr"), None
+        )
+    )
+    eng.catalog.grant(
+        "narrow_p", "SELECT", "sales_db", "sales", via_filter="narrow"
+    )
+    ddl = eng.sql("SHOW CREATE TABLE sales_db.sales", "narrow_p").first().ddl
+    assert "region" not in ddl and "amount" not in ddl
+    assert "id bigint" in ddl
+    cols = [
+        r.col_name
+        for r in eng.sql("SHOW COLUMNS IN sales_db.sales", "narrow_p").collect()
+    ]
+    assert cols == ["id", "yr"]
+    # no grant: existence hidden
+    with pytest.raises(PermissionDeniedError):
+        eng.sql("SHOW CREATE TABLE sales_db.sales", "nobody")
+    # view DDL comes back verbatim (body validation needs readable
+    # data at the location — schema-on-read)
+    spark.createDataFrame(
+        [(1, "APAC", 1.0, 2024)],
+        "id long, region string, amount double, yr int",
+    ).write.mode("overwrite").partitionBy("yr").parquet(
+        eng.catalog.tables["sales_db.sales"].location
+    )
+    eng.sql(
+        "CREATE VIEW sales_db.v AS SELECT id FROM sales_db.sales", "ops"
+    )
+    vddl = eng.sql("SHOW CREATE TABLE sales_db.v", "ops").first().ddl
+    assert vddl == (
+        "CREATE OR REPLACE VIEW sales_db.v AS SELECT id FROM sales_db.sales"
+    )

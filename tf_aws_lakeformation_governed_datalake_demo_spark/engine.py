@@ -690,6 +690,8 @@ class Engine:
             RefreshMVStatement,
             RenameColumnStatement,
             RevokeStatement,
+            ShowColumnsStatement,
+            ShowCreateTableStatement,
             ShowDatabasesStatement,
             ShowGrantsStatement,
             ShowPartitionsStatement,
@@ -1707,6 +1709,80 @@ class Engine:
                 "col_name string, data_type string, is_partition boolean, "
                 "comment string",
             )
+
+        if isinstance(stmt, ShowColumnsStatement):
+            # DESCRIBE's redaction rules, names only
+            if stmt.target in self.catalog.views:
+                vdf = self.catalog.view(stmt.target, principal)
+                qe.tables = [stmt.target]
+                return spark.createDataFrame(
+                    [(f.name,) for f in vdf.schema.fields], "col_name string"
+                )
+            table, allowed = self._introspect_gate(
+                stmt.target, name, columns=True
+            )
+            qe.tables = [stmt.target]
+            schema = table.schema
+            if schema is None:
+                schema = self.catalog.table(stmt.target, principal).schema
+            rows = [
+                (f.name,)
+                for f in schema.fields
+                if allowed is None or f.name in allowed
+            ]
+            return spark.createDataFrame(rows, "col_name string")
+
+        if isinstance(stmt, ShowCreateTableStatement):
+            # the console's copy-the-DDL verb: reconstruct the
+            # round-13 column-list CREATE EXTERNAL TABLE (round-trip
+            # pinned in tests/test_sql_ddl.py) or the stored view DDL.
+            # Metadata-only; DESCRIBE's gate and redaction.
+            def _q(s: str) -> str:
+                return s.replace("'", "''")
+
+            if stmt.target in self.catalog.views:
+                # gates like a view read; body is stored verbatim
+                self.catalog.view(stmt.target, principal)
+                qe.tables = [stmt.target]
+                vd = self.catalog.views[stmt.target]
+                ddl = f"CREATE OR REPLACE VIEW {stmt.target} AS {vd.sql}"
+                return spark.createDataFrame([(ddl,)], "ddl string")
+            table, allowed = self._introspect_gate(
+                stmt.target, name, columns=True
+            )
+            qe.tables = [stmt.target]
+            schema = table.schema
+            if schema is None:
+                raise ValueError(
+                    f"{stmt.target} has no declared schema to render"
+                )
+            pkeys = tuple(table.partition_keys or ())
+            items = []
+            for f in schema.fields:
+                if f.name in pkeys:
+                    continue
+                if allowed is not None and f.name not in allowed:
+                    continue  # redacted: outside every grant rectangle
+                c = table.column_comments.get(f.name)
+                comment = f" COMMENT '{_q(c)}'" if c else ""
+                items.append(
+                    f"  {f.name} {f.dataType.simpleString()}{comment}"
+                )
+            by_name = {f.name: f for f in schema.fields}
+            pby = ", ".join(
+                f"{k} {by_name[k].dataType.simpleString()}"
+                for k in pkeys
+                if k in by_name
+            )
+            ddl = (
+                f"CREATE EXTERNAL TABLE {stmt.target} (\n"
+                + ",\n".join(items)
+                + ")"
+                + (f"\nPARTITIONED BY ({pby})" if pby else "")
+                + "\nSTORED AS PARQUET"
+                + f"\nLOCATION '{_q(table.location)}'"
+            )
+            return spark.createDataFrame([(ddl,)], "ddl string")
 
         if isinstance(stmt, DescribeDetailStatement):
             # Delta's one-row metadata summary, metadata-only: catalog

@@ -322,3 +322,138 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("violating")
         .alias("l_diversity_action"),
     )
+
+
+T_CLOSENESS_PCT = 25  # t = 0.25, held as an integer percent
+
+
+@query(
+    "privacy_t_closeness",
+    f"""
+    WITH micro AS (
+      SELECT c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(floor(c_acctbal / 100) AS BIGINT) % 10 AS bal_sub
+      FROM customer),
+    per_value AS (
+      SELECT c_mktsegment, bal_band, bal_sub,
+             CAST(count(*) AS BIGINT) AS nv
+      FROM micro GROUP BY 1, 2, 3),
+    gv AS (
+      SELECT bal_sub, CAST(sum(nv) AS BIGINT) AS global_nv
+      FROM per_value GROUP BY 1),
+    tot AS (SELECT CAST(sum(nv) AS BIGINT) AS big_n FROM per_value),
+    per_group AS (
+      SELECT c_mktsegment, bal_band,
+             CAST(sum(nv) AS BIGINT) AS n
+      FROM per_value GROUP BY 1, 2),
+    terms AS (
+      SELECT p.c_mktsegment, p.bal_band,
+             abs(p.nv * t.big_n - g.global_nv * pg.n)
+               - g.global_nv * pg.n AS term
+      FROM per_value p
+      CROSS JOIN tot t
+      JOIN gv g USING (bal_sub)
+      JOIN per_group pg
+        ON p.c_mktsegment = pg.c_mktsegment
+       AND p.bal_band = pg.bal_band),
+    s AS (
+      SELECT c_mktsegment, bal_band,
+             CAST(sum(term) AS BIGINT) AS present_sum
+      FROM terms GROUP BY 1, 2)
+    SELECT pg.c_mktsegment, pg.bal_band, pg.n,
+           CAST((pg.n * t.big_n + s.present_sum) * 100
+                // (2 * pg.n * t.big_n) AS BIGINT) AS tvd_pct,
+           CASE WHEN (pg.n * t.big_n + s.present_sum) * 100
+                     <= {T_CLOSENESS_PCT} * 2 * pg.n * t.big_n
+                THEN 'ok' ELSE 'violating' END AS t_closeness_action
+    FROM per_group pg
+    JOIN s ON pg.c_mktsegment = s.c_mktsegment
+          AND pg.bal_band = s.bal_band
+    CROSS JOIN tot t
+    """,
+    f"t-closeness audit (t = {T_CLOSENESS_PCT}/100): l-diversity's "
+    "known gap closed (Li et al.) — a group can hold l DISTINCT "
+    "sensitive values yet still leak when its distribution is skewed "
+    "far from the table's (90/10 where the population is 10/90). Per "
+    "QI group, the total-variation distance between the group's "
+    "sensitive-value distribution and the GLOBAL distribution must "
+    "not exceed t. Exact integer arithmetic throughout: TVD <= t is "
+    "evaluated as the cross-multiplied comparison "
+    "sum_v |nv*N - Nv*n| * 100 <= 2*t_pct*n*N, with the "
+    "absent-value mass folded in algebraically (sum over absent v of "
+    "Nv*n = n*N - sum over present v of Nv*n), so no absent "
+    "(group, value) rows are ever generated.",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third rung of the release-audit ladder (k-anonymity ->
+    l-diversity -> t-closeness), run on the GENERALIZED release
+    (nation suppressed — t-closeness is checked after k-anonymity's
+    generalization step, so its QI is the coarser (segment, band)
+    pair) with the same sensitive sub-band as privacy_l_diversity.
+
+    Scale: ONE corpus-scale shuffle (the (QI, sensitive) partial agg —
+    identical to l-diversity's); everything after operates on the
+    aggregated per-value table, orders of magnitude smaller. The
+    global distribution (<= 10 rows) and the scalar N broadcast; the
+    per-group join keys two already-aggregated tables. Products
+    nv*N stay in BIGINT up to ~3e9-row releases; a larger release
+    swaps the three product columns to decimal(38,0) unchanged.
+    Tests pin both verdicts present and the TVD identity on a crafted
+    distribution."""
+    c = load(spark, sf_dir, "customer")
+    per_value = (
+        c.groupBy(
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+            (F.floor(F.col("c_acctbal") / 100).cast("long") % 10).alias(
+                "bal_sub"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    gv = per_value.groupBy("bal_sub").agg(
+        F.sum("nv").cast("long").alias("global_nv")
+    )
+    tot = per_value.agg(F.sum("nv").cast("long").alias("big_n"))
+    per_group = per_value.groupBy("c_mktsegment", "bal_band").agg(
+        F.sum("nv").cast("long").alias("n")
+    )
+    qi = ["c_mktsegment", "bal_band"]
+    terms = (
+        per_value.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(gv), "bal_sub")
+        .join(per_group, qi)
+        .select(
+            *qi,
+            (
+                F.abs(
+                    F.col("nv") * F.col("big_n")
+                    - F.col("global_nv") * F.col("n")
+                )
+                - F.col("global_nv") * F.col("n")
+            ).alias("term"),
+        )
+    )
+    s = terms.groupBy(*qi).agg(F.sum("term").cast("long").alias("present_sum"))
+    total = (
+        per_group.join(s, qi)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "sum_abs", F.col("n") * F.col("big_n") + F.col("present_sum")
+        )
+    )
+    return total.select(
+        *qi,
+        "n",
+        F.expr("sum_abs * 100 div (2 * n * big_n)")
+        .cast("long")
+        .alias("tvd_pct"),
+        F.when(
+            F.col("sum_abs") * 100
+            <= F.lit(T_CLOSENESS_PCT) * 2 * F.col("n") * F.col("big_n"),
+            "ok",
+        )
+        .otherwise("violating")
+        .alias("t_closeness_action"),
+    )

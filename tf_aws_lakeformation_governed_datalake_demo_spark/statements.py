@@ -356,6 +356,25 @@ class AnalyzeStatement:
 
 
 @dataclass(frozen=True)
+class ShowCreateTableStatement:
+    """``SHOW CREATE TABLE <db.t-or-view>`` — the console's
+    copy-the-DDL verb: reconstructs the column-list CREATE EXTERNAL
+    TABLE (or the stored CREATE VIEW) from catalog metadata. Redaction
+    follows DESCRIBE: columns outside every grant rectangle are
+    omitted for conditioned principals."""
+
+    target: str
+
+
+@dataclass(frozen=True)
+class ShowColumnsStatement:
+    """``SHOW COLUMNS IN|FROM <db.t>`` — column names only, DESCRIBE's
+    redaction rules."""
+
+    target: str
+
+
+@dataclass(frozen=True)
 class CreateDatabaseStatement:
     """``CREATE DATABASE [IF NOT EXISTS] <name> [COMMENT '<text>']`` —
     the reference's provisioning object (``aws_glue_catalog_database``,
@@ -427,6 +446,8 @@ Statement = (
     DropTableStatement,
     GrantStatement,
     RevokeStatement,
+    ShowCreateTableStatement,
+    ShowColumnsStatement,
     CloneStatement,
     ShowGrantsStatement,
     AddColumnsStatement,
@@ -1718,6 +1739,16 @@ def parse_statement(sql: str):
             "DROP TABLE [IF EXISTS] <db.table>"
         )
     if verb == "show":
+        m = re.fullmatch(
+            rf"show\s+create\s+table\s+({_QUALIFIED})", text, re.I
+        )
+        if m:
+            return ShowCreateTableStatement(m.group(1))
+        m = re.fullmatch(
+            rf"show\s+columns\s+(?:in|from)\s+({_QUALIFIED})", text, re.I
+        )
+        if m:
+            return ShowColumnsStatement(m.group(1))
         m = re.fullmatch(rf"show\s+tables(?:\s+in\s+({_IDENT}))?", text, re.I)
         if m:
             return ShowTablesStatement(m.group(1))
@@ -1739,7 +1770,8 @@ def parse_statement(sql: str):
         raise UnsupportedStatementError(
             "supported SHOW forms: SHOW DATABASES | SHOW TABLES [IN <db>] "
             "| SHOW VIEWS [IN <db>] | SHOW PARTITIONS <db.table> | "
-            "SHOW GRANTS [FOR <principal>] ON <db.table>"
+            "SHOW GRANTS [FOR <principal>] ON <db.table> | "
+            "SHOW CREATE TABLE <db.table> | SHOW COLUMNS IN <db.table>"
         )
     if verb == "grant":
         m = re.fullmatch(
