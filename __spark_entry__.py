@@ -24,21 +24,20 @@ freshness-first, self-healing):
   (sql_grant_revoke), metadata-only SELECT count(*) serving
   (sql_count_metadata — body asserts zero files planned), the
   IN-list residual in the filtered-MV implication prover
-  (governance_mv_rewrite_inlist), plus events_heavy_hitters,
-  RE-verified unprefixed because its final-rank plan changed this
-  round (TakeOrderedAndProject + bounded rank, VERDICT r12 What's
-  wrong #1 — same oracle, new plan; the pipeline_domain_caps
-  precedent).
+  (governance_mv_rewrite_inlist), the t-closeness release audit
+  (privacy_t_closeness — the third rung of the k-anonymity ->
+  l-diversity ladder), plus events_heavy_hitters, RE-verified
+  unprefixed because its final-rank plan changed this round
+  (TakeOrderedAndProject + bounded rank, VERDICT r12 What's wrong #1
+  — same oracle, new plan; the pipeline_domain_caps precedent).
 - ``x_<name>`` — the 44 round-8-verified names ABSENT from
   CORRECTNESS_r12.json (the oldest outstanding driver verdicts now
   that the r7 class re-greened in round 12): they sort after the new
   queries, so all 44 re-verify this round and the ``y4_`` class is
-  empty.
+  empty. 6 new + 44 promoted fill the window exactly.
 - ``y5_``/``y6_``/``y7_``/``y8_`` — last verified in rounds
-  9/10/11/12 (CORRECTNESS_r09–r12 each 50/50 green). After the new +
-  ``x_`` names, the window's remaining slot fills with the
-  alphabetically-first ``y5_`` (r9) name — the oldest class ages
-  first by construction.
+  9/10/11/12 (CORRECTNESS_r09–r12 each 50/50 green); the oldest
+  class ages first by construction when slots remain.
 - ``z_`` — no SQL oracle exists (written justifications below).
 
 Round-8 record: the round-8 window was entirely first-verdict names —
