@@ -22,7 +22,8 @@ freshness-first, self-healing):
   (sql_create_table_ddl: CREATE DATABASE + column-list CREATE
   EXTERNAL TABLE + INSERT + SELECT), GRANT/REVOKE as governed SQL
   (sql_grant_revoke), metadata-only SELECT count(*) serving
-  (sql_count_metadata — body asserts zero files planned), the
+  (sql_count_metadata — body asserts zero files planned) and its
+  per-partition GROUP BY form (sql_count_partitions_metadata), the
   IN-list residual in the filtered-MV implication prover
   (governance_mv_rewrite_inlist), the t-closeness release audit
   (privacy_t_closeness — the third rung of the k-anonymity ->
@@ -33,8 +34,10 @@ freshness-first, self-healing):
 - ``x_<name>`` — the 44 round-8-verified names ABSENT from
   CORRECTNESS_r12.json (the oldest outstanding driver verdicts now
   that the r7 class re-greened in round 12): they sort after the new
-  queries, so all 44 re-verify this round and the ``y4_`` class is
-  empty. 6 new + 44 promoted fill the window exactly.
+  queries. 7 new + the first 43 promoted fill the window; the
+  alphabetically-last promoted name (x_tpch_q9_product_profit)
+  spills to round 14, where the self-healing promotion rule picks it
+  up again.
 - ``y5_``/``y6_``/``y7_``/``y8_`` — last verified in rounds
   9/10/11/12 (CORRECTNESS_r09–r12 each 50/50 green); the oldest
   class ages first by construction when slots remain.

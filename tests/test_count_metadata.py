@@ -131,3 +131,57 @@ def test_count_tracks_commits(eng, spark):
     out = eng.sql("SELECT count(*) AS n FROM db.t", "ops")
     assert not out.inputFiles()
     assert out.first().n == 42
+
+
+def test_grouped_count_served_from_partitions(eng, spark):
+    """The per-partition form: GROUP BY the partition column answers
+    from hive dir names + footer counts, zero files planned, typed
+    like the scan would type it."""
+    out = eng.sql(
+        "SELECT grp, count(*) AS n FROM db.t GROUP BY grp", "ops"
+    )
+    assert not out.inputFiles()
+    assert sorted((r.grp, r.n) for r in out.collect()) == [
+        ("a", 19), ("b", 18),
+    ]
+    assert out.schema["grp"].dataType.simpleString() == "string"
+    # ORDER BY / LIMIT tails apply after
+    top = eng.sql(
+        "SELECT grp, count(*) AS n FROM db.t GROUP BY grp "
+        "ORDER BY n DESC LIMIT 1",
+        "ops",
+    )
+    assert not top.inputFiles()
+    assert [(r.grp, r.n) for r in top.collect()] == [("a", 19)]
+    # non-partition group column: scan
+    by_v = eng.sql(
+        "SELECT v, count(*) AS n FROM db.t GROUP BY v", "ops"
+    )
+    assert by_v.inputFiles()
+    # extra measures: scan
+    with_sum = eng.sql(
+        "SELECT grp, count(*) AS n, sum(v) AS s FROM db.t GROUP BY grp",
+        "ops",
+    )
+    assert with_sum.inputFiles()
+
+
+def test_grouped_count_typed_partition_values(eng, spark, tmp_path):
+    """Integer partition values decode back to the declared type."""
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "id long, yr int, v double",
+    )
+    loc = f"{tmp_path}/ints"
+    publish_overwrite(spark, loc, df, ["yr"], manifest=True)
+    eng.catalog.register_table(
+        TableDef("db", "ints", loc, schema=df.schema, partition_keys=("yr",))
+    )
+    out = eng.sql(
+        "SELECT yr, count(*) AS n FROM db.ints GROUP BY yr", "ops"
+    )
+    assert not out.inputFiles()
+    assert out.schema["yr"].dataType.simpleString() == "int"
+    assert sorted((r.yr, r.n) for r in out.collect()) == [
+        (0, 10), (1, 10), (2, 10),
+    ]

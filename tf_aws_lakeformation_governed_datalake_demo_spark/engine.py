@@ -3311,18 +3311,24 @@ class Engine:
         return f"SELECT {', '.join(parts)} FROM {state_q}"
 
     def _try_metadata_count(self, sql: str, principal, qe: QueryExecution):
-        """Serve a bare ``SELECT count(*) FROM <db.t>`` from the
-        manifest's recorded per-file footer row counts (round-13;
-        closes r12 What's missing #3) — zero I/O, no scan planned.
-        Returns the one-row DataFrame, or ``None`` to fall open to the
-        ordinary governed scan.
+        """Serve a bare ``SELECT count(*) FROM <db.t>`` — or the
+        per-partition form ``SELECT <partition cols>, count(*) AS a
+        FROM <db.t> GROUP BY <partition cols>`` (the Iceberg
+        partitions-metadata-table analog) — from the manifest's
+        recorded per-file footer row counts (round-13; closes r12
+        What's missing #3) — zero I/O, no scan planned. Returns the
+        DataFrame, or ``None`` to fall open to the ordinary governed
+        scan.
 
         Exactness conditions (all required — L13's eligibility
         pattern):
 
         - the query is EXACTLY the bare-count shape
-          (statements.parse_bare_count): any WHERE / join / grouping /
-          time travel falls back;
+          (statements.parse_bare_count) or the grouped-count shape
+          with every group column a PARTITION column (values decoded
+          from hive dir names; null partitions, layout drift, and
+          non-atomic partition types fall back): any WHERE / join /
+          other measures / time travel falls back;
         - the table is a manifest-committed parquet table whose
           current snapshot answers sources.lake.count_rows exactly —
           merge-on-read tombstones or pre-recording snapshots return
@@ -3342,12 +3348,32 @@ class Engine:
         from .statements import parse_bare_count
 
         parsed = parse_bare_count(sql)
-        if parsed is None:
-            return None
-        alias, qualified = parsed
+        group_by: tuple = ()
+        order_by: tuple = ()
+        limit = None
+        if parsed is not None:
+            alias, qualified = parsed
+        else:
+            # the GROUP BY form: SELECT <partition cols...>, count(*)
+            # AS a FROM db.t GROUP BY <partition cols> — the Iceberg
+            # partitions-metadata-table analog, served from the
+            # manifest's per-partition file row counts
+            from .statements import parse_aggregate_query
+
+            agg = parse_aggregate_query(sql)
+            if agg is None:
+                return None
+            qualified, group_by, measures, where, order_by, limit = agg
+            if where is not None or len(measures) != 1:
+                return None
+            alias, kind, _col = measures[0]
+            if kind != "count":
+                return None
         td = self.catalog.tables.get(qualified)
         if td is None or td.format != "parquet":
             return None  # views/unknown names: ordinary path resolves
+        if group_by and not set(group_by) <= set(td.partition_keys or ()):
+            return None  # only partition columns live in dir names
         name = (
             principal.name if isinstance(principal, Principal) else principal
         )
@@ -3362,12 +3388,76 @@ class Engine:
         info = count_rows(td.location)
         if info is None:
             return None  # non-manifest / tombstoned: scan
+        if not group_by:
+            qe.tables = [qualified]
+            qe.filters_applied.append(f"COUNT_STATS:{qualified}")
+            schema = T.StructType(
+                [T.StructField(alias or "count(1)", T.LongType(), False)]
+            )
+            return self.spark.createDataFrame([(int(info["rows"]),)], schema)
+        # per-partition: decode hive dir names back to typed values;
+        # anything outside the decodable envelope (null partitions,
+        # non-atomic declared types, layout drift) falls open to the
+        # scan rather than guessing
+        from urllib.parse import unquote
+
+        pkeys = list(td.partition_keys)
+        by_name = {
+            f.name: f.dataType for f in (td.schema.fields if td.schema else [])
+        }
+        decoders = {}
+        for g in group_by:
+            dt = by_name.get(g)
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                decoders[g] = int
+            elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                decoders[g] = float
+            elif isinstance(dt, T.StringType):
+                decoders[g] = str
+            else:
+                return None
+        agg_rows: dict = {}
+        for rel, cnt in info["partitions"].items():
+            segs = rel.split("/") if rel else []
+            if len(segs) != len(pkeys):
+                return None  # layout drift: scan
+            vals = {}
+            for seg, k in zip(segs, pkeys):
+                kk, eq, raw = seg.partition("=")
+                if not eq or kk != k:
+                    return None
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    return None  # null partition values: scan
+                vals[k] = unquote(raw)
+            try:
+                key = tuple(decoders[g](vals[g]) for g in group_by)
+            except ValueError:
+                return None
+            agg_rows[key] = agg_rows.get(key, 0) + int(cnt)
         qe.tables = [qualified]
         qe.filters_applied.append(f"COUNT_STATS:{qualified}")
-        schema = T.StructType(
-            [T.StructField(alias or "count(1)", T.LongType(), False)]
+        out_schema = T.StructType(
+            [
+                T.StructField(g, by_name[g], True)
+                for g in group_by
+            ]
+            + [T.StructField(alias, T.LongType(), False)]
         )
-        return self.spark.createDataFrame([(int(info["rows"]),)], schema)
+        df = self.spark.createDataFrame(
+            [(*k, v) for k, v in sorted(agg_rows.items())], out_schema
+        )
+        if order_by:
+            from pyspark.sql import functions as F
+
+            df = df.orderBy(
+                *[
+                    F.col(c).asc() if asc else F.col(c).desc()
+                    for c, asc in order_by
+                ]
+            )
+        if limit is not None:
+            df = df.limit(limit)
+        return df
 
     def _try_mv_rewrite(
         self, sql: str, principal, qe: QueryExecution, allow_stale: bool = False

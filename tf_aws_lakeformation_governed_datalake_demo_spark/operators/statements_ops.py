@@ -794,6 +794,37 @@ def sql_count_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_count_partitions_metadata",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    "Per-partition count from metadata (round-13): SELECT <partition "
+    "col>, count(*) GROUP BY <partition col> through engine.sql is "
+    "served from hive directory names + manifest footer row counts — "
+    "the Iceberg partitions-metadata-table analog; the body asserts "
+    "ZERO files entered the plan. Values decode back to the declared "
+    "partition type; null partitions, layout drift, non-partition "
+    "group columns, extra measures, and WHERE all fall open to the "
+    "scan (tests/test_count_metadata.py). Oracle aggregates the raw "
+    "table.",
+)
+def sql_count_partitions_metadata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """100 TB: the per-partition profile of a trillion-row table — "
+    "the first query every capacity review runs — at O(#files) "
+    "driver cost instead of a full shuffle."""
+    eng, _lake = _governed_docs(spark, sf_dir, "sqlcntp_")
+    out = eng.sql(
+        "SELECT lang, count(*) AS n_docs FROM db.docs GROUP BY lang",
+        "ops",
+    )
+    assert not out.inputFiles(), "grouped count must plan zero files"
+    return out
+
+
+@query(
     "sql_grant_revoke",
     """
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
