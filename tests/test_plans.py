@@ -748,3 +748,16 @@ def test_heavy_hitters_final_rank_is_bounded(spark, sf_dir):
     # explain prints parents before children: the Window node must
     # appear before (above) the take in the tree
     assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:1500]
+
+
+def test_sliding_distinct_users_no_range_join(spark, sf_dir):
+    """events_sliding_distinct_users (round-13): the window membership
+    must be the exploded equi-join against the broadcast day list —
+    never a range/nested-loop join or a window function."""
+    plan = physical_plan(
+        REGISTRY["events_sliding_distinct_users"].builder(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

@@ -983,6 +983,54 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sliding_distinct_users",
+    """
+    WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                   FROM events),
+    days AS (SELECT DISTINCT day FROM daily)
+    SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS u7
+    FROM days d
+    JOIN daily u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+    "EXACT trailing-7-day distinct users per day (round-13) — the "
+    "sliding-window uniques every growth dashboard needs, where "
+    "approximate sketches are the usual cop-out. Exact and "
+    "shuffle-bounded: the corpus collapses once to the (day, user) "
+    "distinct table; each (day, user) row then EXPLODES into the <= 7 "
+    "window days it contributes to (equi-join against the present-day "
+    "list — no range join, no per-day rescan), and the final distinct "
+    "count runs on day-partitioned keys. The oracle states the same "
+    "window declaratively as a date-range join.",
+)
+def events_sliding_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale: pass 1 is the only corpus-scale shuffle (distinct on
+    (day, user) with map-side combine); the exploded contribution
+    table is <= 7x the DISTINCT table (users x days, orders of
+    magnitude under the event count), equi-joined against a broadcast
+    day list and aggregated day-partitioned — no window function, no
+    range join, nothing quadratic in days."""
+    e = load(spark, sf_dir, "events")
+    daily = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("u7"))
+    )
+
+
+@query(
     "join_salted_skew",
     """
     SELECT n.n_name,
