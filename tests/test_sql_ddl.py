@@ -399,3 +399,32 @@ def test_show_create_table_and_columns_redaction(eng, spark, tmp_path):
     assert vddl == (
         "CREATE OR REPLACE VIEW sales_db.v AS SELECT id FROM sales_db.sales"
     )
+
+
+def test_ddl_declared_state_survives_catalog_reload(eng, spark, tmp_path):
+    """A table declared and granted entirely through SQL must
+    round-trip the durable catalog: schema, comments, partition keys,
+    and the SQL-issued grant all survive save/load, and the granted
+    principal still reads."""
+    loc = _declare(eng, tmp_path)
+    spark.createDataFrame(
+        [(1, "APAC", 1.0, 2024), (2, "EMEA", 2.0, 2025)],
+        "id long, region string, amount double, yr int",
+    ).write.mode("overwrite").partitionBy("yr").parquet(loc)
+    eng.sql("GRANT SELECT ON sales_db.sales TO a7", "ops")
+    eng.catalog.save()
+    cat2 = GovernedCatalog.load(spark, str(tmp_path))
+    cat2.set_admins(["ops"])
+    eng2 = Engine(spark, cat2)
+    td = cat2.tables["sales_db.sales"]
+    assert td.column_comments["id"] == "pk"
+    assert td.partition_keys == ("yr",)
+    assert eng2.sql(
+        "SELECT count(*) AS n FROM sales_db.sales", "a7"
+    ).first().n == 2
+    # DROP in the reloaded catalog still strips grants
+    eng2.sql("DROP TABLE sales_db.sales", "ops")
+    assert not [
+        g for g in cat2.grants
+        if g.database == "sales_db" and g.resource == "sales"
+    ]
