@@ -57,10 +57,14 @@ plus the 26 round-3/4-verified names that had spilled past round 7
 (CORRECTNESS_r08: 50/50 green). Per-query design notes live in each
 operator's docstring and in git history.
 
-- ``z_<name>`` — no SQL oracle exists; 8 queries, each with a written
+- ``z_<name>`` — no SQL oracle exists; 9 queries, each with a written
   reason: pipeline_quality_classifier trains iterative LBFGS logistic
   regression (held-out AUC >= 0.99 gated in tests/test_ml.py — the
-  junk class is planted, see the operator docstring), dedup_minhash_lsh hashes with Spark xxhash64 (no DuckDB
+  junk class is planted, see the operator docstring),
+  embeddings_pca_project eigendecomposes the covariance (not
+  SQL-expressible; the full result is cross-checked against a numpy
+  reference at 1e-6 and components pinned orthonormal in
+  tests/test_iterative.py), dedup_minhash_lsh hashes with Spark xxhash64 (no DuckDB
   equivalent; the family's banding math IS oracle-verified via the
   round-6 ``dedup_minhash_lsh_md5`` exemplar, which swaps only the
   hash for md5), kmeans_embeddings / dedup_clusters / graph_pagerank

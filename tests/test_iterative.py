@@ -152,3 +152,49 @@ def test_copurchase_hot_hour_cap_bounds_pair_work(spark, tmp_path):
     capped = copurchase_edges(spark, sf, max_hour_users=10).count()
     assert uncapped == 50 * 49 // 2  # the hot hours dominate: all-pairs
     assert capped == 1  # only the calm-hours (0,1) edge survives
+
+
+def test_pca_matches_numpy_reference(spark):
+    """embeddings_pca_project (round 13): the distributed one-pass fit
+    must reproduce a straight numpy PCA on the collected data — same
+    covariance, same components under the shared sign convention, same
+    projections to 1e-6 — and the components must be orthonormal with
+    descending explained variance."""
+    import numpy as np
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.iterative import (
+        pca_fit,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.registry import (
+        REGISTRY,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    sf = "/root/testdata/sf0.01"
+    v = load(spark, sf, "embeddings")
+    X = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in v.collect()]
+    )
+    mean, comps, evar = pca_fit(v, 8)
+    assert np.allclose(mean, X.mean(0), atol=1e-9)
+    cov = np.cov(X, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:8]
+    ref = vecs[:, order]
+    for j in range(8):
+        i = int(np.argmax(np.abs(ref[:, j])))
+        if ref[i, j] < 0:
+            ref[:, j] = -ref[:, j]
+    assert np.allclose(evar, w[order], atol=1e-8)
+    assert np.all(np.diff(evar) <= 1e-12)  # descending
+    assert np.allclose(comps.T @ comps, np.eye(8), atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-6)
+    # end-to-end projections match the reference projection
+    rows = (
+        REGISTRY["embeddings_pca_project"].builder(spark, sf).collect()
+    )
+    got = {r.vec_id: np.asarray(r.proj) for r in rows}
+    ids = [r.vec_id for r in v.select("vec_id").collect()]
+    ref_proj = (X - X.mean(0)) @ ref
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], ref_proj[i], atol=1e-5), vid

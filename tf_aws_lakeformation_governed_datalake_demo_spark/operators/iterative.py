@@ -382,3 +382,120 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         return keepers.join(sizes, "component").orderBy("component")
     finally:
         pairs.unpersist()
+
+
+def pca_fit(v: DataFrame, k: int):
+    """Exact PCA fit in ONE distributed pass: every partition emits its
+    (count, coordinate sum, X^T X Gram block) via an Arrow-batched
+    mapInPandas kernel, the driver reduces the O(d^2) partials and
+    eigendecomposes the d x d covariance (d = embedding width, tiny).
+    Deterministic end to end: the partial sums are exact float64
+    reductions, numpy's eigh is deterministic, and each component's
+    sign is fixed by the convention that its largest-magnitude
+    coordinate is positive.
+
+    Returns (mean, components d x k column-major, explained variances
+    desc). 100 TB: the data pass is map-only (no shuffle at all — the
+    partials collect as #partitions rows of d + d^2 doubles); driver
+    work is O(d^3) independent of row count."""
+    import numpy as np
+
+    def partial(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            n += x.shape[0]
+            s = x.sum(0) if s is None else s + x.sum(0)
+            g = x.T @ x
+            ss = g if ss is None else ss + g
+        if n:
+            yield _pd.DataFrame(
+                {
+                    "n": [n],
+                    "s": [s.tolist()],
+                    "ss": [ss.reshape(-1).tolist()],
+                }
+            )
+
+    parts = (
+        v.select("embedding")
+        .mapInPandas(partial, "n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    n = sum(p.n for p in parts)
+    d = len(parts[0].s)
+    s = np.sum([np.asarray(p.s) for p in parts], axis=0)
+    ss = np.sum([np.asarray(p.ss).reshape(d, d) for p in parts], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    w, vecs = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = vecs[:, order]
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    return mean, comps, w[order]
+
+
+@query(
+    "embeddings_pca_project",
+    None,
+    "Distributed PCA (k=8) over the embedding column: one map-only "
+    "pass accumulates per-partition (count, sum, Gram) partials, the "
+    "driver eigendecomposes the tiny d x d covariance, and a second "
+    "Arrow-batched pass projects every vector onto the components "
+    "(signs fixed deterministically). Eigendecomposition is not "
+    "SQL-expressible => rows-only check; the full result is "
+    "cross-checked against a numpy reference at 1e-6 and the "
+    "components pinned orthonormal in tests/test_iterative.py.",
+)
+def embeddings_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing linear-algebra rung of the embedding-ops family
+    (whitening / dimensionality reduction before ANN indexing or
+    semantic dedup). Scale: NO shuffle anywhere — one map-only fit
+    pass collecting O(partitions x d^2) partials, one map-only
+    projection pass with the d x k matrix riding the closure;
+    contrast with kmeans' per-iteration passes."""
+    import numpy as np
+
+    k = 8
+    v = load(spark, sf_dir, "embeddings")
+    mean, comps, evar = pca_fit(v, k)
+    mean_l = mean.tolist()
+    comps_l = comps.tolist()
+
+    def project(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        m = _np.asarray(mean_l)
+        c = _np.asarray(comps_l)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            p = (x - m) @ c
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "proj": [_np.round(row, 6).tolist() for row in p],
+                }
+            )
+
+    out = v.select("vec_id", "embedding").mapInPandas(
+        project, "vec_id long, proj array<double>"
+    )
+    return out.select(
+        "vec_id",
+        "proj",
+        F.element_at("proj", 1).alias("pc1"),
+        F.element_at("proj", 2).alias("pc2"),
+    )
