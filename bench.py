@@ -300,6 +300,22 @@ HEADLINE = [
     # ... and the streaming partition-reprocess sink (seed publish + 3
     # per-language overwrite epochs + the rollback-replay no-op probe)
     "stream_partition_overwrite",
+    # round 13 additions: the plain-DDL + permission SQL modality
+    # (CREATE DATABASE + column-list CREATE EXTERNAL TABLE + INSERT +
+    # final agg; the grant/deny/revoke loop), metadata-count serving
+    # (bare + per-partition — both must stay O(metadata) flat),
+    # the IN-list filtered-MV rewrite, the t-closeness audit, exact
+    # sliding-window distinct users, the re-planned heavy hitters,
+    # and the one-pass PCA fit+project
+    "sql_create_table_ddl",
+    "sql_grant_revoke",
+    "sql_count_metadata",
+    "sql_count_partitions_metadata",
+    "governance_mv_rewrite_inlist",
+    "privacy_t_closeness",
+    "events_sliding_distinct_users",
+    "events_heavy_hitters",
+    "embeddings_pca_project",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
