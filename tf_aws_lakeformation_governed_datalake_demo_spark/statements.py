@@ -777,7 +777,8 @@ def _parse_ctas(text: str) -> CtasStatement:
 
 
 _COLUMN_ITEM = re.compile(
-    rf"({_IDENT})\s+([A-Za-z0-9_<>,()\s]+?)"
+    # ':' admits struct field lists (struct<a:int,b:string>)
+    rf"({_IDENT})\s+([A-Za-z0-9_<>,():\s]+?)"
     r"(?:\s+comment\s+'((?:[^']|'')*)')?",
     re.I | re.S,
 )
@@ -1459,9 +1460,11 @@ def parse_statement(sql: str):
                     "unexpected trailing text after ADD COLUMNS (...)"
                 )
             cols: list[tuple] = []
-            for item in _split_top(rest[1 : end - 1]):
+            # _split_columns, not _split_top: commas inside
+            # map<string,int> / decimal(10,2) belong to the type
+            for item in _split_columns(rest[1 : end - 1]):
                 mc = re.fullmatch(
-                    rf"({_IDENT})\s+([A-Za-z0-9_<>,()\s]+?)"
+                    rf"({_IDENT})\s+([A-Za-z0-9_<>,():\s]+?)"
                     r"(?:\s+comment\s+'((?:[^']|'')*)')?",
                     item,
                     re.I | re.S,
