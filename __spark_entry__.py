@@ -23,7 +23,9 @@ freshness-first, self-healing):
   EXTERNAL TABLE + INSERT + SELECT), GRANT/REVOKE as governed SQL
   (sql_grant_revoke), metadata-only SELECT count(*) serving
   (sql_count_metadata — body asserts zero files planned) and its
-  per-partition GROUP BY form (sql_count_partitions_metadata), the
+  per-partition GROUP BY form (sql_count_partitions_metadata),
+  static-partition INSERT OVERWRITE (sql_insert_overwrite_static —
+  the PARTITION (lang='en') blast-radius form), the
   IN-list residual in the filtered-MV implication prover
   (governance_mv_rewrite_inlist), the t-closeness release audit
   (privacy_t_closeness — the third rung of the k-anonymity ->
@@ -36,10 +38,10 @@ freshness-first, self-healing):
 - ``x_<name>`` — the 44 round-8-verified names ABSENT from
   CORRECTNESS_r12.json (the oldest outstanding driver verdicts now
   that the r7 class re-greened in round 12): they sort after the new
-  queries. 8 new + the first 42 promoted fill the window; the two
-  alphabetically-last promoted names (x_tpch_q8_market_share,
-  x_tpch_q9_product_profit) spill to round 14, where the
-  self-healing promotion rule picks them up again.
+  queries. 9 new + the first 41 promoted fill the window; the three
+  alphabetically-last promoted names (x_tpch_q7_volume_shipping,
+  x_tpch_q8_market_share, x_tpch_q9_product_profit) spill to round
+  14, where the self-healing promotion rule picks them up again.
 - ``y5_``/``y6_``/``y7_``/``y8_`` — last verified in rounds
   9/10/11/12 (CORRECTNESS_r09–r12 each 50/50 green); the oldest
   class ages first by construction when slots remain.

@@ -328,3 +328,75 @@ def test_sql_optimize_where_and_vacuum_dry_run(env):
     assert any(
         "MAINTAIN optimize_binpack db.t WHERE grp = 'a'" in x for x in q
     )
+
+
+def test_static_partition_overwrite_sql(spark, tmp_path):
+    """Round-13 static form: PARTITION (grp='a') replaces exactly the
+    named partition (others carried by file name), the select supplies
+    the non-partition columns, and malformed specs refuse."""
+    import pytest as _pytest
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.engine import Engine
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        publish_overwrite,
+        read_manifest,
+    )
+
+    lake = str(tmp_path)
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    df = spark.createDataFrame(
+        [(i, "abc"[i % 3], i * 10) for i in range(30)],
+        "id long, grp string, v long",
+    )
+    loc = f"{lake}/t"
+    publish_overwrite(spark, loc, df, ["grp"], manifest=True)
+    cat.register_table(
+        TableDef("db", "t", loc, schema=df.schema, partition_keys=("grp",))
+    )
+    eng = Engine(spark, cat)
+    keep = {
+        f for f in read_manifest(loc)["files"] if "grp=a" not in f
+    }
+    r = eng.sql(
+        "INSERT OVERWRITE db.t PARTITION (grp = 'a') "
+        "SELECT id, v * 100 AS v FROM db.t WHERE grp = 'a'",
+        "ops",
+    ).first()
+    assert r.partitions_replaced == 1
+    after = read_manifest(loc)
+    assert keep <= set(after["files"])  # untouched partitions by name
+    rows = eng.sql(
+        "SELECT grp, sum(v) AS s, count(*) AS n FROM db.t "
+        "GROUP BY grp ORDER BY grp",
+        "ops",
+    ).collect()
+    assert [(x.grp, x.n) for x in rows] == [("a", 10), ("b", 10), ("c", 10)]
+    assert rows[0].s == sum(i * 10 * 100 for i in range(30) if i % 3 == 0)
+    assert rows[1].s == sum(i * 10 for i in range(30) if i % 3 == 1)
+    # refusals: non-partition column, duplicate, partial spec on a
+    # 2-key table, NULL literal, non-literal value
+    for bad, exc in (
+        ("INSERT OVERWRITE db.t PARTITION (nope = 'x') "
+         "SELECT id, v FROM db.t", ValueError),
+        ("INSERT OVERWRITE db.t PARTITION (grp = 'a', grp = 'b') "
+         "SELECT id FROM db.t", Exception),
+        ("INSERT OVERWRITE db.t PARTITION (grp = NULL) "
+         "SELECT id, v FROM db.t", Exception),
+        ("INSERT OVERWRITE db.t PARTITION (grp = upper('a')) "
+         "SELECT id, v FROM db.t", Exception),
+    ):
+        with _pytest.raises(Exception):
+            eng.sql(bad, "ops")
+    # the select's width must match the non-partition columns
+    with _pytest.raises(ValueError, match="positionally"):
+        eng.sql(
+            "INSERT OVERWRITE db.t PARTITION (grp = 'a') "
+            "SELECT id, grp, v FROM db.t WHERE grp = 'a'",
+            "ops",
+        )

@@ -1960,7 +1960,35 @@ class Engine:
                 f"INSERT column(s) {unknown} are not on {stmt.target}'s "
                 f"declared schema {declared}"
             )
-        expected = list(stmt.columns) or declared
+        static = dict(getattr(stmt, "static_partition", ()) or ())
+        if static:
+            # static-partition OVERWRITE (hive semantics): the spec
+            # must name exactly the partition keys — a partial spec
+            # mixes static and dynamic resolution, which silently
+            # replaces partitions the statement never named
+            pset = set(table.partition_keys or ())
+            unknown_p = sorted(set(static) - pset)
+            if unknown_p:
+                raise ValueError(
+                    f"PARTITION spec names non-partition column(s) "
+                    f"{unknown_p} on {stmt.target} (partition keys: "
+                    f"{sorted(pset)})"
+                )
+            if set(static) != pset:
+                raise ValueError(
+                    f"PARTITION spec must cover every partition key of "
+                    f"{stmt.target} ({sorted(pset)}); mixed "
+                    "static/dynamic overwrite is not supported — omit "
+                    "PARTITION entirely for the dynamic form"
+                )
+            if any(v is None for v in static.values()):
+                raise ValueError(
+                    "PARTITION spec values must be non-NULL literals"
+                )
+            # the select supplies the NON-partition columns
+            expected = [c for c in declared if c not in static]
+        else:
+            expected = list(stmt.columns) or declared
         # fail-closed schema evolution (MERGE's rule): a pending column
         # cannot be written — named or swept in by the full-width form
         if table.pending_columns:
@@ -2005,7 +2033,11 @@ class Engine:
                 (
                     F.col(n).cast(by_name[n].dataType)
                     if n in batch.columns
-                    else F.lit(None).cast(by_name[n].dataType)
+                    else (
+                        F.lit(static[n]).cast(by_name[n].dataType)
+                        if n in static
+                        else F.lit(None).cast(by_name[n].dataType)
+                    )
                 ).alias(n)
                 for n in declared
             ]

@@ -1495,6 +1495,55 @@ def lake_clone_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_insert_overwrite_static",
+    """
+    WITH v AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE lang <> 'en'
+      UNION ALL
+      SELECT doc_id + 2000000, reverse(text), 'en' AS lang, source,
+             n_chars
+      FROM documents WHERE lang = 'en')
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_chk
+    FROM v GROUP BY lang
+    """,
+    "Static-partition INSERT OVERWRITE (round-13): the hive/Athena "
+    "PARTITION (lang='en') form — the named partition is replaced in "
+    "one atomic manifest commit, the governed SELECT supplies the "
+    "NON-partition columns, every other partition's files carry by "
+    "name. Partial/mixed specs, non-partition columns, NULL and "
+    "non-literal values all refuse (tests/test_insert_overwrite.py). "
+    "The oracle rebuilds the final state declaratively.",
+)
+def sql_insert_overwrite_static(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The backfill operator's explicit-target form: at 100 TB the
+    statement names the partition being reprocessed, so a bug in the
+    batch's derivation CANNOT touch any other partition — the spec is
+    a blast-radius declaration the dynamic form lacks."""
+    eng, _ = _governed_docs(spark, sf_dir, "sqlows_")
+    out = eng.sql(
+        "INSERT OVERWRITE db.docs PARTITION (lang = 'en') "
+        "SELECT doc_id + 2000000 AS doc_id, reverse(text) AS text, "
+        "source, n_chars FROM db.docs WHERE lang = 'en'",
+        "ops",
+    ).first()
+    assert out.partitions_replaced == 1, out
+    assert out.rows_inserted > 0
+    return eng.sql(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, "
+        "CAST(sum(conv(substr(md5(text), 1, 8), 16, 10)) AS BIGINT) "
+        "AS text_chk FROM db.docs GROUP BY lang",
+        "ops",
+    )
+
+
+@query(
     "sql_insert_overwrite",
     """
     WITH v AS (

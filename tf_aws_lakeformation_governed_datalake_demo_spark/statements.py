@@ -277,6 +277,11 @@ class InsertStatement:
     # the hive partitions present in the batch, atomically. Full-width
     # only (no column list) — an overwrite writes whole rows.
     overwrite: bool = False
+    # static-partition form (round-13): PARTITION (col='val', ...) —
+    # the named partition is replaced, the select supplies the
+    # NON-partition columns (hive semantics), and the spec must cover
+    # every partition key (mixed static/dynamic refuses)
+    static_partition: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -1289,8 +1294,45 @@ def _parse_insert(text: str) -> InsertStatement:
         # dynamic-partition overwrite: whole rows only — a column list
         # would imply NULL-filling unnamed columns into REPLACED
         # partitions, which is almost never what an overwrite means
-        body = _require_query(text[m.end() :].lstrip(), "the INSERT source")
-        return InsertStatement(m.group(1), (), body, overwrite=True)
+        rest = text[m.end() :].lstrip()
+        static: tuple = ()
+        mp = re.match(r"partition\s*", rest, re.I)
+        if mp:
+            # static-partition form (hive/Athena): PARTITION
+            # (col='val', ...) — literals only, the select supplies
+            # the remaining columns
+            prest = rest[mp.end() :]
+            if not prest.startswith("("):
+                raise UnsupportedStatementError(
+                    "PARTITION takes a parenthesized (col = <literal>, "
+                    "...) spec"
+                )
+            pend = _balanced_paren_span(prest, 0)
+            items = []
+            for it in _split_top(prest[1 : pend - 1]):
+                ms = re.fullmatch(
+                    rf"({_IDENT})\s*=\s*(.+)", it.strip(), re.S
+                )
+                if not ms:
+                    raise UnsupportedStatementError(
+                        f"PARTITION item {it!r} is not col = <literal>"
+                    )
+                items.append(
+                    (ms.group(1), _parse_literal(ms.group(2).strip()))
+                )
+            if not items:
+                raise UnsupportedStatementError("empty PARTITION spec")
+            names = [c.lower() for c, _v in items]
+            if len(set(names)) != len(names):
+                raise UnsupportedStatementError(
+                    "duplicate column in PARTITION spec"
+                )
+            static = tuple(items)
+            rest = prest[pend:].lstrip()
+        body = _require_query(rest, "the INSERT source")
+        return InsertStatement(
+            m.group(1), (), body, overwrite=True, static_partition=static
+        )
     m = re.match(rf"insert\s+into\s+({_QUALIFIED})\s*", text, re.I)
     if not m:
         raise UnsupportedStatementError(f"supported INSERT form: {grammar}")
