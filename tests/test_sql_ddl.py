@@ -428,3 +428,113 @@ def test_ddl_declared_state_survives_catalog_reload(eng, spark, tmp_path):
         g for g in cat2.grants
         if g.database == "sales_db" and g.resource == "sales"
     ]
+
+
+def test_drop_column_metadata_only(eng, spark, tmp_path):
+    """ALTER TABLE DROP COLUMN (round 13): the declared schema shrinks,
+    data files are untouched, reads stop projecting the column, and
+    every referencing object fail-closes the drop."""
+    loc = _declare(eng, tmp_path)
+    spark.createDataFrame(
+        [(1, "APAC", 10.0, 2024), (2, "EMEA", 20.0, 2024)],
+        "id long, region string, amount double, yr int",
+    ).write.mode("overwrite").partitionBy("yr").parquet(loc)
+    r = eng.sql(
+        "ALTER TABLE sales_db.sales DROP COLUMN amount", "ops"
+    ).first()
+    assert r.dropped_column == "amount"
+    td = eng.catalog.tables["sales_db.sales"]
+    assert [f.name for f in td.schema.fields] == ["id", "region", "yr"]
+    # reads work and no longer see the column; data files untouched
+    got = eng.sql("SELECT * FROM sales_db.sales", "ops")
+    assert got.columns == ["id", "region", "yr"]
+    assert got.count() == 2
+    import glob
+
+    assert glob.glob(f"{loc}/yr=*/**/*.parquet", recursive=True)
+    # the SHOW CREATE TABLE DDL no longer mentions it
+    ddl = eng.sql("SHOW CREATE TABLE sales_db.sales", "ops").first().ddl
+    assert "amount" not in ddl
+    # partition key refuses
+    with pytest.raises(ValueError, match="partition key"):
+        eng.sql("ALTER TABLE sales_db.sales DROP COLUMN yr", "ops")
+    # non-admin (no ALL) denied through the maintain gate
+    eng.sql("GRANT SELECT ON sales_db.sales TO a8", "ops")
+    with pytest.raises(PermissionDeniedError):
+        eng.sql("ALTER TABLE sales_db.sales DROP COLUMN region", "a8")
+
+
+def test_drop_column_fail_closes_on_references(eng, spark, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        DataCellsFilter,
+    )
+
+    loc = _declare(eng, tmp_path)
+    spark.createDataFrame(
+        [(1, "APAC", 10.0, 2024)],
+        "id long, region string, amount double, yr int",
+    ).write.mode("overwrite").partitionBy("yr").parquet(loc)
+    # view referencing the column
+    eng.sql(
+        "CREATE VIEW sales_db.v AS SELECT amount FROM sales_db.sales",
+        "ops",
+    )
+    with pytest.raises(ValueError, match="view"):
+        eng.sql("ALTER TABLE sales_db.sales DROP COLUMN amount", "ops")
+    eng.sql("DROP VIEW sales_db.v", "ops")
+    # data-cells filter referencing the column (allowlist AND predicate)
+    eng.catalog.create_data_cells_filter(
+        DataCellsFilter("f1", "sales_db", "sales", ("id", "amount"), None)
+    )
+    with pytest.raises(ValueError, match="filter"):
+        eng.sql("ALTER TABLE sales_db.sales DROP COLUMN amount", "ops")
+    del eng.catalog.filters["f1"]
+    eng.catalog.create_data_cells_filter(
+        DataCellsFilter("f2", "sales_db", "sales", None, "amount > 5")
+    )
+    with pytest.raises(ValueError, match="filter"):
+        eng.sql("ALTER TABLE sales_db.sales DROP COLUMN amount", "ops")
+    del eng.catalog.filters["f2"]
+    # after clearing the references the drop proceeds
+    assert eng.sql(
+        "ALTER TABLE sales_db.sales DROP COLUMN amount", "ops"
+    ).first().dropped_column == "amount"
+    # the only-column guard
+    eng.sql("ALTER TABLE sales_db.sales DROP COLUMN region", "ops")
+    eng.sql("ALTER TABLE sales_db.sales DROP COLUMN id", "ops")
+    with pytest.raises(ValueError, match="only column"):
+        eng.sql("ALTER TABLE sales_db.sales DROP COLUMN yr", "ops")
+
+
+def test_drop_column_mv_and_constraint_refuse(eng, spark, tmp_path):
+    from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        publish_overwrite,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        add_constraint,
+    )
+
+    eng.sql("CREATE DATABASE db", "ops")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i) for i in range(8)],
+        "id long, grp string, v long",
+    )
+    loc = f"{tmp_path}/docs"
+    publish_overwrite(spark, loc, df, ["grp"], manifest=True)
+    eng.catalog.register_table(
+        TableDef("db", "docs", loc, schema=df.schema, partition_keys=("grp",))
+    )
+    eng.create_materialized_view(
+        "db.mv", "db.docs", ["grp"],
+        {"n": ("count", None), "total": ("sum", "v")},
+        principal="ops",
+    )
+    with pytest.raises(ValueError, match="materialized view"):
+        eng.sql("ALTER TABLE db.docs DROP COLUMN v", "ops")
+    eng.sql("DROP MATERIALIZED VIEW db.mv", "ops")
+    add_constraint(spark, loc, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        eng.sql("ALTER TABLE db.docs DROP COLUMN v", "ops")

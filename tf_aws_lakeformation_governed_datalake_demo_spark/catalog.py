@@ -728,6 +728,112 @@ class GovernedCatalog:
             status="ok",
         )
 
+    def drop_column(self, qualified: str, col: str) -> None:
+        """ALTER TABLE ... DROP COLUMN (round-13) — metadata-only on a
+        schema-on-read lake: the column leaves the DECLARED schema (and
+        its comment, LF tags, and pending status with it); data files
+        are untouched and the declared-schema scan simply stops
+        projecting it. Dropping a PENDING column cancels the evolution.
+
+        Fail-closed (the rename rule, hardened — a drop is NOT
+        identity-preserving, so nothing that references the column may
+        be auto-migrated):
+
+        - partition keys refuse (evolve partitioning first);
+        - views whose body mentions both the table and the column
+          refuse (recreate the view first);
+        - materialized views grouping by / measuring / filtering on
+          the column refuse (drop the MV first);
+        - data-cells filters whose allowlist or row predicate
+          references the column refuse — silently shrinking an
+          allowlist or breaking a row filter is a security-semantics
+          change only the governance owner may make;
+        - manifest CHECK constraints referencing the column refuse
+          (the next append would validate against a ghost).
+        """
+        import re as _re
+
+        table = self.tables[qualified]  # KeyError: fail closed
+        if table.schema is None:
+            raise ValueError(f"{qualified} has no declared schema")
+        names = [f_.name for f_ in table.schema.fields]
+        if col not in names:
+            raise ValueError(f"no column {col!r} on {qualified} ({names})")
+        if len(names) == 1:
+            raise ValueError(
+                f"{col!r} is the only column on {qualified} — drop the "
+                "table instead"
+            )
+        if col in table.partition_keys:
+            raise ValueError(
+                f"column {col!r} is a partition key of {qualified} — "
+                "evolve partitioning away from it first"
+            )
+        token = _re.compile(rf"\b{_re.escape(col)}\b")
+        for vq, v in sorted(self.views.items()):
+            if token.search(v.sql) and table.name in v.sql:
+                raise ValueError(
+                    f"view {vq} references {qualified}.{col} — drop or "
+                    "recreate the view first"
+                )
+        for mq, m in sorted(self.mvs.items()):
+            if m.source == qualified and (
+                col in m.group_by
+                or any(c == col for _, c in m.measures.values())
+                or (m.where is not None and token.search(m.where))
+            ):
+                raise ValueError(
+                    f"materialized view {mq} references {qualified}."
+                    f"{col} — drop the MV first"
+                )
+            if m.enrich is not None and m.enrich["table"] == qualified and (
+                col in m.enrich["on"].values()
+                or col in (m.enrich["select"] or [])
+            ):
+                raise ValueError(
+                    f"materialized view {mq} enriches through "
+                    f"{qualified}.{col} — drop the MV first"
+                )
+        for fname, flt in sorted(self.filters.items()):
+            if (flt.database, flt.table) != (table.database, table.name):
+                continue
+            if (flt.columns and col in flt.columns) or (
+                flt.row_filter and token.search(flt.row_filter)
+            ):
+                raise ValueError(
+                    f"data-cells filter {fname!r} references "
+                    f"{qualified}.{col} — edit or drop the filter "
+                    "first (dropping a secured column must be an "
+                    "explicit governance decision)"
+                )
+        from .sources.lake import read_manifest
+
+        m_ = read_manifest(table.location) if table.format == "parquet" else None
+        if m_ is not None:
+            hit = sorted(
+                n
+                for n, expr in (m_.get("constraints") or {}).items()
+                if token.search(expr)
+            )
+            if hit:
+                raise ValueError(
+                    f"CHECK constraint(s) {hit} on {qualified} reference "
+                    f"{col!r} — drop the constraint(s) first"
+                )
+        table.schema = T.StructType(
+            [f_ for f_ in table.schema.fields if f_.name != col]
+        )
+        table.column_comments.pop(col, None)
+        table.column_tags.pop(col, None)
+        table.pending_columns.discard(col)
+        self.audit.record(
+            principal="<catalog>",
+            query=f"ALTER TABLE {qualified} DROP COLUMN {col}",
+            tables=[qualified],
+            filters_applied=[],
+            status="ok",
+        )
+
     def drop_view(self, database: str, name: str) -> None:
         """V2 — ``DROP VIEW`` (README.md:320)."""
         self.views.pop(f"{database}.{name}", None)

@@ -677,6 +677,7 @@ class Engine:
             DescribeDetailStatement,
             DescribeHistoryStatement,
             DescribeStatement,
+            DropColumnStatement,
             DropMVStatement,
             DropTableStatement,
             DropViewStatement,
@@ -1309,6 +1310,16 @@ class Engine:
             return _row(
                 {"table": stmt.target, "old": stmt.old, "new": stmt.new},
                 "table string, old string, new string",
+            )
+
+        if isinstance(stmt, DropColumnStatement):
+            self.maintain(
+                stmt.target, "drop_column", principal, column=stmt.column
+            )
+            qe.tables = [stmt.target]
+            return _row(
+                {"table": stmt.target, "dropped_column": stmt.column},
+                "table string, dropped_column string",
             )
 
         if isinstance(stmt, MergeStatement):
@@ -2660,6 +2671,8 @@ class Engine:
             )
         if action == "rename_column" and {"old", "new"} <= set(kwargs):
             audit_suffix = f" {kwargs['old']} TO {kwargs['new']}"
+        if action == "drop_column" and "column" in kwargs:
+            audit_suffix = f" {kwargs['column']}"
         if action in ("tag", "drop_tag") and "name" in kwargs:
             audit_suffix = f" {kwargs['name']}" + (
                 f" AT VERSION {kwargs['to_version']}"
@@ -2923,6 +2936,15 @@ class Engine:
                 qualified, kwargs["old"], kwargs["new"]
             )
             result = {"renamed": [kwargs["old"], kwargs["new"]]}
+        elif action == "drop_column":
+            if "column" not in kwargs:
+                _audit("failed", "drop_column requires column=")
+                raise ValueError("drop_column requires column=")
+            # metadata-only on schema-on-read; catalog.drop_column
+            # fail-closes on every referencing object (views, MVs,
+            # data-cells filters, CHECK constraints, partition keys)
+            self.catalog.drop_column(qualified, kwargs["column"])
+            result = {"dropped_column": kwargs["column"]}
         else:
             _audit("failed", f"unknown action {action!r}")
             raise ValueError(f"unknown maintenance action {action!r}")

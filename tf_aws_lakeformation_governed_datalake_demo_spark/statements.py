@@ -222,6 +222,17 @@ class RenameColumnStatement:
 
 
 @dataclass(frozen=True)
+class DropColumnStatement:
+    """``ALTER TABLE <db.t> DROP COLUMN <col>`` — metadata-only on
+    schema-on-read (catalog.drop_column: data untouched, declared
+    schema shrinks; referencing views/MVs/filters/constraints refuse,
+    partition keys refuse)."""
+
+    target: str
+    column: str
+
+
+@dataclass(frozen=True)
 class AddColumnsStatement:
     target: str
     # ((name, ddl_type, comment|None), ...) — types stay strings here;
@@ -453,6 +464,7 @@ Statement = (
     RevokeStatement,
     ShowCreateTableStatement,
     ShowColumnsStatement,
+    DropColumnStatement,
     CloneStatement,
     ShowGrantsStatement,
     AddColumnsStatement,
@@ -1482,6 +1494,13 @@ def parse_statement(sql: str):
         )
         if m:
             return RenameColumnStatement(m.group(1), m.group(2), m.group(3))
+        m = re.fullmatch(
+            rf"alter\s+table\s+({_QUALIFIED})\s+drop\s+column\s+({_IDENT})",
+            text,
+            re.I,
+        )
+        if m:
+            return DropColumnStatement(m.group(1), m.group(2))
         m = re.match(
             rf"alter\s+table\s+({_QUALIFIED})\s+add\s+columns\s*",
             text,
@@ -1532,7 +1551,9 @@ def parse_statement(sql: str):
             return AddColumnsStatement(m.group(1), tuple(cols))
         raise UnsupportedStatementError(
             "ALTER through engine.sql supports ALTER TABLE <db.table> "
-            "RENAME COLUMN <old> TO <new> (the metadata-only rename) and "
+            "RENAME COLUMN <old> TO <new> (the metadata-only rename), "
+            "ALTER TABLE <db.table> DROP COLUMN <col> (metadata-only; "
+            "referencing views/MVs/filters/constraints refuse), and "
             "ALTER TABLE <db.table> ADD COLUMNS (col type [COMMENT ...], "
             "...) (fail-closed schema evolution); other ALTERs go through "
             "the catalog API"
