@@ -305,8 +305,9 @@ HEADLINE = [
     # final agg; the grant/deny/revoke loop), metadata-count serving
     # (bare + per-partition — both must stay O(metadata) flat),
     # the IN-list filtered-MV rewrite, the t-closeness audit, exact
-    # sliding-window distinct users, the re-planned heavy hitters,
-    # and the one-pass PCA fit+project
+    # sliding-window distinct users, and the one-pass PCA fit+project
+    # (events_heavy_hitters, re-planned this round, is already a
+    # headline entry above)
     "sql_create_table_ddl",
     "sql_grant_revoke",
     "sql_count_metadata",
@@ -314,7 +315,6 @@ HEADLINE = [
     "governance_mv_rewrite_inlist",
     "privacy_t_closeness",
     "events_sliding_distinct_users",
-    "events_heavy_hitters",
     "embeddings_pca_project",
 ]
 

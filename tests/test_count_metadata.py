@@ -185,3 +185,17 @@ def test_grouped_count_typed_partition_values(eng, spark, tmp_path):
     assert sorted((r.yr, r.n) for r in out.collect()) == [
         (0, 10), (1, 10), (2, 10),
     ]
+
+
+def test_grouped_count_preserves_select_order(eng):
+    """Review fix (r13): the served result's columns follow the
+    query's SELECT list, not the GROUP BY order — positional consumers
+    must see exactly what the scan would produce."""
+    out = eng.sql(
+        "SELECT count(*) AS n, grp FROM db.t GROUP BY grp", "ops"
+    )
+    assert not out.inputFiles()
+    assert out.columns == ["n", "grp"]
+    assert sorted((r.n, r.grp) for r in out.collect()) == [
+        (18, "b"), (19, "a"),
+    ]

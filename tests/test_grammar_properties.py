@@ -50,7 +50,12 @@ def _render(s: CreateTableStatement) -> str:
         for n, t, c in s.columns
     )
     pby = (
-        " PARTITIONED BY (" + ", ".join(f"{n} {t}" for n, t in s.partitioned_by) + ")"
+        " PARTITIONED BY ("
+        + ", ".join(
+            f"{n} {t}" + (f" COMMENT '{q(c)}'" if c is not None else "")
+            for n, t, c in s.partitioned_by
+        )
+        + ")"
         if s.partitioned_by
         else ""
     )
@@ -65,7 +70,10 @@ def _render(s: CreateTableStatement) -> str:
     cols=st.lists(
         st.tuples(_IDENT, _TYPE, st.none() | _COMMENT), min_size=1, max_size=5
     ),
-    pby=st.lists(st.tuples(_IDENT, st.sampled_from(["string", "int"])), max_size=2),
+    pby=st.lists(
+        st.tuples(_IDENT, st.sampled_from(["string", "int"]), st.none() | _COMMENT),
+        max_size=2,
+    ),
     ine=st.booleans(),
 )
 def test_create_table_parse_render_roundtrip(cols, pby, ine):

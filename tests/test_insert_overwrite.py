@@ -400,3 +400,71 @@ def test_static_partition_overwrite_sql(spark, tmp_path):
             "SELECT id, grp, v FROM db.t WHERE grp = 'a'",
             "ops",
         )
+
+
+def test_static_partition_overwrite_empty_batch_truncates(spark, tmp_path):
+    """Hive static-overwrite semantics (round-13 review fix): an empty
+    SELECT truncates the NAMED partition instead of refusing — the
+    spec, not the data, is the replacement set. The dynamic form still
+    refuses empty batches."""
+    import pytest as _pytest
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.engine import Engine
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        publish_overwrite,
+        read_manifest,
+    )
+
+    lake = str(tmp_path)
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i) for i in range(10)],
+        "id long, grp string, v long",
+    )
+    loc = f"{lake}/t"
+    publish_overwrite(spark, loc, df, ["grp"], manifest=True)
+    cat.register_table(
+        TableDef("db", "t", loc, schema=df.schema, partition_keys=("grp",))
+    )
+    eng = Engine(spark, cat)
+    keep = {f for f in read_manifest(loc)["files"] if "grp=b" in f}
+    r = eng.sql(
+        "INSERT OVERWRITE db.t PARTITION (grp = 'a') "
+        "SELECT id, v FROM db.t WHERE false",
+        "ops",
+    ).first()
+    assert r.rows_inserted == 0 and r.partitions_replaced == 1
+    after = read_manifest(loc)
+    assert keep <= set(after["files"])
+    rows = eng.sql(
+        "SELECT grp, count(*) AS n FROM db.t GROUP BY grp", "ops"
+    ).collect()
+    assert [(x.grp, x.n) for x in rows] == [("b", 5)]
+    # dynamic form still refuses the empty batch
+    with _pytest.raises(ValueError, match="empty batch"):
+        eng.sql(
+            "INSERT OVERWRITE db.t SELECT id, grp, v FROM db.t "
+            "WHERE false",
+            "ops",
+        )
+    # through SQL the full-static spec constant-fills the partition
+    # column, so containment holds by construction; the lake-level
+    # guard still refuses API callers whose batch strays outside the
+    # named set (blast radius)
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        overwrite_partitions,
+    )
+
+    stray = spark.createDataFrame(
+        [(99, "b", 1)], "id long, grp string, v long"
+    )
+    with _pytest.raises(ValueError, match="blast-radius"):
+        overwrite_partitions(
+            spark, loc, stray, ["grp"], replace_partitions=["grp=a"]
+        )

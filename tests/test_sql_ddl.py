@@ -63,7 +63,7 @@ def test_parse_create_table_column_list():
         ("customer_id", "string", "Unique customer identifier"),
         ("sales_amount", "double", None),
     )
-    assert s.partitioned_by == (("sales_region", "string"),)
+    assert s.partitioned_by == (("sales_region", "string", None),)
     assert s.location == "/lake/sales"
     # complex types: commas inside <> and () must not split items
     s = parse_statement(
@@ -538,3 +538,54 @@ def test_drop_column_mv_and_constraint_refuse(eng, spark, tmp_path):
     add_constraint(spark, loc, "v_nonneg", "v >= 0")
     with pytest.raises(ValueError, match="constraint"):
         eng.sql("ALTER TABLE db.docs DROP COLUMN v", "ops")
+
+
+def test_show_create_table_redacts_partition_keys(eng, tmp_path):
+    """Review fix (r13): a partition key outside every grant rectangle
+    must not leak through the PARTITIONED BY clause — same rule as
+    data columns."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        DataCellsFilter,
+    )
+
+    _declare(eng, tmp_path)
+    eng.catalog.create_data_cells_filter(
+        DataCellsFilter("no_yr", "sales_db", "sales", ("id", "region"), None)
+    )
+    eng.catalog.grant(
+        "p9", "SELECT", "sales_db", "sales", via_filter="no_yr"
+    )
+    ddl = eng.sql("SHOW CREATE TABLE sales_db.sales", "p9").first().ddl
+    assert "yr" not in ddl and "PARTITIONED BY" not in ddl
+    # an admin still sees it, with the partition comment rendered
+    eng.sql("DROP TABLE sales_db.sales", "ops")
+    eng.sql(
+        "CREATE EXTERNAL TABLE sales_db.sales (id bigint) "
+        "PARTITIONED BY (yr int COMMENT 'fiscal year') "
+        f"LOCATION '{tmp_path}/sales'",
+        "ops",
+    )
+    ddl = eng.sql("SHOW CREATE TABLE sales_db.sales", "ops").first().ddl
+    assert "PARTITIONED BY (yr int COMMENT 'fiscal year')" in ddl
+    assert eng.catalog.tables["sales_db.sales"].column_comments["yr"] == (
+        "fiscal year"
+    )
+
+
+def test_drop_table_refuses_under_dependent_view(eng, spark, tmp_path):
+    """Review fix (r13): DROP TABLE fail-closes on referencing VIEWS
+    (not just MVs) — a dangling view keeps its grants, and a later
+    re-register under the same name would serve new data to
+    principals vetted only for the old table."""
+    loc = _declare(eng, tmp_path)
+    spark.createDataFrame(
+        [(1, "APAC", 1.0, 2024)],
+        "id long, region string, amount double, yr int",
+    ).write.mode("overwrite").partitionBy("yr").parquet(loc)
+    eng.sql(
+        "CREATE VIEW sales_db.v AS SELECT id FROM sales_db.sales", "ops"
+    )
+    with pytest.raises(ValueError, match="view"):
+        eng.sql("DROP TABLE sales_db.sales", "ops")
+    eng.sql("DROP VIEW sales_db.v", "ops")
+    assert eng.sql("DROP TABLE sales_db.sales", "ops").first().dropped

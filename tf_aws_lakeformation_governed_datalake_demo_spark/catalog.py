@@ -648,9 +648,12 @@ class GovernedCatalog:
                 f"column {old!r} is a partition key of {qualified} — "
                 "evolve partitioning away from it first"
             )
-        token = _re.compile(rf"\b{_re.escape(old)}\b")
+        # case-insensitive scan (SQL identifiers are): "SELECT AMOUNT"
+        # must block a rename of amount exactly like "SELECT amount"
+        token = _re.compile(rf"\b{_re.escape(old)}\b", _re.I)
+        _name_token = _re.compile(rf"\b{_re.escape(table.name)}\b", _re.I)
         for vq, v in sorted(self.views.items()):
-            if token.search(v.sql) and table.name in v.sql:
+            if token.search(v.sql) and _name_token.search(v.sql):
                 raise ValueError(
                     f"view {vq} references {qualified}.{old} — recreate "
                     "the view under the new name first (fail-closed: "
@@ -769,17 +772,24 @@ class GovernedCatalog:
                 f"column {col!r} is a partition key of {qualified} — "
                 "evolve partitioning away from it first"
             )
-        token = _re.compile(rf"\b{_re.escape(col)}\b")
+        # case-insensitive throughout: SQL identifiers are — a view
+        # written "SELECT LANG FROM db.DOCS" is a working view and must
+        # still block the drop
+        token = _re.compile(rf"\b{_re.escape(col)}\b", _re.I)
+        name_token = _re.compile(rf"\b{_re.escape(table.name)}\b", _re.I)
         for vq, v in sorted(self.views.items()):
-            if token.search(v.sql) and table.name in v.sql:
+            if token.search(v.sql) and name_token.search(v.sql):
                 raise ValueError(
                     f"view {vq} references {qualified}.{col} — drop or "
                     "recreate the view first"
                 )
         for mq, m in sorted(self.mvs.items()):
             if m.source == qualified and (
-                col in m.group_by
-                or any(c == col for _, c in m.measures.values())
+                col.lower() in {g.lower() for g in m.group_by}
+                or any(
+                    c is not None and c.lower() == col.lower()
+                    for _, c in m.measures.values()
+                )
                 or (m.where is not None and token.search(m.where))
             ):
                 raise ValueError(
@@ -787,8 +797,10 @@ class GovernedCatalog:
                     f"{col} — drop the MV first"
                 )
             if m.enrich is not None and m.enrich["table"] == qualified and (
-                col in m.enrich["on"].values()
-                or col in (m.enrich["select"] or [])
+                col.lower()
+                in {c.lower() for c in m.enrich["on"].values()}
+                or col.lower()
+                in {c.lower() for c in (m.enrich["select"] or [])}
             ):
                 raise ValueError(
                     f"materialized view {mq} enriches through "
@@ -797,9 +809,10 @@ class GovernedCatalog:
         for fname, flt in sorted(self.filters.items()):
             if (flt.database, flt.table) != (table.database, table.name):
                 continue
-            if (flt.columns and col in flt.columns) or (
-                flt.row_filter and token.search(flt.row_filter)
-            ):
+            if (
+                flt.columns
+                and col.lower() in {c.lower() for c in flt.columns}
+            ) or (flt.row_filter and token.search(flt.row_filter)):
                 raise ValueError(
                     f"data-cells filter {fname!r} references "
                     f"{qualified}.{col} — edit or drop the filter "

@@ -855,10 +855,7 @@ class Engine:
             # BEFORE any catalog mutation (fail-closed)
             ddl = ", ".join(
                 f"{c} {t}"
-                for c, t, _cm in (
-                    *stmt.columns,
-                    *((p, ty, None) for p, ty in stmt.partitioned_by),
-                )
+                for c, t, _cm in (*stmt.columns, *stmt.partitioned_by)
             )
             try:
                 schema = T.StructType.fromDDL(ddl)
@@ -874,9 +871,13 @@ class Engine:
                     name=tname,
                     location=stmt.location,
                     schema=schema,
-                    partition_keys=tuple(p for p, _t in stmt.partitioned_by),
+                    partition_keys=tuple(
+                        p for p, _t, _cm in stmt.partitioned_by
+                    ),
                     column_comments={
-                        c: cm for c, _t, cm in stmt.columns if cm is not None
+                        c: cm
+                        for c, _t, cm in (*stmt.columns, *stmt.partitioned_by)
+                        if cm is not None
                     },
                 )
             )
@@ -951,6 +952,27 @@ class Engine:
                 raise ValueError(
                     f"{stmt.target} feeds materialized view(s) "
                     f"{dependent}; drop those first"
+                )
+            # views fail-close too (the drop_column rule): a dangling
+            # view keeps its grants, and a later re-register under the
+            # same name would silently serve NEW data to principals
+            # vetted only for the old table. Word-match on the bare
+            # table name, case-insensitive — false positives are the
+            # fail-closed direction and the message names the cure.
+            import re as _re
+
+            dep_views = sorted(
+                vq
+                for vq, v in self.catalog.views.items()
+                if _re.search(
+                    rf"\b{_re.escape(td.name)}\b", v.sql, _re.I
+                )
+            )
+            if dep_views:
+                _audit_dt("failed", f"dependent views {dep_views}")
+                raise ValueError(
+                    f"view(s) {dep_views} reference {stmt.target}; "
+                    "drop those first"
                 )
             del self.catalog.tables[stmt.target]
             # strip every grant on the dropped resource: a later
@@ -1780,11 +1802,22 @@ class Engine:
                     f"  {f.name} {f.dataType.simpleString()}{comment}"
                 )
             by_name = {f.name: f for f in schema.fields}
-            pby = ", ".join(
-                f"{k} {by_name[k].dataType.simpleString()}"
-                for k in pkeys
-                if k in by_name
-            )
+            pby_items = []
+            for k in pkeys:
+                if k not in by_name:
+                    continue
+                if allowed is not None and k not in allowed:
+                    # redacted exactly like data columns: a partition
+                    # key outside every grant rectangle must not leak
+                    # its existence through the DDL (DESCRIBE/SHOW
+                    # COLUMNS already hide it)
+                    continue
+                c = table.column_comments.get(k)
+                comment = f" COMMENT '{_q(c)}'" if c else ""
+                pby_items.append(
+                    f"{k} {by_name[k].dataType.simpleString()}{comment}"
+                )
+            pby = ", ".join(pby_items)
             ddl = (
                 f"CREATE EXTERNAL TABLE {stmt.target} (\n"
                 + ",\n".join(items)
@@ -1976,19 +2009,24 @@ class Engine:
             # static-partition OVERWRITE (hive semantics): the spec
             # must name exactly the partition keys — a partial spec
             # mixes static and dynamic resolution, which silently
-            # replaces partitions the statement never named
-            pset = set(table.partition_keys or ())
-            unknown_p = sorted(set(static) - pset)
+            # replaces partitions the statement never named. Spec keys
+            # match the declared keys case-insensitively (SQL
+            # identifiers are) and are canonicalized to them.
+            canon = {k.lower(): k for k in (table.partition_keys or ())}
+            unknown_p = sorted(
+                k for k in static if k.lower() not in canon
+            )
             if unknown_p:
                 raise ValueError(
                     f"PARTITION spec names non-partition column(s) "
                     f"{unknown_p} on {stmt.target} (partition keys: "
-                    f"{sorted(pset)})"
+                    f"{sorted(canon.values())})"
                 )
-            if set(static) != pset:
+            static = {canon[k.lower()]: v for k, v in static.items()}
+            if set(static) != set(canon.values()):
                 raise ValueError(
                     f"PARTITION spec must cover every partition key of "
-                    f"{stmt.target} ({sorted(pset)}); mixed "
+                    f"{stmt.target} ({sorted(canon.values())}); mixed "
                     "static/dynamic overwrite is not supported — omit "
                     "PARTITION entirely for the dynamic form"
                 )
@@ -2075,8 +2113,22 @@ class Engine:
                     "first"
                 )
             before = set(cur["files"])
+            rp = None
+            if static:
+                # the named partition IS the replacement set: batch
+                # rows outside it refuse in the lake layer, and an
+                # empty batch legitimately TRUNCATES the partition
+                # (hive static-overwrite semantics)
+                from .sources.lake import hive_partition_relpath
+
+                rp = [
+                    hive_partition_relpath(
+                        pkeys, tuple(static[k] for k in pkeys)
+                    )
+                ]
             snap = overwrite_partitions(
-                spark, table.location, batch, pkeys
+                spark, table.location, batch, pkeys,
+                replace_partitions=rp,
             )
             rows = sum(
                 int(snap.get("file_rows", {}).get(f, 0))
@@ -3488,18 +3540,45 @@ class Engine:
             except ValueError:
                 return None
             agg_rows[key] = agg_rows.get(key, 0) + int(cnt)
+        # preserve the query's SELECT-list order — the scan path would
+        # (``count(*) AS n, lang`` must come back (n, lang), not the
+        # GROUP BY order); an unextractable list falls open to the scan
+        import re as _re
+
+        from .statements import _blank_comments, _find_keyword, _split_top
+
+        try:
+            text = _blank_comments(sql).strip().rstrip(";")
+            mm = _re.match(r"select\s+", text, _re.I)
+            rest = text[mm.end() :]
+            items = _split_top(rest[: _find_keyword(rest, "from")])
+        except Exception:
+            return None
+        order: list = []
+        for it in items:
+            it = it.strip()
+            if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", it):
+                order.append(it)
+            else:
+                order.append(alias)  # the single count(*) AS alias item
+        if sorted(order) != sorted([*group_by, alias]):
+            return None
         qe.tables = [qualified]
         qe.filters_applied.append(f"COUNT_STATS:{qualified}")
         out_schema = T.StructType(
             [
-                T.StructField(g, by_name[g], True)
-                for g in group_by
+                T.StructField(c, by_name[c], True)
+                if c != alias
+                else T.StructField(alias, T.LongType(), False)
+                for c in order
             ]
-            + [T.StructField(alias, T.LongType(), False)]
         )
-        df = self.spark.createDataFrame(
-            [(*k, v) for k, v in sorted(agg_rows.items())], out_schema
-        )
+        rows = []
+        for k, v in sorted(agg_rows.items()):
+            vals = dict(zip(group_by, k))
+            vals[alias] = v
+            rows.append(tuple(vals[c] for c in order))
+        df = self.spark.createDataFrame(rows, out_schema)
         if order_by:
             from pyspark.sql import functions as F
 

@@ -2228,6 +2228,7 @@ def overwrite_partitions(
     compression: str = "snappy",
     stream_id: str | None = None,
     batch_id: int | None = None,
+    replace_partitions: "list[str] | None" = None,
 ) -> dict | None:
     """Dynamic-partition OVERWRITE on a manifest table — Spark's
     ``partitionOverwriteMode=dynamic`` / Hive ``INSERT OVERWRITE``
@@ -2251,7 +2252,12 @@ def overwrite_partitions(
     - an EMPTY batch is refused loudly: dynamic overwrite derives the
       replacement set from the data, so an empty batch would silently
       no-op where the caller almost certainly meant to replace
-      something;
+      something. ``replace_partitions`` (a list of hive dir relpaths,
+      e.g. ``["lang=en"]``) switches to STATIC semantics (round-13,
+      the PARTITION (col='val') form): the named set IS the
+      replacement set, batch rows outside it refuse (the blast-radius
+      guarantee), and an empty batch legitimately TRUNCATES the named
+      partitions — hive static-overwrite semantics;
     - a partition-EVOLVED table (live files on retired specs) is
       refused with the OPTIMIZE cure: rows belonging to a logical
       partition may live in files outside that partition's current
@@ -2344,17 +2350,32 @@ def overwrite_partitions(
     staged_files = sorted(
         p.relative_to(staged) for p in staged.rglob("*.parquet") if p.is_file()
     )
-    if not staged_files:
+    if not staged_files and replace_partitions is None:
         shutil.rmtree(staged, ignore_errors=True)
         raise ValueError(
             "overwrite_partitions refuses an empty batch: dynamic "
             "overwrite derives the replacement set from the data, so an "
             "empty batch would silently replace nothing — if clearing "
-            "partitions is intended, use delete_rows"
+            "partitions is intended, use delete_rows or the static "
+            "PARTITION (...) form (replace_partitions=)"
         )
     # the replacement set: hive partition dirs present in the batch
     # (same partitionBy writer encoding as the table's own files)
     touched = {str(f.parent) for f in staged_files}
+    if replace_partitions is not None:
+        named = set(replace_partitions)
+        stray = sorted(touched - named)
+        if stray:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ValueError(
+                f"static overwrite batch contains rows outside the "
+                f"named partition set {sorted(named)}: {stray} — the "
+                "PARTITION spec is a blast-radius declaration; rows "
+                "must fall inside it"
+            )
+        # hive static semantics: the NAMED set is replaced even when
+        # the batch is empty (truncate) or covers only part of it
+        touched = named
     pre_constraints = current.get("constraints", {})
     try:
         _enforce_constraints(

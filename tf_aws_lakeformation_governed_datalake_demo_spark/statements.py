@@ -416,7 +416,7 @@ class CreateTableStatement:
     target: str
     columns: tuple  # ((name, type_ddl, comment|None), ...)
     location: str
-    partitioned_by: tuple = ()  # ((name, type_ddl), ...)
+    partitioned_by: tuple = ()  # ((name, type_ddl, comment|None), ...)
     if_not_exists: bool = False
 
 
@@ -916,7 +916,7 @@ def _parse_create_table(text: str) -> CreateTableStatement:
         target,
         tuple(cols),
         ml.group(1),
-        tuple((p[0], p[1]) for p in pby),
+        tuple(pby),
         if_not_exists,
     )
 
@@ -1520,29 +1520,9 @@ def parse_statement(sql: str):
                 raise UnsupportedStatementError(
                     "unexpected trailing text after ADD COLUMNS (...)"
                 )
-            cols: list[tuple] = []
-            # _split_columns, not _split_top: commas inside
-            # map<string,int> / decimal(10,2) belong to the type
-            for item in _split_columns(rest[1 : end - 1]):
-                mc = re.fullmatch(
-                    rf"({_IDENT})\s+([A-Za-z0-9_<>,():\s]+?)"
-                    r"(?:\s+comment\s+'((?:[^']|'')*)')?",
-                    item,
-                    re.I | re.S,
-                )
-                if not mc:
-                    raise UnsupportedStatementError(
-                        f"ADD COLUMNS item {item!r} is not <col> <type> "
-                        "[COMMENT '<text>']"
-                    )
-                comment = (
-                    mc.group(3).replace("''", "'")
-                    if mc.group(3) is not None
-                    else None
-                )
-                cols.append((mc.group(1), mc.group(2).strip(), comment))
-            if not cols:
-                raise UnsupportedStatementError("ADD COLUMNS needs columns")
+            # one column-item grammar for the whole statement surface
+            # (CREATE TABLE / PARTITIONED BY / ADD COLUMNS share it)
+            cols = _parse_column_list(rest[1 : end - 1], "ADD COLUMNS")
             names = [c[0].lower() for c in cols]
             if len(set(names)) != len(names):
                 raise UnsupportedStatementError(
