@@ -589,3 +589,29 @@ def test_drop_table_refuses_under_dependent_view(eng, spark, tmp_path):
         eng.sql("DROP TABLE sales_db.sales", "ops")
     eng.sql("DROP VIEW sales_db.v", "ops")
     assert eng.sql("DROP TABLE sales_db.sales", "ops").first().dropped
+
+
+def test_provisioning_script_end_to_end(eng, spark, tmp_path):
+    """The reference's whole provisioning flow (terraform apply +
+    console DDL + permission grants, README.md:109-151) as ONE
+    sql_script: database, table, grant, insert, select — each
+    statement individually gated and audited under one span."""
+    outs = eng.sql_script(
+        f"""
+        CREATE DATABASE IF NOT EXISTS sales_db;
+        CREATE EXTERNAL TABLE sales_db.sales (
+          id bigint COMMENT 'pk', region string, amount double)
+          PARTITIONED BY (yr int) STORED AS PARQUET
+          LOCATION '{tmp_path}/sales';
+        GRANT SELECT ON sales_db.sales TO script_analyst;
+        INSERT INTO sales_db.sales VALUES
+          (1, 'APAC', 10.0, 2024), (2, 'EMEA', 20.0, 2024);
+        SELECT count(*) AS n FROM sales_db.sales;
+        """,
+        "ops",
+    )
+    assert outs[-1].first().n == 2
+    # the script-granted principal reads immediately
+    assert eng.sql(
+        "SELECT count(*) AS n FROM sales_db.sales", "script_analyst"
+    ).first().n == 2
