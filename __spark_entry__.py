@@ -59,7 +59,7 @@ plus the 26 round-3/4-verified names that had spilled past round 7
 (CORRECTNESS_r08: 50/50 green). Per-query design notes live in each
 operator's docstring and in git history.
 
-- ``z_<name>`` — no SQL oracle exists; 9 queries, each with a written
+- ``z_<name>`` — no SQL oracle exists; 10 queries, each with a written
   reason: pipeline_quality_classifier trains iterative LBFGS logistic
   regression (held-out AUC >= 0.99 gated in tests/test_ml.py — the
   junk class is planted, see the operator docstring),
@@ -76,7 +76,10 @@ operator's docstring and in git history.
   tests/test_quantization.py), and text_bpe_learn is iterative BPE
   training (exact-match-pinned against a pure-Python reference
   implementation in tests/test_text.py; its per-iteration statistics
-  are the oracle-verified text_bpe_pair_counts). graph_pagerank and pq_trained_recall
+  are the oracle-verified text_bpe_pair_counts), and text_bpe_encode
+  applies that learner's merge table (same iterative dependency;
+  exact-pinned against a pure-Python encoder in tests/test_text.py).
+  graph_pagerank and pq_trained_recall
   recorded their rows-only driver verdicts in round 7.
   Exactness / recall / bound tests live in tests/.
 

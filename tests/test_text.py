@@ -453,3 +453,59 @@ def test_kneser_ney_is_finite_and_reranks_vs_addk(spark):
     # same candidate pool (held-out docs), so substantial overlap is
     # expected — identical ORDER is what would indicate a no-op model
     assert {r.doc_id for r in kn} & {r.doc_id for r in addk}
+
+
+def test_bpe_encode_matches_pure_python_reference(spark, sf_dir):
+    """text_bpe_encode (round 13): the distributed apply must equal the
+    classic encoder — learn the merges with the pinned-equal python
+    learner, greedily apply them per word in rank order, and the
+    per-doc (n_words, n_tokens) must match exactly."""
+    from collections import Counter
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    wf = Counter()
+    for r in rows:
+        for w in r.text.lower().split(" "):
+            if len(w) >= 2:
+                wf[w] += 1
+    vocab = {w: (list(w), n) for w, n in wf.items()}
+    merges = []
+    for _rank in range(1, 13):
+        pairs = Counter()
+        for syms, n in vocab.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (l, r_), _cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r_))
+        for w, (syms, n) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r_:
+                    out.append(l + r_)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (out, n)
+    tok_len = {w: len(syms) for w, (syms, _n) in vocab.items()}
+    want = {}
+    for r in rows:
+        ws = [w for w in r.text.lower().split(" ") if len(w) >= 2]
+        if ws:
+            want[r.doc_id] = (len(ws), sum(tok_len[w] for w in ws))
+    got = {
+        x.doc_id: (x.n_words, x.n_tokens)
+        for x in REGISTRY["text_bpe_encode"].builder(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -997,6 +997,68 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_encode",
+    None,
+    "BPE tokenizer APPLICATION (the other half of text_bpe_learn): "
+    "learn the 12-merge table on the corpus, then encode every "
+    "document with it — per-doc word and BPE-token counts, the "
+    "token-budget accounting a pretraining mix is planned against. "
+    "Encoding is vocabulary-bounded: merges apply to the DISTINCT "
+    "word table as the same greedy Catalyst fold the learner uses "
+    "(no UDF), and the corpus only pays one explode + one word-keyed "
+    "join. No SQL oracle (the merge table is the iterative learner's "
+    "output); exact-match-pinned against a pure-Python encoder in "
+    "tests/test_text.py.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: the merge fold runs O(vocab x merges) — vocabulary-
+    bounded, not corpus-bounded; the corpus-scale work is exactly one
+    tokenize explode and one (word -> token count) join keyed on the
+    word, the same shape as every frequency operator here. The learn
+    step's per-iteration cost is likewise vocabulary-bounded
+    (text_bpe_learn's design)."""
+    d = load(spark, sf_dir, "documents")
+    merges = text_bpe_learn(spark, sf_dir).orderBy("rank").collect()
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .distinct()
+    )
+    enc = words.select(
+        "w",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substr(w, i, 1))"
+        ).alias("syms"),
+    )
+    for i, m in enumerate(merges):
+        enc = enc.select(
+            "w",
+            _merge_pair_in_arrays(F.col("syms"), m.left, m.right).alias(
+                "syms"
+            ),
+        )
+        if (i + 1) % 4 == 0:
+            # truncate the nested-fold lineage the way the learner
+            # does per iteration — 12 stacked HOF aggregates in one
+            # plan stall codegen
+            enc = enc.localCheckpoint(eager=True)
+    tok = enc.select("w", F.size("syms").alias("n_tok")).localCheckpoint(
+        eager=True
+    )
+    docw = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    return (
+        docw.join(tok, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@query(
     "text_doc_entropy",
     """
     WITH w AS (
