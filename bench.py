@@ -316,6 +316,7 @@ HEADLINE = [
     "privacy_t_closeness",
     "events_sliding_distinct_users",
     "embeddings_pca_project",
+    "text_bpe_encode",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
