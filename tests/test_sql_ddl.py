@@ -615,3 +615,51 @@ def test_provisioning_script_end_to_end(eng, spark, tmp_path):
     assert eng.sql(
         "SELECT count(*) AS n FROM sales_db.sales", "script_analyst"
     ).first().n == 2
+
+
+def test_create_table_like(eng, spark, tmp_path):
+    """CREATE TABLE LIKE: structure copies (schema, partition keys,
+    comments, tags, pending quarantine), data and policy objects do
+    not; the usual data-location gate applies."""
+    loc = _declare(eng, tmp_path)
+    spark.createDataFrame(
+        [(1, "APAC", 1.0, 2024)],
+        "id long, region string, amount double, yr int",
+    ).write.mode("overwrite").partitionBy("yr").parquet(loc)
+    eng.catalog.create_tag("pii", ["sensitive", "clear"])
+    eng.catalog.tag_columns("sales_db.sales", ["region"], "pii", "sensitive")
+    r = eng.sql(
+        f"CREATE TABLE sales_db.sales2 LIKE sales_db.sales "
+        f"LOCATION '{tmp_path}/sales2'",
+        "ops",
+    ).first()
+    assert r.created
+    t2 = eng.catalog.tables["sales_db.sales2"]
+    src = eng.catalog.tables["sales_db.sales"]
+    assert t2.schema == src.schema
+    assert t2.partition_keys == src.partition_keys
+    assert t2.column_comments == src.column_comments
+    assert t2.column_tags == src.column_tags
+    # empty: no data copied; the declared-schema scan of the empty
+    # location yields zero rows
+    assert eng.sql(
+        "SELECT count(*) AS n FROM sales_db.sales2", "ops"
+    ).first().n == 0
+    # IF NOT EXISTS no-op; non-admin denied; unknown source refuses
+    assert not eng.sql(
+        f"CREATE TABLE IF NOT EXISTS sales_db.sales2 LIKE sales_db.sales "
+        f"LOCATION '{tmp_path}/x'",
+        "ops",
+    ).first().created
+    with pytest.raises(PermissionDeniedError):
+        eng.sql(
+            f"CREATE TABLE sales_db.h LIKE sales_db.sales "
+            f"LOCATION '{tmp_path}/h'",
+            "analyst",
+        )
+    with pytest.raises(KeyError):
+        eng.sql(
+            f"CREATE TABLE sales_db.g LIKE sales_db.ghost "
+            f"LOCATION '{tmp_path}/g'",
+            "ops",
+        )

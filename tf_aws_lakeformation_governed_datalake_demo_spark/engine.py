@@ -670,6 +670,7 @@ class Engine:
             CloneStatement,
             CreateDatabaseStatement,
             CreateMVStatement,
+            CreateTableLikeStatement,
             CreateTableStatement,
             CreateViewStatement,
             CtasStatement,
@@ -865,6 +866,11 @@ class Engine:
                     f"CREATE TABLE {stmt.target}: unparseable column "
                     f"list ({ddl!r})"
                 ) from exc
+            import os as _os
+
+            # declare-then-query-empty must work (the Athena UX): the
+            # location exists from declaration; data arrives later
+            _os.makedirs(stmt.location, exist_ok=True)
             self.catalog.register_table(
                 _TableDef(
                     database=db,
@@ -885,6 +891,103 @@ class Engine:
                 # creator owns the table (the CTAS/CLONE rule)
                 self.catalog.grant(name, _ALL_PERM, db, tname)
             _audit_ct("succeeded")
+            return _row(
+                {
+                    "table": stmt.target,
+                    "location": stmt.location,
+                    "created": True,
+                },
+                "table string, location string, created boolean",
+            )
+
+        if isinstance(stmt, CreateTableLikeStatement):
+            # structure copy without data: the CLONE rule for metadata
+            # (schema, comments, tags, pending quarantine travel; policy
+            # objects and data do not), the CREATE TABLE rule for the
+            # gate (declaring a LOCATION is the admin-only data-location
+            # permission)
+            from .catalog import TableDef as _TableDef
+            from .governance import ALL as _ALL_PERM
+
+            def _audit_ctl(status: str, error: str | None = None):
+                self.catalog.audit.record(
+                    name or "<none>",
+                    f"CREATE TABLE {stmt.target} LIKE {stmt.source}",
+                    [stmt.target, stmt.source],
+                    [],
+                    status,
+                    error=error,
+                )
+
+            qe.tables = [stmt.target, stmt.source]
+            if (
+                self.catalog.governance_enabled
+                and name not in self.catalog.admins
+            ):
+                _audit_ctl(
+                    "denied",
+                    "CREATE TABLE LIKE (external location) is admin-only",
+                )
+                raise PermissionDeniedError(
+                    f"principal {name!r} may not register external "
+                    "tables: declaring a LOCATION is the data-location "
+                    "permission (admin-only)"
+                )
+            src = self.catalog.tables.get(stmt.source)
+            if src is None:
+                _audit_ctl("failed", "unknown source table")
+                raise KeyError(f"unknown table {stmt.source!r}")
+            if src.schema is None:
+                _audit_ctl("failed", "source has no declared schema")
+                raise ValueError(
+                    f"{stmt.source} has no declared schema to copy"
+                )
+            db, _, tname = stmt.target.partition(".")
+            if db not in self.catalog.databases:
+                _audit_ctl("failed", f"unknown database {db!r}")
+                raise KeyError(f"unknown database {db!r}")
+            for registry, kind in (
+                (self.catalog.tables, "table"),
+                (self.catalog.views, "view"),
+                (self.catalog.mvs, "materialized view"),
+            ):
+                if stmt.target in registry:
+                    if stmt.if_not_exists and kind == "table":
+                        _audit_ctl("succeeded")
+                        return _row(
+                            {
+                                "table": stmt.target,
+                                "location": registry[stmt.target].location,
+                                "created": False,
+                            },
+                            "table string, location string, "
+                            "created boolean",
+                        )
+                    _audit_ctl("failed", f"{stmt.target} already a {kind}")
+                    raise ValueError(
+                        f"{stmt.target} already exists (a {kind})"
+                    )
+            import os as _os
+
+            _os.makedirs(stmt.location, exist_ok=True)
+            self.catalog.register_table(
+                _TableDef(
+                    database=db,
+                    name=tname,
+                    location=stmt.location,
+                    schema=src.schema,
+                    format=src.format,
+                    column_comments=dict(src.column_comments),
+                    column_tags={
+                        c: dict(v) for c, v in src.column_tags.items()
+                    },
+                    partition_keys=tuple(src.partition_keys),
+                    pending_columns=set(src.pending_columns),
+                )
+            )
+            if name is not None:
+                self.catalog.grant(name, _ALL_PERM, db, tname)
+            _audit_ctl("succeeded")
             return _row(
                 {
                     "table": stmt.target,

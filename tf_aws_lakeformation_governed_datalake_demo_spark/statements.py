@@ -421,6 +421,20 @@ class CreateTableStatement:
 
 
 @dataclass(frozen=True)
+class CreateTableLikeStatement:
+    """``CREATE TABLE [IF NOT EXISTS] <db.t> LIKE <db.src> LOCATION
+    '<path>'`` — declare a new EMPTY external table with the source's
+    structure (schema, partition keys, comments, column tags, pending
+    quarantine — the CLONE rule: classification travels with the
+    schema; policy objects and data do not copy)."""
+
+    target: str
+    source: str
+    location: str
+    if_not_exists: bool = False
+
+
+@dataclass(frozen=True)
 class DropTableStatement:
     """``DROP TABLE [IF EXISTS] <db.t>`` — Glue DeleteTable: removes
     the catalog entry (and every grant on it — a later re-register
@@ -459,6 +473,7 @@ Statement = (
     DescribeDetailStatement,
     CreateDatabaseStatement,
     CreateTableStatement,
+    CreateTableLikeStatement,
     DropTableStatement,
     GrantStatement,
     RevokeStatement,
@@ -1702,6 +1717,17 @@ def parse_statement(sql: str):
                     f"unsupported CLONE propert(ies) {sorted(props)}"
                 )
             return CloneStatement(m.group(1), m.group(2), version, location)
+        m = re.fullmatch(
+            rf"create\s+(?:external\s+)?table\s+(if\s+not\s+exists\s+)?"
+            rf"({_QUALIFIED})\s+like\s+({_QUALIFIED})\s+"
+            rf"location\s+'([^']+)'",
+            text,
+            re.I,
+        )
+        if m:
+            return CreateTableLikeStatement(
+                m.group(2), m.group(3), m.group(4), bool(m.group(1))
+            )
         if re.match(
             rf"create\s+(?:external\s+)?table\s+"
             rf"(?:if\s+not\s+exists\s+)?{_QUALIFIED}\s*\(",
