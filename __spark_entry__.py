@@ -30,18 +30,20 @@ freshness-first, self-healing):
   (governance_mv_rewrite_inlist), the t-closeness release audit
   (privacy_t_closeness — the third rung of the k-anonymity ->
   l-diversity ladder), exact trailing-7-day distinct users
-  (events_sliding_distinct_users), plus events_heavy_hitters,
-  RE-verified
+  (events_sliding_distinct_users), CDC apply with delete tombstones
+  (stream_cdc_with_deletes — order-tolerant soft deletes + the
+  end-of-stream purge), plus events_heavy_hitters, RE-verified
   unprefixed because its final-rank plan changed this round
   (TakeOrderedAndProject + bounded rank, VERDICT r12 What's wrong #1
   — same oracle, new plan; the pipeline_domain_caps precedent).
 - ``x_<name>`` — the 44 round-8-verified names ABSENT from
   CORRECTNESS_r12.json (the oldest outstanding driver verdicts now
   that the r7 class re-greened in round 12): they sort after the new
-  queries. 9 new + the first 41 promoted fill the window; the three
-  alphabetically-last promoted names (x_tpch_q7_volume_shipping,
-  x_tpch_q8_market_share, x_tpch_q9_product_profit) spill to round
-  14, where the self-healing promotion rule picks them up again.
+  queries. 10 new + the first 40 promoted fill the window; the four
+  alphabetically-last promoted names (x_tpch_q4_order_priority,
+  x_tpch_q7_volume_shipping, x_tpch_q8_market_share,
+  x_tpch_q9_product_profit) spill to round 14, where the
+  self-healing promotion rule picks them up again.
 - ``y5_``/``y6_``/``y7_``/``y8_`` — last verified in rounds
   9/10/11/12 (CORRECTNESS_r09–r12 each 50/50 green); the oldest
   class ages first by construction when slots remain.

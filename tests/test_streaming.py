@@ -521,3 +521,96 @@ def test_trending_durable_resume_after_restart(spark, sf_dir, tmp_path):
     )
     se.run_stream_durable(stream, out2, ckpt2)
     assert rank(state) == rank(spark.read.parquet(out2))
+
+
+def test_cdc_delete_tombstone_blocks_resurrection(spark, tmp_path):
+    """stream_cdc_with_deletes' core claim: a delete tombstone carries
+    its (ts, id) version, so an OLDER out-of-order update arriving in
+    a LATER batch cannot resurrect the key; a NEWER update after the
+    delete legitimately re-creates it. Purge then removes tombstones
+    physically without touching live keys."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.streaming_ops import (
+        CDC_N_BUCKETS,
+        cdc_current_state_pruned,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        write_partitioned,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        delete_rows,
+        merge_into,
+        read_table,
+    )
+
+    def row(uid, eid, minute, typ, val, deleted):
+        return (
+            uid,
+            uid % CDC_N_BUCKETS,
+            eid,
+            dt.datetime(2024, 1, 1, 0, minute),
+            typ,
+            val,
+            deleted,
+        )
+
+    schema = (
+        "user_id long, bucket long, last_event_id long, "
+        "last_ts timestamp, last_type string, last_value double, "
+        "deleted boolean"
+    )
+    dim = f"{tmp_path}/dim"
+    seed = spark.createDataFrame(
+        [row(1, 10, 0, "a", 1.0, False), row(2, 11, 0, "a", 2.0, False)],
+        schema,
+    )
+    write_partitioned(seed, dim, partition_by=["bucket"])
+    dschema = seed.schema
+
+    def apply(batch_rows):
+        batch = spark.createDataFrame(batch_rows, schema)
+        buckets = [
+            r.bucket for r in batch.select("bucket").distinct().collect()
+        ]
+        cur = cdc_current_state_pruned(spark, dim, dschema, buckets)
+        newer = F.struct("last_ts", "last_event_id") > F.struct(
+            "cur_ts", "cur_id"
+        )
+        upd = (
+            batch.join(cur, "user_id", "left")
+            .filter(F.col("cur_ts").isNull() | newer)
+            .drop("cur_ts", "cur_id")
+        )
+        if not upd.isEmpty():
+            merge_into(
+                spark, dim, upd, ["user_id"], partition_by=["bucket"],
+                schema=dschema, collect_stats=False,
+            )
+
+    # batch 1: delete user 1 at minute 10; batch 2 delivers an OLDER
+    # update (minute 5) for the same key — must NOT resurrect
+    apply([row(1, 20, 10, "a", 9.0, True)])
+    apply([row(1, 15, 5, "a", 7.0, False)])
+    state = {
+        r.user_id: (r.deleted, r.last_event_id)
+        for r in read_table(spark, dim, dschema).collect()
+    }
+    assert state[1] == (True, 20)  # tombstone stands
+    # a NEWER update after the delete re-creates the key
+    apply([row(2, 30, 11, "b", 4.0, True)])
+    apply([row(2, 40, 12, "b", 5.0, False)])
+    state = {
+        r.user_id: (r.deleted, r.last_event_id)
+        for r in read_table(spark, dim, dschema).collect()
+    }
+    assert state[2] == (False, 40)
+    # purge removes tombstones physically, live keys untouched
+    delete_rows(spark, dim, F.col("deleted"), partition_col="bucket",
+                schema=dschema)
+    left = sorted(
+        r.user_id for r in read_table(spark, dim, dschema).collect()
+    )
+    assert left == [2]

@@ -1335,3 +1335,136 @@ def stream_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("text_chk"),
         )
     )
+
+
+@query(
+    "stream_cdc_with_deletes",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             (event_id % 5 = 4) AS deleted
+      FROM events),
+    latest AS (
+      SELECT user_id, event_type, value, deleted,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM marked)
+    SELECT event_type AS last_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM latest WHERE rn = 1 AND NOT deleted
+    GROUP BY 1
+    """,
+    "CDC apply WITH delete tombstones (round-13) — the op='D' half "
+    "stream_cdc_upsert lacks: every change (deletes included, flagged "
+    "deterministically as event_id % 5 = 4) merges newer-wins into "
+    "the bucket-partitioned dimension carrying a `deleted` flag, so "
+    "the pipeline is ORDER-TOLERANT for deletes too — a tombstone "
+    "remembers its (ts, id) version and an older out-of-order update "
+    "arriving in a LATER batch cannot resurrect the key (the classic "
+    "CDC-delete hazard; the land-files split interleaves exactly that "
+    "delivery). After the stream drains, delete_rows purges tombstone "
+    "rows physically (safe only once no more batches can arrive — "
+    "the soft-delete/purge separation IS the design). Oracle replays "
+    "latest-per-key over the full change set, dropping keys whose "
+    "newest change is a delete.",
+)
+def stream_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: identical per-batch shape to stream_cdc_upsert (ranked
+    batch, bucket-pruned comparison read, touched-partition merge) —
+    the delete flag rides the merged row, adding zero extra jobs per
+    batch; the one-time purge is a predicate delete bounded to
+    partitions holding tombstones. Integer-cents aggregation keeps the
+    verdict order-free."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..scratch import scratch_dir
+    from ..sources import load, write_partitioned
+    from ..sources.lake import delete_rows, merge_into, read_table
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "deleted", F.col("event_id") % 5 == 4
+    )
+    base = scratch_dir("cdc_del_")
+    dim = f"{base}/dim"
+    src = f"{base}/changes"
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                (F.col("user_id") % CDC_N_BUCKETS).alias("bucket"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_type"),
+                F.col("value").alias("last_value"),
+                "deleted",
+            )
+        )
+
+    seed = latest_per_user(e.filter(F.col("event_id") % 7 == 0))
+    write_partitioned(seed, dim, partition_by=["bucket"])
+    dim_schema = seed.schema
+
+    cdc_land_change_files(e.filter(F.col("event_id") % 7 != 0), src, base)
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        latest = latest_per_user(batch)
+        buckets = [
+            r.bucket for r in latest.select("bucket").distinct().collect()
+        ]  # O(CDC_N_BUCKETS) driver rows
+        cur = cdc_current_state_pruned(spark, dim, dim_schema, buckets)
+        newer = F.struct("last_ts", "last_event_id") > F.struct(
+            "cur_ts", "cur_id"
+        )
+        upd = (
+            latest.join(cur, "user_id", "left")
+            .filter(F.col("cur_ts").isNull() | newer)
+            .drop("cur_ts", "cur_id")
+        )
+        if upd.isEmpty():
+            return
+        merge_into(
+            spark,
+            dim,
+            upd,
+            ["user_id"],
+            partition_by=["bucket"],
+            schema=dim_schema,
+            collect_stats=False,
+        )
+
+    (
+        spark.readStream.schema(e.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    # the stream has drained: purge tombstones physically (before this
+    # point the tombstone's (ts, id) is what makes deletes
+    # order-tolerant; purging earlier would let an older update
+    # resurrect the key)
+    delete_rows(
+        spark, dim, F.col("deleted"), partition_col="bucket",
+        schema=dim_schema,
+    )
+    return (
+        read_table(spark, dim, dim_schema)
+        .groupBy("last_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.round(F.col("last_value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
