@@ -49,6 +49,19 @@ freshness-first, self-healing):
   class ages first by construction when slots remain.
 - ``z_`` — no SQL oracle exists (written justifications below).
 
+Round-13 record: 10 first-verdict names (the SQL DDL/permission
+modality end to end, metadata-count serving bare + per-partition,
+static-partition overwrite, the IN-list MV residual, t-closeness,
+sliding distinct users, CDC-with-deletes, the re-planned heavy
+hitters) + 40 promoted r8 re-verifications fill the window; the
+round also shipped ALTER TABLE DROP COLUMN, SHOW CREATE TABLE /
+SHOW COLUMNS, CREATE TABLE LIKE, one-pass PCA and the BPE encoder
+(both z-class, reference-pinned), nine review fixes (two
+governance: SHOW CREATE partition-key redaction, DROP TABLE
+dependent-view fail-close), and two grammar robustness fixes
+surfaced by new hypothesis properties. Full suite at HEAD: 850
+passed.
+
 Round-8 record: the round-8 window was entirely first-verdict names —
 the 24 new round-8 oracle-backed queries (manifest time travel, CDF +
 MV-refresh-from-CDF, manifest stats/bloom skipping, transactional and
