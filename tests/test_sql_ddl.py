@@ -663,3 +663,19 @@ def test_create_table_like(eng, spark, tmp_path):
             f"LOCATION '{tmp_path}/g'",
             "ops",
         )
+
+
+def test_describe_database(eng, tmp_path):
+    _declare(eng, tmp_path)
+    eng.sql("GRANT SELECT ON sales_db.sales TO dd1", "ops")
+    r = eng.sql("DESCRIBE DATABASE sales_db", "ops").first()
+    assert (r.database, r.n_tables_visible) == ("sales_db", 1)
+    # visibility follows grants: dd1 sees 1, a stranger sees 0
+    assert eng.sql(
+        "DESCRIBE SCHEMA sales_db", "dd1"
+    ).first().n_tables_visible == 1
+    assert eng.sql(
+        "DESCRIBE DATABASE sales_db", "stranger"
+    ).first().n_tables_visible == 0
+    with pytest.raises(KeyError):
+        eng.sql("DESCRIBE DATABASE nodb", "ops")

@@ -675,6 +675,7 @@ class Engine:
             CreateViewStatement,
             CtasStatement,
             DeleteStatement,
+            DescribeDatabaseStatement,
             DescribeDetailStatement,
             DescribeHistoryStatement,
             DescribeStatement,
@@ -1930,6 +1931,35 @@ class Engine:
                 + f"\nLOCATION '{_q(table.location)}'"
             )
             return spark.createDataFrame([(ddl,)], "ddl string")
+
+        if isinstance(stmt, DescribeDatabaseStatement):
+            # metadata-only; table count follows the SHOW TABLES
+            # visibility rule (implicit deny hides existence)
+            if stmt.name not in self.catalog.databases:
+                raise KeyError(f"unknown database {stmt.name!r}")
+            gov = (
+                self.catalog.governance_enabled
+                and name not in self.catalog.admins
+            )
+            n_vis = 0
+            for _q, td in self.catalog.tables.items():
+                if td.database != stmt.name:
+                    continue
+                if gov and (
+                    name is None
+                    or not self.catalog.grants_for(name, td.database, td.name)
+                ):
+                    continue
+                n_vis += 1
+            qe.tables = []
+            return _row(
+                {
+                    "database": stmt.name,
+                    "comment": self.catalog.databases[stmt.name] or None,
+                    "n_tables_visible": n_vis,
+                },
+                "database string, comment string, n_tables_visible long",
+            )
 
         if isinstance(stmt, DescribeDetailStatement):
             # Delta's one-row metadata summary, metadata-only: catalog

@@ -372,6 +372,15 @@ class AnalyzeStatement:
 
 
 @dataclass(frozen=True)
+class DescribeDatabaseStatement:
+    """``DESCRIBE DATABASE|SCHEMA <db>`` — name, comment, and the
+    principal's VISIBLE table count (the SHOW TABLES rule: governance
+    hides what they hold no grant on)."""
+
+    name: str
+
+
+@dataclass(frozen=True)
 class ShowCreateTableStatement:
     """``SHOW CREATE TABLE <db.t-or-view>`` — the console's
     copy-the-DDL verb: reconstructs the column-list CREATE EXTERNAL
@@ -479,6 +488,7 @@ Statement = (
     RevokeStatement,
     ShowCreateTableStatement,
     ShowColumnsStatement,
+    DescribeDatabaseStatement,
     DropColumnStatement,
     CloneStatement,
     ShowGrantsStatement,
@@ -1908,6 +1918,13 @@ def parse_statement(sql: str):
         return AnalyzeStatement(m.group(1), cols)
     if verb in ("describe", "desc"):
         m = re.fullmatch(
+            rf"(?:describe|desc)\s+(?:database|schema)\s+({_IDENT})",
+            text,
+            re.I,
+        )
+        if m:
+            return DescribeDatabaseStatement(m.group(1))
+        m = re.fullmatch(
             rf"(?:describe|desc)\s+history\s+({_QUALIFIED})", text, re.I
         )
         if m:
@@ -1924,7 +1941,8 @@ def parse_statement(sql: str):
             return DescribeStatement(m.group(1))
         raise UnsupportedStatementError(
             "supported DESCRIBE forms: DESCRIBE [TABLE] <db.table> | "
-            "DESCRIBE HISTORY <db.table> | DESCRIBE DETAIL <db.table>"
+            "DESCRIBE HISTORY <db.table> | DESCRIBE DETAIL <db.table> | "
+            "DESCRIBE DATABASE <db>"
         )
     raise UnsupportedStatementError(
         f"statement verb {verb.upper()!r} is outside the governed grammar "
