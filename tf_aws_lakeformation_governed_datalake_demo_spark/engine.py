@@ -51,6 +51,23 @@ class QueryExecution:
     reused_from: str | None = None
 
 
+
+def _local_df(spark, rows, schema):
+    """Driver-local result rows as a ONE-partition DataFrame.
+
+    A plain ``createDataFrame`` parallelizes over defaultParallelism
+    (32) slices, so a consumer's ``.first()``/``noop`` write pays a
+    take ramp / 32 near-empty tasks hunting rows that live on the
+    driver (the round-14 bisect of the lake_multi_table_publish
+    elevation: the metadata-served count cost MORE jobs than the scan
+    it replaced). Statement results are O(rows already built on the
+    driver) -- one partition is the right physical shape.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), 1), schema
+    )
+
+
 class Engine:
     """Governed SQL execution: ``engine.sql(sql, principal)``.
 
@@ -711,7 +728,7 @@ class Engine:
         spark = self.spark
 
         def _row(d: dict, types: str) -> DataFrame:
-            return spark.createDataFrame([tuple(d.values())], types)
+            return _local_df(spark, [tuple(d.values())], types)
 
         if isinstance(stmt, CtasStatement):
             # Athena CTAS as SQL: the governed select materializes only
@@ -1342,7 +1359,8 @@ class Engine:
             # (engine.explain never executes, writes no result CSV)
             text = self.explain(stmt.query_sql, principal, mode=stmt.mode)
             qe.tables = []
-            return spark.createDataFrame(
+            return _local_df(
+                spark,
                 [(ln,) for ln in text.splitlines()], "plan string"
             )
 
@@ -1374,7 +1392,8 @@ class Engine:
                 stmt.target, fields, comments=comments or None
             )
             qe.tables = [stmt.target]
-            return spark.createDataFrame(
+            return _local_df(
+                spark,
                 [
                     (cname, ddl_type, "pending")
                     for cname, ddl_type, _c in stmt.columns
@@ -1402,7 +1421,7 @@ class Engine:
                     continue
                 rows.append((db,))
             qe.tables = []
-            return spark.createDataFrame(rows or [], "database string")
+            return _local_df(spark, rows or [], "database string")
 
         if isinstance(stmt, ShowViewsStatement):
             gov = (
@@ -1420,7 +1439,8 @@ class Engine:
                     continue
                 rows.append((vd.database, vd.name))
             qe.tables = []
-            return spark.createDataFrame(
+            return _local_df(
+                spark,
                 rows or [], "database string, view string"
             )
 
@@ -1692,7 +1712,8 @@ class Engine:
                     continue
                 rows.append((td.database, td.name))
             qe.tables = []
-            return spark.createDataFrame(
+            return _local_df(
+                spark,
                 rows or [], "database string, table string"
             )
 
@@ -1722,7 +1743,8 @@ class Engine:
                         and any(not f.startswith(("_", ".")) for f in files)
                     ):
                         parts.add(rel.replace(os.sep, "/"))
-            return spark.createDataFrame(
+            return _local_df(
+                spark,
                 [(p,) for p in sorted(parts)] or [], "partition string"
             )
 
@@ -1784,7 +1806,8 @@ class Engine:
                 and g.resource == res
                 and (who is None or g.principal == who)
             ]
-            return spark.createDataFrame(
+            return _local_df(
+                spark,
                 rows or [],
                 "principal string, permission string, via_filter string, "
                 "via_tag_exclude string",
@@ -1814,7 +1837,8 @@ class Engine:
                 # the view's own projection
                 vdf = self.catalog.view(stmt.target, principal)
                 qe.tables = [stmt.target]
-                return spark.createDataFrame(
+                return _local_df(
+                spark,
                     [
                         (f.name, f.dataType.simpleString(), False, None)
                         for f in vdf.schema.fields
@@ -1841,7 +1865,8 @@ class Engine:
                         table.column_comments.get(f.name),
                     )
                 )
-            return spark.createDataFrame(
+            return _local_df(
+                spark,
                 rows,
                 "col_name string, data_type string, is_partition boolean, "
                 "comment string",
@@ -1852,7 +1877,8 @@ class Engine:
             if stmt.target in self.catalog.views:
                 vdf = self.catalog.view(stmt.target, principal)
                 qe.tables = [stmt.target]
-                return spark.createDataFrame(
+                return _local_df(
+                spark,
                     [(f.name,) for f in vdf.schema.fields], "col_name string"
                 )
             table, allowed = self._introspect_gate(
@@ -1867,7 +1893,7 @@ class Engine:
                 for f in schema.fields
                 if allowed is None or f.name in allowed
             ]
-            return spark.createDataFrame(rows, "col_name string")
+            return _local_df(spark, rows, "col_name string")
 
         if isinstance(stmt, ShowCreateTableStatement):
             # the console's copy-the-DDL verb: reconstruct the
@@ -1883,7 +1909,7 @@ class Engine:
                 qe.tables = [stmt.target]
                 vd = self.catalog.views[stmt.target]
                 ddl = f"CREATE OR REPLACE VIEW {stmt.target} AS {vd.sql}"
-                return spark.createDataFrame([(ddl,)], "ddl string")
+                return _local_df(spark, [(ddl,)], "ddl string")
             table, allowed = self._introspect_gate(
                 stmt.target, name, columns=True
             )
@@ -1930,7 +1956,7 @@ class Engine:
                 + "\nSTORED AS PARQUET"
                 + f"\nLOCATION '{_q(table.location)}'"
             )
-            return spark.createDataFrame([(ddl,)], "ddl string")
+            return _local_df(spark, [(ddl,)], "ddl string")
 
         if isinstance(stmt, DescribeDatabaseStatement):
             # metadata-only; table count follows the SHOW TABLES
@@ -2021,7 +2047,8 @@ class Engine:
                     0,
                     [],
                 )
-            return spark.createDataFrame(
+            return _local_df(
+                spark,
                 [row],
                 "format string, location string, version long, "
                 "committed_at double, num_files long, size_bytes long, "
@@ -2044,7 +2071,8 @@ class Engine:
                 )
                 for h in hist
             ]
-            return spark.createDataFrame(
+            return _local_df(
+                spark,
                 rows or [],
                 "version long, parent long, committed_at double, "
                 "n_files long, n_tombstones long, "
@@ -2268,7 +2296,8 @@ class Engine:
                 for f in set(snap["files"]) - before
             )
             qe.tables = [stmt.target, *touched]
-            return self.spark.createDataFrame(
+            return _local_df(
+                self.spark,
                 [
                     (
                         rows,
@@ -2303,7 +2332,8 @@ class Engine:
             writer.parquet(table.location)
             version = None
         qe.tables = [stmt.target, *touched]
-        return self.spark.createDataFrame(
+        return _local_df(
+                self.spark,
             [(rows, version)], "rows_inserted long, version long"
         )
 
@@ -3633,7 +3663,12 @@ class Engine:
             schema = T.StructType(
                 [T.StructField(alias or "count(1)", T.LongType(), False)]
             )
-            return self.spark.createDataFrame([(int(info["rows"]),)], schema)
+            # _local_df: one partition, not 32 slices — the caller's
+            # .first() must not pay a take ramp over empty partitions
+            # (round-14 bisect of the lake_multi_table_publish
+            # elevation: the metadata-served count cost MORE jobs than
+            # the scan it replaced)
+            return _local_df(self.spark, [(int(info["rows"]),)], schema)
         # per-partition: decode hive dir names back to typed values;
         # anything outside the decodable envelope (null partitions,
         # non-atomic declared types, layout drift) falls open to the
@@ -3711,7 +3746,10 @@ class Engine:
             vals = dict(zip(group_by, k))
             vals[alias] = v
             rows.append(tuple(vals[c] for c in order))
-        df = self.spark.createDataFrame(rows, out_schema)
+        # _local_df for the same take-ramp reason as the bare form
+        # above: the group count is O(#partitions of the table), still
+        # a driver-local list
+        df = _local_df(self.spark, rows, out_schema)
         if order_by:
             from pyspark.sql import functions as F
 
