@@ -847,6 +847,111 @@ class GovernedCatalog:
             status="ok",
         )
 
+    def widen_column(self, qualified: str, col: str, ddl_type: str) -> None:
+        """ALTER TABLE ... ALTER COLUMN <c> TYPE <wider> (round-14; the
+        single most common schema change on a long-lived fact table —
+        Iceberg/Delta both support exactly this safe direction). A
+        metadata-only commit: the DECLARED type widens and the
+        declared-schema scan reads old narrow footers through Spark's
+        parquet type promotion (int32 files come back as bigint) — no
+        data rewrite, no new data surface, so no pending-column
+        quarantine (the column's grant envelope is unchanged).
+
+        Safe directions only (everything else refuses — fail closed,
+        Iceberg's matrix):
+
+        - integral up-chain: tinyint -> smallint -> int -> bigint;
+        - float -> double;
+        - decimal(p,s) -> decimal(p',s') with s' >= s and
+          p' - s' >= p - s (integer headroom never shrinks).
+
+        Narrowing, cross-family changes (int -> string, string ->
+        int), and identical types refuse with the reason. Partition
+        keys refuse: their values decode from hive dir names with the
+        declared type, and the engine's partition-count / pruning
+        paths must never see a type the dir encoding didn't write."""
+        table = self.tables[qualified]  # KeyError: fail closed
+        if table.schema is None:
+            raise ValueError(f"{qualified} has no declared schema")
+        by_name = {f_.name: f_ for f_ in table.schema.fields}
+        if col not in by_name:
+            raise ValueError(
+                f"no column {col!r} on {qualified} ({list(by_name)})"
+            )
+        if col in table.partition_keys:
+            raise ValueError(
+                f"column {col!r} is a partition key of {qualified} — "
+                "partition value types are fixed by the directory "
+                "encoding; evolve partitioning instead"
+            )
+        try:
+            new_t = T.StructType.fromDDL(f"x {ddl_type}").fields[0].dataType
+        except Exception as exc:
+            raise ValueError(
+                f"cannot parse type {ddl_type!r}: {exc}"
+            ) from exc
+        old_t = by_name[col].dataType
+        _chain = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+        def _ok() -> bool:
+            if isinstance(old_t, _chain) and isinstance(new_t, _chain):
+                return _chain.index(type(new_t)) > _chain.index(type(old_t))
+            if isinstance(old_t, T.FloatType):
+                return isinstance(new_t, T.DoubleType)
+            if isinstance(old_t, T.DecimalType) and isinstance(
+                new_t, T.DecimalType
+            ):
+                return (
+                    new_t.scale >= old_t.scale
+                    and new_t.precision - new_t.scale
+                    >= old_t.precision - old_t.scale
+                    and (new_t.precision, new_t.scale)
+                    != (old_t.precision, old_t.scale)
+                )
+            return False
+
+        if not _ok():
+            raise ValueError(
+                f"ALTER COLUMN TYPE on {qualified}.{col}: "
+                f"{old_t.simpleString()} -> {new_t.simpleString()} is not "
+                "a safe widening (allowed: tinyint->smallint->int->"
+                "bigint, float->double, decimal scale/precision-up); "
+                "narrowing or cross-family changes need a rewrite the "
+                "engine will not do implicitly"
+            )
+        # storage first (the rename_column rule): manifest tables
+        # record the writer schema and append_rows fail-fasts on
+        # retyped columns, so the snapshot's recorded type must widen
+        # in the same change — and the catalog must stay untouched if
+        # that commit raises. Non-manifest (declared-location) tables
+        # are schema-on-read: the catalog IS the schema.
+        from .sources.lake import read_manifest as _read_manifest
+        from .sources.lake import widen_column_type as _lake_widen
+
+        if (
+            table.format == "parquet"
+            and _read_manifest(table.location) is not None
+        ):
+            _lake_widen(table.location, col, new_t.jsonValue())
+        table.schema = T.StructType(
+            [
+                T.StructField(f_.name, new_t, f_.nullable, f_.metadata)
+                if f_.name == col
+                else f_
+                for f_ in table.schema.fields
+            ]
+        )
+        self.audit.record(
+            principal="<catalog>",
+            query=(
+                f"ALTER TABLE {qualified} ALTER COLUMN {col} TYPE "
+                f"{new_t.simpleString()}"
+            ),
+            tables=[qualified],
+            filters_applied=[],
+            status="ok",
+        )
+
     def drop_view(self, database: str, name: str) -> None:
         """V2 — ``DROP VIEW`` (README.md:320)."""
         self.views.pop(f"{database}.{name}", None)

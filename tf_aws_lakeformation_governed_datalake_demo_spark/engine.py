@@ -697,6 +697,7 @@ class Engine:
             DescribeHistoryStatement,
             DescribeStatement,
             DropColumnStatement,
+            WidenColumnStatement,
             DropMVStatement,
             DropTableStatement,
             DropViewStatement,
@@ -1466,6 +1467,24 @@ class Engine:
             return _row(
                 {"table": stmt.target, "dropped_column": stmt.column},
                 "table string, dropped_column string",
+            )
+
+        if isinstance(stmt, WidenColumnStatement):
+            self.maintain(
+                stmt.target,
+                "widen_column",
+                principal,
+                column=stmt.column,
+                ddl_type=stmt.ddl_type,
+            )
+            qe.tables = [stmt.target]
+            return _row(
+                {
+                    "table": stmt.target,
+                    "column": stmt.column,
+                    "new_type": stmt.ddl_type,
+                },
+                "table string, column string, new_type string",
             )
 
         if isinstance(stmt, MergeStatement):
@@ -2888,6 +2907,8 @@ class Engine:
             audit_suffix = f" {kwargs['old']} TO {kwargs['new']}"
         if action == "drop_column" and "column" in kwargs:
             audit_suffix = f" {kwargs['column']}"
+        if action == "widen_column" and {"column", "ddl_type"} <= set(kwargs):
+            audit_suffix = f" {kwargs['column']} TYPE {kwargs['ddl_type']}"
         if action in ("tag", "drop_tag") and "name" in kwargs:
             audit_suffix = f" {kwargs['name']}" + (
                 f" AT VERSION {kwargs['to_version']}"
@@ -3160,6 +3181,19 @@ class Engine:
             # data-cells filters, CHECK constraints, partition keys)
             self.catalog.drop_column(qualified, kwargs["column"])
             result = {"dropped_column": kwargs["column"]}
+        elif action == "widen_column":
+            if not {"column", "ddl_type"} <= set(kwargs):
+                _audit("failed", "widen_column requires column= and ddl_type=")
+                raise ValueError("widen_column requires column= and ddl_type=")
+            # metadata-only safe widening; catalog.widen_column refuses
+            # narrowing, cross-family changes, and partition keys
+            self.catalog.widen_column(
+                qualified, kwargs["column"], kwargs["ddl_type"]
+            )
+            result = {
+                "widened_column": kwargs["column"],
+                "new_type": kwargs["ddl_type"],
+            }
         else:
             _audit("failed", f"unknown action {action!r}")
             raise ValueError(f"unknown maintenance action {action!r}")

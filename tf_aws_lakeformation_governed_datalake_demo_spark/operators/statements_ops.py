@@ -1592,3 +1592,90 @@ def sql_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS text_chk FROM db.docs GROUP BY lang",
         "ops",
     )
+
+
+@query(
+    "sql_alter_column_widen",
+    """
+    WITH v AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 4000000, lang,
+             CAST(n_chars AS BIGINT) + 3000000000
+      FROM documents WHERE lang = 'en')
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM v GROUP BY lang
+    """,
+    "ALTER TABLE ... ALTER COLUMN <c> TYPE <wider> (round-14): safe "
+    "type widening as ONE metadata commit — the manifest's recorded "
+    "writer schema and the catalog's declared schema widen together, "
+    "no data rewrite; old int32 footers read back as bigint through "
+    "Spark's parquet type promotion, and the next governed INSERT "
+    "lands values beyond the old int domain. Narrowing refuses "
+    "(asserted in-body); the oracle replays seed + wide batch "
+    "declaratively, and max_chars > 2^31 makes the widening binding.",
+)
+def sql_alter_column_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most common schema change on a long-lived fact table
+    (Iceberg/Delta both ship exactly this safe direction). 100 TB: a
+    widening is O(1) metadata — the alternative (CTAS rewrite) is a
+    full-table pass; reads pay nothing (parquet type promotion happens
+    inside the vectorized reader), appends validate against the
+    widened type from the next batch on. Cites the reference's
+    long-lived evolving Glue tables (main.tf:177-178)."""
+    from pyspark.sql import types as T
+
+    from ..sources.lake import read_manifest
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars")
+    )
+    lake = scratch_dir("widen_")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/docs"
+    publish_overwrite(spark, loc, d, ["lang"], manifest=True)
+    cat.register_table(
+        TableDef(
+            "db", "docs", loc, schema=d.schema, partition_keys=("lang",)
+        )
+    )
+    eng = Engine(spark, cat)
+    # the seed files really are narrow: one old footer reads int32
+    first_file = sorted(read_manifest(loc)["files"])[0]
+    assert isinstance(
+        spark.read.parquet(f"{loc}/{first_file}").schema["n_chars"].dataType,
+        T.IntegerType,
+    )
+    # narrowing fails closed
+    try:
+        eng.sql(
+            "ALTER TABLE db.docs ALTER COLUMN n_chars TYPE smallint", "ops"
+        )
+        raise AssertionError("narrowing must refuse")
+    except ValueError:
+        pass
+    out = eng.sql(
+        "ALTER TABLE db.docs ALTER COLUMN n_chars TYPE bigint", "ops"
+    ).first()
+    assert out.new_type == "bigint", out
+    # the widened domain is real: values beyond int32 land through the
+    # governed INSERT and aggregate with the old-vintage int32 footers
+    eng.sql(
+        "INSERT INTO db.docs SELECT doc_id + 4000000 AS doc_id, lang, "
+        "n_chars + 3000000000 AS n_chars FROM db.docs WHERE lang = 'en'",
+        "ops",
+    )
+    res = eng.sql(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(max(n_chars) AS BIGINT) AS max_chars "
+        "FROM db.docs GROUP BY lang",
+        "ops",
+    )
+    assert dict(res.dtypes)["max_chars"] == "bigint"
+    return res

@@ -990,11 +990,19 @@ def _file_footer_info(fpath) -> tuple[dict[str, list], int | None]:
             if name in bad or "." in name:
                 bad.add(name)
                 continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                # pyarrow RAISES (ArrowNotImplementedError) rather than
+                # returning None for stats it cannot cast (e.g. decimal
+                # columns) — fail-open per column, same as a missing
+                # stat: an unrecorded column never prunes
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    bad.add(name)
+                    continue
+                mn, mx = st.min, st.max
+            except Exception:
                 bad.add(name)
                 continue
-            mn, mx = st.min, st.max
             ok = all(
                 isinstance(v, (bool, int, float, str))
                 and not (isinstance(v, float) and v != v)
@@ -2710,6 +2718,100 @@ def rename_column(path: str, old: str, new: str) -> dict:
             _uuid.uuid4().hex,
             table_schema=schema,
             column_mapping=mapping,
+        )
+
+
+_WIDEN_CHAIN = ("byte", "short", "integer", "long")
+
+
+def _is_safe_widening(old_t, new_t) -> bool:
+    """The Iceberg safe-widening matrix on parquet-JSON type values
+    (strings like ``"integer"``/``"long"``/``"decimal(12,4)"``):
+    integral up-chain, float->double, decimal scale/precision-up."""
+    import re as _re
+
+    if old_t in _WIDEN_CHAIN and new_t in _WIDEN_CHAIN:
+        return _WIDEN_CHAIN.index(new_t) > _WIDEN_CHAIN.index(old_t)
+    if old_t == "float" and new_t == "double":
+        return True
+    mo = _re.fullmatch(r"decimal\((\d+),(\d+)\)", str(old_t))
+    mn = _re.fullmatch(r"decimal\((\d+),(\d+)\)", str(new_t))
+    if mo and mn:
+        po, so = int(mo.group(1)), int(mo.group(2))
+        pn, sn = int(mn.group(1)), int(mn.group(2))
+        return sn >= so and pn - sn >= po - so and (pn, sn) != (po, so)
+    return False
+
+
+def widen_column_type(path: str, col: str, new_type: str) -> dict:
+    """WIDEN a manifest table's column type WITHOUT rewriting a byte —
+    one metadata commit updating the snapshot's recorded writer schema
+    (round-14; Iceberg ``update_column`` / Delta type-widening parity).
+    Files keep their narrow physical types; reads declare the widened
+    schema and Spark's parquet type promotion (int32 -> bigint,
+    float -> double, decimal precision-up) materializes old footers at
+    the new width. Appends after the commit validate against — and
+    write — the widened type, so the table accepts values beyond the
+    old domain from the next batch on.
+
+    ``new_type`` is the parquet-JSON type value (``"long"``,
+    ``"double"``, ``"decimal(12,4)"``). Only the safe matrix commits
+    (:func:`_is_safe_widening`); narrowing and cross-family changes
+    raise. Partition columns refuse — their values decode from
+    directory names with the declared type and the dir encoding is
+    load-bearing. Merge-on-read tombstones and CHECK constraints stay
+    valid under a widening (values are unchanged), so neither blocks."""
+    import uuid as _uuid
+    from pathlib import Path
+
+    live = Path(path)
+    if read_manifest(path) is None:
+        raise ValueError(
+            f"table at {path} is not manifest-committed — widening "
+            "needs manifest snapshots; publish_overwrite(..., "
+            "manifest=True) it first"
+        )
+    with publish_lock(live):
+        current = read_manifest(path)
+        recorded = current.get("schema")
+        if recorded is None:
+            raise ValueError(
+                f"table at {path} has no recorded writer schema — "
+                "re-publish once to record it"
+            )
+        by_name = {f["name"]: f for f in recorded["fields"]}
+        if col not in by_name:
+            raise ValueError(f"no column {col!r} on {list(by_name)}")
+        part_cols = set(current.get("partition_by") or [])
+        for spec in (current.get("partition_specs") or {}).values():
+            part_cols.update(spec)
+        if col in part_cols:
+            raise ValueError(
+                f"column {col!r} is a partition column — directory "
+                "encodings fix its type; evolve_partitioning() away "
+                "from it first"
+            )
+        old_type = by_name[col]["type"]
+        if not _is_safe_widening(old_type, new_type):
+            raise ValueError(
+                f"{old_type!r} -> {new_type!r} on {col!r} is not a safe "
+                "widening (allowed: byte->short->integer->long, "
+                "float->double, decimal scale/precision-up)"
+            )
+        schema = {
+            **recorded,
+            "fields": [
+                {**f, "type": new_type} if f["name"] == col else f
+                for f in recorded["fields"]
+            ],
+        }
+        return _commit_manifest(
+            live,
+            current["files"],
+            current.get("partition_by") or None,
+            current,
+            _uuid.uuid4().hex,
+            table_schema=schema,
         )
 
 

@@ -233,6 +233,19 @@ class DropColumnStatement:
 
 
 @dataclass(frozen=True)
+class WidenColumnStatement:
+    """``ALTER TABLE <db.t> ALTER COLUMN <col> TYPE <type>`` (also the
+    Iceberg-flavored ``SET DATA TYPE`` spelling) — safe type widening
+    as a metadata-only commit (catalog.widen_column: integral
+    up-chain / float->double / decimal precision-up; narrowing and
+    cross-family changes refuse; partition keys refuse)."""
+
+    target: str
+    column: str
+    ddl_type: str
+
+
+@dataclass(frozen=True)
 class AddColumnsStatement:
     target: str
     # ((name, ddl_type, comment|None), ...) — types stay strings here;
@@ -1526,6 +1539,18 @@ def parse_statement(sql: str):
         )
         if m:
             return DropColumnStatement(m.group(1), m.group(2))
+        m = re.fullmatch(
+            rf"alter\s+table\s+({_QUALIFIED})\s+alter\s+column\s+"
+            rf"({_IDENT})\s+(?:type|set\s+data\s+type)\s+(.+)",
+            text,
+            re.I | re.S,
+        )
+        if m:
+            # the type text is validated by Spark's own DDL parser at
+            # dispatch (catalog.widen_column), same as ADD COLUMNS
+            return WidenColumnStatement(
+                m.group(1), m.group(2), m.group(3).strip()
+            )
         m = re.match(
             rf"alter\s+table\s+({_QUALIFIED})\s+add\s+columns\s*",
             text,
@@ -1558,7 +1583,9 @@ def parse_statement(sql: str):
             "ALTER through engine.sql supports ALTER TABLE <db.table> "
             "RENAME COLUMN <old> TO <new> (the metadata-only rename), "
             "ALTER TABLE <db.table> DROP COLUMN <col> (metadata-only; "
-            "referencing views/MVs/filters/constraints refuse), and "
+            "referencing views/MVs/filters/constraints refuse), "
+            "ALTER TABLE <db.table> ALTER COLUMN <col> TYPE <wider> "
+            "(safe type widening; narrowing refuses), and "
             "ALTER TABLE <db.table> ADD COLUMNS (col type [COMMENT ...], "
             "...) (fail-closed schema evolution); other ALTERs go through "
             "the catalog API"
