@@ -1,0 +1,191 @@
+"""ADD FILES import into manifest tables (round-14): bulk-landed
+parquet bridges into the transactional layout as one O(new files)
+commit — layout/schema validated, CHECK constraints verified over the
+new data, footer stats + exact row counts recorded at import, carried
+files untouched, tombstones never retroactive."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+    GovernedCatalog,
+    TableDef,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark.engine import Engine
+from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+    PermissionDeniedError,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+    add_files,
+    publish_overwrite,
+    read_manifest,
+    read_table,
+)
+from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+    ConstraintViolationError,
+    add_constraint,
+    count_rows,
+    delete_rows_mor,
+    rename_column,
+    widen_column_type,
+)
+
+
+def _docs(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"t{i}", ["en", "de"][i % 2], i * 10) for i in range(lo, hi)],
+        "doc_id long, text string, lang string, n_chars int",
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    publish_overwrite(spark, path, _docs(spark, 0, 10), ["lang"], manifest=True)
+    return path
+
+
+def _land(spark, tmp_path, df, partitioned=True):
+    landing = str(tmp_path / "landing")
+    w = df.write
+    if partitioned:
+        w = w.partitionBy("lang")
+    w.parquet(landing)
+    return landing
+
+
+def test_import_commits_o_new_files(spark, tmp_path, table):
+    landing = _land(spark, tmp_path, _docs(spark, 10, 20))
+    before = read_manifest(table)
+    snap = add_files(spark, table, landing)
+    added = sorted(set(snap["files"]) - set(before["files"]))
+    assert added and all("part-import-" in f for f in added)
+    assert set(before["files"]) <= set(snap["files"])  # carried by identity
+    # footer stats + exact rows recorded at import
+    assert all(f in snap["file_rows"] for f in added)
+    assert all(f in snap["file_stats"] for f in added)
+    assert count_rows(table)["rows"] == 20
+    df = read_table(spark, table)
+    assert df.count() == 20
+    assert df.agg(F.sum("n_chars")).first()[0] == sum(i * 10 for i in range(20))
+    # source landing dir untouched (hardlinked, not moved)
+    assert spark.read.parquet(landing).count() == 10
+    # time travel: the pre-import snapshot excludes imported rows
+    assert read_table(spark, table, version=before["version"]).count() == 10
+
+
+def test_layout_drift_refuses(spark, tmp_path, table):
+    flat = _land(spark, tmp_path, _docs(spark, 10, 12), partitioned=False)
+    with pytest.raises(ValueError, match="partition layout"):
+        add_files(spark, table, flat)
+    # wrong key name
+    wrong = str(tmp_path / "wrong")
+    _docs(spark, 10, 12).withColumnRenamed("lang", "country").write.partitionBy(
+        "country"
+    ).parquet(wrong)
+    with pytest.raises(ValueError, match="partition layout|extra|missing"):
+        add_files(spark, table, wrong)
+
+
+def test_schema_drift_refuses(spark, tmp_path, table):
+    extra = str(tmp_path / "extra")
+    _docs(spark, 10, 12).withColumn("bonus", F.lit(1)).write.partitionBy(
+        "lang"
+    ).parquet(extra)
+    with pytest.raises(ValueError, match="extra"):
+        add_files(spark, table, extra)
+    retyped = str(tmp_path / "retyped")
+    _docs(spark, 10, 12).withColumn(
+        "n_chars", F.col("n_chars").cast("string")
+    ).write.partitionBy("lang").parquet(retyped)
+    with pytest.raises(ValueError, match="retyped"):
+        add_files(spark, table, retyped)
+    before = read_manifest(table)
+    assert before["version"] == 1  # zero table change across refusals
+
+
+def test_narrower_files_import_into_widened_column(spark, tmp_path, table):
+    """Composition with ALTER COLUMN TYPE: int32 files land in a
+    bigint column through parquet promotion."""
+    widen_column_type(table, "n_chars", "long")
+    landing = _land(spark, tmp_path, _docs(spark, 10, 15))  # int32 files
+    add_files(spark, table, landing)
+    df = read_table(spark, table)
+    assert dict(df.dtypes)["n_chars"] == "bigint"
+    assert df.count() == 15
+
+
+def test_constraints_verify_before_linking(spark, tmp_path, table):
+    add_constraint(spark, table, "chars_bound", "n_chars < 150")
+    bad = _land(spark, tmp_path, _docs(spark, 20, 30))  # n_chars up to 290
+    v_before = read_manifest(table)["version"]
+    with pytest.raises(ConstraintViolationError):
+        add_files(spark, table, bad)
+    assert read_manifest(table)["version"] == v_before  # zero change
+    ok = str(tmp_path / "ok")
+    _docs(spark, 10, 14).write.partitionBy("lang").parquet(ok)  # < 140
+    add_files(spark, table, ok)
+    assert read_table(spark, table).count() == 14
+
+
+def test_rename_mapping_refuses(spark, tmp_path, table):
+    rename_column(table, "n_chars", "char_count")
+    landing = _land(spark, tmp_path, _docs(spark, 10, 12))
+    with pytest.raises(ValueError, match="rename mapping"):
+        add_files(spark, table, landing)
+
+
+def test_tombstones_never_apply_to_imported_files(spark, tmp_path, table):
+    delete_rows_mor(spark, table, "doc_id < 100")  # tombstones everything
+    assert read_table(spark, table).count() == 0
+    landing = _land(spark, tmp_path, _docs(spark, 10, 15))
+    add_files(spark, table, landing)
+    # imported files postdate the tombstone scope: all 5 rows visible
+    assert read_table(spark, table).count() == 5
+
+
+def test_non_manifest_and_bad_sources_refuse(spark, tmp_path):
+    plain = str(tmp_path / "plain")
+    _docs(spark, 0, 5).write.partitionBy("lang").parquet(plain)
+    landing = _land(spark, tmp_path, _docs(spark, 5, 8))
+    with pytest.raises(ValueError, match="not manifest-committed"):
+        add_files(spark, plain, landing)
+    path = str(tmp_path / "docs")
+    publish_overwrite(spark, path, _docs(spark, 0, 5), ["lang"], manifest=True)
+    with pytest.raises(ValueError, match="does not exist"):
+        add_files(spark, path, str(tmp_path / "ghost"))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no parquet files"):
+        add_files(spark, path, str(empty))
+
+
+def test_sql_statement_gate_and_audit(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/docs"
+    publish_overwrite(spark, loc, _docs(spark, 0, 10), ["lang"], manifest=True)
+    cat.register_table(
+        TableDef(
+            "db",
+            "docs",
+            loc,
+            schema=_docs(spark, 0, 10).schema,
+            partition_keys=("lang",),
+        )
+    )
+    eng = Engine(spark, cat)
+    landing = _land(spark, tmp_path, _docs(spark, 10, 20))
+    cat.grant("analyst", "SELECT", "db", "docs")
+    with pytest.raises(PermissionDeniedError):
+        eng.sql(f"ALTER TABLE db.docs ADD FILES '{landing}'", "analyst")
+    out = eng.sql(f"ALTER TABLE db.docs ADD FILES '{landing}'", "ops").first()
+    assert out.files_added > 0 and out.rows_added == 10
+    assert eng.sql("SELECT count(*) AS n FROM db.docs", "ops").first().n == 20
+    lines = [e for e in cat.audit.events if "add_files" in e["query"]]
+    assert lines and lines[-1]["status"] == "ok"
+    assert landing in lines[-1]["query"]

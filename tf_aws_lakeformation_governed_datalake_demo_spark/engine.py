@@ -696,6 +696,7 @@ class Engine:
             DescribeDetailStatement,
             DescribeHistoryStatement,
             DescribeStatement,
+            AddFilesStatement,
             DropColumnStatement,
             WidenColumnStatement,
             DropMVStatement,
@@ -1467,6 +1468,22 @@ class Engine:
             return _row(
                 {"table": stmt.target, "dropped_column": stmt.column},
                 "table string, dropped_column string",
+            )
+
+        if isinstance(stmt, AddFilesStatement):
+            result = self.maintain(
+                stmt.target, "add_files", principal, source=stmt.location
+            )
+            qe.tables = [stmt.target]
+            return _row(
+                {
+                    "table": stmt.target,
+                    "files_added": int(result["files_added"]),
+                    "rows_added": int(result["rows_added"]),
+                    "version": int(result["version"]),
+                },
+                "table string, files_added long, rows_added long, "
+                "version long",
             )
 
         if isinstance(stmt, WidenColumnStatement):
@@ -2907,6 +2924,8 @@ class Engine:
             audit_suffix = f" {kwargs['old']} TO {kwargs['new']}"
         if action == "drop_column" and "column" in kwargs:
             audit_suffix = f" {kwargs['column']}"
+        if action == "add_files" and "source" in kwargs:
+            audit_suffix = f" '{kwargs['source']}'"
         if action == "widen_column" and {"column", "ddl_type"} <= set(kwargs):
             audit_suffix = f" {kwargs['column']} TYPE {kwargs['ddl_type']}"
         if action in ("tag", "drop_tag") and "name" in kwargs:
@@ -3181,6 +3200,24 @@ class Engine:
             # data-cells filters, CHECK constraints, partition keys)
             self.catalog.drop_column(qualified, kwargs["column"])
             result = {"dropped_column": kwargs["column"]}
+        elif action == "add_files":
+            if "source" not in kwargs:
+                _audit("failed", "add_files requires source=")
+                raise ValueError("add_files requires source=")
+            from .sources.lake import add_files as _lake_add_files
+            from .sources.lake import read_manifest as _rm
+
+            before = _rm(table.location)
+            snap = _lake_add_files(self.spark, table.location, kwargs["source"])
+            added = sorted(set(snap["files"]) - set(before["files"]))
+            rows_added = sum(
+                int(snap.get("file_rows", {}).get(f, 0)) for f in added
+            )
+            result = {
+                "files_added": len(added),
+                "rows_added": rows_added,
+                "version": snap["version"],
+            }
         elif action == "widen_column":
             if not {"column", "ddl_type"} <= set(kwargs):
                 _audit("failed", "widen_column requires column= and ddl_type=")

@@ -1679,3 +1679,81 @@ def sql_alter_column_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert dict(res.dtypes)["max_chars"] == "bigint"
     return res
+
+
+@query(
+    "sql_add_files",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_chk
+    FROM documents GROUP BY lang
+    """,
+    "ALTER TABLE ... ADD FILES '<dir>' (round-14): bulk-landed parquet "
+    "imports into the manifest-committed layout as ONE O(new files) "
+    "commit — hive layout and schema validated, footer stats + exact "
+    "row counts recorded at import, carried files untouched (asserted "
+    "by identity in-body), and the metadata-only COUNT serves the "
+    "post-import total with zero files planned (asserted). The table "
+    "seeds with doc_id % 3 <> 0; the % 3 = 0 rows land out-of-band "
+    "and import — the oracle over ALL documents is reproducible only "
+    "if the import landed exactly.",
+)
+def sql_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg add_files / Hive MSCK parity for the transactional
+    layout: the bridge from bulk landing (distcp-style drops) into
+    the manifest path that time travel / CDF / stats skipping /
+    metadata COUNT serve from. 100 TB: the commit is O(imported
+    files) hardlinks + one footer read each — table size never
+    enters. Cites the reference's out-of-band landing
+    (upload_sample.sh:27)."""
+    from ..sources.lake import count_rows, read_manifest
+
+    d = load(spark, sf_dir, "documents")
+    lake = scratch_dir("addf_")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/docs"
+    seed = d.filter(F.col("doc_id") % 3 != 0)
+    publish_overwrite(spark, loc, seed, ["lang"], manifest=True)
+    cat.register_table(
+        TableDef(
+            "db", "docs", loc, schema=d.schema, partition_keys=("lang",)
+        )
+    )
+    eng = Engine(spark, cat)
+    # out-of-band landing: plain Spark write, NOT an engine verb
+    landing = f"{lake}/_landing"
+    d.filter(F.col("doc_id") % 3 == 0).write.partitionBy("lang").parquet(
+        landing
+    )
+    import pathlib
+
+    n_landed = len(
+        [
+            p
+            for p in pathlib.Path(landing).rglob("*.parquet")
+            if p.is_file() and not p.name.startswith("_")
+        ]
+    )
+    before = set(read_manifest(loc)["files"])
+    out = eng.sql(f"ALTER TABLE db.docs ADD FILES '{landing}'", "ops").first()
+    after = read_manifest(loc)
+    # O(new files) commit: every carried file identical, import count exact
+    assert before <= set(after["files"]), "carried files must be untouched"
+    assert out.files_added == n_landed == len(set(after["files"]) - before)
+    assert out.rows_added > 0
+    # imported rows serve from the metadata-only COUNT (zero files)
+    total = eng.sql("SELECT count(*) AS n FROM db.docs", "ops")
+    assert not total.inputFiles(), "COUNT must serve from statistics"
+    assert total.first().n == d.count()
+    assert count_rows(loc)["rows"] == d.count()
+    return eng.sql(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, "
+        "CAST(sum(conv(substr(md5(text), 1, 8), 16, 10)) AS BIGINT) "
+        "AS text_chk FROM db.docs GROUP BY lang",
+        "ops",
+    )

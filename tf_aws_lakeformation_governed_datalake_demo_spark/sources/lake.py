@@ -2743,6 +2743,158 @@ def _is_safe_widening(old_t, new_t) -> bool:
     return False
 
 
+def add_files(spark: SparkSession, path: str, source_dir: str) -> dict:
+    """Import bulk-landed parquet files into a MANIFEST table as one
+    O(new files) commit — the Iceberg ``add_files`` / Hive MSCK analog
+    for the engine's transactional layout (round-14; closes r13
+    What's missing #2). Declared-LOCATION tables are schema-on-read,
+    so out-of-band landing (the reference's ``upload_sample.sh:27``)
+    already works there; this bridges landed data into the
+    manifest-committed path that time travel / CDF / stats skipping /
+    metadata COUNT serve from.
+
+    Contract:
+
+    - files HARDLINK into the table tree under globally unique import
+      names (zero copy on one filesystem; byte copy across devices) —
+      the source directory is left untouched;
+    - layout validated: a partitioned table requires hive-style
+      ``k=v`` directories matching the CURRENT spec exactly; an
+      unpartitioned one requires flat files. Drift refuses;
+    - schema validated against the recorded writer schema: same
+      column set, each file type EQUAL to the declared one or a safe
+      parquet promotion below it (int32 files import into a widened
+      bigint column);
+    - CHECK constraints VERIFY over the new files before anything
+      links (one scan of the new data only — violation refuses with
+      zero table change);
+    - footer stats + exact row counts recorded at import
+      (``_commit_manifest`` reads each new footer once), so skipping
+      and metadata-only COUNT work over imported files immediately;
+    - tables with an active column rename mapping refuse (landed
+      files carry logical names; the table's files carry frozen
+      physical ones — compact first);
+    - merge-on-read tombstones never apply to imported files (their
+      ``file_added`` postdates every tombstone scope).
+
+    100 TB: commit cost is O(imported files) links + one footer read
+    each — table size never enters; the constraint scan is O(new
+    data), the price of making the import trustworthy."""
+    import os
+    import shutil
+    import uuid as _uuid
+    from pathlib import Path
+
+    live = Path(path)
+    src = Path(source_dir)
+    if read_manifest(path) is None:
+        raise ValueError(
+            f"table at {path} is not manifest-committed — ADD FILES "
+            "imports into the transactional layout; declared-location "
+            "tables read landed files as-is"
+        )
+    if not src.is_dir():
+        raise ValueError(f"source directory {source_dir} does not exist")
+    rels = sorted(
+        p.relative_to(src)
+        for p in src.rglob("*.parquet")
+        if p.is_file() and not p.name.startswith("_")
+    )
+    if not rels:
+        raise ValueError(f"no parquet files under {source_dir}")
+    current = read_manifest(path)
+    recorded = current.get("schema")
+    if recorded is None:
+        raise ValueError(
+            f"table at {path} has no recorded writer schema — "
+            "re-publish once to record it"
+        )
+    if current.get("column_mapping"):
+        raise ValueError(
+            f"table at {path} has an active column rename mapping — "
+            "imported files carry logical names while table files are "
+            "frozen physical; compact_in_place() first"
+        )
+    pb = list(current.get("partition_by") or [])
+    for rel in rels:
+        segs = rel.parts[:-1]
+        if len(segs) != len(pb) or any(
+            not seg.startswith(f"{k}=") for seg, k in zip(segs, pb)
+        ):
+            raise ValueError(
+                f"file {rel} does not match the table's partition "
+                f"layout {pb} — hive-style k=v directories required"
+            )
+    want = {f["name"]: f["type"] for f in recorded["fields"]}
+    have = {
+        f["name"]: f["type"]
+        for f in spark.read.parquet(str(src)).schema.jsonValue()["fields"]
+    }
+    if set(want) != set(have):
+        raise ValueError(
+            f"imported schema does not match the table's (extra="
+            f"{sorted(set(have) - set(want))}, missing="
+            f"{sorted(set(want) - set(have))})"
+        )
+    retyped = sorted(
+        n
+        for n in want
+        if have[n] != want[n] and not _is_safe_widening(have[n], want[n])
+    )
+    if retyped:
+        raise ValueError(
+            f"imported column types are not readable as the declared "
+            f"ones (retyped={retyped}) — only equal or safely-narrower "
+            "file types import"
+        )
+    constraints = current.get("constraints") or {}
+    if constraints:
+        # verify over the NEW data only, before anything links
+        _enforce_constraints(spark, src, constraints, mapping={})
+    txid = _uuid.uuid4().hex
+    staged = live / f"_staged_{txid}"
+    try:
+        for i, rel in enumerate(rels):
+            dst = staged / rel.parent / f"part-import-{txid}-{i:05d}.parquet"
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            try:
+                os.link(src / rel, dst)
+            except OSError:
+                shutil.copy2(src / rel, dst)
+        staged_files = sorted(
+            p.relative_to(staged)
+            for p in staged.rglob("*.parquet")
+            if p.is_file()
+        )
+        with publish_lock(live):
+            current = read_manifest(path)  # re-read under the lock
+            if (current.get("partition_by") or []) != pb:
+                raise ConcurrentLakeModificationError(
+                    f"table at {live} evolved its partition layout "
+                    "while this import was staging — re-run"
+                )
+            if (current.get("constraints") or {}) != constraints:
+                raise ConcurrentLakeModificationError(
+                    f"table at {live} changed its CHECK constraints "
+                    "while this import was staging — re-run"
+                )
+            if current.get("column_mapping"):
+                raise ConcurrentLakeModificationError(
+                    f"table at {live} renamed columns while this "
+                    "import was staging — re-run"
+                )
+            new_files = _move_staged_in(live, staged, staged_files)
+            return _commit_manifest(
+                live,
+                [*current["files"], *new_files],
+                pb or None,
+                current,
+                txid,
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
 def widen_column_type(path: str, col: str, new_type: str) -> dict:
     """WIDEN a manifest table's column type WITHOUT rewriting a byte —
     one metadata commit updating the snapshot's recorded writer schema

@@ -233,6 +233,18 @@ class DropColumnStatement:
 
 
 @dataclass(frozen=True)
+class AddFilesStatement:
+    """``ALTER TABLE <db.t> ADD FILES '<dir>'`` — import bulk-landed
+    parquet into the manifest layout as one O(new files) commit
+    (sources.lake.add_files: layout/schema validated, CHECK
+    constraints verified over the new data, footer stats + row counts
+    recorded at import)."""
+
+    target: str
+    location: str
+
+
+@dataclass(frozen=True)
 class WidenColumnStatement:
     """``ALTER TABLE <db.t> ALTER COLUMN <col> TYPE <type>`` (also the
     Iceberg-flavored ``SET DATA TYPE`` spelling) — safe type widening
@@ -1540,6 +1552,13 @@ def parse_statement(sql: str):
         if m:
             return DropColumnStatement(m.group(1), m.group(2))
         m = re.fullmatch(
+            rf"alter\s+table\s+({_QUALIFIED})\s+add\s+files\s+'([^']+)'",
+            text,
+            re.I,
+        )
+        if m:
+            return AddFilesStatement(m.group(1), m.group(2))
+        m = re.fullmatch(
             rf"alter\s+table\s+({_QUALIFIED})\s+alter\s+column\s+"
             rf"({_IDENT})\s+(?:type|set\s+data\s+type)\s+(.+)",
             text,
@@ -1585,7 +1604,9 @@ def parse_statement(sql: str):
             "ALTER TABLE <db.table> DROP COLUMN <col> (metadata-only; "
             "referencing views/MVs/filters/constraints refuse), "
             "ALTER TABLE <db.table> ALTER COLUMN <col> TYPE <wider> "
-            "(safe type widening; narrowing refuses), and "
+            "(safe type widening; narrowing refuses), "
+            "ALTER TABLE <db.table> ADD FILES '<dir>' (O(new files) "
+            "import into the manifest layout), and "
             "ALTER TABLE <db.table> ADD COLUMNS (col type [COMMENT ...], "
             "...) (fail-closed schema evolution); other ALTERs go through "
             "the catalog API"
