@@ -392,3 +392,108 @@ def test_t_closeness_verdicts_mixed_and_tvd_exact(spark):
         assert (tvd * 100 <= T_CLOSENESS_PCT) == (
             r.t_closeness_action == "ok"
         ), (r, tvd)
+
+
+def test_token_budget_mixture_bpe_matches_python_reference(spark, sf_dir):
+    """pipeline_token_budget_mixture_bpe (round-14): the composition of
+    text_bpe_encode's token accounting with the token-budget core must
+    equal a pure-Python replay of the quota + hash-ordered prefix fill
+    over the SAME token counts (text_bpe_encode itself is exact-pinned
+    in tests/test_text.py, so pinning the composition on top of it
+    pins the whole chain)."""
+    import hashlib
+    import math
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.text import (
+        text_bpe_encode,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
+
+    enc = {
+        r.doc_id: r.n_tokens
+        for r in text_bpe_encode(spark, sf_dir).collect()
+    }
+    docs = [
+        (r.doc_id, r.lang, hashlib.md5(r.text.encode()).hexdigest())
+        for r in load(spark, sf_dir, "documents").collect()
+        if r.doc_id in enc
+    ]
+    by_lang: dict = {}
+    for doc_id, lang, h in docs:
+        by_lang.setdefault(lang, []).append((h, doc_id, enc[doc_id]))
+    t_total = {l: sum(t for _h, _d, t in v) for l, v in by_lang.items()}
+    t_corpus = sum(t_total.values())
+    sum_w = 0.0
+    for w in sorted(math.sqrt(t) for t in t_total.values()):
+        sum_w += w  # sequential fold over the SORTED list (bit-exact)
+    budget = math.floor(0.6 * t_corpus)
+    want = {}
+    for lang, items in by_lang.items():
+        quota = min(
+            t_total[lang],
+            int(math.floor(budget * math.sqrt(t_total[lang]) / sum_w)),
+        )
+        cum = 0
+        n_sampled = sum_doc = tok_sampled = 0
+        for h, doc_id, t in sorted(items):
+            cum += t
+            if cum > quota:
+                break
+            n_sampled += 1
+            sum_doc += doc_id
+            tok_sampled += t
+        want[lang] = (
+            len(items),
+            t_total[lang],
+            quota,
+            n_sampled,
+            sum_doc,
+            tok_sampled,
+        )
+    got = {
+        r.lang: (
+            r.n_total,
+            r.t_total,
+            r.token_quota,
+            r.n_sampled,
+            r.sum_doc_id,
+            r.tokens_sampled,
+        )
+        for r in REGISTRY["pipeline_token_budget_mixture_bpe"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    # the fill is a MAXIMAL prefix: every language stays within quota
+    for lang, (_n, _t, quota, _ns, _sd, tok_sampled) in want.items():
+        assert tok_sampled <= quota
+
+
+def test_token_budget_mixture_long_docs_fill_with_fewer(spark):
+    """The point of planning in tokens: a language of long documents
+    exhausts its token quota with fewer docs than a doc-count quota
+    would take — and never exceeds the quota."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.curation import (
+        token_budget_mixture,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "short", f"h{i:03d}", 10) for i in range(100)] + [
+        (1000 + i, "long", f"h{i:03d}", 1000) for i in range(100)
+    ]
+    tok = spark.createDataFrame(
+        rows, "doc_id long, lang string, h string, n_tokens long"
+    )
+    out = {r.lang: r for r in token_budget_mixture(tok).collect()}
+    for lang in ("short", "long"):
+        assert out[lang].tokens_sampled <= out[lang].token_quota
+    # a doc-count quota at the same weights would take the SAME number
+    # of docs from both languages (identical doc counts); the
+    # token-budget fill takes fewer docs of the long language because
+    # each one spends 100x more budget — and the small language is
+    # fully upsampled (its whole token mass fits its quota)
+    assert out["long"].n_sampled < out["short"].n_sampled
+    assert out["short"].tokens_sampled == out["short"].t_total
+    # exact shape: budget=60600, quota_long=55077 -> 55 docs of 1000
+    assert out["long"].n_sampled == 55

@@ -736,3 +736,186 @@ def pipeline_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+_TOKEN_MIXTURE_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, lang, md5(text) AS h,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  w -> len(w) >= 2)) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+                 CAST(sum(n_tokens) AS BIGINT) AS t_total
+          FROM tok GROUP BY lang),
+    t AS (SELECT CAST(sum(t_total) AS BIGINT) AS t_corpus,
+                 list_reduce(list_sort(list(sqrt(CAST(t_total AS DOUBLE)))),
+                             (a, b) -> a + b) AS sum_w FROM c),
+    tg AS (SELECT lang, n_total, t_total,
+                  round(sqrt(CAST(t_total AS DOUBLE)) / sum_w, 4)
+                    AS target_w,
+                  least(t_total,
+                        CAST(floor(floor(0.6 * t_corpus)
+                                   * sqrt(CAST(t_total AS DOUBLE)) / sum_w)
+                             AS BIGINT)) AS token_quota
+           FROM c, t),
+    r AS (SELECT doc_id, lang, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM tok),
+    s AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS n_sampled,
+                 CAST(sum(r.doc_id) AS BIGINT) AS sum_doc_id,
+                 CAST(sum(r.n_tokens) AS BIGINT) AS tokens_sampled
+          FROM r JOIN tg ON r.lang = tg.lang
+          WHERE r.cum <= tg.token_quota GROUP BY r.lang)
+    SELECT tg.lang, tg.n_total, tg.t_total, tg.token_quota, s.n_sampled,
+           s.sum_doc_id, s.tokens_sampled, tg.target_w,
+           round(CAST(s.tokens_sampled AS DOUBLE) / tg.t_total, 4)
+             AS realized_frac
+    FROM tg JOIN s ON tg.lang = s.lang
+    ORDER BY tg.lang
+"""
+
+
+def token_budget_mixture(tok: DataFrame) -> DataFrame:
+    """Token-budget mixture core (round-14; closes r13 What's missing
+    #3): quotas planned in TOKENS, the unit real pretraining mixes are
+    planned in — quota_l = min(T_l, B * sqrt(T_l) / sum(sqrt(T)))
+    with B = floor(0.6 * total tokens), filled per language in
+    content-hash order while the RUNNING token total stays within the
+    quota (a cumulative-sum prefix, not a row-count rank — a language
+    of long documents fills with fewer docs).
+
+    ``tok`` is any (doc_id, lang, h, n_tokens) accounting: the
+    oracle-backed registry form uses the SQL-replayable word counter;
+    the BPE-composed form feeds text_bpe_encode's counts through the
+    same core (tests exact-pin both against a Python reference).
+
+    Scale: one tiny per-language agg crossJoined as a 1-row
+    broadcast + ONE per-language window cumsum over the corpus —
+    the same single-shuffle shape as pipeline_dataset_mixture;
+    sum_w folds the SORTED weight list so the float total is
+    bit-identical across engines (the floor() guard)."""
+    counts = tok.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("n_tokens").cast("long").alias("t_total"),
+    )
+    tot = counts.agg(
+        F.sum("t_total").alias("t_corpus"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt("t_total"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_w"),
+    )
+    targets = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_total",
+        "t_total",
+        F.round(F.sqrt("t_total") / F.col("sum_w"), 4).alias("target_w"),
+        F.least(
+            F.col("t_total"),
+            F.floor(
+                F.floor(F.lit(0.6) * F.col("t_corpus"))
+                * F.sqrt("t_total")
+                / F.col("sum_w")
+            ).cast("long"),
+        ).alias("token_quota"),
+    )
+    win = (
+        W.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    taken = (
+        tok.withColumn("cum", F.sum("n_tokens").over(win))
+        .join(F.broadcast(targets), "lang")
+        .filter(F.col("cum") <= F.col("token_quota"))
+    )
+    sampled = taken.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_tokens").cast("long").alias("tokens_sampled"),
+    )
+    return (
+        targets.join(sampled, "lang")
+        .select(
+            "lang",
+            "n_total",
+            "t_total",
+            "token_quota",
+            "n_sampled",
+            "sum_doc_id",
+            "tokens_sampled",
+            "target_w",
+            F.round(
+                F.col("tokens_sampled").cast("double") / F.col("t_total"), 4
+            ).alias("realized_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "pipeline_token_budget_mixture",
+    _TOKEN_MIXTURE_ORACLE,
+    "Token-budget dataset mixture (round-14): temperature-weighted "
+    "(alpha = 0.5) per-language quotas planned in TOKENS under a "
+    "60%-of-corpus token budget, filled by content-hash rank while "
+    "the running token total stays within quota — the unit real "
+    "pretraining mixes are planned in (a long-document language "
+    "fills with fewer docs). sum_doc_id pins exact row-level "
+    "membership; tokens_sampled/t_total shows the realized "
+    "token-level mixture.",
+)
+def pipeline_token_budget_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The oracle-backed form uses the SQL-replayable word counter
+    (words of length >= 2, text_bpe_encode's word definition) as the
+    token accounting; pipeline_token_budget_mixture_bpe feeds real
+    BPE token counts through the same core."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), " "), lambda w: F.length(w) >= 2
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return token_budget_mixture(tok)
+
+
+@query(
+    "pipeline_token_budget_mixture_bpe",
+    None,
+    "Token-budget mixture planned in REAL tokenizer units: "
+    "text_bpe_encode's per-doc BPE token counts feed the same "
+    "token_budget_mixture core — the full composition a pretraining "
+    "mix actually needs (learn tokenizer -> count tokens -> fill "
+    "language quotas by token budget). No SQL oracle (the merge "
+    "table is the iterative learner's output); the core's quota and "
+    "prefix-fill math is hash-verified via "
+    "pipeline_token_budget_mixture, and this composition is "
+    "exact-pinned against a pure-Python reference in "
+    "tests/test_curation.py.",
+)
+def pipeline_token_budget_mixture_bpe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same single-shuffle core; the token accounting swaps in the
+    vocabulary-bounded BPE encoder (text_bpe_encode's plan — merge
+    fold over the DISTINCT word table, corpus pays one explode + one
+    word-keyed join)."""
+    from .text import text_bpe_encode
+
+    d = load(spark, sf_dir, "documents")
+    enc = text_bpe_encode(spark, sf_dir).select("doc_id", "n_tokens")
+    tok = d.select("doc_id", "lang", F.md5("text").alias("h")).join(
+        enc, "doc_id"
+    )
+    return token_budget_mixture(tok)
