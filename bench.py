@@ -317,6 +317,14 @@ HEADLINE = [
     "events_sliding_distinct_users",
     "embeddings_pca_project",
     "text_bpe_encode",
+    # round 14 additions: safe type widening (metadata commit +
+    # promoted reads + beyond-domain insert), ADD FILES import
+    # (O(new files) bridge from bulk landing into the manifest
+    # layout), and the token-budget mixture (quota fill by cumulative
+    # token mass)
+    "sql_alter_column_widen",
+    "sql_add_files",
+    "pipeline_token_budget_mixture",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
