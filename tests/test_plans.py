@@ -761,3 +761,31 @@ def test_sliding_distinct_users_no_range_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_token_budget_mixture_single_corpus_shuffle(spark, sf_dir):
+    """pipeline_token_budget_mixture (round-14): the corpus pays ONE
+    wide shuffle — the per-language cumulative-sum window; quotas ride
+    a broadcast 1-row cross join + broadcast target join; nothing
+    cartesian, nothing Python-side."""
+    plan = physical_plan(
+        REGISTRY["pipeline_token_budget_mixture"].builder(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" in plan  # the cumsum prefix fill
+
+
+def test_token_budget_mixture_approx_is_map_only(spark, sf_dir):
+    """The approximate form is the scale path: membership decides
+    per-row from the hash and a broadcast quota — NO window, NO sort,
+    no cartesian; the only shuffles are the tiny per-language aggs."""
+    plan = physical_plan(
+        REGISTRY["pipeline_token_budget_mixture_approx"].builder(
+            spark, sf_dir
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -919,3 +919,128 @@ def pipeline_token_budget_mixture_bpe(
         enc, "doc_id"
     )
     return token_budget_mixture(tok)
+
+
+_TOKEN_MIXTURE_APPROX_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h32,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  w -> len(w) >= 2)) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+                 CAST(sum(n_tokens) AS BIGINT) AS t_total
+          FROM tok GROUP BY lang),
+    t AS (SELECT CAST(sum(t_total) AS BIGINT) AS t_corpus,
+                 list_reduce(list_sort(list(sqrt(CAST(t_total AS DOUBLE)))),
+                             (a, b) -> a + b) AS sum_w FROM c),
+    tg AS (SELECT lang, n_total, t_total,
+                  least(t_total,
+                        CAST(floor(floor(0.6 * t_corpus)
+                                   * sqrt(CAST(t_total AS DOUBLE)) / sum_w)
+                             AS BIGINT)) AS token_quota
+           FROM c, t),
+    s AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS n_sampled,
+                 CAST(sum(r.doc_id) AS BIGINT) AS sum_doc_id,
+                 CAST(sum(r.n_tokens) AS BIGINT) AS tokens_sampled
+          FROM tok r JOIN tg ON r.lang = tg.lang
+          WHERE CAST(r.h32 AS DOUBLE) / 4294967296.0
+                < CAST(tg.token_quota AS DOUBLE) / tg.t_total
+          GROUP BY r.lang)
+    SELECT tg.lang, tg.n_total, tg.t_total, tg.token_quota, s.n_sampled,
+           s.sum_doc_id, s.tokens_sampled,
+           round(CAST(s.tokens_sampled AS DOUBLE) / tg.token_quota, 4)
+             AS fill_ratio
+    FROM tg JOIN s ON tg.lang = s.lang
+    ORDER BY tg.lang
+"""
+
+
+@query(
+    "pipeline_token_budget_mixture_approx",
+    _TOKEN_MIXTURE_APPROX_ORACLE,
+    "The MAP-ONLY token-budget mixture — the 100 TB scale path the "
+    "exact form's docstring promises: take a doc iff "
+    "uniform_hash(text) < quota/t_total, so the EXPECTED sampled "
+    "token mass equals the quota with no per-language rank window at "
+    "all (no sort, no cumsum — the only shuffles are the two tiny "
+    "per-language aggs). Deterministic and content-addressed (md5 "
+    "threshold), so membership is exactly replayable; fill_ratio "
+    "shows how close the realized token mass lands to quota.",
+)
+def pipeline_token_budget_mixture_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-vs-approximate trade: the exact prefix fill shuffles the
+    corpus once per language partition and ranks; this form decides
+    membership per-row from the hash and the broadcast quota — the
+    plan a 100 TB mix actually runs (skew-free: no language ever
+    concentrates in one task). tests/test_plans.py pins NO window and
+    NO sort in the sampling pass."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h32"),
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), " "), lambda w: F.length(w) >= 2
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    counts = tok.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("n_tokens").cast("long").alias("t_total"),
+    )
+    tot = counts.agg(
+        F.sum("t_total").alias("t_corpus"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt("t_total"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_w"),
+    )
+    targets = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_total",
+        "t_total",
+        F.least(
+            F.col("t_total"),
+            F.floor(
+                F.floor(F.lit(0.6) * F.col("t_corpus"))
+                * F.sqrt("t_total")
+                / F.col("sum_w")
+            ).cast("long"),
+        ).alias("token_quota"),
+    )
+    taken = tok.join(F.broadcast(targets), "lang").filter(
+        F.col("h32").cast("double") / F.lit(4294967296.0)
+        < F.col("token_quota").cast("double") / F.col("t_total")
+    )
+    sampled = taken.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_tokens").cast("long").alias("tokens_sampled"),
+    )
+    return (
+        targets.join(sampled, "lang")
+        .select(
+            "lang",
+            "n_total",
+            "t_total",
+            "token_quota",
+            "n_sampled",
+            "sum_doc_id",
+            "tokens_sampled",
+            F.round(
+                F.col("tokens_sampled").cast("double")
+                / F.col("token_quota"),
+                4,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang")
+    )
