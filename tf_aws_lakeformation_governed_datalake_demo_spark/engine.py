@@ -697,6 +697,7 @@ class Engine:
             DescribeHistoryStatement,
             DescribeStatement,
             AddFilesStatement,
+            TruncateTableStatement,
             DropColumnStatement,
             WidenColumnStatement,
             DropMVStatement,
@@ -1468,6 +1469,18 @@ class Engine:
             return _row(
                 {"table": stmt.target, "dropped_column": stmt.column},
                 "table string, dropped_column string",
+            )
+
+        if isinstance(stmt, TruncateTableStatement):
+            result = self.maintain(stmt.target, "truncate", principal)
+            qe.tables = [stmt.target]
+            return _row(
+                {
+                    "table": stmt.target,
+                    "rows_removed": int(result["rows_removed"]),
+                    "version": int(result["version"]),
+                },
+                "table string, rows_removed long, version long",
             )
 
         if isinstance(stmt, AddFilesStatement):
@@ -3200,6 +3213,24 @@ class Engine:
             # data-cells filters, CHECK constraints, partition keys)
             self.catalog.drop_column(qualified, kwargs["column"])
             result = {"dropped_column": kwargs["column"]}
+        elif action == "truncate":
+            from .sources.lake import count_rows as _count_rows
+            from .sources.lake import truncate_table as _lake_truncate
+
+            self._refuse_mv_mutation(qualified, "TRUNCATE TABLE")
+            info = _count_rows(table.location)
+            if info is not None:
+                before_rows = int(info["rows"])  # metadata-only
+            else:
+                # tombstoned / pre-recording snapshots: one exact scan
+                from .sources.lake import read_table as _rt
+
+                before_rows = _rt(self.spark, table.location).count()
+            snap = _lake_truncate(table.location)
+            result = {
+                "rows_removed": before_rows,
+                "version": snap["version"],
+            }
         elif action == "add_files":
             if "source" not in kwargs:
                 _audit("failed", "add_files requires source=")

@@ -1757,3 +1757,58 @@ def sql_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS text_chk FROM db.docs GROUP BY lang",
         "ops",
     )
+
+
+@query(
+    "sql_truncate_table",
+    """
+    WITH v AS (
+      SELECT doc_id + 7000000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE lang IN ('de', 'fr'))
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_chk
+    FROM v GROUP BY lang
+    """,
+    "TRUNCATE TABLE (round-14): one zero-file snapshot commit — a "
+    "mutation, not erasure: time travel to the pre-truncate version "
+    "still serves every row (asserted in-body) until vacuum reclaims "
+    "it on the retention schedule; layout, constraints, and the "
+    "replay ledger carry so the next INSERT lands exactly as it would "
+    "have. The oracle sees ONLY the post-truncate insert — "
+    "reproducible only if the truncate removed every seed row and "
+    "the re-insert landed.",
+)
+def sql_truncate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reset-and-reload primitive (Athena/Iceberg TRUNCATE
+    parity): at 100 TB the commit is O(1) metadata — no file deletes
+    on the critical path; storage reclaims asynchronously via
+    VACUUM's snapshot retention."""
+    eng, lake = _governed_docs(spark, sf_dir, "sqltrunc_")
+    pre = eng.sql("SELECT count(*) AS n FROM db.docs", "ops").first().n
+    # stage the reload batch BEFORE the truncate (CTAS = a governed
+    # read at the pre-truncate cut)
+    eng.sql(
+        "CREATE TABLE db.stash WITH (external_location = "
+        f"'{lake}/stash') AS SELECT doc_id + 7000000 AS doc_id, text, "
+        "lang, source, n_chars FROM db.docs WHERE lang IN ('de', 'fr')",
+        "ops",
+    )
+    out = eng.sql("TRUNCATE TABLE db.docs", "ops").first()
+    assert out.rows_removed == pre > 0, out
+    assert eng.sql("SELECT count(*) AS n FROM db.docs", "ops").first().n == 0
+    # mutation, not erasure: the pre-truncate snapshot still serves
+    tt = eng.sql(
+        "SELECT count(*) AS n FROM db.docs FOR VERSION AS OF 1", "ops"
+    ).first()
+    assert tt.n == pre
+    # the next insert lands exactly as it would have (layout carried)
+    eng.sql("INSERT INTO db.docs SELECT * FROM db.stash", "ops")
+    return eng.sql(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, "
+        "CAST(sum(conv(substr(md5(text), 1, 8), 16, 10)) AS BIGINT) "
+        "AS text_chk FROM db.docs GROUP BY lang",
+        "ops",
+    )

@@ -2743,6 +2743,40 @@ def _is_safe_widening(old_t, new_t) -> bool:
     return False
 
 
+def truncate_table(path: str) -> dict:
+    """TRUNCATE a manifest table — one metadata commit whose snapshot
+    carries ZERO files (round-14; Athena/Iceberg TRUNCATE parity).
+    Nothing is deleted from disk: prior snapshots keep their file
+    entries, so time travel to the pre-truncate version still serves
+    every row, and a later ``vacuum_manifests`` reclaims the storage
+    on the retention schedule — TRUNCATE is a mutation, not erasure
+    (``delete_rows`` is the GDPR path). Partition layout, constraints,
+    schema, and the replay ledger all carry, so the next append lands
+    exactly as it would have; merge-on-read tombstones drop (nothing
+    left to suppress)."""
+    import uuid as _uuid
+    from pathlib import Path
+
+    live = Path(path)
+    if read_manifest(path) is None:
+        raise ValueError(
+            f"table at {path} is not manifest-committed — TRUNCATE is a "
+            "snapshot commit; publish_overwrite(..., manifest=True) it "
+            "first (schema-on-read locations have no transactional "
+            "state to truncate)"
+        )
+    with publish_lock(live):
+        current = read_manifest(path)
+        return _commit_manifest(
+            live,
+            [],
+            current.get("partition_by") or None,
+            current,
+            _uuid.uuid4().hex,
+            delete_predicates=[],
+        )
+
+
 def add_files(spark: SparkSession, path: str, source_dir: str) -> dict:
     """Import bulk-landed parquet files into a MANIFEST table as one
     O(new files) commit — the Iceberg ``add_files`` / Hive MSCK analog

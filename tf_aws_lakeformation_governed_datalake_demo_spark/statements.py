@@ -233,6 +233,16 @@ class DropColumnStatement:
 
 
 @dataclass(frozen=True)
+class TruncateTableStatement:
+    """``TRUNCATE TABLE <db.t>`` — one zero-file snapshot commit on a
+    manifest table (sources.lake.truncate_table): a mutation, not
+    erasure — time travel to the pre-truncate version still serves
+    every row until vacuum reclaims it."""
+
+    target: str
+
+
+@dataclass(frozen=True)
 class AddFilesStatement:
     """``ALTER TABLE <db.t> ADD FILES '<dir>'`` — import bulk-landed
     parquet into the manifest layout as one O(new files) commit
@@ -1535,6 +1545,13 @@ def parse_statement(sql: str):
                 "statements execute through their own audited verbs"
             )
         return ExplainStatement(inner, (m.group(1) or "formatted").lower())
+    if verb == "truncate":
+        m = re.fullmatch(rf"truncate\s+table\s+({_QUALIFIED})", text, re.I)
+        if not m:
+            raise UnsupportedStatementError(
+                "supported form: TRUNCATE TABLE <db.table>"
+            )
+        return TruncateTableStatement(m.group(1))
     if verb == "alter":
         m = re.fullmatch(
             rf"alter\s+table\s+({_QUALIFIED})\s+rename\s+column\s+"
