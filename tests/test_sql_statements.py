@@ -224,10 +224,10 @@ def test_unknown_verbs_fail_closed():
         # and unknown permissions stay refused
         "GRANT SELECT ON db.t TO analyst WITH GRANT OPTION",
         "GRANT INSERT ON db.t TO analyst",
-        # TRUNCATE TABLE is governed since round 14; a malformed form
-        # still refuses
+        # TRUNCATE TABLE and MSCK REPAIR are governed since round 14;
+        # malformed forms still refuse
         "TRUNCATE TABLE db.t PARTITION (lang='en')",
-        "MSCK REPAIR TABLE db.t",
+        "MSCK REPAIR TABLE db.t ADD PARTITIONS",
     ):
         with pytest.raises(UnsupportedStatementError):
             parse_statement(bad)

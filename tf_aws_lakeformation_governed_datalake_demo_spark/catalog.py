@@ -71,6 +71,15 @@ class TableDef:
     # enforcement, excluded from the governance fingerprint (refreshing stats
     # must not invalidate reused results).
     stats: dict | None = None
+    # MSCK REPAIR TABLE output (catalog.repair_table): the declared
+    # location's hive-layout index {"files": {rel: [size, rows]},
+    # "partitions": {rel_dir: rows}, "rows": total}. Like ``stats``, a
+    # metadata HINT: the engine re-lists and compares names+sizes
+    # before serving a count from it (any drift falls open to the
+    # scan), so it is deliberately NOT serialized — after a catalog
+    # reload, re-run MSCK (it is incremental: unchanged files skip
+    # their footer reads).
+    discovered: dict | None = None
 
     @property
     def qualified(self) -> str:
@@ -1080,13 +1089,82 @@ class GovernedCatalog:
         sources.write_partitioned)."""
         from pathlib import Path
 
-        loc = Path(self.tables[qualified].location)
+        table = self.tables[qualified]
+        loc = Path(table.location)
         # single-file or missing locations are unpartitioned by definition
         if not loc.is_dir():
             return []
+        if len(table.partition_keys) > 1:
+            # nested hive layouts (round-14, with MSCK REPAIR): walk the
+            # declared key depth and list "k1=v1/k2=v2" paths — a LIVE
+            # listing, never the MSCK index (SHOW PARTITIONS must see a
+            # directory the moment it lands)
+            out: set[str] = set()
+
+            def walk(d: Path, depth: int, prefix: str):
+                for p in d.iterdir():
+                    if p.is_dir() and "=" in p.name:
+                        rel = f"{prefix}/{p.name}" if prefix else p.name
+                        if depth + 1 == len(table.partition_keys):
+                            out.add(rel)
+                        else:
+                            walk(p, depth + 1, rel)
+
+            walk(loc, 0, "")
+            return sorted(out)
         return sorted(
             p.name for p in loc.iterdir() if p.is_dir() and "=" in p.name
         )
+
+    def repair_table(self, qualified: str) -> dict:
+        """``MSCK REPAIR TABLE`` (round-14) — index a DECLARED-location
+        table's hive layout: discover every ``k=v`` partition directory
+        (validated against the declared partition keys) and record each
+        file's (size, exact footer row count) on the table entry, so
+        SHOW PARTITIONS serves nested layouts and the metadata-only
+        COUNT can serve schema-on-read tables (the engine re-verifies
+        the live listing before trusting the index — out-of-band files
+        landed after the repair fall open to the scan, never a stale
+        count). Incremental: unchanged files (same path + size) skip
+        their footer reads, so a re-run after a bulk landing costs
+        O(new files).
+
+        Manifest-committed tables refuse — their commits already record
+        exact counts and an MSCK index would be a second source of
+        truth (use ADD FILES to import landed data there instead)."""
+        from .sources.lake import discover_partition_stats, read_manifest
+
+        table = self.tables[qualified]  # KeyError: fail closed
+        if table.format != "parquet":
+            raise ValueError(
+                f"MSCK REPAIR supports parquet tables; {qualified} is "
+                f"{table.format}"
+            )
+        if read_manifest(table.location) is not None:
+            raise ValueError(
+                f"{qualified} is manifest-committed — its snapshots "
+                "already record exact per-file counts; import landed "
+                "data with ALTER TABLE ADD FILES instead"
+            )
+        prior = (table.discovered or {}).get("files", {})
+        found = discover_partition_stats(
+            table.location, table.partition_keys, known=prior
+        )
+        table.discovered = found
+        new_files = sorted(set(found["files"]) - set(prior))
+        self.audit.record(
+            principal="<catalog>",
+            query=f"MSCK REPAIR TABLE {qualified}",
+            tables=[qualified],
+            filters_applied=[],
+            status="ok",
+        )
+        return {
+            "partitions": len(found["partitions"]),
+            "files_indexed": len(found["files"]),
+            "new_files": len(new_files),
+            "rows_indexed": int(found["rows"]),
+        }
 
     def create_tag_masked_view(
         self, qualified: str, view_name: str, tag_key: str, tag_value: str

@@ -697,6 +697,7 @@ class Engine:
             DescribeHistoryStatement,
             DescribeStatement,
             AddFilesStatement,
+            MsckRepairStatement,
             TruncateTableStatement,
             DropColumnStatement,
             WidenColumnStatement,
@@ -1469,6 +1470,21 @@ class Engine:
             return _row(
                 {"table": stmt.target, "dropped_column": stmt.column},
                 "table string, dropped_column string",
+            )
+
+        if isinstance(stmt, MsckRepairStatement):
+            result = self.maintain(stmt.target, "msck_repair", principal)
+            qe.tables = [stmt.target]
+            return _row(
+                {
+                    "table": stmt.target,
+                    "partitions": int(result["partitions"]),
+                    "files_indexed": int(result["files_indexed"]),
+                    "new_files": int(result["new_files"]),
+                    "rows_indexed": int(result["rows_indexed"]),
+                },
+                "table string, partitions long, files_indexed long, "
+                "new_files long, rows_indexed long",
             )
 
         if isinstance(stmt, TruncateTableStatement):
@@ -3213,6 +3229,10 @@ class Engine:
             # data-cells filters, CHECK constraints, partition keys)
             self.catalog.drop_column(qualified, kwargs["column"])
             result = {"dropped_column": kwargs["column"]}
+        elif action == "msck_repair":
+            # metadata sync, not a rewrite — but indexing a location is
+            # an operator action on the table (same admin-or-ALL rule)
+            result = self.catalog.repair_table(qualified)
         elif action == "truncate":
             from .sources.lake import count_rows as _count_rows
             from .sources.lake import truncate_table as _lake_truncate
@@ -3681,6 +3701,43 @@ class Engine:
                 parts.append(out)
         return f"SELECT {', '.join(parts)} FROM {state_q}"
 
+    @staticmethod
+    def _discovered_count(td) -> dict | None:
+        """count_rows-shaped answer from a declared-location table's
+        MSCK index (catalog.repair_table) — guarded by an exact
+        re-listing: every indexed file must still exist at its indexed
+        size and NO unindexed data file may have appeared, or the
+        answer is ``None`` (fall open to the scan). The guard costs one
+        directory walk + O(#files) stat calls, no footer reads — the
+        GetPartitions-class price Athena pays per query on external
+        tables."""
+        from pathlib import Path
+
+        from .sources.lake import _data_file_relpaths
+
+        disc = getattr(td, "discovered", None)
+        if not disc:
+            return None
+        live = Path(td.location)
+        if not live.is_dir():
+            return None
+        indexed = disc["files"]
+        current = _data_file_relpaths(live)
+        if set(current) != set(indexed):
+            return None  # landed/removed files: drift
+        for rel in current:
+            try:
+                if (live / rel).stat().st_size != int(indexed[rel][0]):
+                    return None  # rewritten in place: drift
+            except OSError:
+                return None
+        return {
+            "rows": int(disc["rows"]),
+            "partitions": dict(disc["partitions"]),
+            "partition_by": list(td.partition_keys or []),
+            "version": None,
+        }
+
     def _try_metadata_count(self, sql: str, principal, qe: QueryExecution):
         """Serve a bare ``SELECT count(*) FROM <db.t>`` — or the
         per-partition form ``SELECT <partition cols>, count(*) AS a
@@ -3758,7 +3815,13 @@ class Engine:
                 return None
         info = count_rows(td.location)
         if info is None:
-            return None  # non-manifest / tombstoned: scan
+            # declared-location table with an MSCK index: serve the
+            # count ONLY if the live listing still matches the index
+            # exactly (names + sizes) — files landed after the repair
+            # fall open to the scan, never a stale count (round-14)
+            info = self._discovered_count(td)
+        if info is None:
+            return None  # non-manifest / tombstoned / drifted: scan
         if not group_by:
             qe.tables = [qualified]
             qe.filters_applied.append(f"COUNT_STATS:{qualified}")

@@ -1812,3 +1812,78 @@ def sql_truncate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS text_chk FROM db.docs GROUP BY lang",
         "ops",
     )
+
+
+@query(
+    "sql_msck_repair",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    "MSCK REPAIR TABLE (round-14): index a declared-LOCATION table's "
+    "hive layout — every k=v partition directory plus each file's "
+    "exact footer row count — so the metadata-only COUNT serves "
+    "schema-on-read tables with ZERO files planned (asserted), and "
+    "files landed AFTER the repair fall open to the scan (asserted: "
+    "the drifted count is still exact, served by scanning) until an "
+    "incremental re-repair (O(new files) footer reads) re-indexes. "
+    "The oracle over all documents is reproducible only if discovery "
+    "saw every partition directory.",
+)
+def sql_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Athena's companion verb for out-of-band landing (the reference
+    IAM scaffolds GetPartitions, main.tf:177-178): declared-location
+    tables read landed files immediately, but their counts cost a
+    scan — MSCK records the footer counts once, and the consumer-side
+    listing guard (names + sizes) makes the served count exact or
+    absent, never stale. 100 TB: the repair is one walk + O(new
+    files) footer reads; each served count pays a listing, the
+    GetPartitions-class price."""
+    d = load(spark, sf_dir, "documents")
+    lake = scratch_dir("msck_")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/docs"
+    # out-of-band landing: plain hive-partitioned write, NO engine verb
+    d.filter(F.col("lang") != "zh").write.partitionBy("lang").parquet(loc)
+    cat.register_table(
+        TableDef(
+            "db", "docs", loc, schema=d.schema, partition_keys=("lang",)
+        )
+    )
+    eng = Engine(spark, cat)
+    out = eng.sql("MSCK REPAIR TABLE db.docs", "ops").first()
+    assert out.partitions == 4 and out.rows_indexed > 0, out
+    # the indexed count serves with zero files planned
+    c1 = eng.sql("SELECT count(*) AS n FROM db.docs", "ops")
+    assert not c1.inputFiles(), "post-repair COUNT must serve from index"
+    assert c1.first().n == out.rows_indexed
+    # drift: land MORE data out-of-band -> the count falls OPEN (scan),
+    # stays exact, and never serves the stale index
+    d.filter(F.col("lang") == "zh").write.mode("append").partitionBy(
+        "lang"
+    ).parquet(loc)
+    c2 = eng.sql("SELECT count(*) AS n FROM db.docs", "ops")
+    assert c2.inputFiles(), "drifted index must fall open to the scan"
+    assert c2.first().n == d.count()
+    # incremental re-repair: only the new files pay footer reads
+    out2 = eng.sql("MSCK REPAIR TABLE db.docs", "ops").first()
+    assert out2.partitions == 5 and out2.new_files > 0
+    assert out2.files_indexed == out.files_indexed + out2.new_files
+    c3 = eng.sql("SELECT count(*) AS n FROM db.docs", "ops")
+    assert not c3.inputFiles() and c3.first().n == d.count()
+    # per-partition counts serve from the index too
+    per = eng.sql(
+        "SELECT lang, count(*) AS n FROM db.docs GROUP BY lang", "ops"
+    )
+    assert not per.inputFiles()
+    return eng.sql(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM db.docs GROUP BY lang",
+        "ops",
+    )

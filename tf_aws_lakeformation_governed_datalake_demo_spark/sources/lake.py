@@ -2743,6 +2743,69 @@ def _is_safe_widening(old_t, new_t) -> bool:
     return False
 
 
+def discover_partition_stats(
+    path: str,
+    partition_keys: list[str] | tuple | None,
+    known: dict | None = None,
+) -> dict:
+    """Walk a DECLARED-location table directory and index its hive
+    layout: every data file's (size, exact footer row count) keyed by
+    relative path, plus per-partition row totals (round-14; the engine
+    side of ``MSCK REPAIR TABLE``). Athena's MSCK registers partition
+    DIRECTORIES in Glue; this additionally records the footer counts
+    that let the metadata-only COUNT serve schema-on-read tables —
+    with the staleness guard living in the CONSUMER (the engine
+    re-lists and compares names+sizes before trusting the index; any
+    drift falls open to the scan).
+
+    ``known`` is a prior index's ``files`` map: files present with the
+    same size skip their footer read — an incremental repair costs
+    O(new files) footer reads + one directory walk.
+
+    Fail-closed: a file whose directory depth or ``k=v`` names do not
+    match the declared partition keys raises (layout drift must be
+    loud, not silently half-indexed), as does a footer without a
+    readable row count."""
+    from pathlib import Path
+
+    live = Path(path)
+    if not live.is_dir():
+        raise ValueError(f"table location {path} is not a directory")
+    pkeys = list(partition_keys or [])
+    files: dict[str, list] = {}
+    partitions: dict[str, int] = {}
+    for rel in _data_file_relpaths(live):
+        segs = rel.split("/")[:-1]
+        if len(segs) != len(pkeys) or any(
+            not seg.startswith(f"{k}=") for seg, k in zip(segs, pkeys)
+        ):
+            raise ValueError(
+                f"file {rel} does not match the declared partition "
+                f"layout {pkeys} — hive-style k=v directories required "
+                "(fix the layout or re-declare the table)"
+            )
+        size = (live / rel).stat().st_size
+        prior = (known or {}).get(rel)
+        if prior is not None and int(prior[0]) == size:
+            rows = int(prior[1])
+        else:
+            _stats, rows = _file_footer_info(live / rel)
+            if rows is None:
+                raise ValueError(
+                    f"cannot read a row count from {rel}'s footer — "
+                    "repair needs every footer readable to serve exact "
+                    "counts"
+                )
+        files[rel] = [size, int(rows)]
+        d = "/".join(segs)
+        partitions[d] = partitions.get(d, 0) + int(rows)
+    return {
+        "files": files,
+        "partitions": partitions,
+        "rows": sum(partitions.values()),
+    }
+
+
 def truncate_table(path: str) -> dict:
     """TRUNCATE a manifest table — one metadata commit whose snapshot
     carries ZERO files (round-14; Athena/Iceberg TRUNCATE parity).

@@ -233,6 +233,16 @@ class DropColumnStatement:
 
 
 @dataclass(frozen=True)
+class MsckRepairStatement:
+    """``MSCK REPAIR TABLE <db.t>`` — index a declared-location
+    table's hive layout (catalog.repair_table): nested SHOW
+    PARTITIONS + footer row counts that let the metadata-only COUNT
+    serve schema-on-read tables, drift falling open to the scan."""
+
+    target: str
+
+
+@dataclass(frozen=True)
 class TruncateTableStatement:
     """``TRUNCATE TABLE <db.t>`` — one zero-file snapshot commit on a
     manifest table (sources.lake.truncate_table): a mutation, not
@@ -1545,6 +1555,15 @@ def parse_statement(sql: str):
                 "statements execute through their own audited verbs"
             )
         return ExplainStatement(inner, (m.group(1) or "formatted").lower())
+    if verb == "msck":
+        m = re.fullmatch(
+            rf"msck\s+repair\s+table\s+({_QUALIFIED})", text, re.I
+        )
+        if not m:
+            raise UnsupportedStatementError(
+                "supported form: MSCK REPAIR TABLE <db.table>"
+            )
+        return MsckRepairStatement(m.group(1))
     if verb == "truncate":
         m = re.fullmatch(rf"truncate\s+table\s+({_QUALIFIED})", text, re.I)
         if not m:
