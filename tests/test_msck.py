@@ -159,3 +159,46 @@ def test_conditioned_principal_never_served_from_index(spark, tmp_path):
     c = eng.sql("SELECT count(*) AS n FROM db.docs", "analyst")
     assert c.inputFiles()  # the filtered count MUST scan
     assert c.first().n == 10
+
+
+def test_describe_files_manifest_and_declared(spark, tmp_path):
+    """DESCRIBE FILES: exact per-file inventory from the manifest;
+    declared-location tables serve exact rows only while the MSCK
+    index is fresh (stale entries report NULL rows, never wrong)."""
+    lake = str(tmp_path / "lake")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/m"
+    publish_overwrite(spark, loc, _docs(spark), ["lang"], manifest=True)
+    cat.register_table(
+        TableDef(
+            "db", "m", loc, schema=_docs(spark).schema,
+            partition_keys=("lang",),
+        )
+    )
+    eng = Engine(spark, cat)
+    files = eng.sql("DESCRIBE FILES db.m", "ops").collect()
+    assert files and all(
+        r.rows is not None and r.size_bytes > 0 and r.added_version == 1
+        for r in files
+    )
+    assert sum(r.rows for r in files) == 20
+    assert {r.partition for r in files} == {"lang=en", "lang=de"}
+    # declared-location form: rows come from the MSCK index
+    loc2 = f"{lake}/d"
+    _docs(spark).write.partitionBy("lang").parquet(loc2)
+    cat.register_table(
+        TableDef(
+            "db", "d", loc2, schema=_docs(spark).schema,
+            partition_keys=("lang",),
+        )
+    )
+    pre = eng.sql("DESCRIBE FILES db.d", "ops").collect()
+    assert pre and all(r.rows is None and r.size_bytes > 0 for r in pre)
+    eng.sql("MSCK REPAIR TABLE db.d", "ops")
+    post = eng.sql("DESCRIBE FILES db.d", "ops").collect()
+    assert sum(r.rows for r in post) == 20
+    # ungranted principal: implicit deny hides existence
+    with pytest.raises((PermissionDeniedError, KeyError)):
+        eng.sql("DESCRIBE FILES db.m", "nobody")

@@ -697,6 +697,7 @@ class Engine:
             DescribeHistoryStatement,
             DescribeStatement,
             AddFilesStatement,
+            DescribeFilesStatement,
             MsckRepairStatement,
             TruncateTableStatement,
             DropColumnStatement,
@@ -1780,6 +1781,60 @@ class Engine:
             return _local_df(
                 spark,
                 rows or [], "database string, table string"
+            )
+
+        if isinstance(stmt, DescribeFilesStatement):
+            import os as _os
+            from pathlib import Path as _Path
+
+            from .sources.lake import _data_file_relpaths, read_manifest
+
+            table, _ = self._introspect_gate(stmt.target, name)
+            qe.tables = [stmt.target]
+            live = _Path(table.location)
+            rows = []
+            m = read_manifest(table.location)
+            if m is not None:
+                fr = m.get("file_rows", {})
+                fa = m.get("file_added", {})
+                for f in sorted(m["files"]):
+                    part = _os.path.dirname(f).replace(_os.sep, "/")
+                    try:
+                        size = (live / f).stat().st_size
+                    except OSError:
+                        size = None
+                    rows.append(
+                        (
+                            f,
+                            part,
+                            int(fr[f]) if f in fr else None,
+                            size,
+                            int(fa[f]) if f in fa else None,
+                        )
+                    )
+            else:
+                # declared location: the MSCK index supplies exact rows
+                # when fresh; otherwise a live listing with sizes only
+                # (no per-query footer reads)
+                disc = (getattr(table, "discovered", None) or {}).get(
+                    "files", {}
+                )
+                if live.is_dir():
+                    for f in _data_file_relpaths(live):
+                        part = _os.path.dirname(f).replace(_os.sep, "/")
+                        size = (live / f).stat().st_size
+                        known = disc.get(f)
+                        nrows = (
+                            int(known[1])
+                            if known is not None and int(known[0]) == size
+                            else None
+                        )
+                        rows.append((f, part, nrows, size, None))
+            return _local_df(
+                spark,
+                rows,
+                "file string, partition string, rows long, "
+                "size_bytes long, added_version long",
             )
 
         if isinstance(stmt, ShowPartitionsStatement):

@@ -1887,3 +1887,41 @@ def sql_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM db.docs GROUP BY lang",
         "ops",
     )
+
+
+@query(
+    "sql_describe_files",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    "DESCRIBE FILES (round-14): the Iceberg files-metadata-table "
+    "analog — one row per live data file (path, partition, exact "
+    "footer row count, size, adding snapshot version) straight from "
+    "the manifest, zero data scanned (asserted: no input files). The "
+    "returned aggregate folds the per-file row counts by partition "
+    "and must equal the per-lang corpus counts — the file inventory "
+    "is exact, not approximate.",
+)
+def sql_describe_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ops-debugging surface for small-file and skew problems: at
+    100 TB you ask the METADATA how many files/rows each partition
+    holds (then OPTIMIZE the offenders) — never a data scan. Cost is
+    O(#files) driver-side, same class as the manifest read every
+    commit already pays."""
+    eng, _ = _governed_docs(spark, sf_dir, "sqldf_")
+    files = eng.sql("DESCRIBE FILES db.docs", "ops")
+    assert not files.inputFiles(), "file inventory must not scan data"
+    rows = files.collect()
+    assert rows and all(
+        r.rows is not None and r.size_bytes > 0 and r.added_version == 1
+        for r in rows
+    ), rows[:3]
+    assert all(r.partition.startswith("lang=") for r in rows)
+    return (
+        files.groupBy(
+            F.regexp_replace("partition", "^lang=", "").alias("lang")
+        )
+        .agg(F.sum("rows").cast("long").alias("n_docs"))
+        .orderBy("lang")
+    )

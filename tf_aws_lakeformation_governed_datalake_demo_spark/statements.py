@@ -233,6 +233,17 @@ class DropColumnStatement:
 
 
 @dataclass(frozen=True)
+class DescribeFilesStatement:
+    """``DESCRIBE FILES <db.t>`` — the Iceberg ``files`` metadata-table
+    analog: one row per live data file (relative path, partition dir,
+    exact footer row count, on-disk size, adding snapshot version),
+    from the manifest for committed tables or the MSCK index / a live
+    listing for declared locations — never a data scan."""
+
+    target: str
+
+
+@dataclass(frozen=True)
 class MsckRepairStatement:
     """``MSCK REPAIR TABLE <db.t>`` — index a declared-location
     table's hive layout (catalog.repair_table): nested SHOW
@@ -2019,6 +2030,11 @@ def parse_statement(sql: str):
         if m:
             return DescribeDetailStatement(m.group(1))
         m = re.fullmatch(
+            rf"(?:describe|desc)\s+files\s+({_QUALIFIED})", text, re.I
+        )
+        if m:
+            return DescribeFilesStatement(m.group(1))
+        m = re.fullmatch(
             rf"(?:describe|desc)\s+(?:table\s+)?({_QUALIFIED})", text, re.I
         )
         if m:
@@ -2026,6 +2042,7 @@ def parse_statement(sql: str):
         raise UnsupportedStatementError(
             "supported DESCRIBE forms: DESCRIBE [TABLE] <db.table> | "
             "DESCRIBE HISTORY <db.table> | DESCRIBE DETAIL <db.table> | "
+            "DESCRIBE FILES <db.table> | "
             "DESCRIBE DATABASE <db>"
         )
     raise UnsupportedStatementError(
