@@ -325,6 +325,10 @@ HEADLINE = [
     "sql_alter_column_widen",
     "sql_add_files",
     "pipeline_token_budget_mixture",
+    "pipeline_token_budget_mixture_approx",
+    "sql_truncate_table",
+    "sql_msck_repair",
+    "sql_describe_files",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
