@@ -329,6 +329,8 @@ HEADLINE = [
     "sql_truncate_table",
     "sql_msck_repair",
     "sql_describe_files",
+    # late round-13 addition that only had an isolated bar until now
+    "stream_cdc_with_deletes",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
