@@ -142,3 +142,64 @@ def test_constraints_survive_rollback(spark, docs_table):
             d.limit(1).withColumn("n_chars", F.lit(-1).cast("long")),
             partition_by=["lang"],
         )
+
+
+def test_sql_add_drop_constraint_roundtrip(spark, tmp_path):
+    """Round-14: the ALTER TABLE ADD/DROP CONSTRAINT statement forms —
+    admin-gated, audited, existing data validated first, violating
+    INSERT refused with zero table change."""
+    import pytest
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.catalog import (
+        GovernedCatalog,
+        TableDef,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.engine import (
+        Engine,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.governance import (
+        PermissionDeniedError,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        publish_overwrite,
+        read_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "id long, v long"
+    )
+    loc = f"{lake}/t"
+    publish_overwrite(spark, loc, df, None, manifest=True)
+    cat.register_table(TableDef("db", "t", loc, schema=df.schema))
+    eng = Engine(spark, cat)
+    cat.grant("analyst", "SELECT", "db", "t")
+    with pytest.raises(PermissionDeniedError):
+        eng.sql(
+            "ALTER TABLE db.t ADD CONSTRAINT c CHECK (v >= 0)", "analyst"
+        )
+    # existing data validates FIRST
+    with pytest.raises(ConstraintViolationError):
+        eng.sql("ALTER TABLE db.t ADD CONSTRAINT c CHECK (v < 50)", "ops")
+    assert "c" not in (read_manifest(loc).get("constraints") or {})
+    out = eng.sql(
+        "ALTER TABLE db.t ADD CONSTRAINT c CHECK (v < 1000)", "ops"
+    ).first()
+    assert out.status == "added"
+    assert read_manifest(loc)["constraints"] == {"c": "v < 1000"}
+    with pytest.raises(ConstraintViolationError):
+        eng.sql("INSERT INTO db.t VALUES (100, 5000)", "ops")
+    eng.sql("ALTER TABLE db.t DROP CONSTRAINT c", "ops")
+    eng.sql("INSERT INTO db.t VALUES (100, 5000)", "ops")
+    assert eng.sql("SELECT count(*) AS n FROM db.t", "ops").first().n == 11
+    # the audit trail carries both maintain lines with the expression
+    maint = [
+        e
+        for e in cat.audit.events
+        if e["query"].startswith("MAINTAIN add_constraint")
+        or e["query"].startswith("MAINTAIN drop_constraint")
+    ]
+    assert any("CHECK (v < 1000)" in e["query"] for e in maint)

@@ -696,11 +696,13 @@ class Engine:
             DescribeDetailStatement,
             DescribeHistoryStatement,
             DescribeStatement,
+            AddConstraintStatement,
             AddFilesStatement,
             DescribeFilesStatement,
             MsckRepairStatement,
             TruncateTableStatement,
             DropColumnStatement,
+            DropConstraintStatement,
             WidenColumnStatement,
             DropMVStatement,
             DropTableStatement,
@@ -1498,6 +1500,43 @@ class Engine:
                     "version": int(result["version"]),
                 },
                 "table string, rows_removed long, version long",
+            )
+
+        if isinstance(stmt, AddConstraintStatement):
+            self.maintain(
+                stmt.target,
+                "add_constraint",
+                principal,
+                constraint=stmt.name,
+                expr=stmt.expr,
+            )
+            qe.tables = [stmt.target]
+            return _row(
+                {
+                    "table": stmt.target,
+                    "constraint": stmt.name,
+                    "expr": stmt.expr,
+                    "status": "added",
+                },
+                "table string, constraint string, expr string, "
+                "status string",
+            )
+
+        if isinstance(stmt, DropConstraintStatement):
+            self.maintain(
+                stmt.target,
+                "drop_constraint",
+                principal,
+                constraint=stmt.name,
+            )
+            qe.tables = [stmt.target]
+            return _row(
+                {
+                    "table": stmt.target,
+                    "constraint": stmt.name,
+                    "status": "dropped",
+                },
+                "table string, constraint string, status string",
             )
 
         if isinstance(stmt, AddFilesStatement):
@@ -3008,6 +3047,10 @@ class Engine:
             audit_suffix = f" {kwargs['old']} TO {kwargs['new']}"
         if action == "drop_column" and "column" in kwargs:
             audit_suffix = f" {kwargs['column']}"
+        if action in ("add_constraint", "drop_constraint") and "constraint" in kwargs:
+            audit_suffix = f" {kwargs['constraint']}" + (
+                f" CHECK ({kwargs['expr']})" if "expr" in kwargs else ""
+            )
         if action == "add_files" and "source" in kwargs:
             audit_suffix = f" '{kwargs['source']}'"
         if action == "widen_column" and {"column", "ddl_type"} <= set(kwargs):
@@ -3306,6 +3349,29 @@ class Engine:
                 "rows_removed": before_rows,
                 "version": snap["version"],
             }
+        elif action == "add_constraint":
+            if not {"constraint", "expr"} <= set(kwargs):
+                _audit("failed", "add_constraint requires constraint= and expr=")
+                raise ValueError(
+                    "add_constraint requires constraint= and expr="
+                )
+            from .sources.lake import add_constraint as _lake_add_con
+
+            # existing data validates FIRST (one scan); the commit is
+            # metadata-only and every later batch validates against it
+            _lake_add_con(
+                self.spark, table.location, kwargs["constraint"],
+                kwargs["expr"],
+            )
+            result = {"added_constraint": kwargs["constraint"]}
+        elif action == "drop_constraint":
+            if "constraint" not in kwargs:
+                _audit("failed", "drop_constraint requires constraint=")
+                raise ValueError("drop_constraint requires constraint=")
+            from .sources.lake import drop_constraint as _lake_drop_con
+
+            _lake_drop_con(table.location, kwargs["constraint"])
+            result = {"dropped_constraint": kwargs["constraint"]}
         elif action == "add_files":
             if "source" not in kwargs:
                 _audit("failed", "add_files requires source=")

@@ -1925,3 +1925,80 @@ def sql_describe_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("rows").cast("long").alias("n_docs"))
         .orderBy("lang")
     )
+
+
+@query(
+    "sql_add_constraint",
+    """
+    WITH v AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 8000000, text, lang, source, n_chars
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 9000000, text, lang, source, n_chars + 1000
+      FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM v GROUP BY lang
+    """,
+    "ALTER TABLE ADD/DROP CONSTRAINT (round-14): Delta's named CHECK "
+    "constraint as governed SQL — existing data validates FIRST, the "
+    "commit is metadata-only, every later batch validates by one scan "
+    "of its staged files before anything becomes visible. In-body: a "
+    "violating INSERT refuses with ZERO table change; after DROP "
+    "CONSTRAINT the same batch lands. The oracle replays seed + the "
+    "compliant batch + the formerly-refused batch — reproducible only "
+    "if enforcement admitted and refused exactly as declared.",
+)
+def sql_add_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-contract primitive for a shared lake: at 100 TB the
+    add pays ONE validation scan of existing data, each later batch
+    one scan of the BATCH (never the table); a violating batch leaves
+    zero trace (the staged tree is discarded before the pointer
+    moves)."""
+    from ..sources.lake import ConstraintViolationError, read_manifest
+
+    eng, _ = _governed_docs(spark, sf_dir, "sqlcon_")
+    out = eng.sql(
+        "ALTER TABLE db.docs ADD CONSTRAINT chars_bound "
+        "CHECK (n_chars < 600)",
+        "ops",
+    ).first()
+    assert out.status == "added", out
+    # a compliant batch lands
+    eng.sql(
+        "INSERT INTO db.docs SELECT doc_id + 8000000 AS doc_id, text, "
+        "lang, source, n_chars FROM db.docs WHERE doc_id < 8000000",
+        "ops",
+    )
+    loc = eng.catalog.tables["db.docs"].location
+    v_before = read_manifest(loc)["version"]
+    # a violating batch refuses with zero table change
+    try:
+        eng.sql(
+            "INSERT INTO db.docs SELECT doc_id + 9000000 AS doc_id, "
+            "text, lang, source, n_chars + 1000 AS n_chars FROM db.docs "
+            "WHERE doc_id < 8000000",
+            "ops",
+        )
+        raise AssertionError("violating batch must refuse")
+    except ConstraintViolationError:
+        pass
+    assert read_manifest(loc)["version"] == v_before
+    # dropping the contract admits the same batch
+    eng.sql("ALTER TABLE db.docs DROP CONSTRAINT chars_bound", "ops")
+    eng.sql(
+        "INSERT INTO db.docs SELECT doc_id + 9000000 AS doc_id, text, "
+        "lang, source, n_chars + 1000 AS n_chars FROM db.docs "
+        "WHERE doc_id < 8000000",
+        "ops",
+    )
+    return eng.sql(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM db.docs GROUP BY lang",
+        "ops",
+    )

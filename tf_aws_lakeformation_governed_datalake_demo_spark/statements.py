@@ -264,6 +264,26 @@ class TruncateTableStatement:
 
 
 @dataclass(frozen=True)
+class AddConstraintStatement:
+    """``ALTER TABLE <db.t> ADD CONSTRAINT <name> CHECK (<expr>)`` —
+    Delta's named CHECK constraint: existing data validates FIRST,
+    then a metadata-only commit makes every later batch validate
+    against it (sources.lake.add_constraint)."""
+
+    target: str
+    name: str
+    expr: str
+
+
+@dataclass(frozen=True)
+class DropConstraintStatement:
+    """``ALTER TABLE <db.t> DROP CONSTRAINT <name>``."""
+
+    target: str
+    name: str
+
+
+@dataclass(frozen=True)
 class AddFilesStatement:
     """``ALTER TABLE <db.t> ADD FILES '<dir>'`` — import bulk-landed
     parquet into the manifest layout as one O(new files) commit
@@ -1605,6 +1625,36 @@ def parse_statement(sql: str):
         )
         if m:
             return AddFilesStatement(m.group(1), m.group(2))
+        m = re.match(
+            rf"alter\s+table\s+({_QUALIFIED})\s+add\s+constraint\s+"
+            rf"({_IDENT})\s+check\s*",
+            text,
+            re.I,
+        )
+        if m:
+            rest = text[m.end() :].lstrip()
+            if not rest.startswith("("):
+                raise UnsupportedStatementError(
+                    "supported form: ALTER TABLE <db.table> ADD "
+                    "CONSTRAINT <name> CHECK (<expr>)"
+                )
+            end = _balanced_paren_span(rest, 0)
+            if rest[end:].strip():
+                raise UnsupportedStatementError(
+                    "unexpected trailing text after CHECK (...)"
+                )
+            expr = rest[1 : end - 1].strip()
+            if not expr:
+                raise UnsupportedStatementError("empty CHECK expression")
+            return AddConstraintStatement(m.group(1), m.group(2), expr)
+        m = re.fullmatch(
+            rf"alter\s+table\s+({_QUALIFIED})\s+drop\s+constraint\s+"
+            rf"({_IDENT})",
+            text,
+            re.I,
+        )
+        if m:
+            return DropConstraintStatement(m.group(1), m.group(2))
         m = re.fullmatch(
             rf"alter\s+table\s+({_QUALIFIED})\s+alter\s+column\s+"
             rf"({_IDENT})\s+(?:type|set\s+data\s+type)\s+(.+)",
