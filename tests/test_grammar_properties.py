@@ -109,3 +109,74 @@ def test_literal_in_list_always_yields_only_the_column(col, lits):
     assert got == {col}
     # a bare identifier in the list is not a literal list: fail closed
     assert predicate_columns(f"{col} IN ({quoted}, other_col)") is None
+
+
+# ---- round-14 ALTER forms ------------------------------------------------
+
+from tf_aws_lakeformation_governed_datalake_demo_spark.statements import (  # noqa: E402
+    AddConstraintStatement,
+    AddFilesStatement,
+    MsckRepairStatement,
+    TruncateTableStatement,
+    UnsupportedStatementError,
+    WidenColumnStatement,
+)
+
+
+@given(db=_IDENT, tbl=_IDENT, col=_IDENT, typ=_TYPE)
+def test_widen_both_spellings_parse_identically(db, tbl, col, typ):
+    a = parse_statement(
+        f"ALTER TABLE {db}.{tbl} ALTER COLUMN {col} TYPE {typ}"
+    )
+    b = parse_statement(
+        f"ALTER TABLE {db}.{tbl} ALTER COLUMN {col} SET DATA TYPE {typ}"
+    )
+    assert isinstance(a, WidenColumnStatement)
+    assert (a.target, a.column, a.ddl_type) == (b.target, b.column, b.ddl_type)
+    assert a.ddl_type == typ
+
+
+@given(db=_IDENT, tbl=_IDENT, name=_IDENT, depth=st.integers(0, 4))
+def test_add_constraint_expr_survives_nested_parens(db, tbl, name, depth):
+    expr = "v < 100"
+    for _ in range(depth):
+        expr = f"({expr} AND (1 = 1))"
+    s = parse_statement(
+        f"ALTER TABLE {db}.{tbl} ADD CONSTRAINT {name} CHECK ({expr})"
+    )
+    assert isinstance(s, AddConstraintStatement)
+    assert s.expr == expr  # the balanced-paren span is exact
+    # trailing junk after the balanced span refuses
+    import pytest
+
+    with pytest.raises(UnsupportedStatementError):
+        parse_statement(
+            f"ALTER TABLE {db}.{tbl} ADD CONSTRAINT {name} "
+            f"CHECK ({expr}) EXTRA"
+        )
+
+
+@given(db=_IDENT, tbl=_IDENT)
+def test_round14_verbs_parse_and_malformed_refuse(db, tbl):
+    import pytest
+
+    assert isinstance(
+        parse_statement(f"ALTER TABLE {db}.{tbl} ADD FILES '/x/y'"),
+        AddFilesStatement,
+    )
+    assert isinstance(
+        parse_statement(f"TRUNCATE TABLE {db}.{tbl}"),
+        TruncateTableStatement,
+    )
+    assert isinstance(
+        parse_statement(f"MSCK REPAIR TABLE {db}.{tbl}"),
+        MsckRepairStatement,
+    )
+    for bad in (
+        f"ALTER TABLE {db}.{tbl} ADD FILES /x/y",  # unquoted path
+        f"TRUNCATE {db}.{tbl}",  # missing TABLE
+        f"MSCK REPAIR {db}.{tbl}",
+        f"ALTER TABLE {db}.{tbl} ALTER COLUMN TYPE bigint",  # no column
+    ):
+        with pytest.raises(UnsupportedStatementError):
+            parse_statement(bad)
