@@ -2099,10 +2099,12 @@ def parse_statement(sql: str):
         f"statement verb {verb.upper()!r} is outside the governed grammar "
         "(supported: SELECT/WITH/VALUES queries, EXPLAIN <query>, MERGE "
         "INTO, INSERT INTO, UPDATE, DELETE FROM, OPTIMIZE, VACUUM, "
+        "TRUNCATE TABLE, MSCK REPAIR TABLE, "
         "CREATE DATABASE, CREATE [EXTERNAL] TABLE, DROP TABLE, "
         "GRANT/REVOKE, CREATE/REFRESH/DROP MATERIALIZED VIEW, CREATE "
         "[OR REPLACE] VIEW, DROP VIEW, PREPARE/EXECUTE, ALTER TABLE "
-        "RENAME COLUMN / ADD COLUMNS, SHOW DATABASES/TABLES/VIEWS/"
-        "PARTITIONS/GRANTS, DESCRIBE [HISTORY], ANALYZE TABLE); raw "
-        "DDL does not run through the governed engine"
+        "RENAME/DROP/ADD COLUMN(S) / ALTER COLUMN TYPE / ADD FILES / "
+        "ADD-DROP CONSTRAINT, SHOW DATABASES/TABLES/VIEWS/"
+        "PARTITIONS/GRANTS, DESCRIBE [HISTORY|DETAIL|FILES], ANALYZE "
+        "TABLE); raw DDL does not run through the governed engine"
     )
