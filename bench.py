@@ -331,6 +331,7 @@ HEADLINE = [
     "sql_describe_files",
     # late round-13 addition that only had an isolated bar until now
     "stream_cdc_with_deletes",
+    "sql_add_constraint",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
