@@ -2984,6 +2984,28 @@ class Engine:
           policy object naming the column — schema, comments, tags,
           pending status, data-cells filter allowlists and row
           predicates; referencing views fail closed.
+        - ``"widen_column"`` — ALTER COLUMN TYPE safe widening
+          (catalog.widen_column; ``column=`` and ``ddl_type=``
+          required): manifest + catalog schemas widen together as one
+          metadata commit; narrowing/cross-family/partition keys
+          refuse.
+        - ``"add_files"`` — import bulk-landed parquet
+          (sources.lake.add_files; ``source=`` required): O(new
+          files) hardlink commit, layout/schema validated,
+          constraints verified over the new data, footer stats
+          recorded at import.
+        - ``"truncate"`` — TRUNCATE TABLE
+          (sources.lake.truncate_table): one zero-file snapshot
+          commit; a mutation, not erasure (time travel keeps the old
+          cut until vacuum).
+        - ``"msck_repair"`` — MSCK REPAIR TABLE
+          (catalog.repair_table): index a declared location's hive
+          layout + footer row counts; drift falls open at serve time.
+        - ``"add_constraint"`` / ``"drop_constraint"`` — named CHECK
+          constraints (sources.lake.add_constraint/drop_constraint;
+          ``constraint=``, plus ``expr=`` on add): existing data
+          validates first; every later batch validates one staged
+          scan.
 
         Same fail-closed location guard as drop_table(delete_data=True):
         the catalog must have a ``lake_root`` and the table location
