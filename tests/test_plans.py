@@ -789,3 +789,16 @@ def test_token_budget_mixture_approx_is_map_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_chunk_documents_is_map_only_before_final_agg(spark, sf_dir):
+    """pipeline_chunk_documents (round-14): chunk ranges derive from a
+    per-row sequence() + explode — no self-join, no window; the only
+    shuffle feeds the per-language aggregate."""
+    plan = physical_plan(
+        REGISTRY["pipeline_chunk_documents"].builder(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan

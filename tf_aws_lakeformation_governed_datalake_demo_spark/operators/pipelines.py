@@ -489,3 +489,108 @@ def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs", "sum_doc_id", "min_ce_milli", "max_ce_milli",
         )
     )
+
+
+@query(
+    "pipeline_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split(lower(text), ' ') AS ws
+      FROM documents),
+    sized AS (SELECT doc_id, lang, ws, len(ws) AS n FROM toks),
+    idx AS (
+      SELECT doc_id, lang, ws, n,
+             unnest(range(0, CAST(ceil(
+               greatest(n - 64, 0) / 48.0) AS BIGINT) + 1)) AS chunk_index
+      FROM sized),
+    chunks AS (
+      SELECT doc_id, lang, CAST(chunk_index AS BIGINT) AS chunk_index,
+             list_slice(ws, chunk_index * 48 + 1,
+                        least(chunk_index * 48 + 64, n)) AS cw
+      FROM idx
+      WHERE chunk_index = 0 OR chunk_index * 48 < n),
+    final AS (
+      SELECT doc_id, lang, chunk_index,
+             CAST(len(cw) AS BIGINT) AS n_words,
+             md5(array_to_string(cw, ' ')) AS chunk_hash
+      FROM chunks)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(count(DISTINCT chunk_hash) AS BIGINT) AS distinct_chunks,
+           CAST(sum(CAST(concat('0x', substr(chunk_hash, 1, 8)) AS BIGINT))
+                AS BIGINT) AS hash_sum
+    FROM final GROUP BY lang
+    """,
+    "Document chunking (round-14): split every document into "
+    "64-word windows with stride 48 (25% overlap) — the stage "
+    "between cleaning and packing that pretraining and RAG corpora "
+    "both run. Chunk identity is CONTENT-ADDRESSED (md5 of the "
+    "joined window), so re-ingesting a document yields identical "
+    "chunk ids and near-dup windows collapse downstream; hash_sum "
+    "pins every chunk's exact content, distinct_chunks exposes "
+    "intra-corpus window duplication.",
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-only pass — per doc, the chunk ranges derive
+    from a sequence() over the word array (no self-join, no window
+    function) and explode into rows; the only shuffle is the final
+    per-language aggregate. A 100 TB corpus chunks at scan speed;
+    stride/size ride the closure as literals. Every document yields
+    at least one chunk (short docs emit their full word list), so
+    the stage never silently drops content."""
+    d = load(spark, sf_dir, "documents")
+    ws = d.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("ws")
+    ).withColumn("n", F.size("ws"))
+    # chunk_index 0 .. ceil(max(n-64,0)/48); index i covers words
+    # [i*48+1, min(i*48+64, n)] (1-based slice, matching the oracle)
+    chunks = ws.select(
+        "doc_id",
+        "lang",
+        "n",
+        "ws",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(
+                    F.greatest(F.col("n") - 64, F.lit(0)) / F.lit(48.0)
+                ).cast("long"),
+            )
+        ).alias("chunk_index"),
+    ).filter((F.col("chunk_index") == 0) | (F.col("chunk_index") * 48 < F.col("n")))
+    final = chunks.select(
+        "doc_id",
+        "lang",
+        "chunk_index",
+        F.slice(
+            "ws",
+            F.col("chunk_index") * 48 + 1,
+            F.least(
+                F.lit(64),
+                F.col("n") - F.col("chunk_index") * 48,
+            ),
+        ).alias("cw"),
+    ).select(
+        "doc_id",
+        "lang",
+        "chunk_index",
+        F.size("cw").cast("long").alias("n_words"),
+        F.md5(F.concat_ws(" ", "cw")).alias("chunk_hash"),
+    )
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.countDistinct("chunk_hash").cast("long").alias(
+                "distinct_chunks"
+            ),
+            F.sum(
+                F.conv(F.substring("chunk_hash", 1, 8), 16, 10).cast("long")
+            )
+            .cast("long")
+            .alias("hash_sum"),
+        )
+        .orderBy("lang")
+    )
