@@ -189,3 +189,71 @@ def test_sql_statement_gate_and_audit(spark, tmp_path):
     lines = [e for e in cat.audit.events if "add_files" in e["query"]]
     assert lines and lines[-1]["status"] == "ok"
     assert landing in lines[-1]["query"]
+
+
+def test_heterogeneous_landing_refuses_per_file(spark, tmp_path, table):
+    """Round-14 review fix: schema validates PER FILE — a landing with
+    one conforming and one retyped file must refuse entirely (a
+    directory-level inference would see only one footer and link
+    both)."""
+    landing = str(tmp_path / "hetero")
+    _docs(spark, 10, 12).coalesce(1).write.partitionBy("lang").parquet(
+        landing
+    )
+    # second file set with n_chars retyped, landed into the same dirs
+    _docs(spark, 12, 14).withColumn(
+        "n_chars", F.col("n_chars").cast("string")
+    ).coalesce(1).write.mode("append").partitionBy("lang").parquet(landing)
+    before = read_manifest(table)["version"]
+    with pytest.raises(ValueError, match="retyped"):
+        add_files(spark, table, landing)
+    assert read_manifest(table)["version"] == before  # zero change
+
+
+def test_numeric_looking_string_partition_values_import(spark, tmp_path):
+    """Round-14 review fix: partition values are NOT type-inferred
+    from directory names — day='20240101' dirs import fine into a
+    string-typed partition key."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"2024010{i % 2 + 1}", i) for i in range(6)],
+        "id long, day string, v long",
+    )
+    publish_overwrite(spark, path, df, ["day"], manifest=True)
+    landing = str(tmp_path / "land")
+    spark.createDataFrame(
+        [(100 + i, f"2024010{i % 2 + 1}", i) for i in range(4)],
+        "id long, day string, v long",
+    ).write.partitionBy("day").parquet(landing)
+    add_files(spark, path, landing)
+    got = read_table(spark, path)
+    assert got.count() == 10
+    assert dict(got.dtypes)["day"] == "string"
+
+
+def test_add_files_refuses_mv_state(spark, tmp_path):
+    """Round-14 review fix: importing files into an MV's derived state
+    would silently desync it from its source — refuse."""
+    lake = str(tmp_path / "lake")
+    cat = GovernedCatalog(spark, lake_root=lake)
+    cat.create_database("db")
+    cat.set_admins(["ops"])
+    loc = f"{lake}/docs"
+    publish_overwrite(spark, loc, _docs(spark, 0, 10), ["lang"], manifest=True)
+    cat.register_table(
+        TableDef(
+            "db", "docs", loc, schema=_docs(spark, 0, 10).schema,
+            partition_keys=("lang",),
+        )
+    )
+    eng = Engine(spark, cat)
+    eng.create_materialized_view(
+        "db.mv", "db.docs", ["lang"], {"n": ("count", None)}, principal="ops"
+    )
+    landing = _land(spark, tmp_path, _docs(spark, 10, 12))
+    with pytest.raises(ValueError, match="derived"):
+        eng.sql(f"ALTER TABLE db.mv ADD FILES '{landing}'", "ops")
+    with pytest.raises(ValueError, match="derived"):
+        eng.sql("ALTER TABLE db.mv ALTER COLUMN n TYPE bigint", "ops")
+    with pytest.raises(ValueError, match="derived"):
+        eng.sql("ALTER TABLE db.mv ADD CONSTRAINT c CHECK (n > 0)", "ops")

@@ -497,3 +497,26 @@ def test_token_budget_mixture_long_docs_fill_with_fewer(spark):
     assert out["short"].tokens_sampled == out["short"].t_total
     # exact shape: budget=60600, quota_long=55077 -> 55 docs of 1000
     assert out["long"].n_sampled == 55
+
+
+def test_token_budget_mixture_zero_quota_language_reports_zero(spark):
+    """Round-14 review fix: a language whose quota admits NO document
+    (its whole token mass sits in one doc bigger than the quota) must
+    report n_sampled = 0 — never vanish from the mixture plan."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.curation import (
+        token_budget_mixture,
+    )
+
+    rows = [(1, "whale", "h0", 10_000)] + [
+        (10 + i, "minnow", f"h{i:03d}", 10) for i in range(100)
+    ]
+    tok = spark.createDataFrame(
+        rows, "doc_id long, lang string, h string, n_tokens long"
+    )
+    out = {r.lang: r for r in token_budget_mixture(tok).collect()}
+    assert set(out) == {"whale", "minnow"}  # nothing vanishes
+    w = out["whale"]
+    # quota < the single doc's mass -> zero sampled, zeros reported
+    assert w.token_quota < 10_000
+    assert (w.n_sampled, w.sum_doc_id, w.tokens_sampled) == (0, 0, 0)
+    assert w.realized_frac == 0.0

@@ -200,7 +200,7 @@ def test_pca_matches_numpy_reference(spark):
         assert np.allclose(got[vid], ref_proj[i], atol=1e-5), vid
 
 
-def test_pca_partials_reduce_in_spark(spark):
+def test_pca_partials_reduce_in_spark(spark, sf001_dir):
     """Round-14 fix (r13 VERDICT "what's wrong" #2): the PCA fit must
     reduce the per-task (n, s, ss) partials inside Spark and collect
     exactly ONE row on the driver — never O(partitions) rows — even
@@ -213,7 +213,7 @@ def test_pca_partials_reduce_in_spark(spark):
     )
     from tf_aws_lakeformation_governed_datalake_demo_spark.sources import load
 
-    v = load(spark, "/root/testdata/sf0.001", "embeddings").repartition(16)
+    v = load(spark, sf001_dir, "embeddings").repartition(16)
     parts = _reduced_partials(v)
     assert len(parts) == 1  # the driver receives a single reduced row
     # and the reduced row still yields the exact numpy fit

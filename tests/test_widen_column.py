@@ -229,3 +229,21 @@ def test_mv_refresh_survives_widening(spark, tmp_path):
         ).collect()
     }
     assert got == want and got["en"][1] > 3_000_000_000
+
+
+def test_widen_refuses_trailing_ddl_text(spark, tmp_path):
+    """Round-14 review fix: 'bigint, junk string' parses as two DDL
+    fields and 'bigint COMMENT x' attaches metadata — both refuse
+    instead of silently widening to the first field."""
+    eng, cat = _engine(spark, tmp_path)
+    for bad in ("bigint, junk string", "bigint COMMENT 'x'"):
+        with pytest.raises(ValueError, match="exactly one plain type"):
+            eng.sql(
+                f"ALTER TABLE db.docs ALTER COLUMN n_chars TYPE {bad}",
+                "ops",
+            )
+    td = cat.tables["db.docs"]
+    assert isinstance(
+        dict((f.name, f.dataType) for f in td.schema.fields)["n_chars"],
+        T.IntegerType,
+    )

@@ -894,11 +894,20 @@ class GovernedCatalog:
                 "encoding; evolve partitioning instead"
             )
         try:
-            new_t = T.StructType.fromDDL(f"x {ddl_type}").fields[0].dataType
+            parsed = T.StructType.fromDDL(f"x {ddl_type}")
         except Exception as exc:
             raise ValueError(
                 f"cannot parse type {ddl_type!r}: {exc}"
             ) from exc
+        # fail closed on trailing DDL text: "bigint, junk string" parses
+        # as TWO fields and "bigint COMMENT x" attaches metadata — both
+        # must refuse, not silently widen to fields[0] (round-14 review)
+        if len(parsed.fields) != 1 or dict(parsed.fields[0].metadata or {}):
+            raise ValueError(
+                f"ALTER COLUMN TYPE takes exactly one plain type, got "
+                f"{ddl_type!r}"
+            )
+        new_t = parsed.fields[0].dataType
         old_t = by_name[col].dataType
         _chain = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 

@@ -1861,11 +1861,19 @@ class Engine:
                 if live.is_dir():
                     for f in _data_file_relpaths(live):
                         part = _os.path.dirname(f).replace(_os.sep, "/")
-                        size = (live / f).stat().st_size
+                        try:
+                            size = (live / f).stat().st_size
+                        except OSError:
+                            # deleted out-of-band between the listing
+                            # and the stat — exactly the churn declared
+                            # locations see; report unknown, never crash
+                            size = None
                         known = disc.get(f)
                         nrows = (
                             int(known[1])
-                            if known is not None and int(known[0]) == size
+                            if known is not None
+                            and size is not None
+                            and int(known[0]) == size
                             else None
                         )
                         rows.append((f, part, nrows, size, None))
@@ -3372,6 +3380,7 @@ class Engine:
                 "version": snap["version"],
             }
         elif action == "add_constraint":
+            self._refuse_mv_mutation(qualified, "ALTER TABLE ADD CONSTRAINT")
             if not {"constraint", "expr"} <= set(kwargs):
                 _audit("failed", "add_constraint requires constraint= and expr=")
                 raise ValueError(
@@ -3387,6 +3396,7 @@ class Engine:
             )
             result = {"added_constraint": kwargs["constraint"]}
         elif action == "drop_constraint":
+            self._refuse_mv_mutation(qualified, "ALTER TABLE DROP CONSTRAINT")
             if "constraint" not in kwargs:
                 _audit("failed", "drop_constraint requires constraint=")
                 raise ValueError("drop_constraint requires constraint=")
@@ -3395,6 +3405,10 @@ class Engine:
             _lake_drop_con(table.location, kwargs["constraint"])
             result = {"dropped_constraint": kwargs["constraint"]}
         elif action == "add_files":
+            # derived state only changes through refresh — importing
+            # files into an MV state table would silently desync it
+            # from its source watermark (round-14 review)
+            self._refuse_mv_mutation(qualified, "ALTER TABLE ADD FILES")
             if "source" not in kwargs:
                 _audit("failed", "add_files requires source=")
                 raise ValueError("add_files requires source=")
@@ -3413,6 +3427,7 @@ class Engine:
                 "version": snap["version"],
             }
         elif action == "widen_column":
+            self._refuse_mv_mutation(qualified, "ALTER COLUMN TYPE")
             if not {"column", "ddl_type"} <= set(kwargs):
                 _audit("failed", "widen_column requires column= and ddl_type=")
                 raise ValueError("widen_column requires column= and ddl_type=")

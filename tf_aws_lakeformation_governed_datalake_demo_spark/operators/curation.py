@@ -767,13 +767,49 @@ _TOKEN_MIXTURE_ORACLE = """
                  CAST(sum(r.n_tokens) AS BIGINT) AS tokens_sampled
           FROM r JOIN tg ON r.lang = tg.lang
           WHERE r.cum <= tg.token_quota GROUP BY r.lang)
-    SELECT tg.lang, tg.n_total, tg.t_total, tg.token_quota, s.n_sampled,
-           s.sum_doc_id, s.tokens_sampled, tg.target_w,
-           round(CAST(s.tokens_sampled AS DOUBLE) / tg.t_total, 4)
-             AS realized_frac
-    FROM tg JOIN s ON tg.lang = s.lang
+    SELECT tg.lang, tg.n_total, tg.t_total, tg.token_quota,
+           CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(coalesce(s.sum_doc_id, 0) AS BIGINT) AS sum_doc_id,
+           CAST(coalesce(s.tokens_sampled, 0) AS BIGINT) AS tokens_sampled,
+           tg.target_w,
+           round(CAST(coalesce(s.tokens_sampled, 0) AS DOUBLE)
+                 / tg.t_total, 4) AS realized_frac
+    FROM tg LEFT JOIN s ON tg.lang = s.lang
     ORDER BY tg.lang
 """
+
+
+def _token_quota_targets(tok: DataFrame) -> DataFrame:
+    """Per-language token quotas shared by the exact and approximate
+    mixture forms: alpha=0.5 weights over token mass under a
+    60%-of-corpus budget; sum_w folds the SORTED weight list so the
+    float total is bit-identical across engines (the floor() guard)."""
+    counts = tok.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("n_tokens").cast("long").alias("t_total"),
+    )
+    tot = counts.agg(
+        F.sum("t_total").alias("t_corpus"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt("t_total"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_w"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_total",
+        "t_total",
+        F.round(F.sqrt("t_total") / F.col("sum_w"), 4).alias("target_w"),
+        F.least(
+            F.col("t_total"),
+            F.floor(
+                F.floor(F.lit(0.6) * F.col("t_corpus"))
+                * F.sqrt("t_total")
+                / F.col("sum_w")
+            ).cast("long"),
+        ).alias("token_quota"),
+    )
 
 
 def token_budget_mixture(tok: DataFrame) -> DataFrame:
@@ -795,32 +831,7 @@ def token_budget_mixture(tok: DataFrame) -> DataFrame:
     the same single-shuffle shape as pipeline_dataset_mixture;
     sum_w folds the SORTED weight list so the float total is
     bit-identical across engines (the floor() guard)."""
-    counts = tok.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n_total"),
-        F.sum("n_tokens").cast("long").alias("t_total"),
-    )
-    tot = counts.agg(
-        F.sum("t_total").alias("t_corpus"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.sqrt("t_total"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("sum_w"),
-    )
-    targets = counts.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "n_total",
-        "t_total",
-        F.round(F.sqrt("t_total") / F.col("sum_w"), 4).alias("target_w"),
-        F.least(
-            F.col("t_total"),
-            F.floor(
-                F.floor(F.lit(0.6) * F.col("t_corpus"))
-                * F.sqrt("t_total")
-                / F.col("sum_w")
-            ).cast("long"),
-        ).alias("token_quota"),
-    )
+    targets = _token_quota_targets(tok)
     win = (
         W.partitionBy("lang")
         .orderBy("h", "doc_id")
@@ -836,19 +847,27 @@ def token_budget_mixture(tok: DataFrame) -> DataFrame:
         F.sum("doc_id").cast("long").alias("sum_doc_id"),
         F.sum("n_tokens").cast("long").alias("tokens_sampled"),
     )
+    # LEFT join + zero fill: a language whose quota admits no document
+    # (all its token mass in one doc larger than the quota) must REPORT
+    # n_sampled = 0, never vanish from the mixture plan (round-14
+    # review; the pure-Python reference emits an entry per language)
     return (
-        targets.join(sampled, "lang")
+        targets.join(sampled, "lang", "left")
         .select(
             "lang",
             "n_total",
             "t_total",
             "token_quota",
-            "n_sampled",
-            "sum_doc_id",
-            "tokens_sampled",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("sum_doc_id", F.lit(0)).cast("long").alias("sum_doc_id"),
+            F.coalesce("tokens_sampled", F.lit(0))
+            .cast("long")
+            .alias("tokens_sampled"),
             "target_w",
             F.round(
-                F.col("tokens_sampled").cast("double") / F.col("t_total"), 4
+                F.coalesce("tokens_sampled", F.lit(0)).cast("double")
+                / F.col("t_total"),
+                4,
             ).alias("realized_frac"),
         )
         .orderBy("lang")
@@ -947,11 +966,13 @@ _TOKEN_MIXTURE_APPROX_ORACLE = """
           WHERE CAST(r.h32 AS DOUBLE) / 4294967296.0
                 < CAST(tg.token_quota AS DOUBLE) / tg.t_total
           GROUP BY r.lang)
-    SELECT tg.lang, tg.n_total, tg.t_total, tg.token_quota, s.n_sampled,
-           s.sum_doc_id, s.tokens_sampled,
-           round(CAST(s.tokens_sampled AS DOUBLE) / tg.token_quota, 4)
-             AS fill_ratio
-    FROM tg JOIN s ON tg.lang = s.lang
+    SELECT tg.lang, tg.n_total, tg.t_total, tg.token_quota,
+           CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(coalesce(s.sum_doc_id, 0) AS BIGINT) AS sum_doc_id,
+           CAST(coalesce(s.tokens_sampled, 0) AS BIGINT) AS tokens_sampled,
+           round(CAST(coalesce(s.tokens_sampled, 0) AS DOUBLE)
+                 / tg.token_quota, 4) AS fill_ratio
+    FROM tg LEFT JOIN s ON tg.lang = s.lang
     ORDER BY tg.lang
 """
 
@@ -992,31 +1013,7 @@ def pipeline_token_budget_mixture_approx(
         .cast("long")
         .alias("n_tokens"),
     )
-    counts = tok.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n_total"),
-        F.sum("n_tokens").cast("long").alias("t_total"),
-    )
-    tot = counts.agg(
-        F.sum("t_total").alias("t_corpus"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.sqrt("t_total"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("sum_w"),
-    )
-    targets = counts.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "n_total",
-        "t_total",
-        F.least(
-            F.col("t_total"),
-            F.floor(
-                F.floor(F.lit(0.6) * F.col("t_corpus"))
-                * F.sqrt("t_total")
-                / F.col("sum_w")
-            ).cast("long"),
-        ).alias("token_quota"),
-    )
+    targets = _token_quota_targets(tok).drop("target_w")
     taken = tok.join(F.broadcast(targets), "lang").filter(
         F.col("h32").cast("double") / F.lit(4294967296.0)
         < F.col("token_quota").cast("double") / F.col("t_total")
@@ -1026,18 +1023,21 @@ def pipeline_token_budget_mixture_approx(
         F.sum("doc_id").cast("long").alias("sum_doc_id"),
         F.sum("n_tokens").cast("long").alias("tokens_sampled"),
     )
+    # same LEFT-join zero-fill rule as the exact core
     return (
-        targets.join(sampled, "lang")
+        targets.join(sampled, "lang", "left")
         .select(
             "lang",
             "n_total",
             "t_total",
             "token_quota",
-            "n_sampled",
-            "sum_doc_id",
-            "tokens_sampled",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("sum_doc_id", F.lit(0)).cast("long").alias("sum_doc_id"),
+            F.coalesce("tokens_sampled", F.lit(0))
+            .cast("long")
+            .alias("tokens_sampled"),
             F.round(
-                F.col("tokens_sampled").cast("double")
+                F.coalesce("tokens_sampled", F.lit(0)).cast("double")
                 / F.col("token_quota"),
                 4,
             ).alias("fill_ratio"),

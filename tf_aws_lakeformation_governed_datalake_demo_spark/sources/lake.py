@@ -2922,28 +2922,43 @@ def add_files(spark: SparkSession, path: str, source_dir: str) -> dict:
                 f"file {rel} does not match the table's partition "
                 f"layout {pb} — hive-style k=v directories required"
             )
-    want = {f["name"]: f["type"] for f in recorded["fields"]}
-    have = {
+    # Schema validates PER FILE, never from one directory-level
+    # inference: Spark's default (mergeSchema=false) would infer from a
+    # single footer, letting a heterogeneous landing link unvalidated
+    # files into the table (round-14 review). Partition columns are
+    # validated by the layout check above and their VALUES decode from
+    # dir names under the DECLARED type at read time — they are
+    # deliberately NOT type-inferred here (directory-name inference
+    # calls day='20240101' an integer and would falsely refuse a valid
+    # import into a string-typed key).
+    want = {
         f["name"]: f["type"]
-        for f in spark.read.parquet(str(src)).schema.jsonValue()["fields"]
+        for f in recorded["fields"]
+        if f["name"] not in pb
     }
-    if set(want) != set(have):
-        raise ValueError(
-            f"imported schema does not match the table's (extra="
-            f"{sorted(set(have) - set(want))}, missing="
-            f"{sorted(set(want) - set(have))})"
+    for rel in rels:
+        have = {
+            f["name"]: f["type"]
+            for f in spark.read.parquet(str(src / rel))
+            .schema.jsonValue()["fields"]
+        }
+        if set(want) != set(have):
+            raise ValueError(
+                f"imported file {rel} does not match the table's data "
+                f"columns (extra={sorted(set(have) - set(want))}, "
+                f"missing={sorted(set(want) - set(have))})"
+            )
+        retyped = sorted(
+            n
+            for n in want
+            if have[n] != want[n] and not _is_safe_widening(have[n], want[n])
         )
-    retyped = sorted(
-        n
-        for n in want
-        if have[n] != want[n] and not _is_safe_widening(have[n], want[n])
-    )
-    if retyped:
-        raise ValueError(
-            f"imported column types are not readable as the declared "
-            f"ones (retyped={retyped}) — only equal or safely-narrower "
-            "file types import"
-        )
+        if retyped:
+            raise ValueError(
+                f"imported file {rel} column types are not readable as "
+                f"the declared ones (retyped={retyped}) — only equal or "
+                "safely-narrower file types import"
+            )
     constraints = current.get("constraints") or {}
     if constraints:
         # verify over the NEW data only, before anything links
@@ -2979,6 +2994,14 @@ def add_files(spark: SparkSession, path: str, source_dir: str) -> dict:
                 raise ConcurrentLakeModificationError(
                     f"table at {live} renamed columns while this "
                     "import was staging — re-run"
+                )
+            if current.get("schema") != recorded:
+                # the batch validated against the OLD writer schema; a
+                # concurrent overwrite/widen must not admit mixed-
+                # schema files (same rule as the other three re-checks)
+                raise ConcurrentLakeModificationError(
+                    f"table at {live} changed its recorded schema "
+                    "while this import was staging — re-run"
                 )
             new_files = _move_staged_in(live, staged, staged_files)
             return _commit_manifest(
