@@ -41,23 +41,28 @@ sliding distinct users, CDC-with-deletes, the re-planned heavy
 hitters) + 40 promoted r8 re-verifications filled the window
 (CORRECTNESS_r13: 50/50 green); those 50 names are the y9_ class.
 
-Round-14 record: 7 new oracle-backed queries take the window front —
+Round-14 record: 9 new oracle-backed queries take the window front —
 safe type widening (sql_alter_column_widen: manifest + catalog
 schemas widen together, old int32 footers promote, narrowing
 refuses), ADD FILES import (sql_add_files: O(new files) bridge from
-bulk landing into the manifest layout), the token-budget mixture
-pair (exact prefix fill + the map-only approximate scale path), zero-
-file TRUNCATE (sql_truncate_table), MSCK REPAIR for declared
-locations (sql_msck_repair: indexed counts serve zero-file, drift
-falls open), and the files-metadata inventory (sql_describe_files) —
+bulk landing into the manifest layout, per-file schema validation),
+the token-budget mixture pair (exact prefix fill + the map-only
+approximate scale path; zero-quota languages report zero, never
+vanish), zero-file TRUNCATE (sql_truncate_table), MSCK REPAIR for
+declared locations (sql_msck_repair: indexed counts serve zero-file,
+drift falls open), the files-metadata inventory (sql_describe_files),
+named CHECK constraints as SQL (sql_add_constraint), and
+content-addressed document chunking (pipeline_chunk_documents) —
 plus the z-class BPE-composed mixture
 (pipeline_token_budget_mixture_bpe, exact-pinned in
 tests/test_curation.py). The round also fixed the
 lake_multi_table_publish elevation (bisected structurally to the
 round-13 metadata-count take ramp; every driver-local statement
-result now builds as a ONE-partition DataFrame) and moved the PCA
+result now builds as a ONE-partition DataFrame), moved the PCA
 partials reduction into Spark (the driver collects exactly one row —
-pinned).
+pinned), and applied a nine-finding review pass across the new
+surfaces (per-file import validation, MV derived-state guards,
+concurrent-schema re-check under the commit lock).
 
 Round-8 record: the round-8 window was entirely first-verdict names —
 the 24 new round-8 oracle-backed queries (manifest time travel, CDF +
