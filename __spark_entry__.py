@@ -76,8 +76,13 @@ plus the 26 round-3/4-verified names that had spilled past round 7
 (CORRECTNESS_r08: 50/50 green). Per-query design notes live in each
 operator's docstring and in git history.
 
-- ``z_<name>`` — no SQL oracle exists; 10 queries, each with a written
-  reason: pipeline_quality_classifier trains iterative LBFGS logistic
+- ``z_<name>`` — no SQL oracle exists; 11 queries, each with a written
+  reason: pipeline_token_budget_mixture_bpe composes the iterative BPE
+  learner's token counts into the mixture core (the core's quota and
+  prefix-fill math IS oracle-verified via
+  pipeline_token_budget_mixture; the composition is exact-pinned
+  against a pure-Python replay in tests/test_curation.py),
+  pipeline_quality_classifier trains iterative LBFGS logistic
   regression (held-out AUC >= 0.99 gated in tests/test_ml.py — the
   junk class is planted, see the operator docstring),
   embeddings_pca_project eigendecomposes the covariance (not
