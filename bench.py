@@ -332,6 +332,7 @@ HEADLINE = [
     # late round-13 addition that only had an isolated bar until now
     "stream_cdc_with_deletes",
     "sql_add_constraint",
+    "pipeline_chunk_documents",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
