@@ -520,3 +520,32 @@ def test_token_budget_mixture_zero_quota_language_reports_zero(spark):
     assert w.token_quota < 10_000
     assert (w.n_sampled, w.sum_doc_id, w.tokens_sampled) == (0, 0, 0)
     assert w.realized_frac == 0.0
+
+
+def test_boilerplate_chunks_detects_shared_headers(spark, tmp_path):
+    """pipeline_boilerplate_chunks: a verbatim 64+-word header shared
+    by many docs is flagged with the right spread; unique bodies are
+    not; docs shorter than one window still participate."""
+    header = " ".join(f"tok{i}" for i in range(64))
+    rows = []
+    for d in range(5):  # 5 docs share the header, bodies differ
+        body = " ".join(f"b{d}w{i}" for i in range(80))
+        rows.append((d, f"{header} {body}", "en"))
+    rows.append((10, "tiny unique doc", "en"))  # sub-window, unique
+    out = str(tmp_path / "bp")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text").cast("long")).write.parquet(
+        f"{out}/documents.parquet"
+    )
+    got = {
+        r.lang: r
+        for r in REGISTRY["pipeline_boilerplate_chunks"]
+        .builder(spark, out)
+        .collect()
+    }
+    en = got["en"]
+    # the shared first window (the header) is flagged across all 5 docs
+    assert en.max_spread == 5
+    assert en.docs_affected == 5  # the tiny unique doc is NOT affected
+    assert en.n_boilerplate_chunks >= 1

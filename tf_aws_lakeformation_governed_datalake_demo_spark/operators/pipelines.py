@@ -594,3 +594,111 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pipeline_boilerplate_chunks",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+      FROM documents),
+    sized AS (SELECT doc_id, lang, ws, len(ws) AS n FROM toks),
+    idx AS (
+      SELECT doc_id, lang, ws, n,
+             unnest(range(0, CAST(ceil(
+               greatest(n - 64, 0) / 48.0) AS BIGINT) + 1)) AS chunk_index
+      FROM sized),
+    chunks AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(
+               list_slice(ws, chunk_index * 48 + 1,
+                          least(chunk_index * 48 + 64, n)), ' '))
+               AS chunk_hash
+      FROM idx
+      WHERE chunk_index = 0 OR chunk_index * 48 < n),
+    freq AS (
+      SELECT lang, chunk_hash,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM chunks GROUP BY lang, chunk_hash),
+    flagged AS (SELECT lang, chunk_hash, n_docs FROM freq WHERE n_docs >= 2)
+    SELECT f.lang,
+           CAST(count(DISTINCT f.chunk_hash) AS BIGINT)
+             AS n_boilerplate_chunks,
+           CAST(max(f.n_docs) AS BIGINT) AS max_spread,
+           CAST(count(DISTINCT c.doc_id) AS BIGINT) AS docs_affected
+    FROM flagged f JOIN chunks c
+      ON c.lang = f.lang AND c.chunk_hash = f.chunk_hash
+    GROUP BY f.lang
+    ORDER BY f.lang
+    """,
+    "Boilerplate detection via repeated chunks (round-14): a 64-word "
+    "window appearing VERBATIM in >= 2 distinct documents of a "
+    "language is boilerplate (headers, footers, license blocks, "
+    "navigation) — the chunk-level cross-document frequency pass that "
+    "feeds boilerplate stripping. Composes the chunking operator's "
+    "content-addressed windows with one (lang, chunk_hash) frequency "
+    "aggregate and a semi-join back to count affected documents.",
+)
+def pipeline_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the chunk pass is map-only (pipeline_chunk_documents'
+    plan); frequency is one (lang, chunk_hash) partial-agg shuffle —
+    hash keys, never text; the affected-docs count joins chunks back
+    on the SAME key (co-partitioned by construction). Nothing
+    quadratic: a chunk repeated in d docs costs d rows, not d^2
+    pairs — the exact-dedup cost model at chunk granularity."""
+    d = load(spark, sf_dir, "documents")
+    ws = d.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("ws")
+    ).withColumn("n", F.size("ws"))
+    chunks = (
+        ws.select(
+            "doc_id",
+            "lang",
+            "n",
+            "ws",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(
+                        F.greatest(F.col("n") - 64, F.lit(0)) / F.lit(48.0)
+                    ).cast("long"),
+                )
+            ).alias("chunk_index"),
+        )
+        .filter(
+            (F.col("chunk_index") == 0)
+            | (F.col("chunk_index") * 48 < F.col("n"))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "ws",
+                        F.col("chunk_index") * 48 + 1,
+                        F.least(
+                            F.lit(64), F.col("n") - F.col("chunk_index") * 48
+                        ),
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+    freq = chunks.groupBy("lang", "chunk_hash").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    flagged = freq.filter(F.col("n_docs") >= 2)
+    return (
+        flagged.join(chunks, ["lang", "chunk_hash"])
+        .groupBy(flagged.lang)
+        .agg(
+            F.countDistinct("chunk_hash")
+            .cast("long")
+            .alias("n_boilerplate_chunks"),
+            F.max("n_docs").cast("long").alias("max_spread"),
+            F.countDistinct("doc_id").cast("long").alias("docs_affected"),
+        )
+        .orderBy("lang")
+    )
