@@ -257,3 +257,64 @@ def test_add_files_refuses_mv_state(spark, tmp_path):
         eng.sql("ALTER TABLE db.mv ALTER COLUMN n TYPE bigint", "ops")
     with pytest.raises(ValueError, match="derived"):
         eng.sql("ALTER TABLE db.mv ADD CONSTRAINT c CHECK (n > 0)", "ops")
+
+
+def test_import_freezes_files_readonly_and_reports_counts(
+    spark, tmp_path, table
+):
+    """Round-15 ADVICE pair: (a) the snapshot itself carries the
+    import accounting computed under the publish lock (files_added /
+    rows_added — never a pre-lock manifest diff in the caller), and
+    (b) imported files freeze read-only after the commit. Because a
+    hardlink shares the source inode, the landing copy goes read-only
+    too — the loud guard against an in-place landing edit silently
+    mutating committed snapshots."""
+    import os
+    import stat
+    from pathlib import Path
+
+    landing = _land(spark, tmp_path, _docs(spark, 10, 20))
+    snap = add_files(spark, table, landing)
+    assert snap["files_added"] > 0
+    assert snap["rows_added"] == 10
+    before = read_manifest(table)
+    linked = [
+        f for f in before["files"] if "part-import-" in f
+    ]
+    assert len(linked) == snap["files_added"]
+    for f in linked:
+        mode = stat.S_IMODE(os.stat(Path(table) / f).st_mode)
+        assert not (mode & stat.S_IWUSR), f
+    src_files = [
+        p for p in Path(landing).rglob("*.parquet") if p.is_file()
+    ]
+    # hardlinked on this filesystem -> the alias is read-only as well
+    if any(os.stat(p).st_nlink > 1 for p in src_files):
+        for p in src_files:
+            if os.stat(p).st_nlink > 1:
+                assert not (
+                    stat.S_IMODE(os.stat(p).st_mode) & stat.S_IWUSR
+                ), p
+    # the frozen files still read fine and the table serves all rows
+    assert read_table(spark, table).count() == 20
+
+
+def test_aborted_import_never_touches_landing_permissions(
+    spark, tmp_path, table
+):
+    """A refused import (schema drift) must leave the landing files
+    writable: the read-only freeze happens only after a successful
+    commit."""
+    import os
+    import stat
+    from pathlib import Path
+
+    bad = spark.createDataFrame(
+        [(1, "x", "en", 1, 9.9)],
+        "doc_id long, text string, lang string, n_chars int, extra double",
+    )
+    landing = _land(spark, tmp_path, bad)
+    with pytest.raises(ValueError, match="does not match"):
+        add_files(spark, table, landing)
+    for p in Path(landing).rglob("*.parquet"):
+        assert stat.S_IMODE(os.stat(p).st_mode) & stat.S_IWUSR, p

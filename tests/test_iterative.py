@@ -224,3 +224,17 @@ def test_pca_partials_reduce_in_spark(spark, sf001_dir):
     assert np.allclose(mean, X.mean(0), atol=1e-9)
     assert parts[0].n == X.shape[0]
     assert np.allclose(np.asarray(parts[0].s), X.sum(0), atol=1e-6)
+
+
+def test_pca_fit_empty_input_raises_meaningfully(spark):
+    """Round-15 ADVICE: an empty input must raise ValueError, not an
+    IndexError from indexing zero reduced partials."""
+    import pytest
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.iterative import (
+        pca_fit,
+    )
+
+    empty = spark.createDataFrame([], "id long, embedding array<float>")
+    with pytest.raises(ValueError, match="at least one row"):
+        pca_fit(empty, 2)

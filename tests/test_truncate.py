@@ -138,3 +138,36 @@ def test_truncate_refuses_mv_state(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="derived"):
         eng.sql("TRUNCATE TABLE db.mv", "ops")
+
+
+def test_truncate_counts_rows_under_the_publish_lock(spark, tmp_path):
+    """Round-15 ADVICE: rows_removed comes from truncate_table itself,
+    counted inside the publish lock from the re-read manifest —
+    metadata-only when footer counts cover every live file, an exact
+    scan when tombstones are in force."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        publish_overwrite,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        delete_rows_mor,
+        truncate_table,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i * 1.0) for i in range(12)],
+        "id long, grp string, v double",
+    )
+    publish_overwrite(spark, path, df, ["grp"], manifest=True)
+    snap = truncate_table(path)
+    assert snap["rows_removed"] == 12  # metadata-only, no spark needed
+    # re-publish, tombstone 3 rows (MoR): footer counts overcount, so
+    # the lock-held fallback must SCAN — and needs the session
+    publish_overwrite(spark, path, df, ["grp"], manifest=True)
+    delete_rows_mor(spark, path, "id < 3")
+    snap2 = truncate_table(path)
+    assert snap2["rows_removed"] is None  # no session: report None
+    publish_overwrite(spark, path, df, ["grp"], manifest=True)
+    delete_rows_mor(spark, path, "id < 3")
+    snap3 = truncate_table(path, spark=spark)
+    assert snap3["rows_removed"] == 9  # exact scan under the lock

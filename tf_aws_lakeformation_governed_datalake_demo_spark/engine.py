@@ -3362,21 +3362,16 @@ class Engine:
             # an operator action on the table (same admin-or-ALL rule)
             result = self.catalog.repair_table(qualified)
         elif action == "truncate":
-            from .sources.lake import count_rows as _count_rows
             from .sources.lake import truncate_table as _lake_truncate
 
             self._refuse_mv_mutation(qualified, "TRUNCATE TABLE")
-            info = _count_rows(table.location)
-            if info is not None:
-                before_rows = int(info["rows"])  # metadata-only
-            else:
-                # tombstoned / pre-recording snapshots: one exact scan
-                from .sources.lake import read_table as _rt
-
-                before_rows = _rt(self.spark, table.location).count()
-            snap = _lake_truncate(table.location)
+            # rows_removed counts INSIDE truncate_table's publish lock
+            # (round-15 ADVICE): a concurrent append between a
+            # pre-lock count and the zero-file commit must never make
+            # the report understate what was removed
+            snap = _lake_truncate(table.location, spark=self.spark)
             result = {
-                "rows_removed": before_rows,
+                "rows_removed": snap["rows_removed"],
                 "version": snap["version"],
             }
         elif action == "add_constraint":
@@ -3413,17 +3408,15 @@ class Engine:
                 _audit("failed", "add_files requires source=")
                 raise ValueError("add_files requires source=")
             from .sources.lake import add_files as _lake_add_files
-            from .sources.lake import read_manifest as _rm
 
-            before = _rm(table.location)
+            # the import accounting comes from add_files itself,
+            # computed under the publish lock from the files THIS
+            # commit linked (round-15 ADVICE: a pre-lock manifest diff
+            # here would misattribute a concurrent writer's files)
             snap = _lake_add_files(self.spark, table.location, kwargs["source"])
-            added = sorted(set(snap["files"]) - set(before["files"]))
-            rows_added = sum(
-                int(snap.get("file_rows", {}).get(f, 0)) for f in added
-            )
             result = {
-                "files_added": len(added),
-                "rows_added": rows_added,
+                "files_added": snap["files_added"],
+                "rows_added": snap["rows_added"],
                 "version": snap["version"],
             }
         elif action == "widen_column":

@@ -471,6 +471,8 @@ def pca_fit(v: DataFrame, k: int):
 
     parts = _reduced_partials(v)
     assert len(parts) <= 1, "partials must reduce in Spark before collect"
+    if not parts:
+        raise ValueError("pca_fit requires at least one row")
     n = parts[0].n
     d = len(parts[0].s)
     s = np.asarray(parts[0].s)

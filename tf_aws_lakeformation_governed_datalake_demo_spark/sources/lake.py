@@ -2806,7 +2806,7 @@ def discover_partition_stats(
     }
 
 
-def truncate_table(path: str) -> dict:
+def truncate_table(path: str, spark: SparkSession | None = None) -> dict:
     """TRUNCATE a manifest table — one metadata commit whose snapshot
     carries ZERO files (round-14; Athena/Iceberg TRUNCATE parity).
     Nothing is deleted from disk: prior snapshots keep their file
@@ -2816,7 +2816,15 @@ def truncate_table(path: str) -> dict:
     (``delete_rows`` is the GDPR path). Partition layout, constraints,
     schema, and the replay ledger all carry, so the next append lands
     exactly as it would have; merge-on-read tombstones drop (nothing
-    left to suppress)."""
+    left to suppress).
+
+    The returned snapshot carries ``rows_removed``, counted INSIDE
+    the publish lock (round-15 ADVICE: a pre-lock count would
+    understate the removal if a concurrent append landed between the
+    count and the zero-file commit): metadata-only when every live
+    file has a recorded footer count and no tombstone is in force,
+    one exact scan otherwise (pass ``spark=``; without a session the
+    fallback reports ``None``, never a wrong number)."""
     import uuid as _uuid
     from pathlib import Path
 
@@ -2830,7 +2838,16 @@ def truncate_table(path: str) -> dict:
         )
     with publish_lock(live):
         current = read_manifest(path)
-        return _commit_manifest(
+        file_rows = current.get("file_rows") or {}
+        if not current.get("delete_predicates") and all(
+            f in file_rows for f in current["files"]
+        ):
+            rows_removed = sum(int(file_rows[f]) for f in current["files"])
+        elif spark is not None:
+            rows_removed = read_table(spark, path).count()
+        else:
+            rows_removed = None
+        snap = _commit_manifest(
             live,
             [],
             current.get("partition_by") or None,
@@ -2838,6 +2855,9 @@ def truncate_table(path: str) -> dict:
             _uuid.uuid4().hex,
             delete_predicates=[],
         )
+        out = dict(snap)
+        out["rows_removed"] = rows_removed
+        return out
 
 
 def add_files(spark: SparkSession, path: str, source_dir: str) -> dict:
@@ -2853,8 +2873,17 @@ def add_files(spark: SparkSession, path: str, source_dir: str) -> dict:
     Contract:
 
     - files HARDLINK into the table tree under globally unique import
-      names (zero copy on one filesystem; byte copy across devices) —
-      the source directory is left untouched;
+      names (zero copy on one filesystem; byte copy across devices).
+      ALIASING CAVEAT (round-15 ADVICE): a hardlink shares the
+      source file's inode, so after a successful import the engine
+      freezes every imported file read-only (chmod 0444 — which, by
+      the same aliasing, also marks the user's landing copy
+      read-only). An in-place edit of the landing file would
+      otherwise silently mutate committed table data and every
+      historical snapshot referencing it; the freeze makes that
+      loud. The engine itself never modifies data files in place
+      (the layout is immutable — rewrites land NEW files), so
+      read-only data files cost nothing downstream;
     - layout validated: a partitioned table requires hive-style
       ``k=v`` directories matching the CURRENT spec exactly; an
       unpartitioned one requires flat files. Drift refuses;
@@ -2936,12 +2965,33 @@ def add_files(spark: SparkSession, path: str, source_dir: str) -> dict:
         for f in recorded["fields"]
         if f["name"] not in pb
     }
+
+    def _footer_fields(fpath) -> dict:
+        # ONE pyarrow footer read per file, no Spark plan (round-15;
+        # r14 What's wrong #2: a 100k-file landing must not become
+        # 100k sequential driver round-trips through spark.read).
+        # Arrow types map to the same Spark JSON type names the
+        # recorded writer schema uses; the rare footer whose arrow
+        # type has no direct Spark mapping falls back to a Spark read
+        # so the refusal matrix never loosens.
+        try:
+            import pyarrow.parquet as _pq
+            from pyspark.sql.pandas.types import from_arrow_type
+
+            sch = _pq.read_schema(fpath)
+            return {
+                name: from_arrow_type(sch.field(name).type).jsonValue()
+                for name in sch.names
+            }
+        except Exception:
+            return {
+                f["name"]: f["type"]
+                for f in spark.read.parquet(str(fpath))
+                .schema.jsonValue()["fields"]
+            }
+
     for rel in rels:
-        have = {
-            f["name"]: f["type"]
-            for f in spark.read.parquet(str(src / rel))
-            .schema.jsonValue()["fields"]
-        }
+        have = _footer_fields(src / rel)
         if set(want) != set(have):
             raise ValueError(
                 f"imported file {rel} does not match the table's data "
@@ -3004,13 +3054,33 @@ def add_files(spark: SparkSession, path: str, source_dir: str) -> dict:
                     "while this import was staging — re-run"
                 )
             new_files = _move_staged_in(live, staged, staged_files)
-            return _commit_manifest(
+            snap = _commit_manifest(
                 live,
                 [*current["files"], *new_files],
                 pb or None,
                 current,
                 txid,
             )
+            # Import accounting from the files THIS commit linked,
+            # computed under the lock (round-15 ADVICE: a pre-lock
+            # manifest diff in the caller would misattribute a
+            # concurrent writer's files to this import).
+            out = dict(snap)
+            out["files_added"] = len(new_files)
+            out["rows_added"] = sum(
+                int(snap.get("file_rows", {}).get(f, 0))
+                for f in new_files
+            )
+            # Freeze the imported files read-only AFTER the commit
+            # succeeds (never mutate the user's landing files on an
+            # aborted import). Best-effort: a filesystem that refuses
+            # chmod keeps the documented aliasing caveat instead.
+            for f in new_files:
+                try:
+                    os.chmod(live / f, 0o444)
+                except OSError:
+                    pass
+            return out
     finally:
         shutil.rmtree(staged, ignore_errors=True)
 
