@@ -1603,3 +1603,97 @@ def test_optimize_binpack_partial_rewrite_and_guards(spark, tmp_path):
     evolve_partitioning(p3, [])
     with _pytest.raises(ValueError, match="compact_in_place"):
         optimize_binpack(spark, p3)
+
+
+def test_expire_snapshots_age_horizon_and_union(spark, tmp_path):
+    """Age-based retention (round-15): snapshots committed before the
+    older_than horizon expire (head always survives); composing a
+    count policy with an age policy keeps the UNION — age can only
+    widen retention."""
+    import time
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        expire_snapshots,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(1, 4):
+        publish_overwrite(
+            spark,
+            path,
+            _mk(spark, [(1, "a", f"a{i}")]),
+            ["grp"],
+            manifest=True,
+        )
+    # horizon in the far past: nothing is old enough, nothing expires
+    out = expire_snapshots(path, older_than=time.time() - 3600)
+    assert out["kept_versions"] == [3, 2, 1]
+    assert out["manifests_removed"] == 0
+    # union: keep_last=1 alone would expire v1+v2, but a generous age
+    # horizon keeps them — the composition widens, never narrows
+    out = vacuum_manifests(
+        path, keep_last=1, older_than=time.time() - 3600
+    )
+    assert out["kept_versions"] == [3, 2, 1]
+    # horizon = now: everything is pre-horizon; only the head survives
+    out = expire_snapshots(path, older_than=time.time())
+    assert out["kept_versions"] == [3]
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=1)
+    assert read_table(spark, path).first().v == "a3"
+
+
+def test_expire_snapshots_honors_tag_and_branch_pins(spark, tmp_path):
+    """A tagged snapshot survives ANY age horizon — same pin rule as
+    count-based retention; dropping the tag releases it."""
+    import time
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        drop_tag,
+        expire_snapshots,
+        tag_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(1, 4):
+        publish_overwrite(
+            spark,
+            path,
+            _mk(spark, [(1, "a", f"a{i}")]),
+            ["grp"],
+            manifest=True,
+        )
+    tag_snapshot(path, "audit", 1)
+    out = expire_snapshots(path, older_than=time.time())
+    assert 1 in out["kept_versions"] and 3 in out["kept_versions"]
+    assert read_table(spark, path, version=1).first().v == "a1"
+    drop_tag(path, "audit")
+    out = expire_snapshots(path, older_than=time.time())
+    assert out["kept_versions"] == [3]
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=1)
+
+
+def test_expire_snapshots_dry_run_reports_without_removing(spark, tmp_path):
+    import time
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        expire_snapshots,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(1, 3):
+        publish_overwrite(
+            spark,
+            path,
+            _mk(spark, [(1, "a", f"a{i}")]),
+            ["grp"],
+            manifest=True,
+        )
+    dry = expire_snapshots(path, older_than=time.time(), dry_run=True)
+    assert dry["manifests_removed"] == 1
+    assert read_table(spark, path, version=1).first().v == "a1"
+    real = expire_snapshots(path, older_than=time.time())
+    assert real["manifests_removed"] == dry["manifests_removed"]
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=1)

@@ -1326,3 +1326,31 @@ def test_inline_time_travel_governed(spark, tmp_path_factory):
             "ops",
             as_of_versions={"db.t": 2},
         )
+
+
+def test_parse_vacuum_age_forms():
+    """Round-15 age-based retention grammar: OLDER THAN INTERVAL
+    (relative, resolved at execution) and OLDER THAN TIMESTAMP
+    (absolute; ISO or epoch; naive = UTC, the time-travel
+    convention), composable with RETAIN; bare VACUUM still refuses."""
+    s = parse_statement("VACUUM db.t OLDER THAN INTERVAL '7' DAYS")
+    assert isinstance(s, VacuumStatement)
+    assert s.keep_last == 1 and s.older_than_seconds == 7 * 86400.0
+    assert s.older_than_epoch is None
+    s = parse_statement(
+        "VACUUM db.t RETAIN 3 SNAPSHOTS OLDER THAN INTERVAL '1' HOUR"
+    )
+    assert s.keep_last == 3 and s.older_than_seconds == 3600.0
+    s = parse_statement(
+        "VACUUM db.t OLDER THAN TIMESTAMP '2026-08-01 00:00:00' DRY RUN"
+    )
+    from datetime import datetime, timezone
+
+    want = datetime(2026, 8, 1, tzinfo=timezone.utc).timestamp()
+    assert s.older_than_epoch == want and s.dry_run
+    s = parse_statement("VACUUM db.t OLDER THAN TIMESTAMP '1755000000.5'")
+    assert s.older_than_epoch == 1755000000.5
+    with pytest.raises(UnsupportedStatementError, match="RETAIN"):
+        parse_statement("VACUUM db.t")
+    with pytest.raises(UnsupportedStatementError, match="ISO"):
+        parse_statement("VACUUM db.t OLDER THAN TIMESTAMP 'not-a-time'")

@@ -1730,12 +1730,24 @@ class Engine:
 
         if isinstance(stmt, VacuumStatement):
             qe.tables = [stmt.target]
+            kwargs: dict = {
+                "keep_last": stmt.keep_last,
+                "dry_run": stmt.dry_run,
+            }
+            if stmt.older_than_seconds is not None:
+                # the INTERVAL form resolves against now at EXECUTION
+                # time (a prepared statement re-executed tomorrow means
+                # "7 days before tomorrow")
+                import time as _time
+
+                kwargs["older_than"] = _time.time() - stmt.older_than_seconds
+            elif stmt.older_than_epoch is not None:
+                kwargs["older_than"] = stmt.older_than_epoch
             res = self.maintain(
                 stmt.target,
                 "expire_snapshots",
                 principal,
-                keep_last=stmt.keep_last,
-                dry_run=stmt.dry_run,
+                **kwargs,
             )
             if stmt.dry_run:
                 # report-only: the artifact sweep also stays untouched
@@ -3067,8 +3079,11 @@ class Engine:
         if action == "optimize_binpack" and kwargs.get("partition_where"):
             # verbatim-predicate trail, same rule as erasure
             audit_suffix = f" WHERE {kwargs['partition_where']}"
-        if action == "expire_snapshots" and kwargs.get("dry_run"):
-            audit_suffix = " DRY RUN"
+        if action == "expire_snapshots":
+            if kwargs.get("older_than") is not None:
+                audit_suffix = f" OLDER THAN {kwargs['older_than']:.3f}"
+            if kwargs.get("dry_run"):
+                audit_suffix += " DRY RUN"
         if action == "evolve_partitioning" and "new_partition_by" in kwargs:
             audit_suffix = (
                 f" TO ({', '.join(list(kwargs['new_partition_by'] or []))})"

@@ -1815,6 +1815,103 @@ def sql_truncate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_vacuum_age",
+    """
+    WITH final AS (
+      SELECT * FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 7 = 2)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_chk
+    FROM final GROUP BY lang
+    """,
+    "Age-based snapshot retention (round-15): VACUUM ... OLDER THAN "
+    "<interval/timestamp> — the production retention contract ('keep "
+    "7 days', Athena vacuum_max_snapshot_age_seconds; the reference's "
+    "own S3 lifecycle analog expires noncurrent versions by AGE, "
+    "main.tf:25-30). In-body asserts: count+age compose as a UNION "
+    "(RETAIN 1 + OLDER THAN 1 DAY removes nothing — age can only "
+    "widen retention), a tag PINS a snapshot past any age horizon, "
+    "DRY RUN reports the removal without moving the horizon, and the "
+    "real age vacuum expires the pre-horizon snapshot: time travel "
+    "to it refuses while the current cut stays green — which is what "
+    "the oracle's final-state hash proves.",
+)
+def sql_vacuum_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: the retention walk is O(history length) manifest reads
+    plus one directory listing — data size never enters; expiring by
+    age is the policy a compliance schedule actually states, and the
+    union composition means adding it cannot narrow an existing
+    count-based policy."""
+    from ..sources import drop_tag, tag_snapshot
+
+    eng, lake = _governed_docs(spark, sf_dir, "sqlvage_")  # v1 seed
+    loc = f"{lake}/docs"
+    pre = eng.sql("SELECT count(*) AS n FROM db.docs", "ops").first().n
+    eng.sql(
+        "INSERT INTO db.docs SELECT doc_id + 3000000 AS doc_id, text, "
+        "lang, source, n_chars FROM db.docs WHERE doc_id % 7 = 2",
+        "ops",
+    )  # v2
+
+    def _v1_count():
+        return (
+            eng.sql(
+                "SELECT count(*) AS n FROM db.docs FOR VERSION AS OF 1",
+                "ops",
+            )
+            .first()
+            .n
+        )
+
+    # union composition: every snapshot is newer than a 1-day horizon,
+    # so adding the age clause to RETAIN 1 removes NOTHING (age only
+    # widens retention, never narrows the count policy)
+    u = eng.sql(
+        "VACUUM db.docs RETAIN 1 SNAPSHOTS OLDER THAN INTERVAL '1' DAY",
+        "ops",
+    ).first()
+    assert u.snapshots_removed == 0, u
+    assert _v1_count() == pre
+    # a tag pins the snapshot past ANY age horizon
+    tag_snapshot(loc, "audit", 1)
+    p = eng.sql(
+        "VACUUM db.docs OLDER THAN INTERVAL '0' SECONDS", "ops"
+    ).first()
+    assert p.snapshots_removed == 0, p
+    assert _v1_count() == pre
+    drop_tag(loc, "audit")
+    # DRY RUN reports exactly what the real run would expire — and
+    # moves nothing
+    d = eng.sql(
+        "VACUUM db.docs OLDER THAN INTERVAL '0' SECONDS DRY RUN", "ops"
+    ).first()
+    assert d.snapshots_removed == 1 and d.dry_run, d
+    assert _v1_count() == pre
+    # the real age vacuum: pre-horizon history expires, head survives
+    r = eng.sql(
+        "VACUUM db.docs OLDER THAN INTERVAL '0' SECONDS", "ops"
+    ).first()
+    assert r.snapshots_removed == 1, r
+    refused = False
+    try:
+        _v1_count()
+    except Exception:
+        refused = True
+    assert refused, "pre-horizon time travel must refuse after age vacuum"
+    return eng.sql(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, "
+        "CAST(sum(conv(substr(md5(text), 1, 8), 16, 10)) AS BIGINT) "
+        "AS text_chk FROM db.docs GROUP BY lang",
+        "ops",
+    )
+
+
+@query(
     "sql_msck_repair",
     """
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -3701,6 +3701,7 @@ def vacuum_manifests(
     drop_tags: bool = False,
     candidate_min_age_seconds: float | None = None,
     dry_run: bool = False,
+    older_than: float | None = None,
 ) -> dict:
     """Retention for manifest-table history: keep the newest
     ``keep_last`` snapshots of the committed parent chain, delete older
@@ -3713,6 +3714,18 @@ def vacuum_manifests(
     ``candidate_min_age_seconds`` (default: at least one hour) so a
     routine retention run cannot destroy a candidate mid-audit.
     Returns counts.
+
+    ``older_than`` (epoch seconds; round-15 — the
+    ``vacuum_max_snapshot_age_seconds`` analog, and the shape of the
+    reference's own lifecycle rule: "expire noncurrent versions after
+    N days") is the AGE horizon: chain snapshots whose
+    ``committed_at`` is at or after it survive regardless of count.
+    The count and age forms COMPOSE AS A UNION — a snapshot is
+    retained if it is within the newest ``keep_last`` OR newer than
+    the horizon — so adding an age policy can only widen retention,
+    never silently narrow a count policy someone else relies on (and
+    the head snapshot always survives, keep_last >= 1). Tag and
+    branch pins apply on top of either form unchanged.
 
     ``dry_run=True`` reports exactly what a real run would remove —
     same retention walk, tag/branch pinning, and age guards — without
@@ -3740,9 +3753,15 @@ def vacuum_manifests(
             "candidates_removed": 0,
             "kept_versions": [],
         }
-    from itertools import islice
-
-    keep: list[dict] = list(islice(_retained_chain(path, current), keep_last))
+    keep: list[dict] = []
+    for i, m in enumerate(_retained_chain(path, current)):
+        if i < keep_last or (
+            older_than is not None
+            and float(m.get("committed_at", 0.0)) >= older_than
+        ):
+            keep.append(m)
+        elif older_than is None:
+            break  # count-only: the chain is newest-first, all done
     # tags PIN retention (tag_snapshot): tagged snapshots and their
     # files survive any keep_last horizon. drop_tags=True is the
     # erasure override — delete_rows passes it so a right-to-be-
@@ -3850,6 +3869,26 @@ def vacuum_manifests(
         "kept_versions": kept_versions,
         "dry_run": dry_run,
     }
+
+
+def expire_snapshots(
+    path: str,
+    older_than: float,
+    keep_last: int = 1,
+    dry_run: bool = False,
+) -> dict:
+    """Age-based snapshot retention (round-15; r14 What's missing #1):
+    expire chain snapshots committed BEFORE ``older_than`` (epoch
+    seconds) — the Iceberg ``expire_snapshots(older_than=...)`` /
+    Athena ``vacuum_max_snapshot_age_seconds`` verb, and the engine
+    analog of the reference's S3 lifecycle rule expiring noncurrent
+    object versions after a fixed age (main.tf:25-30). A thin named
+    wrapper over :func:`vacuum_manifests`: the head snapshot (and any
+    newest ``keep_last``) always survive, tag/branch pins apply
+    unchanged, and the count/age horizons compose as a union."""
+    return vacuum_manifests(
+        path, keep_last=keep_last, older_than=older_than, dry_run=dry_run
+    )
 
 
 def merge_into(

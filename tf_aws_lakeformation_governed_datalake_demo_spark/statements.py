@@ -181,11 +181,18 @@ class OptimizeStatement:
 @dataclass(frozen=True)
 class VacuumStatement:
     target: str
-    # no default: the parser requires an explicit RETAIN n SNAPSHOTS —
-    # history truncation must be asked for (round-10 ADVICE)
+    # no default: the parser requires an explicit retention scope —
+    # RETAIN n SNAPSHOTS and/or OLDER THAN — history truncation must
+    # be asked for (round-10 ADVICE; round-15 adds the age form)
     keep_last: int
     # DRY RUN reports what would be removed without unlinking anything
     dry_run: bool = False
+    # age horizon (round-15): exactly one may be set — a relative
+    # INTERVAL in seconds (resolved against now at EXECUTION time,
+    # the engine computes the epoch) or an absolute TIMESTAMP epoch.
+    # None on the pure count form.
+    older_than_seconds: float | None = None
+    older_than_epoch: float | None = None
 
 
 @dataclass(frozen=True)
@@ -1754,32 +1761,76 @@ def parse_statement(sql: str):
     if verb == "vacuum":
         m = re.fullmatch(
             rf"vacuum\s+({_QUALIFIED})(?:\s+retain\s+(\d+)\s+snapshots)?"
+            r"(?:\s+older\s+than\s+(?:"
+            r"interval\s+'(\d+)'\s+(second|minute|hour|day|week)s?"
+            r"|timestamp\s+'([^']+)'))?"
             r"(\s+dry\s+run)?",
             text,
             re.I,
         )
         if not m:
             raise UnsupportedStatementError(
-                "supported VACUUM form: VACUUM <db.table> RETAIN <n> "
-                "SNAPSHOTS"
+                "supported VACUUM forms: VACUUM <db.table> RETAIN <n> "
+                "SNAPSHOTS [OLDER THAN ...] | VACUUM <db.table> OLDER "
+                "THAN INTERVAL '<n>' <unit> | VACUUM <db.table> OLDER "
+                "THAN TIMESTAMP '<iso-or-epoch>' (each with optional "
+                "DRY RUN)"
             )
-        if m.group(2) is None:
+        has_age = m.group(3) is not None or m.group(5) is not None
+        if m.group(2) is None and not has_age:
             # a bare VACUUM would default to keep_last=1 and silently
             # expire ALL time-travel history in one statement; the most
             # destructive setting must be asked for explicitly — the
             # same fail-closed posture as UPDATE's mandatory WHERE
-            # (round-10 ADVICE)
+            # (round-10 ADVICE). The round-15 age form is an equally
+            # explicit scope: OLDER THAN alone keeps the head snapshot
+            # plus everything at-or-after the horizon.
             raise UnsupportedStatementError(
-                "VACUUM requires an explicit RETAIN <n> SNAPSHOTS clause "
-                "(RETAIN 1 SNAPSHOTS truncates history to the head "
-                "snapshot — destructive retention must be asked for)"
+                "VACUUM requires an explicit retention scope: RETAIN "
+                "<n> SNAPSHOTS and/or OLDER THAN <interval/timestamp> "
+                "(destructive retention must be asked for)"
             )
-        keep = int(m.group(2))
+        keep = int(m.group(2)) if m.group(2) is not None else 1
         if keep < 1:
             raise UnsupportedStatementError(
                 "VACUUM RETAIN must keep at least 1 snapshot"
             )
-        return VacuumStatement(m.group(1), keep, bool(m.group(3)))
+        older_seconds = older_epoch = None
+        if m.group(3) is not None:
+            unit = {
+                "second": 1.0,
+                "minute": 60.0,
+                "hour": 3600.0,
+                "day": 86400.0,
+                "week": 604800.0,
+            }[m.group(4).lower()]
+            older_seconds = float(m.group(3)) * unit
+        elif m.group(5) is not None:
+            raw = m.group(5)
+            try:
+                older_epoch = float(raw)
+            except ValueError:
+                from datetime import datetime, timezone
+
+                try:
+                    dt = datetime.fromisoformat(raw)
+                except ValueError as exc:
+                    raise UnsupportedStatementError(
+                        "VACUUM OLDER THAN TIMESTAMP takes an ISO "
+                        "datetime or epoch seconds"
+                    ) from exc
+                if dt.tzinfo is None:
+                    # naive timestamps are UTC — the same convention as
+                    # FOR TIMESTAMP AS OF time travel
+                    dt = dt.replace(tzinfo=timezone.utc)
+                older_epoch = dt.timestamp()
+        return VacuumStatement(
+            m.group(1),
+            keep,
+            bool(m.group(6)),
+            older_than_seconds=older_seconds,
+            older_than_epoch=older_epoch,
+        )
     if verb == "insert":
         return _parse_insert(text)
     if verb == "prepare":
