@@ -722,6 +722,7 @@ class Engine:
             ShowDatabasesStatement,
             ShowGrantsStatement,
             ShowPartitionsStatement,
+            ShowStatsStatement,
             ShowTablesStatement,
             ShowViewsStatement,
             UnloadStatement,
@@ -2007,6 +2008,83 @@ class Engine:
                 },
                 "row_count long, columns_analyzed long, "
                 "snapshot_version long",
+            )
+
+        if isinstance(stmt, ShowStatsStatement):
+            # SHOW STATS (round-15; r14 What's missing #2): the governed
+            # READ surface for what ANALYZE computes — one row per
+            # analyzed column (null_count / ndv_approx / min / max) plus
+            # a summary row carrying row_count. Metadata-only by
+            # construction: served from TableDef.stats and, when no
+            # ANALYZE ran, the manifest's footer row counts — never a
+            # scan. Redaction = DESCRIBE's column rule PLUS the ANALYZE
+            # reasoning read-side: stats are TABLE-WIDE unfiltered
+            # aggregates, so a ROW-filtered principal is denied outright
+            # (table-wide min/max/ndv leak past their row rectangle),
+            # while a column-rectangle-only principal sees only allowed
+            # columns' rows.
+            qe.tables = [stmt.target]
+            table = self.catalog.tables[stmt.target]  # KeyError: closed
+            allowed = None
+            if (
+                self.catalog.governance_enabled
+                and name is not None
+                and name not in self.catalog.admins
+            ):
+                # raises PermissionDeniedError on no grant (implicit
+                # deny — the table does not exist for them)
+                resolved = self.catalog._resolve_cells(
+                    name, table, stmt.target
+                )
+                if resolved is not None:
+                    cells, _ = resolved
+                    if any(pred is not None for pred, _cols in cells):
+                        raise PermissionDeniedError(
+                            f"principal {name!r} may not SHOW STATS on "
+                            f"{stmt.target}: statistics are table-wide "
+                            "unfiltered aggregates, and this principal's "
+                            "access is row-filtered (same reasoning as "
+                            "the ANALYZE gate)"
+                        )
+                    if not any(cols is None for _pred, cols in cells):
+                        allowed = {
+                            c
+                            for _pred, cols in cells
+                            for c in (cols or ())
+                        }
+            st = dict(table.stats or {})
+            rows = []
+            for c in sorted((st.get("columns") or {})):
+                if allowed is not None and c not in allowed:
+                    continue  # outside every grant rectangle: redacted
+                e = st["columns"][c]
+                rows.append(
+                    (
+                        c,
+                        int(e["null_count"]),
+                        int(e["ndv_approx"]),
+                        e.get("min"),
+                        e.get("max"),
+                        None,
+                        "analyze",
+                    )
+                )
+            row_count = st.get("row_count")
+            source = "analyze" if row_count is not None else None
+            if row_count is None and table.format == "parquet":
+                from .sources.lake import count_rows as _count_rows
+
+                info = _count_rows(table.location)
+                if info is not None:
+                    row_count = int(info["rows"])
+                    source = "metadata"
+            rows.append((None, None, None, None, None, row_count, source))
+            return _local_df(
+                spark,
+                rows,
+                "column_name string, null_count long, ndv_approx long, "
+                "min string, max string, row_count long, "
+                "stats_source string",
             )
 
         if isinstance(stmt, DescribeStatement):

@@ -401,6 +401,18 @@ class ShowPartitionsStatement:
 
 
 @dataclass(frozen=True)
+class ShowStatsStatement:
+    """SHOW STATS [FOR] <db.table> (round-15; r14 What's missing #2):
+    the governed READ surface for what ANALYZE computes — Trino's
+    ``SHOW STATS FOR`` / the Athena console's table-stats panel.
+    Metadata-only by construction (TableDef.stats + manifest footer
+    counts); the engine applies DESCRIBE's column redaction plus the
+    ANALYZE reasoning for row-filtered principals."""
+
+    target: str
+
+
+@dataclass(frozen=True)
 class DescribeStatement:
     target: str
 
@@ -597,6 +609,7 @@ Statement = (
     DropMVStatement,
     ShowTablesStatement,
     ShowPartitionsStatement,
+    ShowStatsStatement,
     DescribeStatement,
     DescribeHistoryStatement,
 )
@@ -2039,6 +2052,11 @@ def parse_statement(sql: str):
         if m:
             return ShowPartitionsStatement(m.group(1))
         m = re.fullmatch(
+            rf"show\s+stats\s+(?:for\s+)?({_QUALIFIED})", text, re.I
+        )
+        if m:
+            return ShowStatsStatement(m.group(1))
+        m = re.fullmatch(
             rf"show\s+grants(?:\s+for\s+({_IDENT}))?\s+on\s+({_QUALIFIED})",
             text,
             re.I,
@@ -2048,6 +2066,7 @@ def parse_statement(sql: str):
         raise UnsupportedStatementError(
             "supported SHOW forms: SHOW DATABASES | SHOW TABLES [IN <db>] "
             "| SHOW VIEWS [IN <db>] | SHOW PARTITIONS <db.table> | "
+            "SHOW STATS [FOR] <db.table> | "
             "SHOW GRANTS [FOR <principal>] ON <db.table> | "
             "SHOW CREATE TABLE <db.table> | SHOW COLUMNS IN <db.table>"
         )
