@@ -190,3 +190,60 @@ def test_anomaly_zscore_scores_outage_day(spark, tmp_path):
     assert outage in out, sorted(out)
     cnt, z, flagged = out[outage]
     assert cnt == 0 and z < -2 and flagged
+
+
+def test_phash_crafted_near_identical_images(spark):
+    """dedup_phash_images' kernel on CRAFTED payloads: a near-identical
+    sibling (3 of 4096 bytes changed) must land within the hamming
+    threshold and share bands; an unrelated payload must not. The bit
+    rule is replayed in pure Python to pin integer-exactness."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        ahash_encoder,
+    )
+
+    base = bytes((i * 7 + (i // 31)) % 251 for i in range(4096))
+    near = bytearray(base)
+    for p in (10, 2000, 4000):
+        near[p] = (near[p] + 90) % 251
+    other = bytes((i * 131 + 17) % 251 for i in range(4096))
+    df = spark.createDataFrame(
+        [
+            (1, "image", base, (len(base), "t")),
+            (2, "image", bytes(near), (len(near), "t")),
+            (3, "image", other, (len(other), "t")),
+        ],
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<n_bytes: long, source: string>",
+    )
+    sig = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in df.mapInPandas(
+            ahash_encoder, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+        ).collect()
+    }
+
+    def py_bands(raw: bytes):
+        n = len(raw)
+        s = [0] * 64
+        k = [0] * 64
+        for i, byte in enumerate(raw):
+            c = (i * 64) // n
+            s[c] += byte
+            k[c] += 1
+        t = sum(raw)
+        bits = [1 if s[j] * n > t * k[j] else 0 for j in range(64)]
+        return tuple(
+            sum(bits[16 * b + j] << j for j in range(16)) for b in range(4)
+        )
+
+    for doc_id, raw in ((1, base), (2, bytes(near)), (3, other)):
+        assert sig[doc_id] == py_bands(raw), doc_id
+
+    def ham(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(x, y))
+
+    assert ham(sig[1], sig[2]) <= PHASH_HAMMING_MAX
+    assert any(a == b for a, b in zip(sig[1], sig[2])), "must share a band"
+    assert ham(sig[1], sig[3]) > PHASH_HAMMING_MAX
+    assert ham(sig[2], sig[3]) > PHASH_HAMMING_MAX

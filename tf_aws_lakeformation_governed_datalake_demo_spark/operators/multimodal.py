@@ -346,3 +346,184 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(4))).alias("frame_no"),
         )
     )
+
+
+# ------------------------------------------------ perceptual-hash dedup
+
+PHASH_CELLS = 64  # the classic aHash 8x8 grid, flattened
+PHASH_BAND_BITS = 16  # 4 bands of 16 bits -> hamming <= 6 guaranteed
+PHASH_HAMMING_MAX = 6  # banding catches every pair with < 8 flipped bits
+
+
+def ahash_encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Average-hash (aHash) over the payload BYTE GRID — the perceptual
+    fingerprint step of image near-dup (mapInPandas body; Arrow batches
+    in, one fingerprint row out per item). A real pipeline decodes
+    pixels and downsamples the 2-D image to the 8x8 grid; here the
+    payload bytes ARE the grid source (the same honest-stub rule as
+    decode_image_stub: the hash MATH is real, the pixels are not).
+
+    The math, integer-exact so the DuckDB oracle replays it bit for
+    bit: partition the n payload bytes into 64 cells by
+    cell(i) = (i * 64) // n, and set bit j iff cell j's byte mean
+    exceeds the payload's global byte mean — compared as the cross
+    product S_j * n > T * k_j (cell sum, total sum, cell count: no
+    float division anywhere, so no engine-rounding flip at the
+    threshold). Bits pack into four 16-bit band keys — the banding
+    unit AND a sign-safe layout (no 64-bit hash ever goes negative)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+            n = len(a)
+            cell = (np.arange(n) * PHASH_CELLS) // n
+            s = np.bincount(cell, weights=a, minlength=PHASH_CELLS).astype(
+                np.int64
+            )
+            k = np.bincount(cell, minlength=PHASH_CELLS).astype(np.int64)
+            bits = (s * n > int(a.sum()) * k).astype(np.int64)
+            out["doc_id"].append(doc_id)
+            for b in range(4):
+                out[f"b{b}"].append(
+                    int(
+                        sum(
+                            int(bits[PHASH_BAND_BITS * b + j]) << j
+                            for j in range(PHASH_BAND_BITS)
+                        )
+                    )
+                )
+        yield pd.DataFrame(out)
+
+
+_PHASH_ORACLE = f"""
+    WITH img0 AS (SELECT doc_id, text FROM documents
+                  WHERE doc_id % 3 = 0 AND length(text) >= {PHASH_CELLS}),
+    corpus AS (SELECT doc_id, text FROM img0
+               UNION ALL
+               SELECT doc_id + 9000000 AS doc_id,
+                      concat('~', substr(text, 2)) AS text
+               FROM img0),
+    bytes AS (SELECT c.doc_id,
+                     ((i.i - 1) * {PHASH_CELLS}) // length(c.text) AS cell,
+                     ord(substr(c.text, i.i, 1)) AS b,
+                     length(c.text) AS n
+              FROM corpus c CROSS JOIN LATERAL
+                   (SELECT unnest(range(1, length(c.text) + 1)) AS i) i),
+    cells AS (SELECT doc_id, n, cell, CAST(sum(b) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS k
+              FROM bytes GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS t
+            FROM cells GROUP BY 1),
+    bits AS (SELECT c.doc_id, c.cell,
+                    CASE WHEN c.s * c.n > t.t * c.k THEN 1 ELSE 0 END AS bit
+             FROM cells c JOIN tot t USING (doc_id)),
+    bands AS (SELECT doc_id, cell // {PHASH_BAND_BITS} AS band,
+                     CAST(sum(CAST(bit AS BIGINT)
+                              << (cell % {PHASH_BAND_BITS})) AS BIGINT)
+                       AS key
+              FROM bits GROUP BY 1, 2),
+    sig AS (SELECT doc_id,
+                   max(CASE WHEN band = 0 THEN key END) AS b0,
+                   max(CASE WHEN band = 1 THEN key END) AS b1,
+                   max(CASE WHEN band = 2 THEN key END) AS b2,
+                   max(CASE WHEN band = 3 THEN key END) AS b3
+            FROM bands GROUP BY 1),
+    hot AS (SELECT band, key FROM bands GROUP BY band, key
+            HAVING count(*) > 128),
+    bk AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band, key))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+                + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+                AS BIGINT) AS hamming
+    FROM bk a JOIN bk b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    JOIN sig sa ON sa.doc_id = a.doc_id
+    JOIN sig sb ON sb.doc_id = b.doc_id
+    WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+          + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+          <= {PHASH_HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_phash_images",
+    _PHASH_ORACLE,
+    "Perceptual-hash IMAGE near-dup (round-15; r14 What's missing #3): "
+    "aHash fingerprints over the payload byte grid (integer-exact "
+    "cell-mean-vs-global-mean bits, mapInPandas kernel) banded into "
+    "the simhash hamming machinery — 4 bands of 16 bits, any band "
+    "equal => candidate, hot buckets capped, verify hamming <= 6. The "
+    "corpus plants a near-identical copy of every image (first byte "
+    "replaced), so the pairs are binding: every planted pair lands "
+    "within 3 flipped bits and must surface; unrelated images must "
+    "not.",
+)
+def dedup_phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one dedup-family member the multimodal side lacked: "two
+    images that LOOK the same" at training-data scale. Scale shape is
+    exactly dedup_simhash's (operators/dedup.py): the encoder is one
+    map-only Arrow pass over image payloads, banding is linear in
+    (items x 4) band rows, the self-join shuffles on (band, key) with
+    degenerate buckets capped at 128 (a corpus of d exact copies costs
+    d capped-bucket rows, never d^2 pairs — collapse exact payload
+    dups first via dedup_exact when d is expected large), and the
+    hamming verify touches candidates only. A real deployment swaps
+    the byte grid for decoded 8x8 grayscale; nothing else changes."""
+    from .dedup import _drop_hot_buckets
+
+    base = media_frame(spark, sf_dir).filter(
+        (F.col("media_type") == "image")
+        & (F.length("payload") >= PHASH_CELLS)
+    )
+    # plant a near-identical sibling per image: same bytes except the
+    # first — the crafted near-dup the operator exists to catch (and
+    # deterministic in both engines: '~' = byte 126)
+    planted = base.select(
+        (F.col("doc_id") + 9000000).alias("doc_id"),
+        "media_type",
+        F.encode(
+            F.concat(F.lit("~"), F.expr("substring(decode(payload, 'utf-8'), 2)")),
+            "utf-8",
+        ).alias("payload"),
+        "meta",
+    )
+    corpus = base.select("doc_id", "media_type", "payload", "meta").unionByName(
+        planted
+    )
+    sig = corpus.mapInPandas(
+        ahash_encoder, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    ).cache()  # both sides of the band self-join
+    sig.count()  # eager — same reason as dedup_minhash_lsh
+    exploded = sig.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "key"),
+    )
+    exploded = _drop_hot_buckets(exploded, ["band", "key"], 128)
+    a, b = exploded.alias("a"), exploded.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}")))
+        for i in range(4)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
