@@ -333,6 +333,14 @@ HEADLINE = [
     "stream_cdc_with_deletes",
     "sql_add_constraint",
     "pipeline_chunk_documents",
+    # late round-14 addition that landed after run 5's cutoff
+    "pipeline_boilerplate_chunks",
+    # round 15 additions: age-based snapshot retention end to end,
+    # the perceptual-hash image near-dup (encoder + banding +
+    # hamming verify over the planted corpus), and the skew-proof
+    # exact mixture is already above (same name, new two-phase plan)
+    "sql_vacuum_age",
+    "dedup_phash_images",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
