@@ -318,3 +318,25 @@ def test_aborted_import_never_touches_landing_permissions(
         add_files(spark, table, landing)
     for p in Path(landing).rglob("*.parquet"):
         assert stat.S_IMODE(os.stat(p).st_mode) & stat.S_IWUSR, p
+
+
+def test_ntz_timestamp_columns_import(spark, tmp_path):
+    """Round-15 review finding #1: the pyarrow footer shortcut must
+    map tz-less parquet timestamps the way Spark's reader does
+    (timestamp_ntz), not falsely refuse a valid import."""
+    import datetime
+
+    path = str(tmp_path / "tstab")
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(2026, 1, 1 + i)) for i in range(4)],
+        "id long, ts timestamp_ntz",
+    )
+    publish_overwrite(spark, path, df, None, manifest=True)
+    landing = str(tmp_path / "tsland")
+    spark.createDataFrame(
+        [(10 + i, datetime.datetime(2026, 2, 1 + i)) for i in range(3)],
+        "id long, ts timestamp_ntz",
+    ).write.parquet(landing)
+    snap = add_files(spark, path, landing)
+    assert snap["rows_added"] == 3
+    assert read_table(spark, path).count() == 7

@@ -2024,34 +2024,32 @@ class Engine:
             # while a column-rectangle-only principal sees only allowed
             # columns' rows.
             qe.tables = [stmt.target]
-            table = self.catalog.tables[stmt.target]  # KeyError: closed
-            allowed = None
+            # the column rectangle comes from the SAME helper DESCRIBE
+            # and SHOW PARTITIONS use (incl. its pending-column strike
+            # on all-columns cells) so the redaction paths can never
+            # drift (round-15 review finding #5); the only logic new
+            # here is the row-filter deny below
+            table, allowed = self._introspect_gate(
+                stmt.target, name, columns=True
+            )
             if (
                 self.catalog.governance_enabled
                 and name is not None
                 and name not in self.catalog.admins
             ):
-                # raises PermissionDeniedError on no grant (implicit
-                # deny — the table does not exist for them)
                 resolved = self.catalog._resolve_cells(
                     name, table, stmt.target
                 )
-                if resolved is not None:
-                    cells, _ = resolved
-                    if any(pred is not None for pred, _cols in cells):
-                        raise PermissionDeniedError(
-                            f"principal {name!r} may not SHOW STATS on "
-                            f"{stmt.target}: statistics are table-wide "
-                            "unfiltered aggregates, and this principal's "
-                            "access is row-filtered (same reasoning as "
-                            "the ANALYZE gate)"
-                        )
-                    if not any(cols is None for _pred, cols in cells):
-                        allowed = {
-                            c
-                            for _pred, cols in cells
-                            for c in (cols or ())
-                        }
+                if resolved is not None and any(
+                    pred is not None for pred, _cols in resolved[0]
+                ):
+                    raise PermissionDeniedError(
+                        f"principal {name!r} may not SHOW STATS on "
+                        f"{stmt.target}: statistics are table-wide "
+                        "unfiltered aggregates, and this principal's "
+                        "access is row-filtered (same reasoning as "
+                        "the ANALYZE gate)"
+                    )
             st = dict(table.stats or {})
             rows = []
             for c in sorted((st.get("columns") or {})):

@@ -351,8 +351,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ perceptual-hash dedup
 
 PHASH_CELLS = 64  # the classic aHash 8x8 grid, flattened
-PHASH_BAND_BITS = 16  # 4 bands of 16 bits -> hamming <= 6 guaranteed
-PHASH_HAMMING_MAX = 6  # banding catches every pair with < 8 flipped bits
+PHASH_BAND_BITS = 16  # 4 bands of 16 bits
+# Pigeonhole over 4 bands: <= 3 flipped bits CANNOT touch all 4 bands,
+# so every pair within hamming 3 is GUARANTEED a shared-band candidate.
+# Pairs at hamming 4..PHASH_HAMMING_MAX surface only when some band
+# happens to survive untouched — the standard LSH recall trade
+# (round-15 review: the earlier comment overstated this as a
+# guarantee). The verify cutoff stays 6 so those best-effort
+# candidates are kept once found.
+PHASH_HAMMING_MAX = 6
 
 
 def ahash_encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -474,24 +481,33 @@ def dedup_phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     the byte grid for decoded 8x8 grayscale; nothing else changes."""
     from .dedup import _drop_hot_buckets
 
-    base = media_frame(spark, sf_dir).filter(
-        (F.col("media_type") == "image")
-        & (F.length("payload") >= PHASH_CELLS)
+    # The fixture synthesizes payloads from the TEXT column on both
+    # branches (not decode(payload), which would mangle a genuinely
+    # binary payload and diverge from the oracle's per-character
+    # arithmetic on non-ASCII text — round-15 review finding #3); the
+    # length filter counts characters, exactly like the oracle. The
+    # OPERATOR itself (encoder + banding + verify) consumes opaque
+    # bytes and never depends on this fixture shape.
+    img0 = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % 3 == 0)
+            & (F.length("text") >= PHASH_CELLS)
+        )
+        .select("doc_id", "text")
     )
     # plant a near-identical sibling per image: same bytes except the
     # first — the crafted near-dup the operator exists to catch (and
     # deterministic in both engines: '~' = byte 126)
-    planted = base.select(
-        (F.col("doc_id") + 9000000).alias("doc_id"),
-        "media_type",
-        F.encode(
-            F.concat(F.lit("~"), F.expr("substring(decode(payload, 'utf-8'), 2)")),
-            "utf-8",
-        ).alias("payload"),
-        "meta",
-    )
-    corpus = base.select("doc_id", "media_type", "payload", "meta").unionByName(
-        planted
+    corpus = img0.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    ).unionByName(
+        img0.select(
+            (F.col("doc_id") + 9000000).alias("doc_id"),
+            F.encode(
+                F.concat(F.lit("~"), F.expr("substring(text, 2)")), "utf-8"
+            ).alias("payload"),
+        )
     )
     sig = corpus.mapInPandas(
         ahash_encoder, "doc_id long, b0 long, b1 long, b2 long, b3 long"

@@ -2966,34 +2966,45 @@ def add_files(spark: SparkSession, path: str, source_dir: str) -> dict:
         if f["name"] not in pb
     }
 
+    def _spark_fields(fpath) -> dict:
+        # the authoritative (but per-file-Spark-plan) reading — the
+        # pre-round-15 path, kept as the arbiter for refusals
+        return {
+            f["name"]: f["type"]
+            for f in spark.read.parquet(str(fpath))
+            .schema.jsonValue()["fields"]
+        }
+
     def _footer_fields(fpath) -> dict:
         # ONE pyarrow footer read per file, no Spark plan (round-15;
         # r14 What's wrong #2: a 100k-file landing must not become
         # 100k sequential driver round-trips through spark.read).
         # Arrow types map to the same Spark JSON type names the
-        # recorded writer schema uses; the rare footer whose arrow
-        # type has no direct Spark mapping falls back to a Spark read
-        # so the refusal matrix never loosens.
+        # recorded writer schema uses; prefer_timestamp_ntz=True
+        # mirrors Spark's own parquet inference (isAdjustedToUTC=false
+        # -> TIMESTAMP_NTZ — without it, an NTZ column read back as
+        # 'timestamp' would falsely refuse a valid import; round-15
+        # review finding #1). The rare footer whose arrow type has no
+        # direct Spark mapping falls back to the Spark read so the
+        # refusal matrix never loosens.
         try:
             import pyarrow.parquet as _pq
             from pyspark.sql.pandas.types import from_arrow_type
 
             sch = _pq.read_schema(fpath)
             return {
-                name: from_arrow_type(sch.field(name).type).jsonValue()
+                name: from_arrow_type(
+                    sch.field(name).type, prefer_timestamp_ntz=True
+                ).jsonValue()
                 for name in sch.names
             }
         except Exception:
-            return {
-                f["name"]: f["type"]
-                for f in spark.read.parquet(str(fpath))
-                .schema.jsonValue()["fields"]
-            }
+            return _spark_fields(fpath)
 
-    for rel in rels:
-        have = _footer_fields(src / rel)
+    def _validate(rel, have) -> str | None:
+        """None = file admits; else the refusal message."""
         if set(want) != set(have):
-            raise ValueError(
+            return (
                 f"imported file {rel} does not match the table's data "
                 f"columns (extra={sorted(set(have) - set(want))}, "
                 f"missing={sorted(set(want) - set(have))})"
@@ -3004,11 +3015,25 @@ def add_files(spark: SparkSession, path: str, source_dir: str) -> dict:
             if have[n] != want[n] and not _is_safe_widening(have[n], want[n])
         )
         if retyped:
-            raise ValueError(
+            return (
                 f"imported file {rel} column types are not readable as "
                 f"the declared ones (retyped={retyped}) — only equal or "
                 "safely-narrower file types import"
             )
+        return None
+
+    for rel in rels:
+        problem = _validate(rel, _footer_fields(src / rel))
+        if problem is not None:
+            # REFUSALS re-check through Spark before surfacing: the
+            # arrow mapping can disagree with Spark's reader on corner
+            # types (legacy int96 timestamps, exotic logical types),
+            # and a refusal must never be an artifact of the shortcut.
+            # Only the failing files pay the per-file Spark plan — the
+            # accept path stays O(new files) pyarrow reads.
+            problem = _validate(rel, _spark_fields(src / rel))
+        if problem is not None:
+            raise ValueError(problem)
     constraints = current.get("constraints") or {}
     if constraints:
         # verify over the NEW data only, before anything links
@@ -3755,10 +3780,17 @@ def vacuum_manifests(
         }
     keep: list[dict] = []
     for i, m in enumerate(_retained_chain(path, current)):
-        if i < keep_last or (
-            older_than is not None
-            and float(m.get("committed_at", 0.0)) >= older_than
-        ):
+        # a chain manifest missing committed_at (hand-migrated or
+        # damaged history) counts as INFINITELY NEW for the age
+        # horizon — never age-expired. Defaulting the other way
+        # (epoch 0) would make ANY horizon delete a snapshot of
+        # unknown age: fail-destructive in a retention path
+        # (round-15 review finding #4).
+        age_pins = older_than is not None and (
+            "committed_at" not in m
+            or float(m["committed_at"]) >= older_than
+        )
+        if i < keep_last or age_pins:
             keep.append(m)
         elif older_than is None:
             break  # count-only: the chain is newest-first, all done
