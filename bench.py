@@ -341,6 +341,9 @@ HEADLINE = [
     # exact mixture is already above (same name, new two-phase plan)
     "sql_vacuum_age",
     "dedup_phash_images",
+    "pipeline_softdedup_weights",
+    "pipeline_padding_efficiency",
+    "text_vocab_coverage",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):

@@ -549,3 +549,30 @@ def test_boilerplate_chunks_detects_shared_headers(spark, tmp_path):
     assert en.max_spread == 5
     assert en.docs_affected == 5  # the tiny unique doc is NOT affected
     assert en.n_boilerplate_chunks >= 1
+
+
+def test_softdedup_weights_sum_to_one_per_cluster(spark, sf_dir):
+    """Every normalized-content cluster's weights must sum to ~1 (the
+    SoftDeDup contract: a duplicated cluster contributes one clean
+    document's gradient mass), and the corpus must contain at least
+    one real duplicate cluster at this sf so the operator is binding."""
+    rows = (
+        REGISTRY["pipeline_softdedup_weights"].builder(spark, sf_dir).collect()
+    )
+    assert rows
+    assert any(r.dup_count > 1 for r in rows), "needs a real dup cluster"
+    for r in rows:
+        assert abs(r.weight - round(1.0 / r.dup_count, 4)) < 1e-9
+        assert r.effective_tokens <= r.dup_count * r.effective_tokens + 1e-9
+
+
+def test_padding_efficiency_bounds(spark, sf_dir):
+    rows = (
+        REGISTRY["pipeline_padding_efficiency"].builder(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.bucket % 64 == 0 and r.bucket > 0
+        assert r.real_tokens <= r.padded_tokens
+        assert r.padded_tokens == r.n_docs * r.bucket
+        assert 0 < r.efficiency <= 1.0

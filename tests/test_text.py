@@ -509,3 +509,21 @@ def test_bpe_encode_matches_pure_python_reference(spark, sf_dir):
         for x in REGISTRY["text_bpe_encode"].builder(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_vocab_coverage_bounds_and_discrimination(spark, sf_dir):
+    """Coverage is a proper fraction per language, the global top-K cut
+    is deterministic (two runs agree exactly), and at least one
+    language differs from another (the audit discriminates)."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators import (
+        REGISTRY,
+    )
+
+    r1 = REGISTRY["text_vocab_coverage"].builder(spark, sf_dir).collect()
+    r2 = REGISTRY["text_vocab_coverage"].builder(spark, sf_dir).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    assert len(r1) >= 2
+    for r in r1:
+        assert 0 < r.covered <= r.n_tokens
+        assert 0 < r.coverage <= 1.0
+    assert len({r.coverage for r in r1}) > 1, "must discriminate languages"

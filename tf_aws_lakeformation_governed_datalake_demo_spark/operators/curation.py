@@ -1090,3 +1090,166 @@ def pipeline_token_budget_mixture_approx(
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pipeline_softdedup_weights",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 4000000 AS doc_id, lang, text FROM documents
+      WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 8000000 AS doc_id, lang,
+             concat(' ', upper(substr(text, 1, 1)), substr(text, 2), '  ')
+               AS text
+      FROM documents WHERE doc_id % 10 = 0),
+    n AS (SELECT doc_id, lang,
+                 regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+                   AS norm
+          FROM corpus),
+    g AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+             count(*) OVER (PARTITION BY md5(norm)) AS dup_count
+      FROM n)
+    SELECT doc_id, lang, CAST(dup_count AS BIGINT) AS dup_count,
+           round(1.0 / dup_count, 4) AS weight,
+           round(CAST(n_tokens AS DOUBLE) / dup_count, 4)
+             AS effective_tokens
+    FROM g ORDER BY doc_id
+    """,
+    "SoftDeDup-style duplication reweighting: instead of DELETING "
+    "duplicates, every copy trains with weight 1/dup_count (dup_count "
+    "= size of its normalized-content group), so the cluster's total "
+    "gradient contribution equals one clean document — the soft "
+    "alternative the hard-removal pipelines (dedup_exact*) trade "
+    "against. effective_tokens = n_tokens/dup_count is the corpus's "
+    "deduplicated token mass, the number a token-budget plan should "
+    "count.",
+)
+def pipeline_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE shuffle — the normalized-content-hash group count
+    (a window over the hash key, map-side combinable as a count; same
+    key dedup_exact_normalized already shuffles on) joined back by
+    riding the same window, so no second pass and no join. Weights
+    attach to every row; nothing is dropped, so downstream samplers
+    keep full provenance. The normalization (lower, trim, collapse
+    whitespace) is dedup_exact_normalized's, making the two operators
+    the hard/soft pair of the same content key.
+
+    The testdata corpus carries no duplicate clusters at any sf, so
+    the fixture PLANTS them (the dedup_phash_images pattern): an
+    exact copy of every 5th document and a case-flipped
+    whitespace-padded copy of every 10th — the second one is what
+    the NORMALIZED key exists to catch (an exact-text key would
+    miss it). Clusters of size 2 and 3 both occur, so the weights
+    are binding, not uniformly 1.0."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", "text")
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 4000000).alias("doc_id"), "lang", "text"
+        )
+    ).unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 8000000).alias("doc_id"),
+            "lang",
+            F.concat(
+                F.lit(" "),
+                F.upper(F.substring("text", 1, 1)),
+                F.expr("substring(text, 2)"),
+                F.lit("  "),
+            ).alias("text"),
+        )
+    )
+    # token counts on the NORMALIZED form: a cluster shares one count
+    # (and single-space splitting is engine-exact — regex splits of
+    # padded text disagree between engines on empty edge tokens)
+    normalized = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    w = W.partitionBy(F.md5(normalized))
+    return (
+        corpus.select(
+            "doc_id",
+            "lang",
+            F.size(F.split(normalized, " ", -1))
+            .cast("long")
+            .alias("n_tokens"),
+            F.count(F.lit(1)).over(w).cast("long").alias("dup_count"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "dup_count",
+            F.round(F.lit(1.0) / F.col("dup_count"), 4).alias("weight"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("dup_count"), 4
+            ).alias("effective_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PAD_BUCKET = 64  # pad-to-bucket batching granularity (tokens)
+
+
+@query(
+    "pipeline_padding_efficiency",
+    rf"""
+    WITH t AS (
+      SELECT CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    b AS (SELECT n_tokens,
+                 CAST(((n_tokens - 1) // {PAD_BUCKET}) * {PAD_BUCKET}
+                      + {PAD_BUCKET} AS BIGINT) AS bucket
+          FROM t WHERE n_tokens > 0)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / (count(*) * bucket), 4)
+             AS efficiency
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    "Padding-efficiency histogram for pad-to-bucket batching: docs "
+    "bucket to the next multiple of 64 tokens; per bucket, the real "
+    "vs padded token mass and their ratio — the fraction of every "
+    "training FLOP that lands on real tokens. The alternative to "
+    "sequence packing (pipeline_pack_sequences) quantified: where "
+    "efficiency is low, packing or tighter buckets pays.",
+)
+def pipeline_padding_efficiency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale: map-only length arithmetic + ONE tiny aggregation keyed
+    by bucket (O(max_len/64) groups) — the cheapest possible profile
+    of a batching strategy; no sort, no window, partial aggregation does
+    virtually all the work map-side."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower("text"), r"\s+")).cast("long")
+    staged = d.select(n_tokens.alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    bucket = (
+        ((F.col("n_tokens") - 1) / PAD_BUCKET).cast("long") * PAD_BUCKET
+        + PAD_BUCKET
+    )
+    return (
+        staged.select("n_tokens", bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("real_tokens"),
+            (F.count(F.lit(1)) * F.col("bucket"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / (F.count(F.lit(1)) * F.col("bucket")),
+                4,
+            ).alias("efficiency"),
+        )
+        .orderBy("bucket")
+    )

@@ -1804,3 +1804,77 @@ def text_kneser_ney_cross_entropy(
         .orderBy(F.desc("cross_entropy"), F.asc("doc_id"))
         .limit(40)
     )
+
+
+# top-K vocabulary size for the coverage audit. Real deployments use
+# the tokenizer's actual vocab size (32k-256k); the driver testdata
+# synthesizes text from a ~31-word vocabulary, so the audit's K is
+# sized to BIND there (top-8 leaves real uncovered mass per language
+# instead of a degenerate all-1.0 report).
+VOCAB_K = 8
+
+
+@query(
+    "text_vocab_coverage",
+    rf"""
+    WITH t AS (SELECT lang,
+                      unnest(string_split_regex(lower(text), '\s+')) AS token
+               FROM documents),
+    freq AS (SELECT token, count(*) AS tf FROM t GROUP BY 1),
+    vocab AS (SELECT token FROM (
+                SELECT token,
+                       row_number() OVER (ORDER BY tf DESC, token) AS r
+                FROM freq) WHERE r <= {VOCAB_K}),
+    j AS (SELECT t.lang, t.token,
+                 CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM t LEFT JOIN vocab v USING (token))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(hit) AS BIGINT) AS covered,
+           round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS coverage
+    FROM j GROUP BY lang ORDER BY lang
+    """,
+    f"Vocabulary coverage audit: the fraction of each language's "
+    f"corpus tokens covered by the GLOBAL top-{VOCAB_K} vocabulary "
+    f"(ties broken by token for a deterministic cut) — the "
+    f"tokenizer-design number that shows which languages a shared "
+    f"vocabulary underserves (low coverage = heavy fallback/UNK "
+    f"pressure for that language).",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one (token) agg builds the frequency table, the top-K
+    cut is a vocabulary-sized TakeOrdered (K rows — driver-safe), and
+    membership rides a BROADCAST semi-structured left join back over
+    the token stream: the corpus is touched twice, shuffled once on
+    the token key with map-side combine, and the per-language report
+    is a tiny agg. No window ever sees corpus rows (the rank runs on
+    the vocabulary-sized frequency table only)."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(_ws_tokens(F.col("text"))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    wv = W.orderBy(F.desc("tf"), "token")
+    vocab = (
+        freq.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= VOCAB_K)
+        .select("token")
+    )
+    return (
+        toks.join(
+            F.broadcast(vocab.withColumn("hit", F.lit(1))), "token", "left"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("covered"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("coverage"),
+        )
+        .orderBy("lang")
+    )
