@@ -29,7 +29,13 @@ from .governance import (
     Principal,
 )
 from .catalog import GovernedCatalog, TableDef
-from .engine import Engine, QueryExecution, QueryState, governed_sql_guard
+from .engine import (
+    Engine,
+    QueryCapExceededError,
+    QueryExecution,
+    QueryState,
+    governed_sql_guard,
+)
 from .session import get_spark
 
 __all__ = [
@@ -45,6 +51,7 @@ __all__ = [
     "PermissionDeniedError",
     "Principal",
     "QueryExecution",
+    "QueryCapExceededError",
     "QueryState",
     "TableDef",
     "get_spark",

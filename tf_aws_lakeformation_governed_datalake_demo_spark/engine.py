@@ -31,6 +31,20 @@ class QueryState(str, enum.Enum):
     RUNNING = "RUNNING"
     SUCCEEDED = "SUCCEEDED"
     FAILED = "FAILED"
+    # Athena's state for a query killed by workgroup enforcement
+    # (bytes-scanned cutoff) or user cancel
+    CANCELLED = "CANCELLED"
+
+
+class QueryCapExceededError(RuntimeError):
+    """The workgroup's per-query bytes-scanned cutoff would be exceeded
+    (Athena ``bytes_scanned_cutoff_per_query`` under
+    ``enforce_workgroup_configuration = true``, main.tf:501). Athena
+    cancels the query at runtime once the metered bytes cross the cap;
+    this engine enforces at PLAN time from the governed scan's planned
+    input files — strictly earlier (zero bytes are ever read) and never
+    more permissive: planned bytes are what a full read of the pruned
+    file set costs, the ceiling of Athena's metered number."""
 
 
 @dataclass
@@ -49,6 +63,9 @@ class QueryExecution:
     page_source: DataFrame | None = None
     # query id this execution's result was reused from (L7 result reuse)
     reused_from: str | None = None
+    # planned scan bytes (Athena DataScannedInBytes analog) — computed
+    # only when the workgroup sets a bytes-scanned cutoff
+    bytes_scanned: int | None = None
 
 
 
@@ -81,10 +98,20 @@ class Engine:
         spark: SparkSession,
         catalog: GovernedCatalog | None = None,
         results_dir: str | Path | None = None,
+        bytes_scanned_cutoff_per_query: int | None = None,
     ):
         self.spark = spark
         self.catalog = catalog or GovernedCatalog(spark)
         self.results_dir = Path(results_dir) if results_dir else None
+        # L5-ext (round-15): Athena workgroup cost control —
+        # ``bytes_scanned_cutoff_per_query`` under
+        # ``enforce_workgroup_configuration = true`` (main.tf:501).
+        # None = no cap (the reference's own workgroup sets none).
+        # Enforced at PLAN time over the governed scan's planned input
+        # files (post partition-pruning / manifest skipping), so
+        # metadata-served answers (zero-file COUNT, MV state) bill ~0
+        # exactly as Athena's metering does.
+        self.bytes_scanned_cutoff_per_query = bytes_scanned_cutoff_per_query
         self.executions: dict[str, QueryExecution] = {}
         self._prepared: dict[str, str] = {}
         # L5 — workgroup metrics counters (CloudWatch-metrics analog,
@@ -95,6 +122,7 @@ class Engine:
             "queries_failed": 0,
             "queries_denied": 0,
             "queries_reused": 0,
+            "queries_cancelled": 0,
             "rows_fetched": 0,
         }
         # L7 result-reuse cache: (principal, RAW sql) -> (query_id,
@@ -452,6 +480,74 @@ class Engine:
             tables |= self._storage_tables(q)
         return {t: self._table_fingerprint(t) for t in sorted(tables)}
 
+    def _enforce_scan_cap(self, qe: QueryExecution, df: DataFrame) -> None:
+        """Workgroup bytes-scanned enforcement (round-15; Athena
+        ``bytes_scanned_cutoff_per_query``). Sums the on-disk size of
+        the governed plan's input files — the POST-PRUNING set, so a
+        partition-pruned or manifest-skipped query bills only the files
+        it would actually read, and metadata-served answers (zero-file
+        COUNT, MV state) bill ~0. No-op when the workgroup sets no cap
+        (the per-query ``os.stat`` walk is not a cost every deployment
+        should pay)."""
+        cap = self.bytes_scanned_cutoff_per_query
+        if cap is None:
+            return
+        total = 0
+        try:
+            # Sum selectedPartitions().totalFileSize() over the plan's
+            # file scans: the POST-static-pruning listing (partition
+            # predicates already applied), computed at planning time
+            # without reading a byte. df.inputFiles() would NOT do —
+            # it returns the relation's unpruned listing, billing a
+            # partition-pruned query for the whole table. Runtime-only
+            # pruning (DPP) is not credited — conservative, never
+            # more permissive than Athena's metered number.
+            stack = [df._jdf.queryExecution().executedPlan()]
+            while stack:
+                node = stack.pop()
+                cls = node.getClass().getSimpleName()
+                if cls == "AdaptiveSparkPlanExec":
+                    stack.append(node.initialPlan())
+                    continue
+                if "FileSourceScan" in cls:
+                    total += int(
+                        node.selectedPartitions().totalFileSize()
+                    )
+                ch = node.children()
+                for i in range(ch.size()):
+                    stack.append(ch.apply(i))
+                try:
+                    sq = node.subqueries()
+                    for i in range(sq.size()):
+                        stack.append(sq.apply(i))
+                except Exception:
+                    pass
+        except Exception:
+            # reflection fallback: the unpruned listing via os.stat —
+            # strictly conservative (bills more, never less)
+            import os as _os
+            from urllib.parse import urlparse as _urlparse
+
+            total = 0
+            for uri in df.inputFiles():
+                path = (
+                    _urlparse(uri).path
+                    if "://" in uri or uri.startswith("file:")
+                    else uri
+                )
+                try:
+                    total += _os.stat(path).st_size
+                except OSError:
+                    continue  # vanished mid-plan: bills zero
+        qe.bytes_scanned = total
+        if total > cap:
+            raise QueryCapExceededError(
+                f"query would scan {total} bytes; the workgroup cutoff "
+                f"is {cap} (bytes_scanned_cutoff_per_query) — narrow "
+                "the scan (partition predicates prune the bill) or "
+                "raise the cap"
+            )
+
     # ---------------------------------------------------------- internals
     def _execute(
         self,
@@ -611,6 +707,12 @@ class Engine:
                     for v in created_views:
                         self.spark.catalog.dropTempView(v)
             qe.result = df
+            if stmt is None:
+                # workgroup bytes-scanned enforcement (queries only:
+                # statements route through maintain/DDL gates and their
+                # reads are fixture-scale protocol work, like Athena's
+                # DDL being free of data-scanned charges)
+                self._enforce_scan_cap(qe, df)
             if self.results_dir is not None:
                 # S5 — persist the result set as headered CSV per query id.
                 # escape='"' writes RFC-4180 doubled quotes so values with
@@ -645,8 +747,15 @@ class Engine:
                 name or "<anonymous>", sql, touched, qe.filters_applied, "SUCCEEDED"
             )
         except Exception as exc:  # noqa: BLE001 - map to Athena error surface
-            qe.state = QueryState.FAILED
-            self.metrics["queries_failed"] += 1
+            if isinstance(exc, QueryCapExceededError):
+                # Athena's shape: workgroup enforcement CANCELS, it
+                # does not fail — a caller polling status sees
+                # CANCELLED plus the cutoff in the reason
+                qe.state = QueryState.CANCELLED
+                self.metrics["queries_cancelled"] += 1
+            else:
+                qe.state = QueryState.FAILED
+                self.metrics["queries_failed"] += 1
             if isinstance(exc, PermissionDeniedError):
                 self.metrics["queries_denied"] += 1
             qe.state_change_reason = f"{type(exc).__name__}: {exc}"
@@ -655,7 +764,7 @@ class Engine:
                 sql,
                 qe.tables,
                 qe.filters_applied,
-                "FAILED",
+                qe.state.value,
                 error=qe.state_change_reason,
             )
             if raise_on_error:
