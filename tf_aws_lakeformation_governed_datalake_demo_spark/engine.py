@@ -1472,6 +1472,68 @@ class Engine:
             return inner.result
 
         if isinstance(stmt, ExplainStatement):
+            if stmt.analyze:
+                # EXPLAIN ANALYZE (round-15): Trino/Athena semantics —
+                # the governed query EXECUTES (noop sink, no result
+                # CSV) and the rows are the final plan's per-operator
+                # RUNTIME metrics (numOutputRows etc., harvested from
+                # the finalized AQE plan), so a reference user can see
+                # where rows and time actually went. The rewrite runs
+                # AS the principal: denied principals get the deny,
+                # never an execution.
+                created_views: list[str] = []
+                try:
+                    rewritten, touched = self.catalog._rewrite_sql(
+                        stmt.query_sql, principal, _views_out=created_views
+                    )
+                    qe.tables = touched
+                    df = self.spark.sql(rewritten)
+                    self._enforce_scan_cap(qe, df)  # the cap still gates
+                    # Execute THIS QueryExecution's physical plan (a
+                    # distributed count on its row RDD — nothing
+                    # materializes to the driver). A sink write would
+                    # wrap the logical plan in a NEW execution whose
+                    # fresh node instances collect the metrics,
+                    # leaving these at zero.
+                    jplan = df._jdf.queryExecution().executedPlan()
+                    jplan.execute().count()
+                    rows = []
+                    stack = [jplan]
+                    op_id = 0
+                    while stack:
+                        node = stack.pop()
+                        cls = node.getClass().getSimpleName()
+                        if cls == "AdaptiveSparkPlanExec":
+                            stack.append(node.executedPlan())
+                            continue
+                        if cls.endswith("QueryStageExec"):
+                            # AQE stage wrappers are leaves whose real
+                            # subtree hangs off .plan()
+                            stack.append(node.plan())
+                            continue
+                        mets = node.metrics()
+                        it = mets.keysIterator()
+                        emitted = False
+                        while it.hasNext():
+                            k = it.next()
+                            v = int(mets.apply(k).value())
+                            rows.append((op_id, cls, k, v))
+                            emitted = True
+                        if not emitted:
+                            rows.append((op_id, cls, None, None))
+                        op_id += 1
+                        ch = node.children()
+                        for i in range(ch.size()):
+                            stack.append(ch.apply(i))
+                finally:
+                    for v in created_views:
+                        self.spark.catalog.dropTempView(v)
+                return _local_df(
+                    spark,
+                    rows,
+                    "op_id long, operator string, metric string, "
+                    "value long",
+                )
             # Athena EXPLAIN shape: the governed plan as result rows
             # (engine.explain never executes, writes no result CSV)
             text = self.explain(stmt.query_sql, principal, mode=stmt.mode)

@@ -219,6 +219,10 @@ class DropMVStatement:
 class ExplainStatement:
     query_sql: str
     mode: str = "formatted"
+    # EXPLAIN ANALYZE (round-15): execute the governed query and
+    # return per-operator RUNTIME metrics (the Athena verb; Trino
+    # semantics — the query really runs)
+    analyze: bool = False
 
 
 @dataclass(frozen=True)
@@ -1588,6 +1592,9 @@ def parse_statement(sql: str):
         # EXPLAIN <query> — Athena returns the plan as result rows; the
         # plan shown is of the REWRITTEN query (engine.explain), so a
         # principal sees exactly what their governed scan reads
+        m = re.match(r"explain\s+analyze\s+(.+)$", text, re.I | re.S)
+        if m:
+            return ExplainStatement(m.group(1).strip(), "formatted", True)
         m = re.match(
             r"explain\s+(?:(formatted|extended|codegen|cost|simple)\s+)?(.+)$",
             text,
