@@ -341,6 +341,7 @@ HEADLINE = [
     # exact mixture is already above (same name, new two-phase plan)
     "sql_vacuum_age",
     "dedup_phash_images",
+    "dedup_phash_index_probe",
     "pipeline_softdedup_weights",
     "pipeline_padding_efficiency",
     "text_vocab_coverage",

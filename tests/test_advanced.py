@@ -247,3 +247,47 @@ def test_phash_crafted_near_identical_images(spark):
     assert any(a == b for a, b in zip(sig[1], sig[2])), "must share a band"
     assert ham(sig[1], sig[3]) > PHASH_HAMMING_MAX
     assert ham(sig[2], sig[3]) > PHASH_HAMMING_MAX
+
+
+def test_phash_index_probe_semantics_and_pruning(spark, sf_dir):
+    """dedup_phash_index_probe: (a) its pairs are EXACTLY the
+    batch-touching subset of dedup_phash_images' pairs (at-rest /
+    in-memory equivalence), and (b) the index read prunes to the
+    probed shard partitions at planning time."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.multimodal import (
+        ahash_encoder,
+        append_phash_index,
+        phash_corpus,
+        probe_phash_index,
+    )
+    from pyspark.sql import functions as F
+
+    full = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in REGISTRY["dedup_phash_images"].builder(spark, sf_dir).collect()
+    }
+    probe = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in REGISTRY["dedup_phash_index_probe"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    want = {
+        (a, b, h) for a, b, h in full if a % 4 == 0 or b % 4 == 0
+    }
+    assert probe == want and probe
+
+    import tempfile
+
+    sig = phash_corpus(spark, sf_dir).mapInPandas(
+        ahash_encoder, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    idx = tempfile.mkdtemp() + "/bands"
+    append_phash_index(idx, sig.filter(F.col("doc_id") % 4 != 0))
+    pairs = probe_phash_index(
+        spark, idx, sig.filter(F.col("doc_id") % 4 == 0)
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "shard" in seg, seg

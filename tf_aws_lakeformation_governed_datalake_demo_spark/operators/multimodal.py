@@ -482,33 +482,13 @@ def dedup_phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _drop_hot_buckets
 
     # The fixture synthesizes payloads from the TEXT column on both
-    # branches (not decode(payload), which would mangle a genuinely
-    # binary payload and diverge from the oracle's per-character
-    # arithmetic on non-ASCII text — round-15 review finding #3); the
-    # length filter counts characters, exactly like the oracle. The
-    # OPERATOR itself (encoder + banding + verify) consumes opaque
-    # bytes and never depends on this fixture shape.
-    img0 = (
-        load(spark, sf_dir, "documents")
-        .filter(
-            (F.col("doc_id") % 3 == 0)
-            & (F.length("text") >= PHASH_CELLS)
-        )
-        .select("doc_id", "text")
-    )
-    # plant a near-identical sibling per image: same bytes except the
-    # first — the crafted near-dup the operator exists to catch (and
-    # deterministic in both engines: '~' = byte 126)
-    corpus = img0.select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    ).unionByName(
-        img0.select(
-            (F.col("doc_id") + 9000000).alias("doc_id"),
-            F.encode(
-                F.concat(F.lit("~"), F.expr("substring(text, 2)")), "utf-8"
-            ).alias("payload"),
-        )
-    )
+    # branches (phash_corpus below; not decode(payload), which would
+    # mangle a genuinely binary payload and diverge from the oracle's
+    # per-character arithmetic on non-ASCII text — round-15 review
+    # finding #3); the length filter counts characters, exactly like
+    # the oracle. The OPERATOR itself (encoder + banding + verify)
+    # consumes opaque bytes and never depends on this fixture shape.
+    corpus = phash_corpus(spark, sf_dir)
     sig = corpus.mapInPandas(
         ahash_encoder, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     ).cache()  # both sides of the band self-join
@@ -540,6 +520,185 @@ def dedup_phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.cast("long").alias("hamming"),
         )
         .distinct()
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+PHASH_INDEX_SHARDS = 16  # shard = key % 16 — planning-time prunable
+
+
+def phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted phash test corpus shared by the batch-mode query
+    and the persisted-index probe: every image payload plus a
+    near-identical sibling (doc_id + 9000000, first byte replaced).
+    9000000 % 4 == 0, so a sibling shares its source's batch class
+    under the probe query's doc_id % 4 split."""
+    img0 = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % 3 == 0) & (F.length("text") >= PHASH_CELLS)
+        )
+        .select("doc_id", "text")
+    )
+    return img0.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    ).unionByName(
+        img0.select(
+            (F.col("doc_id") + 9000000).alias("doc_id"),
+            F.encode(
+                F.concat(F.lit("~"), F.expr("substring(text, 2)")), "utf-8"
+            ).alias("payload"),
+        )
+    )
+
+
+def explode_phash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3) -> one row per band with the banding key in
+    the shared ``bucket`` column (the dedup.incremental_band_pairs
+    contract), carrying the full signature so hamming verification
+    never re-reads payloads."""
+    return sig.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band", "bucket"
+        ),
+    )
+
+
+def append_phash_index(index_path: str, sig: DataFrame) -> None:
+    """Append a batch's phash band rows to the persisted, shard-
+    partitioned image-dedup index — the at-rest form (the
+    append_minhash_index pattern): ``shard=K/`` hive partitions of
+    (doc_id, b0..b3, band, bucket) rows, shard = bucket % 16, so a
+    probe prunes to its buckets' shards at PLANNING time. The stored
+    rows carry the full 64-bit signature (as the 4 band values), so
+    hamming verification reads the index, never historical payloads.
+    Append-only: one partitioned parquet append per batch (4 rows per
+    image)."""
+    (
+        explode_phash_bands(sig)
+        .withColumn("shard", F.col("bucket") % PHASH_INDEX_SHARDS)
+        .repartition("shard")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(index_path)
+    )
+
+
+def probe_phash_index(
+    spark: SparkSession, index_path: str, batch_sig: DataFrame
+) -> DataFrame:
+    """Candidate pairs for an image batch against the PERSISTED index:
+    the batch's band rows are computed (4 per image), their shard set
+    collected (an O(16) collect), and the index scan prunes to those
+    shard directories at planning time. Returns (doc_a, doc_b)
+    candidates touching the batch only — historical-vs-historical
+    pairs were found when those images arrived."""
+    from pathlib import Path
+
+    from .dedup import incremental_band_pairs
+
+    batch_bands = (
+        explode_phash_bands(batch_sig)
+        .withColumn("shard", F.col("bucket") % PHASH_INDEX_SHARDS)
+        .localCheckpoint(eager=True)
+    )
+    shards = [
+        r.shard for r in batch_bands.select("shard").distinct().collect()
+    ]
+    has_files = any(Path(index_path).rglob("*.parquet"))
+    if has_files:
+        index_bands = (
+            spark.read.parquet(index_path)
+            .filter(F.col("shard").isin(shards))
+            .select("doc_id", "band", "bucket")
+        )
+    else:
+        index_bands = batch_bands.select("doc_id", "band", "bucket").limit(0)
+    return incremental_band_pairs(
+        batch_bands.select("doc_id", "band", "bucket"),
+        index_bands,
+        batch_sig.select("doc_id"),
+        "doc_id",
+        128,
+    )
+
+
+_PHASH_INCR_ORACLE = _PHASH_ORACLE.replace(
+    "AND a.doc_id < b.doc_id",
+    "AND a.doc_id < b.doc_id\n"
+    "     AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)",
+)
+
+
+@query(
+    "dedup_phash_index_probe",
+    _PHASH_INCR_ORACLE,
+    "Incremental image near-dup against the PERSISTED phash index "
+    "(round-15): historical images' band rows live as a "
+    "shard-partitioned parquet index (shard = key % 16, carrying the "
+    "full signature), the batch (doc_id % 4 = 0) probes it FROM DISK "
+    "with planning-time shard pruning, and only pairs TOUCHING the "
+    "batch are generated — historical-vs-historical pairs were found "
+    "when those images arrived. Hamming verifies from STORED "
+    "signatures; historical payloads are never re-read or re-encoded. "
+    "Same constants as dedup_phash_images, so the oracle is that "
+    "query's SQL plus the batch restriction as one predicate.",
+)
+def dedup_phash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest/incremental form of the image-dedup story — the
+    shape a production ingest runs per batch: O(|batch| x 4) band
+    rows + one O(16) shard collect + a pruned index read; appending
+    the batch afterwards is one partitioned parquet append. The
+    minhash family's incremental machinery (incremental_band_pairs:
+    union-capped hot buckets, batch-touching pairs only) is reused
+    verbatim — banding is banding, whatever produced the keys."""
+    from ..scratch import scratch_dir
+
+    sig = (
+        phash_corpus(spark, sf_dir)
+        .mapInPandas(
+            ahash_encoder,
+            "doc_id long, b0 long, b1 long, b2 long, b3 long",
+        )
+        .cache()
+    )
+    sig.count()  # eager — feeds the index write AND the batch probe
+    index_path = scratch_dir("phash_index_") + "/bands"
+    append_phash_index(index_path, sig.filter(F.col("doc_id") % 4 != 0))
+    batch_sig = sig.filter(F.col("doc_id") % 4 == 0)
+    pairs = probe_phash_index(spark, index_path, batch_sig).cache()
+    pairs.count()
+    # hamming verification from STORED signatures: the batch's own +
+    # the index rows read back (historical payloads never re-encoded),
+    # semi-joined to the candidates' members so the verify join's
+    # build side is O(candidates), not O(index)
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    idx_sig = (
+        spark.read.parquet(index_path)
+        .select("doc_id", "b0", "b1", "b2", "b3")
+        .join(F.broadcast(members), "doc_id", "left_semi")
+        .distinct()
+    )
+    sig_all = batch_sig.unionByName(idx_sig).distinct()
+    ha, hb = sig_all.alias("ha"), sig_all.alias("hb")
+    hamming = sum(
+        F.bit_count(F.col(f"ha.b{i}").bitwiseXOR(F.col(f"hb.b{i}")))
+        for i in range(4)
+    )
+    return (
+        pairs.join(ha, F.col("doc_a") == F.col("ha.doc_id"))
+        .join(hb, F.col("doc_b") == F.col("hb.doc_id"))
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
