@@ -23,7 +23,8 @@ freshness-first, self-healing):
   near-dup), pipeline_softdedup_weights (duplication reweighting),
   pipeline_padding_efficiency (pad-to-bucket batching audit),
   text_vocab_coverage (per-language top-K vocabulary coverage),
-  dedup_phash_index_probe (the persisted-index incremental form), and
+  dedup_phash_index_probe (the persisted-index incremental form),
+  stream_phash_dedup (the arrival protocol on that index), and
   pipeline_token_budget_mixture — verified r14 but RE-IMPLEMENTED
   this round (two-phase skew-proof prefix fill), so it re-enters for
   a fresh verdict on the new plan (the pipeline_domain_caps
@@ -35,7 +36,7 @@ freshness-first, self-healing):
   oldest-first property the rotation exists to keep.
 - ``x_<name>`` — the 50 round-10-verified names (the next-oldest
   class) promoted per the written round-14 plan; the window takes
-  the alphabetically-first 29 of them, the rest spill to round 16
+  the alphabetically-first 28 of them, the rest spill to round 16
   under the same self-healing rule.
 - ``y7_``/``y8_``/``y9_``/``yA_`` — last verified in rounds
   11/12/13/14 (CORRECTNESS_r11–r14 each 50/50 green); the oldest
@@ -124,19 +125,19 @@ round-15 names, which get theirs here (recomputed each round; the
 round-14 VERDICT re-verified the union programmatically: zero
 never-green, zero verified-but-removed).
 
-Round-15 record: 7 unprefixed names (sql_vacuum_age,
-dedup_phash_images, dedup_phash_index_probe,
+Round-15 record: 8 unprefixed names (sql_vacuum_age,
+dedup_phash_images, dedup_phash_index_probe, stream_phash_dedup,
 pipeline_softdedup_weights, pipeline_padding_efficiency,
 text_vocab_coverage, and the re-implemented
 pipeline_token_budget_mixture) + 14 ``w_`` (the spilled r9 class,
-closed in full) + the 29 alphabetically-first ``x_`` (r10) names
-fill the window; 21 ``x_`` names spill to round 16.
+closed in full) + the 28 alphabetically-first ``x_`` (r10) names
+fill the window; 22 ``x_`` names spill to round 16.
 
 Round-16 rotation plan (for the next builder session): once
 CORRECTNESS_r15 lands green, (1) move the round-15 window's 50 names
 (exactly CORRECTNESS_r15.json's keys, prefixes stripped) into a fresh
 ``yB_`` class (verified r15 — ``yB_`` sorts after ``yA_``), (2)
-promote the 21 ``x_`` names ABSENT from CORRECTNESS_r15.json (the
+promote the 22 ``x_`` names ABSENT from CORRECTNESS_r15.json (the
 round-10-verified spills — the oldest outstanding) to ``w_``, and
 the next-oldest class (``y7_``, r11-verified) to plain ``x_``, (3)
 new round-16 queries go unprefixed, (4) remaining slots fill

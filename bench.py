@@ -342,6 +342,7 @@ HEADLINE = [
     "sql_vacuum_age",
     "dedup_phash_images",
     "dedup_phash_index_probe",
+    "stream_phash_dedup",
     "pipeline_softdedup_weights",
     "pipeline_padding_efficiency",
     "text_vocab_coverage",

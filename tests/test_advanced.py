@@ -291,3 +291,19 @@ def test_phash_index_probe_semantics_and_pruning(spark, sf_dir):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:200]
     assert "shard" in seg, seg
+
+
+def test_stream_phash_dedup_union_equals_batch_run(spark, sf_dir):
+    """The 3-micro-batch streaming union must equal the full-corpus
+    batch run exactly (every pair found once, in its later member's
+    arrival batch; no hot bucket fires at this sf, so the uncapped
+    stream and the capped batch query coincide)."""
+    stream = {
+        tuple(r)
+        for r in REGISTRY["stream_phash_dedup"].builder(spark, sf_dir).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in REGISTRY["dedup_phash_images"].builder(spark, sf_dir).collect()
+    }
+    assert stream == batch and stream

@@ -591,7 +591,10 @@ def append_phash_index(index_path: str, sig: DataFrame) -> None:
 
 
 def probe_phash_index(
-    spark: SparkSession, index_path: str, batch_sig: DataFrame
+    spark: SparkSession,
+    index_path: str,
+    batch_sig: DataFrame,
+    max_bucket_size: int | None = 128,
 ) -> DataFrame:
     """Candidate pairs for an image batch against the PERSISTED index:
     the batch's band rows are computed (4 per image), their shard set
@@ -625,7 +628,60 @@ def probe_phash_index(
         index_bands,
         batch_sig.select("doc_id"),
         "doc_id",
-        128,
+        max_bucket_size,
+    )
+
+
+_PHASH_INCR_ORACLE = _PHASH_ORACLE.replace(
+    "AND a.doc_id < b.doc_id",
+    "AND a.doc_id < b.doc_id\n"
+    "     AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)",
+)
+
+
+@query(
+    "dedup_phash_index_probe",
+    _PHASH_INCR_ORACLE,
+    "Incremental image near-dup against the PERSISTED phash index "
+    "(round-15): historical images' band rows live as a "
+    "shard-partitioned parquet index (shard = key % 16, carrying the "
+    "full signature), the batch (doc_id % 4 = 0) probes it FROM DISK "
+    "with planning-time shard pruning, and only pairs TOUCHING the "
+    "batch are generated — historical-vs-historical pairs were found "
+    "when those images arrived. Hamming verifies from STORED "
+    "signatures; historical payloads are never re-read or re-encoded. "
+    "Same constants as dedup_phash_images, so the oracle is that "
+    "query's SQL plus the batch restriction as one predicate.",
+)
+def dedup_phash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest/incremental form of the image-dedup story — the
+    shape a production ingest runs per batch: O(|batch| x 4) band
+    rows + one O(16) shard collect + a pruned index read; appending
+    the batch afterwards is one partitioned parquet append. The
+    minhash family's incremental machinery (incremental_band_pairs:
+    union-capped hot buckets, batch-touching pairs only) is reused
+    verbatim — banding is banding, whatever produced the keys."""
+    from ..scratch import scratch_dir
+
+    sig = (
+        phash_corpus(spark, sf_dir)
+        .mapInPandas(
+            ahash_encoder,
+            "doc_id long, b0 long, b1 long, b2 long, b3 long",
+        )
+        .cache()
+    )
+    sig.count()  # eager — feeds the index write AND the batch probe
+    index_path = scratch_dir("phash_index_") + "/bands"
+    append_phash_index(index_path, sig.filter(F.col("doc_id") % 4 != 0))
+    batch_sig = sig.filter(F.col("doc_id") % 4 == 0)
+    pairs = probe_phash_index(spark, index_path, batch_sig).cache()
+    pairs.count()
+    # hamming verification from STORED signatures (shared helper —
+    # the streaming sink runs the identical verify per micro-batch)
+    return (
+        _phash_verify_pairs(spark, pairs, batch_sig, index_path)
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -700,5 +756,137 @@ def dedup_phash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hb, F.col("doc_b") == F.col("hb.doc_id"))
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+PHASH_SIG_SCHEMA = "doc_id long, b0 long, b1 long, b2 long, b3 long"
+
+
+def _phash_verify_pairs(
+    spark: SparkSession, pairs: DataFrame, batch_sig: DataFrame, idx: str
+) -> DataFrame:
+    """Hamming-verify candidate pairs from STORED signatures: the
+    batch's own plus the index rows semi-joined to the candidates'
+    members — historical payloads are never re-read or re-encoded."""
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    from pathlib import Path
+
+    if any(Path(idx).rglob("*.parquet")):
+        idx_sig = (
+            spark.read.parquet(idx)
+            .select("doc_id", "b0", "b1", "b2", "b3")
+            .join(F.broadcast(members), "doc_id", "left_semi")
+            .distinct()
+        )
+        sig_all = batch_sig.unionByName(idx_sig).distinct()
+    else:
+        sig_all = batch_sig
+    ha, hb = sig_all.alias("ha"), sig_all.alias("hb")
+    hamming = sum(
+        F.bit_count(F.col(f"ha.b{i}").bitwiseXOR(F.col(f"hb.b{i}")))
+        for i in range(4)
+    )
+    return (
+        pairs.join(ha, F.col("doc_a") == F.col("ha.doc_id"))
+        .join(hb, F.col("doc_b") == F.col("hb.doc_id"))
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
+
+
+def phash_stream_sink(spark: SparkSession, idx: str, out: str):
+    """The per-batch body of :func:`stream_phash_dedup` as a reusable
+    foreachBatch sink: encode the arriving images (one Arrow pass),
+    probe the persisted band index (no hot cap — see the query
+    docstring), hamming-verify from stored signatures, append the
+    verified pairs and the batch's own band rows.
+
+    Replay-safe (foreachBatch delivery is at-least-once): every output
+    of epoch K lands in an epoch-deterministic ``batch=K`` directory
+    with overwrite semantics, and the batch's own index slice is
+    removed before probing — a re-delivered epoch overwrites exactly
+    its prior partial output and never finds itself in the index."""
+
+    def process(batch: DataFrame, bid: int) -> None:
+        import shutil
+
+        idir = f"{idx}/batch={bid}"
+        pdir = f"{out}/batch={bid}"
+        shutil.rmtree(idir, ignore_errors=True)
+        batch = batch.repartition(
+            spark.sparkContext.defaultParallelism
+        ).localCheckpoint(eager=True)
+        sig = batch.mapInPandas(
+            ahash_encoder, PHASH_SIG_SCHEMA
+        ).localCheckpoint(eager=True)
+        pairs = probe_phash_index(spark, idx, sig, max_bucket_size=None)
+        _phash_verify_pairs(spark, pairs, sig, idx).write.mode(
+            "overwrite"
+        ).parquet(pdir)
+        append_phash_index(idir, sig)
+
+    return process
+
+
+_PHASH_STREAM_ORACLE = _PHASH_ORACLE.replace(
+    """    hot AS (SELECT band, key FROM bands GROUP BY band, key
+            HAVING count(*) > 128),
+    bk AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band, key))""",
+    "    bk AS (SELECT * FROM bands)",
+)
+
+
+@query(
+    "stream_phash_dedup",
+    _PHASH_STREAM_ORACLE,
+    "STREAMING image near-dup (round-15): the image corpus arrives as "
+    "3 micro-batches; each batch encodes its payloads once, probes "
+    "the persisted shard-partitioned phash index (bootstrapped "
+    "empty), hamming-verifies from stored signatures, appends "
+    "verified pairs to a result sink and its own band rows to the "
+    "index. Every pair is emitted exactly once — in the batch its "
+    "LATER member arrived with — so the union over batches equals "
+    "the full-corpus run, and the oracle is the plain end-to-end "
+    "phash pipeline (no hot-bucket cap here, so batch-order-"
+    "dependent cap timing cannot perturb equality; the capped form "
+    "is oracle-proven in dedup_phash_images).",
+)
+def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arrival protocol on top of the at-rest phash index — the
+    stream_minhash_dedup shape for the multimodal family. Scale: per
+    batch O(|batch| x 4) probe rows against shard-pruned index
+    partitions, each image ENCODED exactly once (its signature is the
+    only state verification ever needs — stored in the index rows
+    themselves, so there is no separate set store at all); the result
+    sink and index grow by appends only; nothing in the loop scans
+    the full corpus."""
+    from ..scratch import scratch_dir
+    from .streaming_ops import cdc_land_change_files
+
+    corpus = phash_corpus(spark, sf_dir)
+    base = scratch_dir("stream_phash_")
+    src = f"{base}/incoming"
+    idx = f"{base}/index"
+    out = f"{base}/pairs"
+    cdc_land_change_files(corpus, src, base, n=3, key_col="doc_id")
+    (
+        spark.readStream.schema(corpus.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .writeStream.foreachBatch(phash_stream_sink(spark, idx, out))
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.schema("doc_a long, doc_b long, hamming long")
+        .parquet(f"{out}/batch=*")
         .orderBy("doc_a", "doc_b")
     )
