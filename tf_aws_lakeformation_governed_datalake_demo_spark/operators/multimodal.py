@@ -685,81 +685,6 @@ def dedup_phash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PHASH_INCR_ORACLE = _PHASH_ORACLE.replace(
-    "AND a.doc_id < b.doc_id",
-    "AND a.doc_id < b.doc_id\n"
-    "     AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)",
-)
-
-
-@query(
-    "dedup_phash_index_probe",
-    _PHASH_INCR_ORACLE,
-    "Incremental image near-dup against the PERSISTED phash index "
-    "(round-15): historical images' band rows live as a "
-    "shard-partitioned parquet index (shard = key % 16, carrying the "
-    "full signature), the batch (doc_id % 4 = 0) probes it FROM DISK "
-    "with planning-time shard pruning, and only pairs TOUCHING the "
-    "batch are generated — historical-vs-historical pairs were found "
-    "when those images arrived. Hamming verifies from STORED "
-    "signatures; historical payloads are never re-read or re-encoded. "
-    "Same constants as dedup_phash_images, so the oracle is that "
-    "query's SQL plus the batch restriction as one predicate.",
-)
-def dedup_phash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The at-rest/incremental form of the image-dedup story — the
-    shape a production ingest runs per batch: O(|batch| x 4) band
-    rows + one O(16) shard collect + a pruned index read; appending
-    the batch afterwards is one partitioned parquet append. The
-    minhash family's incremental machinery (incremental_band_pairs:
-    union-capped hot buckets, batch-touching pairs only) is reused
-    verbatim — banding is banding, whatever produced the keys."""
-    from ..scratch import scratch_dir
-
-    sig = (
-        phash_corpus(spark, sf_dir)
-        .mapInPandas(
-            ahash_encoder,
-            "doc_id long, b0 long, b1 long, b2 long, b3 long",
-        )
-        .cache()
-    )
-    sig.count()  # eager — feeds the index write AND the batch probe
-    index_path = scratch_dir("phash_index_") + "/bands"
-    append_phash_index(index_path, sig.filter(F.col("doc_id") % 4 != 0))
-    batch_sig = sig.filter(F.col("doc_id") % 4 == 0)
-    pairs = probe_phash_index(spark, index_path, batch_sig).cache()
-    pairs.count()
-    # hamming verification from STORED signatures: the batch's own +
-    # the index rows read back (historical payloads never re-encoded),
-    # semi-joined to the candidates' members so the verify join's
-    # build side is O(candidates), not O(index)
-    members = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    idx_sig = (
-        spark.read.parquet(index_path)
-        .select("doc_id", "b0", "b1", "b2", "b3")
-        .join(F.broadcast(members), "doc_id", "left_semi")
-        .distinct()
-    )
-    sig_all = batch_sig.unionByName(idx_sig).distinct()
-    ha, hb = sig_all.alias("ha"), sig_all.alias("hb")
-    hamming = sum(
-        F.bit_count(F.col(f"ha.b{i}").bitwiseXOR(F.col(f"hb.b{i}")))
-        for i in range(4)
-    )
-    return (
-        pairs.join(ha, F.col("doc_a") == F.col("ha.doc_id"))
-        .join(hb, F.col("doc_b") == F.col("hb.doc_id"))
-        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
-        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-        .orderBy("doc_a", "doc_b")
-    )
-
-
 PHASH_SIG_SCHEMA = "doc_id long, b0 long, b1 long, b2 long, b3 long"
 
 

@@ -34,10 +34,28 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None, description: str = ""):
-    """Decorator registering a (spark, sf_dir) -> DataFrame builder."""
+def query(
+    name: str,
+    oracle: str | None,
+    description: str = "",
+    *,
+    replace: bool = False,
+):
+    """Decorator registering a (spark, sf_dir) -> DataFrame builder.
+
+    Duplicate names raise: last-wins registration once silently
+    shadowed a refactored ``dedup_phash_index_probe`` with a stale
+    inline copy (round-15 finding) — edits to the dead first copy
+    would have been no-ops. An intentional override must say so with
+    ``replace=True``.
+    """
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY and not replace:
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                "registered; pass replace=True to override intentionally"
+            )
         REGISTRY[name] = QuerySpec(name, fn, oracle, description or (fn.__doc__ or ""))
         return fn
 
