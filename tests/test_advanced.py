@@ -296,8 +296,9 @@ def test_phash_index_probe_semantics_and_pruning(spark, sf_dir):
 def test_stream_phash_dedup_union_equals_batch_run(spark, sf_dir):
     """The 3-micro-batch streaming union must equal the full-corpus
     batch run exactly (every pair found once, in its later member's
-    arrival batch; no hot bucket fires at this sf, so the uncapped
-    stream and the capped batch query coincide)."""
+    arrival batch; no hot bucket fires at this sf, so the capped
+    stream — round-16 runs the deterministic keep-lowest-128 cap —
+    and the drop-hot-capped batch query coincide)."""
     stream = {
         tuple(r)
         for r in REGISTRY["stream_phash_dedup"].builder(spark, sf_dir).collect()
@@ -307,3 +308,72 @@ def test_stream_phash_dedup_union_equals_batch_run(spark, sf_dir):
         for r in REGISTRY["dedup_phash_images"].builder(spark, sf_dir).collect()
     }
     assert stream == batch and stream
+
+
+def test_phash_deterministic_cap_bounds_hot_bucket(spark, tmp_path):
+    """Crafted hot bucket (40 byte-identical images -> every band
+    bucket holds all 40): the deterministic keep-lowest-k cap must
+    (a) bound per-epoch candidate work at C(cap, 2) pairs instead of
+    C(40, 2), and (b) yield the SAME final pair set for two different
+    batch boundaries after the final-membership filter — the
+    stream_phash_dedup protocol's exactness claim, exercised where
+    the cap actually binds (the sf fixture never fills a bucket)."""
+    from pyspark.sql import functions as F
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.dedup import (
+        keep_lowest_k_per_bucket,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.multimodal import (
+        PHASH_SIG_SCHEMA,
+        ahash_encoder,
+        append_phash_index,
+        probe_phash_index,
+    )
+
+    payload = bytes((i * 7 + 3) % 251 for i in range(256))
+    df = spark.createDataFrame(
+        [(i, payload) for i in range(1, 41)], "doc_id long, payload binary"
+    )
+    sig = df.mapInPandas(ahash_encoder, PHASH_SIG_SCHEMA).cache()
+    sig.count()
+    cap = 8
+
+    def run(tag, batches):
+        idx = str(tmp_path / f"idx_{tag}") + "/bands"
+        union, per_epoch = set(), []
+        for ids in batches:
+            bs = sig.filter(F.col("doc_id").isin(ids))
+            pairs = probe_phash_index(
+                spark, idx, bs, max_bucket_size=None, deterministic_cap=cap
+            )
+            rows = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+            per_epoch.append(len(rows))
+            union |= rows
+            append_phash_index(idx, bs)
+        kept_ids = {
+            r.doc_id
+            for r in keep_lowest_k_per_bucket(
+                spark.read.parquet(idx).select("doc_id", "band", "bucket"),
+                ["band", "bucket"],
+                "doc_id",
+                cap,
+            )
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        # identical payloads -> identical buckets, so doc-level final
+        # membership equals the operator's common-bucket filter here
+        return {
+            (a, b) for a, b in union if a in kept_ids and b in kept_ids
+        }, per_epoch
+
+    mod3 = [[i for i in range(1, 41) if i % 3 == r] for r in (1, 2, 0)]
+    halves = [list(range(1, 21)), list(range(21, 41))]
+    got_a, epochs_a = run("mod3", mod3)
+    got_b, epochs_b = run("halves", halves)
+    want = {(x, y) for x in range(1, 9) for y in range(x + 1, 9)}
+    assert got_a == want == got_b
+    # per-epoch candidate work is bounded by the cap, not the corpus:
+    # C(8,2)=28 max, vs C(40,2)=780 uncapped
+    assert max(epochs_a + epochs_b) <= 28

@@ -267,6 +267,41 @@ def _drop_hot_buckets(
     return exploded.join(F.broadcast(hot), keys, "left_anti")
 
 
+def keep_lowest_k_per_bucket(
+    exploded: DataFrame, keys: list[str], id_col: str, k: int
+) -> DataFrame:
+    """Deterministic hot-bucket cap: keep the ``k`` members with the
+    SMALLEST ``id_col`` per bucket key (row_number over the bucket,
+    ordered by id).
+
+    Contrast with :func:`_drop_hot_buckets` (drop the WHOLE bucket
+    when it exceeds the cap): dropping is the right one-shot-batch
+    rule (a degenerate bucket contributes nothing), but it is not
+    stable under incremental arrival — whether a bucket is "hot"
+    depends on how much of it is visible yet, so a streaming run's
+    per-epoch emissions become batch-boundary-dependent. Keeping the
+    id-lowest k is a pure function of the bucket's visible MEMBER SET
+    (never of arrival order or batch boundaries), and it is exactly
+    SQL-expressible (row_number ... <= k), so an oracle can mirror
+    it. Work bound: a bucket of d members costs an O(d log d) sort
+    and at most k^2 candidate pairs, never d^2.
+
+    Exactness under streaming (the stream_phash_dedup protocol):
+    per-epoch kept sets are computed over the VISIBLE members, so a
+    member kept early can be evicted later; the union of emissions is
+    then a superset of the full-run-capped pair set (every pair whose
+    both endpoints are finally kept in a common bucket was visible
+    and kept when its later member arrived). Filtering the union by
+    FINAL kept membership (see stream_phash_dedup) therefore restores
+    exact equality with the one-shot capped run."""
+    w = W.partitionBy(*keys).orderBy(F.col(id_col))
+    return (
+        exploded.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def minhash_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -1057,6 +1092,7 @@ def incremental_band_pairs(
     batch_ids: DataFrame,
     id_col: str = "doc_id",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    deterministic_cap: int | None = None,
 ) -> DataFrame:
     """Candidate pairs touching the BATCH only, from pre-exploded band
     tables (in-memory or read back from the persisted index).
@@ -1065,9 +1101,20 @@ def incremental_band_pairs(
     (a hot boilerplate bucket is hot regardless of which side
     contributed the members), so batch and full-run recalls degrade
     identically; shard pruning keeps this property because a shard
-    holds every member of each of its buckets."""
+    holds every member of each of its buckets.
+
+    ``deterministic_cap`` selects the keep-lowest-k rule instead
+    (:func:`keep_lowest_k_per_bucket`) — the streaming-safe cap whose
+    kept set is a pure function of the visible member set; pass
+    ``max_bucket_size=None`` with it (the two rules compose but
+    drop-hot would reintroduce the batch-boundary dependence the
+    deterministic cap exists to remove)."""
     all_bands = index_bands.unionByName(batch_bands)
     all_bands = _drop_hot_buckets(all_bands, ["band", "bucket"], max_bucket_size)
+    if deterministic_cap is not None:
+        all_bands = keep_lowest_k_per_bucket(
+            all_bands, ["band", "bucket"], id_col, deterministic_cap
+        )
     probe = all_bands.join(F.broadcast(batch_ids), id_col, "left_semi")
     left = probe.alias("l")
     right = all_bands.alias("r")

@@ -595,6 +595,7 @@ def probe_phash_index(
     index_path: str,
     batch_sig: DataFrame,
     max_bucket_size: int | None = 128,
+    deterministic_cap: int | None = None,
 ) -> DataFrame:
     """Candidate pairs for an image batch against the PERSISTED index:
     the batch's band rows are computed (4 per image), their shard set
@@ -629,6 +630,7 @@ def probe_phash_index(
         batch_sig.select("doc_id"),
         "doc_id",
         max_bucket_size,
+        deterministic_cap,
     )
 
 
@@ -724,12 +726,24 @@ def _phash_verify_pairs(
     )
 
 
+PHASH_STREAM_CAP = 128  # keep-lowest-K deterministic hot-bucket cap
+
+
 def phash_stream_sink(spark: SparkSession, idx: str, out: str):
     """The per-batch body of :func:`stream_phash_dedup` as a reusable
     foreachBatch sink: encode the arriving images (one Arrow pass),
-    probe the persisted band index (no hot cap — see the query
-    docstring), hamming-verify from stored signatures, append the
-    verified pairs and the batch's own band rows.
+    probe the persisted band index under the DETERMINISTIC hot-bucket
+    cap (keep the PHASH_STREAM_CAP lowest doc_ids per bucket — a pure
+    function of the visible member set, so a pathological bucket of d
+    near-identical images costs an O(d log d) sort and at most cap^2
+    candidate pairs per epoch, never d^2; round-15 ran this probe
+    UNCAPPED), hamming-verify from stored signatures, append the
+    verified pairs and the batch's own band rows. Per-epoch kept sets
+    shrink as buckets fill, so the raw union over epochs can contain
+    pairs whose endpoint was later evicted; the final-membership
+    filter in stream_phash_dedup removes exactly those, restoring
+    equality with the one-shot capped run (proof sketch on
+    dedup.keep_lowest_k_per_bucket).
 
     Replay-safe (foreachBatch delivery is at-least-once): every output
     of epoch K lands in an epoch-deterministic ``batch=K`` directory
@@ -749,7 +763,13 @@ def phash_stream_sink(spark: SparkSession, idx: str, out: str):
         sig = batch.mapInPandas(
             ahash_encoder, PHASH_SIG_SCHEMA
         ).localCheckpoint(eager=True)
-        pairs = probe_phash_index(spark, idx, sig, max_bucket_size=None)
+        pairs = probe_phash_index(
+            spark,
+            idx,
+            sig,
+            max_bucket_size=None,
+            deterministic_cap=PHASH_STREAM_CAP,
+        )
         _phash_verify_pairs(spark, pairs, sig, idx).write.mode(
             "overwrite"
         ).parquet(pdir)
@@ -762,24 +782,28 @@ _PHASH_STREAM_ORACLE = _PHASH_ORACLE.replace(
     """    hot AS (SELECT band, key FROM bands GROUP BY band, key
             HAVING count(*) > 128),
     bk AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band, key))""",
-    "    bk AS (SELECT * FROM bands)",
+    """    bk AS (SELECT doc_id, band, key FROM (
+              SELECT bands.*, row_number() OVER (
+                  PARTITION BY band, key ORDER BY doc_id) AS rk
+              FROM bands) WHERE rk <= 128)""",
 )
 
 
 @query(
     "stream_phash_dedup",
     _PHASH_STREAM_ORACLE,
-    "STREAMING image near-dup (round-15): the image corpus arrives as "
-    "3 micro-batches; each batch encodes its payloads once, probes "
-    "the persisted shard-partitioned phash index (bootstrapped "
-    "empty), hamming-verifies from stored signatures, appends "
-    "verified pairs to a result sink and its own band rows to the "
-    "index. Every pair is emitted exactly once — in the batch its "
-    "LATER member arrived with — so the union over batches equals "
-    "the full-corpus run, and the oracle is the plain end-to-end "
-    "phash pipeline (no hot-bucket cap here, so batch-order-"
-    "dependent cap timing cannot perturb equality; the capped form "
-    "is oracle-proven in dedup_phash_images).",
+    "STREAMING image near-dup (round-15; round-16 adds the "
+    "deterministic hot-bucket cap): the image corpus arrives as 3 "
+    "micro-batches; each batch encodes its payloads once, probes the "
+    "persisted shard-partitioned phash index (bootstrapped empty) "
+    "under the keep-lowest-128-doc_ids-per-bucket cap, hamming-"
+    "verifies from stored signatures, appends verified pairs to a "
+    "result sink and its own band rows to the index. A pair is "
+    "emitted in the batch its LATER member arrived with; the final "
+    "read filters the union by FINAL kept membership, which makes "
+    "the result exactly the one-shot capped run regardless of batch "
+    "boundaries — mirrored in the oracle as row_number() <= 128 per "
+    "(band, key) ordered by doc_id.",
 )
 def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The arrival protocol on top of the at-rest phash index — the
@@ -789,7 +813,14 @@ def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only state verification ever needs — stored in the index rows
     themselves, so there is no separate set store at all); the result
     sink and index grow by appends only; nothing in the loop scans
-    the full corpus."""
+    the full corpus. Round-16: the probe runs CAPPED (r15 ran it
+    uncapped — a pathological hot bucket cost O(d^2) candidate pairs
+    per batch); the keep-lowest-k rule bounds per-epoch work at
+    cap^2 pairs per bucket, and the final-membership filter (an
+    O(pairs x 4) join against the final kept band set) restores
+    exact batch-boundary-independent equality with the one-shot
+    capped run — the eviction-superset argument is written on
+    dedup.keep_lowest_k_per_bucket."""
     from ..scratch import scratch_dir
     from .streaming_ops import cdc_land_change_files
 
@@ -810,8 +841,33 @@ def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
+    from .dedup import keep_lowest_k_per_bucket
+
+    union_pairs = spark.read.schema(
+        "doc_a long, doc_b long, hamming long"
+    ).parquet(f"{out}/batch=*")
+    # Final-membership filter: keep only pairs whose BOTH endpoints
+    # are among the final kept (lowest-cap) members of a shared
+    # bucket. Every such pair was provably emitted (both endpoints
+    # were visible and kept when the later one arrived), and every
+    # union extra has an evicted endpoint — so this equals the
+    # one-shot capped run exactly, independent of batch boundaries.
+    kept = keep_lowest_k_per_bucket(
+        spark.read.parquet(idx).select("doc_id", "band", "bucket"),
+        ["band", "bucket"],
+        "doc_id",
+        PHASH_STREAM_CAP,
+    )
+    kept_a = kept.select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    )
+    kept_b = kept.select(
+        F.col("doc_id").alias("doc_b"), "band", "bucket"
+    )
     return (
-        spark.read.schema("doc_a long, doc_b long, hamming long")
-        .parquet(f"{out}/batch=*")
+        union_pairs.join(kept_a, "doc_a")
+        .join(kept_b, ["doc_b", "band", "bucket"], "left_semi")
+        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
