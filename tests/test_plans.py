@@ -817,3 +817,18 @@ def test_chunk_documents_is_map_only_before_final_agg(spark, sf_dir):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_vocab_coverage_topk_is_takeordered_no_window(spark, sf_dir):
+    """text_vocab_coverage (round-16 re-plan): the global top-K
+    vocabulary cut must be an actual K-sized TakeOrdered (per-
+    partition heaps + a K-row merge), not a row_number over an
+    unpartitioned window — the r15 form single-task-sorted the whole
+    distinct-token frequency table. The membership join back over the
+    corpus must be broadcast."""
+    plan = physical_plan(
+        REGISTRY["text_vocab_coverage"].builder(spark, sf_dir)
+    )
+    assert "TakeOrdered" in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1843,24 +1843,22 @@ VOCAB_K = 8
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: one (token) agg builds the frequency table, the top-K
-    cut is a vocabulary-sized TakeOrdered (K rows — driver-safe), and
-    membership rides a BROADCAST semi-structured left join back over
-    the token stream: the corpus is touched twice, shuffled once on
-    the token key with map-side combine, and the per-language report
-    is a tiny agg. No window ever sees corpus rows (the rank runs on
-    the vocabulary-sized frequency table only)."""
-    from pyspark.sql import Window as W
-
+    cut is an actual K-sized TakeOrdered (orderBy + limit — Spark
+    plans TakeOrderedAndProject: per-partition K-heaps, a K-row
+    driver merge, never a single-task sort of the full distinct-token
+    table; round-16 re-plan of the r15 row_number-over-unpartitioned-
+    window form, which WAS that single-task sort), and membership
+    rides a BROADCAST left join back over the token stream: the
+    corpus is touched twice, shuffled once on the token key with
+    map-side combine, and the per-language report is a tiny agg. No
+    window anywhere in the plan (pinned in tests/test_plans.py)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "lang", F.explode(_ws_tokens(F.col("text"))).alias("token")
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
-    wv = W.orderBy(F.desc("tf"), "token")
     vocab = (
-        freq.withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") <= VOCAB_K)
-        .select("token")
+        freq.orderBy(F.desc("tf"), "token").limit(VOCAB_K).select("token")
     )
     return (
         toks.join(
