@@ -377,3 +377,30 @@ def test_phash_deterministic_cap_bounds_hot_bucket(spark, tmp_path):
     # per-epoch candidate work is bounded by the cap, not the corpus:
     # C(8,2)=28 max, vs C(40,2)=780 uncapped
     assert max(epochs_a + epochs_b) <= 28
+
+
+def test_phash_collapsed_equals_copyfree_run(spark, sf_dir):
+    """dedup_phash_collapsed: the planted exact copies (one per image)
+    must collapse to their lowest-id representative before banding, so
+    the pair set equals dedup_phash_images' copy-free run EXACTLY —
+    the d^2 bucket hazard never materializes and no pair involves a
+    +18000000 copy id."""
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.multimodal import (
+        PHASH_EXACT_COPY_OFFSET,
+    )
+
+    collapsed = {
+        tuple(r)
+        for r in REGISTRY["dedup_phash_collapsed"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    plain = {
+        tuple(r)
+        for r in REGISTRY["dedup_phash_images"].builder(spark, sf_dir).collect()
+    }
+    assert collapsed == plain and collapsed
+    assert all(
+        a < PHASH_EXACT_COPY_OFFSET and b < PHASH_EXACT_COPY_OFFSET
+        for a, b, _ in collapsed
+    )

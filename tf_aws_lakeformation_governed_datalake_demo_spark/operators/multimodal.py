@@ -489,6 +489,15 @@ def dedup_phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle. The OPERATOR itself (encoder + banding + verify)
     # consumes opaque bytes and never depends on this fixture shape.
     corpus = phash_corpus(spark, sf_dir)
+    return _phash_selfjoin_pairs(corpus)
+
+
+def _phash_selfjoin_pairs(corpus: DataFrame) -> DataFrame:
+    """Encode -> band -> capped self-join -> hamming verify: the
+    one-shot batch pipeline shared by dedup_phash_images and the
+    exact-collapse composition (dedup_phash_collapsed)."""
+    from .dedup import _drop_hot_buckets
+
     sig = corpus.mapInPandas(
         ahash_encoder, "doc_id long, b0 long, b1 long, b2 long, b3 long"
     ).cache()  # both sides of the band self-join
@@ -523,6 +532,72 @@ def dedup_phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
+
+
+PHASH_EXACT_COPY_OFFSET = 18000000
+
+_PHASH_COLLAPSED_ORACLE = _PHASH_ORACLE.replace(
+    """    corpus AS (SELECT doc_id, text FROM img0
+               UNION ALL
+               SELECT doc_id + 9000000 AS doc_id,
+                      concat('~', substr(text, 2)) AS text
+               FROM img0),""",
+    f"""    corpus0 AS (SELECT doc_id, text FROM img0
+                UNION ALL
+                SELECT doc_id + 9000000 AS doc_id,
+                       concat('~', substr(text, 2)) AS text
+                FROM img0),
+    corpus_all AS (SELECT doc_id, text FROM corpus0
+                   UNION ALL
+                   SELECT doc_id + {PHASH_EXACT_COPY_OFFSET} AS doc_id,
+                          text
+                   FROM corpus0),
+    corpus AS (SELECT doc_id, text FROM (
+                 SELECT doc_id, text, row_number() OVER (
+                     PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                 FROM corpus_all) WHERE rn = 1),""",
+)
+
+
+@query(
+    "dedup_phash_collapsed",
+    _PHASH_COLLAPSED_ORACLE,
+    "Exact-then-near IMAGE dedup composition (round-16; r15 What's "
+    "missing #3): collapse byte-identical payloads to their lowest-id "
+    "representative FIRST (one content-hash shuffle — the dedup_exact "
+    "stage's output), then run the phash banding pipeline over "
+    "representatives only. The corpus plants an exact copy of EVERY "
+    "image (doc_id + 18000000), so the collapse binds: d exact copies "
+    "contribute ONE member per bucket instead of d (the d^2 "
+    "bucket-pair hazard the dedup_phash_images docstring routes "
+    "around), and the result equals the copy-free corpus's pairs "
+    "exactly. The oracle mirrors the collapse as the md5-partitioned "
+    "row_number CTE (the r6 minhash precedent, REPS_CTE).",
+)
+def dedup_phash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition dedup_phash_images' docstring ADVISES for
+    high-multiplicity corpora, shipped as an operator (r6 precedent:
+    dedup_minhash_lsh collapses before banding). Scale: the collapse
+    is one md5(payload) shuffle with a per-content row_number (the
+    exact-dedup cost model — d copies cost d rows, never d^2 pairs);
+    banding then sees only distinct-content representatives, so
+    sum(bucket^2) is that of the deduplicated corpus regardless of
+    copy multiplicity. Exact copies of a kept representative are the
+    EXACT stage's removals (dedup_exact emits them); near-dup pairs
+    here are between distinct contents only."""
+    from .dedup import collapse_exact_duplicates
+
+    corpus = phash_corpus(spark, sf_dir)
+    with_copies = corpus.unionByName(
+        corpus.select(
+            (F.col("doc_id") + PHASH_EXACT_COPY_OFFSET).alias("doc_id"),
+            "payload",
+        )
+    )
+    reps = collapse_exact_duplicates(
+        with_copies, id_col="doc_id", text_col="payload"
+    )
+    return _phash_selfjoin_pairs(reps)
 
 
 PHASH_INDEX_SHARDS = 16  # shard = key % 16 — planning-time prunable
