@@ -812,6 +812,7 @@ class Engine:
             TruncateTableStatement,
             DropColumnStatement,
             DropConstraintStatement,
+            DropPartitionStatement,
             WidenColumnStatement,
             DropMVStatement,
             DropTableStatement,
@@ -1709,6 +1710,31 @@ class Engine:
                     "status": "dropped",
                 },
                 "table string, constraint string, status string",
+            )
+
+        if isinstance(stmt, DropPartitionStatement):
+            result = self.maintain(
+                stmt.target,
+                "drop_partition",
+                principal,
+                spec=stmt.spec,
+                if_exists=stmt.if_exists,
+            )
+            qe.tables = [stmt.target]
+            return _row(
+                {
+                    "table": stmt.target,
+                    "partition": result["partition"],
+                    "files_removed": int(result["files_removed"]),
+                    "rows_removed": int(result["rows_removed"]),
+                    "version": (
+                        int(result["version"])
+                        if result["version"] is not None
+                        else None
+                    ),
+                },
+                "table string, partition string, files_removed long, "
+                "rows_removed long, version long",
             )
 
         if isinstance(stmt, AddFilesStatement):
@@ -3345,6 +3371,12 @@ class Engine:
             )
         if action == "add_files" and "source" in kwargs:
             audit_suffix = f" '{kwargs['source']}'"
+        if action == "drop_partition" and "spec" in kwargs:
+            # verbatim-spec trail, same rule as erasure: the audit must
+            # show exactly WHICH partition was retired (or attempted)
+            audit_suffix = " PARTITION (" + ", ".join(
+                f"{c} = {v!r}" for c, v in kwargs["spec"]
+            ) + ")" + (" IF EXISTS" if kwargs.get("if_exists") else "")
         if action == "widen_column" and {"column", "ddl_type"} <= set(kwargs):
             audit_suffix = f" {kwargs['column']} TYPE {kwargs['ddl_type']}"
         if action in ("tag", "drop_tag") and "name" in kwargs:
@@ -3661,6 +3693,112 @@ class Engine:
 
             _lake_drop_con(table.location, kwargs["constraint"])
             result = {"dropped_constraint": kwargs["constraint"]}
+        elif action == "drop_partition":
+            self._refuse_mv_mutation(qualified, "ALTER TABLE DROP PARTITION")
+            if "spec" not in kwargs:
+                _audit("failed", "drop_partition requires spec=")
+                raise ValueError("drop_partition requires spec=")
+            from .sources.lake import (
+                hive_partition_relpath,
+                overwrite_partitions,
+                read_manifest,
+            )
+
+            pkeys = list(table.partition_keys)
+            if not pkeys:
+                _audit("failed", "table is unpartitioned")
+                raise ValueError(
+                    f"DROP PARTITION requires a partitioned table — "
+                    f"{qualified} is unpartitioned (a full clear is "
+                    "TRUNCATE TABLE)"
+                )
+            # canonicalize spec names case-insensitively and require
+            # full coverage — the same rules as the static INSERT
+            # OVERWRITE PARTITION spec (one partition = one full tuple)
+            canon = {k.lower(): k for k in pkeys}
+            spec = dict(kwargs["spec"])
+            unknown_p = sorted(
+                k for k in spec if k.lower() not in canon
+            )
+            if unknown_p:
+                _audit("failed", f"non-partition column(s) {unknown_p}")
+                raise ValueError(
+                    f"PARTITION spec names non-partition column(s) "
+                    f"{unknown_p} on {qualified} (partition keys: "
+                    f"{sorted(canon.values())})"
+                )
+            spec = {canon[k.lower()]: v for k, v in spec.items()}
+            if set(spec) != set(canon.values()):
+                _audit("failed", "spec must cover every partition key")
+                raise ValueError(
+                    f"PARTITION spec must cover every partition key of "
+                    f"{qualified} ({sorted(canon.values())})"
+                )
+            if any(v is None for v in spec.values()):
+                _audit("failed", "NULL partition values unsupported")
+                raise ValueError(
+                    "PARTITION spec values must be non-NULL literals"
+                )
+            relpath = hive_partition_relpath(
+                pkeys, tuple(spec[k] for k in pkeys)
+            )
+            cur = read_manifest(table.location)
+            if cur is None:
+                _audit("failed", "not manifest-committed")
+                raise ValueError(
+                    f"DROP PARTITION requires a manifest-committed "
+                    f"table; publish {qualified} with manifest=True first"
+                )
+            # the evolved-layout refusal must come BEFORE the existence
+            # check: rows of the named logical partition may live in
+            # files under a RETIRED spec's directory naming, so both
+            # "exists" and the directory-named drop would be wrong
+            if cur.get("partition_specs"):
+                _audit("failed", "live files on retired partition specs")
+                raise ValueError(
+                    f"table {qualified} has live files on retired "
+                    "partition specs — a directory-named DROP PARTITION "
+                    "would miss rows written under the old layout; run "
+                    "OPTIMIZE to heal to the current spec first"
+                )
+            exists = any(
+                (f.rsplit("/", 1)[0] if "/" in f else "") == relpath
+                for f in cur["files"]
+            )
+            if not exists:
+                if kwargs.get("if_exists"):
+                    result = {
+                        "partition": relpath,
+                        "files_removed": 0,
+                        "rows_removed": 0,
+                        "version": None,
+                    }
+                    _audit("ok")
+                    return result
+                _audit("failed", f"partition {relpath} does not exist")
+                raise ValueError(
+                    f"partition {relpath} does not exist on {qualified} "
+                    "(IF EXISTS makes this a no-op)"
+                )
+            # the retirement itself is the static-overwrite machinery
+            # with an EMPTY batch: one atomic manifest commit under the
+            # publish lock — partition-evolved tables refuse there with
+            # the OPTIMIZE cure, constraints/rename guards re-check,
+            # and time travel keeps the old cut until vacuum
+            empty = self.spark.createDataFrame([], table.schema)
+            snap = overwrite_partitions(
+                self.spark,
+                table.location,
+                empty,
+                pkeys,
+                replace_partitions=[relpath],
+            )
+            result = {
+                "partition": relpath,
+                "files_removed": int(snap["files_replaced"]),
+                "rows_removed": int(snap["rows_replaced"]),
+                "version": int(snap["version"]),
+            }
         elif action == "add_files":
             # derived state only changes through refresh — importing
             # files into an MV state table would silently desync it

@@ -1815,6 +1815,80 @@ def sql_truncate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_drop_partition",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_chk
+    FROM documents WHERE lang <> 'fr' GROUP BY lang
+    """,
+    "ALTER TABLE ... DROP PARTITION (round-16; r15 What's missing "
+    "#1): the hive/Athena partition-retirement verb (the Glue "
+    "partition surface the reference's IAM anticipates, "
+    "main.tf:177-178), routed to the static-overwrite machinery with "
+    "an EMPTY batch — one atomic manifest commit drops the named "
+    "partition's files from the snapshot, every other partition "
+    "carries by name. A mutation, not erasure: time travel to the "
+    "pre-drop version still serves the partition (asserted in-body) "
+    "until vacuum reclaims it. IF EXISTS makes a missing partition a "
+    "no-op; without it, missing refuses (asserted in-body). The "
+    "oracle is the remaining-profile aggregate.",
+)
+def sql_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-lifecycle verb users actually type for 'retire
+    this day/tenant/language' — the engine had the SEMANTICS (an
+    empty static INSERT OVERWRITE truncates a named partition) but
+    not the verb. At 100 TB the commit is O(1) manifest arithmetic:
+    no file deletes on the critical path (storage reclaims via
+    VACUUM), no scan of the retired partition, carried partitions'
+    file entries are untouched by identity. Maintain-gated (admin or
+    unconditioned ALL), audited with the verbatim PARTITION spec;
+    partition-evolved tables refuse with the OPTIMIZE cure
+    (tests/test_sql_statements.py)."""
+    eng, _ = _governed_docs(spark, sf_dir, "sqldroppart_")
+    pre_fr = (
+        eng.sql(
+            "SELECT count(*) AS n FROM db.docs WHERE lang = 'fr'", "ops"
+        )
+        .first()
+        .n
+    )
+    out = eng.sql(
+        "ALTER TABLE db.docs DROP PARTITION (lang = 'fr')", "ops"
+    ).first()
+    assert out.files_removed > 0 and out.rows_removed == pre_fr > 0, out
+    assert (
+        eng.sql(
+            "SELECT count(*) AS n FROM db.docs WHERE lang = 'fr'", "ops"
+        )
+        .first()
+        .n
+        == 0
+    )
+    # mutation, not erasure: the pre-drop snapshot still serves it
+    tt = eng.sql(
+        "SELECT count(*) AS n FROM db.docs FOR VERSION AS OF 1 "
+        "WHERE lang = 'fr'",
+        "ops",
+    ).first()
+    assert tt.n == pre_fr
+    # IF EXISTS: a missing partition is a no-op, not an error…
+    noop = eng.sql(
+        "ALTER TABLE db.docs DROP IF EXISTS PARTITION (lang = 'xx')",
+        "ops",
+    ).first()
+    assert noop.files_removed == 0 and noop.rows_removed == 0
+    # …and without IF EXISTS it refuses loudly
+    try:
+        eng.sql("ALTER TABLE db.docs DROP PARTITION (lang = 'xx')", "ops")
+        raise AssertionError("missing partition must refuse")
+    except ValueError:
+        pass
+    return _final_agg_spark(eng)
+
+
+@query(
     "sql_vacuum_age",
     """
     WITH final AS (

@@ -2433,9 +2433,19 @@ def overwrite_partitions(
                 app_versions=ledger,
                 table_schema=logical_schema,
             )
+            kept_set = set(kept)
             return {
                 **snap,
                 "files_replaced": replaced,
+                # lock-accurate removed-row accounting (the TRUNCATE
+                # precedent): counted from the manifest read under the
+                # commit lock, so a concurrent append can never make
+                # the report understate what was replaced
+                "rows_replaced": sum(
+                    int(current.get("file_rows", {}).get(f, 0))
+                    for f in current["files"]
+                    if f not in kept_set
+                ),
                 "partitions_replaced": sorted(touched),
             }
     finally:

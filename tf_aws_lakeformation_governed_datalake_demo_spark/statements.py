@@ -295,6 +295,23 @@ class DropConstraintStatement:
 
 
 @dataclass(frozen=True)
+class DropPartitionStatement:
+    """``ALTER TABLE <db.t> DROP [IF EXISTS] PARTITION (col=<lit>,
+    ...)`` — the hive/Athena partition-retirement verb (the Glue
+    partition surface the reference's IAM anticipates,
+    main.tf:177-178). Routes to the static-overwrite machinery with
+    an EMPTY batch: one atomic manifest commit drops the named
+    partition's files from the snapshot (a mutation, not erasure —
+    time travel serves the old cut until vacuum). The spec must
+    cover every partition key; partition-evolved tables refuse with
+    the OPTIMIZE cure."""
+
+    target: str
+    spec: tuple  # ((col, literal), ...)
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
 class AddFilesStatement:
     """``ALTER TABLE <db.t> ADD FILES '<dir>'`` — import bulk-landed
     parquet into the manifest layout as one O(new files) commit
@@ -1682,6 +1699,50 @@ def parse_statement(sql: str):
         )
         if m:
             return DropConstraintStatement(m.group(1), m.group(2))
+        m = re.match(
+            rf"alter\s+table\s+({_QUALIFIED})\s+drop\s+"
+            rf"(if\s+exists\s+)?partition\s*",
+            text,
+            re.I,
+        )
+        if m:
+            # hive/Athena partition retirement: same (col = <literal>,
+            # ...) item grammar as the static INSERT OVERWRITE spec
+            rest = text[m.end() :].lstrip()
+            if not rest.startswith("("):
+                raise UnsupportedStatementError(
+                    "supported form: ALTER TABLE <db.table> DROP "
+                    "[IF EXISTS] PARTITION (col = <literal>, ...)"
+                )
+            end = _balanced_paren_span(rest, 0)
+            if rest[end:].strip():
+                raise UnsupportedStatementError(
+                    "unexpected trailing text after PARTITION (...) — "
+                    "one partition spec per statement"
+                )
+            inner = rest[1 : end - 1].strip()
+            if not inner:
+                raise UnsupportedStatementError("empty PARTITION spec")
+            items = []
+            for it in _split_top(inner):
+                ms = re.fullmatch(
+                    rf"({_IDENT})\s*=\s*(.+)", it.strip(), re.S
+                )
+                if not ms:
+                    raise UnsupportedStatementError(
+                        f"PARTITION item {it!r} is not col = <literal>"
+                    )
+                items.append(
+                    (ms.group(1), _parse_literal(ms.group(2).strip()))
+                )
+            names = [c.lower() for c, _v in items]
+            if len(set(names)) != len(names):
+                raise UnsupportedStatementError(
+                    "duplicate column in PARTITION spec"
+                )
+            return DropPartitionStatement(
+                m.group(1), tuple(items), bool(m.group(2))
+            )
         m = re.fullmatch(
             rf"alter\s+table\s+({_QUALIFIED})\s+alter\s+column\s+"
             rf"({_IDENT})\s+(?:type|set\s+data\s+type)\s+(.+)",
@@ -1730,7 +1791,9 @@ def parse_statement(sql: str):
             "ALTER TABLE <db.table> ALTER COLUMN <col> TYPE <wider> "
             "(safe type widening; narrowing refuses), "
             "ALTER TABLE <db.table> ADD FILES '<dir>' (O(new files) "
-            "import into the manifest layout), and "
+            "import into the manifest layout), "
+            "ALTER TABLE <db.table> DROP [IF EXISTS] PARTITION "
+            "(col = <literal>, ...) (atomic partition retirement), and "
             "ALTER TABLE <db.table> ADD COLUMNS (col type [COMMENT ...], "
             "...) (fail-closed schema evolution); other ALTERs go through "
             "the catalog API"
