@@ -249,3 +249,74 @@ def test_analyze_stats_drive_broadcast_for_nonmanifest_table(
     assert "SortMergeJoin" in _physical(eng.sql(q, "ops"))
     eng.sql("ANALYZE TABLE db.dim COMPUTE STATISTICS", "ops")
     assert "BroadcastHashJoin" in _physical(eng.sql(q, "ops"))
+
+
+def test_analyze_histograms_and_skew_detection(env):
+    """Round-16 (r15 What's missing #2): ANALYZE stores equi-height
+    histogram bounds for numeric columns in the SAME single aggregate
+    pass; histogram_skewed_values reads the planted hot key (>=1/16 of
+    rows spans >=2 equal bounds) from stats alone — metadata-only CBO
+    evidence."""
+    cat, eng, lake = env
+    from tf_aws_lakeformation_governed_datalake_demo_spark.engine import (
+        HISTOGRAM_BINS,
+    )
+
+    # a heavily skewed key table: id=5 holds half the rows
+    spark = eng.spark
+    rows = [(i, 5 if i % 2 == 0 else i % 20, float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "fid long, id long, amt double")
+    publish_overwrite(spark, f"{lake}/skewfact", df, None, manifest=True)
+    cat.register_table(
+        TableDef("db", "skewfact", f"{lake}/skewfact", schema=df.schema)
+    )
+    st = eng.analyze_table("db.skewfact", ["id", "amt"], principal="ops")
+    hist = st["columns"]["id"]["histogram"]
+    assert len(hist) == HISTOGRAM_BINS + 1
+    assert hist == sorted(hist)  # quantile bounds are monotone
+    # strings get no histogram; numeric non-skewed column does
+    assert "histogram" in st["columns"]["amt"]
+    sk = cat.histogram_skewed_values("db.skewfact", "id")
+    assert sk and sk[0][0] == 5.0
+    assert sk[0][1] >= 0.25  # est fraction: truly 0.5, bins give >=1/4
+    # the uniform column carries no skew evidence
+    assert cat.histogram_skewed_values("db.skewfact", "amt") == []
+    # no ANALYZE -> no evidence (never guesses)
+    assert cat.histogram_skewed_values("db.fact", "id") == []
+
+
+def test_histogram_drives_salted_join_flip(env):
+    """The CBO consumer: stats_salted_join flips to the salted
+    strategy exactly when the histogram proves a hot key, and both
+    strategies return identical rows (evidence changes the plan,
+    never the result)."""
+    cat, eng, lake = env
+    from tf_aws_lakeformation_governed_datalake_demo_spark.operators.skew import (
+        stats_salted_join,
+    )
+
+    spark = eng.spark
+    rows = [(i, 5 if i % 2 == 0 else i % 20, float(i)) for i in range(400)]
+    big = spark.createDataFrame(rows, "fid long, id long, amt double")
+    publish_overwrite(spark, f"{lake}/bigf", big, None, manifest=True)
+    cat.register_table(
+        TableDef("db", "bigf", f"{lake}/bigf", schema=big.schema)
+    )
+    small = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(20)], "sid long, label string"
+    )
+
+    # before ANALYZE: no evidence -> plain join
+    joined, sk = stats_salted_join(
+        cat, "db.bigf", big, small, "id", "sid"
+    )
+    assert sk == []
+    plain = {tuple(r) for r in joined.collect()}
+    assert "__salt" not in joined.columns
+
+    eng.analyze_table("db.bigf", ["id"], principal="ops")
+    joined2, sk2 = stats_salted_join(
+        cat, "db.bigf", big, small, "id", "sid"
+    )
+    assert sk2 and sk2[0][0] == 5.0  # evidence flipped the strategy
+    assert {tuple(r) for r in joined2.collect()} == plain  # same rows

@@ -159,3 +159,23 @@ def test_show_stats_unconditioned_select_reads_fine(env):
     cat.grant("reader", "SELECT", "db", "dim")
     rows = eng.sql("SHOW STATS db.dim", "reader").collect()
     assert {r.column_name for r in rows} == {"id", None}
+
+
+def test_show_stats_serves_histograms_under_redaction(env):
+    """Round-16: the histogram column rides the same rectangle as
+    min/max — numeric analyzed columns show their equi-height bounds,
+    strings show NULL, and the summary row stays histogram-free."""
+    cat, eng = env
+    eng.sql(
+        "ANALYZE TABLE db.dim COMPUTE STATISTICS FOR ALL COLUMNS", "ops"
+    )
+    by_col = {
+        r.column_name: r
+        for r in eng.sql("SHOW STATS FOR db.dim", "ops").collect()
+    }
+    assert by_col["id"].histogram is not None
+    bounds = [float(x) for x in by_col["id"].histogram.split("|")]
+    assert len(bounds) == 17 and bounds == sorted(bounds)
+    assert bounds[0] == 0.0 and bounds[-1] == 19.0
+    assert by_col["grp"].histogram is None  # non-numeric: no histogram
+    assert by_col[None].histogram is None

@@ -1685,6 +1685,44 @@ class GovernedCatalog:
             n = table.stats.get("row_count")
         return n is not None and n <= thr
 
+    def histogram_skewed_values(
+        self, qualified: str, column: str, min_bins: int = 2
+    ) -> "list[tuple[float, float]]":
+        """Join-key skew evidence from ANALYZE's equi-height histogram
+        (round-16; r15 What's missing #2 consumer): each of the
+        HISTOGRAM_BINS bins holds ~1/bins of the non-null rows, so a
+        value appearing as ``k >= min_bins`` consecutive EQUAL bounds
+        holds at least ``(k-1)/bins`` of the rows — the heavy key a
+        plain hash join hot-spots on. Returns ``[(value,
+        est_fraction), ...]`` heaviest first; empty when no histogram
+        was computed (run ANALYZE ... FOR COLUMNS) or no value spans
+        the threshold. Metadata-only — the decision consumer
+        (operators.skew.stats_salted_join) salts exactly these keys,
+        the CBO pattern of flipping join STRATEGY on stats evidence
+        without touching results."""
+        table = self.tables[qualified]  # KeyError: fail closed
+        hist = (
+            ((table.stats or {}).get("columns") or {}).get(column) or {}
+        ).get("histogram")
+        if not hist:
+            return []
+        n_bins = len(hist) - 1
+        out: dict[float, int] = {}
+        run_start = 0
+        for i in range(1, len(hist)):
+            if hist[i] != hist[run_start]:
+                run = i - run_start  # bounds in the run
+                if run >= min_bins:
+                    out[hist[run_start]] = run - 1
+                run_start = i
+        run = len(hist) - run_start
+        if run >= min_bins:
+            out[hist[run_start]] = run - 1
+        return sorted(
+            ((v, k / n_bins) for v, k in out.items()),
+            key=lambda t: -t[1],
+        )
+
     # ----------------------------------------------------- SQL rewriting
     _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
     # Spans a table reference must NOT be rewritten inside: single-quoted

@@ -23,6 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from .catalog import GovernedCatalog
 from .governance import PermissionDeniedError, Principal
 
+# Equi-height histogram resolution for ANALYZE ... FOR COLUMNS
+# (Spark CBO's spark.sql.statistics.histogram.numBins defaults to 254;
+# 16 keeps the stored stats dict compact while a value holding >=1/16
+# of the rows — the skew that matters — still spans >=2 bounds).
+HISTOGRAM_BINS = 16
+
 
 class QueryState(str, enum.Enum):
     """Athena state enum (validate.sh:97-110)."""
@@ -2253,6 +2259,7 @@ class Engine:
                 if allowed is not None and c not in allowed:
                     continue  # outside every grant rectangle: redacted
                 e = st["columns"][c]
+                hist = e.get("histogram")
                 rows.append(
                     (
                         c,
@@ -2260,6 +2267,10 @@ class Engine:
                         int(e["ndv_approx"]),
                         e.get("min"),
                         e.get("max"),
+                        # equi-height bounds, compact 'b0|b1|...|bN'
+                        # (same redaction rectangle as min/max — a
+                        # histogram IS a finer min/max)
+                        "|".join(repr(b) for b in hist) if hist else None,
                         None,
                         "analyze",
                     )
@@ -2273,13 +2284,15 @@ class Engine:
                 if info is not None:
                     row_count = int(info["rows"])
                     source = "metadata"
-            rows.append((None, None, None, None, None, row_count, source))
+            rows.append(
+                (None, None, None, None, None, None, row_count, source)
+            )
             return _local_df(
                 spark,
                 rows,
                 "column_name string, null_count long, ndv_approx long, "
-                "min string, max string, row_count long, "
-                "stats_source string",
+                "min string, max string, histogram string, "
+                "row_count long, stats_source string",
             )
 
         if isinstance(stmt, DescribeStatement):
@@ -3154,16 +3167,32 @@ class Engine:
         df = self.catalog.table(qualified, principal)
         aggs = [F.count(F.lit(1)).alias("__rows__")]
         atomic: dict[str, bool] = {}
+        numeric: dict[str, bool] = {}
+        quantiles = [
+            j / HISTOGRAM_BINS for j in range(HISTOGRAM_BINS + 1)
+        ]
         for i, c in enumerate(cols):
             dt = df.schema[c].dataType
             atomic[c] = not isinstance(
                 dt, (T.ArrayType, T.MapType, T.StructType)
             )
+            numeric[c] = isinstance(dt, T.NumericType)
             aggs.append(F.count(F.col(c)).alias(f"nn_{i}"))
             aggs.append(F.approx_count_distinct(F.col(c)).alias(f"ndv_{i}"))
             if atomic[c]:
                 aggs.append(F.min(F.col(c)).alias(f"mn_{i}"))
                 aggs.append(F.max(F.col(c)).alias(f"mx_{i}"))
+            if numeric[c]:
+                # equi-height histogram bounds (Spark/Athena CBO's
+                # histogram shape): HISTOGRAM_BINS+1 approximate
+                # quantiles from the SAME single aggregate pass —
+                # percentile_approx is one-pass and mergeable like the
+                # HLL NDV, so histograms add no extra job
+                aggs.append(
+                    F.percentile_approx(
+                        F.col(c).cast("double"), quantiles, 10000
+                    ).alias(f"hist_{i}")
+                )
         row = df.agg(*aggs).collect()[0]
         n = int(row["__rows__"])
         stats["row_count"] = n
@@ -3177,6 +3206,15 @@ class Engine:
                 mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
                 entry["min"] = None if mn is None else str(mn)
                 entry["max"] = None if mx is None else str(mx)
+            if numeric[c]:
+                bounds = row[f"hist_{i}"]
+                if bounds is not None:
+                    # equi-height by construction: each of the
+                    # HISTOGRAM_BINS bins holds ~non_null/bins rows;
+                    # a value spanning k>=2 consecutive equal bounds
+                    # therefore holds >=(k-1)/bins of the rows — the
+                    # skew evidence histogram_skewed_values consumes
+                    entry["histogram"] = [float(b) for b in bounds]
             colstats[c] = entry
         stats["columns"] = colstats
         table.stats = stats

@@ -51,3 +51,31 @@ def salt_join(
         how,
     )
     return joined.drop("__salt")
+
+
+def stats_salted_join(
+    catalog,
+    qualified: str,
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> "tuple[DataFrame, list]":
+    """Histogram-driven join-strategy flip (round-16): consult
+    ANALYZE's equi-height histogram for the BIG side's join key
+    (catalog.histogram_skewed_values — metadata-only); when a value
+    provably holds >=1/HISTOGRAM_BINS of the rows, salt the join,
+    otherwise plain equi-join. The CBO pattern: statistics evidence
+    changes the STRATEGY, never the rows — both branches produce
+    identical results (pinned in tests/test_analyze.py). Returns
+    (joined, skewed_values) so callers/tests can see which branch
+    the evidence chose."""
+    skewed = catalog.histogram_skewed_values(qualified, big_key)
+    if not skewed:
+        return big.join(small, big[big_key] == small[small_key], how), []
+    return (
+        salt_join(big, small, big_key, small_key, n_salts=n_salts, how=how),
+        skewed,
+    )
