@@ -97,3 +97,48 @@ def test_statements_are_exempt_and_no_cap_means_no_walk(env):
     eng.bytes_scanned_cutoff_per_query = None
     eng.sql("SELECT id FROM db.t WHERE grp = 'g1'", "ops")
     assert list(eng.executions.values())[-1].bytes_scanned is None
+
+
+def test_dml_source_reads_bill_against_the_cap(env):
+    """Round-16 (r15 ADVICE): INSERT...SELECT and MERGE source reads
+    are DML — Athena bills them (only DDL is free). A cap below the
+    source-scan size cancels the statement BEFORE any write; VALUES
+    inserts (no governed scan) still run."""
+    cat, eng = env
+    # measure the source read's bill
+    eng.bytes_scanned_cutoff_per_query = 1 << 40
+    eng.submit("SELECT id, pad FROM db.t WHERE grp = 'g0'", "ops")
+    pruned = list(eng.executions.values())[-1].bytes_scanned
+    assert pruned and pruned > 0
+
+    eng.bytes_scanned_cutoff_per_query = pruned // 2
+    before_rows = eng.sql("SELECT count(*) FROM db.t", "ops").first()[0]
+    with pytest.raises(QueryCapExceededError, match="cutoff"):
+        eng.sql(
+            "INSERT INTO db.t SELECT id + 10000, grp, pad FROM db.t "
+            "WHERE grp = 'g0'",
+            "ops",
+        )
+    # cancelled before any write landed
+    assert (
+        eng.sql("SELECT count(*) FROM db.t", "ops").first()[0]
+        == before_rows
+    )
+    with pytest.raises(QueryCapExceededError, match="cutoff"):
+        eng.sql(
+            "MERGE INTO db.t AS t USING (SELECT id, grp, pad FROM db.t "
+            "WHERE grp = 'g0') AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            "ops",
+        )
+    # a VALUES insert reads nothing governed: runs under the low cap
+    out = eng.sql(
+        "INSERT INTO db.t (id, grp, pad) VALUES (99999, 'g0', 'v')",
+        "ops",
+    )
+    assert out is not None
+    assert (
+        eng.sql("SELECT count(*) FROM db.t", "ops").first()[0]
+        == before_rows + 1
+    )

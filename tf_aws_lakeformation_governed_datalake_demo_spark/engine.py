@@ -714,10 +714,14 @@ class Engine:
                         self.spark.catalog.dropTempView(v)
             qe.result = df
             if stmt is None:
-                # workgroup bytes-scanned enforcement (queries only:
-                # statements route through maintain/DDL gates and their
-                # reads are fixture-scale protocol work, like Athena's
-                # DDL being free of data-scanned charges)
+                # workgroup bytes-scanned enforcement. Statements that
+                # READ governed data at scale are billed at their
+                # source-read site: CTAS and UNLOAD inherit the cap
+                # through their inner query execution, INSERT...SELECT
+                # and MERGE enforce it on the rewritten source batch
+                # (round-16 ADVICE). Remaining statements are
+                # maintain/DDL-gated protocol work — free of
+                # data-scanned charges, like Athena's DDL.
                 self._enforce_scan_cap(qe, df)
             if self.results_dir is not None:
                 # S5 — persist the result set as headered CSV per query id.
@@ -1812,6 +1816,11 @@ class Engine:
                     _views_out=created,
                 )
                 updates = spark.sql(rewritten)
+                # the workgroup scan cap bills DML source reads too
+                # (Athena: only DDL is free of data-scanned charges;
+                # round-16 ADVICE — CTAS/UNLOAD already inherit the cap
+                # through their inner query execution)
+                self._enforce_scan_cap(qe, updates)
             finally:
                 for v in created:
                     spark.catalog.dropTempView(v)
@@ -2692,6 +2701,9 @@ class Engine:
                 _views_out=created,
             )
             batch = spark.sql(rewritten)
+            # DML source reads bill against the workgroup scan cap
+            # (round-16 ADVICE; Athena exempts only DDL)
+            self._enforce_scan_cap(qe, batch)
         finally:
             for v in created:
                 spark.catalog.dropTempView(v)
