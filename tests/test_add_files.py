@@ -340,3 +340,68 @@ def test_ntz_timestamp_columns_import(spark, tmp_path):
     snap = add_files(spark, path, landing)
     assert snap["rows_added"] == 3
     assert read_table(spark, path).count() == 7
+
+
+def test_add_files_accept_path_cross_checks_spark(spark, tmp_path, monkeypatch):
+    """Round-16 ADVICE: the footer fast path is sample-verified through
+    the authoritative Spark reader on the ACCEPT side too — a pyarrow
+    footer reading that wrongly claims a match must not loosen the
+    refusal matrix. One Spark plan per distinct footer schema, not per
+    file."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources import (
+        publish_overwrite,
+    )
+    from tf_aws_lakeformation_governed_datalake_demo_spark.sources.lake import (
+        add_files,
+    )
+
+    loc = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    publish_overwrite(spark, loc, df, None, manifest=True)
+
+    # landing files whose v column is GENUINELY long (Spark refuses:
+    # long is not readable as the declared string)
+    bad = spark.createDataFrame([(3, 30)], "id long, v long")
+    bad.repartition(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage")
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, f in enumerate(glob.glob(str(tmp_path / "stage" / "*.parquet"))):
+        shutil.copy(f, landing / f"f{i}.parquet")
+        shutil.copy(f, landing / f"g{i}.parquet")
+
+    # sabotage the footer reading to CLAIM v is a string: the shortcut
+    # now wrongly reports a match, and only the accept-path Spark
+    # cross-check stands between the lie and a linked bad file
+    real_rs = pq.read_schema
+
+    def lying(f, *a, **k):
+        sch = real_rs(f, *a, **k)
+        idx = sch.get_field_index("v")
+        return sch.set(idx, pa.field("v", pa.string()))
+
+    monkeypatch.setattr(pq, "read_schema", lying)
+    with pytest.raises(ValueError, match="accept-path cross-check"):
+        add_files(spark, loc, str(landing))
+    monkeypatch.undo()
+
+    # honest footers + honest files import fine (and the cross-check
+    # costs one Spark read for the single distinct schema)
+    good = spark.createDataFrame([(3, "c")], "id long, v string")
+    good.repartition(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage2")
+    )
+    landing2 = tmp_path / "landing2"
+    landing2.mkdir()
+    for i, f in enumerate(glob.glob(str(tmp_path / "stage2" / "*.parquet"))):
+        shutil.copy(f, landing2 / f"h{i}.parquet")
+        shutil.copy(f, landing2 / f"k{i}.parquet")
+    out = add_files(spark, loc, str(landing2))
+    assert out["files_added"] == 2

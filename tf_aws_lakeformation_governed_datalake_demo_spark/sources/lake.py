@@ -3032,8 +3032,12 @@ def add_files(spark: SparkSession, path: str, source_dir: str) -> dict:
             )
         return None
 
+    import json as _json
+
+    seen_accept_schemas: set = set()
     for rel in rels:
-        problem = _validate(rel, _footer_fields(src / rel))
+        have = _footer_fields(src / rel)
+        problem = _validate(rel, have)
         if problem is not None:
             # REFUSALS re-check through Spark before surfacing: the
             # arrow mapping can disagree with Spark's reader on corner
@@ -3044,6 +3048,22 @@ def add_files(spark: SparkSession, path: str, source_dir: str) -> dict:
             problem = _validate(rel, _spark_fields(src / rel))
         if problem is not None:
             raise ValueError(problem)
+        # ACCEPT-path cross-check (round-16 ADVICE): the arrow mapping
+        # could also wrongly report a MATCH on a corner type, loosening
+        # the refusal matrix on the admit side. Sample-verify the first
+        # file of each DISTINCT footer schema through the authoritative
+        # Spark reader — O(#distinct schemas) Spark plans, not O(files)
+        # (a homogeneous 100k-file landing pays exactly one).
+        sig = _json.dumps(sorted(have.items()), sort_keys=True, default=str)
+        if sig not in seen_accept_schemas:
+            seen_accept_schemas.add(sig)
+            problem = _validate(rel, _spark_fields(src / rel))
+            if problem is not None:
+                raise ValueError(
+                    f"{problem} (accept-path cross-check: the footer "
+                    "shortcut admitted this schema but Spark's reader "
+                    "refuses it)"
+                )
     constraints = current.get("constraints") or {}
     if constraints:
         # verify over the NEW data only, before anything links
