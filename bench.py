@@ -346,6 +346,12 @@ HEADLINE = [
     "pipeline_softdedup_weights",
     "pipeline_padding_efficiency",
     "text_vocab_coverage",
+    # round 16 additions: the exact->phash collapse composition, the
+    # partition-retirement verb end to end; stream_phash_dedup and
+    # text_vocab_coverage above now measure their round-16 re-plans
+    # (deterministic cap / TakeOrdered)
+    "dedup_phash_collapsed",
+    "sql_drop_partition",
 ]
 
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
