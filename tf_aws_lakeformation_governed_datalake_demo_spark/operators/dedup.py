@@ -45,34 +45,15 @@ def md5_token_hash(t) -> "F.Column":
     )
 
 
-def shingle_hash_frame(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 5,
-    token_hash=None,
-) -> DataFrame:
-    """id + ``shingle_hashes`` (distinct 31-bit ids of k-token shingles),
-    string-free.
-
-    Tokens are hashed once into an array column; shingle id i is the
-    order-sensitive polynomial sum(th[i+j] * 31^j) mod M computed by
-    zipping k equal-length shifted slices of that array. No concatenated
-    shingle strings are ever materialized (~3x cheaper), and the token
-    pipeline sits behind a projection referenced k times, which keeps
-    CollapseProject from inlining it into the per-element lambdas.
-
-    Docs shorter than k tokens yield an empty shingle set.
-    """
-    if token_hash is None:
-        token_hash = lambda t: F.xxhash64(t).bitwiseAND(F.lit(0x7FFFFFFF))
-    staged = df.select(
-        F.col(id_col),
-        F.transform(
-            F.split(F.lower(F.col(text_col)), r"\s+"), token_hash
-        ).alias("th"),
-    )
-    th = F.col("th")
+def _shingle_hashes_expr(th, k: int = 5) -> "F.Column":
+    """``shingle_hashes`` expression over an already-materialized token-
+    hash array column ``th``: shingle id i is the order-sensitive
+    polynomial sum(th[i+j] * 31^j) mod M computed by zipping k
+    equal-length shifted slices of that array. No concatenated shingle
+    strings are ever materialized (~3x cheaper). The caller must stage
+    ``th`` behind its own projection (referenced k times here), which
+    keeps CollapseProject from inlining the token pipeline into the
+    per-element lambdas."""
     n_shingles = F.greatest(F.size(th) - F.lit(k - 1), F.lit(1))
     weights = [31**j % _MERSENNE for j in range(k)]
 
@@ -83,13 +64,40 @@ def shingle_hash_frame(
     acc = F.transform(F.slice(th, 1, n_shingles), lambda x: x * F.lit(weights[0]))
     for j in range(1, k):
         acc = F.zip_with(acc, F.slice(th, j + 1, n_shingles), wsum(weights[j]))
-    hashes = F.array_distinct(
+    return F.array_distinct(
         F.filter(  # zip_with null-pads when a doc has < k tokens
             F.transform(acc, lambda x: F.pmod(x, F.lit(_MERSENNE))),
             lambda x: x.isNotNull(),
         )
     )
-    return staged.select(F.col(id_col), hashes.alias("shingle_hashes"))
+
+
+def _token_hash_expr(text_col: str, token_hash) -> "F.Column":
+    """Token-hash array over a text column (the staged ``th`` input of
+    :func:`_shingle_hashes_expr`)."""
+    if token_hash is None:
+        token_hash = lambda t: F.xxhash64(t).bitwiseAND(F.lit(0x7FFFFFFF))
+    return F.transform(F.split(F.lower(F.col(text_col)), r"\s+"), token_hash)
+
+
+def shingle_hash_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    token_hash=None,
+) -> DataFrame:
+    """id + ``shingle_hashes`` (distinct 31-bit ids of k-token shingles),
+    string-free. Docs shorter than k tokens yield an empty shingle set.
+    See :func:`_shingle_hashes_expr` for the zipped-slices construction
+    and the CollapseProject staging note."""
+    staged = df.select(
+        F.col(id_col), _token_hash_expr(text_col, token_hash).alias("th")
+    )
+    return staged.select(
+        F.col(id_col),
+        _shingle_hashes_expr(F.col("th"), k).alias("shingle_hashes"),
+    )
 
 
 def _minhash_signature(shingle_hashes):
@@ -1171,9 +1179,10 @@ def minhash_index_shard(bucket) -> "F.Column":
 
 def append_minhash_index(
     index_path: str,
-    sig: DataFrame,
+    sig: DataFrame | None,
     id_col: str = "doc_id",
     string_buckets: bool = False,
+    bands: DataFrame | None = None,
 ) -> None:
     """Append a batch's band rows to the persisted, bucket-sharded LSH
     index (round-7 VERDICT #4 — the at-rest form the
@@ -1182,11 +1191,29 @@ def append_minhash_index(
     = hash(bucket) % 32, so a probe prunes to the shards its buckets
     hash into at PLANNING time. Append-only: a batch is one
     partitioned parquet append (~16 rows/doc), historical rows are
-    never rewritten or recomputed."""
-    bands = explode_minhash_bands(sig, id_col, string_buckets)
+    never rewritten or recomputed.
+
+    ``bands``: a precomputed (id, band, bucket, shard) band table (the
+    probe's checkpointed one) — skips re-deriving it from ``sig``.
+
+    Write fanout (r16, guide §2.4/§6): the shard-keyed repartition is
+    bounded to cores/8 write tasks instead of one task per shuffle
+    partition — each dynamic-partition write task pays a fixed
+    committer setup/rename cost, and with 32 one-shard tasks that
+    fixed cost dominated the append (measured 0.99 s -> 0.36 s on the
+    r16 profiling corpus). Keyed repartition keeps whole shards in
+    one task, so the layout still gets exactly one file per touched
+    shard per batch; the task count scales with cores, so a large
+    cluster keeps a wide write."""
+    if bands is None:
+        bands = explode_minhash_bands(sig, id_col, string_buckets).withColumn(
+            "shard", minhash_index_shard(F.col("bucket"))
+        )
+    spark = bands.sparkSession
+    n_tasks = max(1, spark.sparkContext.defaultParallelism // 8)
     (
-        bands.withColumn("shard", minhash_index_shard(F.col("bucket")))
-        .repartition("shard")
+        bands.select(id_col, "band", "bucket", "shard")
+        .repartition(n_tasks, "shard")
         .write.mode("append")
         .partitionBy("shard")
         .parquet(index_path)
@@ -1196,10 +1223,12 @@ def append_minhash_index(
 def probe_minhash_index(
     spark: SparkSession,
     index_path: str,
-    batch_sig: DataFrame,
+    batch_sig: DataFrame | None,
     id_col: str = "doc_id",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     string_buckets: bool = False,
+    batch_bands: DataFrame | None = None,
+    batch_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs for a batch against the PERSISTED index: the
     batch's band table is computed (O(|batch| x 16) rows), its shard
@@ -1207,13 +1236,22 @@ def probe_minhash_index(
     the ann_ivf_partitioned_scan pattern), and the index scan prunes to
     those shard directories at planning time. Historical signatures
     are READ, never recomputed; historical text is touched only by the
-    caller's jaccard_verify on actual candidates."""
+    caller's jaccard_verify on actual candidates.
+
+    ``batch_bands``/``batch_ids``: precomputed (id, band, bucket,
+    shard) band table (already pinned) and batch-id frame — lets a
+    caller that also APPENDS the same bands (the streaming sink) share
+    one checkpointed band table across probe and append instead of
+    deriving it twice (r16, guide §2.4)."""
     from pathlib import Path
 
-    batch_bands = explode_minhash_bands(
-        batch_sig, id_col, string_buckets
-    ).withColumn("shard", minhash_index_shard(F.col("bucket")))
-    batch_bands = batch_bands.localCheckpoint(eager=True)
+    if batch_bands is None:
+        batch_bands = explode_minhash_bands(
+            batch_sig, id_col, string_buckets
+        ).withColumn("shard", minhash_index_shard(F.col("bucket")))
+        batch_bands = batch_bands.localCheckpoint(eager=True)
+    if batch_ids is None:
+        batch_ids = batch_sig.select(id_col)
     shards = [
         r.shard for r in batch_bands.select("shard").distinct().collect()
     ]
@@ -1234,7 +1272,7 @@ def probe_minhash_index(
     return incremental_band_pairs(
         batch_bands.select(id_col, "band", "bucket"),
         index_bands,
-        batch_sig.select(id_col),
+        batch_ids,
         id_col,
         max_bucket_size,
     )
@@ -1458,53 +1496,69 @@ def minhash_stream_sink(spark: SparkSession, docs_schema, idx: str, docs: str, o
         import shutil
 
         ddir = f"{docs}/batch={bid}"
-        sdir = f"{docs}_sets/batch={bid}"
         pdir = f"{out}/batch={bid}"
         idir = f"{idx}/batch={bid}"
         # a crashed prior attempt at THIS epoch may have appended its
         # band rows already — drop them before probing, or the batch
         # would find itself in the index
         shutil.rmtree(idir, ignore_errors=True)
-        # a single-file micro-batch arrives as ONE partition — spread it
-        # before the (expensive) shingle compute or it runs on one
-        # core; the checkpoint pins the spread result, multi-consumed
-        batch = batch.repartition(
-            spark.sparkContext.defaultParallelism
-        ).localCheckpoint(eager=True)
-        batch.write.mode("overwrite").parquet(ddir)
-        # shingle ONCE per document, ever: the batch's sets persist as
-        # stream state next to the corpus, so this batch's signature
-        # AND every later batch's Jaccard verification read them back
+        # Land the batch docs WITH their shingle sets in ONE write
+        # (r16, guide §2.4/§1.2: the pre-r16 sink paid four jobs here —
+        # a repartition+checkpoint, a docs write, a separate sets-store
+        # write, and a signature checkpoint; merging landing+tokenize
+        # and sharing one checkpointed band table measured 9.6 s ->
+        # 6.2 s over the three batches). A single-file micro-batch
+        # arrives as ONE partition, so it is spread before the
+        # (expensive) shingle compute or that runs on one core.
+        # Shingle ONCE per document, ever: the sets column persists as
+        # stream state ON the landed docs, so this batch's signature
+        # AND every later batch's Jaccard verification read it back
         # columnar instead of re-tokenizing text (the pre-round-9 form
         # re-shingled every candidate doc every batch — the dominant
-        # term of the loop)
-        shingle_hash_frame(batch, token_hash=md5_token_hash).filter(
-            F.size("shingle_hashes") > 0
-        ).select("doc_id", "shingle_hashes").write.mode("overwrite").parquet(
-            sdir
+        # term of the loop).
+        spread = batch.repartition(spark.sparkContext.defaultParallelism)
+        staged = spread.select(
+            "*", _token_hash_expr("text", md5_token_hash).alias("__th")
         )
+        staged.select(
+            *batch.columns,
+            _shingle_hashes_expr(F.col("__th")).alias("shingle_hashes"),
+        ).write.mode("overwrite").parquet(ddir)
         sets_schema = "doc_id long, shingle_hashes array<bigint>"
-        sig = (
+        batch_sets = (
             spark.read.schema(sets_schema)
-            .parquet(sdir)
-            .select(
-                "doc_id",
-                _minhash_signature(F.col("shingle_hashes")).alias(
-                    "signature"
-                ),
-            )
+            .parquet(ddir)
+            .filter(F.size("shingle_hashes") > 0)
+        )
+        sig = batch_sets.select(
+            "doc_id",
+            _minhash_signature(F.col("shingle_hashes")).alias("signature"),
+        )
+        # ONE checkpointed band table feeds the probe AND the index
+        # append below — the signature is computed exactly once per doc
+        bands = (
+            explode_minhash_bands(sig, "doc_id", True)
+            .withColumn("shard", minhash_index_shard(F.col("bucket")))
             .localCheckpoint(eager=True)
         )
         cand = probe_minhash_index(
-            spark, idx, sig, max_bucket_size=None, string_buckets=True
+            spark,
+            idx,
+            None,
+            max_bucket_size=None,
+            string_buckets=True,
+            batch_bands=bands,
+            batch_ids=batch_sets.select("doc_id"),
         )
-        all_sets = spark.read.schema(sets_schema).parquet(
-            f"{docs}_sets/batch=*"
+        all_sets = (
+            spark.read.schema(sets_schema)
+            .parquet(f"{docs}/batch=*")
+            .filter(F.size("shingle_hashes") > 0)
         )
         jaccard_verify_sets(cand, all_sets, threshold=0.8).write.mode(
             "overwrite"
         ).parquet(pdir)
-        append_minhash_index(idir, sig, string_buckets=True)
+        append_minhash_index(idir, None, string_buckets=True, bands=bands)
 
     return process
 

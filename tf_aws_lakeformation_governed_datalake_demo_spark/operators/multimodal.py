@@ -645,7 +645,9 @@ def explode_phash_bands(sig: DataFrame) -> DataFrame:
     )
 
 
-def append_phash_index(index_path: str, sig: DataFrame) -> None:
+def append_phash_index(
+    index_path: str, sig: DataFrame | None, bands: DataFrame | None = None
+) -> None:
     """Append a batch's phash band rows to the persisted, shard-
     partitioned image-dedup index — the at-rest form (the
     append_minhash_index pattern): ``shard=K/`` hive partitions of
@@ -654,11 +656,21 @@ def append_phash_index(index_path: str, sig: DataFrame) -> None:
     rows carry the full 64-bit signature (as the 4 band values), so
     hamming verification reads the index, never historical payloads.
     Append-only: one partitioned parquet append per batch (4 rows per
-    image)."""
+    image).
+
+    ``bands``: a precomputed (already pinned) band table — skips
+    re-deriving it from ``sig``. Write fanout bounded to cores/8 tasks
+    for the same fixed-committer-cost reason as append_minhash_index
+    (r16, guide §6)."""
+    if bands is None:
+        bands = explode_phash_bands(sig).withColumn(
+            "shard", F.col("bucket") % PHASH_INDEX_SHARDS
+        )
+    spark = bands.sparkSession
+    n_tasks = max(1, spark.sparkContext.defaultParallelism // 8)
     (
-        explode_phash_bands(sig)
-        .withColumn("shard", F.col("bucket") % PHASH_INDEX_SHARDS)
-        .repartition("shard")
+        bands.select("doc_id", "b0", "b1", "b2", "b3", "band", "bucket", "shard")
+        .repartition(n_tasks, "shard")
         .write.mode("append")
         .partitionBy("shard")
         .parquet(index_path)
@@ -671,22 +683,30 @@ def probe_phash_index(
     batch_sig: DataFrame,
     max_bucket_size: int | None = 128,
     deterministic_cap: int | None = None,
+    checkpoint_bands: bool = True,
 ) -> DataFrame:
     """Candidate pairs for an image batch against the PERSISTED index:
     the batch's band rows are computed (4 per image), their shard set
     collected (an O(16) collect), and the index scan prunes to those
     shard directories at planning time. Returns (doc_a, doc_b)
     candidates touching the batch only — historical-vs-historical
-    pairs were found when those images arrived."""
+    pairs were found when those images arrived.
+
+    ``checkpoint_bands=False``: skip pinning the band table — correct
+    (and one job cheaper, r16 guide §2.4) when ``batch_sig`` is
+    ALREADY pinned (cached or checkpointed), because the band explode
+    is then a trivial projection to recompute; leave True when the
+    signature plan is expensive (it would otherwise re-run per
+    consumer)."""
     from pathlib import Path
 
     from .dedup import incremental_band_pairs
 
-    batch_bands = (
-        explode_phash_bands(batch_sig)
-        .withColumn("shard", F.col("bucket") % PHASH_INDEX_SHARDS)
-        .localCheckpoint(eager=True)
+    batch_bands = explode_phash_bands(batch_sig).withColumn(
+        "shard", F.col("bucket") % PHASH_INDEX_SHARDS
     )
+    if checkpoint_bands:
+        batch_bands = batch_bands.localCheckpoint(eager=True)
     shards = [
         r.shard for r in batch_bands.select("shard").distinct().collect()
     ]
@@ -832,18 +852,24 @@ def phash_stream_sink(spark: SparkSession, idx: str, out: str):
         idir = f"{idx}/batch={bid}"
         pdir = f"{out}/batch={bid}"
         shutil.rmtree(idir, ignore_errors=True)
-        batch = batch.repartition(
-            spark.sparkContext.defaultParallelism
-        ).localCheckpoint(eager=True)
-        sig = batch.mapInPandas(
-            ahash_encoder, PHASH_SIG_SCHEMA
-        ).localCheckpoint(eager=True)
+        # r16 (guide §2.4): encode in ONE job — the repartition spread
+        # feeds the Arrow encoder directly instead of being pinned by
+        # its own checkpoint first; with sig pinned, the band explode
+        # is a trivial projection, so the probe's internal band
+        # checkpoint is skipped too (2 fewer jobs per epoch, encode
+        # still exactly once per image).
+        sig = (
+            batch.repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(ahash_encoder, PHASH_SIG_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
         pairs = probe_phash_index(
             spark,
             idx,
             sig,
             max_bucket_size=None,
             deterministic_cap=PHASH_STREAM_CAP,
+            checkpoint_bands=False,
         )
         _phash_verify_pairs(spark, pairs, sig, idx).write.mode(
             "overwrite"

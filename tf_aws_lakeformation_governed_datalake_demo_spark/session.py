@@ -59,6 +59,16 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # Directory-table listing: the persisted LSH/phash indexes and
+        # the multi-batch stream sinks are hive-partitioned trees of
+        # 30-100 leaf dirs; above this threshold Spark launches a
+        # DISTRIBUTED listing job per read (default 32), which at this
+        # dir count costs more than the driver-side walk it replaces —
+        # one ~150 ms job per probe/read (r16 guide §6 measurement).
+        # Production tables here are manifest-listed (no directory
+        # listing at all); for a true many-partition directory table on
+        # a cluster, override via extra_conf.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
