@@ -378,10 +378,15 @@ def cdc_apply_batch(spark: SparkSession, dim: str, dim_schema, batch: DataFrame)
     ]  # O(CDC_N_BUCKETS) driver rows
     cur = cdc_current_state_pruned(spark, dim, dim_schema, buckets)
     newer = F.struct("last_ts", "last_event_id") > F.struct("cur_ts", "cur_id")
+    # Pin the survivors ONCE, then probe emptiness and merge from the
+    # same materialization (r16, guide §2.4: the pre-r16 form evaluated
+    # the rank+pruned-read+join chain twice per batch — once for
+    # isEmpty, once for merge_into's own checkpoint)
     upd = (
         latest.join(cur, "user_id", "left")
         .filter(F.col("cur_ts").isNull() | newer)
         .drop("cur_ts", "cur_id")
+        .localCheckpoint(eager=True)
     )
     if upd.isEmpty():
         return
@@ -393,6 +398,7 @@ def cdc_apply_batch(spark: SparkSession, dim: str, dim_schema, batch: DataFrame)
         partition_by=["bucket"],
         schema=dim_schema,
         collect_stats=False,  # per-batch stats jobs are pure overhead here
+        updates_pinned=True,
     )
 
 
@@ -1422,10 +1428,13 @@ def stream_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         newer = F.struct("last_ts", "last_event_id") > F.struct(
             "cur_ts", "cur_id"
         )
+        # pin once; emptiness probe and merge share the materialization
+        # (the cdc_apply_batch r16 note)
         upd = (
             latest.join(cur, "user_id", "left")
             .filter(F.col("cur_ts").isNull() | newer)
             .drop("cur_ts", "cur_id")
+            .localCheckpoint(eager=True)
         )
         if upd.isEmpty():
             return
@@ -1437,6 +1446,7 @@ def stream_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             partition_by=["bucket"],
             schema=dim_schema,
             collect_stats=False,
+            updates_pinned=True,
         )
 
     (

@@ -929,27 +929,25 @@ def _merge_pair_in_arrays(col, a: str, b: str):
     return F.aggregate(col, F.array().cast("array<string>"), step)
 
 
-@query(
-    "text_bpe_learn",
-    None,
-    "BPE tokenizer training (Sennrich et al. 2016), 12 merges: the "
-    "corpus collapses ONCE to a distinct-word frequency vocabulary, "
-    "then every iteration counts corpus-weighted adjacent-symbol pairs "
-    "over that vocabulary, collects the single argmax pair (O(1) "
-    "driver traffic per iteration, deterministic count-then-lex "
-    "tiebreak), and applies the merge to the symbol arrays as a "
-    "Catalyst fold. No SQL oracle (iterative); exactness is pinned "
-    "against a pure-Python reference implementation on the same corpus "
-    "in tests/test_text.py.",
-)
-def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Returns the learned merge table (rank, left, right, merged,
-    pair_count). 100 TB design: iteration cost is bounded by VOCABULARY
-    size, not corpus size — the corpus-scale shuffle happens exactly
-    once (word counts, map-side combinable); the per-iteration argmax
-    collect is one row; localCheckpoint every iteration truncates the
-    12-fold lineage the way the other iterative operators do."""
-    n_merges = 12
+def _bpe_learn_state(
+    spark: SparkSession, sf_dir: str, n_merges: int = 12
+) -> tuple[list, DataFrame]:
+    """BPE training core shared by text_bpe_learn and text_bpe_encode:
+    returns (merge list, final vocab frame (w, syms, freq) with every
+    merge applied, pinned). Carrying ``w`` through the loop costs
+    nothing at vocabulary scale and lets the ENCODER reuse the final
+    symbol state directly instead of re-applying all 12 merges to a
+    freshly-distinct'd word table (r16, guide §2.4 — that re-apply was
+    12 fold evaluations + 4 checkpoints + a corpus distinct, all
+    redundant with work the learner already did).
+
+    Checkpoint cadence (r16, guide §1.2 per-task vs fixed cost): the
+    fold lineage is truncated every 3rd iteration instead of every
+    iteration — the pair-count job then re-evaluates at most 2 stacked
+    folds (O(word-length) array work per row over the vocabulary, far
+    cheaper than the per-iteration checkpoint job it replaces); 12
+    stacked HOF aggregates in one plan is what stalls codegen, 3 does
+    not."""
     d = load(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
@@ -957,6 +955,7 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "w",
             F.expr(
                 "transform(sequence(1, length(w)), i -> substr(w, i, 1))"
             ).alias("syms"),
@@ -965,6 +964,7 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     merges = []
+    pending = 0
     for rank in range(1, n_merges + 1):
         top = (
             vocab.select(
@@ -986,11 +986,40 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         merges.append((rank, top.l, top.r, top.l + top.r, int(top.cnt)))
         vocab = vocab.select(
-            _merge_pair_in_arrays(F.col("syms"), top.l, top.r).alias(
-                "syms"
-            ),
+            "w",
+            _merge_pair_in_arrays(F.col("syms"), top.l, top.r).alias("syms"),
             "freq",
-        ).localCheckpoint(eager=True)
+        )
+        pending += 1
+        if pending == 3:
+            vocab = vocab.localCheckpoint(eager=True)
+            pending = 0
+    if pending:
+        vocab = vocab.localCheckpoint(eager=True)
+    return merges, vocab
+
+
+@query(
+    "text_bpe_learn",
+    None,
+    "BPE tokenizer training (Sennrich et al. 2016), 12 merges: the "
+    "corpus collapses ONCE to a distinct-word frequency vocabulary, "
+    "then every iteration counts corpus-weighted adjacent-symbol pairs "
+    "over that vocabulary, collects the single argmax pair (O(1) "
+    "driver traffic per iteration, deterministic count-then-lex "
+    "tiebreak), and applies the merge to the symbol arrays as a "
+    "Catalyst fold. No SQL oracle (iterative); exactness is pinned "
+    "against a pure-Python reference implementation on the same corpus "
+    "in tests/test_text.py.",
+)
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returns the learned merge table (rank, left, right, merged,
+    pair_count). 100 TB design: iteration cost is bounded by VOCABULARY
+    size, not corpus size — the corpus-scale shuffle happens exactly
+    once (word counts, map-side combinable); the per-iteration argmax
+    collect is one row; localCheckpoint every 3rd iteration truncates
+    the fold lineage (see _bpe_learn_state)."""
+    merges, _vocab = _bpe_learn_state(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )
@@ -1018,33 +1047,14 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     step's per-iteration cost is likewise vocabulary-bounded
     (text_bpe_learn's design)."""
     d = load(spark, sf_dir, "documents")
-    merges = text_bpe_learn(spark, sf_dir).orderBy("rank").collect()
-    words = (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
-        .where(F.length("w") >= 2)
-        .distinct()
-    )
-    enc = words.select(
-        "w",
-        F.expr(
-            "transform(sequence(1, length(w)), i -> substr(w, i, 1))"
-        ).alias("syms"),
-    )
-    for i, m in enumerate(merges):
-        enc = enc.select(
-            "w",
-            _merge_pair_in_arrays(F.col("syms"), m.left, m.right).alias(
-                "syms"
-            ),
-        )
-        if (i + 1) % 4 == 0:
-            # truncate the nested-fold lineage the way the learner
-            # does per iteration — 12 stacked HOF aggregates in one
-            # plan stall codegen
-            enc = enc.localCheckpoint(eager=True)
-    tok = enc.select("w", F.size("syms").alias("n_tok")).localCheckpoint(
-        eager=True
-    )
+    # r16 (guide §2.4): the learner's FINAL vocab state (w, syms after
+    # all 12 merges, pinned) IS the encoded word table — the previous
+    # form re-distinct'd the corpus words and re-applied all 12 merge
+    # folds (+4 checkpoints) to arrive at exactly the same frame. The
+    # learner's vocabulary definition (distinct lowercase words of
+    # length >= 2) is the encoder's word definition, so reuse is exact.
+    _merges, vocab = _bpe_learn_state(spark, sf_dir)
+    tok = vocab.select("w", F.size("syms").alias("n_tok"))
     docw = d.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
     ).where(F.length("w") >= 2)

@@ -3963,6 +3963,7 @@ def merge_into(
     schema: T.StructType | None = None,
     collect_stats: bool = True,
     bloom_cols: list[str] | None = None,
+    updates_pinned: bool = False,
 ) -> dict:
     """Keyed MERGE/upsert on a plain-Parquet lake table — the Delta
     ``MERGE INTO`` / ``replaceWhere`` analog, executable without ACID
@@ -4022,8 +4023,13 @@ def merge_into(
     # Pin the updates batch ONCE: the merged frame AND the reported stats
     # must derive from the same materialization, or a nondeterministic
     # updates plan (sampling, un-sorted limit) makes the stats diverge
-    # from what was written (round-4 ADVICE).
-    updates = updates.localCheckpoint(eager=True)
+    # from what was written (round-4 ADVICE). ``updates_pinned=True`` is
+    # the caller's statement that it ALREADY materialized the frame
+    # (localCheckpoint/cache) — e.g. the CDC sinks checkpoint the batch
+    # to run their own emptiness probe — so re-pinning here would only
+    # add a copy job per micro-batch (r16, guide §2.4).
+    if not updates_pinned:
+        updates = updates.localCheckpoint(eager=True)
     # Optimistic concurrency: remember which snapshot this rewrite is
     # computed against (read_table's file list is fixed at planning
     # time); the publish refuses to commit over a different one.
