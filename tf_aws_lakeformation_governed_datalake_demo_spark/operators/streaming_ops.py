@@ -409,7 +409,18 @@ def cdc_land_change_files(
     (one micro-batch each) keyed on ``key_col`` % n — interleaving event
     times across files so later batches routinely carry OLDER rows for
     a key than earlier batches did (the out-of-order delivery the
-    conditional merge must absorb)."""
+    conditional merge must absorb).
+
+    One Spark job for all ``n`` files (r16, guide §2.4): the pre-r16
+    form ran ``n`` filter+repartition(1)+write jobs, each re-evaluating
+    the source plan — for the dedup callers that plan is the
+    exact-collapse window over the whole corpus, evaluated n times. A
+    keyed repartition on the slice id puts every slice wholly in one
+    task, so ``partitionBy`` emits exactly one part file per slice; the
+    files are then moved into place. Slice membership is unchanged; row
+    ORDER within a file is shuffle-arrival order (every consumer of
+    these files is order-insensitive: ranks order by (ts, id), pair
+    emitters are set-valued)."""
     import glob
     import os
     import shutil
@@ -417,14 +428,32 @@ def cdc_land_change_files(
     from pyspark.sql import functions as F
 
     os.makedirs(src, exist_ok=True)
+    tmp = f"{tmp_root}/_cdc_tmp"
+    spark = df.sparkSession
+    n_tasks = max(n, spark.sparkContext.defaultParallelism // 8)
+    (
+        df.withColumn("__b", (F.col(key_col) % n).cast("int"))
+        .repartition(n_tasks, "__b")
+        .write.partitionBy("__b")
+        .parquet(tmp)
+    )
     for i in range(n):
-        tmp = f"{tmp_root}/_cdc_tmp{i}"
-        # repartition(1), not coalesce(1): several callers feed
-        # Python-sourced local relations, where coalesce collapses the
-        # filter into one task (round-7 finding on the fixture write)
-        df.filter(F.col(key_col) % n == i).repartition(1).write.parquet(tmp)
-        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/c{i}.parquet")
-        shutil.rmtree(tmp)
+        parts = glob.glob(f"{tmp}/__b={i}/part-*.parquet")
+        if parts:
+            assert len(parts) == 1, parts  # keyed repartition: one task/slice
+            shutil.move(parts[0], f"{src}/c{i}.parquet")
+        else:
+            # empty slice (possible only on degenerate inputs): land an
+            # empty single file so the batch count stays n
+            df.filter(F.col(key_col) % n == i).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp_root}/_cdc_tmp_empty")
+            shutil.move(
+                glob.glob(f"{tmp_root}/_cdc_tmp_empty/part-*.parquet")[0],
+                f"{src}/c{i}.parquet",
+            )
+            shutil.rmtree(f"{tmp_root}/_cdc_tmp_empty")
+    shutil.rmtree(tmp)
 
 
 @query(
@@ -879,11 +908,16 @@ def stream_from_lake_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_dir("lake_src_") + "/events"
     # one file per partition per commit: each stream input partition is
     # one Python-worker task, so a 32-way staged write would hand the
-    # source ~16x more (tiny) partitions for the same bytes
+    # source ~16x more (tiny) partitions for the same bytes. r16: the
+    # keyed repartition is bounded to cores/8 write tasks — each value
+    # still lands wholly in one task (one file per partition per
+    # commit holds), but the staged write stops paying 32 fixed
+    # per-task committer costs for a handful of event types (guide §6)
+    n_w = max(1, spark.sparkContext.defaultParallelism // 8)
     publish_overwrite(
         spark,
         path,
-        e.filter(F.col("event_id") % 3 == 0).repartition("event_type"),
+        e.filter(F.col("event_id") % 3 == 0).repartition(n_w, "event_type"),
         ["event_type"],
         manifest=True,
     )
@@ -891,7 +925,7 @@ def stream_from_lake_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_rows(
             spark,
             path,
-            e.filter(F.col("event_id") % 3 == k).repartition("event_type"),
+            e.filter(F.col("event_id") % 3 == k).repartition(n_w, "event_type"),
             ["event_type"],
         )
     agg = (
@@ -1059,7 +1093,11 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         committed = append_rows(
             spark,
             loc,
-            batch.repartition("lang"),
+            # cores/8 keyed write tasks: one file per lang per commit
+            # holds, without 32 fixed per-task committer costs (r16 §6)
+            batch.repartition(
+                max(1, spark.sparkContext.defaultParallelism // 8), "lang"
+            ),
             partition_by=["lang"],
             stream_id="mv_ingest",
             batch_id=epoch_id,
