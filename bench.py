@@ -354,6 +354,75 @@ HEADLINE = [
     "sql_drop_partition",
 ]
 
+# Names that have appeared in a driver-parsed bench line in a previous
+# round (the round-16 printed line plus stream_txlog_ingest, whose round-15
+# number was lost when the two round-16 HEADLINE additions pushed it out of
+# the printed line's budget — the round-16 gate item). The driver diffs its
+# per-round lines query-by-query, so evicting any of these from the printed
+# line destroys its round-over-round tracking. The reporting loop below
+# places these FIRST and asserts they all fit; a future HEADLINE addition
+# can therefore never silently evict one (it would either land in the
+# remaining budget or stay BENCH_FULL-only until promoted here).
+PRIOR_REPORTED = [
+    "scan_project_filter",
+    "agg_tpch_q1",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
+    "agg_count_distinct",
+    "join_broadcast_dims",
+    "join_fact_revenue",
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "window_topk_per_group",
+    "events_sessionize",
+    "orderby_limit_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine_topk",
+    "text_quality_score",
+    "pipeline_train_val_split",
+    "decontaminate_ngram_overlap",
+    "ann_lsh_cosine",
+    "stream_cdc_upsert",
+    "sql_analyze_stats",
+    "lake_clone_zero_copy",
+    "pipeline_perplexity_buckets",
+    "sql_insert_overwrite",
+    "text_kneser_ney_cross_entropy",
+    "privacy_l_diversity",
+    "stream_partition_overwrite",
+    "sql_create_table_ddl",
+    "sql_grant_revoke",
+    "sql_count_metadata",
+    "sql_count_partitions_metadata",
+    "governance_mv_rewrite_inlist",
+    "privacy_t_closeness",
+    "events_sliding_distinct_users",
+    "embeddings_pca_project",
+    "text_bpe_encode",
+    "sql_alter_column_widen",
+    "sql_add_files",
+    "pipeline_token_budget_mixture",
+    "pipeline_token_budget_mixture_approx",
+    "sql_truncate_table",
+    "sql_msck_repair",
+    "sql_describe_files",
+    "stream_cdc_with_deletes",
+    "sql_add_constraint",
+    "pipeline_chunk_documents",
+    "pipeline_boilerplate_chunks",
+    "sql_vacuum_age",
+    "dedup_phash_images",
+    "dedup_phash_index_probe",
+    "stream_phash_dedup",
+    "pipeline_softdedup_weights",
+    "pipeline_padding_efficiency",
+    "text_vocab_coverage",
+    "dedup_phash_collapsed",
+    "sql_drop_partition",
+    "stream_txlog_ingest",
+]
+
 # ann_lsh_cosine first in the measured sequence (round-7 VERDICT #3):
 # its last two driver numbers were taken late in the run under
 # documented host load (1.63x its r5 driver value, vs 1.18x isolated);
@@ -423,18 +492,27 @@ def main() -> None:
     # json-parses the final line (round-8 lesson: the full 105-query line
     # was 2.9k chars, the tail started mid-line, and the driver recorded
     # "parsed": null — a whole round of perf data lost). So the printed
-    # line reports a priority-truncated subset that always fits:
-    # the common-18 judge subset first, then the newest additions first
+    # line reports a priority-truncated subset that always fits.
+    # Round-17 fix (round-16 VERDICT gate item): every name the driver has
+    # ALREADY seen in a prior round's line (PRIOR_REPORTED) is reported
+    # unconditionally — the fill loop places them first and the assert
+    # below fails loudly if they ever stop fitting, instead of silently
+    # dropping a query's round-over-round number (which is what evicted
+    # stream_txlog_ingest in round 16). To make them fit, the printed
+    # line rounds per-query seconds to 2 decimals (~10 ms resolution —
+    # far below host jitter; BENCH_FULL.json keeps the 3-decimal values).
+    # Remaining budget then goes to never-reported names, newest first
     # (newest queries are the ones without any prior driver number).
     # "value"/"common18_sec" stay totals over ALL measured queries.
-    # watch-listed queries (round-7 VERDICT: ann_lsh_cosine has two
-    # red-looking driver rounds; stream_cdc_upsert is the heaviest
-    # fixed-cost pipeline) always get a driver-visible number.
-    watched = ["ann_lsh_cosine", "stream_cdc_upsert"]
-    tail_priority = [n for n in reversed(HEADLINE[18:]) if n not in watched]
-    priority = HEADLINE[:18] + watched + tail_priority
+    tail_priority = [n for n in reversed(HEADLINE) if n not in PRIOR_REPORTED]
+    priority = PRIOR_REPORTED + tail_priority
     reported: dict[str, float] = {}
-    budget = 1800
+    # The driver's capture is exactly the last 2000 chars (measured: every
+    # committed BENCH_r*.json "tail" is len 2000) and this line is the last
+    # thing printed, so line + trailing newline <= 2000 is fully captured;
+    # 1950 leaves a 49-char safety margin. (The old 1800 was conservative
+    # guesswork and is what made the round-16 eviction possible.)
+    budget = 1950
 
     def _line(q: dict[str, float]) -> str:
         return json.dumps(
@@ -453,10 +531,13 @@ def main() -> None:
 
     for name in priority:
         candidate = dict(reported)
-        candidate[name] = timings[name]
+        candidate[name] = round(timings[name], 2)
         if len(_line(candidate)) > budget:
             break
         reported = candidate
+    # previously-reported names must never be evicted (round-16 gate)
+    missing = [n for n in PRIOR_REPORTED if n not in reported]
+    assert not missing, f"printed line evicted previously-reported: {missing}"
     # keep HEADLINE order within the reported subset
     reported = {n: reported[n] for n in HEADLINE if n in reported}
     line = _line(reported)
