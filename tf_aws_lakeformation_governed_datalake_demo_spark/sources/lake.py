@@ -4195,30 +4195,43 @@ def scd2_apply(
     upd = updates.select(
         *key_cols, *[F.col(c).alias(f"__new_{c}") for c in upd_data]
     )
-    joined = active.join(upd, key_cols, "inner")
+    # r17 (guide §2.4 — don't re-evaluate what you already computed):
+    # the change-detection join (dimension scan + key join) used to be
+    # re-run by every downstream consumer — three changed_keys broadcast
+    # builds, the new-keys anti-join, the touched-partition count, both
+    # stats counts, and the staged write each re-planned the whole
+    # chain. Pin it ONCE; everything below derives from the pin, so the
+    # dimension is scanned exactly twice per apply (here, and once more
+    # for the untouched slice inside the publish). The pin is
+    # batch-bounded (rows = update keys present in the dimension).
+    joined = active.join(upd, key_cols, "inner").localCheckpoint(eager=True)
     same = None
     for c in change_cols:
         eq = F.col(c).eqNullSafe(F.col(f"__new_{c}"))
         same = eq if same is None else (same & eq)
-    changed_keys = joined.filter(~same).select(*key_cols)
+    # `changed` carries BOTH the closing row (the active columns) and
+    # the replacement version (the __new_* columns) for every changed
+    # key — update keys are unique per batch (the documented contract),
+    # so projecting it is row-identical to the former semi-joins.
+    changed = joined.filter(~same)
+    changed_keys = changed.select(*key_cols)
+    # updates-keys not matched by the join == updates-keys absent from
+    # the dimension (the former anti-join against the full active scan)
     new_keys = upd.select(*key_cols).join(
-        active.select(*key_cols), key_cols, "left_anti"
+        joined.select(*key_cols), key_cols, "left_anti"
     )
     closing = (
-        active.join(F.broadcast(changed_keys), key_cols, "left_semi")
+        changed.select(*cur.columns)
         .withColumn(to_col, F.lit(as_of))
         .withColumn(current_col, F.lit(False))
     )
     # New versions of changed keys: batch-supplied columns from the
     # batch, everything else carried forward from the closing row.
-    ins_changed = (
-        joined.join(F.broadcast(changed_keys), key_cols, "left_semi")
-        .select(
-            *[
-                F.col(f"__new_{c}").alias(c) if c in upd_data else F.col(c)
-                for c in data_cols
-            ]
-        )
+    ins_changed = changed.select(
+        *[
+            F.col(f"__new_{c}").alias(c) if c in upd_data else F.col(c)
+            for c in data_cols
+        ]
     )
     ins_new = updates.join(F.broadcast(new_keys), key_cols, "left_semi").select(
         *[
@@ -4391,25 +4404,35 @@ def delete_rows(
                 "would destroy the layout — pass the partition column(s)"
             )
     matched = cur.filter(pred)
-    n_deleted = matched.count()
-    if n_deleted == 0:
-        return {"rows_deleted": 0, "partitions_rewritten": 0}
     if part_cols:
-        # O(#touched) collect: the values double as the drop-list for
-        # partitions the deletion EMPTIES — their staged rewrite has
-        # zero rows, so publish must remove their old directories.
-        touched_rows = matched.select(*part_cols).distinct().collect()
+        # r17 (guide §2.4): ONE aggregation job replaces the former
+        # matched.count() + touched-distinct-collect pair — the matched
+        # slice was scanned twice to answer two questions one per-
+        # partition rollup answers together. O(#touched) collect: the
+        # values double as the drop-list for partitions the deletion
+        # EMPTIES — their staged rewrite has zero rows, so publish must
+        # remove their old directories.
+        per_part = (
+            matched.groupBy(*part_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        n_deleted = sum(r["__n"] for r in per_part)
+        if n_deleted == 0:
+            return {"rows_deleted": 0, "partitions_rewritten": 0}
+        touched_rows = [tuple(r)[: len(part_cols)] for r in per_part]
         # explicit schema: a NULL partition value (the Hive default
         # partition) must not break type inference
         touched = spark.createDataFrame(
-            [tuple(r) for r in touched_rows], matched.select(*part_cols).schema
+            touched_rows, matched.select(*part_cols).schema
         )
         base = _restrict_to_partitions(cur, touched, part_cols)
         n_partitions = len(touched_rows)
-        drop = [
-            hive_partition_relpath(part_cols, tuple(r)) for r in touched_rows
-        ]
+        drop = [hive_partition_relpath(part_cols, r) for r in touched_rows]
     else:
+        n_deleted = matched.count()
+        if n_deleted == 0:
+            return {"rows_deleted": 0, "partitions_rewritten": 0}
         base = cur
         n_partitions = -1  # full rewrite
         drop = None
@@ -4522,17 +4545,27 @@ def update_rows(
                 "would destroy the layout — pass the partition column(s)"
             )
     matched = cur.filter(pred)
-    n_updated = matched.count()
-    if n_updated == 0:
-        return {"rows_updated": 0, "partitions_rewritten": 0}
     if part_cols:
-        touched_rows = matched.select(*part_cols).distinct().collect()
+        # one rollup answers count + touched list together (delete_rows'
+        # r17 note)
+        per_part = (
+            matched.groupBy(*part_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        n_updated = sum(r["__n"] for r in per_part)
+        if n_updated == 0:
+            return {"rows_updated": 0, "partitions_rewritten": 0}
+        touched_rows = [tuple(r)[: len(part_cols)] for r in per_part]
         touched = spark.createDataFrame(
-            [tuple(r) for r in touched_rows], matched.select(*part_cols).schema
+            touched_rows, matched.select(*part_cols).schema
         )
         base = _restrict_to_partitions(cur, touched, part_cols)
         n_partitions = len(touched_rows)
     else:
+        n_updated = matched.count()
+        if n_updated == 0:
+            return {"rows_updated": 0, "partitions_rewritten": 0}
         base = cur
         n_partitions = -1  # full rewrite
     # one pass over the touched slice: SET expressions evaluate against
