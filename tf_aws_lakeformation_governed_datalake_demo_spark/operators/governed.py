@@ -327,7 +327,14 @@ def governance_streamed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"gov_stream_out_{next(_GOV_STREAM_SEQ)}"
-    return run_stream_to_batch(agg, name, output_mode="complete")
+    from ..streaming.events import source_bytes, stream_state_partitions
+
+    width = stream_state_partitions(
+        spark, source_bytes(catalog.tables["sales_db.sales"].location)
+    )
+    return run_stream_to_batch(
+        agg, name, output_mode="complete", state_partitions=width
+    )
 
 
 @query(

@@ -21,10 +21,22 @@ from .registry import query
 _COUNTER = itertools.count()
 
 
+def _events_width(spark: SparkSession, sf_dir: str) -> int:
+    """State-store/shuffle width for streams over the events source —
+    the input-size-derived policy (se.stream_state_partitions, round-16
+    VERDICT #4): partitions sized to bytes, not the session default."""
+    return se.stream_state_partitions(
+        spark, se.source_bytes(sf_dir, "events.parquet")
+    )
+
+
 def _run(spark: SparkSession, sf_dir: str, builder, mode: str) -> DataFrame:
     stream = builder(se.read_events_stream(spark, sf_dir))
     name = f"stream_out_{next(_COUNTER)}"
-    return se.run_stream_to_batch(stream, name, output_mode=mode)
+    return se.run_stream_to_batch(
+        stream, name, output_mode=mode,
+        state_partitions=_events_width(spark, sf_dir),
+    )
 
 
 @query(
@@ -67,7 +79,10 @@ def stream_hourly_counts_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scratch_dir("stream_durable_")
     stream = se.stream_hourly_counts(se.read_events_stream(spark, sf_dir))
-    se.run_stream_durable(stream, f"{base}/out", f"{base}/ckpt")
+    se.run_stream_durable(
+        stream, f"{base}/out", f"{base}/ckpt",
+        state_partitions=_events_width(spark, sf_dir),
+    )
     return spark.read.parquet(f"{base}/out")
 
 
@@ -585,7 +600,10 @@ def stream_enriched_region_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     name = f"stream_out_{next(_COUNTER)}"
-    return se.run_stream_to_batch(agg, name, output_mode="complete")
+    return se.run_stream_to_batch(
+        agg, name, output_mode="complete",
+        state_partitions=_events_width(spark, sf_dir),
+    )
 
 
 @query(
@@ -631,7 +649,10 @@ def stream_topk_trending_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scratch_dir("trending_durable_")
     stream = se.stream_sliding_avg(se.read_events_stream(spark, sf_dir))
-    se.run_stream_durable(stream, f"{base}/out", f"{base}/ckpt")
+    se.run_stream_durable(
+        stream, f"{base}/out", f"{base}/ckpt",
+        state_partitions=_events_width(spark, sf_dir),
+    )
     state = spark.read.parquet(f"{base}/out")
     win = W.partitionBy("win_start").orderBy(F.desc("n"), "event_type")
     return (
@@ -724,7 +745,10 @@ def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("hour"), "tier", "n")
     )
     name = f"stream_out_{next(_COUNTER)}"
-    return se.run_stream_to_batch(agg, name, output_mode="complete")
+    return se.run_stream_to_batch(
+        agg, name, output_mode="complete",
+        state_partitions=_events_width(spark, sf_dir),
+    )
 
 
 def stream_lake_append(
@@ -943,7 +967,12 @@ def stream_from_lake_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_out_{next(_COUNTER)}"
-    return se.run_stream_to_batch(agg, name, output_mode="complete")
+    return se.run_stream_to_batch(
+        agg, name, output_mode="complete",
+        state_partitions=se.stream_state_partitions(
+            spark, se.source_bytes(path)
+        ),
+    )
 
 
 @query(

@@ -264,31 +264,118 @@ def stream_attributed_revenue_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+def source_bytes(path: str, pattern: str | None = None) -> int:
+    """Total bytes of the data files under ``path`` (optionally filtered
+    by a glob ``pattern``) — the input-size estimate feeding
+    :func:`stream_state_partitions`. Driver-side walk; underscore/dot
+    files (commit markers, checkpoints, manifests) are skipped. In a
+    production deployment this number comes from the source's own
+    metadata (Kafka partition sizes, the table manifest's byte totals)
+    rather than a directory walk."""
+    import fnmatch
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            if pattern and not fnmatch.fnmatch(f, pattern):
+                continue
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def stream_state_partitions(spark: SparkSession, n_bytes: int) -> int:
+    """Shuffle/state-store partition count for a NEW stateful stream,
+    derived from the input size (round-16 VERDICT #4; guide §2.1/§2.2:
+    size partitions to the data, 100 MB-1 GB apiece, instead of paying
+    `spark.sql.shuffle.partitions` fixed per-partition state commits per
+    micro-batch regardless of volume).
+
+    Policy: ceil(input_bytes / 128 MB), clamped to [1, 8 x cores].
+    - A stream whose whole input is a few MB gets ONE state partition —
+      on tiny batches the 32-partition default spends more time on
+      per-partition state-store commits (one delta file per partition
+      per batch) than on the data.
+    - At warehouse scale (TBs/day) the byte term exceeds the clamp and
+      the stream runs at 8 x cluster cores — a scheduling-friendly
+      multiple, with each state shard still well under the
+      memory-pressure zone. The count is derived from DATA, not from
+      the local core count, so an 8-core and a 32-core run of the same
+      input choose the same layout (the state-store partition count is
+      a durable layout choice fixed at first checkpoint).
+
+    Callers pass the result to :func:`run_stream_to_batch` /
+    :func:`run_stream_durable`; restarts from an existing checkpoint
+    keep the width recorded there (Spark pins numShufflePartitions in
+    the offset log), so replay/resume semantics are unchanged."""
+    target = 128 << 20
+    cores = max(int(spark.sparkContext.defaultParallelism), 1)
+    return max(1, min(-(-n_bytes // target), 8 * cores))
+
+
+def _with_shuffle_width(spark: SparkSession, width: "int | None"):
+    """Context manager: pin spark.sql.shuffle.partitions for the
+    duration of one stream run, restoring the session value after. The
+    conf is read at query START (stateful plans freeze it into the
+    checkpoint), so scoping it to the .start()/.stop() window is exactly
+    the stream-creation-time policy knob."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def cm():
+        if width is None:
+            yield
+            return
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return cm()
+
+
 def run_stream_to_batch(
     stream_df: DataFrame,
     query_name: str,
     output_mode: str = "complete",
+    state_partitions: "int | None" = None,
 ) -> DataFrame:
     """Synchronous harness: drive the streaming query over all available
     input (memory sink), stop it, return the result as a batch DataFrame.
+
+    ``state_partitions``: shuffle/state width for THIS stream (see
+    :func:`stream_state_partitions`); None keeps the session default.
     """
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+    spark = stream_df.sparkSession
+    with _with_shuffle_width(spark, state_partitions):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
 
 
 def run_stream_durable(
     stream_df: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
+    state_partitions: "int | None" = None,
 ) -> None:
     """Durable-sink harness: parquet file sink + checkpointLocation,
     append mode, ``availableNow`` trigger (round-4 VERDICT #4 — the
@@ -306,13 +393,16 @@ def run_stream_durable(
 
     Call repeatedly as data lands; each call drains all available input
     and returns when the (possibly empty) watermark-flush batch commits.
+    ``state_partitions`` applies only to a FRESH checkpoint — a resumed
+    stream keeps the width recorded in its offset log.
     """
-    q = (
-        stream_df.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _with_shuffle_width(stream_df.sparkSession, state_partitions):
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
