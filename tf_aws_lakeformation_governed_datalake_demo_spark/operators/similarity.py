@@ -1488,7 +1488,11 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["label"],
         manifest=True,
     )
-    cent = label_centroids(seed)  # FROZEN quantizer: seed-only means
+    # FROZEN quantizer: seed-only means. r17 (guide §2.4): pinned once —
+    # the O(cells) centroid table used to be re-derived (seed scan +
+    # explode + agg) by BOTH the assignment broadcast build and the
+    # probe's argmax collect.
+    cent = label_centroids(seed).localCheckpoint(eager=True)
     # batch assignment: argmax over cells of dot/cnorm (the vector's own
     # norm is constant per vector and cannot change the argmax — fewer
     # fp ops means fewer cross-engine tie hazards)
@@ -1510,7 +1514,16 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", F.col("cell").alias("label"))
     )
-    append_rows(spark, index, assigned, partition_by=["label"])
+    # r17 (guide §6, the r16 index-append fanout fix applied here): the
+    # window leaves rows partitioned by vec_id, so every write task
+    # holds a mix of cells and the dynamic-partition append pays
+    # tasks x cells committer setups and files. The bounded keyed
+    # repartition lands each cell wholly in one task — one file per
+    # touched cell per batch, task count scaling with cores.
+    n_w = max(1, spark.sparkContext.defaultParallelism // 8)
+    append_rows(
+        spark, index, assigned.repartition(n_w, "label"), partition_by=["label"]
+    )
 
     q = v.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"), F.col("norm").alias("qnorm")
