@@ -1574,20 +1574,35 @@ def run_minhash_dedup_stream(
 ) -> None:
     """Drive the dedup stream over ``src`` to completion (availableNow,
     one file per micro-batch); with an existing ``checkpoint`` this is
-    the RESTART path — only unprocessed files run."""
-    (
-        spark.readStream.schema(docs_schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(src)
-        .writeStream.foreachBatch(
-            minhash_stream_sink(spark, docs_schema, idx, docs, out)
-        )
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    the RESTART path — only unprocessed files run.
+
+    r17: runs under the input-size-derived shuffle width (the
+    streaming_ops._drive_file_stream rationale) — the sink body's batch
+    jobs get no AQE coalescing inside foreachBatch, so the session
+    default paid 32 near-empty tasks per shuffle per epoch. Restarts
+    replan each batch fresh; batch-plan width is not checkpoint-pinned.
+    """
+    from ..streaming.events import (
+        _with_shuffle_width,
+        source_bytes,
+        stream_state_partitions,
     )
+
+    width = stream_state_partitions(spark, source_bytes(src))
+    with _with_shuffle_width(spark, width):
+        (
+            spark.readStream.schema(docs_schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(
+                minhash_stream_sink(spark, docs_schema, idx, docs, out)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
 
 _PARA_ORACLE = """

@@ -931,17 +931,31 @@ def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = f"{base}/index"
     out = f"{base}/pairs"
     cdc_land_change_files(corpus, src, base, n=3, key_col="doc_id")
-    (
-        spark.readStream.schema(corpus.schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(src)
-        .writeStream.foreachBatch(phash_stream_sink(spark, idx, out))
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    # r17: the sink body's batch jobs (probe joins, verify, final
+    # window) plan at spark.sql.shuffle.partitions with NO AQE
+    # coalescing inside foreachBatch — 32 near-empty tasks per shuffle
+    # per epoch. Same input-size-derived width policy as the stateful
+    # streams (streaming.events.stream_state_partitions); the encode
+    # spread keeps its own explicit cores-wide repartition.
+    from ..streaming.events import (
+        _with_shuffle_width,
+        source_bytes,
+        stream_state_partitions,
     )
+
+    width = stream_state_partitions(spark, source_bytes(src))
+    with _with_shuffle_width(spark, width):
+        (
+            spark.readStream.schema(corpus.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(phash_stream_sink(spark, idx, out))
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     from .dedup import keep_lowest_k_per_bucket
 
     union_pairs = spark.read.schema(

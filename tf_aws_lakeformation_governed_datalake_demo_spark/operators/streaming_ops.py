@@ -39,6 +39,34 @@ def _run(spark: SparkSession, sf_dir: str, builder, mode: str) -> DataFrame:
     )
 
 
+def _drive_file_stream(
+    spark: SparkSession, schema, src: str, sink, ckpt: str
+) -> None:
+    """Drive a one-file-per-trigger parquet-source foreachBatch stream
+    to completion under the input-size-derived shuffle width (r17,
+    guide §2.1): the sink body's BATCH jobs (windows, joins, merges)
+    plan at spark.sql.shuffle.partitions, and foreachBatch plans get no
+    AQE coalescing — at the session default every per-epoch shuffle
+    paid 32 near-empty tasks. Width = se.stream_state_partitions over
+    the landed source bytes, so it scales with data, not with the
+    local core count; restarts replan each batch fresh (batch-plan
+    width is NOT checkpoint-pinned), so resume semantics are untouched.
+    """
+    width = se.stream_state_partitions(spark, se.source_bytes(src))
+    with se._with_shuffle_width(spark, width):
+        (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+
 @query(
     "stream_hourly_counts",
     """
@@ -525,17 +553,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         cdc_apply_batch(spark, dim, dim_schema, batch)
 
-    (
-        spark.readStream.schema(e.schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(src)
-        .writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _drive_file_stream(spark, e.schema, src, apply_batch, f"{base}/ckpt")
 
     return spark.read.parquet(dim).select(
         "user_id",
@@ -800,19 +818,12 @@ def stream_lake_append(
 
     from ..scratch import scratch_dir
 
-    (
-        spark.readStream.schema(src_schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(src)
-        .writeStream.foreachBatch(sink)
-        .option(
-            "checkpointLocation",
-            checkpoint or scratch_dir("lake_append_ckpt_") + "/ckpt",
-        )
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    _drive_file_stream(
+        spark,
+        src_schema,
+        src,
+        sink,
+        checkpoint or scratch_dir("lake_append_ckpt_") + "/ckpt",
     )
 
 
@@ -1134,17 +1145,7 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         if committed is not None:  # replays skip the refresh too
             eng.refresh_materialized_view("db.docs_mv", principal="ops")
 
-    (
-        spark.readStream.schema(d.schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _drive_file_stream(spark, d.schema, src, sink, f"{base}/ckpt")
 
     # replayed batch: the ledger skips the append, so the sink skips
     # the refresh; a direct refresh is a no-op (watermark at head)
@@ -1247,17 +1248,7 @@ def stream_txlog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         eng.lake_transaction(["db.facts", "db.stats"], writer, "ops")
 
-    (
-        spark.readStream.schema(e.schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _drive_file_stream(spark, e.schema, src, sink, f"{base}/ckpt")
 
     # replay probe: re-deliver batch 0 — the branch ledger stages
     # nothing, the transaction is a no-op cut, table versions hold
@@ -1373,17 +1364,7 @@ def stream_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream_id="reproc", batch_id=epoch_id,
         )
 
-    (
-        spark.readStream.schema(d.schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _drive_file_stream(spark, d.schema, src, sink, f"{base}/ckpt")
 
     # replay probe with the ORIGINAL batch-0 content: without the
     # ledger this would be a "valid" overwrite that rolls the
@@ -1516,17 +1497,7 @@ def stream_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             updates_pinned=True,
         )
 
-    (
-        spark.readStream.schema(e.schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(src)
-        .writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _drive_file_stream(spark, e.schema, src, apply_batch, f"{base}/ckpt")
     # the stream has drained: purge tombstones physically (before this
     # point the tombstone's (ts, id) is what makes deletes
     # order-tolerant; purging earlier would let an older update
