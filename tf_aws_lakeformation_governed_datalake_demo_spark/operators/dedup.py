@@ -1812,6 +1812,11 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = occ.groupBy("gh").agg(
         F.min(F.struct("doc_id", "gpos")).alias("keep")
     )
+    # r17 (guide §2.4): pinned once — `marked` (the non-first duplicate
+    # occurrences, bounded by duplication volume, tiny next to the
+    # corpus) used to appear THREE times in the final plan (touched-ids
+    # distinct, the clean anti-join, the coverage join), and each copy
+    # re-ran the md5-span explode + groupBy + join chain above it.
     marked = (
         occ.join(first, "gh")
         .where(
@@ -1819,6 +1824,7 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("gpos") != F.col("keep.gpos"))
         )
         .select("doc_id", "gpos")
+        .localCheckpoint(eager=True)
     )
     touched_ids = marked.select("doc_id").distinct()
     clean = d.join(touched_ids, "doc_id", "left_anti").select(
