@@ -1242,9 +1242,20 @@ def probe_minhash_index(
     shard) band table (already pinned) and batch-id frame — lets a
     caller that also APPENDS the same bands (the streaming sink) share
     one checkpointed band table across probe and append instead of
-    deriving it twice (r16, guide §2.4)."""
+    deriving it twice (r16, guide §2.4). ``batch_sig=None`` is valid
+    only when BOTH are supplied; ``batch_ids`` alone may be omitted
+    (derived from ``batch_bands``)."""
     from pathlib import Path
 
+    if batch_sig is None and batch_bands is None:
+        # r16 ADVICE: the sig-less contract crashed later with an
+        # opaque AttributeError on None.select; validate up front.
+        raise ValueError(
+            "probe_minhash_index: batch_sig=None requires a precomputed "
+            "batch_bands (and ideally batch_ids)"
+        )
+    if batch_sig is None and batch_ids is None:
+        batch_ids = batch_bands.select(id_col).distinct()
     if batch_bands is None:
         batch_bands = explode_minhash_bands(
             batch_sig, id_col, string_buckets
@@ -1493,8 +1504,26 @@ def minhash_stream_sink(spark: SparkSession, docs_schema, idx: str, docs: str, o
     tests/test_dedup.py."""
 
     def process(batch: DataFrame, bid: int) -> None:
+        import os
         import shutil
 
+        # r16 changed the docs-store format: shingle sets live as a
+        # column ON the landed docs; the pre-r16 sibling `<docs>_sets/`
+        # tree no longer exists. A checkpoint resumed across that
+        # version boundary would read old batches back with NULL
+        # shingle_hashes and silently MISS their historical duplicates
+        # — fail loudly instead (r16 ADVICE).
+        legacy_sets = f"{docs}_sets"
+        if os.path.isdir(legacy_sets):
+            raise RuntimeError(
+                f"legacy minhash sets store found at {legacy_sets}: this "
+                "stream's earlier batches were landed by a pre-r16 sink "
+                "whose docs files carry no shingle_hashes column. "
+                "Resuming would silently drop all historical candidates "
+                "— re-land the stream from a fresh checkpoint (or "
+                "backfill the shingle_hashes column onto the old "
+                "batches) before continuing."
+            )
         ddir = f"{docs}/batch={bid}"
         pdir = f"{out}/batch={bid}"
         idir = f"{idx}/batch={bid}"

@@ -483,7 +483,19 @@ def cdc_land_change_files(
     for i in range(n):
         parts = glob.glob(f"{tmp}/__b={i}/part-*.parquet")
         if parts:
-            assert len(parts) == 1, parts  # keyed repartition: one task/slice
+            # keyed repartition => one task => one part file per slice.
+            # A real raise, not an assert (r16 ADVICE): moving only
+            # parts[0] would silently DROP the rest of the slice's rows,
+            # and `python -O` strips asserts — data completeness must
+            # not hang on a debug flag. Extra parts can only appear if
+            # a session-level maxRecordsPerFile (or similar) splits the
+            # task's output.
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"slice {i} produced {len(parts)} part files "
+                    f"({parts}); expected exactly one — is "
+                    "maxRecordsPerFile set on this session?"
+                )
             shutil.move(parts[0], f"{src}/c{i}.parquet")
         else:
             # empty slice (possible only on degenerate inputs): land an

@@ -4030,6 +4030,23 @@ def merge_into(
     # add a copy job per micro-batch (r16, guide §2.4).
     if not updates_pinned:
         updates = updates.localCheckpoint(eager=True)
+    else:
+        # Guardrail (r16 ADVICE): trust-but-verify the caller's pin —
+        # a merely-deterministic-LOOKING but unpinned plan would
+        # silently reintroduce the stats-divergence bug. A checkpointed
+        # frame's plan is (or roots in) a scan of materialized RDD
+        # blocks; a cached frame carries InMemoryRelation.
+        plan = updates._jdf.queryExecution().optimizedPlan().toString()
+        if (
+            "LogicalRDD" not in plan
+            and "InMemoryRelation" not in plan
+            and "Relation" not in plan.splitlines()[0]
+        ):
+            raise ValueError(
+                "merge_into(updates_pinned=True) requires an actually "
+                "materialized updates frame (localCheckpoint or cache); "
+                "got an unpinned plan:\n" + plan[:500]
+            )
     # Optimistic concurrency: remember which snapshot this rewrite is
     # computed against (read_table's file list is fixed at planning
     # time); the publish refuses to commit over a different one.
