@@ -37,6 +37,16 @@ def get_spark(
         # AQE: runtime coalescing, join-strategy switching, skew-join split.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r17 (guide §2.2): respect the advisory partition size (64 MB
+        # default) when coalescing instead of "parallelism first", which
+        # refuses to coalesce below defaultParallelism — with it on,
+        # every tiny post-shuffle stage still ran `cores` near-empty
+        # tasks (measured: 32-task 20 ms stages throughout the MV/merge
+        # protocol paths). Size-adaptive by construction: a shuffle's
+        # width now tracks its BYTES (a 100 TB shuffle still fans out to
+        # bytes/64 MB partitions; raise the advisory via extra_conf on
+        # clusters that want bigger reducers).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for any pandas-UDF path and createDataFrame(pandas).
